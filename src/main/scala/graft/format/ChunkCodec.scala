@@ -1,0 +1,150 @@
+package graft.format
+
+import org.apache.spark.sql.types._
+
+/** Physical type tags for the btr wire format. The reference supports
+  * {INTEGER, DOUBLE, STRING} (/root/reference/btrblocks/common/Units.hpp:47-57);
+  * we widen to the Spark types present in real lakehouse tables — the
+  * integer family all routes through IntCodec, float through DoubleCodec
+  * via exact widening, binary through StringCodec.
+  */
+object PhysType {
+  val Bool = 1
+  val Int32 = 2
+  val Int64 = 3
+  val Double = 4
+  val Float = 5
+  val Str = 6
+  val Date = 7 // days since epoch (int)
+  val Timestamp = 8 // micros since epoch (long)
+  val TimestampNtz = 9
+  val Binary = 10
+
+  def of(dt: DataType): Int = dt match {
+    case BooleanType => Bool
+    case IntegerType => Int32
+    case LongType => Int64
+    case DoubleType => Double
+    case FloatType => Float
+    case StringType => Str
+    case DateType => Date
+    case TimestampType => Timestamp
+    case TimestampNTZType => TimestampNtz
+    case BinaryType => Binary
+    case ShortType => Int32
+    case ByteType => Int32
+    case other => throw new UnsupportedOperationException(s"btr: unsupported type $other")
+  }
+
+  def supported(dt: DataType): Boolean =
+    try { of(dt); true }
+    catch { case _: UnsupportedOperationException => false }
+
+  /** Natural byte width for raw storage of the int-family value. */
+  def physWidth(tag: Int): Int = tag match {
+    case Bool => 1
+    case Int32 | Date | Float => 4
+    case _ => 8
+  }
+
+  def isIntFamily(tag: Int): Boolean =
+    tag == Bool || tag == Int32 || tag == Int64 || tag == Date ||
+      tag == Timestamp || tag == TimestampNtz
+
+  def isStringFamily(tag: Int): Boolean = tag == Str || tag == Binary
+}
+
+/** Dense in-memory column chunk (≤65,536 rows), the unit of compression —
+  * mirrors InputChunk (/root/reference/btrblocks/storage/Chunk.hpp:72-93).
+  * Null rows carry placeholder values (0 / 0.0 / empty) so run/dict stats
+  * see dense data, matching the reference's convention.
+  */
+final class ColumnChunk(val tag: Int, val count: Int) {
+  var longs: Array[Long] = _
+  var doubles: Array[Double] = _
+  var strings: Array[Array[Byte]] = _
+  var isNull: Array[Boolean] = new Array[Boolean](count)
+}
+
+/** Per-column-chunk encode/decode: [nullmap][u8 scheme + payload].
+  * Chunk stats (min/max/nullCount) are returned for footer-based skipping.
+  */
+object ChunkCodec {
+  final case class ChunkStats(nullCount: Int, minLong: Long, maxLong: Long, minDouble: Double, maxDouble: Double, hasMinMax: Boolean)
+
+  def encode(out: BufWriter, chunk: ColumnChunk, cascadeDepth: Int): ChunkStats = {
+    var nullCount = 0
+    var i = 0
+    while (i < chunk.count) { if (chunk.isNull(i)) nullCount += 1; i += 1 }
+    NullMap.encode(chunk.isNull, chunk.count, out)
+    val tag = chunk.tag
+    if (PhysType.isIntFamily(tag)) {
+      IntCodec.encode(out, chunk.longs, chunk.count, PhysType.physWidth(tag), cascadeDepth)
+      var mn = Long.MaxValue
+      var mx = Long.MinValue
+      i = 0
+      while (i < chunk.count) {
+        if (!chunk.isNull(i)) {
+          val v = chunk.longs(i)
+          if (v < mn) mn = v
+          if (v > mx) mx = v
+        }
+        i += 1
+      }
+      val has = nullCount < chunk.count
+      ChunkStats(nullCount, mn, mx, 0, 0, has)
+    } else if (tag == PhysType.Double || tag == PhysType.Float) {
+      if (tag == PhysType.Float) {
+        // floats stored as raw bits via the int path (lossless, narrower)
+        IntCodec.encode(out, chunk.longs, chunk.count, 4, cascadeDepth)
+      } else {
+        DoubleCodec.encode(out, chunk.doubles, chunk.count, cascadeDepth)
+      }
+      var mn = java.lang.Double.MAX_VALUE
+      var mx = -java.lang.Double.MAX_VALUE
+      var has = false
+      i = 0
+      while (i < chunk.count) {
+        if (!chunk.isNull(i)) {
+          val v =
+            if (tag == PhysType.Float) java.lang.Float.intBitsToFloat(chunk.longs(i).toInt).toDouble
+            else chunk.doubles(i)
+          if (!v.isNaN) {
+            if (v < mn) mn = v
+            if (v > mx) mx = v
+            has = true
+          }
+        }
+        i += 1
+      }
+      ChunkStats(nullCount, 0, 0, mn, mx, has)
+    } else {
+      StringCodec.encode(out, chunk.strings, chunk.count, cascadeDepth)
+      ChunkStats(nullCount, 0, 0, 0, 0, hasMinMax = false)
+    }
+  }
+
+  /** Decoded column chunk ready to be copied into a ColumnVector. */
+  final class Decoded(
+      val count: Int,
+      val isNull: Array[Boolean],
+      val longs: Array[Long],
+      val doubles: Array[Double],
+      val strLens: Array[Int],
+      val strBytes: Array[Byte]
+  )
+
+  def decode(in: BufReader, tag: Int, count: Int): Decoded = {
+    val isNull = NullMap.decode(in, count)
+    if (PhysType.isIntFamily(tag) || tag == PhysType.Float) {
+      val longs = IntCodec.decode(in, count)
+      new Decoded(count, isNull, longs, null, null, null)
+    } else if (tag == PhysType.Double) {
+      val doubles = DoubleCodec.decode(in, count)
+      new Decoded(count, isNull, null, doubles, null, null)
+    } else {
+      val (lens, bytes) = StringCodec.decode(in, count)
+      new Decoded(count, isNull, null, null, lens, bytes)
+    }
+  }
+}

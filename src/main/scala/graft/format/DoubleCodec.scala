@@ -1,0 +1,305 @@
+package graft.format
+
+import scala.collection.mutable
+
+/** Double-family per-chunk stats (distinct/top computed on raw bits so
+  * -0.0 and NaN payloads are distinguished, matching the reference's
+  * bit-exact round-trip contract).
+  */
+final case class DoubleStats(
+    count: Int,
+    distinct: Int,
+    runCount: Int,
+    topBits: Long,
+    topCount: Int
+) {
+  def avgRunLength: Double = if (runCount == 0) 0.0 else count.toDouble / runCount
+}
+
+object DoubleStats {
+  def compute(values: Array[Double], count: Int): DoubleStats = {
+    if (count == 0) return DoubleStats(0, 0, 0, 0L, 0)
+    val freq = new mutable.LongMap[Int](math.min(count, 1 << 12))
+    var runs = 1
+    var prev = java.lang.Double.doubleToRawLongBits(values(0))
+    freq(prev) = 1
+    var i = 1
+    while (i < count) {
+      val bits = java.lang.Double.doubleToRawLongBits(values(i))
+      if (bits != prev) runs += 1
+      freq(bits) = freq.getOrElse(bits, 0) + 1
+      prev = bits
+      i += 1
+    }
+    var topB = 0L
+    var topC = 0
+    freq.foreachEntry { (k, c) => if (c > topC) { topC = c; topB = k } }
+    DoubleStats(count, freq.size, runs, topB, topC)
+  }
+}
+
+/** Double codec mirroring the reference's double schemes
+  * (/root/reference/btrblocks/scheme/SchemeType.hpp:35-53): Uncompressed,
+  * OneValue, Dict, RLE, Frequency, Pseudodecimal. All round-trips are
+  * bit-exact (incl. -0.0 and NaN payloads).
+  */
+object DoubleCodec {
+  val Uncompressed = 0
+  val OneValue = 1
+  val Dict = 2
+  val Rle = 3
+  val Frequency = 4
+  val Pseudodecimal = 5
+
+  /** Exponent stream value marking a patched (non-convertible) double
+    * (reference uses an exception marker too,
+    * /root/reference/btrblocks/scheme/double/Pseudodecimal.cpp:107-123).
+    */
+  private val PatchMarker = 23L
+  private val MaxExponent = 22
+  private val MaxDigits = (1L << 31) - 1 // ≤31 significant bits (SchemeConfig.hpp:41)
+
+  private val pow10: Array[Double] = (0 to MaxExponent).map(e => math.pow(10.0, e)).toArray
+
+  /** Try to express d as digits/10^e with bit-exact round-trip.
+    * Returns packed (e << 32 | digitsIndexBias) or -1; digits via out param
+    * pattern avoided: returns Long with e in high bits, digits value must be
+    * re-derived — instead we return both through a tiny struct-free encoding:
+    * result = e*2^40 + (digits + 2^31) won't fit cleanly, so we use a
+    * two-array fill in the encoder directly.
+    */
+  @inline private def tryConvert(d: Double, outDigits: Array[Long], outExp: Array[Long], i: Int): Boolean = {
+    val bits = java.lang.Double.doubleToRawLongBits(d)
+    var e = 0
+    while (e <= MaxExponent) {
+      val scaled = d * pow10(e)
+      if (scaled >= -MaxDigits.toDouble && scaled <= MaxDigits.toDouble) {
+        val digits = Math.round(scaled)
+        if (java.lang.Double.doubleToRawLongBits(digits.toDouble / pow10(e)) == bits) {
+          outDigits(i) = digits
+          outExp(i) = e.toLong
+          return true
+        }
+      } else if (scaled > MaxDigits.toDouble || scaled < -MaxDigits.toDouble) {
+        // growing further only overflows
+        return false
+      }
+      e += 1
+    }
+    false
+  }
+
+  def encode(out: BufWriter, values: Array[Double], count: Int, depth: Int): Unit = {
+    val start = out.pos
+    val s = DoubleStats.compute(values, count)
+    val scheme = choose(values, count, s, depth)
+    encodeAs(scheme, out, values, count, depth, s)
+    val rawSize = 1 + count.toLong * 8
+    if (scheme != Uncompressed && (out.pos - start).toLong > rawSize) {
+      out.truncate(start)
+      encodeAs(Uncompressed, out, values, count, depth, s)
+    }
+  }
+
+  private def choose(values: Array[Double], count: Int, s: DoubleStats, depth: Int): Int = {
+    if (count == 0) return Uncompressed
+    if (s.distinct <= 1) return OneValue
+    var best = Uncompressed
+    var bestSize = 1L + count.toLong * 8
+    if (depth >= 1 && s.distinct * 2 <= count) {
+      val codeBits = math.max(1, Bitpack.bitsFor((s.distinct - 1).toLong))
+      val e = 8L + s.distinct.toLong * 8 + Bitpack.packedBytes(count, codeBits)
+      if (e < bestSize) { best = Dict; bestSize = e }
+    }
+    if (depth >= 1 && s.avgRunLength >= 2.0) {
+      val e = 8L + s.runCount.toLong * 9 + 16
+      if (e < bestSize) { best = Rle; bestSize = e }
+    }
+    if (depth >= 1 && s.distinct * 2 <= count && s.topCount.toLong * 10 >= count.toLong * 9) {
+      val exc = (count - s.topCount).toLong
+      val e = 16L + exc * 11 + 16
+      if (e < bestSize) { best = Frequency; bestSize = e }
+    }
+    if (depth >= 1) {
+      // sample-estimate pseudodecimal: check convertibility + digit width on a stride sample
+      val sampleStride = math.max(1, count / 1024)
+      val dTmp = new Array[Long](1)
+      val eTmp = new Array[Long](1)
+      var convertible = 0
+      var sampled = 0
+      var maxDigits = 0L
+      var i = 0
+      while (i < count) {
+        sampled += 1
+        if (tryConvert(values(i), dTmp, eTmp, 0)) {
+          convertible += 1
+          val a = math.abs(dTmp(0))
+          if (a > maxDigits) maxDigits = a
+        }
+        i += sampleStride
+      }
+      if (convertible * 2 >= sampled) {
+        val digitBits = Bitpack.bitsFor(2 * maxDigits + 1) // zigzag
+        val patches = count.toLong * (sampled - convertible) / math.max(1, sampled)
+        val e = 8L + Bitpack.packedBytes(count, digitBits) + count / 2 + patches * 8
+        if (e < bestSize) { best = Pseudodecimal; bestSize = e }
+      }
+    }
+    best
+  }
+
+  private def encodeAs(
+      scheme: Int,
+      out: BufWriter,
+      values: Array[Double],
+      count: Int,
+      depth: Int,
+      s: DoubleStats
+  ): Unit = {
+    out.putByte(scheme)
+    scheme match {
+      case Uncompressed =>
+        var i = 0
+        while (i < count) { out.putDouble(values(i)); i += 1 }
+      case OneValue => out.putDouble(if (count > 0) values(0) else 0.0)
+      case Dict =>
+        val bits = new Array[Long](count)
+        var i = 0
+        while (i < count) { bits(i) = java.lang.Double.doubleToRawLongBits(values(i)); i += 1 }
+        val dict = IntCodec.distinctSorted(bits, count)
+        out.putInt(dict.length)
+        var j = 0
+        while (j < dict.length) { out.putLong(dict(j)); j += 1 }
+        val codes = new Array[Long](count)
+        i = 0
+        while (i < count) { codes(i) = IntCodec.binarySearch(dict, bits(i)).toLong; i += 1 }
+        IntCodec.encode(out, codes, count, 8, depth - 1)
+      case Rle =>
+        val bits = new Array[Long](count)
+        var i = 0
+        while (i < count) { bits(i) = java.lang.Double.doubleToRawLongBits(values(i)); i += 1 }
+        val (runVals, runLens, nRuns) = IntCodec.runs(bits, count)
+        out.putInt(nRuns)
+        var r = 0
+        while (r < nRuns) { out.putLong(runVals(r)); r += 1 }
+        IntCodec.encode(out, runLens, nRuns, 8, depth - 1)
+      case Frequency =>
+        val top = s.topBits
+        var nExc = 0
+        var i = 0
+        while (i < count) {
+          if (java.lang.Double.doubleToRawLongBits(values(i)) != top) nExc += 1
+          i += 1
+        }
+        out.putLong(top)
+        out.putInt(nExc)
+        val pos = new Array[Long](nExc)
+        val exc = new Array[Long](nExc)
+        var p = 0
+        i = 0
+        while (i < count) {
+          val b = java.lang.Double.doubleToRawLongBits(values(i))
+          if (b != top) { pos(p) = i.toLong; exc(p) = b; p += 1 }
+          i += 1
+        }
+        IntCodec.encode(out, pos, nExc, 8, depth - 1)
+        IntCodec.encode(out, exc, nExc, 8, depth - 1)
+      case Pseudodecimal =>
+        val digits = new Array[Long](count)
+        val exps = new Array[Long](count)
+        val patchIdx = new mutable.ArrayBuilder.ofLong
+        val patchVal = new mutable.ArrayBuilder.ofDouble
+        var i = 0
+        while (i < count) {
+          if (!tryConvert(values(i), digits, exps, i)) {
+            digits(i) = 0L
+            exps(i) = PatchMarker
+            patchIdx += i.toLong
+            patchVal += values(i)
+          }
+          i += 1
+        }
+        // zigzag digits so FOR/bitpack sees small unsigned values
+        i = 0
+        while (i < count) { digits(i) = (digits(i) << 1) ^ (digits(i) >> 63); i += 1 }
+        IntCodec.encode(out, digits, count, 8, depth - 1)
+        IntCodec.encode(out, exps, count, 8, depth - 1)
+        val pv = patchVal.result()
+        out.putInt(pv.length)
+        var p = 0
+        while (p < pv.length) { out.putDouble(pv(p)); p += 1 }
+    }
+  }
+
+  def decode(in: BufReader, count: Int): Array[Double] = {
+    val out = new Array[Double](count)
+    decodeInto(in, count, out)
+    out
+  }
+
+  def decodeInto(in: BufReader, count: Int, out: Array[Double]): Unit = {
+    in.getByte() match {
+      case Uncompressed =>
+        var i = 0
+        while (i < count) { out(i) = in.getDouble(); i += 1 }
+      case OneValue =>
+        val v = in.getDouble()
+        java.util.Arrays.fill(out, 0, count, v)
+      case Dict =>
+        val dictSize = in.getInt()
+        val dict = in.getLongs(dictSize)
+        val codes = IntCodec.decode(in, count)
+        var i = 0
+        while (i < count) {
+          out(i) = java.lang.Double.longBitsToDouble(dict(codes(i).toInt))
+          i += 1
+        }
+      case Rle =>
+        val nRuns = in.getInt()
+        val runVals = in.getLongs(nRuns)
+        val runLens = IntCodec.decode(in, nRuns)
+        var p = 0
+        var r = 0
+        while (r < nRuns) {
+          val v = java.lang.Double.longBitsToDouble(runVals(r))
+          val len = runLens(r).toInt
+          java.util.Arrays.fill(out, p, p + len, v)
+          p += len
+          r += 1
+        }
+      case Frequency =>
+        val top = java.lang.Double.longBitsToDouble(in.getLong())
+        val nExc = in.getInt()
+        val pos = IntCodec.decode(in, nExc)
+        val exc = IntCodec.decode(in, nExc)
+        java.util.Arrays.fill(out, 0, count, top)
+        var i = 0
+        while (i < nExc) {
+          out(pos(i).toInt) = java.lang.Double.longBitsToDouble(exc(i))
+          i += 1
+        }
+      case Pseudodecimal =>
+        val digits = IntCodec.decode(in, count)
+        val exps = IntCodec.decode(in, count)
+        val nPatch = in.getInt()
+        val patches = new Array[Double](nPatch)
+        var p = 0
+        while (p < nPatch) { patches(p) = in.getDouble(); p += 1 }
+        p = 0
+        var i = 0
+        while (i < count) {
+          val e = exps(i).toInt
+          if (e == PatchMarker.toInt) {
+            out(i) = patches(p)
+            p += 1
+          } else {
+            val z = digits(i)
+            val d = (z >>> 1) ^ -(z & 1L) // un-zigzag
+            out(i) = d.toDouble / pow10(e)
+          }
+          i += 1
+        }
+      case other => throw new IllegalStateException(s"bad double scheme $other")
+    }
+  }
+}

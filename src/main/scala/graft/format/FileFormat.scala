@@ -1,0 +1,144 @@
+package graft.format
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.types.{DataType, StructType}
+import java.nio.charset.StandardCharsets
+
+/** On-disk layout of one `.btr` file (our analog of the reference's
+  * ColumnPart files, /root/reference/btrblocks/storage/Chunk.hpp:95-113,
+  * generalized to all columns of a task's rows):
+  *
+  *   [magic "BTRG"][u32 version]
+  *   row groups: for each row group (≤ blockSize rows),
+  *               for each column in schema order: one encoded chunk blob
+  *   [footer][i32 footerLen][magic "BTRG"]
+  *
+  * The footer stores per-(rowGroup, column) offsets + lengths + min/max +
+  * null counts — this is what enables column pruning (seek per column)
+  * and predicate chunk-skipping at scan planning time.
+  */
+object BtrFile {
+  val Magic: Array[Byte] = "BTRG".getBytes(StandardCharsets.US_ASCII)
+  val Version = 1
+  val DefaultBlockSize = 65536 // tuples per chunk, btrblocks.hpp:24
+  val DefaultCascadeDepth = 3 // btrblocks.hpp:31,37,43
+
+  final case class ColumnChunkMeta(
+      offset: Long,
+      length: Int,
+      nullCount: Int,
+      statsKind: Int, // 0 none, 1 long min/max, 2 double min/max
+      minLong: Long,
+      maxLong: Long,
+      minDouble: Double,
+      maxDouble: Double
+  )
+
+  final case class RowGroupMeta(numRows: Int, columns: Array[ColumnChunkMeta])
+
+  final case class Footer(rowGroups: Array[RowGroupMeta]) {
+    def numRows: Long = rowGroups.map(_.numRows.toLong).sum
+  }
+
+  def writeFooter(out: BufWriter, footer: Footer, numCols: Int): Unit = {
+    val start = out.pos
+    out.putInt(footer.rowGroups.length)
+    out.putInt(numCols)
+    footer.rowGroups.foreach { rg =>
+      out.putInt(rg.numRows)
+      rg.columns.foreach { c =>
+        out.putLong(c.offset)
+        out.putInt(c.length)
+        out.putInt(c.nullCount)
+        out.putByte(c.statsKind)
+        c.statsKind match {
+          case 1 => out.putLong(c.minLong); out.putLong(c.maxLong)
+          case 2 => out.putDouble(c.minDouble); out.putDouble(c.maxDouble)
+          case _ => ()
+        }
+      }
+    }
+    out.putInt(out.pos - start)
+    out.putBytes(Magic)
+  }
+
+  def readFooter(bytes: Array[Byte]): Footer = {
+    val len = bytes.length
+    require(len > 16, "btr file too short")
+    val tail = new BufReader(bytes, len - 8, len)
+    val footerLen = tail.getInt()
+    val in = new BufReader(bytes, len - 8 - footerLen, len - 8)
+    val numRg = in.getInt()
+    val numCols = in.getInt()
+    val rgs = new Array[RowGroupMeta](numRg)
+    var g = 0
+    while (g < numRg) {
+      val numRows = in.getInt()
+      val cols = new Array[ColumnChunkMeta](numCols)
+      var c = 0
+      while (c < numCols) {
+        val off = in.getLong()
+        val l = in.getInt()
+        val nulls = in.getInt()
+        val kind = in.getByte()
+        cols(c) = kind match {
+          case 1 =>
+            val mn = in.getLong(); val mx = in.getLong()
+            ColumnChunkMeta(off, l, nulls, 1, mn, mx, 0, 0)
+          case 2 =>
+            val mn = in.getDouble(); val mx = in.getDouble()
+            ColumnChunkMeta(off, l, nulls, 2, 0, 0, mn, mx)
+          case _ => ColumnChunkMeta(off, l, nulls, 0, 0, 0, 0, 0)
+        }
+        c += 1
+      }
+      rgs(g) = RowGroupMeta(numRows, cols)
+      g += 1
+    }
+    Footer(rgs)
+  }
+}
+
+/** Table-level metadata: `_btr_meta.json` at the table root holds the
+  * schema (Spark StructType JSON) + format config — the analog of the
+  * reference's FileMetadata (/root/reference/btrblocks/compression/Datablock.hpp:23-35).
+  * Data files are discovered by listing `*.btr` (append-friendly).
+  */
+object BtrTableMeta {
+  val MetaFile = "_btr_meta.json"
+
+  def write(fs: FileSystem, dir: Path, schema: StructType, blockSize: Int, cascade: Int): Unit = {
+    // minimal JSON by hand: schema json is already valid JSON
+    val json =
+      s"""{"version":${BtrFile.Version},"blockSize":$blockSize,"cascade":$cascade,"schema":${schema.json}}"""
+    val out = fs.create(new Path(dir, MetaFile), true)
+    out.write(json.getBytes(StandardCharsets.UTF_8))
+    out.close()
+  }
+
+  def readSchema(fs: FileSystem, dir: Path): StructType = {
+    val p = new Path(dir, MetaFile)
+    val in = fs.open(p)
+    val len = fs.getFileStatus(p).getLen.toInt
+    val bytes = new Array[Byte](len)
+    in.readFully(0, bytes)
+    in.close()
+    val json = new String(bytes, StandardCharsets.UTF_8)
+    // extract the schema object: find "schema": and parse the rest (it is
+    // the last field, so take everything up to the final '}')
+    val idx = json.indexOf("\"schema\":")
+    val schemaJson = json.substring(idx + "\"schema\":".length, json.length - 1)
+    DataType.fromJson(schemaJson).asInstanceOf[StructType]
+  }
+
+  def listDataFiles(fs: FileSystem, dir: Path): Array[Path] = {
+    if (!fs.exists(dir)) return Array.empty
+    fs.listStatus(dir)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".btr"))
+      .map(_.getPath)
+      .sortBy(_.getName)
+  }
+
+  def hadoopConf(): Configuration = new Configuration()
+}

@@ -1,0 +1,222 @@
+package graft.format
+
+/** FSST (Fast Static Symbol Table) string compression, from the published
+  * algorithm (Boncz, Neumann, Leis: "FSST: Fast Random Access String
+  * Compression", VLDB 2020) that the reference vendors as a C library
+  * (/root/reference/btrblocks/scheme/string/Fsst.cpp). Re-implemented in
+  * Scala from the paper: ≤255 symbols of ≤8 bytes, greedy longest-match
+  * encode, escape byte 255 for uncovered bytes, iterative symbol-table
+  * training on a sample.
+  *
+  * Until the trainer lands, `enabled=false` routes string columns to the
+  * raw-dict path (the reference's own fallback,
+  * string/DynamicDictionary.cpp:153-165).
+  */
+object FsstCodec {
+  @volatile var enabled: Boolean = false
+
+  val Escape = 255
+
+  /** Encode a string column: [symbolTable][lengths cascade][bytes]. */
+  def encodeStrings(out: BufWriter, values: Array[Array[Byte]], count: Int, depth: Int): Unit = {
+    val table = SymbolTable.train(values, count)
+    table.write(out)
+    val encoded = new Array[Array[Byte]](count)
+    var i = 0
+    while (i < count) { encoded(i) = table.compress(values(i)); i += 1 }
+    val lens = new Array[Long](count)
+    i = 0
+    while (i < count) { lens(i) = encoded(i).length.toLong; i += 1 }
+    IntCodec.encode(out, lens, count, 4, math.max(depth, 1))
+    i = 0
+    while (i < count) { out.putBytes(encoded(i)); i += 1 }
+  }
+
+  /** Decode a string column → (lengths, concatenated bytes). */
+  def decodeStrings(in: BufReader, count: Int): (Array[Int], Array[Byte]) = {
+    val table = SymbolTable.read(in)
+    val lensL = IntCodec.decode(in, count)
+    val lens = new Array[Int](count)
+    var total = 0
+    var i = 0
+    while (i < count) { lens(i) = lensL(i).toInt; total += lens(i); i += 1 }
+    val comp = in.getBytes(total)
+    // decompress
+    val outLens = new Array[Int](count)
+    val outBuf = new BufWriter(math.max(total * 3, 64))
+    var p = 0
+    i = 0
+    while (i < count) {
+      val start = outBuf.pos
+      val end = p + lens(i)
+      while (p < end) {
+        val code = comp(p) & 0xff
+        if (code == Escape) {
+          p += 1
+          outBuf.putByte(comp(p) & 0xff)
+          p += 1
+        } else {
+          val sym = table.symbols(code)
+          outBuf.putBytes(sym)
+          p += 1
+        }
+      }
+      outLens(i) = outBuf.pos - start
+      i += 1
+    }
+    (outLens, outBuf.result())
+  }
+}
+
+/** FSST symbol table: up to 255 symbols, each 1..8 bytes; code 255 is the
+  * escape marker followed by one raw byte.
+  */
+final class SymbolTable(val symbols: Array[Array[Byte]]) {
+  // longest-match index: first byte → symbol codes sorted by length desc
+  private val byFirst: Array[Array[Int]] = {
+    val tmp = Array.fill(256)(List.empty[Int])
+    var c = 0
+    while (c < symbols.length) {
+      val s = symbols(c)
+      if (s.length > 0) {
+        val f = s(0) & 0xff
+        tmp(f) = c :: tmp(f)
+      }
+      c += 1
+    }
+    tmp.map(_.sortBy(c => -symbols(c).length).toArray)
+  }
+
+  def compress(input: Array[Byte]): Array[Byte] = {
+    val out = new BufWriter(input.length + 8)
+    var i = 0
+    while (i < input.length) {
+      val cands = byFirst(input(i) & 0xff)
+      var matched = -1
+      var ci = 0
+      while (matched < 0 && ci < cands.length) {
+        val code = cands(ci)
+        val s = symbols(code)
+        if (i + s.length <= input.length && regionEquals(input, i, s)) matched = code
+        ci += 1
+      }
+      if (matched >= 0) {
+        out.putByte(matched)
+        i += symbols(matched).length
+      } else {
+        out.putByte(FsstCodec.Escape)
+        out.putByte(input(i) & 0xff)
+        i += 1
+      }
+    }
+    out.result()
+  }
+
+  @inline private def regionEquals(input: Array[Byte], at: Int, s: Array[Byte]): Boolean = {
+    var j = 0
+    while (j < s.length) {
+      if (input(at + j) != s(j)) return false
+      j += 1
+    }
+    true
+  }
+
+  def write(out: BufWriter): Unit = {
+    out.putByte(symbols.length)
+    var c = 0
+    while (c < symbols.length) {
+      out.putByte(symbols(c).length)
+      out.putBytes(symbols(c))
+      c += 1
+    }
+  }
+}
+
+object SymbolTable {
+  def read(in: BufReader): SymbolTable = {
+    val n = in.getByte()
+    val syms = new Array[Array[Byte]](n)
+    var c = 0
+    while (c < n) {
+      val len = in.getByte()
+      syms(c) = in.getBytes(len)
+      c += 1
+    }
+    new SymbolTable(syms)
+  }
+
+  /** Iterative greedy training per the FSST paper §3: tokenize a sample
+    * with the current table, count gains of existing symbols and of merged
+    * adjacent-token candidates (≤8 bytes), keep the 255 highest-gain
+    * symbols (gain = covered bytes), repeat.
+    */
+  def train(values: Array[Array[Byte]], count: Int, rounds: Int = 4): SymbolTable = {
+    // sample up to ~64 KiB of input, strided across the column
+    val sample = {
+      var total = 0
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      var i = 0
+      val stride = math.max(1, count / 512)
+      while (i < count && total < (1 << 16)) {
+        buf += values(i)
+        total += values(i).length
+        i += stride
+      }
+      buf.toArray
+    }
+    var table = new SymbolTable(Array.empty)
+    var r = 0
+    while (r < rounds) {
+      val gains = new scala.collection.mutable.HashMap[ByteKey, Long]()
+      var si = 0
+      while (si < sample.length) {
+        val s = sample(si)
+        var i = 0
+        var prevStart = -1
+        var prevLen = 0
+        while (i < s.length) {
+          val len = matchLen(table, s, i)
+          val key = new ByteKey(java.util.Arrays.copyOfRange(s, i, i + len))
+          gains(key) = gains.getOrElse(key, 0L) + len
+          if (prevStart >= 0 && prevLen + len <= 8) {
+            val merged = new ByteKey(java.util.Arrays.copyOfRange(s, prevStart, i + len))
+            gains(merged) = gains.getOrElse(merged, 0L) + prevLen + len
+          }
+          prevStart = i
+          prevLen = len
+          i += len
+        }
+        si += 1
+      }
+      // deterministic: gain desc, then lexicographic bytes
+      val chosen = gains.toArray
+        .filter { case (k, g) => g > k.bytes.length } // must beat raw coverage
+        .sortWith { case ((ka, ga), (kb, gb)) =>
+          if (ga != gb) ga > gb
+          else ByteKey.lexicographic.compare(ka.bytes, kb.bytes) < 0
+        }
+        .take(255)
+        .map(_._1.bytes)
+      table = new SymbolTable(chosen)
+      r += 1
+    }
+    table
+  }
+
+  /** Longest symbol match at position `at`, or 1 (single raw byte). */
+  private def matchLen(table: SymbolTable, s: Array[Byte], at: Int): Int = {
+    var best = 1
+    var c = 0
+    while (c < table.symbols.length) {
+      val sym = table.symbols(c)
+      if (sym.length > best && at + sym.length <= s.length) {
+        var j = 0
+        var ok = true
+        while (ok && j < sym.length) { ok = s(at + j) == sym(j); j += 1 }
+        if (ok) best = sym.length
+      }
+      c += 1
+    }
+    best
+  }
+}

@@ -1,0 +1,218 @@
+package graft.format
+
+import scala.collection.mutable
+
+/** String-family codec over dense Array[Array[Byte]] (UTF-8 bytes; null
+  * rows carry empty placeholders, mirroring the reference's dense
+  * values-at-null convention).
+  *
+  * Schemes mirror /root/reference/btrblocks/scheme/SchemeType.hpp:55-69:
+  * Uncompressed (lengths cascade + bytes), OneValue, Dict (sorted distinct,
+  * codes int-cascaded, dict bytes optionally FSST), FSST whole-column.
+  */
+object StringCodec {
+  val Uncompressed = 0
+  val OneValue = 1
+  val Dict = 2
+  val Fsst = 3
+
+  // FSST gates per /root/reference/btrblocks/scheme/string/Fsst.cpp:119-127
+  private val FsstMinBytes = 16 * 1024
+
+  final case class StringStats(
+      count: Int,
+      totalLen: Long,
+      distinct: Int,
+      uniqueLen: Long,
+      runCount: Int
+  )
+
+  def computeStats(values: Array[Array[Byte]], count: Int): StringStats = {
+    if (count == 0) return StringStats(0, 0L, 0, 0L, 0)
+    var total = 0L
+    var runs = 1
+    val seen = new mutable.HashSet[ByteKey]()
+    var uniqueLen = 0L
+    var i = 0
+    while (i < count) {
+      total += values(i).length
+      if (i > 0 && !java.util.Arrays.equals(values(i), values(i - 1))) runs += 1
+      val k = new ByteKey(values(i))
+      if (seen.add(k)) uniqueLen += values(i).length
+      i += 1
+    }
+    StringStats(count, total, seen.size, uniqueLen, runs)
+  }
+
+  def encode(out: BufWriter, values: Array[Array[Byte]], count: Int, depth: Int): Unit = {
+    val start = out.pos
+    val s = computeStats(values, count)
+    val scheme = choose(s, depth)
+    encodeAs(scheme, out, values, count, depth, s)
+    val rawApprox = 1L + 4 + count.toLong * 4 + s.totalLen
+    if (scheme != Uncompressed && (out.pos - start).toLong > rawApprox) {
+      out.truncate(start)
+      encodeAs(Uncompressed, out, values, count, depth, s)
+    }
+  }
+
+  private def choose(s: StringStats, depth: Int): Int = {
+    if (s.count == 0) return Uncompressed
+    if (s.distinct <= 1) return OneValue
+    if (depth >= 1 && s.distinct * 2 <= s.count) return Dict
+    // whole-column FSST when high uniqueness and enough bytes
+    if (depth >= 1 && s.totalLen > FsstMinBytes && s.distinct * 2 > s.count &&
+      graft.format.FsstCodec.enabled) return Fsst
+    Uncompressed
+  }
+
+  private def encodeAs(
+      scheme: Int,
+      out: BufWriter,
+      values: Array[Array[Byte]],
+      count: Int,
+      depth: Int,
+      s: StringStats
+  ): Unit = {
+    out.putByte(scheme)
+    scheme match {
+      case Uncompressed =>
+        writeLengths(out, values, count, depth)
+        var i = 0
+        while (i < count) { out.putBytes(values(i)); i += 1 }
+      case OneValue =>
+        val v = if (count > 0) values(0) else Array.emptyByteArray
+        out.putInt(v.length)
+        out.putBytes(v)
+      case Dict =>
+        val dict = distinctSortedBytes(values, count)
+        out.putInt(dict.length)
+        // dict blob: lengths cascade + bytes, optionally FSST-compressed
+        var dictBytes = 0L
+        var j = 0
+        while (j < dict.length) { dictBytes += dict(j).length; j += 1 }
+        val useFsst = FsstCodec.enabled && dictBytes >= FsstMinBytes
+        out.putByte(if (useFsst) 1 else 0)
+        if (useFsst) FsstCodec.encodeStrings(out, dict, dict.length, depth - 1)
+        else {
+          writeLengths(out, dict, dict.length, depth - 1)
+          j = 0
+          while (j < dict.length) { out.putBytes(dict(j)); j += 1 }
+        }
+        // codes via int cascade (forced RLE-friendly per the reference's
+        // string dict, string/DynamicDictionary.cpp:167-189 — our selector
+        // picks RLE itself when runs are long)
+        val index = new mutable.HashMap[ByteKey, Int]()
+        j = 0
+        while (j < dict.length) { index(new ByteKey(dict(j))) = j; j += 1 }
+        val codes = new Array[Long](count)
+        var i = 0
+        while (i < count) { codes(i) = index(new ByteKey(values(i))).toLong; i += 1 }
+        IntCodec.encode(out, codes, count, 8, depth - 1)
+      case Fsst =>
+        FsstCodec.encodeStrings(out, values, count, depth - 1)
+    }
+  }
+
+  /** Decode into (lengths, concatenated bytes). */
+  def decode(in: BufReader, count: Int): (Array[Int], Array[Byte]) = {
+    in.getByte() match {
+      case Uncompressed =>
+        val lens = readLengths(in, count)
+        var total = 0L
+        var i = 0
+        while (i < count) { total += lens(i); i += 1 }
+        val bytes = in.getBytes(total.toInt)
+        (lens, bytes)
+      case OneValue =>
+        val len = in.getInt()
+        val v = in.getBytes(len)
+        val lens = new Array[Int](count)
+        java.util.Arrays.fill(lens, len)
+        val bytes = new Array[Byte](len * count)
+        var i = 0
+        while (i < count) { System.arraycopy(v, 0, bytes, i * len, len); i += 1 }
+        (lens, bytes)
+      case Dict =>
+        val dictSize = in.getInt()
+        val fsstFlag = in.getByte()
+        val (dictLens, dictBytes) =
+          if (fsstFlag == 1) FsstCodec.decodeStrings(in, dictSize)
+          else {
+            val dl = readLengths(in, dictSize)
+            var t = 0
+            var j = 0
+            while (j < dictSize) { t += dl(j); j += 1 }
+            (dl, in.getBytes(t))
+          }
+        val dictOffsets = new Array[Int](dictSize + 1)
+        var j = 0
+        while (j < dictSize) { dictOffsets(j + 1) = dictOffsets(j) + dictLens(j); j += 1 }
+        val codes = IntCodec.decode(in, count)
+        val lens = new Array[Int](count)
+        var total = 0L
+        var i = 0
+        while (i < count) {
+          lens(i) = dictLens(codes(i).toInt)
+          total += lens(i)
+          i += 1
+        }
+        val bytes = new Array[Byte](total.toInt)
+        var p = 0
+        i = 0
+        while (i < count) {
+          val c = codes(i).toInt
+          System.arraycopy(dictBytes, dictOffsets(c), bytes, p, lens(i))
+          p += lens(i)
+          i += 1
+        }
+        (lens, bytes)
+      case Fsst =>
+        FsstCodec.decodeStrings(in, count)
+      case other => throw new IllegalStateException(s"bad string scheme $other")
+    }
+  }
+
+  private def writeLengths(out: BufWriter, values: Array[Array[Byte]], count: Int, depth: Int): Unit = {
+    val lens = new Array[Long](count)
+    var i = 0
+    while (i < count) { lens(i) = values(i).length.toLong; i += 1 }
+    IntCodec.encode(out, lens, count, 4, math.max(depth, 1))
+  }
+
+  private def readLengths(in: BufReader, count: Int): Array[Int] = {
+    val l = IntCodec.decode(in, count)
+    val out = new Array[Int](count)
+    var i = 0
+    while (i < count) { out(i) = l(i).toInt; i += 1 }
+    out
+  }
+
+  private[format] def distinctSortedBytes(values: Array[Array[Byte]], count: Int): Array[Array[Byte]] = {
+    val set = new mutable.HashSet[ByteKey]()
+    val list = new mutable.ArrayBuffer[Array[Byte]]()
+    var i = 0
+    while (i < count) {
+      val k = new ByteKey(values(i))
+      if (set.add(k)) list += values(i)
+      i += 1
+    }
+    val arr = list.toArray
+    java.util.Arrays.sort(arr, ByteKey.lexicographic)
+    arr
+  }
+}
+
+/** Hashable wrapper for byte arrays (map/set keys). */
+final class ByteKey(val bytes: Array[Byte]) {
+  override val hashCode: Int = java.util.Arrays.hashCode(bytes)
+  override def equals(o: Any): Boolean = o match {
+    case other: ByteKey => java.util.Arrays.equals(bytes, other.bytes)
+    case _ => false
+  }
+}
+
+object ByteKey {
+  val lexicographic: java.util.Comparator[Array[Byte]] =
+    (a: Array[Byte], b: Array[Byte]) => java.util.Arrays.compareUnsigned(a, b)
+}
