@@ -1,0 +1,81 @@
+package graft.sources
+
+import java.util
+
+import graft.format.{BtrFile, BtrTableMeta, PhysType}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import scala.jdk.CollectionConverters._
+
+/** DataSource V2 entry point for the `btr` columnar format — the Spark
+  * equivalent of the reference's file surface
+  * (/root/reference/btrblocks/compression/BtrReader.hpp:12-45 read side,
+  * Datablock::writeMetadata write side). Usage:
+  *
+  *   df.write.format("btr").mode("overwrite").save(path)
+  *   spark.read.format("btr").load(path)
+  */
+class BtrDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "btr"
+
+  override def supportsExternalMetadata(): Boolean = true
+
+  private def pathOf(options: CaseInsensitiveStringMap): String = {
+    val p = options.get("path")
+    require(p != null, "btr: 'path' option is required")
+    p
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val dir = new Path(pathOf(options))
+    val fs = dir.getFileSystem(BtrTableMeta.hadoopConf())
+    BtrTableMeta.readSchema(fs, dir)
+  }
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]
+  ): Table = {
+    val path = properties.get("path")
+    require(path != null, "btr: 'path' option is required")
+    new BtrTable(path, schema)
+  }
+}
+
+class BtrTable(path: String, tableSchema: StructType) extends Table with SupportsRead with SupportsWrite {
+  tableSchema.fields.foreach { f =>
+    require(PhysType.supported(f.dataType), s"btr: unsupported column type ${f.name}: ${f.dataType}")
+  }
+
+  override def name(): String = s"btr:$path"
+
+  override def schema(): StructType = tableSchema
+
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE, TableCapability.TRUNCATE).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new BtrScanBuilder(path, tableSchema, options)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new BtrWriteBuilder(path, info.schema(), info.options())
+}
+
+/** Shared session options for the format (writer side). */
+object BtrOptions {
+  def blockSize(options: CaseInsensitiveStringMap): Int =
+    options.getInt("btr.blockSize", BtrFile.DefaultBlockSize)
+  def cascade(options: CaseInsensitiveStringMap): Int =
+    options.getInt("btr.maxCascadeDepth", BtrFile.DefaultCascadeDepth)
+  /** Target bytes per read split when grouping row groups into partitions. */
+  def splitBytes(options: CaseInsensitiveStringMap): Long =
+    options.getLong("btr.maxSplitBytes", 128L * 1024 * 1024)
+}

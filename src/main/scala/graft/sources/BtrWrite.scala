@@ -1,0 +1,205 @@
+package graft.sources
+
+import graft.format._
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Write path: each Spark task buffers rows into 65,536-row groups, runs
+  * per-column stats + scheme selection + cascading encode, and streams one
+  * `.btr` file — the task-parallel analog of the reference's per-column
+  * TBB compression loop (/root/reference/tools/conversion/csvtobtr.cpp:148,
+  * ColumnPart packing storage/Chunk.hpp:95-113). The driver's commit writes
+  * `_btr_meta.json` (analog of Datablock::writeMetadata,
+  * compression/Datablock.cpp:27-52).
+  *
+  * Scale notes: no driver-side data movement — tasks write files directly;
+  * commit only renames/records. Writers emit to a temp name and rename on
+  * task commit so speculative/failed attempts never surface.
+  */
+class BtrWriteBuilder(path: String, schema: StructType, options: CaseInsensitiveStringMap)
+    extends WriteBuilder
+    with SupportsTruncate {
+
+  private var truncateOnCommit = false
+
+  override def truncate(): WriteBuilder = { truncateOnCommit = true; this }
+
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite =
+      new BtrBatchWrite(path, schema, truncateOnCommit, BtrOptions.blockSize(options), BtrOptions.cascade(options))
+  }
+}
+
+final case class BtrCommitMessage(fileName: String, numRows: Long) extends WriterCommitMessage
+
+class BtrBatchWrite(path: String, schema: StructType, truncate: Boolean, blockSize: Int, cascade: Int)
+    extends BatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new BtrWriterFactory(path, schema, blockSize, cascade)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(BtrTableMeta.hadoopConf())
+    val committed = messages.collect { case m: BtrCommitMessage => m.fileName }.toSet
+    if (truncate) {
+      // replace: drop every data file not produced by this write
+      BtrTableMeta.listDataFiles(fs, dir).foreach { f =>
+        if (!committed.contains(f.getName)) fs.delete(f, false)
+      }
+    }
+    BtrTableMeta.write(fs, dir, schema, blockSize, cascade)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(BtrTableMeta.hadoopConf())
+    messages.foreach {
+      case BtrCommitMessage(name, _) => fs.delete(new Path(dir, name), false)
+      case _ => ()
+    }
+  }
+}
+
+class BtrWriterFactory(path: String, schema: StructType, blockSize: Int, cascade: Int)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new BtrDataWriter(path, schema, blockSize, cascade, partitionId, taskId)
+}
+
+class BtrDataWriter(path: String, schema: StructType, blockSize: Int, cascade: Int, partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+
+  private val fileName = f"part-$partitionId%05d-$taskId.btr"
+  private val tmpName = s"_tmp_$fileName"
+  private val dir = new Path(path)
+  private val fs = dir.getFileSystem(BtrTableMeta.hadoopConf())
+  fs.mkdirs(dir)
+  private val out = fs.create(new Path(dir, tmpName), true)
+  out.write(BtrFile.Magic)
+  out.writeInt(BtrFile.Version)
+  private var bytesWritten: Long = 8L
+
+  private val fields = schema.fields
+  private val tags = fields.map(f => PhysType.of(f.dataType))
+  private val numCols = fields.length
+
+  // dense row-group buffers (placeholder values at nulls, like the
+  // reference's NULL_CODE convention, common/Units.hpp:134)
+  private val longCols = new Array[Array[Long]](numCols)
+  private val doubleCols = new Array[Array[Double]](numCols)
+  private val stringCols = new Array[Array[Array[Byte]]](numCols)
+  private val nullCols = new Array[Array[Boolean]](numCols)
+  allocBuffers()
+  private var rowsInGroup = 0
+  private var totalRows = 0L
+  private val rowGroups = scala.collection.mutable.ArrayBuffer.empty[BtrFile.RowGroupMeta]
+  private val encodeBuf = new BufWriter(1 << 20)
+
+  private def allocBuffers(): Unit = {
+    var c = 0
+    while (c < numCols) {
+      val tag = tags(c)
+      if (PhysType.isIntFamily(tag) || tag == PhysType.Float) longCols(c) = new Array[Long](blockSize)
+      else if (tag == PhysType.Double) doubleCols(c) = new Array[Double](blockSize)
+      else stringCols(c) = new Array[Array[Byte]](blockSize)
+      nullCols(c) = new Array[Boolean](blockSize)
+      c += 1
+    }
+  }
+
+  override def write(row: InternalRow): Unit = {
+    val i = rowsInGroup
+    var c = 0
+    while (c < numCols) {
+      if (row.isNullAt(c)) {
+        nullCols(c)(i) = true
+        if (longCols(c) != null) longCols(c)(i) = 0L
+        else if (doubleCols(c) != null) doubleCols(c)(i) = 0.0
+        else stringCols(c)(i) = Array.emptyByteArray
+      } else {
+        nullCols(c)(i) = false
+        fields(c).dataType match {
+          case IntegerType | DateType => longCols(c)(i) = row.getInt(c).toLong
+          case ShortType => longCols(c)(i) = row.getShort(c).toLong
+          case ByteType => longCols(c)(i) = row.getByte(c).toLong
+          case LongType | TimestampType | TimestampNTZType => longCols(c)(i) = row.getLong(c)
+          case BooleanType => longCols(c)(i) = if (row.getBoolean(c)) 1L else 0L
+          case DoubleType => doubleCols(c)(i) = row.getDouble(c)
+          case FloatType => longCols(c)(i) = java.lang.Float.floatToRawIntBits(row.getFloat(c)).toLong
+          case StringType => stringCols(c)(i) = row.getUTF8String(c).getBytes.clone()
+          case BinaryType => stringCols(c)(i) = row.getBinary(c).clone()
+          case other => throw new UnsupportedOperationException(s"btr write: $other")
+        }
+      }
+      c += 1
+    }
+    rowsInGroup += 1
+    totalRows += 1
+    if (rowsInGroup == blockSize) flushGroup()
+  }
+
+  private def flushGroup(): Unit = {
+    if (rowsInGroup == 0) return
+    val n = rowsInGroup
+    val colMetas = new Array[BtrFile.ColumnChunkMeta](numCols)
+    var c = 0
+    while (c < numCols) {
+      val tag = tags(c)
+      val chunk = new ColumnChunk(tag, n)
+      chunk.longs = longCols(c)
+      chunk.doubles = doubleCols(c)
+      chunk.strings = stringCols(c)
+      chunk.isNull = nullCols(c)
+      encodeBuf.truncate(0)
+      val stats = ChunkCodec.encode(encodeBuf, chunk, cascade)
+      val blobLen = encodeBuf.pos
+      out.write(encodeBuf.backing, 0, blobLen)
+      val statsKind =
+        if (!stats.hasMinMax) 0
+        else if (PhysType.isIntFamily(tag)) 1
+        else if (tag == PhysType.Double || tag == PhysType.Float) 2
+        else 0
+      colMetas(c) = BtrFile.ColumnChunkMeta(
+        offset = bytesWritten,
+        length = blobLen,
+        nullCount = stats.nullCount,
+        statsKind = statsKind,
+        minLong = stats.minLong,
+        maxLong = stats.maxLong,
+        minDouble = stats.minDouble,
+        maxDouble = stats.maxDouble
+      )
+      bytesWritten += blobLen
+      c += 1
+    }
+    rowGroups += BtrFile.RowGroupMeta(n, colMetas)
+    rowsInGroup = 0
+  }
+
+  override def commit(): WriterCommitMessage = {
+    flushGroup()
+    val footerBuf = new BufWriter(1 << 16)
+    BtrFile.writeFooter(footerBuf, BtrFile.Footer(rowGroups.toArray), numCols)
+    out.write(footerBuf.backing, 0, footerBuf.pos)
+    out.close()
+    if (totalRows == 0L) {
+      fs.delete(new Path(dir, tmpName), false)
+      BtrCommitMessage("", 0L)
+    } else {
+      fs.rename(new Path(dir, tmpName), new Path(dir, fileName))
+      BtrCommitMessage(fileName, totalRows)
+    }
+  }
+
+  override def abort(): Unit = {
+    try out.close()
+    catch { case _: Throwable => () }
+    fs.delete(new Path(dir, tmpName), false)
+  }
+
+  override def close(): Unit = ()
+}

@@ -1,0 +1,125 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end DSv2 tests: parquet → btr write → btr read → equality,
+  * plus pruning/pushdown plan checks (mirrors the reference's
+  * verify-on-write path, tools/conversion/csvtobtr.cpp:49-66).
+  */
+class BtrSourceSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("btr-source-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+  private def tmp(name: String) = s"/tmp/btr-spec/$name"
+
+  private def roundTrip(table: String, repartition: Int = 2): (DataFrame, DataFrame) = {
+    val orig = spark.read.parquet(s"$sf/$table.parquet")
+    orig.repartition(repartition).write.format("btr").mode("overwrite").save(tmp(table))
+    val back = spark.read.format("btr").load(tmp(table))
+    (orig, back)
+  }
+
+  private def assertSameRows(orig: DataFrame, back: DataFrame): Unit = {
+    assert(back.schema.map(f => (f.name, f.dataType)) == orig.schema.map(f => (f.name, f.dataType)))
+    val a = orig.collect().map(_.toString).sorted
+    val b = back.collect().map(_.toString).sorted
+    assert(a.length == b.length, s"row count ${a.length} vs ${b.length}")
+    var i = 0
+    while (i < a.length) {
+      assert(a(i) == b(i), s"row $i: ${a(i)} vs ${b(i)}")
+      i += 1
+    }
+  }
+
+  test("lineitem round-trips (ints, doubles, strings, timestamp_ntz)") {
+    val (orig, back) = roundTrip("lineitem")
+    assertSameRows(orig, back)
+  }
+
+  test("all small tables round-trip") {
+    for (t <- Seq("region", "nation", "customer", "supplier", "part", "orders", "events", "documents")) {
+      val (orig, back) = roundTrip(t, repartition = 1)
+      assertSameRows(orig, back)
+    }
+  }
+
+  test("column pruning reaches the scan") {
+    roundTrip("lineitem")
+    val df = spark.read.format("btr").load(tmp("lineitem")).select("l_orderkey", "l_quantity")
+    val scan = df.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(df.collect().length > 0)
+    // ReadSchema should contain only the two projected columns
+    val readSchema = df.queryExecution.executedPlan.collectLeaves().head
+      .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.BatchScanExec]
+      .scan.readSchema()
+    assert(readSchema.fieldNames.toSet == Set("l_orderkey", "l_quantity"), readSchema.treeString)
+  }
+
+  test("filter pushdown skips chunks without changing results") {
+    val orig = spark.read.parquet(s"$sf/lineitem.parquet")
+    // small blocks so skipping has something to skip
+    orig.sort("l_orderkey").coalesce(1).write.format("btr")
+      .option("btr.blockSize", "512").mode("overwrite").save(tmp("lineitem_small"))
+    val back = spark.read.format("btr").load(tmp("lineitem_small"))
+    val maxKey = orig.agg(max("l_orderkey")).head.getLong(0)
+    val expected = orig.filter(col("l_orderkey") > maxKey - 10).count()
+    val got = back.filter(col("l_orderkey") > maxKey - 10).count()
+    assert(got == expected)
+    // partition planning must produce fewer splits than total groups
+    val scanExec = back.filter(col("l_orderkey") > maxKey - 10)
+      .queryExecution.executedPlan.collectLeaves().head
+      .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.BatchScanExec]
+    val parts = scanExec.inputPartitions.collect { case p: BtrInputPartition => p }
+    val survivingGroups = parts.map(_.groups.length).sum
+    val allGroups = spark.read.format("btr").load(tmp("lineitem_small"))
+      .queryExecution.executedPlan.collectLeaves().head
+      .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.BatchScanExec]
+      .inputPartitions.collect { case p: BtrInputPartition => p }.map(_.groups.length).sum
+    assert(survivingGroups < allGroups, s"expected chunk skipping: $survivingGroups vs $allGroups")
+  }
+
+  test("nulls, empty strings and appends round-trip") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(1L), Some("a"), Some(1.5)),
+      (None, Some(""), None),
+      (Some(3L), None, Some(-0.0)),
+      (Some(Long.MinValue), Some("日本語"), Some(Double.NaN))
+    ).toDF("id", "s", "d")
+    df.write.format("btr").mode("overwrite").save(tmp("mixed"))
+    val back = spark.read.format("btr").load(tmp("mixed"))
+    assertSameRows(df, back)
+    // append mode adds files
+    df.write.format("btr").mode("append").save(tmp("mixed"))
+    assert(spark.read.format("btr").load(tmp("mixed")).count() == 8)
+  }
+
+  test("sql over btr: agg/join runs through Catalyst") {
+    roundTrip("orders", 1)
+    roundTrip("customer", 1)
+    spark.read.format("btr").load(tmp("orders")).createOrReplaceTempView("o_btr")
+    spark.read.format("btr").load(tmp("customer")).createOrReplaceTempView("c_btr")
+    val got = spark.sql(
+      """SELECT c_mktsegment, count(*) n, round(sum(o_totalprice), 2) s
+        |FROM o_btr JOIN c_btr ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin).collect()
+    val orig = spark.read.parquet(s"$sf/orders.parquet")
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+    orig.createOrReplaceTempView("o_pq")
+    cust.createOrReplaceTempView("c_pq")
+    val expected = spark.sql(
+      """SELECT c_mktsegment, count(*) n, round(sum(o_totalprice), 2) s
+        |FROM o_pq JOIN c_pq ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin).collect()
+    assert(got.map(_.toString).toSeq == expected.map(_.toString).toSeq)
+  }
+}
