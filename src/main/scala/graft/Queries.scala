@@ -1,0 +1,282 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Round-trip cache: every core query runs over data that has been written
+  * through the btr format and read back — so a DuckDB-vs-Spark match
+  * proves the format losslessly round-trips AND Catalyst composes over
+  * our scan (SURVEY.md §2.7). Cached per (sfDir, table) under /tmp.
+  */
+object Btr {
+  private def cacheDir(sfDir: String, table: String): String = {
+    val key = sfDir.replaceAll("[^a-zA-Z0-9.]", "_")
+    s"/tmp/graft-btr-cache/$key/$table"
+  }
+
+  /** Table round-tripped through the btr format (write once, then read). */
+  def t(spark: SparkSession, sfDir: String, table: String): DataFrame = {
+    try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    catch { case _: Throwable => () }
+    val dir = cacheDir(sfDir, table)
+    val meta = new java.io.File(dir, "_btr_meta.json")
+    if (!meta.exists()) {
+      spark.read.parquet(s"$sfDir/$table.parquet")
+        .write.format("btr").mode("overwrite").save(dir)
+    }
+    spark.read.format("btr").load(dir)
+  }
+
+  /** Direct parquet read (for types the format doesn't store, e.g. the
+    * embeddings array column).
+    */
+  def pq(spark: SparkSession, sfDir: String, table: String): DataFrame = {
+    try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    catch { case _: Throwable => () }
+    spark.read.parquet(s"$sfDir/$table.parquet")
+  }
+}
+
+/** The core query surface (SURVEY.md §2.7): every query here runs in Spark
+  * over btr-round-tripped tables and has an equivalent DuckDB oracle over
+  * the original parquet. Column aliases match the oracle SQL exactly.
+  */
+object CoreQueries {
+  import Btr.t
+
+  // ---- scale note ----------------------------------------------------
+  // Every query is declarative DataFrame API: filters/projections reach
+  // the btr scan (pushdown + pruning), aggregations are partial (map-side
+  // combine), small dimensions are broadcast. Global-order window queries
+  // (q_runs) exist to mirror the reference's full-column statistics and
+  // are bounded to stat-sized outputs.
+
+  /** Timestamp columns are compared as formatted strings — parquet ms/ns
+    * physical types reach Spark and DuckDB differently (ntz vs ts), so the
+    * string form is the type-stable comparison surface.
+    */
+  private def tsFmt(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Q-identity: lossless round-trip of every lineitem column
+    "q_rt_identity" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .select(
+          col("l_orderkey"), col("l_partkey"), col("l_suppkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax"),
+          col("l_returnflag"), col("l_linestatus"),
+          tsFmt(col("l_shipdate")).as("l_shipdate_s"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // Q-projection: column pruning (only 2 of 11 column blocks read)
+    "q_rt_projection" -> ((s, d) => {
+      t(s, d, "lineitem").select("l_orderkey", "l_extendedprice")
+        .orderBy("l_orderkey", "l_extendedprice")
+    }),
+
+    // Q-filter: predicate pushdown + chunk skipping
+    "q_rt_filter" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .filter(col("l_quantity") >= 10 && col("l_quantity") <= 20 && col("l_returnflag") === "R")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // Q-stats over an integer column (NumberStats surface)
+    "q_stats_int" -> ((s, d) => {
+      t(s, d, "lineitem").agg(
+        count(lit(1)).as("n_rows"),
+        count(col("l_orderkey")).as("n_vals"),
+        min(col("l_orderkey")).as("min_v"),
+        max(col("l_orderkey")).as("max_v"),
+        countDistinct(col("l_orderkey")).as("n_distinct"),
+        sum(when(col("l_orderkey").isNull, 1).otherwise(0)).as("n_nulls"))
+    }),
+
+    // Q-stats over a double column
+    "q_stats_double" -> ((s, d) => {
+      t(s, d, "lineitem").agg(
+        count(col("l_extendedprice")).as("n_vals"),
+        round(min(col("l_extendedprice")), 2).as("min_v"),
+        round(max(col("l_extendedprice")), 2).as("max_v"),
+        round(sum(col("l_extendedprice")), 0).as("sum_v"),
+        countDistinct(col("l_extendedprice")).as("n_distinct"))
+    }),
+
+    // Q-stats over a string column (StringStats surface)
+    "q_stats_string" -> ((s, d) => {
+      t(s, d, "lineitem").agg(
+        count(col("l_returnflag")).as("n_vals"),
+        countDistinct(col("l_returnflag")).as("n_distinct"),
+        min(col("l_returnflag")).as("min_v"),
+        max(col("l_returnflag")).as("max_v"),
+        sum(length(col("l_returnflag"))).as("total_len"))
+    }),
+
+    // Q-topfreq: the Frequency-scheme gate statistic
+    "q_topfreq" -> ((s, d) => {
+      t(s, d, "lineitem").groupBy(col("l_returnflag").as("v"))
+        .agg(count(lit(1)).as("freq"))
+        .orderBy(desc("freq"), asc("v"))
+        .limit(1)
+    }),
+
+    // Q-runs: average run length (RLE gate statistic) over the
+    // pk-ordered column
+    "q_runs" -> ((s, d) => {
+      val w = Window.orderBy("l_orderkey", "l_linenumber")
+      t(s, d, "lineitem")
+        .select(col("l_returnflag"), lag("l_returnflag", 1).over(w).as("prev"))
+        .agg(round(
+          count(lit(1)).cast("double") /
+            (lit(1) + sum(when(col("l_returnflag") =!= col("prev"), 1).otherwise(0))),
+          4).as("avg_run"))
+    }),
+
+    // Q-agg/join: revenue per nation — hash joins + hash agg + sort over
+    // four btr scans; nation is broadcast (tiny dim)
+    "q_agg_join" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val o = t(s, d, "orders")
+      val c = t(s, d, "customer")
+      val n = t(s, d, "nation")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 0).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(desc("revenue"), asc("n_name"))
+    }),
+
+    // Q-sort/limit: top-k with deterministic tiebreak
+    "q_sort_limit" -> ((s, d) => {
+      t(s, d, "orders")
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
+        .orderBy(desc("price"), asc("o_orderkey"))
+        .limit(10)
+    }),
+
+    // Q-window: first 3 orders per customer by date
+    "q_window" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, d, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), tsFmt(col("o_orderdate")).as("o_date_s"), col("rn"))
+        .orderBy("o_custkey", "rn", "o_orderkey")
+    }),
+
+    // Q-setop: nation keys seen in customers EXCEPT a filtered nation set
+    // (guaranteed non-empty, unlike customers-without-orders)
+    "q_setop" -> ((s, d) => {
+      val c = t(s, d, "customer").select(col("c_nationkey").as("k")).distinct()
+      val n = t(s, d, "nation").filter(col("n_nationkey") >= 13).select(col("n_nationkey").as("k"))
+      c.except(n).orderBy("k")
+    }),
+
+    // Q-scalar: string/math function surface over part
+    "q_scalar_fns" -> ((s, d) => {
+      t(s, d, "part")
+        .select(
+          col("p_partkey"),
+          upper(col("p_brand")).as("brand_u"),
+          substring(col("p_name"), 1, 5).as("name5"),
+          length(col("p_type")).as("type_len"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("bt"),
+          round(abs(col("p_retailprice") - 1000.0), 2).as("price_dev"),
+          (col("p_size") % 7).as("size_mod"))
+        .orderBy("p_partkey")
+    }),
+
+    // Q-events: tumbling hourly window agg over the event stream table
+    // (ts arrives as nanos-since-epoch long; hour bucket compared as string)
+    "q_events_hourly" -> ((s, d) => {
+      t(s, d, "events")
+        .select(
+          date_format(timestamp_micros((col("ts") / 1000).cast("long")), "yyyy-MM-dd HH:00").as("hour_s"),
+          col("event_type"), col("value"))
+        .groupBy("hour_s", "event_type")
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_v"))
+        .orderBy("hour_s", "event_type")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_rt_identity" ->
+      """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+        | l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,
+        | strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') AS l_shipdate_s
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_rt_projection" ->
+      "SELECT l_orderkey, l_extendedprice FROM lineitem ORDER BY l_orderkey, l_extendedprice",
+    "q_rt_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem
+        |WHERE l_quantity >= 10 AND l_quantity <= 20 AND l_returnflag = 'R'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_stats_int" ->
+      """SELECT count(*) AS n_rows, count(l_orderkey) AS n_vals,
+        | min(l_orderkey) AS min_v, max(l_orderkey) AS max_v,
+        | count(DISTINCT l_orderkey) AS n_distinct,
+        | sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS n_nulls
+        |FROM lineitem""".stripMargin,
+    "q_stats_double" ->
+      """SELECT count(l_extendedprice) AS n_vals,
+        | round(min(l_extendedprice), 2) AS min_v,
+        | round(max(l_extendedprice), 2) AS max_v,
+        | round(sum(l_extendedprice), 0) AS sum_v,
+        | count(DISTINCT l_extendedprice) AS n_distinct
+        |FROM lineitem""".stripMargin,
+    "q_stats_string" ->
+      """SELECT count(l_returnflag) AS n_vals,
+        | count(DISTINCT l_returnflag) AS n_distinct,
+        | min(l_returnflag) AS min_v, max(l_returnflag) AS max_v,
+        | sum(length(l_returnflag)) AS total_len
+        |FROM lineitem""".stripMargin,
+    "q_topfreq" ->
+      """SELECT l_returnflag AS v, count(*) AS freq FROM lineitem
+        |GROUP BY l_returnflag ORDER BY freq DESC, v ASC LIMIT 1""".stripMargin,
+    "q_runs" ->
+      """SELECT round(CAST(count(*) AS DOUBLE) /
+        | (1 + sum(CASE WHEN l_returnflag <> prev THEN 1 ELSE 0 END)), 4) AS avg_run
+        |FROM (SELECT l_returnflag,
+        |  lag(l_returnflag) OVER (ORDER BY l_orderkey, l_linenumber) AS prev
+        |  FROM lineitem)""".stripMargin,
+    "q_agg_join" ->
+      """SELECT n_name,
+        | round(sum(l_extendedprice * (1 - l_discount)), 0) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY revenue DESC, n_name ASC""".stripMargin,
+    "q_sort_limit" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS price FROM orders
+        |ORDER BY price DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "q_window" ->
+      """SELECT o_custkey, o_orderkey,
+        | strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_date_s, rn
+        |FROM (SELECT o_custkey, o_orderkey, o_orderdate,
+        |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, rn, o_orderkey""".stripMargin,
+    "q_setop" ->
+      """SELECT DISTINCT c_nationkey AS k FROM customer
+        |EXCEPT SELECT n_nationkey AS k FROM nation WHERE n_nationkey >= 13
+        |ORDER BY k""".stripMargin,
+    "q_scalar_fns" ->
+      """SELECT p_partkey, upper(p_brand) AS brand_u, substring(p_name, 1, 5) AS name5,
+        | length(p_type) AS type_len, concat_ws('|', p_brand, p_type) AS bt,
+        | round(abs(p_retailprice - 1000.0), 2) AS price_dev,
+        | p_size % 7 AS size_mod
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_events_hourly" ->
+      """SELECT strftime(ts, '%Y-%m-%d %H:00') AS hour_s, event_type,
+        | count(*) AS n, round(sum(value), 2) AS sum_v
+        |FROM events GROUP BY 1, 2 ORDER BY hour_s, event_type""".stripMargin
+  )
+}
