@@ -1,26 +1,106 @@
 package graft
 
+import graft.functions.{MultimodalOps, SimilarityOps, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Training-data pipeline operators over the documents/embeddings tables:
-  * deduplication, text analysis, similarity search. SQL-expressible ones
-  * carry DuckDB oracles; the sketch-based ones (MinHash/SimHash/LSH) are
-  * deterministic and checked by their own specs + rows-only driver check.
+  * deduplication (exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding
+  * cosine), similarity search (brute-force + LSH ANN), text analysis
+  * (language ID, quality, token counts, fingerprints) and multimodal
+  * binary-column plumbing. SQL-expressible ones carry DuckDB oracles;
+  * hash-parameterized ones (MinHash bands, SimHash, LSH) output
+  * exact-verified results where possible or rely on rows-only checks +
+  * their own specs.
   */
 object PipelineQueries {
-  import Btr.{t, pq}
+  import Btr.{pq, t}
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // exact dedup: canonical doc per distinct text (hash-groupBy —
-    // shuffle on a 64-bit text hash, not the full text, at scale the
-    // standard first pass; here grouped on text directly for exactness)
+    // exact dedup: canonical doc per distinct text (hash-groupBy)
     "q_dedup_exact" -> ((s, d) => {
       t(s, d, "documents")
         .groupBy(col("text"))
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
         .select(col("keep_id"), col("n_copies"))
         .orderBy("keep_id")
+    }),
+
+    // MinHash+LSH near-dup: candidates from band-bucket join, pairs
+    // verified with exact trigram Jaccard — output is exact, so the
+    // DuckDB brute-force oracle matches as long as LSH recall holds at
+    // the (high) planted-dup similarity
+    "q_dedup_minhash" -> ((s, d) => {
+      TextOps.minhashDedup(t(s, d, "documents"), "doc_id", "text",
+          shingleSize = 3, numHashes = 32, bands = 8, threshold = 0.5)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // SimHash near-dup pairs (hamming ≤ 3 over 64-bit simhash);
+    // hash-parameterized → no SQL oracle, checked by spec + rows-only
+    "q_dedup_simhash" -> ((s, d) => {
+      TextOps.simhashDedup(t(s, d, "documents"), "doc_id", "text", maxDist = 3)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // character-5-gram exact Jaccard pairs over a bounded id range
+    // (brute-force correctness baseline for the shingle pipelines)
+    "q_dedup_ngram" -> ((s, d) => {
+      val docs = t(s, d, "documents").filter(col("doc_id") < 150)
+        .select(col("doc_id"), TextOps.charShingles(col("text"), 5).as("sh"))
+      val a = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      val b = docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      a.join(b, col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(TextOps.jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // embedding cosine near-dup pairs over a bounded id range
+    "q_embed_neardup" -> ((s, d) => {
+      SimilarityOps.cosineNearDupPairs(
+          pq(s, d, "embeddings").filter(col("vec_id") < 200), "vec_id", "embedding", 0.35)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // brute-force cosine top-3 for the first 10 query vectors (exact ANN
+    // baseline; queries broadcast, one pass over candidates)
+    "q_ann_topk" -> ((s, d) => {
+      val emb = pq(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val cands = emb.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      SimilarityOps.bruteForceTopK(queries, cands, 3)
+        .select(col("qid"), col("cid"), col("cos"), col("rank"))
+        .orderBy("qid", "rank")
+    }),
+
+    // LSH-bucketed ANN (approximate scale path; rows-only check)
+    "q_ann_lsh" -> ((s, d) => {
+      val emb = pq(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val cands = emb.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      SimilarityOps.lshTopK(queries, cands, 3, numBits = 6, dim = 64)
+        .select(col("qid"), col("cid"), col("cos"), col("rank"))
+        .orderBy("qid", "rank")
+    }),
+
+    // language ID via stopword-overlap heuristic + agreement with label
+    "q_lang_id" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextOps.langId(TextOps.tokens(col("text"))).as("pred"))
+        .withColumn("agree", when(col("pred") === col("lang"), 1).otherwise(0))
+        .orderBy("doc_id")
+    }),
+
+    // document fingerprinting: normalized rolling-hash identity counts
+    "q_fingerprint" -> ((s, d) => {
+      t(s, d, "documents").agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(TextOps.fingerprint(col("text"))).as("n_unique_fp"))
     }),
 
     // token count: whitespace tokenization per doc
@@ -45,6 +125,16 @@ object PipelineQueries {
           round(length(regexp_replace(text, "[^0-9]", "")) / len, 4).as("digit_ratio"),
           round(length(regexp_replace(text, "[^ ]", "")) / len, 4).as("space_ratio"))
         .orderBy("doc_id")
+    }),
+
+    // multimodal plumbing: opaque binary payload → partition-batched
+    // (stubbed) decode → typed metadata
+    "q_multimodal_meta" -> ((s, d) => {
+      val media = t(s, d, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      MultimodalOps.extractMeta(s, media).toDF()
+        .select("doc_id", "n_bytes", "header", "fake_width", "fake_height", "fake_frames")
+        .orderBy("doc_id")
     })
   )
 
@@ -52,6 +142,67 @@ object PipelineQueries {
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+    "q_dedup_minhash" ->
+      """WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') toks FROM documents),
+        | sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks)-2),
+        |   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) s FROM tok)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        | round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |   (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |   (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q_dedup_ngram" ->
+      """WITH sh AS (SELECT doc_id,
+        |   list_distinct(list_transform(generate_series(1, greatest(length(text)-4, 1)),
+        |     i -> substr(text, i, 5))) s
+        |  FROM documents WHERE doc_id < 150)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        | round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |   (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |   (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q_embed_neardup" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        | round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cos
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE a.vec_id < 200 AND b.vec_id < 200
+        | AND round(list_cosine_similarity(a.embedding, b.embedding), 4) >= 0.35
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q_ann_topk" ->
+      """WITH sims AS (
+        | SELECT q.vec_id AS qid, c.vec_id AS cid,
+        |  round(list_cosine_similarity(q.embedding, c.embedding), 4) AS cos
+        | FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        | WHERE q.vec_id < 10),
+        | ranked AS (SELECT qid, cid, cos,
+        |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rank
+        | FROM sims)
+        |SELECT qid, cid, cos, rank FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+    "q_lang_id" -> {
+      val scoreSql = TextOps.stopwords.map { case (lang, words) =>
+        val list = words.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"len(list_intersect(toks, $list)) AS s_$lang"
+      }.mkString(", ")
+      val langs = TextOps.stopwords.map(_._1)
+      val bestExpr = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+      val pickExpr = langs.reverse.foldLeft("'und'") { (other, l) =>
+        s"CASE WHEN s_$l = best AND best > 0 THEN '$l' ELSE $other END"
+      }
+      s"""WITH tok AS (SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') toks FROM documents),
+         | scored AS (SELECT doc_id, lang, $scoreSql FROM tok),
+         | best_t AS (SELECT *, $bestExpr AS best FROM scored),
+         | pred_t AS (SELECT doc_id, lang, $pickExpr AS pred FROM best_t)
+         |SELECT doc_id, lang, pred, CASE WHEN pred = lang THEN 1 ELSE 0 END AS agree
+         |FROM pred_t ORDER BY doc_id""".stripMargin
+    },
+    "q_fingerprint" ->
+      """SELECT count(*) AS n_docs,
+        | count(DISTINCT lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS n_unique_fp
+        |FROM documents""".stripMargin,
     "q_token_count" ->
       """SELECT doc_id,
         | length(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
@@ -62,6 +213,13 @@ object PipelineQueries {
         | round(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) / CAST(length(text) AS DOUBLE), 4) AS punct_ratio,
         | round(length(regexp_replace(text, '[^0-9]', '', 'g')) / CAST(length(text) AS DOUBLE), 4) AS digit_ratio,
         | round(length(regexp_replace(text, '[^ ]', '', 'g')) / CAST(length(text) AS DOUBLE), 4) AS space_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_multimodal_meta" ->
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+        | ascii(substr(text, 1, 1)) AS header,
+        | 64 + octet_length(encode(text)) % 576 AS fake_width,
+        | 64 + ascii(substr(text, 1, 1)) % 416 AS fake_height,
+        | 1 + octet_length(encode(text)) % 16 AS fake_frames
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

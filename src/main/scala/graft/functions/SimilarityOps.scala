@@ -1,0 +1,91 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (array<float>): exact
+  * cosine, brute-force top-k (the correctness baseline) and an LSH
+  * (random-hyperplane) bucketed variant (the scale path). All math uses
+  * codegen'd higher-order functions — no UDFs.
+  */
+object SimilarityOps {
+
+  /** Dot product of two double arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  private def toDouble(a: Column): Column = transform(a, x => x.cast("double"))
+
+  /** Cosine similarity of two float/double array columns. */
+  def cosine(a: Column, b: Column): Column = {
+    val ad = toDouble(a)
+    val bd = toDouble(b)
+    dot(ad, bd) / (sqrt(dot(ad, ad)) * sqrt(dot(bd, bd)))
+  }
+
+  /** Brute-force cosine top-k: for every query row, the k most similar
+    * non-identical candidate rows. Queries are broadcast (they are the
+    * small side by construction); candidates stream — one pass over the
+    * big table, then a per-query top-k window.
+    */
+  def bruteForceTopK(
+      queries: DataFrame, // (qid, qvec)
+      candidates: DataFrame, // (cid, cvec)
+      k: Int
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val joined = candidates
+      .join(broadcast(queries), col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), round(cosine(col("qvec"), col("cvec")), 4).as("cos"))
+    val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("cid"))
+    joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Deterministic random hyperplanes (numBits × dim), seeded. */
+  def hyperplanes(numBits: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(numBits)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-bit LSH bucket id of a vector under the given hyperplanes. */
+  def lshBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (hp, i) =>
+      val hpCol = array(hp.map(lit): _*)
+      when(dot(toDouble(vec), hpCol) > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** LSH-bucketed ANN: candidates sharing the query's bucket are ranked
+    * by exact cosine; k results per query (approximate — misses
+    * cross-bucket neighbors; recall grows with fewer bits / multiple
+    * tables). One shuffle on the bucket id replaces the cross join.
+    */
+  def lshTopK(
+      queries: DataFrame, // (qid, qvec)
+      candidates: DataFrame, // (cid, cvec)
+      k: Int,
+      numBits: Int = 8,
+      dim: Int = 64
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val planes = hyperplanes(numBits, dim)
+    val qb = queries.withColumn("bucket", lshBucket(col("qvec"), planes))
+    val cb = candidates.withColumn("bucket", lshBucket(col("cvec"), planes))
+    val joined = cb.join(broadcast(qb), Seq("bucket"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), round(cosine(col("qvec"), col("cvec")), 4).as("cos"))
+    val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("cid"))
+    joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Embedding near-duplicate pairs: all (a,b) with cosine ≥ threshold.
+    * Exact variant for bounded id ranges; the LSH bucket join is the
+    * scale path (same shape as lshTopK).
+    */
+  def cosineNearDupPairs(vectors: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    val a = vectors.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val b = vectors.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), round(cosine(col("v_a"), col("v_b")), 4).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+}

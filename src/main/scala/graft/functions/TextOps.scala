@@ -1,0 +1,189 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, shingling, MinHash+LSH dedup, SimHash dedup, language ID,
+  * quality scoring, fingerprinting. Everything is built from codegen'd
+  * Spark SQL functions (no UDFs) so plans stay inside whole-stage codegen
+  * and scale with ordinary shuffles.
+  */
+object TextOps {
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Distinct word n-gram shingles, joined by single spaces. */
+  def wordShingles(toks: Column, n: Int): Column =
+    array_distinct(
+      transform(
+        sequence(lit(0), greatest(size(toks) - n, lit(0))),
+        i => array_join(slice(toks, i + lit(1), lit(n)), " ")))
+
+  /** Distinct character n-gram shingles of a string. */
+  def charShingles(text: Column, n: Int): Column =
+    array_distinct(
+      transform(
+        sequence(lit(1), greatest(length(text) - (n - 1), lit(1))),
+        i => text.substr(i, lit(n))))
+
+  /** Exact Jaccard similarity of two (distinct-element) arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    inter / (size(a) + size(b) - inter)
+  }
+
+  // ---- MinHash --------------------------------------------------------
+
+  /** Mersenne prime 2^31-1; shingle hashes and permutation parameters live
+    * below it so a*h+b stays inside a 64-bit long.
+    */
+  private val P = 2147483647L
+
+  /** Deterministic permutation parameters (a_k odd, b_k), seeded. */
+  private def perm(k: Int): (Long, Long) = {
+    val rnd = new scala.util.Random(0x5EED0000L + k)
+    (math.abs(rnd.nextLong()) % (P - 1) + 1, math.abs(rnd.nextLong()) % P)
+  }
+
+  /** MinHash signature (array of k minima) over a shingle array. */
+  def minhash(shingles: Column, k: Int): Column = {
+    val hashes = transform(shingles, s => pmod(xxhash64(s), lit(P)))
+    array((0 until k).map { i =>
+      val (a, b) = perm(i)
+      array_min(transform(hashes, h => (lit(a) * h + lit(b)) % lit(P)))
+    }: _*)
+  }
+
+  /** Band signatures for LSH: `bands` hashes, each over `rows` adjacent
+    * signature entries (k = bands*rows).
+    */
+  def bandSignatures(mh: Column, bands: Int, rows: Int): Column =
+    array((0 until bands).map(b => xxhash64(slice(mh, b * rows + 1, rows))): _*)
+
+  /** Full MinHash+LSH near-duplicate pipeline:
+    * docs(idCol, textCol) → verified pairs (id_a, id_b, jaccard ≥ threshold).
+    *
+    * Scale shape: one shuffle on (band, signature) to form candidate
+    * buckets (bucket join, no cross product), then an exact-verify join of
+    * the candidate pairs against the shingle sets. Dense buckets only
+    * blow up if the corpus contains huge equivalence classes — exactly the
+    * rows a dedup pass wants to find.
+    */
+  def minhashDedup(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      threshold: Double = 0.5
+  ): DataFrame = {
+    val rows = numHashes / bands
+    val sh = docs.select(
+      col(idCol).as("id"),
+      wordShingles(tokens(col(textCol)), shingleSize).as("shingles"))
+    val sig = sh.select(col("id"), col("shingles"),
+      bandSignatures(minhash(col("shingles"), numHashes), bands, rows).as("bands"))
+    val exploded = sig.select(col("id"), posexplode(col("bands")).as(Seq("band", "sig")))
+    val cand = exploded.as("x")
+      .join(exploded.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    val shA = sh.select(col("id").as("id_a"), col("shingles").as("sh_a"))
+    val shB = sh.select(col("id").as("id_b"), col("shingles").as("sh_b"))
+    cand.join(shA, "id_a").join(shB, "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  // ---- SimHash --------------------------------------------------------
+
+  /** 64-bit SimHash per document via explode + 64 partial-aggregated bit
+    * sums (map-side combine keeps the shuffle narrow: one row per doc).
+    */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("tok"))
+      .select(col("id"), xxhash64(col("tok")).as("h"))
+    val bitSums = (0 until 64).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"b$j")
+    }
+    val agg = tok.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
+    val hashCol = (0 until 64).map { j =>
+      when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    agg.select(col("id"), hashCol.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with hamming distance ≤ maxDist, candidates
+    * bucketed by 16-bit blocks (any pair within distance 3 shares ≥1 of 4
+    * exact blocks; wider distances raise the block count).
+    */
+  def simhashDedup(docs: DataFrame, idCol: String, textCol: String, maxDist: Int = 3): DataFrame = {
+    val sh = simhash(docs, idCol, textCol)
+    val blocks = sh.select(col("id"), col("simhash"),
+      posexplode(array((0 until 4).map(i =>
+        shiftright(col("simhash"), 16 * i).bitwiseAND(lit(0xffffL))): _*)).as(Seq("blk", "v")))
+    blocks.as("x").join(blocks.as("y"),
+        col("x.blk") === col("y.blk") && col("x.v") === col("y.v") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+
+  // ---- language ID ----------------------------------------------------
+
+  /** Tiny embedded stopword lists (n-gram heuristic class); deterministic
+    * priority order for ties. Real pipelines plug in larger tables — the
+    * operator shape (broadcast lists + argmax) is what matters.
+    */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "is", "of", "and", "to", "in", "it", "that"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu", "nicht"),
+    "es" -> Seq("el", "la", "los", "es", "y", "de", "que", "un"),
+    "fr" -> Seq("le", "la", "et", "est", "les", "des", "un", "une"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有")
+  )
+
+  /** Predicted language per row: argmax of stopword overlap with priority
+    * tiebreak (list order), 'und' (undetermined) when all scores are 0.
+    */
+  def langId(toks: Column): Column = {
+    val scores = stopwords.map { case (lang, words) =>
+      lang -> size(array_intersect(toks, array(words.map(lit): _*)))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    val pick = scores.foldRight(lit("und")) { case ((lang, s), other) =>
+      when(s === best && best > 0, lit(lang)).otherwise(other)
+    }
+    pick
+  }
+
+  // ---- fingerprinting / quality --------------------------------------
+
+  /** Deterministic 64-bit document fingerprint over whitespace-normalized
+    * lowercase text (exact-dup detection modulo formatting).
+    */
+  def fingerprint(text: Column): Column =
+    xxhash64(lower(regexp_replace(trim(text), "\\s+", " ")))
+
+  /** Quality features: lengths and punctuation/digit/space/stopword ratios. */
+  def qualityFeatures(text: Column): Seq[(String, Column)] = {
+    val len = length(text).cast("double")
+    Seq(
+      "n_chars" -> length(text),
+      "n_tokens" -> size(tokens(text)),
+      "punct_ratio" -> round(length(regexp_replace(text, "[^.!?,;:]", "")) / len, 4),
+      "digit_ratio" -> round(length(regexp_replace(text, "[^0-9]", "")) / len, 4),
+      "space_ratio" -> round(length(regexp_replace(text, "[^ ]", "")) / len, 4),
+      "stopword_ratio" -> round(
+        size(array_intersect(tokens(text), array(stopwords.flatMap(_._2).distinct.map(lit): _*))
+        ).cast("double") / size(tokens(text)), 4)
+    )
+  }
+}

@@ -1,0 +1,109 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class PipelineOpsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("pipeline-ops-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bend"), // near-dup of 1
+    (3L, "completely different content about spark columnar compression engines"),
+    (4L, "the quick brown fox jumps over the lazy dog near the river bank") // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("minhashDedup finds near and exact duplicates, skips unrelated") {
+    val pairs = TextOps.minhashDedup(docs, "doc_id", "text", shingleSize = 3,
+      numHashes = 32, bands = 8, threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L))) // exact dup
+    assert(pairs.contains((1L, 2L)) && pairs.contains((2L, 4L))) // near dup
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated
+  }
+
+  test("simhash: identical texts hash identically, near-dups are close, unrelated far") {
+    val sh = TextOps.simhash(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(4L))
+    val near = java.lang.Long.bitCount(sh(1L) ^ sh(2L))
+    val far = java.lang.Long.bitCount(sh(1L) ^ sh(3L))
+    assert(near < far, s"near=$near far=$far")
+  }
+
+  test("jaccard + shingles behave") {
+    val j = docs.filter($"doc_id".isin(1L, 2L))
+      .select(TextOps.wordShingles(TextOps.tokens($"text"), 3).as("sh"), $"doc_id")
+    val rows = j.collect().map(r => r.getLong(1) -> r.getSeq[String](0)).toMap
+    assert(rows(1L).forall(_.split(" ").length == 3))
+    val df = Seq((rows(1L), rows(2L))).toDF("a", "b")
+      .select(TextOps.jaccard($"a", $"b").as("j"))
+    val v = df.head.getDouble(0)
+    assert(v > 0.5 && v < 1.0, s"jaccard $v")
+  }
+
+  test("brute-force topk is exact and ordered") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)),
+      (3L, Array(-1.0f, 0.0f))
+    ).toDF("cid", "cvec")
+    val qs = vecs.filter($"cid" === 0L).select($"cid".as("qid"), $"cvec".as("qvec"))
+    val top = SimilarityOps.bruteForceTopK(qs, vecs, 2).orderBy("rank")
+      .select("cid").collect().map(_.getLong(0)).toSeq
+    assert(top == Seq(1L, 2L)) // closest first, anti-parallel last
+  }
+
+  test("lsh buckets put identical vectors together") {
+    val planes = SimilarityOps.hyperplanes(8, 2)
+    val df = Seq((0L, Array(1.0f, 0.5f)), (1L, Array(1.0f, 0.5f)), (2L, Array(-1.0f, -0.5f)))
+      .toDF("id", "v")
+      .select($"id", SimilarityOps.lshBucket($"v", planes).as("b"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(0L) == m(1L))
+    assert(m(0L) != m(2L)) // antipodal vector flips every sign bit
+  }
+
+  test("langId prefers the language whose stopwords dominate") {
+    val df = Seq(
+      (1L, "the cat is on the mat and it is happy"),
+      (2L, "der hund ist ein guter hund und das ist schön"),
+      (3L, "xyzzy qwerty plugh")
+    ).toDF("id", "text")
+      .select($"id", TextOps.langId(TextOps.tokens($"text")).as("pred"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m(1L) == "en")
+    assert(m(2L) == "de")
+    assert(m(3L) == "und")
+  }
+
+  test("fingerprint is whitespace/case-insensitive but content-sensitive") {
+    val df = Seq(
+      (1L, "Hello   World"),
+      (2L, "hello world"),
+      (3L, "hello worlds")
+    ).toDF("id", "text").select($"id", TextOps.fingerprint($"text").as("fp"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(1L) == m(2L))
+    assert(m(1L) != m(3L))
+  }
+
+  test("multimodal extractMeta is deterministic over binary payloads") {
+    val media = docs.select($"doc_id", encode($"text", "UTF-8").as("payload"))
+    val metas = MultimodalOps.extractMeta(spark, media).collect().sortBy(_.doc_id)
+    assert(metas.length == 4)
+    assert(metas(0).n_bytes == docs.head.getString(1).length)
+    assert(metas(0).header == 't'.toInt)
+    // doc 1 and 4 share identical payloads → identical metadata
+    assert(metas(0).copy(doc_id = 4L) == metas(3))
+  }
+}
