@@ -8,12 +8,11 @@ package graft.format
   * encode, escape byte 255 for uncovered bytes, iterative symbol-table
   * training on a sample.
   *
-  * Until the trainer lands, `enabled=false` routes string columns to the
-  * raw-dict path (the reference's own fallback,
-  * string/DynamicDictionary.cpp:153-165).
+  * `enabled` can gate FSST off, routing string columns to the raw-dict
+  * path (the reference's own fallback, string/DynamicDictionary.cpp:153-165).
   */
 object FsstCodec {
-  @volatile var enabled: Boolean = false
+  @volatile var enabled: Boolean = true
 
   val Escape = 255
 
