@@ -127,6 +127,16 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Q-meta (SURVEY §2.7#8): per-(file, rowGroup, column) scheme-cascade
+    // description of a btr table — internal-consistency check, no SQL
+    // oracle (driver records rows-only)
+    "q_describe_btr" -> ((s, d) => {
+      t(s, d, "lineitem").count() // ensure the cache table exists
+      val dir = s"/tmp/graft-btr-cache/${d.replaceAll("[^a-zA-Z0-9.]", "_")}/lineitem"
+      graft.functions.BtrInspect.describe(s, dir)
+        .orderBy("file", "row_group", "column")
+    }),
+
     // multimodal plumbing: opaque binary payload → partition-batched
     // (stubbed) decode → typed metadata
     "q_multimodal_meta" -> ((s, d) => {

@@ -96,4 +96,13 @@ final class BufReader(bytes: Array[Byte], start: Int, end: Int) {
     a
   }
   def skip(n: Int): Unit = bb.position(bb.position() + n)
+
+  /** Independent reader over the same bytes at the current position
+    * (used by structural walkers that need to look ahead).
+    */
+  def duplicate(): BufReader = {
+    val d = new BufReader(bytes, start, end)
+    d.bb.position(bb.position())
+    d
+  }
 }

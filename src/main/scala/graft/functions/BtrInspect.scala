@@ -1,0 +1,77 @@
+package graft.functions
+
+import graft.format._
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** `describe_btr`: per (file, rowGroup, column) inspection of a btr table —
+  * chosen scheme cascade, null-map kind, sizes, ratio — mirroring the
+  * reference's metadata tools (BtrReader::getSchemeDescription,
+  * /root/reference/btrblocks/compression/BtrReader.cpp:76-121, and
+  * tools/conversion/btrmeta.cpp). Block parsing runs distributed
+  * (one task per file); only the small description rows reach the driver.
+  */
+object BtrInspect {
+
+  final case class ChunkDescription(
+      file: String,
+      row_group: Int,
+      column: String,
+      col_type: String,
+      n_rows: Int,
+      n_nulls: Int,
+      null_kind: String,
+      scheme_tree: String,
+      compressed_bytes: Long,
+      uncompressed_bytes: Long,
+      ratio: Double
+  )
+
+  def describe(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(BtrTableMeta.hadoopConf())
+    val schema = BtrTableMeta.readSchema(fs, dir)
+    val files = BtrTableMeta.listDataFiles(fs, dir).map(_.toString)
+    val fields = schema.fields.map(f => (f.name, f.dataType.simpleString, PhysType.of(f.dataType)))
+
+    spark.createDataset(files.toSeq)
+      .flatMap { file =>
+        val p = new Path(file)
+        val ffs = p.getFileSystem(BtrTableMeta.hadoopConf())
+        val len = ffs.getFileStatus(p).getLen.toInt
+        val bytes = new Array[Byte](len)
+        val in = ffs.open(p)
+        in.readFully(0, bytes)
+        in.close()
+        val footer = BtrFile.readFooter(bytes)
+        footer.rowGroups.toSeq.zipWithIndex.flatMap { case (rg, g) =>
+          fields.toSeq.zipWithIndex.map { case ((name, typ, tag), c) =>
+            val meta = rg.columns(c)
+            val reader = new BufReader(bytes, meta.offset.toInt, meta.offset.toInt + meta.length)
+            val (nullKind, tree) = BlockDescribe.describeChunk(reader, tag, rg.numRows)
+            val uncompressed = tag match {
+              case t if PhysType.isIntFamily(t) || t == PhysType.Float =>
+                rg.numRows.toLong * PhysType.physWidth(t)
+              case PhysType.Double => rg.numRows.toLong * 8
+              case _ => -1L // strings: varlen; ratio reported vs compressed only when known
+            }
+            ChunkDescription(
+              file = p.getName,
+              row_group = g,
+              column = name,
+              col_type = typ,
+              n_rows = rg.numRows,
+              n_nulls = meta.nullCount,
+              null_kind = nullKind,
+              scheme_tree = tree,
+              compressed_bytes = meta.length.toLong,
+              uncompressed_bytes = uncompressed,
+              ratio = if (uncompressed > 0) uncompressed.toDouble / meta.length else Double.NaN
+            )
+          }
+        }
+      }
+      .toDF()
+  }
+}
