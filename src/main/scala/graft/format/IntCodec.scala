@@ -14,14 +14,16 @@ final case class IntStats(
     runCount: Int,
     isSorted: Boolean,
     topValue: Long,
-    topCount: Int
+    topCount: Int,
+    widthHist: Array[Int]
 ) {
   def avgRunLength: Double = if (runCount == 0) 0.0 else count.toDouble / runCount
 }
 
 object IntStats {
   def compute(values: Array[Long], count: Int): IntStats = {
-    if (count == 0) return IntStats(0, 0L, 0L, 0, 0, isSorted = true, 0L, 0)
+    if (count == 0)
+      return IntStats(0, 0L, 0L, 0, 0, isSorted = true, 0L, 0, new Array[Int](65))
     var min = values(0)
     var max = values(0)
     var runs = 1
@@ -40,8 +42,12 @@ object IntStats {
     }
     var topV = values(0)
     var topC = 0
-    freq.foreachEntry { (k, c) => if (c > topC) { topC = c; topV = k } }
-    IntStats(count, min, max, freq.size, runs, sorted, topV, topC)
+    val hist = new Array[Int](65)
+    freq.foreachEntry { (k, c) =>
+      if (c > topC) { topC = c; topV = k }
+      hist(Bitpack.bitsForRange(0L, k - min)) += c
+    }
+    IntStats(count, min, max, freq.size, runs, sorted, topV, topC, hist)
   }
 }
 
@@ -66,6 +72,31 @@ object IntCodec {
   val ForBp = 4
   val DeltaBp = 5
   val Frequency = 6
+  val Pfor = 7
+
+  /** Patched-FOR plan: the (width, nExceptions, estBytes) minimizing total
+    * size over the chunk's bit-width histogram — outliers beyond `width`
+    * bits become patches (the functional analog of FastPFor's per-block
+    * exception patching, /root/reference/btrblocks/scheme/integer/PBP.cpp:18-56).
+    */
+  private def pforPlan(s: IntStats): (Int, Int, Long) = {
+    val full = Bitpack.bitsForRange(s.min, s.max)
+    val posBits = Bitpack.bitsFor(math.max(0L, (s.count - 1).toLong))
+    var bestW = full
+    var bestExc = 0
+    var best = Long.MaxValue
+    var cum = 0
+    var w = 0
+    while (w < full) {
+      cum += s.widthHist(w)
+      val exc = s.count - cum
+      val size = 2L + 9 + Bitpack.packedBytes(s.count, w) + 4 +
+        exc.toLong * (posBits + full) / 8 + 24
+      if (size < best) { best = size; bestW = w; bestExc = exc }
+      w += 1
+    }
+    (bestW, bestExc, best)
+  }
 
   /** Closed-form size estimates (bytes) per candidate, from full-chunk
     * stats — deterministic replacement for the reference's sampling
@@ -104,11 +135,20 @@ object IntCodec {
           val posBits = Bitpack.bitsFor((s.count - 1).toLong)
           2 + 16 + exc * (posBits + Bitpack.bitsForRange(s.min, s.max)) / 8 + 24
         }
+      case Pfor =>
+        // needs the cascade budget for its patch lists; pointless on tiny
+        // chunks where the fixed overhead dominates
+        if (depth < 1 || s.count < 64) Long.MaxValue
+        else {
+          val (w, exc, size) = pforPlan(s)
+          if (exc == 0 || w == 0) Long.MaxValue else size
+        }
       case _ => Long.MaxValue
     }
   }
 
-  private val AllSchemes = Array(OneValue, ForBp, DeltaBp, Dict, Rle, Frequency, Uncompressed)
+  private val AllSchemes =
+    Array(OneValue, ForBp, DeltaBp, Dict, Rle, Frequency, Pfor, Uncompressed)
 
   def choose(s: IntStats, physWidth: Int, depth: Int): Int = {
     if (s.count == 0) return Uncompressed
@@ -219,6 +259,30 @@ object IntCodec {
         }
         encode(out, pos, nExc, 8, depth - 1) // sorted → DeltaBp
         encode(out, exc, nExc, 8, depth - 1)
+      case Pfor =>
+        val (w, nExc, _) = pforPlan(s)
+        out.putLong(s.min)
+        out.putByte(w)
+        val rebased = new Array[Long](count)
+        val pos = new Array[Long](nExc)
+        val exc = new Array[Long](nExc)
+        val limit = Bitpack.mask(w)
+        var p = 0
+        var i = 0
+        while (i < count) {
+          val r = values(i) - s.min
+          // unsigned comparison: wraparound rebase can go negative as i64
+          if (java.lang.Long.compareUnsigned(r, limit) > 0) {
+            pos(p) = i.toLong
+            exc(p) = values(i)
+            p += 1
+          } else rebased(i) = r
+          i += 1
+        }
+        Bitpack.pack(rebased, count, w, out)
+        out.putInt(nExc)
+        encode(out, pos, nExc, 8, depth - 1) // sorted → DeltaBp
+        encode(out, exc, nExc, 8, depth - 1)
     }
   }
 
@@ -281,6 +345,19 @@ object IntCodec {
         val pos = decode(in, nExc)
         val exc = decode(in, nExc)
         java.util.Arrays.fill(out, 0, count, top)
+        var i = 0
+        while (i < nExc) { out(pos(i).toInt) = exc(i); i += 1 }
+      case Pfor =>
+        val base = in.getLong()
+        val width = in.getByte()
+        Bitpack.unpack(in, count, width, out)
+        if (base != 0L) {
+          var i = 0
+          while (i < count) { out(i) += base; i += 1 }
+        }
+        val nExc = in.getInt()
+        val pos = decode(in, nExc)
+        val exc = decode(in, nExc)
         var i = 0
         while (i < nExc) { out(pos(i).toInt) = exc(i); i += 1 }
       case other => throw new IllegalStateException(s"bad int scheme $other")
