@@ -221,7 +221,7 @@ object CoreQueries {
       """SELECT count(*) AS n_rows, count(l_orderkey) AS n_vals,
         | min(l_orderkey) AS min_v, max(l_orderkey) AS max_v,
         | count(DISTINCT l_orderkey) AS n_distinct,
-        | sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS n_nulls
+        | CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls
         |FROM lineitem""".stripMargin,
     "q_stats_double" ->
       """SELECT count(l_extendedprice) AS n_vals,
@@ -234,7 +234,7 @@ object CoreQueries {
       """SELECT count(l_returnflag) AS n_vals,
         | count(DISTINCT l_returnflag) AS n_distinct,
         | min(l_returnflag) AS min_v, max(l_returnflag) AS max_v,
-        | sum(length(l_returnflag)) AS total_len
+        | CAST(sum(length(l_returnflag)) AS BIGINT) AS total_len
         |FROM lineitem""".stripMargin,
     "q_topfreq" ->
       """SELECT l_returnflag AS v, count(*) AS freq FROM lineitem

@@ -70,7 +70,32 @@ final class ColumnChunk(val tag: Int, val count: Int) {
   * Chunk stats (min/max/nullCount) are returned for footer-based skipping.
   */
 object ChunkCodec {
-  final case class ChunkStats(nullCount: Int, minLong: Long, maxLong: Long, minDouble: Double, maxDouble: Double, hasMinMax: Boolean)
+  final case class ChunkStats(
+      nullCount: Int, minLong: Long, maxLong: Long, minDouble: Double, maxDouble: Double,
+      hasMinMax: Boolean, minBytes: Array[Byte] = null, maxBytes: Array[Byte] = null)
+
+  /** Max stored length of string chunk bounds (Parquet-style truncation:
+    * a min prefix stays a valid lower bound; a max prefix is incremented at
+    * its last non-0xFF byte to stay a valid upper bound). Mirrors the role
+    * of the reference's per-chunk StringStats (stats/StringStats.hpp:11-27)
+    * with bounded footer cost.
+    */
+  val StringStatLen = 16
+
+  private[format] def truncMin(b: Array[Byte]): Array[Byte] =
+    if (b.length <= StringStatLen) b else java.util.Arrays.copyOf(b, StringStatLen)
+
+  /** Shortest prefix-incremented upper bound, or null when impossible. */
+  private[format] def truncMax(b: Array[Byte]): Array[Byte] = {
+    if (b.length <= StringStatLen) b
+    else {
+      val t = java.util.Arrays.copyOf(b, StringStatLen)
+      var i = StringStatLen - 1
+      while (i >= 0 && t(i) == -1) i -= 1 // 0xFF bytes can't be incremented
+      if (i < 0) null
+      else { t(i) = (t(i) + 1).toByte; java.util.Arrays.copyOf(t, i + 1) }
+    }
+  }
 
   def encode(out: BufWriter, chunk: ColumnChunk, cascadeDepth: Int): ChunkStats = {
     var nullCount = 0
@@ -120,7 +145,22 @@ object ChunkCodec {
       ChunkStats(nullCount, 0, 0, mn, mx, has)
     } else {
       StringCodec.encode(out, chunk.strings, chunk.count, cascadeDepth)
-      ChunkStats(nullCount, 0, 0, 0, 0, hasMinMax = false)
+      // byte-wise unsigned min/max over non-null values — the same ordering
+      // Spark's UTF8String comparison uses, so scan-side skipping is exact
+      var mn: Array[Byte] = null
+      var mx: Array[Byte] = null
+      i = 0
+      while (i < chunk.count) {
+        if (!chunk.isNull(i)) {
+          val v = chunk.strings(i)
+          if (mn == null || java.util.Arrays.compareUnsigned(v, mn) < 0) mn = v
+          if (mx == null || java.util.Arrays.compareUnsigned(v, mx) > 0) mx = v
+        }
+        i += 1
+      }
+      if (mn == null) ChunkStats(nullCount, 0, 0, 0, 0, hasMinMax = false)
+      else ChunkStats(nullCount, 0, 0, 0, 0, hasMinMax = true,
+        minBytes = truncMin(mn), maxBytes = truncMax(mx))
     }
   }
 

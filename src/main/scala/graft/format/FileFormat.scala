@@ -28,11 +28,17 @@ object BtrFile {
       offset: Long,
       length: Int,
       nullCount: Int,
-      statsKind: Int, // 0 none, 1 long min/max, 2 double min/max
+      statsKind: Int, // 0 none, 1 long min/max, 2 double min/max, 3 string bounds
       minLong: Long,
       maxLong: Long,
       minDouble: Double,
-      maxDouble: Double
+      maxDouble: Double,
+      // kind 3 only (Parquet-style truncated bounds): minBytes is a prefix of
+      // the true min (valid lower bound); maxBytes is the true max when short,
+      // else a truncated+incremented prefix (valid upper bound). Either may be
+      // null when unavailable (e.g. all-0xFF prefix can't be incremented).
+      minBytes: Array[Byte] = null,
+      maxBytes: Array[Byte] = null
   )
 
   final case class RowGroupMeta(numRows: Int, columns: Array[ColumnChunkMeta])
@@ -55,6 +61,11 @@ object BtrFile {
         c.statsKind match {
           case 1 => out.putLong(c.minLong); out.putLong(c.maxLong)
           case 2 => out.putDouble(c.minDouble); out.putDouble(c.maxDouble)
+          case 3 =>
+            val flags = (if (c.minBytes != null) 1 else 0) | (if (c.maxBytes != null) 2 else 0)
+            out.putByte(flags)
+            if (c.minBytes != null) { out.putByte(c.minBytes.length); out.putBytes(c.minBytes) }
+            if (c.maxBytes != null) { out.putByte(c.maxBytes.length); out.putBytes(c.maxBytes) }
           case _ => ()
         }
       }
@@ -68,7 +79,34 @@ object BtrFile {
     require(len > 16, "btr file too short")
     val tail = new BufReader(bytes, len - 8, len)
     val footerLen = tail.getInt()
-    val in = new BufReader(bytes, len - 8 - footerLen, len - 8)
+    parseFooterBody(new BufReader(bytes, len - 8 - footerLen, len - 8))
+  }
+
+  /** Footer-only read: positioned-read the 8-byte tail (footerLen + magic)
+    * then just the footer slice. Planning I/O is O(footer bytes), never
+    * O(data bytes), and offsets are long-safe for files > 2 GiB — the
+    * analog of the reference reading only `metadata` at plan time
+    * (tools/conversion/decompression-speed.cpp:113-120).
+    */
+  def readFooter(fs: FileSystem, file: Path, fileLen: Long): Footer = {
+    require(fileLen > 16, s"btr file too short: $file")
+    val in = fs.open(file)
+    try {
+      val tail = new Array[Byte](8)
+      in.readFully(fileLen - 8L, tail)
+      val tr = new BufReader(tail)
+      val footerLen = tr.getInt()
+      require(
+        java.util.Arrays.equals(tr.getBytes(4), Magic),
+        s"bad btr magic in tail of $file")
+      require(footerLen > 0 && footerLen <= fileLen - 16, s"bad footerLen $footerLen in $file")
+      val buf = new Array[Byte](footerLen)
+      in.readFully(fileLen - 8L - footerLen, buf)
+      parseFooterBody(new BufReader(buf))
+    } finally in.close()
+  }
+
+  private def parseFooterBody(in: BufReader): Footer = {
     val numRg = in.getInt()
     val numCols = in.getInt()
     val rgs = new Array[RowGroupMeta](numRg)
@@ -89,6 +127,11 @@ object BtrFile {
           case 2 =>
             val mn = in.getDouble(); val mx = in.getDouble()
             ColumnChunkMeta(off, l, nulls, 2, 0, 0, mn, mx)
+          case 3 =>
+            val flags = in.getByte()
+            val mn = if ((flags & 1) != 0) in.getBytes(in.getByte()) else null
+            val mx = if ((flags & 2) != 0) in.getBytes(in.getByte()) else null
+            ColumnChunkMeta(off, l, nulls, 3, 0, 0, 0, 0, mn, mx)
           case _ => ColumnChunkMeta(off, l, nulls, 0, 0, 0, 0, 0)
         }
         c += 1
@@ -135,7 +178,14 @@ object BtrTableMeta {
   def listDataFiles(fs: FileSystem, dir: Path): Array[Path] = {
     if (!fs.exists(dir)) return Array.empty
     fs.listStatus(dir)
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".btr"))
+      .filter { st =>
+        val name = st.getPath.getName
+        // skip writer temp files (_tmp_part-*.btr) and hidden files: an
+        // executor that died mid-write leaves an orphan temp that abort()
+        // never cleaned, and its tail bytes are garbage
+        st.isFile && name.endsWith(".btr") &&
+          !name.startsWith("_") && !name.startsWith(".")
+      }
       .map(_.getPath)
       .sortBy(_.getName)
   }

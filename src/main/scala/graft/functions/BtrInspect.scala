@@ -39,16 +39,16 @@ object BtrInspect {
       .flatMap { file =>
         val p = new Path(file)
         val ffs = p.getFileSystem(BtrTableMeta.hadoopConf())
-        val len = ffs.getFileStatus(p).getLen.toInt
-        val bytes = new Array[Byte](len)
+        val len = ffs.getFileStatus(p).getLen
+        val footer = BtrFile.readFooter(ffs, p, len)
         val in = ffs.open(p)
-        in.readFully(0, bytes)
-        in.close()
-        val footer = BtrFile.readFooter(bytes)
-        footer.rowGroups.toSeq.zipWithIndex.flatMap { case (rg, g) =>
+        val rows = footer.rowGroups.toSeq.zipWithIndex.flatMap { case (rg, g) =>
           fields.toSeq.zipWithIndex.map { case ((name, typ, tag), c) =>
             val meta = rg.columns(c)
-            val reader = new BufReader(bytes, meta.offset.toInt, meta.offset.toInt + meta.length)
+            // positioned read of just this chunk's blob (long-safe offsets)
+            val blob = new Array[Byte](meta.length)
+            in.readFully(meta.offset, blob)
+            val reader = new BufReader(blob)
             val (nullKind, tree) = BlockDescribe.describeChunk(reader, tag, rg.numRows)
             val uncompressed = tag match {
               case t if PhysType.isIntFamily(t) || t == PhysType.Float =>
@@ -71,6 +71,8 @@ object BtrInspect {
             )
           }
         }
+        in.close()
+        rows
       }
       .toDF()
   }

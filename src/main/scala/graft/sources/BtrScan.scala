@@ -69,12 +69,9 @@ class BtrScan(
 
     val partitions = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
     files.foreach { file =>
+      // footer-only read: planning I/O is O(footer bytes), not O(data)
       val len = fs.getFileStatus(file).getLen
-      val bytes = new Array[Byte](len.toInt)
-      val in = fs.open(file)
-      in.readFully(0, bytes)
-      in.close()
-      val footer = BtrFile.readFooter(bytes)
+      val footer = BtrFile.readFooter(fs, file, len)
 
       // chunk-skip + group surviving row groups into ~splitBytes splits
       var current = scala.collection.mutable.ArrayBuffer.empty[BtrChunkRange]
@@ -225,6 +222,7 @@ object ChunkSkip {
       f.dataType match {
         case IntegerType | LongType | DateType | TimestampType | TimestampNTZType |
             BooleanType | DoubleType | FloatType | ShortType | ByteType => true
+        case StringType | BinaryType => true
         case _ => false
       }
     }
@@ -234,8 +232,20 @@ object ChunkSkip {
     case _: Int | _: Long | _: Short | _: Byte | _: Boolean | _: Double | _: Float => true
     case _: java.sql.Date | _: java.time.LocalDate => true
     case _: java.sql.Timestamp | _: java.time.Instant | _: java.time.LocalDateTime => true
+    case _: String | _: Array[Byte] => true
     case _ => false
   }
+
+  private def toBytesLit(v: Any): Array[Byte] = v match {
+    case s: String => s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    case b: Array[Byte] => b
+    case u: org.apache.spark.unsafe.types.UTF8String => u.getBytes
+    case other => throw new IllegalArgumentException(s"$other")
+  }
+
+  // unsigned lexicographic — the ordering UTF8String comparison uses
+  private def cmpBytes(a: Array[Byte], b: Array[Byte]): Int =
+    java.util.Arrays.compareUnsigned(a, b)
 
   private def toLongLit(v: Any): Long = v match {
     case i: Int => i.toLong
@@ -299,6 +309,12 @@ object ChunkSkip {
       case 2 =>
         val x = toDoubleLit(v)
         x < m.minDouble || x > m.maxDouble
+      case 3 =>
+        val x = toBytesLit(v)
+        // stored min <= true min and stored max >= true max (truncation is
+        // conservative), so strictly-outside is still a proof
+        (m.minBytes != null && cmpBytes(x, m.minBytes) < 0) ||
+          (m.maxBytes != null && cmpBytes(x, m.maxBytes) > 0)
       case _ => false
     }
 
@@ -311,6 +327,9 @@ object ChunkSkip {
       case 2 =>
         val x = toDoubleLit(v)
         if (strict) m.maxDouble <= x else m.maxDouble < x
+      case 3 if m.maxBytes != null =>
+        val x = toBytesLit(v)
+        if (strict) cmpBytes(m.maxBytes, x) <= 0 else cmpBytes(m.maxBytes, x) < 0
       case _ => false
     }
 
@@ -323,6 +342,9 @@ object ChunkSkip {
       case 2 =>
         val x = toDoubleLit(v)
         if (strict) m.minDouble >= x else m.minDouble > x
+      case 3 if m.minBytes != null =>
+        val x = toBytesLit(v)
+        if (strict) cmpBytes(m.minBytes, x) >= 0 else cmpBytes(m.minBytes, x) > 0
       case _ => false
     }
 }

@@ -162,6 +162,7 @@ class BtrDataWriter(path: String, schema: StructType, blockSize: Int, cascade: I
         if (!stats.hasMinMax) 0
         else if (PhysType.isIntFamily(tag)) 1
         else if (tag == PhysType.Double || tag == PhysType.Float) 2
+        else if (PhysType.isStringFamily(tag)) 3
         else 0
       colMetas(c) = BtrFile.ColumnChunkMeta(
         offset = bytesWritten,
@@ -171,7 +172,9 @@ class BtrDataWriter(path: String, schema: StructType, blockSize: Int, cascade: I
         minLong = stats.minLong,
         maxLong = stats.maxLong,
         minDouble = stats.minDouble,
-        maxDouble = stats.maxDouble
+        maxDouble = stats.maxDouble,
+        minBytes = stats.minBytes,
+        maxBytes = stats.maxBytes
       )
       bytesWritten += blobLen
       c += 1

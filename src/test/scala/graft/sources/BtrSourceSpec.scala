@@ -87,6 +87,73 @@ class BtrSourceSpec extends AnyFunSuite {
     assert(survivingGroups < allGroups, s"expected chunk skipping: $survivingGroups vs $allGroups")
   }
 
+  test("string predicate skips all chunks when value is out of bounds") {
+    val orig = spark.read.parquet(s"$sf/lineitem.parquet")
+    orig.sort("l_returnflag").coalesce(1).write.format("btr")
+      .option("btr.blockSize", "512").mode("overwrite").save(tmp("lineitem_str"))
+    val back = spark.read.format("btr").load(tmp("lineitem_str"))
+
+    def survivingGroups(df: DataFrame): Int =
+      df.queryExecution.executedPlan.collectLeaves().head
+        .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.BatchScanExec]
+        .inputPartitions.collect { case p: BtrInputPartition => p }.map(_.groups.length).sum
+
+    // 'Z' is above every l_returnflag value -> every row group pruned
+    val none = back.filter(col("l_returnflag") === "Z")
+    assert(none.count() == 0)
+    assert(survivingGroups(none) == 0, "expected all row groups pruned for 'Z'")
+
+    // 'R' exists: results match parquet, and sorting means some groups pruned
+    val r = back.filter(col("l_returnflag") === "R")
+    assert(r.count() == orig.filter(col("l_returnflag") === "R").count())
+    assert(survivingGroups(r) < survivingGroups(back.filter(col("l_returnflag").isNotNull)),
+      "expected partial pruning on sorted string column")
+  }
+
+  test("string bound truncation stays conservative for long strings") {
+    import spark.implicits._
+    val longA = "a" * 40
+    val longZ = "z" * 40 + "!"
+    val df = Seq(longA, longZ, "middle").toDF("s")
+    df.coalesce(1).write.format("btr").mode("overwrite").save(tmp("longstr"))
+    val back = spark.read.format("btr").load(tmp("longstr"))
+    // filters on values inside/outside the truncated bounds stay correct
+    assert(back.filter(col("s") === longZ).count() == 1)
+    assert(back.filter(col("s") === longA).count() == 1)
+    assert(back.filter(col("s") > "z" * 41).count() == 0)
+    assert(back.filter(col("s") < "a").count() == 0)
+  }
+
+  test("scan planning reads only the footer (positioned tail read)") {
+    roundTrip("nation", 1)
+    val dir = new org.apache.hadoop.fs.Path(tmp("nation"))
+    val fs = dir.getFileSystem(graft.format.BtrTableMeta.hadoopConf())
+    val file = graft.format.BtrTableMeta.listDataFiles(fs, dir).head
+    val len = fs.getFileStatus(file).getLen
+    val viaTail = graft.format.BtrFile.readFooter(fs, file, len)
+    val bytes = new Array[Byte](len.toInt)
+    val in = fs.open(file); in.readFully(0, bytes); in.close()
+    val viaFull = graft.format.BtrFile.readFooter(bytes)
+    assert(viaTail.rowGroups.length == viaFull.rowGroups.length)
+    assert(viaTail.numRows == viaFull.numRows)
+    assert(viaTail.rowGroups.zip(viaFull.rowGroups).forall { case (a, b) =>
+      a.numRows == b.numRows &&
+        a.columns.zip(b.columns).forall { case (x, y) => x.offset == y.offset && x.length == y.length }
+    })
+  }
+
+  test("orphaned writer temp files are ignored by scans") {
+    roundTrip("region", 1)
+    val dir = new org.apache.hadoop.fs.Path(tmp("region"))
+    val fs = dir.getFileSystem(graft.format.BtrTableMeta.hadoopConf())
+    val before = spark.read.format("btr").load(tmp("region")).count()
+    // simulate an executor that died mid-write: garbage partial temp file
+    val orphan = fs.create(new org.apache.hadoop.fs.Path(dir, "_tmp_part-99999-0.btr"), true)
+    orphan.write("BTRGgarbage-partial-write".getBytes)
+    orphan.close()
+    assert(spark.read.format("btr").load(tmp("region")).count() == before)
+  }
+
   test("nulls, empty strings and appends round-trip") {
     import spark.implicits._
     val df = Seq(
