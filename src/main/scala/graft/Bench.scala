@@ -87,8 +87,17 @@ object Bench {
     val ratio = if (btrBytes > 0) inputBytes.toDouble / btrBytes else 0.0
     val extras =
       f""""write_sec":$writeSec%.3f,"scan_sec":$scanSec%.3f,"parquet_bytes":$inputBytes,"btr_bytes":$btrBytes,"parquet_over_btr_ratio":$ratio%.3f"""
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,$extras,"sf":"$sfDir"}""")
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,$extras,"sf":"$sfDir"}"""
+    println(line)
+    // stdout under sbt is buried in [info] noise; also write the line to a
+    // file so the driver's bench gate can parse it reliably
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_out.json")
+    try {
+      val w = new java.io.PrintWriter(new java.io.File(outPath))
+      try w.println(line)
+      finally w.close()
+    } catch { case e: Throwable => System.err.println(s"[bench] write $outPath failed: $e") }
     spark.stop()
   }
 }

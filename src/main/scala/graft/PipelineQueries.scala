@@ -17,13 +17,23 @@ object PipelineQueries {
   import Btr.{pq, t}
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // exact dedup: canonical doc per distinct text (hash-groupBy)
+    // exact dedup: canonical doc per distinct text. Shuffles 8-byte
+    // fingerprints, not document bodies: group by xxhash64(text) first,
+    // then re-verify only the (rare) multi-member groups against the full
+    // text, so hash collisions can never merge distinct documents.
     "q_dedup_exact" -> ((s, d) => {
-      t(s, d, "documents")
-        .groupBy(col("text"))
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val withFp = docs.withColumn("fp", xxhash64(col("text")))
+      val counts = withFp.groupBy("fp")
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keep1"))
+      val singles = counts.filter(col("n") === 1)
+        .select(col("keep1").as("keep_id"), col("n").as("n_copies"))
+      val multiFps = counts.filter(col("n") > 1).select("fp")
+      val verified = withFp.join(multiFps, "fp")
+        .groupBy("fp", "text")
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
         .select(col("keep_id"), col("n_copies"))
-        .orderBy("keep_id")
+      singles.union(verified).orderBy("keep_id")
     }),
 
     // MinHash+LSH near-dup: candidates from band-bucket join, pairs
@@ -36,10 +46,13 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")
     }),
 
-    // SimHash near-dup pairs (hamming ≤ 3 over 64-bit simhash);
-    // hash-parameterized → no SQL oracle, checked by spec + rows-only
+    // SimHash near-dup pairs (hamming ≤ 3), built on the engine-portable
+    // md5-derived 60-bit token hash so DuckDB recomputes the identical
+    // simhashes and the brute-force xor/bit_count oracle matches EXACTLY —
+    // block bucketing + skew guard + hamming verify all oracle-checked
     "q_dedup_simhash" -> ((s, d) => {
-      TextOps.simhashDedup(t(s, d, "documents"), "doc_id", "text", maxDist = 3)
+      TextOps.simhashDedup(t(s, d, "documents"), "doc_id", "text",
+          maxDist = 3, bits = 60, tokenHash = TextOps.md5Hash60)
         .orderBy("id_a", "id_b")
     }),
 
@@ -76,15 +89,26 @@ object PipelineQueries {
         .orderBy("qid", "rank")
     }),
 
-    // LSH-bucketed ANN (approximate scale path; rows-only check)
+    // LSH-bucketed ANN (the scale path), scored against the in-Spark
+    // brute-force ground truth: the corpus is near-random (top-3 cos
+    // ≈ 0.35), the worst case for LSH, so the checked contract is
+    // recall@3 above a floor rather than exact top-k equality. n_exact
+    // comes from the data via the DuckDB oracle; recall is deterministic
+    // (seeded hyperplanes).
     "q_ann_lsh" -> ((s, d) => {
       val emb = pq(s, d, "embeddings")
       val queries = emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       val cands = emb.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-      SimilarityOps.lshTopK(queries, cands, 3, numBits = 6, dim = 64)
-        .select(col("qid"), col("cid"), col("cos"), col("rank"))
-        .orderBy("qid", "rank")
+      val lsh = SimilarityOps.lshTopK(queries, cands, 3, numBits = 5, dim = 64, numTables = 8)
+        .select(col("qid"), col("cid"))
+      val exact = SimilarityOps.bruteForceTopK(queries, cands, 3)
+        .select(col("qid"), col("cid"))
+      val hits = exact.join(lsh, Seq("qid", "cid"), "left_semi")
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+        .select(col("n_exact"),
+          (col("n_hit").cast("double") / col("n_exact") >= 0.3).as("recall_ok"))
     }),
 
     // language ID via stopword-overlap heuristic + agreement with label
@@ -127,14 +151,25 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
-    // Q-meta (SURVEY §2.7#8): per-(file, rowGroup, column) scheme-cascade
-    // description of a btr table — internal-consistency check, no SQL
-    // oracle (driver records rows-only)
+    // Q-meta (SURVEY §2.7#8): describe_btr folded to per-column sums the
+    // data itself proves — chunk n_rows/n_nulls must sum to the table's
+    // true counts — plus structural consistency (chunk blobs tile the file
+    // exactly; every scheme tree parses). Real DuckDB oracle.
     "q_describe_btr" -> ((s, d) => {
       t(s, d, "lineitem").count() // ensure the cache table exists
       val dir = s"/tmp/graft-btr-cache/${d.replaceAll("[^a-zA-Z0-9.]", "_")}/lineitem"
-      graft.functions.BtrInspect.describe(s, dir)
-        .orderBy("file", "row_group", "column")
+      val desc = graft.functions.BtrInspect.describe(s, dir)
+      val filesOk = graft.functions.BtrInspect.fileConsistency(s, dir)
+        .agg(min(when(col("ok"), 1).otherwise(0)).as("files_ok"))
+      desc.groupBy(col("column").as("col_name"))
+        .agg(
+          sum(col("n_rows")).as("n_rows_sum"),
+          sum(col("n_nulls")).as("n_nulls_sum"),
+          max(when(col("scheme_tree").contains("?"), 1).otherwise(0)).as("bad_tree"))
+        .crossJoin(filesOk)
+        .select(col("col_name"), col("n_rows_sum"), col("n_nulls_sum"),
+          (col("bad_tree") === 0 && col("files_ok") === 1).as("consistent"))
+        .orderBy("col_name")
     }),
 
     // multimodal plumbing: opaque binary payload → partition-batched
@@ -152,6 +187,35 @@ object PipelineQueries {
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+    "q_dedup_simhash" ->
+      """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents),
+        | th AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h FROM tok),
+        | bits AS (SELECT doc_id, j, sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |          FROM th CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS j) GROUP BY doc_id, j),
+        | sh AS (SELECT doc_id, sum(CASE WHEN s > 0 THEN 1::BIGINT << j ELSE 0 END) AS simhash
+        |        FROM bits GROUP BY doc_id)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        | CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q_ann_lsh" ->
+      """WITH sims AS (
+        | SELECT q.vec_id AS qid, c.vec_id AS cid,
+        |  list_cosine_similarity(q.embedding, c.embedding) AS cos
+        | FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        | WHERE q.vec_id < 10),
+        | ranked AS (SELECT qid, cid,
+        |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rank
+        | FROM sims)
+        |SELECT count(*) AS n_exact, true AS recall_ok FROM ranked WHERE rank <= 3""".stripMargin,
+    "q_describe_btr" -> {
+      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate")
+      cols.map(c =>
+        s"SELECT '$c' AS col_name, count(*) AS n_rows_sum, count(*) - count($c) AS n_nulls_sum, true AS consistent FROM lineitem")
+        .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
     "q_dedup_minhash" ->
       """WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') toks FROM documents),
         | sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks)-2),

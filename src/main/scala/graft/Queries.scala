@@ -124,15 +124,13 @@ object CoreQueries {
     }),
 
     // Q-runs: average run length (RLE gate statistic) over the
-    // pk-ordered column
+    // pk-ordered column — partition-local transition counts + boundary
+    // fix-up (no global single-task window; see RunStats)
     "q_runs" -> ((s, d) => {
-      val w = Window.orderBy("l_orderkey", "l_linenumber")
-      t(s, d, "lineitem")
-        .select(col("l_returnflag"), lag("l_returnflag", 1).over(w).as("prev"))
-        .agg(round(
-          count(lit(1)).cast("double") /
-            (lit(1) + sum(when(col("l_returnflag") =!= col("prev"), 1).otherwise(0))),
-          4).as("avg_run"))
+      graft.functions.RunStats.avgRunLength(
+        t(s, d, "lineitem"),
+        col("l_returnflag"),
+        Seq(col("l_orderkey"), col("l_linenumber")))
     }),
 
     // Q-agg/join: revenue per nation — hash joins + hash agg + sort over

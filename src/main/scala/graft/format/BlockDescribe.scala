@@ -62,6 +62,14 @@ object BlockDescribe {
         val p = describeInt(in, nExc)
         val e = describeInt(in, nExc)
         s"freq(exc=$nExc, pos=$p, values=$e)"
+      case IntCodec.Pfor =>
+        in.skip(8)
+        val w = in.getByte()
+        in.skip(Bitpack.packedBytes(count, w))
+        val nExc = in.getInt()
+        val p = describeInt(in, nExc)
+        val e = describeInt(in, nExc)
+        s"pfor(w=$w, exc=$nExc, pos=$p, values=$e)"
       case other => s"int:?$other"
     }
   }

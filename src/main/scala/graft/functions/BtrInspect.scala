@@ -27,6 +27,45 @@ object BtrInspect {
       ratio: Double
   )
 
+  /** Per-file structural consistency: the chunk blobs must exactly tile
+    * the data region [header, fileLen - tail - footer) with contiguous
+    * offsets — the analog of the reference's verify-on-write
+    * (tools/conversion/csvtobtr.cpp:49-66), checkable without any oracle.
+    */
+  def fileConsistency(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(BtrTableMeta.hadoopConf())
+    val files = BtrTableMeta.listDataFiles(fs, dir).map(_.toString)
+    spark.createDataset(files.toSeq)
+      .map { file =>
+        val p = new Path(file)
+        val ffs = p.getFileSystem(BtrTableMeta.hadoopConf())
+        val len = ffs.getFileStatus(p).getLen
+        val ok =
+          try {
+            val in = ffs.open(p)
+            val tail = new Array[Byte](8)
+            try in.readFully(len - 8L, tail)
+            finally in.close()
+            val footerLen = new BufReader(tail).getInt()
+            val footer = BtrFile.readFooter(ffs, p, len)
+            val chunks = footer.rowGroups.flatMap(_.columns)
+              .map(c => (c.offset, c.length.toLong)).sortBy(_._1)
+            val dataEnd = len - 8L - footerLen
+            var pos = 8L // magic + version header
+            var contiguous = true
+            chunks.foreach { case (off, l) =>
+              if (off != pos) contiguous = false
+              pos = off + l
+            }
+            contiguous && pos == dataEnd
+          } catch { case _: Throwable => false }
+        (p.getName, ok)
+      }
+      .toDF("file", "ok")
+  }
+
   def describe(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     val dir = new Path(path)

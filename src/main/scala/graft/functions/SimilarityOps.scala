@@ -54,24 +54,34 @@ object SimilarityOps {
       when(dot(toDouble(vec), hpCol) > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 
-  /** LSH-bucketed ANN: candidates sharing the query's bucket are ranked
-    * by exact cosine; k results per query (approximate — misses
-    * cross-bucket neighbors; recall grows with fewer bits / multiple
-    * tables). One shuffle on the bucket id replaces the cross join.
+  /** Per-table LSH bucket ids of a vector: one sign-bit bucket per table. */
+  def lshBuckets(vec: Column, tables: Seq[Seq[Seq[Double]]]): Column =
+    array(tables.map(planes => lshBucket(vec, planes)): _*)
+
+  /** Multi-table LSH ANN: `numTables` independent hyperplane tables; a
+    * candidate is considered for a query when they share a bucket in ANY
+    * table (union of bucket joins, deduped), then ranked by exact cosine.
+    * Recall grows quickly with tables — at ~(1-(1-p^bits)^tables) — while
+    * the work stays one shuffle on (table, bucket) instead of a cross
+    * join. Candidate bucket ids are computed in a single projection pass.
     */
   def lshTopK(
       queries: DataFrame, // (qid, qvec)
       candidates: DataFrame, // (cid, cvec)
       k: Int,
       numBits: Int = 8,
-      dim: Int = 64
+      dim: Int = 64,
+      numTables: Int = 4
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val planes = hyperplanes(numBits, dim)
-    val qb = queries.withColumn("bucket", lshBucket(col("qvec"), planes))
-    val cb = candidates.withColumn("bucket", lshBucket(col("cvec"), planes))
-    val joined = cb.join(broadcast(qb), Seq("bucket"))
+    val tables = (0 until numTables).map(t => hyperplanes(numBits, dim, seed = 42L + 1000L * t))
+    val qb = queries.select(col("qid"), col("qvec"),
+      posexplode(lshBuckets(col("qvec"), tables)).as(Seq("tbl", "bucket")))
+    val cb = candidates.select(col("cid"), col("cvec"),
+      posexplode(lshBuckets(col("cvec"), tables)).as(Seq("tbl", "bucket")))
+    val joined = cb.join(broadcast(qb), Seq("tbl", "bucket"))
       .filter(col("qid") =!= col("cid"))
+      .dropDuplicates("qid", "cid")
       .select(col("qid"), col("cid"), round(cosine(col("qvec"), col("cvec")), 4).as("cos"))
     val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("cid"))
     joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)

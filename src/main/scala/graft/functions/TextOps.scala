@@ -14,12 +14,17 @@ object TextOps {
   /** Whitespace tokens. */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
-  /** Distinct word n-gram shingles, joined by single spaces. */
+  /** Distinct word n-gram shingles, joined by single spaces. Documents with
+    * fewer than n tokens yield an empty set (matching the oracle's
+    * generate_series(1, len-n+1) semantics), not a truncated shingle.
+    */
   def wordShingles(toks: Column, n: Int): Column =
-    array_distinct(
-      transform(
-        sequence(lit(0), greatest(size(toks) - n, lit(0))),
-        i => array_join(slice(toks, i + lit(1), lit(n)), " ")))
+    when(size(toks) >= n,
+      array_distinct(
+        transform(
+          sequence(lit(0), size(toks) - n),
+          i => array_join(slice(toks, i + lit(1), lit(n)), " "))))
+      .otherwise(array().cast("array<string>"))
 
   /** Distinct character n-gram shingles of a string. */
   def charShingles(text: Column, n: Int): Column =
@@ -99,7 +104,8 @@ object TextOps {
       shingleSize: Int = 3,
       numHashes: Int = 32,
       bands: Int = 8,
-      threshold: Double = 0.5
+      threshold: Double = 0.5,
+      maxBucketSize: Int = 1024
   ): DataFrame = {
     val rows = numHashes / bands
     // shingling is the most expensive projection and feeds three plan
@@ -112,33 +118,78 @@ object TextOps {
     val sig = sh.select(col("id"), col("shingles"),
       bandSignatures(minhash(col("shingles"), numHashes), bands, rows).as("bands"))
     val exploded = sig.select(col("id"), posexplode(col("bands")).as(Seq("band", "sig")))
-    val cand = exploded.as("x")
-      .join(exploded.as("y"),
-        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
-          col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
-      .distinct()
+    val cand = lshCandidates(exploded, Seq("band", "sig"), maxBucketSize)
     val shA = sh.select(col("id").as("id_a"), col("shingles").as("sh_a"))
     val shB = sh.select(col("id").as("id_b"), col("shingles").as("sh_b"))
-    cand.join(shA, "id_a").join(shB, "id_b")
+    val verified = cand.join(shA, "id_a").join(shB, "id_b")
       .select(col("id_a"), col("id_b"),
         round(jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+    // materialize the (much smaller) verified pairs so the shingle cache
+    // can be released before returning — otherwise every invocation leaks
+    // block-manager storage for the life of the session
+    val out = verified.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    sh.unpersist(blocking = false)
+    out
+  }
+
+  /** Candidate pairs from LSH buckets, with a skew guard: buckets up to
+    * maxBucketSize produce all-pairs (exhaustive); larger buckets — one
+    * viral duplicate class can otherwise make a single bucket quadratic —
+    * pair every member with the bucket's min-id representative instead
+    * (linear, and still connects the whole class to one canonical doc).
+    * Input must have an `id` column plus the bucket-key columns.
+    */
+  private[functions] def lshCandidates(
+      exploded: DataFrame,
+      bucketCols: Seq[String],
+      maxBucketSize: Int
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(bucketCols.map(col): _*)
+    val sized = exploded
+      .withColumn("bsz", count(lit(1)).over(w))
+      .withColumn("rep", min(col("id")).over(w))
+    val small = sized.filter(col("bsz") <= maxBucketSize)
+      .select((col("id") +: bucketCols.map(col)): _*)
+    val joinCond = bucketCols.map(c => col(s"x.$c") === col(s"y.$c"))
+      .reduce(_ && _) && col("x.id") < col("y.id")
+    val candSmall = small.as("x").join(small.as("y"), joinCond)
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+    val candBig = sized.filter(col("bsz") > maxBucketSize && col("id") =!= col("rep"))
+      .select(col("rep").as("id_a"), col("id").as("id_b"))
+    candSmall.union(candBig).distinct()
   }
 
   // ---- SimHash --------------------------------------------------------
 
-  /** 64-bit SimHash per document via explode + 64 partial-aggregated bit
-    * sums (map-side combine keeps the shuffle narrow: one row per doc).
+  /** Engine-portable 60-bit token hash: the top 15 hex digits of md5.
+    * Any SQL engine with md5 + hex parse computes the identical value, so
+    * a simhash built on it is fully oracle-checkable end to end.
     */
-  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def md5Hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** SimHash per document via explode + `bits` partial-aggregated bit
+    * sums (map-side combine keeps the shuffle narrow: one row per doc).
+    * tokenHash defaults to xxhash64 (fastest); pass [[md5Hash60]] with
+    * bits=60 for a cross-engine-reproducible variant.
+    */
+  def simhash(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      bits: Int = 64,
+      tokenHash: Column => Column = c => xxhash64(c)
+  ): DataFrame = {
     val tok = docs.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("tok"))
-      .select(col("id"), xxhash64(col("tok")).as("h"))
-    val bitSums = (0 until 64).map { j =>
+      .select(col("id"), tokenHash(col("tok")).as("h"))
+    val bitSums = (0 until bits).map { j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"b$j")
     }
     val agg = tok.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
-    val hashCol = (0 until 64).map { j =>
+    val hashCol = (0 until bits).map { j =>
       when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
     agg.select(col("id"), hashCol.as("simhash"))
@@ -148,16 +199,27 @@ object TextOps {
     * bucketed by 16-bit blocks (any pair within distance 3 shares ≥1 of 4
     * exact blocks; wider distances raise the block count).
     */
-  def simhashDedup(docs: DataFrame, idCol: String, textCol: String, maxDist: Int = 3): DataFrame = {
-    val sh = simhash(docs, idCol, textCol)
+  def simhashDedup(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDist: Int = 3,
+      maxBucketSize: Int = 1024,
+      bits: Int = 64,
+      tokenHash: Column => Column = c => xxhash64(c)
+  ): DataFrame = {
+    val sh = simhash(docs, idCol, textCol, bits, tokenHash)
+    val blockBits = bits / 4
+    val mask = (1L << blockBits) - 1
     val blocks = sh.select(col("id"), col("simhash"),
       posexplode(array((0 until 4).map(i =>
-        shiftright(col("simhash"), 16 * i).bitwiseAND(lit(0xffffL))): _*)).as(Seq("blk", "v")))
-    blocks.as("x").join(blocks.as("y"),
-        col("x.blk") === col("y.blk") && col("x.v") === col("y.v") && col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
-      .distinct()
+        shiftright(col("simhash"), blockBits * i).bitwiseAND(lit(mask))): _*)).as(Seq("blk", "v")))
+    val cand = lshCandidates(blocks, Seq("blk", "v"), maxBucketSize)
+    val hA = sh.select(col("id").as("id_a"), col("simhash").as("h_a"))
+    val hB = sh.select(col("id").as("id_b"), col("simhash").as("h_b"))
+    cand.join(hA, "id_a").join(hB, "id_b")
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxDist)
   }
 
