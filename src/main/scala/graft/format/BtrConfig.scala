@@ -1,0 +1,101 @@
+package graft.format
+
+/** Writer-side configuration surface — the Spark analog of the reference's
+  * global config + scheme pool controls
+  * (/root/reference/btrblocks/btrblocks.hpp:20-69,
+  * /root/reference/btrblocks/scheme/SchemePool.cpp:115-119):
+  *
+  *  - `schemes`: enabled scheme names (lower-case); empty set = all.
+  *    Uncompressed and OneValue are always available as fallbacks.
+  *  - `forceInt`/`forceDouble`/`forceString`: force one scheme per type
+  *    family (the analog of EnforceScheme in the reference's tests,
+  *    test/test-cases/V2.cpp:14-98). Forcing OneValue on non-constant
+  *    data is rejected at encode time (it would drop data).
+  *  - `tryAll`: TRY_ALL selection — actually encode every eligible
+  *    candidate and keep the smallest, instead of estimate-based greedy
+  *    selection over sampled stats (SAMPLE mode, the default).
+  *  - `sampleRuns` × `sampleRunLen`: stratified sampling geometry for
+  *    SAMPLE mode (ref stats/NumberStats.hpp:34-76 uses 10 × 64);
+  *    sampleRuns == 0 disables sampling (full-chunk stats).
+  */
+final case class BtrConfig(
+    schemes: Set[String],
+    forceInt: Option[Int],
+    forceDouble: Option[Int],
+    forceString: Option[Int],
+    tryAll: Boolean,
+    sampleRuns: Int,
+    sampleRunLen: Int
+) {
+  def intEnabled(scheme: Int): Boolean =
+    schemes.isEmpty || schemes.contains(BtrConfig.intNames(scheme))
+  def doubleEnabled(scheme: Int): Boolean =
+    schemes.isEmpty || schemes.contains(BtrConfig.doubleNames(scheme))
+  def stringEnabled(scheme: Int): Boolean =
+    schemes.isEmpty || schemes.contains(BtrConfig.stringNames(scheme))
+}
+
+object BtrConfig {
+  val intNames: Map[Int, String] = Map(
+    IntCodec.Uncompressed -> "uncompressed",
+    IntCodec.OneValue -> "onevalue",
+    IntCodec.Dict -> "dict",
+    IntCodec.Rle -> "rle",
+    IntCodec.ForBp -> "forbp",
+    IntCodec.DeltaBp -> "deltabp",
+    IntCodec.Frequency -> "frequency",
+    IntCodec.Pfor -> "pfor"
+  )
+  val doubleNames: Map[Int, String] = Map(
+    DoubleCodec.Uncompressed -> "uncompressed",
+    DoubleCodec.OneValue -> "onevalue",
+    DoubleCodec.Dict -> "dict",
+    DoubleCodec.Rle -> "rle",
+    DoubleCodec.Frequency -> "frequency",
+    DoubleCodec.Pseudodecimal -> "pseudodecimal"
+  )
+  val stringNames: Map[Int, String] = Map(
+    StringCodec.Uncompressed -> "uncompressed",
+    StringCodec.OneValue -> "onevalue",
+    StringCodec.Dict -> "dict",
+    StringCodec.Fsst -> "fsst"
+  )
+
+  private def invert(m: Map[Int, String]): Map[String, Int] = m.map(_.swap)
+  val intByName: Map[String, Int] = invert(intNames)
+  val doubleByName: Map[String, Int] = invert(doubleNames)
+  val stringByName: Map[String, Int] = invert(stringNames)
+
+  val Default: BtrConfig =
+    BtrConfig(Set.empty, None, None, None, tryAll = false, sampleRuns = 10, sampleRunLen = 64)
+
+  /** Parse the writer option surface; unknown scheme names fail fast. */
+  def fromOptions(get: String => Option[String]): BtrConfig = {
+    val schemes = get("btr.schemes") match {
+      case Some(list) =>
+        val names = list.split(",").map(_.trim.toLowerCase).filter(_.nonEmpty).toSet
+        val known = intByName.keySet ++ doubleByName.keySet ++ stringByName.keySet
+        val bad = names.diff(known)
+        require(bad.isEmpty, s"btr.schemes: unknown scheme(s) ${bad.mkString(",")}")
+        names
+      case None => Set.empty[String]
+    }
+    def force(key: String, byName: Map[String, Int]): Option[Int] =
+      get(key).map { n =>
+        byName.getOrElse(n.trim.toLowerCase,
+          throw new IllegalArgumentException(s"$key: unknown scheme '$n'"))
+      }
+    val selection = get("btr.selection").map(_.trim.toLowerCase).getOrElse("sample")
+    require(selection == "sample" || selection == "tryall" || selection == "full",
+      s"btr.selection must be sample|tryall|full, got '$selection'")
+    BtrConfig(
+      schemes = schemes,
+      forceInt = force("btr.forceScheme.int", intByName),
+      forceDouble = force("btr.forceScheme.double", doubleByName),
+      forceString = force("btr.forceScheme.string", stringByName),
+      tryAll = selection == "tryall",
+      sampleRuns = if (selection == "full") 0 else 10,
+      sampleRunLen = 64
+    )
+  }
+}

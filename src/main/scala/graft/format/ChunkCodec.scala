@@ -97,14 +97,25 @@ object ChunkCodec {
     }
   }
 
-  def encode(out: BufWriter, chunk: ColumnChunk, cascadeDepth: Int): ChunkStats = {
+  def encode(
+      out: BufWriter,
+      chunk: ColumnChunk,
+      cascadeDepth: Int,
+      cfg: BtrConfig = BtrConfig.Default,
+      seed: Long = 42L
+  ): ChunkStats = {
     var nullCount = 0
     var i = 0
     while (i < chunk.count) { if (chunk.isNull(i)) nullCount += 1; i += 1 }
     NullMap.encode(chunk.isNull, chunk.count, out)
     val tag = chunk.tag
     if (PhysType.isIntFamily(tag)) {
-      IntCodec.encode(out, chunk.longs, chunk.count, PhysType.physWidth(tag), cascadeDepth)
+      cfg.forceInt match {
+        case Some(f) =>
+          IntCodec.encodeForced(f, out, chunk.longs, chunk.count, PhysType.physWidth(tag), cascadeDepth, cfg, seed)
+        case None =>
+          IntCodec.encode(out, chunk.longs, chunk.count, PhysType.physWidth(tag), cascadeDepth, cfg, seed)
+      }
       var mn = Long.MaxValue
       var mx = Long.MinValue
       i = 0
@@ -121,9 +132,15 @@ object ChunkCodec {
     } else if (tag == PhysType.Double || tag == PhysType.Float) {
       if (tag == PhysType.Float) {
         // floats stored as raw bits via the int path (lossless, narrower)
-        IntCodec.encode(out, chunk.longs, chunk.count, 4, cascadeDepth)
+        cfg.forceInt match {
+          case Some(f) => IntCodec.encodeForced(f, out, chunk.longs, chunk.count, 4, cascadeDepth, cfg, seed)
+          case None => IntCodec.encode(out, chunk.longs, chunk.count, 4, cascadeDepth, cfg, seed)
+        }
       } else {
-        DoubleCodec.encode(out, chunk.doubles, chunk.count, cascadeDepth)
+        cfg.forceDouble match {
+          case Some(f) => DoubleCodec.encodeForced(f, out, chunk.doubles, chunk.count, cascadeDepth, cfg, seed)
+          case None => DoubleCodec.encode(out, chunk.doubles, chunk.count, cascadeDepth, cfg, seed)
+        }
       }
       var mn = java.lang.Double.MAX_VALUE
       var mx = -java.lang.Double.MAX_VALUE
@@ -144,7 +161,10 @@ object ChunkCodec {
       }
       ChunkStats(nullCount, 0, 0, mn, mx, has)
     } else {
-      StringCodec.encode(out, chunk.strings, chunk.count, cascadeDepth)
+      cfg.forceString match {
+        case Some(f) => StringCodec.encodeForced(f, out, chunk.strings, chunk.count, cascadeDepth, cfg, seed)
+        case None => StringCodec.encode(out, chunk.strings, chunk.count, cascadeDepth, cfg, seed)
+      }
       // byte-wise unsigned min/max over non-null values — the same ordering
       // Spark's UTF8String comparison uses, so scan-side skipping is exact
       var mn: Array[Byte] = null

@@ -4,37 +4,78 @@ import scala.collection.mutable
 
 /** Double-family per-chunk stats (distinct/top computed on raw bits so
   * -0.0 and NaN payloads are distinguished, matching the reference's
-  * bit-exact round-trip contract).
+  * bit-exact round-trip contract). Same two-tier split as IntStats:
+  * runCount is exact (the OneValue safety gate), the frequency-derived
+  * stats come from a seeded stratified sample.
   */
 final case class DoubleStats(
     count: Int,
-    distinct: Int,
-    runCount: Int,
+    runCount: Int, // exact
+    sampleN: Int,
+    sDistinct: Int,
+    distinctEst: Int,
     topBits: Long,
-    topCount: Int
+    sTopCount: Int
 ) {
   def avgRunLength: Double = if (runCount == 0) 0.0 else count.toDouble / runCount
 }
 
 object DoubleStats {
-  def compute(values: Array[Double], count: Int): DoubleStats = {
-    if (count == 0) return DoubleStats(0, 0, 0, 0L, 0)
-    val freq = new mutable.LongMap[Int](math.min(count, 1 << 12))
+  def compute(
+      values: Array[Double],
+      count: Int,
+      seed: Long = 42L,
+      sampleRuns: Int = 10,
+      runLen: Int = 64
+  ): DoubleStats = {
+    if (count == 0) return DoubleStats(0, 0, 0, 0, 0, 0L, 0)
+    // exact pass: runs only (adjacent bit compares, no hashing)
     var runs = 1
     var prev = java.lang.Double.doubleToRawLongBits(values(0))
-    freq(prev) = 1
     var i = 1
     while (i < count) {
       val bits = java.lang.Double.doubleToRawLongBits(values(i))
       if (bits != prev) runs += 1
-      freq(bits) = freq.getOrElse(bits, 0) + 1
       prev = bits
       i += 1
     }
+    val exhaustive = sampleRuns <= 0 || count <= sampleRuns * runLen * 2
+    val freq = new mutable.LongMap[Int](1 << 10)
+    var sampleN = 0
+    @inline def addSample(bits: Long): Unit = {
+      freq(bits) = freq.getOrElse(bits, 0) + 1
+      sampleN += 1
+    }
+    if (exhaustive) {
+      i = 0
+      while (i < count) { addSample(java.lang.Double.doubleToRawLongBits(values(i))); i += 1 }
+    } else {
+      val rnd = new java.util.Random(seed)
+      var r = 0
+      while (r < sampleRuns) {
+        val start = rnd.nextInt(count - runLen + 1)
+        var j = start
+        val end = start + runLen
+        while (j < end) { addSample(java.lang.Double.doubleToRawLongBits(values(j))); j += 1 }
+        r += 1
+      }
+    }
     var topB = 0L
     var topC = 0
-    freq.foreachEntry { (k, c) => if (c > topC) { topC = c; topB = k } }
-    DoubleStats(count, freq.size, runs, topB, topC)
+    var f1 = 0
+    var f2 = 0
+    freq.foreachEntry { (k, c) =>
+      if (c > topC) { topC = c; topB = k }
+      if (c == 1) f1 += 1 else if (c == 2) f2 += 1
+    }
+    val d = freq.size
+    val distinctEst =
+      if (exhaustive) d
+      else {
+        val extra = if (f2 > 0) f1.toDouble * f1 / (2.0 * f2) else f1.toDouble * (f1 - 1) / 2.0
+        math.min(count.toLong, math.max(d.toLong, math.round(d + extra))).toInt
+      }
+    DoubleStats(count, runs, sampleN, d, distinctEst, topB, topC)
   }
 }
 
@@ -89,38 +130,105 @@ object DoubleCodec {
     false
   }
 
-  def encode(out: BufWriter, values: Array[Double], count: Int, depth: Int): Unit = {
+  def encode(
+      out: BufWriter,
+      values: Array[Double],
+      count: Int,
+      depth: Int,
+      cfg: BtrConfig = BtrConfig.Default,
+      seed: Long = 42L
+  ): Unit = {
+    val s = DoubleStats.compute(values, count, seed, cfg.sampleRuns, cfg.sampleRunLen)
+    if (cfg.tryAll) {
+      tryAllEncode(out, values, count, depth, cfg, s, seed)
+      return
+    }
     val start = out.pos
-    val s = DoubleStats.compute(values, count)
-    val scheme = choose(values, count, s, depth)
-    encodeAs(scheme, out, values, count, depth, s)
+    val scheme = choose(values, count, s, depth, cfg)
+    encodeAs(scheme, out, values, count, depth, s, cfg, seed)
     val rawSize = 1 + count.toLong * 8
     if (scheme != Uncompressed && (out.pos - start).toLong > rawSize) {
       out.truncate(start)
-      encodeAs(Uncompressed, out, values, count, depth, s)
+      encodeAs(Uncompressed, out, values, count, depth, s, cfg, seed)
     }
   }
 
-  private def choose(values: Array[Double], count: Int, s: DoubleStats, depth: Int): Int = {
+  /** Forced top-level scheme; validates data-loss safety first. */
+  def encodeForced(
+      scheme: Int,
+      out: BufWriter,
+      values: Array[Double],
+      count: Int,
+      depth: Int,
+      cfg: BtrConfig = BtrConfig.Default,
+      seed: Long = 42L
+  ): Unit = {
+    val s = DoubleStats.compute(values, count, seed, cfg.sampleRuns, cfg.sampleRunLen)
+    require(structurallyValid(scheme, s, depth),
+      s"btr.forceScheme: ${BtrConfig.doubleNames(scheme)} cannot encode this chunk " +
+        s"(count=$count, runs=${s.runCount}, depth=$depth)")
+    encodeAs(scheme, out, values, count, depth, s, cfg, seed)
+  }
+
+  private def structurallyValid(scheme: Int, s: DoubleStats, depth: Int): Boolean = scheme match {
+    case OneValue => s.runCount <= 1
+    case Uncompressed => true
+    case Dict | Rle | Frequency | Pseudodecimal => depth >= 1 && s.count >= 1
+    case _ => false
+  }
+
+  private def tryAllEncode(
+      out: BufWriter,
+      values: Array[Double],
+      count: Int,
+      depth: Int,
+      cfg: BtrConfig,
+      s: DoubleStats,
+      seed: Long
+  ): Unit = {
+    val candidates = Array(OneValue, Dict, Rle, Frequency, Pseudodecimal, Uncompressed)
+    var bestBytes: Array[Byte] = null
+    var i = 0
+    while (i < candidates.length) {
+      val sch = candidates(i)
+      val allowed = sch == Uncompressed || sch == OneValue || cfg.doubleEnabled(sch)
+      if (allowed && structurallyValid(sch, s, depth)) {
+        val scratch = new BufWriter(1 << 12)
+        encodeAs(sch, scratch, values, count, depth, s, cfg, seed)
+        if (bestBytes == null || scratch.pos < bestBytes.length) bestBytes = scratch.result()
+      }
+      i += 1
+    }
+    out.putBytes(bestBytes)
+  }
+
+  private def choose(
+      values: Array[Double],
+      count: Int,
+      s: DoubleStats,
+      depth: Int,
+      cfg: BtrConfig = BtrConfig.Default
+  ): Int = {
     if (count == 0) return Uncompressed
-    if (s.distinct <= 1) return OneValue
+    if (s.runCount <= 1) return OneValue // exact: single run == constant
     var best = Uncompressed
     var bestSize = 1L + count.toLong * 8
-    if (depth >= 1 && s.distinct * 2 <= count) {
-      val codeBits = math.max(1, Bitpack.bitsFor((s.distinct - 1).toLong))
-      val e = 8L + s.distinct.toLong * 8 + Bitpack.packedBytes(count, codeBits)
+    if (depth >= 1 && cfg.doubleEnabled(Dict) && s.sDistinct * 2 <= s.sampleN) {
+      val codeBits = math.max(1, Bitpack.bitsFor((s.distinctEst - 1).toLong))
+      val e = 8L + s.distinctEst.toLong * 8 + Bitpack.packedBytes(count, codeBits)
       if (e < bestSize) { best = Dict; bestSize = e }
     }
-    if (depth >= 1 && s.avgRunLength >= 2.0) {
+    if (depth >= 1 && cfg.doubleEnabled(Rle) && s.avgRunLength >= 2.0) {
       val e = 8L + s.runCount.toLong * 9 + 16
       if (e < bestSize) { best = Rle; bestSize = e }
     }
-    if (depth >= 1 && s.distinct * 2 <= count && s.topCount.toLong * 10 >= count.toLong * 9) {
-      val exc = (count - s.topCount).toLong
+    if (depth >= 1 && cfg.doubleEnabled(Frequency) && s.sDistinct * 2 <= s.sampleN &&
+      s.sTopCount.toLong * 10 >= s.sampleN.toLong * 9) {
+      val exc = math.round(count.toLong * (s.sampleN - s.sTopCount).toDouble / math.max(1, s.sampleN))
       val e = 16L + exc * 11 + 16
       if (e < bestSize) { best = Frequency; bestSize = e }
     }
-    if (depth >= 1) {
+    if (depth >= 1 && cfg.doubleEnabled(Pseudodecimal)) {
       // sample-estimate pseudodecimal: check convertibility + digit width on a stride sample
       val sampleStride = math.max(1, count / 1024)
       val dTmp = new Array[Long](1)
@@ -154,8 +262,11 @@ object DoubleCodec {
       values: Array[Double],
       count: Int,
       depth: Int,
-      s: DoubleStats
+      s: DoubleStats,
+      cfg: BtrConfig = BtrConfig.Default,
+      seed: Long = 42L
   ): Unit = {
+    val sub = seed * 6364136223846793005L + 1442695040888963407L
     out.putByte(scheme)
     scheme match {
       case Uncompressed =>
@@ -173,7 +284,7 @@ object DoubleCodec {
         val codes = new Array[Long](count)
         i = 0
         while (i < count) { codes(i) = IntCodec.binarySearch(dict, bits(i)).toLong; i += 1 }
-        IntCodec.encode(out, codes, count, 8, depth - 1)
+        IntCodec.encode(out, codes, count, 8, depth - 1, cfg, sub)
       case Rle =>
         val bits = new Array[Long](count)
         var i = 0
@@ -182,7 +293,7 @@ object DoubleCodec {
         out.putInt(nRuns)
         var r = 0
         while (r < nRuns) { out.putLong(runVals(r)); r += 1 }
-        IntCodec.encode(out, runLens, nRuns, 8, depth - 1)
+        IntCodec.encode(out, runLens, nRuns, 8, depth - 1, cfg, sub)
       case Frequency =>
         val top = s.topBits
         var nExc = 0
@@ -202,8 +313,8 @@ object DoubleCodec {
           if (b != top) { pos(p) = i.toLong; exc(p) = b; p += 1 }
           i += 1
         }
-        IntCodec.encode(out, pos, nExc, 8, depth - 1)
-        IntCodec.encode(out, exc, nExc, 8, depth - 1)
+        IntCodec.encode(out, pos, nExc, 8, depth - 1, cfg, sub)
+        IntCodec.encode(out, exc, nExc, 8, depth - 1, cfg, sub + 1)
       case Pseudodecimal =>
         val digits = new Array[Long](count)
         val exps = new Array[Long](count)
@@ -222,8 +333,8 @@ object DoubleCodec {
         // zigzag digits so FOR/bitpack sees small unsigned values
         i = 0
         while (i < count) { digits(i) = (digits(i) << 1) ^ (digits(i) >> 63); i += 1 }
-        IntCodec.encode(out, digits, count, 8, depth - 1)
-        IntCodec.encode(out, exps, count, 8, depth - 1)
+        IntCodec.encode(out, digits, count, 8, depth - 1, cfg, sub)
+        IntCodec.encode(out, exps, count, 8, depth - 1, cfg, sub + 1)
         val pv = patchVal.result()
         out.putInt(pv.length)
         var p = 0

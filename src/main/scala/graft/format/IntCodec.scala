@@ -3,33 +3,53 @@ package graft.format
 import scala.collection.mutable
 
 /** Per-chunk statistics for the integer family, mirroring
-  * NumberStats (/root/reference/btrblocks/stats/NumberStats.hpp:78-130):
-  * min, max, distinct/unique counts, run count, sortedness, top value.
+  * NumberStats (/root/reference/btrblocks/stats/NumberStats.hpp:78-130).
+  *
+  * Split into two tiers:
+  *  - EXACT (one cheap branch-free pass, no hashing): count, min, max,
+  *    runCount, isSorted. Encoders depend on these for correctness
+  *    (FOR rebase, OneValue gate, delta sortedness), so they are never
+  *    sampled.
+  *  - SAMPLED (stratified runs, ref stats/NumberStats.hpp:34-76): the
+  *    frequency-derived stats — distinct estimate, top value, FOR-width
+  *    histogram — that only steer scheme SELECTION. Sampling replaces the
+  *    former per-value LongMap over every 65,536-row chunk, the write
+  *    path's dominant stats cost at scale.
   */
 final case class IntStats(
     count: Int,
     min: Long,
     max: Long,
-    distinct: Int,
     runCount: Int,
     isSorted: Boolean,
-    topValue: Long,
-    topCount: Int,
-    widthHist: Array[Int]
+    sampleN: Int, // values sampled (== count when exhaustive)
+    sDistinct: Int, // distinct within the sample
+    distinctEst: Int, // Chao1-style chunk-distinct estimate, capped at count
+    topValue: Long, // most frequent value in the sample
+    sTopCount: Int, // its in-sample frequency
+    widthHist: Array[Int] // FOR-width histogram over the sample
 ) {
   def avgRunLength: Double = if (runCount == 0) 0.0 else count.toDouble / runCount
+
+  /** Full-chunk / sample scale factor for extrapolating sampled counts. */
+  def scale: Double = if (sampleN == 0) 1.0 else count.toDouble / sampleN
 }
 
 object IntStats {
-  def compute(values: Array[Long], count: Int): IntStats = {
+  def compute(
+      values: Array[Long],
+      count: Int,
+      seed: Long = 42L,
+      sampleRuns: Int = 10,
+      runLen: Int = 64
+  ): IntStats = {
     if (count == 0)
-      return IntStats(0, 0L, 0L, 0, 0, isSorted = true, 0L, 0, new Array[Int](65))
+      return IntStats(0, 0L, 0L, 0, isSorted = true, 0, 0, 0, 0L, 0, new Array[Int](65))
+    // exact pass: min/max/runs/sortedness (no hashing)
     var min = values(0)
     var max = values(0)
     var runs = 1
     var sorted = true
-    val freq = new mutable.LongMap[Int](math.min(count, 1 << 12))
-    freq(values(0)) = 1
     var i = 1
     while (i < count) {
       val v = values(i)
@@ -37,17 +57,50 @@ object IntStats {
       if (v > max) max = v
       if (v != values(i - 1)) runs += 1
       if (v < values(i - 1)) sorted = false
-      freq(v) = freq.getOrElse(v, 0) + 1
       i += 1
+    }
+    // sampled pass: frequency map over stratified runs (exhaustive on
+    // small chunks where sampling saves nothing)
+    val exhaustive = sampleRuns <= 0 || count <= sampleRuns * runLen * 2
+    val freq = new mutable.LongMap[Int](1 << 10)
+    val hist = new Array[Int](65)
+    var sampleN = 0
+    @inline def addSample(v: Long): Unit = {
+      freq(v) = freq.getOrElse(v, 0) + 1
+      hist(Bitpack.bitsForRange(0L, v - min)) += 1
+      sampleN += 1
+    }
+    if (exhaustive) {
+      i = 0
+      while (i < count) { addSample(values(i)); i += 1 }
+    } else {
+      val rnd = new java.util.Random(seed)
+      var r = 0
+      while (r < sampleRuns) {
+        val start = rnd.nextInt(count - runLen + 1)
+        var j = start
+        val end = start + runLen
+        while (j < end) { addSample(values(j)); j += 1 }
+        r += 1
+      }
     }
     var topV = values(0)
     var topC = 0
-    val hist = new Array[Int](65)
+    var f1 = 0
+    var f2 = 0
     freq.foreachEntry { (k, c) =>
       if (c > topC) { topC = c; topV = k }
-      hist(Bitpack.bitsForRange(0L, k - min)) += c
+      if (c == 1) f1 += 1 else if (c == 2) f2 += 1
     }
-    IntStats(count, min, max, freq.size, runs, sorted, topV, topC, hist)
+    val d = freq.size
+    val distinctEst =
+      if (exhaustive) d
+      else {
+        // Chao1: d + f1^2 / 2*f2 (f1*(f1-1)/2 when f2 == 0)
+        val extra = if (f2 > 0) f1.toDouble * f1 / (2.0 * f2) else f1.toDouble * (f1 - 1) / 2.0
+        math.min(count.toLong, math.max(d.toLong, math.round(d + extra))).toInt
+      }
+    IntStats(count, min, max, runs, sorted, sampleN, d, distinctEst, topV, topC, hist)
   }
 }
 
@@ -74,10 +127,13 @@ object IntCodec {
   val Frequency = 6
   val Pfor = 7
 
-  /** Patched-FOR plan: the (width, nExceptions, estBytes) minimizing total
-    * size over the chunk's bit-width histogram — outliers beyond `width`
-    * bits become patches (the functional analog of FastPFor's per-block
-    * exception patching, /root/reference/btrblocks/scheme/integer/PBP.cpp:18-56).
+  /** Patched-FOR plan: the (width, estExceptions, estBytes) minimizing
+    * total size over the sampled bit-width histogram — outliers beyond
+    * `width` bits become patches (the functional analog of FastPFor's
+    * per-block exception patching,
+    * /root/reference/btrblocks/scheme/integer/PBP.cpp:18-56). Exception
+    * counts are extrapolated from the sample; the encoder recounts them
+    * exactly.
     */
   private def pforPlan(s: IntStats): (Int, Int, Long) = {
     val full = Bitpack.bitsForRange(s.min, s.max)
@@ -89,7 +145,7 @@ object IntCodec {
     var w = 0
     while (w < full) {
       cum += s.widthHist(w)
-      val exc = s.count - cum
+      val exc = math.round((s.sampleN - cum) * s.scale).toInt
       val size = 2L + 9 + Bitpack.packedBytes(s.count, w) + 4 +
         exc.toLong * (posBits + full) / 8 + 24
       if (size < best) { best = size; bestW = w; bestExc = exc }
@@ -98,25 +154,26 @@ object IntCodec {
     (bestW, bestExc, best)
   }
 
-  /** Closed-form size estimates (bytes) per candidate, from full-chunk
-    * stats — deterministic replacement for the reference's sampling
+  /** Closed-form size estimates (bytes) per candidate: exact stats where
+    * the encoder needs them anyway (min/max/runs), sampled proportions for
+    * the frequency-derived ones — the role of the reference's sampling
     * estimator (/root/reference/btrblocks/scheme/CompressionScheme.cpp:8-46).
     */
   private def estimate(scheme: Int, s: IntStats, physWidth: Int, depth: Int): Long = {
     val n = s.count.toLong
     scheme match {
       case Uncompressed => 2 + n * physWidth
-      case OneValue => if (s.distinct <= 1) 10L else Long.MaxValue
+      case OneValue => if (s.runCount <= 1) 10L else Long.MaxValue
       case ForBp => 2 + 9 + Bitpack.packedBytes(s.count, Bitpack.bitsForRange(s.min, s.max)) + 2
       case DeltaBp =>
         if (!s.isSorted || s.count < 2 || depth < 1) Long.MaxValue
         // delta width unknown without a pass; assume range/distinct spread
         else 2 + 17 + n * math.max(1, Bitpack.bitsForRange(s.min, s.max) - Bitpack.bitsFor(n)) / 8
       case Dict =>
-        if (depth < 1 || s.distinct >= s.count) Long.MaxValue
+        if (depth < 1 || s.distinctEst >= s.count) Long.MaxValue
         else {
-          val codeBits = math.max(1, Bitpack.bitsFor((s.distinct - 1).toLong))
-          val dictBytes = s.distinct.toLong * math.min(8, physWidth) // dict re-encoded; upper bound
+          val codeBits = math.max(1, Bitpack.bitsFor((s.distinctEst - 1).toLong))
+          val dictBytes = s.distinctEst.toLong * math.min(8, physWidth) // dict re-encoded; upper bound
           2 + 8 + dictBytes + Bitpack.packedBytes(s.count, codeBits)
         }
       case Rle =>
@@ -128,10 +185,12 @@ object IntCodec {
           2 + 8 + r * valBits / 8 + r * lenBits / 8 + 24
         }
       case Frequency =>
-        // gates per SchemeConfig.hpp:17 + Frequency.hpp:42-46
-        if (depth < 1 || s.distinct * 2 > s.count || s.topCount * 10 < s.count * 9) Long.MaxValue
+        // gates per SchemeConfig.hpp:17 + Frequency.hpp:42-46, evaluated
+        // as sample proportions
+        if (depth < 1 || s.sDistinct * 2 > s.sampleN || s.sTopCount.toLong * 10 < s.sampleN.toLong * 9)
+          Long.MaxValue
         else {
-          val exc = (s.count - s.topCount).toLong
+          val exc = math.round(n * (s.sampleN - s.sTopCount).toDouble / math.max(1, s.sampleN))
           val posBits = Bitpack.bitsFor((s.count - 1).toLong)
           2 + 16 + exc * (posBits + Bitpack.bitsForRange(s.min, s.max)) / 8 + 24
         }
@@ -150,36 +209,109 @@ object IntCodec {
   private val AllSchemes =
     Array(OneValue, ForBp, DeltaBp, Dict, Rle, Frequency, Pfor, Uncompressed)
 
-  def choose(s: IntStats, physWidth: Int, depth: Int): Int = {
+  def choose(s: IntStats, physWidth: Int, depth: Int, cfg: BtrConfig = BtrConfig.Default): Int = {
     if (s.count == 0) return Uncompressed
-    if (s.distinct <= 1) return OneValue
+    if (s.runCount <= 1) return OneValue // exact: a single run means constant
     var best = Uncompressed
     var bestSize = estimate(Uncompressed, s, physWidth, depth)
     var i = 0
     while (i < AllSchemes.length) {
       val sch = AllSchemes(i)
-      val e = estimate(sch, s, physWidth, depth)
-      if (e < bestSize) { best = sch; bestSize = e }
+      if (sch == Uncompressed || sch == OneValue || cfg.intEnabled(sch)) {
+        val e = estimate(sch, s, physWidth, depth)
+        if (e < bestSize) { best = sch; bestSize = e }
+      }
       i += 1
     }
     best
   }
 
-  /** Encode `count` values with the greedy-selected scheme; writes
-    * [u8 scheme][payload]. Anti-regression: if the encoded payload ends
-    * up larger than raw, rewrites as Uncompressed.
+  /** Schemes that can encode this chunk without data loss (used by
+    * TRY_ALL and forced-scheme validation). OneValue requires a constant
+    * chunk; everything else encodes arbitrary data.
     */
-  def encode(out: BufWriter, values: Array[Long], count: Int, physWidth: Int, depth: Int): Unit = {
+  private def structurallyValid(scheme: Int, s: IntStats, depth: Int): Boolean = scheme match {
+    case OneValue => s.runCount <= 1
+    case Uncompressed | ForBp => true
+    case DeltaBp => s.count >= 2
+    case Dict | Rle | Frequency => depth >= 1 && s.count >= 1
+    case Pfor => depth >= 1 && s.count >= 1 && Bitpack.bitsForRange(s.min, s.max) > 0
+    case _ => false
+  }
+
+  /** Encode `count` values; writes [u8 scheme][payload]. SAMPLE mode
+    * (default): greedy pick over estimates with an anti-regression guard
+    * (SchemePicker.hpp:181-190). TRY_ALL (cfg.tryAll): encode every
+    * eligible candidate and keep the smallest
+    * (ref SchemePicker.hpp:139-179).
+    */
+  def encode(
+      out: BufWriter,
+      values: Array[Long],
+      count: Int,
+      physWidth: Int,
+      depth: Int,
+      cfg: BtrConfig = BtrConfig.Default,
+      seed: Long = 42L
+  ): Unit = {
+    val s = IntStats.compute(values, count, seed, cfg.sampleRuns, cfg.sampleRunLen)
+    if (cfg.tryAll) {
+      tryAllEncode(out, values, count, physWidth, depth, cfg, s)
+      return
+    }
     val start = out.pos
-    val s = IntStats.compute(values, count)
-    val scheme = choose(s, physWidth, depth)
-    encodeAs(scheme, out, values, count, physWidth, depth, s)
-    // anti-regression guard (SchemePicker.hpp:181-190)
+    val scheme = choose(s, physWidth, depth, cfg)
+    encodeAs(scheme, out, values, count, physWidth, depth, s, cfg, seed)
     val rawSize = 1 + count.toLong * physWidth
     if (scheme != Uncompressed && (out.pos - start).toLong > rawSize) {
       out.truncate(start)
-      encodeAs(Uncompressed, out, values, count, physWidth, depth, s)
+      encodeAs(Uncompressed, out, values, count, physWidth, depth, s, cfg, seed)
     }
+  }
+
+  /** Forced top-level scheme (the Spark analog of EnforceScheme,
+    * ref test/test-cases/V2.cpp:14-98): validates the scheme can hold the
+    * data, then encodes with it; cascade sub-blocks still self-select.
+    */
+  def encodeForced(
+      scheme: Int,
+      out: BufWriter,
+      values: Array[Long],
+      count: Int,
+      physWidth: Int,
+      depth: Int,
+      cfg: BtrConfig = BtrConfig.Default,
+      seed: Long = 42L
+  ): Unit = {
+    val s = IntStats.compute(values, count, seed, cfg.sampleRuns, cfg.sampleRunLen)
+    require(structurallyValid(scheme, s, depth),
+      s"btr.forceScheme: ${BtrConfig.intNames(scheme)} cannot encode this chunk " +
+        s"(count=$count, runs=${s.runCount}, depth=$depth)")
+    encodeAs(scheme, out, values, count, physWidth, depth, s, cfg, seed)
+  }
+
+  private def tryAllEncode(
+      out: BufWriter,
+      values: Array[Long],
+      count: Int,
+      physWidth: Int,
+      depth: Int,
+      cfg: BtrConfig,
+      s: IntStats
+  ): Unit = {
+    var bestBytes: Array[Byte] = null
+    var i = 0
+    while (i < AllSchemes.length) {
+      val sch = AllSchemes(i)
+      val allowed = sch == Uncompressed || sch == OneValue || cfg.intEnabled(sch)
+      if (allowed && structurallyValid(sch, s, depth)) {
+        val scratch = new BufWriter(1 << 12)
+        encodeAs(sch, scratch, values, count, physWidth, depth, s, cfg, 42L)
+        if (bestBytes == null || scratch.pos < bestBytes.length) bestBytes = scratch.result()
+      }
+      i += 1
+    }
+    out.putBytes(bestBytes)
   }
 
   def encodeAs(
@@ -189,8 +321,12 @@ object IntCodec {
       count: Int,
       physWidth: Int,
       depth: Int,
-      s: IntStats
+      s: IntStats,
+      cfg: BtrConfig = BtrConfig.Default,
+      seed: Long = 42L
   ): Unit = {
+    // derived seed for cascade sub-blocks (distinct per nesting level)
+    val sub = seed * 6364136223846793005L + 1442695040888963407L
     out.putByte(scheme)
     scheme match {
       case Uncompressed => writeRaw(out, values, count, physWidth)
@@ -231,44 +367,56 @@ object IntCodec {
         // sorted distinct values; codes cascade-compressed
         val dict = distinctSorted(values, count)
         out.putInt(dict.length)
-        encode(out, dict, dict.length, 8, depth - 1)
+        encode(out, dict, dict.length, 8, depth - 1, cfg, sub)
         val codes = new Array[Long](count)
         var i = 0
         while (i < count) {
           codes(i) = binarySearch(dict, values(i)).toLong
           i += 1
         }
-        encode(out, codes, count, 8, depth - 1)
+        encode(out, codes, count, 8, depth - 1, cfg, sub + 1)
       case Rle =>
         val (runVals, runLens, nRuns) = runs(values, count)
         out.putInt(nRuns)
-        encode(out, runVals, nRuns, 8, depth - 1)
-        encode(out, runLens, nRuns, 8, depth - 1)
+        encode(out, runVals, nRuns, 8, depth - 1, cfg, sub)
+        encode(out, runLens, nRuns, 8, depth - 1, cfg, sub + 1)
       case Frequency =>
+        // top value comes from the (possibly sampled) stats; the exception
+        // count is recounted exactly so sampling can never corrupt data
         val top = s.topValue
-        val nExc = count - s.topCount
+        var nExc = 0
+        var i = 0
+        while (i < count) { if (values(i) != top) nExc += 1; i += 1 }
         out.putLong(top)
         out.putInt(nExc)
         val pos = new Array[Long](nExc)
         val exc = new Array[Long](nExc)
         var p = 0
-        var i = 0
+        i = 0
         while (i < count) {
           if (values(i) != top) { pos(p) = i.toLong; exc(p) = values(i); p += 1 }
           i += 1
         }
-        encode(out, pos, nExc, 8, depth - 1) // sorted → DeltaBp
-        encode(out, exc, nExc, 8, depth - 1)
+        encode(out, pos, nExc, 8, depth - 1, cfg, sub) // sorted → DeltaBp
+        encode(out, exc, nExc, 8, depth - 1, cfg, sub + 1)
       case Pfor =>
-        val (w, nExc, _) = pforPlan(s)
+        // width from the (possibly sampled) plan; exceptions recounted
+        // exactly against that width
+        val (w, _, _) = pforPlan(s)
         out.putLong(s.min)
         out.putByte(w)
+        val limit = Bitpack.mask(w)
+        var nExc = 0
+        var i = 0
+        while (i < count) {
+          if (java.lang.Long.compareUnsigned(values(i) - s.min, limit) > 0) nExc += 1
+          i += 1
+        }
         val rebased = new Array[Long](count)
         val pos = new Array[Long](nExc)
         val exc = new Array[Long](nExc)
-        val limit = Bitpack.mask(w)
         var p = 0
-        var i = 0
+        i = 0
         while (i < count) {
           val r = values(i) - s.min
           // unsigned comparison: wraparound rebase can go negative as i64
@@ -281,8 +429,8 @@ object IntCodec {
         }
         Bitpack.pack(rebased, count, w, out)
         out.putInt(nExc)
-        encode(out, pos, nExc, 8, depth - 1) // sorted → DeltaBp
-        encode(out, exc, nExc, 8, depth - 1)
+        encode(out, pos, nExc, 8, depth - 1, cfg, sub) // sorted → DeltaBp
+        encode(out, exc, nExc, 8, depth - 1, cfg, sub + 1)
     }
   }
 

@@ -19,50 +19,133 @@ object StringCodec {
   // FSST gates per /root/reference/btrblocks/scheme/string/Fsst.cpp:119-127
   private val FsstMinBytes = 16 * 1024
 
+  /** Exact: count, totalLen, runCount (OneValue safety gate). Sampled:
+    * distinct proportion (dict-vs-fsst steering), like Int/DoubleStats.
+    */
   final case class StringStats(
       count: Int,
       totalLen: Long,
-      distinct: Int,
-      uniqueLen: Long,
-      runCount: Int
+      runCount: Int,
+      sampleN: Int,
+      sDistinct: Int
   )
 
-  def computeStats(values: Array[Array[Byte]], count: Int): StringStats = {
-    if (count == 0) return StringStats(0, 0L, 0, 0L, 0)
+  def computeStats(
+      values: Array[Array[Byte]],
+      count: Int,
+      seed: Long = 42L,
+      sampleRuns: Int = 10,
+      runLen: Int = 64
+  ): StringStats = {
+    if (count == 0) return StringStats(0, 0L, 0, 0, 0)
     var total = 0L
     var runs = 1
-    val seen = new mutable.HashSet[ByteKey]()
-    var uniqueLen = 0L
     var i = 0
     while (i < count) {
       total += values(i).length
       if (i > 0 && !java.util.Arrays.equals(values(i), values(i - 1))) runs += 1
-      val k = new ByteKey(values(i))
-      if (seen.add(k)) uniqueLen += values(i).length
       i += 1
     }
-    StringStats(count, total, seen.size, uniqueLen, runs)
+    val exhaustive = sampleRuns <= 0 || count <= sampleRuns * runLen * 2
+    val seen = new mutable.HashSet[ByteKey]()
+    var sampleN = 0
+    if (exhaustive) {
+      i = 0
+      while (i < count) { seen.add(new ByteKey(values(i))); sampleN += 1; i += 1 }
+    } else {
+      val rnd = new java.util.Random(seed)
+      var r = 0
+      while (r < sampleRuns) {
+        val start = rnd.nextInt(count - runLen + 1)
+        var j = start
+        val end = start + runLen
+        while (j < end) { seen.add(new ByteKey(values(j))); sampleN += 1; j += 1 }
+        r += 1
+      }
+    }
+    StringStats(count, total, runs, sampleN, seen.size)
   }
 
-  def encode(out: BufWriter, values: Array[Array[Byte]], count: Int, depth: Int): Unit = {
+  def encode(
+      out: BufWriter,
+      values: Array[Array[Byte]],
+      count: Int,
+      depth: Int,
+      cfg: BtrConfig = BtrConfig.Default,
+      seed: Long = 42L
+  ): Unit = {
+    val s = computeStats(values, count, seed, cfg.sampleRuns, cfg.sampleRunLen)
+    if (cfg.tryAll) {
+      tryAllEncode(out, values, count, depth, cfg, s, seed)
+      return
+    }
     val start = out.pos
-    val s = computeStats(values, count)
-    val scheme = choose(s, depth)
-    encodeAs(scheme, out, values, count, depth, s)
+    val scheme = choose(s, depth, cfg)
+    encodeAs(scheme, out, values, count, depth, s, cfg, seed)
     val rawApprox = 1L + 4 + count.toLong * 4 + s.totalLen
     if (scheme != Uncompressed && (out.pos - start).toLong > rawApprox) {
       out.truncate(start)
-      encodeAs(Uncompressed, out, values, count, depth, s)
+      encodeAs(Uncompressed, out, values, count, depth, s, cfg, seed)
     }
   }
 
-  private def choose(s: StringStats, depth: Int): Int = {
+  /** Forced top-level scheme; validates data-loss safety first. */
+  def encodeForced(
+      scheme: Int,
+      out: BufWriter,
+      values: Array[Array[Byte]],
+      count: Int,
+      depth: Int,
+      cfg: BtrConfig = BtrConfig.Default,
+      seed: Long = 42L
+  ): Unit = {
+    val s = computeStats(values, count, seed, cfg.sampleRuns, cfg.sampleRunLen)
+    require(structurallyValid(scheme, s, depth),
+      s"btr.forceScheme: ${BtrConfig.stringNames(scheme)} cannot encode this chunk " +
+        s"(count=$count, runs=${s.runCount}, depth=$depth)")
+    encodeAs(scheme, out, values, count, depth, s, cfg, seed)
+  }
+
+  private def structurallyValid(scheme: Int, s: StringStats, depth: Int): Boolean = scheme match {
+    case OneValue => s.runCount <= 1
+    case Uncompressed => true
+    case Dict => depth >= 1 && s.count >= 1
+    case Fsst => depth >= 1 && s.count >= 1 && FsstCodec.enabled
+    case _ => false
+  }
+
+  private def tryAllEncode(
+      out: BufWriter,
+      values: Array[Array[Byte]],
+      count: Int,
+      depth: Int,
+      cfg: BtrConfig,
+      s: StringStats,
+      seed: Long
+  ): Unit = {
+    val candidates = Array(OneValue, Dict, Fsst, Uncompressed)
+    var bestBytes: Array[Byte] = null
+    var i = 0
+    while (i < candidates.length) {
+      val sch = candidates(i)
+      val allowed = sch == Uncompressed || sch == OneValue || cfg.stringEnabled(sch)
+      if (allowed && structurallyValid(sch, s, depth)) {
+        val scratch = new BufWriter(1 << 12)
+        encodeAs(sch, scratch, values, count, depth, s, cfg, seed)
+        if (bestBytes == null || scratch.pos < bestBytes.length) bestBytes = scratch.result()
+      }
+      i += 1
+    }
+    out.putBytes(bestBytes)
+  }
+
+  private def choose(s: StringStats, depth: Int, cfg: BtrConfig = BtrConfig.Default): Int = {
     if (s.count == 0) return Uncompressed
-    if (s.distinct <= 1) return OneValue
-    if (depth >= 1 && s.distinct * 2 <= s.count) return Dict
+    if (s.runCount <= 1) return OneValue // exact: single run == constant
+    if (depth >= 1 && cfg.stringEnabled(Dict) && s.sDistinct * 2 <= s.sampleN) return Dict
     // whole-column FSST when high uniqueness and enough bytes
-    if (depth >= 1 && s.totalLen > FsstMinBytes && s.distinct * 2 > s.count &&
-      graft.format.FsstCodec.enabled) return Fsst
+    if (depth >= 1 && cfg.stringEnabled(Fsst) && s.totalLen > FsstMinBytes &&
+      s.sDistinct * 2 > s.sampleN && graft.format.FsstCodec.enabled) return Fsst
     Uncompressed
   }
 
@@ -72,12 +155,15 @@ object StringCodec {
       values: Array[Array[Byte]],
       count: Int,
       depth: Int,
-      s: StringStats
+      s: StringStats,
+      cfg: BtrConfig = BtrConfig.Default,
+      seed: Long = 42L
   ): Unit = {
+    val sub = seed * 6364136223846793005L + 1442695040888963407L
     out.putByte(scheme)
     scheme match {
       case Uncompressed =>
-        writeLengths(out, values, count, depth)
+        writeLengths(out, values, count, depth, cfg, sub)
         var i = 0
         while (i < count) { out.putBytes(values(i)); i += 1 }
       case OneValue =>
@@ -91,11 +177,12 @@ object StringCodec {
         var dictBytes = 0L
         var j = 0
         while (j < dict.length) { dictBytes += dict(j).length; j += 1 }
-        val useFsst = FsstCodec.enabled && dictBytes >= FsstMinBytes
+        val useFsst = FsstCodec.enabled && dictBytes >= FsstMinBytes &&
+          cfg.stringEnabled(Fsst)
         out.putByte(if (useFsst) 1 else 0)
         if (useFsst) FsstCodec.encodeStrings(out, dict, dict.length, depth - 1)
         else {
-          writeLengths(out, dict, dict.length, depth - 1)
+          writeLengths(out, dict, dict.length, depth - 1, cfg, sub)
           j = 0
           while (j < dict.length) { out.putBytes(dict(j)); j += 1 }
         }
@@ -108,7 +195,7 @@ object StringCodec {
         val codes = new Array[Long](count)
         var i = 0
         while (i < count) { codes(i) = index(new ByteKey(values(i))).toLong; i += 1 }
-        IntCodec.encode(out, codes, count, 8, depth - 1)
+        IntCodec.encode(out, codes, count, 8, depth - 1, cfg, sub + 1)
       case Fsst =>
         FsstCodec.encodeStrings(out, values, count, depth - 1)
     }
@@ -173,11 +260,18 @@ object StringCodec {
     }
   }
 
-  private def writeLengths(out: BufWriter, values: Array[Array[Byte]], count: Int, depth: Int): Unit = {
+  private def writeLengths(
+      out: BufWriter,
+      values: Array[Array[Byte]],
+      count: Int,
+      depth: Int,
+      cfg: BtrConfig = BtrConfig.Default,
+      seed: Long = 42L
+  ): Unit = {
     val lens = new Array[Long](count)
     var i = 0
     while (i < count) { lens(i) = values(i).length.toLong; i += 1 }
-    IntCodec.encode(out, lens, count, 4, math.max(depth, 1))
+    IntCodec.encode(out, lens, count, 4, math.max(depth, 1), cfg, seed)
   }
 
   private def readLengths(in: BufReader, count: Int): Array[Int] = {

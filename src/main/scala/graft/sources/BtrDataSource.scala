@@ -78,4 +78,11 @@ object BtrOptions {
   /** Target bytes per read split when grouping row groups into partitions. */
   def splitBytes(options: CaseInsensitiveStringMap): Long =
     options.getLong("btr.maxSplitBytes", 128L * 1024 * 1024)
+
+  /** Scheme-selection config: `btr.schemes` (comma list of enabled scheme
+    * names), `btr.forceScheme.{int,double,string}`, and `btr.selection`
+    * in {sample (default), tryall, full}.
+    */
+  def config(options: CaseInsensitiveStringMap): graft.format.BtrConfig =
+    graft.format.BtrConfig.fromOptions(k => Option(options.get(k)))
 }

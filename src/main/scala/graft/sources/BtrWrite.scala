@@ -29,17 +29,19 @@ class BtrWriteBuilder(path: String, schema: StructType, options: CaseInsensitive
 
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
-      new BtrBatchWrite(path, schema, truncateOnCommit, BtrOptions.blockSize(options), BtrOptions.cascade(options))
+      new BtrBatchWrite(path, schema, truncateOnCommit, BtrOptions.blockSize(options),
+        BtrOptions.cascade(options), BtrOptions.config(options))
   }
 }
 
 final case class BtrCommitMessage(fileName: String, numRows: Long) extends WriterCommitMessage
 
-class BtrBatchWrite(path: String, schema: StructType, truncate: Boolean, blockSize: Int, cascade: Int)
+class BtrBatchWrite(path: String, schema: StructType, truncate: Boolean, blockSize: Int, cascade: Int,
+    cfg: BtrConfig = BtrConfig.Default)
     extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new BtrWriterFactory(path, schema, blockSize, cascade)
+    new BtrWriterFactory(path, schema, blockSize, cascade, cfg)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = new Path(path)
@@ -64,13 +66,15 @@ class BtrBatchWrite(path: String, schema: StructType, truncate: Boolean, blockSi
   }
 }
 
-class BtrWriterFactory(path: String, schema: StructType, blockSize: Int, cascade: Int)
+class BtrWriterFactory(path: String, schema: StructType, blockSize: Int, cascade: Int,
+    cfg: BtrConfig = BtrConfig.Default)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new BtrDataWriter(path, schema, blockSize, cascade, partitionId, taskId)
+    new BtrDataWriter(path, schema, blockSize, cascade, partitionId, taskId, cfg)
 }
 
-class BtrDataWriter(path: String, schema: StructType, blockSize: Int, cascade: Int, partitionId: Int, taskId: Long)
+class BtrDataWriter(path: String, schema: StructType, blockSize: Int, cascade: Int, partitionId: Int, taskId: Long,
+    cfg: BtrConfig = BtrConfig.Default)
     extends DataWriter[InternalRow] {
 
   private val fileName = f"part-$partitionId%05d-$taskId.btr"
@@ -155,7 +159,11 @@ class BtrDataWriter(path: String, schema: StructType, blockSize: Int, cascade: I
       chunk.strings = stringCols(c)
       chunk.isNull = nullCols(c)
       encodeBuf.truncate(0)
-      val stats = ChunkCodec.encode(encodeBuf, chunk, cascade)
+      // deterministic sampling seed per (partition, row group, column) —
+      // the seeded-sampler contract from SURVEY §7.4; never derived from
+      // the taskId, so re-running the same write samples identically
+      val seed = (partitionId.toLong << 40) ^ (rowGroups.length.toLong << 16) ^ c.toLong
+      val stats = ChunkCodec.encode(encodeBuf, chunk, cascade, cfg, seed)
       val blobLen = encodeBuf.pos
       out.write(encodeBuf.backing, 0, blobLen)
       val statsKind =

@@ -1,0 +1,168 @@
+package graft.sources
+
+import graft.format.BtrTableMeta
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The public scheme-config surface (the Spark analog of the reference's
+  * EnforceScheme tests, test/test-cases/V2.cpp:14-98, and the SchemePool
+  * enabled-set, scheme/SchemePool.cpp:115-119): forcing each scheme
+  * through writer options must round-trip losslessly and actually select
+  * that scheme; TRY_ALL must never be larger than SAMPLE selection.
+  */
+class BtrConfigSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("btr-config-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def tmp(name: String) = s"/tmp/btr-config-spec/$name"
+
+  private def intFixture: DataFrame = {
+    import spark.implicits._
+    // mixed shape: long runs + outliers + moderate distinct, so every
+    // int scheme can structurally encode it
+    (0 until 20000).map(i => (i.toLong, (i / 64).toLong * 3, if (i % 997 == 0) 1L << 40 else (i % 50).toLong))
+      .toDF("id", "runs", "outliers")
+  }
+
+  private def schemesOf(dir: String): Set[String] = {
+    graft.functions.BtrInspect.describe(spark, dir)
+      .select("scheme_tree").collect().map(_.getString(0)).toSet
+  }
+
+  private def assertRoundTrip(df: DataFrame, dir: String): Unit = {
+    val back = spark.read.format("btr").load(dir)
+    val a = df.collect().map(_.toString).sorted
+    val b = back.collect().map(_.toString).sorted
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("forceScheme.int selects each forced scheme and round-trips") {
+    val df = intFixture
+    for (scheme <- Seq("rle", "dict", "forbp", "frequency", "pfor", "deltabp", "uncompressed")) {
+      val dir = tmp(s"force_$scheme")
+      val w = df.coalesce(1).write.format("btr").mode("overwrite")
+        .option("btr.forceScheme.int", scheme)
+      // frequency's gate is irrelevant under force, but it still needs a
+      // sane fixture; all our columns qualify structurally
+      w.save(dir)
+      assertRoundTrip(df, dir)
+      val trees = schemesOf(dir)
+      val marker = scheme match {
+        case "forbp" => "for_bp"
+        case "deltabp" => "delta_bp"
+        case "frequency" => "freq"
+        case "uncompressed" => "raw"
+        case s => s
+      }
+      assert(trees.exists(_.startsWith(marker)), s"forced $scheme, got trees: $trees")
+    }
+  }
+
+  test("forceScheme.string selects dict/fsst/uncompressed and round-trips") {
+    import spark.implicits._
+    val docs = (0 until 5000).map(i => s"document body number ${i % 100} with shared vocabulary")
+      .toDF("text")
+    for (scheme <- Seq("dict", "uncompressed")) {
+      val dir = tmp(s"force_str_$scheme")
+      docs.coalesce(1).write.format("btr").mode("overwrite")
+        .option("btr.forceScheme.string", scheme).save(dir)
+      assertRoundTrip(docs, dir)
+      val marker = if (scheme == "uncompressed") "raw" else scheme
+      assert(schemesOf(dir).exists(_.startsWith(marker)))
+    }
+  }
+
+  test("forceScheme.double selects pseudodecimal and round-trips bit-exactly") {
+    import spark.implicits._
+    val df = (0 until 5000).map(i => i * 0.01).toDF("price")
+    val dir = tmp("force_dbl_pd")
+    df.coalesce(1).write.format("btr").mode("overwrite")
+      .option("btr.forceScheme.double", "pseudodecimal").save(dir)
+    assertRoundTrip(df, dir)
+    assert(schemesOf(dir).exists(_.startsWith("pseudodec")))
+  }
+
+  test("forcing onevalue on non-constant data fails fast") {
+    import spark.implicits._
+    val df = Seq(1L, 2L, 3L).toDF("v")
+    val e = intercept[Exception] {
+      df.coalesce(1).write.format("btr").mode("overwrite")
+        .option("btr.forceScheme.int", "onevalue").save(tmp("force_bad"))
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("btr.schemes restricts selection to the enabled set") {
+    val df = intFixture
+    val dir = tmp("restricted")
+    // only forbp allowed (plus the always-available fallbacks): the runs
+    // column would normally pick rle/dict
+    df.coalesce(1).write.format("btr").mode("overwrite")
+      .option("btr.schemes", "forbp").save(dir)
+    assertRoundTrip(df, dir)
+    val trees = schemesOf(dir)
+    assert(!trees.exists(t => t.startsWith("rle") || t.startsWith("dict")), trees.toString)
+  }
+
+  test("unknown scheme names fail fast") {
+    import spark.implicits._
+    val df = Seq(1L).toDF("v")
+    val e = intercept[Exception] {
+      df.write.format("btr").mode("overwrite")
+        .option("btr.schemes", "nope").save(tmp("bad_scheme"))
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("TRY_ALL is never larger than SAMPLE selection") {
+    def sizeOf(dir: String): Long = {
+      val p = new Path(dir)
+      val fs = p.getFileSystem(BtrTableMeta.hadoopConf())
+      BtrTableMeta.listDataFiles(fs, p).map(f => fs.getFileStatus(f).getLen).sum
+    }
+    // fixtures spanning the int/double/string families, incl. the real
+    // testdata lineitem at sf0.001
+    val fixtures: Seq[(String, DataFrame)] = Seq(
+      "ints" -> intFixture,
+      "lineitem" -> spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet"))
+    var strictlySmaller = false
+    for ((name, df) <- fixtures) {
+      val dSample = tmp(s"sel_sample_$name")
+      val dTry = tmp(s"sel_tryall_$name")
+      df.coalesce(1).write.format("btr").mode("overwrite").save(dSample)
+      df.coalesce(1).write.format("btr").mode("overwrite")
+        .option("btr.selection", "tryall").save(dTry)
+      assertRoundTrip(df, dTry)
+      val (sSz, tSz) = (sizeOf(dSample), sizeOf(dTry))
+      assert(tSz <= sSz, s"$name: tryall $tSz > sample $sSz")
+      if (tSz < sSz) strictlySmaller = true
+    }
+    assert(strictlySmaller, "expected TRY_ALL to beat SAMPLE on at least one fixture")
+  }
+
+  test("sampled selection is deterministic per seed and lossless on skewed data") {
+    import spark.implicits._
+    // 200k rows, heavy skew + outliers: sampling steers selection, exact
+    // encode-side recounts keep it lossless
+    val df = (0 until 200000)
+      .map(i => (if (i % 1000 == 0) i.toLong * 1000003 else 7L, s"s${i % 3}"))
+      .toDF("skewed", "s")
+    val d1 = tmp("sampled_1")
+    val d2 = tmp("sampled_2")
+    df.coalesce(1).write.format("btr").mode("overwrite").save(d1)
+    df.coalesce(1).write.format("btr").mode("overwrite").save(d2)
+    assertRoundTrip(df, d1)
+    def bytes(dir: String) = {
+      val p = new Path(dir)
+      val fs = p.getFileSystem(BtrTableMeta.hadoopConf())
+      BtrTableMeta.listDataFiles(fs, p).map(f => fs.getFileStatus(f).getLen).sum
+    }
+    assert(bytes(d1) == bytes(d2), "same data + seed must produce identical sizes")
+  }
+}
