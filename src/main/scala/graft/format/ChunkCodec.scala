@@ -72,7 +72,8 @@ final class ColumnChunk(val tag: Int, val count: Int) {
 object ChunkCodec {
   final case class ChunkStats(
       nullCount: Int, minLong: Long, maxLong: Long, minDouble: Double, maxDouble: Double,
-      hasMinMax: Boolean, minBytes: Array[Byte] = null, maxBytes: Array[Byte] = null)
+      hasMinMax: Boolean, minBytes: Array[Byte] = null, maxBytes: Array[Byte] = null,
+      rawBytes: Long = 0L)
 
   /** Max stored length of string chunk bounds (Parquet-style truncation:
     * a min prefix stays a valid lower bound; a max prefix is incremented at
@@ -128,7 +129,8 @@ object ChunkCodec {
         i += 1
       }
       val has = nullCount < chunk.count
-      ChunkStats(nullCount, mn, mx, 0, 0, has)
+      ChunkStats(nullCount, mn, mx, 0, 0, has,
+        rawBytes = chunk.count.toLong * PhysType.physWidth(tag))
     } else if (tag == PhysType.Double || tag == PhysType.Float) {
       if (tag == PhysType.Float) {
         // floats stored as raw bits via the int path (lossless, narrower)
@@ -159,7 +161,8 @@ object ChunkCodec {
         }
         i += 1
       }
-      ChunkStats(nullCount, 0, 0, mn, mx, has)
+      ChunkStats(nullCount, 0, 0, mn, mx, has,
+        rawBytes = chunk.count.toLong * (if (tag == PhysType.Float) 4 else 8))
     } else {
       cfg.forceString match {
         case Some(f) => StringCodec.encodeForced(f, out, chunk.strings, chunk.count, cascadeDepth, cfg, seed)
@@ -169,8 +172,10 @@ object ChunkCodec {
       // Spark's UTF8String comparison uses, so scan-side skipping is exact
       var mn: Array[Byte] = null
       var mx: Array[Byte] = null
+      var totalLen = 0L
       i = 0
       while (i < chunk.count) {
+        totalLen += chunk.strings(i).length
         if (!chunk.isNull(i)) {
           val v = chunk.strings(i)
           if (mn == null || java.util.Arrays.compareUnsigned(v, mn) < 0) mn = v
@@ -178,9 +183,10 @@ object ChunkCodec {
         }
         i += 1
       }
-      if (mn == null) ChunkStats(nullCount, 0, 0, 0, 0, hasMinMax = false)
+      val raw = totalLen + 4L * chunk.count // bytes + i32 offsets
+      if (mn == null) ChunkStats(nullCount, 0, 0, 0, 0, hasMinMax = false, rawBytes = raw)
       else ChunkStats(nullCount, 0, 0, 0, 0, hasMinMax = true,
-        minBytes = truncMin(mn), maxBytes = truncMax(mx))
+        minBytes = truncMin(mn), maxBytes = truncMax(mx), rawBytes = raw)
     }
   }
 

@@ -175,6 +175,35 @@ object BtrTableMeta {
     DataType.fromJson(schemaJson).asInstanceOf[StructType]
   }
 
+  val StatsFile = "_btr_stats.json"
+
+  /** Commit-time ingest stats (one JSON object per line, spark.read.json
+    * friendly): per column — nulls, raw vs compressed bytes, ratio.
+    */
+  def writeStats(
+      fs: FileSystem,
+      dir: Path,
+      colNames: Array[String],
+      rows: Long,
+      nulls: Array[Long],
+      rawBytes: Array[Long],
+      compBytes: Array[Long]
+  ): Unit = {
+    val sb = new StringBuilder
+    var c = 0
+    while (c < colNames.length) {
+      val ratio =
+        if (compBytes(c) > 0) rawBytes(c).toDouble / compBytes(c) else 0.0
+      sb.append(
+        s"""{"column":"${colNames(c)}","rows":$rows,"nulls":${nulls(c)},""" +
+          f""""raw_bytes":${rawBytes(c)},"compressed_bytes":${compBytes(c)},"ratio":$ratio%.4f}%n""")
+      c += 1
+    }
+    val out = fs.create(new Path(dir, StatsFile), true)
+    out.write(sb.toString.getBytes(StandardCharsets.UTF_8))
+    out.close()
+  }
+
   def listDataFiles(fs: FileSystem, dir: Path): Array[Path] = {
     if (!fs.exists(dir)) return Array.empty
     fs.listStatus(dir)

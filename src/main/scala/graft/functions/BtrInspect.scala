@@ -27,6 +27,27 @@ object BtrInspect {
       ratio: Double
   )
 
+  /** Commit-time ingest stats written by the last successful write
+    * (rows, per-column nulls, raw/compressed bytes, ratio) — the analog
+    * of the reference's `.stats` files (btrfiles/Parser.cpp:184-189).
+    */
+  def tableStats(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    // the stats file is '_'-prefixed (ignored by data scans), so read its
+    // bytes directly instead of through a file-listing source
+    val p = new Path(path, BtrTableMeta.StatsFile)
+    val fs = p.getFileSystem(BtrTableMeta.hadoopConf())
+    val len = fs.getFileStatus(p).getLen.toInt
+    val bytes = new Array[Byte](len)
+    val in = fs.open(p)
+    try in.readFully(0, bytes)
+    finally in.close()
+    val lines = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+      .split("\n").toSeq.filter(_.nonEmpty)
+    spark.read.json(spark.createDataset(lines))
+      .select("column", "rows", "nulls", "raw_bytes", "compressed_bytes", "ratio")
+  }
+
   /** Per-file structural consistency: the chunk blobs must exactly tile
     * the data region [header, fileLen - tail - footer) with contiguous
     * offsets — the analog of the reference's verify-on-write

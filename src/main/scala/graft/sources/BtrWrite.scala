@@ -34,7 +34,13 @@ class BtrWriteBuilder(path: String, schema: StructType, options: CaseInsensitive
   }
 }
 
-final case class BtrCommitMessage(fileName: String, numRows: Long) extends WriterCommitMessage
+final case class BtrCommitMessage(
+    fileName: String,
+    numRows: Long,
+    colNulls: Array[Long] = Array.emptyLongArray,
+    colRawBytes: Array[Long] = Array.emptyLongArray,
+    colCompBytes: Array[Long] = Array.emptyLongArray
+) extends WriterCommitMessage
 
 class BtrBatchWrite(path: String, schema: StructType, truncate: Boolean, blockSize: Int, cascade: Int,
     cfg: BtrConfig = BtrConfig.Default)
@@ -46,7 +52,8 @@ class BtrBatchWrite(path: String, schema: StructType, truncate: Boolean, blockSi
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = new Path(path)
     val fs = dir.getFileSystem(BtrTableMeta.hadoopConf())
-    val committed = messages.collect { case m: BtrCommitMessage => m.fileName }.toSet
+    val msgs = messages.collect { case m: BtrCommitMessage => m }
+    val committed = msgs.map(_.fileName).toSet
     if (truncate) {
       // replace: drop every data file not produced by this write
       BtrTableMeta.listDataFiles(fs, dir).foreach { f =>
@@ -54,13 +61,33 @@ class BtrBatchWrite(path: String, schema: StructType, truncate: Boolean, blockSi
       }
     }
     BtrTableMeta.write(fs, dir, schema, blockSize, cascade)
+    // ingest stats at commit — the analog of the reference's `.stats`
+    // files (btrfiles/Parser.cpp:184-189) + OutputBlockStats
+    // (compression/Compressor.hpp:10-20): per-column nulls, raw vs
+    // compressed bytes, ratio, aggregated over this write's files
+    val n = schema.fields.length
+    val nulls = new Array[Long](n)
+    val raw = new Array[Long](n)
+    val comp = new Array[Long](n)
+    var rows = 0L
+    msgs.filter(_.numRows > 0).foreach { m =>
+      rows += m.numRows
+      var c = 0
+      while (c < n && c < m.colNulls.length) {
+        nulls(c) += m.colNulls(c)
+        raw(c) += m.colRawBytes(c)
+        comp(c) += m.colCompBytes(c)
+        c += 1
+      }
+    }
+    BtrTableMeta.writeStats(fs, dir, schema.fieldNames, rows, nulls, raw, comp)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val dir = new Path(path)
     val fs = dir.getFileSystem(BtrTableMeta.hadoopConf())
     messages.foreach {
-      case BtrCommitMessage(name, _) => fs.delete(new Path(dir, name), false)
+      case m: BtrCommitMessage => fs.delete(new Path(dir, m.fileName), false)
       case _ => ()
     }
   }
@@ -102,6 +129,10 @@ class BtrDataWriter(path: String, schema: StructType, blockSize: Int, cascade: I
   private var totalRows = 0L
   private val rowGroups = scala.collection.mutable.ArrayBuffer.empty[BtrFile.RowGroupMeta]
   private val encodeBuf = new BufWriter(1 << 20)
+  // per-column ingest stats accumulated across row groups (commit metrics)
+  private val colNulls = new Array[Long](numCols)
+  private val colRawBytes = new Array[Long](numCols)
+  private val colCompBytes = new Array[Long](numCols)
 
   private def allocBuffers(): Unit = {
     var c = 0
@@ -185,6 +216,9 @@ class BtrDataWriter(path: String, schema: StructType, blockSize: Int, cascade: I
         maxBytes = stats.maxBytes
       )
       bytesWritten += blobLen
+      colNulls(c) += stats.nullCount
+      colRawBytes(c) += stats.rawBytes
+      colCompBytes(c) += blobLen
       c += 1
     }
     rowGroups += BtrFile.RowGroupMeta(n, colMetas)
@@ -202,7 +236,7 @@ class BtrDataWriter(path: String, schema: StructType, blockSize: Int, cascade: I
       BtrCommitMessage("", 0L)
     } else {
       fs.rename(new Path(dir, tmpName), new Path(dir, fileName))
-      BtrCommitMessage(fileName, totalRows)
+      BtrCommitMessage(fileName, totalRows, colNulls, colRawBytes, colCompBytes)
     }
   }
 
