@@ -115,6 +115,18 @@ object CoreQueries {
         sum(length(col("l_returnflag"))).as("total_len"))
     }),
 
+    // Q-agg-meta: ungrouped count/min/max answered metadata-only from
+    // row-group footers (aggregate pushdown — zero data bytes read)
+    "q_agg_meta" -> ((s, d) => {
+      t(s, d, "lineitem").agg(
+        count(lit(1)).as("n_rows"),
+        count(col("l_orderkey")).as("n_ok"),
+        min(col("l_orderkey")).as("min_ok"),
+        max(col("l_orderkey")).as("max_ok"),
+        tsFmt(min(col("l_shipdate"))).as("min_ship"),
+        tsFmt(max(col("l_shipdate"))).as("max_ship"))
+    }),
+
     // Q-topfreq: the Frequency-scheme gate statistic
     "q_topfreq" -> ((s, d) => {
       t(s, d, "lineitem").groupBy(col("l_returnflag").as("v"))
@@ -233,6 +245,12 @@ object CoreQueries {
         | count(DISTINCT l_returnflag) AS n_distinct,
         | min(l_returnflag) AS min_v, max(l_returnflag) AS max_v,
         | CAST(sum(length(l_returnflag)) AS BIGINT) AS total_len
+        |FROM lineitem""".stripMargin,
+    "q_agg_meta" ->
+      """SELECT count(*) AS n_rows, count(l_orderkey) AS n_ok,
+        | min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok,
+        | strftime(min(l_shipdate), '%Y-%m-%d %H:%M:%S') AS min_ship,
+        | strftime(max(l_shipdate), '%Y-%m-%d %H:%M:%S') AS max_ship
         |FROM lineitem""".stripMargin,
     "q_topfreq" ->
       """SELECT l_returnflag AS v, count(*) AS freq FROM lineitem

@@ -3,6 +3,7 @@ package graft.sources
 import graft.format._
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.expressions.aggregate
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
@@ -22,10 +23,12 @@ import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
 class BtrScanBuilder(path: String, tableSchema: StructType, options: CaseInsensitiveStringMap)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters
+    with SupportsPushDownAggregates {
 
   private var requiredSchema: StructType = tableSchema
   private var pushed: Array[Filter] = Array.empty
+  private var pushedAgg: Option[aggregate.Aggregation] = None
 
   override def pruneColumns(required: StructType): Unit = {
     requiredSchema = required
@@ -41,8 +44,59 @@ class BtrScanBuilder(path: String, tableSchema: StructType, options: CaseInsensi
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan =
-    new BtrScan(path, tableSchema, requiredSchema, pushed, BtrOptions.splitBytes(options))
+  // ---- metadata-only aggregates ------------------------------------
+  // Ungrouped, unfiltered COUNT/MIN/MAX are answered entirely from the
+  // footer stats — the scan never touches a data byte (Parquet-style
+  // metadata-only queries; exact because footer min/max for the numeric
+  // families are exact, and counts come from numRows/nullCount).
+
+  private def singleCol(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+    e match {
+      case nr: org.apache.spark.sql.connector.expressions.NamedReference
+          if nr.fieldNames().length == 1 =>
+        Some(nr.fieldNames()(0))
+      case _ => None
+    }
+
+  /** min/max answerable exactly from footer stats: the integer families
+    * only. Strings are truncated in the footer; float/double are excluded
+    * because footer stats skip NaN while Spark's MIN/MAX order NaN as the
+    * largest value (and -0.0/0.0 normalization differs), so a
+    * metadata-only answer could diverge when NaNs are present.
+    */
+  private def exactMinMax(name: String): Boolean =
+    tableSchema.fields.find(_.name == name).exists { f =>
+      f.dataType match {
+        case IntegerType | LongType | ShortType | ByteType | BooleanType | DateType |
+            TimestampType | TimestampNTZType => true
+        case _ => false
+      }
+    }
+
+  private def canPushAgg(agg: aggregate.Aggregation): Boolean =
+    pushed.isEmpty && agg.groupByExpressions().isEmpty &&
+      agg.aggregateExpressions().nonEmpty &&
+      agg.aggregateExpressions().forall {
+        case _: aggregate.CountStar => true
+        case c: aggregate.Count =>
+          !c.isDistinct && singleCol(c.column()).exists(n => tableSchema.fieldNames.contains(n))
+        case m: aggregate.Min => singleCol(m.column()).exists(exactMinMax)
+        case m: aggregate.Max => singleCol(m.column()).exists(exactMinMax)
+        case _ => false
+      }
+
+  override def supportCompletePushDown(agg: aggregate.Aggregation): Boolean = canPushAgg(agg)
+
+  override def pushAggregation(agg: aggregate.Aggregation): Boolean = {
+    val ok = canPushAgg(agg)
+    if (ok) pushedAgg = Some(agg)
+    ok
+  }
+
+  override def build(): Scan = pushedAgg match {
+    case Some(agg) => new BtrAggScan(path, tableSchema, agg)
+    case None => new BtrScan(path, tableSchema, requiredSchema, pushed, BtrOptions.splitBytes(options))
+  }
 }
 
 class BtrScan(
@@ -100,6 +154,135 @@ class BtrScan(
 
   override def createReaderFactory(): PartitionReaderFactory =
     new BtrReaderFactory(requiredSchema)
+}
+
+/** Metadata-only aggregate scan: answers ungrouped, unfiltered
+  * COUNT(*)/COUNT(col)/MIN/MAX entirely from row-group footer stats. One
+  * task reads only footers (tail reads) — zero data bytes touched.
+  */
+class BtrAggScan(path: String, tableSchema: StructType, agg: aggregate.Aggregation)
+    extends Scan
+    with Batch {
+
+  private def colNameOf(e: org.apache.spark.sql.connector.expressions.Expression): String =
+    e.asInstanceOf[org.apache.spark.sql.connector.expressions.NamedReference].fieldNames()(0)
+
+  // (kind, columnIndex): kind 0=count(*), 1=count(col), 2=min, 3=max
+  private val specs: Array[(Int, Int)] = agg.aggregateExpressions().map {
+    case _: aggregate.CountStar => (0, -1)
+    case c: aggregate.Count => (1, tableSchema.fieldIndex(colNameOf(c.column())))
+    case m: aggregate.Min => (2, tableSchema.fieldIndex(colNameOf(m.column())))
+    case m: aggregate.Max => (3, tableSchema.fieldIndex(colNameOf(m.column())))
+    case other => throw new IllegalStateException(s"unsupported pushed agg $other")
+  }
+
+  override def readSchema(): StructType = StructType(specs.map {
+    case (0, _) => StructField("count(*)", LongType, nullable = false)
+    case (1, ci) => StructField(s"count(${tableSchema.fields(ci).name})", LongType, nullable = false)
+    case (k, ci) =>
+      val f = tableSchema.fields(ci)
+      StructField(s"${if (k == 2) "min" else "max"}(${f.name})", f.dataType, nullable = true)
+  })
+
+  override def description(): String =
+    s"btr $path, metadata-only aggregates: [${agg.aggregateExpressions().mkString(", ")}]"
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(BtrTableMeta.hadoopConf())
+    val files = BtrTableMeta.listDataFiles(fs, dir).map(_.toString)
+    Array(BtrAggPartition(files))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val sch = readSchema()
+    val sp = specs
+    val tsch = tableSchema
+    (partition: InputPartition) => new BtrAggReader(partition.asInstanceOf[BtrAggPartition], tsch, sch, sp)
+  }
+}
+
+final case class BtrAggPartition(files: Array[String]) extends InputPartition
+
+class BtrAggReader(
+    partition: BtrAggPartition,
+    tableSchema: StructType,
+    outSchema: StructType,
+    specs: Array[(Int, Int)]
+) extends PartitionReader[InternalRow] {
+
+  private var done = false
+
+  override def next(): Boolean = !done
+
+  override def get(): InternalRow = {
+    done = true
+    var rows = 0L
+    val nulls = new Array[Long](tableSchema.fields.length)
+    val minL = Array.fill(tableSchema.fields.length)(Long.MaxValue)
+    val maxL = Array.fill(tableSchema.fields.length)(Long.MinValue)
+    val minD = Array.fill(tableSchema.fields.length)(java.lang.Double.MAX_VALUE)
+    val maxD = Array.fill(tableSchema.fields.length)(-java.lang.Double.MAX_VALUE)
+    val hasStats = new Array[Boolean](tableSchema.fields.length)
+
+    partition.files.foreach { file =>
+      val p = new Path(file)
+      val fs = p.getFileSystem(BtrTableMeta.hadoopConf())
+      val footer = BtrFile.readFooter(fs, p, fs.getFileStatus(p).getLen)
+      footer.rowGroups.foreach { rg =>
+        rows += rg.numRows
+        var c = 0
+        while (c < rg.columns.length) {
+          val m = rg.columns(c)
+          nulls(c) += m.nullCount
+          m.statsKind match {
+            case 1 =>
+              if (m.minLong < minL(c)) minL(c) = m.minLong
+              if (m.maxLong > maxL(c)) maxL(c) = m.maxLong
+              hasStats(c) = true
+            case 2 =>
+              if (m.minDouble < minD(c)) minD(c) = m.minDouble
+              if (m.maxDouble > maxD(c)) maxD(c) = m.maxDouble
+              hasStats(c) = true
+            case _ => ()
+          }
+          c += 1
+        }
+      }
+    }
+
+    val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(specs.length)
+    var i = 0
+    while (i < specs.length) {
+      specs(i) match {
+        case (0, _) => row.setLong(i, rows)
+        case (1, ci) => row.setLong(i, rows - nulls(ci))
+        case (k, ci) =>
+          if (!hasStats(ci)) row.setNullAt(i)
+          else {
+            val dt = tableSchema.fields(ci).dataType
+            val lv = if (k == 2) minL(ci) else maxL(ci)
+            val dv = if (k == 2) minD(ci) else maxD(ci)
+            dt match {
+              case IntegerType | DateType => row.setInt(i, lv.toInt)
+              case ShortType => row.setShort(i, lv.toShort)
+              case ByteType => row.setByte(i, lv.toByte)
+              case LongType | TimestampType | TimestampNTZType => row.setLong(i, lv)
+              case BooleanType => row.setBoolean(i, lv != 0L)
+              case DoubleType => row.setDouble(i, dv)
+              case FloatType => row.setFloat(i, dv.toFloat)
+              case other => throw new IllegalStateException(s"agg pushdown: $other")
+            }
+          }
+      }
+      i += 1
+    }
+    row
+  }
+
+  override def close(): Unit = ()
 }
 
 /** One read split: a set of surviving row groups of one file, with the
@@ -210,6 +393,7 @@ object ChunkSkip {
     case LessThan(a, v) => statable(schema, a) && litOk(v)
     case LessThanOrEqual(a, v) => statable(schema, a) && litOk(v)
     case In(a, vs) => statable(schema, a) && vs.nonEmpty && vs.forall(litOk)
+    case StringStartsWith(a, v) => statable(schema, a) && v != null && v.nonEmpty
     case IsNull(a) => schema.fieldNames.contains(a)
     case IsNotNull(a) => schema.fieldNames.contains(a)
     case And(l, r) => supports(schema, l) || supports(schema, r)
@@ -246,6 +430,20 @@ object ChunkSkip {
   // unsigned lexicographic — the ordering UTF8String comparison uses
   private def cmpBytes(a: Array[Byte], b: Array[Byte]): Int =
     java.util.Arrays.compareUnsigned(a, b)
+
+  /** Smallest byte string greater than every string with prefix p (the
+    * prefix incremented at its last non-0xFF byte), or null if none.
+    */
+  private def prefixUpperBound(p: Array[Byte]): Array[Byte] = {
+    var i = p.length - 1
+    while (i >= 0 && p(i) == -1) i -= 1
+    if (i < 0) null
+    else {
+      val t = java.util.Arrays.copyOf(p, i + 1)
+      t(i) = (t(i) + 1).toByte
+      t
+    }
+  }
 
   private def toLongLit(v: Any): Long = v match {
     case i: Int => i.toLong
@@ -294,6 +492,20 @@ object ChunkSkip {
         col(a).exists { case (m, dt) => minAboveOrEq(m, dt, v, strict = false) }
       case In(a, vs) =>
         col(a).exists { case (m, dt) => vs.forall(v => outside(m, dt, v, eqLow = true, eqHigh = true)) }
+      case StringStartsWith(a, p) =>
+        // value starts with p  ⟺  p <= value < increment(p); skip when the
+        // whole group provably sits outside that window
+        col(a).exists { case (m, _) =>
+          m.statsKind == 3 && {
+            val pb = p.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            val belowAll = m.maxBytes != null && cmpBytes(m.maxBytes, pb) < 0
+            val aboveAll = m.minBytes != null && {
+              val ub = prefixUpperBound(pb)
+              ub != null && cmpBytes(m.minBytes, ub) >= 0
+            }
+            belowAll || aboveAll
+          }
+        }
       case And(l, r) => canSkip(schema, rg, l) || canSkip(schema, rg, r)
       case Or(l, r) => canSkip(schema, rg, l) && canSkip(schema, rg, r)
       case _ => false

@@ -170,6 +170,63 @@ class BtrSourceSpec extends AnyFunSuite {
     assert(spark.read.format("btr").load(tmp("mixed")).count() == 8)
   }
 
+  test("ungrouped count/min/max push down to a metadata-only scan") {
+    roundTrip("lineitem")
+    val df = spark.read.format("btr").load(tmp("lineitem"))
+      .agg(
+        count(lit(1)).as("n"),
+        count(col("l_orderkey")).as("nok"),
+        min(col("l_orderkey")).as("mn"),
+        max(col("l_orderkey")).as("mx"),
+        min(col("l_shipdate")).as("mns"),
+        max(col("l_shipdate")).as("mxs"))
+    def scanOf(d: DataFrame) = d.queryExecution.sparkPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+    }.head
+    assert(scanOf(df).isInstanceOf[BtrAggScan], scanOf(df).getClass.toString)
+    val got = df.head
+    val orig = spark.read.parquet(s"$sf/lineitem.parquet")
+    val exp = orig.agg(
+      count(lit(1)), count(col("l_orderkey")), min(col("l_orderkey")), max(col("l_orderkey")),
+      min(col("l_shipdate")), max(col("l_shipdate"))).head
+    assert(got.toString == exp.toString)
+
+    // with a filter present, pushdown must NOT happen (results would need
+    // data reads) — plan falls back to the normal scan
+    val filtered = spark.read.format("btr").load(tmp("lineitem"))
+      .filter(col("l_quantity") > 10).agg(min(col("l_orderkey")))
+    assert(scanOf(filtered).isInstanceOf[BtrScan])
+    assert(filtered.head.getLong(0) ==
+      orig.filter(col("l_quantity") > 10).agg(min(col("l_orderkey"))).head.getLong(0))
+
+    // count over a column with nulls uses footer null counts
+    import spark.implicits._
+    Seq((Some(1L), "a"), (None, "b"), (Some(3L), "c")).toDF("v", "s")
+      .write.format("btr").mode("overwrite").save(tmp("nullcount"))
+    val nc = spark.read.format("btr").load(tmp("nullcount"))
+      .agg(count(col("v")), count(lit(1)), min(col("v")), max(col("v")))
+    assert(scanOf(nc).isInstanceOf[BtrAggScan])
+    val r = nc.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) == ((2L, 3L, 1L, 3L)))
+  }
+
+  test("string prefix predicate (startsWith) skips chunks") {
+    val orig = spark.read.parquet(s"$sf/part.parquet")
+    orig.sort("p_brand").coalesce(1).write.format("btr")
+      .option("btr.blockSize", "32").mode("overwrite").save(tmp("part_prefix"))
+    val back = spark.read.format("btr").load(tmp("part_prefix"))
+    def surviving(df: DataFrame): Int =
+      df.queryExecution.executedPlan.collectLeaves().head
+        .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.BatchScanExec]
+        .inputPartitions.collect { case p: BtrInputPartition => p }.map(_.groups.length).sum
+    val hit = back.filter(col("p_brand").startsWith("Brand#3"))
+    assert(hit.count() == orig.filter(col("p_brand").startsWith("Brand#3")).count())
+    assert(surviving(hit) < surviving(back.filter(col("p_brand").isNotNull)))
+    val none = back.filter(col("p_brand").startsWith("Zrand"))
+    assert(none.count() == 0)
+    assert(surviving(none) == 0)
+  }
+
   test("sql over btr: agg/join runs through Catalyst") {
     roundTrip("orders", 1)
     roundTrip("customer", 1)
