@@ -106,7 +106,21 @@ class BtrScan(
     filters: Array[Filter],
     splitBytes: Long
 ) extends Scan
-    with Batch {
+    with Batch
+    with SupportsRuntimeFiltering {
+
+  // runtime filters (e.g. IN-sets of join keys from a filtered broadcast
+  // side, Spark's DPP analog for DSv2) arrive after planning starts and
+  // compose with the statically pushed filters for chunk skipping
+  private var runtimeFilters: Array[Filter] = Array.empty
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    // must resolve against the scan's (column-pruned) output
+    requiredSchema.fieldNames.map(org.apache.spark.sql.connector.expressions.Expressions.column)
+
+  override def filter(fs: Array[Filter]): Unit = {
+    runtimeFilters = fs.filter(ChunkSkip.supports(tableSchema, _))
+  }
 
   override def readSchema(): StructType = requiredSchema
 
@@ -120,6 +134,7 @@ class BtrScan(
     val fs = dir.getFileSystem(BtrTableMeta.hadoopConf())
     val files = BtrTableMeta.listDataFiles(fs, dir)
     val colIndices = requiredSchema.fields.map(f => tableSchema.fieldIndex(f.name))
+    val allFilters = filters ++ runtimeFilters
 
     val partitions = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
     files.foreach { file =>
@@ -138,7 +153,7 @@ class BtrScan(
         }
       }
       footer.rowGroups.foreach { rg =>
-        val keep = filters.isEmpty || !filters.exists(f => ChunkSkip.canSkip(tableSchema, rg, f))
+        val keep = allFilters.isEmpty || !allFilters.exists(f => ChunkSkip.canSkip(tableSchema, rg, f))
         if (keep) {
           val offsets = colIndices.map(ci => rg.columns(ci).offset)
           val lengths = colIndices.map(ci => rg.columns(ci).length)

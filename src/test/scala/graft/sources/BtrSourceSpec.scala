@@ -227,6 +227,26 @@ class BtrSourceSpec extends AnyFunSuite {
     assert(surviving(none) == 0)
   }
 
+  test("runtime IN filters prune row groups (dynamic pruning path)") {
+    val orig = spark.read.parquet(s"$sf/lineitem.parquet")
+    orig.sort("l_orderkey").coalesce(1).write.format("btr")
+      .option("btr.blockSize", "512").mode("overwrite").save(tmp("li_runtime"))
+    val back = spark.read.format("btr").load(tmp("li_runtime"))
+    val scan = back.queryExecution.sparkPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+    }.head.asInstanceOf[BtrScan]
+    val before = scan.planInputPartitions()
+      .collect { case p: BtrInputPartition => p.groups.length }.sum
+    // simulate Spark delivering a runtime IN-set of join keys
+    val minKey = orig.agg(min("l_orderkey")).head.getLong(0)
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("l_orderkey", Array(minKey, minKey + 1))))
+    val after = scan.planInputPartitions()
+      .collect { case p: BtrInputPartition => p.groups.length }.sum
+    assert(after < before, s"runtime filter should prune: $after vs $before")
+    assert(after >= 1)
+  }
+
   test("sql over btr: agg/join runs through Catalyst") {
     roundTrip("orders", 1)
     roundTrip("customer", 1)
