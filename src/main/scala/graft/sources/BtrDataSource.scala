@@ -60,7 +60,8 @@ class BtrTable(path: String, tableSchema: StructType) extends Table with Support
   override def schema(): StructType = tableSchema
 
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE, TableCapability.TRUNCATE).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new BtrScanBuilder(path, tableSchema, options)

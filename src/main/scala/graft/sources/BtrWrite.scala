@@ -4,6 +4,7 @@ import graft.format._
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.write.streaming
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -31,6 +32,37 @@ class BtrWriteBuilder(path: String, schema: StructType, options: CaseInsensitive
     override def toBatch: BatchWrite =
       new BtrBatchWrite(path, schema, truncateOnCommit, BtrOptions.blockSize(options),
         BtrOptions.cascade(options), BtrOptions.config(options))
+    override def toStreaming: streaming.StreamingWrite =
+      new BtrStreamingWrite(path, schema, BtrOptions.blockSize(options),
+        BtrOptions.cascade(options), BtrOptions.config(options))
+  }
+}
+
+/** Streaming sink: each epoch appends btr files named deterministically
+  * by (epoch, partition) — a re-attempted epoch overwrites its own files
+  * (rename-over), keeping the sink idempotent per epoch. Commit writes
+  * the table meta so readers see the appended epochs.
+  */
+class BtrStreamingWrite(path: String, schema: StructType, blockSize: Int, cascade: Int, cfg: BtrConfig)
+    extends streaming.StreamingWrite {
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo): streaming.StreamingDataWriterFactory =
+    BtrStreamingWriterFactory(path, schema, blockSize, cascade, cfg)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(BtrTableMeta.hadoopConf())
+    BtrTableMeta.write(fs, dir, schema, blockSize, cascade)
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(BtrTableMeta.hadoopConf())
+    messages.foreach {
+      case m: BtrCommitMessage if m.fileName.nonEmpty =>
+        fs.delete(new Path(dir, m.fileName), false)
+      case _ => ()
+    }
   }
 }
 
@@ -93,6 +125,14 @@ class BtrBatchWrite(path: String, schema: StructType, truncate: Boolean, blockSi
   }
 }
 
+final case class BtrStreamingWriterFactory(
+    path: String, schema: StructType, blockSize: Int, cascade: Int, cfg: BtrConfig)
+    extends streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
+    new BtrDataWriter(path, schema, blockSize, cascade, partitionId, taskId, cfg,
+      fileNameOverride = Some(f"part-e$epochId%06d-$partitionId%05d.btr"))
+}
+
 class BtrWriterFactory(path: String, schema: StructType, blockSize: Int, cascade: Int,
     cfg: BtrConfig = BtrConfig.Default)
     extends DataWriterFactory {
@@ -101,10 +141,10 @@ class BtrWriterFactory(path: String, schema: StructType, blockSize: Int, cascade
 }
 
 class BtrDataWriter(path: String, schema: StructType, blockSize: Int, cascade: Int, partitionId: Int, taskId: Long,
-    cfg: BtrConfig = BtrConfig.Default)
+    cfg: BtrConfig = BtrConfig.Default, fileNameOverride: Option[String] = None)
     extends DataWriter[InternalRow] {
 
-  private val fileName = f"part-$partitionId%05d-$taskId.btr"
+  private val fileName = fileNameOverride.getOrElse(f"part-$partitionId%05d-$taskId.btr")
   private val tmpName = s"_tmp_$fileName"
   private val dir = new Path(path)
   private val fs = dir.getFileSystem(BtrTableMeta.hadoopConf())

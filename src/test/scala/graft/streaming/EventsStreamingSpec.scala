@@ -28,6 +28,32 @@ class EventsStreamingSpec extends AnyFunSuite {
     out
   }
 
+  test("btr works as a streaming sink (append per epoch, readable after)") {
+    val out = "/tmp/btr-stream-sink"
+    val ckpt = "/tmp/btr-stream-ckpt"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    val stream = spark.readStream
+      .schema(spark.read.parquet(dir).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val q = stream.writeStream
+      .format("btr")
+      .option("checkpointLocation", ckpt)
+      .start(out)
+    try q.processAllAvailable()
+    finally q.stop()
+    val back = spark.read.format("btr").load(out)
+    val batch = spark.read.parquet(dir)
+    assert(back.count() == batch.count())
+    assert(back.agg(round(sum("value"), 2)).head.getDouble(0) ==
+      batch.agg(round(sum("value"), 2)).head.getDouble(0))
+    // multiple epochs → multiple files appended
+    val files = new java.io.File(out).listFiles().count(_.getName.endsWith(".btr"))
+    assert(files >= 2, s"expected multiple epoch files, got $files")
+  }
+
   test("windowed streaming agg equals batch agg") {
     val stream = EventsStreaming.readEventStream(spark, dir)
     val q = EventsStreaming.hourlyCounts(stream)
