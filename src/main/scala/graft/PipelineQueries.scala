@@ -157,7 +157,7 @@ object PipelineQueries {
     // exactly; every scheme tree parses). Real DuckDB oracle.
     "q_describe_btr" -> ((s, d) => {
       t(s, d, "lineitem").count() // ensure the cache table exists
-      val dir = s"/tmp/graft-btr-cache/${d.replaceAll("[^a-zA-Z0-9.]", "_")}/lineitem"
+      val dir = Btr.cachePath(d, "lineitem")
       val desc = graft.functions.BtrInspect.describe(s, dir)
       val filesOk = graft.functions.BtrInspect.fileConsistency(s, dir)
         .agg(min(when(col("ok"), 1).otherwise(0)).as("files_ok"))

@@ -10,10 +10,18 @@ import org.apache.spark.sql.expressions.Window
   * our scan (SURVEY.md §2.7). Cached per (sfDir, table) under /tmp.
   */
 object Btr {
+  /** Bump when the writer's footer layout/stats change, so a stale cache
+    * from an older build is never scanned.
+    */
+  private val CacheVersion = "v2"
+
   private def cacheDir(sfDir: String, table: String): String = {
     val key = sfDir.replaceAll("[^a-zA-Z0-9.]", "_")
-    s"/tmp/graft-btr-cache/$key/$table"
+    s"/tmp/graft-btr-cache/$CacheVersion/$key/$table"
   }
+
+  /** Public path of a cached btr table (for inspection queries). */
+  def cachePath(sfDir: String, table: String): String = cacheDir(sfDir, table)
 
   /** Table round-tripped through the btr format (write once, then read). */
   def t(spark: SparkSession, sfDir: String, table: String): DataFrame = {
