@@ -30,6 +30,30 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated
   }
 
+  test("a viral duplicate class stays linear, not quadratic (skew guard)") {
+    // 10,000 copies of one document: all-pairs inside its LSH buckets
+    // would be ~5*10^7 candidate pairs; the guard caps over-sized buckets
+    // by pairing members with the bucket's min-id representative instead
+    val n = 10000
+    val viral = (0 until n).map(i =>
+        (i.toLong, "the same viral document body repeated across the corpus many times over"))
+      .toDF("doc_id", "text")
+    val distinctDocs = Seq(
+      (100000L, "one genuinely unique document about columnar compression research"),
+      (100001L, "another unique text mentioning adaptive query execution in spark")
+    ).toDF("doc_id", "text")
+    val pairs = TextOps.minhashDedup(viral.union(distinctDocs), "doc_id", "text",
+      shingleSize = 3, numHashes = 32, bands = 8, threshold = 0.5, maxBucketSize = 256)
+    val cnt = pairs.count()
+    // bounded: every viral member pairs with the representative (id 0),
+    // not with every other member
+    assert(cnt >= n - 1, s"expected the class linked to its representative, got $cnt")
+    assert(cnt < 4L * n, s"expected ~linear pair output, got $cnt")
+    val repPairs = pairs.filter(col("id_a") === 0L).count()
+    assert(repPairs == n - 1, s"representative should link all $n members, got $repPairs")
+    pairs.unpersist()
+  }
+
   test("simhash: identical texts hash identically, near-dups are close, unrelated far") {
     val sh = TextOps.simhash(docs, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
