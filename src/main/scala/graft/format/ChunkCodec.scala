@@ -190,10 +190,13 @@ object ChunkCodec {
     }
   }
 
-  /** Decoded column chunk ready to be copied into a ColumnVector. */
+  /** Decoded column chunk ready to be copied into a ColumnVector;
+    * hasNulls == false enables null-check-free bulk copies.
+    */
   final class Decoded(
       val count: Int,
       val isNull: Array[Boolean],
+      val hasNulls: Boolean,
       val longs: Array[Long],
       val doubles: Array[Double],
       val strLens: Array[Int],
@@ -201,16 +204,16 @@ object ChunkCodec {
   )
 
   def decode(in: BufReader, tag: Int, count: Int): Decoded = {
-    val isNull = NullMap.decode(in, count)
+    val (isNull, hasNulls) = NullMap.decodeWithFlag(in, count)
     if (PhysType.isIntFamily(tag) || tag == PhysType.Float) {
       val longs = IntCodec.decode(in, count)
-      new Decoded(count, isNull, longs, null, null, null)
+      new Decoded(count, isNull, hasNulls, longs, null, null, null)
     } else if (tag == PhysType.Double) {
       val doubles = DoubleCodec.decode(in, count)
-      new Decoded(count, isNull, null, doubles, null, null)
+      new Decoded(count, isNull, hasNulls, null, doubles, null, null)
     } else {
       val (lens, bytes) = StringCodec.decode(in, count)
-      new Decoded(count, isNull, null, null, lens, bytes)
+      new Decoded(count, isNull, hasNulls, null, null, lens, bytes)
     }
   }
 }

@@ -40,10 +40,17 @@ object NullMap {
   }
 
   /** Decode into a fresh dense flag array of length `count`. */
-  def decode(in: BufReader, count: Int): Array[Boolean] = {
+  def decode(in: BufReader, count: Int): Array[Boolean] =
+    decodeWithFlag(in, count)._1
+
+  /** Decode returning (flags, anyNull) — the flag lets readers take a
+    * null-check-free bulk-copy fast path for all-valid chunks.
+    */
+  def decodeWithFlag(in: BufReader, count: Int): (Array[Boolean], Boolean) = {
     val isNull = new Array[Boolean](count)
+    var any = true
     in.getByte() match {
-      case NoNulls => ()
+      case NoNulls => any = false
       case AllNulls => java.util.Arrays.fill(isNull, true)
       case kind =>
         val n = in.getInt()
@@ -58,6 +65,6 @@ object NullMap {
           while (i < n) { isNull(positions(i).toInt) = false; i += 1 }
         }
     }
-    isNull
+    (isNull, any)
   }
 }

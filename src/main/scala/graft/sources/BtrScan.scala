@@ -350,42 +350,65 @@ class BtrColumnarReader(partition: BtrInputPartition, requiredSchema: StructType
 
   private def fillVector(dt: DataType, tag: Int, dec: ChunkCodec.Decoded, n: Int): ColumnVector = {
     val v = new OnHeapColumnVector(n, dt)
+    val nulls = dec.hasNulls
     var i = 0
     tag match {
       case PhysType.Int32 | PhysType.Date =>
-        while (i < n) {
-          if (dec.isNull(i)) v.putNull(i) else v.putInt(i, dec.longs(i).toInt)
-          i += 1
+        if (!nulls) {
+          while (i < n) { v.putInt(i, dec.longs(i).toInt); i += 1 }
+        } else {
+          while (i < n) {
+            if (dec.isNull(i)) v.putNull(i) else v.putInt(i, dec.longs(i).toInt)
+            i += 1
+          }
         }
       case PhysType.Int64 | PhysType.Timestamp | PhysType.TimestampNtz =>
-        while (i < n) {
-          if (dec.isNull(i)) v.putNull(i) else v.putLong(i, dec.longs(i))
-          i += 1
+        if (!nulls) {
+          // null-free fast path: one bulk copy into the vector
+          v.putLongs(0, n, dec.longs, 0)
+        } else {
+          while (i < n) {
+            if (dec.isNull(i)) v.putNull(i) else v.putLong(i, dec.longs(i))
+            i += 1
+          }
         }
       case PhysType.Bool =>
         while (i < n) {
-          if (dec.isNull(i)) v.putNull(i) else v.putBoolean(i, dec.longs(i) != 0L)
+          if (nulls && dec.isNull(i)) v.putNull(i) else v.putBoolean(i, dec.longs(i) != 0L)
           i += 1
         }
       case PhysType.Double =>
-        while (i < n) {
-          if (dec.isNull(i)) v.putNull(i) else v.putDouble(i, dec.doubles(i))
-          i += 1
+        if (!nulls) {
+          v.putDoubles(0, n, dec.doubles, 0)
+        } else {
+          while (i < n) {
+            if (dec.isNull(i)) v.putNull(i) else v.putDouble(i, dec.doubles(i))
+            i += 1
+          }
         }
       case PhysType.Float =>
         while (i < n) {
-          if (dec.isNull(i)) v.putNull(i)
+          if (nulls && dec.isNull(i)) v.putNull(i)
           else v.putFloat(i, java.lang.Float.intBitsToFloat(dec.longs(i).toInt))
           i += 1
         }
       case _ => // string / binary
         var off = 0
-        while (i < n) {
-          val len = dec.strLens(i)
-          if (dec.isNull(i)) v.putNull(i)
-          else v.putByteArray(i, dec.strBytes, off, len)
-          off += len
-          i += 1
+        if (!nulls) {
+          while (i < n) {
+            val len = dec.strLens(i)
+            v.putByteArray(i, dec.strBytes, off, len)
+            off += len
+            i += 1
+          }
+        } else {
+          while (i < n) {
+            val len = dec.strLens(i)
+            if (dec.isNull(i)) v.putNull(i)
+            else v.putByteArray(i, dec.strBytes, off, len)
+            off += len
+            i += 1
+          }
         }
     }
     v
