@@ -111,6 +111,32 @@ object PipelineQueries {
           (col("n_hit").cast("double") / col("n_exact") >= 0.3).as("recall_ok"))
     }),
 
+    // IVF ANN (k-means coarse quantizer, probe nprobe cells), scored as
+    // recall@3 against in-Spark brute force like q_ann_lsh
+    "q_ann_ivf" -> ((s, d) => {
+      val emb = pq(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val cands = emb.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val ivf = SimilarityOps.ivfTopK(queries, cands, 3, nlist = 16, nprobe = 6)
+        .select(col("qid"), col("cid"))
+      val exact = SimilarityOps.bruteForceTopK(queries, cands, 3)
+        .select(col("qid"), col("cid"))
+      val hits = exact.join(ivf, Seq("qid", "cid"), "left_semi")
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+        .select(col("n_exact"),
+          (col("n_hit").cast("double") / col("n_exact") >= 0.3).as("recall_ok"))
+    }),
+
+    // BPE-style token counting (lookahead-free GPT-2 pre-tokenizer regex,
+    // identical split in Java regex and RE2 → exact DuckDB oracle)
+    "q_token_bpe" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("doc_id"), TextOps.bpeTokenCount(col("text")).as("n_bpe"))
+        .orderBy("doc_id")
+    }),
+
     // language ID via stopword-overlap heuristic + agreement with label
     "q_lang_id" -> ((s, d) => {
       t(s, d, "documents")
@@ -273,6 +299,21 @@ object PipelineQueries {
          |SELECT doc_id, lang, pred, CASE WHEN pred = lang THEN 1 ELSE 0 END AS agree
          |FROM pred_t ORDER BY doc_id""".stripMargin
     },
+    "q_ann_ivf" ->
+      """WITH sims AS (
+        | SELECT q.vec_id AS qid, c.vec_id AS cid,
+        |  list_cosine_similarity(q.embedding, c.embedding) AS cos
+        | FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        | WHERE q.vec_id < 10),
+        | ranked AS (SELECT qid, cid,
+        |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rank
+        | FROM sims)
+        |SELECT count(*) AS n_exact, true AS recall_ok FROM ranked WHERE rank <= 3""".stripMargin,
+    "q_token_bpe" ->
+      """SELECT doc_id,
+        | len(regexp_extract_all(text,
+        |   '''(?:[sdmt]|ll|ve|re)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+')) AS n_bpe
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_fingerprint" ->
       """SELECT count(*) AS n_docs,
         | count(DISTINCT lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS n_unique_fp

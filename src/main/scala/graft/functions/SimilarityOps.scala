@@ -87,6 +87,47 @@ object SimilarityOps {
     joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** IVF (inverted-file) ANN: a k-means coarse quantizer partitions the
+    * candidates into nlist cells; each query probes its nprobe nearest
+    * centroids and ranks only those cells' members by exact cosine. The
+    * standard scale shape for embedding search: one shuffle on the cell
+    * id replaces the cross join, and the quantizer would be fit on a
+    * sample at production scale. Deterministic via the fixed seed.
+    */
+  def ivfTopK(
+      queries: DataFrame, // (qid, qvec)
+      candidates: DataFrame, // (cid, cvec)
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.ml.functions.array_to_vector
+    val assembled = candidates.withColumn("fvec", array_to_vector(col("cvec")))
+    val model = new org.apache.spark.ml.clustering.KMeans()
+      .setK(nlist).setSeed(42L).setFeaturesCol("fvec").setPredictionCol("cluster")
+      .fit(assembled)
+    val cb = model.transform(assembled).drop("fvec")
+    val centers = model.clusterCenters.map(_.toArray)
+    // per-query probed cells: nprobe nearest centroids (squared euclid)
+    val distPairs = centers.zipWithIndex.map { case (cArr, i) =>
+      val cCol = array(cArr.map(lit): _*)
+      struct(lit(i).as("cluster"),
+        aggregate(zip_with(toDouble(col("qvec")), cCol, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, v) => acc + v).as("d2"))
+    }
+    val qc = queries.select(col("qid"), col("qvec"), explode(array(distPairs: _*)).as("p"))
+      .select(col("qid"), col("qvec"), col("p.cluster").as("cluster"), col("p.d2").as("d2"))
+    val wp = Window.partitionBy("qid").orderBy(asc("d2"), asc("cluster"))
+    val probes = qc.withColumn("pr", row_number().over(wp)).filter(col("pr") <= nprobe)
+      .select(col("qid"), col("qvec"), col("cluster"))
+    val joined = cb.join(broadcast(probes), Seq("cluster"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), round(cosine(col("qvec"), col("cvec")), 4).as("cos"))
+    val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("cid"))
+    joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Embedding near-duplicate pairs: all (a,b) with cosine ≥ threshold.
     * Exact variant for bounded id ranges; the LSH bucket join is the
     * scale path (same shape as lshTopK).

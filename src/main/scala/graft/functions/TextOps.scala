@@ -251,6 +251,22 @@ object TextOps {
     pick
   }
 
+  // ---- BPE-style tokenization ----------------------------------------
+
+  /** GPT-2-style BPE pre-tokenizer pattern, lookahead-free so that both
+    * Java regex (Spark) and RE2 (DuckDB et al.) produce the identical
+    * split: contractions, space-prefixed letter runs, digit runs,
+    * punctuation runs, whitespace.
+    */
+  val BpePattern: String =
+    "'(?:[sdmt]|ll|ve|re)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** Token count under the BPE-ish pre-tokenizer (the cheap proxy for
+    * "how many LLM tokens is this document").
+    */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpePattern), lit(0)))
+
   // ---- fingerprinting / quality --------------------------------------
 
   /** Deterministic 64-bit document fingerprint over whitespace-normalized
