@@ -53,4 +53,60 @@ object MultimodalOps {
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) => FakeDecoder.decode(id, bytes) })
   }
+
+  /** One sampled frame of a media payload. */
+  final case class Frame(doc_id: Long, frame_idx: Int, width: Int, height: Int, frame_bytes: Array[Byte])
+
+  /** Frame sampling: decode (stubbed) the payload's frame count, keep
+    * every `everyNth` frame, emit one row per kept frame. The fan-out is
+    * partition-local (flatMap, no shuffle); a real decoder would hand
+    * pixel buffers where the stub slices the payload deterministically.
+    */
+  def sampleFrames(spark: SparkSession, media: DataFrame, everyNth: Int): Dataset[Frame] = {
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        val meta = FakeDecoder.decode(id, bytes)
+        val n = meta.fake_frames
+        val sliceLen = math.max(1, bytes.length / math.max(1, n))
+        (0 until n by everyNth).iterator.map { f =>
+          val start = math.min(bytes.length, f * sliceLen)
+          val end = math.min(bytes.length, start + sliceLen)
+          Frame(id, f, meta.fake_width, meta.fake_height,
+            java.util.Arrays.copyOfRange(bytes, start, end))
+        }
+      })
+  }
+
+  /** STUB resize: a real implementation rescales pixel buffers; the stub
+    * re-tags dimensions and truncates the blob proportionally, keeping
+    * the (batch-shaped, partition-local) plumbing identical.
+    */
+  def resizeFrames(spark: SparkSession, frames: Dataset[Frame], w: Int, h: Int): Dataset[Frame] = {
+    import spark.implicits._
+    frames.mapPartitions(_.map { fr =>
+      val scale = math.min(1.0, (w.toLong * h).toDouble / math.max(1L, fr.width.toLong * fr.height))
+      val keep = math.max(1, (fr.frame_bytes.length * scale).toInt)
+      fr.copy(width = w, height = h,
+        frame_bytes = java.util.Arrays.copyOf(fr.frame_bytes, math.min(keep, fr.frame_bytes.length)))
+    })
+  }
+
+  /** Per-frame feature vector. */
+  final case class FrameFeatures(doc_id: Long, frame_idx: Int, features: Array[Float])
+
+  /** STUB feature extraction: deterministic pseudo-embedding (hash-seeded)
+    * per frame — the real version runs a vision model batch per partition.
+    * Output shape (fixed dim, one row per frame) is what downstream
+    * similarity search consumes.
+    */
+  def extractFeatures(spark: SparkSession, frames: Dataset[Frame], dim: Int = 16): Dataset[FrameFeatures] = {
+    import spark.implicits._
+    frames.mapPartitions(_.map { fr =>
+      val seed = java.util.Arrays.hashCode(fr.frame_bytes).toLong ^ (fr.doc_id << 20) ^ fr.frame_idx
+      val rnd = new scala.util.Random(seed)
+      FrameFeatures(fr.doc_id, fr.frame_idx, Array.fill(dim)(rnd.nextFloat()))
+    })
+  }
 }

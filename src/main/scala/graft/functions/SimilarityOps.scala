@@ -129,13 +129,40 @@ object SimilarityOps {
   }
 
   /** Embedding near-duplicate pairs: all (a,b) with cosine ≥ threshold.
-    * Exact variant for bounded id ranges; the LSH bucket join is the
-    * scale path (same shape as lshTopK).
+    * Exact variant for bounded id ranges; [[lshNearDupPairs]] is the
+    * scale path.
     */
   def cosineNearDupPairs(vectors: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
     val a = vectors.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
     val b = vectors.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
     a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), round(cosine(col("v_a"), col("v_b")), 4).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** LSH-bucketed embedding near-dup pairs (the scale path): candidates
+    * share a hyperplane-signature bucket in any table, verified with
+    * exact cosine — one (table, bucket) shuffle instead of a cross join.
+    * High-cosine pairs collide in some table with high probability, so
+    * recall concentrates exactly where dedup needs it.
+    */
+  def lshNearDupPairs(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      numBits: Int = 8,
+      dim: Int = 64,
+      numTables: Int = 6
+  ): DataFrame = {
+    val tables = (0 until numTables).map(t => hyperplanes(numBits, dim, seed = 42L + 1000L * t))
+    val withBuckets = vectors.select(col(idCol).as("id"), col(vecCol).as("v"),
+      posexplode(lshBuckets(col(vecCol), tables)).as(Seq("tbl", "bucket")))
+    val exploded = withBuckets.select(col("id"), col("tbl"), col("bucket"))
+    val cand = TextOps.lshCandidates(exploded, Seq("tbl", "bucket"), 1024)
+    val vA = vectors.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val vB = vectors.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    cand.join(vA, "id_a").join(vB, "id_b")
       .select(col("id_a"), col("id_b"), round(cosine(col("v_a"), col("v_b")), 4).as("cos"))
       .filter(col("cos") >= threshold)
   }

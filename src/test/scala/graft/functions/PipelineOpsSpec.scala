@@ -121,6 +121,50 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(m(1L) != m(3L))
   }
 
+  test("frame sampling / resize / feature plumbing is batch-shaped and deterministic") {
+    val media = docs.select($"doc_id", encode($"text", "UTF-8").as("payload"))
+    val frames = MultimodalOps.sampleFrames(spark, media, everyNth = 2)
+    val rows = frames.collect()
+    assert(rows.nonEmpty)
+    // every kept frame index respects the sampling stride
+    assert(rows.forall(_.frame_idx % 2 == 0))
+    // per-doc fan-out matches the stub's frame count under the stride
+    val byDoc = rows.groupBy(_.doc_id).view.mapValues(_.length).toMap
+    val metas = MultimodalOps.extractMeta(spark, media).collect().map(m => m.doc_id -> m.fake_frames).toMap
+    byDoc.foreach { case (id, n) =>
+      assert(n == (metas(id) + 1) / 2, s"doc $id: $n frames vs meta ${metas(id)}")
+    }
+    // resize re-tags dimensions and never grows the payload
+    val resized = MultimodalOps.resizeFrames(spark, frames, 32, 32).collect()
+    assert(resized.forall(f => f.width == 32 && f.height == 32))
+    val origSizes = rows.map(f => (f.doc_id, f.frame_idx) -> f.frame_bytes.length).toMap
+    assert(resized.forall(f => f.frame_bytes.length <= origSizes((f.doc_id, f.frame_idx))))
+    // features: fixed dim, deterministic across runs
+    val f1 = MultimodalOps.extractFeatures(spark, frames, dim = 16).collect()
+      .map(f => (f.doc_id, f.frame_idx) -> f.features.toSeq).toMap
+    val f2 = MultimodalOps.extractFeatures(spark, MultimodalOps.sampleFrames(spark, media, 2), dim = 16)
+      .collect().map(f => (f.doc_id, f.frame_idx) -> f.features.toSeq).toMap
+    assert(f1 == f2)
+    assert(f1.values.forall(_.length == 16))
+  }
+
+  test("embedding LSH near-dup pairs find planted high-cosine duplicates") {
+    val rnd = new scala.util.Random(7)
+    def randVec() = Array.fill(64)(rnd.nextGaussian().toFloat)
+    def perturb(v: Array[Float]) = v.map(x => x + 0.02f * rnd.nextGaussian().toFloat)
+    val base = (0 until 50).map(i => (i.toLong, randVec()))
+    // plant 5 near-duplicate pairs at ids 1000+
+    val dups = (0 until 5).map(i => (1000L + i, perturb(base(i)._2)))
+    val all = (base ++ dups).toDF("vec_id", "embedding")
+    val pairs = SimilarityOps.lshNearDupPairs(all, "vec_id", "embedding", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0 until 5).foreach { i =>
+      assert(pairs.contains((i.toLong, 1000L + i)), s"missed planted dup $i: $pairs")
+    }
+    // no spurious high-cosine pairs among random vectors
+    assert(pairs.size == 5, pairs.toString)
+  }
+
   test("multimodal extractMeta is deterministic over binary payloads") {
     val media = docs.select($"doc_id", encode($"text", "UTF-8").as("payload"))
     val metas = MultimodalOps.extractMeta(spark, media).collect().sortBy(_.doc_id)
