@@ -73,14 +73,14 @@ object PipelineQueries {
     // embedding cosine near-dup pairs over a bounded id range
     "q_embed_neardup" -> ((s, d) => {
       SimilarityOps.cosineNearDupPairs(
-          pq(s, d, "embeddings").filter(col("vec_id") < 200), "vec_id", "embedding", 0.35)
+          t(s, d, "embeddings").filter(col("vec_id") < 200), "vec_id", "embedding", 0.35)
         .orderBy("id_a", "id_b")
     }),
 
     // brute-force cosine top-3 for the first 10 query vectors (exact ANN
     // baseline; queries broadcast, one pass over candidates)
     "q_ann_topk" -> ((s, d) => {
-      val emb = pq(s, d, "embeddings")
+      val emb = t(s, d, "embeddings")
       val queries = emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       val cands = emb.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
@@ -96,7 +96,7 @@ object PipelineQueries {
     // comes from the data via the DuckDB oracle; recall is deterministic
     // (seeded hyperplanes).
     "q_ann_lsh" -> ((s, d) => {
-      val emb = pq(s, d, "embeddings")
+      val emb = t(s, d, "embeddings")
       val queries = emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       val cands = emb.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
@@ -114,7 +114,7 @@ object PipelineQueries {
     // IVF ANN (k-means coarse quantizer, probe nprobe cells), scored as
     // recall@3 against in-Spark brute force like q_ann_lsh
     "q_ann_ivf" -> ((s, d) => {
-      val emb = pq(s, d, "embeddings")
+      val emb = t(s, d, "embeddings")
       val queries = emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       val cands = emb.select(col("vec_id").as("cid"), col("embedding").as("cvec"))

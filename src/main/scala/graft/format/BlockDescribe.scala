@@ -11,20 +11,37 @@ package graft.format
 object BlockDescribe {
 
   def describeChunk(in: BufReader, tag: Int, count: Int): (String, String) = {
-    val nullKind = in.getByte() match {
-      case NullMap.NoNulls => "all_valid"
-      case NullMap.AllNulls => "all_null"
-      case kind =>
-        val n = in.getInt()
-        val width = in.getByte()
-        in.skip(Bitpack.packedBytes(n, width))
-        if (kind == NullMap.NullPositions) "sparse_nulls" else "sparse_valids"
-    }
+    val nullKind = walkNullMap(in)
     val tree =
       if (PhysType.isIntFamily(tag) || tag == PhysType.Float) describeInt(in, count)
       else if (tag == PhysType.Double) describeDouble(in, count)
+      else if (PhysType.isArrayFamily(tag)) describeArray(in, tag, count)
       else describeString(in, count)
     (nullKind, tree)
+  }
+
+  private def walkNullMap(in: BufReader): String = in.getByte() match {
+    case NullMap.NoNulls => "all_valid"
+    case NullMap.AllNulls => "all_null"
+    case kind =>
+      val n = in.getInt()
+      val width = in.getByte()
+      in.skip(Bitpack.packedBytes(n, width))
+      if (kind == NullMap.NullPositions) "sparse_nulls" else "sparse_valids"
+  }
+
+  private def describeArray(in: BufReader, tag: Int, count: Int): String = {
+    val lensDesc = describeInt(in.duplicate(), count)
+    val lens = IntCodec.decode(in, count) // consume the lengths block
+    var total = 0L
+    var i = 0
+    while (i < count) { total += lens(i); i += 1 }
+    val ec = in.getInt()
+    val elemNulls = walkNullMap(in)
+    val et = PhysType.elemTag(tag)
+    val elemDesc =
+      if (et == PhysType.Double) describeDouble(in, ec) else describeInt(in, ec)
+    s"array(n_elems=$ec, lengths=$lensDesc, elem_nulls=$elemNulls, elems=$elemDesc)"
   }
 
   def describeInt(in: BufReader, count: Int): String = {

@@ -19,6 +19,12 @@ object PhysType {
   val Timestamp = 8 // micros since epoch (long)
   val TimestampNtz = 9
   val Binary = 10
+  // array columns: lengths cascade + flattened element stream (embedding
+  // vectors and the like travel first-class through the format)
+  val ArrFloat = 11
+  val ArrDouble = 12
+  val ArrInt = 13
+  val ArrLong = 14
 
   def of(dt: DataType): Int = dt match {
     case BooleanType => Bool
@@ -33,7 +39,22 @@ object PhysType {
     case BinaryType => Binary
     case ShortType => Int32
     case ByteType => Int32
+    case ArrayType(FloatType, _) => ArrFloat
+    case ArrayType(DoubleType, _) => ArrDouble
+    case ArrayType(IntegerType, _) => ArrInt
+    case ArrayType(LongType, _) => ArrLong
     case other => throw new UnsupportedOperationException(s"btr: unsupported type $other")
+  }
+
+  def isArrayFamily(tag: Int): Boolean = tag >= ArrFloat && tag <= ArrLong
+
+  /** Element tag of an array family tag. */
+  def elemTag(tag: Int): Int = tag match {
+    case ArrFloat => Float
+    case ArrDouble => Double
+    case ArrInt => Int32
+    case ArrLong => Int64
+    case other => throw new IllegalArgumentException(s"$other")
   }
 
   def supported(dt: DataType): Boolean =
@@ -64,6 +85,30 @@ final class ColumnChunk(val tag: Int, val count: Int) {
   var doubles: Array[Double] = _
   var strings: Array[Array[Byte]] = _
   var isNull: Array[Boolean] = new Array[Boolean](count)
+  // array families: per-row element counts + flattened element stream
+  // (int-family/float elements in elemLongs, double elements in elemDoubles)
+  var arrLens: Array[Int] = _
+  var elemLongs: Array[Long] = _
+  var elemDoubles: Array[Double] = _
+  var elemNull: Array[Boolean] = _
+  var elemCount: Int = 0
+
+  def ensureElemCapacity(n: Int): Unit = {
+    if (elemNull == null) {
+      val cap = math.max(n, 1024)
+      elemNull = new Array[Boolean](cap)
+      if (tag == PhysType.ArrDouble) elemDoubles = new Array[Double](cap)
+      else elemLongs = new Array[Long](cap)
+    } else if (elemCount + n > elemNull.length) {
+      var cap = elemNull.length
+      while (cap < elemCount + n) cap <<= 1
+      elemNull = java.util.Arrays.copyOf(elemNull, cap)
+      if (elemDoubles != null) elemDoubles = java.util.Arrays.copyOf(elemDoubles, cap)
+      if (elemLongs != null) elemLongs = java.util.Arrays.copyOf(elemLongs, cap)
+    }
+  }
+
+  def resetElems(): Unit = elemCount = 0
 }
 
 /** Per-column-chunk encode/decode: [nullmap][u8 scheme + payload].
@@ -163,6 +208,25 @@ object ChunkCodec {
       }
       ChunkStats(nullCount, 0, 0, mn, mx, has,
         rawBytes = chunk.count.toLong * (if (tag == PhysType.Float) 4 else 8))
+    } else if (PhysType.isArrayFamily(tag)) {
+      // [lengths cascade][i32 elemCount][element nullmap][element block] —
+      // the variable-length layout of the string codec generalized to
+      // typed element streams (embedding vectors ride first-class).
+      // Forced schemes don't apply here; the sub-blocks self-select.
+      val lens = new Array[Long](chunk.count)
+      i = 0
+      while (i < chunk.count) { lens(i) = chunk.arrLens(i).toLong; i += 1 }
+      IntCodec.encode(out, lens, chunk.count, 4, cascadeDepth, cfg, seed)
+      out.putInt(chunk.elemCount)
+      val eNull = if (chunk.elemNull != null) chunk.elemNull else Array.emptyBooleanArray
+      NullMap.encode(eNull, chunk.elemCount, out)
+      val et = PhysType.elemTag(tag)
+      if (et == PhysType.Double)
+        DoubleCodec.encode(out, chunk.elemDoubles, chunk.elemCount, cascadeDepth, cfg, seed + 7)
+      else
+        IntCodec.encode(out, chunk.elemLongs, chunk.elemCount, PhysType.physWidth(et), cascadeDepth, cfg, seed + 7)
+      ChunkStats(nullCount, 0, 0, 0, 0, hasMinMax = false,
+        rawBytes = 4L * chunk.count + chunk.elemCount.toLong * PhysType.physWidth(et))
     } else {
       cfg.forceString match {
         case Some(f) => StringCodec.encodeForced(f, out, chunk.strings, chunk.count, cascadeDepth, cfg, seed)
@@ -191,7 +255,9 @@ object ChunkCodec {
   }
 
   /** Decoded column chunk ready to be copied into a ColumnVector;
-    * hasNulls == false enables null-check-free bulk copies.
+    * hasNulls == false enables null-check-free bulk copies. For array
+    * tags, longs/doubles hold the flattened ELEMENT stream and arrLens
+    * the per-row element counts.
     */
   final class Decoded(
       val count: Int,
@@ -200,7 +266,11 @@ object ChunkCodec {
       val longs: Array[Long],
       val doubles: Array[Double],
       val strLens: Array[Int],
-      val strBytes: Array[Byte]
+      val strBytes: Array[Byte],
+      val arrLens: Array[Int] = null,
+      val elemIsNull: Array[Boolean] = null,
+      val elemHasNulls: Boolean = false,
+      val elemCount: Int = 0
   )
 
   def decode(in: BufReader, tag: Int, count: Int): Decoded = {
@@ -211,6 +281,20 @@ object ChunkCodec {
     } else if (tag == PhysType.Double) {
       val doubles = DoubleCodec.decode(in, count)
       new Decoded(count, isNull, hasNulls, null, doubles, null, null)
+    } else if (PhysType.isArrayFamily(tag)) {
+      val lensL = IntCodec.decode(in, count)
+      val lens = new Array[Int](count)
+      var i = 0
+      while (i < count) { lens(i) = lensL(i).toInt; i += 1 }
+      val elemCount = in.getInt()
+      val (eNull, eHas) = NullMap.decodeWithFlag(in, elemCount)
+      if (PhysType.elemTag(tag) == PhysType.Double) {
+        val elems = DoubleCodec.decode(in, elemCount)
+        new Decoded(count, isNull, hasNulls, null, elems, null, null, lens, eNull, eHas, elemCount)
+      } else {
+        val elems = IntCodec.decode(in, elemCount)
+        new Decoded(count, isNull, hasNulls, elems, null, null, null, lens, eNull, eHas, elemCount)
+      }
     } else {
       val (lens, bytes) = StringCodec.decode(in, count)
       new Decoded(count, isNull, hasNulls, null, null, lens, bytes)

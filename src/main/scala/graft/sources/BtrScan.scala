@@ -325,31 +325,49 @@ class BtrColumnarReader(partition: BtrInputPartition, requiredSchema: StructType
     extends PartitionReader[ColumnarBatch] {
 
   private val fs = new Path(partition.file).getFileSystem(BtrTableMeta.hadoopConf())
-  private val stream = fs.open(new Path(partition.file))
   private val tags = requiredSchema.fields.map(f => PhysType.of(f.dataType))
+  private var stream: org.apache.hadoop.fs.FSDataInputStream = _
   private var groupIdx = -1
+  // one vector set reused across row groups (reset + refill, like Spark's
+  // parquet vectorized reader) — never close a batch a consumer may still
+  // hold, and no per-group allocation
+  private var vectors: Array[OnHeapColumnVector] = _
   private var batch: ColumnarBatch = _
+
+  // Spark's DataSourceRDD closes a task's PREVIOUS reader when the same
+  // partition is computed again within one task (self-zip / multi-consume,
+  // e.g. MLlib's data.zip(data.map(norm))). The reader must survive that:
+  // close() releases only the stream, and next() lazily reopens it —
+  // vectors are on-heap and GC-managed, so nothing else needs freeing.
+  private def in(): org.apache.hadoop.fs.FSDataInputStream = {
+    if (stream == null) stream = fs.open(new Path(partition.file))
+    stream
+  }
 
   override def next(): Boolean = {
     groupIdx += 1
     if (groupIdx >= partition.groups.length) return false
     val g = partition.groups(groupIdx)
-    val vectors = new Array[ColumnVector](tags.length)
+    if (vectors == null) {
+      var maxRows = 0
+      partition.groups.foreach(gr => if (gr.numRows > maxRows) maxRows = gr.numRows)
+      vectors = requiredSchema.fields.map(f => new OnHeapColumnVector(maxRows, f.dataType))
+      batch = new ColumnarBatch(vectors.asInstanceOf[Array[ColumnVector]], 0)
+    }
     var c = 0
     while (c < tags.length) {
       val blob = new Array[Byte](g.lengths(c))
-      stream.readFully(g.offsets(c), blob)
+      in().readFully(g.offsets(c), blob)
       val dec = ChunkCodec.decode(new BufReader(blob), tags(c), g.numRows)
-      vectors(c) = fillVector(requiredSchema.fields(c).dataType, tags(c), dec, g.numRows)
+      vectors(c).reset()
+      fillVector(vectors(c), requiredSchema.fields(c).dataType, tags(c), dec, g.numRows)
       c += 1
     }
-    if (batch != null) batch.close()
-    batch = new ColumnarBatch(vectors, g.numRows)
+    batch.setNumRows(g.numRows)
     true
   }
 
-  private def fillVector(dt: DataType, tag: Int, dec: ChunkCodec.Decoded, n: Int): ColumnVector = {
-    val v = new OnHeapColumnVector(n, dt)
+  private def fillVector(v: OnHeapColumnVector, dt: DataType, tag: Int, dec: ChunkCodec.Decoded, n: Int): Unit = {
     val nulls = dec.hasNulls
     var i = 0
     tag match {
@@ -392,6 +410,46 @@ class BtrColumnarReader(partition: BtrInputPartition, requiredSchema: StructType
           else v.putFloat(i, java.lang.Float.intBitsToFloat(dec.longs(i).toInt))
           i += 1
         }
+      case t if PhysType.isArrayFamily(t) =>
+        val child = v.arrayData()
+        val ec = dec.elemCount
+        child.reserve(ec)
+        val et = PhysType.elemTag(t)
+        var e = 0
+        et match {
+          case PhysType.Float =>
+            while (e < ec) {
+              if (dec.elemHasNulls && dec.elemIsNull(e)) child.putNull(e)
+              else child.putFloat(e, java.lang.Float.intBitsToFloat(dec.longs(e).toInt))
+              e += 1
+            }
+          case PhysType.Double =>
+            while (e < ec) {
+              if (dec.elemHasNulls && dec.elemIsNull(e)) child.putNull(e)
+              else child.putDouble(e, dec.doubles(e))
+              e += 1
+            }
+          case PhysType.Int32 =>
+            while (e < ec) {
+              if (dec.elemHasNulls && dec.elemIsNull(e)) child.putNull(e)
+              else child.putInt(e, dec.longs(e).toInt)
+              e += 1
+            }
+          case _ => // Int64
+            while (e < ec) {
+              if (dec.elemHasNulls && dec.elemIsNull(e)) child.putNull(e)
+              else child.putLong(e, dec.longs(e))
+              e += 1
+            }
+        }
+        var off = 0
+        while (i < n) {
+          val len = dec.arrLens(i)
+          if (nulls && dec.isNull(i)) v.putNull(i)
+          else v.putArray(i, off, len)
+          off += len
+          i += 1
+        }
       case _ => // string / binary
         var off = 0
         if (!nulls) {
@@ -411,14 +469,17 @@ class BtrColumnarReader(partition: BtrInputPartition, requiredSchema: StructType
           }
         }
     }
-    v
   }
 
   override def get(): ColumnarBatch = batch
 
   override def close(): Unit = {
-    if (batch != null) batch.close()
-    stream.close()
+    // only the stream: a concurrent consumer in the same task may still
+    // hold the batch (see DataSourceRDD note above); vectors are on-heap
+    if (stream != null) {
+      stream.close()
+      stream = null
+    }
   }
 }
 

@@ -164,6 +164,9 @@ class BtrDataWriter(path: String, schema: StructType, blockSize: Int, cascade: I
   private val doubleCols = new Array[Array[Double]](numCols)
   private val stringCols = new Array[Array[Array[Byte]]](numCols)
   private val nullCols = new Array[Array[Boolean]](numCols)
+  // array columns: per-row element counts + growable flattened elements
+  private val arrLenCols = new Array[Array[Int]](numCols)
+  private val arrHold = new Array[ColumnChunk](numCols)
   allocBuffers()
   private var rowsInGroup = 0
   private var totalRows = 0L
@@ -180,7 +183,10 @@ class BtrDataWriter(path: String, schema: StructType, blockSize: Int, cascade: I
       val tag = tags(c)
       if (PhysType.isIntFamily(tag) || tag == PhysType.Float) longCols(c) = new Array[Long](blockSize)
       else if (tag == PhysType.Double) doubleCols(c) = new Array[Double](blockSize)
-      else stringCols(c) = new Array[Array[Byte]](blockSize)
+      else if (PhysType.isArrayFamily(tag)) {
+        arrLenCols(c) = new Array[Int](blockSize)
+        arrHold(c) = new ColumnChunk(tag, blockSize)
+      } else stringCols(c) = new Array[Array[Byte]](blockSize)
       nullCols(c) = new Array[Boolean](blockSize)
       c += 1
     }
@@ -194,6 +200,7 @@ class BtrDataWriter(path: String, schema: StructType, blockSize: Int, cascade: I
         nullCols(c)(i) = true
         if (longCols(c) != null) longCols(c)(i) = 0L
         else if (doubleCols(c) != null) doubleCols(c)(i) = 0.0
+        else if (arrLenCols(c) != null) arrLenCols(c)(i) = 0
         else stringCols(c)(i) = Array.emptyByteArray
       } else {
         nullCols(c)(i) = false
@@ -207,6 +214,32 @@ class BtrDataWriter(path: String, schema: StructType, blockSize: Int, cascade: I
           case FloatType => longCols(c)(i) = java.lang.Float.floatToRawIntBits(row.getFloat(c)).toLong
           case StringType => stringCols(c)(i) = row.getUTF8String(c).getBytes.clone()
           case BinaryType => stringCols(c)(i) = row.getBinary(c).clone()
+          case at: ArrayType =>
+            val arr = row.getArray(c)
+            val n = arr.numElements()
+            val hold = arrHold(c)
+            arrLenCols(c)(i) = n
+            hold.ensureElemCapacity(n)
+            var j = 0
+            while (j < n) {
+              val e = hold.elemCount
+              if (arr.isNullAt(j)) {
+                hold.elemNull(e) = true
+                if (hold.elemLongs != null) hold.elemLongs(e) = 0L else hold.elemDoubles(e) = 0.0
+              } else {
+                hold.elemNull(e) = false
+                at.elementType match {
+                  case FloatType =>
+                    hold.elemLongs(e) = java.lang.Float.floatToRawIntBits(arr.getFloat(j)).toLong
+                  case DoubleType => hold.elemDoubles(e) = arr.getDouble(j)
+                  case IntegerType => hold.elemLongs(e) = arr.getInt(j).toLong
+                  case LongType => hold.elemLongs(e) = arr.getLong(j)
+                  case other => throw new UnsupportedOperationException(s"btr array elem: $other")
+                }
+              }
+              hold.elemCount += 1
+              j += 1
+            }
           case other => throw new UnsupportedOperationException(s"btr write: $other")
         }
       }
@@ -229,6 +262,14 @@ class BtrDataWriter(path: String, schema: StructType, blockSize: Int, cascade: I
       chunk.doubles = doubleCols(c)
       chunk.strings = stringCols(c)
       chunk.isNull = nullCols(c)
+      if (arrHold(c) != null) {
+        val hold = arrHold(c)
+        chunk.arrLens = arrLenCols(c)
+        chunk.elemLongs = hold.elemLongs
+        chunk.elemDoubles = hold.elemDoubles
+        chunk.elemNull = hold.elemNull
+        chunk.elemCount = hold.elemCount
+      }
       encodeBuf.truncate(0)
       // deterministic sampling seed per (partition, row group, column) —
       // the seeded-sampler contract from SURVEY §7.4; never derived from
@@ -259,6 +300,7 @@ class BtrDataWriter(path: String, schema: StructType, blockSize: Int, cascade: I
       colNulls(c) += stats.nullCount
       colRawBytes(c) += stats.rawBytes
       colCompBytes(c) += blobLen
+      if (arrHold(c) != null) arrHold(c).resetElems()
       c += 1
     }
     rowGroups += BtrFile.RowGroupMeta(n, colMetas)

@@ -154,6 +154,36 @@ class BtrSourceSpec extends AnyFunSuite {
     assert(spark.read.format("btr").load(tmp("region")).count() == before)
   }
 
+  test("array columns round-trip (embeddings table + edge shapes)") {
+    // real embeddings table: (bigint, array<float>, int)
+    val (orig, back) = roundTrip("embeddings")
+    assertSameRows(orig, back)
+
+    // edge shapes: null rows, empty arrays, null elements, mixed lengths
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some(Seq(Some(1.5f), None, Some(-0.0f)))),
+      (2L, Some(Seq.empty[Option[Float]])),
+      (3L, None),
+      (4L, Some(Seq(Some(Float.NaN), Some(Float.MaxValue))))
+    ).toDF("id", "vec")
+    df.write.format("btr").mode("overwrite").save(tmp("arr_edge"))
+    assertSameRows(df, spark.read.format("btr").load(tmp("arr_edge")))
+
+    // long/double/int element types
+    val df2 = Seq(
+      (1L, Seq(1L, Long.MinValue), Seq(0.25, -0.0), Seq(7, -7)),
+      (2L, Seq.empty[Long], Seq(1.0), Seq(0))
+    ).toDF("id", "vl", "vd", "vi")
+    df2.write.format("btr").mode("overwrite").save(tmp("arr_types"))
+    assertSameRows(df2, spark.read.format("btr").load(tmp("arr_types")))
+
+    // describe walks array chunks without desync
+    val trees = graft.functions.BtrInspect.describe(spark, tmp("embeddings"))
+      .filter(col("column") === "embedding").select("scheme_tree").collect().map(_.getString(0))
+    assert(trees.nonEmpty && trees.forall(t => t.startsWith("array(") && !t.contains("?")), trees.mkString(";"))
+  }
+
   test("nulls, empty strings and appends round-trip") {
     import spark.implicits._
     val df = Seq(
@@ -245,6 +275,18 @@ class BtrSourceSpec extends AnyFunSuite {
       .collect { case p: BtrInputPartition => p.groups.length }.sum
     assert(after < before, s"runtime filter should prune: $after vs $before")
     assert(after >= 1)
+  }
+
+  test("same partition consumed twice in one task (self-zip) survives") {
+    // Spark's DataSourceRDD closes a task's previous reader when the same
+    // partition is computed again within one task — the exact shape of
+    // MLlib's data.zip(data.map(norm)). The reader must survive that.
+    roundTrip("lineitem")
+    val df = spark.read.format("btr").load(tmp("lineitem")).select("l_orderkey")
+    val rdd = df.rdd.map(_.getLong(0))
+    val zipped = rdd.zip(rdd.map(_ => 1.0))
+    assert(zipped.count() == df.count())
+    assert(zipped.map(_._1).sum() == rdd.sum())
   }
 
   test("sql over btr: agg/join runs through Catalyst") {
