@@ -63,7 +63,7 @@ object Bench {
 
       // pre-warm the query round-trip cache so query timings measure
       // query execution, not the one-time cache write
-      Seq("lineitem", "orders", "customer", "nation", "part", "events", "documents")
+      Seq("lineitem", "orders", "customer", "nation", "part", "events", "documents", "embeddings")
         .foreach(t => Btr.t(spark, sfDir, t).count())
     } catch {
       case e: Throwable => System.err.println(s"[bench] prep failed: ${e.getMessage}")

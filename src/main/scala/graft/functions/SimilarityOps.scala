@@ -104,8 +104,11 @@ object SimilarityOps {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.ml.functions.array_to_vector
     val assembled = candidates.withColumn("fvec", array_to_vector(col("cvec")))
+    // coarse quantizer: random init + few iterations is the standard IVF
+    // trade-off (cells need to be balanced, not converged)
     val model = new org.apache.spark.ml.clustering.KMeans()
       .setK(nlist).setSeed(42L).setFeaturesCol("fvec").setPredictionCol("cluster")
+      .setInitMode("random").setMaxIter(5)
       .fit(assembled)
     val cb = model.transform(assembled).drop("fvec")
     val centers = model.clusterCenters.map(_.toArray)
