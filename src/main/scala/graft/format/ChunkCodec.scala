@@ -25,6 +25,9 @@ object PhysType {
   val ArrDouble = 12
   val ArrInt = 13
   val ArrLong = 14
+  // decimal(precision ≤ 18): stored as the unscaled long through the int
+  // cascade (scale is schema metadata), so skipping/stats come for free
+  val Decimal64 = 15
 
   def of(dt: DataType): Int = dt match {
     case BooleanType => Bool
@@ -43,6 +46,7 @@ object PhysType {
     case ArrayType(DoubleType, _) => ArrDouble
     case ArrayType(IntegerType, _) => ArrInt
     case ArrayType(LongType, _) => ArrLong
+    case d: DecimalType if d.precision <= 18 => Decimal64
     case other => throw new UnsupportedOperationException(s"btr: unsupported type $other")
   }
 
@@ -70,7 +74,7 @@ object PhysType {
 
   def isIntFamily(tag: Int): Boolean =
     tag == Bool || tag == Int32 || tag == Int64 || tag == Date ||
-      tag == Timestamp || tag == TimestampNtz
+      tag == Timestamp || tag == TimestampNtz || tag == Decimal64
 
   def isStringFamily(tag: Int): Boolean = tag == Str || tag == Binary
 }

@@ -69,6 +69,7 @@ class BtrScanBuilder(path: String, tableSchema: StructType, options: CaseInsensi
       f.dataType match {
         case IntegerType | LongType | ShortType | ByteType | BooleanType | DateType |
             TimestampType | TimestampNTZType => true
+        case d: DecimalType if d.precision <= 18 => true
         case _ => false
       }
     }
@@ -288,6 +289,8 @@ class BtrAggReader(
               case BooleanType => row.setBoolean(i, lv != 0L)
               case DoubleType => row.setDouble(i, dv)
               case FloatType => row.setFloat(i, dv.toFloat)
+              case d: DecimalType =>
+                row.update(i, org.apache.spark.sql.types.Decimal(lv, d.precision, d.scale))
               case other => throw new IllegalStateException(s"agg pushdown: $other")
             }
           }
@@ -380,7 +383,8 @@ class BtrColumnarReader(partition: BtrInputPartition, requiredSchema: StructType
             i += 1
           }
         }
-      case PhysType.Int64 | PhysType.Timestamp | PhysType.TimestampNtz =>
+      case PhysType.Int64 | PhysType.Timestamp | PhysType.TimestampNtz | PhysType.Decimal64 =>
+        // decimal(≤18) vectors store the unscaled long, so the same path
         if (!nulls) {
           // null-free fast path: one bulk copy into the vector
           v.putLongs(0, n, dec.longs, 0)
@@ -505,6 +509,7 @@ object ChunkSkip {
       f.dataType match {
         case IntegerType | LongType | DateType | TimestampType | TimestampNTZType |
             BooleanType | DoubleType | FloatType | ShortType | ByteType => true
+        case d: DecimalType if d.precision <= 18 => true
         case StringType | BinaryType => true
         case _ => false
       }
@@ -516,7 +521,23 @@ object ChunkSkip {
     case _: java.sql.Date | _: java.time.LocalDate => true
     case _: java.sql.Timestamp | _: java.time.Instant | _: java.time.LocalDateTime => true
     case _: String | _: Array[Byte] => true
+    case _: java.math.BigDecimal | _: BigDecimal | _: org.apache.spark.sql.types.Decimal => true
     case _ => false
+  }
+
+  /** Unscaled-long form of a decimal literal at the column's scale;
+    * throws (→ conservatively no skip) when the literal needs rounding.
+    */
+  private def decimalLit(v: Any, dt: DataType): Long = {
+    val scale = dt.asInstanceOf[DecimalType].scale
+    val bd = v match {
+      case d: java.math.BigDecimal => d
+      case d: BigDecimal => d.bigDecimal
+      case d: org.apache.spark.sql.types.Decimal => d.toJavaBigDecimal
+      case other => throw new IllegalArgumentException(s"$other")
+    }
+    try bd.setScale(scale).unscaledValue().longValueExact()
+    catch { case _: ArithmeticException => throw new IllegalArgumentException(s"$v") }
   }
 
   private def toBytesLit(v: Any): Array[Byte] = v match {
@@ -615,7 +636,7 @@ object ChunkSkip {
   private def outside(m: BtrFile.ColumnChunkMeta, dt: DataType, v: Any, eqLow: Boolean, eqHigh: Boolean): Boolean =
     m.statsKind match {
       case 1 =>
-        val x = toLongLit(v)
+        val x = if (dt.isInstanceOf[DecimalType]) decimalLit(v, dt) else toLongLit(v)
         x < m.minLong || x > m.maxLong
       case 2 =>
         val x = toDoubleLit(v)
@@ -633,7 +654,7 @@ object ChunkSkip {
   private def maxBelowOrEq(m: BtrFile.ColumnChunkMeta, dt: DataType, v: Any, strict: Boolean): Boolean =
     m.statsKind match {
       case 1 =>
-        val x = toLongLit(v)
+        val x = if (dt.isInstanceOf[DecimalType]) decimalLit(v, dt) else toLongLit(v)
         if (strict) m.maxLong <= x else m.maxLong < x
       case 2 =>
         val x = toDoubleLit(v)
@@ -648,7 +669,7 @@ object ChunkSkip {
   private def minAboveOrEq(m: BtrFile.ColumnChunkMeta, dt: DataType, v: Any, strict: Boolean): Boolean =
     m.statsKind match {
       case 1 =>
-        val x = toLongLit(v)
+        val x = if (dt.isInstanceOf[DecimalType]) decimalLit(v, dt) else toLongLit(v)
         if (strict) m.minLong >= x else m.minLong > x
       case 2 =>
         val x = toDoubleLit(v)

@@ -212,6 +212,8 @@ class BtrDataWriter(path: String, schema: StructType, blockSize: Int, cascade: I
           case BooleanType => longCols(c)(i) = if (row.getBoolean(c)) 1L else 0L
           case DoubleType => doubleCols(c)(i) = row.getDouble(c)
           case FloatType => longCols(c)(i) = java.lang.Float.floatToRawIntBits(row.getFloat(c)).toLong
+          case dt: DecimalType =>
+            longCols(c)(i) = row.getDecimal(c, dt.precision, dt.scale).toUnscaledLong
           case StringType => stringCols(c)(i) = row.getUTF8String(c).getBytes.clone()
           case BinaryType => stringCols(c)(i) = row.getBinary(c).clone()
           case at: ArrayType =>

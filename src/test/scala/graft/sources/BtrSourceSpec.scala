@@ -277,6 +277,46 @@ class BtrSourceSpec extends AnyFunSuite {
     assert(after >= 1)
   }
 
+  test("decimal(<=18) columns round-trip, skip chunks and push aggregates") {
+    import spark.implicits._
+    val df = (1 to 4000).map(i => (i.toLong, BigDecimal(i) / 100))
+      .toDF("id", "price")
+      .select(col("id"), col("price").cast("decimal(12,2)").as("price"))
+      .union(Seq((0L, null)).toDF("id", "price")
+        .select(col("id"), col("price").cast("decimal(12,2)")))
+    df.coalesce(1).write.format("btr")
+      .option("btr.blockSize", "512").mode("overwrite").save(tmp("decimals"))
+    val back = spark.read.format("btr").load(tmp("decimals"))
+    assertSameRows(df, back)
+
+    // range predicate prunes row groups via unscaled-long stats
+    def surviving(d: DataFrame): Int =
+      d.queryExecution.executedPlan.collectLeaves().head
+        .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.BatchScanExec]
+        .inputPartitions.collect { case p: BtrInputPartition => p }.map(_.groups.length).sum
+    val hit = back.filter(col("price") > BigDecimal("39.00"))
+    assert(hit.count() == df.filter(col("price") > BigDecimal("39.00")).count())
+    assert(surviving(hit) < surviving(back.filter(col("price").isNotNull)))
+
+    // metadata-only min/max/count
+    val agg = back.agg(count(col("price")), min(col("price")), max(col("price")))
+    val scan = agg.queryExecution.sparkPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+    }.head
+    assert(scan.isInstanceOf[BtrAggScan], scan.getClass.toString)
+    val r = agg.head
+    assert(r.getLong(0) == 4000L)
+    assert(r.getDecimal(1) == new java.math.BigDecimal("0.01"))
+    assert(r.getDecimal(2) == new java.math.BigDecimal("40.00"))
+
+    // precision > 18 is rejected cleanly, not silently truncated
+    val big = Seq(1L).toDF("id").select(col("id").cast("decimal(25,4)").as("v"))
+    val e = intercept[Exception] {
+      big.write.format("btr").mode("overwrite").save(tmp("bigdec"))
+    }
+    assert(e.getMessage != null)
+  }
+
   test("same partition consumed twice in one task (self-zip) survives") {
     // Spark's DataSourceRDD closes a task's previous reader when the same
     // partition is computed again within one task — the exact shape of
