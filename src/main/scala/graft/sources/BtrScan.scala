@@ -24,7 +24,8 @@ class BtrScanBuilder(path: String, tableSchema: StructType, options: CaseInsensi
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates
+    with SupportsPushDownLimit {
 
   private var requiredSchema: StructType = tableSchema
   private var pushed: Array[Filter] = Array.empty
@@ -43,6 +44,16 @@ class BtrScanBuilder(path: String, tableSchema: StructType, options: CaseInsensi
   }
 
   override def pushedFilters(): Array[Filter] = pushed
+
+  // limit pushdown: Spark only offers a limit when everything between it
+  // and the scan is already pushed, so planning fewer row groups is safe
+  // (the limit still re-applies above the scan)
+  private var limit: Option[Int] = None
+
+  override def pushLimit(n: Int): Boolean = {
+    limit = Some(n)
+    true
+  }
 
   // ---- metadata-only aggregates ------------------------------------
   // Ungrouped, unfiltered COUNT/MIN/MAX are answered entirely from the
@@ -96,7 +107,8 @@ class BtrScanBuilder(path: String, tableSchema: StructType, options: CaseInsensi
 
   override def build(): Scan = pushedAgg match {
     case Some(agg) => new BtrAggScan(path, tableSchema, agg)
-    case None => new BtrScan(path, tableSchema, requiredSchema, pushed, BtrOptions.splitBytes(options))
+    case None =>
+      new BtrScan(path, tableSchema, requiredSchema, pushed, BtrOptions.splitBytes(options), limit)
   }
 }
 
@@ -105,10 +117,38 @@ class BtrScan(
     tableSchema: StructType,
     requiredSchema: StructType,
     filters: Array[Filter],
-    splitBytes: Long
+    splitBytes: Long,
+    limit: Option[Int] = None
 ) extends Scan
     with Batch
-    with SupportsRuntimeFiltering {
+    with SupportsRuntimeFiltering
+    with SupportsReportStatistics {
+
+  /** Table statistics from footers only: row count is exact; size is the
+    * compressed bytes of the REQUIRED columns (post-pruning), so Catalyst
+    * can auto-broadcast small btr join sides instead of assuming the
+    * DSv2 default of Long.MaxValue.
+    */
+  override def estimateStatistics(): Statistics = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(BtrTableMeta.hadoopConf())
+    val colIdx = requiredSchema.fields.map(f => tableSchema.fieldIndex(f.name))
+    var rows = 0L
+    var bytes = 0L
+    BtrTableMeta.listDataFiles(fs, dir).foreach { file =>
+      val footer = BtrFile.readFooter(fs, file, fs.getFileStatus(file).getLen)
+      footer.rowGroups.foreach { rg =>
+        rows += rg.numRows
+        colIdx.foreach(ci => bytes += rg.columns(ci).length)
+      }
+    }
+    val r = rows
+    val b = math.max(bytes, 1L)
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(b)
+      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(r)
+    }
+  }
 
   // runtime filters (e.g. IN-sets of join keys from a filtered broadcast
   // side, Spark's DPP analog for DSv2) arrive after planning starts and
@@ -136,6 +176,10 @@ class BtrScan(
     val files = BtrTableMeta.listDataFiles(fs, dir)
     val colIndices = requiredSchema.fields.map(f => tableSchema.fieldIndex(f.name))
     val allFilters = filters ++ runtimeFilters
+    var plannedRows = 0L // pushed-limit budget (limit re-applies above)
+    // Spark only pushes a limit when no residual filter sits between it
+    // and the scan; guard anyway — truncation is only safe unfiltered
+    val rowBudget = if (allFilters.isEmpty) limit else None
 
     val partitions = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
     files.foreach { file =>
@@ -154,12 +198,15 @@ class BtrScan(
         }
       }
       footer.rowGroups.foreach { rg =>
-        val keep = allFilters.isEmpty || !allFilters.exists(f => ChunkSkip.canSkip(tableSchema, rg, f))
+        val underLimit = rowBudget.forall(n => plannedRows < n)
+        val keep = underLimit &&
+          (allFilters.isEmpty || !allFilters.exists(f => ChunkSkip.canSkip(tableSchema, rg, f)))
         if (keep) {
           val offsets = colIndices.map(ci => rg.columns(ci).offset)
           val lengths = colIndices.map(ci => rg.columns(ci).length)
           current += BtrChunkRange(rg.numRows, offsets, lengths)
           currentBytes += lengths.map(_.toLong).sum
+          plannedRows += rg.numRows
           if (currentBytes >= splitBytes) flush()
         }
       }

@@ -329,6 +329,31 @@ class BtrSourceSpec extends AnyFunSuite {
     assert(zipped.map(_._1).sum() == rdd.sum())
   }
 
+  test("footer statistics enable auto-broadcast; limit pushdown prunes planning") {
+    roundTrip("orders", 1)
+    roundTrip("nation", 1)
+    val o = spark.read.format("btr").load(tmp("orders"))
+    val nat = spark.read.format("btr").load(tmp("nation"))
+    // without explicit broadcast(): nation (tiny) must auto-broadcast
+    // because the scan reports real footer statistics
+    val joined = o.join(nat, col("o_custkey") % 25 === col("n_nationkey"))
+    val hasBroadcast = joined.queryExecution.sparkPlan.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    }.nonEmpty
+    assert(hasBroadcast, joined.queryExecution.sparkPlan.toString.take(500))
+
+    // limit pushdown: only enough row groups to cover the limit planned
+    val orig = spark.read.parquet(s"$sf/lineitem.parquet")
+    orig.coalesce(1).write.format("btr")
+      .option("btr.blockSize", "512").mode("overwrite").save(tmp("li_limit"))
+    val limited = spark.read.format("btr").load(tmp("li_limit")).limit(5)
+    assert(limited.count() == 5)
+    val planned = limited.queryExecution.executedPlan.collectLeaves().head
+      .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.BatchScanExec]
+      .inputPartitions.collect { case p: BtrInputPartition => p }.map(_.groups.length).sum
+    assert(planned == 1, s"expected a single planned row group for limit 5, got $planned")
+  }
+
   test("sql over btr: agg/join runs through Catalyst") {
     roundTrip("orders", 1)
     roundTrip("customer", 1)
