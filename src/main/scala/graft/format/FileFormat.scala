@@ -151,28 +151,104 @@ object BtrFile {
 object BtrTableMeta {
   val MetaFile = "_btr_meta.json"
 
-  def write(fs: FileSystem, dir: Path, schema: StructType, blockSize: Int, cascade: Int): Unit = {
+  def write(
+      fs: FileSystem,
+      dir: Path,
+      schema: StructType,
+      blockSize: Int,
+      cascade: Int,
+      partitionCols: Seq[String] = Nil
+  ): Unit = {
     // minimal JSON by hand: schema json is already valid JSON
+    val parts = partitionCols.map(c => "\"" + c + "\"").mkString("[", ",", "]")
     val json =
-      s"""{"version":${BtrFile.Version},"blockSize":$blockSize,"cascade":$cascade,"schema":${schema.json}}"""
+      s"""{"version":${BtrFile.Version},"blockSize":$blockSize,"cascade":$cascade,"partitionCols":$parts,"schema":${schema.json}}"""
     val out = fs.create(new Path(dir, MetaFile), true)
     out.write(json.getBytes(StandardCharsets.UTF_8))
     out.close()
   }
 
-  def readSchema(fs: FileSystem, dir: Path): StructType = {
+  private def readMetaJson(fs: FileSystem, dir: Path): String = {
     val p = new Path(dir, MetaFile)
     val in = fs.open(p)
     val len = fs.getFileStatus(p).getLen.toInt
     val bytes = new Array[Byte](len)
     in.readFully(0, bytes)
     in.close()
-    val json = new String(bytes, StandardCharsets.UTF_8)
+    new String(bytes, StandardCharsets.UTF_8)
+  }
+
+  def readSchema(fs: FileSystem, dir: Path): StructType = {
+    val json = readMetaJson(fs, dir)
     // extract the schema object: find "schema": and parse the rest (it is
     // the last field, so take everything up to the final '}')
     val idx = json.indexOf("\"schema\":")
     val schemaJson = json.substring(idx + "\"schema\":".length, json.length - 1)
     DataType.fromJson(schemaJson).asInstanceOf[StructType]
+  }
+
+  /** Partition column names recorded at write time (hive-style layout). */
+  def readPartitionCols(fs: FileSystem, dir: Path): Seq[String] = {
+    val json = readMetaJson(fs, dir)
+    val key = "\"partitionCols\":"
+    val idx = json.indexOf(key)
+    if (idx < 0) Nil
+    else {
+      val start = json.indexOf('[', idx)
+      val end = json.indexOf(']', start)
+      json.substring(start + 1, end).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+        .filter(_.nonEmpty).toSeq
+    }
+  }
+
+  /** Recursive data-file listing: (file, hive-style partition values from
+    * the directory components, e.g. dir/p=3/x.btr → Map(p -> "3")).
+    */
+  def listDataFilesWithPartitions(fs: FileSystem, dir: Path): Array[(Path, Map[String, String])] = {
+    if (!fs.exists(dir)) return Array.empty
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Path, Map[String, String])]
+    def walk(d: Path, values: Map[String, String]): Unit = {
+      fs.listStatus(d).foreach { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory) {
+          val eq = name.indexOf('=')
+          if (eq > 0 && !name.startsWith("_") && !name.startsWith(".")) {
+            val k = unescapePath(name.substring(0, eq))
+            val v = unescapePath(name.substring(eq + 1))
+            walk(st.getPath, values + (k -> v))
+          }
+        } else if (name.endsWith(".btr") && !name.startsWith("_") && !name.startsWith(".")) {
+          out += ((st.getPath, values))
+        }
+      }
+    }
+    walk(dir, Map.empty)
+    out.sortBy(_._1.toString).toArray
+  }
+
+  /** Hive-compatible path escaping for partition values. */
+  def escapePath(s: String): String = {
+    val sb = new StringBuilder
+    s.foreach { c =>
+      if (c < 0x20 || "\"#%'*/:=?\\{[]^".contains(c)) sb.append(f"%%${c.toInt}%02X")
+      else sb.append(c)
+    }
+    sb.toString
+  }
+
+  def unescapePath(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        try {
+          sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+          i += 3
+        } catch { case _: NumberFormatException => sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
   }
 
   val StatsFile = "_btr_stats.json"

@@ -57,7 +57,7 @@ object BtrInspect {
     import spark.implicits._
     val dir = new Path(path)
     val fs = dir.getFileSystem(BtrTableMeta.hadoopConf())
-    val files = BtrTableMeta.listDataFiles(fs, dir).map(_.toString)
+    val files = BtrTableMeta.listDataFilesWithPartitions(fs, dir).map(_._1.toString)
     spark.createDataset(files.toSeq)
       .map { file =>
         val p = new Path(file)
@@ -92,8 +92,11 @@ object BtrInspect {
     val dir = new Path(path)
     val fs = dir.getFileSystem(BtrTableMeta.hadoopConf())
     val schema = BtrTableMeta.readSchema(fs, dir)
-    val files = BtrTableMeta.listDataFiles(fs, dir).map(_.toString)
-    val fields = schema.fields.map(f => (f.name, f.dataType.simpleString, PhysType.of(f.dataType)))
+    val partCols = BtrTableMeta.readPartitionCols(fs, dir)
+    val files = BtrTableMeta.listDataFilesWithPartitions(fs, dir).map(_._1.toString)
+    // footers hold only the data columns; partition values live in dirs
+    val fields = schema.fields.filterNot(f => partCols.contains(f.name))
+      .map(f => (f.name, f.dataType.simpleString, PhysType.of(f.dataType)))
 
     spark.createDataset(files.toSeq)
       .flatMap { file =>

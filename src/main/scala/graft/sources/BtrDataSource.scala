@@ -39,6 +39,15 @@ class BtrDataSource extends TableProvider with DataSourceRegister {
     BtrTableMeta.readSchema(fs, dir)
   }
 
+  override def inferPartitioning(options: CaseInsensitiveStringMap): Array[Transform] = {
+    val dir = new Path(pathOf(options))
+    val fs = dir.getFileSystem(BtrTableMeta.hadoopConf())
+    if (fs.exists(new Path(dir, BtrTableMeta.MetaFile)))
+      BtrTableMeta.readPartitionCols(fs, dir)
+        .map(c => org.apache.spark.sql.connector.expressions.Expressions.identity(c)).toArray
+    else Array.empty
+  }
+
   override def getTable(
       schema: StructType,
       partitioning: Array[Transform],
@@ -46,28 +55,42 @@ class BtrDataSource extends TableProvider with DataSourceRegister {
   ): Table = {
     val path = properties.get("path")
     require(path != null, "btr: 'path' option is required")
-    new BtrTable(path, schema)
+    new BtrTable(path, schema, partitioning)
   }
 }
 
-class BtrTable(path: String, tableSchema: StructType) extends Table with SupportsRead with SupportsWrite {
+class BtrTable(path: String, tableSchema: StructType, partitionTransforms: Array[Transform] = Array.empty)
+    extends Table with SupportsRead with SupportsWrite {
   tableSchema.fields.foreach { f =>
     require(PhysType.supported(f.dataType), s"btr: unsupported column type ${f.name}: ${f.dataType}")
   }
 
+  /** Partition column names (hive-style layout); identity transforms only. */
+  private val partCols: Seq[String] = partitionTransforms.toSeq.map { t =>
+    require(t.name() == "identity",
+      s"btr: only identity partitioning supported, got ${t.describe()}")
+    val refs = t.references()
+    require(refs.length == 1 && refs(0).fieldNames().length == 1,
+      "btr: nested partition columns unsupported")
+    refs(0).fieldNames()(0)
+  }
+  partCols.foreach(c => require(tableSchema.fieldNames.contains(c), s"btr: unknown partition column $c"))
+
   override def name(): String = s"btr:$path"
 
   override def schema(): StructType = tableSchema
+
+  override def partitioning(): Array[Transform] = partitionTransforms
 
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.STREAMING_WRITE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new BtrScanBuilder(path, tableSchema, options)
+    new BtrScanBuilder(path, tableSchema, options, partCols)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new BtrWriteBuilder(path, info.schema(), info.options())
+    new BtrWriteBuilder(path, info.schema(), info.options(), partCols)
 }
 
 /** Shared session options for the format (writer side). */

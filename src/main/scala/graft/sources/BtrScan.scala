@@ -20,7 +20,8 @@ import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
   * are also re-evaluated by Catalyst above the scan, so skipping is purely
   * an I/O optimization and can never change results.
   */
-class BtrScanBuilder(path: String, tableSchema: StructType, options: CaseInsensitiveStringMap)
+class BtrScanBuilder(path: String, tableSchema: StructType, options: CaseInsensitiveStringMap,
+    partCols: Seq[String] = Nil)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
@@ -76,14 +77,15 @@ class BtrScanBuilder(path: String, tableSchema: StructType, options: CaseInsensi
     * metadata-only answer could diverge when NaNs are present.
     */
   private def exactMinMax(name: String): Boolean =
-    tableSchema.fields.find(_.name == name).exists { f =>
-      f.dataType match {
-        case IntegerType | LongType | ShortType | ByteType | BooleanType | DateType |
-            TimestampType | TimestampNTZType => true
-        case d: DecimalType if d.precision <= 18 => true
-        case _ => false
+    !partCols.contains(name) &&
+      tableSchema.fields.find(_.name == name).exists { f =>
+        f.dataType match {
+          case IntegerType | LongType | ShortType | ByteType | BooleanType | DateType |
+              TimestampType | TimestampNTZType => true
+          case d: DecimalType if d.precision <= 18 => true
+          case _ => false
+        }
       }
-    }
 
   private def canPushAgg(agg: aggregate.Aggregation): Boolean =
     pushed.isEmpty && agg.groupByExpressions().isEmpty &&
@@ -91,7 +93,10 @@ class BtrScanBuilder(path: String, tableSchema: StructType, options: CaseInsensi
       agg.aggregateExpressions().forall {
         case _: aggregate.CountStar => true
         case c: aggregate.Count =>
-          !c.isDistinct && singleCol(c.column()).exists(n => tableSchema.fieldNames.contains(n))
+          // partition columns aren't in footers — their counts stay on
+          // the data path
+          !c.isDistinct && singleCol(c.column())
+            .exists(n => tableSchema.fieldNames.contains(n) && !partCols.contains(n))
         case m: aggregate.Min => singleCol(m.column()).exists(exactMinMax)
         case m: aggregate.Max => singleCol(m.column()).exists(exactMinMax)
         case _ => false
@@ -106,9 +111,9 @@ class BtrScanBuilder(path: String, tableSchema: StructType, options: CaseInsensi
   }
 
   override def build(): Scan = pushedAgg match {
-    case Some(agg) => new BtrAggScan(path, tableSchema, agg)
+    case Some(agg) => new BtrAggScan(path, tableSchema, agg, partCols)
     case None =>
-      new BtrScan(path, tableSchema, requiredSchema, pushed, BtrOptions.splitBytes(options), limit)
+      new BtrScan(path, tableSchema, requiredSchema, pushed, BtrOptions.splitBytes(options), limit, partCols)
   }
 }
 
@@ -118,11 +123,19 @@ class BtrScan(
     requiredSchema: StructType,
     filters: Array[Filter],
     splitBytes: Long,
-    limit: Option[Int] = None
+    limit: Option[Int] = None,
+    partCols: Seq[String] = Nil
 ) extends Scan
     with Batch
     with SupportsRuntimeFiltering
     with SupportsReportStatistics {
+
+  /** Footer column layout: the table schema minus partition columns
+    * (partition values live in directory names, not data files).
+    */
+  private val dataSchema: StructType =
+    if (partCols.isEmpty) tableSchema
+    else StructType(tableSchema.fields.filterNot(f => partCols.contains(f.name)))
 
   /** Table statistics from footers only: row count is exact; size is the
     * compressed bytes of the REQUIRED columns (post-pruning), so Catalyst
@@ -132,10 +145,11 @@ class BtrScan(
   override def estimateStatistics(): Statistics = {
     val dir = new Path(path)
     val fs = dir.getFileSystem(BtrTableMeta.hadoopConf())
-    val colIdx = requiredSchema.fields.map(f => tableSchema.fieldIndex(f.name))
+    val colIdx = requiredSchema.fields.flatMap(f =>
+      if (partCols.contains(f.name)) None else Some(dataSchema.fieldIndex(f.name)))
     var rows = 0L
     var bytes = 0L
-    BtrTableMeta.listDataFiles(fs, dir).foreach { file =>
+    BtrTableMeta.listDataFilesWithPartitions(fs, dir).foreach { case (file, _) =>
       val footer = BtrFile.readFooter(fs, file, fs.getFileStatus(file).getLen)
       footer.rowGroups.foreach { rg =>
         rows += rg.numRows
@@ -173,8 +187,13 @@ class BtrScan(
   override def planInputPartitions(): Array[InputPartition] = {
     val dir = new Path(path)
     val fs = dir.getFileSystem(BtrTableMeta.hadoopConf())
-    val files = BtrTableMeta.listDataFiles(fs, dir)
-    val colIndices = requiredSchema.fields.map(f => tableSchema.fieldIndex(f.name))
+    val files = BtrTableMeta.listDataFilesWithPartitions(fs, dir)
+    // required column layout: data columns map to footer indices,
+    // partition columns synthesize from the directory values
+    val colKinds = requiredSchema.fields.map { f =>
+      if (partCols.contains(f.name)) -1 else dataSchema.fieldIndex(f.name)
+    }
+    val dataIdx = colKinds.filter(_ >= 0)
     val allFilters = filters ++ runtimeFilters
     var plannedRows = 0L // pushed-limit budget (limit re-applies above)
     // Spark only pushes a limit when no residual filter sits between it
@@ -182,35 +201,45 @@ class BtrScan(
     val rowBudget = if (allFilters.isEmpty) limit else None
 
     val partitions = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
-    files.foreach { file =>
-      // footer-only read: planning I/O is O(footer bytes), not O(data)
-      val len = fs.getFileStatus(file).getLen
-      val footer = BtrFile.readFooter(fs, file, len)
+    files.foreach { case (file, partValues) =>
+      // partition pruning: directory values can prove a whole file empty
+      val prunedByPartition = allFilters.exists(f =>
+        PartitionPrune.canSkip(tableSchema, partValues, f))
+      if (!prunedByPartition) {
+        // per-requiredField partition value (null marker for data cols)
+        val reqPartValues: Array[String] = requiredSchema.fields.map { f =>
+          if (partCols.contains(f.name)) partValues.getOrElse(f.name, PartitionPrune.NullPart)
+          else null
+        }
+        // footer-only read: planning I/O is O(footer bytes), not O(data)
+        val len = fs.getFileStatus(file).getLen
+        val footer = BtrFile.readFooter(fs, file, len)
 
-      // chunk-skip + group surviving row groups into ~splitBytes splits
-      var current = scala.collection.mutable.ArrayBuffer.empty[BtrChunkRange]
-      var currentBytes = 0L
-      def flush(): Unit = {
-        if (current.nonEmpty) {
-          partitions += BtrInputPartition(file.toString, current.toArray)
-          current = scala.collection.mutable.ArrayBuffer.empty[BtrChunkRange]
-          currentBytes = 0L
+        // chunk-skip + group surviving row groups into ~splitBytes splits
+        var current = scala.collection.mutable.ArrayBuffer.empty[BtrChunkRange]
+        var currentBytes = 0L
+        def flush(): Unit = {
+          if (current.nonEmpty) {
+            partitions += BtrInputPartition(file.toString, current.toArray, reqPartValues)
+            current = scala.collection.mutable.ArrayBuffer.empty[BtrChunkRange]
+            currentBytes = 0L
+          }
         }
-      }
-      footer.rowGroups.foreach { rg =>
-        val underLimit = rowBudget.forall(n => plannedRows < n)
-        val keep = underLimit &&
-          (allFilters.isEmpty || !allFilters.exists(f => ChunkSkip.canSkip(tableSchema, rg, f)))
-        if (keep) {
-          val offsets = colIndices.map(ci => rg.columns(ci).offset)
-          val lengths = colIndices.map(ci => rg.columns(ci).length)
-          current += BtrChunkRange(rg.numRows, offsets, lengths)
-          currentBytes += lengths.map(_.toLong).sum
-          plannedRows += rg.numRows
-          if (currentBytes >= splitBytes) flush()
+        footer.rowGroups.foreach { rg =>
+          val underLimit = rowBudget.forall(n => plannedRows < n)
+          val keep = underLimit &&
+            (allFilters.isEmpty || !allFilters.exists(f => ChunkSkip.canSkip(dataSchema, rg, f)))
+          if (keep) {
+            val offsets = dataIdx.map(ci => rg.columns(ci).offset)
+            val lengths = dataIdx.map(ci => rg.columns(ci).length)
+            current += BtrChunkRange(rg.numRows, offsets, lengths)
+            currentBytes += lengths.map(_.toLong).sum
+            plannedRows += rg.numRows
+            if (currentBytes >= splitBytes) flush()
+          }
         }
+        flush()
       }
-      flush()
     }
     partitions.toArray
   }
@@ -219,31 +248,108 @@ class BtrScan(
     new BtrReaderFactory(requiredSchema)
 }
 
+/** Filter evaluation against hive-style partition directory values:
+  * returns true only when the filter PROVABLY excludes the partition.
+  */
+object PartitionPrune {
+  val NullPart = "__HIVE_DEFAULT_PARTITION__"
+
+  def canSkip(schema: StructType, values: Map[String, String], f: Filter): Boolean = {
+    def dtOf(a: String): Option[DataType] =
+      schema.fields.find(_.name == a).map(_.dataType)
+
+    // -1/0/1 comparison of the stored value with the literal, None when
+    // not comparable (null partition, type mismatch, parse failure)
+    def cmp(a: String, lit: Any): Option[Int] = {
+      val s = values.get(a) match {
+        case Some(v) if v != NullPart => v
+        case _ => return None
+      }
+      try dtOf(a).flatMap {
+        case IntegerType | LongType | ShortType | ByteType =>
+          val l = lit match {
+            case i: Int => i.toLong
+            case l: Long => l
+            case sh: Short => sh.toLong
+            case b: Byte => b.toLong
+            case _ => return None
+          }
+          Some(java.lang.Long.compare(s.toLong, l))
+        case DateType =>
+          val epoch = lit match {
+            case d: java.sql.Date => d.toLocalDate.toEpochDay
+            case d: java.time.LocalDate => d.toEpochDay
+            case _ => return None
+          }
+          Some(java.lang.Long.compare(java.time.LocalDate.parse(s).toEpochDay, epoch))
+        case StringType =>
+          lit match {
+            case ls: String => Some(s.compareTo(ls))
+            case _ => None
+          }
+        case BooleanType =>
+          lit match {
+            case b: Boolean => Some(java.lang.Boolean.compare(s.toBoolean, b))
+            case _ => None
+          }
+        case _ => None
+      } catch { case _: Exception => None }
+    }
+
+    def isPart(a: String): Boolean = values.contains(a)
+
+    f match {
+      case EqualTo(a, v) if isPart(a) =>
+        values(a) == NullPart || cmp(a, v).exists(_ != 0)
+      case In(a, vs) if isPart(a) =>
+        values(a) == NullPart || (vs.nonEmpty && vs.forall(v => cmp(a, v).exists(_ != 0)))
+      case GreaterThan(a, v) if isPart(a) => cmp(a, v).exists(_ <= 0) || values(a) == NullPart
+      case GreaterThanOrEqual(a, v) if isPart(a) => cmp(a, v).exists(_ < 0) || values(a) == NullPart
+      case LessThan(a, v) if isPart(a) => cmp(a, v).exists(_ >= 0) || values(a) == NullPart
+      case LessThanOrEqual(a, v) if isPart(a) => cmp(a, v).exists(_ > 0) || values(a) == NullPart
+      case IsNull(a) if isPart(a) => values(a) != NullPart
+      case IsNotNull(a) if isPart(a) => values(a) == NullPart
+      case StringStartsWith(a, p) if isPart(a) =>
+        values(a) == NullPart || !values(a).startsWith(p)
+      case And(l, r) => canSkip(schema, values, l) || canSkip(schema, values, r)
+      case Or(l, r) => canSkip(schema, values, l) && canSkip(schema, values, r)
+      case _ => false
+    }
+  }
+}
+
 /** Metadata-only aggregate scan: answers ungrouped, unfiltered
   * COUNT(*)/COUNT(col)/MIN/MAX entirely from row-group footer stats. One
   * task reads only footers (tail reads) — zero data bytes touched.
   */
-class BtrAggScan(path: String, tableSchema: StructType, agg: aggregate.Aggregation)
+class BtrAggScan(path: String, tableSchema: StructType, agg: aggregate.Aggregation,
+    partCols: Seq[String] = Nil)
     extends Scan
     with Batch {
+
+  // footer layout excludes partition columns (the builder already
+  // restricts pushdown to data columns + count(*))
+  private val dataSchema: StructType =
+    if (partCols.isEmpty) tableSchema
+    else StructType(tableSchema.fields.filterNot(f => partCols.contains(f.name)))
 
   private def colNameOf(e: org.apache.spark.sql.connector.expressions.Expression): String =
     e.asInstanceOf[org.apache.spark.sql.connector.expressions.NamedReference].fieldNames()(0)
 
-  // (kind, columnIndex): kind 0=count(*), 1=count(col), 2=min, 3=max
+  // (kind, columnIndex into the FOOTER schema): 0=count(*), 1=count(col), 2=min, 3=max
   private val specs: Array[(Int, Int)] = agg.aggregateExpressions().map {
     case _: aggregate.CountStar => (0, -1)
-    case c: aggregate.Count => (1, tableSchema.fieldIndex(colNameOf(c.column())))
-    case m: aggregate.Min => (2, tableSchema.fieldIndex(colNameOf(m.column())))
-    case m: aggregate.Max => (3, tableSchema.fieldIndex(colNameOf(m.column())))
+    case c: aggregate.Count => (1, dataSchema.fieldIndex(colNameOf(c.column())))
+    case m: aggregate.Min => (2, dataSchema.fieldIndex(colNameOf(m.column())))
+    case m: aggregate.Max => (3, dataSchema.fieldIndex(colNameOf(m.column())))
     case other => throw new IllegalStateException(s"unsupported pushed agg $other")
   }
 
   override def readSchema(): StructType = StructType(specs.map {
     case (0, _) => StructField("count(*)", LongType, nullable = false)
-    case (1, ci) => StructField(s"count(${tableSchema.fields(ci).name})", LongType, nullable = false)
+    case (1, ci) => StructField(s"count(${dataSchema.fields(ci).name})", LongType, nullable = false)
     case (k, ci) =>
-      val f = tableSchema.fields(ci)
+      val f = dataSchema.fields(ci)
       StructField(s"${if (k == 2) "min" else "max"}(${f.name})", f.dataType, nullable = true)
   })
 
@@ -255,15 +361,15 @@ class BtrAggScan(path: String, tableSchema: StructType, agg: aggregate.Aggregati
   override def planInputPartitions(): Array[InputPartition] = {
     val dir = new Path(path)
     val fs = dir.getFileSystem(BtrTableMeta.hadoopConf())
-    val files = BtrTableMeta.listDataFiles(fs, dir).map(_.toString)
+    val files = BtrTableMeta.listDataFilesWithPartitions(fs, dir).map(_._1.toString)
     Array(BtrAggPartition(files))
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val sch = readSchema()
     val sp = specs
-    val tsch = tableSchema
-    (partition: InputPartition) => new BtrAggReader(partition.asInstanceOf[BtrAggPartition], tsch, sch, sp)
+    val dsch = dataSchema
+    (partition: InputPartition) => new BtrAggReader(partition.asInstanceOf[BtrAggPartition], dsch, sch, sp)
   }
 }
 
@@ -354,7 +460,16 @@ class BtrAggReader(
   * projected columns' block offsets resolved at planning time.
   */
 final case class BtrChunkRange(numRows: Int, offsets: Array[Long], lengths: Array[Int])
-final case class BtrInputPartition(file: String, groups: Array[BtrChunkRange]) extends InputPartition
+
+/** One read split. `partValues` aligns with the required schema: null for
+  * data columns (their offsets live in `groups`), the hive directory
+  * value (or the null-partition marker) for partition columns.
+  */
+final case class BtrInputPartition(
+    file: String,
+    groups: Array[BtrChunkRange],
+    partValues: Array[String] = Array.empty
+) extends InputPartition
 
 class BtrReaderFactory(requiredSchema: StructType) extends PartitionReaderFactory {
   override def supportColumnarReads(partition: InputPartition): Boolean = true
@@ -404,17 +519,54 @@ class BtrColumnarReader(partition: BtrInputPartition, requiredSchema: StructType
       vectors = requiredSchema.fields.map(f => new OnHeapColumnVector(maxRows, f.dataType))
       batch = new ColumnarBatch(vectors.asInstanceOf[Array[ColumnVector]], 0)
     }
+    val hasPart = partition.partValues.nonEmpty
     var c = 0
+    var d = 0 // index into the data-column offsets of this split
     while (c < tags.length) {
-      val blob = new Array[Byte](g.lengths(c))
-      in().readFully(g.offsets(c), blob)
-      val dec = ChunkCodec.decode(new BufReader(blob), tags(c), g.numRows)
       vectors(c).reset()
-      fillVector(vectors(c), requiredSchema.fields(c).dataType, tags(c), dec, g.numRows)
+      if (hasPart && partition.partValues(c) != null) {
+        fillConstant(vectors(c), requiredSchema.fields(c).dataType, partition.partValues(c), g.numRows)
+      } else {
+        val blob = new Array[Byte](g.lengths(d))
+        in().readFully(g.offsets(d), blob)
+        val dec = ChunkCodec.decode(new BufReader(blob), tags(c), g.numRows)
+        fillVector(vectors(c), requiredSchema.fields(c).dataType, tags(c), dec, g.numRows)
+        d += 1
+      }
       c += 1
     }
     batch.setNumRows(g.numRows)
     true
+  }
+
+  /** Synthesize a partition column: every row carries the directory value. */
+  private def fillConstant(v: OnHeapColumnVector, dt: DataType, value: String, n: Int): Unit = {
+    if (value == PartitionPrune.NullPart) { v.putNulls(0, n); return }
+    var i = 0
+    dt match {
+      case StringType =>
+        val bytes = value.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        while (i < n) { v.putByteArray(i, bytes, 0, bytes.length); i += 1 }
+      case IntegerType =>
+        val x = value.toInt
+        while (i < n) { v.putInt(i, x); i += 1 }
+      case LongType =>
+        val x = value.toLong
+        while (i < n) { v.putLong(i, x); i += 1 }
+      case ShortType =>
+        val x = value.toShort
+        while (i < n) { v.putShort(i, x); i += 1 }
+      case ByteType =>
+        val x = value.toByte
+        while (i < n) { v.putByte(i, x); i += 1 }
+      case BooleanType =>
+        val x = value.toBoolean
+        while (i < n) { v.putBoolean(i, x); i += 1 }
+      case DateType =>
+        val x = java.time.LocalDate.parse(value).toEpochDay.toInt
+        while (i < n) { v.putInt(i, x); i += 1 }
+      case other => throw new UnsupportedOperationException(s"btr: partition column type $other")
+    }
   }
 
   private def fillVector(v: OnHeapColumnVector, dt: DataType, tag: Int, dec: ChunkCodec.Decoded, n: Int): Unit = {

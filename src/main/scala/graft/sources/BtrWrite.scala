@@ -20,7 +20,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * commit only renames/records. Writers emit to a temp name and rename on
   * task commit so speculative/failed attempts never surface.
   */
-class BtrWriteBuilder(path: String, schema: StructType, options: CaseInsensitiveStringMap)
+class BtrWriteBuilder(path: String, schema: StructType, options: CaseInsensitiveStringMap,
+    partCols: Seq[String] = Nil)
     extends WriteBuilder
     with SupportsTruncate {
 
@@ -31,10 +32,12 @@ class BtrWriteBuilder(path: String, schema: StructType, options: CaseInsensitive
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
       new BtrBatchWrite(path, schema, truncateOnCommit, BtrOptions.blockSize(options),
-        BtrOptions.cascade(options), BtrOptions.config(options))
-    override def toStreaming: streaming.StreamingWrite =
+        BtrOptions.cascade(options), BtrOptions.config(options), partCols)
+    override def toStreaming: streaming.StreamingWrite = {
+      require(partCols.isEmpty, "btr: partitioned streaming writes not supported")
       new BtrStreamingWrite(path, schema, BtrOptions.blockSize(options),
         BtrOptions.cascade(options), BtrOptions.config(options))
+    }
   }
 }
 
@@ -75,29 +78,46 @@ final case class BtrCommitMessage(
 ) extends WriterCommitMessage
 
 class BtrBatchWrite(path: String, schema: StructType, truncate: Boolean, blockSize: Int, cascade: Int,
-    cfg: BtrConfig = BtrConfig.Default)
+    cfg: BtrConfig = BtrConfig.Default, partCols: Seq[String] = Nil)
     extends BatchWrite {
 
+  // data files store only the non-partition columns; partition values
+  // live in the hive-style directory names
+  private val dataSchema: StructType =
+    if (partCols.isEmpty) schema
+    else StructType(schema.fields.filterNot(f => partCols.contains(f.name)))
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new BtrWriterFactory(path, schema, blockSize, cascade, cfg)
+    if (partCols.isEmpty) new BtrWriterFactory(path, schema, blockSize, cascade, cfg)
+    else new BtrPartitionedWriterFactory(path, schema, partCols, blockSize, cascade, cfg)
+
+  private def flatten(messages: Array[WriterCommitMessage]): Array[BtrCommitMessage] =
+    messages.flatMap {
+      case m: BtrCommitMessage => Seq(m)
+      case m: BtrMultiCommitMessage => m.messages.toSeq
+      case _ => Nil
+    }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = new Path(path)
     val fs = dir.getFileSystem(BtrTableMeta.hadoopConf())
-    val msgs = messages.collect { case m: BtrCommitMessage => m }
+    val msgs = flatten(messages)
+    // fileName is table-root-relative (may include partition dirs)
     val committed = msgs.map(_.fileName).toSet
     if (truncate) {
       // replace: drop every data file not produced by this write
-      BtrTableMeta.listDataFiles(fs, dir).foreach { f =>
-        if (!committed.contains(f.getName)) fs.delete(f, false)
+      val rootLen = dir.toUri.getPath.length + 1
+      BtrTableMeta.listDataFilesWithPartitions(fs, dir).foreach { case (f, _) =>
+        val rel = f.toUri.getPath.substring(math.min(rootLen, f.toUri.getPath.length))
+        if (!committed.contains(rel) && !committed.contains(f.getName)) fs.delete(f, false)
       }
     }
-    BtrTableMeta.write(fs, dir, schema, blockSize, cascade)
+    BtrTableMeta.write(fs, dir, schema, blockSize, cascade, partCols)
     // ingest stats at commit — the analog of the reference's `.stats`
     // files (btrfiles/Parser.cpp:184-189) + OutputBlockStats
     // (compression/Compressor.hpp:10-20): per-column nulls, raw vs
     // compressed bytes, ratio, aggregated over this write's files
-    val n = schema.fields.length
+    val n = dataSchema.fields.length
     val nulls = new Array[Long](n)
     val raw = new Array[Long](n)
     val comp = new Array[Long](n)
@@ -112,17 +132,88 @@ class BtrBatchWrite(path: String, schema: StructType, truncate: Boolean, blockSi
         c += 1
       }
     }
-    BtrTableMeta.writeStats(fs, dir, schema.fieldNames, rows, nulls, raw, comp)
+    BtrTableMeta.writeStats(fs, dir, dataSchema.fieldNames, rows, nulls, raw, comp)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val dir = new Path(path)
     val fs = dir.getFileSystem(BtrTableMeta.hadoopConf())
-    messages.foreach {
-      case m: BtrCommitMessage => fs.delete(new Path(dir, m.fileName), false)
-      case _ => ()
+    flatten(messages).foreach { m =>
+      if (m.fileName.nonEmpty) fs.delete(new Path(dir, m.fileName), false)
     }
   }
+}
+
+final case class BtrMultiCommitMessage(messages: Array[BtrCommitMessage]) extends WriterCommitMessage
+
+class BtrPartitionedWriterFactory(path: String, schema: StructType, partCols: Seq[String],
+    blockSize: Int, cascade: Int, cfg: BtrConfig)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new BtrPartitionedDataWriter(path, schema, partCols, blockSize, cascade, partitionId, taskId, cfg)
+}
+
+/** Hive-style dynamic partitioning: rows fan out to per-partition-value
+  * sub-writers under `<root>/<col>=<value>/...`. The number of open
+  * partitions per task is capped — write skew belongs upstream
+  * (repartition by the partition columns), not in unbounded buffers.
+  */
+class BtrPartitionedDataWriter(path: String, schema: StructType, partCols: Seq[String],
+    blockSize: Int, cascade: Int, partitionId: Int, taskId: Long, cfg: BtrConfig)
+    extends DataWriter[InternalRow] {
+
+  private val MaxOpenPartitions = 128
+  private val NullPart = "__HIVE_DEFAULT_PARTITION__"
+
+  private val partOrdinals = partCols.map(schema.fieldIndex).toArray
+  private val partTypes = partOrdinals.map(schema.fields(_).dataType)
+  private val dataOrdinals = schema.fields.indices.filterNot(partOrdinals.contains).toArray
+  private val dataSchema = StructType(dataOrdinals.map(schema.fields(_)))
+  private val proj = org.apache.spark.sql.catalyst.ProjectingInternalRow(dataSchema, dataOrdinals.toIndexedSeq)
+
+  private val writers = scala.collection.mutable.LinkedHashMap.empty[String, BtrDataWriter]
+
+  private def partValueString(row: InternalRow, i: Int): String = {
+    if (row.isNullAt(partOrdinals(i))) NullPart
+    else partTypes(i) match {
+      case StringType => row.getUTF8String(partOrdinals(i)).toString
+      case IntegerType => row.getInt(partOrdinals(i)).toString
+      case LongType => row.getLong(partOrdinals(i)).toString
+      case ShortType => row.getShort(partOrdinals(i)).toString
+      case ByteType => row.getByte(partOrdinals(i)).toString
+      case BooleanType => row.getBoolean(partOrdinals(i)).toString
+      case DateType => java.time.LocalDate.ofEpochDay(row.getInt(partOrdinals(i)).toLong).toString
+      case other => throw new UnsupportedOperationException(s"btr: partition column type $other")
+    }
+  }
+
+  override def write(row: InternalRow): Unit = {
+    val key = partCols.indices.map { i =>
+      s"${BtrTableMeta.escapePath(partCols(i))}=${BtrTableMeta.escapePath(partValueString(row, i))}"
+    }.mkString("/")
+    val w = writers.getOrElseUpdate(key, {
+      require(writers.size < MaxOpenPartitions,
+        s"btr: more than $MaxOpenPartitions concurrent partitions in one task; " +
+          "repartition by the partition columns before writing")
+      new BtrDataWriter(s"$path/$key", dataSchema, blockSize, cascade, partitionId, taskId, cfg)
+    })
+    proj.project(row)
+    w.write(proj)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    val msgs = writers.map { case (key, w) =>
+      w.commit() match {
+        case m: BtrCommitMessage if m.fileName.nonEmpty => m.copy(fileName = s"$key/${m.fileName}")
+        case m: BtrCommitMessage => m
+      }
+    }.toArray
+    BtrMultiCommitMessage(msgs)
+  }
+
+  override def abort(): Unit = writers.values.foreach(_.abort())
+
+  override def close(): Unit = writers.values.foreach(_.close())
 }
 
 final case class BtrStreamingWriterFactory(

@@ -1,0 +1,113 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hive-style partitioned layout: partitionBy writes
+  * `<root>/<col>=<value>/part-*.btr`, reads synthesize the partition
+  * columns from directory names, and partition filters prune whole
+  * directories at planning time.
+  */
+class BtrPartitionSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("btr-partition-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+  private def tmp(name: String) = s"/tmp/btr-part-spec/$name"
+
+  private def assertSameRows(a: DataFrame, b: DataFrame): Unit = {
+    val x = a.collect().map(_.toString).sorted
+    val y = b.collect().map(_.toString).sorted
+    assert(x.length == y.length, s"${x.length} vs ${y.length}")
+    assert(x.toSeq == y.toSeq)
+  }
+
+  test("partitioned write/read round-trips with string partition column") {
+    val orig = spark.read.parquet(s"$sf/lineitem.parquet")
+    orig.write.format("btr").partitionBy("l_returnflag")
+      .mode("overwrite").save(tmp("li_part"))
+    // layout on disk is hive-style
+    val dirs = new java.io.File(tmp("li_part")).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("l_returnflag=")), dirs.mkString(","))
+    val back = spark.read.format("btr").load(tmp("li_part"))
+    assert(back.schema.fieldNames.toSet == orig.schema.fieldNames.toSet)
+    assertSameRows(orig, back.select(orig.columns.map(col): _*))
+  }
+
+  test("partition filters prune whole directories at planning time") {
+    val back = spark.read.format("btr").load(tmp("li_part"))
+    def parts(df: DataFrame): Seq[String] =
+      df.queryExecution.executedPlan.collectLeaves().head
+        .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.BatchScanExec]
+        .inputPartitions.collect { case p: BtrInputPartition => p.file }.distinct.toSeq
+    val all = parts(back.filter(col("l_orderkey").isNotNull))
+    val one = parts(back.filter(col("l_returnflag") === "R"))
+    assert(one.nonEmpty && one.size < all.size, s"${one.size} vs ${all.size}")
+    assert(one.forall(_.contains("l_returnflag=R")))
+    // correctness unchanged
+    val orig = spark.read.parquet(s"$sf/lineitem.parquet")
+    assert(back.filter(col("l_returnflag") === "R").count() ==
+      orig.filter(col("l_returnflag") === "R").count())
+    // no partition matches => zero files planned
+    assert(parts(back.filter(col("l_returnflag") === "Z")).isEmpty)
+  }
+
+  test("multi-column + int/null partitions, special characters escape") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some(3), Some("a/b c"), 1.5),
+      (2L, Some(3), Some("plain"), 2.5),
+      (3L, None, Some("plain"), 3.5),
+      (4L, Some(7), None, 4.5)
+    ).toDF("id", "bucket", "tag", "v")
+    df.write.format("btr").partitionBy("bucket", "tag")
+      .mode("overwrite").save(tmp("multi"))
+    val back = spark.read.format("btr").load(tmp("multi"))
+    assertSameRows(df, back.select(df.columns.map(col): _*))
+    // null partition round-trips
+    assert(back.filter(col("bucket").isNull).count() == 1)
+    assert(back.filter(col("tag").isNull).count() == 1)
+    // filters over int partitions prune
+    assert(back.filter(col("bucket") === 7).count() == 1)
+    assert(back.filter(col("bucket") > 5).count() == 1)
+    // escaped value reads back exactly
+    assert(back.filter(col("tag") === "a/b c").count() == 1)
+  }
+
+  test("aggregate pushdown still works on partitioned tables (count star + data cols)") {
+    val back = spark.read.format("btr").load(tmp("li_part"))
+    val orig = spark.read.parquet(s"$sf/lineitem.parquet")
+    val agg = back.agg(count(lit(1)), min(col("l_orderkey")), max(col("l_orderkey")))
+    val scan = agg.queryExecution.sparkPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+    }.head
+    assert(scan.isInstanceOf[BtrAggScan], scan.getClass.toString)
+    assert(agg.head.toString ==
+      orig.agg(count(lit(1)), min(col("l_orderkey")), max(col("l_orderkey"))).head.toString)
+    // min/max over the PARTITION column must not push down (not in footers)
+    val pagg = back.agg(min(col("l_returnflag")))
+    val pscan = pagg.queryExecution.sparkPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+    }.head
+    assert(!pscan.isInstanceOf[BtrAggScan])
+    assert(pagg.head.getString(0) == orig.agg(min(col("l_returnflag"))).head.getString(0))
+  }
+
+  test("append into partitioned table adds files under the right dirs") {
+    import spark.implicits._
+    val df1 = Seq((1L, "x"), (2L, "y")).toDF("id", "p")
+    val df2 = Seq((3L, "x")).toDF("id", "p")
+    df1.write.format("btr").partitionBy("p").mode("overwrite").save(tmp("appnd"))
+    df2.write.format("btr").partitionBy("p").mode("append").save(tmp("appnd"))
+    val back = spark.read.format("btr").load(tmp("appnd"))
+    assert(back.count() == 3)
+    assert(back.filter(col("p") === "x").count() == 2)
+  }
+}
