@@ -123,6 +123,22 @@ object CoreQueries {
         sum(length(col("l_returnflag"))).as("total_len"))
     }),
 
+    // Q-partition: hive-style partitioned layout — lineitem partitioned
+    // by l_returnflag on write; the partition filter prunes whole
+    // directories at planning, partition values synthesize on read
+    "q_part_filter" -> ((s, d) => {
+      val dir = Btr.cachePath(d, "lineitem_by_flag")
+      if (!new java.io.File(dir, "_btr_meta.json").exists()) {
+        Btr.pq(s, d, "lineitem").write.format("btr")
+          .partitionBy("l_returnflag").mode("overwrite").save(dir)
+      }
+      s.read.format("btr").load(dir)
+        .filter(col("l_returnflag") === "A")
+        .groupBy(col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy("l_linestatus")
+    }),
+
     // Q-agg-meta: ungrouped count/min/max answered metadata-only from
     // row-group footers (aggregate pushdown — zero data bytes read)
     "q_agg_meta" -> ((s, d) => {
@@ -254,6 +270,10 @@ object CoreQueries {
         | min(l_returnflag) AS min_v, max(l_returnflag) AS max_v,
         | CAST(sum(length(l_returnflag)) AS BIGINT) AS total_len
         |FROM lineitem""".stripMargin,
+    "q_part_filter" ->
+      """SELECT l_linestatus, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem WHERE l_returnflag = 'A'
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
     "q_agg_meta" ->
       """SELECT count(*) AS n_rows, count(l_orderkey) AS n_ok,
         | min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok,
