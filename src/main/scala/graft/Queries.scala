@@ -186,6 +186,15 @@ object CoreQueries {
         .orderBy(desc("revenue"), asc("n_name"))
     }),
 
+    // Q-rollup: grouping-set aggregation (subtotals + grand total);
+    // null ordering pinned explicitly (Spark and DuckDB defaults differ)
+    "q_rollup" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+    }),
+
     // Q-sort/limit: top-k with deterministic tiebreak
     "q_sort_limit" -> ((s, d) => {
       t(s, d, "orders")
@@ -298,6 +307,11 @@ object CoreQueries {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY revenue DESC, n_name ASC""".stripMargin,
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        | round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "q_sort_limit" ->
       """SELECT o_orderkey, round(o_totalprice, 2) AS price FROM orders
         |ORDER BY price DESC, o_orderkey ASC LIMIT 10""".stripMargin,
