@@ -31,11 +31,7 @@ object BlockDescribe {
   }
 
   private def describeArray(in: BufReader, tag: Int, count: Int): String = {
-    val lensDesc = describeInt(in.duplicate(), count)
-    val lens = IntCodec.decode(in, count) // consume the lengths block
-    var total = 0L
-    var i = 0
-    while (i < count) { total += lens(i); i += 1 }
+    val (lensDesc, _) = describeLengths(in, count)
     val ec = in.getInt()
     val elemNulls = walkNullMap(in)
     val et = PhysType.elemTag(tag)

@@ -201,12 +201,19 @@ object BtrTableMeta {
     }
   }
 
-  /** Recursive data-file listing: (file, hive-style partition values from
-    * the directory components, e.g. dir/p=3/x.btr → Map(p -> "3")).
+  /** Hive null-partition directory marker (shared by writer and pruner). */
+  val NullPartition: String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+
+  /** One discovered data file: path, file length (from the listing -- no
+    * extra getFileStatus round-trip), hive-style partition values.
     */
-  def listDataFilesWithPartitions(fs: FileSystem, dir: Path): Array[(Path, Map[String, String])] = {
+  final case class DataFileEntry(path: Path, len: Long, partitionValues: Map[String, String])
+
+  /** Recursive data-file listing with partition-dir parsing. */
+  def listDataFilesWithPartitions(fs: FileSystem, dir: Path): Array[DataFileEntry] = {
     if (!fs.exists(dir)) return Array.empty
-    val out = scala.collection.mutable.ArrayBuffer.empty[(Path, Map[String, String])]
+    val out = scala.collection.mutable.ArrayBuffer.empty[DataFileEntry]
     def walk(d: Path, values: Map[String, String]): Unit = {
       fs.listStatus(d).foreach { st =>
         val name = st.getPath.getName
@@ -218,38 +225,22 @@ object BtrTableMeta {
             walk(st.getPath, values + (k -> v))
           }
         } else if (name.endsWith(".btr") && !name.startsWith("_") && !name.startsWith(".")) {
-          out += ((st.getPath, values))
+          out += DataFileEntry(st.getPath, st.getLen, values)
         }
       }
     }
     walk(dir, Map.empty)
-    out.sortBy(_._1.toString).toArray
+    out.sortBy(_.path.toString).toArray
   }
 
-  /** Hive-compatible path escaping for partition values. */
-  def escapePath(s: String): String = {
-    val sb = new StringBuilder
-    s.foreach { c =>
-      if (c < 0x20 || "\"#%'*/:=?\\{[]^".contains(c)) sb.append(f"%%${c.toInt}%02X")
-      else sb.append(c)
-    }
-    sb.toString
-  }
+  /** Hive-compatible path escaping for partition values (Spark's own
+    * implementation, so layouts match what Hive/Spark tables produce).
+    */
+  def escapePath(s: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(s)
 
-  def unescapePath(s: String): String = {
-    val sb = new StringBuilder
-    var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (c == '%' && i + 2 < s.length) {
-        try {
-          sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
-          i += 3
-        } catch { case _: NumberFormatException => sb.append(c); i += 1 }
-      } else { sb.append(c); i += 1 }
-    }
-    sb.toString
-  }
+  def unescapePath(s: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(s)
 
   val StatsFile = "_btr_stats.json"
 

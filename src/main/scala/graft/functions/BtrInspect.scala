@@ -57,7 +57,7 @@ object BtrInspect {
     import spark.implicits._
     val dir = new Path(path)
     val fs = dir.getFileSystem(BtrTableMeta.hadoopConf())
-    val files = BtrTableMeta.listDataFilesWithPartitions(fs, dir).map(_._1.toString)
+    val files = BtrTableMeta.listDataFilesWithPartitions(fs, dir).map(_.path.toString)
     spark.createDataset(files.toSeq)
       .map { file =>
         val p = new Path(file)
@@ -93,7 +93,7 @@ object BtrInspect {
     val fs = dir.getFileSystem(BtrTableMeta.hadoopConf())
     val schema = BtrTableMeta.readSchema(fs, dir)
     val partCols = BtrTableMeta.readPartitionCols(fs, dir)
-    val files = BtrTableMeta.listDataFilesWithPartitions(fs, dir).map(_._1.toString)
+    val files = BtrTableMeta.listDataFilesWithPartitions(fs, dir).map(_.path.toString)
     // footers hold only the data columns; partition values live in dirs
     val fields = schema.fields.filterNot(f => partCols.contains(f.name))
       .map(f => (f.name, f.dataType.simpleString, PhysType.of(f.dataType)))

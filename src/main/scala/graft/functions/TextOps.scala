@@ -126,13 +126,20 @@ object TextOps {
         round(jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
       .filter(col("jaccard") >= threshold)
     // materialize the (much smaller) verified pairs so the shingle cache
-    // can be released before returning — otherwise every invocation leaks
-    // block-manager storage for the life of the session
+    // can be released before returning; the cached result itself is
+    // bounded to ONE live instance per session — each invocation releases
+    // the previous one — so repeated runs can't grow storage monotonically
     val out = verified.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count()
     sh.unpersist(blocking = false)
+    val prev = lastDedupResult.put(docs.sparkSession, out)
+    if (prev != null && (prev ne out)) prev.unpersist(blocking = false)
     out
   }
+
+  // one cached dedup result per session (see minhashDedup)
+  private val lastDedupResult =
+    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.SparkSession, DataFrame]()
 
   /** Candidate pairs from LSH buckets, with a skew guard: buckets up to
     * maxBucketSize produce all-pairs (exhaustive); larger buckets — one

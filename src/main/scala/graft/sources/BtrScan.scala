@@ -137,20 +137,28 @@ class BtrScan(
     if (partCols.isEmpty) tableSchema
     else StructType(tableSchema.fields.filterNot(f => partCols.contains(f.name)))
 
+  /** File listing + footers, read once per Scan instance and shared by
+    * statistics estimation and (possibly repeated, after runtime filters)
+    * partition planning — one listing and one footer tail-read per file.
+    */
+  private lazy val discovered: Array[(BtrTableMeta.DataFileEntry, BtrFile.Footer)] = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(BtrTableMeta.hadoopConf())
+    BtrTableMeta.listDataFilesWithPartitions(fs, dir)
+      .map(e => (e, BtrFile.readFooter(fs, e.path, e.len)))
+  }
+
   /** Table statistics from footers only: row count is exact; size is the
     * compressed bytes of the REQUIRED columns (post-pruning), so Catalyst
     * can auto-broadcast small btr join sides instead of assuming the
     * DSv2 default of Long.MaxValue.
     */
   override def estimateStatistics(): Statistics = {
-    val dir = new Path(path)
-    val fs = dir.getFileSystem(BtrTableMeta.hadoopConf())
     val colIdx = requiredSchema.fields.flatMap(f =>
       if (partCols.contains(f.name)) None else Some(dataSchema.fieldIndex(f.name)))
     var rows = 0L
     var bytes = 0L
-    BtrTableMeta.listDataFilesWithPartitions(fs, dir).foreach { case (file, _) =>
-      val footer = BtrFile.readFooter(fs, file, fs.getFileStatus(file).getLen)
+    discovered.foreach { case (_, footer) =>
       footer.rowGroups.foreach { rg =>
         rows += rg.numRows
         colIdx.foreach(ci => bytes += rg.columns(ci).length)
@@ -185,9 +193,6 @@ class BtrScan(
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val dir = new Path(path)
-    val fs = dir.getFileSystem(BtrTableMeta.hadoopConf())
-    val files = BtrTableMeta.listDataFilesWithPartitions(fs, dir)
     // required column layout: data columns map to footer indices,
     // partition columns synthesize from the directory values
     val colKinds = requiredSchema.fields.map { f =>
@@ -201,20 +206,18 @@ class BtrScan(
     val rowBudget = if (allFilters.isEmpty) limit else None
 
     val partitions = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
-    files.foreach { case (file, partValues) =>
+    discovered.foreach { case (entry, footer) =>
+      val file = entry.path
+      val partValues = entry.partitionValues
       // partition pruning: directory values can prove a whole file empty
       val prunedByPartition = allFilters.exists(f =>
         PartitionPrune.canSkip(tableSchema, partValues, f))
       if (!prunedByPartition) {
         // per-requiredField partition value (null marker for data cols)
         val reqPartValues: Array[String] = requiredSchema.fields.map { f =>
-          if (partCols.contains(f.name)) partValues.getOrElse(f.name, PartitionPrune.NullPart)
+          if (partCols.contains(f.name)) partValues.getOrElse(f.name, BtrTableMeta.NullPartition)
           else null
         }
-        // footer-only read: planning I/O is O(footer bytes), not O(data)
-        val len = fs.getFileStatus(file).getLen
-        val footer = BtrFile.readFooter(fs, file, len)
-
         // chunk-skip + group surviving row groups into ~splitBytes splits
         var current = scala.collection.mutable.ArrayBuffer.empty[BtrChunkRange]
         var currentBytes = 0L
@@ -252,7 +255,7 @@ class BtrScan(
   * returns true only when the filter PROVABLY excludes the partition.
   */
 object PartitionPrune {
-  val NullPart = "__HIVE_DEFAULT_PARTITION__"
+  val NullPart: String = BtrTableMeta.NullPartition
 
   def canSkip(schema: StructType, values: Map[String, String], f: Filter): Boolean = {
     def dtOf(a: String): Option[DataType] =
@@ -284,7 +287,13 @@ object PartitionPrune {
           Some(java.lang.Long.compare(java.time.LocalDate.parse(s).toEpochDay, epoch))
         case StringType =>
           lit match {
-            case ls: String => Some(s.compareTo(ls))
+            case ls: String =>
+              // UTF-8 binary order — the ordering Spark's UTF8String
+              // comparisons use (Java's compareTo diverges on
+              // supplementary characters)
+              Some(java.util.Arrays.compareUnsigned(
+                s.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+                ls.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
             case _ => None
           }
         case BooleanType =>
@@ -361,7 +370,7 @@ class BtrAggScan(path: String, tableSchema: StructType, agg: aggregate.Aggregati
   override def planInputPartitions(): Array[InputPartition] = {
     val dir = new Path(path)
     val fs = dir.getFileSystem(BtrTableMeta.hadoopConf())
-    val files = BtrTableMeta.listDataFilesWithPartitions(fs, dir).map(_._1.toString)
+    val files = BtrTableMeta.listDataFilesWithPartitions(fs, dir).map(_.path.toString)
     Array(BtrAggPartition(files))
   }
 

@@ -107,7 +107,8 @@ class BtrBatchWrite(path: String, schema: StructType, truncate: Boolean, blockSi
     if (truncate) {
       // replace: drop every data file not produced by this write
       val rootLen = dir.toUri.getPath.length + 1
-      BtrTableMeta.listDataFilesWithPartitions(fs, dir).foreach { case (f, _) =>
+      BtrTableMeta.listDataFilesWithPartitions(fs, dir).foreach { e =>
+        val f = e.path
         val rel = f.toUri.getPath.substring(math.min(rootLen, f.toUri.getPath.length))
         if (!committed.contains(rel) && !committed.contains(f.getName)) fs.delete(f, false)
       }
@@ -163,7 +164,7 @@ class BtrPartitionedDataWriter(path: String, schema: StructType, partCols: Seq[S
     extends DataWriter[InternalRow] {
 
   private val MaxOpenPartitions = 128
-  private val NullPart = "__HIVE_DEFAULT_PARTITION__"
+  private val NullPart = BtrTableMeta.NullPartition
 
   private val partOrdinals = partCols.map(schema.fieldIndex).toArray
   private val partTypes = partOrdinals.map(schema.fields(_).dataType)
@@ -236,7 +237,10 @@ class BtrDataWriter(path: String, schema: StructType, blockSize: Int, cascade: I
     extends DataWriter[InternalRow] {
 
   private val fileName = fileNameOverride.getOrElse(f"part-$partitionId%05d-$taskId.btr")
-  private val tmpName = s"_tmp_$fileName"
+  // temp name always embeds the taskId: a deterministic FINAL name (the
+  // streaming sink's epoch files) must not make two concurrent attempts
+  // of the same task share a temp file
+  private val tmpName = s"_tmp_${taskId}_$fileName"
   private val dir = new Path(path)
   private val fs = dir.getFileSystem(BtrTableMeta.hadoopConf())
   fs.mkdirs(dir)
