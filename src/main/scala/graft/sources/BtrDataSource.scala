@@ -84,7 +84,7 @@ class BtrTable(path: String, tableSchema: StructType, partitionTransforms: Array
 
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.STREAMING_WRITE).asJava
+      TableCapability.STREAMING_WRITE, TableCapability.MICRO_BATCH_READ).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new BtrScanBuilder(path, tableSchema, options, partCols)

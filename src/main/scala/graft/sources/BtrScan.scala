@@ -249,6 +249,78 @@ class BtrScan(
 
   override def createReaderFactory(): PartitionReaderFactory =
     new BtrReaderFactory(requiredSchema)
+
+  override def toMicroBatchStream(checkpointLocation: String): BtrMicroBatchStream =
+    new BtrMicroBatchStream(path, tableSchema, requiredSchema, partCols)
+}
+
+/** File-based micro-batch streaming source: each trigger picks up data
+  * files that appeared since the last committed offset (the btr analog of
+  * Spark's file stream source). The offset is the count of files in the
+  * stable sorted listing — files are immutable once committed (temp-named
+  * until rename), so a grown prefix uniquely identifies the new tail.
+  */
+class BtrMicroBatchStream(
+    path: String,
+    tableSchema: StructType,
+    requiredSchema: StructType,
+    partCols: Seq[String]
+) extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private val dataSchema: StructType =
+    if (partCols.isEmpty) tableSchema
+    else StructType(tableSchema.fields.filterNot(f => partCols.contains(f.name)))
+
+  case class FileCountOffset(n: Int) extends Offset {
+    override def json(): String = n.toString
+  }
+
+  private def listing: Array[BtrTableMeta.DataFileEntry] = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(BtrTableMeta.hadoopConf())
+    BtrTableMeta.listDataFilesWithPartitions(fs, dir)
+  }
+
+  override def initialOffset(): Offset = FileCountOffset(0)
+
+  override def latestOffset(): Offset = FileCountOffset(listing.length)
+
+  override def deserializeOffset(json: String): Offset = FileCountOffset(json.trim.toInt)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[FileCountOffset].n
+    val e = end.asInstanceOf[FileCountOffset].n
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(BtrTableMeta.hadoopConf())
+    val colKinds = requiredSchema.fields.map { f =>
+      if (partCols.contains(f.name)) -1 else dataSchema.fieldIndex(f.name)
+    }
+    val dataIdx = colKinds.filter(_ >= 0)
+    listing.slice(s, e).map { entry =>
+      val footer = BtrFile.readFooter(fs, entry.path, entry.len)
+      val reqPartValues: Array[String] =
+        if (partCols.isEmpty) Array.empty
+        else requiredSchema.fields.map { f =>
+          if (partCols.contains(f.name))
+            entry.partitionValues.getOrElse(f.name, BtrTableMeta.NullPartition)
+          else null
+        }
+      val groups = footer.rowGroups.map { rg =>
+        BtrChunkRange(rg.numRows,
+          dataIdx.map(ci => rg.columns(ci).offset),
+          dataIdx.map(ci => rg.columns(ci).length))
+      }
+      BtrInputPartition(entry.path.toString, groups, reqPartValues): InputPartition
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new BtrReaderFactory(requiredSchema)
+
+  override def commit(end: Offset): Unit = ()
+
+  override def stop(): Unit = ()
 }
 
 /** Filter evaluation against hive-style partition directory values:

@@ -54,6 +54,27 @@ class EventsStreamingSpec extends AnyFunSuite {
     assert(files >= 2, s"expected multiple epoch files, got $files")
   }
 
+  test("btr works as a streaming source (micro-batches pick up appended files)") {
+    import spark.implicits._
+    val src = "/tmp/btr-stream-source"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(src))
+    Seq((1L, "a"), (2L, "b")).toDF("id", "tag")
+      .coalesce(1).write.format("btr").mode("overwrite").save(src)
+    val stream = spark.readStream.format("btr").load(src)
+    val q = stream.writeStream.format("memory").queryName("btr_src_out").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("btr_src_out").count() == 2)
+      // appended files are picked up by later micro-batches
+      Seq((3L, "c")).toDF("id", "tag")
+        .coalesce(1).write.format("btr").mode("append").save(src)
+      q.processAllAvailable()
+      assert(spark.table("btr_src_out").count() == 3)
+      assert(spark.table("btr_src_out").select("id").collect().map(_.getLong(0)).sorted.toSeq
+        == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("windowed streaming agg equals batch agg") {
     val stream = EventsStreaming.readEventStream(spark, dir)
     val q = EventsStreaming.hourlyCounts(stream)
