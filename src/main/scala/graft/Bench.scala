@@ -37,6 +37,13 @@ object Bench {
     var writeSec = 0.0
     var scanSec = 0.0
     try {
+      // start from a clean slate: leftovers from prior runs (including any
+      // orphaned temp files) must not pollute the byte accounting
+      def rmRf(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rmRf)
+        f.delete(); ()
+      }
+      rmRf(new java.io.File("/tmp/graft-bench-btr"))
       writeSec = secs {
         benchTables.foreach { t =>
           val src = spark.read.parquet(s"$sfDir/$t.parquet")
@@ -44,8 +51,13 @@ object Bench {
         }
       }
       benchTables.foreach { t =>
+        // count only files a reader would see — same visibility rule as
+        // FileFormat's listing: no `_`/`.` prefixed names (temps, meta)
         btrBytes += new java.io.File(s"/tmp/graft-bench-btr/$t").listFiles()
-          .filter(_.getName.endsWith(".btr")).map(_.length).sum
+          .filter { f =>
+            val n = f.getName
+            n.endsWith(".btr") && !n.startsWith("_") && !n.startsWith(".")
+          }.map(_.length).sum
         inputBytes += new java.io.File(s"$sfDir/$t.parquet").length
       }
 

@@ -42,9 +42,10 @@ class BtrWriteBuilder(path: String, schema: StructType, options: CaseInsensitive
 }
 
 /** Streaming sink: each epoch appends btr files named deterministically
-  * by (epoch, partition) — a re-attempted epoch overwrites its own files
-  * (rename-over), keeping the sink idempotent per epoch. Commit writes
-  * the table meta so readers see the appended epochs.
+  * by (epoch, partition) — a re-attempted epoch deletes its own previous
+  * file before renaming (Hadoop rename never clobbers), keeping the sink
+  * idempotent per epoch. Commit writes the table meta so readers see the
+  * appended epochs.
   */
 class BtrStreamingWrite(path: String, schema: StructType, blockSize: Int, cascade: Int, cfg: BtrConfig)
     extends streaming.StreamingWrite {
@@ -148,10 +149,11 @@ class BtrBatchWrite(path: String, schema: StructType, truncate: Boolean, blockSi
 final case class BtrMultiCommitMessage(messages: Array[BtrCommitMessage]) extends WriterCommitMessage
 
 class BtrPartitionedWriterFactory(path: String, schema: StructType, partCols: Seq[String],
-    blockSize: Int, cascade: Int, cfg: BtrConfig)
+    blockSize: Int, cascade: Int, cfg: BtrConfig, writeId: String = BtrWriteIds.newWriteId())
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new BtrPartitionedDataWriter(path, schema, partCols, blockSize, cascade, partitionId, taskId, cfg)
+    new BtrPartitionedDataWriter(path, schema, partCols, blockSize, cascade, partitionId, taskId,
+      cfg, writeId)
 }
 
 /** Hive-style dynamic partitioning: rows fan out to per-partition-value
@@ -160,7 +162,8 @@ class BtrPartitionedWriterFactory(path: String, schema: StructType, partCols: Se
   * (repartition by the partition columns), not in unbounded buffers.
   */
 class BtrPartitionedDataWriter(path: String, schema: StructType, partCols: Seq[String],
-    blockSize: Int, cascade: Int, partitionId: Int, taskId: Long, cfg: BtrConfig)
+    blockSize: Int, cascade: Int, partitionId: Int, taskId: Long, cfg: BtrConfig,
+    writeId: String = "")
     extends DataWriter[InternalRow] {
 
   private val MaxOpenPartitions = 128
@@ -196,7 +199,8 @@ class BtrPartitionedDataWriter(path: String, schema: StructType, partCols: Seq[S
       require(writers.size < MaxOpenPartitions,
         s"btr: more than $MaxOpenPartitions concurrent partitions in one task; " +
           "repartition by the partition columns before writing")
-      new BtrDataWriter(s"$path/$key", dataSchema, blockSize, cascade, partitionId, taskId, cfg)
+      new BtrDataWriter(s"$path/$key", dataSchema, blockSize, cascade, partitionId, taskId, cfg,
+        writeId = writeId)
     })
     proj.project(row)
     w.write(proj)
@@ -226,17 +230,35 @@ final case class BtrStreamingWriterFactory(
 }
 
 class BtrWriterFactory(path: String, schema: StructType, blockSize: Int, cascade: Int,
-    cfg: BtrConfig = BtrConfig.Default)
+    cfg: BtrConfig = BtrConfig.Default, writeId: String = BtrWriteIds.newWriteId())
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new BtrDataWriter(path, schema, blockSize, cascade, partitionId, taskId, cfg)
+    new BtrDataWriter(path, schema, blockSize, cascade, partitionId, taskId, cfg,
+      writeId = writeId)
+}
+
+/** Per-write unique suffix for final file names (driver-side, once per
+  * write) — like Spark's FileFormatWriter job UUID: final names can never
+  * collide across writes, so overwrite after a fresh JVM (taskIds restart
+  * at 0) never hits Hadoop rename's refuse-to-clobber semantics.
+  */
+object BtrWriteIds {
+  def newWriteId(): String = java.util.UUID.randomUUID().toString.substring(0, 8)
 }
 
 class BtrDataWriter(path: String, schema: StructType, blockSize: Int, cascade: Int, partitionId: Int, taskId: Long,
-    cfg: BtrConfig = BtrConfig.Default, fileNameOverride: Option[String] = None)
+    cfg: BtrConfig = BtrConfig.Default, fileNameOverride: Option[String] = None,
+    writeId: String = "")
     extends DataWriter[InternalRow] {
 
-  private val fileName = fileNameOverride.getOrElse(f"part-$partitionId%05d-$taskId.btr")
+  // batch final names embed the per-write id so two writes of the same
+  // table (e.g. overwrite from a fresh JVM where taskIds restart at 0)
+  // can never collide; streaming epoch names stay deterministic and the
+  // commit handles the re-attempt collision explicitly
+  private val fileName = fileNameOverride.getOrElse {
+    if (writeId.isEmpty) f"part-$partitionId%05d-$taskId.btr"
+    else f"part-$partitionId%05d-$taskId-$writeId.btr"
+  }
   // temp name always embeds the taskId: a deterministic FINAL name (the
   // streaming sink's epoch files) must not make two concurrent attempts
   // of the same task share a temp file
@@ -414,7 +436,17 @@ class BtrDataWriter(path: String, schema: StructType, blockSize: Int, cascade: I
       fs.delete(new Path(dir, tmpName), false)
       BtrCommitMessage("", 0L)
     } else {
-      fs.rename(new Path(dir, tmpName), new Path(dir, fileName))
+      val dst = new Path(dir, fileName)
+      // Hadoop rename refuses to clobber an existing destination. Batch
+      // names are unique per write (writeId), so an existing dst can only
+      // be a streaming epoch re-attempt replacing its own file — delete
+      // it first, then fail LOUDLY if the rename still doesn't land
+      // (permissions, quota, races): committing a message for a file that
+      // never materialized silently serves stale data.
+      if (fileNameOverride.isDefined && fs.exists(dst)) fs.delete(dst, false)
+      if (!fs.rename(new Path(dir, tmpName), dst))
+        throw new java.io.IOException(
+          s"btr: rename $tmpName -> $fileName failed in $dir (destination exists or FS error)")
       BtrCommitMessage(fileName, totalRows, colNulls, colRawBytes, colCompBytes)
     }
   }
