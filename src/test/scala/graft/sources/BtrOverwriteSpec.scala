@@ -1,6 +1,6 @@
 package graft.sources
 
-import graft.format.BtrConfig
+import graft.format.{BtrConfig, BtrTableMeta}
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
@@ -20,7 +20,18 @@ class BtrOverwriteSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
-  private def tmp(name: String) = s"/tmp/btr-overwrite-spec/$name"
+  /** Fresh per-test dir: wiped first so reruns never trip the
+    * no-clobber rename on a previous run's committed files.
+    */
+  private def tmp(name: String) = {
+    val dir = s"/tmp/btr-overwrite-spec/$name"
+    val f = new java.io.File(dir)
+    def rm(x: java.io.File): Unit = {
+      Option(x.listFiles()).getOrElse(Array.empty).foreach(rm); x.delete(); ()
+    }
+    rm(f)
+    dir
+  }
 
   private def internalRow(i: Int, s: String): org.apache.spark.sql.catalyst.InternalRow =
     org.apache.spark.sql.catalyst.InternalRow(i,
