@@ -256,9 +256,15 @@ class BtrScan(
 
 /** File-based micro-batch streaming source: each trigger picks up data
   * files that appeared since the last committed offset (the btr analog of
-  * Spark's file stream source). The offset is the count of files in the
-  * stable sorted listing — files are immutable once committed (temp-named
-  * until rename), so a grown prefix uniquely identifies the new tail.
+  * Spark's FileStreamSource). The offset is IDENTITY-based — the set of
+  * table-root-relative file names already processed — never a positional
+  * index into a listing: a new file may sort anywhere (batch `part-00000-…`
+  * next to epoch `part-e000001-…`, a new partition directory), so an index
+  * range would re-emit old files and silently skip the inserted one. Each
+  * batch plans exactly `end.files -- start.files`. Offsets grow with the
+  * table's file count (bounded by name length × files, same asymptotics as
+  * FileStreamSource's seen-files log); a production compaction would fold
+  * old entries into the metadata log.
   */
 class BtrMicroBatchStream(
     path: String,
@@ -272,9 +278,51 @@ class BtrMicroBatchStream(
     if (partCols.isEmpty) tableSchema
     else StructType(tableSchema.fields.filterNot(f => partCols.contains(f.name)))
 
-  case class FileCountOffset(n: Int) extends Offset {
-    override def json(): String = n.toString
+  case class FileSetOffset(files: Set[String]) extends Offset {
+    override def json(): String =
+      files.toSeq.sorted.map(FileSetOffset.quote).mkString("[", ",", "]")
   }
+
+  object FileSetOffset {
+    def quote(s: String): String = {
+      val sb = new StringBuilder("\"")
+      s.foreach {
+        case '"' => sb.append("\\\"")
+        case '\\' => sb.append("\\\\")
+        case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+        case c => sb.append(c)
+      }
+      sb.append('"').toString
+    }
+
+    def parse(json: String): Set[String] = {
+      val out = scala.collection.mutable.Set.empty[String]
+      var i = json.indexOf('[') + 1
+      val sb = new StringBuilder
+      var inStr = false
+      while (i < json.length) {
+        val c = json.charAt(i)
+        if (!inStr) {
+          if (c == '"') { inStr = true; sb.clear() }
+          else if (c == ']') i = json.length
+        } else c match {
+          case '"' => inStr = false; out += sb.toString
+          case '\\' =>
+            i += 1
+            json.charAt(i) match {
+              case 'u' => sb.append(Integer.parseInt(json.substring(i + 1, i + 5), 16).toChar); i += 4
+              case e => sb.append(e)
+            }
+          case e => sb.append(e)
+        }
+        i += 1
+      }
+      out.toSet
+    }
+  }
+
+  private def tableRootPrefix(dir: Path, fs: org.apache.hadoop.fs.FileSystem): String =
+    fs.makeQualified(dir).toUri.getPath + "/"
 
   private def listing: Array[BtrTableMeta.DataFileEntry] = {
     val dir = new Path(path)
@@ -282,22 +330,42 @@ class BtrMicroBatchStream(
     BtrTableMeta.listDataFilesWithPartitions(fs, dir)
   }
 
-  override def initialOffset(): Offset = FileCountOffset(0)
+  private def relName(entry: BtrTableMeta.DataFileEntry, prefix: String): String = {
+    val p = entry.path.toUri.getPath
+    if (p.startsWith(prefix)) p.substring(prefix.length) else p
+  }
 
-  override def latestOffset(): Offset = FileCountOffset(listing.length)
+  override def initialOffset(): Offset = FileSetOffset(Set.empty)
 
-  override def deserializeOffset(json: String): Offset = FileCountOffset(json.trim.toInt)
-
-  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[FileCountOffset].n
-    val e = end.asInstanceOf[FileCountOffset].n
+  override def latestOffset(): Offset = {
     val dir = new Path(path)
     val fs = dir.getFileSystem(BtrTableMeta.hadoopConf())
+    val prefix = tableRootPrefix(dir, fs)
+    FileSetOffset(listing.map(relName(_, prefix)).toSet)
+  }
+
+  override def deserializeOffset(json: String): Offset =
+    FileSetOffset(FileSetOffset.parse(json))
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[FileSetOffset].files
+    val e = end.asInstanceOf[FileSetOffset].files
+    val newNames = e -- s
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(BtrTableMeta.hadoopConf())
+    val prefix = tableRootPrefix(dir, fs)
     val colKinds = requiredSchema.fields.map { f =>
       if (partCols.contains(f.name)) -1 else dataSchema.fieldIndex(f.name)
     }
     val dataIdx = colKinds.filter(_ >= 0)
-    listing.slice(s, e).map { entry =>
+    val current = listing.filter(en => newNames.contains(relName(en, prefix)))
+    if (current.length != newNames.size) {
+      val missing = newNames -- current.map(relName(_, prefix))
+      throw new IllegalStateException(
+        s"btr streaming source: committed offset references files no longer present " +
+          s"under $path (data files must be immutable): ${missing.mkString(", ")}")
+    }
+    current.map { entry =>
       val footer = BtrFile.readFooter(fs, entry.path, entry.len)
       val reqPartValues: Array[String] =
         if (partCols.isEmpty) Array.empty

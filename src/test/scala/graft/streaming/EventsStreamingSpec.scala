@@ -75,6 +75,34 @@ class EventsStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming source: file sorting BEFORE existing ones is read exactly once") {
+    import spark.implicits._
+    val src = "/tmp/btr-stream-source-order"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(src))
+    Seq((1L, "a"), (2L, "b")).toDF("id", "tag")
+      .coalesce(1).write.format("btr").mode("overwrite").save(src)
+    // force the initial data file to sort LAST, so the appended batch file
+    // (part-00000-…) inserts BEFORE it in the listing — the case where a
+    // positional (file-count) offset re-emits old rows and drops new ones
+    val d = new java.io.File(src)
+    val initial = d.listFiles().filter(_.getName.endsWith(".btr")).head
+    assert(initial.renameTo(new java.io.File(d, "zz-initial.btr")))
+    val stream = spark.readStream.format("btr").load(src)
+    val q = stream.writeStream.format("memory").queryName("btr_src_order").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("btr_src_order").count() == 2)
+      Seq((3L, "c")).toDF("id", "tag")
+        .coalesce(1).write.format("btr").mode("append").save(src)
+      val appended = d.listFiles().map(_.getName).filter(_.endsWith(".btr")).sorted
+      assert(appended.last == "zz-initial.btr", s"precondition: new file must sort first, got ${appended.mkString(",")}")
+      q.processAllAvailable()
+      // exactly the new row — no duplicates of 1/2, no loss of 3
+      assert(spark.table("btr_src_order").select("id").collect().map(_.getLong(0)).sorted.toSeq
+        == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("windowed streaming agg equals batch agg") {
     val stream = EventsStreaming.readEventStream(spark, dir)
     val q = EventsStreaming.hourlyCounts(stream)
