@@ -13,7 +13,7 @@ object Btr {
   /** Bump when the writer's footer layout/stats change, so a stale cache
     * from an older build is never scanned.
     */
-  private val CacheVersion = "v2"
+  private val CacheVersion = "v3" // format v2: hasNaN double stats flag
 
   private def cacheDir(sfDir: String, table: String): String = {
     val key = sfDir.replaceAll("[^a-zA-Z0-9.]", "_")

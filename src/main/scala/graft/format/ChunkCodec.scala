@@ -122,7 +122,7 @@ object ChunkCodec {
   final case class ChunkStats(
       nullCount: Int, minLong: Long, maxLong: Long, minDouble: Double, maxDouble: Double,
       hasMinMax: Boolean, minBytes: Array[Byte] = null, maxBytes: Array[Byte] = null,
-      rawBytes: Long = 0L)
+      rawBytes: Long = 0L, hasNaN: Boolean = false)
 
   /** Max stored length of string chunk bounds (Parquet-style truncation:
     * a min prefix stays a valid lower bound; a max prefix is incremented at
@@ -193,25 +193,36 @@ object ChunkCodec {
           case None => DoubleCodec.encode(out, chunk.doubles, chunk.count, cascadeDepth, cfg, seed)
         }
       }
+      // NaN is EXCLUDED from min/max and recorded in hasNaN instead: Spark
+      // orders NaN above every value, so a NaN-polluted max would otherwise
+      // make GreaterThan skipping drop rows. Updates use Double.compare so
+      // -0.0 orders below 0.0 deterministically (Spark compares them equal,
+      // so either tie-choice is within its equality class).
       var mn = java.lang.Double.MAX_VALUE
       var mx = -java.lang.Double.MAX_VALUE
       var has = false
+      var sawNaN = false
       i = 0
       while (i < chunk.count) {
         if (!chunk.isNull(i)) {
           val v =
             if (tag == PhysType.Float) java.lang.Float.intBitsToFloat(chunk.longs(i).toInt).toDouble
             else chunk.doubles(i)
-          if (!v.isNaN) {
-            if (v < mn) mn = v
-            if (v > mx) mx = v
+          if (v.isNaN) sawNaN = true
+          else {
+            if (java.lang.Double.compare(v, mn) < 0) mn = v
+            if (java.lang.Double.compare(v, mx) > 0) mx = v
             has = true
           }
         }
         i += 1
       }
+      // all-NaN chunk: NaN placeholders (every comparison against them is
+      // false, so skip checks stay conservative) with the flag set
+      if (!has && sawNaN) { mn = java.lang.Double.NaN; mx = java.lang.Double.NaN }
       ChunkStats(nullCount, 0, 0, mn, mx, has,
-        rawBytes = chunk.count.toLong * (if (tag == PhysType.Float) 4 else 8))
+        rawBytes = chunk.count.toLong * (if (tag == PhysType.Float) 4 else 8),
+        hasNaN = sawNaN)
     } else if (PhysType.isArrayFamily(tag)) {
       // [lengths cascade][i32 elemCount][element nullmap][element block] —
       // the variable-length layout of the string codec generalized to

@@ -20,7 +20,12 @@ import java.nio.charset.StandardCharsets
   */
 object BtrFile {
   val Magic: Array[Byte] = "BTRG".getBytes(StandardCharsets.US_ASCII)
-  val Version = 1
+  // v2: double/float chunk stats carry a hasNaN flag byte (footer stats
+  // exclude NaN from min/max, but Spark orders NaN above every value — the
+  // flag keeps GreaterThan-family chunk skipping and MIN/MAX pushdown
+  // NaN-exact). Readers validate the header version and fail cleanly on
+  // files written by a different layout.
+  val Version = 2
   val DefaultBlockSize = 65536 // tuples per chunk, btrblocks.hpp:24
   val DefaultCascadeDepth = 3 // btrblocks.hpp:31,37,43
 
@@ -38,7 +43,10 @@ object BtrFile {
       // else a truncated+incremented prefix (valid upper bound). Either may be
       // null when unavailable (e.g. all-0xFF prefix can't be incremented).
       minBytes: Array[Byte] = null,
-      maxBytes: Array[Byte] = null
+      maxBytes: Array[Byte] = null,
+      // kind 2 only: the chunk contains at least one NaN (min/maxDouble
+      // exclude NaN; an all-NaN chunk stores NaN placeholders for both)
+      hasNaN: Boolean = false
   )
 
   final case class RowGroupMeta(numRows: Int, columns: Array[ColumnChunkMeta])
@@ -60,7 +68,9 @@ object BtrFile {
         out.putByte(c.statsKind)
         c.statsKind match {
           case 1 => out.putLong(c.minLong); out.putLong(c.maxLong)
-          case 2 => out.putDouble(c.minDouble); out.putDouble(c.maxDouble)
+          case 2 =>
+            out.putByte(if (c.hasNaN) 1 else 0)
+            out.putDouble(c.minDouble); out.putDouble(c.maxDouble)
           case 3 =>
             val flags = (if (c.minBytes != null) 1 else 0) | (if (c.maxBytes != null) 2 else 0)
             out.putByte(flags)
@@ -77,9 +87,25 @@ object BtrFile {
   def readFooter(bytes: Array[Byte]): Footer = {
     val len = bytes.length
     require(len > 16, "btr file too short")
+    checkHeader(new BufReader(bytes, 0, 8), "<in-memory>")
     val tail = new BufReader(bytes, len - 8, len)
     val footerLen = tail.getInt()
     parseFooterBody(new BufReader(bytes, len - 8 - footerLen, len - 8))
+  }
+
+  /** Validate the 8-byte header [magic][u32 version] a writer emits first
+    * (BtrDataWriter, via DataOutput.writeInt — big-endian): a version
+    * mismatch means the footer layout differs — fail with a clear message
+    * instead of mis-decoding stats.
+    */
+  private def checkHeader(hr: BufReader, file: Any): Unit = {
+    require(
+      java.util.Arrays.equals(hr.getBytes(4), Magic),
+      s"not a btr file (bad header magic): $file")
+    val b = hr.getBytes(4)
+    val v = ((b(0) & 0xff) << 24) | ((b(1) & 0xff) << 16) | ((b(2) & 0xff) << 8) | (b(3) & 0xff)
+    require(v == Version,
+      s"unsupported btr format version $v (this build reads version $Version): $file")
   }
 
   /** Footer-only read: positioned-read the 8-byte tail (footerLen + magic)
@@ -92,6 +118,9 @@ object BtrFile {
     require(fileLen > 16, s"btr file too short: $file")
     val in = fs.open(file)
     try {
+      val head = new Array[Byte](8)
+      in.readFully(0L, head)
+      checkHeader(new BufReader(head), file)
       val tail = new Array[Byte](8)
       in.readFully(fileLen - 8L, tail)
       val tr = new BufReader(tail)
@@ -125,8 +154,9 @@ object BtrFile {
             val mn = in.getLong(); val mx = in.getLong()
             ColumnChunkMeta(off, l, nulls, 1, mn, mx, 0, 0)
           case 2 =>
+            val nan = in.getByte() != 0
             val mn = in.getDouble(); val mx = in.getDouble()
-            ColumnChunkMeta(off, l, nulls, 2, 0, 0, mn, mx)
+            ColumnChunkMeta(off, l, nulls, 2, 0, 0, mn, mx, hasNaN = nan)
           case 3 =>
             val flags = in.getByte()
             val mn = if ((flags & 1) != 0) in.getBytes(in.getByte()) else null

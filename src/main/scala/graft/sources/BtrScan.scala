@@ -71,17 +71,18 @@ class BtrScanBuilder(path: String, tableSchema: StructType, options: CaseInsensi
     }
 
   /** min/max answerable exactly from footer stats: the integer families
-    * only. Strings are truncated in the footer; float/double are excluded
-    * because footer stats skip NaN while Spark's MIN/MAX order NaN as the
-    * largest value (and -0.0/0.0 normalization differs), so a
-    * metadata-only answer could diverge when NaNs are present.
+    * and (since format v2) float/double. Footer double stats exclude NaN
+    * but carry a hasNaN flag, so the per-batch partials reproduce Spark's
+    * ordering exactly (NaN above every value: max=NaN when present; min is
+    * the smallest non-NaN value, NaN only when every value is NaN). Strings
+    * stay excluded — their footer bounds are truncated.
     */
   private def exactMinMax(name: String): Boolean =
     !partCols.contains(name) &&
       tableSchema.fields.find(_.name == name).exists { f =>
         f.dataType match {
           case IntegerType | LongType | ShortType | ByteType | BooleanType | DateType |
-              TimestampType | TimestampNTZType => true
+              TimestampType | TimestampNTZType | DoubleType | FloatType => true
           case d: DecimalType if d.precision <= 18 => true
           case _ => false
         }
@@ -102,7 +103,11 @@ class BtrScanBuilder(path: String, tableSchema: StructType, options: CaseInsensi
         case _ => false
       }
 
-  override def supportCompletePushDown(agg: aggregate.Aggregation): Boolean = canPushAgg(agg)
+  // PARTIAL pushdown, never complete: each footer-batch partition emits one
+  // row of partials and Spark's final aggregate merges them (min-of-mins,
+  // sum-of-counts, NaN-aware) — so footer reads parallelize across tasks
+  // instead of one task tail-reading every file (a straggler at 100k files)
+  override def supportCompletePushDown(agg: aggregate.Aggregation): Boolean = false
 
   override def pushAggregation(agg: aggregate.Aggregation): Boolean = {
     val ok = canPushAgg(agg)
@@ -468,13 +473,23 @@ object PartitionPrune {
 }
 
 /** Metadata-only aggregate scan: answers ungrouped, unfiltered
-  * COUNT(*)/COUNT(col)/MIN/MAX entirely from row-group footer stats. One
-  * task reads only footers (tail reads) — zero data bytes touched.
+  * COUNT(*)/COUNT(col)/MIN/MAX entirely from row-group footer stats —
+  * zero data bytes touched. Files are batched into partitions so footer
+  * tail-reads parallelize across tasks; each partition emits one PARTIAL
+  * row and Spark's final aggregate merges (the builder reports partial-only
+  * pushdown). Double/float min/max are NaN-exact via the footer hasNaN
+  * flag: max = NaN when any chunk saw NaN (Spark orders NaN largest), min
+  * is NaN only when every value is NaN.
   */
 class BtrAggScan(path: String, tableSchema: StructType, agg: aggregate.Aggregation,
     partCols: Seq[String] = Nil)
     extends Scan
     with Batch {
+
+  /** Footer reads per task: small enough to parallelize a 100k-file table
+    * across a cluster, large enough that task overhead stays negligible.
+    */
+  private val FilesPerBatch = 64
 
   // footer layout excludes partition columns (the builder already
   // restricts pushdown to data columns + count(*))
@@ -511,7 +526,7 @@ class BtrAggScan(path: String, tableSchema: StructType, agg: aggregate.Aggregati
     val dir = new Path(path)
     val fs = dir.getFileSystem(BtrTableMeta.hadoopConf())
     val files = BtrTableMeta.listDataFilesWithPartitions(fs, dir).map(_.path.toString)
-    Array(BtrAggPartition(files))
+    files.grouped(FilesPerBatch).map(b => BtrAggPartition(b): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -544,6 +559,9 @@ class BtrAggReader(
     val minD = Array.fill(tableSchema.fields.length)(java.lang.Double.MAX_VALUE)
     val maxD = Array.fill(tableSchema.fields.length)(-java.lang.Double.MAX_VALUE)
     val hasStats = new Array[Boolean](tableSchema.fields.length)
+    // kind 2 extras: chunk-level NaN presence / any real (non-NaN) value
+    val sawNaN = new Array[Boolean](tableSchema.fields.length)
+    val sawReal = new Array[Boolean](tableSchema.fields.length)
 
     partition.files.foreach { file =>
       val p = new Path(file)
@@ -561,8 +579,14 @@ class BtrAggReader(
               if (m.maxLong > maxL(c)) maxL(c) = m.maxLong
               hasStats(c) = true
             case 2 =>
-              if (m.minDouble < minD(c)) minD(c) = m.minDouble
-              if (m.maxDouble > maxD(c)) maxD(c) = m.maxDouble
+              if (m.hasNaN) sawNaN(c) = true
+              // an all-NaN chunk stores NaN placeholders — Double.compare
+              // keeps them out of min/max (and orders -0.0 < 0.0)
+              if (!m.minDouble.isNaN) {
+                sawReal(c) = true
+                if (java.lang.Double.compare(m.minDouble, minD(c)) < 0) minD(c) = m.minDouble
+                if (java.lang.Double.compare(m.maxDouble, maxD(c)) > 0) maxD(c) = m.maxDouble
+              }
               hasStats(c) = true
             case _ => ()
           }
@@ -582,7 +606,13 @@ class BtrAggReader(
           else {
             val dt = tableSchema.fields(ci).dataType
             val lv = if (k == 2) minL(ci) else maxL(ci)
-            val dv = if (k == 2) minD(ci) else maxD(ci)
+            // Spark orders NaN above every value: max is NaN as soon as any
+            // chunk saw one; min is NaN only when NO chunk held a real value
+            val dv =
+              if (k == 3 && sawNaN(ci)) java.lang.Double.NaN
+              else if (!sawReal(ci)) java.lang.Double.NaN
+              else if (k == 2) minD(ci)
+              else maxD(ci)
             dt match {
               case IntegerType | DateType => row.setInt(i, lv.toInt)
               case ShortType => row.setShort(i, lv.toShort)
@@ -1004,7 +1034,10 @@ object ChunkSkip {
       case 1 =>
         val x = if (dt.isInstanceOf[DecimalType]) decimalLit(v, dt) else toLongLit(v)
         if (strict) m.maxLong <= x else m.maxLong < x
-      case 2 =>
+      case 2 if !m.hasNaN =>
+        // hasNaN guard: footer max excludes NaN, but Spark orders NaN above
+        // every value — a chunk [NaN, 10..20] under `col > 25` still has
+        // matching NaN rows, so its max proves nothing (treat as +∞)
         val x = toDoubleLit(v)
         if (strict) m.maxDouble <= x else m.maxDouble < x
       case 3 if m.maxBytes != null =>
@@ -1013,7 +1046,10 @@ object ChunkSkip {
       case _ => false
     }
 
-  // skip "col < v": true when min >= v (strict) or min > v (non-strict)
+  // skip "col < v": true when min >= v (strict) or min > v (non-strict).
+  // Sound even when the chunk contains NaN: NaN orders above everything,
+  // so NaN rows can never satisfy a LessThan-family filter (an all-NaN
+  // chunk stores NaN min, whose comparisons are all false — no skip).
   private def minAboveOrEq(m: BtrFile.ColumnChunkMeta, dt: DataType, v: Any, strict: Boolean): Boolean =
     m.statsKind match {
       case 1 =>

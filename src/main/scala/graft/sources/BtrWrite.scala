@@ -398,10 +398,12 @@ class BtrDataWriter(path: String, schema: StructType, blockSize: Int, cascade: I
       val blobLen = encodeBuf.pos
       out.write(encodeBuf.backing, 0, blobLen)
       val statsKind =
-        if (!stats.hasMinMax) 0
-        else if (PhysType.isIntFamily(tag)) 1
-        else if (tag == PhysType.Double || tag == PhysType.Float) 2
-        else if (PhysType.isStringFamily(tag)) 3
+        if (PhysType.isIntFamily(tag)) { if (stats.hasMinMax) 1 else 0 }
+        // an all-NaN double chunk still records kind 2 (NaN placeholders +
+        // flag) so NaN-exact MIN/MAX pushdown sees it
+        else if (tag == PhysType.Double || tag == PhysType.Float) {
+          if (stats.hasMinMax || stats.hasNaN) 2 else 0
+        } else if (PhysType.isStringFamily(tag)) { if (stats.hasMinMax) 3 else 0 }
         else 0
       colMetas(c) = BtrFile.ColumnChunkMeta(
         offset = bytesWritten,
@@ -413,7 +415,8 @@ class BtrDataWriter(path: String, schema: StructType, blockSize: Int, cascade: I
         minDouble = stats.minDouble,
         maxDouble = stats.maxDouble,
         minBytes = stats.minBytes,
-        maxBytes = stats.maxBytes
+        maxBytes = stats.maxBytes,
+        hasNaN = stats.hasNaN
       )
       bytesWritten += blobLen
       colNulls(c) += stats.nullCount

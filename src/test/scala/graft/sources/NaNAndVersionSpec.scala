@@ -1,0 +1,137 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Format v2 guarantees: NaN-sound chunk skipping (footer min/max exclude
+  * NaN but Spark orders NaN above every value), NaN-exact double MIN/MAX
+  * aggregate pushdown, header version validation, and parallel footer-batch
+  * aggregate planning.
+  */
+class NaNAndVersionSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("nan-version-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def tmp(name: String) = s"/tmp/btr-nan-spec/$name"
+
+  private def scanOf(d: DataFrame) = d.queryExecution.sparkPlan.collect {
+    case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+  }.head
+
+  private def survivingGroups(df: DataFrame): Int =
+    df.queryExecution.executedPlan.collectLeaves().head
+      .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.BatchScanExec]
+      .inputPartitions.collect { case p: BtrInputPartition => p }.map(_.groups.length).sum
+
+  test("GreaterThan chunk skipping keeps NaN rows (hasNaN guard)") {
+    import spark.implicits._
+    // chunk 0: [NaN, 10, 11, 12] — non-NaN max 12; chunk 1: [1, 2, 3, 4]
+    val df = Seq(Double.NaN, 10.0, 11.0, 12.0, 1.0, 2.0, 3.0, 4.0).toDF("v")
+    df.coalesce(1).write.format("btr")
+      .option("btr.blockSize", "4").mode("overwrite").save(tmp("nanskip"))
+    val back = spark.read.format("btr").load(tmp("nanskip"))
+
+    // col > 25: no non-NaN value qualifies, but the NaN row does — the
+    // NaN-carrying chunk must survive planning, the clean chunk must not
+    val gt = back.filter(col("v") > 25.0)
+    assert(gt.count() == 1, "the NaN row matches col > 25 under Spark ordering")
+    assert(gt.collect().head.getDouble(0).isNaN)
+    assert(survivingGroups(gt) == 1, "clean chunk skipped, NaN chunk kept")
+
+    // LessThan skipping stays effective: NaN rows can never match col < v,
+    // so the NaN chunk's (non-NaN) min remains a valid proof
+    val lt = back.filter(col("v") < 5.0)
+    assert(lt.count() == 4)
+    assert(survivingGroups(lt) == 1, "NaN chunk min=10 proves col<5 empty there")
+  }
+
+  test("double min/max push down metadata-only and stay NaN-exact") {
+    import spark.implicits._
+    val plain = Seq(3.5, -2.25, 7.125, 0.0).toDF("v")
+    plain.coalesce(1).write.format("btr").mode("overwrite").save(tmp("dplain"))
+    val pAgg = spark.read.format("btr").load(tmp("dplain"))
+      .agg(min(col("v")), max(col("v")), count(col("v")))
+    assert(scanOf(pAgg).isInstanceOf[BtrAggScan], scanOf(pAgg).getClass.toString)
+    val pr = pAgg.head
+    assert(pr.getDouble(0) == -2.25 && pr.getDouble(1) == 7.125 && pr.getLong(2) == 4L)
+
+    // NaN present: Spark orders NaN largest → max = NaN, min = real min
+    val withNaN = Seq(Some(3.5), Some(Double.NaN), Some(-2.25), None).toDF("v")
+    withNaN.coalesce(1).write.format("btr").mode("overwrite").save(tmp("dnan"))
+    val nAgg = spark.read.format("btr").load(tmp("dnan"))
+      .agg(min(col("v")), max(col("v")), count(col("v")))
+    assert(scanOf(nAgg).isInstanceOf[BtrAggScan])
+    val nr = nAgg.head
+    val exp = withNaN.agg(min(col("v")), max(col("v")), count(col("v"))).head
+    assert(nr.getDouble(0) == exp.getDouble(0) && nr.getDouble(0) == -2.25)
+    assert(nr.getDouble(1).isNaN && exp.getDouble(1).isNaN)
+    assert(nr.getLong(2) == 3L)
+
+    // all-NaN column: min = max = NaN (there is no smaller real value)
+    val allNaN = Seq(Double.NaN, Double.NaN).toDF("v")
+    allNaN.coalesce(1).write.format("btr").mode("overwrite").save(tmp("dallnan"))
+    val aAgg = spark.read.format("btr").load(tmp("dallnan")).agg(min(col("v")), max(col("v")))
+    assert(scanOf(aAgg).isInstanceOf[BtrAggScan])
+    val ar = aAgg.head
+    assert(ar.getDouble(0).isNaN && ar.getDouble(1).isNaN)
+
+    // float column rides the same path
+    val fl = Seq(1.5f, Float.NaN, -8.25f).toDF("v")
+    fl.coalesce(1).write.format("btr").mode("overwrite").save(tmp("fnan"))
+    val fAgg = spark.read.format("btr").load(tmp("fnan")).agg(min(col("v")), max(col("v")))
+    assert(scanOf(fAgg).isInstanceOf[BtrAggScan])
+    val fr = fAgg.head
+    assert(fr.getFloat(0) == -8.25f && fr.getFloat(1).isNaN)
+  }
+
+  test("aggregate pushdown batches files into multiple partitions") {
+    import spark.implicits._
+    (1 to 400).map(i => (i.toLong, i * 0.5)).toDF("id", "v")
+      .repartition(70).write.format("btr").mode("overwrite").save(tmp("manyfiles"))
+    val agg = spark.read.format("btr").load(tmp("manyfiles"))
+      .agg(count(lit(1)), min(col("id")), max(col("v")))
+    val scan = scanOf(agg)
+    assert(scan.isInstanceOf[BtrAggScan])
+    val parts = scan.asInstanceOf[BtrAggScan].toBatch.planInputPartitions()
+    assert(parts.length > 1, s"expected >1 footer-batch partition, got ${parts.length}")
+    val r = agg.head
+    assert(r.getLong(0) == 400L && r.getLong(1) == 1L && r.getDouble(2) == 200.0)
+  }
+
+  test("header version / magic are validated with a clear error") {
+    import spark.implicits._
+    Seq((1L, "a")).toDF("id", "s").coalesce(1)
+      .write.format("btr").mode("overwrite").save(tmp("ver"))
+    val dir = new java.io.File(tmp("ver"))
+    val file = dir.listFiles().filter(_.getName.endsWith(".btr")).head
+
+    def dropCrcSidecars(): Unit =
+      dir.listFiles().filter(_.getName.endsWith(".crc")).foreach(_.delete())
+
+    // bump the header version int (bytes 4..8, big-endian via DataOutput)
+    val raf = new java.io.RandomAccessFile(file, "rw")
+    raf.seek(4); raf.writeInt(99); raf.close()
+    dropCrcSidecars()
+    val e = intercept[Exception] {
+      spark.read.format("btr").load(tmp("ver")).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("version 99")), messages(e).mkString(" | "))
+
+    // corrupt the magic → "not a btr file"
+    val raf2 = new java.io.RandomAccessFile(file, "rw")
+    raf2.seek(0); raf2.write("XXXX".getBytes); raf2.close()
+    dropCrcSidecars()
+    val e2 = intercept[Exception] {
+      spark.read.format("btr").load(tmp("ver")).count()
+    }
+    assert(messages(e2).exists(_.contains("magic")), messages(e2).mkString(" | "))
+  }
+}
