@@ -301,6 +301,35 @@ object BtrTableMeta {
     out.close()
   }
 
+  /** Per-column decoded/compressed expansion ratios from `_btr_stats.json`
+    * (commit-time ingest stats), for scan size estimation. Floored at 1.0:
+    * a LARGER estimate is the safe direction for broadcast planning.
+    * Empty when the stats file is missing (e.g. tables from very old
+    * writes); callers fall back to a configurable factor.
+    */
+  def readStatsRatios(fs: FileSystem, dir: Path): Map[String, Double] = {
+    val p = new Path(dir, StatsFile)
+    if (!fs.exists(p)) return Map.empty
+    try {
+      val len = fs.getFileStatus(p).getLen.toInt
+      val bytes = new Array[Byte](len)
+      val in = fs.open(p)
+      in.readFully(0, bytes)
+      in.close()
+      val colRe = """"column":"((?:[^"\\]|\\.)*)"""".r
+      val rawRe = """"raw_bytes":(\d+)""".r
+      val compRe = """"compressed_bytes":(\d+)""".r
+      new String(bytes, StandardCharsets.UTF_8).split('\n').flatMap { line =>
+        for {
+          c <- colRe.findFirstMatchIn(line).map(_.group(1))
+          r <- rawRe.findFirstMatchIn(line).map(_.group(1).toLong)
+          z <- compRe.findFirstMatchIn(line).map(_.group(1).toLong)
+          if z > 0
+        } yield c -> math.max(r.toDouble / z, 1.0)
+      }.toMap
+    } catch { case _: Exception => Map.empty }
+  }
+
   def listDataFiles(fs: FileSystem, dir: Path): Array[Path] = {
     if (!fs.exists(dir)) return Array.empty
     fs.listStatus(dir)

@@ -103,6 +103,15 @@ object BtrOptions {
   def splitBytes(options: CaseInsensitiveStringMap): Long =
     options.getLong("btr.maxSplitBytes", 128L * 1024 * 1024)
 
+  /** Fallback decoded/compressed expansion for `sizeInBytes` when a column
+    * has no commit-time stats — the analog of Spark's
+    * `spark.sql.sources.fileCompressionFactor`, erring large so Catalyst
+    * never auto-broadcasts a join side whose decoded footprint blows the
+    * `autoBroadcastJoinThreshold` budget.
+    */
+  def expansionFactor(options: CaseInsensitiveStringMap): Double =
+    options.getDouble("btr.expansionFactor", 4.0)
+
   /** Scheme-selection config: `btr.schemes` (comma list of enabled scheme
     * names), `btr.forceScheme.{int,double,string}`, and `btr.selection`
     * in {sample (default), tryall, full}.

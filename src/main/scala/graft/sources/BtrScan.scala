@@ -118,7 +118,8 @@ class BtrScanBuilder(path: String, tableSchema: StructType, options: CaseInsensi
   override def build(): Scan = pushedAgg match {
     case Some(agg) => new BtrAggScan(path, tableSchema, agg, partCols)
     case None =>
-      new BtrScan(path, tableSchema, requiredSchema, pushed, BtrOptions.splitBytes(options), limit, partCols)
+      new BtrScan(path, tableSchema, requiredSchema, pushed, BtrOptions.splitBytes(options), limit, partCols,
+        BtrOptions.expansionFactor(options))
   }
 }
 
@@ -129,7 +130,8 @@ class BtrScan(
     filters: Array[Filter],
     splitBytes: Long,
     limit: Option[Int] = None,
-    partCols: Seq[String] = Nil
+    partCols: Seq[String] = Nil,
+    expansionFactor: Double = 4.0
 ) extends Scan
     with Batch
     with SupportsRuntimeFiltering
@@ -154,23 +156,31 @@ class BtrScan(
   }
 
   /** Table statistics from footers only: row count is exact; size is the
-    * compressed bytes of the REQUIRED columns (post-pruning), so Catalyst
-    * can auto-broadcast small btr join sides instead of assuming the
-    * DSv2 default of Long.MaxValue.
+    * DECODED bytes of the REQUIRED columns (post-pruning) — per-column
+    * compressed footer bytes scaled by the commit-time raw/compressed
+    * ratio from `_btr_stats.json` (fallback: `btr.expansionFactor`).
+    * Catalyst compares sizeInBytes against autoBroadcastJoinThreshold as
+    * an IN-MEMORY footprint; reporting compressed bytes (1.6-4x smaller)
+    * would auto-broadcast join sides well above that budget — OOM risk at
+    * scale. Small btr dims still broadcast (vs the DSv2 default of
+    * Long.MaxValue).
     */
   override def estimateStatistics(): Statistics = {
+    val dir = new Path(path)
+    val ratios = BtrTableMeta.readStatsRatios(dir.getFileSystem(BtrTableMeta.hadoopConf()), dir)
     val colIdx = requiredSchema.fields.flatMap(f =>
-      if (partCols.contains(f.name)) None else Some(dataSchema.fieldIndex(f.name)))
+      if (partCols.contains(f.name)) None
+      else Some((dataSchema.fieldIndex(f.name), ratios.getOrElse(f.name, expansionFactor))))
     var rows = 0L
-    var bytes = 0L
+    var bytes = 0.0
     discovered.foreach { case (_, footer) =>
       footer.rowGroups.foreach { rg =>
         rows += rg.numRows
-        colIdx.foreach(ci => bytes += rg.columns(ci).length)
+        colIdx.foreach { case (ci, ratio) => bytes += rg.columns(ci).length * ratio }
       }
     }
     val r = rows
-    val b = math.max(bytes, 1L)
+    val b = math.max(bytes.toLong, 1L)
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(b)
       override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(r)

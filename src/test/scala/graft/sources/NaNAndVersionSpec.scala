@@ -104,6 +104,39 @@ class NaNAndVersionSpec extends AnyFunSuite {
     assert(r.getLong(0) == 400L && r.getLong(1) == 1L && r.getDouble(2) == 200.0)
   }
 
+  test("sizeInBytes reports decoded size: compressible table above the broadcast budget is not auto-broadcast") {
+    import spark.implicits._
+    // highly compressible dim: long runs → RLE packs ~200KB of decoded
+    // longs+strings into a few KB on disk. With a 24KB broadcast threshold
+    // the COMPRESSED size would qualify; the decoded size must not.
+    val dim = (1 to 12000).map(i => (i.toLong, i / 1000, "constant-payload-" + (i / 6000)))
+      .toDF("id", "grp", "s")
+    dim.coalesce(1).write.format("btr").mode("overwrite").save(tmp("bigdim"))
+    val fact = (1 to 30000).map(i => (i.toLong, i % 12000 + 1)).toDF("fid", "dim_id")
+    fact.coalesce(1).write.format("btr").mode("overwrite").save(tmp("fact"))
+
+    val compressed = new java.io.File(tmp("bigdim")).listFiles()
+      .filter(_.getName.endsWith(".btr")).map(_.length).sum
+    val d = spark.read.format("btr").load(tmp("bigdim"))
+    val f = spark.read.format("btr").load(tmp("fact"))
+    val est = d.queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(est > compressed, s"decoded estimate $est must exceed compressed $compressed")
+
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (24 * 1024).toString)
+      assert(compressed < 24 * 1024, s"precondition: compressed $compressed under threshold")
+      assert(est > 24 * 1024, s"decoded estimate $est above threshold")
+      val joined = f.join(d, col("dim_id") === col("id"))
+      val broadcasts = joined.queryExecution.sparkPlan.collect {
+        case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+      }
+      assert(broadcasts.isEmpty,
+        "decoded size above threshold must not auto-broadcast:\n" +
+          joined.queryExecution.sparkPlan.toString.take(400))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
   test("header version / magic are validated with a clear error") {
     import spark.implicits._
     Seq((1L, "a")).toDF("id", "s").coalesce(1)
