@@ -57,18 +57,20 @@ object PipelineQueries {
     }),
 
     // character-5-gram exact Jaccard pairs over a bounded id range
-    // (brute-force correctness baseline for the shingle pipelines)
-    "q_dedup_ngram" -> ((s, d) => {
-      val docs = t(s, d, "documents").filter(col("doc_id") < 150)
-        .select(col("doc_id"), TextOps.charShingles(col("text"), 5).as("sh"))
-      val a = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
-      val b = docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
-      a.join(b, col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"),
-          round(TextOps.jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
-        .filter(col("jaccard") >= 0.5)
-        .orderBy("id_a", "id_b")
-    }),
+    // (correctness baseline for the shingle pipelines). Inverted-index
+    // shape — explode shingles, equi-join on the shingle, count shared
+    // shingles per pair — NOT an all-pairs array_intersect nested-loop
+    // join: Catalyst pushes the jaccard threshold into a BNLJ's join
+    // condition AHEAD of the cheap id_a < id_b conjunct and recomputes the
+    // intersection again in the projection above, evaluating the O(|sh|)
+    // intersect twice for every ordered pair (the r2-r4 q_dedup_ngram
+    // slowdown). The equi-join shuffles on the shingle instead — partial
+    // aggregation, no per-pair re-scan, and the shape that survives scale.
+    "q_dedup_ngram" -> ((s, d) =>
+      TextOps.ngramJaccardPairs(
+        t(s, d, "documents").filter(col("doc_id") < 150), "doc_id", "text",
+        n = 5, threshold = 0.5)
+        .orderBy("id_a", "id_b")),
 
     // embedding cosine near-dup pairs over a bounded id range
     "q_embed_neardup" -> ((s, d) => {

@@ -99,17 +99,27 @@ object SimilarityOps {
       candidates: DataFrame, // (cid, cvec)
       k: Int,
       nlist: Int = 16,
-      nprobe: Int = 4
+      nprobe: Int = 4,
+      fitSampleRows: Int = 10000
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.ml.functions.array_to_vector
     val assembled = candidates.withColumn("fvec", array_to_vector(col("cvec")))
     // coarse quantizer: random init + few iterations is the standard IVF
-    // trade-off (cells need to be balanced, not converged)
+    // trade-off (cells need to be balanced, not converged). Fit on a
+    // seeded sample hard-capped at fitSampleRows — the quantizer only
+    // needs the density shape, and an O(corpus)-per-iteration fit would
+    // dominate the job at 100 TB. ASSIGNMENT still covers every candidate.
+    val n = candidates.count()
+    val fitInput =
+      if (n <= fitSampleRows) assembled
+      else assembled
+        .sample(withReplacement = false, fraction = math.min(1.0, fitSampleRows * 1.1 / n), seed = 42L)
+        .limit(fitSampleRows)
     val model = new org.apache.spark.ml.clustering.KMeans()
       .setK(nlist).setSeed(42L).setFeaturesCol("fvec").setPredictionCol("cluster")
       .setInitMode("random").setMaxIter(5)
-      .fit(assembled)
+      .fit(fitInput)
     val cb = model.transform(assembled).drop("fvec")
     val centers = model.clusterCenters.map(_.toArray)
     // per-query probed cells: nprobe nearest centroids (squared euclid)

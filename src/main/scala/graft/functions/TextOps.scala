@@ -39,6 +39,41 @@ object TextOps {
     inter / (size(a) + size(b) - inter)
   }
 
+  /** Exact character-n-gram Jaccard pairs ≥ threshold, inverted-index
+    * shape: explode each document's distinct shingles, equi-join on the
+    * shingle (one shuffle), count shared shingles per (id_a, id_b), then
+    * derive Jaccard from the two set sizes — |A∪B| = |A|+|B|-|A∩B|.
+    * Each pair's intersection is COUNTED by the aggregate, never
+    * re-scanned: no all-pairs nested-loop join, no array_intersect in a
+    * join condition. Pairs sharing zero shingles drop out of the
+    * equi-join, which is exactly the threshold>0 contract. Skew note: a
+    * shingle occurring in k docs contributes k² join rows; for corpus-
+    * scale runs, cap or drop shingles with document frequency above a
+    * stop-gram bound first (they carry no dedup signal).
+    */
+  def ngramJaccardPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double
+  ): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"), charShingles(col(textCol), n).as("sh"))
+    val sizes = sh.select(col("id"), size(col("sh")).as("sz"))
+    val ex = sh.select(col("id"), explode(col("sh")).as("g"))
+    val inter = ex.as("x").join(ex.as("y"),
+        col("x.g") === col("y.g") && col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    val szA = sizes.select(col("id").as("id_a"), col("sz").as("sz_a"))
+    val szB = sizes.select(col("id").as("id_b"), col("sz").as("sz_b"))
+    val ni = col("n_inter").cast("double")
+    inter.join(szA, "id_a").join(szB, "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(ni / (col("sz_a") + col("sz_b") - ni), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   // ---- MinHash --------------------------------------------------------
 
   /** Mersenne prime 2^31-1; shingle hashes and permutation parameters live

@@ -74,6 +74,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(v > 0.5 && v < 1.0, s"jaccard $v")
   }
 
+  test("ngramJaccardPairs equals the brute-force all-pairs jaccard") {
+    val exp = {
+      val sh = docs.select(col("doc_id"), TextOps.charShingles(col("text"), 5).as("sh"))
+      val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      a.join(b, col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(TextOps.jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
+        .filter(col("jaccard") >= 0.3)
+        .collect().map(_.toString).sorted.toSeq
+    }
+    val got = TextOps.ngramJaccardPairs(docs, "doc_id", "text", n = 5, threshold = 0.3)
+      .collect().map(_.toString).sorted.toSeq
+    assert(got == exp, s"got=$got exp=$exp")
+    assert(got.nonEmpty)
+  }
+
   test("brute-force topk is exact and ordered") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f)),
@@ -95,6 +112,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     val m = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(m(0L) == m(1L))
     assert(m(0L) != m(2L)) // antipodal vector flips every sign bit
+  }
+
+  test("ivf quantizer fits on a bounded sample yet assigns every candidate") {
+    // corpus larger than the fit cap: the quantizer must train on ≤cap
+    // rows (sample+limit) while probing still ranks over all candidates
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until 600).map(i => (i.toLong, Seq.fill(16)(rnd.nextGaussian().toFloat)))
+      .toDF("cid", "cvec")
+    val queries = vecs.filter(col("cid") < 5).select(col("cid").as("qid"), col("cvec").as("qvec"))
+    val topk = SimilarityOps.ivfTopK(queries, vecs, k = 3,
+      nlist = 8, nprobe = 8, fitSampleRows = 50)
+    val rows = topk.collect()
+    // nprobe == nlist → every cell probed → results identical to brute force
+    val exact = SimilarityOps.bruteForceTopK(queries, vecs, 3).collect()
+    assert(rows.length == exact.length)
+    assert(rows.map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"))).toSet ==
+      exact.map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"))).toSet)
   }
 
   test("langId prefers the language whose stopwords dominate") {
