@@ -7,22 +7,95 @@ import org.apache.spark.sql.functions._
   * binary columns with typed metadata; decode / feature-extract runs
   * batch-wise in executor partitions (the Scala analog of `mapInPandas`).
   *
-  * The actual media decode is STUBBED (this container has no image/audio
-  * libraries): [[FakeDecoder.decode]] derives deterministic pseudo-metadata
-  * from the bytes. The Spark-side plumbing — binary column handling,
-  * partition-batched processing, typed output schema — is real and tested;
-  * swapping the stub for a JNI/javacv decoder changes nothing structural.
+  * IMAGE HEADER decode is REAL: [[ImageHeader.decode]] parses PNG/JPEG/
+  * GIF/BMP container headers (pure byte parsing, no libraries) for true
+  * dimensions. Pixel decode and audio/video remain STUBBED (this container
+  * has no media libraries): [[FakeDecoder.decode]] derives deterministic
+  * pseudo-metadata from the bytes. The Spark-side plumbing — binary column
+  * handling, partition-batched processing, typed output schema — is real
+  * and tested; swapping the stub for a JNI/javacv decoder changes nothing
+  * structural.
   */
 object MultimodalOps {
 
-  /** Typed metadata extracted per media blob. */
+  /** Real container-header parsing for the common image formats — enough
+    * to type and dimension an image column without any pixel decode.
+    */
+  object ImageHeader {
+    private def beU32(b: Array[Byte], off: Int): Long =
+      ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+        ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+
+    private def beU16(b: Array[Byte], off: Int): Int =
+      ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+
+    private def leU16(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+
+    private def leI32(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+        ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+
+    private val PngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+    /** (format, width, height) from the container header, or None when the
+      * bytes are not a recognized image.
+      */
+    def decode(b: Array[Byte]): Option[(String, Int, Int)] = {
+      if (b == null || b.length < 10) return None
+      // PNG: 8-byte signature, then the IHDR chunk (len+type+payload):
+      // width/height are the first two big-endian u32s of the payload
+      if (b.length >= 24 && java.util.Arrays.equals(java.util.Arrays.copyOf(b, 8), PngSig) &&
+        b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R')
+        return Some(("png", beU32(b, 16).toInt, beU32(b, 20).toInt))
+      // GIF87a/GIF89a: logical screen descriptor, little-endian u16s
+      if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8' &&
+        (b(4) == '7' || b(4) == '9') && b(5) == 'a')
+        return Some(("gif", leU16(b, 6), leU16(b, 8)))
+      // BMP: "BM" + BITMAPINFOHEADER (width/height at 18/22, LE i32;
+      // height may be negative for top-down rows)
+      if (b.length >= 26 && b(0) == 'B' && b(1) == 'M')
+        return Some(("bmp", leI32(b, 18), math.abs(leI32(b, 22))))
+      // JPEG: FF D8, then marker segments; dimensions live in the first
+      // SOFn marker (C0-CF except DHT C4, JPG C8, DAC CC):
+      // [len u16][precision u8][height u16][width u16]
+      if ((b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) {
+        var i = 2
+        while (i + 9 < b.length) {
+          if ((b(i) & 0xff) != 0xff) return None // desynced — not a marker
+          val marker = b(i + 1) & 0xff
+          if (marker == 0xff) { i += 1 } // fill bytes before a marker
+          else if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7) || marker == 0x01) {
+            i += 2 // standalone markers have no length field
+          } else if (marker >= 0xc0 && marker <= 0xcf &&
+            marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+            return Some(("jpeg", beU16(b, i + 7), beU16(b, i + 5)))
+          } else if (marker == 0xd9 || marker == 0xda) {
+            return None // EOI / entropy-coded data reached before any SOF
+          } else {
+            i += 2 + beU16(b, i + 2) // skip the segment (len includes itself)
+          }
+        }
+        return None
+      }
+      None
+    }
+  }
+
+  /** Typed metadata extracted per media blob. `format`/`width`/`height`
+    * are REAL for recognized image containers ("opaque"/0/0 otherwise);
+    * the fake_* fields are the deterministic stub for un-decodable media.
+    */
   final case class MediaMeta(
       doc_id: Long,
       n_bytes: Int,
       header: Int, // first byte — a real decoder reads the container magic
       fake_width: Int,
       fake_height: Int,
-      fake_frames: Int
+      fake_frames: Int,
+      format: String = "opaque",
+      width: Int = 0,
+      height: Int = 0
   )
 
   /** STUB decoder: deterministic pseudo-decode of an opaque media blob.
@@ -33,13 +106,17 @@ object MultimodalOps {
     def decode(docId: Long, bytes: Array[Byte]): MediaMeta = {
       val n = bytes.length
       val header = if (n > 0) bytes(0) & 0xff else 0
+      val img = ImageHeader.decode(bytes)
       MediaMeta(
         doc_id = docId,
         n_bytes = n,
         header = header,
         fake_width = 64 + (n % 576),
         fake_height = 64 + (header % 416),
-        fake_frames = 1 + (n % 16)
+        fake_frames = 1 + (n % 16),
+        format = img.map(_._1).getOrElse("opaque"),
+        width = img.map(_._2).getOrElse(0),
+        height = img.map(_._3).getOrElse(0)
       )
     }
   }

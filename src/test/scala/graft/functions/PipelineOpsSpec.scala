@@ -199,6 +199,30 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(pairs.size == 5, pairs.toString)
   }
 
+  test("image headers decode REAL dimensions (PNG/JPEG/GIF/BMP), opaque bytes stay stubbed") {
+    def imageBytes(fmt: String, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics(); g.fillRect(0, 0, w, h); g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), s"jdk can't write $fmt")
+      bos.toByteArray
+    }
+    val payloads = Seq(
+      (1L, imageBytes("png", 123, 45)),
+      (2L, imageBytes("jpg", 300, 17)),
+      (3L, imageBytes("gif", 64, 200)),
+      (4L, imageBytes("bmp", 31, 9)),
+      (5L, "definitely not an image payload".getBytes("UTF-8"))
+    ).toDF("doc_id", "payload")
+    val metas = MultimodalOps.extractMeta(spark, payloads).collect()
+      .map(m => m.doc_id -> m).toMap
+    assert(metas(1L).format == "png" && metas(1L).width == 123 && metas(1L).height == 45)
+    assert(metas(2L).format == "jpeg" && metas(2L).width == 300 && metas(2L).height == 17)
+    assert(metas(3L).format == "gif" && metas(3L).width == 64 && metas(3L).height == 200)
+    assert(metas(4L).format == "bmp" && metas(4L).width == 31 && metas(4L).height == 9)
+    assert(metas(5L).format == "opaque" && metas(5L).width == 0 && metas(5L).height == 0)
+  }
+
   test("multimodal extractMeta is deterministic over binary payloads") {
     val media = docs.select($"doc_id", encode($"text", "UTF-8").as("payload"))
     val metas = MultimodalOps.extractMeta(spark, media).collect().sortBy(_.doc_id)
