@@ -1,0 +1,142 @@
+package graft.sources
+
+import graft.format._
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Small-file compaction (OPTIMIZE) for btr tables — the maintenance job
+  * that keeps long-running streaming sinks (one file per epoch × partition,
+  * BtrWrite) and many-task batch writes from degrading scan planning to
+  * per-file footer reads. The reference packs chunks into ≥target-size
+  * ColumnPart files at write time for the same reason
+  * (/root/reference/btrblocks/storage/Chunk.hpp:95-113).
+  *
+  * Files merge at the FOOTER level: a .btr file is
+  * [header][row-group chunk blobs][footer], and chunk blobs are
+  * position-independent (the footer holds absolute offsets), so a merge
+  * streams each source's data span verbatim and writes one merged footer
+  * with offsets shifted by each span's placement — no decode, no
+  * re-encode, no row movement. Row-group granularity (and therefore all
+  * chunk statistics) is preserved exactly.
+  *
+  * Parallelism: one Spark task per output bin streams the bytes; the
+  * driver then swaps each bin (rename merged file visible, delete its
+  * sources) — metadata-only operations. NOT crash-atomic: without a
+  * transaction log a crash between a bin's rename and its deletes leaves
+  * the bin's rows duplicated until compact is re-run (re-running converges;
+  * loss is never possible because sources are only deleted after the
+  * merged file is visible). Readers planning concurrently with the swap
+  * may fail-fast on a vanished file and should retry — same contract as
+  * Hive non-transactional compaction. Do NOT compact a table a streaming
+  * reader (BtrMicroBatchStream) is tailing: its identity-based offsets
+  * would see merged files as new and re-emit their rows.
+  */
+object BtrCompact {
+
+  final case class Bin(dirUri: String, files: Seq[String])
+
+  private def footerSpan(fs: FileSystem, file: Path, fileLen: Long): (Long, Int) = {
+    val in = fs.open(file)
+    try {
+      val tail = new Array[Byte](8)
+      in.readFully(fileLen - 8L, tail)
+      val tr = new BufReader(tail)
+      val footerLen = tr.getInt()
+      require(footerLen > 0 && footerLen <= fileLen - 16, s"bad footerLen $footerLen in $file")
+      (fileLen - 8L - footerLen, footerLen)
+    } finally in.close()
+  }
+
+  /** Merge one bin into a single file; returns the temp name to swap in. */
+  private def mergeBin(bin: Bin, tmpName: String): Unit = {
+    val dir = new Path(new java.net.URI(bin.dirUri))
+    val fs = dir.getFileSystem(BtrTableMeta.hadoopConf())
+    val out = fs.create(new Path(dir, tmpName), true)
+    try {
+      out.write(BtrFile.Magic)
+      out.writeInt(BtrFile.Version)
+      var cursor = 8L
+      val groups = scala.collection.mutable.ArrayBuffer.empty[BtrFile.RowGroupMeta]
+      var numCols = -1
+      val buf = new Array[Byte](1 << 20)
+      bin.files.foreach { name =>
+        val src = new Path(dir, name)
+        val len = fs.getFileStatus(src).getLen
+        val footer = BtrFile.readFooter(fs, src, len)
+        val cols = footer.rowGroups.headOption.map(_.columns.length).getOrElse(0)
+        if (numCols < 0) numCols = cols
+        else require(cols == 0 || cols == numCols,
+          s"btr compact: column count mismatch in $src ($cols vs $numCols)")
+        val (footerStart, _) = footerSpan(fs, src, len)
+        // stream the data span [8, footerStart) verbatim
+        val delta = cursor - 8L
+        val in = fs.open(src)
+        try {
+          var pos = 8L
+          while (pos < footerStart) {
+            val n = in.read(pos, buf, 0, math.min(buf.length.toLong, footerStart - pos).toInt)
+            require(n > 0, s"btr compact: short read in $src at $pos")
+            out.write(buf, 0, n)
+            pos += n
+          }
+        } finally in.close()
+        cursor += footerStart - 8L
+        footer.rowGroups.foreach { rg =>
+          groups += BtrFile.RowGroupMeta(rg.numRows,
+            rg.columns.map(c => c.copy(offset = c.offset + delta)))
+        }
+      }
+      val fb = new BufWriter(1 << 16)
+      BtrFile.writeFooter(fb, BtrFile.Footer(groups.toArray), math.max(numCols, 0))
+      out.write(fb.backing, 0, fb.pos)
+    } finally out.close()
+  }
+
+  /** Compact a btr table's data files toward `targetBytes` per file.
+    * Hive-partition directories compact independently (files in different
+    * partitions can never merge). Returns (filesBefore, filesAfter).
+    */
+  def compact(spark: SparkSession, path: String, targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(BtrTableMeta.hadoopConf())
+    val entries = BtrTableMeta.listDataFilesWithPartitions(fs, root)
+    val before = entries.length
+
+    // bin per directory: first-fit by size, merge only multi-file bins
+    val byDir = entries.groupBy(e => e.path.getParent.toUri.toString)
+    val bins = scala.collection.mutable.ArrayBuffer.empty[Bin]
+    byDir.foreach { case (dirUri, files) =>
+      var cur = scala.collection.mutable.ArrayBuffer.empty[String]
+      var curBytes = 0L
+      def flush(): Unit = {
+        if (cur.length > 1) bins += Bin(dirUri, cur.toSeq)
+        cur = scala.collection.mutable.ArrayBuffer.empty[String]
+        curBytes = 0L
+      }
+      files.sortBy(_.path.getName).foreach { e =>
+        if (curBytes > 0 && curBytes + e.len > targetBytes) flush()
+        cur += e.path.getName
+        curBytes += e.len
+      }
+      flush()
+    }
+    if (bins.isEmpty) return (before, before)
+
+    val compactId = java.util.UUID.randomUUID().toString.substring(0, 8)
+    val jobs = bins.zipWithIndex.map { case (b, i) =>
+      (b, s"_tmp_compact_$compactId-$i.btr", f"part-compact-$compactId-$i%05d.btr")
+    }.toSeq
+    // one task per bin: byte streaming scales out; driver only swaps names
+    spark.sparkContext.parallelize(jobs, jobs.length).foreach { case (bin, tmp, _) =>
+      mergeBin(bin, tmp)
+    }
+    // swap: per bin, make the merged file visible, then drop its sources
+    jobs.foreach { case (bin, tmp, fin) =>
+      val dir = new Path(new java.net.URI(bin.dirUri))
+      if (!fs.rename(new Path(dir, tmp), new Path(dir, fin)))
+        throw new java.io.IOException(s"btr compact: rename $tmp -> $fin failed in $dir")
+      bin.files.foreach(f => fs.delete(new Path(dir, f), false))
+    }
+    (before, before - jobs.map(_._1.files.length).sum + jobs.length)
+  }
+}

@@ -1,0 +1,97 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class BtrCompactSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("btr-compact-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def tmp(name: String) = s"/tmp/btr-compact-spec/$name"
+
+  private def btrFiles(dir: String): Seq[String] = {
+    val d = new java.io.File(dir)
+    if (!d.exists()) Nil
+    else d.listFiles().toSeq.flatMap { f =>
+      if (f.isDirectory) btrFiles(f.getPath)
+      else if (f.getName.endsWith(".btr") && !f.getName.startsWith("_")) Seq(f.getPath)
+      else Nil
+    }
+  }
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("many tiny appends compact to fewer files with identical rows") {
+    import spark.implicits._
+    val dir = tmp("appends")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    // 8 appends × 2 tasks — like a streaming sink's epoch files
+    (0 until 8).foreach { e =>
+      (e * 100 until (e + 1) * 100).map(i => (i.toLong, s"doc-$i", i * 0.25))
+        .toDF("id", "s", "v").repartition(2)
+        .write.format("btr").mode("append").save(dir)
+    }
+    val before = btrFiles(dir)
+    assert(before.size >= 8, s"expected many small files, got ${before.size}")
+    val expected = sortedRows(spark.read.format("btr").load(dir))
+
+    val (nBefore, nAfter) = BtrCompact.compact(spark, dir, targetBytes = 1L << 30)
+    assert(nBefore == before.size && nAfter == 1, s"$nBefore -> $nAfter")
+    assert(btrFiles(dir).size == 1)
+    assert(sortedRows(spark.read.format("btr").load(dir)) == expected)
+
+    // footer stats still drive metadata-only aggregates after the merge
+    val agg = spark.read.format("btr").load(dir).agg(count(lit(1)), min(col("id")), max(col("v")))
+    val scan = agg.queryExecution.sparkPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+    }.head
+    assert(scan.isInstanceOf[BtrAggScan])
+    val r = agg.head
+    assert(r.getLong(0) == 800L && r.getLong(1) == 0L && r.getDouble(2) == 799 * 0.25)
+  }
+
+  test("target size splits output into multiple packed files") {
+    import spark.implicits._
+    val dir = tmp("target")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    (0 until 6).foreach { e =>
+      (0 until 2000).map(i => (i.toLong, scala.util.Random.nextDouble()))
+        .toDF("id", "v").coalesce(1)
+        .write.format("btr").mode("append").save(dir)
+    }
+    val sizes = btrFiles(dir).map(new java.io.File(_).length())
+    val per = sizes.sum / sizes.size
+    val expected = sortedRows(spark.read.format("btr").load(dir))
+    // target ~2 source files per bin → 3 outputs
+    val (_, nAfter) = BtrCompact.compact(spark, dir, targetBytes = per * 2)
+    assert(nAfter >= 2 && nAfter < 6, s"got $nAfter files")
+    assert(btrFiles(dir).size == nAfter)
+    assert(sortedRows(spark.read.format("btr").load(dir)) == expected)
+  }
+
+  test("hive partitions compact independently and stay readable") {
+    import spark.implicits._
+    val dir = tmp("parts")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    (0 until 4).foreach { e =>
+      (0 until 50).map(i => (i.toLong + e * 50, if (i % 2 == 0) "a" else "b"))
+        .toDF("id", "k").repartition(2)
+        .write.format("btr").partitionBy("k").mode("append").save(dir)
+    }
+    val expected = sortedRows(spark.read.format("btr").load(dir))
+    val before = btrFiles(dir).size
+    val (_, nAfter) = BtrCompact.compact(spark, dir, targetBytes = 1L << 30)
+    assert(nAfter == 2, s"one file per partition dir, got $nAfter (before $before)")
+    assert(sortedRows(spark.read.format("btr").load(dir)) == expected)
+    // partition pruning still works on the compacted layout
+    val a = spark.read.format("btr").load(dir).filter(col("k") === "a")
+    assert(a.count() == expected.size / 2)
+  }
+}
