@@ -250,7 +250,12 @@ object TextOps {
       bits: Int = 64,
       tokenHash: Column => Column = c => xxhash64(c)
   ): DataFrame = {
+    // the simhash aggregation (per-token hash + `bits` bit-sums) feeds
+    // THREE plan branches (block buckets + both sides of the hamming
+    // verify join); persist the tiny (id, simhash) result once instead of
+    // re-running the aggregation per branch — same pattern as minhashDedup
     val sh = simhash(docs, idCol, textCol, bits, tokenHash)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val blockBits = bits / 4
     val mask = (1L << blockBits) - 1
     val blocks = sh.select(col("id"), col("simhash"),
@@ -259,11 +264,21 @@ object TextOps {
     val cand = lshCandidates(blocks, Seq("blk", "v"), maxBucketSize)
     val hA = sh.select(col("id").as("id_a"), col("simhash").as("h_a"))
     val hB = sh.select(col("id").as("id_b"), col("simhash").as("h_b"))
-    cand.join(hA, "id_a").join(hB, "id_b")
+    val pairs = cand.join(hA, "id_a").join(hB, "id_b")
       .select(col("id_a"), col("id_b"),
         bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxDist)
+    val out = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    sh.unpersist(blocking = false)
+    val prev = lastSimhashResult.put(docs.sparkSession, out)
+    if (prev != null && (prev ne out)) prev.unpersist(blocking = false)
+    out
   }
+
+  // one cached simhash result per session (see simhashDedup)
+  private val lastSimhashResult =
+    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.SparkSession, DataFrame]()
 
   // ---- language ID ----------------------------------------------------
 
