@@ -1,0 +1,92 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass distinct word-n-gram shingling over a raw UTF8String.
+  *
+  * Semantically identical to
+  * `array_distinct(transform(sequence(...), i => array_join(slice(split(
+  * trim(text), "\\s+"), i+1, n), " ")))` — it calls the same
+  * `UTF8String.trim`/`UTF8String.split` the built-ins use — but runs as
+  * ONE codegen-participating expression instead of four nested
+  * higher-order functions, which are CodegenFallback: interpreted per
+  * row, boxing every element. On the sf0.1 documents table this is the
+  * difference between shingling dominating the MinHash pipeline and
+  * shingling costing about as much as the scan.
+  */
+object ShingleUtil {
+  private val WS = UTF8String.fromString("\\s+")
+  private val SPACE = UTF8String.fromString(" ")
+  private val EMPTY: ArrayData = new GenericArrayData(Array.empty[Any])
+
+  def wordShingles(text: UTF8String, n: Int): ArrayData = {
+    // null text → empty array: `when(size(null) >= n, ...)` is null-false,
+    // so the declarative form falls to its empty-array otherwise-branch
+    if (text == null) return EMPTY
+    val toks = text.trim().split(WS, -1)
+    if (toks.length < n) return EMPTY
+    val out = new java.util.LinkedHashSet[UTF8String] // first-occurrence order, like array_distinct
+    val buf = new Array[UTF8String](n)
+    var i = 0
+    while (i + n <= toks.length) {
+      var j = 0
+      while (j < n) { buf(j) = toks(i + j); j += 1 }
+      out.add(UTF8String.concatWs(SPACE, buf: _*))
+      i += 1
+    }
+    new GenericArrayData(out.toArray.asInstanceOf[Array[Any]])
+  }
+}
+
+/** `word_shingles(text, n)`: distinct word n-grams of a whitespace-split
+  * string, space-joined — the codegen'd shingler feeding MinHash+LSH.
+  */
+case class WordShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
+
+  require(n >= 1, s"word_shingles: n must be >= 1, got $n")
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"word_shingles needs a string column, got ${child.dataType}")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  // null input maps to an empty array, never null output
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any =
+    ShingleUtil.wordShingles(child.eval(input).asInstanceOf[UTF8String], n)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val javaType = CodeGenerator.javaType(dataType)
+    ev.copy(
+      code = code"""
+        ${c.code}
+        $javaType ${ev.value} = graft.functions.ShingleUtil.wordShingles(
+          ${c.isNull} ? null : ${c.value}, $n);""",
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordShinglesExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "word_shingles"
+}
+
+object WordShinglesExpr {
+  /** Column-level entry point. */
+  def of(text: Column, n: Int): Column =
+    org.apache.spark.sql.graft.ColumnShim.column(
+      WordShinglesExpr(org.apache.spark.sql.graft.ColumnShim.expression(text), n))
+}

@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge between catalyst [[Expression]]s and the public [[Column]] API.
+  * `ExpressionUtils` is `private[sql]` in Spark 4, so this lives under
+  * `org.apache.spark.sql` — the standard shim shape used by DSv2
+  * connector libraries that ship custom codegen'd expressions.
+  */
+object ColumnShim {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

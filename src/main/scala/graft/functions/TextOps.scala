@@ -145,10 +145,12 @@ object TextOps {
     val rows = numHashes / bands
     // shingling is the most expensive projection and feeds three plan
     // branches (signatures + both sides of the verify join) — persist it
-    // instead of recomputing per branch
+    // instead of recomputing per branch. WordShinglesExpr is the codegen'd
+    // single-pass form of wordShingles(tokens(...)) (same trim/split/join
+    // semantics, spec-proven equal).
     val sh = docs.select(
       col(idCol).as("id"),
-      wordShingles(tokens(col(textCol)), shingleSize).as("shingles"))
+      WordShinglesExpr.of(col(textCol), shingleSize).as("shingles"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sig = sh.select(col("id"), col("shingles"),
       bandSignatures(minhash(col("shingles"), numHashes), bands, rows).as("bands"))

@@ -63,6 +63,28 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(near < far, s"near=$near far=$far")
   }
 
+  test("WordShinglesExpr equals the declarative shingle pipeline on edge cases") {
+    val edge = Seq(
+      (1L, Some("the quick brown fox jumps over the lazy dog")),
+      (2L, Some("a b")), // fewer tokens than n
+      (3L, Some("")),
+      (4L, None), // null text
+      (5L, Some("  leading and trailing   spaces  ")),
+      (6L, Some("tabs\tand\nnewlines\tsplit too")),
+      (7L, Some("\tleading tab keeps an empty token")),
+      (8L, Some("dup dup dup dup dup")), // repeated shingles collapse
+      (9L, Some("日本語 テキスト の 処理 も 同じ"))
+    ).toDF("doc_id", "text")
+    for (n <- Seq(2, 3, 5)) {
+      val declarative = edge.select(col("doc_id"),
+        TextOps.wordShingles(TextOps.tokens(col("text")), n).as("sh"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      val fast = edge.select(col("doc_id"), WordShinglesExpr.of(col("text"), n).as("sh"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      assert(fast == declarative, s"n=$n:\nfast=$fast\ndecl=$declarative")
+    }
+  }
+
   test("jaccard + shingles behave") {
     val j = docs.filter($"doc_id".isin(1L, 2L))
       .select(TextOps.wordShingles(TextOps.tokens($"text"), 3).as("sh"), $"doc_id")
