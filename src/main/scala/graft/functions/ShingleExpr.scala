@@ -90,3 +90,54 @@ object WordShinglesExpr {
     org.apache.spark.sql.graft.ColumnShim.column(
       WordShinglesExpr(org.apache.spark.sql.graft.ColumnShim.expression(text), n))
 }
+
+/** Engine-portable 60-bit md5 token hash, computed straight from the
+  * digest bytes. Bit-identical to the declarative
+  * `conv(substring(md5(c), 1, 15), 16, 10).cast("long")` — the first 15
+  * hex digits are digest bytes 0..6 plus the high nibble of byte 7 — but
+  * skips the 32-char hex string, the substring and the string-parse per
+  * token (the r2→r4 q_dedup_simhash overhead vs the xxhash64 variant).
+  */
+object HashUtil {
+  private val md5 = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("MD5"))
+
+  def md5Hash60(s: UTF8String): Long = {
+    val d = md5.get()
+    d.reset()
+    val digest = d.digest(s.getBytes)
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (digest(i) & 0xffL); i += 1 }
+    (v << 4) | ((digest(7) & 0xf0L) >>> 4)
+  }
+}
+
+/** `md5_hash60(token)`: the codegen'd form of [[HashUtil.md5Hash60]]. */
+case class Md5Hash60Expr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"md5_hash60 needs a string column, got ${child.dataType}")
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashUtil.md5Hash60(input.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashUtil.md5Hash60($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5Hash60Expr =
+    copy(child = newChild)
+
+  override def prettyName: String = "md5_hash60"
+}
+
+object Md5Hash60Expr {
+  def of(c: Column): Column =
+    org.apache.spark.sql.graft.ColumnShim.column(
+      Md5Hash60Expr(org.apache.spark.sql.graft.ColumnShim.expression(c)))
+}

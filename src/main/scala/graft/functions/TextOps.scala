@@ -210,10 +210,12 @@ object TextOps {
 
   /** Engine-portable 60-bit token hash: the top 15 hex digits of md5.
     * Any SQL engine with md5 + hex parse computes the identical value, so
-    * a simhash built on it is fully oracle-checkable end to end.
+    * a simhash built on it is fully oracle-checkable end to end. Runs as
+    * the codegen'd [[Md5Hash60Expr]] (digest bytes, no hex-string round
+    * trip); bit-equality with the declarative
+    * `conv(substring(md5(c),1,15),16,10)` form is spec-proven.
     */
-  def md5Hash60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  def md5Hash60(c: Column): Column = Md5Hash60Expr.of(c)
 
   /** SimHash per document via explode + `bits` partial-aggregated bit
     * sums (map-side combine keeps the shuffle narrow: one row per doc).

@@ -85,6 +85,17 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("Md5Hash60Expr is bit-identical to conv(substring(md5,1,15),16,10)") {
+    val toks = Seq("the", "", "a", "Zebra!", "日本語", "x" * 500, "tab\there", "99 bottles")
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "tok")
+    val declarative = toks.select(col("id"),
+      conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fast = toks.select(col("id"), TextOps.md5Hash60(col("tok")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == declarative, s"fast=$fast decl=$declarative")
+  }
+
   test("jaccard + shingles behave") {
     val j = docs.filter($"doc_id".isin(1L, 2L))
       .select(TextOps.wordShingles(TextOps.tokens($"text"), 3).as("sh"), $"doc_id")
