@@ -24,7 +24,8 @@ object BtrInspect {
       scheme_tree: String,
       compressed_bytes: Long,
       uncompressed_bytes: Long,
-      ratio: Double
+      ratio: Double,
+      has_nan: Boolean = false // format v2: double/float chunk saw a NaN
   )
 
   /** Commit-time ingest stats written by the last successful write
@@ -130,7 +131,8 @@ object BtrInspect {
               scheme_tree = tree,
               compressed_bytes = meta.length.toLong,
               uncompressed_bytes = uncompressed,
-              ratio = if (uncompressed > 0) uncompressed.toDouble / meta.length else Double.NaN
+              ratio = if (uncompressed > 0) uncompressed.toDouble / meta.length else Double.NaN,
+              has_nan = meta.hasNaN
             )
           }
         }
