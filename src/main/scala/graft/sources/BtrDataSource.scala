@@ -93,6 +93,25 @@ class BtrTable(path: String, tableSchema: StructType, partitionTransforms: Array
     new BtrWriteBuilder(path, info.schema(), info.options(), partCols)
 }
 
+/** Write-layout helper: range-cluster rows on the columns queries filter
+  * by, so row-group min/max windows become disjoint and chunk skipping
+  * prunes maximally (the layout discipline the reference assumes when it
+  * relies on natural column order). `repartitionByRange` gives
+  * non-overlapping per-file ranges; the within-partition sort gives
+  * non-overlapping per-row-group ranges inside each file.
+  */
+object BtrLayout {
+  def clusterBy(df: org.apache.spark.sql.DataFrame, cols: Seq[String],
+      numFiles: Int = 0): org.apache.spark.sql.DataFrame = {
+    require(cols.nonEmpty, "btr clusterBy: at least one column")
+    val cs = cols.map(org.apache.spark.sql.functions.col)
+    val n =
+      if (numFiles > 0) numFiles
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    df.repartitionByRange(n, cs: _*).sortWithinPartitions(cs: _*)
+  }
+}
+
 /** Shared session options for the format (writer side). */
 object BtrOptions {
   def blockSize(options: CaseInsensitiveStringMap): Int =

@@ -42,6 +42,18 @@ object EventsStreaming {
         date_format(col("window.start"), "yyyy-MM-dd HH:00").as("hour_s"),
         col("event_type"), col("n"), col("sum_v"))
 
+  /** Streaming deduplication by event id, state-bounded by a watermark:
+    * duplicates arriving within the watermark horizon are dropped exactly;
+    * state for ids older than the horizon is evicted (at 100 TB/day the
+    * dedup state must be bounded by TIME, not by the full id universe —
+    * `dropDuplicatesWithinWatermark` is the Spark-native contract for
+    * exactly that).
+    */
+  def dedupEvents(events: DataFrame, horizon: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts_t", horizon)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Per-user running totals via mapGroupsWithState (custom state). */
   final case class UserEvent(user_id: Long, value: Double)
   final case class UserTotal(user_id: Long, n_events: Long, total_value: Double)

@@ -76,6 +76,30 @@ class BtrCompactSpec extends AnyFunSuite {
     assert(sortedRows(spark.read.format("btr").load(dir)) == expected)
   }
 
+  test("clusterBy layout makes range predicates prune almost everything") {
+    import spark.implicits._
+    val dir = tmp("clustered")
+    val dirRand = tmp("unclustered")
+    val rnd = new scala.util.Random(11)
+    val df = (1 to 40000).map(_ => rnd.nextLong().abs % 1000000).toDF("k")
+    BtrLayout.clusterBy(df, Seq("k"), numFiles = 4)
+      .write.format("btr").option("btr.blockSize", "2048").mode("overwrite").save(dir)
+    df.repartition(4).write.format("btr").option("btr.blockSize", "2048")
+      .mode("overwrite").save(dirRand)
+    def surviving(path: String): Int = {
+      val q = spark.read.format("btr").load(path).filter(col("k").between(10000, 20000))
+      q.queryExecution.executedPlan.collectLeaves().head
+        .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.BatchScanExec]
+        .inputPartitions.collect { case p: BtrInputPartition => p }.map(_.groups.length).sum
+    }
+    val expected = df.filter(col("k").between(10000, 20000)).count()
+    assert(spark.read.format("btr").load(dir)
+      .filter(col("k").between(10000, 20000)).count() == expected)
+    // random layout: every group overlaps the range; clustered: ~1 in 100
+    assert(surviving(dir) * 5 < surviving(dirRand),
+      s"clustered=${surviving(dir)} unclustered=${surviving(dirRand)}")
+  }
+
   test("hive partitions compact independently and stay readable") {
     import spark.implicits._
     val dir = tmp("parts")

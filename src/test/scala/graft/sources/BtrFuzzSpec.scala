@@ -66,6 +66,12 @@ class BtrFuzzSpec extends AnyFunSuite {
     }
   }
 
+  // byte arrays stringify by identity; render them as hex instead
+  private def fmt(r: Row): String = r.toSeq.map {
+    case bytes: Array[Byte] => bytes.map("%02x".format(_)).mkString
+    case other => String.valueOf(other)
+  }.mkString("|")
+
   for (seed <- Seq(1L, 2L, 3L)) {
     test(s"random shapes round-trip losslessly (seed $seed)") {
       val n = 3000 + seed.toInt * 500
@@ -74,11 +80,6 @@ class BtrFuzzSpec extends AnyFunSuite {
       val dir = s"/tmp/btr-fuzz/$seed"
       df.write.format("btr").option("btr.blockSize", "512").mode("overwrite").save(dir)
       val back = spark.read.format("btr").load(dir)
-      // byte arrays stringify by identity; render them as hex instead
-      def fmt(r: Row): String = r.toSeq.map {
-        case bytes: Array[Byte] => bytes.map("%02x".format(_)).mkString
-        case other => String.valueOf(other)
-      }.mkString("|")
       val a = df.collect().map(fmt).sorted
       val b = back.collect().map(fmt).sorted
       assert(a.length == b.length, s"${a.length} vs ${b.length}")
@@ -87,6 +88,28 @@ class BtrFuzzSpec extends AnyFunSuite {
         assert(a(i) == b(i), s"row $i: ${a(i)} vs ${b(i)}")
         i += 1
       }
+    }
+  }
+
+  test("compaction of fuzzed multi-file appends preserves every row shape") {
+    val dir = "/tmp/btr-fuzz/compact"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    // 5 appends with different seeds/sizes → many small files of the
+    // full type surface (nulls, NaN/-0.0, unicode, binary, arrays)
+    (10L to 14L).foreach { seed =>
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(randomRows(seed, 800 + seed.toInt * 37), 2), schema)
+      df.write.format("btr").option("btr.blockSize", "256").mode("append").save(dir)
+    }
+    val before = spark.read.format("btr").load(dir).collect().map(fmt).sorted
+    val (nb, na) = BtrCompact.compact(spark, dir, targetBytes = 1L << 30)
+    assert(na < nb, s"$nb -> $na")
+    val after = spark.read.format("btr").load(dir).collect().map(fmt).sorted
+    assert(before.length == after.length, s"${before.length} vs ${after.length}")
+    var i = 0
+    while (i < before.length) {
+      assert(before(i) == after(i), s"row $i: ${before(i)} vs ${after(i)}")
+      i += 1
     }
   }
 }

@@ -133,6 +133,31 @@ class EventsStreamingSpec extends AnyFunSuite {
       s"streamed=${streamed.length} batch=${batch.length}")
   }
 
+  test("streaming dedup drops within-watermark duplicates") {
+    // duplicate every event across two files: the deduped stream must
+    // equal the distinct batch set
+    val dupDir = "/tmp/events-stream-dup"
+    if (!new java.io.File(s"$dupDir/_SUCCESS").exists()) {
+      val base = spark.read.parquet(dir).limit(500)
+      base.union(base).repartition(4).write.mode("overwrite").parquet(dupDir)
+    }
+    // horizon wider than the table's whole time span: files arrive in
+    // arbitrary time order, so a short horizon would mark older events in
+    // later files LATE and drop them before dedup (watermark semantics,
+    // exercised here only for the dedup contract)
+    val stream = EventsStreaming.dedupEvents(
+      EventsStreaming.readEventStream(spark, dupDir), horizon = "36500 days")
+    val q = stream.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("dedup_out").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val got = spark.table("dedup_out").select("event_id").distinct().count()
+    val gotTotal = spark.table("dedup_out").count()
+    val expected = spark.read.parquet(dupDir).select("event_id").distinct().count()
+    assert(gotTotal == expected, s"deduped stream rows $gotTotal vs distinct ids $expected")
+    assert(got == expected)
+  }
+
   test("stateful user totals accumulate across the stream") {
     val stream = EventsStreaming.readEventStream(spark, dir)
     val q = EventsStreaming.userTotals(spark, stream)
