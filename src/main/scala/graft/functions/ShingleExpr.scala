@@ -141,3 +141,77 @@ object Md5Hash60Expr {
     org.apache.spark.sql.graft.ColumnShim.column(
       Md5Hash60Expr(org.apache.spark.sql.graft.ColumnShim.expression(c)))
 }
+
+/** One-pass MinHash signatures over a shingle array. Bit-identical to the
+  * declarative `transform(sequence(0,k-1), i => array_min(transform(hs,
+  * h => (a_i*h + b_i) % P)))` over `hs = transform(shingles,
+  * s => pmod(xxhash64(s), P))` — it calls the same XxHash64Function with
+  * the same default seed — but hashes each shingle ONCE and keeps k
+  * running minima in a primitive array instead of materializing k boxed
+  * intermediate arrays per row through interpreted higher-order functions.
+  */
+object MinHashUtil {
+  private val P = 2147483647L // Mersenne 2^31-1, same modulus as TextOps
+
+  def minhash(shingles: ArrayData, a: Array[Long], b: Array[Long]): ArrayData = {
+    val n = shingles.numElements()
+    val k = a.length
+    // empty shingle set → k nulls (array_min of an empty array is null)
+    if (n == 0) return new GenericArrayData(new Array[Any](k))
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val x = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        shingles.getUTF8String(i), StringType, 42L)
+      val h = ((x % P) + P) % P
+      var j = 0
+      while (j < k) {
+        val v = (a(j) * h + b(j)) % P
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(mins)
+  }
+}
+
+/** `minhash_sig(shingles)`: the codegen'd MinHash signature vector. */
+case class MinHashExpr(child: Expression, a: Seq[Long], b: Seq[Long]) extends UnaryExpression {
+  require(a.nonEmpty && a.length == b.length, "minhash_sig: permutation arrays must align")
+
+  private lazy val aArr = a.toArray
+  private lazy val bArr = b.toArray
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"minhash_sig needs array<string>, got $other")
+    }
+
+  // elements are null only for an empty shingle set, mirroring array_min
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.LongType, containsNull = true)
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashUtil.minhash(input.asInstanceOf[ArrayData], aArr, bArr)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("minhashA", aArr, "long[]")
+    val bRef = ctx.addReferenceObj("minhashB", bArr, "long[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.MinHashUtil.minhash($c, $aRef, $bRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "minhash_sig"
+}
+
+object MinHashExpr {
+  def of(shingles: Column, a: Seq[Long], b: Seq[Long]): Column =
+    org.apache.spark.sql.graft.ColumnShim.column(
+      MinHashExpr(org.apache.spark.sql.graft.ColumnShim.expression(shingles), a, b))
+}

@@ -102,6 +102,16 @@ object TextOps {
     */
   def minhash(shingles: Column, k: Int): Column = {
     val perms = (0 until k).map(perm)
+    // native one-pass signature expression; bit-equality with
+    // [[minhashDeclarative]] is spec-proven
+    MinHashExpr.of(shingles, perms.map(_._1), perms.map(_._2))
+  }
+
+  /** Declarative reference implementation (the spec baseline proving
+    * [[MinHashExpr]] bit-equal; interpreted HOFs, slower).
+    */
+  private[functions] def minhashDeclarative(shingles: Column, k: Int): Column = {
+    val perms = (0 until k).map(perm)
     val aArr = array(perms.map(p => lit(p._1)): _*)
     val bArr = array(perms.map(p => lit(p._2)): _*)
     letBound(

@@ -96,6 +96,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(fast == declarative, s"fast=$fast decl=$declarative")
   }
 
+  test("MinHashExpr signatures are bit-identical to the declarative pipeline") {
+    val data = Seq(
+      (1L, Seq("the quick", "quick brown", "brown fox")),
+      (2L, Seq.empty[String]), // empty shingle set → k nulls
+      (3L, Seq("dup", "dup", "unique")), // duplicates (min over multiset = min over set)
+      (4L, Seq("日本語 テキスト", "", "x"))
+    ).toDF("id", "sh")
+    for (k <- Seq(4, 32)) {
+      val decl = data.select(col("id"), TextOps.minhashDeclarative(col("sh"), k).as("m"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Any](1)).toMap
+      val fast = data.select(col("id"), TextOps.minhash(col("sh"), k).as("m"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Any](1)).toMap
+      assert(fast == decl, s"k=$k:\nfast=$fast\ndecl=$decl")
+    }
+  }
+
   test("jaccard + shingles behave") {
     val j = docs.filter($"doc_id".isin(1L, 2L))
       .select(TextOps.wordShingles(TextOps.tokens($"text"), 3).as("sh"), $"doc_id")
