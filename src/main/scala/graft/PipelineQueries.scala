@@ -72,6 +72,20 @@ object PipelineQueries {
         n = 5, threshold = 0.5)
         .orderBy("id_a", "id_b")),
 
+    // near-dup CLUSTER assignment: connected components over the verified
+    // MinHash pair graph — every doc labeled with the min id it can reach
+    // (its canonical "keep" doc; singletons keep themselves). Oracle is a
+    // DuckDB recursive CTE over the same brute-force pair graph.
+    "q_dedup_clusters" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = TextOps.minhashDedup(docs, "doc_id", "text",
+        shingleSize = 3, numHashes = 32, bands = 8, threshold = 0.5)
+        .select(col("id_a"), col("id_b"))
+      TextOps.connectedComponents(docs.select(col("doc_id").as("id")), pairs)
+        .select(col("id").as("doc_id"), col("cid").as("cluster_id"))
+        .orderBy("doc_id")
+    }),
+
     // embedding cosine near-dup pairs over a bounded id range
     "q_embed_neardup" -> ((s, d) => {
       SimilarityOps.cosineNearDupPairs(
@@ -267,6 +281,22 @@ object PipelineQueries {
         |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
         |   (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') toks FROM documents),
+        | sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks)-2),
+        |   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) s FROM tok),
+        | pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |     (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+        | edges AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        | reach(id, r) AS (
+        |   SELECT doc_id, doc_id FROM documents
+        |   UNION
+        |   SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b
+        | )
+        |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
     "q_embed_neardup" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         | round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cos

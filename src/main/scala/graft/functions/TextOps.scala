@@ -216,6 +216,53 @@ object TextOps {
     candSmall.union(candBig).distinct()
   }
 
+  /** Connected components over a near-dup pair graph by iterative
+    * min-label propagation: every node's label converges to the smallest
+    * id in its component (the canonical "keep" document; singletons keep
+    * themselves). Each round is one shuffle join + partial-aggregated min
+    * — fully distributed, O(diameter) rounds, and near-dup graphs are
+    * star/clique shaped so the diameter is tiny. The round cap bounds the
+    * worst (chain-shaped) case; raising it is safe, each round is
+    * idempotent. At extreme scale, alternating star contraction halves
+    * rounds further — the shape here is the standard label-propagation CC.
+    *
+    * @param ids   (id) — every document, including singletons
+    * @param edges (id_a, id_b) — undirected near-dup pairs
+    * @return (id, cluster_id = min id reachable)
+    */
+  def connectedComponents(ids: DataFrame, edges: DataFrame, maxRounds: Int = 25): DataFrame = {
+    val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = ids.select(col("id"), col("id").as("cid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    labels.count()
+    var round = 0
+    var changed = 1L
+    while (changed > 0 && round < maxRounds) {
+      val nbrMin = sym.join(labels, sym("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("cid")).as("nbr_cid"))
+      val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+        .select(labels("id"),
+          least(labels("cid"), coalesce(col("nbr_cid"), labels("cid"))).as("cid"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      changed = next.as("n").join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.cid") =!= col("o.cid")).count()
+      labels.unpersist(blocking = false)
+      labels = next
+      round += 1
+    }
+    sym.unpersist(blocking = false)
+    val out = labels
+    val prev = lastCcResult.put(ids.sparkSession, out)
+    if (prev != null && (prev ne out)) prev.unpersist(blocking = false)
+    out
+  }
+
+  // one cached CC result per session (released on the next invocation)
+  private val lastCcResult =
+    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.SparkSession, DataFrame]()
+
   // ---- SimHash --------------------------------------------------------
 
   /** Engine-portable 60-bit token hash: the top 15 hex digits of md5.

@@ -180,6 +180,23 @@ class PipelineOpsSpec extends AnyFunSuite {
       exact.map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"))).toSet)
   }
 
+  test("connectedComponents labels chains, cliques and singletons with the min id") {
+    val ids = (1L to 10L).toDF("id")
+    // chain 1-2-3-4 (diameter 3), clique 5-6-7, pair 8-9, singleton 10
+    val edges = Seq(
+      (2L, 1L), (2L, 3L), (3L, 4L), // chain, mixed direction
+      (5L, 6L), (6L, 7L), (5L, 7L),
+      (9L, 8L)
+    ).toDF("id_a", "id_b")
+    val got = TextOps.connectedComponents(ids, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 5L,
+      8L -> 8L, 9L -> 8L,
+      10L -> 10L), got.toString)
+  }
+
   test("langId prefers the language whose stopwords dominate") {
     val df = Seq(
       (1L, "the cat is on the mat and it is happy"),
