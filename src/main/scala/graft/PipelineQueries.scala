@@ -179,6 +179,13 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // top-3 TF-IDF keywords per document (integer-deterministic ranking,
+    // smoothed idf score along for display)
+    "q_text_keywords" -> ((s, d) => {
+      TextOps.topKeywords(t(s, d, "documents"), "doc_id", "text", 3)
+        .orderBy("doc_id", "rank")
+    }),
+
     // quality scoring: length/punctuation/digit/whitespace ratios
     "q_text_quality" -> ((s, d) => {
       val text = col("text")
@@ -355,6 +362,17 @@ object PipelineQueries {
         | length(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
         | length(text) AS n_chars_m
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_keywords" ->
+      """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents),
+        | tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok WHERE tok <> '' GROUP BY doc_id, tok),
+        | dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+        | n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        | scored AS (SELECT t.doc_id, t.tok, t.tf,
+        |   round(t.tf * ln((n.n_docs + 1.0) / (d.df + 1.0)), 4) AS score,
+        |   row_number() OVER (PARTITION BY t.doc_id ORDER BY t.tf DESC, d.df ASC, t.tok ASC) AS rank
+        |  FROM tf t JOIN dfreq d USING (tok) CROSS JOIN n)
+        |SELECT doc_id, tok, tf, score, rank FROM scored
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     "q_text_quality" ->
       """SELECT doc_id, length(text) AS n_chars_m,
         | round(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) / CAST(length(text) AS DOUBLE), 4) AS punct_ratio,

@@ -345,5 +345,15 @@ object BtrTableMeta {
       .sortBy(_.getName)
   }
 
-  def hadoopConf(): Configuration = new Configuration()
+  /** Hadoop conf for listing/footer/data I/O: the Spark session's conf
+    * when one is active (driver-side planning — carries fs.s3a/hdfs
+    * settings the user configured on the session), else a fresh
+    * `Configuration` (executor-side readers/writers, which load the same
+    * core-site.xml from the executor classpath).
+    */
+  def hadoopConf(): Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new Configuration())
 }

@@ -56,11 +56,22 @@ object TextOps {
       idCol: String,
       textCol: String,
       n: Int,
-      threshold: Double
+      threshold: Double,
+      maxShingleDF: Int = 0
   ): DataFrame = {
     val sh = docs.select(col(idCol).as("id"), charShingles(col(textCol), n).as("sh"))
     val sizes = sh.select(col("id"), size(col("sh")).as("sz"))
-    val ex = sh.select(col("id"), explode(col("sh")).as("g"))
+    val exAll = sh.select(col("id"), explode(col("sh")).as("g"))
+    // stop-gram bound (the skew guard for corpus scale): a shingle in k
+    // docs contributes k² join rows, and ubiquitous shingles carry no
+    // dedup signal. Dropping them UNDER-counts intersections slightly →
+    // jaccard becomes a lower bound; 0 disables (exact, the oracle mode).
+    val ex =
+      if (maxShingleDF <= 0) exAll
+      else exAll.join(
+        exAll.groupBy("g").agg(count(lit(1)).as("df")).filter(col("df") <= maxShingleDF)
+          .select("g"),
+        "g")
     val inter = ex.as("x").join(ex.as("y"),
         col("x.g") === col("y.g") && col("x.id") < col("y.id"))
       .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
@@ -340,6 +351,29 @@ object TextOps {
   // one cached simhash result per session (see simhashDedup)
   private val lastSimhashResult =
     new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.SparkSession, DataFrame]()
+
+  /** Top-k TF-IDF keywords per document. Ranking is fully integer
+    * (tf desc, document-frequency asc, token asc) so it is deterministic
+    * and engine-reproducible; the smoothed tf-idf score
+    * `tf * ln((N+1)/(df+1))` rides along rounded for display. Shapes:
+    * one token explode, two partial-aggregated counts, one broadcast-able
+    * doc-count, one per-doc top-k window — no driver actions.
+    */
+  def topKeywords(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("tok"))
+      .filter(col("tok") =!= "")
+    val tf = tok.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val nDocs = docs.select(countDistinct(col(idCol)).as("n_docs"))
+    val w = Window.partitionBy("doc_id").orderBy(desc("tf"), asc("df"), asc("tok"))
+    tf.join(dfreq, "tok")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", round(col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0)), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("tok"), col("tf"), col("score"), col("rank"))
+  }
 
   // ---- language ID ----------------------------------------------------
 

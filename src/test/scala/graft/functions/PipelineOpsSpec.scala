@@ -180,6 +180,22 @@ class PipelineOpsSpec extends AnyFunSuite {
       exact.map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"))).toSet)
   }
 
+  test("ngram stop-gram bound prunes ubiquitous shingles but keeps true pairs") {
+    val corpus = Seq(
+      (1L, "hdr the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "hdr the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "hdr completely different content about columnar compression"),
+      (4L, "hdr another unrelated body of text mentioning spark plans")
+    ).toDF("doc_id", "text")
+    // cap 2: the shared "hdr " prefix shingles (df=4) are dropped; the
+    // duplicate pair's body shingles (df=2) survive
+    val pairs = TextOps.ngramJaccardPairs(corpus, "doc_id", "text", n = 5,
+      threshold = 0.5, maxShingleDF = 2)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), pairs.toString)
+    assert(!pairs.exists(p => p._1 >= 3L || p._2 >= 3L), pairs.toString)
+  }
+
   test("connectedComponents labels chains, cliques and singletons with the min id") {
     val ids = (1L to 10L).toDF("id")
     // chain 1-2-3-4 (diameter 3), clique 5-6-7, pair 8-9, singleton 10
