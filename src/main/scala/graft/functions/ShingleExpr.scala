@@ -176,6 +176,73 @@ object MinHashUtil {
   }
 }
 
+/** Single-pass distinct character-n-gram shingles — the char analog of
+  * [[ShingleUtil.wordShingles]]. Matches
+  * `array_distinct(transform(sequence(1, greatest(length(text)-n+1, 1)),
+  * i => substr(text, i, n)))` exactly: substrings count CHARACTERS
+  * (UTF8String.substringSQL, the same call the Substring expression
+  * makes), and a text shorter than n yields its single truncated self.
+  */
+object CharShingleUtil {
+  // null text → [null]: greatest(null-…, 1) ignores the null, so the
+  // declarative form produces a 1-element sequence whose substr is null
+  private val SingleNull: ArrayData = new GenericArrayData(Array[Any](null))
+
+  def charShingles(text: UTF8String, n: Int): ArrayData = {
+    if (text == null) return SingleNull
+    val chars = text.numChars()
+    val count = math.max(chars - n + 1, 1)
+    val out = new java.util.LinkedHashSet[UTF8String]
+    var i = 1
+    while (i <= count) {
+      out.add(text.substringSQL(i, n))
+      i += 1
+    }
+    new GenericArrayData(out.toArray.asInstanceOf[Array[Any]])
+  }
+}
+
+/** `char_shingles(text, n)`: codegen'd distinct character n-grams. */
+case class CharShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"char_shingles: n must be >= 1, got $n")
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"char_shingles needs a string column, got ${child.dataType}")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any =
+    CharShingleUtil.charShingles(child.eval(input).asInstanceOf[UTF8String], n)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val javaType = CodeGenerator.javaType(dataType)
+    ev.copy(
+      code = code"""
+        ${c.code}
+        $javaType ${ev.value} = graft.functions.CharShingleUtil.charShingles(
+          ${c.isNull} ? null : ${c.value}, $n);""",
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CharShinglesExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "char_shingles"
+}
+
+object CharShinglesExpr {
+  def of(text: Column, n: Int): Column =
+    org.apache.spark.sql.graft.ColumnShim.column(
+      CharShinglesExpr(org.apache.spark.sql.graft.ColumnShim.expression(text), n))
+}
+
 /** `minhash_sig(shingles)`: the codegen'd MinHash signature vector. */
 case class MinHashExpr(child: Expression, a: Seq[Long], b: Seq[Long]) extends UnaryExpression {
   require(a.nonEmpty && a.length == b.length, "minhash_sig: permutation arrays must align")

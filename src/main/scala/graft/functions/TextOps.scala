@@ -26,8 +26,14 @@ object TextOps {
           i => array_join(slice(toks, i + lit(1), lit(n)), " "))))
       .otherwise(array().cast("array<string>"))
 
-  /** Distinct character n-gram shingles of a string. */
-  def charShingles(text: Column, n: Int): Column =
+  /** Distinct character n-gram shingles of a string (codegen'd
+    * [[CharShinglesExpr]]; bit-equality with [[charShinglesDeclarative]]
+    * is spec-proven).
+    */
+  def charShingles(text: Column, n: Int): Column = CharShinglesExpr.of(text, n)
+
+  /** Declarative reference implementation (spec baseline). */
+  private[functions] def charShinglesDeclarative(text: Column, n: Int): Column =
     array_distinct(
       transform(
         sequence(lit(1), greatest(length(text) - (n - 1), lit(1))),

@@ -180,6 +180,24 @@ class PipelineOpsSpec extends AnyFunSuite {
       exact.map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"))).toSet)
   }
 
+  test("CharShinglesExpr equals the declarative char-shingle pipeline") {
+    val edge = Seq(
+      (1L, Some("abcdefgh")),
+      (2L, Some("abc")), // shorter than n → single truncated shingle
+      (3L, Some("")),
+      (4L, None), // null propagates
+      (5L, Some("日本語テキストの処理")), // multi-byte chars count as chars
+      (6L, Some("aaaaaaaa")) // duplicates collapse
+    ).toDF("doc_id", "text")
+    for (n <- Seq(2, 5)) {
+      val decl = edge.select(col("doc_id"), TextOps.charShinglesDeclarative(col("text"), n).as("sh"))
+        .collect().map(r => r.getLong(0) -> Option(r.getSeq[String](1))).toMap
+      val fast = edge.select(col("doc_id"), TextOps.charShingles(col("text"), n).as("sh"))
+        .collect().map(r => r.getLong(0) -> Option(r.getSeq[String](1))).toMap
+      assert(fast == decl, s"n=$n:\nfast=$fast\ndecl=$decl")
+    }
+  }
+
   test("ngram stop-gram bound prunes ubiquitous shingles but keeps true pairs") {
     val corpus = Seq(
       (1L, "hdr the quick brown fox jumps over the lazy dog again and again"),

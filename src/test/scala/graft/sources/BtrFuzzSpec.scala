@@ -91,6 +91,44 @@ class BtrFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("random pushed filters return identical results over btr and in-memory data") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.Column
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(randomRows(7L, 4000), 2), schema)
+    val dir = "/tmp/btr-fuzz/filters"
+    df.write.format("btr").option("btr.blockSize", "256").mode("overwrite").save(dir)
+    val back = spark.read.format("btr").load(dir)
+
+    val rnd = new scala.util.Random(99)
+    val doubleLits = Seq(0.0, -0.0, Double.NaN, 0.5, 3.0, -1.0, 1e9)
+    val longLits = Seq(0L, 42L, -1L, 150L, Long.MinValue, Long.MaxValue)
+    val strLits = Seq("", "tag_1", "日本語テキスト1", "zzz", "a")
+    def pick[T](xs: Seq[T]): T = xs(rnd.nextInt(xs.length))
+
+    val preds = scala.collection.mutable.ArrayBuffer.empty[Column]
+    (1 to 60).foreach { _ =>
+      val p = rnd.nextInt(10) match {
+        case 0 => col("id") > pick(longLits)
+        case 1 => col("id") <= pick(longLits)
+        case 2 => col("i") === pick(longLits).toInt
+        case 3 => col("d") > pick(doubleLits)
+        case 4 => col("d") <= pick(doubleLits)
+        case 5 => col("d") === pick(doubleLits)
+        case 6 => col("s") > pick(strLits)
+        case 7 => col("s").startsWith(pick(Seq("tag", "日本", "x")))
+        case 8 => col("dec") > BigDecimal(pick(longLits).toInt.abs % 1000)
+        case _ => if (rnd.nextBoolean()) col("f").isNull else col("b") === rnd.nextBoolean()
+      }
+      preds += (if (rnd.nextInt(4) == 0) p && (col("id") < pick(longLits)) else p)
+    }
+    preds.foreach { p =>
+      val exp = df.filter(p).count()
+      val got = back.filter(p).count()
+      assert(got == exp, s"filter $p: btr=$got in-memory=$exp")
+    }
+  }
+
   test("compaction of fuzzed multi-file appends preserves every row shape") {
     val dir = "/tmp/btr-fuzz/compact"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
