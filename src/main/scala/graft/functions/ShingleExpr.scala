@@ -282,3 +282,88 @@ object MinHashExpr {
     org.apache.spark.sql.graft.ColumnShim.column(
       MinHashExpr(org.apache.spark.sql.graft.ColumnShim.expression(shingles), a, b))
 }
+
+/** Squared-euclidean nearest centroids of a float vector. */
+object CentroidUtil {
+  /** Indices of the `m` nearest centers (squared euclid, ties by lower
+    * index), as an int array — primitive loops, no per-element boxing.
+    */
+  def nearest(vec: ArrayData, centers: Array[Array[Double]], m: Int): ArrayData = {
+    val k = centers.length
+    val d2 = new Array[Double](k)
+    val dim = vec.numElements()
+    var c = 0
+    while (c < k) {
+      val ctr = centers(c)
+      var s = 0.0
+      var i = 0
+      val n = math.min(dim, ctr.length)
+      while (i < n) {
+        val diff = vec.getFloat(i) - ctr(i)
+        s += diff * diff
+        i += 1
+      }
+      d2(c) = s
+      c += 1
+    }
+    val picked = new Array[Int](math.min(m, k))
+    val used = new Array[Boolean](k)
+    var p = 0
+    while (p < picked.length) {
+      var best = -1
+      var bestD = java.lang.Double.MAX_VALUE
+      c = 0
+      while (c < k) {
+        if (!used(c) && d2(c) < bestD) { best = c; bestD = d2(c) }
+        c += 1
+      }
+      used(best) = true
+      picked(p) = best
+      p += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(picked)
+  }
+}
+
+/** `nearest_centers(vec)`: the `m` nearest centroid ids of an
+  * array<float> vector under squared euclidean distance — the IVF
+  * assignment/probe kernel, with the centroid matrix carried as a
+  * codegen reference object.
+  */
+case class NearestCentersExpr(child: Expression, centers: Seq[Seq[Double]], m: Int)
+    extends UnaryExpression {
+  require(centers.nonEmpty && m >= 1, "nearest_centers: need centers and m >= 1")
+
+  private lazy val centersArr: Array[Array[Double]] = centers.map(_.toArray).toArray
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(org.apache.spark.sql.types.FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"nearest_centers needs array<float>, got $other")
+    }
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    CentroidUtil.nearest(input.asInstanceOf[ArrayData], centersArr, m)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ivfCenters", centersArr, "double[][]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.CentroidUtil.nearest($c, $ref, $m)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentersExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "nearest_centers"
+}
+
+object NearestCentersExpr {
+  def of(vec: Column, centers: Seq[Seq[Double]], m: Int): Column =
+    org.apache.spark.sql.graft.ColumnShim.column(
+      NearestCentersExpr(org.apache.spark.sql.graft.ColumnShim.expression(vec), centers, m))
+}

@@ -87,12 +87,56 @@ object SimilarityOps {
     joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Driver-local deterministic Lloyd k-means over the bounded fit
+    * sample (≤ fitSampleRows × dim doubles — a few MB). The quantizer fit
+    * is intentionally NOT a distributed job: the sample is constant-size
+    * regardless of corpus, and a local fit avoids per-iteration job
+    * overhead; only the ASSIGNMENT pass (O(corpus)) distributes.
+    */
+  private[functions] object LocalKMeans {
+    def fit(points: Array[Array[Double]], k: Int, iters: Int, seed: Long): Array[Array[Double]] = {
+      require(points.nonEmpty, "kmeans: empty fit sample")
+      val dim = points(0).length
+      val rnd = new scala.util.Random(seed)
+      var centers = rnd.shuffle(points.indices.toVector)
+        .take(math.min(k, points.length)).map(i => points(i).clone()).toArray
+      var it = 0
+      while (it < iters) {
+        val sums = Array.fill(centers.length)(new Array[Double](dim))
+        val counts = new Array[Long](centers.length)
+        points.foreach { p =>
+          var best = 0
+          var bestD = java.lang.Double.MAX_VALUE
+          var c = 0
+          while (c < centers.length) {
+            var s = 0.0
+            var i = 0
+            while (i < dim) { val d = p(i) - centers(c)(i); s += d * d; i += 1 }
+            if (s < bestD) { bestD = s; best = c }
+            c += 1
+          }
+          counts(best) += 1
+          var i = 0
+          while (i < dim) { sums(best)(i) += p(i); i += 1 }
+        }
+        centers = Array.tabulate(centers.length) { c =>
+          if (counts(c) == 0) centers(c) // empty cell keeps its center
+          else Array.tabulate(dim)(i => sums(c)(i) / counts(c))
+        }
+        it += 1
+      }
+      centers
+    }
+  }
+
   /** IVF (inverted-file) ANN: a k-means coarse quantizer partitions the
     * candidates into nlist cells; each query probes its nprobe nearest
     * centroids and ranks only those cells' members by exact cosine. The
     * standard scale shape for embedding search: one shuffle on the cell
-    * id replaces the cross join, and the quantizer would be fit on a
-    * sample at production scale. Deterministic via the fixed seed.
+    * id replaces the cross join. The quantizer fits driver-locally on a
+    * seeded sample hard-capped at `fitSampleRows` (constant cost at any
+    * corpus size); cell assignment and probing run through the native
+    * [[NearestCentersExpr]] kernel. Deterministic via the fixed seed.
     */
   def ivfTopK(
       queries: DataFrame, // (qid, qvec)
@@ -103,37 +147,21 @@ object SimilarityOps {
       fitSampleRows: Int = 10000
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.ml.functions.array_to_vector
-    val assembled = candidates.withColumn("fvec", array_to_vector(col("cvec")))
-    // coarse quantizer: random init + few iterations is the standard IVF
-    // trade-off (cells need to be balanced, not converged). Fit on a
-    // seeded sample hard-capped at fitSampleRows — the quantizer only
-    // needs the density shape, and an O(corpus)-per-iteration fit would
-    // dominate the job at 100 TB. ASSIGNMENT still covers every candidate.
     val n = candidates.count()
     val fitInput =
-      if (n <= fitSampleRows) assembled
-      else assembled
+      if (n <= fitSampleRows) candidates
+      else candidates
         .sample(withReplacement = false, fraction = math.min(1.0, fitSampleRows * 1.1 / n), seed = 42L)
         .limit(fitSampleRows)
-    val model = new org.apache.spark.ml.clustering.KMeans()
-      .setK(nlist).setSeed(42L).setFeaturesCol("fvec").setPredictionCol("cluster")
-      .setInitMode("random").setMaxIter(5)
-      .fit(fitInput)
-    val cb = model.transform(assembled).drop("fvec")
-    val centers = model.clusterCenters.map(_.toArray)
-    // per-query probed cells: nprobe nearest centroids (squared euclid)
-    val distPairs = centers.zipWithIndex.map { case (cArr, i) =>
-      val cCol = array(cArr.map(lit): _*)
-      struct(lit(i).as("cluster"),
-        aggregate(zip_with(toDouble(col("qvec")), cCol, (x, y) => (x - y) * (x - y)),
-          lit(0.0), (acc, v) => acc + v).as("d2"))
-    }
-    val qc = queries.select(col("qid"), col("qvec"), explode(array(distPairs: _*)).as("p"))
-      .select(col("qid"), col("qvec"), col("p.cluster").as("cluster"), col("p.d2").as("d2"))
-    val wp = Window.partitionBy("qid").orderBy(asc("d2"), asc("cluster"))
-    val probes = qc.withColumn("pr", row_number().over(wp)).filter(col("pr") <= nprobe)
-      .select(col("qid"), col("qvec"), col("cluster"))
+    val sample = fitInput.select(col("cvec")).collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    val centers: Seq[Seq[Double]] =
+      LocalKMeans.fit(sample, nlist, iters = 5, seed = 42L).map(_.toSeq).toSeq
+    val cb = candidates.withColumn("cluster",
+      element_at(NearestCentersExpr.of(col("cvec"), centers, 1), 1))
+    val probes = queries.select(col("qid"), col("qvec"),
+      explode(NearestCentersExpr.of(col("qvec"), centers, math.min(nprobe, centers.length)))
+        .as("cluster"))
     val joined = cb.join(broadcast(probes), Seq("cluster"))
       .filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"), round(cosine(col("qvec"), col("cvec")), 4).as("cos"))
