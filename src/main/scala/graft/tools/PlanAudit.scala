@@ -11,7 +11,8 @@ object PlanAudit {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val names =
       if (args.length > 1) args.drop(1).toSeq
-      else Seq("q_rt_filter", "q_agg_meta", "q_agg_join", "q_dedup_exact", "q_runs")
+      else Seq("q_rt_filter", "q_agg_meta", "q_agg_join", "q_dedup_exact", "q_runs",
+        "q_text_keywords", "q_dedup_ngram")
     val spark = SparkSession.builder()
       .master("local[4]")
       .appName("plan-audit")
