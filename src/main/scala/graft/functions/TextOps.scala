@@ -253,18 +253,25 @@ object TextOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = ids.select(col("id"), col("id").as("cid"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    labels.count()
+    // labels only ever DECREASE (least of self and neighbor min), so the
+    // exact label sum strictly decreases iff any label changed — one
+    // aggregate per round instead of a change-detection join (decimal
+    // keeps the sum exact for any id range)
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("cid").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSum = labelSum(labels)
     var round = 0
-    var changed = 1L
-    while (changed > 0 && round < maxRounds) {
+    var converged = false
+    while (!converged && round < maxRounds) {
       val nbrMin = sym.join(labels, sym("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("cid")).as("nbr_cid"))
       val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
         .select(labels("id"),
           least(labels("cid"), coalesce(col("nbr_cid"), labels("cid"))).as("cid"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      changed = next.as("n").join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.cid") =!= col("o.cid")).count()
+      val nextSum = labelSum(next)
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       labels.unpersist(blocking = false)
       labels = next
       round += 1

@@ -112,6 +112,25 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("custom expressions compile under codegen with fallback disabled") {
+    // a broken doGenCode silently degrades to interpreted eval; force
+    // codegen-only so a janino compile error fails the suite instead
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val df = Seq((1L, "the quick brown fox jumps again", Seq(1.5f, 2.5f)))
+        .toDF("id", "text", "vec")
+      df.select(WordShinglesExpr.of(col("text"), 3)).collect()
+      df.select(CharShinglesExpr.of(col("text"), 5)).collect()
+      df.select(Md5Hash60Expr.of(col("text"))).collect()
+      df.select(TextOps.minhash(WordShinglesExpr.of(col("text"), 3), 8)).collect()
+      df.select(NearestCentersExpr.of(col("vec"), Seq(Seq(0.0, 0.0), Seq(5.0, 5.0)), 2)).collect()
+    } finally {
+      spark.conf.unset("spark.sql.codegen.fallback")
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
   test("jaccard + shingles behave") {
     val j = docs.filter($"doc_id".isin(1L, 2L))
       .select(TextOps.wordShingles(TextOps.tokens($"text"), 3).as("sh"), $"doc_id")
