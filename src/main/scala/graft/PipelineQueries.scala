@@ -52,7 +52,7 @@ object PipelineQueries {
     // block bucketing + skew guard + hamming verify all oracle-checked
     "q_dedup_simhash" -> ((s, d) => {
       TextOps.simhashDedup(t(s, d, "documents"), "doc_id", "text",
-          maxDist = 3, bits = 60, tokenHash = TextOps.md5Hash60)
+          maxDist = 3, bits = 60, useMd5 = true)
         .orderBy("id_a", "id_b")
     }),
 

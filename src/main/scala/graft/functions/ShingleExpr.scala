@@ -283,6 +283,73 @@ object MinHashExpr {
       MinHashExpr(org.apache.spark.sql.graft.ColumnShim.expression(shingles), a, b))
 }
 
+/** One-pass SimHash of a whitespace-tokenized string. Bit-identical to
+  * the explode + per-bit ±1 sum + sign aggregation pipeline (the ±1 sums
+  * are integer and order-independent) using the same trim/split calls and
+  * the same token hash (xxhash64 seed 42 or the portable md5-60 hash) —
+  * but runs as a PROJECTION: no token explode, no 60-column hash
+  * aggregate, no shuffle for the signature stage at all.
+  */
+object SimHashUtil {
+  private val WS = UTF8String.fromString("\\s+")
+
+  def simhash(text: UTF8String, bits: Int, useMd5: Boolean): Long = {
+    val toks = text.trim().split(WS, -1)
+    val counts = new Array[Int](bits)
+    var t = 0
+    while (t < toks.length) {
+      val h =
+        if (useMd5) HashUtil.md5Hash60(toks(t))
+        else org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+          toks(t), StringType, 42L)
+      var j = 0
+      while (j < bits) {
+        if (((h >> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+        j += 1
+      }
+      t += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < bits) {
+      if (counts(j) > 0) out |= 1L << j
+      j += 1
+    }
+    out
+  }
+}
+
+/** `simhash(text)`: codegen'd per-row SimHash signature. */
+case class SimHashExpr(child: Expression, bits: Int, useMd5: Boolean) extends UnaryExpression {
+  require(bits >= 1 && bits <= 64, s"simhash: bits must be in [1,64], got $bits")
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"simhash needs a string column, got ${child.dataType}")
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override protected def nullSafeEval(input: Any): Any =
+    SimHashUtil.simhash(input.asInstanceOf[UTF8String], bits, useMd5)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHashUtil.simhash($c, $bits, $useMd5)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "simhash"
+}
+
+object SimHashExpr {
+  def of(text: Column, bits: Int, useMd5: Boolean): Column =
+    org.apache.spark.sql.graft.ColumnShim.column(
+      SimHashExpr(org.apache.spark.sql.graft.ColumnShim.expression(text), bits, useMd5))
+}
+
 /** Squared-euclidean nearest centroids of a float vector. */
 object CentroidUtil {
   /** Indices of the `m` nearest centers (squared euclid, ties by lower

@@ -298,12 +298,28 @@ object TextOps {
     */
   def md5Hash60(c: Column): Column = Md5Hash60Expr.of(c)
 
-  /** SimHash per document via explode + `bits` partial-aggregated bit
-    * sums (map-side combine keeps the shuffle narrow: one row per doc).
-    * tokenHash defaults to xxhash64 (fastest); pass [[md5Hash60]] with
-    * bits=60 for a cross-engine-reproducible variant.
+  /** SimHash per document as a single codegen'd PROJECTION
+    * ([[SimHashExpr]]): no token explode, no `bits`-column aggregate, no
+    * shuffle in the signature stage. Null-text docs are dropped, matching
+    * the declarative explode form (explode of a null token array emits
+    * nothing). `useMd5 = true` selects the engine-portable md5-60 token
+    * hash (pair with bits = 60); the default is xxhash64 (fastest).
     */
   def simhash(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      bits: Int = 64,
+      useMd5: Boolean = false
+  ): DataFrame =
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), SimHashExpr.of(col(textCol), bits, useMd5).as("simhash"))
+
+  /** Declarative reference implementation — explode + `bits`
+    * partial-aggregated ±1 bit sums (spec baseline proving [[SimHashExpr]]
+    * bit-equal).
+    */
+  private[functions] def simhashDeclarative(
       docs: DataFrame,
       idCol: String,
       textCol: String,
@@ -333,13 +349,12 @@ object TextOps {
       maxDist: Int = 3,
       maxBucketSize: Int = 1024,
       bits: Int = 64,
-      tokenHash: Column => Column = c => xxhash64(c)
+      useMd5: Boolean = false
   ): DataFrame = {
-    // the simhash aggregation (per-token hash + `bits` bit-sums) feeds
-    // THREE plan branches (block buckets + both sides of the hamming
-    // verify join); persist the tiny (id, simhash) result once instead of
-    // re-running the aggregation per branch — same pattern as minhashDedup
-    val sh = simhash(docs, idCol, textCol, bits, tokenHash)
+    // the signature projection feeds THREE plan branches (block buckets +
+    // both sides of the hamming verify join); persist the tiny
+    // (id, simhash) result once instead of recomputing per branch
+    val sh = simhash(docs, idCol, textCol, bits, useMd5)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val blockBits = bits / 4
     val mask = (1L << blockBits) - 1

@@ -125,9 +125,31 @@ class PipelineOpsSpec extends AnyFunSuite {
       df.select(Md5Hash60Expr.of(col("text"))).collect()
       df.select(TextOps.minhash(WordShinglesExpr.of(col("text"), 3), 8)).collect()
       df.select(NearestCentersExpr.of(col("vec"), Seq(Seq(0.0, 0.0), Seq(5.0, 5.0)), 2)).collect()
+      df.select(SimHashExpr.of(col("text"), 60, useMd5 = true)).collect()
     } finally {
       spark.conf.unset("spark.sql.codegen.fallback")
       spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
+  test("SimHashExpr is bit-identical to the explode+aggregate pipeline") {
+    val edge = Seq(
+      (1L, Some("the quick brown fox jumps over the lazy dog")),
+      (2L, Some("")), // one empty token — still hashed
+      (3L, None), // null text: dropped (explode of null emits nothing)
+      (4L, Some("  spaced   out\ttabs and\nnewlines ")),
+      (5L, Some("日本語 テキスト の 処理")),
+      (6L, Some("one"))
+    ).toDF("doc_id", "text")
+    for ((bits, md5) <- Seq((64, false), (60, true))) {
+      val hashFn: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        if (md5) TextOps.md5Hash60 else (c => xxhash64(c))
+      val decl = TextOps.simhashDeclarative(edge, "doc_id", "text", bits, hashFn)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val fast = TextOps.simhash(edge, "doc_id", "text", bits, md5)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(fast == decl, s"bits=$bits md5=$md5:\nfast=$fast\ndecl=$decl")
+      assert(!fast.contains(3L))
     }
   }
 
