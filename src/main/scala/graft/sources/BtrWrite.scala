@@ -29,12 +29,39 @@ class BtrWriteBuilder(path: String, schema: StructType, options: CaseInsensitive
 
   override def truncate(): WriteBuilder = { truncateOnCommit = true; this }
 
+  /** Appends (batch mode "append" and every streaming epoch) must match
+    * the existing table layout EXACTLY in column order and types: the
+    * scan maps table-schema positions onto per-file footer columns, so a
+    * reordered/retyped append would silently decode the wrong blocks of
+    * the older files. Overwrite (truncate) replaces the table and may
+    * change the schema freely. Nullability may differ (footers carry
+    * per-chunk null counts).
+    */
+  private def checkAppendCompatible(): Unit = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(BtrTableMeta.hadoopConf())
+    if (!fs.exists(new Path(dir, BtrTableMeta.MetaFile))) return
+    val existing = BtrTableMeta.readSchema(fs, dir)
+    val shape = (s: StructType) => s.fields.map(f => (f.name, f.dataType)).toSeq
+    require(shape(existing) == shape(schema),
+      s"btr: append schema does not match the existing table at $path " +
+        s"(existing: ${existing.simpleString}; appending: ${schema.simpleString}). " +
+        "Use overwrite to replace the table with a new schema.")
+    val existingParts = BtrTableMeta.readPartitionCols(fs, dir)
+    require(existingParts == partCols,
+      s"btr: append partitioning ${partCols.mkString("[", ",", "]")} does not match the " +
+        s"existing layout ${existingParts.mkString("[", ",", "]")} at $path")
+  }
+
   override def build(): Write = new Write {
-    override def toBatch: BatchWrite =
+    override def toBatch: BatchWrite = {
+      if (!truncateOnCommit) checkAppendCompatible()
       new BtrBatchWrite(path, schema, truncateOnCommit, BtrOptions.blockSize(options),
         BtrOptions.cascade(options), BtrOptions.config(options), partCols)
+    }
     override def toStreaming: streaming.StreamingWrite = {
       require(partCols.isEmpty, "btr: partitioned streaming writes not supported")
+      checkAppendCompatible() // every epoch appends
       new BtrStreamingWrite(path, schema, BtrOptions.blockSize(options),
         BtrOptions.cascade(options), BtrOptions.config(options))
     }

@@ -101,6 +101,42 @@ class BtrOverwriteSpec extends AnyFunSuite {
     assert(e.getMessage.contains("rename"), e.getMessage)
   }
 
+  test("append with a mismatched schema fails loudly; overwrite may change it") {
+    import spark.implicits._
+    val dir = tmp("schema-guard")
+    Seq((1L, "a")).toDF("id", "s").write.format("btr").mode("overwrite").save(dir)
+
+    // reordered columns: silently decoding old files positionally would
+    // serve wrong data — must be rejected up front
+    val e1 = intercept[Exception] {
+      Seq(("b", 2L)).toDF("s", "id").write.format("btr").mode("append").save(dir)
+    }
+    assert(e1.getMessage.contains("append schema"), e1.getMessage)
+
+    // retyped column
+    val e2 = intercept[Exception] {
+      Seq((3, "c")).toDF("id", "s").write.format("btr").mode("append").save(dir)
+    }
+    assert(e2.getMessage.contains("append schema"), e2.getMessage)
+
+    // matching shape appends fine; nullability differences are fine
+    Seq((Some(4L), "d")).toDF("id", "s").write.format("btr").mode("append").save(dir)
+    assert(spark.read.format("btr").load(dir).count() == 2)
+
+    // partitioning mismatch is rejected
+    val e3 = intercept[Exception] {
+      Seq((5L, "e")).toDF("id", "s").write.format("btr")
+        .partitionBy("s").mode("append").save(dir)
+    }
+    assert(e3.getMessage.contains("partitioning"), e3.getMessage)
+
+    // overwrite replaces the table and may change the schema
+    Seq(("x", 1.5)).toDF("name", "v").write.format("btr").mode("overwrite").save(dir)
+    val back = spark.read.format("btr").load(dir)
+    assert(back.schema.fieldNames.toSeq == Seq("name", "v"))
+    assert(back.count() == 1)
+  }
+
   test("streaming epoch re-attempt replaces its own file (idempotent, no temp leak)") {
     import spark.implicits._
     val dir = tmp("epoch")
