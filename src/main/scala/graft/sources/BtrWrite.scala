@@ -60,10 +60,9 @@ class BtrWriteBuilder(path: String, schema: StructType, options: CaseInsensitive
         BtrOptions.cascade(options), BtrOptions.config(options), partCols)
     }
     override def toStreaming: streaming.StreamingWrite = {
-      require(partCols.isEmpty, "btr: partitioned streaming writes not supported")
       checkAppendCompatible() // every epoch appends
       new BtrStreamingWrite(path, schema, BtrOptions.blockSize(options),
-        BtrOptions.cascade(options), BtrOptions.config(options))
+        BtrOptions.cascade(options), BtrOptions.config(options), partCols)
     }
   }
 }
@@ -71,28 +70,34 @@ class BtrWriteBuilder(path: String, schema: StructType, options: CaseInsensitive
 /** Streaming sink: each epoch appends btr files named deterministically
   * by (epoch, partition) — a re-attempted epoch deletes its own previous
   * file before renaming (Hadoop rename never clobbers), keeping the sink
-  * idempotent per epoch. Commit writes the table meta so readers see the
-  * appended epochs.
+  * idempotent per epoch. With partition columns, rows fan out to
+  * hive-style directories and the deterministic name repeats per
+  * directory (unique within each). Commit writes the table meta so
+  * readers see the appended epochs.
   */
-class BtrStreamingWrite(path: String, schema: StructType, blockSize: Int, cascade: Int, cfg: BtrConfig)
+class BtrStreamingWrite(path: String, schema: StructType, blockSize: Int, cascade: Int,
+    cfg: BtrConfig, partCols: Seq[String] = Nil)
     extends streaming.StreamingWrite {
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): streaming.StreamingDataWriterFactory =
-    BtrStreamingWriterFactory(path, schema, blockSize, cascade, cfg)
+    if (partCols.isEmpty) BtrStreamingWriterFactory(path, schema, blockSize, cascade, cfg)
+    else BtrPartitionedStreamingWriterFactory(path, schema, partCols, blockSize, cascade, cfg)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val dir = new Path(path)
     val fs = dir.getFileSystem(BtrTableMeta.hadoopConf())
-    BtrTableMeta.write(fs, dir, schema, blockSize, cascade)
+    BtrTableMeta.write(fs, dir, schema, blockSize, cascade, partCols)
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val dir = new Path(path)
     val fs = dir.getFileSystem(BtrTableMeta.hadoopConf())
-    messages.foreach {
-      case m: BtrCommitMessage if m.fileName.nonEmpty =>
-        fs.delete(new Path(dir, m.fileName), false)
-      case _ => ()
+    messages.flatMap {
+      case m: BtrCommitMessage => Seq(m)
+      case m: BtrMultiCommitMessage => m.messages.toSeq
+      case _ => Nil
+    }.foreach { m =>
+      if (m.fileName.nonEmpty) fs.delete(new Path(dir, m.fileName), false)
     }
   }
 }
@@ -183,6 +188,19 @@ class BtrPartitionedWriterFactory(path: String, schema: StructType, partCols: Se
       cfg, writeId)
 }
 
+/** Partitioned streaming epochs: deterministic per-(epoch, partition)
+  * file names inside each hive directory, so re-attempts replace their
+  * own files (same idempotency contract as the unpartitioned sink).
+  */
+final case class BtrPartitionedStreamingWriterFactory(
+    path: String, schema: StructType, partCols: Seq[String],
+    blockSize: Int, cascade: Int, cfg: BtrConfig)
+    extends streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
+    new BtrPartitionedDataWriter(path, schema, partCols, blockSize, cascade, partitionId, taskId,
+      cfg, fileNameOverride = Some(f"part-e$epochId%06d-$partitionId%05d.btr"))
+}
+
 /** Hive-style dynamic partitioning: rows fan out to per-partition-value
   * sub-writers under `<root>/<col>=<value>/...`. The number of open
   * partitions per task is capped — write skew belongs upstream
@@ -190,7 +208,7 @@ class BtrPartitionedWriterFactory(path: String, schema: StructType, partCols: Se
   */
 class BtrPartitionedDataWriter(path: String, schema: StructType, partCols: Seq[String],
     blockSize: Int, cascade: Int, partitionId: Int, taskId: Long, cfg: BtrConfig,
-    writeId: String = "")
+    writeId: String = "", fileNameOverride: Option[String] = None)
     extends DataWriter[InternalRow] {
 
   private val MaxOpenPartitions = 128
@@ -227,7 +245,7 @@ class BtrPartitionedDataWriter(path: String, schema: StructType, partCols: Seq[S
         s"btr: more than $MaxOpenPartitions concurrent partitions in one task; " +
           "repartition by the partition columns before writing")
       new BtrDataWriter(s"$path/$key", dataSchema, blockSize, cascade, partitionId, taskId, cfg,
-        writeId = writeId)
+        fileNameOverride = fileNameOverride, writeId = writeId)
     })
     proj.project(row)
     w.write(proj)

@@ -133,6 +133,32 @@ class EventsStreamingSpec extends AnyFunSuite {
       s"streamed=${streamed.length} batch=${batch.length}")
   }
 
+  test("streaming sink appends into a partitioned table (epoch files per partition dir)") {
+    import spark.implicits._
+    val out = "/tmp/btr-stream-part-sink"
+    val srcDir = "/tmp/btr-stream-part-src"
+    val ckpt = "/tmp/btr-stream-part-ckpt"
+    Seq(out, srcDir, ckpt).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+    // existing partitioned table (batch-created layout)
+    Seq((1L, "a"), (2L, "b")).toDF("id", "k")
+      .write.format("btr").partitionBy("k").mode("overwrite").save(out)
+    // stream with the same schema appends into the same layout
+    Seq((3L, "a"), (4L, "b"), (5L, "a")).toDF("id", "k")
+      .repartition(2).write.parquet(srcDir)
+    val q = spark.readStream.schema("id LONG, k STRING").parquet(srcDir)
+      .writeStream.format("btr").option("checkpointLocation", ckpt).start(out)
+    try q.processAllAvailable()
+    finally q.stop()
+    val back = spark.read.format("btr").load(out)
+    assert(back.count() == 5)
+    assert(back.filter(col("k") === "a").select("id").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 3L, 5L))
+    // epoch files landed inside the hive dirs
+    val aFiles = new java.io.File(s"$out/k=a").listFiles().map(_.getName).filter(_.endsWith(".btr"))
+    assert(aFiles.exists(_.startsWith("part-e")), aFiles.mkString(","))
+  }
+
   test("streaming dedup drops within-watermark duplicates") {
     // duplicate every event across two files: the deduped stream must
     // equal the distinct batch set
