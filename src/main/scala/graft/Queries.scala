@@ -151,6 +151,23 @@ object CoreQueries {
         tsFmt(max(col("l_shipdate"))).as("max_ship"))
     }),
 
+    // Q-part-agg-meta: GROUP BY partition column + count/min/max pushed
+    // to the metadata-only grouped scan (footers + directory values —
+    // zero data bytes read)
+    "q_part_agg_meta" -> ((s, d) => {
+      val dir = Btr.cachePath(d, "lineitem_by_flag")
+      if (!new java.io.File(dir, "_btr_meta.json").exists()) {
+        Btr.pq(s, d, "lineitem").write.format("btr")
+          .partitionBy("l_returnflag").mode("overwrite").save(dir)
+      }
+      s.read.format("btr").load(dir)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          min(col("l_orderkey")).as("min_ok"),
+          max(col("l_orderkey")).as("max_ok"))
+        .orderBy("l_returnflag")
+    }),
+
     // Q-topfreq: the Frequency-scheme gate statistic
     "q_topfreq" -> ((s, d) => {
       t(s, d, "lineitem").groupBy(col("l_returnflag").as("v"))
@@ -289,6 +306,10 @@ object CoreQueries {
         | strftime(min(l_shipdate), '%Y-%m-%d %H:%M:%S') AS min_ship,
         | strftime(max(l_shipdate), '%Y-%m-%d %H:%M:%S') AS max_ship
         |FROM lineitem""".stripMargin,
+    "q_part_agg_meta" ->
+      """SELECT l_returnflag, count(*) AS n, min(l_orderkey) AS min_ok,
+        | max(l_orderkey) AS max_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_topfreq" ->
       """SELECT l_returnflag AS v, count(*) AS freq FROM lineitem
         |GROUP BY l_returnflag ORDER BY freq DESC, v ASC LIMIT 1""".stripMargin,

@@ -89,7 +89,10 @@ class BtrScanBuilder(path: String, tableSchema: StructType, options: CaseInsensi
       }
 
   private def canPushAgg(agg: aggregate.Aggregation): Boolean =
-    pushed.isEmpty && agg.groupByExpressions().isEmpty &&
+    pushed.isEmpty &&
+      // grouping is pushable only on partition columns: their values are
+      // directory names, so per-group footers stay metadata-only
+      agg.groupByExpressions().forall(e => singleCol(e).exists(partCols.contains)) &&
       agg.aggregateExpressions().nonEmpty &&
       agg.aggregateExpressions().forall {
         case _: aggregate.CountStar => true
@@ -116,7 +119,9 @@ class BtrScanBuilder(path: String, tableSchema: StructType, options: CaseInsensi
   }
 
   override def build(): Scan = pushedAgg match {
-    case Some(agg) => new BtrAggScan(path, tableSchema, agg, partCols)
+    case Some(agg) =>
+      new BtrAggScan(path, tableSchema, agg, partCols,
+        agg.groupByExpressions().toSeq.flatMap(singleCol))
     case None =>
       new BtrScan(path, tableSchema, requiredSchema, pushed, BtrOptions.splitBytes(options), limit, partCols,
         BtrOptions.expansionFactor(options))
@@ -492,7 +497,7 @@ object PartitionPrune {
   * is NaN only when every value is NaN.
   */
 class BtrAggScan(path: String, tableSchema: StructType, agg: aggregate.Aggregation,
-    partCols: Seq[String] = Nil)
+    partCols: Seq[String] = Nil, groupCols: Seq[String] = Nil)
     extends Scan
     with Batch {
 
@@ -519,7 +524,10 @@ class BtrAggScan(path: String, tableSchema: StructType, agg: aggregate.Aggregati
     case other => throw new IllegalStateException(s"unsupported pushed agg $other")
   }
 
-  override def readSchema(): StructType = StructType(specs.map {
+  private def groupFields: Array[StructField] =
+    groupCols.toArray.map(c => tableSchema.fields(tableSchema.fieldIndex(c)))
+
+  override def readSchema(): StructType = StructType(groupFields ++ specs.map {
     case (0, _) => StructField("count(*)", LongType, nullable = false)
     case (1, ci) => StructField(s"count(${dataSchema.fields(ci).name})", LongType, nullable = false)
     case (k, ci) =>
@@ -528,119 +536,168 @@ class BtrAggScan(path: String, tableSchema: StructType, agg: aggregate.Aggregati
   })
 
   override def description(): String =
-    s"btr $path, metadata-only aggregates: [${agg.aggregateExpressions().mkString(", ")}]"
+    s"btr $path, metadata-only aggregates: [${agg.aggregateExpressions().mkString(", ")}]" +
+      (if (groupCols.nonEmpty) s" group by ${groupCols.mkString(",")}" else "")
 
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
     val dir = new Path(path)
     val fs = dir.getFileSystem(BtrTableMeta.hadoopConf())
-    val files = BtrTableMeta.listDataFilesWithPartitions(fs, dir).map(_.path.toString)
-    files.grouped(FilesPerBatch).map(b => BtrAggPartition(b): InputPartition).toArray
+    val entries = BtrTableMeta.listDataFilesWithPartitions(fs, dir).map { e =>
+      (e.path.toString,
+        groupCols.toArray.map(c => e.partitionValues.getOrElse(c, BtrTableMeta.NullPartition)))
+    }
+    entries.grouped(FilesPerBatch)
+      .map(b => BtrAggPartition(b.map(_._1), b.map(_._2)): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
-    val sch = readSchema()
     val sp = specs
     val dsch = dataSchema
-    (partition: InputPartition) => new BtrAggReader(partition.asInstanceOf[BtrAggPartition], dsch, sch, sp)
+    val gFields = groupFields
+    (partition: InputPartition) =>
+      new BtrAggReader(partition.asInstanceOf[BtrAggPartition], dsch, gFields, sp)
   }
 }
 
-final case class BtrAggPartition(files: Array[String]) extends InputPartition
+/** A batch of files with, per file, its group (partition-dir) values. */
+final case class BtrAggPartition(files: Array[String], groupVals: Array[Array[String]])
+    extends InputPartition
 
 class BtrAggReader(
     partition: BtrAggPartition,
     tableSchema: StructType,
-    outSchema: StructType,
+    groupFields: Array[StructField],
     specs: Array[(Int, Int)]
 ) extends PartitionReader[InternalRow] {
 
-  private var done = false
-
-  override def next(): Boolean = !done
-
-  override def get(): InternalRow = {
-    done = true
+  /** Per-group-key partial accumulator over footer stats. */
+  private final class Acc {
+    val n = tableSchema.fields.length
     var rows = 0L
-    val nulls = new Array[Long](tableSchema.fields.length)
-    val minL = Array.fill(tableSchema.fields.length)(Long.MaxValue)
-    val maxL = Array.fill(tableSchema.fields.length)(Long.MinValue)
-    val minD = Array.fill(tableSchema.fields.length)(java.lang.Double.MAX_VALUE)
-    val maxD = Array.fill(tableSchema.fields.length)(-java.lang.Double.MAX_VALUE)
-    val hasStats = new Array[Boolean](tableSchema.fields.length)
+    val nulls = new Array[Long](n)
+    val minL = Array.fill(n)(Long.MaxValue)
+    val maxL = Array.fill(n)(Long.MinValue)
+    val minD = Array.fill(n)(java.lang.Double.MAX_VALUE)
+    val maxD = Array.fill(n)(-java.lang.Double.MAX_VALUE)
+    val hasStats = new Array[Boolean](n)
     // kind 2 extras: chunk-level NaN presence / any real (non-NaN) value
-    val sawNaN = new Array[Boolean](tableSchema.fields.length)
-    val sawReal = new Array[Boolean](tableSchema.fields.length)
+    val sawNaN = new Array[Boolean](n)
+    val sawReal = new Array[Boolean](n)
+  }
 
-    partition.files.foreach { file =>
-      val p = new Path(file)
+  private var rowsIter: Iterator[InternalRow] = _
+  private var current: InternalRow = _
+
+  private def groupValue(dt: DataType, s: String): Any = {
+    if (s == BtrTableMeta.NullPartition) return null
+    dt match {
+      case StringType => org.apache.spark.unsafe.types.UTF8String.fromString(s)
+      case IntegerType => s.toInt
+      case LongType => s.toLong
+      case ShortType => s.toShort
+      case ByteType => s.toByte
+      case BooleanType => s.toBoolean
+      case DateType => java.time.LocalDate.parse(s).toEpochDay.toInt
+      case other => throw new UnsupportedOperationException(s"btr: group column type $other")
+    }
+  }
+
+  private def compute(): Iterator[InternalRow] = {
+    // LinkedHashMap: group order deterministic per batch (Spark's final
+    // aggregate regroups anyway)
+    val accs = scala.collection.mutable.LinkedHashMap.empty[Seq[String], Acc]
+    var f = 0
+    while (f < partition.files.length) {
+      val p = new Path(partition.files(f))
+      val key: Seq[String] =
+        if (partition.groupVals.isEmpty) Nil else partition.groupVals(f).toSeq
+      val acc = accs.getOrElseUpdate(key, new Acc)
       val fs = p.getFileSystem(BtrTableMeta.hadoopConf())
       val footer = BtrFile.readFooter(fs, p, fs.getFileStatus(p).getLen)
       footer.rowGroups.foreach { rg =>
-        rows += rg.numRows
+        acc.rows += rg.numRows
         var c = 0
         while (c < rg.columns.length) {
           val m = rg.columns(c)
-          nulls(c) += m.nullCount
+          acc.nulls(c) += m.nullCount
           m.statsKind match {
             case 1 =>
-              if (m.minLong < minL(c)) minL(c) = m.minLong
-              if (m.maxLong > maxL(c)) maxL(c) = m.maxLong
-              hasStats(c) = true
+              if (m.minLong < acc.minL(c)) acc.minL(c) = m.minLong
+              if (m.maxLong > acc.maxL(c)) acc.maxL(c) = m.maxLong
+              acc.hasStats(c) = true
             case 2 =>
-              if (m.hasNaN) sawNaN(c) = true
+              if (m.hasNaN) acc.sawNaN(c) = true
               // an all-NaN chunk stores NaN placeholders — Double.compare
               // keeps them out of min/max (and orders -0.0 < 0.0)
               if (!m.minDouble.isNaN) {
-                sawReal(c) = true
-                if (java.lang.Double.compare(m.minDouble, minD(c)) < 0) minD(c) = m.minDouble
-                if (java.lang.Double.compare(m.maxDouble, maxD(c)) > 0) maxD(c) = m.maxDouble
+                acc.sawReal(c) = true
+                if (java.lang.Double.compare(m.minDouble, acc.minD(c)) < 0) acc.minD(c) = m.minDouble
+                if (java.lang.Double.compare(m.maxDouble, acc.maxD(c)) > 0) acc.maxD(c) = m.maxDouble
               }
-              hasStats(c) = true
+              acc.hasStats(c) = true
             case _ => ()
           }
           c += 1
         }
       }
+      f += 1
     }
 
-    val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(specs.length)
-    var i = 0
-    while (i < specs.length) {
-      specs(i) match {
-        case (0, _) => row.setLong(i, rows)
-        case (1, ci) => row.setLong(i, rows - nulls(ci))
-        case (k, ci) =>
-          if (!hasStats(ci)) row.setNullAt(i)
-          else {
-            val dt = tableSchema.fields(ci).dataType
-            val lv = if (k == 2) minL(ci) else maxL(ci)
-            // Spark orders NaN above every value: max is NaN as soon as any
-            // chunk saw one; min is NaN only when NO chunk held a real value
-            val dv =
-              if (k == 3 && sawNaN(ci)) java.lang.Double.NaN
-              else if (!sawReal(ci)) java.lang.Double.NaN
-              else if (k == 2) minD(ci)
-              else maxD(ci)
-            dt match {
-              case IntegerType | DateType => row.setInt(i, lv.toInt)
-              case ShortType => row.setShort(i, lv.toShort)
-              case ByteType => row.setByte(i, lv.toByte)
-              case LongType | TimestampType | TimestampNTZType => row.setLong(i, lv)
-              case BooleanType => row.setBoolean(i, lv != 0L)
-              case DoubleType => row.setDouble(i, dv)
-              case FloatType => row.setFloat(i, dv.toFloat)
-              case d: DecimalType =>
-                row.update(i, org.apache.spark.sql.types.Decimal(lv, d.precision, d.scale))
-              case other => throw new IllegalStateException(s"agg pushdown: $other")
-            }
-          }
+    val g = groupFields.length
+    accs.iterator.map { case (key, acc) =>
+      val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(g + specs.length)
+      var gi = 0
+      while (gi < g) {
+        row.update(gi, groupValue(groupFields(gi).dataType, key(gi)))
+        gi += 1
       }
-      i += 1
+      var i = 0
+      while (i < specs.length) {
+        val oi = g + i
+        specs(i) match {
+          case (0, _) => row.setLong(oi, acc.rows)
+          case (1, ci) => row.setLong(oi, acc.rows - acc.nulls(ci))
+          case (k, ci) =>
+            if (!acc.hasStats(ci)) row.setNullAt(oi)
+            else {
+              val dt = tableSchema.fields(ci).dataType
+              val lv = if (k == 2) acc.minL(ci) else acc.maxL(ci)
+              // Spark orders NaN above every value: max is NaN as soon as
+              // any chunk saw one; min is NaN only when NO chunk held a
+              // real value
+              val dv =
+                if (k == 3 && acc.sawNaN(ci)) java.lang.Double.NaN
+                else if (!acc.sawReal(ci)) java.lang.Double.NaN
+                else if (k == 2) acc.minD(ci)
+                else acc.maxD(ci)
+              dt match {
+                case IntegerType | DateType => row.setInt(oi, lv.toInt)
+                case ShortType => row.setShort(oi, lv.toShort)
+                case ByteType => row.setByte(oi, lv.toByte)
+                case LongType | TimestampType | TimestampNTZType => row.setLong(oi, lv)
+                case BooleanType => row.setBoolean(oi, lv != 0L)
+                case DoubleType => row.setDouble(oi, dv)
+                case FloatType => row.setFloat(oi, dv.toFloat)
+                case d: DecimalType =>
+                  row.update(oi, org.apache.spark.sql.types.Decimal(lv, d.precision, d.scale))
+                case other => throw new IllegalStateException(s"agg pushdown: $other")
+              }
+            }
+        }
+        i += 1
+      }
+      row: InternalRow
     }
-    row
   }
+
+  override def next(): Boolean = {
+    if (rowsIter == null) rowsIter = compute()
+    if (rowsIter.hasNext) { current = rowsIter.next(); true } else false
+  }
+
+  override def get(): InternalRow = current
 
   override def close(): Unit = ()
 }

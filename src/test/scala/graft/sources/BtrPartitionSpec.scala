@@ -100,6 +100,31 @@ class BtrPartitionSpec extends AnyFunSuite {
     assert(pagg.head.getString(0) == orig.agg(min(col("l_returnflag"))).head.getString(0))
   }
 
+  test("GROUP BY partition column pushes to a metadata-only grouped scan") {
+    val back = spark.read.format("btr").load(tmp("li_part"))
+    val orig = spark.read.parquet(s"$sf/lineitem.parquet")
+    val agg = back.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), min(col("l_orderkey")).as("mn"),
+        max(col("l_extendedprice")).as("mx"))
+      .orderBy("l_returnflag")
+    val scan = agg.queryExecution.sparkPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+    }.head
+    assert(scan.isInstanceOf[BtrAggScan], scan.getClass.toString)
+    val exp = orig.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), min(col("l_orderkey")).as("mn"),
+        max(col("l_extendedprice")).as("mx"))
+      .orderBy("l_returnflag")
+    assert(agg.collect().map(_.toString).toSeq == exp.collect().map(_.toString).toSeq)
+
+    // grouping by a DATA column cannot be metadata-only
+    val dagg = back.groupBy("l_linestatus").agg(count(lit(1)))
+    val dscan = dagg.queryExecution.sparkPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+    }.head
+    assert(!dscan.isInstanceOf[BtrAggScan])
+  }
+
   test("append into partitioned table adds files under the right dirs") {
     import spark.implicits._
     val df1 = Seq((1L, "x"), (2L, "y")).toDF("id", "p")
