@@ -131,6 +131,15 @@ object BtrOptions {
   def expansionFactor(options: CaseInsensitiveStringMap): Double =
     options.getDouble("btr.expansionFactor", 4.0)
 
+  /** Streaming-source admission control: cap the files admitted per
+    * micro-batch (like FileStreamSource's maxFilesPerTrigger) so a large
+    * backlog drains in bounded batches instead of one giant first batch.
+    */
+  def maxFilesPerTrigger(options: CaseInsensitiveStringMap): Option[Int] = {
+    val v = options.getInt("btr.maxFilesPerTrigger", 0)
+    if (v > 0) Some(v) else None
+  }
+
   /** Scheme-selection config: `btr.schemes` (comma list of enabled scheme
     * names), `btr.forceScheme.{int,double,string}`, and `btr.selection`
     * in {sample (default), tryall, full}.

@@ -124,7 +124,7 @@ class BtrScanBuilder(path: String, tableSchema: StructType, options: CaseInsensi
         agg.groupByExpressions().toSeq.flatMap(singleCol))
     case None =>
       new BtrScan(path, tableSchema, requiredSchema, pushed, BtrOptions.splitBytes(options), limit, partCols,
-        BtrOptions.expansionFactor(options))
+        BtrOptions.expansionFactor(options), BtrOptions.maxFilesPerTrigger(options))
   }
 }
 
@@ -136,7 +136,8 @@ class BtrScan(
     splitBytes: Long,
     limit: Option[Int] = None,
     partCols: Seq[String] = Nil,
-    expansionFactor: Double = 4.0
+    expansionFactor: Double = 4.0,
+    maxFilesPerTrigger: Option[Int] = None
 ) extends Scan
     with Batch
     with SupportsRuntimeFiltering
@@ -271,7 +272,7 @@ class BtrScan(
     new BtrReaderFactory(requiredSchema)
 
   override def toMicroBatchStream(checkpointLocation: String): BtrMicroBatchStream =
-    new BtrMicroBatchStream(path, tableSchema, requiredSchema, partCols)
+    new BtrMicroBatchStream(path, tableSchema, requiredSchema, partCols, maxFilesPerTrigger)
 }
 
 /** File-based micro-batch streaming source: each trigger picks up data
@@ -290,9 +291,11 @@ class BtrMicroBatchStream(
     path: String,
     tableSchema: StructType,
     requiredSchema: StructType,
-    partCols: Seq[String]
-) extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-  import org.apache.spark.sql.connector.read.streaming.Offset
+    partCols: Seq[String],
+    maxFilesPerTrigger: Option[Int] = None
+) extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit, ReadMaxFiles}
 
   private val dataSchema: StructType =
     if (partCols.isEmpty) tableSchema
@@ -357,11 +360,27 @@ class BtrMicroBatchStream(
 
   override def initialOffset(): Offset = FileSetOffset(Set.empty)
 
-  override def latestOffset(): Offset = {
+  // SupportsAdmissionControl drives batch sizing; the legacy no-arg
+  // variant must not be called once the control interface is implemented
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called instead of this method")
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(n => ReadLimit.maxFiles(n)).getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val seen = start.asInstanceOf[FileSetOffset].files
     val dir = new Path(path)
     val fs = dir.getFileSystem(BtrTableMeta.hadoopConf())
     val prefix = tableRootPrefix(dir, fs)
-    FileSetOffset(listing.map(relName(_, prefix)).toSet)
+    // listing order (sorted) makes the cap deterministic
+    val newly = listing.map(relName(_, prefix)).filterNot(seen)
+    val admitted = limit match {
+      case mf: ReadMaxFiles => newly.take(mf.maxFiles())
+      case _ => newly
+    }
+    FileSetOffset(seen ++ admitted)
   }
 
   override def deserializeOffset(json: String): Offset =

@@ -159,6 +159,25 @@ class EventsStreamingSpec extends AnyFunSuite {
     assert(aFiles.exists(_.startsWith("part-e")), aFiles.mkString(","))
   }
 
+  test("streaming source admission control: maxFilesPerTrigger bounds each batch") {
+    import spark.implicits._
+    val src = "/tmp/btr-stream-admission"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(src))
+    (1 to 4).foreach { i =>
+      Seq((i.toLong, s"v$i")).toDF("id", "tag")
+        .coalesce(1).write.format("btr").mode(if (i == 1) "overwrite" else "append").save(src)
+    }
+    val stream = spark.readStream.format("btr")
+      .option("btr.maxFilesPerTrigger", "1").load(src)
+    val q = stream.writeStream.format("memory").queryName("btr_admission").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("btr_admission").count() == 4)
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      assert(batches >= 4, s"expected >=4 bounded batches, got $batches")
+    } finally q.stop()
+  }
+
   test("streaming dedup drops within-watermark duplicates") {
     // duplicate every event across two files: the deduped stream must
     // equal the distinct batch set
