@@ -50,7 +50,7 @@ class BtrFuzzSpec extends AnyFunSuite {
           case 2 => if (rnd.nextBoolean()) Double.NaN else -0.0
           case _ => rnd.nextInt(5).toDouble // dict-able
         }),
-        maybeNull(rnd.nextFloat()),
+        maybeNull(if (rnd.nextInt(20) == 0) Float.NaN else rnd.nextFloat()),
         maybeNull(rnd.nextBoolean()),
         maybeNull(rnd.nextInt(4) match {
           case 0 => ""
@@ -118,7 +118,14 @@ class BtrFuzzSpec extends AnyFunSuite {
         case 6 => col("s") > pick(strLits)
         case 7 => col("s").startsWith(pick(Seq("tag", "日本", "x")))
         case 8 => col("dec") > BigDecimal(pick(longLits).toInt.abs % 1000)
-        case _ => if (rnd.nextBoolean()) col("f").isNull else col("b") === rnd.nextBoolean()
+        case _ => rnd.nextInt(4) match {
+          case 0 => col("f").isNull
+          case 1 => col("b") === rnd.nextBoolean()
+          // float chunk stats ride the statsKind-2 path incl. the hasNaN
+          // guard — NaN rows must survive GreaterThan skipping
+          case 2 => col("f") > pick(Seq(0.5f, 0.99f, 2.0f, Float.NaN))
+          case _ => col("f") <= pick(Seq(0.25f, 0.75f))
+        }
       }
       preds += (if (rnd.nextInt(4) == 0) p && (col("id") < pick(longLits)) else p)
     }
