@@ -350,6 +350,94 @@ object SimHashExpr {
       SimHashExpr(org.apache.spark.sql.graft.ColumnShim.expression(text), bits, useMd5))
 }
 
+/** Cosine similarity of two numeric arrays in one pass. Bit-identical to
+  * the declarative `dot(a,b)/(sqrt(dot(a,a))*sqrt(dot(b,b)))` built from
+  * `aggregate(zip_with(...))`: sums accumulate in element order from 0.0
+  * with each float widened to double first, any null element (or a length
+  * mismatch, which zip_with pads with nulls) nulls the result.
+  */
+object CosineUtil {
+  // elemKind: 0 = float, 1 = double
+  def cosine(a: ArrayData, b: ArrayData, aKind: Int, bKind: Int): Any = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = if (aKind == 0) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bKind == 0) b.getFloat(i).toDouble else b.getDouble(i)
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+}
+
+/** `cosine_sim(a, b)`: codegen'd cosine similarity of two vectors. */
+case class CosineExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  private def kindOf(e: Expression): Int = e.dataType match {
+    case ArrayType(org.apache.spark.sql.types.FloatType, _) => 0
+    case ArrayType(org.apache.spark.sql.types.DoubleType, _) => 1
+    case _ => -1
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (kindOf(left) >= 0 && kindOf(right) >= 0)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"cosine_sim needs array<float|double> inputs, got ${left.dataType} / ${right.dataType}")
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    CosineUtil.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      kindOf(left), kindOf(right))
+
+  // null elements / length mismatches null the result even when both
+  // inputs are non-null, so the output is nullable regardless of children
+  override def nullable: Boolean = true
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lk = kindOf(left)
+    val rk = kindOf(right)
+    val lg = left.genCode(ctx)
+    val rg = right.genCode(ctx)
+    val boxed = ctx.freshName("cosBoxed")
+    ev.copy(code = code"""
+      ${lg.code}
+      ${rg.code}
+      boolean ${ev.isNull} = true;
+      double ${ev.value} = 0.0;
+      if (!${lg.isNull} && !${rg.isNull}) {
+        Object $boxed = graft.functions.CosineUtil.cosine(${lg.value}, ${rg.value}, $lk, $rk);
+        if ($boxed != null) {
+          ${ev.isNull} = false;
+          ${ev.value} = ((java.lang.Double) $boxed).doubleValue();
+        }
+      }""")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CosineExpr =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "cosine_sim"
+}
+
+object CosineExpr {
+  def of(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.ColumnShim.column(
+      CosineExpr(org.apache.spark.sql.graft.ColumnShim.expression(a),
+        org.apache.spark.sql.graft.ColumnShim.expression(b)))
+}
+
 /** Squared-euclidean nearest centroids of a float vector. */
 object CentroidUtil {
   /** Indices of the `m` nearest centers (squared euclid, ties by lower

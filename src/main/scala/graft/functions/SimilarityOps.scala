@@ -16,8 +16,14 @@ object SimilarityOps {
 
   private def toDouble(a: Column): Column = transform(a, x => x.cast("double"))
 
-  /** Cosine similarity of two float/double array columns. */
-  def cosine(a: Column, b: Column): Column = {
+  /** Cosine similarity of two float/double array columns — the native
+    * one-pass [[CosineExpr]] (bit-equality with [[cosineDeclarative]] is
+    * spec-proven; the declarative chain is interpreted HOFs).
+    */
+  def cosine(a: Column, b: Column): Column = CosineExpr.of(a, b)
+
+  /** Declarative reference implementation (spec baseline). */
+  private[functions] def cosineDeclarative(a: Column, b: Column): Column = {
     val ad = toDouble(a)
     val bd = toDouble(b)
     dot(ad, bd) / (sqrt(dot(ad, ad)) * sqrt(dot(bd, bd)))

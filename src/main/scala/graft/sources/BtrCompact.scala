@@ -92,6 +92,53 @@ object BtrCompact {
     } finally out.close()
   }
 
+  /** OPTIMIZE with re-clustering: read the table, range-cluster rows on
+    * `cols` (BtrLayout semantics — disjoint per-file AND per-row-group
+    * min/max windows) and atomically replace the data files. Heavier than
+    * [[compact]] (full decode + re-encode) but restores chunk-skipping
+    * locality after many unordered appends. The rewrite stages under a
+    * `_`-prefixed subdirectory that scans never list, then swaps:
+    * staged files move in (names unique per write), old files delete —
+    * same crash posture as [[compact]] (re-run converges; no loss).
+    * Unpartitioned tables only; partitioned layouts cluster within their
+    * directory tree by writing with partitionBy + sorted input instead.
+    */
+  def rewriteClustered(
+      spark: SparkSession,
+      path: String,
+      cols: Seq[String],
+      targetBytes: Long = 128L * 1024 * 1024
+  ): (Int, Int) = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(BtrTableMeta.hadoopConf())
+    require(BtrTableMeta.readPartitionCols(fs, root).isEmpty,
+      "btr rewriteClustered: partitioned tables cluster within partitions via partitionBy writes")
+    val entries = BtrTableMeta.listDataFilesWithPartitions(fs, root)
+    val before = entries.length
+    if (before == 0) return (0, 0)
+    val staging = new Path(root, "_rewrite_staging")
+    fs.delete(staging, true) // leftovers from a crashed rewrite are invisible to scans
+    val numFiles = math.max(1, math.ceil(entries.map(_.len).sum.toDouble / targetBytes).toInt)
+    val df = spark.read.format("btr").load(path)
+    BtrLayout.clusterBy(df, cols, numFiles)
+      .write.format("btr").mode("overwrite").save(staging.toString)
+    // swap: staged names carry a fresh writeId, so they can't collide
+    val staged = BtrTableMeta.listDataFilesWithPartitions(fs, staging)
+    staged.foreach { e =>
+      if (!fs.rename(e.path, new Path(root, e.path.getName)))
+        throw new java.io.IOException(s"btr rewrite: rename ${e.path} into $root failed")
+    }
+    entries.foreach(e => fs.delete(e.path, false))
+    // the rewrite re-encoded everything — its commit stats supersede
+    val stagedStats = new Path(staging, BtrTableMeta.StatsFile)
+    if (fs.exists(stagedStats)) {
+      fs.delete(new Path(root, BtrTableMeta.StatsFile), false)
+      fs.rename(stagedStats, new Path(root, BtrTableMeta.StatsFile))
+    }
+    fs.delete(staging, true)
+    (before, staged.length)
+  }
+
   /** Compact a btr table's data files toward `targetBytes` per file.
     * Hive-partition directories compact independently (files in different
     * partitions can never merge). Returns (filesBefore, filesAfter).

@@ -126,6 +126,7 @@ class PipelineOpsSpec extends AnyFunSuite {
       df.select(TextOps.minhash(WordShinglesExpr.of(col("text"), 3), 8)).collect()
       df.select(NearestCentersExpr.of(col("vec"), Seq(Seq(0.0, 0.0), Seq(5.0, 5.0)), 2)).collect()
       df.select(SimHashExpr.of(col("text"), 60, useMd5 = true)).collect()
+      df.select(CosineExpr.of(col("vec"), col("vec"))).collect()
     } finally {
       spark.conf.unset("spark.sql.codegen.fallback")
       spark.conf.unset("spark.sql.codegen.factoryMode")
@@ -179,6 +180,25 @@ class PipelineOpsSpec extends AnyFunSuite {
       .collect().map(_.toString).sorted.toSeq
     assert(got == exp, s"got=$got exp=$exp")
     assert(got.nonEmpty)
+  }
+
+  test("CosineExpr is bit-identical to the declarative dot/sqrt pipeline") {
+    val rnd = new scala.util.Random(5)
+    val rows = (1L to 50L).map { i =>
+      (i, Seq.fill(16)(rnd.nextGaussian().toFloat), Seq.fill(16)(rnd.nextGaussian().toFloat))
+    } :+ ((51L, Seq(1.0f, 2.0f), Seq(1.0f))) // length mismatch → null
+    val df = rows.toDF("id", "a", "b")
+    val decl = df.select(col("id"), SimilarityOps.cosineDeclarative(col("a"), col("b")).as("c"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    val fast = df.select(col("id"), SimilarityOps.cosine(col("a"), col("b")).as("c"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(fast == decl)
+    assert(fast(51L).isEmpty)
+
+    // null ELEMENT nulls the result in both forms
+    val withNullElem = Seq((1L, Seq(Some(1.0f), None), Seq(Some(1.0f), Some(2.0f)))).toDF("id", "a", "b")
+    assert(withNullElem.select(SimilarityOps.cosine(col("a"), col("b"))).head.isNullAt(0))
+    assert(withNullElem.select(SimilarityOps.cosineDeclarative(col("a"), col("b"))).head.isNullAt(0))
   }
 
   test("brute-force topk is exact and ordered") {

@@ -100,6 +100,34 @@ class BtrCompactSpec extends AnyFunSuite {
       s"clustered=${surviving(dir)} unclustered=${surviving(dirRand)}")
   }
 
+  test("rewriteClustered restores skipping locality after unordered appends") {
+    import spark.implicits._
+    val dir = tmp("rewrite")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    val rnd = new scala.util.Random(3)
+    // unordered appends: every file spans the whole key range
+    (0 until 5).foreach { _ =>
+      (1 to 8000).map(_ => rnd.nextLong().abs % 1000000).toDF("k")
+        .coalesce(1).write.format("btr").option("btr.blockSize", "2048")
+        .mode("append").save(dir)
+    }
+    val expected = sortedRows(spark.read.format("btr").load(dir))
+    def surviving(): Int = {
+      val q = spark.read.format("btr").load(dir).filter(col("k").between(10000, 30000))
+      q.queryExecution.executedPlan.collectLeaves().head
+        .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.BatchScanExec]
+        .inputPartitions.collect { case p: BtrInputPartition => p }.map(_.groups.length).sum
+    }
+    val beforeGroups = surviving()
+    val (nb, na) = BtrCompact.rewriteClustered(spark, dir, Seq("k"), targetBytes = 1L << 30)
+    assert(nb == 5 && na >= 1, s"$nb -> $na")
+    assert(sortedRows(spark.read.format("btr").load(dir)) == expected)
+    assert(surviving() * 3 < beforeGroups,
+      s"clustered=${surviving()} unclustered=$beforeGroups")
+    // no staging leftovers
+    assert(!new java.io.File(dir, "_rewrite_staging").exists())
+  }
+
   test("hive partitions compact independently and stay readable") {
     import spark.implicits._
     val dir = tmp("parts")
