@@ -347,10 +347,19 @@ class BtrMicroBatchStream(
   private def tableRootPrefix(dir: Path, fs: org.apache.hadoop.fs.FileSystem): String =
     fs.makeQualified(dir).toUri.getPath + "/"
 
+  // latest listing, shared between latestOffset and the immediately
+  // following planInputPartitions so each micro-batch costs ONE directory
+  // walk, not two (files are immutable, so a cached entry never goes
+  // stale; planInputPartitions re-lists only if a requested name is
+  // missing from the cache — e.g. after recovery from a checkpoint)
+  @volatile private var cachedListing: Array[BtrTableMeta.DataFileEntry] = Array.empty
+
   private def listing: Array[BtrTableMeta.DataFileEntry] = {
     val dir = new Path(path)
     val fs = dir.getFileSystem(BtrTableMeta.hadoopConf())
-    BtrTableMeta.listDataFilesWithPartitions(fs, dir)
+    val l = BtrTableMeta.listDataFilesWithPartitions(fs, dir)
+    cachedListing = l
+    l
   }
 
   private def relName(entry: BtrTableMeta.DataFileEntry, prefix: String): String = {
@@ -397,7 +406,11 @@ class BtrMicroBatchStream(
       if (partCols.contains(f.name)) -1 else dataSchema.fieldIndex(f.name)
     }
     val dataIdx = colKinds.filter(_ >= 0)
-    val current = listing.filter(en => newNames.contains(relName(en, prefix)))
+    var current = cachedListing.filter(en => newNames.contains(relName(en, prefix)))
+    if (current.length != newNames.size) {
+      // cache doesn't cover the batch (first call after recovery) — re-list
+      current = listing.filter(en => newNames.contains(relName(en, prefix)))
+    }
     if (current.length != newNames.size) {
       val missing = newNames -- current.map(relName(_, prefix))
       throw new IllegalStateException(
