@@ -272,27 +272,35 @@ class BtrScan(
     new BtrReaderFactory(requiredSchema)
 
   override def toMicroBatchStream(checkpointLocation: String): BtrMicroBatchStream =
-    new BtrMicroBatchStream(path, tableSchema, requiredSchema, partCols, maxFilesPerTrigger)
+    new BtrMicroBatchStream(path, tableSchema, requiredSchema, partCols, maxFilesPerTrigger,
+      checkpointLocation)
 }
 
 /** File-based micro-batch streaming source: each trigger picks up data
   * files that appeared since the last committed offset (the btr analog of
-  * Spark's FileStreamSource). The offset is IDENTITY-based — the set of
-  * table-root-relative file names already processed — never a positional
-  * index into a listing: a new file may sort anywhere (batch `part-00000-…`
-  * next to epoch `part-e000001-…`, a new partition directory), so an index
-  * range would re-emit old files and silently skip the inserted one. Each
-  * batch plans exactly `end.files -- start.files`. Offsets grow with the
-  * table's file count (bounded by name length × files, same asymptotics as
-  * FileStreamSource's seen-files log); a production compaction would fold
-  * old entries into the metadata log.
+  * Spark's FileStreamSource). Batch membership is IDENTITY-based — sets
+  * of table-root-relative file names — never a positional index into a
+  * listing: a new file may sort anywhere (batch `part-00000-…` next to
+  * epoch `part-e000001-…`, a new partition directory), so an index range
+  * would re-emit old files and silently skip the inserted one.
+  *
+  * Offsets themselves are tiny batch ids; each batch's admitted file set
+  * is recorded in a side log under the source's checkpoint directory
+  * (`btr-file-log/<batchId>`, written atomically before the offset is
+  * returned — the FileStreamSource design). Spark's offset log therefore
+  * stays O(1) per batch and total checkpoint bytes stay O(files), instead
+  * of rewriting the whole seen-set into every offset. On recovery the
+  * seen-set rebuilds from entries up to the committed start; orphan
+  * entries beyond it (a crash between our log write and Spark's) are
+  * dropped so their files are re-admitted exactly once.
   */
 class BtrMicroBatchStream(
     path: String,
     tableSchema: StructType,
     requiredSchema: StructType,
     partCols: Seq[String],
-    maxFilesPerTrigger: Option[Int] = None
+    maxFilesPerTrigger: Option[Int] = None,
+    checkpointLocation: String = ""
 ) extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
   import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit, ReadMaxFiles}
@@ -301,12 +309,14 @@ class BtrMicroBatchStream(
     if (partCols.isEmpty) tableSchema
     else StructType(tableSchema.fields.filterNot(f => partCols.contains(f.name)))
 
-  case class FileSetOffset(files: Set[String]) extends Offset {
-    override def json(): String =
-      files.toSeq.sorted.map(FileSetOffset.quote).mkString("[", ",", "]")
+  case class LogOffset(batchId: Long) extends Offset {
+    override def json(): String = batchId.toString
   }
 
-  object FileSetOffset {
+  /** JSON-array (de)serialization for log entries — file names may hold
+    * any character a hive-escaped path can.
+    */
+  private object Names {
     def quote(s: String): String = {
       val sb = new StringBuilder("\"")
       s.foreach {
@@ -318,8 +328,10 @@ class BtrMicroBatchStream(
       sb.append('"').toString
     }
 
-    def parse(json: String): Set[String] = {
-      val out = scala.collection.mutable.Set.empty[String]
+    def render(files: Seq[String]): String = files.map(quote).mkString("[", ",", "]")
+
+    def parse(json: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
       var i = json.indexOf('[') + 1
       val sb = new StringBuilder
       var inStr = false
@@ -340,7 +352,61 @@ class BtrMicroBatchStream(
         }
         i += 1
       }
-      out.toSet
+      out.toSeq
+    }
+  }
+
+  require(checkpointLocation.nonEmpty, "btr streaming source needs a checkpoint location")
+  private val logDir = new Path(checkpointLocation, "btr-file-log")
+  private def logFs = logDir.getFileSystem(BtrTableMeta.hadoopConf())
+
+  private def entryPath(id: Long): Path = new Path(logDir, id.toString)
+
+  private def writeEntry(id: Long, files: Seq[String]): Unit = {
+    val fs = logFs
+    fs.mkdirs(logDir)
+    val tmp = new Path(logDir, s".$id.tmp")
+    val out = fs.create(tmp, true)
+    out.write(Names.render(files).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+    fs.delete(entryPath(id), false) // a retried trigger rewrites its entry
+    if (!fs.rename(tmp, entryPath(id)))
+      throw new java.io.IOException(s"btr streaming: cannot write file-log entry $id")
+  }
+
+  private def readEntry(id: Long): Seq[String] = {
+    val fs = logFs
+    val p = entryPath(id)
+    val len = fs.getFileStatus(p).getLen.toInt
+    val bytes = new Array[Byte](len)
+    val in = fs.open(p)
+    try in.readFully(0, bytes)
+    finally in.close()
+    Names.parse(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  private def entryIds(): Seq[Long] = {
+    val fs = logFs
+    if (!fs.exists(logDir)) Nil
+    else fs.listStatus(logDir).toSeq
+      .map(_.getPath.getName).filterNot(_.startsWith("."))
+      .flatMap(n => scala.util.Try(n.toLong).toOption).sorted
+  }
+
+  // seen-set state, rebuilt from the log on first use / recovery
+  private var seen: Set[String] = _
+  private var seenThroughId = Long.MinValue
+
+  /** Align the in-memory seen-set with the log as of startId: drop orphan
+    * entries beyond it (crash between our log write and Spark's offset
+    * log) and fold the kept entries' files in.
+    */
+  private def ensureInit(startId: Long): Unit = {
+    if (seen == null || seenThroughId != startId) {
+      val ids = entryIds()
+      ids.filter(_ > startId).foreach(id => logFs.delete(entryPath(id), false))
+      seen = ids.filter(_ <= startId).flatMap(readEntry).toSet
+      seenThroughId = startId
     }
   }
 
@@ -367,7 +433,7 @@ class BtrMicroBatchStream(
     if (p.startsWith(prefix)) p.substring(prefix.length) else p
   }
 
-  override def initialOffset(): Offset = FileSetOffset(Set.empty)
+  override def initialOffset(): Offset = LogOffset(-1L)
 
   // SupportsAdmissionControl drives batch sizing; the legacy no-arg
   // variant must not be called once the control interface is implemented
@@ -379,7 +445,8 @@ class BtrMicroBatchStream(
     maxFilesPerTrigger.map(n => ReadLimit.maxFiles(n)).getOrElse(ReadLimit.allAvailable())
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val seen = start.asInstanceOf[FileSetOffset].files
+    val startId = start.asInstanceOf[LogOffset].batchId
+    ensureInit(startId)
     val dir = new Path(path)
     val fs = dir.getFileSystem(BtrTableMeta.hadoopConf())
     val prefix = tableRootPrefix(dir, fs)
@@ -389,16 +456,26 @@ class BtrMicroBatchStream(
       case mf: ReadMaxFiles => newly.take(mf.maxFiles())
       case _ => newly
     }
-    FileSetOffset(seen ++ admitted)
+    if (admitted.isEmpty) start
+    else {
+      val id = startId + 1
+      writeEntry(id, admitted.toSeq)
+      seen = seen ++ admitted
+      seenThroughId = id
+      LogOffset(id)
+    }
   }
 
-  override def deserializeOffset(json: String): Offset =
-    FileSetOffset(FileSetOffset.parse(json))
+  override def deserializeOffset(json: String): Offset = {
+    require(!json.trim.startsWith("["),
+      "btr streaming: this checkpoint was written by an older offset format; restart with a fresh checkpoint")
+    LogOffset(json.trim.toLong)
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[FileSetOffset].files
-    val e = end.asInstanceOf[FileSetOffset].files
-    val newNames = e -- s
+    val s = start.asInstanceOf[LogOffset].batchId
+    val e = end.asInstanceOf[LogOffset].batchId
+    val newNames: Set[String] = ((s + 1) to e).flatMap(readEntry).toSet
     val dir = new Path(path)
     val fs = dir.getFileSystem(BtrTableMeta.hadoopConf())
     val prefix = tableRootPrefix(dir, fs)

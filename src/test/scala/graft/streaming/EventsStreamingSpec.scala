@@ -175,7 +175,40 @@ class EventsStreamingSpec extends AnyFunSuite {
       assert(spark.table("btr_admission").count() == 4)
       val batches = q.recentProgress.count(_.numInputRows > 0)
       assert(batches >= 4, s"expected >=4 bounded batches, got $batches")
+      // offsets are tiny batch ids (the file sets live in the side log),
+      // not the whole seen-set serialized per batch
+      val endOffsets = q.recentProgress.flatMap(p => p.sources.map(_.endOffset)).filter(_ != null)
+      assert(endOffsets.nonEmpty && endOffsets.forall(_.length < 16),
+        s"expected small batch-id offsets, got ${endOffsets.maxBy(_.length)}")
     } finally q.stop()
+  }
+
+  test("streaming source recovers from its checkpoint without duplicates or loss") {
+    import spark.implicits._
+    val src = "/tmp/btr-stream-recover-src"
+    val out = "/tmp/btr-stream-recover-out"
+    val ckpt = "/tmp/btr-stream-recover-ckpt"
+    Seq(src, out, ckpt).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+    Seq((1L, "a"), (2L, "b")).toDF("id", "tag")
+      .repartition(2).write.format("btr").mode("overwrite").save(src)
+    def run(): Unit = {
+      val q = spark.readStream.format("btr").load(src)
+        .writeStream.format("btr").option("checkpointLocation", ckpt).start(out)
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    run()
+    assert(spark.read.format("btr").load(out).count() == 2)
+    // second run from the SAME checkpoint sees only the appended file
+    Seq((3L, "c")).toDF("id", "tag").coalesce(1)
+      .write.format("btr").mode("append").save(src)
+    run()
+    assert(spark.read.format("btr").load(out)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+    // third run with nothing new appends nothing
+    run()
+    assert(spark.read.format("btr").load(out).count() == 3)
   }
 
   test("streaming dedup drops within-watermark duplicates") {
