@@ -82,9 +82,84 @@ object MultimodalOps {
     }
   }
 
+  /** Real container-header parsing for WAV audio and MP4 video — enough
+    * to type a media column and pull rate/channel/dimension metadata
+    * without any sample decode.
+    */
+  object MediaHeader {
+    private def leU16(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+
+    private def leU32(b: Array[Byte], off: Int): Long =
+      (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+        ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+
+    private def beU32(b: Array[Byte], off: Int): Long =
+      ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+        ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+
+    private def tag(b: Array[Byte], off: Int): String =
+      new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    /** WAV: RIFF....WAVE, then chunks; the `fmt ` chunk carries
+      * channels (u16 LE at +2) and sample rate (u32 LE at +4).
+      * Returns (sampleRate, channels).
+      */
+    def decodeWav(b: Array[Byte]): Option[(Int, Int)] = {
+      if (b == null || b.length < 36) return None
+      if (tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE") return None
+      var i = 12
+      while (i + 8 <= b.length) {
+        val id = tag(b, i)
+        val len = leU32(b, i + 4).toInt
+        if (id == "fmt " && i + 8 + 8 <= b.length)
+          return Some((leU32(b, i + 8 + 4).toInt, leU16(b, i + 8 + 2)))
+        i += 8 + len + (len & 1) // chunks are word-aligned
+      }
+      None
+    }
+
+    /** MP4/ISO-BMFF: box walk for moov/trak/tkhd; the track header
+      * carries presentation width/height as 16.16 fixed point at the
+      * tail. Returns (width, height) of the first sized track.
+      */
+    def decodeMp4(b: Array[Byte]): Option[(Int, Int)] = {
+      if (b == null || b.length < 16 || tag(b, 4) != "ftyp") return None
+
+      def walk(start: Int, end: Int): Option[(Int, Int)] = {
+        var i = start
+        while (i + 8 <= end) {
+          val size = beU32(b, i).toInt
+          if (size < 8) return None // malformed/64-bit sizes: stop cleanly
+          val boxEnd = math.min(end, i + size)
+          tag(b, i + 4) match {
+            case "moov" | "trak" =>
+              val r = walk(i + 8, boxEnd)
+              if (r.isDefined) return r
+            case "tkhd" if boxEnd - i >= 12 =>
+              // fullbox: version(1)+flags(3); v0 → width/height are the
+              // last two 32-bit fixed-point fields of the 84-byte body
+              val version = b(i + 8) & 0xff
+              val bodyLen = if (version == 1) 96 else 84
+              if (i + 8 + bodyLen <= boxEnd) {
+                val w = (beU32(b, i + 8 + bodyLen - 8) >> 16).toInt
+                val h = (beU32(b, i + 8 + bodyLen - 4) >> 16).toInt
+                if (w > 0 && h > 0) return Some((w, h))
+              }
+            case _ => ()
+          }
+          i += size
+        }
+        None
+      }
+      walk(0, b.length)
+    }
+  }
+
   /** Typed metadata extracted per media blob. `format`/`width`/`height`
-    * are REAL for recognized image containers ("opaque"/0/0 otherwise);
-    * the fake_* fields are the deterministic stub for un-decodable media.
+    * are REAL for recognized image containers and MP4 video; WAV audio
+    * fills `sample_rate`/`channels` ("opaque"/0 otherwise); the fake_*
+    * fields remain the deterministic stub for unrecognized payloads.
     */
   final case class MediaMeta(
       doc_id: Long,
@@ -95,7 +170,9 @@ object MultimodalOps {
       fake_frames: Int,
       format: String = "opaque",
       width: Int = 0,
-      height: Int = 0
+      height: Int = 0,
+      sample_rate: Int = 0,
+      channels: Int = 0
   )
 
   /** STUB decoder: deterministic pseudo-decode of an opaque media blob.
@@ -107,6 +184,8 @@ object MultimodalOps {
       val n = bytes.length
       val header = if (n > 0) bytes(0) & 0xff else 0
       val img = ImageHeader.decode(bytes)
+      val wav = if (img.isEmpty) MediaHeader.decodeWav(bytes) else None
+      val mp4 = if (img.isEmpty && wav.isEmpty) MediaHeader.decodeMp4(bytes) else None
       MediaMeta(
         doc_id = docId,
         n_bytes = n,
@@ -114,9 +193,14 @@ object MultimodalOps {
         fake_width = 64 + (n % 576),
         fake_height = 64 + (header % 416),
         fake_frames = 1 + (n % 16),
-        format = img.map(_._1).getOrElse("opaque"),
-        width = img.map(_._2).getOrElse(0),
-        height = img.map(_._3).getOrElse(0)
+        format = img.map(_._1)
+          .orElse(wav.map(_ => "wav"))
+          .orElse(mp4.map(_ => "mp4"))
+          .getOrElse("opaque"),
+        width = img.map(_._2).orElse(mp4.map(_._1)).getOrElse(0),
+        height = img.map(_._3).orElse(mp4.map(_._2)).getOrElse(0),
+        sample_rate = wav.map(_._1).getOrElse(0),
+        channels = wav.map(_._2).getOrElse(0)
       )
     }
   }

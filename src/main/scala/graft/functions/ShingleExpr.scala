@@ -454,8 +454,12 @@ object CentroidUtil {
       var i = 0
       val n = math.min(dim, ctr.length)
       while (i < n) {
-        val diff = vec.getFloat(i) - ctr(i)
-        s += diff * diff
+        // null elements contribute nothing (consistent bucketing beats an
+        // NPE from unboxing a Generic array's null slot)
+        if (!vec.isNullAt(i)) {
+          val diff = vec.getFloat(i) - ctr(i)
+          s += diff * diff
+        }
         i += 1
       }
       d2(c) = s

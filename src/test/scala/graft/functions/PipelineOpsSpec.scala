@@ -384,6 +384,36 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(metas(5L).format == "opaque" && metas(5L).width == 0 && metas(5L).height == 0)
   }
 
+  test("WAV and MP4 container headers decode real metadata") {
+    // real WAV via javax.sound (16 kHz stereo, 16-bit PCM)
+    val fmtA = new javax.sound.sampled.AudioFormat(16000f, 16, 2, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(new Array[Byte](3200)), fmtA, 800)
+    val bosW = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bosW)
+    val wavBytes = bosW.toByteArray
+
+    // minimal ISO-BMFF: ftyp + moov > trak > tkhd(v0) with 640x360
+    def be32(v: Int): Array[Byte] =
+      Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    val tkhdBody = new Array[Byte](84)
+    System.arraycopy(be32(640 << 16), 0, tkhdBody, 76, 4)
+    System.arraycopy(be32(360 << 16), 0, tkhdBody, 80, 4)
+    val tkhd = be32(92) ++ "tkhd".getBytes ++ tkhdBody
+    val trak = be32(100) ++ "trak".getBytes ++ tkhd
+    val moov = be32(108) ++ "moov".getBytes ++ trak
+    val ftyp = be32(16) ++ "ftyp".getBytes ++ "isom".getBytes ++ be32(0)
+    val mp4Bytes = ftyp ++ moov
+
+    val metas = MultimodalOps.extractMeta(spark,
+      Seq((1L, wavBytes), (2L, mp4Bytes)).toDF("doc_id", "payload"))
+      .collect().map(m => m.doc_id -> m).toMap
+    assert(metas(1L).format == "wav" && metas(1L).sample_rate == 16000 && metas(1L).channels == 2,
+      metas(1L).toString)
+    assert(metas(2L).format == "mp4" && metas(2L).width == 640 && metas(2L).height == 360,
+      metas(2L).toString)
+  }
+
   test("multimodal extractMeta is deterministic over binary payloads") {
     val media = docs.select($"doc_id", encode($"text", "UTF-8").as("payload"))
     val metas = MultimodalOps.extractMeta(spark, media).collect().sortBy(_.doc_id)
