@@ -84,15 +84,22 @@ object Bench {
     }
 
     // ---- headline queries ---------------------------------------------
+    // Wall times on a shared box swing 2-3× run-to-run; report the min of
+    // `reps` executions per query so the number tracks the engine, not
+    // scheduler noise (same convention as the reference's MinTime(10)
+    // google-benchmark runs, bench/bench-cases/regression_benchmark.cpp).
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t = secs {
-        try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-        catch {
-          case _: Throwable =>
-            try { fn(spark, sfDir).count(); () }
-            catch { case _: Throwable => () }
+      val t = (1 to reps).map { _ =>
+        secs {
+          try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+          catch {
+            case _: Throwable =>
+              try { fn(spark, sfDir).count(); () }
+              catch { case _: Throwable => () }
+          }
         }
-      }
+      }.min
       name -> t
     }
 

@@ -526,3 +526,95 @@ object NearestCentersExpr {
     org.apache.spark.sql.graft.ColumnShim.column(
       NearestCentersExpr(org.apache.spark.sql.graft.ColumnShim.expression(vec), centers, m))
 }
+
+/** Sign-bit LSH bucket ids across all hyperplane tables in one pass. */
+object LshUtil {
+  /** Bucket ids (one long per table) of a vector under `planes` —
+    * flattened `numTables × bitsPerTable` hyperplanes, each of length
+    * `dim`. Bit `b` of table `t` is set iff `dot(vec, planes[t*bits+b])
+    * > 0`. Matches the declarative `when(dot > 0, 1L << b)` chain
+    * exactly, including its null algebra: a vector whose length differs
+    * from `dim`, or that carries a null element, makes every dot null —
+    * no bit set — so such rows land in bucket 0 of every table, same as
+    * the higher-order-function form.
+    */
+  def buckets(vec: ArrayData, planes: Array[Array[Double]],
+      numTables: Int, bitsPerTable: Int, elemKind: Int): ArrayData = {
+    val out = new Array[Long](numTables)
+    val dim = if (planes.length > 0) planes(0).length else 0
+    val n = vec.numElements()
+    var ok = n == dim
+    var i = 0
+    while (ok && i < n) { if (vec.isNullAt(i)) ok = false; i += 1 }
+    if (ok) {
+      val v = new Array[Double](n)
+      i = 0
+      while (i < n) {
+        v(i) = if (elemKind == 0) vec.getFloat(i).toDouble else vec.getDouble(i)
+        i += 1
+      }
+      var p = 0
+      while (p < planes.length) {
+        val hp = planes(p)
+        var s = 0.0
+        i = 0
+        while (i < dim) { s += v(i) * hp(i); i += 1 }
+        if (s > 0) out(p / bitsPerTable) |= 1L << (p % bitsPerTable)
+        p += 1
+      }
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}
+
+/** `lsh_buckets(vec)`: per-table sign-bit LSH bucket ids of a vector —
+  * the multi-table hyperplane projection fused into a single kernel
+  * (the declarative form costs tables × bits interpreted
+  * aggregate/zip_with traversals per row).
+  */
+case class LshBucketsExpr(child: Expression, tables: Seq[Seq[Seq[Double]]])
+    extends UnaryExpression {
+  require(tables.nonEmpty && tables.forall(_.nonEmpty), "lsh_buckets: need hyperplanes")
+
+  private lazy val flat: Array[Array[Double]] =
+    tables.flatMap(_.map(_.toArray)).toArray
+  private def bitsPerTable: Int = tables.head.length
+
+  private def kindOf(dt: DataType): Int = dt match {
+    case ArrayType(org.apache.spark.sql.types.FloatType, _) => 0
+    case ArrayType(org.apache.spark.sql.types.DoubleType, _) => 1
+    case _ => -1
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (kindOf(child.dataType) >= 0)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"lsh_buckets needs array<float|double>, got ${child.dataType}")
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    LshUtil.buckets(input.asInstanceOf[ArrayData], flat,
+      tables.length, bitsPerTable, kindOf(child.dataType))
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("lshPlanes", flat, "double[][]")
+    val k = kindOf(child.dataType)
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.LshUtil.buckets($c, $ref, ${tables.length}, $bitsPerTable, $k)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LshBucketsExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "lsh_buckets"
+}
+
+object LshBucketsExpr {
+  def of(vec: Column, tables: Seq[Seq[Seq[Double]]]): Column =
+    org.apache.spark.sql.graft.ColumnShim.column(
+      LshBucketsExpr(org.apache.spark.sql.graft.ColumnShim.expression(vec), tables))
+}

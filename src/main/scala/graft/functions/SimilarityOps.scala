@@ -53,16 +53,27 @@ object SimilarityOps {
     Seq.fill(numBits)(Seq.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** Sign-bit LSH bucket id of a vector under the given hyperplanes. */
-  def lshBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
+  /** Sign-bit LSH bucket id of a vector under the given hyperplanes
+    * (declarative reference — spec baseline for [[LshBucketsExpr]]).
+    */
+  private[functions] def lshBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
     planes.zipWithIndex.map { case (hp, i) =>
       val hpCol = array(hp.map(lit): _*)
       when(dot(toDouble(vec), hpCol) > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 
-  /** Per-table LSH bucket ids of a vector: one sign-bit bucket per table. */
-  def lshBuckets(vec: Column, tables: Seq[Seq[Seq[Double]]]): Column =
+  /** Declarative per-table buckets (spec baseline; tables × bits
+    * interpreted HOF traversals per row — the native form is one pass).
+    */
+  private[functions] def lshBucketsDeclarative(vec: Column, tables: Seq[Seq[Seq[Double]]]): Column =
     array(tables.map(planes => lshBucket(vec, planes)): _*)
+
+  /** Per-table LSH bucket ids of a vector: one sign-bit bucket per table,
+    * fused into the native one-pass [[LshBucketsExpr]] kernel
+    * (bit-equality with [[lshBucketsDeclarative]] is spec-proven).
+    */
+  def lshBuckets(vec: Column, tables: Seq[Seq[Seq[Double]]]): Column =
+    LshBucketsExpr.of(vec, tables)
 
   /** Multi-table LSH ANN: `numTables` independent hyperplane tables; a
     * candidate is considered for a query when they share a bucket in ANY

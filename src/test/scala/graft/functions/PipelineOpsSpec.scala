@@ -127,6 +127,8 @@ class PipelineOpsSpec extends AnyFunSuite {
       df.select(NearestCentersExpr.of(col("vec"), Seq(Seq(0.0, 0.0), Seq(5.0, 5.0)), 2)).collect()
       df.select(SimHashExpr.of(col("text"), 60, useMd5 = true)).collect()
       df.select(CosineExpr.of(col("vec"), col("vec"))).collect()
+      df.select(LshBucketsExpr.of(col("vec"),
+        Seq(Seq(Seq(1.0, -1.0), Seq(0.5, 0.5))))).collect()
     } finally {
       spark.conf.unset("spark.sql.codegen.fallback")
       spark.conf.unset("spark.sql.codegen.factoryMode")
@@ -222,6 +224,29 @@ class PipelineOpsSpec extends AnyFunSuite {
     val m = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(m(0L) == m(1L))
     assert(m(0L) != m(2L)) // antipodal vector flips every sign bit
+  }
+
+  test("LshBucketsExpr is bit-identical to the declarative per-bit chain") {
+    val rnd = new scala.util.Random(11)
+    val tables = (0 until 4).map(t => SimilarityOps.hyperplanes(5, 8, seed = 42L + 1000L * t))
+    val rows = (1L to 40L).map(i => (i, Seq.fill(8)(rnd.nextGaussian().toFloat))).toDF("id", "v")
+    val decl = rows.select(col("id"), SimilarityOps.lshBucketsDeclarative(col("v"), tables).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val fast = rows.select(col("id"), SimilarityOps.lshBuckets(col("v"), tables).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(fast == decl)
+
+    // null algebra parity: wrong length / null element → all-zero buckets
+    val edge = Seq(
+      (1L, Seq(Some(1.0f), Some(2.0f))), // dim mismatch (planes are dim 8)
+      (2L, Seq(Some(1.0f), None, Some(0.5f), Some(1f), Some(1f), Some(1f), Some(1f), Some(1f)))
+    ).toDF("id", "v")
+    val declE = edge.select(col("id"), SimilarityOps.lshBucketsDeclarative(col("v"), tables).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val fastE = edge.select(col("id"), SimilarityOps.lshBuckets(col("v"), tables).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(fastE == declE)
+    assert(fastE(1L).forall(_ == 0L))
   }
 
   test("ivf quantizer fits on a bounded sample yet assigns every candidate") {
