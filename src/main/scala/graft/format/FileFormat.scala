@@ -240,7 +240,12 @@ object BtrTableMeta {
     */
   final case class DataFileEntry(path: Path, len: Long, partitionValues: Map[String, String])
 
-  /** Recursive data-file listing with partition-dir parsing. */
+  /** Recursive data-file listing with partition-dir parsing. Pending
+    * swap journals are applied so a reader planning concurrently with (or
+    * after a crash of) a compaction swap sees exactly-once rows: per
+    * journal group, sources are hidden once every final is visible,
+    * finals are hidden until then.
+    */
   def listDataFilesWithPartitions(fs: FileSystem, dir: Path): Array[DataFileEntry] = {
     if (!fs.exists(dir)) return Array.empty
     val out = scala.collection.mutable.ArrayBuffer.empty[DataFileEntry]
@@ -260,7 +265,128 @@ object BtrTableMeta {
       }
     }
     walk(dir, Map.empty)
-    out.sortBy(_.path.toString).toArray
+    val listed = out.sortBy(_.path.toString).toArray
+    val journals = readSwapJournals(fs, dir)
+    if (journals.isEmpty) return listed
+    val exclude = scala.collection.mutable.HashSet.empty[String]
+    val present = listed.map(_.path.toUri.getPath).toSet
+    def key(g: SwapGroup, name: String): String = {
+      val d = if (g.dir.isEmpty) dir else new Path(dir, g.dir)
+      new Path(d, name).toUri.getPath
+    }
+    journals.foreach { case (_, groups) =>
+      groups.foreach { g =>
+        if (g.finals.forall(f => present(key(g, f))))
+          g.sources.foreach(s => exclude += key(g, s))
+        else
+          g.finals.foreach(f => exclude += key(g, f))
+      }
+    }
+    listed.filterNot(e => exclude(e.path.toUri.getPath))
+  }
+
+  // ---- swap journal: crash-atomic compaction swaps --------------------
+  // A compactor replacing files writes `_btr_swap_<id>.json` at the table
+  // root BEFORE its first rename: every swap group's directory (relative
+  // to the root), final names, and superseded source names. The listing
+  // applies each group as: ALL finals visible → the sources are
+  // superseded duplicates (excluded); otherwise → the finals are excluded
+  // (consistent pre-swap view — sources are still complete because the
+  // swap deletes sources only after every rename landed). A crash at any
+  // point therefore never exposes duplicated or missing rows; re-running
+  // the compactor (or [[completeSwapJournals]]) converges the directory
+  // and drops the journal. Delta keeps a full transaction log for the
+  // same guarantee; a journal bounded to one swap is enough here because
+  // btr commits are otherwise append-only renames.
+
+  final case class SwapGroup(dir: String, finals: Seq[String], sources: Seq[String])
+
+  private val SwapPrefix = "_btr_swap_"
+
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  /** Atomically publish a swap journal (write temp, rename visible). */
+  def writeSwapJournal(fs: FileSystem, root: Path, id: String, groups: Seq[SwapGroup]): Path = {
+    val body = groups.map { g =>
+      s"""{"dir":${jsonStr(g.dir)},"finals":${g.finals.map(jsonStr).mkString("[", ",", "]")},""" +
+        s""""sources":${g.sources.map(jsonStr).mkString("[", ",", "]")}}"""
+    }.mkString("""{"groups":[""", ",", "]}")
+    val tmp = new Path(root, s"_tmp_swap_$id.json")
+    val out = fs.create(tmp, true)
+    out.write(body.getBytes(StandardCharsets.UTF_8))
+    out.close()
+    val fin = new Path(root, s"$SwapPrefix$id.json")
+    if (!fs.rename(tmp, fin))
+      throw new java.io.IOException(s"btr swap journal: rename $tmp -> $fin failed")
+    fin
+  }
+
+  /** All pending swap journals at the root (journal path + its groups). */
+  def readSwapJournals(fs: FileSystem, root: Path): Seq[(Path, Seq[SwapGroup])] = {
+    if (!fs.exists(root)) return Nil
+    fs.listStatus(root).toSeq
+      .filter(st => st.isFile && st.getPath.getName.startsWith(SwapPrefix))
+      .sortBy(_.getPath.getName)
+      .flatMap { st =>
+        try {
+          val len = st.getLen.toInt
+          val bytes = new Array[Byte](len)
+          val in = fs.open(st.getPath)
+          in.readFully(0, bytes)
+          in.close()
+          Some(st.getPath -> parseSwapGroups(new String(bytes, StandardCharsets.UTF_8)))
+        } catch { case _: Exception => None } // torn journal: publish is atomic, so skip
+      }
+  }
+
+  private def parseSwapGroups(json: String): Seq[SwapGroup] = {
+    val groupRe =
+      """\{"dir":("(?:[^"\\]|\\.)*"),"finals":(\[[^\]]*\]),"sources":(\[[^\]]*\])\}""".r
+    def unq(s: String): String = {
+      val b = new StringBuilder
+      var i = 1 // skip quotes
+      while (i < s.length - 1) {
+        s.charAt(i) match {
+          case '\\' =>
+            s.charAt(i + 1) match {
+              case 'u' => b.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar); i += 5
+              case c => b.append(c); i += 1
+            }
+          case c => b.append(c)
+        }
+        i += 1
+      }
+      b.toString
+    }
+    def arr(s: String): Seq[String] =
+      """"(?:[^"\\]|\\.)*"""".r.findAllIn(s).map(unq).toSeq
+    groupRe.findAllMatchIn(json).map { m =>
+      SwapGroup(unq(m.group(1)), arr(m.group(2)), arr(m.group(3)))
+    }.toSeq
+  }
+
+  /** Finish (or roll back) every pending swap and drop its journal:
+    * groups with all finals visible delete their leftover sources;
+    * incomplete groups delete any stray finals (their sources are still
+    * complete). Idempotent — callers run it before starting a new swap.
+    */
+  def completeSwapJournals(fs: FileSystem, root: Path): Unit = {
+    readSwapJournals(fs, root).foreach { case (journal, groups) =>
+      groups.foreach { g =>
+        val dir = if (g.dir.isEmpty) root else new Path(root, g.dir)
+        if (g.finals.forall(f => fs.exists(new Path(dir, f))))
+          g.sources.foreach(s => fs.delete(new Path(dir, s), false))
+        else
+          g.finals.foreach(f => fs.delete(new Path(dir, f), false))
+      }
+      fs.delete(journal, false)
+    }
   }
 
   /** Hive-compatible path escaping for partition values (Spark's own

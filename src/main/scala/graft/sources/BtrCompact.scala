@@ -21,15 +21,16 @@ import org.apache.spark.sql.SparkSession
   *
   * Parallelism: one Spark task per output bin streams the bytes; the
   * driver then swaps each bin (rename merged file visible, delete its
-  * sources) — metadata-only operations. NOT crash-atomic: without a
-  * transaction log a crash between a bin's rename and its deletes leaves
-  * the bin's rows duplicated until compact is re-run (re-running converges;
-  * loss is never possible because sources are only deleted after the
-  * merged file is visible). Readers planning concurrently with the swap
-  * may fail-fast on a vanished file and should retry — same contract as
-  * Hive non-transactional compaction. Do NOT compact a table a streaming
-  * reader (BtrMicroBatchStream) is tailing: its identity-based offsets
-  * would see merged files as new and re-emit their rows.
+  * sources) — metadata-only operations. The swap is crash-atomic to
+  * readers via a swap journal ([[graft.format.BtrTableMeta.writeSwapJournal]]):
+  * published before the first rename, it makes listings hide a bin's
+  * sources once its merged file is visible and hide merged files until
+  * then, so a crash at any point exposes neither duplicated nor missing
+  * rows; the next compact (or
+  * [[graft.format.BtrTableMeta.completeSwapJournals]]) converges the
+  * directory. Do NOT compact a table a streaming reader
+  * (BtrMicroBatchStream) is tailing: its identity-based offsets would see
+  * merged files as new and re-emit their rows.
   */
 object BtrCompact {
 
@@ -113,6 +114,7 @@ object BtrCompact {
     val fs = root.getFileSystem(BtrTableMeta.hadoopConf())
     require(BtrTableMeta.readPartitionCols(fs, root).isEmpty,
       "btr rewriteClustered: partitioned tables cluster within partitions via partitionBy writes")
+    BtrTableMeta.completeSwapJournals(fs, root) // converge a crashed swap first
     val entries = BtrTableMeta.listDataFilesWithPartitions(fs, root)
     val before = entries.length
     if (before == 0) return (0, 0)
@@ -122,8 +124,15 @@ object BtrCompact {
     val df = spark.read.format("btr").load(path)
     BtrLayout.clusterBy(df, cols, numFiles)
       .write.format("btr").mode("overwrite").save(staging.toString)
-    // swap: staged names carry a fresh writeId, so they can't collide
+    // swap under a journal: readers see the OLD file set until every
+    // staged file is renamed in, then the old set is superseded at once —
+    // a crash mid-swap never exposes a mix (staged names carry a fresh
+    // writeId, so they can't collide with existing ones)
     val staged = BtrTableMeta.listDataFilesWithPartitions(fs, staging)
+    BtrTableMeta.writeSwapJournal(fs, root,
+      java.util.UUID.randomUUID().toString.substring(0, 8),
+      Seq(BtrTableMeta.SwapGroup("",
+        staged.map(_.path.getName).toSeq, entries.map(_.path.getName).toSeq)))
     staged.foreach { e =>
       if (!fs.rename(e.path, new Path(root, e.path.getName)))
         throw new java.io.IOException(s"btr rewrite: rename ${e.path} into $root failed")
@@ -136,6 +145,7 @@ object BtrCompact {
       fs.rename(stagedStats, new Path(root, BtrTableMeta.StatsFile))
     }
     fs.delete(staging, true)
+    BtrTableMeta.completeSwapJournals(fs, root) // drops the journal (idempotent)
     (before, staged.length)
   }
 
@@ -146,6 +156,8 @@ object BtrCompact {
   def compact(spark: SparkSession, path: String, targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
     val root = new Path(path)
     val fs = root.getFileSystem(BtrTableMeta.hadoopConf())
+    // converge any swap a crashed compactor left behind before binning
+    BtrTableMeta.completeSwapJournals(fs, root)
     val entries = BtrTableMeta.listDataFilesWithPartitions(fs, root)
     val before = entries.length
 
@@ -177,13 +189,24 @@ object BtrCompact {
     spark.sparkContext.parallelize(jobs, jobs.length).foreach { case (bin, tmp, _) =>
       mergeBin(bin, tmp)
     }
-    // swap: per bin, make the merged file visible, then drop its sources
+    // journal FIRST, then swap: with the journal visible, a listing hides
+    // a bin's sources the moment its merged file appears (and hides a
+    // merged file whose rename never happened), so a crash anywhere in
+    // this loop exposes neither duplicate nor missing rows
+    val rootUriPath = root.toUri.getPath
+    def rel(dirUri: String): String = {
+      val p = new Path(new java.net.URI(dirUri)).toUri.getPath
+      if (p == rootUriPath) "" else p.stripPrefix(rootUriPath).stripPrefix("/")
+    }
+    BtrTableMeta.writeSwapJournal(fs, root, compactId,
+      jobs.map { case (bin, _, fin) => BtrTableMeta.SwapGroup(rel(bin.dirUri), Seq(fin), bin.files) })
     jobs.foreach { case (bin, tmp, fin) =>
       val dir = new Path(new java.net.URI(bin.dirUri))
       if (!fs.rename(new Path(dir, tmp), new Path(dir, fin)))
         throw new java.io.IOException(s"btr compact: rename $tmp -> $fin failed in $dir")
       bin.files.foreach(f => fs.delete(new Path(dir, f), false))
     }
+    BtrTableMeta.completeSwapJournals(fs, root)
     (before, before - jobs.map(_._1.files.length).sum + jobs.length)
   }
 }

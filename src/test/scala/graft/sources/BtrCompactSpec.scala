@@ -146,4 +146,53 @@ class BtrCompactSpec extends AnyFunSuite {
     val a = spark.read.format("btr").load(dir).filter(col("k") === "a")
     assert(a.count() == expected.size / 2)
   }
+
+  test("swap journal hides duplicates and half-swaps from readers (crash windows)") {
+    import spark.implicits._
+    import graft.format.BtrTableMeta
+    import org.apache.hadoop.fs.Path
+    val dir = tmp("crash")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    (0 until 3).foreach { e =>
+      (e * 10 until (e + 1) * 10).map(i => (i.toLong, s"r-$i")).toDF("id", "s")
+        .coalesce(1).write.format("btr").mode("append").save(dir)
+    }
+    val expected = sortedRows(spark.read.format("btr").load(dir))
+    val root = new Path(dir)
+    val fs = root.getFileSystem(BtrTableMeta.hadoopConf())
+    val names = btrFiles(dir).map(p => new java.io.File(p).getName).sorted
+
+    // CRASH WINDOW 1 (post-rename, pre-delete): merged final visible AND
+    // its sources still present. Simulate: copy a source to a final name,
+    // journal says final supersedes it. Reader must not see the copy's
+    // rows twice.
+    val dupFinal = "part-compact-test-00000.btr"
+    org.apache.hadoop.fs.FileUtil.copy(fs, new Path(root, names.head),
+      fs, new Path(root, dupFinal), false, BtrTableMeta.hadoopConf())
+    BtrTableMeta.writeSwapJournal(fs, root, "t1",
+      Seq(BtrTableMeta.SwapGroup("", Seq(dupFinal), Seq(names.head))))
+    assert(sortedRows(spark.read.format("btr").load(dir)) == expected,
+      "duplicate window leaked rows")
+
+    // recovery converges: source deleted, final kept, journal dropped
+    BtrTableMeta.completeSwapJournals(fs, root)
+    assert(!fs.exists(new Path(root, names.head)) && fs.exists(new Path(root, dupFinal)))
+    assert(sortedRows(spark.read.format("btr").load(dir)) == expected)
+
+    // CRASH WINDOW 2 (pre-rename): journal exists, final never appeared.
+    // Reader keeps the sources (pre-swap view): rows unchanged.
+    BtrTableMeta.writeSwapJournal(fs, root, "t2",
+      Seq(BtrTableMeta.SwapGroup("", Seq("part-compact-never-00000.btr"), Seq(names(1)))))
+    assert(sortedRows(spark.read.format("btr").load(dir)) == expected,
+      "pre-rename window dropped rows")
+    BtrTableMeta.completeSwapJournals(fs, root)
+    assert(fs.exists(new Path(root, names(1))), "rollback must keep sources")
+    assert(sortedRows(spark.read.format("btr").load(dir)) == expected)
+
+    // a fresh real compact over the converged directory still works
+    val (_, nAfter) = BtrCompact.compact(spark, dir, targetBytes = 1L << 30)
+    assert(nAfter == 1)
+    assert(sortedRows(spark.read.format("btr").load(dir)) == expected)
+    assert(BtrTableMeta.readSwapJournals(fs, root).isEmpty, "journal must be dropped")
+  }
 }
