@@ -200,6 +200,40 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // PII redaction: deterministic synthetic PII woven into each doc (both
+    // engines build the identical string), then the RE2-portable
+    // email/IPv4/phone redaction chain — byte-exact oracle
+    "q_pii_redact" -> ((s, d) => {
+      val msg = concat(
+        substring(col("text"), 1, 40),
+        lit(" contact user"), col("doc_id"), lit("@example.com or call +1 555-000-"),
+        col("doc_id"), lit(" at 10.0.0."), pmod(col("doc_id"), lit(255)))
+      t(s, d, "documents")
+        .select(col("doc_id"), TextOps.redactPii(msg).as("redacted"))
+        .orderBy("doc_id")
+    }),
+
+    // benchmark decontamination: corpus docs sharing any word 8-gram with
+    // the benchmark subset (doc_id % 50 = 0) are contaminated
+    "q_decontam" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val bench = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
+      val corpus = docs.filter(pmod(col("doc_id"), lit(50)) =!= 0)
+      TextOps.contaminationFlags(corpus, bench, "doc_id", "text", n = 8)
+        .orderBy("doc_id")
+    }),
+
+    // stratified deterministic downsampling: md5-keyed sample, 10% of
+    // English docs, 50% of everything else — engine-portable hash, so the
+    // exact sampled id set is the oracle
+    "q_stratified_sample" -> ((s, d) => {
+      val rate = when(col("lang") === "en", 10L).otherwise(50L)
+      t(s, d, "documents")
+        .filter(TextOps.sampleKey(col("doc_id"), "graft-sample-1") < rate)
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    }),
+
     // Q-meta (SURVEY §2.7#8): describe_btr folded to per-column sums the
     // data itself proves — chunk n_rows/n_nulls must sum to the table's
     // true counts — plus structural consistency (chunk blobs tile the file
@@ -233,6 +267,32 @@ object PipelineQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_pii_redact" ->
+      """SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
+        |  substr(text, 1, 40) || ' contact user' || doc_id || '@example.com or call +1 555-000-'
+        |    || doc_id || ' at 10.0.0.' || (doc_id % 255),
+        |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |  '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |  '\+?\d[\d .-]{7,}\d', '<PHONE>', 'g') AS redacted
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_decontam" ->
+      """WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') toks FROM documents),
+        | sh AS (SELECT doc_id, CASE WHEN len(toks) >= 8 THEN
+        |     list_distinct(list_transform(generate_series(1, len(toks)-7),
+        |       i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]||' '||toks[i+3]||' '||toks[i+4]
+        |         ||' '||toks[i+5]||' '||toks[i+6]||' '||toks[i+7]))
+        |   ELSE [] END s FROM tok),
+        | bset AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 50 = 0),
+        | cg AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 50 <> 0),
+        | hits AS (SELECT DISTINCT cg.doc_id FROM cg JOIN bset USING (g))
+        |SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+        |FROM documents d LEFT JOIN hits h USING (doc_id)
+        |WHERE d.doc_id % 50 <> 0 ORDER BY d.doc_id""".stripMargin,
+    "q_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE CAST('0x' || substr(md5('graft-sample-1' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100
+        |  < CASE WHEN lang = 'en' THEN 10 ELSE 50 END
+        |ORDER BY doc_id""".stripMargin,
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,

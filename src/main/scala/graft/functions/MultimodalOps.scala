@@ -7,14 +7,16 @@ import org.apache.spark.sql.functions._
   * binary columns with typed metadata; decode / feature-extract runs
   * batch-wise in executor partitions (the Scala analog of `mapInPandas`).
   *
-  * IMAGE HEADER decode is REAL: [[ImageHeader.decode]] parses PNG/JPEG/
-  * GIF/BMP container headers (pure byte parsing, no libraries) for true
-  * dimensions. Pixel decode and audio/video remain STUBBED (this container
-  * has no media libraries): [[FakeDecoder.decode]] derives deterministic
-  * pseudo-metadata from the bytes. The Spark-side plumbing — binary column
-  * handling, partition-batched processing, typed output schema — is real
-  * and tested; swapping the stub for a JNI/javacv decoder changes nothing
-  * structural.
+  * IMAGE decode is REAL end to end: [[ImageHeader.decode]] parses
+  * PNG/JPEG/GIF/BMP container headers byte-wise for dimensions without
+  * touching pixels, and [[PixelOps]] decodes, rescales (bilinear) and
+  * featurizes actual pixel buffers with pure-JDK `javax.imageio` — frame
+  * sampling reads an animated GIF's true frame count. Only audio PCM and
+  * video frame decode remain STUBBED (no codec libraries in this
+  * container): [[FakeDecoder.decode]] derives deterministic
+  * pseudo-metadata for opaque payloads. The Spark-side plumbing — binary
+  * column handling, partition-batched processing, typed output schema —
+  * is identical on both paths.
   */
 object MultimodalOps {
 
@@ -156,6 +158,97 @@ object MultimodalOps {
     }
   }
 
+  /** REAL pixel operations for image payloads — pure-JDK `javax.imageio`
+    * (PNG/JPEG/GIF/BMP/WBMP), no external libraries. Executors decode,
+    * rescale and featurize actual pixel buffers; only audio PCM and
+    * video frame decode stay stubbed (no codec libraries here).
+    */
+  object PixelOps {
+    javax.imageio.ImageIO.setUseCache(false) // no executor-local tmp files
+
+    def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      if (bytes == null || bytes.length == 0) None
+      else
+        try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+        catch { case _: Exception => None }
+
+    /** Frame count of an animated payload (GIF), 1 for stills. */
+    def frameCount(bytes: Array[Byte]): Option[Int] = {
+      val in = javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(in)
+        if (!readers.hasNext) return None
+        val r = readers.next()
+        try {
+          r.setInput(in)
+          Some(math.max(1, r.getNumImages(true)))
+        } finally r.dispose()
+      } catch { case _: Exception => None } finally in.close()
+    }
+
+    /** Decode frame `idx` of an animated payload. */
+    def decodeFrame(bytes: Array[Byte], idx: Int): Option[java.awt.image.BufferedImage] = {
+      val in = javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(in)
+        if (!readers.hasNext) return None
+        val r = readers.next()
+        try {
+          r.setInput(in)
+          Option(r.read(idx))
+        } finally r.dispose()
+      } catch { case _: Exception => None } finally in.close()
+    }
+
+    /** Bilinear rescale of real pixels to exactly w×h. */
+    def resize(img: java.awt.image.BufferedImage, w: Int, h: Int): java.awt.image.BufferedImage = {
+      val out = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, w, h, null)
+      } finally g.dispose()
+      out
+    }
+
+    def toPng(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    /** `dim` mean-luminance block features over a grid covering the image
+      * (the classic tiny-thumbnail feature) — real pixel statistics,
+      * normalized to [0, 1].
+      */
+    def grayGridFeatures(img: java.awt.image.BufferedImage, dim: Int): Array[Float] = {
+      val grid = math.max(1, math.ceil(math.sqrt(dim.toDouble)).toInt)
+      val w = img.getWidth
+      val h = img.getHeight
+      val sums = new Array[Double](grid * grid)
+      val counts = new Array[Long](grid * grid)
+      var y = 0
+      while (y < h) {
+        val gy = math.min(grid - 1, y * grid / h)
+        var x = 0
+        while (x < w) {
+          val gx = math.min(grid - 1, x * grid / w)
+          val rgb = img.getRGB(x, y)
+          val lum = 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+          val c = gy * grid + gx
+          sums(c) += lum
+          counts(c) += 1
+          x += 1
+        }
+        y += 1
+      }
+      Array.tabulate(dim) { i =>
+        if (i < sums.length && counts(i) > 0) (sums(i) / counts(i) / 255.0).toFloat else 0f
+      }
+    }
+  }
+
   /** Typed metadata extracted per media blob. `format`/`width`/`height`
     * are REAL for recognized image containers and MP4 video; WAV audio
     * fills `sample_rate`/`channels` ("opaque"/0 otherwise); the fake_*
@@ -218,56 +311,76 @@ object MultimodalOps {
   /** One sampled frame of a media payload. */
   final case class Frame(doc_id: Long, frame_idx: Int, width: Int, height: Int, frame_bytes: Array[Byte])
 
-  /** Frame sampling: decode (stubbed) the payload's frame count, keep
-    * every `everyNth` frame, emit one row per kept frame. The fan-out is
-    * partition-local (flatMap, no shuffle); a real decoder would hand
-    * pixel buffers where the stub slices the payload deterministically.
+  /** Frame sampling: keep every `everyNth` frame, one row per kept
+    * frame, fan-out partition-local (flatMap, no shuffle). REAL for
+    * image payloads: `ImageIO` reads the actual frame count (animated
+    * GIF) and decodes each kept frame's pixels (re-encoded PNG). Opaque
+    * payloads (no codec here) keep the deterministic stub slicing.
     */
   def sampleFrames(spark: SparkSession, media: DataFrame, everyNth: Int): Dataset[Frame] = {
     import spark.implicits._
     media.select(col("doc_id").cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, bytes) =>
-        val meta = FakeDecoder.decode(id, bytes)
-        val n = meta.fake_frames
-        val sliceLen = math.max(1, bytes.length / math.max(1, n))
-        (0 until n by everyNth).iterator.map { f =>
-          val start = math.min(bytes.length, f * sliceLen)
-          val end = math.min(bytes.length, start + sliceLen)
-          Frame(id, f, meta.fake_width, meta.fake_height,
-            java.util.Arrays.copyOfRange(bytes, start, end))
+        PixelOps.frameCount(bytes) match {
+          case Some(n) =>
+            (0 until n by everyNth).iterator.flatMap { f =>
+              PixelOps.decodeFrame(bytes, f).map { img =>
+                Frame(id, f, img.getWidth, img.getHeight, PixelOps.toPng(img))
+              }
+            }
+          case None =>
+            val meta = FakeDecoder.decode(id, bytes)
+            val n = meta.fake_frames
+            val sliceLen = math.max(1, bytes.length / math.max(1, n))
+            (0 until n by everyNth).iterator.map { f =>
+              val start = math.min(bytes.length, f * sliceLen)
+              val end = math.min(bytes.length, start + sliceLen)
+              Frame(id, f, meta.fake_width, meta.fake_height,
+                java.util.Arrays.copyOfRange(bytes, start, end))
+            }
         }
       })
   }
 
-  /** STUB resize: a real implementation rescales pixel buffers; the stub
-    * re-tags dimensions and truncates the blob proportionally, keeping
-    * the (batch-shaped, partition-local) plumbing identical.
+  /** Resize: REAL bilinear pixel rescale (PNG re-encode) when the frame
+    * bytes decode as an image; deterministic stub truncation otherwise.
+    * Either way the plumbing is batch-shaped and partition-local.
     */
   def resizeFrames(spark: SparkSession, frames: Dataset[Frame], w: Int, h: Int): Dataset[Frame] = {
     import spark.implicits._
     frames.mapPartitions(_.map { fr =>
-      val scale = math.min(1.0, (w.toLong * h).toDouble / math.max(1L, fr.width.toLong * fr.height))
-      val keep = math.max(1, (fr.frame_bytes.length * scale).toInt)
-      fr.copy(width = w, height = h,
-        frame_bytes = java.util.Arrays.copyOf(fr.frame_bytes, math.min(keep, fr.frame_bytes.length)))
+      PixelOps.decodeImage(fr.frame_bytes) match {
+        case Some(img) =>
+          fr.copy(width = w, height = h, frame_bytes = PixelOps.toPng(PixelOps.resize(img, w, h)))
+        case None =>
+          val scale = math.min(1.0, (w.toLong * h).toDouble / math.max(1L, fr.width.toLong * fr.height))
+          val keep = math.max(1, (fr.frame_bytes.length * scale).toInt)
+          fr.copy(width = w, height = h,
+            frame_bytes = java.util.Arrays.copyOf(fr.frame_bytes, math.min(keep, fr.frame_bytes.length)))
+      }
     })
   }
 
   /** Per-frame feature vector. */
   final case class FrameFeatures(doc_id: Long, frame_idx: Int, features: Array[Float])
 
-  /** STUB feature extraction: deterministic pseudo-embedding (hash-seeded)
-    * per frame — the real version runs a vision model batch per partition.
-    * Output shape (fixed dim, one row per frame) is what downstream
-    * similarity search consumes.
+  /** Feature extraction: REAL mean-luminance grid features over decoded
+    * pixels for image frames ([[PixelOps.grayGridFeatures]]); the
+    * hash-seeded stub only for opaque payloads. A vision-model embedding
+    * would slot in the same partition-batched shape.
     */
   def extractFeatures(spark: SparkSession, frames: Dataset[Frame], dim: Int = 16): Dataset[FrameFeatures] = {
     import spark.implicits._
     frames.mapPartitions(_.map { fr =>
-      val seed = java.util.Arrays.hashCode(fr.frame_bytes).toLong ^ (fr.doc_id << 20) ^ fr.frame_idx
-      val rnd = new scala.util.Random(seed)
-      FrameFeatures(fr.doc_id, fr.frame_idx, Array.fill(dim)(rnd.nextFloat()))
+      PixelOps.decodeImage(fr.frame_bytes) match {
+        case Some(img) =>
+          FrameFeatures(fr.doc_id, fr.frame_idx, PixelOps.grayGridFeatures(img, dim))
+        case None =>
+          val seed = java.util.Arrays.hashCode(fr.frame_bytes).toLong ^ (fr.doc_id << 20) ^ fr.frame_idx
+          val rnd = new scala.util.Random(seed)
+          FrameFeatures(fr.doc_id, fr.frame_idx, Array.fill(dim)(rnd.nextFloat()))
+      }
     })
   }
 }

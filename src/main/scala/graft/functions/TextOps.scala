@@ -471,4 +471,60 @@ object TextOps {
         ).cast("double") / size(tokens(text)), 4)
     )
   }
+
+  // ---- PII redaction / decontamination / deterministic sampling -------
+
+  /** Email / IPv4 / phone redaction as a pure codegen'd regexp_replace
+    * chain — RE2-compatible patterns (no backreferences or lookaround),
+    * so the identical expressions run in any RE2 engine for oracle
+    * checks. Order matters: emails first (their local parts carry dots
+    * and digits), then IPv4 (dotted digits would otherwise be eaten by
+    * the phone pattern), then phone-like digit runs.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\+?\\d[\\d .-]{7,}\\d"
+
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  /** Benchmark decontamination: which corpus documents share at least one
+    * word n-gram with a benchmark (eval-set) document. The benchmark's
+    * distinct shingle set is broadcast (eval sets are small by nature) and
+    * the corpus side streams through one semi-join — no shuffle of corpus
+    * text at any scale; the n-gram explode is the codegen'd
+    * [[WordShinglesExpr]].
+    *
+    * @return (id, contaminated) for every corpus document
+    */
+  def contaminationFlags(
+      corpus: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int
+  ): DataFrame = {
+    val benchShingles = bench
+      .select(explode(WordShinglesExpr.of(col(textCol), n)).as("sh")).distinct()
+    val hits = corpus
+      .select(col(idCol), explode(WordShinglesExpr.of(col(textCol), n)).as("sh"))
+      .join(broadcast(benchShingles), Seq("sh"), "left_semi")
+      .select(col(idCol)).distinct()
+      .withColumn("contaminated", lit(true))
+    corpus.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("contaminated"), lit(false)).as("contaminated"))
+  }
+
+  /** Deterministic engine-portable sampling key in [0, 100): the md5-60
+    * hash of salt+key mod 100. Any engine with md5 reproduces the exact
+    * same sample — the basis for auditable stratified downsampling
+    * (filter on `sampleKey < rate(stratum)`).
+    */
+  def sampleKey(key: Column, salt: String): Column =
+    pmod(md5Hash60(concat(lit(salt), key.cast("string"))), lit(100L))
 }

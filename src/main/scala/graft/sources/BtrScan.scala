@@ -361,22 +361,25 @@ class BtrMicroBatchStream(
   private def logFs = logDir.getFileSystem(BtrTableMeta.hadoopConf())
 
   private def entryPath(id: Long): Path = new Path(logDir, id.toString)
+  private def snapPath(id: Long): Path = new Path(logDir, s"$id.snap")
 
-  private def writeEntry(id: Long, files: Seq[String]): Unit = {
+  private def writeLogFile(target: Path, files: Seq[String]): Unit = {
     val fs = logFs
     fs.mkdirs(logDir)
-    val tmp = new Path(logDir, s".$id.tmp")
+    val tmp = new Path(logDir, s".${target.getName}.tmp")
     val out = fs.create(tmp, true)
     out.write(Names.render(files).getBytes(java.nio.charset.StandardCharsets.UTF_8))
     out.close()
-    fs.delete(entryPath(id), false) // a retried trigger rewrites its entry
-    if (!fs.rename(tmp, entryPath(id)))
-      throw new java.io.IOException(s"btr streaming: cannot write file-log entry $id")
+    fs.delete(target, false) // a retried trigger rewrites its entry
+    if (!fs.rename(tmp, target))
+      throw new java.io.IOException(s"btr streaming: cannot write file-log entry $target")
   }
 
-  private def readEntry(id: Long): Seq[String] = {
+  private def writeEntry(id: Long, files: Seq[String]): Unit =
+    writeLogFile(entryPath(id), files)
+
+  private def readLogFile(p: Path): Seq[String] = {
     val fs = logFs
-    val p = entryPath(id)
     val len = fs.getFileStatus(p).getLen.toInt
     val bytes = new Array[Byte](len)
     val in = fs.open(p)
@@ -385,27 +388,39 @@ class BtrMicroBatchStream(
     Names.parse(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
   }
 
-  private def entryIds(): Seq[Long] = {
+  private def readEntry(id: Long): Seq[String] = readLogFile(entryPath(id))
+
+  private def logNames(): Seq[String] = {
     val fs = logFs
     if (!fs.exists(logDir)) Nil
-    else fs.listStatus(logDir).toSeq
-      .map(_.getPath.getName).filterNot(_.startsWith("."))
-      .flatMap(n => scala.util.Try(n.toLong).toOption).sorted
+    else fs.listStatus(logDir).toSeq.map(_.getPath.getName).filterNot(_.startsWith("."))
   }
+
+  private def entryIds(): Seq[Long] =
+    logNames().flatMap(n => scala.util.Try(n.toLong).toOption).sorted
+
+  private def snapIds(): Seq[Long] =
+    logNames().filter(_.endsWith(".snap"))
+      .flatMap(n => scala.util.Try(n.stripSuffix(".snap").toLong).toOption).sorted
 
   // seen-set state, rebuilt from the log on first use / recovery
   private var seen: Set[String] = _
   private var seenThroughId = Long.MinValue
 
-  /** Align the in-memory seen-set with the log as of startId: drop orphan
-    * entries beyond it (crash between our log write and Spark's offset
-    * log) and fold the kept entries' files in.
+  /** Align the in-memory seen-set with the log as of startId: start from
+    * the newest snapshot at or below it (committed batches fold into
+    * snapshots, see [[commit]]), add the loose entries in (snapshot,
+    * startId], and drop orphan entries beyond it (crash between our log
+    * write and Spark's offset log) so their files are re-admitted.
     */
   private def ensureInit(startId: Long): Unit = {
     if (seen == null || seenThroughId != startId) {
       val ids = entryIds()
       ids.filter(_ > startId).foreach(id => logFs.delete(entryPath(id), false))
-      seen = ids.filter(_ <= startId).flatMap(readEntry).toSet
+      val base = snapIds().filter(_ <= startId).lastOption
+      val baseFiles = base.map(id => readLogFile(snapPath(id))).getOrElse(Seq.empty)
+      val lo = base.getOrElse(Long.MinValue)
+      seen = (baseFiles ++ ids.filter(id => id > lo && id <= startId).flatMap(readEntry)).toSet
       seenThroughId = startId
     }
   }
@@ -515,9 +530,38 @@ class BtrMicroBatchStream(
   override def createReaderFactory(): PartitionReaderFactory =
     new BtrReaderFactory(requiredSchema)
 
-  override def commit(end: Offset): Unit = ()
+  /** Fold committed per-batch entries into a snapshot once enough
+    * accumulate (FileStreamSourceLog's compaction): entries at or below a
+    * committed offset are only ever read to rebuild the seen-set — never
+    * replayed — so they can collapse into one `<id>.snap` union file.
+    * Keeps checkpoint file count O(compact interval), not O(batches), on
+    * a long-running stream. Crash-safe: the snapshot publishes atomically
+    * before superseded files are deleted, and a leftover subsumed entry
+    * merely unions in files the snapshot already holds.
+    */
+  override def commit(end: Offset): Unit = {
+    val endId = end.asInstanceOf[LogOffset].batchId
+    val loose = entryIds().filter(_ <= endId)
+    if (loose.length >= BtrMicroBatchStream.LogCompactInterval) {
+      val snaps = snapIds()
+      val base = snaps.filter(_ <= endId).lastOption
+      val lo = base.getOrElse(Long.MinValue)
+      val files = (base.map(id => readLogFile(snapPath(id))).getOrElse(Seq.empty) ++
+        loose.filter(_ > lo).flatMap(readEntry)).distinct
+      writeLogFile(snapPath(endId), files)
+      snaps.filter(_ < endId).foreach(id => logFs.delete(snapPath(id), false))
+      loose.foreach(id => logFs.delete(entryPath(id), false))
+    }
+  }
 
   override def stop(): Unit = ()
+}
+
+object BtrMicroBatchStream {
+  /** Commit folds the file log into a snapshot after this many loose
+    * per-batch entries (Spark's own FileStreamSourceLog default interval).
+    */
+  val LogCompactInterval = 10
 }
 
 /** Filter evaluation against hive-style partition directory values:

@@ -368,6 +368,73 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(f1.values.forall(_.length == 16))
   }
 
+  test("PII redaction masks emails, IPs and phone runs but not plain text") {
+    val rows = Seq(
+      (1L, "write to alice.smith+tag@sub.example.co.uk today"),
+      (2L, "server at 192.168.1.254 port 8080"),
+      (3L, "call +1 555-123-4567 now"),
+      (4L, "version 1.2 of chapter 3, page 12"), // no PII: short digit runs stay
+      (5L, "bob@x.io or 10.0.0.7 or 020 7946 0958")
+    ).toDF("id", "t").select($"id", TextOps.redactPii($"t").as("r"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows(1L) == "write to <EMAIL> today")
+    assert(rows(2L) == "server at <IP> port 8080")
+    assert(rows(3L) == "call <PHONE> now")
+    assert(rows(4L) == "version 1.2 of chapter 3, page 12")
+    assert(rows(5L) == "<EMAIL> or <IP> or <PHONE>")
+  }
+
+  test("contamination flags exactly the docs sharing a benchmark n-gram") {
+    val bench = Seq((100L, "one two three four five")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "zzz one two three four five yyy"), // shares the 5-gram
+      (2L, "one two three nine five"), // breaks the run → clean
+      (3L, "totally unrelated words here now")
+    ).toDF("doc_id", "text")
+    val flags = TextOps.contaminationFlags(corpus, bench, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(flags == Map(1L -> true, 2L -> false, 3L -> false))
+  }
+
+  test("sampleKey is deterministic, salt-sensitive and roughly uniform") {
+    val df = (0L until 1000L).toDF("id")
+    val k1 = df.select(TextOps.sampleKey($"id", "s1").as("k")).collect().map(_.getLong(0))
+    val k2 = df.select(TextOps.sampleKey($"id", "s1").as("k")).collect().map(_.getLong(0))
+    assert(k1.toSeq == k2.toSeq, "same salt must reproduce the same keys")
+    assert(k1.forall(k => k >= 0 && k < 100))
+    val hit = k1.count(_ < 10)
+    assert(hit > 50 && hit < 150, s"10% band captured $hit of 1000")
+    val other = df.select(TextOps.sampleKey($"id", "s2").as("k")).collect().map(_.getLong(0))
+    assert(other.toSeq != k1.toSeq, "different salt must change the sample")
+  }
+
+  test("real image pixels decode, resize and featurize via ImageIO") {
+    import MultimodalOps.PixelOps
+    // a genuine PNG: left half black, right half white
+    val img = new java.awt.image.BufferedImage(40, 20, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 20; x <- 0 until 40)
+      img.setRGB(x, y, if (x < 20) 0x000000 else 0xffffff)
+    val png = PixelOps.toPng(img)
+    val media = Seq((1L, png)).toDF("doc_id", "payload")
+
+    val frames = MultimodalOps.sampleFrames(spark, media, everyNth = 1)
+    val fr = frames.collect()
+    assert(fr.length == 1, "a still image is one real frame, not the stub fan-out")
+    assert(fr(0).width == 40 && fr(0).height == 20, "real decoded dimensions")
+
+    // resize produces an actual 8x8 image, not a truncated blob
+    val rs = MultimodalOps.resizeFrames(spark, frames, 8, 8).collect()(0)
+    val back = PixelOps.decodeImage(rs.frame_bytes).get
+    assert(back.getWidth == 8 && back.getHeight == 8)
+    // pixel content survived the rescale: left dark, right bright
+    assert((back.getRGB(1, 4) & 0xff) < 64 && (back.getRGB(6, 4) & 0xff) > 192)
+
+    // grid features measure real luminance: [dark, bright, dark, bright]
+    val feats = MultimodalOps.extractFeatures(spark, frames, dim = 4).collect()(0).features
+    assert(feats(0) < 0.2f && feats(1) > 0.8f && feats(2) < 0.2f && feats(3) > 0.8f,
+      s"expected left-dark/right-bright grid, got ${feats.toSeq}")
+  }
+
   test("embedding LSH near-dup pairs find planted high-cosine duplicates") {
     val rnd = new scala.util.Random(7)
     def randVec() = Array.fill(64)(rnd.nextGaussian().toFloat)

@@ -211,6 +211,45 @@ class EventsStreamingSpec extends AnyFunSuite {
     assert(spark.read.format("btr").load(out).count() == 3)
   }
 
+  test("file log folds committed batches into a snapshot; recovery reads it") {
+    import spark.implicits._
+    val src = "/tmp/btr-stream-snap-src"
+    val out = "/tmp/btr-stream-snap-out"
+    val ckpt = "/tmp/btr-stream-snap-ckpt"
+    Seq(src, out, ckpt).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+    // > LogCompactInterval single-file appends, drained one per trigger
+    val n = graft.sources.BtrMicroBatchStream.LogCompactInterval + 3
+    (1 to n).foreach { i =>
+      Seq((i.toLong, s"v$i")).toDF("id", "tag")
+        .coalesce(1).write.format("btr").mode(if (i == 1) "overwrite" else "append").save(src)
+    }
+    def run(): Unit = {
+      val q = spark.readStream.format("btr").option("btr.maxFilesPerTrigger", "1").load(src)
+        .writeStream.format("btr").option("checkpointLocation", ckpt).start(out)
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    run()
+    assert(spark.read.format("btr").load(out).count() == n)
+    // the log compacted: few loose entries + one snapshot, not O(batches)
+    val logDir = new java.io.File(s"$ckpt/sources/0/btr-file-log")
+    val logFiles = logDir.listFiles().map(_.getName).filterNot(_.startsWith("."))
+    val snaps = logFiles.filter(_.endsWith(".snap"))
+    val loose = logFiles.filterNot(_.endsWith(".snap"))
+    assert(snaps.length == 1, s"expected one snapshot, got ${logFiles.toSeq.sorted}")
+    assert(loose.length < graft.sources.BtrMicroBatchStream.LogCompactInterval,
+      s"loose entries not folded: ${logFiles.toSeq.sorted}")
+    // recovery rebuilds the seen-set FROM the snapshot: only the new file
+    // is admitted, nothing re-emitted
+    Seq((100L, "new")).toDF("id", "tag").coalesce(1)
+      .write.format("btr").mode("append").save(src)
+    run()
+    val ids = spark.read.format("btr").load(out).select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == ((1 to n).map(_.toLong) :+ 100L), s"got $ids")
+  }
+
   test("streaming dedup drops within-watermark duplicates") {
     // duplicate every event across two files: the deduped stream must
     // equal the distinct batch set
