@@ -262,6 +262,50 @@ object CoreQueries {
         .groupBy("hour_s", "event_type")
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_v"))
         .orderBy("hour_s", "event_type")
+    }),
+
+    // Q-asof: for each click, the latest prior view by the same user —
+    // DuckDB's ASOF LEFT JOIN, realized as one key-shuffle union+window
+    // (ts is raw nanos on both sides, so the comparison is exact)
+    "q_asof_join" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"), col("ts"), col("value"))
+      graft.functions.RelationalOps
+        .asOfJoin(clicks, views, "user_id", "ts", "ts", rightTieCols = Seq("view_id"))
+        .select(col("event_id"), col("user_id"), col("asof_view_id"),
+          round(col("asof_value"), 2).as("asof_value"))
+        .orderBy("event_id")
+    }),
+
+    // Q-sessionize: 30-minute-gap sessions per user, then per-session
+    // event count and duration (nanos arithmetic end to end)
+    "q_sessionize" -> ((s, d) => {
+      graft.functions.RelationalOps
+        .sessionize(t(s, d, "events"), "user_id", "ts", maxGap = 1800000000000L)
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(count(lit(1)).as("n_events"),
+          round((max(col("ts")) - min(col("ts"))) / 1e9, 2).as("duration_s"))
+        .orderBy("user_id", "session_seq")
+    }),
+
+    // Q-quantiles: exact per-group percentiles. Values quantize to cents
+    // first so Spark's percentile and DuckDB's quantile_cont interpolate
+    // over identical integers (bit-identical doubles out, no fp drift)
+    "q_quantiles" -> ((s, d) => {
+      val cents = round(col("value") * 100).cast("long")
+      val qs = percentile(cents, array(lit(0.25), lit(0.5), lit(0.75), lit(0.95)))
+      t(s, d, "events")
+        .groupBy(col("event_type"))
+        .agg(qs.as("qs"))
+        .select(col("event_type"),
+          round(element_at(col("qs"), 1) / 100, 4).as("p25"),
+          round(element_at(col("qs"), 2) / 100, 4).as("p50"),
+          round(element_at(col("qs"), 3) / 100, 4).as("p75"),
+          round(element_at(col("qs"), 4) / 100, 4).as("p95"))
+        .orderBy("event_type")
     })
   )
 
@@ -356,6 +400,33 @@ object CoreQueries {
     "q_events_hourly" ->
       """SELECT strftime(ts, '%Y-%m-%d %H:00') AS hour_s, event_type,
         | count(*) AS n, round(sum(value), 2) AS sum_v
-        |FROM events GROUP BY 1, 2 ORDER BY hour_s, event_type""".stripMargin
+        |FROM events GROUP BY 1, 2 ORDER BY hour_s, event_type""".stripMargin,
+    "q_asof_join" ->
+      """SELECT l.event_id, l.user_id, r.view_id AS asof_view_id,
+        | round(r.value, 2) AS asof_value
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l
+        |ASOF LEFT JOIN (SELECT event_id AS view_id, user_id, ts, value
+        |                FROM events WHERE event_type = 'view') r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin,
+    "q_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) AS tn FROM events),
+        | m AS (SELECT user_id, tn,
+        |   CASE WHEN lag(tn) OVER (PARTITION BY user_id ORDER BY tn) IS NULL
+        |     OR tn - lag(tn) OVER (PARTITION BY user_id ORDER BY tn) > 1800000000000
+        |   THEN 1 ELSE 0 END AS ns FROM e),
+        | s AS (SELECT user_id, tn,
+        |   CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY tn ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |  FROM m)
+        |SELECT user_id, session_seq, count(*) AS n_events,
+        | round((max(tn) - min(tn)) / 1e9, 2) AS duration_s
+        |FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin,
+    "q_quantiles" ->
+      """WITH c AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        | q AS (SELECT event_type, quantile_cont(cents, [0.25, 0.5, 0.75, 0.95]) AS qs
+        |       FROM c GROUP BY event_type)
+        |SELECT event_type, round(qs[1] / 100, 4) AS p25, round(qs[2] / 100, 4) AS p50,
+        | round(qs[3] / 100, 4) AS p75, round(qs[4] / 100, 4) AS p95
+        |FROM q ORDER BY event_type""".stripMargin
   )
 }

@@ -368,6 +368,51 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(f1.values.forall(_.length == 16))
   }
 
+  test("asOfJoin picks the latest right row at or before each left time") {
+    val clicks = Seq((1L, 10L, 100L), (2L, 10L, 205L), (3L, 20L, 50L), (4L, 30L, 10L))
+      .toDF("event_id", "user_id", "ts")
+    val views = Seq((90L, 10L, 100L, 1.0), (91L, 10L, 200L, 2.0), (92L, 20L, 49L, 3.0))
+      .toDF("view_id", "user_id", "ts", "value")
+    val out = RelationalOps.asOfJoin(clicks, views, "user_id", "ts", "ts",
+        rightTieCols = Seq("view_id"))
+      .select("event_id", "asof_view_id")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(out(1L) == Some(90L), "equal timestamps match (>= semantics)")
+    assert(out(2L) == Some(91L), "latest prior view wins")
+    assert(out(3L) == Some(92L))
+    assert(out(4L) == None, "user with no prior view stays unmatched (left outer)")
+
+    // plan shape: exactly one exchange — both sides shuffle once on the
+    // key; the window reuses that partitioning (AQE off so the static
+    // physical plan carries its exchanges)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = RelationalOps.asOfJoin(clicks, views, "user_id", "ts", "ts")
+        .queryExecution.executedPlan
+      val exchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.length == 1, s"expected one shuffle, got ${exchanges.length}:\n$plan")
+    } finally spark.conf.unset("spark.sql.adaptive.enabled")
+  }
+
+  test("sessionize splits on gaps strictly greater than maxGap") {
+    val ev = Seq((10L, 0L), (10L, 50L), (10L, 150L), (10L, 151L), (20L, 5L))
+      .toDF("user_id", "ts")
+    val out = RelationalOps.sessionize(ev, "user_id", "ts", maxGap = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out((10L, 0L)) == 1L)
+    assert(out((10L, 50L)) == 1L, "gap 50 <= 100 stays in session")
+    assert(out((10L, 150L)) == 1L, "gap exactly maxGap stays in session")
+    assert(out((10L, 151L)) == 1L)
+    assert(out((20L, 5L)) == 1L, "each key starts at session 1")
+    val out2 = RelationalOps.sessionize(ev, "user_id", "ts", maxGap = 99L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out2((10L, 150L)) == 2L, "gap 100 > 99 opens session 2")
+    assert(out2((10L, 151L)) == 2L)
+  }
+
   test("PII redaction masks emails, IPs and phone runs but not plain text") {
     val rows = Seq(
       (1L, "write to alice.smith+tag@sub.example.co.uk today"),
