@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import graft.functions._
+
+/** SQL surface for the engine's native expressions: register with
+  * `spark.sql.extensions=graft.GraftExtensions` (or
+  * `.withExtensions(new GraftExtensions)`) and every kernel is callable
+  * from plain SQL — `SELECT cosine_sim(a, b)`, `word_shingles(text, 3)` —
+  * not just the Scala DSL. Registration is Catalyst-level
+  * (`injectFunction`), so the functions participate in codegen exactly
+  * like the DSL forms; nothing here is a UDF.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  private def intLit(e: Expression, fn: String, arg: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be an integer literal, got $other")
+  }
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "", "", "",
+      "", "4.0.0", "", "internal")
+
+  private[graft] val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("cosine_sim"),
+      info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two float/double vectors"),
+      (args: Seq[Expression]) => CosineExpr(args(0), args(1))),
+    (FunctionIdentifier("md5hash60"),
+      info("md5hash60", "md5hash60(s) - engine-portable 60-bit md5 hash"),
+      (args: Seq[Expression]) => Md5Hash60Expr(args(0))),
+    (FunctionIdentifier("word_shingles"),
+      info("word_shingles", "word_shingles(text, n) - distinct word n-gram shingles"),
+      (args: Seq[Expression]) =>
+        WordShinglesExpr(args(0), intLit(args(1), "word_shingles", "n"))),
+    (FunctionIdentifier("char_shingles"),
+      info("char_shingles", "char_shingles(text, n) - distinct character n-gram shingles"),
+      (args: Seq[Expression]) =>
+        CharShinglesExpr(args(0), intLit(args(1), "char_shingles", "n"))),
+    (FunctionIdentifier("simhash"),
+      info("simhash", "simhash(text, bits) - SimHash signature over whitespace tokens (xxhash64)"),
+      (args: Seq[Expression]) =>
+        SimHashExpr(args(0), intLit(args(1), "simhash", "bits"), useMd5 = false)),
+    (FunctionIdentifier("simhash60"),
+      info("simhash60", "simhash60(text) - engine-portable 60-bit md5-hashed SimHash"),
+      (args: Seq[Expression]) => SimHashExpr(args(0), 60, useMd5 = true))
+  )
+
+  /** Register the SQL functions on an ALREADY-RUNNING session (the
+    * config-free path; `spark.sql.extensions` wires them at startup).
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    functions.foreach { case (id, fi, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, fi, builder)
+    }
+}

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The pure-SQL surface: extension-registered native functions and
+  * `CREATE TABLE ... USING btr` DDL must work without touching the Scala
+  * DSL — a SQL-only user can run the whole engine.
+  */
+class GraftExtensionsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    GraftExtensions.register(s)
+    s
+  }
+
+  test("native kernels are callable from plain SQL and match the DSL") {
+    import spark.implicits._
+    Seq((1L, "the quick brown fox jumps", Seq(1.0f, 2.0f, 3.0f), Seq(3.0f, 2.0f, 1.0f)))
+      .toDF("id", "text", "a", "b").createOrReplaceTempView("ext_probe")
+
+    val viaSql = spark.sql(
+      """SELECT cosine_sim(a, b) AS c, md5hash60(text) AS h,
+        | word_shingles(text, 3) AS ws, char_shingles(text, 4) AS cs,
+        | simhash(text, 64) AS s64, simhash60(text) AS s60
+        |FROM ext_probe""".stripMargin).head
+
+    val viaDsl = spark.table("ext_probe").select(
+      graft.functions.SimilarityOps.cosine($"a", $"b").as("c"),
+      graft.functions.TextOps.md5Hash60($"text").as("h"),
+      graft.functions.WordShinglesExpr.of($"text", 3).as("ws"),
+      graft.functions.TextOps.charShingles($"text", 4).as("cs")).head
+
+    assert(viaSql.getDouble(0) == viaDsl.getDouble(0))
+    assert(viaSql.getLong(1) == viaDsl.getLong(1))
+    assert(viaSql.getSeq[String](2) == viaDsl.getSeq[String](2))
+    assert(viaSql.getSeq[String](3) == viaDsl.getSeq[String](3))
+    // simhash of identical text is identical regardless of entry point
+    val s2 = spark.sql("SELECT simhash(text, 64), simhash60(text) FROM ext_probe").head
+    assert(viaSql.getLong(4) == s2.getLong(0) && viaSql.getLong(5) == s2.getLong(1))
+
+    // non-literal n fails loudly, not silently
+    val e = intercept[Exception](spark.sql("SELECT word_shingles(text, id + 1) FROM ext_probe").head)
+    assert(e.getMessage.contains("integer literal") || e.getMessage.contains("word_shingles"))
+  }
+
+  test("a fresh session registers the same functions independently") {
+    val s2 = spark.newSession()
+    GraftExtensions.register(s2)
+    import s2.implicits._
+    Seq(Tuple1(Seq(1.0f, 0.0f))).toDF("v").createOrReplaceTempView("ext_probe2")
+    assert(s2.sql("SELECT cosine_sim(v, v) FROM ext_probe2").head.getDouble(0) == 1.0)
+  }
+
+  test("CREATE TABLE ... USING btr DDL: insert, select, filter pushdown") {
+    val dir = "/tmp/btr-sql-ddl"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    spark.sql("DROP TABLE IF EXISTS btr_sql_t")
+    spark.sql(
+      s"""CREATE TABLE btr_sql_t (id BIGINT, tag STRING, v DOUBLE)
+         |USING btr LOCATION '$dir'""".stripMargin)
+    spark.sql("INSERT INTO btr_sql_t SELECT id, concat('t', id), id * 0.5 FROM range(1000)")
+    assert(spark.sql("SELECT count(*) FROM btr_sql_t").head.getLong(0) == 1000L)
+    val got = spark.sql(
+      "SELECT id, tag, v FROM btr_sql_t WHERE id BETWEEN 10 AND 12 ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(got == Seq((10L, "t10", 5.0), (11L, "t11", 5.5), (12L, "t12", 6.0)))
+    // data really landed as btr files
+    val files = new java.io.File(dir).listFiles().count(_.getName.endsWith(".btr"))
+    assert(files >= 1)
+    spark.sql("DROP TABLE btr_sql_t")
+  }
+}
