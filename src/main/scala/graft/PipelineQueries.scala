@@ -234,6 +234,29 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // the whole training-data cleaning pipeline composed end to end:
+    // exact dedup (keep min id per portable text hash) → drop benchmark
+    // docs → decontaminate (no shared 8-gram with the benchmark) →
+    // quality floor → deterministic stratified downsample. One DuckDB
+    // oracle checks the entire composition.
+    "q_pipeline_clean" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, d, "documents")
+      val w = Window.partitionBy(TextOps.md5Hash60(col("text"))).orderBy("doc_id")
+      val deduped = docs.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+      val bench = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
+      val corpus = deduped.filter(pmod(col("doc_id"), lit(50)) =!= 0)
+      val flagged = TextOps.contaminationFlags(corpus, bench, "doc_id", "text", n = 8)
+      val clean = corpus.join(flagged.filter(!col("contaminated")), Seq("doc_id"), "left_semi")
+      val rate = when(col("lang") === "en", 30L).otherwise(60L)
+      clean
+        .filter(length(col("text")) >= 100)
+        .filter(TextOps.sampleKey(col("doc_id"), "graft-clean-1") < rate)
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    }),
+
     // Q-meta (SURVEY §2.7#8): describe_btr folded to per-column sums the
     // data itself proves — chunk n_rows/n_nulls must sum to the table's
     // true counts — plus structural consistency (chunk blobs tile the file
@@ -296,6 +319,26 @@ object PipelineQueries {
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+    "q_pipeline_clean" ->
+      """WITH dd AS (SELECT doc_id, text, lang, row_number() OVER (
+        |    PARTITION BY CAST('0x' || substr(md5(text), 1, 15) AS BIGINT)
+        |    ORDER BY doc_id) AS rn FROM documents),
+        | kept AS (SELECT doc_id, text, lang FROM dd WHERE rn = 1 AND doc_id % 50 <> 0),
+        | tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') toks FROM documents),
+        | sh AS (SELECT doc_id, CASE WHEN len(toks) >= 8 THEN
+        |     list_distinct(list_transform(generate_series(1, len(toks)-7),
+        |       i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]||' '||toks[i+3]||' '||toks[i+4]
+        |         ||' '||toks[i+5]||' '||toks[i+6]||' '||toks[i+7]))
+        |   ELSE [] END s FROM tok),
+        | bset AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 50 = 0),
+        | cg AS (SELECT sh.doc_id, unnest(sh.s) AS g FROM sh JOIN kept USING (doc_id)),
+        | hits AS (SELECT DISTINCT cg.doc_id FROM cg JOIN bset USING (g))
+        |SELECT k.doc_id, k.lang FROM kept k
+        |LEFT JOIN hits h USING (doc_id)
+        |WHERE h.doc_id IS NULL AND length(k.text) >= 100
+        |  AND CAST('0x' || substr(md5('graft-clean-1' || CAST(k.doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100
+        |      < CASE WHEN k.lang = 'en' THEN 30 ELSE 60 END
+        |ORDER BY k.doc_id""".stripMargin,
     "q_dedup_simhash" ->
       """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents),
         | th AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h FROM tok),
