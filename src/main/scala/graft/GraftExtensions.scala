@@ -20,10 +20,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
 
+  private def arity(args: Seq[Expression], n: Int, fn: String, usage: String): Seq[Expression] = {
+    if (args.length != n) throw new IllegalArgumentException(
+      s"$fn expects $n argument(s) — $usage — got ${args.length}")
+    args
+  }
+
+  // any foldable integral expression works: `word_shingles(text, 2+1)`
   private def intLit(e: Expression, fn: String, arg: String): Int = e match {
-    case Literal(v: Int, _) => v
+    case f if f.foldable => f.eval() match {
+      case i: Int => i
+      case l: Long if l >= Int.MinValue && l <= Int.MaxValue => l.toInt
+      case s: Short => s.toInt
+      case b: Byte => b.toInt
+      case other => throw new IllegalArgumentException(
+        s"$fn: $arg must be an integer constant, got $other")
+    }
     case other => throw new IllegalArgumentException(
-      s"$fn: $arg must be an integer literal, got $other")
+      s"$fn: $arg must be a constant integer expression, got $other")
   }
 
   private def info(name: String, usage: String): ExpressionInfo =
@@ -33,25 +47,35 @@ object GraftExtensions {
   private[graft] val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("cosine_sim"),
       info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two float/double vectors"),
-      (args: Seq[Expression]) => CosineExpr(args(0), args(1))),
+      (args: Seq[Expression]) => {
+        val a = arity(args, 2, "cosine_sim", "cosine_sim(a, b)"); CosineExpr(a(0), a(1))
+      }),
     (FunctionIdentifier("md5hash60"),
       info("md5hash60", "md5hash60(s) - engine-portable 60-bit md5 hash"),
-      (args: Seq[Expression]) => Md5Hash60Expr(args(0))),
+      (args: Seq[Expression]) =>
+        Md5Hash60Expr(arity(args, 1, "md5hash60", "md5hash60(s)").head)),
     (FunctionIdentifier("word_shingles"),
       info("word_shingles", "word_shingles(text, n) - distinct word n-gram shingles"),
-      (args: Seq[Expression]) =>
-        WordShinglesExpr(args(0), intLit(args(1), "word_shingles", "n"))),
+      (args: Seq[Expression]) => {
+        val a = arity(args, 2, "word_shingles", "word_shingles(text, n)")
+        WordShinglesExpr(a(0), intLit(a(1), "word_shingles", "n"))
+      }),
     (FunctionIdentifier("char_shingles"),
       info("char_shingles", "char_shingles(text, n) - distinct character n-gram shingles"),
-      (args: Seq[Expression]) =>
-        CharShinglesExpr(args(0), intLit(args(1), "char_shingles", "n"))),
+      (args: Seq[Expression]) => {
+        val a = arity(args, 2, "char_shingles", "char_shingles(text, n)")
+        CharShinglesExpr(a(0), intLit(a(1), "char_shingles", "n"))
+      }),
     (FunctionIdentifier("simhash"),
       info("simhash", "simhash(text, bits) - SimHash signature over whitespace tokens (xxhash64)"),
-      (args: Seq[Expression]) =>
-        SimHashExpr(args(0), intLit(args(1), "simhash", "bits"), useMd5 = false)),
+      (args: Seq[Expression]) => {
+        val a = arity(args, 2, "simhash", "simhash(text, bits)")
+        SimHashExpr(a(0), intLit(a(1), "simhash", "bits"), useMd5 = false)
+      }),
     (FunctionIdentifier("simhash60"),
       info("simhash60", "simhash60(text) - engine-portable 60-bit md5-hashed SimHash"),
-      (args: Seq[Expression]) => SimHashExpr(args(0), 60, useMd5 = true))
+      (args: Seq[Expression]) =>
+        SimHashExpr(arity(args, 1, "simhash60", "simhash60(text)").head, 60, useMd5 = true))
   )
 
   /** Register the SQL functions on an ALREADY-RUNNING session (the

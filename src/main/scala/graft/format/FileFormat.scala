@@ -246,7 +246,11 @@ object BtrTableMeta {
     * journal group, sources are hidden once every final is visible,
     * finals are hidden until then.
     */
-  def listDataFilesWithPartitions(fs: FileSystem, dir: Path): Array[DataFileEntry] = {
+  def listDataFilesWithPartitions(fs: FileSystem, rawDir: Path): Array[DataFileEntry] = {
+    // qualify: journal keys below are compared against listStatus paths,
+    // which are always fully qualified — a relative caller dir would make
+    // every journal key miss `present` and hide fully-swapped finals
+    val dir = fs.makeQualified(rawDir)
     if (!fs.exists(dir)) return Array.empty
     val out = scala.collection.mutable.ArrayBuffer.empty[DataFileEntry]
     def walk(d: Path, values: Map[String, String]): Unit = {

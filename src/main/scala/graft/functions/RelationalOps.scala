@@ -38,17 +38,25 @@ object RelationalOps {
   ): DataFrame = {
     val rightPayload = right.columns.filter(_ != key).toSeq
     val rStruct = struct(rightPayload.map(right(_)): _*)
-    // __ord: rights sort before lefts at the same instant (>= semantics)
-    val tie = rightTieCols.headOption.map(right(_)).getOrElse(lit(0))
+    // __ord: rights sort before lefts at the same instant (>= semantics).
+    // Tie columns keep their NATIVE types inside a struct (struct ordering
+    // is field-wise) — casting to string would order numerics
+    // lexicographically ("9" > "10") and diverge from SQL ASOF.
+    val tie =
+      if (rightTieCols.isEmpty) lit(0)
+      else struct(rightTieCols.map(right(_)): _*)
     val rTagged = right
       .filter(right(rightTime).isNotNull)
       .select(right(key).as("__k"), right(rightTime).as("__t"), lit(0).as("__ord"),
-        tie.cast("string").as("__tie"), rStruct.as("__r"), lit(null).cast("int").as("__lid"))
+        tie.as("__tie"), rStruct.as("__r"), lit(null).cast("int").as("__lid"))
     val leftCols = left.columns.toSeq
     val lStruct = struct(leftCols.map(left(_)): _*)
+    // left rows never tie with rights (__ord differs), so any
+    // type-compatible placeholder works
     val lTagged = left
       .select(left(key).as("__k"), left(leftTime).as("__t"), lit(1).as("__ord"),
-        lit("").as("__tie"), lit(null).cast(rTagged.schema("__r").dataType).as("__r"),
+        lit(null).cast(rTagged.schema("__tie").dataType).as("__tie"),
+        lit(null).cast(rTagged.schema("__r").dataType).as("__r"),
         lit(1).as("__lid"), lStruct.as("__l"))
     val unioned = rTagged.withColumn("__l", lit(null).cast(lTagged.schema("__l").dataType))
       .unionByName(lTagged)

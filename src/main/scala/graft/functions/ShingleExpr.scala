@@ -575,6 +575,12 @@ object LshUtil {
 case class LshBucketsExpr(child: Expression, tables: Seq[Seq[Seq[Double]]])
     extends UnaryExpression {
   require(tables.nonEmpty && tables.forall(_.nonEmpty), "lsh_buckets: need hyperplanes")
+  // ragged tables would misassign bits across tables via the flat
+  // planes-per-table indexing; >63 bits would overflow the 1L<<b bucket id
+  require(tables.forall(_.length == tables.head.length),
+    s"lsh_buckets: all tables need ${tables.head.length} hyperplanes (got ${tables.map(_.length).distinct.mkString(",")})")
+  require(tables.head.length <= 63,
+    s"lsh_buckets: at most 63 bits per table, got ${tables.head.length}")
 
   private lazy val flat: Array[Array[Double]] =
     tables.flatMap(_.map(_.toArray)).toArray

@@ -138,7 +138,12 @@ class BtrBatchWrite(path: String, schema: StructType, truncate: Boolean, blockSi
     // fileName is table-root-relative (may include partition dirs)
     val committed = msgs.map(_.fileName).toSet
     if (truncate) {
-      // replace: drop every data file not produced by this write
+      // replace: drop every data file not produced by this write. Converge
+      // pending compaction swaps FIRST — otherwise a crashed swap's hidden
+      // sources survive the journal-filtered listing below and resurrect
+      // once the journal flips to the pre-swap view after its finals are
+      // deleted here.
+      BtrTableMeta.completeSwapJournals(fs, dir)
       val rootLen = dir.toUri.getPath.length + 1
       BtrTableMeta.listDataFilesWithPartitions(fs, dir).foreach { e =>
         val f = e.path

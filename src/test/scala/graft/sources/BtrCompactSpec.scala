@@ -195,4 +195,37 @@ class BtrCompactSpec extends AnyFunSuite {
     assert(sortedRows(spark.read.format("btr").load(dir)) == expected)
     assert(BtrTableMeta.readSwapJournals(fs, root).isEmpty, "journal must be dropped")
   }
+
+  test("overwrite during a crashed swap window cannot resurrect superseded rows") {
+    import spark.implicits._
+    import graft.format.BtrTableMeta
+    import org.apache.hadoop.fs.Path
+    val dir = tmp("overwrite-crash")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    (0 until 2).foreach { e =>
+      (e * 10 until (e + 1) * 10).map(i => (i.toLong, s"old-$i")).toDF("id", "s")
+        .coalesce(1).write.format("btr").mode("append").save(dir)
+    }
+    val root = new Path(dir)
+    val fs = root.getFileSystem(BtrTableMeta.hadoopConf())
+    val names = btrFiles(dir).map(p => new java.io.File(p).getName).sorted
+    // crashed compactor, post-rename pre-delete: final visible, source
+    // still on disk, journal pending — the journal-filtered listing hides
+    // the source
+    val dupFinal = "part-compact-test-00000.btr"
+    org.apache.hadoop.fs.FileUtil.copy(fs, new Path(root, names.head),
+      fs, new Path(root, dupFinal), false, BtrTableMeta.hadoopConf())
+    BtrTableMeta.writeSwapJournal(fs, root, "crash",
+      Seq(BtrTableMeta.SwapGroup("", Seq(dupFinal), Seq(names.head))))
+
+    // overwrite must ALSO delete the journal-hidden source; otherwise the
+    // journal flips to the pre-swap view once the final is gone and the
+    // old rows silently reappear next to the new data
+    val fresh = (100 until 105).map(i => (i.toLong, s"new-$i")).toDF("id", "s")
+    fresh.coalesce(1).write.format("btr").mode("overwrite").save(dir)
+    assert(sortedRows(spark.read.format("btr").load(dir)) == sortedRows(fresh),
+      "overwrite leaked pre-overwrite rows")
+    assert(BtrTableMeta.readSwapJournals(fs, root).isEmpty,
+      "overwrite must not leave a stale journal behind")
+  }
 }
