@@ -10,6 +10,12 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityOps {
 
+  /** IVF quantizer-fit sampling fraction: large enough that any corpus
+    * big enough to under-fill `fitSampleRows` at this rate is small
+    * enough to fall back to a plain limit() scan.
+    */
+  private val IvfFitFraction = 0.05
+
   /** Dot product of two double arrays. */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
@@ -164,14 +170,19 @@ object SimilarityOps {
       fitSampleRows: Int = 10000
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val n = candidates.count()
-    val fitInput =
-      if (n <= fitSampleRows) candidates
-      else candidates
-        .sample(withReplacement = false, fraction = math.min(1.0, fitSampleRows * 1.1 / n), seed = 42L)
-        .limit(fitSampleRows)
-    val sample = fitInput.select(col("cvec")).collect()
-      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    // One bounded job, no count(): a fixed-fraction sample capped by
+    // limit() — CollectLimit stops pulling partitions once the cap is
+    // reached, so the fit cost stays constant at any corpus size. A tiny
+    // corpus may under-fill the fraction; top it up with a plain limit()
+    // then (cheap by definition — the corpus is small).
+    val sampled = candidates.select(col("cvec"))
+      .sample(withReplacement = false, fraction = IvfFitFraction, seed = 42L)
+      .limit(fitSampleRows).collect()
+    val floor = math.min(fitSampleRows, math.max(256, nlist * 8))
+    val fitRows =
+      if (sampled.length >= floor) sampled
+      else candidates.select(col("cvec")).limit(fitSampleRows).collect()
+    val sample = fitRows.map(_.getSeq[Float](0).toArray.map(_.toDouble))
     val centers: Seq[Seq[Double]] =
       LocalKMeans.fit(sample, nlist, iters = 5, seed = 42L).map(_.toSeq).toSeq
     val cb = candidates.withColumn("cluster",

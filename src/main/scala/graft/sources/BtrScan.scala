@@ -152,13 +152,17 @@ class BtrScan(
 
   /** File listing + footers, read once per Scan instance and shared by
     * statistics estimation and (possibly repeated, after runtime filters)
-    * partition planning — one listing and one footer tail-read per file.
+    * partition planning — one listing and one footer tail-read per file,
+    * fetched with bounded concurrency (serial tail-reads would make the
+    * driver the planning bottleneck on a many-file table; the reference
+    * parallelizes the same metadata pass with TBB,
+    * tools/conversion/decompression-speed.cpp:46-59).
     */
   private lazy val discovered: Array[(BtrTableMeta.DataFileEntry, BtrFile.Footer)] = {
     val dir = new Path(path)
     val fs = dir.getFileSystem(BtrTableMeta.hadoopConf())
-    BtrTableMeta.listDataFilesWithPartitions(fs, dir)
-      .map(e => (e, BtrFile.readFooter(fs, e.path, e.len)))
+    BtrFooters.readAll(BtrTableMeta.listDataFilesWithPartitions(fs, dir))(e =>
+      BtrFile.readFooter(fs, e.path, e.len))
   }
 
   /** Table statistics from footers only: row count is exact; size is the
@@ -274,6 +278,44 @@ class BtrScan(
   override def toMicroBatchStream(checkpointLocation: String): BtrMicroBatchStream =
     new BtrMicroBatchStream(path, tableSchema, requiredSchema, partCols, maxFilesPerTrigger,
       checkpointLocation)
+}
+
+/** Bounded-concurrency driver-side footer fetch for scan planning.
+  * `invokeAll` preserves input order and surfaces the first failure on
+  * `get()`; threads are daemons so a failed planning never pins the JVM.
+  * The read function is injectable so specs can observe concurrency
+  * without a custom Hadoop FileSystem.
+  */
+object BtrFooters {
+  /** Concurrent footer tail-reads: enough to hide per-file round-trip
+    * latency on an object store, small enough not to starve the driver.
+    */
+  val MaxConcurrency = 16
+
+  def readAll[T](entries: Array[BtrTableMeta.DataFileEntry])(
+      read: BtrTableMeta.DataFileEntry => T): Array[(BtrTableMeta.DataFileEntry, T)] = {
+    if (entries.length <= 1) return entries.map(e => (e, read(e)))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(MaxConcurrency, entries.length),
+      (r: Runnable) => { val t = new Thread(r, "btr-footer-read"); t.setDaemon(true); t })
+    try {
+      val tasks: java.util.List[java.util.concurrent.Callable[(BtrTableMeta.DataFileEntry, T)]] =
+        java.util.Arrays.asList(entries.map { e =>
+          new java.util.concurrent.Callable[(BtrTableMeta.DataFileEntry, T)] {
+            override def call(): (BtrTableMeta.DataFileEntry, T) = (e, read(e))
+          }
+        }: _*)
+      val futures = pool.invokeAll(tasks)
+      val out = new Array[(BtrTableMeta.DataFileEntry, T)](entries.length)
+      var i = 0
+      while (i < entries.length) {
+        out(i) = try futures.get(i).get()
+        catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+        i += 1
+      }
+      out
+    } finally pool.shutdownNow()
+  }
 }
 
 /** File-based micro-batch streaming source: each trigger picks up data
@@ -509,8 +551,8 @@ class BtrMicroBatchStream(
         s"btr streaming source: committed offset references files no longer present " +
           s"under $path (data files must be immutable): ${missing.mkString(", ")}")
     }
-    current.map { entry =>
-      val footer = BtrFile.readFooter(fs, entry.path, entry.len)
+    BtrFooters.readAll(current)(e => BtrFile.readFooter(fs, e.path, e.len)).map {
+      case (entry, footer) =>
       val reqPartValues: Array[String] =
         if (partCols.isEmpty) Array.empty
         else requiredSchema.fields.map { f =>
@@ -897,6 +939,11 @@ class BtrColumnarReader(partition: BtrInputPartition, requiredSchema: StructType
   // hold, and no per-group allocation
   private var vectors: Array[OnHeapColumnVector] = _
   private var batch: ColumnarBatch = _
+  // grow-only per-column compressed-blob scratch (the analog of the
+  // reference's thread-local get_level_data buffers, common/Units.hpp:118-129):
+  // wide scans would otherwise allocate one Array[Byte] per column per row
+  // group — pure GC churn, the blob is dead the moment decode returns
+  private var blobBufs: Array[Array[Byte]] = _
 
   // Spark's DataSourceRDD closes a task's PREVIOUS reader when the same
   // partition is computed again within one task (self-zip / multi-consume,
@@ -917,6 +964,7 @@ class BtrColumnarReader(partition: BtrInputPartition, requiredSchema: StructType
       partition.groups.foreach(gr => if (gr.numRows > maxRows) maxRows = gr.numRows)
       vectors = requiredSchema.fields.map(f => new OnHeapColumnVector(maxRows, f.dataType))
       batch = new ColumnarBatch(vectors.asInstanceOf[Array[ColumnVector]], 0)
+      blobBufs = new Array[Array[Byte]](tags.length)
     }
     val hasPart = partition.partValues.nonEmpty
     var c = 0
@@ -926,9 +974,14 @@ class BtrColumnarReader(partition: BtrInputPartition, requiredSchema: StructType
       if (hasPart && partition.partValues(c) != null) {
         fillConstant(vectors(c), requiredSchema.fields(c).dataType, partition.partValues(c), g.numRows)
       } else {
-        val blob = new Array[Byte](g.lengths(d))
-        in().readFully(g.offsets(d), blob)
-        val dec = ChunkCodec.decode(new BufReader(blob), tags(c), g.numRows)
+        val len = g.lengths(d)
+        var buf = blobBufs(d)
+        if (buf == null || buf.length < len) {
+          buf = new Array[Byte](len)
+          blobBufs(d) = buf
+        }
+        in().readFully(g.offsets(d), buf, 0, len)
+        val dec = ChunkCodec.decode(new BufReader(buf, 0, len), tags(c), g.numRows)
         fillVector(vectors(c), requiredSchema.fields(c).dataType, tags(c), dec, g.numRows)
         d += 1
       }
