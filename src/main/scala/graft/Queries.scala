@@ -13,7 +13,7 @@ object Btr {
   /** Bump when the writer's footer layout/stats change, so a stale cache
     * from an older build is never scanned.
     */
-  private val CacheVersion = "v3" // format v2: hasNaN double stats flag
+  private val CacheVersion = "v4" // string-bound exactness flag bits
 
   private def cacheDir(sfDir: String, table: String): String = {
     val key = sfDir.replaceAll("[^a-zA-Z0-9.]", "_")
@@ -137,6 +137,20 @@ object CoreQueries {
         .groupBy(col("l_linestatus"))
         .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
         .orderBy("l_linestatus")
+    }),
+
+    // Q-string-agg-meta: string MIN/MAX through aggregate pushdown —
+    // short strings (lang, ≤16 bytes) store exact untruncated footer
+    // bounds and resolve metadata-only; long ones (text) carry truncated
+    // bounds and the agg reader decodes just those chunks, so the answer
+    // is exact either way
+    "q_string_agg_meta" -> ((s, d) => {
+      t(s, d, "documents").agg(
+        count(lit(1)).as("n_rows"),
+        min(col("lang")).as("min_lang"),
+        max(col("lang")).as("max_lang"),
+        min(col("text")).as("min_text"),
+        max(col("text")).as("max_text"))
     }),
 
     // Q-agg-meta: ungrouped count/min/max answered metadata-only from
@@ -344,6 +358,10 @@ object CoreQueries {
       """SELECT l_linestatus, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
         |FROM lineitem WHERE l_returnflag = 'A'
         |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    "q_string_agg_meta" ->
+      """SELECT count(*) AS n_rows, min(lang) AS min_lang, max(lang) AS max_lang,
+        | min(text) AS min_text, max(text) AS max_text
+        |FROM documents""".stripMargin,
     "q_agg_meta" ->
       """SELECT count(*) AS n_rows, count(l_orderkey) AS n_ok,
         | min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok,

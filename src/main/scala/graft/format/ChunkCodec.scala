@@ -122,7 +122,11 @@ object ChunkCodec {
   final case class ChunkStats(
       nullCount: Int, minLong: Long, maxLong: Long, minDouble: Double, maxDouble: Double,
       hasMinMax: Boolean, minBytes: Array[Byte] = null, maxBytes: Array[Byte] = null,
-      rawBytes: Long = 0L, hasNaN: Boolean = false)
+      rawBytes: Long = 0L, hasNaN: Boolean = false,
+      // string bounds exactness: an untruncated bound is the true chunk
+      // min/max (enables string MIN/MAX aggregate pushdown); a truncated
+      // one is only a valid skip bound
+      minExact: Boolean = false, maxExact: Boolean = false)
 
   /** Max stored length of string chunk bounds (Parquet-style truncation:
     * a min prefix stays a valid lower bound; a max prefix is incremented at
@@ -265,7 +269,10 @@ object ChunkCodec {
       val raw = totalLen + 4L * chunk.count // bytes + i32 offsets
       if (mn == null) ChunkStats(nullCount, 0, 0, 0, 0, hasMinMax = false, rawBytes = raw)
       else ChunkStats(nullCount, 0, 0, 0, 0, hasMinMax = true,
-        minBytes = truncMin(mn), maxBytes = truncMax(mx), rawBytes = raw)
+        minBytes = truncMin(mn), maxBytes = truncMax(mx), rawBytes = raw,
+        // ≤ StringStatLen bounds are stored untruncated — exact by
+        // construction (truncMin/truncMax return them unchanged)
+        minExact = mn.length <= StringStatLen, maxExact = mx.length <= StringStatLen)
     }
   }
 

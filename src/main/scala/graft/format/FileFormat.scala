@@ -44,6 +44,13 @@ object BtrFile {
       // null when unavailable (e.g. all-0xFF prefix can't be incremented).
       minBytes: Array[Byte] = null,
       maxBytes: Array[Byte] = null,
+      // kind 3 only: the stored bound is the TRUE chunk min/max (the source
+      // string fit in StringStatLen — no truncation). Exact bounds answer
+      // string MIN/MAX aggregates metadata-only; inexact ones only skip.
+      // Files written before these flag bits existed parse as inexact,
+      // which is the conservative direction.
+      minExact: Boolean = false,
+      maxExact: Boolean = false,
       // kind 2 only: the chunk contains at least one NaN (min/maxDouble
       // exclude NaN; an all-NaN chunk stores NaN placeholders for both)
       hasNaN: Boolean = false
@@ -72,7 +79,8 @@ object BtrFile {
             out.putByte(if (c.hasNaN) 1 else 0)
             out.putDouble(c.minDouble); out.putDouble(c.maxDouble)
           case 3 =>
-            val flags = (if (c.minBytes != null) 1 else 0) | (if (c.maxBytes != null) 2 else 0)
+            val flags = (if (c.minBytes != null) 1 else 0) | (if (c.maxBytes != null) 2 else 0) |
+              (if (c.minExact) 4 else 0) | (if (c.maxExact) 8 else 0)
             out.putByte(flags)
             if (c.minBytes != null) { out.putByte(c.minBytes.length); out.putBytes(c.minBytes) }
             if (c.maxBytes != null) { out.putByte(c.maxBytes.length); out.putBytes(c.maxBytes) }
@@ -161,7 +169,8 @@ object BtrFile {
             val flags = in.getByte()
             val mn = if ((flags & 1) != 0) in.getBytes(in.getByte()) else null
             val mx = if ((flags & 2) != 0) in.getBytes(in.getByte()) else null
-            ColumnChunkMeta(off, l, nulls, 3, 0, 0, 0, 0, mn, mx)
+            ColumnChunkMeta(off, l, nulls, 3, 0, 0, 0, 0, mn, mx,
+              minExact = (flags & 4) != 0, maxExact = (flags & 8) != 0)
           case _ => ColumnChunkMeta(off, l, nulls, 0, 0, 0, 0, 0)
         }
         c += 1

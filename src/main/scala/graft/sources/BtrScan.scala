@@ -74,15 +74,19 @@ class BtrScanBuilder(path: String, tableSchema: StructType, options: CaseInsensi
     * and (since format v2) float/double. Footer double stats exclude NaN
     * but carry a hasNaN flag, so the per-batch partials reproduce Spark's
     * ordering exactly (NaN above every value: max=NaN when present; min is
-    * the smallest non-NaN value, NaN only when every value is NaN). Strings
-    * stay excluded — their footer bounds are truncated.
+    * the smallest non-NaN value, NaN only when every value is NaN).
+    * Strings push too: short-string bounds are stored untruncated with
+    * exactness flag bits, and the agg reader decodes just the rare chunk
+    * whose needed bound is truncated (so the answer is exact either way —
+    * metadata-only in the common case). String ordering is unsigned
+    * byte-wise on UTF-8, identical to UTF8String.compareTo.
     */
   private def exactMinMax(name: String): Boolean =
     !partCols.contains(name) &&
       tableSchema.fields.find(_.name == name).exists { f =>
         f.dataType match {
           case IntegerType | LongType | ShortType | ByteType | BooleanType | DateType |
-              TimestampType | TimestampNTZType | DoubleType | FloatType => true
+              TimestampType | TimestampNTZType | DoubleType | FloatType | StringType => true
           case d: DecimalType if d.precision <= 18 => true
           case _ => false
         }
@@ -780,7 +784,21 @@ class BtrAggReader(
     // kind 2 extras: chunk-level NaN presence / any real (non-NaN) value
     val sawNaN = new Array[Boolean](n)
     val sawReal = new Array[Boolean](n)
+    // kind 3 extras: exact string min/max accumulated so far (unsigned
+    // byte order — UTF8String.compareTo's ordering)
+    val minS = new Array[Array[Byte]](n)
+    val maxS = new Array[Array[Byte]](n)
+
+    def updMinS(c: Int, v: Array[Byte]): Unit =
+      if (minS(c) == null || java.util.Arrays.compareUnsigned(v, minS(c)) < 0) minS(c) = v
+
+    def updMaxS(c: Int, v: Array[Byte]): Unit =
+      if (maxS(c) == null || java.util.Arrays.compareUnsigned(v, maxS(c)) > 0) maxS(c) = v
   }
+
+  // which footer columns need an exact MIN / MAX (vs count-only)
+  private val needMin: Set[Int] = specs.collect { case (2, ci) => ci }.toSet
+  private val needMax: Set[Int] = specs.collect { case (3, ci) => ci }.toSet
 
   private var rowsIter: Iterator[InternalRow] = _
   private var current: InternalRow = _
@@ -811,32 +829,71 @@ class BtrAggReader(
       val acc = accs.getOrElseUpdate(key, new Acc)
       val fs = p.getFileSystem(BtrTableMeta.hadoopConf())
       val footer = BtrFile.readFooter(fs, p, fs.getFileStatus(p).getLen)
-      footer.rowGroups.foreach { rg =>
-        acc.rows += rg.numRows
-        var c = 0
-        while (c < rg.columns.length) {
-          val m = rg.columns(c)
-          acc.nulls(c) += m.nullCount
-          m.statsKind match {
-            case 1 =>
-              if (m.minLong < acc.minL(c)) acc.minL(c) = m.minLong
-              if (m.maxLong > acc.maxL(c)) acc.maxL(c) = m.maxLong
-              acc.hasStats(c) = true
-            case 2 =>
-              if (m.hasNaN) acc.sawNaN(c) = true
-              // an all-NaN chunk stores NaN placeholders — Double.compare
-              // keeps them out of min/max (and orders -0.0 < 0.0)
-              if (!m.minDouble.isNaN) {
-                acc.sawReal(c) = true
-                if (java.lang.Double.compare(m.minDouble, acc.minD(c)) < 0) acc.minD(c) = m.minDouble
-                if (java.lang.Double.compare(m.maxDouble, acc.maxD(c)) > 0) acc.maxD(c) = m.maxDouble
-              }
-              acc.hasStats(c) = true
-            case _ => ()
+      // lazily opened only if some string chunk needs a decode fallback
+      var dataIn: org.apache.hadoop.fs.FSDataInputStream = null
+      try {
+        footer.rowGroups.foreach { rg =>
+          acc.rows += rg.numRows
+          var c = 0
+          while (c < rg.columns.length) {
+            val m = rg.columns(c)
+            acc.nulls(c) += m.nullCount
+            m.statsKind match {
+              case 1 =>
+                if (m.minLong < acc.minL(c)) acc.minL(c) = m.minLong
+                if (m.maxLong > acc.maxL(c)) acc.maxL(c) = m.maxLong
+                acc.hasStats(c) = true
+              case 2 =>
+                if (m.hasNaN) acc.sawNaN(c) = true
+                // an all-NaN chunk stores NaN placeholders — Double.compare
+                // keeps them out of min/max (and orders -0.0 < 0.0)
+                if (!m.minDouble.isNaN) {
+                  acc.sawReal(c) = true
+                  if (java.lang.Double.compare(m.minDouble, acc.minD(c)) < 0) acc.minD(c) = m.minDouble
+                  if (java.lang.Double.compare(m.maxDouble, acc.maxD(c)) > 0) acc.maxD(c) = m.maxDouble
+                }
+                acc.hasStats(c) = true
+              case 3 =>
+                // exact bounds feed the accumulator directly; a TRUNCATED
+                // bound that's still needed forces a decode of just this
+                // column chunk — unless the truncated bound already proves
+                // the chunk can't move the accumulated value (minBytes is a
+                // valid lower bound, maxBytes a valid upper bound)
+                val minPruned = acc.minS(c) != null && m.minBytes != null &&
+                  java.util.Arrays.compareUnsigned(m.minBytes, acc.minS(c)) >= 0
+                val maxPruned = acc.maxS(c) != null && m.maxBytes != null &&
+                  java.util.Arrays.compareUnsigned(m.maxBytes, acc.maxS(c)) <= 0
+                val wantMin = needMin(c) && !minPruned
+                val wantMax = needMax(c) && !maxPruned
+                if ((wantMin && !m.minExact) || (wantMax && !m.maxExact)) {
+                  if (dataIn == null) dataIn = fs.open(p)
+                  val blob = new Array[Byte](m.length)
+                  dataIn.readFully(m.offset, blob, 0, m.length)
+                  val tag = graft.format.PhysType.of(tableSchema.fields(c).dataType)
+                  val dec = ChunkCodec.decode(new graft.format.BufReader(blob), tag, rg.numRows)
+                  var i = 0
+                  var off = 0
+                  while (i < rg.numRows) {
+                    val len = dec.strLens(i)
+                    if (!dec.hasNulls || !dec.isNull(i)) {
+                      val v = java.util.Arrays.copyOfRange(dec.strBytes, off, off + len)
+                      acc.updMinS(c, v)
+                      acc.updMaxS(c, v)
+                    }
+                    off += len
+                    i += 1
+                  }
+                } else {
+                  if (wantMin && m.minExact) acc.updMinS(c, m.minBytes)
+                  if (wantMax && m.maxExact) acc.updMaxS(c, m.maxBytes)
+                }
+                acc.hasStats(c) = true
+              case _ => ()
+            }
+            c += 1
           }
-          c += 1
         }
-      }
+      } finally if (dataIn != null) dataIn.close()
       f += 1
     }
 
@@ -854,6 +911,10 @@ class BtrAggReader(
         specs(i) match {
           case (0, _) => row.setLong(oi, acc.rows)
           case (1, ci) => row.setLong(oi, acc.rows - acc.nulls(ci))
+          case (k, ci) if tableSchema.fields(ci).dataType == StringType =>
+            val sv = if (k == 2) acc.minS(ci) else acc.maxS(ci)
+            if (sv == null) row.setNullAt(oi)
+            else row.update(oi, org.apache.spark.unsafe.types.UTF8String.fromBytes(sv))
           case (k, ci) =>
             if (!acc.hasStats(ci)) row.setNullAt(oi)
             else {

@@ -466,6 +466,8 @@ class BtrDataWriter(path: String, schema: StructType, blockSize: Int, cascade: I
         maxDouble = stats.maxDouble,
         minBytes = stats.minBytes,
         maxBytes = stats.maxBytes,
+        minExact = stats.minExact,
+        maxExact = stats.maxExact,
         hasNaN = stats.hasNaN
       )
       bytesWritten += blobLen

@@ -240,6 +240,41 @@ class BtrSourceSpec extends AnyFunSuite {
     assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) == ((2L, 3L, 1L, 3L)))
   }
 
+  test("string min/max push down: exact short bounds, decode fallback for long") {
+    import spark.implicits._
+    def scanOf(d: DataFrame) = d.queryExecution.sparkPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+    }.head
+    // s_short: ≤16 bytes → exact untruncated footer bounds (metadata-only);
+    // s_long: >16 bytes → truncated bounds force the per-chunk decode
+    // fallback. blockSize 2 spreads the extremes across row groups.
+    val rows = Seq(
+      (Some("aa"), Some("x" * 40 + "zz")),
+      (Some("日本語"), Some("x" * 40 + "aa")), // multi-byte UTF-8, sorts above ASCII
+      (None, None),
+      (Some("Zed"), Some("a" * 20)),
+      (Some(""), Some("x" * 16 + "ÿ"))
+    ).toDF("s_short", "s_long")
+    rows.write.format("btr").option("btr.blockSize", "2").mode("overwrite").save(tmp("strminmax"))
+    val back = spark.read.format("btr").load(tmp("strminmax"))
+    val agg = back.agg(
+      min(col("s_short")).as("mns"), max(col("s_short")).as("mxs"),
+      min(col("s_long")).as("mnl"), max(col("s_long")).as("mxl"))
+    assert(scanOf(agg).isInstanceOf[BtrAggScan], scanOf(agg).getClass.toString)
+    val exp = rows.agg(
+      min(col("s_short")), max(col("s_short")), min(col("s_long")), max(col("s_long"))).head
+    assert(agg.head.toString == exp.toString)
+
+    // an all-null string column yields null min/max through the same path
+    Seq((1L, Option.empty[String]), (2L, None)).toDF("v", "s")
+      .write.format("btr").mode("overwrite").save(tmp("strallnull"))
+    val nul = spark.read.format("btr").load(tmp("strallnull"))
+      .agg(min(col("s")).as("mn"), max(col("s")).as("mx"), count(lit(1)).as("n"))
+    assert(scanOf(nul).isInstanceOf[BtrAggScan])
+    val r = nul.head
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.getLong(2) == 2L)
+  }
+
   test("string prefix predicate (startsWith) skips chunks") {
     val orig = spark.read.parquet(s"$sf/part.parquet")
     orig.sort("p_brand").coalesce(1).write.format("btr")
