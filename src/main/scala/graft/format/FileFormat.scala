@@ -315,6 +315,13 @@ object BtrTableMeta {
   final case class SwapGroup(dir: String, finals: Seq[String], sources: Seq[String])
 
   private val SwapPrefix = "_btr_swap_"
+  // completed swaps keep a done-marker (same JSON) instead of vanishing:
+  // streaming readers map superseded sources -> finals through it, so a
+  // compaction between two stream polls neither re-emits merged rows nor
+  // needs a consumer maintenance window. Markers are tiny and bounded by
+  // [[vacuumSwapMarkers]] (Delta retains removed-file tombstones for the
+  // same reason).
+  private val DonePrefix = "_btr_swapdone_"
 
   private def jsonStr(s: String): String =
     "\"" + s.flatMap {
@@ -325,26 +332,38 @@ object BtrTableMeta {
     } + "\""
 
   /** Atomically publish a swap journal (write temp, rename visible). */
-  def writeSwapJournal(fs: FileSystem, root: Path, id: String, groups: Seq[SwapGroup]): Path = {
+  def writeSwapJournal(fs: FileSystem, root: Path, id: String, groups: Seq[SwapGroup]): Path =
+    writeJournalFile(fs, root, s"$SwapPrefix$id.json", groups)
+
+  private def writeJournalFile(
+      fs: FileSystem, root: Path, name: String, groups: Seq[SwapGroup]): Path = {
     val body = groups.map { g =>
       s"""{"dir":${jsonStr(g.dir)},"finals":${g.finals.map(jsonStr).mkString("[", ",", "]")},""" +
         s""""sources":${g.sources.map(jsonStr).mkString("[", ",", "]")}}"""
     }.mkString("""{"groups":[""", ",", "]}")
-    val tmp = new Path(root, s"_tmp_swap_$id.json")
+    val tmp = new Path(root, s"_tmp_swap_$name")
     val out = fs.create(tmp, true)
     out.write(body.getBytes(StandardCharsets.UTF_8))
     out.close()
-    val fin = new Path(root, s"$SwapPrefix$id.json")
+    val fin = new Path(root, name)
     if (!fs.rename(tmp, fin))
       throw new java.io.IOException(s"btr swap journal: rename $tmp -> $fin failed")
     fin
   }
 
   /** All pending swap journals at the root (journal path + its groups). */
-  def readSwapJournals(fs: FileSystem, root: Path): Seq[(Path, Seq[SwapGroup])] = {
+  def readSwapJournals(fs: FileSystem, root: Path): Seq[(Path, Seq[SwapGroup])] =
+    readJournalsWithPrefix(fs, root, SwapPrefix)
+
+  /** Done markers of completed swaps (source→final mappings for streams). */
+  def readDoneSwapJournals(fs: FileSystem, root: Path): Seq[(Path, Seq[SwapGroup])] =
+    readJournalsWithPrefix(fs, root, DonePrefix)
+
+  private def readJournalsWithPrefix(
+      fs: FileSystem, root: Path, prefix: String): Seq[(Path, Seq[SwapGroup])] = {
     if (!fs.exists(root)) return Nil
     fs.listStatus(root).toSeq
-      .filter(st => st.isFile && st.getPath.getName.startsWith(SwapPrefix))
+      .filter(st => st.isFile && st.getPath.getName.startsWith(prefix))
       .sortBy(_.getPath.getName)
       .flatMap { st =>
         try {
@@ -384,22 +403,54 @@ object BtrTableMeta {
     }.toSeq
   }
 
-  /** Finish (or roll back) every pending swap and drop its journal:
-    * groups with all finals visible delete their leftover sources;
-    * incomplete groups delete any stray finals (their sources are still
-    * complete). Idempotent — callers run it before starting a new swap.
+  /** Finish (or roll back) every pending swap and retire its journal:
+    * groups with all finals visible delete their leftover sources and are
+    * recorded in a done-marker (streams need the source→final mapping,
+    * see [[DonePrefix]]); incomplete groups delete any stray finals
+    * (their sources are still complete) and leave no marker — nothing was
+    * replaced. Idempotent — callers run it before starting a new swap.
     */
   def completeSwapJournals(fs: FileSystem, root: Path): Unit = {
     readSwapJournals(fs, root).foreach { case (journal, groups) =>
-      groups.foreach { g =>
+      val completed = groups.filter { g =>
         val dir = if (g.dir.isEmpty) root else new Path(root, g.dir)
-        if (g.finals.forall(f => fs.exists(new Path(dir, f))))
-          g.sources.foreach(s => fs.delete(new Path(dir, s), false))
-        else
-          g.finals.foreach(f => fs.delete(new Path(dir, f), false))
+        val forward = g.finals.forall(f => fs.exists(new Path(dir, f)))
+        if (forward) g.sources.foreach(s => fs.delete(new Path(dir, s), false))
+        else g.finals.foreach(f => fs.delete(new Path(dir, f), false))
+        forward
+      }
+      if (completed.nonEmpty) {
+        val id = journal.getName.stripPrefix(SwapPrefix).stripSuffix(".json")
+        writeJournalFile(fs, root, s"$DonePrefix$id.json", completed)
       }
       fs.delete(journal, false)
     }
+  }
+
+  /** Delete done-markers older than `retentionMs` (by modification time).
+    * A streaming reader that has not polled since before a marker's swap
+    * relies on it to avoid re-emitting merged rows — size retention to
+    * the longest consumer outage you tolerate, exactly like Delta's
+    * removed-file tombstone retention.
+    */
+  def vacuumSwapMarkers(fs: FileSystem, root: Path, retentionMs: Long): Unit = {
+    if (!fs.exists(root)) return
+    val cutoff = System.currentTimeMillis() - retentionMs
+    fs.listStatus(root)
+      .filter(st => st.isFile && st.getPath.getName.startsWith(DonePrefix) &&
+        st.getModificationTime < cutoff)
+      .foreach(st => fs.delete(st.getPath, false))
+  }
+
+  /** Drop every swap journal and done-marker (overwrite-truncate: the
+    * whole file set is replaced, so no mapping survives meaningfully).
+    */
+  def dropAllSwapState(fs: FileSystem, root: Path): Unit = {
+    if (!fs.exists(root)) return
+    fs.listStatus(root)
+      .filter(st => st.isFile &&
+        (st.getPath.getName.startsWith(SwapPrefix) || st.getPath.getName.startsWith(DonePrefix)))
+      .foreach(st => fs.delete(st.getPath, false))
   }
 
   /** Hive-compatible path escaping for partition values (Spark's own

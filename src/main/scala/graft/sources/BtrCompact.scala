@@ -28,9 +28,16 @@ import org.apache.spark.sql.SparkSession
   * then, so a crash at any point exposes neither duplicated nor missing
   * rows; the next compact (or
   * [[graft.format.BtrTableMeta.completeSwapJournals]]) converges the
-  * directory. Do NOT compact a table a streaming reader
-  * (BtrMicroBatchStream) is tailing: its identity-based offsets would see
-  * merged files as new and re-emit their rows.
+  * directory. Completed swaps leave a done-marker (`_btr_swapdone_*.json`)
+  * so a streaming reader (BtrMicroBatchStream) tailing the table maps
+  * superseded sources to their merged file and stays exactly-once — no
+  * consumer maintenance window. Markers are tiny; bound their count with
+  * [[graft.format.BtrTableMeta.vacuumSwapMarkers]], sized to the longest
+  * consumer outage tolerated (a stream that skips a batch admits merged
+  * rows twice only if every marker covering them was vacuumed first).
+  * A compaction that replaces files a stream has only PARTIALLY emitted
+  * makes the stream fail loudly (exactly-once is unrecoverable at file
+  * granularity) — compact behind the stream's frontier.
   */
 object BtrCompact {
 

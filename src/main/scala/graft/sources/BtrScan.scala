@@ -408,6 +408,11 @@ class BtrMicroBatchStream(
 
   private def entryPath(id: Long): Path = new Path(logDir, id.toString)
   private def snapPath(id: Long): Path = new Path(logDir, s"$id.snap")
+  // seen-only entries: files proven already-emitted through a compaction
+  // swap (finals whose sources were all admitted). They join the seen-set
+  // on rebuild but are NEVER planned — their rows already flowed through
+  // their sources.
+  private def seenPath(id: Long): Path = new Path(logDir, s"$id.x")
 
   private def writeLogFile(target: Path, files: Seq[String]): Unit = {
     val fs = logFs
@@ -449,6 +454,10 @@ class BtrMicroBatchStream(
     logNames().filter(_.endsWith(".snap"))
       .flatMap(n => scala.util.Try(n.stripSuffix(".snap").toLong).toOption).sorted
 
+  private def seenIds(): Seq[Long] =
+    logNames().filter(_.endsWith(".x"))
+      .flatMap(n => scala.util.Try(n.stripSuffix(".x").toLong).toOption).sorted
+
   // seen-set state, rebuilt from the log on first use / recovery
   private var seen: Set[String] = _
   private var seenThroughId = Long.MinValue
@@ -463,16 +472,67 @@ class BtrMicroBatchStream(
     if (seen == null || seenThroughId != startId) {
       val ids = entryIds()
       ids.filter(_ > startId).foreach(id => logFs.delete(entryPath(id), false))
+      seenIds().filter(_ > startId).foreach(id => logFs.delete(seenPath(id), false))
       val base = snapIds().filter(_ <= startId).lastOption
       val baseFiles = base.map(id => readLogFile(snapPath(id))).getOrElse(Seq.empty)
       val lo = base.getOrElse(Long.MinValue)
-      seen = (baseFiles ++ ids.filter(id => id > lo && id <= startId).flatMap(readEntry)).toSet
+      seen = (baseFiles ++ ids.filter(id => id > lo && id <= startId).flatMap(readEntry) ++
+        // .x seen-only entries fold into snapshots too, so > lo suffices
+        seenIds().filter(id => id > lo && id <= startId).flatMap(id => readLogFile(seenPath(id)))).toSet
       seenThroughId = startId
     }
   }
 
   private def tableRootPrefix(dir: Path, fs: org.apache.hadoop.fs.FileSystem): String =
     fs.makeQualified(dir).toUri.getPath + "/"
+
+  /** Map completed compaction swaps over the seen-set: a swap group whose
+    * sources were ALL admitted makes its finals already-seen (their rows
+    * are exactly the sources' rows, re-packed by [[BtrCompact]]); a group
+    * none of whose sources were admitted stays inert — its finals are new
+    * files like any other. A PARTIAL overlap whose unemitted sources are
+    * no longer listed is unrecoverable at file granularity, so it fails
+    * loudly instead of silently duplicating or dropping rows. Runs to a
+    * fixpoint so chained swaps (compactions of compactions between two
+    * polls) resolve in one pass.
+    */
+  private def deriveSwappedSeen(
+      fs: org.apache.hadoop.fs.FileSystem, dir: Path, listed: Set[String]): Set[String] = {
+    val root = fs.makeQualified(dir)
+    val groups =
+      (BtrTableMeta.readSwapJournals(fs, root) ++ BtrTableMeta.readDoneSwapJournals(fs, root))
+        .flatMap(_._2)
+    if (groups.isEmpty) return Set.empty
+    def rel(d: String, n: String): String = if (d.isEmpty) n else s"$d/$n"
+    var cur = seen
+    val added = scala.collection.mutable.HashSet.empty[String]
+    var changed = true
+    while (changed) {
+      changed = false
+      groups.foreach { g =>
+        val srcs = g.sources.map(rel(g.dir, _))
+        val nSeen = srcs.count(cur)
+        if (nSeen == srcs.length) {
+          val fresh = g.finals.map(rel(g.dir, _)).filterNot(cur)
+          if (fresh.nonEmpty) {
+            cur = cur ++ fresh
+            added ++= fresh
+            changed = true
+          }
+        } else if (nSeen > 0) {
+          val missing = srcs.filterNot(cur).filterNot(listed)
+          if (missing.nonEmpty)
+            throw new IllegalStateException(
+              "btr streaming source: a compaction replaced files this stream had only " +
+                s"partially emitted (unemitted: ${missing.mkString(", ")}). Their rows now " +
+                "exist only inside merged files that also hold already-emitted rows, so " +
+                "exactly-once cannot be preserved at file granularity. Compact only after " +
+                "consumers have caught up, or restart the stream from a fresh checkpoint.")
+        }
+      }
+    }
+    added.toSet
+  }
 
   // latest listing, shared between latestOffset and the immediately
   // following planInputPartitions so each micro-batch costs ONE directory
@@ -511,8 +571,19 @@ class BtrMicroBatchStream(
     val dir = new Path(path)
     val fs = dir.getFileSystem(BtrTableMeta.hadoopConf())
     val prefix = tableRootPrefix(dir, fs)
+    val listed = listing.map(relName(_, prefix))
+    // resolve compaction swaps BEFORE admission: finals whose sources were
+    // all emitted are already-seen, not new data. Persisted as a seen-only
+    // .x entry so recovery doesn't depend on the (vacuumable) markers.
+    val derived = deriveSwappedSeen(fs, dir, listed.toSet)
+    if (derived.nonEmpty) {
+      val existing =
+        if (logFs.exists(seenPath(startId))) readLogFile(seenPath(startId)) else Seq.empty
+      writeLogFile(seenPath(startId), (existing ++ derived).distinct)
+      seen = seen ++ derived
+    }
     // listing order (sorted) makes the cap deterministic
-    val newly = listing.map(relName(_, prefix)).filterNot(seen)
+    val newly = listed.filterNot(seen)
     val admitted = limit match {
       case mf: ReadMaxFiles => newly.take(mf.maxFiles())
       case _ => newly
@@ -592,11 +663,16 @@ class BtrMicroBatchStream(
       val snaps = snapIds()
       val base = snaps.filter(_ <= endId).lastOption
       val lo = base.getOrElse(Long.MinValue)
+      // .x seen-only entries fold in too: the snapshot is only ever a
+      // seen-set rebuild base, never planned, so the union is sound
+      val looseSeen = seenIds().filter(id => id > lo && id <= endId)
       val files = (base.map(id => readLogFile(snapPath(id))).getOrElse(Seq.empty) ++
-        loose.filter(_ > lo).flatMap(readEntry)).distinct
+        loose.filter(_ > lo).flatMap(readEntry) ++
+        looseSeen.flatMap(id => readLogFile(seenPath(id)))).distinct
       writeLogFile(snapPath(endId), files)
       snaps.filter(_ < endId).foreach(id => logFs.delete(snapPath(id), false))
       loose.foreach(id => logFs.delete(entryPath(id), false))
+      looseSeen.foreach(id => logFs.delete(seenPath(id), false))
     }
   }
 

@@ -144,6 +144,9 @@ class BtrBatchWrite(path: String, schema: StructType, truncate: Boolean, blockSi
       // once the journal flips to the pre-swap view after its finals are
       // deleted here.
       BtrTableMeta.completeSwapJournals(fs, dir)
+      // the whole file set is being replaced — stale source→final
+      // mappings must not outlive it
+      BtrTableMeta.dropAllSwapState(fs, dir)
       val rootLen = dir.toUri.getPath.length + 1
       BtrTableMeta.listDataFilesWithPartitions(fs, dir).foreach { e =>
         val f = e.path

@@ -57,6 +57,42 @@ class BtrCompactSpec extends AnyFunSuite {
     assert(r.getLong(0) == 800L && r.getLong(1) == 0L && r.getDouble(2) == 799 * 0.25)
   }
 
+  test("completed swaps leave done markers; vacuum bounds them; rollback leaves none") {
+    import spark.implicits._
+    import graft.format.BtrTableMeta
+    import org.apache.hadoop.fs.Path
+    val dir = tmp("markers")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    (0 until 2).foreach { e =>
+      Seq((e.toLong, s"v$e")).toDF("id", "s")
+        .coalesce(1).write.format("btr").mode("append").save(dir)
+    }
+    val root = new Path(dir)
+    val fs = root.getFileSystem(BtrTableMeta.hadoopConf())
+    BtrCompact.compact(spark, dir, 1L << 30)
+    // pending journal retired into a done marker holding the mapping
+    assert(BtrTableMeta.readSwapJournals(fs, root).isEmpty)
+    val done = BtrTableMeta.readDoneSwapJournals(fs, root)
+    assert(done.length == 1, s"expected one done marker, got ${done.length}")
+    val g = done.head._2.head
+    assert(g.sources.length == 2 && g.finals.length == 1)
+    // retention-based vacuum: young markers survive, old ones go
+    BtrTableMeta.vacuumSwapMarkers(fs, root, retentionMs = 24L * 3600 * 1000)
+    assert(BtrTableMeta.readDoneSwapJournals(fs, root).length == 1)
+    BtrTableMeta.vacuumSwapMarkers(fs, root, retentionMs = 0L)
+    assert(BtrTableMeta.readDoneSwapJournals(fs, root).isEmpty)
+
+    // a rolled-back swap (finals never landed) must leave NO marker: the
+    // sources are still live, so a source→final mapping would be a lie
+    BtrTableMeta.writeSwapJournal(fs, root, "deadbeef",
+      Seq(BtrTableMeta.SwapGroup("", Seq("never-written.btr"),
+        btrFiles(dir).map(f => new java.io.File(f).getName))))
+    BtrTableMeta.completeSwapJournals(fs, root)
+    assert(BtrTableMeta.readSwapJournals(fs, root).isEmpty)
+    assert(BtrTableMeta.readDoneSwapJournals(fs, root).isEmpty)
+    assert(btrFiles(dir).nonEmpty, "rollback must keep the live sources")
+  }
+
   test("target size splits output into multiple packed files") {
     import spark.implicits._
     val dir = tmp("target")

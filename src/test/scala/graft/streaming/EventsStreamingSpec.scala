@@ -211,6 +211,79 @@ class EventsStreamingSpec extends AnyFunSuite {
     assert(spark.read.format("btr").load(out).count() == 3)
   }
 
+  test("stream stays exactly-once across a compaction between polls") {
+    import spark.implicits._
+    val src = "/tmp/btr-stream-compact-src"
+    val out = "/tmp/btr-stream-compact-out"
+    val ckpt = "/tmp/btr-stream-compact-ckpt"
+    Seq(src, out, ckpt).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+    (1 to 3).foreach { i =>
+      Seq((i * 2 - 1L, s"a$i"), (i * 2L, s"b$i")).toDF("id", "tag")
+        .coalesce(1).write.format("btr").mode(if (i == 1) "overwrite" else "append").save(src)
+    }
+    def run(): Unit = {
+      val q = spark.readStream.format("btr").load(src)
+        .writeStream.format("btr").option("checkpointLocation", ckpt).start(out)
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    run()
+    assert(spark.read.format("btr").load(out).count() == 6)
+    // compact between polls: 3 files merge into 1; the done-marker maps
+    // the emitted sources to the merged file
+    val (b, a) = graft.sources.BtrCompact.compact(spark, src, 1L << 30)
+    assert(b == 3 && a == 1, s"compacted $b -> $a")
+    // next run derives the merged file as already-seen: nothing re-emits
+    run()
+    assert(spark.read.format("btr").load(out).count() == 6, "compacted rows re-emitted")
+    // appended data still flows, exactly once
+    Seq((7L, "c"), (8L, "d")).toDF("id", "tag")
+      .coalesce(1).write.format("btr").mode("append").save(src)
+    run()
+    val ids = spark.read.format("btr").load(out).select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == (1L to 8L), s"got $ids")
+    // the derivation was persisted as a seen-only .x entry (recovery must
+    // not depend on the vacuumable done-marker)
+    val logFiles = new java.io.File(s"$ckpt/sources/0/btr-file-log")
+      .listFiles().map(_.getName).filterNot(_.startsWith("."))
+    assert(logFiles.exists(n => n.endsWith(".x") || n.endsWith(".snap")),
+      s"no seen-only entry persisted: ${logFiles.toSeq.sorted}")
+    // even after the marker is vacuumed, a fresh run stays exactly-once
+    val fs = new org.apache.hadoop.fs.Path(src)
+      .getFileSystem(graft.format.BtrTableMeta.hadoopConf())
+    graft.format.BtrTableMeta.vacuumSwapMarkers(fs, new org.apache.hadoop.fs.Path(src), 0L)
+    run()
+    assert(spark.read.format("btr").load(out).count() == 8)
+  }
+
+  test("compaction of partially-streamed files fails loudly, not silently") {
+    import spark.implicits._
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val src = "/tmp/btr-stream-partial-src"
+    val ckpt = "/tmp/btr-stream-partial-ckpt"
+    Seq(src, ckpt).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+    (1 to 2).foreach { i =>
+      Seq((i.toLong, s"v$i")).toDF("id", "tag")
+        .coalesce(1).write.format("btr").mode(if (i == 1) "overwrite" else "append").save(src)
+    }
+    val schema = spark.read.format("btr").load(src).schema
+    // drive the source directly: admit ONE of the two files, then compact
+    val s1 = new graft.sources.BtrMicroBatchStream(src, schema, schema, Nil, Some(1), ckpt)
+    val o1 = s1.latestOffset(s1.initialOffset(), ReadLimit.maxFiles(1))
+    assert(o1.json() == "0")
+    val (b, a) = graft.sources.BtrCompact.compact(spark, src, 1L << 30)
+    assert(b == 2 && a == 1)
+    // the unemitted file's rows now live only inside the merged file that
+    // also holds already-emitted rows — exactly-once is unrecoverable
+    val boom = intercept[IllegalStateException] {
+      s1.latestOffset(o1, ReadLimit.allAvailable())
+    }
+    assert(boom.getMessage.contains("partially emitted"), boom.getMessage)
+  }
+
   test("file log folds committed batches into a snapshot; recovery reads it") {
     import spark.implicits._
     val src = "/tmp/btr-stream-snap-src"
