@@ -84,9 +84,9 @@ object MultimodalOps {
     }
   }
 
-  /** Real container-header parsing for WAV audio and MP4 video — enough
-    * to type a media column and pull rate/channel/dimension metadata
-    * without any sample decode.
+  /** Real container-header parsing for WAV/FLAC/MP3 audio and MP4
+    * video — enough to type a media column and pull
+    * rate/channel/dimension metadata without any sample decode.
     */
   object MediaHeader {
     private def leU16(b: Array[Byte], off: Int): Int =
@@ -155,6 +155,64 @@ object MultimodalOps {
         None
       }
       walk(0, b.length)
+    }
+
+    /** FLAC: "fLaC" magic, then metadata blocks; STREAMINFO (type 0,
+      * 34-byte body) packs the sample rate (20 bits) and channels-1
+      * (3 bits) starting at body offset 10. Returns (sampleRate,
+      * channels).
+      */
+    def decodeFlac(b: Array[Byte]): Option[(Int, Int)] = {
+      if (b == null || b.length < 4 + 4 + 34) return None
+      if (tag(b, 0) != "fLaC") return None
+      var i = 4
+      while (i + 4 <= b.length) {
+        val isLast = (b(i) & 0x80) != 0
+        val blockType = b(i) & 0x7f
+        val len = ((b(i + 1) & 0xff) << 16) | ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+        if (blockType == 0) { // STREAMINFO
+          val o = i + 4
+          if (len < 34 || o + 34 > b.length) return None
+          val rate = ((b(o + 10) & 0xff) << 12) | ((b(o + 11) & 0xff) << 4) | ((b(o + 12) & 0xff) >> 4)
+          val channels = ((b(o + 12) >> 1) & 0x7) + 1
+          return if (rate > 0) Some((rate, channels)) else None
+        }
+        if (isLast) return None
+        i += 4 + len
+      }
+      None
+    }
+
+    // MPEG audio sample rates by version bits (00=MPEG2.5, 01=reserved,
+    // 10=MPEG2, 11=MPEG1) × rate-index bits
+    private val Mp3Rates: Array[Array[Int]] = Array(
+      Array(11025, 12000, 8000), null,
+      Array(22050, 24000, 16000), Array(44100, 48000, 32000))
+
+    /** MP3: optional ID3v2 tag (synchsafe size), then an MPEG audio frame
+      * header — 11-bit sync, version/layer/rate-index bits, channel mode.
+      * Returns (sampleRate, channels). Every reserved bit pattern is
+      * rejected so arbitrary 0xFF-prefixed bytes don't sniff as audio.
+      */
+    def decodeMp3(b: Array[Byte]): Option[(Int, Int)] = {
+      if (b == null || b.length < 4) return None
+      var i = 0
+      if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+        val sz = ((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
+          ((b(8) & 0x7f) << 7) | (b(9) & 0x7f)
+        i = 10 + sz
+      }
+      if (i + 4 > b.length) return None
+      if ((b(i) & 0xff) != 0xff || (b(i + 1) & 0xe0) != 0xe0) return None
+      val versionBits = (b(i + 1) >> 3) & 0x3
+      val layerBits = (b(i + 1) >> 1) & 0x3
+      if (versionBits == 1 || layerBits == 0) return None // reserved
+      val rateIdx = (b(i + 2) >> 2) & 0x3
+      if (rateIdx == 3) return None // reserved
+      val bitrateIdx = (b(i + 2) >> 4) & 0xf
+      if (bitrateIdx == 15) return None // reserved
+      val channels = if (((b(i + 3) >> 6) & 0x3) == 3) 1 else 2
+      Some((Mp3Rates(versionBits)(rateIdx), channels))
     }
   }
 
@@ -250,9 +308,10 @@ object MultimodalOps {
   }
 
   /** Typed metadata extracted per media blob. `format`/`width`/`height`
-    * are REAL for recognized image containers and MP4 video; WAV audio
-    * fills `sample_rate`/`channels` ("opaque"/0 otherwise); the fake_*
-    * fields remain the deterministic stub for unrecognized payloads.
+    * are REAL for recognized image containers and MP4 video; WAV/FLAC/MP3
+    * audio fills `sample_rate`/`channels` ("opaque"/0 otherwise); the
+    * fake_* fields remain the deterministic stub for unrecognized
+    * payloads.
     */
   final case class MediaMeta(
       doc_id: Long,
@@ -278,7 +337,12 @@ object MultimodalOps {
       val header = if (n > 0) bytes(0) & 0xff else 0
       val img = ImageHeader.decode(bytes)
       val wav = if (img.isEmpty) MediaHeader.decodeWav(bytes) else None
-      val mp4 = if (img.isEmpty && wav.isEmpty) MediaHeader.decodeMp4(bytes) else None
+      val flac = if (img.isEmpty && wav.isEmpty) MediaHeader.decodeFlac(bytes) else None
+      val mp3 = if (img.isEmpty && wav.isEmpty && flac.isEmpty) MediaHeader.decodeMp3(bytes) else None
+      val mp4 =
+        if (img.isEmpty && wav.isEmpty && flac.isEmpty && mp3.isEmpty) MediaHeader.decodeMp4(bytes)
+        else None
+      val audio = wav.orElse(flac).orElse(mp3)
       MediaMeta(
         doc_id = docId,
         n_bytes = n,
@@ -288,12 +352,14 @@ object MultimodalOps {
         fake_frames = 1 + (n % 16),
         format = img.map(_._1)
           .orElse(wav.map(_ => "wav"))
+          .orElse(flac.map(_ => "flac"))
+          .orElse(mp3.map(_ => "mp3"))
           .orElse(mp4.map(_ => "mp4"))
           .getOrElse("opaque"),
         width = img.map(_._2).orElse(mp4.map(_._1)).getOrElse(0),
         height = img.map(_._3).orElse(mp4.map(_._2)).getOrElse(0),
-        sample_rate = wav.map(_._1).getOrElse(0),
-        channels = wav.map(_._2).getOrElse(0)
+        sample_rate = audio.map(_._1).getOrElse(0),
+        channels = audio.map(_._2).getOrElse(0)
       )
     }
   }

@@ -551,6 +551,35 @@ class PipelineOpsSpec extends AnyFunSuite {
       metas(2L).toString)
   }
 
+  test("FLAC and MP3 frame headers decode real sample rate and channels") {
+    // FLAC: fLaC magic + STREAMINFO block (type 0, last, 34-byte body);
+    // 48 kHz / 2 channels / 16-bit packed at body offset 10:
+    // rate(20 bits)=48000=0x0BB80, ch-1(3)=1, bps-1(5)=15
+    val streaminfo = new Array[Byte](34)
+    streaminfo(10) = 0x0b.toByte
+    streaminfo(11) = 0xb8.toByte
+    streaminfo(12) = ((0 << 4) | (1 << 1) | 1).toByte // rate low nibble, ch-1=1, bps msb
+    streaminfo(13) = 0xf0.toByte
+    val flacBytes: Array[Byte] = "fLaC".getBytes ++
+      Array[Byte](0x80.toByte, 0, 0, 34) ++ streaminfo
+    // MP3: ID3v2 tag (empty, synchsafe size 0) then an MPEG1 Layer III
+    // frame header: FF FB=sync+v1+L3, 0x90=128kbps+44100, 0xC0=mono
+    val mp3Bytes: Array[Byte] = Array[Byte]('I', 'D', '3', 4, 0, 0, 0, 0, 0, 0) ++
+      Array[Byte](0xff.toByte, 0xfb.toByte, 0x90.toByte, 0xc0.toByte) ++ new Array[Byte](64)
+    // reserved version bits must NOT sniff as mp3
+    val bogus: Array[Byte] =
+      Array[Byte](0xff.toByte, 0xeb.toByte, 0x9c.toByte, 0xc0.toByte) ++ new Array[Byte](16)
+
+    val metas = MultimodalOps.extractMeta(spark,
+      Seq((1L, flacBytes), (2L, mp3Bytes), (3L, bogus)).toDF("doc_id", "payload"))
+      .collect().map(m => m.doc_id -> m).toMap
+    assert(metas(1L).format == "flac" && metas(1L).sample_rate == 48000 && metas(1L).channels == 2,
+      metas(1L).toString)
+    assert(metas(2L).format == "mp3" && metas(2L).sample_rate == 44100 && metas(2L).channels == 1,
+      metas(2L).toString)
+    assert(metas(3L).format == "opaque" && metas(3L).sample_rate == 0, metas(3L).toString)
+  }
+
   test("multimodal extractMeta is deterministic over binary payloads") {
     val media = docs.select($"doc_id", encode($"text", "UTF-8").as("payload"))
     val metas = MultimodalOps.extractMeta(spark, media).collect().sortBy(_.doc_id)
