@@ -36,6 +36,9 @@ object Bench {
     var btrBytes = 0L
     var writeSec = 0.0
     var scanSec = 0.0
+    var tryallSec = 0.0
+    var tryallBytes = 0L
+    var sampleLineitemBytes = 0L
     try {
       // start from a clean slate: leftovers from prior runs (including any
       // orphaned temp files) must not pollute the byte accounting
@@ -73,6 +76,28 @@ object Bench {
         }
       } / 3
 
+      // ---- TRY_ALL vs SAMPLE selection quality -------------------------
+      // the reference's regression benchmark tracks per-scheme ratios under
+      // both selection modes (regression_benchmark.cpp:136-155); recording
+      // the lineitem write under TRY_ALL each round tracks how close the
+      // sampled estimator's scheme choices stay to exhaustive selection
+      tryallSec = secs {
+        spark.read.parquet(s"$sfDir/lineitem.parquet")
+          .write.format("btr").mode("overwrite")
+          .option("btr.selection", "tryall")
+          .save("/tmp/graft-bench-btr/lineitem_tryall")
+      }
+      tryallBytes = new java.io.File("/tmp/graft-bench-btr/lineitem_tryall").listFiles()
+        .filter { f =>
+          val n = f.getName
+          n.endsWith(".btr") && !n.startsWith("_") && !n.startsWith(".")
+        }.map(_.length).sum
+      sampleLineitemBytes = new java.io.File("/tmp/graft-bench-btr/lineitem").listFiles()
+        .filter { f =>
+          val n = f.getName
+          n.endsWith(".btr") && !n.startsWith("_") && !n.startsWith(".")
+        }.map(_.length).sum
+
       // pre-warm the query round-trip cache so query timings measure
       // query execution, not the one-time cache write
       Seq("lineitem", "orders", "customer", "nation", "part", "events", "documents", "embeddings")
@@ -106,8 +131,12 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val ratio = if (btrBytes > 0) inputBytes.toDouble / btrBytes else 0.0
+    // sample_over_tryall_bytes ≥ 1.0 measures how much compression the
+    // sampled selector leaves on the table vs exhaustive TRY_ALL
+    val selQuality =
+      if (tryallBytes > 0) sampleLineitemBytes.toDouble / tryallBytes else 0.0
     val extras =
-      f""""write_sec":$writeSec%.3f,"scan_sec":$scanSec%.3f,"parquet_bytes":$inputBytes,"btr_bytes":$btrBytes,"parquet_over_btr_ratio":$ratio%.3f"""
+      f""""write_sec":$writeSec%.3f,"scan_sec":$scanSec%.3f,"parquet_bytes":$inputBytes,"btr_bytes":$btrBytes,"parquet_over_btr_ratio":$ratio%.3f,"tryall_write_sec":$tryallSec%.3f,"tryall_bytes":$tryallBytes,"sample_over_tryall_bytes":$selQuality%.3f"""
     val line =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,$extras,"sf":"$sfDir"}"""
     println(line)
