@@ -64,6 +64,15 @@ object BtrFile {
 
   def writeFooter(out: BufWriter, footer: Footer, numCols: Int): Unit = {
     val start = out.pos
+    writeFooterBody(out, footer, numCols)
+    out.putInt(out.pos - start)
+    out.putBytes(Magic)
+  }
+
+  /** The footer body alone (no trailing length/magic) — shared by the
+    * per-file footer and the table-level footer index sidecar.
+    */
+  def writeFooterBody(out: BufWriter, footer: Footer, numCols: Int): Unit = {
     out.putInt(footer.rowGroups.length)
     out.putInt(numCols)
     footer.rowGroups.foreach { rg =>
@@ -88,8 +97,6 @@ object BtrFile {
         }
       }
     }
-    out.putInt(out.pos - start)
-    out.putBytes(Magic)
   }
 
   def readFooter(bytes: Array[Byte]): Footer = {
@@ -122,7 +129,13 @@ object BtrFile {
     * analog of the reference reading only `metadata` at plan time
     * (tools/conversion/decompression-speed.cpp:113-120).
     */
+  /** Count of per-file footer tail-reads (diagnostic: specs assert the
+    * footer-index sidecar eliminates them on covered tables).
+    */
+  val footerTailReads = new java.util.concurrent.atomic.AtomicLong()
+
   def readFooter(fs: FileSystem, file: Path, fileLen: Long): Footer = {
+    footerTailReads.incrementAndGet()
     require(fileLen > 16, s"btr file too short: $file")
     val in = fs.open(file)
     try {
@@ -143,7 +156,7 @@ object BtrFile {
     } finally in.close()
   }
 
-  private def parseFooterBody(in: BufReader): Footer = {
+  private[format] def parseFooterBody(in: BufReader): Footer = {
     val numRg = in.getInt()
     val numCols = in.getInt()
     val rgs = new Array[RowGroupMeta](numRg)
@@ -179,6 +192,101 @@ object BtrFile {
       g += 1
     }
     Footer(rgs)
+  }
+}
+
+/** Footer-index sidecar: `_btr_footerindex.bin` at the table root caches
+  * every data file's footer so scan PLANNING is one sequential file read
+  * instead of one tail-read per data file (the driver-side analog of the
+  * reference parallelizing its metadata pass,
+  * tools/conversion/decompression-speed.cpp:46-59 — but O(1) requests).
+  * The index is ADVISORY: entries are keyed by (root-relative path, file
+  * length); a listed file missing from the index falls back to a direct
+  * tail-read, extra entries are ignored, and a corrupt/torn index reads
+  * as empty. Writers and the compactor refresh it after commit;
+  * refreshes are incremental (existing entries are reused, only new
+  * files' footers are read).
+  *
+  *   [magic "BTRX"][u32 format version]
+  *   [u32 numEntries]
+  *   per entry: [u32 relPathLen][relPath UTF-8][i64 fileLen]
+  *              [u32 bodyLen][footer body (BtrFile.writeFooterBody)]
+  */
+object BtrFooterIndex {
+  val IndexFile = "_btr_footerindex.bin"
+  private val Magic: Array[Byte] = "BTRX".getBytes(StandardCharsets.US_ASCII)
+
+  /** Root-relative path of a data file (partition dirs included). */
+  def relPath(qualifiedRoot: Path, file: Path): String = {
+    val rootPath = qualifiedRoot.toUri.getPath
+    val f = file.toUri.getPath
+    if (f.startsWith(rootPath + "/")) f.substring(rootPath.length + 1) else f
+  }
+
+  /** Atomically publish the index (tmp write, delete old, rename in).
+    * The delete→rename window shows readers a missing index — they fall
+    * back to tail-reads, never a torn file.
+    */
+  def write(
+      fs: FileSystem, rawRoot: Path, entries: Seq[(String, Long, BtrFile.Footer)]): Unit = {
+    val root = fs.makeQualified(rawRoot)
+    val w = new BufWriter(64 * 1024)
+    w.putBytes(Magic)
+    w.putInt(BtrFile.Version)
+    w.putInt(entries.length)
+    entries.foreach { case (rel, len, footer) =>
+      val relBytes = rel.getBytes(StandardCharsets.UTF_8)
+      w.putInt(relBytes.length)
+      w.putBytes(relBytes)
+      w.putLong(len)
+      val lenSlot = w.pos
+      w.putInt(0)
+      val bodyStart = w.pos
+      val numCols = footer.rowGroups.headOption.map(_.columns.length).getOrElse(0)
+      BtrFile.writeFooterBody(w, footer, numCols)
+      w.patchInt(lenSlot, w.pos - bodyStart)
+    }
+    val tmp = new Path(root, s"_tmp_$IndexFile")
+    val out = fs.create(tmp, true)
+    out.write(w.backing, 0, w.pos)
+    out.close()
+    val fin = new Path(root, IndexFile)
+    fs.delete(fin, false)
+    if (!fs.rename(tmp, fin))
+      throw new java.io.IOException(s"btr footer index: rename $tmp -> $fin failed")
+  }
+
+  /** All cached footers keyed by (relPath, fileLen); empty when the index
+    * is absent, corrupt, or written by a different format version.
+    */
+  def read(fs: FileSystem, rawRoot: Path): Map[(String, Long), BtrFile.Footer] = {
+    val root = fs.makeQualified(rawRoot)
+    val p = new Path(root, IndexFile)
+    try {
+      val st =
+        try fs.getFileStatus(p)
+        catch { case _: java.io.FileNotFoundException => return Map.empty }
+      val bytes = new Array[Byte](st.getLen.toInt)
+      val in = fs.open(p)
+      try in.readFully(0, bytes)
+      finally in.close()
+      val r = new BufReader(bytes)
+      if (!java.util.Arrays.equals(r.getBytes(4), Magic)) return Map.empty
+      if (r.getInt() != BtrFile.Version) return Map.empty
+      val n = r.getInt()
+      val out = Map.newBuilder[(String, Long), BtrFile.Footer]
+      var i = 0
+      while (i < n) {
+        val rel = new String(r.getBytes(r.getInt()), StandardCharsets.UTF_8)
+        val len = r.getLong()
+        val bodyLen = r.getInt()
+        val at = r.pos
+        out += ((rel, len) -> BtrFile.parseFooterBody(r))
+        require(r.pos == at + bodyLen, s"footer index entry $rel: body length mismatch")
+        i += 1
+      }
+      out.result()
+    } catch { case _: Exception => Map.empty } // advisory: unreadable = absent
   }
 }
 

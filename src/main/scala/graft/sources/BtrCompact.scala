@@ -153,6 +153,7 @@ object BtrCompact {
     }
     fs.delete(staging, true)
     BtrTableMeta.completeSwapJournals(fs, root) // drops the journal (idempotent)
+    BtrFooters.refreshIndex(fs, root) // the rewrite replaced every file
     (before, staged.length)
   }
 
@@ -214,6 +215,9 @@ object BtrCompact {
       bin.files.foreach(f => fs.delete(new Path(dir, f), false))
     }
     BtrTableMeta.completeSwapJournals(fs, root)
+    // merged files replace their sources in the footer index (incremental:
+    // untouched files keep their cached entries)
+    BtrFooters.refreshIndex(fs, root)
     (before, before - jobs.map(_._1.files.length).sum + jobs.length)
   }
 }

@@ -165,8 +165,7 @@ class BtrScan(
   private lazy val discovered: Array[(BtrTableMeta.DataFileEntry, BtrFile.Footer)] = {
     val dir = new Path(path)
     val fs = dir.getFileSystem(BtrTableMeta.hadoopConf())
-    BtrFooters.readAll(BtrTableMeta.listDataFilesWithPartitions(fs, dir))(e =>
-      BtrFile.readFooter(fs, e.path, e.len))
+    BtrFooters.readAllIndexed(fs, dir, BtrTableMeta.listDataFilesWithPartitions(fs, dir))
   }
 
   /** Table statistics from footers only: row count is exact; size is the
@@ -320,6 +319,49 @@ object BtrFooters {
       out
     } finally pool.shutdownNow()
   }
+
+  /** Footers for `entries`, served from the table's footer-index sidecar
+    * when it covers them (one sequential file read for the whole table);
+    * uncovered files fall back to concurrent tail-reads. This is what
+    * keeps planning O(1) metadata requests on a fully-indexed table.
+    */
+  def readAllIndexed(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: Path,
+      entries: Array[BtrTableMeta.DataFileEntry]
+  ): Array[(BtrTableMeta.DataFileEntry, BtrFile.Footer)] = {
+    if (entries.isEmpty) return Array.empty
+    val cached = BtrFooterIndex.read(fs, root)
+    if (cached.isEmpty)
+      return readAll(entries)(e => BtrFile.readFooter(fs, e.path, e.len))
+    val qualified = fs.makeQualified(root)
+    def key(e: BtrTableMeta.DataFileEntry): (String, Long) =
+      (BtrFooterIndex.relPath(qualified, e.path), e.len)
+    if (entries.forall(e => cached.contains(key(e))))
+      entries.map(e => (e, cached(key(e))))
+    else
+      readAll(entries)(e =>
+        cached.getOrElse(key(e), BtrFile.readFooter(fs, e.path, e.len)))
+  }
+
+  /** Rebuild the footer-index sidecar from the current listing, reusing
+    * still-valid entries of the previous index (only new files get a
+    * tail-read). Best-effort: failures must never fail the commit that
+    * triggered the refresh.
+    */
+  def refreshIndex(fs: org.apache.hadoop.fs.FileSystem, root: Path): Unit =
+    try {
+      val qualified = fs.makeQualified(root)
+      val entries = BtrTableMeta.listDataFilesWithPartitions(fs, qualified)
+      val all = readAllIndexed(fs, qualified, entries)
+      BtrFooterIndex.write(fs, qualified, all.map { case (e, f) =>
+        (BtrFooterIndex.relPath(qualified, e.path), e.len, f)
+      }.toSeq)
+    } catch {
+      case e: Exception =>
+        org.slf4j.LoggerFactory.getLogger(getClass)
+          .warn(s"btr footer index refresh failed for $root (scans fall back to tail-reads)", e)
+    }
 }
 
 /** File-based micro-batch streaming source: each trigger picks up data
@@ -626,7 +668,7 @@ class BtrMicroBatchStream(
         s"btr streaming source: committed offset references files no longer present " +
           s"under $path (data files must be immutable): ${missing.mkString(", ")}")
     }
-    BtrFooters.readAll(current)(e => BtrFile.readFooter(fs, e.path, e.len)).map {
+    BtrFooters.readAllIndexed(fs, dir, current).map {
       case (entry, footer) =>
       val reqPartValues: Array[String] =
         if (partCols.isEmpty) Array.empty

@@ -87,6 +87,8 @@ class BtrStreamingWrite(path: String, schema: StructType, blockSize: Int, cascad
     val dir = new Path(path)
     val fs = dir.getFileSystem(BtrTableMeta.hadoopConf())
     BtrTableMeta.write(fs, dir, schema, blockSize, cascade, partCols)
+    // incremental: only this epoch's new files get a footer tail-read
+    BtrFooters.refreshIndex(fs, dir)
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -175,6 +177,9 @@ class BtrBatchWrite(path: String, schema: StructType, truncate: Boolean, blockSi
       }
     }
     BtrTableMeta.writeStats(fs, dir, dataSchema.fieldNames, rows, nulls, raw, comp)
+    // footer-index sidecar: planning on this table becomes one file read;
+    // incremental (pre-existing append-mode files reuse the old index)
+    BtrFooters.refreshIndex(fs, dir)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
