@@ -134,6 +134,17 @@ object BtrFile {
     */
   val footerTailReads = new java.util.concurrent.atomic.AtomicLong()
 
+  /** Standalone serialized footer body (for shipping planner-cached
+    * footers to executor tasks inside input partitions).
+    */
+  def footerBodyBytes(footer: Footer): Array[Byte] = {
+    val w = new BufWriter(1024)
+    writeFooterBody(w, footer, footer.rowGroups.headOption.map(_.columns.length).getOrElse(0))
+    w.result()
+  }
+
+  def footerFromBody(bytes: Array[Byte]): Footer = parseFooterBody(new BufReader(bytes))
+
   def readFooter(fs: FileSystem, file: Path, fileLen: Long): Footer = {
     footerTailReads.incrementAndGet()
     require(fileLen > 16, s"btr file too short: $file")
@@ -209,12 +220,20 @@ object BtrFile {
   *
   *   [magic "BTRX"][u32 format version]
   *   [u32 numEntries]
-  *   per entry: [u32 relPathLen][relPath UTF-8][i64 fileLen]
+  *   per entry: [u32 relPathLen][relPath UTF-8][i64 fileLen][i64 modTime]
   *              [u32 bodyLen][footer body (BtrFile.writeFooterBody)]
   */
 object BtrFooterIndex {
   val IndexFile = "_btr_footerindex.bin"
   private val Magic: Array[Byte] = "BTRX".getBytes(StandardCharsets.US_ASCII)
+
+  /** Cache validity key: root-relative path + (length, modification time)
+    * — the same freshness triple Spark's shared file index uses, so an
+    * in-place modified file can never serve a stale cached footer.
+    */
+  type Key = (String, Long, Long)
+
+  final case class Entry(rel: String, len: Long, modTime: Long, footer: BtrFile.Footer)
 
   /** Root-relative path of a data file (partition dirs included). */
   def relPath(qualifiedRoot: Path, file: Path): String = {
@@ -223,27 +242,30 @@ object BtrFooterIndex {
     if (f.startsWith(rootPath + "/")) f.substring(rootPath.length + 1) else f
   }
 
+  def keyOf(qualifiedRoot: Path, e: BtrTableMeta.DataFileEntry): Key =
+    (relPath(qualifiedRoot, e.path), e.len, e.modTime)
+
   /** Atomically publish the index (tmp write, delete old, rename in).
     * The delete→rename window shows readers a missing index — they fall
     * back to tail-reads, never a torn file.
     */
-  def write(
-      fs: FileSystem, rawRoot: Path, entries: Seq[(String, Long, BtrFile.Footer)]): Unit = {
+  def write(fs: FileSystem, rawRoot: Path, entries: Seq[Entry]): Unit = {
     val root = fs.makeQualified(rawRoot)
     val w = new BufWriter(64 * 1024)
     w.putBytes(Magic)
     w.putInt(BtrFile.Version)
     w.putInt(entries.length)
-    entries.foreach { case (rel, len, footer) =>
-      val relBytes = rel.getBytes(StandardCharsets.UTF_8)
+    entries.foreach { e =>
+      val relBytes = e.rel.getBytes(StandardCharsets.UTF_8)
       w.putInt(relBytes.length)
       w.putBytes(relBytes)
-      w.putLong(len)
+      w.putLong(e.len)
+      w.putLong(e.modTime)
       val lenSlot = w.pos
       w.putInt(0)
       val bodyStart = w.pos
-      val numCols = footer.rowGroups.headOption.map(_.columns.length).getOrElse(0)
-      BtrFile.writeFooterBody(w, footer, numCols)
+      val numCols = e.footer.rowGroups.headOption.map(_.columns.length).getOrElse(0)
+      BtrFile.writeFooterBody(w, e.footer, numCols)
       w.patchInt(lenSlot, w.pos - bodyStart)
     }
     val tmp = new Path(root, s"_tmp_$IndexFile")
@@ -256,10 +278,11 @@ object BtrFooterIndex {
       throw new java.io.IOException(s"btr footer index: rename $tmp -> $fin failed")
   }
 
-  /** All cached footers keyed by (relPath, fileLen); empty when the index
-    * is absent, corrupt, or written by a different format version.
+  /** All cached footers keyed by (relPath, fileLen, modTime); empty when
+    * the index is absent, corrupt, or written by a different format
+    * version.
     */
-  def read(fs: FileSystem, rawRoot: Path): Map[(String, Long), BtrFile.Footer] = {
+  def read(fs: FileSystem, rawRoot: Path): Map[Key, BtrFile.Footer] = {
     val root = fs.makeQualified(rawRoot)
     val p = new Path(root, IndexFile)
     try {
@@ -274,14 +297,15 @@ object BtrFooterIndex {
       if (!java.util.Arrays.equals(r.getBytes(4), Magic)) return Map.empty
       if (r.getInt() != BtrFile.Version) return Map.empty
       val n = r.getInt()
-      val out = Map.newBuilder[(String, Long), BtrFile.Footer]
+      val out = Map.newBuilder[Key, BtrFile.Footer]
       var i = 0
       while (i < n) {
         val rel = new String(r.getBytes(r.getInt()), StandardCharsets.UTF_8)
         val len = r.getLong()
+        val modTime = r.getLong()
         val bodyLen = r.getInt()
         val at = r.pos
-        out += ((rel, len) -> BtrFile.parseFooterBody(r))
+        out += ((rel, len, modTime) -> BtrFile.parseFooterBody(r))
         require(r.pos == at + bodyLen, s"footer index entry $rel: body length mismatch")
         i += 1
       }
@@ -352,10 +376,13 @@ object BtrTableMeta {
   val NullPartition: String =
     org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.DEFAULT_PARTITION_NAME
 
-  /** One discovered data file: path, file length (from the listing -- no
-    * extra getFileStatus round-trip), hive-style partition values.
+  /** One discovered data file: path, file length and modification time
+    * (from the listing -- no extra getFileStatus round-trip), hive-style
+    * partition values. (len, modTime) doubles as the footer-index cache
+    * validity key — the same freshness key Spark's shared file index uses.
     */
-  final case class DataFileEntry(path: Path, len: Long, partitionValues: Map[String, String])
+  final case class DataFileEntry(
+      path: Path, len: Long, partitionValues: Map[String, String], modTime: Long = 0L)
 
   /** Recursive data-file listing with partition-dir parsing. Pending
     * swap journals are applied so a reader planning concurrently with (or
@@ -381,7 +408,7 @@ object BtrTableMeta {
             walk(st.getPath, values + (k -> v))
           }
         } else if (name.endsWith(".btr") && !name.startsWith("_") && !name.startsWith(".")) {
-          out += DataFileEntry(st.getPath, st.getLen, values)
+          out += DataFileEntry(st.getPath, st.getLen, values, st.getModificationTime)
         }
       }
     }

@@ -335,8 +335,7 @@ object BtrFooters {
     if (cached.isEmpty)
       return readAll(entries)(e => BtrFile.readFooter(fs, e.path, e.len))
     val qualified = fs.makeQualified(root)
-    def key(e: BtrTableMeta.DataFileEntry): (String, Long) =
-      (BtrFooterIndex.relPath(qualified, e.path), e.len)
+    def key(e: BtrTableMeta.DataFileEntry) = BtrFooterIndex.keyOf(qualified, e)
     if (entries.forall(e => cached.contains(key(e))))
       entries.map(e => (e, cached(key(e))))
     else
@@ -355,7 +354,7 @@ object BtrFooters {
       val entries = BtrTableMeta.listDataFilesWithPartitions(fs, qualified)
       val all = readAllIndexed(fs, qualified, entries)
       BtrFooterIndex.write(fs, qualified, all.map { case (e, f) =>
-        (BtrFooterIndex.relPath(qualified, e.path), e.len, f)
+        BtrFooterIndex.Entry(BtrFooterIndex.relPath(qualified, e.path), e.len, e.modTime, f)
       }.toSeq)
     } catch {
       case e: Exception =>
@@ -861,12 +860,20 @@ class BtrAggScan(path: String, tableSchema: StructType, agg: aggregate.Aggregati
   override def planInputPartitions(): Array[InputPartition] = {
     val dir = new Path(path)
     val fs = dir.getFileSystem(BtrTableMeta.hadoopConf())
+    // footer-index-covered files ship their (serialized) footer inside the
+    // partition — those tasks do pure arithmetic, no tail-read; uncovered
+    // files keep the per-task tail-read fallback
+    val cached = BtrFooterIndex.read(fs, dir)
+    val qualified = fs.makeQualified(dir)
     val entries = BtrTableMeta.listDataFilesWithPartitions(fs, dir).map { e =>
+      val body = cached.get(BtrFooterIndex.keyOf(qualified, e))
+        .map(BtrFile.footerBodyBytes).orNull
       (e.path.toString,
-        groupCols.toArray.map(c => e.partitionValues.getOrElse(c, BtrTableMeta.NullPartition)))
+        groupCols.toArray.map(c => e.partitionValues.getOrElse(c, BtrTableMeta.NullPartition)),
+        body)
     }
     entries.grouped(FilesPerBatch)
-      .map(b => BtrAggPartition(b.map(_._1), b.map(_._2)): InputPartition).toArray
+      .map(b => BtrAggPartition(b.map(_._1), b.map(_._2), b.map(_._3)): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -878,9 +885,15 @@ class BtrAggScan(path: String, tableSchema: StructType, agg: aggregate.Aggregati
   }
 }
 
-/** A batch of files with, per file, its group (partition-dir) values. */
-final case class BtrAggPartition(files: Array[String], groupVals: Array[Array[String]])
-    extends InputPartition
+/** A batch of files with, per file, its group (partition-dir) values and
+  * (when the footer index covered it at planning) the serialized footer
+  * body — null means the task tail-reads the file's own footer.
+  */
+final case class BtrAggPartition(
+    files: Array[String],
+    groupVals: Array[Array[String]],
+    footers: Array[Array[Byte]] = null
+) extends InputPartition
 
 class BtrAggReader(
     partition: BtrAggPartition,
@@ -946,7 +959,10 @@ class BtrAggReader(
         if (partition.groupVals.isEmpty) Nil else partition.groupVals(f).toSeq
       val acc = accs.getOrElseUpdate(key, new Acc)
       val fs = p.getFileSystem(BtrTableMeta.hadoopConf())
-      val footer = BtrFile.readFooter(fs, p, fs.getFileStatus(p).getLen)
+      val footer =
+        if (partition.footers != null && partition.footers(f) != null)
+          BtrFile.footerFromBody(partition.footers(f))
+        else BtrFile.readFooter(fs, p, fs.getFileStatus(p).getLen)
       // lazily opened only if some string chunk needs a decode fallback
       var dataIn: org.apache.hadoop.fs.FSDataInputStream = null
       try {

@@ -44,7 +44,7 @@ class BtrFooterIndexSpec extends AnyFunSuite {
     assert(listed.nonEmpty)
     val root = fs.makeQualified(new Path(dir))
     listed.foreach { e =>
-      val key = (BtrFooterIndex.relPath(root, e.path), e.len)
+      val key = BtrFooterIndex.keyOf(root, e)
       assert(idx.contains(key), s"index missing $key")
       // cached footer equals the file's actual footer
       val direct = BtrFile.readFooter(fs, e.path, e.len)
@@ -72,6 +72,23 @@ class BtrFooterIndexSpec extends AnyFunSuite {
     assert(sortedRows(spark.read.format("btr").load(dir)) == expected)
   }
 
+  test("metadata-only aggregates ship indexed footers: zero tail-reads, same answers") {
+    val dir = tmp("aggidx")
+    writeSample(dir)
+    val agg = () => spark.read.format("btr").load(dir)
+      .selectExpr("count(*)", "min(id)", "max(id)", "min(v)", "max(v)")
+      .collect().head
+    val expected = agg()
+    val c0 = BtrFile.footerTailReads.get()
+    assert(agg() == expected)
+    assert(BtrFile.footerTailReads.get() == c0,
+      "indexed agg pushdown must not tail-read footers in tasks")
+    // without the index the same query still answers identically
+    fsOf(dir).delete(new Path(dir, BtrFooterIndex.IndexFile), false)
+    assert(agg() == expected)
+    assert(BtrFile.footerTailReads.get() > c0, "fallback path should tail-read")
+  }
+
   test("a deleted or corrupt index falls back to tail-reads with identical results") {
     val dir = tmp("fallback")
     writeSample(dir)
@@ -89,6 +106,26 @@ class BtrFooterIndexSpec extends AnyFunSuite {
     assert(sortedRows(spark.read.format("btr").load(dir)) == expected)
   }
 
+  test("an in-place modified file invalidates its cached footer via the mtime key") {
+    val dir = tmp("tamper")
+    writeSample(dir)
+    val file = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".btr") && !f.getName.startsWith("_")).head
+    // corrupt the header version in place: length unchanged, so only the
+    // modification time distinguishes the file from its indexed footer
+    val raf = new java.io.RandomAccessFile(file, "rw")
+    raf.seek(4); raf.writeInt(99); raf.close()
+    assert(file.setLastModified(file.lastModified() + 2000))
+    new java.io.File(dir).listFiles().filter(_.getName.endsWith(".crc")).foreach(_.delete())
+    val e = intercept[Exception] {
+      spark.read.format("btr").load(dir).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("version 99")),
+      "stale cached footer must not mask the corrupted file: " + messages(e).mkString(" | "))
+  }
+
   test("a stale index (missing the newest append) still plans correctly") {
     import spark.implicits._
     val dir = tmp("stale")
@@ -101,7 +138,7 @@ class BtrFooterIndexSpec extends AnyFunSuite {
     // rewind the index to the pre-append state: new file not covered
     val root = fs.makeQualified(new Path(dir))
     BtrFooterIndex.write(fs, root,
-      stale.toSeq.map { case ((rel, len), f) => (rel, len, f) })
+      stale.toSeq.map { case ((rel, len, mt), f) => BtrFooterIndex.Entry(rel, len, mt, f) })
     val rows = spark.read.format("btr").load(dir)
     assert(rows.count() == 400, "stale index must not hide the new file")
     assert(rows.where("id >= 300").count() == 100)
@@ -118,16 +155,14 @@ class BtrFooterIndexSpec extends AnyFunSuite {
     val root = fs.makeQualified(new Path(dir))
     val afterAppend = BtrFooterIndex.read(fs, root)
     val listed = BtrTableMeta.listDataFilesWithPartitions(fs, root)
-    assert(listed.forall(e =>
-      afterAppend.contains((BtrFooterIndex.relPath(root, e.path), e.len))))
+    assert(listed.forall(e => afterAppend.contains(BtrFooterIndex.keyOf(root, e))))
 
     val expected = sortedRows(spark.read.format("btr").load(dir))
     val (before, after) = BtrCompact.compact(spark, dir, targetBytes = 1L << 30)
     assert(after < before)
     val afterCompact = BtrFooterIndex.read(fs, root)
     val relisted = BtrTableMeta.listDataFilesWithPartitions(fs, root)
-    assert(relisted.forall(e =>
-      afterCompact.contains((BtrFooterIndex.relPath(root, e.path), e.len))),
+    assert(relisted.forall(e => afterCompact.contains(BtrFooterIndex.keyOf(root, e))),
       "index must cover the merged files")
     assert(sortedRows(spark.read.format("btr").load(dir)) == expected)
     // and planning off the refreshed index is tail-read-free again
