@@ -200,6 +200,21 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Gopher-style repetition signals: vocabulary diversity, duplicate
+    // bi/trigram fractions, top word/bigram concentration per document —
+    // the repetition-based quality filters a training pipeline applies
+    // before dedup. Exact DuckDB oracle over the same list algebra.
+    "q_repetition" -> ((s, d) =>
+      TextOps.repetitionSignals(t(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // corpus-level boilerplate heavy-hitters: top-20 repeated word
+    // 5-grams with occurrence count + document frequency (C4's frequent-
+    // line removal, generalized to n-grams). One gram-keyed shuffle.
+    "q_boilerplate" -> ((s, d) =>
+      TextOps.boilerplateNgrams(t(s, d, "documents"), "doc_id", "text", n = 5, topK = 20)
+        .orderBy("gram")),
+
     // PII redaction: deterministic synthetic PII woven into each doc (both
     // engines build the identical string), then the RE2-portable
     // email/IPv4/phone redaction chain — byte-exact oracle
@@ -290,6 +305,41 @@ object PipelineQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_repetition" ->
+      """WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        | grams AS (SELECT doc_id, toks,
+        |   CASE WHEN len(toks) >= 2 THEN list_transform(generate_series(1, len(toks)-1),
+        |     i -> toks[i]||' '||toks[i+1]) ELSE [] END AS bg,
+        |   CASE WHEN len(toks) >= 3 THEN list_transform(generate_series(1, len(toks)-2),
+        |     i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]) ELSE [] END AS tg
+        |   FROM tok),
+        | tw AS (SELECT doc_id, max(c) AS topw FROM (
+        |   SELECT doc_id, w, count(*) AS c FROM (SELECT doc_id, unnest(toks) AS w FROM tok)
+        |   GROUP BY doc_id, w) GROUP BY doc_id),
+        | tb AS (SELECT doc_id, max(c) AS topb FROM (
+        |   SELECT doc_id, g, count(*) AS c FROM (SELECT doc_id, unnest(bg) AS g FROM grams)
+        |   GROUP BY doc_id, g) GROUP BY doc_id)
+        |SELECT g.doc_id,
+        |  len(g.toks) AS n_words,
+        |  CASE WHEN len(g.toks) > 0 THEN round(len(list_distinct(g.toks)) * 1.0 / len(g.toks), 4)
+        |       ELSE 0.0 END AS distinct_word_ratio,
+        |  CASE WHEN len(g.bg) > 0 THEN round(1.0 - len(list_distinct(g.bg)) * 1.0 / len(g.bg), 4)
+        |       ELSE 0.0 END AS dup_bigram_frac,
+        |  CASE WHEN len(g.tg) > 0 THEN round(1.0 - len(list_distinct(g.tg)) * 1.0 / len(g.tg), 4)
+        |       ELSE 0.0 END AS dup_trigram_frac,
+        |  round(coalesce(tw.topw * 1.0 / nullif(len(g.toks), 0), 0.0), 4) AS top_word_frac,
+        |  round(coalesce(tb.topb * 1.0 / nullif(len(g.bg), 0), 0.0), 4) AS top_bigram_frac
+        |FROM grams g LEFT JOIN tw USING (doc_id) LEFT JOIN tb USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "q_boilerplate" ->
+      """WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        | g AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 5 THEN
+        |     list_transform(generate_series(1, len(toks)-4),
+        |       i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]||' '||toks[i+3]||' '||toks[i+4])
+        |   ELSE [] END) AS gram FROM tok),
+        | top AS (SELECT gram, count(*) AS n_occurrences, count(DISTINCT doc_id) AS doc_freq
+        |   FROM g GROUP BY gram ORDER BY n_occurrences DESC, doc_freq DESC, gram LIMIT 20)
+        |SELECT gram, n_occurrences, doc_freq FROM top ORDER BY gram""".stripMargin,
     "q_pii_redact" ->
       """SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
         |  substr(text, 1, 40) || ' contact user' || doc_id || '@example.com or call +1 555-000-'

@@ -11,12 +11,15 @@ import org.apache.spark.sql.functions._
   * PNG/JPEG/GIF/BMP container headers byte-wise for dimensions without
   * touching pixels, and [[PixelOps]] decodes, rescales (bilinear) and
   * featurizes actual pixel buffers with pure-JDK `javax.imageio` — frame
-  * sampling reads an animated GIF's true frame count. Only audio PCM and
-  * video frame decode remain STUBBED (no codec libraries in this
-  * container): [[FakeDecoder.decode]] derives deterministic
-  * pseudo-metadata for opaque payloads. The Spark-side plumbing — binary
-  * column handling, partition-batched processing, typed output schema —
-  * is identical on both paths.
+  * sampling reads an animated GIF's true frame count. AUDIO decode is
+  * real for PCM WAV payloads: [[PcmOps]] decodes 8/16/24/32-bit and
+  * float32 samples and featurizes them (duration/RMS/peak/zero-crossing
+  * rate). Only compressed-audio (MP3/FLAC) payload decode and video
+  * frame decode remain STUBBED (no codec libraries in this container):
+  * [[FakeDecoder.decode]] derives deterministic pseudo-metadata for
+  * opaque payloads. The Spark-side plumbing — binary column handling,
+  * partition-batched processing, typed output schema — is identical on
+  * both paths.
   */
 object MultimodalOps {
 
@@ -218,8 +221,8 @@ object MultimodalOps {
 
   /** REAL pixel operations for image payloads — pure-JDK `javax.imageio`
     * (PNG/JPEG/GIF/BMP/WBMP), no external libraries. Executors decode,
-    * rescale and featurize actual pixel buffers; only audio PCM and
-    * video frame decode stay stubbed (no codec libraries here).
+    * rescale and featurize actual pixel buffers; only compressed-audio
+    * and video frame decode stay stubbed (no codec libraries here).
     */
   object PixelOps {
     javax.imageio.ImageIO.setUseCache(false) // no executor-local tmp files
@@ -305,6 +308,164 @@ object MultimodalOps {
         if (i < sums.length && counts(i) > 0) (sums(i) / counts(i) / 255.0).toFloat else 0f
       }
     }
+  }
+
+  /** REAL audio sample decode for PCM WAV payloads — pure JVM, no codec
+    * libraries needed because RIFF/WAVE `data` chunks carry raw PCM:
+    * 8-bit unsigned, 16/24/32-bit signed little-endian, and IEEE float32
+    * (fmt audioFormat 3) all decode to normalized [-1, 1] samples, mixed
+    * to mono for featurization (duration, RMS level, peak, zero-crossing
+    * rate — the standard cheap audio-quality signals a training pipeline
+    * filters on). Compressed audio payloads (MP3/FLAC frames) still have
+    * no decoder in this container; they stay header-metadata-only.
+    */
+  object PcmOps {
+    final case class AudioFeatures(
+        sampleRate: Int,
+        channels: Int,
+        bitsPerSample: Int,
+        nFrames: Long,
+        durationMs: Double,
+        rms: Double,
+        peak: Double,
+        zeroCrossRate: Double)
+
+    private def leU16(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+
+    private def leU32(b: Array[Byte], off: Int): Long =
+      (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+        ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+
+    private def tag(b: Array[Byte], off: Int): String =
+      new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    /** Decode a PCM WAV payload to (sampleRate, channels, bitsPerSample,
+      * mono-mixed normalized samples). None when the payload is not a
+      * RIFF/WAVE container or uses a non-PCM encoding.
+      */
+    def decodeWav(b: Array[Byte]): Option[(Int, Int, Int, Array[Double])] = {
+      if (b == null || b.length < 44) return None
+      if (tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE") return None
+      var fmt = -1 // audioFormat: 1 = integer PCM, 3 = IEEE float
+      var channels = 0
+      var rate = 0
+      var bits = 0
+      var dataOff = -1
+      var dataLen = 0
+      var i = 12
+      while (i + 8 <= b.length) {
+        val id = tag(b, i)
+        val len = leU32(b, i + 4).toInt
+        if (id == "fmt " && i + 8 + 16 <= b.length) {
+          fmt = leU16(b, i + 8)
+          channels = leU16(b, i + 8 + 2)
+          rate = leU32(b, i + 8 + 4).toInt
+          bits = leU16(b, i + 8 + 14)
+        } else if (id == "data") {
+          dataOff = i + 8
+          dataLen = math.min(len, b.length - dataOff)
+        }
+        i += 8 + len + (len & 1) // chunks are word-aligned
+      }
+      if (rate <= 0 || channels <= 0 || dataOff < 0) return None
+      if (fmt != 1 && fmt != 3) return None
+      val bytesPer = bits / 8
+      if (bytesPer <= 0) return None
+      val nFrames = dataLen / (bytesPer * channels)
+      val mono = new Array[Double](nFrames)
+      var f = 0
+      while (f < nFrames) {
+        var sum = 0.0
+        var c = 0
+        while (c < channels) {
+          val o = dataOff + (f * channels + c) * bytesPer
+          val v = (fmt, bits) match {
+            case (1, 8) => ((b(o) & 0xff) - 128) / 128.0 // 8-bit PCM is unsigned
+            case (1, 16) => (leU16(b, o).toShort).toDouble / 32768.0
+            case (1, 24) =>
+              val raw = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) | (b(o + 2) << 16)
+              raw / 8388608.0
+            case (1, 32) => leU32(b, o).toInt.toDouble / 2147483648.0
+            case (3, 32) => java.lang.Float.intBitsToFloat(leU32(b, o).toInt).toDouble
+            case _ => return None
+          }
+          sum += v
+          c += 1
+        }
+        mono(f) = sum / channels
+        f += 1
+      }
+      Some((rate, channels, bits, mono))
+    }
+
+    /** Featurize a decoded mono sample buffer. */
+    def features(rate: Int, channels: Int, bits: Int, mono: Array[Double]): AudioFeatures = {
+      val n = mono.length
+      var sumSq = 0.0
+      var peak = 0.0
+      var crossings = 0L
+      var i = 0
+      while (i < n) {
+        val v = mono(i)
+        sumSq += v * v
+        val a = math.abs(v)
+        if (a > peak) peak = a
+        if (i > 0 && (v > 0) != (mono(i - 1) > 0)) crossings += 1
+        i += 1
+      }
+      AudioFeatures(
+        sampleRate = rate,
+        channels = channels,
+        bitsPerSample = bits,
+        nFrames = n,
+        durationMs = if (rate > 0) n * 1000.0 / rate else 0.0,
+        rms = if (n > 0) math.sqrt(sumSq / n) else 0.0,
+        peak = peak,
+        zeroCrossRate = if (n > 1) crossings.toDouble / (n - 1) else 0.0)
+    }
+
+    def featuresOf(b: Array[Byte]): Option[AudioFeatures] =
+      decodeWav(b).map { case (rate, ch, bits, mono) => features(rate, ch, bits, mono) }
+  }
+
+  /** Per-payload audio row: real decoded features for PCM WAV, header
+    * metadata only for compressed audio, zeros for non-audio payloads.
+    */
+  final case class AudioMeta(
+      doc_id: Long,
+      format: String,
+      sample_rate: Int,
+      channels: Int,
+      bits_per_sample: Int,
+      n_frames: Long,
+      duration_ms: Double,
+      rms: Double,
+      peak: Double,
+      zero_cross_rate: Double)
+
+  /** Batch audio feature extraction over (doc_id, payload) — partition-
+    * parallel mapPartitions (justified: opaque binary decode), no
+    * shuffle. WAV rows carry REAL sample-level features; MP3/FLAC rows
+    * carry the real header rate/channels with zeroed sample features.
+    */
+  def extractAudioFeatures(spark: SparkSession, media: DataFrame): Dataset[AudioMeta] = {
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        PcmOps.featuresOf(bytes) match {
+          case Some(f) =>
+            AudioMeta(id, "wav", f.sampleRate, f.channels, f.bitsPerSample, f.nFrames,
+              f.durationMs, f.rms, f.peak, f.zeroCrossRate)
+          case None =>
+            val flac = MediaHeader.decodeFlac(bytes)
+            val mp3 = if (flac.isEmpty) MediaHeader.decodeMp3(bytes) else None
+            val fmt = if (flac.isDefined) "flac" else if (mp3.isDefined) "mp3" else "opaque"
+            val (rate, ch) = flac.orElse(mp3).getOrElse((0, 0))
+            AudioMeta(id, fmt, rate, ch, 0, 0L, 0.0, 0.0, 0.0, 0.0)
+        }
+      })
   }
 
   /** Typed metadata extracted per media blob. `format`/`width`/`height`

@@ -26,29 +26,49 @@ object ShingleUtil {
   private val SPACE = UTF8String.fromString(" ")
   private val EMPTY: ArrayData = new GenericArrayData(Array.empty[Any])
 
-  def wordShingles(text: UTF8String, n: Int): ArrayData = {
+  def wordShingles(text: UTF8String, n: Int): ArrayData = wordShingles(text, n, true)
+
+  def wordShingles(text: UTF8String, n: Int, distinct: Boolean): ArrayData = {
     // null text → empty array: `when(size(null) >= n, ...)` is null-false,
     // so the declarative form falls to its empty-array otherwise-branch
     if (text == null) return EMPTY
     val toks = text.trim().split(WS, -1)
     if (toks.length < n) return EMPTY
-    val out = new java.util.LinkedHashSet[UTF8String] // first-occurrence order, like array_distinct
     val buf = new Array[UTF8String](n)
-    var i = 0
-    while (i + n <= toks.length) {
-      var j = 0
-      while (j < n) { buf(j) = toks(i + j); j += 1 }
-      out.add(UTF8String.concatWs(SPACE, buf: _*))
-      i += 1
+    if (distinct) {
+      val out = new java.util.LinkedHashSet[UTF8String] // first-occurrence order, like array_distinct
+      var i = 0
+      while (i + n <= toks.length) {
+        var j = 0
+        while (j < n) { buf(j) = toks(i + j); j += 1 }
+        out.add(UTF8String.concatWs(SPACE, buf: _*))
+        i += 1
+      }
+      new GenericArrayData(out.toArray.asInstanceOf[Array[Any]])
+    } else {
+      // positional (repetition-preserving) form: one shingle per window,
+      // duplicates kept — counts over these are what repetition metrics
+      // (top-n-gram fraction, duplicate-n-gram fraction) are defined on
+      val out = new Array[Any](toks.length - n + 1)
+      var i = 0
+      while (i + n <= toks.length) {
+        var j = 0
+        while (j < n) { buf(j) = toks(i + j); j += 1 }
+        out(i) = UTF8String.concatWs(SPACE, buf: _*)
+        i += 1
+      }
+      new GenericArrayData(out)
     }
-    new GenericArrayData(out.toArray.asInstanceOf[Array[Any]])
   }
 }
 
 /** `word_shingles(text, n)`: distinct word n-grams of a whitespace-split
   * string, space-joined — the codegen'd shingler feeding MinHash+LSH.
+  * `distinct = false` keeps every positional window (duplicates included)
+  * for repetition metrics.
   */
-case class WordShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
+case class WordShinglesExpr(child: Expression, n: Int, distinct: Boolean = true)
+    extends UnaryExpression {
 
   require(n >= 1, s"word_shingles: n must be >= 1, got $n")
 
@@ -65,7 +85,7 @@ case class WordShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
   override def nullable: Boolean = false
 
   override def eval(input: InternalRow): Any =
-    ShingleUtil.wordShingles(child.eval(input).asInstanceOf[UTF8String], n)
+    ShingleUtil.wordShingles(child.eval(input).asInstanceOf[UTF8String], n, distinct)
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val c = child.genCode(ctx)
@@ -74,7 +94,7 @@ case class WordShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
       code = code"""
         ${c.code}
         $javaType ${ev.value} = graft.functions.ShingleUtil.wordShingles(
-          ${c.isNull} ? null : ${c.value}, $n);""",
+          ${c.isNull} ? null : ${c.value}, $n, $distinct);""",
       isNull = FalseLiteral)
   }
 
@@ -86,9 +106,11 @@ case class WordShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
 
 object WordShinglesExpr {
   /** Column-level entry point. */
-  def of(text: Column, n: Int): Column =
+  def of(text: Column, n: Int): Column = of(text, n, distinct = true)
+
+  def of(text: Column, n: Int, distinct: Boolean): Column =
     org.apache.spark.sql.graft.ColumnShim.column(
-      WordShinglesExpr(org.apache.spark.sql.graft.ColumnShim.expression(text), n))
+      WordShinglesExpr(org.apache.spark.sql.graft.ColumnShim.expression(text), n, distinct))
 }
 
 /** Engine-portable 60-bit md5 token hash, computed straight from the

@@ -472,6 +472,71 @@ object TextOps {
     )
   }
 
+  // ---- repetition / boilerplate ---------------------------------------
+
+  /** Gopher-style per-document repetition signals (Rae et al. 2021 §A1.1
+    * quality heuristics, adapted to word n-grams): vocabulary diversity
+    * (`distinct_word_ratio`), duplicate bi/trigram fractions (share of
+    * n-gram windows whose n-gram occurs more than once in the document)
+    * and top-1 word / bigram concentration. Highly repetitive documents —
+    * boilerplate, keyword stuffing, generation loops — score low on
+    * diversity and high on concentration; a training-data pipeline
+    * filters on these before dedup.
+    *
+    * Shape: the ratio columns are pure projections over the codegen'd
+    * positional shingler (no shuffle); the two concentration columns each
+    * take one (id, token) partial-agg shuffle keyed by the document —
+    * fully parallel at any corpus size, nothing collects.
+    */
+  def repetitionSignals(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val id = col(idCol)
+    val base = docs.select(id, tokens(col(textCol)).as("toks"),
+      WordShinglesExpr.of(col(textCol), 2, distinct = false).as("bg"),
+      WordShinglesExpr.of(col(textCol), 3, distinct = false).as("tg"))
+    def dupFrac(c: Column): Column =
+      when(size(c) > 0,
+        round(lit(1.0) - size(array_distinct(c)).cast("double") / size(c), 4))
+        .otherwise(lit(0.0))
+    val proj = base.select(id,
+      size(col("toks")).as("n_words"),
+      when(size(col("toks")) > 0,
+        round(size(array_distinct(col("toks"))).cast("double") / size(col("toks")), 4))
+        .otherwise(lit(0.0)).as("distinct_word_ratio"),
+      dupFrac(col("bg")).as("dup_bigram_frac"),
+      dupFrac(col("tg")).as("dup_trigram_frac"))
+    val topWord = base.select(id, size(col("toks")).as("n_toks"), explode(col("toks")).as("w"))
+      .groupBy(id, col("n_toks"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(idCol).agg(max(col("c")).as("top_w_c"), first(col("n_toks")).as("n_toks"))
+    val topBigram = base.select(id, size(col("bg")).as("n_bg"), explode(col("bg")).as("g"))
+      .groupBy(id, col("n_bg"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(idCol).agg(max(col("c")).as("top_bg_c"), first(col("n_bg")).as("n_bg"))
+    proj.join(topWord, Seq(idCol), "left")
+      .join(topBigram, Seq(idCol), "left")
+      .select(id, col("n_words"), col("distinct_word_ratio"),
+        col("dup_bigram_frac"), col("dup_trigram_frac"),
+        round(coalesce(col("top_w_c").cast("double") / col("n_toks"), lit(0.0)), 4)
+          .as("top_word_frac"),
+        round(coalesce(col("top_bg_c").cast("double") / col("n_bg"), lit(0.0)), 4)
+          .as("top_bigram_frac"))
+  }
+
+  /** Corpus-level boilerplate detection: the `topK` most repeated word
+    * n-grams across the whole corpus with their occurrence count and
+    * document frequency (C4-style "remove frequent boilerplate lines",
+    * generalized to n-grams since the corpus has no line structure).
+    * One shuffle keyed on the gram with partial aggregation — the
+    * standard scalable heavy-hitters shape; ordering is fully
+    * deterministic (count desc, doc-freq desc, gram asc).
+    */
+  def boilerplateNgrams(
+      docs: DataFrame, idCol: String, textCol: String, n: Int, topK: Int): DataFrame =
+    docs.select(col(idCol),
+        explode(WordShinglesExpr.of(col(textCol), n, distinct = false)).as("gram"))
+      .groupBy("gram")
+      .agg(count(lit(1)).as("n_occurrences"), countDistinct(col(idCol)).as("doc_freq"))
+      .orderBy(desc("n_occurrences"), desc("doc_freq"), col("gram"))
+      .limit(topK)
+
   // ---- PII redaction / decontamination / deterministic sampling -------
 
   /** Email / IPv4 / phone redaction as a pure codegen'd regexp_replace

@@ -589,4 +589,115 @@ class PipelineOpsSpec extends AnyFunSuite {
     // doc 1 and 4 share identical payloads → identical metadata
     assert(metas(0).copy(doc_id = 4L) == metas(3))
   }
+
+  test("positional word shingles keep duplicates in window order") {
+    val rows = Seq((1L, "a b a b"), (2L, "x"), (3L, null.asInstanceOf[String]))
+      .toDF("id", "t")
+      .select($"id", WordShinglesExpr.of($"t", 2, distinct = false))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(rows(1L) == Seq("a b", "b a", "a b"))
+    assert(rows(2L).isEmpty && rows(3L).isEmpty)
+  }
+
+  test("repetition signals match hand-computed Gopher-style metrics") {
+    val data = Seq(
+      (1L, "a a a a"), // 4 words, 1 distinct; bigrams 3x"a a"; trigrams 2x"a a a"
+      (2L, "w x y z"), // fully diverse
+      (3L, "go go stop") // 3 words: bigrams "go go","go stop" distinct
+    ).toDF("doc_id", "text")
+    val sig = TextOps.repetitionSignals(data, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+    val r1 = sig(1L)
+    assert(r1.getInt(1) == 4)
+    assert(r1.getDouble(2) == 0.25) // 1/4 distinct words
+    assert(r1.getDouble(3) == 0.6667) // 1 - 1/3 bigrams distinct
+    assert(r1.getDouble(4) == 0.5) // 1 - 1/2 trigrams distinct
+    assert(r1.getDouble(5) == 1.0) // top word "a" is every word
+    assert(r1.getDouble(6) == 1.0) // top bigram "a a" is every bigram
+
+    val r2 = sig(2L)
+    assert(r2.getDouble(2) == 1.0 && r2.getDouble(3) == 0.0 && r2.getDouble(4) == 0.0)
+    assert(r2.getDouble(5) == 0.25) // each word once out of 4
+    assert(r2.getDouble(6) == 0.3333) // each bigram once out of 3
+
+    val r3 = sig(3L)
+    assert(r3.getInt(1) == 3)
+    assert(r3.getDouble(2) == 0.6667) // 2/3 distinct
+    assert(r3.getDouble(5) == 0.6667) // "go" 2/3
+    assert(r3.getDouble(6) == 0.5) // both bigrams once out of 2
+  }
+
+  test("boilerplate n-grams rank corpus-wide repeated shingles with doc frequency") {
+    val data = Seq(
+      (1L, "click here to subscribe now for more"),
+      (2L, "breaking news click here to subscribe now"),
+      (3L, "click here to subscribe now said the dog"),
+      (4L, "nothing shared with anything else at all")
+    ).toDF("doc_id", "text")
+    val top = TextOps.boilerplateNgrams(data, "doc_id", "text", n = 5, topK = 3)
+      .collect()
+    assert(top.head.getString(0) == "click here to subscribe now")
+    assert(top.head.getLong(1) == 3 && top.head.getLong(2) == 3)
+    // remaining grams all occur once; ordering is deterministic (gram asc)
+    assert(top.map(_.getLong(1)).toSeq == Seq(3L, 1L, 1L))
+    assert(top(1).getString(0) < top(2).getString(0))
+  }
+
+  test("PCM WAV payloads decode real samples: duration, RMS, peak, zero crossings") {
+    import MultimodalOps.PcmOps
+    // hand-built 16-bit mono WAV: 8 kHz, 0.5 s of a full-scale 1 kHz square
+    // wave (alternating +/- every 4 samples) → rms=peak=1, zcr=1/4
+    val rate = 8000
+    val n = 4000
+    val data = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val v = if ((i / 4) % 2 == 0) 32767 else -32767
+      data(i * 2) = (v & 0xff).toByte
+      data(i * 2 + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val fmt = "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++ le32(rate) ++
+      le32(rate * 2) ++ le16(2) ++ le16(16)
+    val wav = "RIFF".getBytes ++ le32(36 + data.length) ++ "WAVE".getBytes ++
+      fmt ++ "data".getBytes ++ le32(data.length) ++ data
+
+    val f = PcmOps.featuresOf(wav).get
+    assert(f.sampleRate == rate && f.channels == 1 && f.bitsPerSample == 16)
+    assert(f.nFrames == n)
+    assert(math.abs(f.durationMs - 500.0) < 1e-9)
+    assert(math.abs(f.rms - 32767.0 / 32768.0) < 1e-6)
+    assert(math.abs(f.peak - 32767.0 / 32768.0) < 1e-6)
+    assert(math.abs(f.zeroCrossRate - 999.0 / 3999.0) < 1e-6, f.zeroCrossRate.toString)
+
+    // javax.sound-written stereo silence decodes too (validates chunk walk
+    // against an independent writer), and silence has rms = peak = 0
+    val fmtA = new javax.sound.sampled.AudioFormat(16000f, 16, 2, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(new Array[Byte](3200)), fmtA, 800)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val silent = PcmOps.featuresOf(bos.toByteArray).get
+    assert(silent.sampleRate == 16000 && silent.channels == 2 && silent.nFrames == 800)
+    assert(silent.rms == 0.0 && silent.peak == 0.0)
+
+    // the DataFrame op routes WAV to real features and compressed audio
+    // to header-only rows
+    val streaminfo = new Array[Byte](34)
+    streaminfo(10) = 0x0b.toByte
+    streaminfo(11) = 0xb8.toByte
+    streaminfo(12) = 0x02.toByte
+    val flacBytes: Array[Byte] = "fLaC".getBytes ++
+      Array[Byte](0x80.toByte, 0, 0, 34) ++ streaminfo
+    val out = MultimodalOps.extractAudioFeatures(spark,
+      Seq((1L, wav), (2L, flacBytes), (3L, "not audio".getBytes)).toDF("doc_id", "payload"))
+      .collect().map(m => m.doc_id -> m).toMap
+    assert(out(1L).format == "wav" && out(1L).n_frames == n && out(1L).rms > 0.99)
+    assert(out(2L).format == "flac" && out(2L).sample_rate == 48000 && out(2L).n_frames == 0)
+    assert(out(3L).format == "opaque" && out(3L).sample_rate == 0)
+  }
 }
