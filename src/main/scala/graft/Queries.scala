@@ -13,7 +13,7 @@ object Btr {
   /** Bump when the writer's footer layout/stats change, so a stale cache
     * from an older build is never scanned.
     */
-  private val CacheVersion = "v4" // string-bound exactness flag bits
+  private val CacheVersion = "v5" // footer v3: per-chunk bloom filters
 
   private def cacheDir(sfDir: String, table: String): String = {
     val key = sfDir.replaceAll("[^a-zA-Z0-9.]", "_")
@@ -217,6 +217,16 @@ object CoreQueries {
         .orderBy(desc("revenue"), asc("n_name"))
     }),
 
+    // Q-point-lookup: equality probe on an unsorted join key — the
+    // chunk-skipping stress case where every chunk's min/max overlaps the
+    // value and only the per-chunk bloom filter (footer v3) can prune.
+    // Benchmarked per round alongside the range-predicate q_rt_filter.
+    "q_point_lookup" -> ((s, d) => {
+      t(s, d, "lineitem").filter(col("l_partkey") === 1)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_quantity"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
     // Q-rollup: grouping-set aggregation (subtotals + grand total);
     // null ordering pinned explicitly (Spark and DuckDB defaults differ)
     "q_rollup" -> ((s, d) => {
@@ -390,6 +400,9 @@ object CoreQueries {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY revenue DESC, n_name ASC""".stripMargin,
+    "q_point_lookup" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM lineitem
+        |WHERE l_partkey = 1 ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         | round(sum(l_quantity), 2) AS sum_qty

@@ -25,7 +25,12 @@ final case class BtrConfig(
     forceString: Option[Int],
     tryAll: Boolean,
     sampleRuns: Int,
-    sampleRunLen: Int
+    sampleRunLen: Int,
+    // per-chunk split-block bloom filters over int/string values for
+    // equality chunk-skipping; capped per chunk-column so footers stay
+    // small (chunks whose cardinality exceeds the budget store none)
+    bloomEnabled: Boolean = true,
+    bloomMaxBytes: Int = 2048
 ) {
   def intEnabled(scheme: Int): Boolean =
     schemes.isEmpty || schemes.contains(BtrConfig.intNames(scheme))
@@ -95,7 +100,9 @@ object BtrConfig {
       forceString = force("btr.forceScheme.string", stringByName),
       tryAll = selection == "tryall",
       sampleRuns = if (selection == "full") 0 else 10,
-      sampleRunLen = 64
+      sampleRunLen = 64,
+      bloomEnabled = get("btr.bloom.enabled").forall(_.trim.toLowerCase != "false"),
+      bloomMaxBytes = get("btr.bloom.maxBytes").map(_.trim.toInt).getOrElse(2048)
     )
   }
 }

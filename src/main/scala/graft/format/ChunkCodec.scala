@@ -126,7 +126,10 @@ object ChunkCodec {
       // string bounds exactness: an untruncated bound is the true chunk
       // min/max (enables string MIN/MAX aggregate pushdown); a truncated
       // one is only a valid skip bound
-      minExact: Boolean = false, maxExact: Boolean = false)
+      minExact: Boolean = false, maxExact: Boolean = false,
+      // split-block bloom over distinct value hashes (int/string family),
+      // null when disabled or the chunk's cardinality exceeds the budget
+      bloom: Array[Int] = null)
 
   /** Max stored length of string chunk bounds (Parquet-style truncation:
     * a min prefix stays a valid lower bound; a max prefix is incremented at
@@ -172,18 +175,21 @@ object ChunkCodec {
       }
       var mn = Long.MaxValue
       var mx = Long.MinValue
+      val hashes = if (cfg.bloomEnabled) new Bloom.LongSet() else null
       i = 0
       while (i < chunk.count) {
         if (!chunk.isNull(i)) {
           val v = chunk.longs(i)
           if (v < mn) mn = v
           if (v > mx) mx = v
+          if (hashes != null) hashes.add(Bloom.hashLong(v))
         }
         i += 1
       }
       val has = nullCount < chunk.count
       ChunkStats(nullCount, mn, mx, 0, 0, has,
-        rawBytes = chunk.count.toLong * PhysType.physWidth(tag))
+        rawBytes = chunk.count.toLong * PhysType.physWidth(tag),
+        bloom = if (hashes != null) Bloom.build(hashes, cfg.bloomMaxBytes) else null)
     } else if (tag == PhysType.Double || tag == PhysType.Float) {
       if (tag == PhysType.Float) {
         // floats stored as raw bits via the int path (lossless, narrower)
@@ -256,6 +262,7 @@ object ChunkCodec {
       var mn: Array[Byte] = null
       var mx: Array[Byte] = null
       var totalLen = 0L
+      val hashes = if (cfg.bloomEnabled) new Bloom.LongSet() else null
       i = 0
       while (i < chunk.count) {
         totalLen += chunk.strings(i).length
@@ -263,6 +270,7 @@ object ChunkCodec {
           val v = chunk.strings(i)
           if (mn == null || java.util.Arrays.compareUnsigned(v, mn) < 0) mn = v
           if (mx == null || java.util.Arrays.compareUnsigned(v, mx) > 0) mx = v
+          if (hashes != null) hashes.add(Bloom.hashBytes(v))
         }
         i += 1
       }
@@ -272,7 +280,8 @@ object ChunkCodec {
         minBytes = truncMin(mn), maxBytes = truncMax(mx), rawBytes = raw,
         // ≤ StringStatLen bounds are stored untruncated — exact by
         // construction (truncMin/truncMax return them unchanged)
-        minExact = mn.length <= StringStatLen, maxExact = mx.length <= StringStatLen)
+        minExact = mn.length <= StringStatLen, maxExact = mx.length <= StringStatLen,
+        bloom = if (hashes != null) Bloom.build(hashes, cfg.bloomMaxBytes) else null)
     }
   }
 

@@ -23,9 +23,11 @@ object BtrFile {
   // v2: double/float chunk stats carry a hasNaN flag byte (footer stats
   // exclude NaN from min/max, but Spark orders NaN above every value — the
   // flag keeps GreaterThan-family chunk skipping and MIN/MAX pushdown
-  // NaN-exact). Readers validate the header version and fail cleanly on
-  // files written by a different layout.
-  val Version = 2
+  // NaN-exact). v3: every column chunk may carry a split-block bloom
+  // filter (u32 word count, 0 = none) after its stats for equality
+  // chunk-skipping. Readers validate the header version and fail cleanly
+  // on files written by a different layout.
+  val Version = 3
   val DefaultBlockSize = 65536 // tuples per chunk, btrblocks.hpp:24
   val DefaultCascadeDepth = 3 // btrblocks.hpp:31,37,43
 
@@ -53,7 +55,10 @@ object BtrFile {
       maxExact: Boolean = false,
       // kind 2 only: the chunk contains at least one NaN (min/maxDouble
       // exclude NaN; an all-NaN chunk stores NaN placeholders for both)
-      hasNaN: Boolean = false
+      hasNaN: Boolean = false,
+      // optional split-block bloom over the chunk's distinct value hashes
+      // (int/string families) for equality skipping; null when absent
+      bloom: Array[Int] = null
   )
 
   final case class RowGroupMeta(numRows: Int, columns: Array[ColumnChunkMeta])
@@ -94,6 +99,13 @@ object BtrFile {
             if (c.minBytes != null) { out.putByte(c.minBytes.length); out.putBytes(c.minBytes) }
             if (c.maxBytes != null) { out.putByte(c.maxBytes.length); out.putBytes(c.maxBytes) }
           case _ => ()
+        }
+        // v3: optional bloom bits (u32 word count, 0 = none)
+        if (c.bloom == null) out.putInt(0)
+        else {
+          out.putInt(c.bloom.length)
+          var i = 0
+          while (i < c.bloom.length) { out.putInt(c.bloom(i)); i += 1 }
         }
       }
     }
@@ -181,7 +193,7 @@ object BtrFile {
         val l = in.getInt()
         val nulls = in.getInt()
         val kind = in.getByte()
-        cols(c) = kind match {
+        val parsed = kind match {
           case 1 =>
             val mn = in.getLong(); val mx = in.getLong()
             ColumnChunkMeta(off, l, nulls, 1, mn, mx, 0, 0)
@@ -197,6 +209,15 @@ object BtrFile {
               minExact = (flags & 4) != 0, maxExact = (flags & 8) != 0)
           case _ => ColumnChunkMeta(off, l, nulls, 0, 0, 0, 0, 0)
         }
+        val bloomWords = in.getInt()
+        cols(c) =
+          if (bloomWords == 0) parsed
+          else {
+            val bits = new Array[Int](bloomWords)
+            var i = 0
+            while (i < bloomWords) { bits(i) = in.getInt(); i += 1 }
+            parsed.copy(bloom = bits)
+          }
         c += 1
       }
       rgs(g) = RowGroupMeta(numRows, cols)

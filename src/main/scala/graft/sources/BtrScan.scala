@@ -1447,7 +1447,9 @@ object ChunkSkip {
       case IsNull(a) => col(a).exists { case (m, _) => m.nullCount == 0 }
       case IsNotNull(a) => col(a).exists { case (m, _) => m.nullCount == rg.numRows }
       case EqualTo(a, v) =>
-        col(a).exists { case (m, dt) => outside(m, dt, v, eqLow = true, eqHigh = true) }
+        col(a).exists { case (m, dt) =>
+          outside(m, dt, v, eqLow = true, eqHigh = true) || bloomExcludes(m, dt, v)
+        }
       case GreaterThan(a, v) =>
         col(a).exists { case (m, dt) => maxBelowOrEq(m, dt, v, strict = true) }
       case GreaterThanOrEqual(a, v) =>
@@ -1457,7 +1459,9 @@ object ChunkSkip {
       case LessThanOrEqual(a, v) =>
         col(a).exists { case (m, dt) => minAboveOrEq(m, dt, v, strict = false) }
       case In(a, vs) =>
-        col(a).exists { case (m, dt) => vs.forall(v => outside(m, dt, v, eqLow = true, eqHigh = true)) }
+        col(a).exists { case (m, dt) =>
+          vs.forall(v => outside(m, dt, v, eqLow = true, eqHigh = true) || bloomExcludes(m, dt, v))
+        }
       case StringStartsWith(a, p) =>
         // value starts with p  ⟺  p <= value < increment(p); skip when the
         // whole group provably sits outside that window
@@ -1477,6 +1481,23 @@ object ChunkSkip {
       case _ => false
     } catch { case _: IllegalArgumentException => false }
   }
+
+  /** Equality pruning beyond min/max: the chunk's split-block bloom
+    * proves the value absent. Hash domains mirror the writer
+    * (ChunkCodec.encode): int family / unscaled decimal → hashLong of
+    * the stored long; string/binary → hashBytes of the raw bytes.
+    * Double/float chunks never store blooms (statsKind 2), so they fall
+    * through to `false` via the statsKind guard.
+    */
+  private def bloomExcludes(m: BtrFile.ColumnChunkMeta, dt: DataType, v: Any): Boolean =
+    m.bloom != null && (m.statsKind match {
+      case 1 =>
+        val x = if (dt.isInstanceOf[DecimalType]) decimalLit(v, dt) else toLongLit(v)
+        !graft.format.Bloom.mightContain(m.bloom, graft.format.Bloom.hashLong(x))
+      case 3 =>
+        !graft.format.Bloom.mightContain(m.bloom, graft.format.Bloom.hashBytes(toBytesLit(v)))
+      case _ => false
+    })
 
   // value strictly outside [min,max]
   private def outside(m: BtrFile.ColumnChunkMeta, dt: DataType, v: Any, eqLow: Boolean, eqHigh: Boolean): Boolean =

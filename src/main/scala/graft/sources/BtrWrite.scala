@@ -476,7 +476,8 @@ class BtrDataWriter(path: String, schema: StructType, blockSize: Int, cascade: I
         maxBytes = stats.maxBytes,
         minExact = stats.minExact,
         maxExact = stats.maxExact,
-        hasNaN = stats.hasNaN
+        hasNaN = stats.hasNaN,
+        bloom = stats.bloom
       )
       bytesWritten += blobLen
       colNulls(c) += stats.nullCount
