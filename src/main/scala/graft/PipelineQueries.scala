@@ -293,6 +293,24 @@ object PipelineQueries {
         .orderBy("col_name")
     }),
 
+    // REAL audio decode under the oracle gate: each doc's text becomes a
+    // deterministic 8-bit PCM WAV (fixed 200-byte body, so the RIFF
+    // header is one constant literal); PcmOps decodes actual samples per
+    // row and DuckDB recomputes the identical normalization arithmetic
+    // straight from the character codes
+    "q_audio_features" -> ((s, d) => {
+      val n = 200
+      val header = MultimodalOps.PcmOps.wavHeader(rate = 8000, channels = 1, bits = 8, dataLen = n)
+      val media = t(s, d, "documents").select(col("doc_id"),
+        concat(lit(header), encode(rpad(substring(col("text"), 1, n), n, " "), "UTF-8"))
+          .as("payload"))
+      MultimodalOps.extractAudioFeatures(s, media).toDF()
+        .select(col("doc_id"), col("n_frames"), col("duration_ms"),
+          round(col("rms"), 4).as("rms"), round(col("peak"), 4).as("peak"),
+          round(col("zero_cross_rate"), 4).as("zcr"))
+        .orderBy("doc_id")
+    }),
+
     // multimodal plumbing: opaque binary payload → partition-batched
     // (stubbed) decode → typed metadata
     "q_multimodal_meta" -> ((s, d) => {
@@ -305,6 +323,17 @@ object PipelineQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_audio_features" ->
+      """WITH b AS (SELECT doc_id,
+        |   list_transform(split(rpad(substr(text, 1, 200), 200, ' '), ''),
+        |     c -> (ord(c) - 128) / 128.0) AS v
+        |  FROM documents)
+        |SELECT doc_id, CAST(200 AS BIGINT) AS n_frames, 25.0 AS duration_ms,
+        |  round(sqrt(list_sum(list_transform(v, x -> x*x)) / 200), 4) AS rms,
+        |  round(list_max(list_transform(v, x -> abs(x))), 4) AS peak,
+        |  round(len(list_filter(generate_series(2, 200),
+        |    i -> (v[i] > 0) <> (v[i-1] > 0))) / 199.0, 4) AS zcr
+        |FROM b ORDER BY doc_id""".stripMargin,
     "q_repetition" ->
       """WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
         | grams AS (SELECT doc_id, toks,

@@ -427,6 +427,30 @@ object MultimodalOps {
 
     def featuresOf(b: Array[Byte]): Option[AudioFeatures] =
       decodeWav(b).map { case (rate, ch, bits, mono) => features(rate, ch, bits, mono) }
+
+    /** Minimal RIFF/WAVE header for an integer-PCM payload of `dataLen`
+      * bytes — the writer half of [[decodeWav]], used to synthesize
+      * deterministic audio payloads (oracle queries, tests).
+      */
+    def wavHeader(rate: Int, channels: Int, bits: Int, dataLen: Int): Array[Byte] = {
+      val w = new graft.format.BufWriter(44)
+      def le16(v: Int): Unit = { w.putByte(v & 0xff); w.putByte((v >> 8) & 0xff) }
+      def le32(v: Int): Unit = { le16(v & 0xffff); le16((v >>> 16) & 0xffff) }
+      w.putBytes("RIFF".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      le32(36 + dataLen)
+      w.putBytes("WAVE".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      w.putBytes("fmt ".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      le32(16)
+      le16(1) // integer PCM
+      le16(channels)
+      le32(rate)
+      le32(rate * channels * (bits / 8)) // byte rate
+      le16(channels * (bits / 8)) // block align
+      le16(bits)
+      w.putBytes("data".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      le32(dataLen)
+      w.result()
+    }
   }
 
   /** Per-payload audio row: real decoded features for PCM WAV, header
