@@ -62,6 +62,100 @@ object ShingleUtil {
   }
 }
 
+/** One-pass repetition statistics for [[RepetitionStatsExpr]]: token,
+  * bigram and trigram totals, distinct counts and top-1 frequencies from
+  * a single tokenization — the fused form of three explode+groupBy
+  * aggregations (each a (doc, token) shuffle) collapsed into a pure
+  * projection, the same kernel-over-declarative trade as the shingle and
+  * signature expressions above.
+  */
+object RepetitionUtil {
+  private val WS = UTF8String.fromString("\\s+")
+  private val SPACE = UTF8String.fromString(" ")
+
+  // (total, distinct, top-count) of positional g-grams over toks
+  private def gramStats(toks: Array[UTF8String], g: Int): (Int, Int, Int) = {
+    val n = toks.length
+    if (n < g) return (0, 0, 0)
+    val counts = new java.util.HashMap[UTF8String, Array[Int]]()
+    val buf = new Array[UTF8String](g)
+    var top = 0
+    var i = 0
+    while (i + g <= n) {
+      var j = 0
+      while (j < g) { buf(j) = toks(i + j); j += 1 }
+      val key = if (g == 1) buf(0) else UTF8String.concatWs(SPACE, buf: _*)
+      val c = counts.computeIfAbsent(key, _ => new Array[Int](1))
+      c(0) += 1
+      if (c(0) > top) top = c(0)
+      i += 1
+    }
+    (n - g + 1, counts.size, top)
+  }
+
+  /** Row of 9 ints: n_words, distinct_words, top_word_c, n_bigrams,
+    * distinct_bigrams, top_bigram_c, n_trigrams, distinct_trigrams,
+    * top_trigram_c. Tokenization is identical to `split(trim(text),
+    * "\\s+")`, so counts match the declarative explode pipelines (and
+    * the DuckDB oracle) exactly.
+    */
+  def stats(text: UTF8String): InternalRow = {
+    if (text == null) return null
+    val toks = text.trim().split(WS, -1)
+    val (nw, dw, tw) = gramStats(toks, 1)
+    val (nb, db, tb) = gramStats(toks, 2)
+    val (nt, dt, tt) = gramStats(toks, 3)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nw, dw, tw, nb, db, tb, nt, dt, tt))
+  }
+}
+
+/** `repetition_stats(text)`: the Gopher-repetition counting core as one
+  * codegen'd expression returning a 9-int struct; ratio columns derive
+  * declaratively above it.
+  */
+case class RepetitionStatsExpr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"repetition_stats needs a string column, got ${child.dataType}")
+
+  override def dataType: DataType = RepetitionStatsExpr.schema
+
+  override protected def nullSafeEval(input: Any): Any =
+    RepetitionUtil.stats(input.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.RepetitionUtil.stats($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): RepetitionStatsExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "repetition_stats"
+}
+
+object RepetitionStatsExpr {
+  import org.apache.spark.sql.types.{IntegerType, StructType}
+
+  val schema: StructType = new StructType()
+    .add("n_words", IntegerType, nullable = false)
+    .add("distinct_words", IntegerType, nullable = false)
+    .add("top_word_c", IntegerType, nullable = false)
+    .add("n_bigrams", IntegerType, nullable = false)
+    .add("distinct_bigrams", IntegerType, nullable = false)
+    .add("top_bigram_c", IntegerType, nullable = false)
+    .add("n_trigrams", IntegerType, nullable = false)
+    .add("distinct_trigrams", IntegerType, nullable = false)
+    .add("top_trigram_c", IntegerType, nullable = false)
+
+  def of(text: Column): Column =
+    org.apache.spark.sql.graft.ColumnShim.column(
+      RepetitionStatsExpr(org.apache.spark.sql.graft.ColumnShim.expression(text)))
+}
+
 /** `word_shingles(text, n)`: distinct word n-grams of a whitespace-split
   * string, space-joined — the codegen'd shingler feeding MinHash+LSH.
   * `distinct = false` keeps every positional window (duplicates included)

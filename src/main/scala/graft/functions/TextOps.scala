@@ -483,41 +483,29 @@ object TextOps {
     * diversity and high on concentration; a training-data pipeline
     * filters on these before dedup.
     *
-    * Shape: the ratio columns are pure projections over the codegen'd
-    * positional shingler (no shuffle); the two concentration columns each
-    * take one (id, token) partial-agg shuffle keyed by the document —
-    * fully parallel at any corpus size, nothing collects.
+    * Shape: ONE codegen'd pass per document ([[RepetitionStatsExpr]]
+    * counts tokens/bigrams/trigrams, their distincts and top-1
+    * frequencies in a single tokenization) and a declarative ratio layer
+    * above it — a pure projection, no shuffle, no explode, nothing
+    * collects. The fused kernel replaces two explode + groupBy + join
+    * paths (each a (doc, token) shuffle of every token occurrence).
     */
   def repetitionSignals(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val id = col(idCol)
-    val base = docs.select(id, tokens(col(textCol)).as("toks"),
-      WordShinglesExpr.of(col(textCol), 2, distinct = false).as("bg"),
-      WordShinglesExpr.of(col(textCol), 3, distinct = false).as("tg"))
-    def dupFrac(c: Column): Column =
-      when(size(c) > 0,
-        round(lit(1.0) - size(array_distinct(c)).cast("double") / size(c), 4))
-        .otherwise(lit(0.0))
-    val proj = base.select(id,
-      size(col("toks")).as("n_words"),
-      when(size(col("toks")) > 0,
-        round(size(array_distinct(col("toks"))).cast("double") / size(col("toks")), 4))
-        .otherwise(lit(0.0)).as("distinct_word_ratio"),
-      dupFrac(col("bg")).as("dup_bigram_frac"),
-      dupFrac(col("tg")).as("dup_trigram_frac"))
-    val topWord = base.select(id, size(col("toks")).as("n_toks"), explode(col("toks")).as("w"))
-      .groupBy(id, col("n_toks"), col("w")).agg(count(lit(1)).as("c"))
-      .groupBy(idCol).agg(max(col("c")).as("top_w_c"), first(col("n_toks")).as("n_toks"))
-    val topBigram = base.select(id, size(col("bg")).as("n_bg"), explode(col("bg")).as("g"))
-      .groupBy(id, col("n_bg"), col("g")).agg(count(lit(1)).as("c"))
-      .groupBy(idCol).agg(max(col("c")).as("top_bg_c"), first(col("n_bg")).as("n_bg"))
-    proj.join(topWord, Seq(idCol), "left")
-      .join(topBigram, Seq(idCol), "left")
-      .select(id, col("n_words"), col("distinct_word_ratio"),
-        col("dup_bigram_frac"), col("dup_trigram_frac"),
-        round(coalesce(col("top_w_c").cast("double") / col("n_toks"), lit(0.0)), 4)
-          .as("top_word_frac"),
-        round(coalesce(col("top_bg_c").cast("double") / col("n_bg"), lit(0.0)), 4)
-          .as("top_bigram_frac"))
+    def ratio(num: Column, den: Column): Column =
+      when(den > 0, round(num.cast("double") / den, 4)).otherwise(lit(0.0))
+    docs.select(id, RepetitionStatsExpr.of(col(textCol)).as("r"))
+      .select(id,
+        col("r.n_words").as("n_words"),
+        ratio(col("r.distinct_words"), col("r.n_words")).as("distinct_word_ratio"),
+        when(col("r.n_bigrams") > 0,
+          round(lit(1.0) - col("r.distinct_bigrams").cast("double") / col("r.n_bigrams"), 4))
+          .otherwise(lit(0.0)).as("dup_bigram_frac"),
+        when(col("r.n_trigrams") > 0,
+          round(lit(1.0) - col("r.distinct_trigrams").cast("double") / col("r.n_trigrams"), 4))
+          .otherwise(lit(0.0)).as("dup_trigram_frac"),
+        ratio(col("r.top_word_c"), col("r.n_words")).as("top_word_frac"),
+        ratio(col("r.top_bigram_c"), col("r.n_bigrams")).as("top_bigram_frac"))
   }
 
   /** Corpus-level boilerplate detection: the `topK` most repeated word

@@ -129,6 +129,7 @@ class PipelineOpsSpec extends AnyFunSuite {
       df.select(CosineExpr.of(col("vec"), col("vec"))).collect()
       df.select(LshBucketsExpr.of(col("vec"),
         Seq(Seq(Seq(1.0, -1.0), Seq(0.5, 0.5))))).collect()
+      df.select(RepetitionStatsExpr.of(col("text"))).collect()
     } finally {
       spark.conf.unset("spark.sql.codegen.fallback")
       spark.conf.unset("spark.sql.codegen.factoryMode")
@@ -626,6 +627,33 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(r3.getDouble(2) == 0.6667) // 2/3 distinct
     assert(r3.getDouble(5) == 0.6667) // "go" 2/3
     assert(r3.getDouble(6) == 0.5) // both bigrams once out of 2
+  }
+
+  test("RepetitionStatsExpr counts are identical to the declarative explode pipeline") {
+    val data = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    val kernel = data.select($"doc_id", RepetitionStatsExpr.of($"text").as("r"))
+      .select($"doc_id", $"r.n_words", $"r.distinct_words", $"r.top_word_c",
+        $"r.n_bigrams", $"r.distinct_bigrams", $"r.top_bigram_c",
+        $"r.n_trigrams", $"r.distinct_trigrams")
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    val base = data.select($"doc_id", TextOps.tokens($"text").as("toks"),
+      WordShinglesExpr.of($"text", 2, distinct = false).as("bg"),
+      WordShinglesExpr.of($"text", 3, distinct = false).as("tg"))
+    val decl = base
+      .select($"doc_id",
+        size($"toks").as("nw"), size(array_distinct($"toks")).as("dw"),
+        size($"bg").as("nb"), size(array_distinct($"bg")).as("db"),
+        size($"tg").as("nt"), size(array_distinct($"tg")).as("dt"),
+        expr("array_max(transform(array_distinct(toks), w -> size(filter(toks, x -> x = w))))").as("tw"),
+        expr("coalesce(array_max(transform(array_distinct(bg), w -> size(filter(bg, x -> x = w)))), 0)").as("tb"))
+      .collect().map(r => r.getLong(0) ->
+        Seq(r.getInt(1), r.getInt(2), r.getInt(7), r.getInt(3), r.getInt(4), r.getInt(8),
+          r.getInt(5), r.getInt(6))).toMap
+    assert(kernel.keySet == decl.keySet)
+    kernel.foreach { case (id, k) =>
+      assert(k == decl(id), s"doc $id: kernel $k vs declarative ${decl(id)}")
+    }
   }
 
   test("boilerplate n-grams rank corpus-wide repeated shingles with doc frequency") {
