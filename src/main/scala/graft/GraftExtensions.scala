@@ -40,6 +40,16 @@ object GraftExtensions {
       s"$fn: $arg must be a constant integer expression, got $other")
   }
 
+  private def boolLit(e: Expression, fn: String, arg: String): Boolean = e match {
+    case f if f.foldable => f.eval() match {
+      case b: Boolean => b
+      case other => throw new IllegalArgumentException(
+        s"$fn: $arg must be a boolean constant, got $other")
+    }
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be a constant boolean expression, got $other")
+  }
+
   private def info(name: String, usage: String): ExpressionInfo =
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "", "", "",
       "", "4.0.0", "", "internal")
@@ -55,11 +65,21 @@ object GraftExtensions {
       (args: Seq[Expression]) =>
         Md5Hash60Expr(arity(args, 1, "md5hash60", "md5hash60(s)").head)),
     (FunctionIdentifier("word_shingles"),
-      info("word_shingles", "word_shingles(text, n) - distinct word n-gram shingles"),
+      info("word_shingles",
+        "word_shingles(text, n[, distinct]) - word n-gram shingles (distinct by default; " +
+          "false keeps every positional window)"),
       (args: Seq[Expression]) => {
-        val a = arity(args, 2, "word_shingles", "word_shingles(text, n)")
-        WordShinglesExpr(a(0), intLit(a(1), "word_shingles", "n"))
+        if (args.length != 2 && args.length != 3) throw new IllegalArgumentException(
+          s"word_shingles expects 2 or 3 arguments — word_shingles(text, n[, distinct]) — " +
+            s"got ${args.length}")
+        val dist = if (args.length == 3) boolLit(args(2), "word_shingles", "distinct") else true
+        WordShinglesExpr(args(0), intLit(args(1), "word_shingles", "n"), dist)
       }),
+    (FunctionIdentifier("repetition_stats"),
+      info("repetition_stats",
+        "repetition_stats(text) - one-pass token/bigram/trigram totals, distincts and top-1 counts"),
+      (args: Seq[Expression]) =>
+        RepetitionStatsExpr(arity(args, 1, "repetition_stats", "repetition_stats(text)").head)),
     (FunctionIdentifier("char_shingles"),
       info("char_shingles", "char_shingles(text, n) - distinct character n-gram shingles"),
       (args: Seq[Expression]) => {

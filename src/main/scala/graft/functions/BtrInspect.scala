@@ -25,7 +25,8 @@ object BtrInspect {
       compressed_bytes: Long,
       uncompressed_bytes: Long,
       ratio: Double,
-      has_nan: Boolean = false // format v2: double/float chunk saw a NaN
+      has_nan: Boolean = false, // format v2: double/float chunk saw a NaN
+      bloom_bytes: Int = 0 // format v3: equality-skip bloom size (0 = none)
   )
 
   /** Commit-time ingest stats written by the last successful write
@@ -132,7 +133,8 @@ object BtrInspect {
               compressed_bytes = meta.length.toLong,
               uncompressed_bytes = uncompressed,
               ratio = if (uncompressed > 0) uncompressed.toDouble / meta.length else Double.NaN,
-              has_nan = meta.hasNaN
+              has_nan = meta.hasNaN,
+              bloom_bytes = if (meta.bloom == null) 0 else meta.bloom.length * 4
             )
           }
         }

@@ -48,6 +48,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
     // non-literal n fails loudly, not silently
     val e = intercept[Exception](spark.sql("SELECT word_shingles(text, id + 1) FROM ext_probe").head)
     assert(e.getMessage.contains("integer literal") || e.getMessage.contains("word_shingles"))
+
+    // positional (non-distinct) shingles and the repetition kernel from SQL
+    val rep = spark.sql(
+      """SELECT word_shingles('a b a b', 2, false) AS ws,
+        | repetition_stats('a a a a').n_words AS nw,
+        | repetition_stats('a a a a').distinct_words AS dw,
+        | repetition_stats('a a a a').top_bigram_c AS tb""".stripMargin).head
+    assert(rep.getSeq[String](0) == Seq("a b", "b a", "a b"))
+    assert(rep.getInt(1) == 4 && rep.getInt(2) == 1 && rep.getInt(3) == 3)
   }
 
   test("a fresh session registers the same functions independently") {

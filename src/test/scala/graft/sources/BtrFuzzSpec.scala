@@ -107,8 +107,8 @@ class BtrFuzzSpec extends AnyFunSuite {
     def pick[T](xs: Seq[T]): T = xs(rnd.nextInt(xs.length))
 
     val preds = scala.collection.mutable.ArrayBuffer.empty[Column]
-    (1 to 60).foreach { _ =>
-      val p = rnd.nextInt(10) match {
+    (1 to 90).foreach { _ =>
+      val p = rnd.nextInt(13) match {
         case 0 => col("id") > pick(longLits)
         case 1 => col("id") <= pick(longLits)
         case 2 => col("i") === pick(longLits).toInt
@@ -118,12 +118,18 @@ class BtrFuzzSpec extends AnyFunSuite {
         case 6 => col("s") > pick(strLits)
         case 7 => col("s").startsWith(pick(Seq("tag", "日本", "x")))
         case 8 => col("dec") > BigDecimal(pick(longLits).toInt.abs % 1000)
-        case _ => rnd.nextInt(4) match {
+        // equality / IN probes ride the bloom-pruning path (footer v3):
+        // present values must never be skipped, absent ones may be
+        case 9 => col("s") === pick(strLits ++ Seq("tag_99", "absent-value"))
+        case 10 => col("s").isin(pick(strLits), "tag_2", "no-such-string")
+        case 11 => col("id").isin(pick(longLits), 42L, 987654321L)
+        case _ => rnd.nextInt(5) match {
           case 0 => col("f").isNull
           case 1 => col("b") === rnd.nextBoolean()
           // float chunk stats ride the statsKind-2 path incl. the hasNaN
           // guard — NaN rows must survive GreaterThan skipping
           case 2 => col("f") > pick(Seq(0.5f, 0.99f, 2.0f, Float.NaN))
+          case 3 => col("dec") === BigDecimal(pick(longLits).toInt.abs % 1000) / 8
           case _ => col("f") <= pick(Seq(0.25f, 0.75f))
         }
       }
