@@ -133,6 +133,89 @@ class EventsStreamingSpec extends AnyFunSuite {
       s"streamed=${streamed.length} batch=${batch.length}")
   }
 
+  // time-ordered staging: four files covering ascending ts quartiles,
+  // written sequentially so the file stream admits them in event-time
+  // order (a random file order would put most rows behind the watermark —
+  // realistic for replays, but the sessionization tests want the
+  // steady-state ingest shape where the watermark trails arrivals)
+  private lazy val dirOrdered: String = {
+    val out = "/tmp/events-stream-src-ordered"
+    if (!new java.io.File(s"$out/_done").exists()) {
+      val df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      val qs = df.stat.approxQuantile("ts", Array(0.25, 0.5, 0.75), 0.001)
+      val bounds = (Seq(Long.MinValue) ++ qs.map(_.toLong) :+ Long.MaxValue).sliding(2).toSeq
+      new java.io.File(out).mkdirs()
+      bounds.zipWithIndex.foreach { case (Seq(lo, hi), i) =>
+        df.filter(col("ts") >= lo && col("ts") < hi).coalesce(1)
+          .write.mode("append").parquet(out)
+        Thread.sleep(1100) // distinct mtimes pin the admission order
+      }
+      new java.io.File(s"$out/_done").createNewFile()
+    }
+    out
+  }
+
+  test("streaming session_window equals batch sessionization") {
+    val gap = "30 minutes"
+    val q = EventsStreaming.userSessions(EventsStreaming.readEventStream(spark, dirOrdered), gap)
+      .writeStream.outputMode(OutputMode.Complete)
+      .format("memory").queryName("sessions_out").start()
+    try q.processAllAvailable()
+    finally q.stop()
+
+    val streamed = spark.table("sessions_out")
+      .orderBy("user_id", "session_start").collect().map(_.toString)
+    val batch = spark.read.parquet(dirOrdered)
+      .withColumn("ts_t", timestamp_micros((col("ts") / 1000).cast("long")))
+      .groupBy(col("user_id"), session_window(col("ts_t"), gap))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_v"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("n_events"), col("sum_v"))
+      .orderBy("user_id", "session_start").collect().map(_.toString)
+    assert(streamed.length == batch.length && streamed.sameElements(batch),
+      s"streamed=${streamed.length} batch=${batch.length}")
+    assert(streamed.nonEmpty)
+  }
+
+  test("flatMapGroupsWithState emits every closed session exactly once") {
+    val gapUs = 30L * 60 * 1000000
+    val q = EventsStreaming.closedSessions(
+        spark, EventsStreaming.readEventStream(spark, dirOrdered), gapUs)
+      .toDF()
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("closed_sessions_out").start()
+    try q.processAllAvailable()
+    finally q.stop()
+
+    // batch truth: every session whose close the final watermark passed.
+    // The stream's last watermark = max event time - 1 hour, so compare
+    // only sessions closed strictly before it (later ones may be open).
+    val batch = spark.read.parquet(dirOrdered)
+      .withColumn("ts_us", (col("ts") / 1000).cast("long"))
+      .groupBy(col("user_id"),
+        session_window(timestamp_micros(col("ts_us")), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_v"),
+        min(col("ts_us")).as("start_us"), max(col("ts_us")).as("end_us"))
+    val maxTs = spark.read.parquet(dirOrdered)
+      .agg(max((col("ts") / 1000).cast("long"))).head.getLong(0)
+    val horizonUs = maxTs - 3600L * 1000000
+    // 2 ms guard band: the operator seals sessions on millisecond-floored
+    // watermark comparisons, the oracle filter works in microseconds
+    val expected = batch
+      .filter(col("end_us") + gapUs < horizonUs - 2000)
+      .select(col("user_id"), col("start_us"), col("end_us"), col("n_events"),
+        round(col("sum_v"), 2).as("sum_v"))
+      .collect().map(_.toString).sorted
+    val got = spark.table("closed_sessions_out")
+      .select(col("user_id"), col("start_us"), col("end_us"), col("n_events"),
+        round(col("sum_v"), 2).as("sum_v"))
+      .filter(col("end_us") + gapUs < horizonUs - 2000)
+      .collect().map(_.toString).sorted
+    assert(got.length == got.distinct.length, "no session may emit twice")
+    assert(expected.sameElements(got),
+      s"closed sessions: expected ${expected.length}, got ${got.length}")
+  }
+
   test("streaming sink appends into a partitioned table (epoch files per partition dir)") {
     import spark.implicits._
     val out = "/tmp/btr-stream-part-sink"
