@@ -243,11 +243,58 @@ object TextOps {
     * idempotent. At extreme scale, alternating star contraction halves
     * rounds further — the shape here is the standard label-propagation CC.
     *
+    * Small-graph fast path: near-dup EDGE sets are tiny relative to the
+    * corpus (pairs survive LSH + verification), so when the edge count
+    * fits a hard cap the component labels are solved by a driver-local
+    * union-find over just the (id_a, id_b) longs — 16 bytes/edge, capped
+    * at [[ccMaxDriverEdges]] (64 MB) — and broadcast-joined back onto the
+    * ids. The iterative path remains the unbounded fallback; the collect
+    * is size-gated the same way the IVF fit sample is.
+    *
     * @param ids   (id) — every document, including singletons
     * @param edges (id_a, id_b) — undirected near-dup pairs
     * @return (id, cluster_id = min id reachable)
     */
-  def connectedComponents(ids: DataFrame, edges: DataFrame, maxRounds: Int = 25): DataFrame = {
+  val ccMaxDriverEdges: Long = 4L * 1000 * 1000
+
+  def connectedComponents(
+      ids: DataFrame,
+      edges: DataFrame,
+      maxRounds: Int = 25,
+      maxDriverEdges: Long = ccMaxDriverEdges
+  ): DataFrame = {
+    val edgeCount = edges.count()
+    if (edgeCount <= maxDriverEdges) {
+      val pairs = edges.select(col("id_a").cast("long"), col("id_b").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrDefault(r, r) != r) r = parent.getOrDefault(r, r)
+        var c = x // path compression
+        while (parent.getOrDefault(c, c) != r) { val n = parent.getOrDefault(c, c); parent.put(c, r); c = n }
+        r
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb) } // min id wins
+      }
+      val labels = new java.util.HashMap[Long, Long]()
+      pairs.foreach { case (a, b) => labels.put(a, find(a)); labels.put(b, find(b)) }
+      val spark = ids.sparkSession
+      import scala.jdk.CollectionConverters._
+      val labelDf = spark.createDataFrame(
+        labels.entrySet().asScala.toSeq.map(e => org.apache.spark.sql.Row(e.getKey, e.getValue)).asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("__lid", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("__lbl", org.apache.spark.sql.types.LongType))))
+      val idType = ids.schema("id").dataType
+      val keyed = ids.select(col("id"))
+      return keyed
+        .join(broadcast(labelDf), keyed("id").cast("long") === col("__lid"), "left")
+        .select(keyed("id"),
+          coalesce(col("__lbl"), keyed("id").cast("long")).cast(idType).as("cid"))
+    }
     val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

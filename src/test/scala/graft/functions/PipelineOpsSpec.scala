@@ -309,13 +309,19 @@ class PipelineOpsSpec extends AnyFunSuite {
       (5L, 6L), (6L, 7L), (5L, 7L),
       (9L, 8L)
     ).toDF("id_a", "id_b")
-    val got = TextOps.connectedComponents(ids, edges)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got == Map(
+    val expected = Map(
       1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       5L -> 5L, 6L -> 5L, 7L -> 5L,
       8L -> 8L, 9L -> 8L,
-      10L -> 10L), got.toString)
+      10L -> 10L)
+    // driver union-find fast path (edge count under the cap) ...
+    val fast = TextOps.connectedComponents(ids, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == expected, fast.toString)
+    // ... and the distributed label-propagation fallback agree
+    val iterative = TextOps.connectedComponents(ids, edges, maxDriverEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(iterative == expected, iterative.toString)
   }
 
   test("langId prefers the language whose stopwords dominate") {
