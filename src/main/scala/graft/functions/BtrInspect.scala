@@ -108,7 +108,9 @@ object BtrInspect {
         val footer = BtrFile.readFooter(ffs, p, len)
         val in = ffs.open(p)
         val rows = footer.rowGroups.toSeq.zipWithIndex.flatMap { case (rg, g) =>
-          fields.toSeq.zipWithIndex.map { case ((name, typ, tag), c) =>
+          // schema evolution: describe only what the file stores (columns
+          // it predates would index past its footer)
+          fields.toSeq.zipWithIndex.take(rg.columns.length).map { case ((name, typ, tag), c) =>
             val meta = rg.columns(c)
             // positioned read of just this chunk's blob (long-safe offsets)
             val blob = new Array[Byte](meta.length)

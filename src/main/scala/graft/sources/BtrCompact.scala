@@ -169,10 +169,19 @@ object BtrCompact {
     val entries = BtrTableMeta.listDataFilesWithPartitions(fs, root)
     val before = entries.length
 
-    // bin per directory: first-fit by size, merge only multi-file bins
-    val byDir = entries.groupBy(e => e.path.getParent.toUri.toString)
+    // bin per (directory, column count): footer-level merges splice row
+    // groups verbatim into one footer, and parsing assumes uniform column
+    // counts per file — files from before a schema widening must not mix
+    // with post-widening ones (index-covered, so this costs no extra I/O)
+    val colCounts: Map[String, Int] =
+      BtrFooters.readAllIndexed(fs, root, entries).map { case (e, footer) =>
+        e.path.toUri.toString ->
+          footer.rowGroups.headOption.map(_.columns.length).getOrElse(0)
+      }.toMap
+    val byDir = entries.groupBy(e =>
+      (e.path.getParent.toUri.toString, colCounts(e.path.toUri.toString)))
     val bins = scala.collection.mutable.ArrayBuffer.empty[Bin]
-    byDir.foreach { case (dirUri, files) =>
+    byDir.foreach { case ((dirUri, _), files) =>
       var cur = scala.collection.mutable.ArrayBuffer.empty[String]
       var curBytes = 0L
       def flush(): Unit = {

@@ -189,7 +189,9 @@ class BtrScan(
     discovered.foreach { case (_, footer) =>
       footer.rowGroups.foreach { rg =>
         rows += rg.numRows
-        colIdx.foreach { case (ci, ratio) => bytes += rg.columns(ci).length * ratio }
+        colIdx.foreach { case (ci, ratio) =>
+          if (ci < rg.columns.length) bytes += rg.columns(ci).length * ratio
+        }
       }
     }
     val r = rows
@@ -261,8 +263,12 @@ class BtrScan(
           val keep = underLimit &&
             (allFilters.isEmpty || !allFilters.exists(f => ChunkSkip.canSkip(dataSchema, rg, f)))
           if (keep) {
-            val offsets = dataIdx.map(ci => rg.columns(ci).offset)
-            val lengths = dataIdx.map(ci => rg.columns(ci).length)
+            // schema evolution: columns a pre-widening file lacks plan as
+            // the all-null sentinel (offset -1) and synthesize in the reader
+            val offsets = dataIdx.map(ci =>
+              if (ci < rg.columns.length) rg.columns(ci).offset else -1L)
+            val lengths = dataIdx.map(ci =>
+              if (ci < rg.columns.length) rg.columns(ci).length else 0)
             current += BtrChunkRange(rg.numRows, offsets, lengths)
             currentBytes += lengths.map(_.toLong).sum
             plannedRows += rg.numRows
@@ -678,8 +684,8 @@ class BtrMicroBatchStream(
         }
       val groups = footer.rowGroups.map { rg =>
         BtrChunkRange(rg.numRows,
-          dataIdx.map(ci => rg.columns(ci).offset),
-          dataIdx.map(ci => rg.columns(ci).length))
+          dataIdx.map(ci => if (ci < rg.columns.length) rg.columns(ci).offset else -1L),
+          dataIdx.map(ci => if (ci < rg.columns.length) rg.columns(ci).length else 0))
       }
       BtrInputPartition(entry.path.toString, groups, reqPartValues): InputPartition
     }
@@ -968,6 +974,9 @@ class BtrAggReader(
       try {
         footer.rowGroups.foreach { rg =>
           acc.rows += rg.numRows
+          // schema evolution: columns this file predates are all null here
+          var miss = rg.columns.length
+          while (miss < acc.n) { acc.nulls(miss) += rg.numRows; miss += 1 }
           var c = 0
           while (c < rg.columns.length) {
             val m = rg.columns(c)
@@ -1168,6 +1177,10 @@ class BtrColumnarReader(partition: BtrInputPartition, requiredSchema: StructType
       vectors(c).reset()
       if (hasPart && partition.partValues(c) != null) {
         fillConstant(vectors(c), requiredSchema.fields(c).dataType, partition.partValues(c), g.numRows)
+      } else if (g.offsets(d) < 0) {
+        // schema evolution: the file predates this column — all null
+        vectors(c).putNulls(0, g.numRows)
+        d += 1
       } else {
         val len = g.lengths(d)
         var buf = blobBufs(d)
@@ -1441,32 +1454,43 @@ object ChunkSkip {
   def canSkip(schema: StructType, rg: BtrFile.RowGroupMeta, f: Filter): Boolean = {
     def col(attr: String): Option[(BtrFile.ColumnChunkMeta, DataType)] = {
       val idx = schema.fieldNames.indexOf(attr)
-      if (idx < 0) None else Some((rg.columns(idx), schema.fields(idx).dataType))
+      if (idx < 0) None
+      // schema evolution: a file written before this column existed reads
+      // it as all null — a stats-free meta with nullCount == numRows
+      else if (idx >= rg.columns.length)
+        Some((BtrFile.ColumnChunkMeta(0, 0, rg.numRows, 0, 0, 0, 0, 0),
+          schema.fields(idx).dataType))
+      else Some((rg.columns(idx), schema.fields(idx).dataType))
     }
+    // null never satisfies a value comparison: an all-null chunk skips
+    // every EqualTo/range/In/startsWith probe regardless of stats
+    def allNull(m: BtrFile.ColumnChunkMeta): Boolean =
+      rg.numRows > 0 && m.nullCount == rg.numRows
     try f match {
       case IsNull(a) => col(a).exists { case (m, _) => m.nullCount == 0 }
       case IsNotNull(a) => col(a).exists { case (m, _) => m.nullCount == rg.numRows }
       case EqualTo(a, v) =>
         col(a).exists { case (m, dt) =>
-          outside(m, dt, v, eqLow = true, eqHigh = true) || bloomExcludes(m, dt, v)
+          allNull(m) || outside(m, dt, v, eqLow = true, eqHigh = true) || bloomExcludes(m, dt, v)
         }
       case GreaterThan(a, v) =>
-        col(a).exists { case (m, dt) => maxBelowOrEq(m, dt, v, strict = true) }
+        col(a).exists { case (m, dt) => allNull(m) || maxBelowOrEq(m, dt, v, strict = true) }
       case GreaterThanOrEqual(a, v) =>
-        col(a).exists { case (m, dt) => maxBelowOrEq(m, dt, v, strict = false) }
+        col(a).exists { case (m, dt) => allNull(m) || maxBelowOrEq(m, dt, v, strict = false) }
       case LessThan(a, v) =>
-        col(a).exists { case (m, dt) => minAboveOrEq(m, dt, v, strict = true) }
+        col(a).exists { case (m, dt) => allNull(m) || minAboveOrEq(m, dt, v, strict = true) }
       case LessThanOrEqual(a, v) =>
-        col(a).exists { case (m, dt) => minAboveOrEq(m, dt, v, strict = false) }
+        col(a).exists { case (m, dt) => allNull(m) || minAboveOrEq(m, dt, v, strict = false) }
       case In(a, vs) =>
         col(a).exists { case (m, dt) =>
-          vs.forall(v => outside(m, dt, v, eqLow = true, eqHigh = true) || bloomExcludes(m, dt, v))
+          allNull(m) ||
+            vs.forall(v => outside(m, dt, v, eqLow = true, eqHigh = true) || bloomExcludes(m, dt, v))
         }
       case StringStartsWith(a, p) =>
         // value starts with p  ⟺  p <= value < increment(p); skip when the
         // whole group provably sits outside that window
         col(a).exists { case (m, _) =>
-          m.statsKind == 3 && {
+          allNull(m) || m.statsKind == 3 && {
             val pb = p.getBytes(java.nio.charset.StandardCharsets.UTF_8)
             val belowAll = m.maxBytes != null && cmpBytes(m.maxBytes, pb) < 0
             val aboveAll = m.minBytes != null && {

@@ -29,13 +29,16 @@ class BtrWriteBuilder(path: String, schema: StructType, options: CaseInsensitive
 
   override def truncate(): WriteBuilder = { truncateOnCommit = true; this }
 
-  /** Appends (batch mode "append" and every streaming epoch) must match
-    * the existing table layout EXACTLY in column order and types: the
-    * scan maps table-schema positions onto per-file footer columns, so a
-    * reordered/retyped append would silently decode the wrong blocks of
-    * the older files. Overwrite (truncate) replaces the table and may
-    * change the schema freely. Nullability may differ (footers carry
-    * per-chunk null counts).
+  /** Appends (batch mode "append" and every streaming epoch) must keep
+    * the existing column layout as an exact PREFIX in order and types:
+    * the scan maps table-schema positions onto per-file footer columns,
+    * so a reordered/retyped append would silently decode the wrong
+    * blocks of the older files. Appending NEW columns at the end is
+    * schema evolution — the table meta widens to the new schema and
+    * older files read the added columns as all-null (their footers
+    * simply carry fewer columns). Overwrite (truncate) replaces the
+    * table and may change the schema freely. Nullability may differ
+    * (footers carry per-chunk null counts).
     */
   private def checkAppendCompatible(): Unit = {
     val dir = new Path(path)
@@ -43,10 +46,11 @@ class BtrWriteBuilder(path: String, schema: StructType, options: CaseInsensitive
     if (!fs.exists(new Path(dir, BtrTableMeta.MetaFile))) return
     val existing = BtrTableMeta.readSchema(fs, dir)
     val shape = (s: StructType) => s.fields.map(f => (f.name, f.dataType)).toSeq
-    require(shape(existing) == shape(schema),
-      s"btr: append schema does not match the existing table at $path " +
+    require(shape(schema).startsWith(shape(existing)),
+      s"btr: append schema does not extend the existing table at $path " +
         s"(existing: ${existing.simpleString}; appending: ${schema.simpleString}). " +
-        "Use overwrite to replace the table with a new schema.")
+        "Appends may add new columns at the END only; use overwrite to " +
+        "replace the table with an incompatible schema.")
     val existingParts = BtrTableMeta.readPartitionCols(fs, dir)
     require(existingParts == partCols,
       s"btr: append partitioning ${partCols.mkString("[", ",", "]")} does not match the " +
@@ -86,7 +90,7 @@ class BtrStreamingWrite(path: String, schema: StructType, blockSize: Int, cascad
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val dir = new Path(path)
     val fs = dir.getFileSystem(BtrTableMeta.hadoopConf())
-    BtrTableMeta.write(fs, dir, schema, blockSize, cascade, partCols)
+    BtrTableMeta.write(fs, dir, BtrWriteSchemas.widened(fs, dir, schema), blockSize, cascade, partCols)
     // incremental: only this epoch's new files get a footer tail-read
     BtrFooters.refreshIndex(fs, dir)
   }
@@ -101,6 +105,24 @@ class BtrStreamingWrite(path: String, schema: StructType, blockSize: Int, cascad
     }.foreach { m =>
       if (m.fileName.nonEmpty) fs.delete(new Path(dir, m.fileName), false)
     }
+  }
+}
+
+/** Schema recorded at append commits: columns ADDED by this append are
+  * forced nullable (files written before the widening read them as all
+  * null), and an existing column stays nullable if it ever was (older
+  * files may hold nulls the appending frame's schema doesn't admit —
+  * recording non-null would let Catalyst constant-fold IsNull away over
+  * data that does contain nulls).
+  */
+object BtrWriteSchemas {
+  def widened(fs: org.apache.hadoop.fs.FileSystem, dir: Path, schema: StructType): StructType = {
+    if (!fs.exists(new Path(dir, BtrTableMeta.MetaFile))) return schema
+    val existing = BtrTableMeta.readSchema(fs, dir)
+    StructType(schema.fields.zipWithIndex.map { case (f, i) =>
+      if (i >= existing.fields.length) f.copy(nullable = true)
+      else f.copy(nullable = f.nullable || existing.fields(i).nullable)
+    })
   }
 }
 
@@ -156,7 +178,9 @@ class BtrBatchWrite(path: String, schema: StructType, truncate: Boolean, blockSi
         if (!committed.contains(rel) && !committed.contains(f.getName)) fs.delete(f, false)
       }
     }
-    BtrTableMeta.write(fs, dir, schema, blockSize, cascade, partCols)
+    BtrTableMeta.write(fs, dir,
+      if (truncate) schema else BtrWriteSchemas.widened(fs, dir, schema),
+      blockSize, cascade, partCols)
     // ingest stats at commit — the analog of the reference's `.stats`
     // files (btrfiles/Parser.cpp:184-189) + OutputBlockStats
     // (compression/Compressor.hpp:10-20): per-column nulls, raw vs
