@@ -370,6 +370,25 @@ object BtrTableMeta {
     new String(bytes, StandardCharsets.UTF_8)
   }
 
+  /** Recorded writer geometry (blockSize, cascade) — rewrites reuse it so
+    * an OPTIMIZE never silently changes the table's row-group size.
+    */
+  def readGeometry(fs: FileSystem, dir: Path): (Int, Int) = {
+    val json = readMetaJson(fs, dir)
+    def intField(key: String, dflt: Int): Int = {
+      val k = s""""$key":"""
+      val i = json.indexOf(k)
+      if (i < 0) dflt
+      else {
+        val rest = json.substring(i + k.length).dropWhile(_ == ' ')
+        val digits = rest.takeWhile(_.isDigit)
+        if (digits.isEmpty) dflt else digits.toInt
+      }
+    }
+    (intField("blockSize", BtrFile.DefaultBlockSize),
+      intField("cascade", BtrFile.DefaultCascadeDepth))
+  }
+
   def readSchema(fs: FileSystem, dir: Path): StructType = {
     val json = readMetaJson(fs, dir)
     // extract the schema object: find "schema": and parse the rest (it is

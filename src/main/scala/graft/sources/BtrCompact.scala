@@ -116,7 +116,28 @@ object BtrCompact {
       path: String,
       cols: Seq[String],
       targetBytes: Long = 128L * 1024 * 1024
-  ): (Int, Int) = {
+  ): (Int, Int) =
+    rewriteWith(spark, path, targetBytes)((df, n) => BtrLayout.clusterBy(df, cols, n))
+
+  /** OPTIMIZE ZORDER: like [[rewriteClustered]] but interleaving the
+    * clustering columns' quantile-bucket bits (BtrLayout.zOrderBy), so
+    * chunk skipping prunes on EVERY clustered dimension instead of just
+    * the leading one. Same staging + journaled-swap crash posture.
+    */
+  def rewriteZOrdered(
+      spark: SparkSession,
+      path: String,
+      cols: Seq[String],
+      targetBytes: Long = 128L * 1024 * 1024,
+      bits: Int = 8
+  ): (Int, Int) =
+    rewriteWith(spark, path, targetBytes)((df, n) => BtrLayout.zOrderBy(df, cols, n, bits))
+
+  private def rewriteWith(
+      spark: SparkSession,
+      path: String,
+      targetBytes: Long
+  )(layout: (org.apache.spark.sql.DataFrame, Int) => org.apache.spark.sql.DataFrame): (Int, Int) = {
     val root = new Path(path)
     val fs = root.getFileSystem(BtrTableMeta.hadoopConf())
     require(BtrTableMeta.readPartitionCols(fs, root).isEmpty,
@@ -129,8 +150,14 @@ object BtrCompact {
     fs.delete(staging, true) // leftovers from a crashed rewrite are invisible to scans
     val numFiles = math.max(1, math.ceil(entries.map(_.len).sum.toDouble / targetBytes).toInt)
     val df = spark.read.format("btr").load(path)
-    BtrLayout.clusterBy(df, cols, numFiles)
-      .write.format("btr").mode("overwrite").save(staging.toString)
+    // the rewrite must keep the table's recorded geometry — defaulting
+    // here would silently inflate a small-block table's row groups and
+    // destroy the chunk-skipping granularity the rewrite exists to restore
+    val (blockSize, cascade) = BtrTableMeta.readGeometry(fs, root)
+    layout(df, numFiles)
+      .write.format("btr").mode("overwrite")
+      .option("btr.blockSize", blockSize).option("btr.maxCascadeDepth", cascade)
+      .save(staging.toString)
     // swap under a journal: readers see the OLD file set until every
     // staged file is renamed in, then the old set is superseded at once —
     // a crash mid-swap never exposes a mix (staged names carry a fresh

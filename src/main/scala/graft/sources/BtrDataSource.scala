@@ -105,11 +105,38 @@ object BtrLayout {
       numFiles: Int = 0): org.apache.spark.sql.DataFrame = {
     require(cols.nonEmpty, "btr clusterBy: at least one column")
     val cs = cols.map(org.apache.spark.sql.functions.col)
-    val n =
-      if (numFiles > 0) numFiles
-      else df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
-    df.repartitionByRange(n, cs: _*).sortWithinPartitions(cs: _*)
+    df.repartitionByRange(fileCount(df, numFiles), cs: _*).sortWithinPartitions(cs: _*)
   }
+
+  /** Z-order (Morton) clustering over NUMERIC/date/timestamp columns:
+    * per-column quantile boundaries are sampled once on the driver
+    * (bounded: (2^bits - 1) doubles per column at relativeError 0.01),
+    * every row's bucket bits interleave in the codegen'd
+    * [[graft.functions.ZValueExpr]], and the frame range-partitions +
+    * sorts on that single z column. Rows end up close in EVERY clustered
+    * dimension, so min/max chunk skipping prunes on all of them — range
+    * clustering serves only its leading column.
+    */
+  def zOrderBy(df: org.apache.spark.sql.DataFrame, cols: Seq[String],
+      numFiles: Int = 0, bits: Int = 8): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{array, col}
+    require(cols.length >= 2, "btr zOrderBy: z-ordering needs at least two columns")
+    val probs = (1 until (1 << bits)).map(_.toDouble / (1 << bits)).toArray
+    val bounds = cols.map { c =>
+      df.select(col(c).cast("double").as("__q"))
+        .stat.approxQuantile("__q", probs, 0.01).toSeq
+    }
+    val z = graft.functions.ZValueExpr.of(
+      array(cols.map(col(_).cast("double")): _*), bounds, bits)
+    df.withColumn("__z", z)
+      .repartitionByRange(fileCount(df, numFiles), col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+  }
+
+  private def fileCount(df: org.apache.spark.sql.DataFrame, numFiles: Int): Int =
+    if (numFiles > 0) numFiles
+    else df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
 }
 
 /** Shared session options for the format (writer side). */
