@@ -13,7 +13,7 @@ object Btr {
   /** Bump when the writer's footer layout/stats change, so a stale cache
     * from an older build is never scanned.
     */
-  private val CacheVersion = "v5" // footer v3: per-chunk bloom filters
+  private val CacheVersion = "v6" // footer v4: chunk sums for SUM pushdown
 
   private def cacheDir(sfDir: String, table: String): String = {
     val key = sfDir.replaceAll("[^a-zA-Z0-9.]", "_")
@@ -163,6 +163,16 @@ object CoreQueries {
         max(col("l_orderkey")).as("max_ok"),
         tsFmt(min(col("l_shipdate"))).as("min_ship"),
         tsFmt(max(col("l_shipdate"))).as("max_ship"))
+    }),
+
+    // Q-sum-meta: ungrouped SUM over integral columns answered from the
+    // format-v4 per-chunk footer sums (aggregate pushdown — zero data
+    // bytes read; wrapped-long partials are exactly Spark's semantics)
+    "q_sum_meta" -> ((s, d) => {
+      t(s, d, "lineitem").agg(
+        sum(col("l_orderkey")).as("sum_ok"),
+        sum(col("l_linenumber")).as("sum_ln"),
+        count(lit(1)).as("n_rows"))
     }),
 
     // Q-part-agg-meta: GROUP BY partition column + count/min/max pushed
@@ -377,6 +387,10 @@ object CoreQueries {
         | min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok,
         | strftime(min(l_shipdate), '%Y-%m-%d %H:%M:%S') AS min_ship,
         | strftime(max(l_shipdate), '%Y-%m-%d %H:%M:%S') AS max_ship
+        |FROM lineitem""".stripMargin,
+    "q_sum_meta" ->
+      """SELECT CAST(sum(l_orderkey) AS BIGINT) AS sum_ok,
+        | CAST(sum(l_linenumber) AS BIGINT) AS sum_ln, count(*) AS n_rows
         |FROM lineitem""".stripMargin,
     "q_part_agg_meta" ->
       """SELECT l_returnflag, count(*) AS n, min(l_orderkey) AS min_ok,

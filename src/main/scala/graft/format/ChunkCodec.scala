@@ -129,7 +129,12 @@ object ChunkCodec {
       minExact: Boolean = false, maxExact: Boolean = false,
       // split-block bloom over distinct value hashes (int/string family),
       // null when disabled or the chunk's cardinality exceeds the budget
-      bloom: Array[Int] = null)
+      bloom: Array[Int] = null,
+      // int-family chunk sum over non-null values (ORC-style) for SUM
+      // aggregate pushdown; wrapped on overflow with the flag set (wrap
+      // is exact for LongType sums — Spark wraps too — but a decimal sum
+      // needs the flag to fall back to a decode)
+      sumLong: Long = 0L, sumOverflow: Boolean = false)
 
   /** Max stored length of string chunk bounds (Parquet-style truncation:
     * a min prefix stays a valid lower bound; a max prefix is incremented at
@@ -175,6 +180,8 @@ object ChunkCodec {
       }
       var mn = Long.MaxValue
       var mx = Long.MinValue
+      var sum = 0L
+      var sumOver = false
       val hashes = if (cfg.bloomEnabled) new Bloom.LongSet() else null
       i = 0
       while (i < chunk.count) {
@@ -182,6 +189,9 @@ object ChunkCodec {
           val v = chunk.longs(i)
           if (v < mn) mn = v
           if (v > mx) mx = v
+          val ns = sum + v
+          if (((sum ^ ns) & (v ^ ns)) < 0) sumOver = true // signed wrap
+          sum = ns
           if (hashes != null) hashes.add(Bloom.hashLong(v))
         }
         i += 1
@@ -189,7 +199,8 @@ object ChunkCodec {
       val has = nullCount < chunk.count
       ChunkStats(nullCount, mn, mx, 0, 0, has,
         rawBytes = chunk.count.toLong * PhysType.physWidth(tag),
-        bloom = if (hashes != null) Bloom.build(hashes, cfg.bloomMaxBytes) else null)
+        bloom = if (hashes != null) Bloom.build(hashes, cfg.bloomMaxBytes) else null,
+        sumLong = sum, sumOverflow = sumOver)
     } else if (tag == PhysType.Double || tag == PhysType.Float) {
       if (tag == PhysType.Float) {
         // floats stored as raw bits via the int path (lossless, narrower)

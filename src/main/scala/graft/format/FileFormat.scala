@@ -25,9 +25,11 @@ object BtrFile {
   // flag keeps GreaterThan-family chunk skipping and MIN/MAX pushdown
   // NaN-exact). v3: every column chunk may carry a split-block bloom
   // filter (u32 word count, 0 = none) after its stats for equality
-  // chunk-skipping. Readers validate the header version and fail cleanly
-  // on files written by a different layout.
-  val Version = 3
+  // chunk-skipping. v4: int-family chunks carry their non-null value sum
+  // (flag byte + i64, ORC-style) for SUM aggregate pushdown. Readers
+  // validate the header version and fail cleanly on files written by a
+  // different layout.
+  val Version = 4
   val DefaultBlockSize = 65536 // tuples per chunk, btrblocks.hpp:24
   val DefaultCascadeDepth = 3 // btrblocks.hpp:31,37,43
 
@@ -58,7 +60,12 @@ object BtrFile {
       hasNaN: Boolean = false,
       // optional split-block bloom over the chunk's distinct value hashes
       // (int/string families) for equality skipping; null when absent
-      bloom: Array[Int] = null
+      bloom: Array[Int] = null,
+      // kind 1 only: chunk sum over non-null values, wrapped on overflow
+      // with the flag set (exact for LongType sums; decimal readers fall
+      // back to a decode when flagged)
+      sumLong: Long = 0L,
+      sumOverflow: Boolean = false
   )
 
   final case class RowGroupMeta(numRows: Int, columns: Array[ColumnChunkMeta])
@@ -88,7 +95,9 @@ object BtrFile {
         out.putInt(c.nullCount)
         out.putByte(c.statsKind)
         c.statsKind match {
-          case 1 => out.putLong(c.minLong); out.putLong(c.maxLong)
+          case 1 =>
+            out.putLong(c.minLong); out.putLong(c.maxLong)
+            out.putByte(if (c.sumOverflow) 1 else 0); out.putLong(c.sumLong)
           case 2 =>
             out.putByte(if (c.hasNaN) 1 else 0)
             out.putDouble(c.minDouble); out.putDouble(c.maxDouble)
@@ -196,7 +205,10 @@ object BtrFile {
         val parsed = kind match {
           case 1 =>
             val mn = in.getLong(); val mx = in.getLong()
-            ColumnChunkMeta(off, l, nulls, 1, mn, mx, 0, 0)
+            val sumOver = in.getByte() != 0
+            val sum = in.getLong()
+            ColumnChunkMeta(off, l, nulls, 1, mn, mx, 0, 0,
+              sumLong = sum, sumOverflow = sumOver)
           case 2 =>
             val nan = in.getByte() != 0
             val mn = in.getDouble(); val mx = in.getDouble()

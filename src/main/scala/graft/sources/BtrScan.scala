@@ -92,6 +92,25 @@ class BtrScanBuilder(path: String, tableSchema: StructType, options: CaseInsensi
         }
       }
 
+  /** SUM answerable from per-chunk footer sums (format v4): the integer
+    * families sum into a wrapped Long — identical to Spark's LongType sum
+    * semantics (wrap is associative, so chunk-wise wrapping equals
+    * row-wise wrapping) — and decimal(≤18) sums accumulate exactly with a
+    * per-chunk decode fallback when a chunk's long sum overflowed.
+    * Double/float sums stay on the data path: their result depends on
+    * addition order, so a footer sum could differ in the last ulps from
+    * Spark's row-order sum.
+    */
+  private def exactSum(name: String): Boolean =
+    !partCols.contains(name) &&
+      tableSchema.fields.find(_.name == name).exists { f =>
+        f.dataType match {
+          case IntegerType | LongType | ShortType | ByteType => true
+          case d: DecimalType if d.precision <= 18 => true
+          case _ => false
+        }
+      }
+
   private def canPushAgg(agg: aggregate.Aggregation): Boolean =
     pushed.isEmpty &&
       // grouping is pushable only on partition columns: their values are
@@ -107,6 +126,7 @@ class BtrScanBuilder(path: String, tableSchema: StructType, options: CaseInsensi
             .exists(n => tableSchema.fieldNames.contains(n) && !partCols.contains(n))
         case m: aggregate.Min => singleCol(m.column()).exists(exactMinMax)
         case m: aggregate.Max => singleCol(m.column()).exists(exactMinMax)
+        case s: aggregate.Sum => !s.isDistinct && singleCol(s.column()).exists(exactSum)
         case _ => false
       }
 
@@ -837,21 +857,34 @@ class BtrAggScan(path: String, tableSchema: StructType, agg: aggregate.Aggregati
   private def colNameOf(e: org.apache.spark.sql.connector.expressions.Expression): String =
     e.asInstanceOf[org.apache.spark.sql.connector.expressions.NamedReference].fieldNames()(0)
 
-  // (kind, columnIndex into the FOOTER schema): 0=count(*), 1=count(col), 2=min, 3=max
+  // (kind, columnIndex into the FOOTER schema):
+  // 0=count(*), 1=count(col), 2=min, 3=max, 4=sum
   private val specs: Array[(Int, Int)] = agg.aggregateExpressions().map {
     case _: aggregate.CountStar => (0, -1)
     case c: aggregate.Count => (1, dataSchema.fieldIndex(colNameOf(c.column())))
     case m: aggregate.Min => (2, dataSchema.fieldIndex(colNameOf(m.column())))
     case m: aggregate.Max => (3, dataSchema.fieldIndex(colNameOf(m.column())))
+    case s: aggregate.Sum => (4, dataSchema.fieldIndex(colNameOf(s.column())))
     case other => throw new IllegalStateException(s"unsupported pushed agg $other")
   }
 
   private def groupFields: Array[StructField] =
     groupCols.toArray.map(c => tableSchema.fields(tableSchema.fieldIndex(c)))
 
+  /** Spark's Sum result type: integral → LongType, decimal(p,s) →
+    * decimal(min(38, p+10), s) — the partial rows must carry it exactly.
+    */
+  private def sumType(dt: DataType): DataType = dt match {
+    case d: DecimalType => DecimalType(math.min(38, d.precision + 10), d.scale)
+    case _ => LongType
+  }
+
   override def readSchema(): StructType = StructType(groupFields ++ specs.map {
     case (0, _) => StructField("count(*)", LongType, nullable = false)
     case (1, ci) => StructField(s"count(${dataSchema.fields(ci).name})", LongType, nullable = false)
+    case (4, ci) =>
+      val f = dataSchema.fields(ci)
+      StructField(s"sum(${f.name})", sumType(f.dataType), nullable = true)
     case (k, ci) =>
       val f = dataSchema.fields(ci)
       StructField(s"${if (k == 2) "min" else "max"}(${f.name})", f.dataType, nullable = true)
@@ -925,6 +958,13 @@ class BtrAggReader(
     // byte order — UTF8String.compareTo's ordering)
     val minS = new Array[Array[Byte]](n)
     val maxS = new Array[Array[Byte]](n)
+    // sum extras: wrapped long accumulation for integral sums (wrap is
+    // Spark's LongType semantics and associative), exact BigInteger for
+    // decimal sums; sumSaw tracks whether any non-null value contributed
+    // (sum over an all-null column is null)
+    val sumL = new Array[Long](n)
+    val sumBig = Array.fill(n)(java.math.BigInteger.ZERO)
+    val sumSaw = new Array[Boolean](n)
 
     def updMinS(c: Int, v: Array[Byte]): Unit =
       if (minS(c) == null || java.util.Arrays.compareUnsigned(v, minS(c)) < 0) minS(c) = v
@@ -933,9 +973,10 @@ class BtrAggReader(
       if (maxS(c) == null || java.util.Arrays.compareUnsigned(v, maxS(c)) > 0) maxS(c) = v
   }
 
-  // which footer columns need an exact MIN / MAX (vs count-only)
+  // which footer columns need an exact MIN / MAX / SUM (vs count-only)
   private val needMin: Set[Int] = specs.collect { case (2, ci) => ci }.toSet
   private val needMax: Set[Int] = specs.collect { case (3, ci) => ci }.toSet
+  private val needSum: Set[Int] = specs.collect { case (4, ci) => ci }.toSet
 
   private var rowsIter: Iterator[InternalRow] = _
   private var current: InternalRow = _
@@ -985,6 +1026,32 @@ class BtrAggReader(
               case 1 =>
                 if (m.minLong < acc.minL(c)) acc.minL(c) = m.minLong
                 if (m.maxLong > acc.maxL(c)) acc.maxL(c) = m.maxLong
+                if (needSum(c) && m.nullCount < rg.numRows) {
+                  acc.sumSaw(c) = true
+                  acc.sumL(c) += m.sumLong // wrapped — Spark's long-sum semantics
+                  if (tableSchema.fields(c).dataType.isInstanceOf[DecimalType]) {
+                    // decimal sums must be exact: a chunk whose long sum
+                    // wrapped is re-summed from a decode of just that chunk
+                    // (same fallback pattern as truncated string bounds)
+                    if (!m.sumOverflow)
+                      acc.sumBig(c) = acc.sumBig(c).add(java.math.BigInteger.valueOf(m.sumLong))
+                    else {
+                      if (dataIn == null) dataIn = fs.open(p)
+                      val blob = new Array[Byte](m.length)
+                      dataIn.readFully(m.offset, blob, 0, m.length)
+                      val tag = graft.format.PhysType.of(tableSchema.fields(c).dataType)
+                      val dec = ChunkCodec.decode(new graft.format.BufReader(blob), tag, rg.numRows)
+                      var i = 0
+                      var s = java.math.BigInteger.ZERO
+                      while (i < rg.numRows) {
+                        if (!dec.hasNulls || !dec.isNull(i))
+                          s = s.add(java.math.BigInteger.valueOf(dec.longs(i)))
+                        i += 1
+                      }
+                      acc.sumBig(c) = acc.sumBig(c).add(s)
+                    }
+                  }
+                }
                 acc.hasStats(c) = true
               case 2 =>
                 if (m.hasNaN) acc.sawNaN(c) = true
@@ -1054,6 +1121,18 @@ class BtrAggReader(
         specs(i) match {
           case (0, _) => row.setLong(oi, acc.rows)
           case (1, ci) => row.setLong(oi, acc.rows - acc.nulls(ci))
+          case (4, ci) =>
+            if (!acc.sumSaw(ci)) row.setNullAt(oi) // sum of all-null is null
+            else tableSchema.fields(ci).dataType match {
+              case d: DecimalType =>
+                val p = math.min(38, d.precision + 10)
+                val bd = new java.math.BigDecimal(acc.sumBig(ci), d.scale)
+                val dec = org.apache.spark.sql.types.Decimal(bd)
+                // Spark's non-ANSI sum overflows to null past p+10 digits
+                if (dec.changePrecision(p, d.scale)) row.update(oi, dec)
+                else row.setNullAt(oi)
+              case _ => row.setLong(oi, acc.sumL(ci))
+            }
           case (k, ci) if tableSchema.fields(ci).dataType == StringType =>
             val sv = if (k == 2) acc.minS(ci) else acc.maxS(ci)
             if (sv == null) row.setNullAt(oi)

@@ -501,7 +501,9 @@ class BtrDataWriter(path: String, schema: StructType, blockSize: Int, cascade: I
         minExact = stats.minExact,
         maxExact = stats.maxExact,
         hasNaN = stats.hasNaN,
-        bloom = stats.bloom
+        bloom = stats.bloom,
+        sumLong = stats.sumLong,
+        sumOverflow = stats.sumOverflow
       )
       bytesWritten += blobLen
       colNulls(c) += stats.nullCount

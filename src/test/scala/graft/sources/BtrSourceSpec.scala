@@ -240,6 +240,43 @@ class BtrSourceSpec extends AnyFunSuite {
     assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) == ((2L, 3L, 1L, 3L)))
   }
 
+  test("SUM pushes down to a metadata-only scan for integral and decimal columns") {
+    import spark.implicits._
+    def scanOf(d: DataFrame) = d.queryExecution.sparkPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+    }.head
+    roundTrip("lineitem")
+    val df = spark.read.format("btr").load(tmp("lineitem"))
+      .agg(sum(col("l_orderkey")).as("s1"), sum(col("l_linenumber")).as("s2"),
+        count(lit(1)).as("n"))
+    assert(scanOf(df).isInstanceOf[BtrAggScan], scanOf(df).getClass.toString)
+    val orig = spark.read.parquet(s"$sf/lineitem.parquet")
+    val exp = orig.agg(sum(col("l_orderkey")), sum(col("l_linenumber")), count(lit(1))).head
+    assert(df.head.toString == exp.toString)
+
+    // double sums stay on the data path (order-dependent) but stay correct
+    val dbl = spark.read.format("btr").load(tmp("lineitem")).agg(sum(col("l_quantity")))
+    assert(scanOf(dbl).isInstanceOf[BtrScan], "double sum must not push")
+    assert(dbl.head.getDouble(0) == orig.agg(sum(col("l_quantity"))).head.getDouble(0))
+
+    // decimal sums: exact through the BigInteger accumulator; nulls and
+    // all-null columns behave like Spark (sum of all-null is null)
+    val dec = Seq(
+      (Some(BigDecimal("12345678901.234")), 1),
+      (None, 2),
+      (Some(BigDecimal("-0.001")), 3)
+    ).toDF("d", "k").withColumn("d", col("d").cast("decimal(14,3)"))
+      .withColumn("allnull", lit(null).cast("decimal(10,2)"))
+    dec.write.format("btr").mode("overwrite").save(tmp("decsum"))
+    val back = spark.read.format("btr").load(tmp("decsum"))
+      .agg(sum(col("d")).as("sd"), sum(col("allnull")).as("sn"), sum(col("k")).as("sk"))
+    assert(scanOf(back).isInstanceOf[BtrAggScan])
+    val r = back.head
+    assert(r.getDecimal(0) == new java.math.BigDecimal("12345678901.233"), r.getDecimal(0))
+    assert(r.isNullAt(1), "sum of an all-null column is null")
+    assert(r.getLong(2) == 6L)
+  }
+
   test("string min/max push down: exact short bounds, decode fallback for long") {
     import spark.implicits._
     def scanOf(d: DataFrame) = d.queryExecution.sparkPlan.collect {
