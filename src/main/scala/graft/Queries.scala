@@ -186,9 +186,11 @@ object CoreQueries {
       }
       s.read.format("btr").load(dir)
         .groupBy("l_returnflag")
+        // count/min/max/sum all resolve from footers + directory values
         .agg(count(lit(1)).as("n"),
           min(col("l_orderkey")).as("min_ok"),
-          max(col("l_orderkey")).as("max_ok"))
+          max(col("l_orderkey")).as("max_ok"),
+          sum(col("l_orderkey")).as("sum_ok"))
         .orderBy("l_returnflag")
     }),
 
@@ -394,7 +396,7 @@ object CoreQueries {
         |FROM lineitem""".stripMargin,
     "q_part_agg_meta" ->
       """SELECT l_returnflag, count(*) AS n, min(l_orderkey) AS min_ok,
-        | max(l_orderkey) AS max_ok
+        | max(l_orderkey) AS max_ok, CAST(sum(l_orderkey) AS BIGINT) AS sum_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_topfreq" ->
       """SELECT l_returnflag AS v, count(*) AS freq FROM lineitem

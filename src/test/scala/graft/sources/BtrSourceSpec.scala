@@ -259,6 +259,12 @@ class BtrSourceSpec extends AnyFunSuite {
     assert(scanOf(dbl).isInstanceOf[BtrScan], "double sum must not push")
     assert(dbl.head.getDouble(0) == orig.agg(sum(col("l_quantity"))).head.getDouble(0))
 
+    // AVG pushes for free: Spark's partial-pushdown rewrite splits it
+    // into Sum + Count, both of which the footer scan answers
+    val avg_ = spark.read.format("btr").load(tmp("lineitem")).agg(avg(col("l_orderkey")))
+    if (scanOf(avg_).isInstanceOf[BtrAggScan])
+      assert(avg_.head.getDouble(0) == orig.agg(avg(col("l_orderkey"))).head.getDouble(0))
+
     // decimal sums: exact through the BigInteger accumulator; nulls and
     // all-null columns behave like Spark (sum of all-null is null)
     val dec = Seq(
