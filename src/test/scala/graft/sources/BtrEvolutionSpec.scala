@@ -95,6 +95,41 @@ class BtrEvolutionSpec extends AnyFunSuite {
     assert(back.filter($"extra".isNotNull).count() == 70)
   }
 
+  test("a running stream keeps its start-time schema across a widening append") {
+    val dir = tmp("stream")
+    val ckpt = tmp("stream-ckpt")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    (1 to 10).map(i => (i.toLong, s"old-$i")).toDF("id", "s")
+      .coalesce(1).write.format("btr").mode("overwrite").save(dir)
+    val q = spark.readStream.format("btr").load(dir)
+      .writeStream.format("memory").queryName("evo_stream")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("evo_stream").count() == 10)
+      // widening append mid-stream: the stream's 2-column projection maps
+      // onto the new 3-column files' PREFIX positionally — safe by the
+      // append-prefix invariant; the new column simply isn't projected
+      (11 to 15).map(i => (i.toLong, s"new-$i", i * 10)).toDF("id", "s", "extra")
+        .coalesce(1).write.format("btr").mode("append").save(dir)
+      q.processAllAvailable()
+      val got = spark.table("evo_stream").select("id", "s").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got.size == 15 && got(15L) == "new-15" && got(3L) == "old-3")
+    } finally q.stop()
+    // a NEW stream sees the widened schema, old rows null-filled
+    val q2 = spark.readStream.format("btr").load(dir)
+      .writeStream.format("memory").queryName("evo_stream2").start()
+    try {
+      q2.processAllAvailable()
+      val t2 = spark.table("evo_stream2")
+      assert(t2.schema.fieldNames.toSeq == Seq("id", "s", "extra"))
+      assert(t2.filter(col("extra").isNull).count() == 10)
+      assert(t2.filter(col("extra").isNotNull).count() == 5)
+    } finally q2.stop()
+  }
+
   test("incompatible appends still fail loudly") {
     writeEvolved(tmp("reject"))
     // reordered columns
