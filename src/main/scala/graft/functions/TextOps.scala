@@ -263,10 +263,16 @@ object TextOps {
       maxRounds: Int = 25,
       maxDriverEdges: Long = ccMaxDriverEdges
   ): DataFrame = {
-    val edgeCount = edges.count()
-    if (edgeCount <= maxDriverEdges) {
-      val pairs = edges.select(col("id_a").cast("long"), col("id_b").cast("long"))
-        .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // one bounded action decides the path AND fetches the edges: a
+    // limit(cap + 1) collect never materializes more than the cap, and a
+    // separate count() would force the (often expensive) upstream pair
+    // pipeline to run twice
+    val capped =
+      if (maxDriverEdges + 1 > Int.MaxValue) null
+      else edges.select(col("id_a").cast("long"), col("id_b").cast("long"))
+        .limit(maxDriverEdges.toInt + 1).collect()
+    if (capped != null && capped.length <= maxDriverEdges) {
+      val pairs = capped.map(r => (r.getLong(0), r.getLong(1)))
       val parent = new java.util.HashMap[Long, Long]()
       def find(x: Long): Long = {
         var r = x
