@@ -50,6 +50,62 @@ object BtrInspect {
       .select("column", "rows", "nulls", "raw_bytes", "compressed_bytes", "ratio")
   }
 
+  /** Clustering quality per column (the OPTIMIZE decision metric, the
+    * analog of Delta's clustering depth): for every row group, the number
+    * of row-group [min,max] windows that contain its min point — the
+    * "stabbing count". 1.0 means perfectly disjoint windows (each point
+    * probe plans one group); ~n_groups/2 means random layout (every probe
+    * scans half the table). Computed entirely from footer metadata via an
+    * O(n log n) driver sweep — the same planning-scale data a scan reads,
+    * no data bytes. Only numeric-family columns (statsKind 1/2) report.
+    */
+  def clusteringQuality(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(BtrTableMeta.hadoopConf())
+    val schema = BtrTableMeta.readSchema(fs, dir)
+    val partCols = BtrTableMeta.readPartitionCols(fs, dir)
+    val fields = schema.fields.filterNot(f => partCols.contains(f.name))
+    val entries = BtrTableMeta.listDataFilesWithPartitions(fs, dir)
+    val footers = graft.sources.BtrFooters.readAllIndexed(fs, dir, entries).map(_._2)
+    val rows = fields.zipWithIndex.flatMap { case (f, c) =>
+      // normalize both stat kinds to doubles for a uniform sweep
+      val ivs = footers.flatMap(_.rowGroups.flatMap { rg =>
+        if (c >= rg.columns.length) None
+        else rg.columns(c).statsKind match {
+          case 1 => Some((rg.columns(c).minLong.toDouble, rg.columns(c).maxLong.toDouble))
+          case 2 if !rg.columns(c).minDouble.isNaN =>
+            Some((rg.columns(c).minDouble, rg.columns(c).maxDouble))
+          case _ => None
+        }
+      })
+      if (ivs.isEmpty) None
+      else {
+        val mins = ivs.map(_._1).sorted
+        val maxs = ivs.map(_._2).sorted
+        // stab(x) = #{min_i <= x} - #{max_i < x}
+        def stab(x: Double): Int = {
+          def countLe(a: Array[Double], v: Double, strict: Boolean): Int = {
+            var lo = 0
+            var hi = a.length
+            while (lo < hi) {
+              val mid = (lo + hi) >>> 1
+              val c = java.lang.Double.compare(a(mid), v)
+              if (c < 0 || (!strict && c == 0)) lo = mid + 1 else hi = mid
+            }
+            lo
+          }
+          countLe(mins, x, strict = false) - countLe(maxs, x, strict = true)
+        }
+        val stabs = ivs.map(iv => stab(iv._1))
+        Some((f.name, ivs.length.toLong,
+          math.round(stabs.map(_.toDouble).sum / stabs.length * 100.0) / 100.0,
+          stabs.max.toLong))
+      }
+    }
+    rows.toSeq.toDF("column", "n_groups", "avg_stab", "worst_stab")
+  }
+
   /** Per-file structural consistency: the chunk blobs must exactly tile
     * the data region [header, fileLen - tail - footer) with contiguous
     * offsets — the analog of the reference's verify-on-write

@@ -81,5 +81,18 @@ class ZOrderSpec extends AnyFunSuite {
     assert(ry > total * 3 / 4, s"ranged y probe should scan almost all groups, got $ry of $total")
     // and z-order's y pruning must beat range clustering's by a wide margin
     assert(zy * 2 < ry, s"zorder y=$zy vs ranged y=$ry")
+
+    // the clustering-quality inspector quantifies the same story from
+    // footers alone: on the x-ranged table x is near-disjoint while y is
+    // near-worst-case; z-ordering keeps BOTH well below random
+    val rq = graft.functions.BtrInspect.clusteringQuality(spark, tmp("ranged"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getLong(1))).toMap
+    val zq = graft.functions.BtrInspect.clusteringQuality(spark, tmp("z"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getLong(1))).toMap
+    val nGroups = rq("x")._2.toDouble
+    assert(rq("x")._1 <= 2.0, s"ranged x avg_stab ${rq("x")._1}")
+    assert(rq("y")._1 > nGroups / 2, s"ranged y should be near-random: ${rq("y")._1}")
+    assert(zq("x")._1 < nGroups / 3 && zq("y")._1 < nGroups / 3,
+      s"zorder stabs x=${zq("x")._1} y=${zq("y")._1} of $nGroups")
   }
 }
