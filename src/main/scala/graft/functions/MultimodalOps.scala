@@ -117,6 +117,7 @@ object MultimodalOps {
       while (i + 8 <= b.length) {
         val id = tag(b, i)
         val len = leU32(b, i + 4).toInt
+        if (len < 0) return None // corrupt length would loop/walk backwards
         if (id == "fmt " && i + 8 + 8 <= b.length)
           return Some((leU32(b, i + 8 + 4).toInt, leU16(b, i + 8 + 2)))
         i += 8 + len + (len & 1) // chunks are word-aligned
@@ -357,6 +358,9 @@ object MultimodalOps {
       while (i + 8 <= b.length) {
         val id = tag(b, i)
         val len = leU32(b, i + 4).toInt
+        // corrupt/adversarial lengths (negative after the 32-bit cast)
+        // would loop forever or walk backwards — treat as not-a-WAV
+        if (len < 0) return None
         if (id == "fmt " && i + 8 + 16 <= b.length) {
           fmt = leU16(b, i + 8)
           channels = leU16(b, i + 8 + 2)
@@ -364,7 +368,7 @@ object MultimodalOps {
           bits = leU16(b, i + 8 + 14)
         } else if (id == "data") {
           dataOff = i + 8
-          dataLen = math.min(len, b.length - dataOff)
+          dataLen = math.max(0, math.min(len, b.length - dataOff))
         }
         i += 8 + len + (len & 1) // chunks are word-aligned
       }

@@ -263,16 +263,29 @@ object TextOps {
       maxRounds: Int = 25,
       maxDriverEdges: Long = ccMaxDriverEdges
   ): DataFrame = {
+    // the fast path needs long-valued ids (the label propagation below is
+    // type-generic — string/UUID ids keep working through it)
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val integralIds = edges.schema.fields.take(2).forall(_.dataType match {
+      case IntegerType | LongType | ShortType | ByteType => true
+      case _ => false
+    })
     // one bounded action decides the path AND fetches the edges: a
     // limit(cap + 1) collect never materializes more than the cap, and a
     // separate count() would force the (often expensive) upstream pair
-    // pipeline to run twice
+    // pipeline to run twice. Collected as specialized (Long, Long) tuples
+    // (~32 B/edge): the cap bounds driver heap at ~128 MB.
     val capped =
-      if (maxDriverEdges + 1 > Int.MaxValue) null
-      else edges.select(col("id_a").cast("long"), col("id_b").cast("long"))
-        .limit(maxDriverEdges.toInt + 1).collect()
+      if (!integralIds || maxDriverEdges + 1 > Int.MaxValue) null
+      else {
+        import edges.sparkSession.implicits._
+        edges.select(col("id_a").cast("long"), col("id_b").cast("long"))
+          .filter(col("id_a").isNotNull && col("id_b").isNotNull)
+          .as[(Long, Long)]
+          .limit(maxDriverEdges.toInt + 1).collect()
+      }
     if (capped != null && capped.length <= maxDriverEdges) {
-      val pairs = capped.map(r => (r.getLong(0), r.getLong(1)))
+      val pairs = capped
       val parent = new java.util.HashMap[Long, Long]()
       def find(x: Long): Long = {
         var r = x

@@ -122,10 +122,12 @@ object BtrLayout {
     import org.apache.spark.sql.functions.{array, col}
     require(cols.length >= 2, "btr zOrderBy: z-ordering needs at least two columns")
     val probs = (1 until (1 << bits)).map(_.toDouble / (1 << bits)).toArray
-    val bounds = cols.map { c =>
-      df.select(col(c).cast("double").as("__q"))
-        .stat.approxQuantile("__q", probs, 0.01).toSeq
-    }
+    // ONE pass computes every column's boundaries (the multi-column
+    // approxQuantile overload) — per-column calls would scan the full
+    // table k times at the start of a maintenance job built for big tables
+    val qNames = cols.indices.map(i => s"__q$i")
+    val cast = df.select(cols.zip(qNames).map { case (c, q) => col(c).cast("double").as(q) }: _*)
+    val bounds = cast.stat.approxQuantile(qNames.toArray, probs, 0.01).map(_.toSeq).toSeq
     val z = graft.functions.ZValueExpr.of(
       array(cols.map(col(_).cast("double")): _*), bounds, bits)
     df.withColumn("__z", z)

@@ -544,8 +544,12 @@ class BtrMicroBatchStream(
       val baseFiles = base.map(id => readLogFile(snapPath(id))).getOrElse(Seq.empty)
       val lo = base.getOrElse(Long.MinValue)
       seen = (baseFiles ++ ids.filter(id => id > lo && id <= startId).flatMap(readEntry) ++
-        // .x seen-only entries fold into snapshots too, so > lo suffices
-        seenIds().filter(id => id > lo && id <= startId).flatMap(id => readLogFile(seenPath(id)))).toSet
+        // .x seen-only entries include id == lo: a compaction AFTER the
+        // lo snapshot was written records seenPath(lo) — strict > would
+        // drop it here and the fold below would never pick it up either,
+        // so a restart would re-admit the merged file (duplicate rows).
+        // The union is a set, so re-reading already-folded content is free.
+        seenIds().filter(id => id >= lo && id <= startId).flatMap(id => readLogFile(seenPath(id)))).toSet
       seenThroughId = startId
     }
   }
@@ -730,9 +734,10 @@ class BtrMicroBatchStream(
       val snaps = snapIds()
       val base = snaps.filter(_ <= endId).lastOption
       val lo = base.getOrElse(Long.MinValue)
-      // .x seen-only entries fold in too: the snapshot is only ever a
+      // .x seen-only entries fold in too (id == lo included: one may be
+      // written after the lo snapshot): the snapshot is only ever a
       // seen-set rebuild base, never planned, so the union is sound
-      val looseSeen = seenIds().filter(id => id > lo && id <= endId)
+      val looseSeen = seenIds().filter(id => id >= lo && id <= endId)
       val files = (base.map(id => readLogFile(snapPath(id))).getOrElse(Seq.empty) ++
         loose.filter(_ > lo).flatMap(readEntry) ++
         looseSeen.flatMap(id => readLogFile(seenPath(id)))).distinct
@@ -843,6 +848,12 @@ class BtrAggScan(path: String, tableSchema: StructType, agg: aggregate.Aggregati
     extends Scan
     with Batch {
 
+  // captured at planning: under ANSI semantics a sum that overflows must
+  // raise ARITHMETIC_OVERFLOW (like the data path) instead of wrapping
+  private val ansiMode: Boolean =
+    try org.apache.spark.sql.internal.SQLConf.get.ansiEnabled
+    catch { case _: Throwable => false }
+
   /** Footer reads per task: small enough to parallelize a 100k-file table
     * across a cluster, large enough that task overhead stays negligible.
     */
@@ -919,8 +930,9 @@ class BtrAggScan(path: String, tableSchema: StructType, agg: aggregate.Aggregati
     val sp = specs
     val dsch = dataSchema
     val gFields = groupFields
+    val ansi = ansiMode
     (partition: InputPartition) =>
-      new BtrAggReader(partition.asInstanceOf[BtrAggPartition], dsch, gFields, sp)
+      new BtrAggReader(partition.asInstanceOf[BtrAggPartition], dsch, gFields, sp, ansi)
   }
 }
 
@@ -938,7 +950,8 @@ class BtrAggReader(
     partition: BtrAggPartition,
     tableSchema: StructType,
     groupFields: Array[StructField],
-    specs: Array[(Int, Int)]
+    specs: Array[(Int, Int)],
+    ansiMode: Boolean = false
 ) extends PartitionReader[InternalRow] {
 
   /** Per-group-key partial accumulator over footer stats. */
@@ -1028,7 +1041,14 @@ class BtrAggReader(
                 if (m.maxLong > acc.maxL(c)) acc.maxL(c) = m.maxLong
                 if (needSum(c) && m.nullCount < rg.numRows) {
                   acc.sumSaw(c) = true
-                  acc.sumL(c) += m.sumLong // wrapped — Spark's long-sum semantics
+                  // non-ANSI wraps (Spark's LongType sum); ANSI raises the
+                  // same ARITHMETIC_OVERFLOW the data path would
+                  if (ansiMode && !tableSchema.fields(c).dataType.isInstanceOf[DecimalType] &&
+                      m.sumOverflow)
+                    throw new ArithmeticException("long overflow")
+                  if (ansiMode && !tableSchema.fields(c).dataType.isInstanceOf[DecimalType])
+                    acc.sumL(c) = Math.addExact(acc.sumL(c), m.sumLong)
+                  else acc.sumL(c) += m.sumLong // wrapped — Spark's long-sum semantics
                   if (tableSchema.fields(c).dataType.isInstanceOf[DecimalType]) {
                     // decimal sums must be exact: a chunk whose long sum
                     // wrapped is re-summed from a decode of just that chunk
@@ -1128,8 +1148,11 @@ class BtrAggReader(
                 val p = math.min(38, d.precision + 10)
                 val bd = new java.math.BigDecimal(acc.sumBig(ci), d.scale)
                 val dec = org.apache.spark.sql.types.Decimal(bd)
-                // Spark's non-ANSI sum overflows to null past p+10 digits
+                // past p+10 digits Spark's sum overflows to null (non-ANSI)
+                // or raises (ANSI)
                 if (dec.changePrecision(p, d.scale)) row.update(oi, dec)
+                else if (ansiMode) throw new ArithmeticException(
+                  s"Decimal overflow in pushed SUM (precision $p)")
                 else row.setNullAt(oi)
               case _ => row.setLong(oi, acc.sumL(ci))
             }

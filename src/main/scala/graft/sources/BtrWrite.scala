@@ -91,8 +91,12 @@ class BtrStreamingWrite(path: String, schema: StructType, blockSize: Int, cascad
     val dir = new Path(path)
     val fs = dir.getFileSystem(BtrTableMeta.hadoopConf())
     BtrTableMeta.write(fs, dir, BtrWriteSchemas.widened(fs, dir, schema), blockSize, cascade, partCols)
-    // incremental: only this epoch's new files get a footer tail-read
-    BtrFooters.refreshIndex(fs, dir)
+    // footer reads are incremental but the index WRITE is total (one
+    // sequential sidecar rewrite) — refreshing every epoch would write
+    // O(files) bytes per micro-batch on a long-running stream. The index
+    // is advisory (uncovered epochs fall back to bounded tail-reads), so
+    // refresh periodically; compaction re-covers the table anyway.
+    if (epochId % BtrStreamingWrite.IndexRefreshEpochs == 0) BtrFooters.refreshIndex(fs, dir)
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -108,6 +112,13 @@ class BtrStreamingWrite(path: String, schema: StructType, blockSize: Int, cascad
   }
 }
 
+object BtrStreamingWrite {
+  /** Epoch cadence of footer-index sidecar rewrites (the write is
+    * O(files) even though reads are incremental).
+    */
+  val IndexRefreshEpochs = 8
+}
+
 /** Schema recorded at append commits: columns ADDED by this append are
   * forced nullable (files written before the widening read them as all
   * null), and an existing column stays nullable if it ever was (older
@@ -119,10 +130,15 @@ object BtrWriteSchemas {
   def widened(fs: org.apache.hadoop.fs.FileSystem, dir: Path, schema: StructType): StructType = {
     if (!fs.exists(new Path(dir, BtrTableMeta.MetaFile))) return schema
     val existing = BtrTableMeta.readSchema(fs, dir)
-    StructType(schema.fields.zipWithIndex.map { case (f, i) =>
+    val prefix = schema.fields.zipWithIndex.map { case (f, i) =>
       if (i >= existing.fields.length) f.copy(nullable = true)
       else f.copy(nullable = f.nullable || existing.fields(i).nullable)
-    })
+    }
+    // the meta may have grown BEYOND this writer's schema since it was
+    // validated (a concurrent widening append; streaming sinks validate
+    // once at build): keep the existing trailing columns — rewriting the
+    // meta with only this writer's columns would silently hide them
+    StructType(prefix ++ existing.fields.drop(schema.fields.length))
   }
 }
 

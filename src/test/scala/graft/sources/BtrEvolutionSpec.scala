@@ -130,6 +130,21 @@ class BtrEvolutionSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("widened() never narrows a meta that grew past the writer's schema") {
+    import org.apache.spark.sql.types._
+    writeEvolved(tmp("narrow")) // meta is [id, s, extra]
+    val fs = new org.apache.hadoop.fs.Path(tmp("narrow"))
+      .getFileSystem(graft.format.BtrTableMeta.hadoopConf())
+    // a writer validated against the pre-widening [id, s] table commits
+    // AFTER a concurrent widening: the recorded schema must keep `extra`
+    val narrow = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("s", StringType, nullable = true)))
+    val recorded = BtrWriteSchemas.widened(fs, new org.apache.hadoop.fs.Path(tmp("narrow")), narrow)
+    assert(recorded.fieldNames.toSeq == Seq("id", "s", "extra"), recorded.treeString)
+    assert(recorded("extra").nullable, "retained trailing columns stay nullable")
+  }
+
   test("incompatible appends still fail loudly") {
     writeEvolved(tmp("reject"))
     // reordered columns

@@ -341,6 +341,42 @@ class EventsStreamingSpec extends AnyFunSuite {
     assert(spark.read.format("btr").load(out).count() == 8)
   }
 
+  test("seen-marker written at a snapshot's own id survives a seen-set rebuild") {
+    // the collision the full-stream path produces only under specific
+    // commit timing, constructed directly: the log holds a snapshot at id
+    // K AND a seen-only K.x (a compaction derivation recorded AFTER the
+    // fold, at startId == K). The rebuild must union K.x — a strict
+    // id > snapshot filter would drop it and re-admit the file it marks.
+    import spark.implicits._
+    val src = "/tmp/btr-stream-snapx-src"
+    val ckpt = "/tmp/btr-stream-snapx-ckpt"
+    Seq(src, ckpt).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+    Seq((1L, "a"), (2L, "b")).toDF("id", "tag")
+      .coalesce(1).write.format("btr").mode("overwrite").save(src)
+    val fs = new org.apache.hadoop.fs.Path(src)
+      .getFileSystem(graft.format.BtrTableMeta.hadoopConf())
+    val dataFile = graft.format.BtrTableMeta
+      .listDataFilesWithPartitions(fs, new org.apache.hadoop.fs.Path(src))
+      .head.path.getName
+
+    val logDir = new java.io.File(s"$ckpt/btr-file-log")
+    logDir.mkdirs()
+    // snapshot at id 9 (empty fold base) and the colliding seen-only 9.x
+    // marking the table's one data file as already seen
+    java.nio.file.Files.writeString(logDir.toPath.resolve("9.snap"), "[]")
+    java.nio.file.Files.writeString(logDir.toPath.resolve("9.x"), s"""["$dataFile"]""")
+
+    val table = spark.read.format("btr").load(src)
+    assert(table.count() == 2)
+    val stream = new graft.sources.BtrMicroBatchStream(
+      src, table.schema, table.schema, Nil, None, ckpt)
+    val next = stream.latestOffset(stream.deserializeOffset("9"),
+      org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable())
+    assert(next == stream.deserializeOffset("9"),
+      s"rebuild dropped the snapshot-id .x entry: file re-admitted ($next)")
+  }
+
   test("compaction of partially-streamed files fails loudly, not silently") {
     import spark.implicits._
     import org.apache.spark.sql.connector.read.streaming.ReadLimit
