@@ -163,4 +163,49 @@ class BtrFuzzSpec extends AnyFunSuite {
       i += 1
     }
   }
+
+  test("fuzzed filters stay exact across a schema widening + compaction") {
+    import org.apache.spark.sql.functions._
+    val dir = "/tmp/btr-fuzz/evolved"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    // generation 1: the base schema; generation 2: adds a nullable tail
+    // column — the widened table mixes footer column counts
+    val gen1 = spark.createDataFrame(
+      spark.sparkContext.parallelize(randomRows(21L, 1500), 2), schema)
+    gen1.write.format("btr").option("btr.blockSize", "256").mode("overwrite").save(dir)
+    val gen2base = spark.createDataFrame(
+      spark.sparkContext.parallelize(randomRows(22L, 1500), 2), schema)
+    val gen2 = gen2base.withColumn("added", when(col("i") % 3 === 0, pmod(col("i"), lit(100000)) * 2))
+    gen2.write.format("btr").option("btr.blockSize", "256").mode("append").save(dir)
+    val expected = gen1.withColumn("added", lit(null).cast("int")).union(gen2)
+    val back = spark.read.format("btr").load(dir)
+
+    val rnd = new scala.util.Random(23)
+    val preds = Seq[org.apache.spark.sql.Column](
+      col("added").isNull, col("added").isNotNull,
+      col("added") === 42, col("added") > 0, col("added") <= 100,
+      col("added").isin(6, 12, 999983),
+      col("added").isNotNull && col("id") > 50,
+      col("s") === "tag_1", col("i") > 0) ++
+      (1 to 20).map(_ => col("added") === (rnd.nextInt(2000) - 1000))
+    preds.foreach { p =>
+      val exp = expected.filter(p).count()
+      val got = back.filter(p).count()
+      assert(got == exp, s"evolved filter $p: btr=$got expected=$exp")
+    }
+    // compaction keeps generations apart and every answer identical
+    BtrCompact.compact(spark, dir, targetBytes = 1L << 30)
+    val compacted = spark.read.format("btr").load(dir)
+    preds.foreach { p =>
+      val exp = expected.filter(p).count()
+      val got = compacted.filter(p).count()
+      assert(got == exp, s"post-compact evolved filter $p: btr=$got expected=$exp")
+    }
+    // and the pushed aggregates agree over the mixed generations
+    val a = compacted.agg(count(col("added")), sum(col("added")),
+      min(col("added")), max(col("added")), count(lit(1))).head
+    val e = expected.agg(count(col("added")), sum(col("added")),
+      min(col("added")), max(col("added")), count(lit(1))).head
+    assert(a.toString == e.toString, s"$a vs $e")
+  }
 }
