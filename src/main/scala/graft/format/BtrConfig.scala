@@ -101,7 +101,12 @@ object BtrConfig {
       tryAll = selection == "tryall",
       sampleRuns = if (selection == "full") 0 else 10,
       sampleRunLen = 64,
-      bloomEnabled = get("btr.bloom.enabled").forall(_.trim.toLowerCase != "false"),
+      bloomEnabled = get("btr.bloom.enabled").map(_.trim.toLowerCase) match {
+        case None | Some("true") => true
+        case Some("false") => false
+        case Some(other) =>
+          throw new IllegalArgumentException(s"btr.bloom.enabled must be true|false, got '$other'")
+      },
       bloomMaxBytes = get("btr.bloom.maxBytes").map(_.trim.toInt).getOrElse(2048)
     )
   }

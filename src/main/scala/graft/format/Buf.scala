@@ -14,9 +14,14 @@ final class BufWriter(initialCapacity: Int = 1 << 16) {
 
   private def ensure(n: Int): Unit = {
     if (posv + n > buf.length) {
-      var cap = buf.length
-      while (cap < posv + n) cap = cap << 1
-      buf = java.util.Arrays.copyOf(buf, cap)
+      val need = posv.toLong + n
+      // fail loudly near the array-size ceiling: an unguarded doubling
+      // loop would wrap negative past 2^30 and spin forever
+      require(need <= Int.MaxValue - 16,
+        s"btr buffer: encoded block would exceed 2 GiB ($need bytes) — lower btr.blockSize")
+      var cap = buf.length.toLong
+      while (cap < need) cap = cap << 1
+      buf = java.util.Arrays.copyOf(buf, math.min(cap, Int.MaxValue - 16L).toInt)
     }
   }
 

@@ -104,11 +104,15 @@ final class ColumnChunk(val tag: Int, val count: Int) {
       if (tag == PhysType.ArrDouble) elemDoubles = new Array[Double](cap)
       else elemLongs = new Array[Long](cap)
     } else if (elemCount + n > elemNull.length) {
-      var cap = elemNull.length
-      while (cap < elemCount + n) cap <<= 1
-      elemNull = java.util.Arrays.copyOf(elemNull, cap)
-      if (elemDoubles != null) elemDoubles = java.util.Arrays.copyOf(elemDoubles, cap)
-      if (elemLongs != null) elemLongs = java.util.Arrays.copyOf(elemLongs, cap)
+      val need = elemCount.toLong + n
+      require(need <= Int.MaxValue - 16, // same wrap guard as BufWriter.ensure
+        s"btr array column: element stream would exceed 2^31 entries ($need)")
+      var cap = elemNull.length.toLong
+      while (cap < need) cap <<= 1
+      val capI = math.min(cap, Int.MaxValue - 16L).toInt
+      elemNull = java.util.Arrays.copyOf(elemNull, capI)
+      if (elemDoubles != null) elemDoubles = java.util.Arrays.copyOf(elemDoubles, capI)
+      if (elemLongs != null) elemLongs = java.util.Arrays.copyOf(elemLongs, capI)
     }
   }
 
@@ -166,10 +170,8 @@ object ChunkCodec {
       cfg: BtrConfig = BtrConfig.Default,
       seed: Long = 42L
   ): ChunkStats = {
-    var nullCount = 0
+    val nullCount = NullMap.encode(chunk.isNull, chunk.count, out)
     var i = 0
-    while (i < chunk.count) { if (chunk.isNull(i)) nullCount += 1; i += 1 }
-    NullMap.encode(chunk.isNull, chunk.count, out)
     val tag = chunk.tag
     if (PhysType.isIntFamily(tag)) {
       cfg.forceInt match {
@@ -182,6 +184,11 @@ object ChunkCodec {
       var mx = Long.MinValue
       var sum = 0L
       var sumOver = false
+      // stop hashing once cardinality provably exceeds the bloom budget
+      // (Bloom.build would reject it) — unique-key columns otherwise pay
+      // a full distinct-set build per chunk for a filter that never ships
+      val ndvCap = cfg.bloomMaxBytes
+      var bloomOver = false
       val hashes = if (cfg.bloomEnabled) new Bloom.LongSet() else null
       i = 0
       while (i < chunk.count) {
@@ -192,14 +199,16 @@ object ChunkCodec {
           val ns = sum + v
           if (((sum ^ ns) & (v ^ ns)) < 0) sumOver = true // signed wrap
           sum = ns
-          if (hashes != null) hashes.add(Bloom.hashLong(v))
+          if (hashes != null && !bloomOver) {
+            if (hashes.size > ndvCap) bloomOver = true else hashes.add(Bloom.hashLong(v))
+          }
         }
         i += 1
       }
       val has = nullCount < chunk.count
       ChunkStats(nullCount, mn, mx, 0, 0, has,
         rawBytes = chunk.count.toLong * PhysType.physWidth(tag),
-        bloom = if (hashes != null) Bloom.build(hashes, cfg.bloomMaxBytes) else null,
+        bloom = if (hashes != null && !bloomOver) Bloom.build(hashes, cfg.bloomMaxBytes) else null,
         sumLong = sum, sumOverflow = sumOver)
     } else if (tag == PhysType.Double || tag == PhysType.Float) {
       if (tag == PhysType.Float) {
@@ -273,6 +282,8 @@ object ChunkCodec {
       var mn: Array[Byte] = null
       var mx: Array[Byte] = null
       var totalLen = 0L
+      val ndvCap = cfg.bloomMaxBytes // same budget-overflow early-out as ints
+      var bloomOver = false
       val hashes = if (cfg.bloomEnabled) new Bloom.LongSet() else null
       i = 0
       while (i < chunk.count) {
@@ -281,7 +292,9 @@ object ChunkCodec {
           val v = chunk.strings(i)
           if (mn == null || java.util.Arrays.compareUnsigned(v, mn) < 0) mn = v
           if (mx == null || java.util.Arrays.compareUnsigned(v, mx) > 0) mx = v
-          if (hashes != null) hashes.add(Bloom.hashBytes(v))
+          if (hashes != null && !bloomOver) {
+            if (hashes.size > ndvCap) bloomOver = true else hashes.add(Bloom.hashBytes(v))
+          }
         }
         i += 1
       }
@@ -292,7 +305,7 @@ object ChunkCodec {
         // ≤ StringStatLen bounds are stored untruncated — exact by
         // construction (truncMin/truncMax return them unchanged)
         minExact = mn.length <= StringStatLen, maxExact = mx.length <= StringStatLen,
-        bloom = if (hashes != null) Bloom.build(hashes, cfg.bloomMaxBytes) else null)
+        bloom = if (hashes != null && !bloomOver) Bloom.build(hashes, cfg.bloomMaxBytes) else null)
     }
   }
 

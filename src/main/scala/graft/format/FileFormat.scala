@@ -363,8 +363,9 @@ object BtrTableMeta {
       cascade: Int,
       partitionCols: Seq[String] = Nil
   ): Unit = {
-    // minimal JSON by hand: schema json is already valid JSON
-    val parts = partitionCols.map(c => "\"" + c + "\"").mkString("[", ",", "]")
+    // minimal JSON by hand: schema json is already valid JSON; column
+    // names go through the shared escaper (quotes/commas/control chars)
+    val parts = partitionCols.map(jsonStr).mkString("[", ",", "]")
     val json =
       s"""{"version":${BtrFile.Version},"blockSize":$blockSize,"cascade":$cascade,"partitionCols":$parts,"schema":${schema.json}}"""
     val out = fs.create(new Path(dir, MetaFile), true)
@@ -417,10 +418,33 @@ object BtrTableMeta {
     val idx = json.indexOf(key)
     if (idx < 0) Nil
     else {
+      // parse the JSON string array respecting quotes/escapes — a split
+      // on ',' would shear a column name containing a comma in two
       val start = json.indexOf('[', idx)
-      val end = json.indexOf(']', start)
-      json.substring(start + 1, end).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
-        .filter(_.nonEmpty).toSeq
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = start + 1
+      val sb = new StringBuilder
+      var inStr = false
+      var done = false
+      while (!done && i < json.length) {
+        val c = json.charAt(i)
+        if (!inStr) {
+          if (c == '"') { inStr = true; sb.clear() }
+          else if (c == ']') done = true
+        } else c match {
+          case '"' => inStr = false; out += sb.toString
+          case '\\' =>
+            i += 1
+            json.charAt(i) match {
+              case 'u' =>
+                sb.append(Integer.parseInt(json.substring(i + 1, i + 5), 16).toChar); i += 4
+              case e => sb.append(e)
+            }
+          case e => sb.append(e)
+        }
+        i += 1
+      }
+      out.toSeq
     }
   }
 

@@ -17,7 +17,8 @@ object FsstCodec {
   val Escape = 255
 
   /** Encode a string column: [symbolTable][lengths cascade][bytes]. */
-  def encodeStrings(out: BufWriter, values: Array[Array[Byte]], count: Int, depth: Int): Unit = {
+  def encodeStrings(out: BufWriter, values: Array[Array[Byte]], count: Int, depth: Int,
+      cfg: BtrConfig = BtrConfig.Default, seed: Long = 42L): Unit = {
     val table = SymbolTable.train(values, count)
     table.write(out)
     val encoded = new Array[Array[Byte]](count)
@@ -26,7 +27,7 @@ object FsstCodec {
     val lens = new Array[Long](count)
     i = 0
     while (i < count) { lens(i) = encoded(i).length.toLong; i += 1 }
-    IntCodec.encode(out, lens, count, 4, math.max(depth, 1))
+    IntCodec.encode(out, lens, count, 4, math.max(depth, 1), cfg, seed)
     i = 0
     while (i < count) { out.putBytes(encoded(i)); i += 1 }
   }

@@ -539,8 +539,13 @@ object IntCodec {
         var i = 0
         while (i < count) { out(i) = in.getByte().toLong; i += 1 }
       case 2 =>
+        // sign-extend like the 4/8-byte paths (getByte is unsigned; the
+        // raw value was the low 16 bits of a signed long)
         var i = 0
-        while (i < count) { out(i) = (in.getByte() | (in.getByte() << 8)).toLong; i += 1 }
+        while (i < count) {
+          out(i) = ((in.getByte() | (in.getByte() << 8)).toShort).toLong
+          i += 1
+        }
       case 4 =>
         var i = 0
         while (i < count) { out(i) = in.getInt().toLong; i += 1 }

@@ -12,13 +12,16 @@ object NullMap {
   val NullPositions = 2 // nulls are the minority: store null row indices
   val ValidPositions = 3 // nulls are the majority: store valid row indices
 
-  /** Encode `isNull` (dense per-row flags). Returns the kind written. */
+  /** Encode `isNull` (dense per-row flags). Returns the NULL COUNT (the
+    * caller needs it for footer stats; counting here avoids a second full
+    * pass over the flags).
+    */
   def encode(isNull: Array[Boolean], count: Int, out: BufWriter): Int = {
     var nulls = 0
     var i = 0
     while (i < count) { if (isNull(i)) nulls += 1; i += 1 }
-    if (nulls == 0) { out.putByte(NoNulls); NoNulls }
-    else if (nulls == count) { out.putByte(AllNulls); AllNulls }
+    if (nulls == 0) { out.putByte(NoNulls); nulls }
+    else if (nulls == count) { out.putByte(AllNulls); nulls }
     else {
       val storeNulls = nulls * 2 <= count
       val kind = if (storeNulls) NullPositions else ValidPositions
@@ -35,7 +38,7 @@ object NullMap {
       val width = Bitpack.bitsFor((count - 1).toLong)
       out.putByte(width)
       Bitpack.pack(positions, n, width, out)
-      kind
+      nulls
     }
   }
 

@@ -180,7 +180,7 @@ object StringCodec {
         val useFsst = FsstCodec.enabled && dictBytes >= FsstMinBytes &&
           cfg.stringEnabled(Fsst)
         out.putByte(if (useFsst) 1 else 0)
-        if (useFsst) FsstCodec.encodeStrings(out, dict, dict.length, depth - 1)
+        if (useFsst) FsstCodec.encodeStrings(out, dict, dict.length, depth - 1, cfg, seed)
         else {
           writeLengths(out, dict, dict.length, depth - 1, cfg, sub)
           j = 0
@@ -197,11 +197,19 @@ object StringCodec {
         while (i < count) { codes(i) = index(new ByteKey(values(i))).toLong; i += 1 }
         IntCodec.encode(out, codes, count, 8, depth - 1, cfg, sub + 1)
       case Fsst =>
-        FsstCodec.encodeStrings(out, values, count, depth - 1)
+        FsstCodec.encodeStrings(out, values, count, depth - 1, cfg, seed)
     }
   }
 
   /** Decode into (lengths, concatenated bytes). */
+  // Int-wrap guard for materialized chunk sizes: a clear error beats the
+  // ArrayIndexOutOfBounds a silently-wrapped allocation would throw
+  private def sizeGuard(total: Long): Int = {
+    require(total >= 0 && total <= Int.MaxValue - 16,
+      s"btr string chunk materializes to $total bytes (> 2 GiB) — lower btr.blockSize")
+    total.toInt
+  }
+
   def decode(in: BufReader, count: Int): (Array[Int], Array[Byte]) = {
     in.getByte() match {
       case Uncompressed =>
@@ -209,14 +217,14 @@ object StringCodec {
         var total = 0L
         var i = 0
         while (i < count) { total += lens(i); i += 1 }
-        val bytes = in.getBytes(total.toInt)
+        val bytes = in.getBytes(sizeGuard(total))
         (lens, bytes)
       case OneValue =>
         val len = in.getInt()
         val v = in.getBytes(len)
         val lens = new Array[Int](count)
         java.util.Arrays.fill(lens, len)
-        val bytes = new Array[Byte](len * count)
+        val bytes = new Array[Byte](sizeGuard(len.toLong * count))
         var i = 0
         while (i < count) { System.arraycopy(v, 0, bytes, i * len, len); i += 1 }
         (lens, bytes)
@@ -244,7 +252,7 @@ object StringCodec {
           total += lens(i)
           i += 1
         }
-        val bytes = new Array[Byte](total.toInt)
+        val bytes = new Array[Byte](sizeGuard(total))
         var p = 0
         i = 0
         while (i < count) {
