@@ -120,7 +120,11 @@ object MultimodalOps {
         if (len < 0) return None // corrupt length would loop/walk backwards
         if (id == "fmt " && i + 8 + 8 <= b.length)
           return Some((leU32(b, i + 8 + 4).toInt, leU16(b, i + 8 + 2)))
-        i += 8 + len + (len & 1) // chunks are word-aligned
+        // Long advance: a huge (valid-sign) length must end the walk, not
+        // wrap Int and index negative
+        val next = i.toLong + 8L + len + (len & 1) // chunks are word-aligned
+        if (next > b.length) return None
+        i = next.toInt
       }
       None
     }
@@ -137,7 +141,7 @@ object MultimodalOps {
         while (i + 8 <= end) {
           val size = beU32(b, i).toInt
           if (size < 8) return None // malformed/64-bit sizes: stop cleanly
-          val boxEnd = math.min(end, i + size)
+          val boxEnd = math.min(end.toLong, i.toLong + size).toInt
           tag(b, i + 4) match {
             case "moov" | "trak" =>
               val r = walk(i + 8, boxEnd)
@@ -154,7 +158,9 @@ object MultimodalOps {
               }
             case _ => ()
           }
-          i += size
+          val next = i.toLong + size // huge sizes end the walk, no Int wrap
+          if (next > end) return None
+          i = next.toInt
         }
         None
       }
@@ -236,6 +242,7 @@ object MultimodalOps {
 
     /** Frame count of an animated payload (GIF), 1 for stills. */
     def frameCount(bytes: Array[Byte]): Option[Int] = {
+      if (bytes == null || bytes.length == 0) return None
       val in = javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(bytes))
       try {
         val readers = javax.imageio.ImageIO.getImageReaders(in)
@@ -370,7 +377,11 @@ object MultimodalOps {
           dataOff = i + 8
           dataLen = math.max(0, math.min(len, b.length - dataOff))
         }
-        i += 8 + len + (len & 1) // chunks are word-aligned
+        // Long advance (see MediaHeader.decodeWav): huge lengths end the
+        // walk instead of wrapping Int
+        val next = i.toLong + 8L + len + (len & 1) // chunks are word-aligned
+        if (next > b.length) i = b.length
+        else i = next.toInt
       }
       if (rate <= 0 || channels <= 0 || dataOff < 0) return None
       if (fmt != 1 && fmt != 3) return None
@@ -522,6 +533,7 @@ object MultimodalOps {
     */
   object FakeDecoder {
     def decode(docId: Long, bytes: Array[Byte]): MediaMeta = {
+      if (bytes == null) return MediaMeta(docId, 0, 0, 64, 64, 1)
       val n = bytes.length
       val header = if (n > 0) bytes(0) & 0xff else 0
       val img = ImageHeader.decode(bytes)

@@ -46,7 +46,10 @@ object RelationalOps {
       if (rightTieCols.isEmpty) lit(0)
       else struct(rightTieCols.map(right(_)): _*)
     val rTagged = right
-      .filter(right(rightTime).isNotNull)
+      // null keys never match in SQL ASOF (equality join semantics) —
+      // without this filter the null-key window group would carry right
+      // rows forward onto null-key left rows
+      .filter(right(rightTime).isNotNull && right(key).isNotNull)
       .select(right(key).as("__k"), right(rightTime).as("__t"), lit(0).as("__ord"),
         tie.as("__tie"), rStruct.as("__r"), lit(null).cast("int").as("__lid"))
     val leftCols = left.columns.toSeq

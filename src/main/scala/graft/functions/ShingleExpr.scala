@@ -276,9 +276,14 @@ object MinHashUtil {
     if (n == 0) return new GenericArrayData(new Array[Any](k))
     val mins = Array.fill(k)(Long.MaxValue)
     var i = 0
+    var any = false
     while (i < n) {
+      val sv = shingles.getUTF8String(i)
+      if (sv == null) { i += 1 } // null elements carry no signal — skip
+      else {
+      any = true
       val x = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
-        shingles.getUTF8String(i), StringType, 42L)
+        sv, StringType, 42L)
       val h = ((x % P) + P) % P
       var j = 0
       while (j < k) {
@@ -287,7 +292,9 @@ object MinHashUtil {
         j += 1
       }
       i += 1
+      }
     }
+    if (!any) return new GenericArrayData(new Array[Any](k))
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(mins)
   }
 }
@@ -592,6 +599,10 @@ object CentroidUtil {
         if (!used(c) && d2(c) < bestD) { best = c; bestD = d2(c) }
         c += 1
       }
+      // a NaN element makes every distance NaN and no center "nearest" —
+      // fall back to the first unused center (consistent bucketing beats
+      // a crash, same policy as the null-element guard above)
+      if (best < 0) { c = 0; while (used(c)) c += 1; best = c }
       used(best) = true
       picked(p) = best
       p += 1

@@ -182,7 +182,13 @@ object SimilarityOps {
     val fitRows =
       if (sampled.length >= floor) sampled
       else candidates.select(col("cvec")).limit(fitSampleRows).collect()
-    val sample = fitRows.map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    // null / ragged embeddings carry no fit signal and would NPE the
+    // driver-local k-means — drop them from the sample (assignment still
+    // buckets such rows via the kernel's guards)
+    val rawVecs = fitRows.map(r => if (r.isNullAt(0)) null else r.getSeq[Float](0))
+      .filter(_ != null)
+    val dim0 = rawVecs.headOption.map(_.length).getOrElse(0)
+    val sample = rawVecs.filter(_.length == dim0).map(_.toArray.map(_.toDouble))
     val centers: Seq[Seq[Double]] =
       LocalKMeans.fit(sample, nlist, iters = 5, seed = 42L).map(_.toSeq).toSeq
     val cb = candidates.withColumn("cluster",

@@ -169,6 +169,8 @@ object TextOps {
       threshold: Double = 0.5,
       maxBucketSize: Int = 1024
   ): DataFrame = {
+    require(bands >= 1 && numHashes >= bands && numHashes % bands == 0,
+      s"minhashDedup: numHashes ($numHashes) must be a positive multiple of bands ($bands)")
     val rows = numHashes / bands
     // shingling is the most expensive projection and feeds three plan
     // branches (signatures + both sides of the verify join) — persist it
@@ -266,10 +268,11 @@ object TextOps {
     // the fast path needs long-valued ids (the label propagation below is
     // type-generic — string/UUID ids keep working through it)
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
-    val integralIds = edges.schema.fields.take(2).forall(_.dataType match {
-      case IntegerType | LongType | ShortType | ByteType => true
-      case _ => false
-    })
+    val integralIds = Seq("id_a", "id_b").forall(n =>
+      scala.util.Try(edges.schema(n).dataType).toOption.exists {
+        case IntegerType | LongType | ShortType | ByteType => true
+        case _ => false
+      })
     // one bounded action decides the path AND fetches the edges: a
     // limit(cap + 1) collect never materializes more than the cap, and a
     // separate count() would force the (often expensive) upstream pair
@@ -419,6 +422,9 @@ object TextOps {
       bits: Int = 64,
       useMd5: Boolean = false
   ): DataFrame = {
+    // the 4-block pigeonhole only covers hamming <= 3: at distance 4 a
+    // pair can differ in every block and silently vanish — fail loudly
+    require(maxDist <= 3, s"simhashDedup: 16-bit block bucketing covers maxDist <= 3, got $maxDist")
     // the signature projection feeds THREE plan branches (block buckets +
     // both sides of the hamming verify join); persist the tiny
     // (id, simhash) result once instead of recomputing per branch
