@@ -193,6 +193,19 @@ object BtrCompact {
     val fs = root.getFileSystem(BtrTableMeta.hadoopConf())
     // converge any swap a crashed compactor left behind before binning
     BtrTableMeta.completeSwapJournals(fs, root)
+    // a compactor that died between its merge tasks and the journal write
+    // leaves _tmp_compact_* files scans never see but nothing else ever
+    // deletes — sweep them here (concurrent compactors are unsupported,
+    // so any tmp present at this point is dead weight)
+    def sweepTmp(d: Path): Unit = {
+      val it = fs.listStatusIterator(d)
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isDirectory) sweepTmp(st.getPath)
+        else if (st.getPath.getName.startsWith("_tmp_compact_")) fs.delete(st.getPath, false)
+      }
+    }
+    sweepTmp(root)
     val entries = BtrTableMeta.listDataFilesWithPartitions(fs, root)
     val before = entries.length
 

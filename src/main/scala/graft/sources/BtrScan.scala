@@ -1041,14 +1041,20 @@ class BtrAggReader(
                 if (m.maxLong > acc.maxL(c)) acc.maxL(c) = m.maxLong
                 if (needSum(c) && m.nullCount < rg.numRows) {
                   acc.sumSaw(c) = true
-                  // non-ANSI wraps (Spark's LongType sum); ANSI raises the
-                  // same ARITHMETIC_OVERFLOW the data path would
-                  if (ansiMode && !tableSchema.fields(c).dataType.isInstanceOf[DecimalType] &&
-                      m.sumOverflow)
-                    throw new ArithmeticException("long overflow")
-                  if (ansiMode && !tableSchema.fields(c).dataType.isInstanceOf[DecimalType])
-                    acc.sumL(c) = Math.addExact(acc.sumL(c), m.sumLong)
-                  else acc.sumL(c) += m.sumLong // wrapped — Spark's long-sum semantics
+                  // wrapped accumulation is EXACT for non-ANSI long sums
+                  // (mod-2^64 arithmetic is associative, so chunk-wise
+                  // wrapping equals Spark's row-wise wrapping); under ANSI
+                  // an exact BigInteger rides alongside and the emit path
+                  // raises ARITHMETIC_OVERFLOW iff the TRUE total exceeds
+                  // Long — the one outcome every execution order agrees on
+                  acc.sumL(c) += m.sumLong
+                  if (ansiMode && !tableSchema.fields(c).dataType.isInstanceOf[DecimalType]) {
+                    // a chunk whose own sum wrapped lost its exact value —
+                    // magnitudes there (> 2^63 inside one chunk) overflow
+                    // under any execution order
+                    if (m.sumOverflow) throw new ArithmeticException("long overflow")
+                    acc.sumBig(c) = acc.sumBig(c).add(java.math.BigInteger.valueOf(m.sumLong))
+                  }
                   if (tableSchema.fields(c).dataType.isInstanceOf[DecimalType]) {
                     // decimal sums must be exact: a chunk whose long sum
                     // wrapped is re-summed from a decode of just that chunk
@@ -1148,13 +1154,26 @@ class BtrAggReader(
                 val p = math.min(38, d.precision + 10)
                 val bd = new java.math.BigDecimal(acc.sumBig(ci), d.scale)
                 val dec = org.apache.spark.sql.types.Decimal(bd)
-                // past p+10 digits Spark's sum overflows to null (non-ANSI)
-                // or raises (ANSI)
+                // past p+10 digits the data path nulls (non-ANSI) or raises
+                // (ANSI) the WHOLE sum — but a null PARTIAL would be skipped
+                // by the final Sum merge and silently drop this batch from
+                // the total, so raise loudly in both modes (reachable only
+                // past 10^28; a clear error beats a wrong number)
                 if (dec.changePrecision(p, d.scale)) row.update(oi, dec)
-                else if (ansiMode) throw new ArithmeticException(
-                  s"Decimal overflow in pushed SUM (precision $p)")
-                else row.setNullAt(oi)
-              case _ => row.setLong(oi, acc.sumL(ci))
+                else throw new ArithmeticException(
+                  s"Decimal overflow in pushed SUM (precision $p) — " +
+                    "disable aggregate pushdown for this query")
+              case _ =>
+                if (ansiMode) {
+                  // exact total: fits -> a valid non-throwing execution
+                  // order exists, return it; doesn't fit -> every order's
+                  // running sum must pass through the overflow
+                  try row.setLong(oi, acc.sumBig(ci).longValueExact())
+                  catch {
+                    case _: ArithmeticException =>
+                      throw new ArithmeticException("long overflow")
+                  }
+                } else row.setLong(oi, acc.sumL(ci))
             }
           case (k, ci) if tableSchema.fields(ci).dataType == StringType =>
             val sv = if (k == 2) acc.minS(ci) else acc.maxS(ci)
@@ -1573,7 +1592,7 @@ object ChunkSkip {
       case IsNotNull(a) => col(a).exists { case (m, _) => m.nullCount == rg.numRows }
       case EqualTo(a, v) =>
         col(a).exists { case (m, dt) =>
-          allNull(m) || outside(m, dt, v, eqLow = true, eqHigh = true) || bloomExcludes(m, dt, v)
+          allNull(m) || outside(m, dt, v) || bloomExcludes(m, dt, v)
         }
       case GreaterThan(a, v) =>
         col(a).exists { case (m, dt) => allNull(m) || maxBelowOrEq(m, dt, v, strict = true) }
@@ -1586,7 +1605,7 @@ object ChunkSkip {
       case In(a, vs) =>
         col(a).exists { case (m, dt) =>
           allNull(m) ||
-            vs.forall(v => outside(m, dt, v, eqLow = true, eqHigh = true) || bloomExcludes(m, dt, v))
+            vs.forall(v => outside(m, dt, v) || bloomExcludes(m, dt, v))
         }
       case StringStartsWith(a, p) =>
         // value starts with p  ⟺  p <= value < increment(p); skip when the
@@ -1626,7 +1645,7 @@ object ChunkSkip {
     })
 
   // value strictly outside [min,max]
-  private def outside(m: BtrFile.ColumnChunkMeta, dt: DataType, v: Any, eqLow: Boolean, eqHigh: Boolean): Boolean =
+  private def outside(m: BtrFile.ColumnChunkMeta, dt: DataType, v: Any): Boolean =
     m.statsKind match {
       case 1 =>
         val x = if (dt.isInstanceOf[DecimalType]) decimalLit(v, dt) else toLongLit(v)

@@ -64,6 +64,12 @@ class BtrWriteBuilder(path: String, schema: StructType, options: CaseInsensitive
         BtrOptions.cascade(options), BtrOptions.config(options), partCols)
     }
     override def toStreaming: streaming.StreamingWrite = {
+      // Complete/Update modes arrive as truncate(); the sink only ever
+      // appends epoch files, so honoring them silently would duplicate
+      // every prior epoch's rows — refuse loudly
+      require(!truncateOnCommit,
+        "btr streaming sink supports Append output mode only (Complete/Update " +
+          "would re-append each epoch's full result set)")
       checkAppendCompatible() // every epoch appends
       new BtrStreamingWrite(path, schema, BtrOptions.blockSize(options),
         BtrOptions.cascade(options), BtrOptions.config(options), partCols)
