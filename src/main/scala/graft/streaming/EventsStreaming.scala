@@ -29,7 +29,9 @@ object EventsStreaming {
       .schema(eventsSchema)
       .option("maxFilesPerTrigger", "1")
       .parquet(dir)
-      .withColumn("ts_t", timestamp_micros((col("ts") / 1000).cast("long")))
+      // integral division: `/ 1000` routes through DoubleType, whose ulp
+      // at current-epoch nanos is 256 — off-by-one-microsecond timestamps
+      .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
   }
 
   /** Watermarked tumbling-window aggregation per event type. */
@@ -73,20 +75,27 @@ object EventsStreaming {
   /** Closed sessions via flatMapGroupsWithState with an event-time
     * timeout — the custom-state form of [[userSessions]] for session
     * payloads `session_window` can't express. Robust to out-of-order
-    * arrival by construction: each user's events BUFFER in state until
-    * the watermark passes `last event + gap` (the point after which no
-    * kept event can extend any buffered session — later events are
-    * `>= watermark > last + gap`, so they open new sessions), then the
-    * buffer sessionizes in time order and every closed session emits
-    * exactly once. Rows older than the watermark are dropped explicitly
-    * (flatMapGroupsWithState does not drop late data itself). State is
-    * bounded by the watermark horizon per user, never by stream length.
+    * arrival by construction, with state that is O(open sessions) per
+    * user — NOT per event: each open session is kept only as a summary
+    * (start, last, n, sum). Adding an event can only merge or extend
+    * sessions, never split one, so summaries compose exactly: fresh
+    * events become singleton summaries, everything sorts by start, and
+    * adjacent summaries merge when the next STARTS before the current
+    * session's end + gap (end-exclusive — the same boundary rule as
+    * `session_window`: an event exactly `gap` after the last opens a new
+    * session). A session emits exactly once when the watermark seals it
+    * (no kept event — all >= watermark — can extend it). Rows older than
+    * the watermark are dropped explicitly (flatMapGroupsWithState does
+    * not drop late data itself). A never-idle user keeps exactly ONE
+    * summary alive, so state is bounded by horizon/gap sessions per
+    * user, never by stream length.
     */
   // ts_t stays in the Dataset so the analyzer sees the watermark column
   // through the stateful operator; ts_us carries the exact microseconds
   final case class SessionEvent(
       user_id: Long, ts_t: java.sql.Timestamp, ts_us: Long, value: Double)
-  final case class SessionBuffer(ts_us: Array[Long], values: Array[Double])
+  final case class SessionBuffer(
+      starts: Array[Long], lasts: Array[Long], ns: Array[Long], sums: Array[Double])
   final case class ClosedSession(
       user_id: Long, start_us: Long, end_us: Long, n_events: Long, sum_v: Double)
 
@@ -105,54 +114,38 @@ object EventsStreaming {
       .flatMapGroupsWithState[SessionBuffer, ClosedSession](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         case (uid, rows, state: GroupState[SessionBuffer]) =>
-          // uniform handler for data batches AND timeouts: merge fresh
-          // events into the buffer, split it into gap-delimited sessions,
-          // emit every session the watermark has SEALED (no kept event —
-          // all >= watermark — can extend it), keep the open tail
+          // uniform handler for data batches AND timeouts
           val wmMs = state.getCurrentWatermarkMs()
           val fresh =
             if (state.hasTimedOut) Array.empty[SessionEvent]
             else rows.filter(_.ts_us / 1000 >= wmMs).toArray
-          val prev = state.getOption.getOrElse(SessionBuffer(Array.empty, Array.empty))
-          val order = (0 until (prev.ts_us.length + fresh.length)).sortBy { i =>
-            if (i < prev.ts_us.length) prev.ts_us(i) else fresh(i - prev.ts_us.length).ts_us
+          val prev = state.getOption.getOrElse(
+            SessionBuffer(Array.empty, Array.empty, Array.empty, Array.empty))
+          val all = (prev.starts.indices.map(i =>
+            (prev.starts(i), prev.lasts(i), prev.ns(i), prev.sums(i))) ++
+            fresh.map(e => (e.ts_us, e.ts_us, 1L, e.value))).sortBy(_._1)
+          val merged = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
+          all.foreach { s =>
+            if (merged.nonEmpty && s._1 < merged.last._2 + gapUs) {
+              val m = merged.last // chained merges absorb bridging events
+              merged(merged.length - 1) =
+                (m._1, math.max(m._2, s._2), m._3 + s._3, m._4 + s._4)
+            } else merged += s
           }
-          def tsAt(i: Int): Long =
-            if (i < prev.ts_us.length) prev.ts_us(i) else fresh(i - prev.ts_us.length).ts_us
-          def vAt(i: Int): Double =
-            if (i < prev.ts_us.length) prev.values(i) else fresh(i - prev.ts_us.length).value
-          val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
-          val openIdx = scala.collection.mutable.ArrayBuffer.empty[Int]
-          var firstOpenSealMs = -1L // earliest future seal among open sessions
-          var sess = List.empty[Int] // current session's indices, reversed
-          def flush(): Unit = if (sess.nonEmpty) {
-            val idx = sess.reverse
-            val last = tsAt(idx.last)
-            if ((last + gapUs) / 1000 < wmMs)
-              closed += ClosedSession(uid, tsAt(idx.head), last, idx.length.toLong,
-                idx.map(vAt).sum)
-            else {
-              if (firstOpenSealMs < 0) firstOpenSealMs = (last + gapUs) / 1000
-              openIdx ++= idx
-            }
-            sess = Nil
-          }
-          order.foreach { i =>
-            if (sess.nonEmpty && tsAt(i) - tsAt(sess.head) > gapUs) flush()
-            sess = i :: sess
-          }
-          flush()
-          if (openIdx.isEmpty) { if (state.exists) state.remove() }
+          // sealed: the watermark passed this session's end + gap, so no
+          // kept event can start inside it or extend it
+          val (closed, open) = merged.partition(m => (m._2 + gapUs) / 1000 < wmMs)
+          if (open.isEmpty) { if (state.exists) state.remove() }
           else {
-            state.update(SessionBuffer(openIdx.map(tsAt).toArray, openIdx.map(vAt).toArray))
-            // fire at the EARLIEST open session's seal point (each firing
-            // emits every session sealed by then and re-arms to the next);
-            // arming to the newest would strand older sealed sessions
-            // behind a timer that may never fire. Must stay strictly
-            // above the current watermark.
-            state.setTimeoutTimestamp(math.max(firstOpenSealMs, wmMs + 1))
+            state.update(SessionBuffer(open.map(_._1).toArray, open.map(_._2).toArray,
+              open.map(_._3).toArray, open.map(_._4).toArray))
+            // fire at the EARLIEST open session's seal point (sessions are
+            // disjoint and start-sorted, so the first seals first); each
+            // firing emits every session sealed by then and re-arms.
+            // Must stay strictly above the current watermark.
+            state.setTimeoutTimestamp(math.max((open.head._2 + gapUs) / 1000, wmMs + 1))
           }
-          closed.iterator
+          closed.iterator.map(m => ClosedSession(uid, m._1, m._2, m._3, m._4))
       }
   }
 

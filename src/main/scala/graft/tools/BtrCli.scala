@@ -60,8 +60,11 @@ object BtrCli {
               else chunk.longs(i) = field.dataType match {
                 case IntegerType => r.getInt(ci).toLong
                 case LongType => r.getLong(ci)
+                case ShortType => r.getShort(ci).toLong
+                case ByteType => r.getByte(ci).toLong
                 case BooleanType => if (r.getBoolean(ci)) 1L else 0L
                 case DateType => r.getDate(ci).toLocalDate.toEpochDay
+                case d: DecimalType => r.getDecimal(ci).setScale(d.scale).unscaledValue().longValueExact()
                 case _ => // timestamp / timestamp_ntz → micros
                   r.get(ci) match {
                     case ts: java.sql.Timestamp =>
@@ -86,13 +89,28 @@ object BtrCli {
               i += 1
             }
             rawBytes += count.toLong * 8
+          } else if (tag == PhysType.Float) {
+            // floats travel as raw bits through the int path (the same
+            // lossless convention as the writer, BtrWrite.scala)
+            chunk.longs = new Array[Long](count)
+            var i = 0
+            while (i < count) {
+              val r = rows(off + i)
+              if (r.isNullAt(ci)) chunk.isNull(i) = true
+              else chunk.longs(i) = java.lang.Float.floatToRawIntBits(r.getFloat(ci)).toLong
+              i += 1
+            }
+            rawBytes += count.toLong * 4
           } else {
             chunk.strings = new Array[Array[Byte]](count)
             var i = 0
             while (i < count) {
               val r = rows(off + i)
               if (r.isNullAt(ci)) { chunk.isNull(i) = true; chunk.strings(i) = Array.emptyByteArray }
-              else chunk.strings(i) = r.getString(ci).getBytes("UTF-8")
+              else chunk.strings(i) = r.get(ci) match {
+                case b: Array[Byte] => b
+                case other => String.valueOf(other).getBytes("UTF-8")
+              }
               rawBytes += chunk.strings(i).length + 4
               i += 1
             }
@@ -115,17 +133,26 @@ object BtrCli {
             rep += 1
           }
           var i = 0
+          var strOff = 0 // running byte offset into the decoded string stream
           while (i < count) {
             assert(dec.isNull(i) == chunk.isNull(i), s"null mismatch $table.${field.name} row ${off + i}")
             if (!dec.isNull(i)) {
               val ok =
-                if (PhysType.isIntFamily(tag)) dec.longs(i) == chunk.longs(i)
+                if (PhysType.isIntFamily(tag) || tag == PhysType.Float) dec.longs(i) == chunk.longs(i)
                 else if (tag == PhysType.Double)
                   java.lang.Double.doubleToRawLongBits(dec.doubles(i)) ==
                     java.lang.Double.doubleToRawLongBits(chunk.doubles(i))
-                else true
+                else {
+                  // strings/binary: byte-exact against the decoded stream
+                  // (a verify tool that skips values verifies nothing)
+                  dec.strLens(i) == chunk.strings(i).length &&
+                    java.util.Arrays.equals(
+                      java.util.Arrays.copyOfRange(dec.strBytes, strOff, strOff + dec.strLens(i)),
+                      chunk.strings(i))
+                }
               assert(ok, s"value mismatch $table.${field.name} row ${off + i}")
             }
+            if (dec.strLens != null) strOff += dec.strLens(i)
             i += 1
           }
           off += count

@@ -12,7 +12,7 @@ object CompactCli {
     val path = args(0)
     val targetBytes = (if (args.length > 1) args(1).toLong else 128L) * 1024 * 1024
     val spark = SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[8]"))
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[8]"))
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

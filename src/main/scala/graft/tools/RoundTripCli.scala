@@ -37,12 +37,21 @@ object RoundTripCli {
       val t1 = System.nanoTime()
       val n = back.count()
       val readSec = (System.nanoTime() - t1) / 1e9
-      // order-insensitive full-content compare
-      val a = orig.collect().map(_.toString).sorted.mkString("\n").hashCode
-      val b = back.collect().map(_.toString).sorted.mkString("\n").hashCode
-      val ok = n == orig.count() && a == b
+      // order-insensitive full-content compare; fields join on \u0001 so a
+      // comma inside a string can't alias adjacent-column corruption the
+      // way Row.toString's "[a,b,c]" rendering would
+      def fmt(r: org.apache.spark.sql.Row): String =
+        r.toSeq.map {
+          case bytes: Array[Byte] => bytes.map("%02x".format(_)).mkString
+          case other => String.valueOf(other)
+        }.mkString("\u0001")
+      val aRows = orig.collect()
+      val a = aRows.map(fmt).sorted.mkString("\n")
+      val b = back.collect().map(fmt).sorted.mkString("\n")
+      val ok = n == aRows.length && a == b
       allOk &= ok
-      val fs = new java.io.File(path).listFiles().filter(_.getName.endsWith(".btr")).map(_.length).sum
+      val fs = Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".btr")).map(_.length).sum
       println(f"$t%-12s rows=$n%8d write=${writeSec}%6.2fs read=${readSec}%6.2fs btrBytes=$fs%10d match=$ok")
     }
 

@@ -123,7 +123,7 @@ class EventsStreamingSpec extends AnyFunSuite {
     val streamed = spark.table("hourly_full")
       .orderBy("hour_s", "event_type").collect().map(_.toString)
     val batch = spark.read.parquet(dir)
-      .withColumn("ts_t", timestamp_micros((col("ts") / 1000).cast("long")))
+      .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
       .groupBy(window(col("ts_t"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_v"))
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:00").as("hour_s"),
@@ -166,7 +166,7 @@ class EventsStreamingSpec extends AnyFunSuite {
     val streamed = spark.table("sessions_out")
       .orderBy("user_id", "session_start").collect().map(_.toString)
     val batch = spark.read.parquet(dirOrdered)
-      .withColumn("ts_t", timestamp_micros((col("ts") / 1000).cast("long")))
+      .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
       .groupBy(col("user_id"), session_window(col("ts_t"), gap))
       .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_v"))
       .select(col("user_id"), col("session_window.start").as("session_start"),
@@ -191,13 +191,13 @@ class EventsStreamingSpec extends AnyFunSuite {
     // The stream's last watermark = max event time - 1 hour, so compare
     // only sessions closed strictly before it (later ones may be open).
     val batch = spark.read.parquet(dirOrdered)
-      .withColumn("ts_us", (col("ts") / 1000).cast("long"))
+      .withColumn("ts_us", expr("ts div 1000"))
       .groupBy(col("user_id"),
         session_window(timestamp_micros(col("ts_us")), "30 minutes"))
       .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_v"),
         min(col("ts_us")).as("start_us"), max(col("ts_us")).as("end_us"))
     val maxTs = spark.read.parquet(dirOrdered)
-      .agg(max((col("ts") / 1000).cast("long"))).head.getLong(0)
+      .agg(max(expr("ts div 1000"))).head.getLong(0)
     val horizonUs = maxTs - 3600L * 1000000
     // 2 ms guard band: the operator seals sessions on millisecond-floored
     // watermark comparisons, the oracle filter works in microseconds
