@@ -283,6 +283,34 @@ class BtrSourceSpec extends AnyFunSuite {
     assert(r.getLong(2) == 6L)
   }
 
+  test("pushed SUM overflow: ANSI raises, non-ANSI wraps like the data path") {
+    import spark.implicits._
+    def scanOf(d: DataFrame) = d.queryExecution.sparkPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+    }.head
+    // true total = Long.MaxValue + 2: overflows under every execution order
+    val vals = Seq(Long.MaxValue - 10L, 12L).toDF("v")
+    vals.coalesce(1).write.format("btr").mode("overwrite").save(tmp("sumover"))
+    val back = spark.read.format("btr").load(tmp("sumover"))
+
+    val ansiWas = spark.conf.get("spark.sql.ansi.enabled")
+    try {
+      spark.conf.set("spark.sql.ansi.enabled", "true")
+      val q = back.agg(sum(col("v")))
+      assert(scanOf(q).isInstanceOf[BtrAggScan])
+      val e = intercept[Exception](q.head)
+      def chain(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: chain(t.getCause)
+      assert(chain(e).exists(_.isInstanceOf[ArithmeticException]), e.toString)
+
+      spark.conf.set("spark.sql.ansi.enabled", "false")
+      val wrapped = back.agg(sum(col("v"))).head.getLong(0)
+      assert(wrapped == Long.MaxValue - 10L + 12L, // wraps to Long.MinValue + 1
+        s"non-ANSI pushed sum must wrap exactly like Spark's long sum, got $wrapped")
+      assert(wrapped == Long.MinValue + 1L)
+    } finally spark.conf.set("spark.sql.ansi.enabled", ansiWas)
+  }
+
   test("string min/max push down: exact short bounds, decode fallback for long") {
     import spark.implicits._
     def scanOf(d: DataFrame) = d.queryExecution.sparkPlan.collect {
