@@ -107,7 +107,17 @@ object BtrConfig {
         case Some(other) =>
           throw new IllegalArgumentException(s"btr.bloom.enabled must be true|false, got '$other'")
       },
-      bloomMaxBytes = get("btr.bloom.maxBytes").map(_.trim.toInt).getOrElse(2048)
+      bloomMaxBytes = get("btr.bloom.maxBytes").map { s =>
+        val v =
+          try s.trim.toInt
+          catch {
+            case _: NumberFormatException =>
+              throw new IllegalArgumentException(
+                s"btr.bloom.maxBytes must be a positive integer, got '$s'")
+          }
+        require(v > 0, s"btr.bloom.maxBytes must be a positive integer, got '$s'")
+        v
+      }.getOrElse(2048)
     )
   }
 }

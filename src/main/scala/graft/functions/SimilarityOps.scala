@@ -187,7 +187,13 @@ object SimilarityOps {
     // buckets such rows via the kernel's guards)
     val rawVecs = fitRows.map(r => if (r.isNullAt(0)) null else r.getSeq[Float](0))
       .filter(_ != null)
-    val dim0 = rawVecs.headOption.map(_.length).getOrElse(0)
+    // accept the MAJORITY dimensionality, not the first row's: one corrupt
+    // short vector appearing first would otherwise discard every
+    // well-formed embedding from the fit and silently degrade centroids
+    val dim0 =
+      if (rawVecs.isEmpty) 0
+      else rawVecs.groupBy(_.length).toSeq
+        .maxBy { case (len, vs) => (vs.length, -len) }._1 // count, tie→smaller dim: deterministic
     val sample = rawVecs.filter(_.length == dim0).map(_.toArray.map(_.toDouble))
     val centers: Seq[Seq[Double]] =
       LocalKMeans.fit(sample, nlist, iters = 5, seed = 42L).map(_.toSeq).toSeq

@@ -12,4 +12,12 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnShim {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Spark's own ARITHMETIC_OVERFLOW error (`SparkArithmeticException`
+    * with the error class), so error-class-sensitive callers see the
+    * same failure from pushed aggregates as from the unpushed data
+    * path. `ExecutionErrors` is `private[sql]`, hence the shim.
+    */
+  def arithmeticOverflow(message: String, hint: String = ""): ArithmeticException =
+    org.apache.spark.sql.errors.ExecutionErrors.arithmeticOverflowError(message, hint, null)
 }

@@ -1048,20 +1048,22 @@ class BtrAggReader(
                   // raises ARITHMETIC_OVERFLOW iff the TRUE total exceeds
                   // Long — the one outcome every execution order agrees on
                   acc.sumL(c) += m.sumLong
-                  if (ansiMode && !tableSchema.fields(c).dataType.isInstanceOf[DecimalType]) {
-                    // a chunk whose own sum wrapped lost its exact value —
-                    // magnitudes there (> 2^63 inside one chunk) overflow
-                    // under any execution order
-                    if (m.sumOverflow) throw new ArithmeticException("long overflow")
-                    acc.sumBig(c) = acc.sumBig(c).add(java.math.BigInteger.valueOf(m.sumLong))
-                  }
-                  if (tableSchema.fields(c).dataType.isInstanceOf[DecimalType]) {
-                    // decimal sums must be exact: a chunk whose long sum
-                    // wrapped is re-summed from a decode of just that chunk
-                    // (same fallback pattern as truncated string bounds)
+                  // ANSI long sums and decimal sums both need the EXACT
+                  // total: a BigInteger rides alongside the wrapped long
+                  if (ansiMode || tableSchema.fields(c).dataType.isInstanceOf[DecimalType]) {
                     if (!m.sumOverflow)
                       acc.sumBig(c) = acc.sumBig(c).add(java.math.BigInteger.valueOf(m.sumLong))
                     else {
+                      // the footer's sumLong is exact only mod 2^64 once the
+                      // chunk's row-order running sum wrapped — re-sum just
+                      // this chunk from a decode (same fallback pattern as
+                      // truncated string bounds). Raising here instead would
+                      // diverge from the data path for mixed-sign chunks:
+                      // Spark's accumulator starts at the preceding partial,
+                      // not 0, so its running sum may never wrap where the
+                      // chunk-local one did (and vice versa) — only the TRUE
+                      // total exceeding Long is order-independent, and the
+                      // emit path raises exactly there.
                       if (dataIn == null) dataIn = fs.open(p)
                       val blob = new Array[Byte](m.length)
                       dataIn.readFully(m.offset, blob, 0, m.length)
@@ -1160,9 +1162,9 @@ class BtrAggReader(
                 // the total, so raise loudly in both modes (reachable only
                 // past 10^28; a clear error beats a wrong number)
                 if (dec.changePrecision(p, d.scale)) row.update(oi, dec)
-                else throw new ArithmeticException(
-                  s"Decimal overflow in pushed SUM (precision $p) — " +
-                    "disable aggregate pushdown for this query")
+                else throw org.apache.spark.sql.graft.ColumnShim.arithmeticOverflow(
+                  s"Decimal overflow in pushed SUM (precision $p)",
+                  "disable aggregate pushdown for this query")
               case _ =>
                 if (ansiMode) {
                   // exact total: fits -> a valid non-throwing execution
@@ -1171,7 +1173,9 @@ class BtrAggReader(
                   try row.setLong(oi, acc.sumBig(ci).longValueExact())
                   catch {
                     case _: ArithmeticException =>
-                      throw new ArithmeticException("long overflow")
+                      // Spark's own ARITHMETIC_OVERFLOW error class, as the
+                      // unpushed Sum would raise
+                      throw org.apache.spark.sql.graft.ColumnShim.arithmeticOverflow("long overflow")
                   }
                 } else row.setLong(oi, acc.sumL(ci))
             }

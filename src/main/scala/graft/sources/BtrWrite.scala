@@ -136,6 +136,21 @@ object BtrWriteSchemas {
   def widened(fs: org.apache.hadoop.fs.FileSystem, dir: Path, schema: StructType): StructType = {
     if (!fs.exists(new Path(dir, BtrTableMeta.MetaFile))) return schema
     val existing = BtrTableMeta.readSchema(fs, dir)
+    // checkAppendCompatible validated against a meta read at BUILD time;
+    // the meta re-read here may have moved under a concurrent append. The
+    // overlapping prefix must still agree by name and type — silently
+    // merging would let two concurrent appends that each added a
+    // DIFFERENT column at the same index rewrite each other's meta, so
+    // the loser's files decode their chunks under the wrong column.
+    schema.fields.zip(existing.fields).zipWithIndex.foreach { case ((f, e), i) =>
+      if (f.name != e.name || f.dataType != e.dataType)
+        throw new IllegalStateException(
+          s"btr: concurrent append conflict at $dir column $i — this writer " +
+            s"validated against a schema with ${f.name}:${f.dataType.simpleString} " +
+            s"but the committed meta now holds ${e.name}:${e.dataType.simpleString}. " +
+            "Retry the append (concurrent appends adding different columns " +
+            "are not mergeable).")
+    }
     val prefix = schema.fields.zipWithIndex.map { case (f, i) =>
       if (i >= existing.fields.length) f.copy(nullable = true)
       else f.copy(nullable = f.nullable || existing.fields(i).nullable)

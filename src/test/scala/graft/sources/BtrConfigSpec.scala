@@ -120,6 +120,16 @@ class BtrConfigSpec extends AnyFunSuite {
     assert(e.getMessage != null)
   }
 
+  test("bloom.maxBytes rejects non-numeric and non-positive values") {
+    def parse(v: String) =
+      graft.format.BtrConfig.fromOptions(k => if (k == "btr.bloom.maxBytes") Some(v) else None)
+    for (bad <- Seq("abc", "1.5", "0", "-16")) {
+      val e = intercept[IllegalArgumentException](parse(bad))
+      assert(e.getMessage.contains("btr.bloom.maxBytes"), s"'$bad': ${e.getMessage}")
+    }
+    assert(parse(" 4096 ").bloomMaxBytes == 4096)
+  }
+
   test("TRY_ALL is never larger than SAMPLE selection") {
     def sizeOf(dir: String): Long = {
       val p = new Path(dir)

@@ -301,7 +301,13 @@ class BtrSourceSpec extends AnyFunSuite {
       val e = intercept[Exception](q.head)
       def chain(t: Throwable): Seq[Throwable] =
         if (t == null) Nil else t +: chain(t.getCause)
-      assert(chain(e).exists(_.isInstanceOf[ArithmeticException]), e.toString)
+      // Spark's own error class, not a bare ArithmeticException — error-
+      // class-sensitive callers must see the same failure as unpushed Sum
+      assert(chain(e).exists {
+        case s: org.apache.spark.SparkThrowable =>
+          s.getCondition == "ARITHMETIC_OVERFLOW" && s.isInstanceOf[ArithmeticException]
+        case _ => false
+      }, e.toString)
 
       spark.conf.set("spark.sql.ansi.enabled", "false")
       val wrapped = back.agg(sum(col("v"))).head.getLong(0)
@@ -309,6 +315,50 @@ class BtrSourceSpec extends AnyFunSuite {
         s"non-ANSI pushed sum must wrap exactly like Spark's long sum, got $wrapped")
       assert(wrapped == Long.MinValue + 1L)
     } finally spark.conf.set("spark.sql.ansi.enabled", ansiWas)
+  }
+
+  test("pushed SUM: wrapped chunk with fitting true total resums, not raises") {
+    import spark.implicits._
+    def scanOf(d: DataFrame) = d.queryExecution.sparkPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+    }.head
+    // one chunk whose row-order running sum WRAPS (MaxValue then +10) but
+    // whose true total fits in Long (MaxValue + 10 + MinValue = 9): the
+    // footer's sumLong lost exactness, so ANSI must decode-and-resum the
+    // chunk instead of raising — a non-overflowing execution order exists
+    val vals = Seq(Long.MaxValue, 10L, Long.MinValue).toDF("v")
+    vals.coalesce(1).write.format("btr").mode("overwrite").save(tmp("sumwrapfit"))
+    val back = spark.read.format("btr").load(tmp("sumwrapfit"))
+    val ansiWas = spark.conf.get("spark.sql.ansi.enabled")
+    try {
+      spark.conf.set("spark.sql.ansi.enabled", "true")
+      val q = back.agg(sum(col("v")).as("s"))
+      assert(scanOf(q).isInstanceOf[BtrAggScan])
+      assert(q.head.getLong(0) == 9L)
+      // non-ANSI wraps to the same value here (true total fits)
+      spark.conf.set("spark.sql.ansi.enabled", "false")
+      assert(back.agg(sum(col("v"))).head.getLong(0) == 9L)
+    } finally spark.conf.set("spark.sql.ansi.enabled", ansiWas)
+  }
+
+  test("concurrent append conflict: divergent meta prefix fails loudly") {
+    import spark.implicits._
+    Seq((1, "a")).toDF("k", "s").write.format("btr").mode("overwrite").save(tmp("raceconflict"))
+    val dir = new org.apache.hadoop.fs.Path(tmp("raceconflict"))
+    val fs = dir.getFileSystem(graft.format.BtrTableMeta.hadoopConf())
+    // simulates the race: this writer validated against a meta that has
+    // since been rewritten with a different column at index 1
+    val mine = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("other", org.apache.spark.sql.types.LongType)))
+    val e = intercept[IllegalStateException](BtrWriteSchemas.widened(fs, dir, mine))
+    assert(e.getMessage.contains("concurrent append conflict"), e.getMessage)
+    // agreeing prefix still widens fine (same name+type, new trailing col)
+    val ok = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("s", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("extra", org.apache.spark.sql.types.LongType)))
+    assert(BtrWriteSchemas.widened(fs, dir, ok).fieldNames.toSeq == Seq("k", "s", "extra"))
   }
 
   test("string min/max push down: exact short bounds, decode fallback for long") {
