@@ -113,7 +113,18 @@ object Bench {
     // `reps` executions per query so the number tracks the engine, not
     // scheduler noise (same convention as the reference's MinTime(10)
     // google-benchmark runs, bench/bench-cases/regression_benchmark.cpp).
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    // 3 reps (not 2): min-of-2 does not defend against SUSTAINED box load —
+    // round 8 recorded a uniformly ~2.4× slower artifact that a re-run on
+    // the same commit could not reproduce. The loadavg fields below make
+    // such a polluted run self-identifying.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    def loadavg(): String =
+      try {
+        val src = scala.io.Source.fromFile("/proc/loadavg")
+        try src.mkString.trim.split("\\s+").take(3).mkString(" ")
+        finally src.close()
+      } catch { case _: Throwable => "" }
+    val loadBefore = loadavg()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t = (1 to reps).map { _ =>
         secs {
@@ -135,8 +146,9 @@ object Bench {
     // sampled selector leaves on the table vs exhaustive TRY_ALL
     val selQuality =
       if (tryallBytes > 0) sampleLineitemBytes.toDouble / tryallBytes else 0.0
+    val loadAfter = loadavg()
     val extras =
-      f""""write_sec":$writeSec%.3f,"scan_sec":$scanSec%.3f,"parquet_bytes":$inputBytes,"btr_bytes":$btrBytes,"parquet_over_btr_ratio":$ratio%.3f,"tryall_write_sec":$tryallSec%.3f,"tryall_bytes":$tryallBytes,"sample_over_tryall_bytes":$selQuality%.3f"""
+      f""""write_sec":$writeSec%.3f,"scan_sec":$scanSec%.3f,"parquet_bytes":$inputBytes,"btr_bytes":$btrBytes,"parquet_over_btr_ratio":$ratio%.3f,"tryall_write_sec":$tryallSec%.3f,"tryall_bytes":$tryallBytes,"sample_over_tryall_bytes":$selQuality%.3f,"reps":$reps,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter""""
     val line =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,$extras,"sf":"$sfDir"}"""
     println(line)
