@@ -325,7 +325,10 @@ object ChunkCodec {
       val arrLens: Array[Int] = null,
       val elemIsNull: Array[Boolean] = null,
       val elemHasNulls: Boolean = false,
-      val elemCount: Int = 0
+      val elemCount: Int = 0,
+      // dictionary view (scan-side only): distinct string entries; when
+      // set, `longs` holds the per-row codes (null codes == constant)
+      val dictEntries: Array[Array[Byte]] = null
   )
 
   def decode(in: BufReader, tag: Int, count: Int): Decoded = {
@@ -351,6 +354,24 @@ object ChunkCodec {
         new Decoded(count, isNull, hasNulls, elems, null, null, null, lens, eNull, eHas, elemCount)
       }
     } else {
+      val (lens, bytes) = StringCodec.decode(in, count)
+      new Decoded(count, isNull, hasNulls, null, null, lens, bytes)
+    }
+  }
+
+  /** Scan-side decode: identical to [[decode]] except DICT/ONE_VALUE
+    * string chunks keep their dictionary structure (entries + codes)
+    * instead of materializing every row — the reader hands Spark a
+    * dictionary-encoded ColumnVector, cutting the dominant byte-copy
+    * cost for low-cardinality string columns.
+    */
+  def decodeForScan(in: BufReader, tag: Int, count: Int): Decoded = {
+    if (!PhysType.isStringFamily(tag)) return decode(in, tag, count)
+    val (isNull, hasNulls) = NullMap.decodeWithFlag(in, count)
+    val view = StringCodec.decodeDictView(in, count)
+    if (view != null)
+      new Decoded(count, isNull, hasNulls, view.codes, null, null, null, dictEntries = view.entries)
+    else {
       val (lens, bytes) = StringCodec.decode(in, count)
       new Decoded(count, isNull, hasNulls, null, null, lens, bytes)
     }

@@ -210,6 +210,54 @@ object StringCodec {
     total.toInt
   }
 
+  /** Dictionary view of a DICT/ONE_VALUE chunk: distinct entries plus
+    * per-row codes (`codes == null` means constant — every row is
+    * `entries(0)`). Null for schemes with no dictionary structure.
+    */
+  final class DictView(val entries: Array[Array[Byte]], val codes: Array[Long])
+
+  /** Dictionary-preserving decode for the vectorized scan (the Spark
+    * analog of the reference's zero-copy string view read,
+    * /root/reference/btrblocks/storage/StringPointerArrayViewer.hpp:11-26):
+    * DICT chunks yield their distinct entries + codes so the reader can
+    * hand Spark a dictionary-encoded ColumnVector instead of
+    * materializing every row; ONE_VALUE yields a 1-entry dictionary.
+    * Returns null (with `in` unadvanced) for UNCOMPRESSED/FSST — the
+    * caller falls back to the materializing [[decode]].
+    */
+  def decodeDictView(in: BufReader, count: Int): DictView = {
+    val probe = in.duplicate()
+    probe.getByte() match {
+      case OneValue =>
+        val len = probe.getInt()
+        val v = probe.getBytes(len)
+        new DictView(Array(v), null)
+      case Dict =>
+        val dictSize = probe.getInt()
+        val fsstFlag = probe.getByte()
+        val (dictLens, dictBytes) =
+          if (fsstFlag == 1) FsstCodec.decodeStrings(probe, dictSize)
+          else {
+            val dl = readLengths(probe, dictSize)
+            var t = 0
+            var j = 0
+            while (j < dictSize) { t += dl(j); j += 1 }
+            (dl, probe.getBytes(t))
+          }
+        val entries = new Array[Array[Byte]](dictSize)
+        var off = 0
+        var j = 0
+        while (j < dictSize) {
+          entries(j) = java.util.Arrays.copyOfRange(dictBytes, off, off + dictLens(j))
+          off += dictLens(j)
+          j += 1
+        }
+        val codes = IntCodec.decode(probe, count)
+        new DictView(entries, codes)
+      case _ => null
+    }
+  }
+
   def decode(in: BufReader, count: Int): (Array[Int], Array[Byte]) = {
     in.getByte() match {
       case Uncompressed =>

@@ -1251,6 +1251,26 @@ class BtrReaderFactory(requiredSchema: StructType) extends PartitionReaderFactor
     new BtrColumnarReader(partition.asInstanceOf[BtrInputPartition], requiredSchema)
 }
 
+/** Spark-side dictionary over a DICT string chunk's distinct entries.
+  * `decodeToBinary` returns the SHARED entry array (no copy) — the same
+  * contract as Spark's own ParquetDictionary, whose decodeToBinary hands
+  * out the page dictionary's backing bytes. Entries are immutable after
+  * decode. Mirrors the reference's zero-copy dict view
+  * (/root/reference/btrblocks/storage/StringPointerArrayViewer.hpp:11-26).
+  */
+final class BtrStringDictionary(entries: Array[Array[Byte]])
+    extends org.apache.spark.sql.execution.vectorized.Dictionary {
+  override def decodeToBinary(id: Int): Array[Byte] = entries(id)
+  override def decodeToInt(id: Int): Int =
+    throw new UnsupportedOperationException("btr string dictionary")
+  override def decodeToLong(id: Int): Long =
+    throw new UnsupportedOperationException("btr string dictionary")
+  override def decodeToFloat(id: Int): Float =
+    throw new UnsupportedOperationException("btr string dictionary")
+  override def decodeToDouble(id: Int): Double =
+    throw new UnsupportedOperationException("btr string dictionary")
+}
+
 /** Vectorized reader: one ColumnarBatch per row group, decoded straight
   * into OnHeapColumnVectors — the analog of BtrReader::readColumn
   * (/root/reference/btrblocks/compression/BtrReader.cpp:31-74), with
@@ -1314,7 +1334,7 @@ class BtrColumnarReader(partition: BtrInputPartition, requiredSchema: StructType
           blobBufs(d) = buf
         }
         in().readFully(g.offsets(d), buf, 0, len)
-        val dec = ChunkCodec.decode(new BufReader(buf, 0, len), tags(c), g.numRows)
+        val dec = ChunkCodec.decodeForScan(new BufReader(buf, 0, len), tags(c), g.numRows)
         fillVector(vectors(c), requiredSchema.fields(c).dataType, tags(c), dec, g.numRows)
         d += 1
       }
@@ -1439,21 +1459,40 @@ class BtrColumnarReader(partition: BtrInputPartition, requiredSchema: StructType
           i += 1
         }
       case _ => // string / binary
-        var off = 0
-        if (!nulls) {
-          while (i < n) {
-            val len = dec.strLens(i)
-            v.putByteArray(i, dec.strBytes, off, len)
-            off += len
-            i += 1
+        if (dec.dictEntries != null) {
+          // dictionary-encoded fill: ids only, no per-row byte copies —
+          // Spark's getUTF8String/getBinary resolve ids against the shared
+          // entry arrays (same sharing contract as its parquet reader)
+          v.setDictionary(new BtrStringDictionary(dec.dictEntries))
+          val ids = v.reserveDictionaryIds(n)
+          if (dec.longs == null) ids.putInts(0, n, 0) // ONE_VALUE: constant
+          else {
+            while (i < n) { ids.putInt(i, dec.longs(i).toInt); i += 1 }
+          }
+          if (nulls) {
+            i = 0
+            while (i < n) { if (dec.isNull(i)) v.putNull(i); i += 1 }
           }
         } else {
-          while (i < n) {
-            val len = dec.strLens(i)
-            if (dec.isNull(i)) v.putNull(i)
-            else v.putByteArray(i, dec.strBytes, off, len)
-            off += len
-            i += 1
+          // vectors are reused across row groups — a dictionary left over
+          // from a previous chunk must not shadow materialized bytes
+          v.setDictionary(null)
+          var off = 0
+          if (!nulls) {
+            while (i < n) {
+              val len = dec.strLens(i)
+              v.putByteArray(i, dec.strBytes, off, len)
+              off += len
+              i += 1
+            }
+          } else {
+            while (i < n) {
+              val len = dec.strLens(i)
+              if (dec.isNull(i)) v.putNull(i)
+              else v.putByteArray(i, dec.strBytes, off, len)
+              off += len
+              i += 1
+            }
           }
         }
     }
