@@ -13,7 +13,7 @@ object Btr {
   /** Bump when the writer's footer layout/stats change, so a stale cache
     * from an older build is never scanned.
     */
-  private val CacheVersion = "v6" // footer v4: chunk sums for SUM pushdown
+  private val CacheVersion = "v7" // footer v5: per-column physical type tags
 
   private def cacheDir(sfDir: String, table: String): String = {
     val key = sfDir.replaceAll("[^a-zA-Z0-9.]", "_")
@@ -137,6 +137,31 @@ object CoreQueries {
         .groupBy(col("l_linestatus"))
         .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
         .orderBy("l_linestatus")
+    }),
+
+    // Q-widen: type-widening schema evolution — even orderkeys written
+    // with l_linenumber as its native INT, odd ones appended with it cast
+    // to LONG; the table meta widens to long, the old int32 files decode
+    // under their own footer tag and upcast at read, and the aggregate
+    // over both generations matches the oracle exactly
+    "q_widen_evolution" -> ((s, d) => {
+      val dir = Btr.cachePath(d, "lineitem_widened")
+      if (!new java.io.File(dir, "_btr_meta.json").exists()) {
+        val li = Btr.pq(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"))
+        li.filter(col("l_orderkey") % 2 === 0)
+          .write.format("btr").mode("overwrite").save(dir)
+        li.filter(col("l_orderkey") % 2 === 1)
+          .withColumn("l_linenumber", col("l_linenumber").cast("long"))
+          .write.format("btr").mode("append").save(dir)
+      }
+      s.read.format("btr").load(dir)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_linenumber")).as("sum_ln"),
+          min(col("l_linenumber")).as("min_ln"),
+          max(col("l_linenumber")).as("max_ln"))
+        .orderBy("l_returnflag")
     }),
 
     // Q-string-agg-meta: string MIN/MAX through aggregate pushdown —
@@ -380,6 +405,12 @@ object CoreQueries {
       """SELECT l_linestatus, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
         |FROM lineitem WHERE l_returnflag = 'A'
         |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    "q_widen_evolution" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | CAST(sum(l_linenumber) AS BIGINT) AS sum_ln,
+        | CAST(min(l_linenumber) AS BIGINT) AS min_ln,
+        | CAST(max(l_linenumber) AS BIGINT) AS max_ln
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_string_agg_meta" ->
       """SELECT count(*) AS n_rows, min(lang) AS min_lang, max(lang) AS max_lang,
         | min(text) AS min_text, max(text) AS max_text

@@ -79,6 +79,30 @@ object PhysType {
   def isStringFamily(tag: Int): Boolean = tag == Str || tag == Binary
 }
 
+/** Sanctioned type-widening pairs for schema evolution: an append may
+  * widen an existing column (meta records the wide type; old files keep
+  * their narrow physical tag and upcast at read), and a narrow append
+  * into an already-widened table reads the same way. int→long is free
+  * (IntCodec decodes to longs at any width); float→double upcasts bits.
+  */
+object BtrWidening {
+  def widens(fromTag: Int, toTag: Int): Boolean =
+    (fromTag == PhysType.Int32 && toTag == PhysType.Int64) ||
+      (fromTag == PhysType.Float && toTag == PhysType.Double)
+
+  def widensType(from: DataType, to: DataType): Boolean =
+    (from == org.apache.spark.sql.types.IntegerType && to == org.apache.spark.sql.types.LongType) ||
+      (from == org.apache.spark.sql.types.FloatType && to == org.apache.spark.sql.types.DoubleType)
+
+  /** Compatible = identical or related by one sanctioned widening. */
+  def compatible(a: DataType, b: DataType): Boolean =
+    a == b || widensType(a, b) || widensType(b, a)
+
+  /** The wider of two compatible types. */
+  def widest(a: DataType, b: DataType): DataType =
+    if (widensType(a, b)) b else a
+}
+
 /** Dense in-memory column chunk (≤65,536 rows), the unit of compression —
   * mirrors InputChunk (/root/reference/btrblocks/storage/Chunk.hpp:72-93).
   * Null rows carry placeholder values (0 / 0.0 / empty) so run/dict stats

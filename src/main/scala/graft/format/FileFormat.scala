@@ -26,10 +26,14 @@ object BtrFile {
   // NaN-exact). v3: every column chunk may carry a split-block bloom
   // filter (u32 word count, 0 = none) after its stats for equality
   // chunk-skipping. v4: int-family chunks carry their non-null value sum
-  // (flag byte + i64, ORC-style) for SUM aggregate pushdown. Readers
-  // validate the header version and fail cleanly on files written by a
-  // different layout.
-  val Version = 4
+  // (flag byte + i64, ORC-style) for SUM aggregate pushdown. v5: the
+  // footer records each column's PHYSICAL type tag (one byte per column
+  // after the column count) — type-widening schema evolution (int→long,
+  // float→double) reads old narrow files under the widened table schema
+  // by decoding with the file's own tag and upcasting. Readers validate
+  // the header version and fail cleanly on files written by a different
+  // layout.
+  val Version = 5
   val DefaultBlockSize = 65536 // tuples per chunk, btrblocks.hpp:24
   val DefaultCascadeDepth = 3 // btrblocks.hpp:31,37,43
 
@@ -70,8 +74,13 @@ object BtrFile {
 
   final case class RowGroupMeta(numRows: Int, columns: Array[ColumnChunkMeta])
 
-  final case class Footer(rowGroups: Array[RowGroupMeta]) {
+  /** `colTags`: the PhysType tag each column's chunks were encoded with
+    * (v5). 0 = unknown — readers fall back to the table schema's tag.
+    */
+  final case class Footer(rowGroups: Array[RowGroupMeta], colTags: Array[Int] = null) {
     def numRows: Long = rowGroups.map(_.numRows.toLong).sum
+    def tagOf(col: Int): Int =
+      if (colTags != null && col < colTags.length) colTags(col) else 0
   }
 
   def writeFooter(out: BufWriter, footer: Footer, numCols: Int): Unit = {
@@ -87,6 +96,12 @@ object BtrFile {
   def writeFooterBody(out: BufWriter, footer: Footer, numCols: Int): Unit = {
     out.putInt(footer.rowGroups.length)
     out.putInt(numCols)
+    // v5: per-column physical type tags (0 = unknown → table schema tag)
+    var tc = 0
+    while (tc < numCols) {
+      out.putByte(if (footer.colTags != null && tc < footer.colTags.length) footer.colTags(tc) else 0)
+      tc += 1
+    }
     footer.rowGroups.foreach { rg =>
       out.putInt(rg.numRows)
       rg.columns.foreach { c =>
@@ -191,6 +206,9 @@ object BtrFile {
   private[format] def parseFooterBody(in: BufReader): Footer = {
     val numRg = in.getInt()
     val numCols = in.getInt()
+    val colTags = new Array[Int](numCols)
+    var tc = 0
+    while (tc < numCols) { colTags(tc) = in.getByte(); tc += 1 }
     val rgs = new Array[RowGroupMeta](numRg)
     var g = 0
     while (g < numRg) {
@@ -235,7 +253,7 @@ object BtrFile {
       rgs(g) = RowGroupMeta(numRows, cols)
       g += 1
     }
-    Footer(rgs)
+    Footer(rgs, colTags)
   }
 }
 

@@ -66,15 +66,23 @@ object BtrCompact {
       var cursor = 8L
       val groups = scala.collection.mutable.ArrayBuffer.empty[BtrFile.RowGroupMeta]
       var numCols = -1
+      var colTags: Array[Int] = null
       val buf = new Array[Byte](1 << 20)
       bin.files.foreach { name =>
         val src = new Path(dir, name)
         val len = fs.getFileStatus(src).getLen
         val footer = BtrFile.readFooter(fs, src, len)
         val cols = footer.rowGroups.headOption.map(_.columns.length).getOrElse(0)
-        if (numCols < 0) numCols = cols
+        if (numCols < 0) { numCols = cols; colTags = footer.colTags }
         else require(cols == 0 || cols == numCols,
           s"btr compact: column count mismatch in $src ($cols vs $numCols)")
+        // bins are keyed by tag signature, so a mismatch here is a bug —
+        // splicing narrow and widened chunks under one tag array would
+        // mis-decode every widened chunk
+        if (cols > 0 && colTags != null && footer.colTags != null)
+          require(java.util.Arrays.equals(footer.colTags, colTags),
+            s"btr compact: physical type mismatch in $src " +
+              s"(${footer.colTags.mkString(",")} vs ${colTags.mkString(",")})")
         val (footerStart, _) = footerSpan(fs, src, len)
         // stream the data span [8, footerStart) verbatim
         val delta = cursor - 8L
@@ -95,7 +103,7 @@ object BtrCompact {
         }
       }
       val fb = new BufWriter(1 << 16)
-      BtrFile.writeFooter(fb, BtrFile.Footer(groups.toArray), math.max(numCols, 0))
+      BtrFile.writeFooter(fb, BtrFile.Footer(groups.toArray, colTags), math.max(numCols, 0))
       out.write(fb.backing, 0, fb.pos)
     } finally out.close()
   }
@@ -209,17 +217,19 @@ object BtrCompact {
     val entries = BtrTableMeta.listDataFilesWithPartitions(fs, root)
     val before = entries.length
 
-    // bin per (directory, column count): footer-level merges splice row
-    // groups verbatim into one footer, and parsing assumes uniform column
-    // counts per file — files from before a schema widening must not mix
+    // bin per (directory, column count, physical tag signature):
+    // footer-level merges splice row groups verbatim into one footer, and
+    // parsing assumes uniform column counts AND types per file — files
+    // from before a trailing-add or type-widening evolution must not mix
     // with post-widening ones (index-covered, so this costs no extra I/O)
-    val colCounts: Map[String, Int] =
+    val colSig: Map[String, (Int, String)] =
       BtrFooters.readAllIndexed(fs, root, entries).map { case (e, footer) =>
         e.path.toUri.toString ->
-          footer.rowGroups.headOption.map(_.columns.length).getOrElse(0)
+          (footer.rowGroups.headOption.map(_.columns.length).getOrElse(0),
+            if (footer.colTags == null) "" else footer.colTags.mkString(","))
       }.toMap
     val byDir = entries.groupBy(e =>
-      (e.path.getParent.toUri.toString, colCounts(e.path.toUri.toString)))
+      (e.path.getParent.toUri.toString, colSig(e.path.toUri.toString)))
     val bins = scala.collection.mutable.ArrayBuffer.empty[Bin]
     byDir.foreach { case ((dirUri, _), files) =>
       var cur = scala.collection.mutable.ArrayBuffer.empty[String]

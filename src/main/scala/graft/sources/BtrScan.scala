@@ -268,12 +268,13 @@ class BtrScan(
           if (partCols.contains(f.name)) partValues.getOrElse(f.name, BtrTableMeta.NullPartition)
           else null
         }
+        val reqTags: Array[Int] = colKinds.map(ci => if (ci < 0) 0 else footer.tagOf(ci))
         // chunk-skip + group surviving row groups into ~splitBytes splits
         var current = scala.collection.mutable.ArrayBuffer.empty[BtrChunkRange]
         var currentBytes = 0L
         def flush(): Unit = {
           if (current.nonEmpty) {
-            partitions += BtrInputPartition(file.toString, current.toArray, reqPartValues)
+            partitions += BtrInputPartition(file.toString, current.toArray, reqPartValues, reqTags)
             current = scala.collection.mutable.ArrayBuffer.empty[BtrChunkRange]
             currentBytes = 0L
           }
@@ -711,7 +712,8 @@ class BtrMicroBatchStream(
           dataIdx.map(ci => if (ci < rg.columns.length) rg.columns(ci).offset else -1L),
           dataIdx.map(ci => if (ci < rg.columns.length) rg.columns(ci).length else 0))
       }
-      BtrInputPartition(entry.path.toString, groups, reqPartValues): InputPartition
+      val reqTags: Array[Int] = colKinds.map(ci => if (ci < 0) 0 else footer.tagOf(ci))
+      BtrInputPartition(entry.path.toString, groups, reqPartValues, reqTags): InputPartition
     }
   }
 
@@ -1238,7 +1240,11 @@ final case class BtrChunkRange(numRows: Int, offsets: Array[Long], lengths: Arra
 final case class BtrInputPartition(
     file: String,
     groups: Array[BtrChunkRange],
-    partValues: Array[String] = Array.empty
+    partValues: Array[String] = Array.empty,
+    // per-required-column PHYSICAL tag the file's chunks were encoded
+    // with (footer v5); 0/absent → the table schema's tag. Lets the
+    // reader upcast narrow pre-widening files (int→long, float→double)
+    fileTags: Array[Int] = null
 ) extends InputPartition
 
 class BtrReaderFactory(requiredSchema: StructType) extends PartitionReaderFactory {
@@ -1280,7 +1286,20 @@ class BtrColumnarReader(partition: BtrInputPartition, requiredSchema: StructType
     extends PartitionReader[ColumnarBatch] {
 
   private val fs = new Path(partition.file).getFileSystem(BtrTableMeta.hadoopConf())
-  private val tags = requiredSchema.fields.map(f => PhysType.of(f.dataType))
+  // decode with the FILE's physical tag (pre-widening files are narrower
+  // than the table schema); 0 in fileTags means "same as table"
+  private val tags = requiredSchema.fields.zipWithIndex.map { case (f, i) =>
+    val table = PhysType.of(f.dataType)
+    val file =
+      if (partition.fileTags != null && i < partition.fileTags.length && partition.fileTags(i) != 0)
+        partition.fileTags(i)
+      else table
+    if (file != table && !BtrWidening.widens(file, table))
+      throw new IllegalStateException(
+        s"btr: file ${partition.file} column '${f.name}' has physical tag $file " +
+          s"which cannot widen to table type ${f.dataType.simpleString} (tag $table)")
+    file
+  }
   private var stream: org.apache.hadoop.fs.FSDataInputStream = _
   private var groupIdx = -1
   // one vector set reused across row groups (reset + refill, like Spark's
@@ -1376,16 +1395,58 @@ class BtrColumnarReader(partition: BtrInputPartition, requiredSchema: StructType
 
   private def fillVector(v: OnHeapColumnVector, dt: DataType, tag: Int, dec: ChunkCodec.Decoded, n: Int): Unit = {
     val nulls = dec.hasNulls
+    val tableTag = PhysType.of(dt)
+    if (tag != tableTag) {
+      // pre-widening file: upcast the narrow decode into the wide vector
+      (tag, tableTag) match {
+        case (PhysType.Int32, PhysType.Int64) =>
+          // IntCodec decodes to Array[Long] at any width — the long fill
+          // path below consumes the int32 chunk's values unchanged
+          fillVector(v, dt, PhysType.Int64, dec, n)
+        case (PhysType.Float, PhysType.Double) =>
+          var i = 0
+          if (!nulls) {
+            while (i < n) {
+              v.putDouble(i, java.lang.Float.intBitsToFloat(dec.longs(i).toInt).toDouble)
+              i += 1
+            }
+          } else {
+            while (i < n) {
+              if (dec.isNull(i)) v.putNull(i)
+              else v.putDouble(i, java.lang.Float.intBitsToFloat(dec.longs(i).toInt).toDouble)
+              i += 1
+            }
+          }
+        case _ => throw new IllegalStateException(
+          s"btr: physical tag $tag cannot widen to ${dt.simpleString}")
+      }
+      return
+    }
     var i = 0
     tag match {
       case PhysType.Int32 | PhysType.Date =>
-        if (!nulls) {
-          while (i < n) { v.putInt(i, dec.longs(i).toInt); i += 1 }
-        } else {
-          while (i < n) {
-            if (dec.isNull(i)) v.putNull(i) else v.putInt(i, dec.longs(i).toInt)
-            i += 1
-          }
+        // short/byte ride the Int32 tag but their vectors are physically
+        // narrower — putInt into them would NPE
+        dt match {
+          case ShortType =>
+            while (i < n) {
+              if (nulls && dec.isNull(i)) v.putNull(i) else v.putShort(i, dec.longs(i).toShort)
+              i += 1
+            }
+          case ByteType =>
+            while (i < n) {
+              if (nulls && dec.isNull(i)) v.putNull(i) else v.putByte(i, dec.longs(i).toByte)
+              i += 1
+            }
+          case _ =>
+            if (!nulls) {
+              while (i < n) { v.putInt(i, dec.longs(i).toInt); i += 1 }
+            } else {
+              while (i < n) {
+                if (dec.isNull(i)) v.putNull(i) else v.putInt(i, dec.longs(i).toInt)
+                i += 1
+              }
+            }
         }
       case PhysType.Int64 | PhysType.Timestamp | PhysType.TimestampNtz | PhysType.Decimal64 =>
         // decimal(≤18) vectors store the unscaled long, so the same path

@@ -45,12 +45,21 @@ class BtrWriteBuilder(path: String, schema: StructType, options: CaseInsensitive
     val fs = dir.getFileSystem(BtrTableMeta.hadoopConf())
     if (!fs.exists(new Path(dir, BtrTableMeta.MetaFile))) return
     val existing = BtrTableMeta.readSchema(fs, dir)
-    val shape = (s: StructType) => s.fields.map(f => (f.name, f.dataType)).toSeq
-    require(shape(schema).startsWith(shape(existing)),
+    // prefix match by name, with type equality relaxed to the sanctioned
+    // widening pairs (int→long, float→double) in EITHER direction: a
+    // wider append widens the table meta; a narrow append into an
+    // already-widened table just writes narrow files (both read via the
+    // per-file footer tag + upcast)
+    val ok = schema.fields.length >= existing.fields.length &&
+      existing.fields.zip(schema.fields).forall { case (e, f) =>
+        e.name == f.name && graft.format.BtrWidening.compatible(e.dataType, f.dataType)
+      }
+    require(ok,
       s"btr: append schema does not extend the existing table at $path " +
         s"(existing: ${existing.simpleString}; appending: ${schema.simpleString}). " +
-        "Appends may add new columns at the END only; use overwrite to " +
-        "replace the table with an incompatible schema.")
+        "Appends may add new columns at the END or widen int->long / " +
+        "float->double only; use overwrite to replace the table with an " +
+        "incompatible schema.")
     val existingParts = BtrTableMeta.readPartitionCols(fs, dir)
     require(existingParts == partCols,
       s"btr: append partitioning ${partCols.mkString("[", ",", "]")} does not match the " +
@@ -138,12 +147,13 @@ object BtrWriteSchemas {
     val existing = BtrTableMeta.readSchema(fs, dir)
     // checkAppendCompatible validated against a meta read at BUILD time;
     // the meta re-read here may have moved under a concurrent append. The
-    // overlapping prefix must still agree by name and type — silently
-    // merging would let two concurrent appends that each added a
-    // DIFFERENT column at the same index rewrite each other's meta, so
-    // the loser's files decode their chunks under the wrong column.
+    // overlapping prefix must still agree by name, and by type up to the
+    // sanctioned widening pairs — silently merging would let two
+    // concurrent appends that each added a DIFFERENT column at the same
+    // index rewrite each other's meta, so the loser's files decode their
+    // chunks under the wrong column.
     schema.fields.zip(existing.fields).zipWithIndex.foreach { case ((f, e), i) =>
-      if (f.name != e.name || f.dataType != e.dataType)
+      if (f.name != e.name || !graft.format.BtrWidening.compatible(f.dataType, e.dataType))
         throw new IllegalStateException(
           s"btr: concurrent append conflict at $dir column $i — this writer " +
             s"validated against a schema with ${f.name}:${f.dataType.simpleString} " +
@@ -151,9 +161,15 @@ object BtrWriteSchemas {
             "Retry the append (concurrent appends adding different columns " +
             "are not mergeable).")
     }
+    // overlapping columns record the WIDEST type seen (this writer's
+    // widening sticks; a concurrent writer's further widening is kept)
     val prefix = schema.fields.zipWithIndex.map { case (f, i) =>
       if (i >= existing.fields.length) f.copy(nullable = true)
-      else f.copy(nullable = f.nullable || existing.fields(i).nullable)
+      else {
+        val e = existing.fields(i)
+        f.copy(dataType = graft.format.BtrWidening.widest(f.dataType, e.dataType),
+          nullable = f.nullable || e.nullable)
+      }
     }
     // the meta may have grown BEYOND this writer's schema since it was
     // validated (a concurrent widening append; streaming sinks validate
@@ -556,7 +572,7 @@ class BtrDataWriter(path: String, schema: StructType, blockSize: Int, cascade: I
   override def commit(): WriterCommitMessage = {
     flushGroup()
     val footerBuf = new BufWriter(1 << 16)
-    BtrFile.writeFooter(footerBuf, BtrFile.Footer(rowGroups.toArray), numCols)
+    BtrFile.writeFooter(footerBuf, BtrFile.Footer(rowGroups.toArray, tags), numCols)
     out.write(footerBuf.backing, 0, footerBuf.pos)
     out.close()
     if (totalRows == 0L) {

@@ -159,11 +159,93 @@ class BtrEvolutionSpec extends AnyFunSuite {
         .write.format("btr").mode("append").save(tmp("reject"))
     }
     assert(e2.getMessage.contains("append schema"), e2.getMessage)
-    // retyping an existing column
+    // retyping an existing column to an unrelated type (int→long / float→
+    // double are sanctioned widenings now, so retype the STRING column)
     val e3 = intercept[Exception] {
-      Seq((1, "x", 5)).toDF("id", "s", "extra")
+      Seq((1L, 7, 5)).toDF("id", "s", "extra")
         .write.format("btr").mode("append").save(tmp("reject"))
     }
     assert(e3.getMessage.contains("append schema"), e3.getMessage)
+  }
+
+  test("type-widening appends: int→long and float→double across generations") {
+    import org.apache.spark.sql.types._
+    val dir = tmp("typewiden")
+    (1 to 80).map(i => (i, i * 1.5f)).toDF("k", "x")
+      .coalesce(1).write.format("btr").option("btr.blockSize", "32")
+      .mode("overwrite").save(dir)
+    (81 to 120).map(i => (i.toLong * 1000000000L, i * 1.5d)).toDF("k", "x")
+      .coalesce(1).write.format("btr").option("btr.blockSize", "32")
+      .mode("append").save(dir)
+    val back = spark.read.format("btr").load(dir)
+    assert(back.schema("k").dataType == LongType, back.schema.treeString)
+    assert(back.schema("x").dataType == DoubleType, back.schema.treeString)
+    assert(back.count() == 120)
+    // pre-widening rows decode with the file's narrow tag and upcast:
+    // ints exactly, floats bit-exactly (float→double is lossless)
+    val olds = back.filter($"k" <= 80L).orderBy("k").collect()
+    assert(olds.length == 80)
+    olds.foreach { r =>
+      val k = r.getLong(0)
+      assert(r.getDouble(1) == (k.toInt * 1.5f).toDouble, s"row $k")
+    }
+    val news = back.filter($"k" > 80L).count()
+    assert(news == 40)
+  }
+
+  test("widened tables keep pruning and metadata aggregates exact") {
+    val dir = tmp("typewiden_agg")
+    (1 to 80).map(i => (i, i.toFloat)).toDF("k", "x")
+      .coalesce(1).write.format("btr").option("btr.blockSize", "32")
+      .mode("overwrite").save(dir)
+    (81 to 120).map(i => (i.toLong, i.toDouble)).toDF("k", "x")
+      .coalesce(1).write.format("btr").option("btr.blockSize", "32")
+      .mode("append").save(dir)
+    val back = spark.read.format("btr").load(dir)
+    // equality far above the old files' max prunes every old group
+    val hit = back.filter($"k" === 100L)
+    assert(hit.count() == 1)
+    assert(survivingGroups(hit) <= 2, s"got ${survivingGroups(hit)}")
+    // metadata-only SUM/MIN/MAX across mixed int32/int64 footers
+    val agg = back.agg(sum($"k").as("sk"), min($"k").as("mn"), max($"k").as("mx"),
+      min($"x").as("mnx"), max($"x").as("mxx"))
+    val scan = agg.queryExecution.sparkPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+    }.head
+    assert(scan.isInstanceOf[BtrAggScan], scan.getClass.toString)
+    val r = agg.head
+    assert(r.getLong(0) == (1 to 120).map(_.toLong).sum)
+    assert(r.getLong(1) == 1L && r.getLong(2) == 120L)
+    assert(r.getDouble(3) == 1.0 && r.getDouble(4) == 120.0)
+  }
+
+  test("narrow appends into an already-widened table read via upcast") {
+    val dir = tmp("narrow_append")
+    Seq((1L, "a")).toDF("k", "s")
+      .write.format("btr").mode("overwrite").save(dir)
+    // narrow int append into the long table: files carry int32 footers
+    Seq((2, "b"), (3, "c")).toDF("k", "s")
+      .write.format("btr").mode("append").save(dir)
+    val back = spark.read.format("btr").load(dir)
+    assert(back.schema("k").dataType == org.apache.spark.sql.types.LongType)
+    assert(back.orderBy("k").collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
+  test("compaction never merges across physical type generations") {
+    val dir = tmp("typewiden_compact")
+    (1 to 50).map(i => (i, s"v$i")).toDF("k", "s")
+      .coalesce(1).write.format("btr").mode("overwrite").save(dir)
+    (51 to 100).map(i => (i.toLong, s"v$i")).toDF("k", "s")
+      .coalesce(1).write.format("btr").mode("append").save(dir)
+    (101 to 150).map(i => (i.toLong, s"v$i")).toDF("k", "s")
+      .coalesce(1).write.format("btr").mode("append").save(dir)
+    val (before, after) = BtrCompact.compact(spark, dir, targetBytes = 1L << 30)
+    assert(before == 3)
+    // the two int64 files merge; the int32 file must stay separate
+    assert(after == 2, s"expected int64-only merge, got $after files")
+    val back = spark.read.format("btr").load(dir)
+    assert(back.count() == 150)
+    assert(back.agg(sum($"k")).head.getLong(0) == (1 to 150).map(_.toLong).sum)
   }
 }

@@ -113,9 +113,10 @@ class BtrOverwriteSpec extends AnyFunSuite {
     }
     assert(e1.getMessage.contains("append schema"), e1.getMessage)
 
-    // retyped column
+    // retyped column to an UNRELATED type (int→long / float→double are
+    // sanctioned widenings handled by BtrEvolutionSpec)
     val e2 = intercept[Exception] {
-      Seq((3, "c")).toDF("id", "s").write.format("btr").mode("append").save(dir)
+      Seq(("3", "c")).toDF("id", "s").write.format("btr").mode("append").save(dir)
     }
     assert(e2.getMessage.contains("append schema"), e2.getMessage)
 

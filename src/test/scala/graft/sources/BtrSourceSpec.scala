@@ -341,6 +341,21 @@ class BtrSourceSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.ansi.enabled", ansiWas)
   }
 
+  test("short and byte columns round-trip through the columnar reader") {
+    import spark.implicits._
+    val df = (0 until 5000).map { i =>
+      (if (i % 11 == 0) None else Some((i % 320 - 160).toShort),
+        if (i % 13 == 0) None else Some((i % 200 - 100).toByte),
+        i)
+    }.toDF("sh", "by", "i")
+    df.coalesce(1).write.format("btr").option("btr.blockSize", "512")
+      .mode("overwrite").save(tmp("shortbyte"))
+    val back = spark.read.format("btr").load(tmp("shortbyte"))
+    assertSameRows(df, back)
+    assert(back.agg(sum(col("sh").cast("long"))).head.getLong(0) ==
+      df.agg(sum(col("sh").cast("long"))).head.getLong(0))
+  }
+
   test("concurrent append conflict: divergent meta prefix fails loudly") {
     import spark.implicits._
     Seq((1, "a")).toDF("k", "s").write.format("btr").mode("overwrite").save(tmp("raceconflict"))
