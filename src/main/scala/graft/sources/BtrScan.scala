@@ -303,7 +303,7 @@ class BtrScan(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new BtrReaderFactory(requiredSchema)
+    new BtrReaderFactory(requiredSchema, filters ++ runtimeFilters)
 
   override def toMicroBatchStream(checkpointLocation: String): BtrMicroBatchStream =
     new BtrMicroBatchStream(path, tableSchema, requiredSchema, partCols, maxFilesPerTrigger,
@@ -1247,14 +1247,15 @@ final case class BtrInputPartition(
     fileTags: Array[Int] = null
 ) extends InputPartition
 
-class BtrReaderFactory(requiredSchema: StructType) extends PartitionReaderFactory {
+class BtrReaderFactory(requiredSchema: StructType, filters: Array[Filter] = Array.empty)
+    extends PartitionReaderFactory {
   override def supportColumnarReads(partition: InputPartition): Boolean = true
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     throw new UnsupportedOperationException("btr scan is columnar; row reads go through columnarBatch")
 
   override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] =
-    new BtrColumnarReader(partition.asInstanceOf[BtrInputPartition], requiredSchema)
+    new BtrColumnarReader(partition.asInstanceOf[BtrInputPartition], requiredSchema, filters)
 }
 
 /** Spark-side dictionary over a DICT string chunk's distinct entries.
@@ -1282,7 +1283,8 @@ final class BtrStringDictionary(entries: Array[Array[Byte]])
   * (/root/reference/btrblocks/compression/BtrReader.cpp:31-74), with
   * Catalyst/WSCG consuming batches above.
   */
-class BtrColumnarReader(partition: BtrInputPartition, requiredSchema: StructType)
+class BtrColumnarReader(partition: BtrInputPartition, requiredSchema: StructType,
+    filters: Array[Filter] = Array.empty)
     extends PartitionReader[ColumnarBatch] {
 
   private val fs = new Path(partition.file).getFileSystem(BtrTableMeta.hadoopConf())
@@ -1323,44 +1325,97 @@ class BtrColumnarReader(partition: BtrInputPartition, requiredSchema: StructType
     stream
   }
 
-  override def next(): Boolean = {
-    groupIdx += 1
-    if (groupIdx >= partition.groups.length) return false
-    val g = partition.groups(groupIdx)
-    if (vectors == null) {
-      var maxRows = 0
-      partition.groups.foreach(gr => if (gr.numRows > maxRows) maxRows = gr.numRows)
-      vectors = requiredSchema.fields.map(f => new OnHeapColumnVector(maxRows, f.dataType))
-      batch = new ColumnarBatch(vectors.asInstanceOf[Array[ColumnVector]], 0)
-      blobBufs = new Array[Array[Byte]](tags.length)
-    }
+  // late materialization: pushed filters that can be evaluated row-level
+  // with exact Spark semantics; their columns decode FIRST, and a group
+  // where every row fails the conjunction never decodes its siblings
+  private var preds: Array[Int => Boolean] = _
+  private var predCols: Array[Int] = _ // required-schema indices, decoded first
+  private var restCols: Array[Int] = _ // everything else, decoded on survival
+  private var dataIdxOf: Array[Int] = _ // required index -> data-offset index (-1 = partition col)
+
+  private def ensureInit(): Unit = {
+    if (vectors != null) return
+    var maxRows = 0
+    partition.groups.foreach(gr => if (gr.numRows > maxRows) maxRows = gr.numRows)
+    vectors = requiredSchema.fields.map(f => new OnHeapColumnVector(maxRows, f.dataType))
+    batch = new ColumnarBatch(vectors.asInstanceOf[Array[ColumnVector]], 0)
+    blobBufs = new Array[Array[Byte]](tags.length)
     val hasPart = partition.partValues.nonEmpty
+    dataIdxOf = new Array[Int](tags.length)
+    var d = 0
     var c = 0
-    var d = 0 // index into the data-column offsets of this split
     while (c < tags.length) {
-      vectors(c).reset()
-      if (hasPart && partition.partValues(c) != null) {
-        fillConstant(vectors(c), requiredSchema.fields(c).dataType, partition.partValues(c), g.numRows)
-      } else if (g.offsets(d) < 0) {
-        // schema evolution: the file predates this column — all null
-        vectors(c).putNulls(0, g.numRows)
-        d += 1
-      } else {
-        val len = g.lengths(d)
-        var buf = blobBufs(d)
-        if (buf == null || buf.length < len) {
-          buf = new Array[Byte](len)
-          blobBufs(d) = buf
-        }
-        in().readFully(g.offsets(d), buf, 0, len)
-        val dec = ChunkCodec.decodeForScan(new BufReader(buf, 0, len), tags(c), g.numRows)
-        fillVector(vectors(c), requiredSchema.fields(c).dataType, tags(c), dec, g.numRows)
-        d += 1
-      }
+      if (hasPart && partition.partValues(c) != null) dataIdxOf(c) = -1
+      else { dataIdxOf(c) = d; d += 1 }
       c += 1
     }
-    batch.setNumRows(g.numRows)
-    true
+    val built = filters.flatMap(f => BtrLateMat.build(requiredSchema, vectors, f))
+    preds = built.map(_._2)
+    val pc = built.flatMap(_._1).distinct.sorted
+    // only DATA columns gate sibling decodes; a partition-column pred is
+    // constant per file and the planner already pruned on it
+    predCols = pc.filter(dataIdxOf(_) >= 0)
+    if (predCols.isEmpty) preds = Array.empty
+    restCols = (0 until tags.length).filterNot(predCols.contains(_)).toArray
+  }
+
+  private def fillColumn(c: Int, g: BtrChunkRange): Unit = {
+    vectors(c).reset()
+    val d = dataIdxOf(c)
+    if (d < 0) {
+      fillConstant(vectors(c), requiredSchema.fields(c).dataType, partition.partValues(c), g.numRows)
+    } else if (g.offsets(d) < 0) {
+      // schema evolution: the file predates this column — all null
+      vectors(c).putNulls(0, g.numRows)
+    } else {
+      val len = g.lengths(d)
+      var buf = blobBufs(d)
+      if (buf == null || buf.length < len) {
+        buf = new Array[Byte](len)
+        blobBufs(d) = buf
+      }
+      in().readFully(g.offsets(d), buf, 0, len)
+      BtrLateMat.chunkDecodes.incrementAndGet()
+      val dec = ChunkCodec.decodeForScan(new BufReader(buf, 0, len), tags(c), g.numRows)
+      fillVector(vectors(c), requiredSchema.fields(c).dataType, tags(c), dec, g.numRows)
+    }
+  }
+
+  private def anyRowPasses(n: Int): Boolean = {
+    var r = 0
+    while (r < n) {
+      var pass = true
+      var p = 0
+      while (pass && p < preds.length) { pass = preds(p)(r); p += 1 }
+      if (pass) return true
+      r += 1
+    }
+    false
+  }
+
+  override def next(): Boolean = {
+    while (true) {
+      groupIdx += 1
+      if (groupIdx >= partition.groups.length) return false
+      val g = partition.groups(groupIdx)
+      ensureInit()
+      var survives = true
+      if (preds.nonEmpty) {
+        predCols.foreach(fillColumn(_, g))
+        if (!anyRowPasses(g.numRows)) {
+          // stats/bloom couldn't prove this group empty but the decoded
+          // filter columns do — siblings are never decoded
+          BtrLateMat.groupsSkipped.incrementAndGet()
+          survives = false
+        }
+      }
+      if (survives) {
+        restCols.foreach(fillColumn(_, g))
+        batch.setNumRows(g.numRows)
+        return true
+      }
+    }
+    false // unreachable
   }
 
   /** Synthesize a partition column: every row carries the directory value. */
@@ -1572,6 +1627,169 @@ class BtrColumnarReader(partition: BtrInputPartition, requiredSchema: StructType
 }
 
 /** Chunk-skipping predicate evaluation against footer min/max stats. */
+/** Row-level evaluation of pushed filters against FILLED vectors (late
+  * materialization). [[build]] returns the referenced required-schema
+  * column indices plus a predicate where pred(row)==false PROVES the
+  * filter is not TRUE for that row (null ⇒ not true), reproducing
+  * Spark's comparison semantics exactly: SQLOrderingUtil for float and
+  * double (NaN largest, NaN==NaN, -0.0==0.0), binary UTF8 ordering for
+  * strings, and the same literal conversions as [[ChunkSkip]]. Filters
+  * whose semantics can't be reproduced exactly yield None — the reader
+  * then never prunes on them, which is always sound because Spark
+  * re-applies the full filter above the scan.
+  */
+object BtrLateMat {
+  import org.apache.spark.sql.catalyst.util.SQLOrderingUtil
+
+  /** Diagnostics: groups dropped after decoding only their filter
+    * columns / total column-chunk decodes (specs assert sibling decodes
+    * drop under a selective conjunction).
+    */
+  val groupsSkipped = new java.util.concurrent.atomic.AtomicLong()
+  val chunkDecodes = new java.util.concurrent.atomic.AtomicLong()
+
+  def build(schema: StructType, vectors: Array[OnHeapColumnVector], f: Filter)
+      : Option[(Seq[Int], Int => Boolean)] = f match {
+    case EqualTo(a, v) => cmp(schema, vectors, a, v, _ == 0)
+    case EqualNullSafe(a, null) => build(schema, vectors, IsNull(a))
+    case EqualNullSafe(a, v) => cmp(schema, vectors, a, v, _ == 0)
+    case GreaterThan(a, v) => cmp(schema, vectors, a, v, _ > 0)
+    case GreaterThanOrEqual(a, v) => cmp(schema, vectors, a, v, _ >= 0)
+    case LessThan(a, v) => cmp(schema, vectors, a, v, _ < 0)
+    case LessThanOrEqual(a, v) => cmp(schema, vectors, a, v, _ <= 0)
+    case In(a, vs) if vs != null && vs.exists(_ != null) =>
+      // null IN-values never make the predicate TRUE — evaluate the rest
+      inPred(schema, vectors, a, vs.filter(_ != null))
+    case IsNull(a) =>
+      col(schema, a).map(ci => (Seq(ci), (r: Int) => vectors(ci).isNullAt(r)))
+    case IsNotNull(a) =>
+      col(schema, a).map(ci => (Seq(ci), (r: Int) => !vectors(ci).isNullAt(r)))
+    case StringStartsWith(a, v) if v != null =>
+      col(schema, a).filter(ci => schema.fields(ci).dataType == StringType).map { ci =>
+        val prefix = org.apache.spark.unsafe.types.UTF8String.fromString(v)
+        val vec = vectors(ci)
+        (Seq(ci), (r: Int) => !vec.isNullAt(r) && vec.getUTF8String(r).startsWith(prefix))
+      }
+    case And(l, r) =>
+      // one evaluable side alone is sound: its pred false ⇒ that side is
+      // not true ⇒ the conjunction is not true
+      (build(schema, vectors, l), build(schema, vectors, r)) match {
+        case (Some((c1, p1)), Some((c2, p2))) =>
+          Some(((c1 ++ c2).distinct, (row: Int) => p1(row) && p2(row)))
+        case (one @ Some(_), None) => one
+        case (None, other) => other
+      }
+    case Or(l, r) =>
+      // Or needs BOTH sides: both not-true ⇒ the disjunction is not true
+      for ((c1, p1) <- build(schema, vectors, l); (c2, p2) <- build(schema, vectors, r))
+        yield ((c1 ++ c2).distinct, (row: Int) => p1(row) || p2(row))
+    case _ => None
+  }
+
+  private def col(schema: StructType, a: String): Option[Int] = {
+    val i = schema.fields.indexWhere(_.name == a)
+    if (i < 0) None else Some(i)
+  }
+
+  private def cmp(schema: StructType, vectors: Array[OnHeapColumnVector], a: String, v: Any,
+      ok: Int => Boolean): Option[(Seq[Int], Int => Boolean)] = {
+    if (v == null) return None
+    col(schema, a).flatMap { ci =>
+      val vec = vectors(ci)
+      try schema.fields(ci).dataType match {
+        case IntegerType | DateType =>
+          val lit = ChunkSkip.toLongLit(v)
+          Some((Seq(ci), (r: Int) =>
+            !vec.isNullAt(r) && ok(java.lang.Long.compare(vec.getInt(r).toLong, lit))))
+        case LongType | TimestampType | TimestampNTZType =>
+          val lit = ChunkSkip.toLongLit(v)
+          Some((Seq(ci), (r: Int) =>
+            !vec.isNullAt(r) && ok(java.lang.Long.compare(vec.getLong(r), lit))))
+        case ShortType =>
+          val lit = ChunkSkip.toLongLit(v)
+          Some((Seq(ci), (r: Int) =>
+            !vec.isNullAt(r) && ok(java.lang.Long.compare(vec.getShort(r).toLong, lit))))
+        case ByteType =>
+          val lit = ChunkSkip.toLongLit(v)
+          Some((Seq(ci), (r: Int) =>
+            !vec.isNullAt(r) && ok(java.lang.Long.compare(vec.getByte(r).toLong, lit))))
+        case BooleanType =>
+          val lit = ChunkSkip.toLongLit(v)
+          Some((Seq(ci), (r: Int) => !vec.isNullAt(r) &&
+            ok(java.lang.Long.compare(if (vec.getBoolean(r)) 1L else 0L, lit))))
+        case DoubleType => v match {
+          case d: java.lang.Double =>
+            Some((Seq(ci), (r: Int) =>
+              !vec.isNullAt(r) && ok(SQLOrderingUtil.compareDoubles(vec.getDouble(r), d))))
+          case _ => None
+        }
+        case FloatType => v match {
+          case fl: java.lang.Float =>
+            Some((Seq(ci), (r: Int) =>
+              !vec.isNullAt(r) && ok(SQLOrderingUtil.compareFloats(vec.getFloat(r), fl))))
+          case _ => None
+        }
+        case d: DecimalType if d.precision <= 18 =>
+          val lit = ChunkSkip.decimalLit(v, d)
+          Some((Seq(ci), (r: Int) => !vec.isNullAt(r) &&
+            ok(java.lang.Long.compare(vec.getDecimal(r, d.precision, d.scale).toUnscaledLong, lit))))
+        case StringType =>
+          val lit = org.apache.spark.unsafe.types.UTF8String.fromBytes(ChunkSkip.toBytesLit(v))
+          Some((Seq(ci), (r: Int) =>
+            !vec.isNullAt(r) && ok(vec.getUTF8String(r).compareTo(lit))))
+        case BinaryType =>
+          val lit = ChunkSkip.toBytesLit(v)
+          Some((Seq(ci), (r: Int) =>
+            !vec.isNullAt(r) && ok(java.util.Arrays.compareUnsigned(vec.getBinary(r), lit))))
+        case _ => None
+      } catch { case _: IllegalArgumentException => None }
+    }
+  }
+
+  // Spark double/float equality classes: -0.0 == 0.0 (normalize to +0),
+  // NaN == NaN (doubleToLongBits canonicalizes every NaN payload)
+  private def normD(d: Double): Long =
+    java.lang.Double.doubleToLongBits(if (d == 0.0d) 0.0d else d)
+  private def normF(f: Float): Int =
+    java.lang.Float.floatToIntBits(if (f == 0.0f) 0.0f else f)
+
+  private def inPred(schema: StructType, vectors: Array[OnHeapColumnVector], a: String,
+      vs: Array[Any]): Option[(Seq[Int], Int => Boolean)] = {
+    if (vs.isEmpty) return None
+    col(schema, a).flatMap { ci =>
+      val vec = vectors(ci)
+      try schema.fields(ci).dataType match {
+        case IntegerType | DateType | LongType | TimestampType | TimestampNTZType |
+            ShortType | ByteType | BooleanType =>
+          val set = vs.map(ChunkSkip.toLongLit).toSet
+          val get: Int => Long = schema.fields(ci).dataType match {
+            case IntegerType | DateType => r => vec.getInt(r).toLong
+            case ShortType => r => vec.getShort(r).toLong
+            case ByteType => r => vec.getByte(r).toLong
+            case BooleanType => r => if (vec.getBoolean(r)) 1L else 0L
+            case _ => r => vec.getLong(r)
+          }
+          Some((Seq(ci), (r: Int) => !vec.isNullAt(r) && set.contains(get(r))))
+        case DoubleType if vs.forall(_.isInstanceOf[java.lang.Double]) =>
+          val set = vs.map(x => normD(x.asInstanceOf[Double])).toSet
+          Some((Seq(ci), (r: Int) => !vec.isNullAt(r) && set.contains(normD(vec.getDouble(r)))))
+        case FloatType if vs.forall(_.isInstanceOf[java.lang.Float]) =>
+          val set = vs.map(x => normF(x.asInstanceOf[Float])).toSet
+          Some((Seq(ci), (r: Int) => !vec.isNullAt(r) && set.contains(normF(vec.getFloat(r)))))
+        case StringType =>
+          val set = vs.map(x =>
+            org.apache.spark.unsafe.types.UTF8String.fromBytes(ChunkSkip.toBytesLit(x))).toSet
+          Some((Seq(ci), (r: Int) => !vec.isNullAt(r) && set.contains(vec.getUTF8String(r))))
+        case d: DecimalType if d.precision <= 18 =>
+          val set = vs.map(x => ChunkSkip.decimalLit(x, d)).toSet
+          Some((Seq(ci), (r: Int) => !vec.isNullAt(r) &&
+            set.contains(vec.getDecimal(r, d.precision, d.scale).toUnscaledLong)))
+        case _ => None
+      } catch { case _: IllegalArgumentException => None }
+    }
+  }
+}
+
 object ChunkSkip {
   def supports(schema: StructType, f: Filter): Boolean = f match {
     case EqualTo(a, v) => statable(schema, a) && litOk(v)
@@ -1612,7 +1830,7 @@ object ChunkSkip {
   /** Unscaled-long form of a decimal literal at the column's scale;
     * throws (→ conservatively no skip) when the literal needs rounding.
     */
-  private def decimalLit(v: Any, dt: DataType): Long = {
+  private[sources] def decimalLit(v: Any, dt: DataType): Long = {
     val scale = dt.asInstanceOf[DecimalType].scale
     val bd = v match {
       case d: java.math.BigDecimal => d
@@ -1624,7 +1842,7 @@ object ChunkSkip {
     catch { case _: ArithmeticException => throw new IllegalArgumentException(s"$v") }
   }
 
-  private def toBytesLit(v: Any): Array[Byte] = v match {
+  private[sources] def toBytesLit(v: Any): Array[Byte] = v match {
     case s: String => s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     case b: Array[Byte] => b
     case u: org.apache.spark.unsafe.types.UTF8String => u.getBytes
@@ -1649,7 +1867,7 @@ object ChunkSkip {
     }
   }
 
-  private def toLongLit(v: Any): Long = v match {
+  private[sources] def toLongLit(v: Any): Long = v match {
     case i: Int => i.toLong
     case l: Long => l
     case s: Short => s.toLong
