@@ -311,6 +311,29 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // REAL video decode under the oracle gate (the Y4M counterpart of
+    // q_audio_features): each doc's text becomes a 3-frame 8×8 Cmono
+    // YUV4MPEG2 stream; VideoOps demuxes the actual container — magic,
+    // header fields, FRAME markers — and reads each luma plane, while
+    // DuckDB recomputes the identical per-frame statistics straight from
+    // the character codes
+    "q_video_frames" -> ((s, d) => {
+      val w = 8
+      val h = 8
+      val fb = w * h // 64 luma bytes per frame
+      val header = MultimodalOps.VideoOps.y4mHeader(w, h, fps = 10)
+        .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+      val marker = "FRAME\n".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+      def frame(i: Int) =
+        concat(lit(marker), encode(rpad(substring(col("text"), i * fb + 1, fb), fb, " "), "UTF-8"))
+      val media = t(s, d, "documents").select(col("doc_id"),
+        concat(lit(header), frame(0), frame(1), frame(2)).as("payload"))
+      MultimodalOps.extractVideoFrames(s, media).toDF()
+        .select(col("doc_id"), col("frame_idx"), col("width"), col("height"),
+          round(col("mean_luma"), 4).as("mean_luma"), col("min_luma"), col("max_luma"))
+        .orderBy("doc_id", "frame_idx")
+    }),
+
     // multimodal plumbing: opaque binary payload → partition-batched
     // (stubbed) decode → typed metadata
     "q_multimodal_meta" -> ((s, d) => {
@@ -334,6 +357,18 @@ object PipelineQueries {
         |  round(len(list_filter(generate_series(2, 200),
         |    i -> (v[i] > 0) <> (v[i-1] > 0))) / 199.0, 4) AS zcr
         |FROM b ORDER BY doc_id""".stripMargin,
+    "q_video_frames" ->
+      """WITH f AS (
+        |  SELECT doc_id, fi,
+        |    list_transform(split(rpad(substr(text, fi * 64 + 1, 64), 64, ' '), ''),
+        |      c -> ord(c)) AS v
+        |  FROM documents, (SELECT unnest([0, 1, 2]) AS fi))
+        |SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+        |  CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+        |  round(list_sum(v) / 64.0, 4) AS mean_luma,
+        |  CAST(list_min(v) AS INT) AS min_luma,
+        |  CAST(list_max(v) AS INT) AS max_luma
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
     "q_repetition" ->
       """WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
         | grams AS (SELECT doc_id, toks,

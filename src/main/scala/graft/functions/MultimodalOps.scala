@@ -287,6 +287,34 @@ object MultimodalOps {
       bos.toByteArray
     }
 
+    /** Grayscale image over a raw luma plane (for re-encoding decoded
+      * video frames through the image pipeline).
+      */
+    def grayImage(luma: Array[Byte], w: Int, h: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      img.getRaster.setDataElements(0, 0, w, h, luma)
+      img
+    }
+
+    /** Rounded BT.601 luma plane of a decoded image, row-major. */
+    def lumaBytes(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val w = img.getWidth
+      val h = img.getHeight
+      val out = new Array[Byte](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val lum = 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+          out(y * w + x) = math.min(255, math.round(lum)).toByte
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
     /** `dim` mean-luminance block features over a grid covering the image
       * (the classic tiny-thumbnail feature) — real pixel statistics,
       * normalized to [0, 1].
@@ -507,6 +535,203 @@ object MultimodalOps {
       })
   }
 
+  /** REAL video-container demux + frame decode for the two public
+    * containers a pure JVM can decode without codec libraries (the video
+    * counterpart of the PCM WAV work on the audio side):
+    *
+    *  - Y4M (YUV4MPEG2): ASCII stream header + uncompressed planar
+    *    frames behind `FRAME` markers — the luma plane is read directly.
+    *  - MJPEG: concatenated baseline JPEGs — frames are split by walking
+    *    the JPEG segment structure (entropy data byte-stuffs 0xFF, so the
+    *    EOI marker found this way is exact) and decoded through ImageIO.
+    *
+    * Compressed video in MP4/WebM still routes to the clearly-labeled
+    * [[FakeDecoder]] stub: no H.264/VP9 codecs exist in this JVM.
+    */
+  object VideoOps {
+    private val Y4mMagic = "YUV4MPEG2"
+
+    def y4mHeader(w: Int, h: Int, fps: Int): String =
+      s"$Y4mMagic W$w H$h F$fps:1 Ip A1:1 Cmono\n"
+
+    /** (width, height, colorspace) from a YUV4MPEG2 stream header. */
+    def decodeY4mHeader(bytes: Array[Byte]): Option[(Int, Int, String)] = {
+      if (bytes == null || bytes.length < Y4mMagic.length + 1) return None
+      var i = 0
+      while (i < Y4mMagic.length) {
+        if (bytes(i) != Y4mMagic.charAt(i).toByte) return None
+        i += 1
+      }
+      var end = -1
+      i = 0
+      while (end < 0 && i < math.min(bytes.length, 512)) {
+        if (bytes(i) == '\n'.toByte) end = i
+        i += 1
+      }
+      if (end < 0) return None
+      val header = new String(bytes, 0, end, java.nio.charset.StandardCharsets.ISO_8859_1)
+      var w = 0
+      var h = 0
+      var cs = "420jpeg" // the Y4M default when no C tag is present
+      header.split(' ').drop(1).foreach { p =>
+        try {
+          if (p.startsWith("W")) w = p.substring(1).toInt
+          else if (p.startsWith("H")) h = p.substring(1).toInt
+          else if (p.startsWith("C")) cs = p.substring(1)
+        } catch { case _: NumberFormatException => return None }
+      }
+      if (w > 0 && h > 0 && w.toLong * h <= (1 << 26)) Some((w, h, cs)) else None
+    }
+
+    private def frameLen(w: Int, h: Int, cs: String): Int = cs match {
+      case "mono" => w * h
+      case s if s.startsWith("444") => w * h * 3
+      case s if s.startsWith("422") => w * h + 2 * (((w + 1) / 2) * h)
+      case _ => w * h + 2 * (((w + 1) / 2) * ((h + 1) / 2)) // 420 family
+    }
+
+    /** Real Y4M demux: (frameIdx, lumaPlane, w, h) per FRAME section. */
+    def y4mLumaFrames(bytes: Array[Byte]): Option[Seq[(Int, Array[Byte], Int, Int)]] =
+      decodeY4mHeader(bytes).map { case (w, h, cs) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Array[Byte], Int, Int)]
+        val fl = frameLen(w, h, cs)
+        var pos = 0
+        while (pos < bytes.length && bytes(pos) != '\n'.toByte) pos += 1
+        pos += 1
+        var idx = 0
+        var ok = true
+        while (ok && pos + 6 <= bytes.length &&
+            bytes(pos) == 'F' && bytes(pos + 1) == 'R' && bytes(pos + 2) == 'A' &&
+            bytes(pos + 3) == 'M' && bytes(pos + 4) == 'E') {
+          // the FRAME line may carry parameters up to its newline
+          var nl = pos + 5
+          while (nl < bytes.length && bytes(nl) != '\n'.toByte) nl += 1
+          val dataStart = nl + 1
+          if (dataStart + fl <= bytes.length) {
+            out += ((idx, java.util.Arrays.copyOfRange(bytes, dataStart, dataStart + w * h), w, h))
+            idx += 1
+            pos = dataStart + fl
+          } else ok = false // truncated trailing frame: stop cleanly
+        }
+        out.toSeq
+      }
+
+    /** Split concatenated JPEGs by walking segment structure: length-coded
+      * segments skip by length; after SOS the entropy stream is scanned
+      * for a marker that is not a stuffed 0x00 / restart — exact, because
+      * baseline JPEG byte-stuffs every 0xFF in entropy data. Returns the
+      * end offset (exclusive) of the JPEG starting at `start`, or -1.
+      */
+    private def jpegEnd(bytes: Array[Byte], start: Int): Int = {
+      var p = start
+      if (p + 2 > bytes.length ||
+        bytes(p) != 0xFF.toByte || bytes(p + 1) != 0xD8.toByte) return -1
+      p += 2
+      while (p + 2 <= bytes.length) {
+        if (bytes(p) != 0xFF.toByte) return -1 // corrupt segment stream
+        val marker = bytes(p + 1) & 0xff
+        if (marker == 0xD9) return p + 2 // EOI
+        else if (marker == 0x01 || (marker >= 0xD0 && marker <= 0xD7)) p += 2 // standalone
+        else if (marker == 0xDA) {
+          // SOS: skip its header, then scan entropy-coded data
+          if (p + 4 > bytes.length) return -1
+          val len = ((bytes(p + 2) & 0xff) << 8) | (bytes(p + 3) & 0xff)
+          p += 2 + len
+          while (p + 2 <= bytes.length) {
+            if (bytes(p) == 0xFF.toByte) {
+              val m = bytes(p + 1) & 0xff
+              if (m == 0xD9) return p + 2 // EOI
+              else if (m == 0x00 || (m >= 0xD0 && m <= 0xD7)) p += 2 // stuffed / RST
+              else p += 2 // next segment marker (rare mid-scan DNL etc.)
+            } else p += 1
+          }
+          return -1
+        } else {
+          if (p + 4 > bytes.length) return -1
+          val len = ((bytes(p + 2) & 0xff) << 8) | (bytes(p + 3) & 0xff)
+          if (len < 2) return -1
+          p += 2 + len
+        }
+      }
+      -1
+    }
+
+    /** Real MJPEG demux + ImageIO decode: Some(frames) when the payload
+      * is at least two back-to-back JPEGs (a single JPEG is an image and
+      * belongs to the image path).
+      */
+    def mjpegFrames(bytes: Array[Byte]): Option[Seq[(Int, java.awt.image.BufferedImage)]] = {
+      if (bytes == null || bytes.length < 4) return None
+      val bounds = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      var p = 0
+      while (p + 4 <= bytes.length &&
+          bytes(p) == 0xFF.toByte && bytes(p + 1) == 0xD8.toByte) {
+        val end = jpegEnd(bytes, p)
+        if (end < 0) return None
+        bounds += ((p, end))
+        p = end
+      }
+      if (bounds.length < 2 || p != bytes.length) return None
+      val frames = bounds.zipWithIndex.flatMap { case ((s, e), i) =>
+        PixelOps.decodeImage(java.util.Arrays.copyOfRange(bytes, s, e)).map(img => (i, img))
+      }
+      if (frames.length == bounds.length) Some(frames.toSeq) else None
+    }
+  }
+
+  /** One decoded video frame's luma statistics. */
+  final case class VideoFrame(
+      doc_id: Long,
+      frame_idx: Int,
+      width: Int,
+      height: Int,
+      mean_luma: Double,
+      min_luma: Int,
+      max_luma: Int
+  )
+
+  /** Real video frame decode → per-frame luma stats, partition-parallel
+    * (no shuffle): Y4M reads the luma plane directly; MJPEG decodes each
+    * JPEG and converts to luma (ITU-R BT.601). Payloads in neither
+    * container yield no rows — this operator never fakes a frame.
+    */
+  def extractVideoFrames(spark: SparkSession, media: DataFrame): Dataset[VideoFrame] = {
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        def lumaStats(idx: Int, luma: Array[Byte], w: Int, h: Int): VideoFrame = {
+          var s = 0L
+          var mn = 255
+          var mx = 0
+          var i = 0
+          while (i < luma.length) {
+            val v = luma(i) & 0xff
+            s += v
+            if (v < mn) mn = v
+            if (v > mx) mx = v
+            i += 1
+          }
+          val n = math.max(1, luma.length)
+          VideoFrame(id, idx, w, h, s.toDouble / n, if (luma.isEmpty) 0 else mn,
+            if (luma.isEmpty) 0 else mx)
+        }
+        VideoOps.y4mLumaFrames(bytes) match {
+          case Some(frames) =>
+            frames.iterator.map { case (idx, luma, w, h) => lumaStats(idx, luma, w, h) }
+          case None =>
+            VideoOps.mjpegFrames(bytes) match {
+              case Some(frames) =>
+                frames.iterator.map { case (idx, img) =>
+                  val luma = PixelOps.lumaBytes(img)
+                  lumaStats(idx, luma, img.getWidth, img.getHeight)
+                }
+              case None => Iterator.empty
+            }
+        }
+      })
+  }
+
   /** Typed metadata extracted per media blob. `format`/`width`/`height`
     * are REAL for recognized image containers and MP4 video; WAV/FLAC/MP3
     * audio fills `sample_rate`/`channels` ("opaque"/0 otherwise); the
@@ -543,6 +768,10 @@ object MultimodalOps {
       val mp4 =
         if (img.isEmpty && wav.isEmpty && flac.isEmpty && mp3.isEmpty) MediaHeader.decodeMp4(bytes)
         else None
+      val y4m =
+        if (img.isEmpty && wav.isEmpty && flac.isEmpty && mp3.isEmpty && mp4.isEmpty)
+          VideoOps.decodeY4mHeader(bytes)
+        else None
       val audio = wav.orElse(flac).orElse(mp3)
       MediaMeta(
         doc_id = docId,
@@ -556,9 +785,10 @@ object MultimodalOps {
           .orElse(flac.map(_ => "flac"))
           .orElse(mp3.map(_ => "mp3"))
           .orElse(mp4.map(_ => "mp4"))
+          .orElse(y4m.map(_ => "y4m"))
           .getOrElse("opaque"),
-        width = img.map(_._2).orElse(mp4.map(_._1)).getOrElse(0),
-        height = img.map(_._3).orElse(mp4.map(_._2)).getOrElse(0),
+        width = img.map(_._2).orElse(mp4.map(_._1)).orElse(y4m.map(_._1)).getOrElse(0),
+        height = img.map(_._3).orElse(mp4.map(_._2)).orElse(y4m.map(_._2)).getOrElse(0),
         sample_rate = audio.map(_._1).getOrElse(0),
         channels = audio.map(_._2).getOrElse(0)
       )
@@ -597,14 +827,28 @@ object MultimodalOps {
               }
             }
           case None =>
-            val meta = FakeDecoder.decode(id, bytes)
-            val n = meta.fake_frames
-            val sliceLen = math.max(1, bytes.length / math.max(1, n))
-            (0 until n by everyNth).iterator.map { f =>
-              val start = math.min(bytes.length, f * sliceLen)
-              val end = math.min(bytes.length, start + sliceLen)
-              Frame(id, f, meta.fake_width, meta.fake_height,
-                java.util.Arrays.copyOfRange(bytes, start, end))
+            // real video containers next: Y4M frames re-encode their luma
+            // plane as gray PNG; MJPEG frames are real JPEG decodes
+            VideoOps.y4mLumaFrames(bytes).filter(_.nonEmpty).map { frames =>
+              frames.iterator.filter(_._1 % everyNth == 0).map { case (idx, luma, w, h) =>
+                Frame(id, idx, w, h, PixelOps.toPng(PixelOps.grayImage(luma, w, h)))
+              }
+            }.orElse {
+              VideoOps.mjpegFrames(bytes).map { frames =>
+                frames.iterator.filter(_._1 % everyNth == 0).map { case (idx, img) =>
+                  Frame(id, idx, img.getWidth, img.getHeight, PixelOps.toPng(img))
+                }
+              }
+            }.getOrElse {
+              val meta = FakeDecoder.decode(id, bytes)
+              val n = meta.fake_frames
+              val sliceLen = math.max(1, bytes.length / math.max(1, n))
+              (0 until n by everyNth).iterator.map { f =>
+                val start = math.min(bytes.length, f * sliceLen)
+                val end = math.min(bytes.length, start + sliceLen)
+                Frame(id, f, meta.fake_width, meta.fake_height,
+                  java.util.Arrays.copyOfRange(bytes, start, end))
+              }
             }
         }
       })

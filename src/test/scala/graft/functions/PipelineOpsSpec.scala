@@ -734,4 +734,82 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out(2L).format == "flac" && out(2L).sample_rate == 48000 && out(2L).n_frames == 0)
     assert(out(3L).format == "opaque" && out(3L).sample_rate == 0)
   }
+
+  test("Y4M streams demux real frames: header fields, luma planes, truncation") {
+    import MultimodalOps.VideoOps
+    val iso = java.nio.charset.StandardCharsets.ISO_8859_1
+    // 4×2 Cmono, two frames with known luma values
+    val f0 = Array.tabulate(8)(i => (10 * i).toByte)
+    val f1 = Array.tabulate(8)(i => (255 - i).toByte)
+    val y4m = VideoOps.y4mHeader(4, 2, 25).getBytes(iso) ++
+      "FRAME\n".getBytes(iso) ++ f0 ++ "FRAME\n".getBytes(iso) ++ f1
+    assert(VideoOps.decodeY4mHeader(y4m).contains((4, 2, "mono")))
+    val frames = VideoOps.y4mLumaFrames(y4m).get
+    assert(frames.length == 2)
+    assert(frames(0)._2.toSeq == f0.toSeq && frames(1)._2.toSeq == f1.toSeq)
+
+    // 420 colorspace: chroma planes are skipped, luma comes back exact
+    val luma420 = Array.tabulate(8)(i => (i + 1).toByte)
+    val chroma = new Array[Byte](4) // 2×(2×1) for 4×2
+    val y420 = "YUV4MPEG2 W4 H2 F30:1 Ip A1:1 C420jpeg\n".getBytes(iso) ++
+      "FRAME\n".getBytes(iso) ++ luma420 ++ chroma
+    val fr420 = VideoOps.y4mLumaFrames(y420).get
+    assert(fr420.length == 1 && fr420.head._2.toSeq == luma420.toSeq)
+
+    // truncated trailing frame stops cleanly, keeping the complete ones
+    val truncated = y4m.dropRight(3)
+    assert(VideoOps.y4mLumaFrames(truncated).get.length == 1)
+
+    // a FRAME line with parameters still parses
+    val withParams = VideoOps.y4mHeader(4, 2, 25).getBytes(iso) ++
+      "FRAME Xsomething\n".getBytes(iso) ++ f0
+    assert(VideoOps.y4mLumaFrames(withParams).get.length == 1)
+
+    // non-Y4M payloads are rejected at the magic
+    assert(VideoOps.decodeY4mHeader("JUNKDATA\n1234".getBytes(iso)).isEmpty)
+  }
+
+  test("MJPEG payloads split on real JPEG segment structure and decode frames") {
+    import MultimodalOps.{PixelOps, VideoOps}
+    def jpegOf(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val a = jpegOf(6, 4, 0xffffff)
+    val b = jpegOf(3, 5, 0x000000)
+    val mjpeg = a ++ b ++ a
+    val frames = VideoOps.mjpegFrames(mjpeg).get
+    assert(frames.length == 3)
+    assert(frames(0)._2.getWidth == 6 && frames(0)._2.getHeight == 4)
+    assert(frames(1)._2.getWidth == 3 && frames(1)._2.getHeight == 5)
+    // white frame's luma ≈ 255, black ≈ 0 (JPEG is lossy — allow slack)
+    val l0 = PixelOps.lumaBytes(frames(0)._2).map(_ & 0xff)
+    val l1 = PixelOps.lumaBytes(frames(1)._2).map(_ & 0xff)
+    assert(l0.forall(_ > 240) && l1.forall(_ < 16))
+    // a single JPEG is an image, not MJPEG; garbage is neither
+    assert(VideoOps.mjpegFrames(a).isEmpty)
+    assert(VideoOps.mjpegFrames("nope".getBytes).isEmpty)
+
+    // end-to-end: sampleFrames emits REAL frames for both containers
+    import spark.implicits._
+    val iso = java.nio.charset.StandardCharsets.ISO_8859_1
+    val y4m = VideoOps.y4mHeader(4, 2, 25).getBytes(iso) ++
+      "FRAME\n".getBytes(iso) ++ Array.tabulate(8)(i => (10 * i).toByte) ++
+      "FRAME\n".getBytes(iso) ++ Array.tabulate(8)(i => (20 * i).toByte)
+    val media = Seq((1L, mjpeg), (2L, y4m)).toDF("doc_id", "payload")
+    val got = MultimodalOps.sampleFrames(spark, media, everyNth = 1).collect()
+      .groupBy(_.doc_id).view.mapValues(_.sortBy(_.frame_idx)).toMap
+    assert(got(1L).length == 3 && got(1L).head.width == 6)
+    assert(got(2L).length == 2 && got(2L).head.width == 4 && got(2L).head.height == 2)
+    // the emitted Y4M frame re-decodes to the original luma plane (raw
+    // raster samples — getRGB would apply gray→sRGB gamma conversion)
+    val png = PixelOps.decodeImage(got(2L).head.frame_bytes).get
+    val raster = png.getRaster
+    val vals = for (y <- 0 until 2; x <- 0 until 4) yield raster.getSample(x, y, 0)
+    assert(vals == (0 until 8).map(_ * 10), vals.toString)
+  }
 }
