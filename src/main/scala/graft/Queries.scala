@@ -254,6 +254,62 @@ object CoreQueries {
         .orderBy(desc("revenue"), asc("n_name"))
     }),
 
+    // TPC-H Q1 (pricing summary): the canonical scan+filter+partial-agg
+    // shape — one btr scan, shipdate pushed down, 8 aggregates over 2
+    // grouping keys resolve map-side before a 6-row shuffle
+    "q_tpch_q1" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 0).as("sum_base"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 0).as("sum_disc"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 0)
+            .as("sum_charge"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_extendedprice")), 2).as("avg_price"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // TPC-H Q6 (forecast revenue): highly selective conjunctive filter,
+    // every predicate pushed to the scan (chunk skipping on shipdate).
+    // Revenue is quantized to cents per row so the long sum is exact and
+    // engine-order-independent
+    "q_tpch_q6" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01 00:00:00") &&
+          col("l_shipdate") < lit("1998-01-01 00:00:00") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(
+          round(sum(round(col("l_extendedprice") * col("l_discount") * 100).cast("long")) / 100.0, 2)
+            .as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // TPC-H Q18 (large-volume customers): self-semi-join via a broadcast
+    // of the tiny qualifying-orders set (sum(qty) > 300), then two hash
+    // joins and a regroup — lineitem never shuffles twice
+    "q_tpch_q18" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val big = li.groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("tq"))
+        .filter(col("tq") > 300)
+        .select(col("l_orderkey").as("bk"))
+      t(s, d, "orders").join(broadcast(big), col("o_orderkey") === col("bk"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          tsFmt(col("o_orderdate")).as("o_date_s"), col("o_totalprice"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"), col("o_date_s"),
+          round(col("o_totalprice"), 2).as("price"), col("sum_qty"))
+        .orderBy(desc("price"), asc("o_orderkey"))
+    }),
+
     // Q-point-lookup: equality probe on an unsorted join key — the
     // chunk-skipping stress case where every chunk's min/max overlaps the
     // value and only the per-chunk bloom filter (footer v3) can prune.
@@ -447,6 +503,40 @@ object CoreQueries {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY revenue DESC, n_name ASC""".stripMargin,
+    "q_tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | round(sum(l_extendedprice), 0) AS sum_base,
+        | round(sum(l_extendedprice * (1 - l_discount)), 0) AS sum_disc,
+        | round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 0) AS sum_charge,
+        | round(avg(l_quantity), 4) AS avg_qty,
+        | round(avg(l_extendedprice), 2) AS avg_price,
+        | round(avg(l_discount), 4) AS avg_disc,
+        | count(*) AS n
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_tpch_q6" ->
+      """SELECT round(CAST(sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT)) AS BIGINT)
+        |   / 100.0, 2) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "q_tpch_q18" ->
+      """SELECT c_name, c_custkey, o_orderkey,
+        | strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_date_s,
+        | round(o_totalprice, 2) AS price, round(sum(l_quantity), 2) AS sum_qty
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        |  HAVING sum(l_quantity) > 300)
+        |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        |ORDER BY price DESC, o_orderkey ASC""".stripMargin,
     "q_point_lookup" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM lineitem
         |WHERE l_partkey = 1 ORDER BY l_orderkey, l_linenumber""".stripMargin,

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan battery for the TPC-H headline queries (Q1/Q6/Q18) over the btr
+  * source: correctness is the DuckDB oracle's job (q_tpch_* rows in the
+  * driver gate); these tests pin the PHYSICAL SHAPE that makes the same
+  * plan survive at 100 TB — filters pushed into the scan, columns pruned,
+  * two-phase aggregation, and a broadcast (not shuffle) join for the tiny
+  * qualifying-orders set.
+  */
+class TpchPlanSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("tpch-plan-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): SparkPlan = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect() // materialize so AQE finalizes its stages
+    df.queryExecution.executedPlan
+  }
+
+  private def scanLeaves(p: SparkPlan): Seq[String] =
+    collectLeaves(p).map(_.toString)
+
+  test("Q1: shipdate filter and 7-column projection reach the scan; agg is two-phase") {
+    val p = plan("q_tpch_q1")
+    val scans = scanLeaves(p)
+    assert(scans.nonEmpty)
+    val li = scans.find(_.contains("l_returnflag")).getOrElse(fail(s"no lineitem scan in:\n$p"))
+    assert(li.contains("l_shipdate"), s"shipdate filter not pushed:\n$li")
+    // pruned: the scan must not read the unused key/string columns
+    for (c <- Seq("l_comment", "l_partkey", "l_suppkey", "l_orderkey"))
+      assert(!li.contains(c), s"unpruned column $c in scan:\n$li")
+    val aggs = collect(p) {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+    }
+    assert(aggs.size >= 2, s"expected partial+final hash aggregate:\n$p")
+    // no exchange moves raw lineitem rows: every shuffle (group-by hash,
+    // order-by range) sits above an aggregate, so only 6-row group
+    // summaries ever cross the wire
+    val exchanges = collect(p) { case e: ShuffleExchangeExec => e }
+    assert(exchanges.nonEmpty)
+    exchanges.foreach { e =>
+      val aggBelow = collect(e.child) {
+        case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+      }
+      assert(aggBelow.nonEmpty, s"exchange shuffles pre-aggregate rows:\n$e")
+    }
+  }
+
+  test("Q6: every predicate is pushed; scan reads only the 4 filter/agg columns") {
+    val p = plan("q_tpch_q6")
+    val li = scanLeaves(p).headOption.getOrElse(fail(s"no scan in:\n$p"))
+    for (c <- Seq("l_shipdate", "l_discount", "l_quantity"))
+      assert(li.contains(c), s"filter on $c not pushed:\n$li")
+    for (c <- Seq("l_returnflag", "l_orderkey", "l_tax"))
+      assert(!li.contains(c), s"unpruned column $c in scan:\n$li")
+  }
+
+  test("Q18: qualifying orders join is broadcast, not a shuffle of orders") {
+    val p = plan("q_tpch_q18")
+    val bhj = collect(p) { case b: BroadcastHashJoinExec => b }
+    assert(bhj.nonEmpty, s"expected broadcast hash join for the sum(qty)>300 set:\n$p")
+  }
+}
