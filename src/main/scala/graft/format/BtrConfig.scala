@@ -30,7 +30,12 @@ final case class BtrConfig(
     // equality chunk-skipping; capped per chunk-column so footers stay
     // small (chunks whose cardinality exceeds the budget store none)
     bloomEnabled: Boolean = true,
-    bloomMaxBytes: Int = 2048
+    bloomMaxBytes: Int = 2048,
+    // SAMPLE-mode selection measures cascading candidates by compressing
+    // the retained sample (the reference's estimateCompression contract,
+    // scheme/CompressionScheme.cpp:8-46); `btr.estimate=formula` reverts
+    // to closed-form-only estimates
+    measuredEstimate: Boolean = true
 ) {
   def intEnabled(scheme: Int): Boolean =
     schemes.isEmpty || schemes.contains(BtrConfig.intNames(scheme))
@@ -117,7 +122,14 @@ object BtrConfig {
           }
         require(v > 0, s"btr.bloom.maxBytes must be a positive integer, got '$s'")
         v
-      }.getOrElse(2048)
+      }.getOrElse(2048),
+      measuredEstimate = get("btr.estimate").map(_.trim.toLowerCase) match {
+        case None | Some("measured") => true
+        case Some("formula") => false
+        case Some(other) =>
+          throw new IllegalArgumentException(
+            s"btr.estimate must be measured|formula, got '$other'")
+      }
     )
   }
 }

@@ -15,7 +15,10 @@ final case class DoubleStats(
     sDistinct: Int,
     distinctEst: Int,
     topBits: Long,
-    sTopCount: Int
+    sTopCount: Int,
+    // sampled values retained for measured (sample-compress) scheme
+    // selection, like IntStats.sample; null in full-stats mode
+    sample: Array[Double] = null
 ) {
   def avgRunLength: Double = if (runCount == 0) 0.0 else count.toDouble / runCount
 }
@@ -28,7 +31,7 @@ object DoubleStats {
       sampleRuns: Int = 10,
       runLen: Int = 64
   ): DoubleStats = {
-    if (count == 0) return DoubleStats(0, 0, 0, 0, 0, 0L, 0)
+    if (count == 0) return DoubleStats(0, 0, 0, 0, 0, 0L, 0, null)
     // exact pass: runs only (adjacent bit compares, no hashing)
     var runs = 1
     var prev = java.lang.Double.doubleToRawLongBits(values(0))
@@ -41,14 +44,19 @@ object DoubleStats {
     }
     val exhaustive = sampleRuns <= 0 || count <= sampleRuns * runLen * 2
     val freq = new mutable.LongMap[Int](1 << 10)
+    val sampleBuf =
+      if (sampleRuns <= 0) null
+      else new Array[Double](if (exhaustive) count else sampleRuns * runLen)
     var sampleN = 0
-    @inline def addSample(bits: Long): Unit = {
+    @inline def addSample(v: Double): Unit = {
+      val bits = java.lang.Double.doubleToRawLongBits(v)
       freq(bits) = freq.getOrElse(bits, 0) + 1
+      if (sampleBuf != null) sampleBuf(sampleN) = v
       sampleN += 1
     }
     if (exhaustive) {
       i = 0
-      while (i < count) { addSample(java.lang.Double.doubleToRawLongBits(values(i))); i += 1 }
+      while (i < count) { addSample(values(i)); i += 1 }
     } else {
       val rnd = new java.util.Random(seed)
       var r = 0
@@ -56,7 +64,7 @@ object DoubleStats {
         val start = rnd.nextInt(count - runLen + 1)
         var j = start
         val end = start + runLen
-        while (j < end) { addSample(java.lang.Double.doubleToRawLongBits(values(j))); j += 1 }
+        while (j < end) { addSample(values(j)); j += 1 }
         r += 1
       }
     }
@@ -75,7 +83,7 @@ object DoubleStats {
         val extra = if (f2 > 0) f1.toDouble * f1 / (2.0 * f2) else f1.toDouble * (f1 - 1) / 2.0
         math.min(count.toLong, math.max(d.toLong, math.round(d + extra))).toInt
       }
-    DoubleStats(count, runs, sampleN, d, distinctEst, topB, topC)
+    DoubleStats(count, runs, sampleN, d, distinctEst, topB, topC, sampleBuf)
   }
 }
 
@@ -202,6 +210,22 @@ object DoubleCodec {
     out.putBytes(bestBytes)
   }
 
+  /** Sample-compress measurement, like IntCodec.measuredEstimate (the
+    * reference's estimateCompression contract,
+    * /root/reference/btrblocks/scheme/CompressionScheme.cpp:8-46).
+    */
+  private def measuredEstimate(scheme: Int, s: DoubleStats, depth: Int, cfg: BtrConfig): Long = {
+    val smp = s.sample
+    val n = s.sampleN
+    val ss = DoubleStats.compute(smp, n, 42L, cfg.sampleRuns, cfg.sampleRunLen)
+    if (!structurallyValid(scheme, ss, depth)) return Long.MaxValue
+    val scratch = new BufWriter(1 << 10)
+    // formula-only cascade choices inside the measurement (see IntCodec)
+    encodeAs(scheme, scratch, smp, n, depth, ss,
+      cfg.copy(measuredEstimate = false), 42L)
+    math.max(1L, math.ceil(scratch.pos.toDouble * s.count / math.max(1, n)).toLong)
+  }
+
   private def choose(
       values: Array[Double],
       count: Int,
@@ -211,21 +235,30 @@ object DoubleCodec {
   ): Int = {
     if (count == 0) return Uncompressed
     if (s.runCount <= 1) return OneValue // exact: single run == constant
+    // formula screen per gated candidate; contenders within 1.5× of the
+    // leader then get MEASURED by compressing the retained sample (the
+    // measure pass below, mirroring IntCodec.choose)
+    val fEst = new Array[Long](6)
+    java.util.Arrays.fill(fEst, Long.MaxValue)
     var best = Uncompressed
     var bestSize = 1L + count.toLong * 8
+    fEst(Uncompressed) = bestSize
     if (depth >= 1 && cfg.doubleEnabled(Dict) && s.sDistinct * 2 <= s.sampleN) {
       val codeBits = math.max(1, Bitpack.bitsFor((s.distinctEst - 1).toLong))
       val e = 8L + s.distinctEst.toLong * 8 + Bitpack.packedBytes(count, codeBits)
+      fEst(Dict) = e
       if (e < bestSize) { best = Dict; bestSize = e }
     }
     if (depth >= 1 && cfg.doubleEnabled(Rle) && s.avgRunLength >= 2.0) {
       val e = 8L + s.runCount.toLong * 9 + 16
+      fEst(Rle) = e
       if (e < bestSize) { best = Rle; bestSize = e }
     }
     if (depth >= 1 && cfg.doubleEnabled(Frequency) && s.sDistinct * 2 <= s.sampleN &&
       s.sTopCount.toLong * 10 >= s.sampleN.toLong * 9) {
       val exc = math.round(count.toLong * (s.sampleN - s.sTopCount).toDouble / math.max(1, s.sampleN))
       val e = 16L + exc * 11 + 16
+      fEst(Frequency) = e
       if (e < bestSize) { best = Frequency; bestSize = e }
     }
     if (depth >= 1 && cfg.doubleEnabled(Pseudodecimal)) {
@@ -250,7 +283,33 @@ object DoubleCodec {
         val digitBits = Bitpack.bitsFor(2 * maxDigits + 1) // zigzag
         val patches = count.toLong * (sampled - convertible) / math.max(1, sampled)
         val e = 8L + Bitpack.packedBytes(count, digitBits) + count / 2 + patches * 8
+        fEst(Pseudodecimal) = e
         if (e < bestSize) { best = Pseudodecimal; bestSize = e }
+      }
+    }
+    // measure pass: every formula here is approximate (all four cascade),
+    // so any contender in the zone is re-sized on the sample
+    if (cfg.measuredEstimate && s.sample != null) {
+      val zone = bestSize + (bestSize >> 1)
+      var needMeasure = false
+      var sch = 0
+      while (sch < fEst.length && !needMeasure) {
+        if (sch != Uncompressed && sch != OneValue && fEst(sch) <= zone) needMeasure = true
+        sch += 1
+      }
+      if (needMeasure) {
+        best = Uncompressed
+        bestSize = 1L + count.toLong * 8
+        sch = 0
+        while (sch < fEst.length) {
+          if (sch != Uncompressed && sch != OneValue && fEst(sch) < Long.MaxValue) {
+            val e =
+              if (fEst(sch) <= zone) measuredEstimate(sch, s, depth, cfg)
+              else fEst(sch)
+            if (e < bestSize) { best = sch; bestSize = e }
+          }
+          sch += 1
+        }
       }
     }
     best

@@ -27,7 +27,14 @@ final case class IntStats(
     distinctEst: Int, // Chao1-style chunk-distinct estimate, capped at count
     topValue: Long, // most frequent value in the sample
     sTopCount: Int, // its in-sample frequency
-    widthHist: Array[Int] // FOR-width histogram over the sample
+    widthHist: Array[Int], // FOR-width histogram over the sample
+    // the sampled values themselves (== the whole chunk when exhaustive),
+    // retained so scheme selection can MEASURE a candidate by compressing
+    // the sample instead of trusting a closed-form estimate (the
+    // reference's estimateCompression contract,
+    // /root/reference/btrblocks/scheme/CompressionScheme.cpp:8-46); null
+    // in full-stats mode (sampleRuns == 0), where selection stays formula
+    sample: Array[Long] = null
 ) {
   def avgRunLength: Double = if (runCount == 0) 0.0 else count.toDouble / runCount
 
@@ -44,7 +51,7 @@ object IntStats {
       runLen: Int = 64
   ): IntStats = {
     if (count == 0)
-      return IntStats(0, 0L, 0L, 0, isSorted = true, 0, 0, 0, 0L, 0, new Array[Int](65))
+      return IntStats(0, 0L, 0L, 0, isSorted = true, 0, 0, 0, 0L, 0, new Array[Int](65), null)
     // exact pass: min/max/runs/sortedness (no hashing)
     var min = values(0)
     var max = values(0)
@@ -64,10 +71,15 @@ object IntStats {
     val exhaustive = sampleRuns <= 0 || count <= sampleRuns * runLen * 2
     val freq = new mutable.LongMap[Int](1 << 10)
     val hist = new Array[Int](65)
+    val keepSample = sampleRuns > 0
+    val sampleBuf =
+      if (!keepSample) null
+      else new Array[Long](if (exhaustive) count else sampleRuns * runLen)
     var sampleN = 0
     @inline def addSample(v: Long): Unit = {
       freq(v) = freq.getOrElse(v, 0) + 1
       hist(Bitpack.bitsForRange(0L, v - min)) += 1
+      if (sampleBuf != null) sampleBuf(sampleN) = v
       sampleN += 1
     }
     if (exhaustive) {
@@ -100,7 +112,7 @@ object IntStats {
         val extra = if (f2 > 0) f1.toDouble * f1 / (2.0 * f2) else f1.toDouble * (f1 - 1) / 2.0
         math.min(count.toLong, math.max(d.toLong, math.round(d + extra))).toInt
       }
-    IntStats(count, min, max, runs, sorted, sampleN, d, distinctEst, topV, topC, hist)
+    IntStats(count, min, max, runs, sorted, sampleN, d, distinctEst, topV, topC, hist, sampleBuf)
   }
 }
 
@@ -154,12 +166,48 @@ object IntCodec {
     (bestW, bestExc, best)
   }
 
+  /** Measured estimate: compress the retained sample with the candidate
+    * scheme — including its full cascade, which on sample-sized inputs is
+    * an EXACT compression — and scale the bytes to the chunk. This is the
+    * reference's estimateCompression contract (sample-compress at the top,
+    * full compression at deeper levels,
+    * /root/reference/btrblocks/scheme/CompressionScheme.cpp:8-46), where
+    * the closed forms below are only the pre-gate screen.
+    */
+  private def measuredEstimate(
+      scheme: Int,
+      s: IntStats,
+      physWidth: Int,
+      depth: Int,
+      cfg: BtrConfig
+  ): Long = {
+    val smp = s.sample
+    val n = s.sampleN
+    val ss = IntStats.compute(smp, n, 42L, cfg.sampleRuns, cfg.sampleRunLen)
+    if (!structurallyValid(scheme, ss, depth)) return Long.MaxValue
+    val scratch = new BufWriter(1 << 10)
+    // cascade choices inside the measurement go by formula — the sample
+    // cascade still compresses fully, and the real encode re-decides
+    encodeAs(scheme, scratch, smp, n, physWidth, depth, ss,
+      cfg.copy(measuredEstimate = false), 42L)
+    math.max(1L, math.ceil(scratch.pos.toDouble * s.count / math.max(1, n)).toLong)
+  }
+
+  /** Schemes whose closed-form estimate is approximate (cascade sizes are
+    * guessed) and therefore worth measuring when the race is close. The
+    * others (Uncompressed/OneValue/ForBp/DeltaBp) have exact formulas.
+    */
+  @inline private def isApprox(scheme: Int): Boolean = scheme match {
+    case Dict | Rle | Frequency | Pfor => true
+    case _ => false
+  }
+
   /** Closed-form size estimates (bytes) per candidate: exact stats where
     * the encoder needs them anyway (min/max/runs), sampled proportions for
-    * the frequency-derived ones — the role of the reference's sampling
-    * estimator (/root/reference/btrblocks/scheme/CompressionScheme.cpp:8-46).
+    * the frequency-derived ones. For the cascading schemes these closed
+    * forms act as the SCREEN; [[choose]] measures the close contenders.
     */
-  private def estimate(scheme: Int, s: IntStats, physWidth: Int, depth: Int): Long = {
+  private def formulaEstimate(scheme: Int, s: IntStats, physWidth: Int, depth: Int): Long = {
     val n = s.count.toLong
     scheme match {
       case Uncompressed => 2 + n * physWidth
@@ -212,16 +260,46 @@ object IntCodec {
   def choose(s: IntStats, physWidth: Int, depth: Int, cfg: BtrConfig = BtrConfig.Default): Int = {
     if (s.count == 0) return Uncompressed
     if (s.runCount <= 1) return OneValue // exact: a single run means constant
+    // formula pass over every enabled candidate
+    val est = new Array[Long](AllSchemes.length)
     var best = Uncompressed
-    var bestSize = estimate(Uncompressed, s, physWidth, depth)
+    var bestSize = formulaEstimate(Uncompressed, s, physWidth, depth)
     var i = 0
     while (i < AllSchemes.length) {
       val sch = AllSchemes(i)
-      if (sch == Uncompressed || sch == OneValue || cfg.intEnabled(sch)) {
-        val e = estimate(sch, s, physWidth, depth)
-        if (e < bestSize) { best = sch; bestSize = e }
-      }
+      val enabled = sch == Uncompressed || sch == OneValue || cfg.intEnabled(sch)
+      est(i) = if (enabled) formulaEstimate(sch, s, physWidth, depth) else Long.MaxValue
+      if (est(i) < bestSize) { best = sch; bestSize = est(i) }
       i += 1
+    }
+    // measure pass (the reference's estimateCompression contract): the
+    // approximate-formula contenders within 1.5× of the leader get their
+    // size MEASURED by compressing the retained sample; a clear formula
+    // winner skips the work entirely
+    if (cfg.measuredEstimate && s.sample != null && bestSize < Long.MaxValue) {
+      val zone = bestSize + (bestSize >> 1)
+      var needMeasure = false
+      i = 0
+      while (i < AllSchemes.length && !needMeasure) {
+        if (isApprox(AllSchemes(i)) && est(i) <= zone) needMeasure = true
+        i += 1
+      }
+      if (needMeasure) {
+        best = Uncompressed
+        bestSize = formulaEstimate(Uncompressed, s, physWidth, depth)
+        i = 0
+        while (i < AllSchemes.length) {
+          val sch = AllSchemes(i)
+          if (est(i) < Long.MaxValue) {
+            val e =
+              if (isApprox(sch) && est(i) <= zone)
+                measuredEstimate(sch, s, physWidth, depth, cfg)
+              else est(i)
+            if (e < bestSize) { best = sch; bestSize = e }
+          }
+          i += 1
+        }
+      }
     }
     best
   }
