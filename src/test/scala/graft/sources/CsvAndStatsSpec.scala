@@ -39,6 +39,37 @@ class CsvAndStatsSpec extends AnyFunSuite {
     assert(csvBack.collect().map(_.toString).sorted.toSeq == a.toSeq)
   }
 
+  test("SKIP columns are parsed past but never compressed (metadata tag + skip list)") {
+    import org.apache.spark.sql.types._
+    val orig = spark.read.parquet(s"$sf/part.parquet")
+    orig.coalesce(1).write.option("header", "true").option("delimiter", "|")
+      .mode("overwrite").csv(tmp("part_skip_csv"))
+    // p_brand skipped via schema metadata (the reference's SKIP type,
+    // btrfiles/btrfiles.hpp:20-21), p_type via the explicit skip list
+    val tagged = StructType(orig.schema.fields.map { f =>
+      if (f.name == "p_brand")
+        f.copy(metadata = new MetadataBuilder().putBoolean("skip", true).build())
+      else f
+    })
+    graft.tools.CsvToBtr.run(spark, tmp("part_skip_csv"), tmp("part_skip_btr"),
+      Some(tagged.json), skipCols = Seq("p_type"))
+    val back = spark.read.format("btr").load(tmp("part_skip_btr"))
+    assert(back.columns.toSet == orig.columns.toSet -- Set("p_brand", "p_type"))
+    val a = orig.drop("p_brand", "p_type").collect().map(_.toString).sorted
+    val b = back.collect().map(_.toString).sorted
+    assert(a.toSeq == b.toSeq, "surviving columns round-trip unchanged")
+    // an unknown skip name fails fast instead of silently writing all
+    intercept[IllegalArgumentException] {
+      graft.tools.CsvToBtr.run(spark, tmp("part_skip_csv"), tmp("part_skip_btr2"),
+        Some(orig.schema.json), skipCols = Seq("no_such_col"))
+    }
+    // skipping everything is refused
+    intercept[IllegalArgumentException] {
+      graft.tools.CsvToBtr.run(spark, tmp("part_skip_csv"), tmp("part_skip_btr3"),
+        Some(orig.schema.json), skipCols = orig.columns.toSeq)
+    }
+  }
+
   test("commit writes per-column ingest stats that match the data") {
     import spark.implicits._
     val df = Seq(
