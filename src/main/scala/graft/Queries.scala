@@ -146,7 +146,12 @@ object CoreQueries {
     // over both generations matches the oracle exactly
     "q_widen_evolution" -> ((s, d) => {
       val dir = Btr.cachePath(d, "lineitem_widened")
-      if (!new java.io.File(dir, "_btr_meta.json").exists()) {
+      // two-step build (overwrite + append) is not atomic like the other
+      // cached tables, so completion is marked by a sentinel written LAST:
+      // a crash between the writes leaves no sentinel and rebuilds cleanly
+      // (the overwrite wipes any half-built state)
+      val done = new java.io.File(dir, "_gen_complete")
+      if (!done.exists()) {
         val li = Btr.pq(s, d, "lineitem")
           .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"))
         li.filter(col("l_orderkey") % 2 === 0)
@@ -154,6 +159,7 @@ object CoreQueries {
         li.filter(col("l_orderkey") % 2 === 1)
           .withColumn("l_linenumber", col("l_linenumber").cast("long"))
           .write.format("btr").mode("append").save(dir)
+        done.createNewFile()
       }
       s.read.format("btr").load(dir)
         .groupBy(col("l_returnflag"))

@@ -630,7 +630,8 @@ object MultimodalOps {
       while (p + 2 <= bytes.length) {
         if (bytes(p) != 0xFF.toByte) return -1 // corrupt segment stream
         val marker = bytes(p + 1) & 0xff
-        if (marker == 0xD9) return p + 2 // EOI
+        if (marker == 0xFF) p += 1 // fill byte (ISO 10918-1 B.1.1.2): any number of 0xFF may pad a marker
+        else if (marker == 0xD9) return p + 2 // EOI
         else if (marker == 0x01 || (marker >= 0xD0 && marker <= 0xD7)) p += 2 // standalone
         else if (marker == 0xDA) {
           // SOS: skip its header, then scan entropy-coded data
@@ -640,7 +641,8 @@ object MultimodalOps {
           while (p + 2 <= bytes.length) {
             if (bytes(p) == 0xFF.toByte) {
               val m = bytes(p + 1) & 0xff
-              if (m == 0xD9) return p + 2 // EOI
+              if (m == 0xFF) p += 1 // fill byte before a marker
+              else if (m == 0xD9) return p + 2 // EOI
               else if (m == 0x00 || (m >= 0xD0 && m <= 0xD7)) p += 2 // stuffed / RST
               else p += 2 // next segment marker (rare mid-scan DNL etc.)
             } else p += 1

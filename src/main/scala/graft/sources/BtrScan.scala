@@ -1351,10 +1351,13 @@ class BtrColumnarReader(partition: BtrInputPartition, requiredSchema: StructType
     }
     val built = filters.flatMap(f => BtrLateMat.build(requiredSchema, vectors, f))
     preds = built.map(_._2)
-    val pc = built.flatMap(_._1).distinct.sorted
-    // only DATA columns gate sibling decodes; a partition-column pred is
-    // constant per file and the planner already pruned on it
-    predCols = pc.filter(dataIdxOf(_) >= 0)
+    // EVERY predicate column fills before evaluation — including partition
+    // columns, whose vectors synthesize from the directory value
+    // (fillConstant): a pred over an unfilled vector reads default values
+    // and would silently fail every row. A group only skips when at least
+    // one DATA column gates it; with partition-only preds the whole file
+    // is constant, so a false pred skips it on the first group.
+    predCols = built.flatMap(_._1).distinct.sorted.toArray
     if (predCols.isEmpty) preds = Array.empty
     restCols = (0 until tags.length).filterNot(predCols.contains(_)).toArray
   }

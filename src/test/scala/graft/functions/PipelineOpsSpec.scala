@@ -794,6 +794,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(VideoOps.mjpegFrames(a).isEmpty)
     assert(VideoOps.mjpegFrames("nope".getBytes).isEmpty)
 
+    // 0xFF fill bytes may pad any marker (ISO 10918-1 B.1.1.2): splice
+    // one before a mid-stream segment marker and one before EOI — the
+    // splitter must still find the exact frame bounds
+    def padded(j: Array[Byte]): Array[Byte] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+      out += j(0) += j(1) // SOI
+      out += 0xFF.toByte // fill before the first segment marker
+      out ++= j.slice(2, j.length - 2)
+      out += 0xFF.toByte // fill before EOI
+      out += j(j.length - 2) += j(j.length - 1)
+      out.toArray
+    }
+    val padMjpeg = padded(a) ++ b ++ padded(a)
+    val padFrames = VideoOps.mjpegFrames(padMjpeg).get
+    assert(padFrames.length == 3, "fill-byte-padded JPEG frames must still split")
+    assert(padFrames(0)._2.getWidth == 6 && padFrames(2)._2.getWidth == 6)
+
     // end-to-end: sampleFrames emits REAL frames for both containers
     import spark.implicits._
     val iso = java.nio.charset.StandardCharsets.ISO_8859_1

@@ -85,6 +85,26 @@ class LateMatSpec extends AnyFunSuite {
     same(_.filter($"s".startsWith("a")))
   }
 
+  test("partition-column pred combined with data pred keeps all matching rows") {
+    // regression: partition-column predicates used to be excluded from the
+    // decode-first set while their closures stayed in the conjunction, so
+    // they evaluated against never-filled vectors and skipped EVERY group
+    val dir = tmp("part_mix")
+    val df = (0 until 100).map(i => (i, if (i % 2 == 0) "even" else "odd")).toDF("id", "p")
+    df.coalesce(1).write.format("btr").option("btr.blockSize", "16")
+      .partitionBy("p").mode("overwrite").save(dir)
+    val back = spark.read.format("btr").load(dir)
+    assert(back.filter($"p" === "even" && $"id" > 10).count() == 44)
+    val got = back.filter($"p" === "even" && $"id" > 10 && $"id" < 30)
+      .select("id").collect().map(_.getInt(0)).sorted
+    assert(got.toSeq == (12 until 30 by 2))
+    // partition-only pred still returns every partition row
+    assert(back.filter($"p" === "odd").count() == 50)
+    // mixed OR across partition and data columns stays exact
+    val or = back.filter($"p" === "odd" || $"id" === 0).count()
+    assert(or == 51)
+  }
+
   test("runtime IN filters prune row-level through the same path") {
     val dir = tmp("runtime_in")
     // ids interleaved so min/max of every chunk covers the probe set
