@@ -139,6 +139,23 @@ object CoreQueries {
         .orderBy("l_linestatus")
     }),
 
+    // Q-part-mixed: partition filter AND data filter together — the
+    // combination exercises directory pruning + pushed data predicates +
+    // late materialization on the same scan (the layer mix where a
+    // partition pred evaluated against an unfilled vector once lost rows)
+    "q_part_mixed_filter" -> ((s, d) => {
+      val dir = Btr.cachePath(d, "lineitem_by_flag")
+      if (!new java.io.File(dir, "_btr_meta.json").exists()) {
+        Btr.pq(s, d, "lineitem").write.format("btr")
+          .partitionBy("l_returnflag").mode("overwrite").save(dir)
+      }
+      s.read.format("btr").load(dir)
+        .filter(col("l_returnflag") === "A" && col("l_quantity") >= 25 &&
+          col("l_linenumber") <= 3)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_returnflag"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
     // Q-widen: type-widening schema evolution — even orderkeys written
     // with l_linenumber as its native INT, odd ones appended with it cast
     // to LONG; the table meta widens to long, the old int32 files decode
@@ -467,6 +484,10 @@ object CoreQueries {
       """SELECT l_linestatus, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
         |FROM lineitem WHERE l_returnflag = 'A'
         |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    "q_part_mixed_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem
+        |WHERE l_returnflag = 'A' AND l_quantity >= 25 AND l_linenumber <= 3
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q_widen_evolution" ->
       """SELECT l_returnflag, count(*) AS n,
         | CAST(sum(l_linenumber) AS BIGINT) AS sum_ln,
