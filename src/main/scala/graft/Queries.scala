@@ -216,10 +216,14 @@ object CoreQueries {
     // Q-sum-meta: ungrouped SUM over integral columns answered from the
     // format-v4 per-chunk footer sums (aggregate pushdown — zero data
     // bytes read; wrapped-long partials are exactly Spark's semantics)
+    // AVG pushes too: Spark decomposes it to SUM+COUNT for partial DSv2
+    // pushdown, both answered from footers (integral sum ⇒ the division
+    // is over exact integers, so the double result is engine-identical)
     "q_sum_meta" -> ((s, d) => {
       t(s, d, "lineitem").agg(
         sum(col("l_orderkey")).as("sum_ok"),
         sum(col("l_linenumber")).as("sum_ln"),
+        avg(col("l_orderkey")).as("avg_ok"),
         count(lit(1)).as("n_rows"))
     }),
 
@@ -506,7 +510,8 @@ object CoreQueries {
         |FROM lineitem""".stripMargin,
     "q_sum_meta" ->
       """SELECT CAST(sum(l_orderkey) AS BIGINT) AS sum_ok,
-        | CAST(sum(l_linenumber) AS BIGINT) AS sum_ln, count(*) AS n_rows
+        | CAST(sum(l_linenumber) AS BIGINT) AS sum_ln,
+        | avg(l_orderkey) AS avg_ok, count(*) AS n_rows
         |FROM lineitem""".stripMargin,
     "q_part_agg_meta" ->
       """SELECT l_returnflag, count(*) AS n, min(l_orderkey) AS min_ok,
