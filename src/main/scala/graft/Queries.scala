@@ -317,6 +317,39 @@ object CoreQueries {
           count(lit(1)).as("n_items"))
     }),
 
+    // TPC-H Q3 (shipping priority, o_orderpriority standing in for the
+    // schema's missing o_shippriority): filtered dims join into the fact,
+    // top-k resolves as TakeOrderedAndProject — never a global sort
+    "q_tpch_q3" -> ((s, d) => {
+      val c = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, d, "orders").filter(col("o_orderdate") < lit("1998-03-15 00:00:00"))
+      val li = t(s, d, "lineitem").filter(col("l_shipdate") > lit("1998-03-15 00:00:00"))
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("l_orderkey"), tsFmt(col("o_orderdate")).as("o_date_s"),
+          col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 0).as("revenue"))
+        .select(col("l_orderkey"), col("revenue"), col("o_date_s"), col("o_orderpriority"))
+        .orderBy(desc("revenue"), asc("l_orderkey"))
+        .limit(10)
+    }),
+
+    // TPC-H Q14 (promotion effect): conditional aggregation over a
+    // fact-dim join, one month of shipdates pushed to the scan. Terms are
+    // quantized to cents per row so both sums are exact longs and the
+    // final ratio is engine-identical
+    "q_tpch_q14" -> ((s, d) => {
+      val cents = round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100).cast("long")
+      val li = t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-09-01 00:00:00") &&
+          col("l_shipdate") < lit("1997-10-01 00:00:00"))
+      li.join(t(s, d, "part"), col("l_partkey") === col("p_partkey"))
+        .agg(round(
+          lit(100.0) * sum(when(col("p_type").startsWith("PROMO"), cents).otherwise(0L)) /
+            sum(cents), 4).as("promo_revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
     // TPC-H Q18 (large-volume customers): self-semi-join via a broadcast
     // of the tiny qualifying-orders set (sum(qty) > 300), then two hash
     // joins and a regroup — lineitem never shuffles twice
@@ -557,6 +590,30 @@ object CoreQueries {
         |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
         |  AND l_discount >= 0.05 AND l_discount <= 0.07
         |  AND l_quantity < 24""".stripMargin,
+    "q_tpch_q3" ->
+      """SELECT l_orderkey,
+        | round(sum(l_extendedprice * (1 - l_discount)), 0) AS revenue,
+        | strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_date_s,
+        | o_orderpriority
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
+    "q_tpch_q14" ->
+      """WITH f AS (
+        |  SELECT CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS cents,
+        |    p_type
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00')
+        |SELECT round(100.0 * CAST(sum(CASE WHEN p_type LIKE 'PROMO%' THEN cents ELSE 0 END) AS BIGINT)
+        |    / CAST(sum(cents) AS BIGINT), 4) AS promo_revenue,
+        | count(*) AS n_items
+        |FROM f""".stripMargin,
     "q_tpch_q18" ->
       """SELECT c_name, c_custkey, o_orderkey,
         | strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_date_s,

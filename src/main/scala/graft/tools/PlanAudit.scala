@@ -12,7 +12,8 @@ object PlanAudit {
     val names =
       if (args.length > 1) args.drop(1).toSeq
       else Seq("q_rt_filter", "q_agg_meta", "q_agg_join", "q_dedup_exact", "q_runs",
-        "q_text_keywords", "q_dedup_ngram", "q_tpch_q1", "q_tpch_q6", "q_tpch_q18")
+        "q_text_keywords", "q_dedup_ngram", "q_tpch_q1", "q_tpch_q3", "q_tpch_q6",
+        "q_tpch_q14", "q_tpch_q18")
     val spark = SparkSession.builder()
       .master("local[4]")
       .appName("plan-audit")

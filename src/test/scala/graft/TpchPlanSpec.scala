@@ -70,6 +70,35 @@ class TpchPlanSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       assert(!li.contains(c), s"unpruned column $c in scan:\n$li")
   }
 
+  test("Q3: every dim/fact filter reaches its scan; top-k is TakeOrdered, not a global sort") {
+    val p = plan("q_tpch_q3")
+    val scans = scanLeaves(p)
+    assert(scans.exists(s => s.contains("c_mktsegment") && s.contains("EqualTo")),
+      s"customer segment filter not pushed:\n${scans.mkString("\n")}")
+    assert(scans.exists(s => s.contains("o_orderdate") && s.contains("LessThan")),
+      "orders date filter not pushed")
+    assert(scans.exists(s => s.contains("l_shipdate") && s.contains("GreaterThan")),
+      "lineitem shipdate filter not pushed")
+    val topk = collect(p) {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+    }
+    val globalSorts = collect(p) {
+      case s: org.apache.spark.sql.execution.SortExec if s.global => s
+    }
+    assert(topk.nonEmpty && globalSorts.isEmpty,
+      s"limit 10 must plan as TakeOrderedAndProject, not a global sort:\n$p")
+  }
+
+  test("Q14: one-month shipdate range is pushed; join feeds a single partial-agg row") {
+    val p = plan("q_tpch_q14")
+    val li = scanLeaves(p).find(_.contains("l_shipdate"))
+      .getOrElse(fail(s"no lineitem scan with pushed shipdate:\n$p"))
+    assert(li.contains("GreaterThanOrEqual") && li.contains("LessThan"),
+      s"range endpoints not pushed:\n$li")
+    for (c <- Seq("l_orderkey", "l_quantity", "l_tax"))
+      assert(!li.contains(c), s"unpruned column $c in scan:\n$li")
+  }
+
   test("Q18: qualifying orders join is broadcast, not a shuffle of orders") {
     val p = plan("q_tpch_q18")
     val bhj = collect(p) { case b: BroadcastHashJoinExec => b }
