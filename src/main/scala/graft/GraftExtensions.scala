@@ -95,7 +95,19 @@ object GraftExtensions {
     (FunctionIdentifier("simhash60"),
       info("simhash60", "simhash60(text) - engine-portable 60-bit md5-hashed SimHash"),
       (args: Seq[Expression]) =>
-        SimHashExpr(arity(args, 1, "simhash60", "simhash60(text)").head, 60, useMd5 = true))
+        SimHashExpr(arity(args, 1, "simhash60", "simhash60(text)").head, 60, useMd5 = true)),
+    (FunctionIdentifier("minhash_sig"),
+      info("minhash_sig",
+        "minhash_sig(shingles, k) - MinHash signature (k seeded permutation minima) " +
+          "over a string-array shingle column; identical to the Scala DSL's minhash"),
+      (args: Seq[Expression]) => {
+        val a = arity(args, 2, "minhash_sig", "minhash_sig(shingles, k)")
+        val k = intLit(a(1), "minhash_sig", "k")
+        if (k < 1 || k > 1024) throw new IllegalArgumentException(
+          s"minhash_sig: k must be in 1..1024, got $k")
+        val (pa, pb) = TextOps.minhashParams(k)
+        MinHashExpr(a(0), pa, pb)
+      })
   )
 
   /** Register the SQL functions on an ALREADY-RUNNING session (the

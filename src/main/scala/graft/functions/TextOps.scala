@@ -124,6 +124,15 @@ object TextOps {
     MinHashExpr.of(shingles, perms.map(_._1), perms.map(_._2))
   }
 
+  /** The k seeded permutation parameter vectors (a, b) behind [[minhash]]
+    * — shared with the SQL registration so `minhash_sig(shingles, k)`
+    * computes the identical signature.
+    */
+  private[graft] def minhashParams(k: Int): (Seq[Long], Seq[Long]) = {
+    val perms = (0 until k).map(perm)
+    (perms.map(_._1), perms.map(_._2))
+  }
+
   /** Declarative reference implementation (the spec baseline proving
     * [[MinHashExpr]] bit-equal; interpreted HOFs, slower).
     */

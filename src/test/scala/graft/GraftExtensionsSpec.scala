@@ -57,6 +57,17 @@ class GraftExtensionsSpec extends AnyFunSuite {
         | repetition_stats('a a a a').top_bigram_c AS tb""".stripMargin).head
     assert(rep.getSeq[String](0) == Seq("a b", "b a", "a b"))
     assert(rep.getInt(1) == 4 && rep.getInt(2) == 1 && rep.getInt(3) == 3)
+
+    // minhash_sig from SQL is bit-identical to the Scala DSL's minhash
+    val mhSql = spark.sql(
+      "SELECT minhash_sig(word_shingles(text, 3), 32) AS mh FROM ext_probe").head
+    val mhDsl = spark.table("ext_probe").select(
+      graft.functions.TextOps.minhash(
+        graft.functions.WordShinglesExpr.of($"text", 3), 32).as("mh")).head
+    assert(mhSql.getSeq[Long](0) == mhDsl.getSeq[Long](0))
+    val kErr = intercept[Exception](
+      spark.sql("SELECT minhash_sig(word_shingles(text, 3), 0) FROM ext_probe").head)
+    assert(kErr.getMessage.contains("minhash_sig"))
   }
 
   test("a fresh session registers the same functions independently") {
