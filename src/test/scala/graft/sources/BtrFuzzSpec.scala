@@ -142,6 +142,51 @@ class BtrFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("random filters over a PARTITIONED table mix directory pruning with row-level preds") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.Column
+    // partition on a derived low-cardinality column so every query mixes
+    // the three pruning tiers (directory, chunk, late-materialization row)
+    val base = spark.createDataFrame(
+      spark.sparkContext.parallelize(randomRows(21L, 3000), 2), schema)
+    val df = base.withColumn("p", concat(lit("g"), (abs(coalesce(col("id"), lit(0L))) % 3)))
+    val dir = "/tmp/btr-fuzz/part-filters"
+    df.write.format("btr").option("btr.blockSize", "256")
+      .partitionBy("p").mode("overwrite").save(dir)
+    val back = spark.read.format("btr").load(dir)
+
+    val rnd = new scala.util.Random(77)
+    val longLits = Seq(0L, 42L, -1L, 150L)
+    def pick[T](xs: Seq[T]): T = xs(rnd.nextInt(xs.length))
+    val parts = Seq("g0", "g1", "g2", "g9")
+    (1 to 60).foreach { _ =>
+      val pp: Column = rnd.nextInt(3) match {
+        case 0 => col("p") === pick(parts)
+        case 1 => col("p").isin(pick(parts), pick(parts))
+        case _ => col("p") =!= pick(parts)
+      }
+      val dp: Column = rnd.nextInt(4) match {
+        case 0 => col("id") > pick(longLits)
+        case 1 => col("s").startsWith("tag")
+        case 2 => col("d") <= 0.5
+        case _ => col("i").isNotNull
+      }
+      val pred = rnd.nextInt(3) match {
+        case 0 => pp && dp
+        case 1 => pp || dp
+        case _ => dp && pp && col("id") <= pick(longLits)
+      }
+      val exp = df.filter(pred).count()
+      val got = back.filter(pred).count()
+      assert(got == exp, s"partitioned filter $pred: btr=$got in-memory=$exp")
+    }
+    // row CONTENT survives the mix too, not just counts
+    val full = back.filter(col("p") === "g1" && col("id") >= 0).select("id", "s", "p")
+    val want = df.filter(col("p") === "g1" && col("id") >= 0).select("id", "s", "p")
+    assert(full.collect().map(_.toString).sorted.toSeq ==
+      want.collect().map(_.toString).sorted.toSeq)
+  }
+
   test("compaction of fuzzed multi-file appends preserves every row shape") {
     val dir = "/tmp/btr-fuzz/compact"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
