@@ -66,6 +66,19 @@ object CoreQueries {
     */
   private def tsFmt(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
 
+  /** Cached hive-partitioned lineitem (partitionBy l_returnflag), shared
+    * by the partition-pruning queries; built once per (sf, cache version).
+    * Single atomic-commit write, so meta existence == complete.
+    */
+  private def lineitemByFlag(s: SparkSession, d: String): DataFrame = {
+    val dir = Btr.cachePath(d, "lineitem_by_flag")
+    if (!new java.io.File(dir, "_btr_meta.json").exists()) {
+      Btr.pq(s, d, "lineitem").write.format("btr")
+        .partitionBy("l_returnflag").mode("overwrite").save(dir)
+    }
+    s.read.format("btr").load(dir)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Q-identity: lossless round-trip of every lineitem column
     "q_rt_identity" -> ((s, d) => {
@@ -127,12 +140,7 @@ object CoreQueries {
     // by l_returnflag on write; the partition filter prunes whole
     // directories at planning, partition values synthesize on read
     "q_part_filter" -> ((s, d) => {
-      val dir = Btr.cachePath(d, "lineitem_by_flag")
-      if (!new java.io.File(dir, "_btr_meta.json").exists()) {
-        Btr.pq(s, d, "lineitem").write.format("btr")
-          .partitionBy("l_returnflag").mode("overwrite").save(dir)
-      }
-      s.read.format("btr").load(dir)
+      lineitemByFlag(s, d)
         .filter(col("l_returnflag") === "A")
         .groupBy(col("l_linestatus"))
         .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
@@ -144,12 +152,7 @@ object CoreQueries {
     // late materialization on the same scan (the layer mix where a
     // partition pred evaluated against an unfilled vector once lost rows)
     "q_part_mixed_filter" -> ((s, d) => {
-      val dir = Btr.cachePath(d, "lineitem_by_flag")
-      if (!new java.io.File(dir, "_btr_meta.json").exists()) {
-        Btr.pq(s, d, "lineitem").write.format("btr")
-          .partitionBy("l_returnflag").mode("overwrite").save(dir)
-      }
-      s.read.format("btr").load(dir)
+      lineitemByFlag(s, d)
         .filter(col("l_returnflag") === "A" && col("l_quantity") >= 25 &&
           col("l_linenumber") <= 3)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_returnflag"))
@@ -231,12 +234,7 @@ object CoreQueries {
     // to the metadata-only grouped scan (footers + directory values —
     // zero data bytes read)
     "q_part_agg_meta" -> ((s, d) => {
-      val dir = Btr.cachePath(d, "lineitem_by_flag")
-      if (!new java.io.File(dir, "_btr_meta.json").exists()) {
-        Btr.pq(s, d, "lineitem").write.format("btr")
-          .partitionBy("l_returnflag").mode("overwrite").save(dir)
-      }
-      s.read.format("btr").load(dir)
+      lineitemByFlag(s, d)
         .groupBy("l_returnflag")
         // count/min/max/sum all resolve from footers + directory values
         .agg(count(lit(1)).as("n"),
@@ -319,8 +317,11 @@ object CoreQueries {
 
     // TPC-H Q3 (shipping priority, o_orderpriority standing in for the
     // schema's missing o_shippriority): filtered dims join into the fact,
-    // top-k resolves as TakeOrderedAndProject — never a global sort
+    // top-k resolves as TakeOrderedAndProject — never a global sort.
+    // Revenue quantizes to cents per row (like Q6/Q14) so the top-10
+    // ranking keys are exact longs, never a cross-engine fp .5 boundary
     "q_tpch_q3" -> ((s, d) => {
+      val cents = round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100).cast("long")
       val c = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
       val o = t(s, d, "orders").filter(col("o_orderdate") < lit("1998-03-15 00:00:00"))
       val li = t(s, d, "lineitem").filter(col("l_shipdate") > lit("1998-03-15 00:00:00"))
@@ -328,7 +329,7 @@ object CoreQueries {
         .join(c, o("o_custkey") === c("c_custkey"))
         .groupBy(col("l_orderkey"), tsFmt(col("o_orderdate")).as("o_date_s"),
           col("o_orderpriority"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 0).as("revenue"))
+        .agg(round(sum(cents) / 100.0, 2).as("revenue"))
         .select(col("l_orderkey"), col("revenue"), col("o_date_s"), col("o_orderpriority"))
         .orderBy(desc("revenue"), asc("l_orderkey"))
         .limit(10)
@@ -592,7 +593,8 @@ object CoreQueries {
         |  AND l_quantity < 24""".stripMargin,
     "q_tpch_q3" ->
       """SELECT l_orderkey,
-        | round(sum(l_extendedprice * (1 - l_discount)), 0) AS revenue,
+        | round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+        |   / 100.0, 2) AS revenue,
         | strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_date_s,
         | o_orderpriority
         |FROM customer

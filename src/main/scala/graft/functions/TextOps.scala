@@ -118,10 +118,10 @@ object TextOps {
     * not once per permutation.
     */
   def minhash(shingles: Column, k: Int): Column = {
-    val perms = (0 until k).map(perm)
     // native one-pass signature expression; bit-equality with
     // [[minhashDeclarative]] is spec-proven
-    MinHashExpr.of(shingles, perms.map(_._1), perms.map(_._2))
+    val (pa, pb) = minhashParams(k)
+    MinHashExpr.of(shingles, pa, pb)
   }
 
   /** The k seeded permutation parameter vectors (a, b) behind [[minhash]]

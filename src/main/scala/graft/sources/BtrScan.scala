@@ -1358,7 +1358,8 @@ class BtrColumnarReader(partition: BtrInputPartition, requiredSchema: StructType
     // one DATA column gates it; with partition-only preds the whole file
     // is constant, so a false pred skips it on the first group.
     predCols = built.flatMap(_._1).distinct.sorted.toArray
-    if (predCols.isEmpty) preds = Array.empty
+    // invariant: every built pred names at least one column, so preds
+    // and predCols are empty together
     restCols = (0 until tags.length).filterNot(predCols.contains(_)).toArray
   }
 
