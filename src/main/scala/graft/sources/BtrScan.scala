@@ -165,7 +165,8 @@ class BtrScan(
 ) extends Scan
     with Batch
     with SupportsRuntimeFiltering
-    with SupportsReportStatistics {
+    with SupportsReportStatistics
+    with SupportsReportPartitioning {
 
   /** Footer column layout: the table schema minus partition columns
     * (partition values live in directory names, not data files).
@@ -222,6 +223,36 @@ class BtrScan(
     }
   }
 
+  /** Storage-partitioned joins (the DSv2 bucketed-join path, enabled by
+    * `spark.sql.sources.v2.bucketing.enabled`): a hive-partitioned table
+    * reports KeyGroupedPartitioning over its partition columns, every
+    * split carries its partition key ([[BtrInputPartition.partitionKey]]),
+    * and Spark groups splits per key — two btr tables partitioned on the
+    * same key then join with ZERO shuffle on either side, the co-located
+    * join that matters most at fact-fact scale. Falls back to unknown
+    * (plain shuffle planning) whenever a partition column is pruned from
+    * the output or the table is unpartitioned.
+    */
+  override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning = {
+    if (partCols.isEmpty || !partCols.forall(requiredSchema.fieldNames.contains))
+      return new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+    // distinct surviving keys, from the same planning pass Spark will use
+    // (Spark validates numPartitions == grouped-split count and falls back
+    // to unknown on mismatch, so consistency here only enables the
+    // optimization — it can never corrupt a plan)
+    val partIdx = requiredSchema.fields.indices
+      .filter(i => partCols.contains(requiredSchema.fields(i).name))
+    val keys = planInputPartitions().map { p =>
+      val bp = p.asInstanceOf[BtrInputPartition]
+      partIdx.map(bp.partValues(_)).toVector
+    }.distinct
+    new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+      partCols.map(n =>
+        org.apache.spark.sql.connector.expressions.Expressions.identity(n):
+          org.apache.spark.sql.connector.expressions.Expression).toArray,
+      keys.length)
+  }
+
   // runtime filters (e.g. IN-sets of join keys from a filtered broadcast
   // side, Spark's DPP analog for DSv2) arrive after planning starts and
   // compose with the statically pushed filters for chunk skipping
@@ -268,13 +299,24 @@ class BtrScan(
           if (partCols.contains(f.name)) partValues.getOrElse(f.name, BtrTableMeta.NullPartition)
           else null
         }
+        // storage-partitioned joins: the split's partition key, in
+        // partCols order, catalyst-typed (HasPartitionKey contract)
+        val partKey: InternalRow =
+          if (partCols.isEmpty) null
+          else new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            partCols.map { pc =>
+              BtrScan.partKeyValue(
+                tableSchema.fields(tableSchema.fieldIndex(pc)).dataType,
+                partValues.getOrElse(pc, BtrTableMeta.NullPartition))
+            }.toArray)
         val reqTags: Array[Int] = colKinds.map(ci => if (ci < 0) 0 else footer.tagOf(ci))
         // chunk-skip + group surviving row groups into ~splitBytes splits
         var current = scala.collection.mutable.ArrayBuffer.empty[BtrChunkRange]
         var currentBytes = 0L
         def flush(): Unit = {
           if (current.nonEmpty) {
-            partitions += BtrInputPartition(file.toString, current.toArray, reqPartValues, reqTags)
+            partitions += BtrInputPartition(file.toString, current.toArray, reqPartValues, reqTags,
+              partKey)
             current = scala.collection.mutable.ArrayBuffer.empty[BtrChunkRange]
             currentBytes = 0L
           }
@@ -1244,8 +1286,36 @@ final case class BtrInputPartition(
     // per-required-column PHYSICAL tag the file's chunks were encoded
     // with (footer v5); 0/absent → the table schema's tag. Lets the
     // reader upcast narrow pre-widening files (int→long, float→double)
-    fileTags: Array[Int] = null
+    fileTags: Array[Int] = null,
+    // catalyst-typed partition key in partCols order, for Spark's
+    // key-grouped split grouping (storage-partitioned joins); null for
+    // unpartitioned tables, where outputPartitioning reports unknown and
+    // Spark never consults this
+    partKey: InternalRow = null
 ) extends InputPartition
+    with HasPartitionKey {
+  override def partitionKey(): InternalRow = partKey
+}
+
+object BtrScan {
+  /** Directory-value string → catalyst value (the HasPartitionKey typing
+    * of the same parse [[BtrColumnarReader]] fillConstant does into
+    * vectors). Null partitions map to null.
+    */
+  private[sources] def partKeyValue(dt: DataType, value: String): Any = {
+    if (value == BtrTableMeta.NullPartition) return null
+    dt match {
+      case StringType => org.apache.spark.unsafe.types.UTF8String.fromString(value)
+      case IntegerType => value.toInt
+      case LongType => value.toLong
+      case ShortType => value.toShort
+      case ByteType => value.toByte
+      case BooleanType => value.toBoolean
+      case DateType => java.time.LocalDate.parse(value).toEpochDay.toInt
+      case other => throw new UnsupportedOperationException(s"btr: partition column type $other")
+    }
+  }
+}
 
 class BtrReaderFactory(requiredSchema: StructType, filters: Array[Filter] = Array.empty)
     extends PartitionReaderFactory {
