@@ -58,6 +58,23 @@ class StoragePartitionJoinSpec extends AnyFunSuite with AdaptiveSparkPlanHelper 
     }
   }
 
+  test("GROUP BY the partition key aggregates without an exchange") {
+    val df = (0 until 1000).map(i => (s"k${i % 4}", i.toLong)).toDF("k", "v")
+    df.write.format("btr").partitionBy("k").mode("overwrite").save(tmp("aggtab"))
+    val back = spark.read.format("btr").load(tmp("aggtab"))
+    // data-column aggregate so the metadata-only agg pushdown path does
+    // not replace the scan — this tests the exchange elision itself
+    val q = back.groupBy("k").agg(sum(expr("v * 2")).as("s"))
+    val got = q.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = df.groupBy("k").agg(sum(expr("v * 2")).as("s"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    val plan = { q.collect(); q.queryExecution.executedPlan }
+    val shuffles = collect(plan) { case e: ShuffleExchangeExec => e }
+    assert(shuffles.isEmpty,
+      s"group-by on the partition key must reuse the key-grouped layout:\n$plan")
+  }
+
   test("results stay exact when one side is missing a partition") {
     val left = Seq(("a", 1L), ("b", 2L), ("c", 3L)).toDF("k", "lv")
     val right = Seq(("a", 10L), ("b", 20L)).toDF("k", "rv") // no "c"
