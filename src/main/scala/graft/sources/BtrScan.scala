@@ -273,7 +273,22 @@ class BtrScan(
 
   override def toBatch: Batch = this
 
+  // planning runs once per runtime-filter state: Spark asks for the
+  // partitions and (on partitioned tables) outputPartitioning derives its
+  // key count from the same pass — memoized so a 100k-file table plans
+  // once, not twice, per query
+  private var plannedFor: Array[Filter] = null
+  private var planned: Array[InputPartition] = _
+
   override def planInputPartitions(): Array[InputPartition] = {
+    if (planned == null || !(plannedFor eq runtimeFilters)) {
+      planned = doPlanInputPartitions()
+      plannedFor = runtimeFilters
+    }
+    planned
+  }
+
+  private def doPlanInputPartitions(): Array[InputPartition] = {
     // required column layout: data columns map to footer indices,
     // partition columns synthesize from the directory values
     val colKinds = requiredSchema.fields.map { f =>
