@@ -236,21 +236,16 @@ class BtrScan(
   override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning = {
     if (partCols.isEmpty || !partCols.forall(requiredSchema.fieldNames.contains))
       return new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
-    // distinct surviving keys, from the same planning pass Spark will use
-    // (Spark validates numPartitions == grouped-split count and falls back
-    // to unknown on mismatch, so consistency here only enables the
-    // optimization — it can never corrupt a plan)
-    val partIdx = requiredSchema.fields.indices
-      .filter(i => partCols.contains(requiredSchema.fields(i).name))
-    val keys = planInputPartitions().map { p =>
-      val bp = p.asInstanceOf[BtrInputPartition]
-      partIdx.map(bp.partValues(_)).toVector
-    }.distinct
+    // Spark 4.1's V2ScanPartitioningAndOrdering reads only keys() from
+    // this object and regroups splits by HasPartitionKey itself
+    // (BatchScanExec derives the partition count from the grouped
+    // splits), so planning here just to count distinct keys would be a
+    // second full planning pass for a number nothing reads — report 0
     new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
       partCols.map(n =>
         org.apache.spark.sql.connector.expressions.Expressions.identity(n):
           org.apache.spark.sql.connector.expressions.Expression).toArray,
-      keys.length)
+      0)
   }
 
   // runtime filters (e.g. IN-sets of join keys from a filtered broadcast
@@ -263,7 +258,11 @@ class BtrScan(
     requiredSchema.fieldNames.map(org.apache.spark.sql.connector.expressions.Expressions.column)
 
   override def filter(fs: Array[Filter]): Unit = {
-    runtimeFilters = fs.filter(ChunkSkip.supports(tableSchema, _))
+    val kept = fs.filter(ChunkSkip.supports(tableSchema, _))
+    // keep the plan memo warm when nothing usable changed (the common
+    // case: a runtime filter arrives but none of it survives support
+    // filtering) — Filter equality is structural, In included
+    if (!kept.sameElements(runtimeFilters)) runtimeFilters = kept
   }
 
   override def readSchema(): StructType = requiredSchema
@@ -1053,19 +1052,9 @@ class BtrAggReader(
   private var rowsIter: Iterator[InternalRow] = _
   private var current: InternalRow = _
 
-  private def groupValue(dt: DataType, s: String): Any = {
-    if (s == BtrTableMeta.NullPartition) return null
-    dt match {
-      case StringType => org.apache.spark.unsafe.types.UTF8String.fromString(s)
-      case IntegerType => s.toInt
-      case LongType => s.toLong
-      case ShortType => s.toShort
-      case ByteType => s.toByte
-      case BooleanType => s.toBoolean
-      case DateType => java.time.LocalDate.parse(s).toEpochDay.toInt
-      case other => throw new UnsupportedOperationException(s"btr: group column type $other")
-    }
-  }
+  // same directory-value parse the partition-key and fillConstant paths
+  // use; one shared implementation so adding a partition type is one edit
+  private def groupValue(dt: DataType, s: String): Any = BtrScan.partKeyValue(dt, s)
 
   private def compute(): Iterator[InternalRow] = {
     // LinkedHashMap: group order deterministic per batch (Spark's final

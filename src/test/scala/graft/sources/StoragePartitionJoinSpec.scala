@@ -19,13 +19,18 @@ class StoragePartitionJoinSpec extends AnyFunSuite with AdaptiveSparkPlanHelper 
     .appName("spj-spec")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.sql.sources.v2.bucketing.enabled", "true")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
   import spark.implicits._
 
   private def tmp(name: String) = s"/tmp/btr-spj/$name"
+
+  // the shared test JVM reuses one SparkSession across suites, so SPJ
+  // mode is scoped per test body instead of set on the builder (where it
+  // would leak into every later suite's plan assertions)
+  private def withSpj[T](extra: (String, String)*)(body: => T): T =
+    withConf(((("spark.sql.sources.v2.bucketing.enabled" -> "true")) +: extra): _*)(body)
 
   test("co-partitioned btr tables join with zero shuffle") {
     val facts = (0 until 2000).map(i => (s"k${i % 5}", i.toLong, i * 1.5))
@@ -38,7 +43,7 @@ class StoragePartitionJoinSpec extends AnyFunSuite with AdaptiveSparkPlanHelper 
     val fb = spark.read.format("btr").load(tmp("facts"))
     val db = spark.read.format("btr").load(tmp("dims"))
 
-    withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+    withSpj("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
       val joined = fb.join(db, Seq("k"))
       val got = joined.groupBy("k").agg(count(lit(1)).as("n"), sum($"id").as("s"))
         .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
@@ -62,17 +67,19 @@ class StoragePartitionJoinSpec extends AnyFunSuite with AdaptiveSparkPlanHelper 
     val df = (0 until 1000).map(i => (s"k${i % 4}", i.toLong)).toDF("k", "v")
     df.write.format("btr").partitionBy("k").mode("overwrite").save(tmp("aggtab"))
     val back = spark.read.format("btr").load(tmp("aggtab"))
-    // data-column aggregate so the metadata-only agg pushdown path does
-    // not replace the scan — this tests the exchange elision itself
-    val q = back.groupBy("k").agg(sum(expr("v * 2")).as("s"))
-    val got = q.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val want = df.groupBy("k").agg(sum(expr("v * 2")).as("s"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(got == want)
-    val plan = { q.collect(); q.queryExecution.executedPlan }
-    val shuffles = collect(plan) { case e: ShuffleExchangeExec => e }
-    assert(shuffles.isEmpty,
-      s"group-by on the partition key must reuse the key-grouped layout:\n$plan")
+    withSpj() {
+      // data-column aggregate so the metadata-only agg pushdown path does
+      // not replace the scan — this tests the exchange elision itself
+      val q = back.groupBy("k").agg(sum(expr("v * 2")).as("s"))
+      val got = q.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val want = df.groupBy("k").agg(sum(expr("v * 2")).as("s"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == want)
+      val plan = { q.collect(); q.queryExecution.executedPlan }
+      val shuffles = collect(plan) { case e: ShuffleExchangeExec => e }
+      assert(shuffles.isEmpty,
+        s"group-by on the partition key must reuse the key-grouped layout:\n$plan")
+    }
   }
 
   test("results stay exact when one side is missing a partition") {
@@ -82,7 +89,7 @@ class StoragePartitionJoinSpec extends AnyFunSuite with AdaptiveSparkPlanHelper 
     right.write.format("btr").partitionBy("k").mode("overwrite").save(tmp("right"))
     val lb = spark.read.format("btr").load(tmp("left"))
     val rb = spark.read.format("btr").load(tmp("right"))
-    withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+    withSpj("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
       val inner = lb.join(rb, Seq("k")).select("k", "lv", "rv")
         .collect().map(_.toString).sorted
       assert(inner.toSeq == Seq("[a,1,10]", "[b,2,20]"))
@@ -96,16 +103,18 @@ class StoragePartitionJoinSpec extends AnyFunSuite with AdaptiveSparkPlanHelper 
     val df = (0 until 100).map(i => (s"k${i % 3}", i.toLong)).toDF("k", "id")
     df.write.format("btr").mode("overwrite").save(tmp("flat"))
     val back = spark.read.format("btr").load(tmp("flat"))
-    // unpartitioned: plain join still correct
-    assert(back.join(back.select($"k".as("k2"), $"id".as("id2")),
-      $"k" === $"k2").count() == df.join(
-      df.select($"k".as("k2"), $"id".as("id2")), $"k" === $"k2").count())
-    // partitioned but partition column pruned from output: reads stay exact
-    val part = tmp("flat_part")
-    df.write.format("btr").partitionBy("k").mode("overwrite").save(part)
-    val ids = spark.read.format("btr").load(part).select("id")
-      .collect().map(_.getLong(0)).sorted
-    assert(ids.toSeq == (0L until 100L))
+    withSpj() {
+      // unpartitioned: plain join still correct
+      assert(back.join(back.select($"k".as("k2"), $"id".as("id2")),
+        $"k" === $"k2").count() == df.join(
+        df.select($"k".as("k2"), $"id".as("id2")), $"k" === $"k2").count())
+      // partitioned but partition column pruned from output: reads stay exact
+      val part = tmp("flat_part")
+      df.write.format("btr").partitionBy("k").mode("overwrite").save(part)
+      val ids = spark.read.format("btr").load(part).select("id")
+        .collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == (0L until 100L))
+    }
   }
 
   private def withConf[T](kvs: (String, String)*)(body: => T): T = {
