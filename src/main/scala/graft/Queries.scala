@@ -159,6 +159,28 @@ object CoreQueries {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
+    // Q-spj: join two btr tables ON their shared partition key — with
+    // v2.bucketing enabled (the Verify session does), both sides report
+    // KeyGroupedPartitioning and the join plans over key-grouped splits,
+    // so this gates the grouped planning path end-to-end against the
+    // oracle, not just in plan specs. Quantities quantize to cent-longs
+    // so the per-flag share is an exact-ratio double on both engines
+    "q_spj_share" -> ((s, d) => {
+      val qc = round(col("l_quantity") * 100).cast("long")
+      val totDir = Btr.cachePath(d, "lineitem_flag_totals")
+      if (!new java.io.File(totDir, "_btr_meta.json").exists()) {
+        lineitemByFlag(s, d).groupBy(col("l_returnflag")).agg(sum(qc).as("tot_qc"))
+          .write.format("btr").partitionBy("l_returnflag").mode("overwrite").save(totDir)
+      }
+      val tot = s.read.format("btr").load(totDir)
+      lineitemByFlag(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus")).agg(sum(qc).as("qc"))
+        .join(tot, Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          round(col("qc") * lit(1.0) / col("tot_qc"), 6).as("share"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
     // Q-widen: type-widening schema evolution — even orderkeys written
     // with l_linenumber as its native INT, odd ones appended with it cast
     // to LONG; the table meta widens to long, the old int32 files decode
@@ -371,6 +393,70 @@ object CoreQueries {
         .orderBy(desc("price"), asc("o_orderkey"))
     }),
 
+    // TPC-H Q5 (local supplier volume): the 6-table star join — region
+    // and nation broadcast, the c_nationkey = s_nationkey "local" clause
+    // rides the supplier join, one shuffle per fact-side key. Cents
+    // quantization keeps the revenue ranking exact across engines
+    "q_tpch_q5" -> ((s, d) => {
+      val cents = round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100).cast("long")
+      val o = t(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00") &&
+          col("o_orderdate") < lit("1997-01-01 00:00:00"))
+      val asia = t(s, d, "nation")
+        .join(t(s, d, "region").filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+      t(s, d, "lineitem")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(t(s, d, "supplier"),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(asia, col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(cents) / 100.0, 2).as("revenue"))
+        .orderBy(desc("revenue"), asc("n_name"))
+    }),
+
+    // TPC-H Q10 (returned items): fact filtered on returnflag + a
+    // quarter of orderdates, customer regroup, top-20 as
+    // TakeOrderedAndProject over exact cent-ranked revenue
+    "q_tpch_q10" -> ((s, d) => {
+      val cents = round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100).cast("long")
+      val o = t(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1996-07-01 00:00:00") &&
+          col("o_orderdate") < lit("1996-10-01 00:00:00"))
+      t(s, d, "lineitem").filter(col("l_returnflag") === "R")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(t(s, d, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"),
+          round(col("c_acctbal"), 2).as("acctbal"), col("n_name"))
+        .agg(round(sum(cents) / 100.0, 2).as("revenue"))
+        .select(col("c_custkey"), col("c_name"), col("revenue"), col("acctbal"), col("n_name"))
+        .orderBy(desc("revenue"), asc("c_custkey"))
+        .limit(20)
+    }),
+
+    // TPC-H Q19 (discounted revenue, adapted to the schema's columns):
+    // three disjunctive brand/quantity/size branches — the OR of
+    // conjunctions pushes to the scan as a single Or filter tree, and
+    // chunk skipping prunes only where every branch misses
+    "q_tpch_q19" -> ((s, d) => {
+      val cents = round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100).cast("long")
+      val branch =
+        (col("p_brand") === "Brand#12" && col("l_quantity").between(1, 11) &&
+          col("p_size").between(1, 15)) ||
+        (col("p_brand") === "Brand#23" && col("l_quantity").between(10, 20) &&
+          col("p_size").between(1, 20)) ||
+        (col("p_brand") === "Brand#34" && col("l_quantity").between(20, 30) &&
+          col("p_size").between(1, 25))
+      t(s, d, "lineitem")
+        .join(t(s, d, "part"), col("l_partkey") === col("p_partkey"))
+        .filter(branch)
+        .agg(round(sum(cents) / 100.0, 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
     // Q-point-lookup: equality probe on an unsorted join key — the
     // chunk-skipping stress case where every chunk's min/max overlaps the
     // value and only the per-chunk bloom filter (footer v3) can prune.
@@ -526,6 +612,19 @@ object CoreQueries {
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem
         |WHERE l_returnflag = 'A' AND l_quantity >= 25 AND l_linenumber <= 3
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_spj_share" ->
+      """WITH q AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |    CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qc
+        |  FROM lineitem GROUP BY l_returnflag, l_linestatus),
+        |tot AS (
+        |  SELECT l_returnflag,
+        |    CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS tot_qc
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT q.l_returnflag, q.l_linestatus,
+        |  round(q.qc * 1.0 / tot.tot_qc, 6) AS share
+        |FROM q JOIN tot ON q.l_returnflag = tot.l_returnflag
+        |ORDER BY q.l_returnflag, q.l_linestatus""".stripMargin,
     "q_widen_evolution" ->
       """SELECT l_returnflag, count(*) AS n,
         | CAST(sum(l_linenumber) AS BIGINT) AS sum_ln,
@@ -628,6 +727,43 @@ object CoreQueries {
         |  HAVING sum(l_quantity) > 300)
         |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
         |ORDER BY price DESC, o_orderkey ASC""".stripMargin,
+    "q_tpch_q5" ->
+      """SELECT n_name,
+        | round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+        |   / 100.0, 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name ASC""".stripMargin,
+    "q_tpch_q10" ->
+      """SELECT c_custkey, c_name,
+        | round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+        |   / 100.0, 2) AS revenue,
+        | round(c_acctbal, 2) AS acctbal, n_name
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin,
+    "q_tpch_q19" ->
+      """SELECT
+        | round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+        |   / 100.0, 2) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 15)
+        |   OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#34' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 25)""".stripMargin,
     "q_point_lookup" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM lineitem
         |WHERE l_partkey = 1 ORDER BY l_orderkey, l_linenumber""".stripMargin,

@@ -13,6 +13,11 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       // events.parquet carries TIMESTAMP(NANOS): read as raw nanos longs
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the library's recommended config: key-grouped (storage-partitioned)
+      // planning over partitioned btr tables — every partitioned-table
+      // query in the gate then runs through the grouped-split path, so a
+      // planning bug there would break oracle green, not just a plan spec
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -104,4 +104,42 @@ class TpchPlanSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     val bhj = collect(p) { case b: BroadcastHashJoinExec => b }
     assert(bhj.nonEmpty, s"expected broadcast hash join for the sum(qty)>300 set:\n$p")
   }
+
+  test("Q5: region/date filters reach their scans; dims join by broadcast") {
+    val p = plan("q_tpch_q5")
+    val scans = scanLeaves(p)
+    assert(scans.exists(s => s.contains("r_name") && s.contains("EqualTo")),
+      s"region name filter not pushed:\n${scans.mkString("\n")}")
+    assert(scans.exists(s => s.contains("o_orderdate") &&
+      s.contains("GreaterThanOrEqual") && s.contains("LessThan")),
+      "orders date range not pushed")
+    val bhj = collect(p) { case b: BroadcastHashJoinExec => b }
+    assert(bhj.nonEmpty, s"expected broadcast joins for the dimension tables:\n$p")
+  }
+
+  test("Q10: returnflag + date filters pushed; top-20 is TakeOrdered, not a global sort") {
+    val p = plan("q_tpch_q10")
+    val scans = scanLeaves(p)
+    assert(scans.exists(s => s.contains("EqualTo(l_returnflag,R)")),
+      s"returnflag filter not pushed:\n${scans.mkString("\n")}")
+    assert(scans.exists(s => s.contains("o_orderdate") && s.contains("GreaterThanOrEqual")),
+      "orders date range not pushed")
+    val topk = collect(p) {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+    }
+    val globalSorts = collect(p) {
+      case s: org.apache.spark.sql.execution.SortExec if s.global => s
+    }
+    assert(topk.nonEmpty && globalSorts.isEmpty,
+      s"limit 20 must plan as TakeOrderedAndProject, not a global sort:\n$p")
+  }
+
+  test("Q19: the OR of conjunctions CNF-factors into per-table Or filters on both scans") {
+    val p = plan("q_tpch_q19")
+    val scans = scanLeaves(p)
+    assert(scans.exists(s => s.contains("Or(") && s.contains("l_quantity")),
+      s"lineitem quantity disjunction not pushed:\n${scans.mkString("\n")}")
+    assert(scans.exists(s => s.contains("Or(") && s.contains("p_brand")),
+      s"part brand/size disjunction not pushed:\n${scans.mkString("\n")}")
+  }
 }
