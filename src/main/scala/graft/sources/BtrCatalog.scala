@@ -1,0 +1,114 @@
+package graft.sources
+
+import java.util
+
+import graft.format.{BtrFile, BtrTableMeta}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Path-addressed catalog for btr tables — the piece that turns the file
+  * format into a full SQL DML surface: `DELETE FROM`, `INSERT [OVERWRITE]`
+  * (static `PARTITION (...)` specs ride the overwrite-by-filter path,
+  * `partitionOverwriteMode=dynamic` rides dynamic overwrite), CTAS, and
+  * `DataFrameWriterV2.overwritePartitions()`. Register with
+  *
+  *   spark.sql.catalog.graft = graft.sources.BtrCatalog
+  *   spark.sql.catalog.graft.warehouse = /data/tables   (optional)
+  *
+  * and address tables either by absolute path — `graft.`/data/t`` — or by
+  * name under the warehouse root — `graft.db.t` → `<warehouse>/db/t`.
+  * There is no metastore: a table IS its directory (`_btr_meta.json`
+  * marks existence), so the catalog itself holds no state to lose and
+  * every engine sees the same table the moment the commit renames.
+  */
+class BtrCatalog extends TableCatalog {
+  private var catalogName: String = "btr"
+  private var warehouse: Option[String] = None
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse"))
+  }
+
+  override def name(): String = catalogName
+
+  private def pathOf(ident: Identifier): String = {
+    val joined = (ident.namespace().toSeq :+ ident.name()).mkString("/")
+    if (joined.startsWith("/")) joined
+    else warehouse match {
+      case Some(w) => s"$w/$joined"
+      case None => throw new IllegalArgumentException(
+        s"btr catalog '$catalogName': relative table name '$joined' requires the " +
+          s"'warehouse' option (spark.sql.catalog.$catalogName.warehouse); " +
+          "absolute paths work without it: " + s"$catalogName.`/abs/path`")
+    }
+  }
+
+  private def fsDir(path: String) = {
+    val dir = new Path(path)
+    (dir.getFileSystem(BtrTableMeta.hadoopConf()), dir)
+  }
+
+  /** Path-addressed: enumeration would mean walking the filesystem. */
+  override def listTables(namespace: Array[String]): Array[Identifier] = Array.empty
+
+  override def tableExists(ident: Identifier): Boolean = {
+    val (fs, dir) = fsDir(pathOf(ident))
+    fs.exists(new Path(dir, BtrTableMeta.MetaFile))
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val path = pathOf(ident)
+    val (fs, dir) = fsDir(path)
+    if (!fs.exists(new Path(dir, BtrTableMeta.MetaFile))) throw new NoSuchTableException(ident)
+    val schema = BtrTableMeta.readSchema(fs, dir)
+    val parts = BtrTableMeta.readPartitionCols(fs, dir)
+      .map(c => Expressions.identity(c): Transform).toArray
+    new BtrTable(path, schema, parts)
+  }
+
+  override def createTable(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val path = pathOf(ident)
+    val (fs, dir) = fsDir(path)
+    if (fs.exists(new Path(dir, BtrTableMeta.MetaFile)))
+      throw new TableAlreadyExistsException(ident)
+    val partCols = partitions.toSeq.map { t =>
+      require(t.name() == "identity",
+        s"btr: only identity partitioning supported, got ${t.describe()}")
+      t.references()(0).fieldNames()(0)
+    }
+    BtrTableMeta.write(fs, dir, schema, BtrFile.DefaultBlockSize, BtrFile.DefaultCascadeDepth,
+      partCols)
+    new BtrTable(path, schema, partitions)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "btr: ALTER TABLE is not supported — schema evolves through appends " +
+        "(trailing columns, int->long / float->double widening)")
+
+  /** A table is its directory; DROP removes it (explicit user intent). */
+  override def dropTable(ident: Identifier): Boolean = {
+    val (fs, dir) = fsDir(pathOf(ident))
+    if (!fs.exists(new Path(dir, BtrTableMeta.MetaFile))) false
+    else fs.delete(dir, true)
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val (fs, oldDir) = fsDir(pathOf(oldIdent))
+    if (!fs.exists(new Path(oldDir, BtrTableMeta.MetaFile)))
+      throw new NoSuchTableException(oldIdent)
+    val newDir = new Path(pathOf(newIdent))
+    if (fs.exists(newDir)) throw new TableAlreadyExistsException(newIdent)
+    if (!fs.rename(oldDir, newDir))
+      throw new IllegalStateException(s"btr: rename $oldDir -> $newDir failed")
+  }
+}

@@ -60,7 +60,7 @@ class BtrDataSource extends TableProvider with DataSourceRegister {
 }
 
 class BtrTable(path: String, tableSchema: StructType, partitionTransforms: Array[Transform] = Array.empty)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
   tableSchema.fields.foreach { f =>
     require(PhysType.supported(f.dataType), s"btr: unsupported column type ${f.name}: ${f.dataType}")
   }
@@ -84,6 +84,7 @@ class BtrTable(path: String, tableSchema: StructType, partitionTransforms: Array
 
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER, TableCapability.OVERWRITE_DYNAMIC,
       TableCapability.STREAMING_WRITE, TableCapability.MICRO_BATCH_READ).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -91,6 +92,16 @@ class BtrTable(path: String, tableSchema: StructType, partitionTransforms: Array
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new BtrWriteBuilder(path, info.schema(), info.options(), partCols)
+
+  // ---- metadata-level DELETE (SupportsDelete) -------------------------
+  // A predicate is deletable exactly when every file is provably all-match
+  // or none-match from directory values + footer stats; the delete then
+  // touches only metadata and matching files (see BtrDelete's scale note)
+  override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    BtrDelete.canDelete(path, tableSchema, partCols, filters)
+
+  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
+    BtrDelete.deleteWhere(path, tableSchema, partCols, filters)
 }
 
 /** Write-layout helper: range-cluster rows on the columns queries filter

@@ -1,0 +1,171 @@
+package graft.sources
+
+import graft.format.{BtrFile, BtrTableMeta}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+
+/** Metadata-level row deletion: `DELETE FROM` and overwrite-by-filter
+  * resolve entirely on the driver from directory values + row-group footer
+  * stats — a file is dropped only when every row PROVABLY matches the
+  * predicate, kept only when none can. Files the stats can't decide make
+  * the delete non-expressible (Spark then reports it can't delete) rather
+  * than ever rewriting or losing rows — the same file-boundary contract
+  * Iceberg's metadata delete uses.
+  *
+  * Scale shape: predicates on partition columns classify from the listing
+  * alone (no footer I/O); data-column predicates read footers once through
+  * the table's footer-index sidecar (one sequential metadata read when the
+  * index covers the table). Nothing decodes data bytes, nothing shuffles;
+  * a 100k-file table deletes with O(files) driver work and O(matching
+  * files) filesystem deletes.
+  */
+object BtrDelete {
+
+  /** Per-file verdict for a conjunction of filters. */
+  sealed trait Verdict
+  case object MatchAll extends Verdict // provably every row matches
+  case object MatchNone extends Verdict // provably no row matches
+  case object Undecided extends Verdict // stats can't split at file boundary
+
+  private def combineAnd(l: Verdict, r: Verdict): Verdict = (l, r) match {
+    case (MatchNone, _) | (_, MatchNone) => MatchNone
+    case (MatchAll, MatchAll) => MatchAll
+    case _ => Undecided
+  }
+
+  private def combineOr(l: Verdict, r: Verdict): Verdict = (l, r) match {
+    case (MatchAll, _) | (_, MatchAll) => MatchAll
+    case (MatchNone, MatchNone) => MatchNone
+    case _ => Undecided
+  }
+
+  /** Classify one filter against one file. `footer` is only forced for
+    * filters the partition values don't decide.
+    */
+  private def classifyOne(
+      tableSchema: StructType,
+      dataSchema: StructType,
+      partValues: Map[String, String],
+      footer: () => BtrFile.Footer,
+      f: Filter): Verdict =
+    PartitionPrune.holds(tableSchema, partValues, f) match {
+      case Some(true) => MatchAll
+      case Some(false) => MatchNone
+      case None =>
+        f match {
+          case And(l, r) => combineAnd(
+            classifyOne(tableSchema, dataSchema, partValues, footer, l),
+            classifyOne(tableSchema, dataSchema, partValues, footer, r))
+          case Or(l, r) => combineOr(
+            classifyOne(tableSchema, dataSchema, partValues, footer, l),
+            classifyOne(tableSchema, dataSchema, partValues, footer, r))
+          case _ =>
+            val rgs = footer().rowGroups
+            if (rgs.forall(rg => ChunkSkip.canSkip(dataSchema, rg, f))) MatchNone
+            else if (rgs.forall(rg => ChunkSkip.allMatch(dataSchema, rg, f))) MatchAll
+            else Undecided
+        }
+    }
+
+  /** Verdict for the CONJUNCTION of `filters` over each listed file.
+    * Footers are read (via the index sidecar) only for the files whose
+    * partition values leave some filter undecided.
+    */
+  def classify(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: Path,
+      tableSchema: StructType,
+      partCols: Seq[String],
+      filters: Array[Filter]
+  ): Array[(BtrTableMeta.DataFileEntry, Verdict)] = {
+    val dataSchema =
+      if (partCols.isEmpty) tableSchema
+      else StructType(tableSchema.fields.filterNot(f => partCols.contains(f.name)))
+    val entries = BtrTableMeta.listDataFilesWithPartitions(fs, dir)
+    if (entries.isEmpty) return Array.empty
+    // pass 1: partition-only classification (footer thunk that refuses)
+    val needFooter = Array.fill(entries.length)(false)
+    val sentinel: () => BtrFile.Footer =
+      () => throw BtrDelete.NeedFooter
+    // short-circuit on MatchNone so a partition-pruned file never costs a
+    // footer read just because another conjunct is data-dependent
+    def conj(partValues: Map[String, String], footer: () => BtrFile.Footer): Verdict =
+      filters.foldLeft(MatchAll: Verdict) { (acc, f) =>
+        if (acc == MatchNone) MatchNone
+        else combineAnd(acc, classifyOne(tableSchema, dataSchema, partValues, footer, f))
+      }
+    val partial = entries.zipWithIndex.map { case (e, i) =>
+      try Some(conj(e.partitionValues, sentinel))
+      catch { case NeedFooter => needFooter(i) = true; None }
+    }
+    // pass 2: batch footer reads for the rest (index-served when covered)
+    val footers: Map[Path, BtrFile.Footer] =
+      if (!needFooter.exists(identity)) Map.empty
+      else BtrFooters.readAllIndexed(fs, dir,
+        entries.zipWithIndex.collect { case (e, i) if needFooter(i) => e })
+        .map { case (e, fo) => e.path -> fo }.toMap
+    entries.zipWithIndex.map { case (e, i) =>
+      val v = partial(i).getOrElse {
+        val fo = footers(e.path)
+        conj(e.partitionValues, () => fo)
+      }
+      (e, v)
+    }
+  }
+
+  private case object NeedFooter extends RuntimeException with scala.util.control.NoStackTrace
+
+  /** True iff the conjunction splits cleanly at file boundaries (Spark's
+    * `canDeleteWhere` contract).
+    */
+  def canDelete(path: String, tableSchema: StructType, partCols: Seq[String],
+      filters: Array[Filter]): Boolean = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(BtrTableMeta.hadoopConf())
+    classify(fs, dir, tableSchema, partCols, filters).forall(_._2 != Undecided)
+  }
+
+  /** Delete every row matching ALL `filters`; throws when the predicate
+    * doesn't align with file boundaries (callers are expected to probe
+    * `canDelete` first — Spark's DeleteFromTableExec does).
+    */
+  def deleteWhere(path: String, tableSchema: StructType, partCols: Seq[String],
+      filters: Array[Filter]): Unit = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(BtrTableMeta.hadoopConf())
+    // converge any crashed compaction swap first: classifying a journal-
+    // filtered listing and then deleting finals would resurrect sources
+    BtrTableMeta.completeSwapJournals(fs, dir)
+    val verdicts = classify(fs, dir, tableSchema, partCols, filters)
+    val undecided = verdicts.collect { case (e, Undecided) => e.path.getName }
+    if (undecided.nonEmpty)
+      throw new IllegalArgumentException(
+        s"btr: DELETE predicate does not align with file boundaries at $path " +
+          s"(${undecided.length} file(s) would be partially deleted, e.g. " +
+          s"${undecided.take(3).mkString(", ")}). Rewrite via " +
+          "read → filter → overwrite, or delete on partition columns.")
+    verdicts.foreach { case (e, v) => if (v == MatchAll) fs.delete(e.path, false) }
+    deleteEmptyPartitionDirs(fs, dir)
+    BtrFooters.refreshIndex(fs, dir)
+  }
+
+  /** Remove partition directories emptied by a delete (leaf-first); the
+    * table root and its metadata files stay.
+    */
+  private def deleteEmptyPartitionDirs(fs: org.apache.hadoop.fs.FileSystem, root: Path): Unit = {
+    val qualified = fs.makeQualified(root)
+    def sweep(d: Path): Boolean = { // true when d ends up empty & deleted
+      val children = fs.listStatus(d)
+      var live = 0
+      children.foreach { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory && name.contains('=') && !name.startsWith("_") && !name.startsWith(".")) {
+          if (!sweep(st.getPath)) live += 1
+        } else live += 1
+      }
+      if (live == 0 && d != qualified) { fs.delete(d, false); true } else false
+    }
+    if (fs.exists(qualified)) sweep(qualified)
+  }
+}

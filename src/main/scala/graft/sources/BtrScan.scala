@@ -875,6 +875,9 @@ object PartitionPrune {
     f match {
       case EqualTo(a, v) if isPart(a) =>
         values(a) == NullPart || cmp(a, v).exists(_ != 0)
+      case EqualNullSafe(a, null) if isPart(a) => values(a) != NullPart
+      case EqualNullSafe(a, v) if isPart(a) =>
+        values(a) == NullPart || cmp(a, v).exists(_ != 0)
       case In(a, vs) if isPart(a) =>
         values(a) == NullPart || (vs.nonEmpty && vs.forall(v => cmp(a, v).exists(_ != 0)))
       case GreaterThan(a, v) if isPart(a) => cmp(a, v).exists(_ <= 0) || values(a) == NullPart
@@ -888,6 +891,102 @@ object PartitionPrune {
       case And(l, r) => canSkip(schema, values, l) || canSkip(schema, values, r)
       case Or(l, r) => canSkip(schema, values, l) && canSkip(schema, values, r)
       case _ => false
+    }
+  }
+
+  /** EXACT evaluation of a filter against one partition's directory
+    * values: Some(result) when the partition values alone decide the
+    * predicate for every row of the file, None when they don't (data
+    * column involved, unparseable value, unsupported shape). Unlike
+    * [[canSkip]] (one-sided proof of emptiness) this is two-sided, so
+    * metadata DELETE can tell "whole file matches" from "no row matches".
+    */
+  def holds(schema: StructType, values: Map[String, String], f: Filter): Option[Boolean] = {
+    def dtOf(a: String): Option[DataType] = schema.fields.find(_.name == a).map(_.dataType)
+    def isPart(a: String): Boolean = values.contains(a)
+    def isNullPart(a: String): Boolean = values(a) == NullPart
+    // delegate the 3-way compare to a canSkip probe pair would be opaque;
+    // re-derive it exactly like canSkip's cmp
+    def cmp(a: String, lit: Any): Option[Int] = {
+      val s = values.get(a) match {
+        case Some(v) if v != NullPart => v
+        case _ => return None
+      }
+      try dtOf(a).flatMap {
+        case IntegerType | LongType | ShortType | ByteType =>
+          val l = lit match {
+            case i: Int => i.toLong
+            case l: Long => l
+            case sh: Short => sh.toLong
+            case b: Byte => b.toLong
+            case _ => return None
+          }
+          Some(java.lang.Long.compare(s.toLong, l))
+        case DateType =>
+          val epoch = lit match {
+            case d: java.sql.Date => d.toLocalDate.toEpochDay
+            case d: java.time.LocalDate => d.toEpochDay
+            case _ => return None
+          }
+          Some(java.lang.Long.compare(java.time.LocalDate.parse(s).toEpochDay, epoch))
+        case StringType =>
+          lit match {
+            case ls: String =>
+              Some(java.util.Arrays.compareUnsigned(
+                s.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+                ls.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+            case _ => None
+          }
+        case BooleanType =>
+          lit match {
+            case b: Boolean => Some(java.lang.Boolean.compare(s.toBoolean, b))
+            case _ => None
+          }
+        case _ => None
+      } catch { case _: Exception => None }
+    }
+
+    f match {
+      case EqualTo(a, _) if isPart(a) && isNullPart(a) => Some(false)
+      case EqualTo(a, v) if isPart(a) => cmp(a, v).map(_ == 0)
+      case EqualNullSafe(a, null) if isPart(a) => Some(isNullPart(a))
+      case EqualNullSafe(a, _) if isPart(a) && isNullPart(a) => Some(false)
+      case EqualNullSafe(a, v) if isPart(a) => cmp(a, v).map(_ == 0)
+      case In(a, _) if isPart(a) && isNullPart(a) => Some(false)
+      case In(a, vs) if isPart(a) =>
+        val cs = vs.toSeq.map(v => cmp(a, v))
+        if (cs.exists(_.contains(0))) Some(true)
+        else if (cs.forall(_.isDefined)) Some(false)
+        else None
+      case GreaterThan(a, _) if isPart(a) && isNullPart(a) => Some(false)
+      case GreaterThan(a, v) if isPart(a) => cmp(a, v).map(_ > 0)
+      case GreaterThanOrEqual(a, _) if isPart(a) && isNullPart(a) => Some(false)
+      case GreaterThanOrEqual(a, v) if isPart(a) => cmp(a, v).map(_ >= 0)
+      case LessThan(a, _) if isPart(a) && isNullPart(a) => Some(false)
+      case LessThan(a, v) if isPart(a) => cmp(a, v).map(_ < 0)
+      case LessThanOrEqual(a, _) if isPart(a) && isNullPart(a) => Some(false)
+      case LessThanOrEqual(a, v) if isPart(a) => cmp(a, v).map(_ <= 0)
+      case IsNull(a) if isPart(a) => Some(isNullPart(a))
+      case IsNotNull(a) if isPart(a) => Some(!isNullPart(a))
+      case StringStartsWith(a, p) if isPart(a) =>
+        if (isNullPart(a)) Some(false)
+        else if (dtOf(a).contains(StringType)) Some(values(a).startsWith(p))
+        else None
+      case And(l, r) =>
+        (holds(schema, values, l), holds(schema, values, r)) match {
+          case (Some(false), _) | (_, Some(false)) => Some(false)
+          case (Some(true), Some(true)) => Some(true)
+          case _ => None
+        }
+      case Or(l, r) =>
+        (holds(schema, values, l), holds(schema, values, r)) match {
+          case (Some(true), _) | (_, Some(true)) => Some(true)
+          case (Some(false), Some(false)) => Some(false)
+          case _ => None
+        }
+      case _: AlwaysTrue => Some(true)
+      case _: AlwaysFalse => Some(false)
+      case _ => None
     }
   }
 }
@@ -1871,6 +1970,10 @@ object BtrLateMat {
 object ChunkSkip {
   def supports(schema: StructType, f: Filter): Boolean = f match {
     case EqualTo(a, v) => statable(schema, a) && litOk(v)
+    // null-safe equality: INSERT OVERWRITE's static PARTITION specs
+    // arrive as `col <=> lit`
+    case EqualNullSafe(a, null) => schema.fieldNames.contains(a)
+    case EqualNullSafe(a, v) => statable(schema, a) && litOk(v)
     case GreaterThan(a, v) => statable(schema, a) && litOk(v)
     case GreaterThanOrEqual(a, v) => statable(schema, a) && litOk(v)
     case LessThan(a, v) => statable(schema, a) && litOk(v)
@@ -1994,6 +2097,13 @@ object ChunkSkip {
         col(a).exists { case (m, dt) =>
           allNull(m) || outside(m, dt, v) || bloomExcludes(m, dt, v)
         }
+      // `col <=> null` matches only null rows; `col <=> v` matches the
+      // same rows as EqualTo (null rows never match a non-null literal)
+      case EqualNullSafe(a, null) => col(a).exists { case (m, _) => m.nullCount == 0 }
+      case EqualNullSafe(a, v) =>
+        col(a).exists { case (m, dt) =>
+          allNull(m) || outside(m, dt, v) || bloomExcludes(m, dt, v)
+        }
       case GreaterThan(a, v) =>
         col(a).exists { case (m, dt) => allNull(m) || maxBelowOrEq(m, dt, v, strict = true) }
       case GreaterThanOrEqual(a, v) =>
@@ -2023,6 +2133,79 @@ object ChunkSkip {
         }
       case And(l, r) => canSkip(schema, rg, l) || canSkip(schema, rg, r)
       case Or(l, r) => canSkip(schema, rg, l) && canSkip(schema, rg, r)
+      case _ => false
+    } catch { case _: IllegalArgumentException => false }
+  }
+
+  /** True iff stats PROVE every live row in the group matches the filter —
+    * the dual of [[canSkip]], powering metadata-only DELETE / overwrite-by-
+    * filter: a file is droppable without decoding exactly when every row
+    * group allMatches the predicate. Conservative: false means "cannot
+    * prove", never "proved not".
+    */
+  def allMatch(schema: StructType, rg: BtrFile.RowGroupMeta, f: Filter): Boolean = {
+    def col(attr: String): Option[(BtrFile.ColumnChunkMeta, DataType)] = {
+      val idx = schema.fieldNames.indexOf(attr)
+      if (idx < 0) None
+      else if (idx >= rg.columns.length)
+        // pre-widening file: the column reads as all null
+        Some((BtrFile.ColumnChunkMeta(0, 0, rg.numRows, 0, 0, 0, 0, 0),
+          schema.fields(idx).dataType))
+      else Some((rg.columns(idx), schema.fields(idx).dataType))
+    }
+    def noNulls(m: BtrFile.ColumnChunkMeta): Boolean = m.nullCount == 0
+    // min == max == v proves every row equals v. Sound under string stat
+    // truncation too: stored min <= true min <= true max <= stored max, so
+    // stored min == stored max == v pins the true range to exactly v.
+    // Float/double equality is never proven (NaN / -0.0 stat ambiguity).
+    def constEq(m: BtrFile.ColumnChunkMeta, dt: DataType, v: Any): Boolean =
+      m.statsKind match {
+        case 1 =>
+          val x = if (dt.isInstanceOf[DecimalType]) decimalLit(v, dt) else toLongLit(v)
+          m.minLong == x && m.maxLong == x
+        case 3 =>
+          val x = toBytesLit(v)
+          m.minBytes != null && m.maxBytes != null &&
+            cmpBytes(m.minBytes, x) == 0 && cmpBytes(m.maxBytes, x) == 0
+        case _ => false
+      }
+    if (rg.numRows == 0) return true
+    try f match {
+      case IsNull(a) => col(a).exists { case (m, _) => m.nullCount == rg.numRows }
+      case IsNotNull(a) => col(a).exists { case (m, _) => noNulls(m) }
+      case EqualTo(a, v) => col(a).exists { case (m, dt) => noNulls(m) && constEq(m, dt, v) }
+      case EqualNullSafe(a, null) => col(a).exists { case (m, _) => m.nullCount == rg.numRows }
+      case EqualNullSafe(a, v) =>
+        col(a).exists { case (m, dt) => noNulls(m) && constEq(m, dt, v) }
+      // all rows > v ⟺ min > v (minAboveOrEq strict=false). Doubles are
+      // sound with NaN present: footer min excludes NaN but NaN orders
+      // ABOVE every value in Spark, so NaN rows match any > / >= filter
+      case GreaterThan(a, v) =>
+        col(a).exists { case (m, dt) => noNulls(m) && minAboveOrEq(m, dt, v, strict = false) }
+      case GreaterThanOrEqual(a, v) =>
+        col(a).exists { case (m, dt) => noNulls(m) && minAboveOrEq(m, dt, v, strict = true) }
+      // all rows < v ⟺ max < v (maxBelowOrEq strict=false); the helper's
+      // hasNaN guard already rejects chunks whose NaN rows would NOT match
+      case LessThan(a, v) =>
+        col(a).exists { case (m, dt) => noNulls(m) && maxBelowOrEq(m, dt, v, strict = false) }
+      case LessThanOrEqual(a, v) =>
+        col(a).exists { case (m, dt) => noNulls(m) && maxBelowOrEq(m, dt, v, strict = true) }
+      case In(a, vs) => vs.exists(v => allMatch(schema, rg, EqualTo(a, v)))
+      case StringStartsWith(a, p) =>
+        // every value in [p, increment(p)) starts with p (byte order);
+        // stored min <= true min and stored max >= true max make both
+        // bound checks proofs. A null upper bound (all-0xFF prefix) means
+        // every string >= p starts with p
+        col(a).exists { case (m, _) =>
+          noNulls(m) && m.statsKind == 3 && m.minBytes != null && m.maxBytes != null && {
+            val pb = p.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            val ub = prefixUpperBound(pb)
+            cmpBytes(m.minBytes, pb) >= 0 && (ub == null || cmpBytes(m.maxBytes, ub) < 0)
+          }
+        }
+      case And(l, r) => allMatch(schema, rg, l) && allMatch(schema, rg, r)
+      case Or(l, r) => allMatch(schema, rg, l) || allMatch(schema, rg, r)
+      case _: AlwaysTrue => true
       case _ => false
     } catch { case _: IllegalArgumentException => false }
   }

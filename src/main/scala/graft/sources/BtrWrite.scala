@@ -23,11 +23,38 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 class BtrWriteBuilder(path: String, schema: StructType, options: CaseInsensitiveStringMap,
     partCols: Seq[String] = Nil)
     extends WriteBuilder
-    with SupportsTruncate {
+    with SupportsOverwrite
+    with SupportsDynamicOverwrite {
 
-  private var truncateOnCommit = false
+  private var mode: BtrOverwriteMode = BtrOverwriteMode.Append
+  private def truncateOnCommit = mode == BtrOverwriteMode.Truncate
 
-  override def truncate(): WriteBuilder = { truncateOnCommit = true; this }
+  override def truncate(): WriteBuilder = { mode = BtrOverwriteMode.Truncate; this }
+
+  /** Overwrite-by-filter (`OverwriteByExpression`): rows matching the
+    * condition are replaced by this write's data. The TRUE condition is a
+    * truncate; anything else resolves through the metadata-delete
+    * classifier — the condition must split cleanly at file boundaries
+    * (partition predicates always do), validated fail-fast at build so a
+    * non-expressible overwrite dies before the write job runs.
+    */
+  override def overwrite(filters: Array[org.apache.spark.sql.sources.Filter]): WriteBuilder = {
+    if (filters.isEmpty ||
+      filters.forall(_.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue]))
+      mode = BtrOverwriteMode.Truncate
+    else mode = BtrOverwriteMode.ByFilter(filters)
+    this
+  }
+
+  /** INSERT OVERWRITE with `partitionOverwriteMode=dynamic`: only the
+    * partitions this write actually produces rows for are replaced;
+    * untouched partitions keep their files. On an unpartitioned table
+    * dynamic overwrite degenerates to truncate (Spark's semantics).
+    */
+  override def overwriteDynamicPartitions(): WriteBuilder = {
+    mode = if (partCols.isEmpty) BtrOverwriteMode.Truncate else BtrOverwriteMode.Dynamic
+    this
+  }
 
   /** Appends (batch mode "append" and every streaming epoch) must keep
     * the existing column layout as an exact PREFIX in order and types:
@@ -68,15 +95,26 @@ class BtrWriteBuilder(path: String, schema: StructType, options: CaseInsensitive
 
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = {
+      // by-filter and dynamic overwrites replace a SUBSET of files, so the
+      // surviving files' layout must stay compatible — same contract as an
+      // append. Fail-fast: a by-filter condition that can't split at file
+      // boundaries aborts here, before the write job burns cluster time
       if (!truncateOnCommit) checkAppendCompatible()
-      new BtrBatchWrite(path, schema, truncateOnCommit, BtrOptions.blockSize(options),
+      mode match {
+        case BtrOverwriteMode.ByFilter(fs) =>
+          require(BtrDelete.canDelete(path, schema, partCols, fs),
+            s"btr: overwrite condition does not align with file boundaries at $path — " +
+              "use partition-column predicates, or read + filter + full overwrite")
+        case _ => ()
+      }
+      new BtrBatchWrite(path, schema, mode, BtrOptions.blockSize(options),
         BtrOptions.cascade(options), BtrOptions.config(options), partCols)
     }
     override def toStreaming: streaming.StreamingWrite = {
       // Complete/Update modes arrive as truncate(); the sink only ever
       // appends epoch files, so honoring them silently would duplicate
       // every prior epoch's rows — refuse loudly
-      require(!truncateOnCommit,
+      require(mode == BtrOverwriteMode.Append,
         "btr streaming sink supports Append output mode only (Complete/Update " +
           "would re-append each epoch's full result set)")
       checkAppendCompatible() // every epoch appends
@@ -187,9 +225,23 @@ final case class BtrCommitMessage(
     colCompBytes: Array[Long] = Array.emptyLongArray
 ) extends WriterCommitMessage
 
-class BtrBatchWrite(path: String, schema: StructType, truncate: Boolean, blockSize: Int, cascade: Int,
-    cfg: BtrConfig = BtrConfig.Default, partCols: Seq[String] = Nil)
+/** What a batch write does to the files already in the table. */
+sealed trait BtrOverwriteMode
+object BtrOverwriteMode {
+  case object Append extends BtrOverwriteMode
+  case object Truncate extends BtrOverwriteMode
+  /** Replace rows matching the conjunction (metadata-delete classified). */
+  final case class ByFilter(filters: Array[org.apache.spark.sql.sources.Filter])
+      extends BtrOverwriteMode
+  /** Replace only the partition directories this write produced files in. */
+  case object Dynamic extends BtrOverwriteMode
+}
+
+class BtrBatchWrite(path: String, schema: StructType, mode: BtrOverwriteMode, blockSize: Int,
+    cascade: Int, cfg: BtrConfig = BtrConfig.Default, partCols: Seq[String] = Nil)
     extends BatchWrite {
+
+  private def truncate: Boolean = mode == BtrOverwriteMode.Truncate
 
   // data files store only the non-partition columns; partition values
   // live in the hive-style directory names
@@ -214,22 +266,56 @@ class BtrBatchWrite(path: String, schema: StructType, truncate: Boolean, blockSi
     val msgs = flatten(messages)
     // fileName is table-root-relative (may include partition dirs)
     val committed = msgs.map(_.fileName).toSet
-    if (truncate) {
-      // replace: drop every data file not produced by this write. Converge
-      // pending compaction swaps FIRST — otherwise a crashed swap's hidden
-      // sources survive the journal-filtered listing below and resurrect
-      // once the journal flips to the pre-swap view after its finals are
-      // deleted here.
-      BtrTableMeta.completeSwapJournals(fs, dir)
-      // the whole file set is being replaced — stale source→final
-      // mappings must not outlive it
-      BtrTableMeta.dropAllSwapState(fs, dir)
-      val rootLen = dir.toUri.getPath.length + 1
-      BtrTableMeta.listDataFilesWithPartitions(fs, dir).foreach { e =>
-        val f = e.path
-        val rel = f.toUri.getPath.substring(math.min(rootLen, f.toUri.getPath.length))
-        if (!committed.contains(rel) && !committed.contains(f.getName)) fs.delete(f, false)
-      }
+    val rootLen = dir.toUri.getPath.length + 1
+    def relOf(f: Path): String =
+      f.toUri.getPath.substring(math.min(rootLen, f.toUri.getPath.length))
+    def isNew(f: Path): Boolean = committed.contains(relOf(f)) || committed.contains(f.getName)
+    mode match {
+      case BtrOverwriteMode.Truncate =>
+        // replace: drop every data file not produced by this write.
+        // Converge pending compaction swaps FIRST — otherwise a crashed
+        // swap's hidden sources survive the journal-filtered listing below
+        // and resurrect once the journal flips to the pre-swap view after
+        // its finals are deleted here.
+        BtrTableMeta.completeSwapJournals(fs, dir)
+        // the whole file set is being replaced — stale source→final
+        // mappings must not outlive it
+        BtrTableMeta.dropAllSwapState(fs, dir)
+        BtrTableMeta.listDataFilesWithPartitions(fs, dir).foreach { e =>
+          if (!isNew(e.path)) fs.delete(e.path, false)
+        }
+      case BtrOverwriteMode.ByFilter(filters) =>
+        // delete the PRE-EXISTING rows matching the condition; this
+        // write's own files are insert data and never candidates. The
+        // build-time canDelete probe makes an Undecided verdict here rare
+        // (a concurrent append since then) — it still aborts cleanly, and
+        // Spark's abort removes the new files, leaving the table untouched
+        BtrTableMeta.completeSwapJournals(fs, dir)
+        val verdicts = BtrDelete.classify(fs, dir, schema, partCols, filters)
+          .filterNot { case (e, _) => isNew(e.path) }
+        val undecided = verdicts.collect { case (e, BtrDelete.Undecided) => e.path.getName }
+        if (undecided.nonEmpty)
+          throw new IllegalStateException(
+            s"btr: overwrite condition no longer aligns with file boundaries at $dir " +
+              s"(e.g. ${undecided.take(3).mkString(", ")}) — a concurrent write " +
+              "changed the table since this overwrite was planned; retry")
+        verdicts.foreach { case (e, v) => if (v == BtrDelete.MatchAll) fs.delete(e.path, false) }
+      case BtrOverwriteMode.Dynamic =>
+        // replace exactly the partition directories this write landed
+        // files in: delete their pre-existing files, keep every other
+        // partition untouched (no listing-wide delete, no read of data)
+        BtrTableMeta.completeSwapJournals(fs, dir)
+        val touched: Set[String] = committed.map { rel =>
+          val cut = rel.lastIndexOf('/')
+          if (cut < 0) "" else rel.substring(0, cut)
+        }
+        BtrTableMeta.listDataFilesWithPartitions(fs, dir).foreach { e =>
+          val rel = relOf(e.path)
+          val cut = rel.lastIndexOf('/')
+          val parent = if (cut < 0) "" else rel.substring(0, cut)
+          if (touched.contains(parent) && !isNew(e.path)) fs.delete(e.path, false)
+        }
+      case BtrOverwriteMode.Append => ()
     }
     BtrTableMeta.write(fs, dir,
       if (truncate) schema else BtrWriteSchemas.widened(fs, dir, schema),
