@@ -36,6 +36,57 @@ class BtrDeleteSpec extends AnyFunSuite {
     }
   }
 
+  test("fuzz: every DELETE outcome equals the row-level semantics or refuses cleanly") {
+    // soundness of the allMatch/canSkip duality — a wrong MatchAll verdict
+    // is silent data loss, so hammer it with random layouts + predicates:
+    // accepted deletes must equal filter(NOT coalesce(pred, false));
+    // refused deletes must leave the table byte-identical
+    val rnd = new scala.util.Random(0xD31E7E)
+    for (iter <- 0 until 8) {
+      val p = tmp(s"fuzz_$iter")
+      // 2-4 single-file appends with random (possibly overlapping) ranges,
+      // some null vs, a low-cardinality string col
+      val nApp = 2 + rnd.nextInt(3)
+      val parts = (0 until nApp).map { a =>
+        val lo = rnd.nextInt(200)
+        val n = 30 + rnd.nextInt(80)
+        (lo until lo + n).map { i =>
+          (if (rnd.nextInt(10) == 0) None else Some(i.toLong),
+            s"g${i % (1 + rnd.nextInt(4))}")
+        }
+      }
+      parts.zipWithIndex.foreach { case (rows, a) =>
+        rows.toDF("v", "s").coalesce(1).write.format("btr")
+          .mode(if (a == 0) "overwrite" else "append").save(p)
+      }
+      val all = parts.flatten
+      val preds = Seq[(String, org.apache.spark.sql.Column => org.apache.spark.sql.Column)](
+        ("v < 100", c => c < 100),
+        ("v >= 150", c => c >= 150),
+        ("v = 42", c => c === 42),
+        ("v IS NULL", c => c.isNull),
+        ("v IS NOT NULL", c => c.isNotNull),
+        ("v < 60 OR v >= 180", c => c < 60 || c >= 180),
+        ("v >= 0 AND v < 500", c => c >= 0 && c < 500))
+      val (predSql, predCol) = preds(rnd.nextInt(preds.length))
+      val before = spark.read.format("btr").load(p)
+        .collect().map(_.toString).sorted.toSeq
+      val accepted =
+        try { spark.sql(s"DELETE FROM graft.`$p` WHERE $predSql"); true }
+        catch { case _: Exception => false }
+      val after = spark.read.format("btr").load(p)
+        .collect().map(_.toString).sorted.toSeq
+      if (accepted) {
+        val expected = all.toDF("v", "s")
+          .filter(!coalesce(predCol(col("v")), lit(false)))
+          .collect().map(_.toString).sorted.toSeq
+        assert(after == expected, s"iter=$iter pred=$predSql accepted but wrong rows")
+      } else {
+        assert(after == before, s"iter=$iter pred=$predSql refused but table changed")
+      }
+    }
+  }
+
   test("SQL DELETE on a partition predicate drops whole directories") {
     val p = tmp("part_delete")
     (0 until 300).map(i => (s"k${i % 3}", i.toLong)).toDF("k", "v")
