@@ -38,7 +38,10 @@ class BtrCatalog extends TableCatalog {
 
   private def pathOf(ident: Identifier): String = {
     val joined = (ident.namespace().toSeq :+ ident.name()).mkString("/")
-    if (joined.startsWith("/")) joined
+    // absolute: a rooted local path OR a scheme-qualified URI (s3a://…,
+    // hdfs://…) — resolving a URI under the warehouse would silently send
+    // DML to a literal "s3a:" directory on the default filesystem
+    if (joined.startsWith("/") || joined.contains("://")) joined
     else warehouse match {
       case Some(w) => s"$w/$joined"
       case None => throw new IllegalArgumentException(
@@ -80,11 +83,23 @@ class BtrCatalog extends TableCatalog {
     val (fs, dir) = fsDir(path)
     if (fs.exists(new Path(dir, BtrTableMeta.MetaFile)))
       throw new TableAlreadyExistsException(ident)
+    // validate EVERYTHING before the meta write: persisting first would
+    // leave a permanently broken table behind a failed CREATE (exists for
+    // retries, unloadable for everyone)
+    schema.fields.foreach { f =>
+      require(graft.format.PhysType.supported(f.dataType),
+        s"btr: unsupported column type ${f.name}: ${f.dataType}")
+    }
     val partCols = partitions.toSeq.map { t =>
       require(t.name() == "identity",
         s"btr: only identity partitioning supported, got ${t.describe()}")
-      t.references()(0).fieldNames()(0)
+      val refs = t.references()
+      require(refs.length == 1 && refs(0).fieldNames().length == 1,
+        "btr: nested partition columns unsupported")
+      refs(0).fieldNames()(0)
     }
+    partCols.foreach(c => require(schema.fieldNames.contains(c),
+      s"btr: unknown partition column $c"))
     BtrTableMeta.write(fs, dir, schema, BtrFile.DefaultBlockSize, BtrFile.DefaultCascadeDepth,
       partCols)
     new BtrTable(path, schema, partitions)

@@ -96,12 +96,27 @@ class BtrTable(path: String, tableSchema: StructType, partitionTransforms: Array
   // ---- metadata-level DELETE (SupportsDelete) -------------------------
   // A predicate is deletable exactly when every file is provably all-match
   // or none-match from directory values + footer stats; the delete then
-  // touches only metadata and matching files (see BtrDelete's scale note)
-  override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
-    BtrDelete.canDelete(path, tableSchema, partCols, filters)
+  // touches only metadata and matching files (see BtrDelete's scale note).
+  // Spark probes canDeleteWhere then calls deleteWhere on the same table
+  // instance — memoizing the probe's verdicts halves the listing + footer
+  // I/O of every DELETE (files appearing in the gap simply survive, the
+  // same race any concurrent append has with a filter-based delete)
+  @volatile private var deleteProbe:
+      (Array[org.apache.spark.sql.sources.Filter],
+        Array[(graft.format.BtrTableMeta.DataFileEntry, BtrDelete.Verdict)]) = null
 
-  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
-    BtrDelete.deleteWhere(path, tableSchema, partCols, filters)
+  override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean = {
+    val verdicts = BtrDelete.classifyAt(path, tableSchema, partCols, filters)
+    deleteProbe = (filters, verdicts)
+    verdicts.forall(_._2 != BtrDelete.Undecided)
+  }
+
+  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    val probe = deleteProbe
+    val cached =
+      if (probe != null && (probe._1 sameElements filters)) Some(probe._2) else None
+    BtrDelete.deleteWhere(path, tableSchema, partCols, filters, cached)
+  }
 }
 
 /** Write-layout helper: range-cluster rows on the columns queries filter

@@ -70,74 +70,97 @@ object BtrDelete {
 
   /** Verdict for the CONJUNCTION of `filters` over each listed file.
     * Footers are read (via the index sidecar) only for the files whose
-    * partition values leave some filter undecided.
+    * partition values leave EVERY deciding route open: any single conjunct
+    * the partition values prove MatchNone settles the file without footer
+    * I/O, regardless of where a data-dependent conjunct sits in the array.
+    * `exclude` drops files from consideration entirely (an overwrite
+    * commit's own fresh files never classify, let alone footer-read).
     */
   def classify(
       fs: org.apache.hadoop.fs.FileSystem,
       dir: Path,
       tableSchema: StructType,
       partCols: Seq[String],
-      filters: Array[Filter]
+      filters: Array[Filter],
+      exclude: BtrTableMeta.DataFileEntry => Boolean = _ => false
   ): Array[(BtrTableMeta.DataFileEntry, Verdict)] = {
     val dataSchema =
       if (partCols.isEmpty) tableSchema
       else StructType(tableSchema.fields.filterNot(f => partCols.contains(f.name)))
-    val entries = BtrTableMeta.listDataFilesWithPartitions(fs, dir)
+    val entries = BtrTableMeta.listDataFilesWithPartitions(fs, dir).filterNot(exclude)
     if (entries.isEmpty) return Array.empty
-    // pass 1: partition-only classification (footer thunk that refuses)
-    val needFooter = Array.fill(entries.length)(false)
-    val sentinel: () => BtrFile.Footer =
-      () => throw BtrDelete.NeedFooter
-    // short-circuit on MatchNone so a partition-pruned file never costs a
-    // footer read just because another conjunct is data-dependent
-    def conj(partValues: Map[String, String], footer: () => BtrFile.Footer): Verdict =
-      filters.foldLeft(MatchAll: Verdict) { (acc, f) =>
-        if (acc == MatchNone) MatchNone
-        else combineAnd(acc, classifyOne(tableSchema, dataSchema, partValues, footer, f))
+    // pass 1: per-conjunct partition-only classification (footer thunk
+    // that refuses), kept separate so one undecidable conjunct can't mask
+    // another conjunct's MatchNone
+    val sentinel: () => BtrFile.Footer = () => throw BtrDelete.NeedFooter
+    val perFilter: Array[Array[Option[Verdict]]] = entries.map { e =>
+      filters.map { f =>
+        try Some(classifyOne(tableSchema, dataSchema, e.partitionValues, sentinel, f))
+        catch { case NeedFooter => None }
       }
-    val partial = entries.zipWithIndex.map { case (e, i) =>
-      try Some(conj(e.partitionValues, sentinel))
-      catch { case NeedFooter => needFooter(i) = true; None }
     }
+    def settledWithoutFooter(pf: Array[Option[Verdict]]): Boolean =
+      pf.exists(_.contains(MatchNone)) || pf.forall(_.isDefined)
     // pass 2: batch footer reads for the rest (index-served when covered)
-    val footers: Map[Path, BtrFile.Footer] =
-      if (!needFooter.exists(identity)) Map.empty
-      else BtrFooters.readAllIndexed(fs, dir,
-        entries.zipWithIndex.collect { case (e, i) if needFooter(i) => e })
-        .map { case (e, fo) => e.path -> fo }.toMap
-    entries.zipWithIndex.map { case (e, i) =>
-      val v = partial(i).getOrElse {
-        val fo = footers(e.path)
-        conj(e.partitionValues, () => fo)
+    val footers: Map[Path, BtrFile.Footer] = {
+      val pending = entries.zipWithIndex.collect {
+        case (e, i) if !settledWithoutFooter(perFilter(i)) => e
       }
+      if (pending.isEmpty) Map.empty
+      else BtrFooters.readAllIndexed(fs, dir, pending)
+        .map { case (e, fo) => e.path -> fo }.toMap
+    }
+    entries.zipWithIndex.map { case (e, i) =>
+      val pf = perFilter(i)
+      val v =
+        if (pf.exists(_.contains(MatchNone))) MatchNone
+        else if (pf.forall(_.isDefined)) pf.flatten.foldLeft(MatchAll: Verdict)(combineAnd)
+        else {
+          val fo = footers(e.path)
+          filters.indices.foldLeft(MatchAll: Verdict) { (acc, j) =>
+            if (acc == MatchNone) MatchNone
+            else combineAnd(acc, pf(j).getOrElse(
+              classifyOne(tableSchema, dataSchema, e.partitionValues, () => fo, filters(j))))
+          }
+        }
       (e, v)
     }
   }
 
   private case object NeedFooter extends RuntimeException with scala.util.control.NoStackTrace
 
+  /** Classification for `filters` at `path` (convenience entry point). */
+  def classifyAt(path: String, tableSchema: StructType, partCols: Seq[String],
+      filters: Array[Filter]): Array[(BtrTableMeta.DataFileEntry, Verdict)] = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(BtrTableMeta.hadoopConf())
+    classify(fs, dir, tableSchema, partCols, filters)
+  }
+
   /** True iff the conjunction splits cleanly at file boundaries (Spark's
     * `canDeleteWhere` contract).
     */
   def canDelete(path: String, tableSchema: StructType, partCols: Seq[String],
-      filters: Array[Filter]): Boolean = {
-    val dir = new Path(path)
-    val fs = dir.getFileSystem(BtrTableMeta.hadoopConf())
-    classify(fs, dir, tableSchema, partCols, filters).forall(_._2 != Undecided)
-  }
+      filters: Array[Filter]): Boolean =
+    classifyAt(path, tableSchema, partCols, filters).forall(_._2 != Undecided)
 
   /** Delete every row matching ALL `filters`; throws when the predicate
     * doesn't align with file boundaries (callers are expected to probe
     * `canDelete` first — Spark's DeleteFromTableExec does).
+    * `preclassified` reuses the probe's verdicts so the
+    * canDeleteWhere→deleteWhere pair costs ONE listing + footer pass, not
+    * two (the probe's listing is journal-filtered, i.e. exactly the
+    * visible set the convergence below realizes physically).
     */
   def deleteWhere(path: String, tableSchema: StructType, partCols: Seq[String],
-      filters: Array[Filter]): Unit = {
+      filters: Array[Filter],
+      preclassified: Option[Array[(BtrTableMeta.DataFileEntry, Verdict)]] = None): Unit = {
     val dir = new Path(path)
     val fs = dir.getFileSystem(BtrTableMeta.hadoopConf())
     // converge any crashed compaction swap first: classifying a journal-
     // filtered listing and then deleting finals would resurrect sources
     BtrTableMeta.completeSwapJournals(fs, dir)
-    val verdicts = classify(fs, dir, tableSchema, partCols, filters)
+    val verdicts = preclassified.getOrElse(classify(fs, dir, tableSchema, partCols, filters))
     val undecided = verdicts.collect { case (e, Undecided) => e.path.getName }
     if (undecided.nonEmpty)
       throw new IllegalArgumentException(
@@ -151,9 +174,12 @@ object BtrDelete {
   }
 
   /** Remove partition directories emptied by a delete (leaf-first); the
-    * table root and its metadata files stay.
+    * table root and its metadata files stay. Shared with the overwrite
+    * commit paths so DELETE and overwrite-expressed deletes leave the
+    * same directory layout.
     */
-  private def deleteEmptyPartitionDirs(fs: org.apache.hadoop.fs.FileSystem, root: Path): Unit = {
+  private[sources] def deleteEmptyPartitionDirs(
+      fs: org.apache.hadoop.fs.FileSystem, root: Path): Unit = {
     val qualified = fs.makeQualified(root)
     def sweep(d: Path): Boolean = { // true when d ends up empty & deleted
       val children = fs.listStatus(d)

@@ -984,6 +984,48 @@ object PartitionPrune {
           case (Some(false), Some(false)) => Some(false)
           case _ => None
         }
+      // NOT: De-Morgan composites down to leaves; a leaf negates its own
+      // comparison. Three-valued logic matters — a null partition value
+      // makes `NOT (k = 'a')` NULL (row NOT matched), never true, so
+      // Some(false) here is the row-match answer, not the logical negation
+      case Not(inner) => inner match {
+        case And(l, r) => holds(schema, values, Or(Not(l), Not(r)))
+        case Or(l, r) => holds(schema, values, And(Not(l), Not(r)))
+        case Not(g) => holds(schema, values, g)
+        case IsNull(a) if isPart(a) => Some(!isNullPart(a))
+        case IsNotNull(a) if isPart(a) => Some(isNullPart(a))
+        // <=> never evaluates to NULL, so its negation is the complement
+        case EqualNullSafe(a, null) if isPart(a) => Some(!isNullPart(a))
+        case EqualNullSafe(a, v) if isPart(a) =>
+          if (isNullPart(a)) Some(true) else cmp(a, v).map(_ != 0)
+        case _: AlwaysTrue => Some(false)
+        case _: AlwaysFalse => Some(true)
+        // value comparisons on a NULL partition evaluate to NULL → the
+        // negation is NOT matched either → Some(false)
+        case EqualTo(a, v) if isPart(a) =>
+          if (isNullPart(a)) Some(false) else cmp(a, v).map(_ != 0)
+        case GreaterThan(a, v) if isPart(a) =>
+          if (isNullPart(a)) Some(false) else cmp(a, v).map(_ <= 0)
+        case GreaterThanOrEqual(a, v) if isPart(a) =>
+          if (isNullPart(a)) Some(false) else cmp(a, v).map(_ < 0)
+        case LessThan(a, v) if isPart(a) =>
+          if (isNullPart(a)) Some(false) else cmp(a, v).map(_ >= 0)
+        case LessThanOrEqual(a, v) if isPart(a) =>
+          if (isNullPart(a)) Some(false) else cmp(a, v).map(_ > 0)
+        case In(a, vs) if isPart(a) =>
+          if (isNullPart(a)) Some(false)
+          else {
+            val cs = vs.toSeq.map(v => cmp(a, v))
+            if (cs.exists(_.contains(0))) Some(false)
+            else if (cs.forall(_.isDefined)) Some(true)
+            else None
+          }
+        case StringStartsWith(a, p) if isPart(a) =>
+          if (isNullPart(a)) Some(false)
+          else if (dtOf(a).contains(StringType)) Some(!values(a).startsWith(p))
+          else None
+        case _ => None
+      }
       case _: AlwaysTrue => Some(true)
       case _: AlwaysFalse => Some(false)
       case _ => None
@@ -2133,6 +2175,31 @@ object ChunkSkip {
         }
       case And(l, r) => canSkip(schema, rg, l) || canSkip(schema, rg, r)
       case Or(l, r) => canSkip(schema, rg, l) && canSkip(schema, rg, r)
+      // NOT: no row matches Not(leaf) when every row evaluates the leaf
+      // to TRUE (all-satisfy stats proof) or to NULL (all-null chunk) —
+      // null rows match neither a value leaf nor its negation. <=> never
+      // evaluates to NULL, so only the all-TRUE proof applies, with the
+      // null-count conditions <=> itself needs.
+      case Not(inner) => inner match {
+        case And(l, r) => canSkip(schema, rg, Or(Not(l), Not(r)))
+        case Or(l, r) => canSkip(schema, rg, And(Not(l), Not(r)))
+        case Not(g) => canSkip(schema, rg, g)
+        case IsNull(a) => canSkip(schema, rg, IsNotNull(a))
+        case IsNotNull(a) => canSkip(schema, rg, IsNull(a))
+        case EqualNullSafe(a, null) => col(a).exists { case (m, _) => m.nullCount == rg.numRows }
+        case EqualNullSafe(a, v) =>
+          col(a).exists { case (m, dt) =>
+            m.nullCount == 0 && statsAllSatisfy(dt, m, EqualTo(a, v))
+          }
+        case _ =>
+          // null rows match neither the leaf nor its negation, so proving
+          // every NON-NULL row satisfies the leaf (or that none exist)
+          // already proves no row matches Not(leaf)
+          inner.references.length == 1 && col(inner.references(0)).exists { case (m, dt) =>
+            allNull(m) || statsAllSatisfy(dt, m, inner)
+          }
+      }
+      case _: AlwaysFalse => true
       case _ => false
     } catch { case _: IllegalArgumentException => false }
   }
@@ -2154,60 +2221,83 @@ object ChunkSkip {
       else Some((rg.columns(idx), schema.fields(idx).dataType))
     }
     def noNulls(m: BtrFile.ColumnChunkMeta): Boolean = m.nullCount == 0
-    // min == max == v proves every row equals v. Sound under string stat
-    // truncation too: stored min <= true min <= true max <= stored max, so
-    // stored min == stored max == v pins the true range to exactly v.
-    // Float/double equality is never proven (NaN / -0.0 stat ambiguity).
-    def constEq(m: BtrFile.ColumnChunkMeta, dt: DataType, v: Any): Boolean =
-      m.statsKind match {
-        case 1 =>
-          val x = if (dt.isInstanceOf[DecimalType]) decimalLit(v, dt) else toLongLit(v)
-          m.minLong == x && m.maxLong == x
-        case 3 =>
-          val x = toBytesLit(v)
-          m.minBytes != null && m.maxBytes != null &&
-            cmpBytes(m.minBytes, x) == 0 && cmpBytes(m.maxBytes, x) == 0
-        case _ => false
-      }
+    def leafAll(a: String, leaf: Filter): Boolean =
+      col(a).exists { case (m, dt) => noNulls(m) && statsAllSatisfy(dt, m, leaf) }
     if (rg.numRows == 0) return true
     try f match {
       case IsNull(a) => col(a).exists { case (m, _) => m.nullCount == rg.numRows }
       case IsNotNull(a) => col(a).exists { case (m, _) => noNulls(m) }
-      case EqualTo(a, v) => col(a).exists { case (m, dt) => noNulls(m) && constEq(m, dt, v) }
       case EqualNullSafe(a, null) => col(a).exists { case (m, _) => m.nullCount == rg.numRows }
-      case EqualNullSafe(a, v) =>
-        col(a).exists { case (m, dt) => noNulls(m) && constEq(m, dt, v) }
-      // all rows > v ⟺ min > v (minAboveOrEq strict=false). Doubles are
-      // sound with NaN present: footer min excludes NaN but NaN orders
-      // ABOVE every value in Spark, so NaN rows match any > / >= filter
-      case GreaterThan(a, v) =>
-        col(a).exists { case (m, dt) => noNulls(m) && minAboveOrEq(m, dt, v, strict = false) }
-      case GreaterThanOrEqual(a, v) =>
-        col(a).exists { case (m, dt) => noNulls(m) && minAboveOrEq(m, dt, v, strict = true) }
-      // all rows < v ⟺ max < v (maxBelowOrEq strict=false); the helper's
-      // hasNaN guard already rejects chunks whose NaN rows would NOT match
-      case LessThan(a, v) =>
-        col(a).exists { case (m, dt) => noNulls(m) && maxBelowOrEq(m, dt, v, strict = false) }
-      case LessThanOrEqual(a, v) =>
-        col(a).exists { case (m, dt) => noNulls(m) && maxBelowOrEq(m, dt, v, strict = true) }
-      case In(a, vs) => vs.exists(v => allMatch(schema, rg, EqualTo(a, v)))
-      case StringStartsWith(a, p) =>
-        // every value in [p, increment(p)) starts with p (byte order);
-        // stored min <= true min and stored max >= true max make both
-        // bound checks proofs. A null upper bound (all-0xFF prefix) means
-        // every string >= p starts with p
-        col(a).exists { case (m, _) =>
-          noNulls(m) && m.statsKind == 3 && m.minBytes != null && m.maxBytes != null && {
-            val pb = p.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-            val ub = prefixUpperBound(pb)
-            cmpBytes(m.minBytes, pb) >= 0 && (ub == null || cmpBytes(m.maxBytes, ub) < 0)
-          }
-        }
+      case leaf @ EqualTo(a, _) => leafAll(a, leaf)
+      case leaf @ EqualNullSafe(a, _) => leafAll(a, leaf)
+      case leaf @ GreaterThan(a, _) => leafAll(a, leaf)
+      case leaf @ GreaterThanOrEqual(a, _) => leafAll(a, leaf)
+      case leaf @ LessThan(a, _) => leafAll(a, leaf)
+      case leaf @ LessThanOrEqual(a, _) => leafAll(a, leaf)
+      case In(a, vs) => vs.exists(v => v != null && allMatch(schema, rg, EqualTo(a, v)))
+      case leaf @ StringStartsWith(a, _) => leafAll(a, leaf)
       case And(l, r) => allMatch(schema, rg, l) && allMatch(schema, rg, r)
       case Or(l, r) => allMatch(schema, rg, l) || allMatch(schema, rg, r)
+      // NOT: De-Morgan down to leaves. A value leaf's negation holds on
+      // every row only when the column is null-free (a null evaluates the
+      // comparison to NULL, so the row matches neither the leaf nor its
+      // negation) AND no row satisfies the leaf (canSkip proof). <=> never
+      // evaluates to NULL, so its negation needs only the canSkip proof.
+      case Not(inner) => inner match {
+        case And(l, r) => allMatch(schema, rg, Or(Not(l), Not(r)))
+        case Or(l, r) => allMatch(schema, rg, And(Not(l), Not(r)))
+        case Not(g) => allMatch(schema, rg, g)
+        case IsNull(a) => allMatch(schema, rg, IsNotNull(a))
+        case IsNotNull(a) => allMatch(schema, rg, IsNull(a))
+        case _: EqualNullSafe => canSkip(schema, rg, inner)
+        case _ =>
+          val refs = inner.references
+          refs.length == 1 && col(refs(0)).exists { case (m, _) => noNulls(m) } &&
+            canSkip(schema, rg, inner)
+      }
       case _: AlwaysTrue => true
       case _ => false
     } catch { case _: IllegalArgumentException => false }
+  }
+
+  /** Stats proof that every NON-NULL row satisfies the value predicate
+    * (callers add their own null requirement). Equality: min == max == v —
+    * sound under string stat truncation (stored min <= true min <= true
+    * max <= stored max pins the range to exactly v); float/double equality
+    * is never proven (NaN / -0.0 stat ambiguity). Ranges ride the same
+    * helpers skipping uses, NaN guards included: GreaterThan-family stays
+    * sound with NaN present (NaN orders above everything so NaN rows
+    * match), LessThan-family refuses NaN-carrying chunks via the helper.
+    */
+  private def statsAllSatisfy(dt: DataType, m: BtrFile.ColumnChunkMeta, f: Filter): Boolean = {
+    def allEq(v: Any): Boolean = m.statsKind match {
+      case 1 =>
+        val x = if (dt.isInstanceOf[DecimalType]) decimalLit(v, dt) else toLongLit(v)
+        m.minLong == x && m.maxLong == x
+      case 3 =>
+        val x = toBytesLit(v)
+        m.minBytes != null && m.maxBytes != null &&
+          cmpBytes(m.minBytes, x) == 0 && cmpBytes(m.maxBytes, x) == 0
+      case _ => false
+    }
+    f match {
+      case EqualTo(_, v) => allEq(v)
+      case EqualNullSafe(_, v) if v != null => allEq(v)
+      case GreaterThan(_, v) => minAboveOrEq(m, dt, v, strict = false)
+      case GreaterThanOrEqual(_, v) => minAboveOrEq(m, dt, v, strict = true)
+      case LessThan(_, v) => maxBelowOrEq(m, dt, v, strict = false)
+      case LessThanOrEqual(_, v) => maxBelowOrEq(m, dt, v, strict = true)
+      case In(_, vs) => vs.exists(v => v != null && allEq(v))
+      case StringStartsWith(_, p) =>
+        // every value in [p, increment(p)) starts with p (byte order); a
+        // null upper bound (all-0xFF prefix) means every string >= p does
+        m.statsKind == 3 && m.minBytes != null && m.maxBytes != null && {
+          val pb = p.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val ub = prefixUpperBound(pb)
+          cmpBytes(m.minBytes, pb) >= 0 && (ub == null || cmpBytes(m.maxBytes, ub) < 0)
+        }
+      case _ => false
+    }
   }
 
   /** Equality pruning beyond min/max: the chunk's split-block bloom

@@ -286,13 +286,14 @@ class BtrBatchWrite(path: String, schema: StructType, mode: BtrOverwriteMode, bl
         }
       case BtrOverwriteMode.ByFilter(filters) =>
         // delete the PRE-EXISTING rows matching the condition; this
-        // write's own files are insert data and never candidates. The
+        // write's own files are insert data and never candidates (excluded
+        // before classification, so they cost no footer reads either). The
         // build-time canDelete probe makes an Undecided verdict here rare
         // (a concurrent append since then) — it still aborts cleanly, and
         // Spark's abort removes the new files, leaving the table untouched
         BtrTableMeta.completeSwapJournals(fs, dir)
-        val verdicts = BtrDelete.classify(fs, dir, schema, partCols, filters)
-          .filterNot { case (e, _) => isNew(e.path) }
+        val verdicts = BtrDelete.classify(fs, dir, schema, partCols, filters,
+          exclude = e => isNew(e.path))
         val undecided = verdicts.collect { case (e, BtrDelete.Undecided) => e.path.getName }
         if (undecided.nonEmpty)
           throw new IllegalStateException(
@@ -317,6 +318,11 @@ class BtrBatchWrite(path: String, schema: StructType, mode: BtrOverwriteMode, bl
         }
       case BtrOverwriteMode.Append => ()
     }
+    // every replacing mode can empty partition directories (truncate with
+    // a different partition mix, by-filter, dynamic with an empty insert);
+    // sweep them like DELETE does so the same operation expressed either
+    // way leaves the same layout
+    if (mode != BtrOverwriteMode.Append) BtrDelete.deleteEmptyPartitionDirs(fs, dir)
     BtrTableMeta.write(fs, dir,
       if (truncate) schema else BtrWriteSchemas.widened(fs, dir, schema),
       blockSize, cascade, partCols)

@@ -67,7 +67,10 @@ class BtrDeleteSpec extends AnyFunSuite {
         ("v IS NULL", c => c.isNull),
         ("v IS NOT NULL", c => c.isNotNull),
         ("v < 60 OR v >= 180", c => c < 60 || c >= 180),
-        ("v >= 0 AND v < 500", c => c >= 0 && c < 500))
+        ("v >= 0 AND v < 500", c => c >= 0 && c < 500),
+        ("v <> 42", c => c =!= 42),
+        ("v NOT IN (40, 41, 42)", c => !c.isin(40, 41, 42)),
+        ("NOT (v < 120)", c => !(c < 120)))
       val (predSql, predCol) = preds(rnd.nextInt(preds.length))
       val before = spark.read.format("btr").load(p)
         .collect().map(_.toString).sorted.toSeq
@@ -97,6 +100,18 @@ class BtrDeleteSpec extends AnyFunSuite {
     assert(back.select("k").distinct().as[String].collect().sorted.toSeq == Seq("k0", "k2"))
     // the emptied directory is gone, not just empty
     assert(!new java.io.File(p, "k=k1").exists())
+  }
+
+  test("SQL DELETE with NOT / <> on a partition column stays metadata-only") {
+    val p = tmp("part_not_delete")
+    (0 until 300).map(i => (s"k${i % 3}", i.toLong)).toDF("k", "v")
+      .write.format("btr").partitionBy("k").mode("overwrite").save(p)
+    spark.sql(s"DELETE FROM graft.`$p` WHERE k <> 'k1'")
+    val back = spark.read.format("btr").load(p)
+    assert(back.select("k").distinct().as[String].collect().toSeq == Seq("k1"))
+    assert(back.count() == 100)
+    spark.sql(s"DELETE FROM graft.`$p` WHERE k NOT IN ('nope')")
+    assert(spark.read.format("btr").load(p).count() == 0)
   }
 
   test("SQL DELETE on a data predicate aligned with file stats") {
