@@ -159,6 +159,28 @@ object CoreQueries {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
+    // Q-dml: metadata-level DELETE through the SQL surface — a private
+    // copy of lineitem is partitioned by returnflag, `DELETE ... WHERE
+    // l_returnflag = 'R'` drops those directories via the path catalog,
+    // and the surviving table must agree with DuckDB over the complement
+    // predicate. Sentinel-marked build (write + delete is two steps)
+    "q_dml_delete" -> ((s, d) => {
+      val dir = Btr.cachePath(d, "lineitem_dml")
+      val done = new java.io.File(dir, "_dml_complete")
+      if (!done.exists()) {
+        Btr.pq(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_returnflag"))
+          .write.format("btr").partitionBy("l_returnflag").mode("overwrite").save(dir)
+        s.conf.set("spark.sql.catalog.graft", classOf[graft.sources.BtrCatalog].getName)
+        s.sql(s"DELETE FROM graft.`$dir` WHERE l_returnflag = 'R'")
+        java.nio.file.Files.createFile(done.toPath)
+      }
+      s.read.format("btr").load(dir)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+
     // Q-spj: join two btr tables ON their shared partition key — with
     // v2.bucketing enabled (the Verify session does), both sides report
     // KeyGroupedPartitioning and the join plans over key-grouped splits,
@@ -612,6 +634,10 @@ object CoreQueries {
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem
         |WHERE l_returnflag = 'A' AND l_quantity >= 25 AND l_linenumber <= 3
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_dml_delete" ->
+      """SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem WHERE l_returnflag <> 'R'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_spj_share" ->
       """WITH q AS (
         |  SELECT l_returnflag, l_linestatus,
