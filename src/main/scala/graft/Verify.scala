@@ -18,6 +18,9 @@ object Verify {
       // query in the gate then runs through the grouped-split path, so a
       // planning bug there would break oracle green, not just a plan spec
       .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      // ...and the partition-key ordering that grouping preserves (rows in
+      // a key group share one key), so SPJ sort-merge joins skip sorts
+      .config("spark.sql.sources.v2.bucketing.sorting.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

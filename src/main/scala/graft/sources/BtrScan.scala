@@ -166,7 +166,8 @@ class BtrScan(
     with Batch
     with SupportsRuntimeFiltering
     with SupportsReportStatistics
-    with SupportsReportPartitioning {
+    with SupportsReportPartitioning
+    with SupportsReportOrdering {
 
   /** Footer column layout: the table schema minus partition columns
     * (partition values live in directory names, not data files).
@@ -246,6 +247,25 @@ class BtrScan(
         org.apache.spark.sql.connector.expressions.Expressions.identity(n):
           org.apache.spark.sql.connector.expressions.Expression).toArray,
       0)
+  }
+
+  /** Within any one split the partition key is CONSTANT (a split never
+    * crosses a hive directory, and key-grouped regrouping only merges
+    * splits of the SAME key), and a constant sequence is sorted under any
+    * direction — so a partitioned scan reports ordering by its partition
+    * columns for free. The payoff: a sort-merge join over the
+    * storage-partitioned path drops its per-partition SortExec on both
+    * sides (sorting rows by a value that never changes inside the
+    * partition), making SPJ zero-shuffle AND zero-sort; `GROUP BY` the
+    * partition key via sort-based aggregation skips the same way.
+    */
+  override def outputOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    if (partCols.isEmpty || !partCols.forall(requiredSchema.fieldNames.contains))
+      return Array.empty
+    partCols.map(c =>
+      org.apache.spark.sql.connector.expressions.Expressions.sort(
+        org.apache.spark.sql.connector.expressions.Expressions.column(c),
+        org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)).toArray
   }
 
   // runtime filters (e.g. IN-sets of join keys from a filtered broadcast

@@ -30,15 +30,25 @@ class StoragePartitionJoinSpec extends AnyFunSuite with AdaptiveSparkPlanHelper 
   // mode is scoped per test body instead of set on the builder (where it
   // would leak into every later suite's plan assertions)
   private def withSpj[T](extra: (String, String)*)(body: => T): T =
-    withConf(((("spark.sql.sources.v2.bucketing.enabled" -> "true")) +: extra): _*)(body)
+    withConf((Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      // rows inside a key-grouped partition are trivially sorted by the
+      // (constant) partition key; with this on Spark uses that ordering
+      // and SMJ over SPJ drops its sorts too
+      "spark.sql.sources.v2.bucketing.sorting.enabled" -> "true") ++ extra): _*)(body)
 
   test("co-partitioned btr tables join with zero shuffle") {
     val facts = (0 until 2000).map(i => (s"k${i % 5}", i.toLong, i * 1.5))
       .toDF("k", "id", "v")
     val dims = (0 until 50).map(i => (s"k${i % 5}", s"name-$i"))
       .toDF("k", "name")
-    facts.write.format("btr").partitionBy("k").mode("overwrite").save(tmp("facts"))
-    dims.write.format("btr").partitionBy("k").mode("overwrite").save(tmp("dims"))
+    // repartition by the partition column → one file per partition dir
+    // (the layout compaction converges to): Spark only trusts reported
+    // ordering when each key group is a single split
+    facts.repartition($"k").write.format("btr").partitionBy("k").mode("overwrite")
+      .save(tmp("facts"))
+    dims.repartition($"k").write.format("btr").partitionBy("k").mode("overwrite")
+      .save(tmp("dims"))
 
     val fb = spark.read.format("btr").load(tmp("facts"))
     val db = spark.read.format("btr").load(tmp("dims"))
@@ -60,6 +70,12 @@ class StoragePartitionJoinSpec extends AnyFunSuite with AdaptiveSparkPlanHelper 
       val shuffles = collect(plan) { case e: ShuffleExchangeExec => e }
       assert(shuffles.isEmpty,
         s"expected a storage-partitioned join with zero shuffles, got ${shuffles.length}:\n$plan")
+      // the scan reports ordering by the (constant-per-split) partition
+      // key, so a sort-merge join here must also skip both SortExecs —
+      // SPJ is zero-shuffle AND zero-sort
+      val sorts = collect(plan) { case s: org.apache.spark.sql.execution.SortExec => s }
+      assert(sorts.isEmpty,
+        s"expected the reported partition-key ordering to elide join sorts:\n$plan")
     }
   }
 
