@@ -37,11 +37,19 @@ class BtrCatalog extends TableCatalog {
   override def name(): String = catalogName
 
   private def pathOf(ident: Identifier): String = {
-    val joined = (ident.namespace().toSeq :+ ident.name()).mkString("/")
     // absolute: a rooted local path OR a scheme-qualified URI (s3a://…,
     // hdfs://…) — resolving a URI under the warehouse would silently send
     // DML to a literal "s3a:" directory on the default filesystem
-    if (joined.startsWith("/") || joined.contains("://")) joined
+    def abs(s: String) = s.startsWith("/") || s.contains("://")
+    val parts = ident.namespace().toSeq :+ ident.name()
+    val joined = parts.mkString("/")
+    if (abs(joined)) joined
+    // RENAME TO targets reach the catalog with the catalog name still in
+    // the identifier ("graft"."/tmp/x"); strip it when what remains is an
+    // absolute path (a RELATIVE name that happens to start with the
+    // catalog's name stays intact)
+    else if (parts.length > 1 && parts.head == catalogName && abs(parts.tail.mkString("/")))
+      parts.tail.mkString("/")
     else warehouse match {
       case Some(w) => s"$w/$joined"
       case None => throw new IllegalArgumentException(

@@ -178,6 +178,17 @@ class BtrDeleteSpec extends AnyFunSuite {
     assert(!new java.io.File(p).exists())
   }
 
+  test("ALTER TABLE RENAME moves the table directory") {
+    val src = tmp("ren_src")
+    val dst = tmp("ren_dst")
+    new scala.reflect.io.Directory(new java.io.File(dst)).deleteRecursively()
+    (0 until 20).map(i => (i.toLong, s"r$i")).toDF("v", "s")
+      .write.format("btr").mode("overwrite").save(src)
+    spark.sql(s"ALTER TABLE graft.`$src` RENAME TO graft.`$dst`")
+    assert(!new java.io.File(src).exists())
+    assert(spark.table(s"graft.`$dst`").count() == 20)
+  }
+
   test("static overwrite still truncates the whole table") {
     val p = tmp("static_overwrite")
     (0 until 300).map(i => (s"k${i % 3}", i.toLong)).toDF("k", "v")
