@@ -178,6 +178,14 @@ class BtrDeleteSpec extends AnyFunSuite {
     assert(!new java.io.File(p).exists())
   }
 
+  test("TRUNCATE TABLE empties through the catalog") {
+    val p = tmp("truncate_sql")
+    (0 until 40).map(i => (i.toLong, s"r$i")).toDF("v", "s")
+      .write.format("btr").mode("overwrite").save(p)
+    spark.sql(s"TRUNCATE TABLE graft.`$p`")
+    assert(spark.table(s"graft.`$p`").count() == 0)
+  }
+
   test("ALTER TABLE RENAME moves the table directory") {
     val src = tmp("ren_src")
     val dst = tmp("ren_dst")

@@ -98,6 +98,42 @@ class StoragePartitionJoinSpec extends AnyFunSuite with AdaptiveSparkPlanHelper 
     }
   }
 
+  test("joining an unpartitioned side shuffles ONLY that side to the key-grouped layout") {
+    val facts = (0 until 3000).map(i => (s"k${i % 4}", i.toLong)).toDF("k", "id")
+    facts.repartition($"k").write.format("btr").partitionBy("k").mode("overwrite")
+      .save(tmp("facts_one_sided"))
+    val small = (0 until 40).map(i => (s"k${i % 4}", s"n$i")).toDF("k", "name")
+    small.write.format("btr").mode("overwrite").save(tmp("small_flat"))
+    val fb = spark.read.format("btr").load(tmp("facts_one_sided"))
+    val sb = spark.read.format("btr").load(tmp("small_flat"))
+    withSpj(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      // shuffle the OTHER side into our reported key-grouped layout
+      // instead of shuffling both sides to a hash partitioning — at scale
+      // this is "the 100 TB fact table never moves"
+      "spark.sql.sources.v2.bucketing.shuffle.enabled" -> "true") {
+      val q = fb.join(sb, Seq("k"))
+      val got = q.groupBy("k").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val want = facts.join(small, Seq("k")).groupBy("k").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == want)
+      val plan = { q.collect(); q.queryExecution.executedPlan }
+      val shuffles = collect(plan) { case e: ShuffleExchangeExec => e }
+      assert(shuffles.length == 1,
+        s"expected exactly one shuffle (the unpartitioned side), got ${shuffles.length}:\n$plan")
+      // and it must not be the fact side: no shuffle sits above the
+      // partitioned table's scan
+      shuffles.foreach { e =>
+        val factScans = collect(e.child) {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+            if b.toString.contains("facts_one_sided") => b
+        }
+        assert(factScans.isEmpty, s"the partitioned fact side must not shuffle:\n$plan")
+      }
+    }
+  }
+
   test("results stay exact when one side is missing a partition") {
     val left = Seq(("a", 1L), ("b", 2L), ("c", 3L)).toDF("k", "lv")
     val right = Seq(("a", 10L), ("b", 20L)).toDF("k", "rv") // no "c"
