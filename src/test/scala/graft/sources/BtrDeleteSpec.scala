@@ -90,6 +90,46 @@ class BtrDeleteSpec extends AnyFunSuite {
     }
   }
 
+  test("fuzz: partitioned DELETE with mixed partition+data predicates") {
+    // the holds(partition) × allMatch(data) interplay inside one
+    // conjunction — the layer mix where a wrong verdict is data loss
+    val rnd = new scala.util.Random(0xCAFE17)
+    for (iter <- 0 until 6) {
+      val p = tmp(s"pfuzz_$iter")
+      val nKeys = 2 + rnd.nextInt(3)
+      val rows = (0 until 200 + rnd.nextInt(200)).map { i =>
+        (s"g${i % nKeys}", i.toLong, if (rnd.nextInt(12) == 0) None else Some(i % 50))
+      }
+      rows.toDF("k", "v", "w")
+        .repartition(col("k")).write.format("btr").partitionBy("k")
+        .mode("overwrite").save(p)
+      val preds = Seq[(String, org.apache.spark.sql.DataFrame => org.apache.spark.sql.Column)](
+        ("k = 'g0'", d => d("k") === "g0"),
+        ("k <> 'g1'", d => d("k") =!= "g1"),
+        ("k IN ('g0', 'g2')", d => d("k").isin("g0", "g2")),
+        ("k = 'g0' AND v >= 0", d => d("k") === "g0" && d("v") >= 0),
+        ("k = 'g1' AND w < 100", d => d("k") === "g1" && d("w") < 100),
+        ("k = 'g0' OR k = 'g1'", d => d("k") === "g0" || d("k") === "g1"),
+        ("k = 'g0' AND v = 7", d => d("k") === "g0" && d("v") === 7))
+      val (predSql, predCol) = preds(rnd.nextInt(preds.length))
+      val before = spark.read.format("btr").load(p)
+        .select("k", "v", "w").collect().map(_.toString).sorted.toSeq
+      val accepted =
+        try { spark.sql(s"DELETE FROM graft.`$p` WHERE $predSql"); true }
+        catch { case _: Exception => false }
+      val after = spark.read.format("btr").load(p)
+        .select("k", "v", "w").collect().map(_.toString).sorted.toSeq
+      val df = rows.toDF("k", "v", "w")
+      if (accepted) {
+        val expected = df.filter(!coalesce(predCol(df), lit(false)))
+          .select("k", "v", "w").collect().map(_.toString).sorted.toSeq
+        assert(after == expected, s"iter=$iter pred=$predSql accepted but wrong rows")
+      } else {
+        assert(after == before, s"iter=$iter pred=$predSql refused but table changed")
+      }
+    }
+  }
+
   test("SQL DELETE on a partition predicate drops whole directories") {
     val p = tmp("part_delete")
     (0 until 300).map(i => (s"k${i % 3}", i.toLong)).toDF("k", "v")
