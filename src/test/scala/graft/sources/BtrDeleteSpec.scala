@@ -167,6 +167,20 @@ class BtrDeleteSpec extends AnyFunSuite {
     assert(left.toSeq == (100L until 200L))
   }
 
+  test("retention DELETE on a date-partitioned table") {
+    val p = tmp("date_retention")
+    val days = (0 until 10).flatMap { d =>
+      (0 until 20).map(i => (java.sql.Date.valueOf(java.time.LocalDate.of(2026, 1, 1).plusDays(d)), d * 100L + i))
+    }
+    days.toDF("dt", "v")
+      .write.format("btr").partitionBy("dt").mode("overwrite").save(p)
+    spark.sql(s"DELETE FROM graft.`$p` WHERE dt < DATE '2026-01-05'")
+    val back = spark.read.format("btr").load(p)
+    assert(back.count() == 120) // 6 of 10 days survive
+    assert(back.agg(min($"dt")).collect()(0).getDate(0).toString == "2026-01-05")
+    assert(!new java.io.File(p, "dt=2026-01-01").exists())
+  }
+
   test("DELETE that would split a file is refused, data intact") {
     val p = tmp("split_refused")
     (0 until 200).map(i => (i.toLong, s"r$i")).toDF("v", "s")
