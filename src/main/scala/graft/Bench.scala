@@ -124,9 +124,46 @@ object Bench {
         try src.mkString.trim.split("\\s+").take(3).mkString(" ")
         finally src.close()
       } catch { case _: Throwable => "" }
+    def load1(): Double =
+      loadavg().split(" ").headOption.flatMap(s => scala.util.Try(s.toDouble).toOption)
+        .getOrElse(0.0)
+
+    // ---- noise defenses ------------------------------------------------
+    // min-of-reps defends against scheduler jitter but NOT sustained box
+    // load: rounds 8 and 9 both committed artifacts recorded at loadavg
+    // 2.4-2.6 that overstated real times 2-8×. Two layers fix that:
+    // (1) before timing anything, wait (bounded) for the 1-min loadavg to
+    //     drop below a threshold — an idle box is a precondition of a
+    //     meaningful wall-clock number, not a nice-to-have;
+    // (2) after the loop, any query whose min still exceeds 3× its
+    //     previous committed min (read from the newest BENCH_r*.json) gets
+    //     re-measured and keeps the better time — a genuine regression
+    //     reproduces, a load spike doesn't.
+    val loadLimit = sys.env.getOrElse("SPARK_GRAFT_LOAD_LIMIT", "1.5").toDouble
+    val loadWaitMax = sys.env.getOrElse("SPARK_GRAFT_LOAD_WAIT_SEC", "300").toLong
+    val waitStart = System.nanoTime()
+    var loadWaited = 0.0
+    while (load1() >= loadLimit && loadWaited < loadWaitMax) {
+      Thread.sleep(5000)
+      loadWaited = (System.nanoTime() - waitStart) / 1e9
+    }
+    // previous committed per-query mins (newest BENCH_r*.json in the repo)
+    val refMins: Map[String, Double] = {
+      val dir = new java.io.File(sys.env.getOrElse("SPARK_GRAFT_BENCH_REF_DIR", "/root/repo"))
+      val refFile = Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.matches("BENCH_r\\d+\\.json")).sortBy(_.getName).lastOption
+      refFile.map { f =>
+        val src = scala.io.Source.fromFile(f)
+        val text = try src.mkString finally src.close()
+        val qs = text.indexOf("\"queries\"")
+        val body = if (qs < 0) "" else text.substring(qs, math.max(qs, text.indexOf('}', qs) + 1))
+        "\"([A-Za-z0-9_]+)\":([0-9.]+)".r.findAllMatchIn(body)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap - "queries"
+      }.getOrElse(Map.empty)
+    }
     val loadBefore = loadavg()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t = (1 to reps).map { _ =>
+    def timeQuery(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double =
+      (1 to reps).map { _ =>
         secs {
           try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
           catch {
@@ -136,7 +173,17 @@ object Bench {
           }
         }
       }.min
-      name -> t
+    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> timeQuery(name, fn)
+    }
+    // second chance for load-spiked outliers; keep the better measurement
+    var rechecked = 0
+    val results = firstPass.map { case (name, t) =>
+      val ref = refMins.getOrElse(name, Double.MaxValue)
+      if (t > 3 * ref) {
+        rechecked += 1
+        name -> math.min(t, timeQuery(name, SparkEntry.queries(name)))
+      } else name -> t
     }
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
@@ -148,7 +195,7 @@ object Bench {
       if (tryallBytes > 0) sampleLineitemBytes.toDouble / tryallBytes else 0.0
     val loadAfter = loadavg()
     val extras =
-      f""""write_sec":$writeSec%.3f,"scan_sec":$scanSec%.3f,"parquet_bytes":$inputBytes,"btr_bytes":$btrBytes,"parquet_over_btr_ratio":$ratio%.3f,"tryall_write_sec":$tryallSec%.3f,"tryall_bytes":$tryallBytes,"sample_over_tryall_bytes":$selQuality%.3f,"reps":$reps,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter""""
+      f""""write_sec":$writeSec%.3f,"scan_sec":$scanSec%.3f,"parquet_bytes":$inputBytes,"btr_bytes":$btrBytes,"parquet_over_btr_ratio":$ratio%.3f,"tryall_write_sec":$tryallSec%.3f,"tryall_bytes":$tryallBytes,"sample_over_tryall_bytes":$selQuality%.3f,"reps":$reps,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","load_waited_sec":$loadWaited%.1f,"outliers_rechecked":$rechecked"""
     val line =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,$extras,"sf":"$sfDir"}"""
     println(line)

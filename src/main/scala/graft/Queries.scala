@@ -181,6 +181,91 @@ object CoreQueries {
         .orderBy("l_returnflag")
     }),
 
+    // Q-dml-rowlevel: DELETE whose predicate SPLITS files — the group-based
+    // copy-on-write path (BtrRowLevelOperation): files with no matching row
+    // stay untouched, the rest are rewritten without the deleted rows, and
+    // the survivors must agree with DuckDB over the complement predicate
+    "q_dml_delete_rowlevel" -> ((s, d) => {
+      val dir = Btr.cachePath(d, "lineitem_dml_rl")
+      val done = new java.io.File(dir, "_dml_complete")
+      if (!done.exists()) {
+        Btr.pq(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_returnflag"))
+          .repartition(4)
+          .write.format("btr").mode("overwrite").save(dir)
+        s.conf.set("spark.sql.catalog.graft", classOf[graft.sources.BtrCatalog].getName)
+        s.sql(s"DELETE FROM graft.`$dir` WHERE l_quantity < 10")
+        java.nio.file.Files.createFile(done.toPath)
+      }
+      s.read.format("btr").load(dir)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("l_quantity") * 100).cast("long")).as("sum_qc"),
+          countDistinct(col("l_orderkey")).as("n_orders"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Q-dml-update: SQL UPDATE with a predicate that splits files — the
+    // same copy-on-write rewrite, verified end-to-end against a CASE
+    // expression in DuckDB (quantities quantize to cent-longs for exact
+    // cross-engine sums)
+    "q_dml_update" -> ((s, d) => {
+      val dir = Btr.cachePath(d, "lineitem_dml_upd")
+      val done = new java.io.File(dir, "_dml_complete")
+      if (!done.exists()) {
+        Btr.pq(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_returnflag"))
+          .repartition(4)
+          .write.format("btr").mode("overwrite").save(dir)
+        s.conf.set("spark.sql.catalog.graft", classOf[graft.sources.BtrCatalog].getName)
+        s.sql(s"UPDATE graft.`$dir` SET l_quantity = l_quantity + 100 " +
+          "WHERE l_returnflag = 'R' AND l_linenumber <= 2")
+        java.nio.file.Files.createFile(done.toPath)
+      }
+      s.read.format("btr").load(dir)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("l_quantity") * 100).cast("long")).as("sum_qc"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Q-dml-merge: MERGE INTO with matched-UPDATE and not-matched-INSERT —
+    // source rows with positive ids update existing orders, negated ids
+    // insert new rows; the merged table must agree with DuckDB's
+    // LEFT JOIN + UNION formulation of the same merge
+    "q_dml_merge" -> ((s, d) => {
+      val dir = Btr.cachePath(d, "orders_dml_merge")
+      val done = new java.io.File(dir, "_dml_complete")
+      if (!done.exists()) {
+        Btr.pq(s, d, "orders")
+          .select(col("o_orderkey"),
+            round(col("o_totalprice") * 100).cast("long").as("price_qc"),
+            col("o_orderstatus"))
+          .repartition(4)
+          .write.format("btr").mode("overwrite").save(dir)
+        s.conf.set("spark.sql.catalog.graft", classOf[graft.sources.BtrCatalog].getName)
+        // orderkey 0 would collide with its own negation as an insert id
+        val src0 = Btr.pq(s, d, "lineitem")
+          .filter(col("l_orderkey") % 4 === 0 && col("l_orderkey") =!= 0)
+          .groupBy(col("l_orderkey").as("id"))
+          .agg(sum(round(col("l_quantity") * 100).cast("long")).as("qc"))
+        src0.select(col("id"), col("qc"))
+          .unionAll(src0.select((-col("id")).as("id"), col("qc")))
+          .createOrReplaceTempView("dml_merge_src")
+        s.sql(
+          s"""MERGE INTO graft.`$dir` t USING dml_merge_src s ON t.o_orderkey = s.id
+             |WHEN MATCHED THEN UPDATE SET price_qc = s.qc
+             |WHEN NOT MATCHED THEN INSERT (o_orderkey, price_qc, o_orderstatus)
+             |  VALUES (s.id, s.qc, 'X')""".stripMargin)
+        java.nio.file.Files.createFile(done.toPath)
+      }
+      s.read.format("btr").load(dir)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("price_qc")).as("sum_qc"),
+          countDistinct(col("o_orderkey")).as("n_keys"))
+        .orderBy("o_orderstatus")
+    }),
+
     // Q-spj: join two btr tables ON their shared partition key — with
     // v2.bucketing enabled (the Verify session does), both sides report
     // KeyGroupedPartitioning and the join plans over key-grouped splits,
@@ -550,6 +635,36 @@ object CoreQueries {
         .orderBy("hour_s", "event_type")
     }),
 
+    // Q-ts-partition: hour-grain TIMESTAMP partition column end-to-end —
+    // events land in ts_hour=<UTC instant> directories (the layout an
+    // event-retention pipeline uses), partition values synthesize back on
+    // read, and the per-hour aggregate must match DuckDB over the raw
+    // table (values quantize to cent-longs; ts stays exact via integer
+    // nanos→micros division)
+    "q_ts_partition" -> ((s, d) => {
+      val dir = Btr.cachePath(d, "events_by_hour")
+      if (!new java.io.File(dir, "_btr_meta.json").exists()) {
+        Btr.pq(s, d, "events")
+          .select(
+            date_trunc("hour", timestamp_micros(expr("ts div 1000"))).as("ts_hour"),
+            col("event_type"), col("value"))
+          // contiguous hour ranges per task keep each writer under the
+          // open-partition cap regardless of the session's shuffle
+          // partition count (hash repartition at 4 partitions would put
+          // ~180 distinct hours in one task)
+          .repartitionByRange(32, col("ts_hour"))
+          .write.format("btr").partitionBy("ts_hour").mode("overwrite").save(dir)
+      }
+      s.read.format("btr").load(dir)
+        .filter(col("event_type") =!= "view")
+        .groupBy(col("ts_hour"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("sum_vc"))
+        .select(date_format(col("ts_hour"), "yyyy-MM-dd HH:00").as("hour_s"),
+          col("n"), col("sum_vc"))
+        .orderBy("hour_s")
+    }),
+
     // Q-asof: for each click, the latest prior view by the same user —
     // DuckDB's ASOF LEFT JOIN, realized as one key-shuffle union+window
     // (ts is raw nanos on both sides, so the comparison is exact)
@@ -638,6 +753,33 @@ object CoreQueries {
       """SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
         |FROM lineitem WHERE l_returnflag <> 'R'
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_dml_delete_rowlevel" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qc,
+        | count(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem WHERE l_quantity >= 10
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_dml_update" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | CAST(sum(CAST(round((CASE WHEN l_returnflag = 'R' AND l_linenumber <= 2
+        |   THEN l_quantity + 100 ELSE l_quantity END) * 100) AS BIGINT)) AS BIGINT) AS sum_qc
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_dml_merge" ->
+      """WITH src0 AS (
+        |  SELECT l_orderkey AS id,
+        |    CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qc
+        |  FROM lineitem WHERE l_orderkey % 4 = 0 AND l_orderkey <> 0 GROUP BY 1),
+        |src AS (SELECT id, qc FROM src0 UNION ALL SELECT -id, qc FROM src0),
+        |merged AS (
+        |  SELECT o.o_orderkey AS k, o.o_orderstatus AS st,
+        |    COALESCE(s.qc, CAST(round(o.o_totalprice * 100) AS BIGINT)) AS qc
+        |  FROM orders o LEFT JOIN src s ON o.o_orderkey = s.id
+        |  UNION ALL
+        |  SELECT s.id AS k, 'X' AS st, s.qc
+        |  FROM src s WHERE s.id NOT IN (SELECT o_orderkey FROM orders))
+        |SELECT st AS o_orderstatus, count(*) AS n, CAST(sum(qc) AS BIGINT) AS sum_qc,
+        |  count(DISTINCT k) AS n_keys
+        |FROM merged GROUP BY st ORDER BY st""".stripMargin,
     "q_spj_share" ->
       """WITH q AS (
         |  SELECT l_returnflag, l_linestatus,
@@ -822,6 +964,12 @@ object CoreQueries {
       """SELECT strftime(ts, '%Y-%m-%d %H:00') AS hour_s, event_type,
         | count(*) AS n, round(sum(value), 2) AS sum_v
         |FROM events GROUP BY 1, 2 ORDER BY hour_s, event_type""".stripMargin,
+    "q_ts_partition" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour_s,
+        | count(*) AS n,
+        | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_vc
+        |FROM events WHERE event_type <> 'view'
+        |GROUP BY 1 ORDER BY hour_s""".stripMargin,
     "q_asof_join" ->
       """SELECT l.event_id, l.user_id, r.view_id AS asof_view_id,
         | round(r.value, 2) AS asof_value

@@ -407,6 +407,20 @@ object DoubleCodec {
     out
   }
 
+  /** Top-level DICT chunk as (raw-bits entries, codes) — same lazy
+    * dictionary contract as [[IntCodec.decodeDictView]]; entries stay as
+    * the stored long bits (the vector dictionary converts on access).
+    * Returns null (with `in` unadvanced) for every other scheme.
+    */
+  def decodeDictView(in: BufReader, count: Int): IntCodec.DictView = {
+    val probe = in.duplicate()
+    if (probe.getByte() != Dict) return null
+    val dictSize = probe.getInt()
+    val bits = probe.getLongs(dictSize)
+    val codes = IntCodec.decode(probe, count)
+    new IntCodec.DictView(bits, codes)
+  }
+
   def decodeInto(in: BufReader, count: Int, out: Array[Double]): Unit = {
     in.getByte() match {
       case Uncompressed =>

@@ -32,8 +32,12 @@ object BtrFile {
   // float→double) reads old narrow files under the widened table schema
   // by decoding with the file's own tag and upcasting. Readers validate
   // the header version and fail cleanly on files written by a different
-  // layout.
+  // layout — except version 4, which differs from 5 ONLY by the absent
+  // colTags bytes: v4 files parse with colTags = null (tagOf then reports
+  // "same as logical type"), so pre-widening tables stay readable without
+  // a rewrite. Writers always emit the current version.
   val Version = 5
+  private val MinReadVersion = 4
   val DefaultBlockSize = 65536 // tuples per chunk, btrblocks.hpp:24
   val DefaultCascadeDepth = 3 // btrblocks.hpp:31,37,43
 
@@ -138,10 +142,10 @@ object BtrFile {
   def readFooter(bytes: Array[Byte]): Footer = {
     val len = bytes.length
     require(len > 16, "btr file too short")
-    checkHeader(new BufReader(bytes, 0, 8), "<in-memory>")
+    val v = checkHeader(new BufReader(bytes, 0, 8), "<in-memory>")
     val tail = new BufReader(bytes, len - 8, len)
     val footerLen = tail.getInt()
-    parseFooterBody(new BufReader(bytes, len - 8 - footerLen, len - 8))
+    parseFooterBody(new BufReader(bytes, len - 8 - footerLen, len - 8), v)
   }
 
   /** Validate the 8-byte header [magic][u32 version] a writer emits first
@@ -149,14 +153,16 @@ object BtrFile {
     * mismatch means the footer layout differs — fail with a clear message
     * instead of mis-decoding stats.
     */
-  private def checkHeader(hr: BufReader, file: Any): Unit = {
+  private def checkHeader(hr: BufReader, file: Any): Int = {
     require(
       java.util.Arrays.equals(hr.getBytes(4), Magic),
       s"not a btr file (bad header magic): $file")
     val b = hr.getBytes(4)
     val v = ((b(0) & 0xff) << 24) | ((b(1) & 0xff) << 16) | ((b(2) & 0xff) << 8) | (b(3) & 0xff)
-    require(v == Version,
-      s"unsupported btr format version $v (this build reads version $Version): $file")
+    require(v >= MinReadVersion && v <= Version,
+      s"unsupported btr format version $v (this build reads versions " +
+        s"$MinReadVersion-$Version): $file")
+    v
   }
 
   /** Footer-only read: positioned-read the 8-byte tail (footerLen + magic)
@@ -188,7 +194,7 @@ object BtrFile {
     try {
       val head = new Array[Byte](8)
       in.readFully(0L, head)
-      checkHeader(new BufReader(head), file)
+      val v = checkHeader(new BufReader(head), file)
       val tail = new Array[Byte](8)
       in.readFully(fileLen - 8L, tail)
       val tr = new BufReader(tail)
@@ -199,16 +205,18 @@ object BtrFile {
       require(footerLen > 0 && footerLen <= fileLen - 16, s"bad footerLen $footerLen in $file")
       val buf = new Array[Byte](footerLen)
       in.readFully(fileLen - 8L - footerLen, buf)
-      parseFooterBody(new BufReader(buf))
+      parseFooterBody(new BufReader(buf), v)
     } finally in.close()
   }
 
-  private[format] def parseFooterBody(in: BufReader): Footer = {
+  private[format] def parseFooterBody(in: BufReader, version: Int = Version): Footer = {
     val numRg = in.getInt()
     val numCols = in.getInt()
-    val colTags = new Array[Int](numCols)
+    // v4 footers predate per-column physical tags; null means "physical
+    // type equals the logical type" everywhere (tagOf's default)
+    val colTags = if (version < 5) null else new Array[Int](numCols)
     var tc = 0
-    while (tc < numCols) { colTags(tc) = in.getByte(); tc += 1 }
+    while (colTags != null && tc < numCols) { colTags(tc) = in.getByte(); tc += 1 }
     val rgs = new Array[RowGroupMeta](numRg)
     var g = 0
     while (g < numRg) {
@@ -648,10 +656,13 @@ object BtrTableMeta {
         else g.finals.foreach(f => fs.delete(new Path(dir, f), false))
         forward
       }
-      if (completed.nonEmpty) {
-        val id = journal.getName.stripPrefix(SwapPrefix).stripSuffix(".json")
+      val id = journal.getName.stripPrefix(SwapPrefix).stripSuffix(".json")
+      // "nm-" journals (DML replacements: DELETE/UPDATE/MERGE/overwrite)
+      // retire WITHOUT a done-marker — the swap is not row-preserving, so
+      // a tailing stream must treat the finals as new data, never as
+      // compaction merges of rows it already emitted
+      if (completed.nonEmpty && !id.startsWith("nm-"))
         writeJournalFile(fs, root, s"$DonePrefix$id.json", completed)
-      }
       fs.delete(journal, false)
     }
   }

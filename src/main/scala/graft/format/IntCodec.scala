@@ -518,6 +518,25 @@ object IntCodec {
     out
   }
 
+  /** Numeric dictionary view: distinct entries + per-row codes. */
+  final class DictView(val entries: Array[Long], val codes: Array[Long])
+
+  /** A top-level DICT chunk as (entries, codes) — no per-row value
+    * materialization; the scan hands Spark a dictionary-encoded
+    * ColumnVector (ids only) and values resolve lazily on access, so
+    * rows a late-materialization filter rejects never touch the entry
+    * array. Returns null (with `in` unadvanced) for every other scheme.
+    */
+  def decodeDictView(in: BufReader, count: Int): DictView = {
+    val probe = in.duplicate()
+    if (probe.getByte() != Dict) return null
+    val dictSize = probe.getInt()
+    val entries = decode(probe, dictSize)
+    val codes = new Array[Long](count)
+    decodeInto(probe, count, codes)
+    new DictView(entries, codes)
+  }
+
   def decodeInto(in: BufReader, count: Int, out: Array[Long]): Unit = {
     val scheme = in.getByte()
     scheme match {

@@ -7,7 +7,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** Path-addressed catalog for btr tables — the piece that turns the file
@@ -113,10 +113,62 @@ class BtrCatalog extends TableCatalog {
     new BtrTable(path, schema, partitions)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "btr: ALTER TABLE is not supported — schema evolves through appends " +
-        "(trailing columns, int->long / float->double widening)")
+  /** ALTER TABLE over the same evolution surface the append path already
+    * implements (BtrWriteSchemas.widened): trailing nullable ADD COLUMN
+    * (old files read the column as all-null via the footer's missing-
+    * column sentinel) and type-widening ALTER COLUMN (int→long,
+    * float→double; old files decode under their own footer tag and
+    * upcast). Everything else — drops, renames, repositioning, narrowing
+    * — would mis-map existing files' footer columns and is rejected
+    * loudly. The change is one metadata-file rewrite; no data moves.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val path = pathOf(ident)
+    val (fs, dir) = fsDir(path)
+    if (!fs.exists(new Path(dir, BtrTableMeta.MetaFile))) throw new NoSuchTableException(ident)
+    var schema = BtrTableMeta.readSchema(fs, dir)
+    val partCols = BtrTableMeta.readPartitionCols(fs, dir)
+    val (blockSize, cascade) = BtrTableMeta.readGeometry(fs, dir)
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames().length == 1, "btr: nested ADD COLUMN unsupported")
+        val colName = add.fieldNames()(0)
+        require(add.position() == null,
+          "btr: ADD COLUMN supports trailing position only (FIRST/AFTER would " +
+            "remap existing files' footer columns)")
+        require(!schema.fieldNames.exists(_.equalsIgnoreCase(colName)),
+          s"btr: column $colName already exists")
+        require(graft.format.PhysType.supported(add.dataType()),
+          s"btr: unsupported column type $colName: ${add.dataType()}")
+        require(add.isNullable,
+          s"btr: added column $colName must be nullable — files written before " +
+            "the change read it as all-null")
+        schema = StructType(schema.fields :+
+          StructField(colName, add.dataType(), nullable = true))
+      case upd: TableChange.UpdateColumnType =>
+        require(upd.fieldNames().length == 1, "btr: nested ALTER COLUMN unsupported")
+        val colName = upd.fieldNames()(0)
+        val idx = schema.fieldNames.indexWhere(_.equalsIgnoreCase(colName))
+        require(idx >= 0, s"btr: no such column $colName")
+        require(!partCols.exists(_.equalsIgnoreCase(colName)),
+          s"btr: cannot change the type of partition column $colName (values are " +
+            "encoded in directory names under the recorded type)")
+        val from = schema.fields(idx).dataType
+        require(graft.format.BtrWidening.widensType(from, upd.newDataType()),
+          s"btr: ALTER COLUMN $colName ${from.simpleString} -> " +
+            s"${upd.newDataType().simpleString} is not a sanctioned widening " +
+            "(int->long, float->double)")
+        schema = StructType(schema.fields.updated(idx,
+          schema.fields(idx).copy(dataType = upd.newDataType())))
+      case other =>
+        throw new UnsupportedOperationException(
+          s"btr: unsupported ALTER TABLE change $other — supported: ADD COLUMN " +
+            "(trailing, nullable), ALTER COLUMN TYPE (int->long, float->double)")
+    }
+    BtrTableMeta.write(fs, dir, schema, blockSize, cascade, partCols)
+    new BtrTable(path, schema,
+      partCols.map(c => Expressions.identity(c): Transform).toArray)
+  }
 
   /** A table is its directory; DROP removes it (explicit user intent). */
   override def dropTable(ident: Identifier): Boolean = {

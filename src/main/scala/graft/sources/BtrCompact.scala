@@ -192,6 +192,20 @@ object BtrCompact {
     (before, staged.length)
   }
 
+  /** OPTIMIZE a partitioned table to ONE file per partition directory —
+    * the layout that makes storage-partitioned joins zero-sort as well as
+    * zero-shuffle: Spark trusts a scan's reported ordering only when each
+    * key group is a single split (DataSourceV2ScanExecBase requires
+    * parts.length <= 1 per group), and a key group is one split exactly
+    * when its directory holds one file small enough for one split. Same
+    * footer-level byte-splice + journaled swap as [[compact]] — no
+    * decode, crash-atomic. Files with different evolution signatures
+    * cannot merge and are left as-is (the SPJ then keeps its sorts for
+    * those keys until a clustered rewrite).
+    */
+  def optimizePartitioned(spark: SparkSession, path: String): (Int, Int) =
+    compact(spark, path, Long.MaxValue)
+
   /** Compact a btr table's data files toward `targetBytes` per file.
     * Hive-partition directories compact independently (files in different
     * partitions can never merge). Returns (filesBefore, filesAfter).

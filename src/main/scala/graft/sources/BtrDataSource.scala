@@ -60,7 +60,8 @@ class BtrDataSource extends TableProvider with DataSourceRegister {
 }
 
 class BtrTable(path: String, tableSchema: StructType, partitionTransforms: Array[Transform] = Array.empty)
-    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete
+    with SupportsRowLevelOperations {
   tableSchema.fields.foreach { f =>
     require(PhysType.supported(f.dataType), s"btr: unsupported column type ${f.name}: ${f.dataType}")
   }
@@ -93,6 +94,15 @@ class BtrTable(path: String, tableSchema: StructType, partitionTransforms: Array
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new BtrWriteBuilder(path, info.schema(), info.options(), partCols)
 
+  // ---- row-level DELETE/UPDATE/MERGE (group-based copy-on-write) ------
+  // Fully file-aligned DELETEs short-circuit to the metadata path below
+  // via OptimizeMetadataOnlyDeleteFromTable; everything else rewrites
+  // exactly the affected files (see BtrRowLevelOperation).
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo
+  ): org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    new BtrRowLevelOperationBuilder(path, tableSchema, partCols, info)
+
   // ---- metadata-level DELETE (SupportsDelete) -------------------------
   // A predicate is deletable exactly when every file is provably all-match
   // or none-match from directory values + footer stats; the delete then
@@ -112,7 +122,12 @@ class BtrTable(path: String, tableSchema: StructType, partitionTransforms: Array
   }
 
   override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    // consume the probe exactly once: a second DELETE with an identical
+    // filter on this table instance must re-classify (files the first
+    // delete removed, or appends in the gap, would otherwise replay a
+    // stale verdict set)
     val probe = deleteProbe
+    deleteProbe = null
     val cached =
       if (probe != null && (probe._1 sameElements filters)) Some(probe._2) else None
     BtrDelete.deleteWhere(path, tableSchema, partCols, filters, cached)

@@ -8,10 +8,13 @@ import org.apache.spark.sql.types.StructType
 /** Metadata-level row deletion: `DELETE FROM` and overwrite-by-filter
   * resolve entirely on the driver from directory values + row-group footer
   * stats — a file is dropped only when every row PROVABLY matches the
-  * predicate, kept only when none can. Files the stats can't decide make
-  * the delete non-expressible (Spark then reports it can't delete) rather
-  * than ever rewriting or losing rows — the same file-boundary contract
-  * Iceberg's metadata delete uses.
+  * predicate, kept only when none can. Files the stats can't decide fall
+  * to the row-level copy-on-write path ([[BtrRowLevelOperation]]) through
+  * SQL; this direct entry point refuses them. Physical deletes run under
+  * a delete-intent journal (a finals-less swap journal), so a crash
+  * mid-delete converges instead of leaving a half-applied DELETE —
+  * matching the snapshot-atomicity a metadata-layer table format gives
+  * the same operation.
   *
   * Scale shape: predicates on partition columns classify from the listing
   * alone (no footer I/O); data-column predicates read footers once through
@@ -166,9 +169,28 @@ object BtrDelete {
       throw new IllegalArgumentException(
         s"btr: DELETE predicate does not align with file boundaries at $path " +
           s"(${undecided.length} file(s) would be partially deleted, e.g. " +
-          s"${undecided.take(3).mkString(", ")}). Rewrite via " +
-          "read → filter → overwrite, or delete on partition columns.")
-    verdicts.foreach { case (e, v) => if (v == MatchAll) fs.delete(e.path, false) }
+          s"${undecided.take(3).mkString(", ")}). Through SQL this case " +
+          "rewrites the affected files row-level (BtrRowLevelOperation); " +
+          "this direct entry point only takes the metadata path.")
+    val toDelete = verdicts.collect { case (e, MatchAll) => e }
+    if (toDelete.nonEmpty) {
+      // delete-INTENT journal (a swap with no finals): published before
+      // the first physical delete, it hides every doomed file at once —
+      // a crash mid-loop converges on the next table operation instead
+      // of leaving a half-applied DELETE. "nm-" = no done-marker (the
+      // files aren't merged anywhere; streams must not map them).
+      val qualified = fs.makeQualified(dir)
+      val rootLen = qualified.toUri.getPath.length + 1
+      BtrTableMeta.writeSwapJournal(fs, dir, s"nm-del-${BtrWriteIds.newWriteId()}",
+        Seq(BtrTableMeta.SwapGroup("", Nil,
+          toDelete.map(e => e.path.toUri.getPath.substring(rootLen)).toSeq)))
+      toDelete.foreach(e => fs.delete(e.path, false))
+      BtrTableMeta.completeSwapJournals(fs, dir)
+      // the ingest-stats sidecar aggregates write-time totals; after a
+      // delete they overstate the table — drop it (advisory; sizing
+      // falls back to btr.expansionFactor)
+      fs.delete(new Path(dir, BtrTableMeta.StatsFile), false)
+    }
     deleteEmptyPartitionDirs(fs, dir)
     BtrFooters.refreshIndex(fs, dir)
   }

@@ -161,7 +161,15 @@ class BtrScan(
     limit: Option[Int] = None,
     partCols: Seq[String] = Nil,
     expansionFactor: Double = 4.0,
-    maxFilesPerTrigger: Option[Int] = None
+    maxFilesPerTrigger: Option[Int] = None,
+    // group-rewrite mode (row-level DELETE/UPDATE/MERGE): restrict the scan
+    // to `onlyFiles` (root-relative paths) and read them IN FULL — the
+    // paired ReplaceData write replaces whole files, so any chunk skipped
+    // here would silently drop its surviving rows from the rewrite.
+    // Callers pass filters = empty; `rewriteGroups` additionally refuses
+    // runtime filters for the same reason.
+    onlyFiles: Option[Set[String]] = None,
+    rewriteGroups: Boolean = false
 ) extends Scan
     with Batch
     with SupportsRuntimeFiltering
@@ -187,7 +195,14 @@ class BtrScan(
   private lazy val discovered: Array[(BtrTableMeta.DataFileEntry, BtrFile.Footer)] = {
     val dir = new Path(path)
     val fs = dir.getFileSystem(BtrTableMeta.hadoopConf())
-    BtrFooters.readAllIndexed(fs, dir, BtrTableMeta.listDataFilesWithPartitions(fs, dir))
+    val all = BtrTableMeta.listDataFilesWithPartitions(fs, dir)
+    val entries = onlyFiles match {
+      case Some(set) =>
+        val rootLen = fs.makeQualified(dir).toUri.getPath.length + 1
+        all.filter(e => set.contains(e.path.toUri.getPath.substring(rootLen)))
+      case None => all
+    }
+    BtrFooters.readAllIndexed(fs, dir, entries)
   }
 
   /** Table statistics from footers only: row count is exact; size is the
@@ -274,10 +289,14 @@ class BtrScan(
   private var runtimeFilters: Array[Filter] = Array.empty
 
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    // must resolve against the scan's (column-pruned) output
-    requiredSchema.fieldNames.map(org.apache.spark.sql.connector.expressions.Expressions.column)
+    // a group-rewrite scan must return whole files — advertising no
+    // filterable attributes keeps Spark from injecting runtime filters
+    // that would prune chunks whose rows the rewrite must preserve
+    if (rewriteGroups) Array.empty
+    else requiredSchema.fieldNames.map(org.apache.spark.sql.connector.expressions.Expressions.column)
 
   override def filter(fs: Array[Filter]): Unit = {
+    if (rewriteGroups) return
     val kept = fs.filter(ChunkSkip.supports(tableSchema, _))
     // keep the plan memo warm when nothing usable changed (the common
     // case: a runtime filter arrives but none of it survives support
@@ -870,6 +889,12 @@ object PartitionPrune {
             case _ => return None
           }
           Some(java.lang.Long.compare(java.time.LocalDate.parse(s).toEpochDay, epoch))
+        case TimestampType =>
+          BtrPartTime.literalMicros(lit).map(m =>
+            java.lang.Long.compare(BtrPartTime.instantMicros(s), m))
+        case TimestampNTZType =>
+          BtrPartTime.literalMicros(lit).map(m =>
+            java.lang.Long.compare(BtrPartTime.localMicros(s), m))
         case StringType =>
           lit match {
             case ls: String =>
@@ -949,6 +974,12 @@ object PartitionPrune {
             case _ => return None
           }
           Some(java.lang.Long.compare(java.time.LocalDate.parse(s).toEpochDay, epoch))
+        case TimestampType =>
+          BtrPartTime.literalMicros(lit).map(m =>
+            java.lang.Long.compare(BtrPartTime.instantMicros(s), m))
+        case TimestampNTZType =>
+          BtrPartTime.literalMicros(lit).map(m =>
+            java.lang.Long.compare(BtrPartTime.localMicros(s), m))
         case StringType =>
           lit match {
             case ls: String =>
@@ -1477,8 +1508,52 @@ object BtrScan {
       case ByteType => value.toByte
       case BooleanType => value.toBoolean
       case DateType => java.time.LocalDate.parse(value).toEpochDay.toInt
+      case TimestampType => BtrPartTime.instantMicros(value)
+      case TimestampNTZType => BtrPartTime.localMicros(value)
       case other => throw new UnsupportedOperationException(s"btr: partition column type $other")
     }
+  }
+}
+
+/** Timestamp partition directory values: TIMESTAMP (with local tz)
+  * encodes as a UTC ISO-8601 instant (`2026-01-01T02:03:04.500Z`) —
+  * session timezone independent, so every engine and every session parses
+  * the directory to the same micros; TIMESTAMP_NTZ encodes as the bare
+  * ISO local date-time. Colons are directory-safe through the shared
+  * hive-style escaping (`%3A`). Micros-precision round-trip both ways.
+  */
+object BtrPartTime {
+  def microsToInstantString(micros: Long): String =
+    java.time.Instant.ofEpochSecond(
+      Math.floorDiv(micros, 1000000L), Math.floorMod(micros, 1000000L) * 1000L).toString
+
+  def instantMicros(s: String): Long = {
+    val i = java.time.Instant.parse(s)
+    Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L), i.getNano / 1000L)
+  }
+
+  def microsToLocalString(micros: Long): String =
+    java.time.LocalDateTime.ofEpochSecond(
+      Math.floorDiv(micros, 1000000L), Math.floorMod(micros, 1000000L).toInt * 1000,
+      java.time.ZoneOffset.UTC).toString
+
+  def localMicros(s: String): Long = {
+    val ldt = java.time.LocalDateTime.parse(s)
+    Math.addExact(Math.multiplyExact(ldt.toEpochSecond(java.time.ZoneOffset.UTC), 1000000L),
+      ldt.getNano / 1000L)
+  }
+
+  /** Pushed-filter literal → micros (Spark sends java.sql.Timestamp or,
+    * under the java8 datetime API, Instant / LocalDateTime).
+    */
+  def literalMicros(lit: Any): Option[Long] = lit match {
+    case t: java.sql.Timestamp =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t))
+    case i: java.time.Instant =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(i))
+    case l: java.time.LocalDateTime =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.localDateTimeToMicros(l))
+    case _ => None
   }
 }
 
@@ -1500,6 +1575,26 @@ class BtrReaderFactory(requiredSchema: StructType, filters: Array[Filter] = Arra
   * decode. Mirrors the reference's zero-copy dict view
   * (/root/reference/btrblocks/storage/StringPointerArrayViewer.hpp:11-26).
   */
+/** Spark-side dictionary over a numeric DICT chunk's distinct entries:
+  * the stored longs (double chunks: raw bits; float chunks: raw int
+  * bits). The accessor conversions double as the type-widening upcast —
+  * an int32 chunk read under a widened long column resolves through
+  * decodeToLong, a float chunk under double through decodeToDouble — so
+  * dict-encoded pre-widening files need no materialized upcast pass.
+  */
+final class BtrNumericDictionary(entries: Array[Long], tag: Int)
+    extends org.apache.spark.sql.execution.vectorized.Dictionary {
+  override def decodeToInt(id: Int): Int = entries(id).toInt
+  override def decodeToLong(id: Int): Long = entries(id)
+  override def decodeToFloat(id: Int): Float =
+    java.lang.Float.intBitsToFloat(entries(id).toInt)
+  override def decodeToDouble(id: Int): Double =
+    if (tag == PhysType.Double) java.lang.Double.longBitsToDouble(entries(id))
+    else java.lang.Float.intBitsToFloat(entries(id).toInt).toDouble
+  override def decodeToBinary(id: Int): Array[Byte] =
+    throw new UnsupportedOperationException("btr numeric dictionary")
+}
+
 final class BtrStringDictionary(entries: Array[Array[Byte]])
     extends org.apache.spark.sql.execution.vectorized.Dictionary {
   override def decodeToBinary(id: Int): Array[Byte] = entries(id)
@@ -1683,6 +1778,12 @@ class BtrColumnarReader(partition: BtrInputPartition, requiredSchema: StructType
       case DateType =>
         val x = java.time.LocalDate.parse(value).toEpochDay.toInt
         while (i < n) { v.putInt(i, x); i += 1 }
+      case TimestampType =>
+        val x = BtrPartTime.instantMicros(value)
+        while (i < n) { v.putLong(i, x); i += 1 }
+      case TimestampNTZType =>
+        val x = BtrPartTime.localMicros(value)
+        while (i < n) { v.putLong(i, x); i += 1 }
       case other => throw new UnsupportedOperationException(s"btr: partition column type $other")
     }
   }
@@ -1690,6 +1791,25 @@ class BtrColumnarReader(partition: BtrInputPartition, requiredSchema: StructType
   private def fillVector(v: OnHeapColumnVector, dt: DataType, tag: Int, dec: ChunkCodec.Decoded, n: Int): Unit = {
     val nulls = dec.hasNulls
     val tableTag = PhysType.of(dt)
+    // numeric DICT chunks fill ids only — the vector dictionary resolves
+    // values (and any int32→long / float→double widening) lazily on
+    // access, so late-materialization-rejected rows never touch the
+    // entry array. Booleans never get here (decodeForScan materializes
+    // them; Spark's getBoolean bypasses dictionaries).
+    if (dec.dictLongs != null) {
+      v.setDictionary(new BtrNumericDictionary(dec.dictLongs, tag))
+      val ids = v.reserveDictionaryIds(n)
+      var i = 0
+      while (i < n) { ids.putInt(i, dec.longs(i).toInt); i += 1 }
+      if (nulls) {
+        i = 0
+        while (i < n) { if (dec.isNull(i)) v.putNull(i); i += 1 }
+      }
+      return
+    }
+    // vectors are reused across row groups — a dictionary left over from
+    // a previous chunk must not shadow the materialized values below
+    v.setDictionary(null)
     if (tag != tableTag) {
       // pre-widening file: upcast the narrow decode into the wide vector
       (tag, tableTag) match {

@@ -235,6 +235,14 @@ object BtrOverwriteMode {
       extends BtrOverwriteMode
   /** Replace only the partition directories this write produced files in. */
   case object Dynamic extends BtrOverwriteMode
+  /** Group-based row-level rewrite (DELETE/UPDATE/MERGE copy-on-write):
+    * replace exactly the files the paired row-level scan read — evaluated
+    * at commit time, after the scan planned. Task writers emit HIDDEN
+    * (`_`-prefixed) staged names; the commit journals the swap, renames
+    * them visible, then drops the replaced sources — crash-atomic at
+    * every step (a torn commit rolls back to the pre-operation view).
+    */
+  final case class ReplaceFiles(sources: () => Seq[String]) extends BtrOverwriteMode
 }
 
 class BtrBatchWrite(path: String, schema: StructType, mode: BtrOverwriteMode, blockSize: Int,
@@ -243,6 +251,18 @@ class BtrBatchWrite(path: String, schema: StructType, mode: BtrOverwriteMode, bl
 
   private def truncate: Boolean = mode == BtrOverwriteMode.Truncate
 
+  // row-level rewrites stage under hidden names (listings skip `_`); the
+  // commit renames them visible under the swap journal
+  private val writeId = BtrWriteIds.newWriteId()
+  private val namePrefix =
+    if (mode.isInstanceOf[BtrOverwriteMode.ReplaceFiles]) s"_rl_${writeId}_" else ""
+
+  // set the moment this commit's swap journal is visible: from then on the
+  // operation converges FORWARD (the journal governs the listing), so a
+  // late abort() must not delete this write's files — removing finals
+  // after their sources were dropped is how both copies get lost
+  @volatile private var committedForward = false
+
   // data files store only the non-partition columns; partition values
   // live in the hive-style directory names
   private val dataSchema: StructType =
@@ -250,8 +270,11 @@ class BtrBatchWrite(path: String, schema: StructType, mode: BtrOverwriteMode, bl
     else StructType(schema.fields.filterNot(f => partCols.contains(f.name)))
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    if (partCols.isEmpty) new BtrWriterFactory(path, schema, blockSize, cascade, cfg)
-    else new BtrPartitionedWriterFactory(path, schema, partCols, blockSize, cascade, cfg)
+    if (partCols.isEmpty)
+      new BtrWriterFactory(path, schema, blockSize, cascade, cfg, writeId, namePrefix)
+    else
+      new BtrPartitionedWriterFactory(path, schema, partCols, blockSize, cascade, cfg, writeId,
+        namePrefix)
 
   private def flatten(messages: Array[WriterCommitMessage]): Array[BtrCommitMessage] =
     messages.flatMap {
@@ -270,6 +293,21 @@ class BtrBatchWrite(path: String, schema: StructType, mode: BtrOverwriteMode, bl
     def relOf(f: Path): String =
       f.toUri.getPath.substring(math.min(rootLen, f.toUri.getPath.length))
     def isNew(f: Path): Boolean = committed.contains(relOf(f)) || committed.contains(f.getName)
+    // crash-atomic replacement: BEFORE deleting anything, journal the swap
+    // (finals = this write's files, already visible from task commits;
+    // sources = the files being replaced) in ONE group so the whole
+    // operation flips together. A crash mid-delete then converges forward
+    // (the journal hides the remaining sources); a commit failure BEFORE
+    // the journal leaves the sources authoritative. "nm-" ids write no
+    // done-marker: a DML replacement is not row-preserving, so a tailing
+    // stream must see the new files as new data, never as compaction
+    // merges of rows it already emitted.
+    def journalReplace(finals: Seq[String], sources: Seq[String]): Unit =
+      if (sources.nonEmpty) {
+        BtrTableMeta.writeSwapJournal(fs, dir, s"nm-$writeId",
+          Seq(BtrTableMeta.SwapGroup("", finals, sources)))
+        committedForward = true
+      }
     mode match {
       case BtrOverwriteMode.Truncate =>
         // replace: drop every data file not produced by this write.
@@ -281,9 +319,9 @@ class BtrBatchWrite(path: String, schema: StructType, mode: BtrOverwriteMode, bl
         // the whole file set is being replaced — stale source→final
         // mappings must not outlive it
         BtrTableMeta.dropAllSwapState(fs, dir)
-        BtrTableMeta.listDataFilesWithPartitions(fs, dir).foreach { e =>
-          if (!isNew(e.path)) fs.delete(e.path, false)
-        }
+        val old = BtrTableMeta.listDataFilesWithPartitions(fs, dir).filterNot(e => isNew(e.path))
+        journalReplace(committed.toSeq.filter(_.nonEmpty).sorted, old.map(e => relOf(e.path)).toSeq)
+        old.foreach(e => fs.delete(e.path, false))
       case BtrOverwriteMode.ByFilter(filters) =>
         // delete the PRE-EXISTING rows matching the condition; this
         // write's own files are insert data and never candidates (excluded
@@ -300,7 +338,9 @@ class BtrBatchWrite(path: String, schema: StructType, mode: BtrOverwriteMode, bl
             s"btr: overwrite condition no longer aligns with file boundaries at $dir " +
               s"(e.g. ${undecided.take(3).mkString(", ")}) — a concurrent write " +
               "changed the table since this overwrite was planned; retry")
-        verdicts.foreach { case (e, v) => if (v == BtrDelete.MatchAll) fs.delete(e.path, false) }
+        val dels = verdicts.collect { case (e, BtrDelete.MatchAll) => e }
+        journalReplace(committed.toSeq.filter(_.nonEmpty).sorted, dels.map(e => relOf(e.path)).toSeq)
+        dels.foreach(e => fs.delete(e.path, false))
       case BtrOverwriteMode.Dynamic =>
         // replace exactly the partition directories this write landed
         // files in: delete their pre-existing files, keep every other
@@ -310,14 +350,42 @@ class BtrBatchWrite(path: String, schema: StructType, mode: BtrOverwriteMode, bl
           val cut = rel.lastIndexOf('/')
           if (cut < 0) "" else rel.substring(0, cut)
         }
-        BtrTableMeta.listDataFilesWithPartitions(fs, dir).foreach { e =>
+        val dels = BtrTableMeta.listDataFilesWithPartitions(fs, dir).filter { e =>
           val rel = relOf(e.path)
           val cut = rel.lastIndexOf('/')
           val parent = if (cut < 0) "" else rel.substring(0, cut)
-          if (touched.contains(parent) && !isNew(e.path)) fs.delete(e.path, false)
+          touched.contains(parent) && !isNew(e.path)
         }
+        journalReplace(committed.toSeq.filter(_.nonEmpty).sorted, dels.map(e => relOf(e.path)).toSeq)
+        dels.foreach(e => fs.delete(e.path, false))
+      case BtrOverwriteMode.ReplaceFiles(sourcesThunk) =>
+        BtrTableMeta.completeSwapJournals(fs, dir)
+        // leftover hidden staging from a CRASHED previous rewrite (its
+        // journal never published, so nothing else deletes them)
+        BtrRowLevelOps.sweepStaged(fs, dir, exceptId = writeId)
+        val staged = committed.toSeq.filter(_.nonEmpty).sorted
+        // visible name: drop the hidden staging prefix from the basename
+        def visibleOf(rel: String): String = {
+          val cut = rel.lastIndexOf('/')
+          val dirPart = if (cut < 0) "" else rel.substring(0, cut + 1)
+          dirPart + rel.substring(cut + 1).stripPrefix(namePrefix)
+        }
+        val sources = sourcesThunk().distinct
+        BtrTableMeta.writeSwapJournal(fs, dir, s"nm-$writeId",
+          Seq(BtrTableMeta.SwapGroup("", staged.map(visibleOf), sources)))
+        committedForward = true
+        staged.foreach { rel =>
+          val from = new Path(dir, rel)
+          val to = new Path(dir, visibleOf(rel))
+          if (!fs.rename(from, to))
+            throw new java.io.IOException(s"btr rewrite: rename $rel -> ${visibleOf(rel)} failed")
+        }
+        sources.foreach(relPath => fs.delete(new Path(dir, relPath), false))
       case BtrOverwriteMode.Append => ()
     }
+    // retire this commit's own journal (idempotent; deletes any source a
+    // crash in the loops above would have left behind)
+    if (committedForward) BtrTableMeta.completeSwapJournals(fs, dir)
     // every replacing mode can empty partition directories (truncate with
     // a different partition mix, by-filter, dynamic with an empty insert);
     // sweep them like DELETE does so the same operation expressed either
@@ -345,13 +413,24 @@ class BtrBatchWrite(path: String, schema: StructType, mode: BtrOverwriteMode, bl
         c += 1
       }
     }
-    BtrTableMeta.writeStats(fs, dir, dataSchema.fieldNames, rows, nulls, raw, comp)
+    // a row-level rewrite replaced a SUBSET of files: stats aggregated
+    // over only its own output would claim table totals they aren't —
+    // drop the advisory sidecar instead (scan sizing falls back to
+    // btr.expansionFactor until the next full write)
+    if (mode.isInstanceOf[BtrOverwriteMode.ReplaceFiles])
+      fs.delete(new Path(dir, BtrTableMeta.StatsFile), false)
+    else BtrTableMeta.writeStats(fs, dir, dataSchema.fieldNames, rows, nulls, raw, comp)
     // footer-index sidecar: planning on this table becomes one file read;
     // incremental (pre-existing append-mode files reuse the old index)
     BtrFooters.refreshIndex(fs, dir)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    // once the swap journal published, the operation converges forward or
+    // rolls back THROUGH the journal — deleting this write's files here
+    // could drop finals whose sources the commit already removed (both
+    // copies gone). Leave convergence to the next completeSwapJournals.
+    if (committedForward) return
     val dir = new Path(path)
     val fs = dir.getFileSystem(BtrTableMeta.hadoopConf())
     flatten(messages).foreach { m =>
@@ -363,11 +442,12 @@ class BtrBatchWrite(path: String, schema: StructType, mode: BtrOverwriteMode, bl
 final case class BtrMultiCommitMessage(messages: Array[BtrCommitMessage]) extends WriterCommitMessage
 
 class BtrPartitionedWriterFactory(path: String, schema: StructType, partCols: Seq[String],
-    blockSize: Int, cascade: Int, cfg: BtrConfig, writeId: String = BtrWriteIds.newWriteId())
+    blockSize: Int, cascade: Int, cfg: BtrConfig, writeId: String = BtrWriteIds.newWriteId(),
+    namePrefix: String = "")
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new BtrPartitionedDataWriter(path, schema, partCols, blockSize, cascade, partitionId, taskId,
-      cfg, writeId)
+      cfg, writeId, namePrefix = namePrefix)
 }
 
 /** Partitioned streaming epochs: deterministic per-(epoch, partition)
@@ -390,7 +470,7 @@ final case class BtrPartitionedStreamingWriterFactory(
   */
 class BtrPartitionedDataWriter(path: String, schema: StructType, partCols: Seq[String],
     blockSize: Int, cascade: Int, partitionId: Int, taskId: Long, cfg: BtrConfig,
-    writeId: String = "", fileNameOverride: Option[String] = None)
+    writeId: String = "", fileNameOverride: Option[String] = None, namePrefix: String = "")
     extends DataWriter[InternalRow] {
 
   private val MaxOpenPartitions = 128
@@ -414,6 +494,10 @@ class BtrPartitionedDataWriter(path: String, schema: StructType, partCols: Seq[S
       case ByteType => row.getByte(partOrdinals(i)).toString
       case BooleanType => row.getBoolean(partOrdinals(i)).toString
       case DateType => java.time.LocalDate.ofEpochDay(row.getInt(partOrdinals(i)).toLong).toString
+      // timestamps: UTC ISO-8601 instant (session-tz independent; the
+      // shared hive escaping makes the colons directory-safe)
+      case TimestampType => BtrPartTime.microsToInstantString(row.getLong(partOrdinals(i)))
+      case TimestampNTZType => BtrPartTime.microsToLocalString(row.getLong(partOrdinals(i)))
       case other => throw new UnsupportedOperationException(s"btr: partition column type $other")
     }
   }
@@ -427,7 +511,7 @@ class BtrPartitionedDataWriter(path: String, schema: StructType, partCols: Seq[S
         s"btr: more than $MaxOpenPartitions concurrent partitions in one task; " +
           "repartition by the partition columns before writing")
       new BtrDataWriter(s"$path/$key", dataSchema, blockSize, cascade, partitionId, taskId, cfg,
-        fileNameOverride = fileNameOverride, writeId = writeId)
+        fileNameOverride = fileNameOverride, writeId = writeId, namePrefix = namePrefix)
     })
     proj.project(row)
     w.write(proj)
@@ -457,11 +541,12 @@ final case class BtrStreamingWriterFactory(
 }
 
 class BtrWriterFactory(path: String, schema: StructType, blockSize: Int, cascade: Int,
-    cfg: BtrConfig = BtrConfig.Default, writeId: String = BtrWriteIds.newWriteId())
+    cfg: BtrConfig = BtrConfig.Default, writeId: String = BtrWriteIds.newWriteId(),
+    namePrefix: String = "")
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new BtrDataWriter(path, schema, blockSize, cascade, partitionId, taskId, cfg,
-      writeId = writeId)
+      writeId = writeId, namePrefix = namePrefix)
 }
 
 /** Per-write unique suffix for final file names (driver-side, once per
@@ -475,14 +560,16 @@ object BtrWriteIds {
 
 class BtrDataWriter(path: String, schema: StructType, blockSize: Int, cascade: Int, partitionId: Int, taskId: Long,
     cfg: BtrConfig = BtrConfig.Default, fileNameOverride: Option[String] = None,
-    writeId: String = "")
+    writeId: String = "", namePrefix: String = "")
     extends DataWriter[InternalRow] {
 
   // batch final names embed the per-write id so two writes of the same
   // table (e.g. overwrite from a fresh JVM where taskIds restart at 0)
   // can never collide; streaming epoch names stay deterministic and the
-  // commit handles the re-attempt collision explicitly
-  private val fileName = fileNameOverride.getOrElse {
+  // commit handles the re-attempt collision explicitly. `namePrefix`
+  // ("_rl_<id>_" for row-level rewrites) keeps the committed name HIDDEN
+  // from listings until the job commit renames it under its swap journal.
+  private val fileName = namePrefix + fileNameOverride.getOrElse {
     if (writeId.isEmpty) f"part-$partitionId%05d-$taskId.btr"
     else f"part-$partitionId%05d-$taskId-$writeId.btr"
   }

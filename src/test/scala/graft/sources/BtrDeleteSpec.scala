@@ -181,15 +181,41 @@ class BtrDeleteSpec extends AnyFunSuite {
     assert(!new java.io.File(p, "dt=2026-01-01").exists())
   }
 
-  test("DELETE that would split a file is refused, data intact") {
-    val p = tmp("split_refused")
+  test("DELETE that splits a file rewrites it row-level (copy-on-write)") {
+    val p = tmp("split_rewrite")
     (0 until 200).map(i => (i.toLong, s"r$i")).toDF("v", "s")
       .coalesce(1).write.format("btr").mode("overwrite").save(p)
-    val e = intercept[Exception] {
-      spark.sql(s"DELETE FROM graft.`$p` WHERE v < 100")
-    }
-    assert(e.getMessage != null)
-    assert(spark.read.format("btr").load(p).count() == 200)
+    spark.sql(s"DELETE FROM graft.`$p` WHERE v < 100")
+    val left = spark.read.format("btr").load(p).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(left.toSeq == (100 until 200).map(i => (i.toLong, s"r$i")))
+    // no staging leftovers, no journal left pending
+    val names = new java.io.File(p).listFiles().map(_.getName)
+    assert(!names.exists(_.startsWith("_rl_")), names.mkString(","))
+    assert(!names.exists(_.startsWith("_btr_swap_")), names.mkString(","))
+  }
+
+  test("row-level DELETE rewrites ONLY the files the predicate touches") {
+    val p = tmp("split_partial")
+    // two single-file appends with disjoint ranges; the predicate splits
+    // only the first file — the second must survive byte-identical
+    (0 until 100).map(i => (i.toLong, s"r$i")).toDF("v", "s")
+      .coalesce(1).write.format("btr").mode("overwrite").save(p)
+    (100 until 200).map(i => (i.toLong, s"r$i")).toDF("v", "s")
+      .coalesce(1).write.format("btr").mode("append").save(p)
+    def dataFiles() = new java.io.File(p).listFiles()
+      .filter(f => f.getName.endsWith(".btr") && !f.getName.startsWith("_"))
+      .sortBy(_.getName)
+    val before = dataFiles().map(f => f.getName -> f.length()).toMap
+    assert(before.size == 2)
+    // v in [100,200) file: MatchNone -> untouched; v in [0,100) file: split
+    spark.sql(s"DELETE FROM graft.`$p` WHERE v < 50")
+    val after = dataFiles().map(f => f.getName -> f.length()).toMap
+    val kept = before.keySet.intersect(after.keySet)
+    assert(kept.size == 1, s"expected exactly one untouched file, got $kept")
+    assert(before(kept.head) == after(kept.head), "untouched file changed size")
+    val left = spark.read.format("btr").load(p).select("v").as[Long].collect().sorted
+    assert(left.toSeq == (50L until 200L))
   }
 
   test("DELETE TRUE empties the table but keeps it readable") {

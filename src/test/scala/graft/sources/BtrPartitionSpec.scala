@@ -125,6 +125,59 @@ class BtrPartitionSpec extends AnyFunSuite {
     assert(!dscan.isInstanceOf[BtrAggScan])
   }
 
+  test("TIMESTAMP partition column: round-trip, pruning, hour retention DELETE") {
+    import spark.implicits._
+    val p = tmp("ts_hours")
+    val base = java.time.Instant.parse("2026-03-01T00:00:00Z")
+    val rows = (0 until 240).map { i =>
+      (java.sql.Timestamp.from(base.plusSeconds((i / 10) * 3600L + i % 10)), i.toLong)
+    }
+    rows.toDF("ev_ts", "v")
+      .withColumn("ts_hour", date_trunc("hour", col("ev_ts")))
+      .repartition(col("ts_hour"))
+      .write.format("btr").partitionBy("ts_hour").mode("overwrite").save(p)
+    // round-trip: partition values synthesize back to exact micros
+    val back = spark.read.format("btr").load(p)
+    assert(back.count() == 240)
+    assert(back.schema("ts_hour").dataType == org.apache.spark.sql.types.TimestampType)
+    val hours = back.select("ts_hour").distinct().collect().map(_.getTimestamp(0)).sorted
+    assert(hours.length == 24)
+    assert(hours.head.toInstant == base && hours.last.toInstant == base.plusSeconds(23 * 3600L))
+    // pruning: a timestamp range filter plans only the matching directories
+    def parts(df: DataFrame): Seq[String] =
+      df.queryExecution.executedPlan.collectLeaves().head
+        .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.BatchScanExec]
+        .inputPartitions.collect { case q: BtrInputPartition => q.file }.distinct.toSeq
+    val cutoff = java.sql.Timestamp.from(base.plusSeconds(20 * 3600L))
+    val pruned = parts(back.filter(col("ts_hour") >= cutoff))
+    assert(pruned.size == 4, s"expected 4 hour dirs, planned ${pruned.size}")
+    assert(back.filter(col("ts_hour") >= cutoff).count() == 40)
+    // hour-grain retention DELETE stays metadata-only (directory drops)
+    spark.conf.set("spark.sql.catalog.graft", classOf[BtrCatalog].getName)
+    val before = BtrLateMat.chunkDecodes.get()
+    spark.sql(s"DELETE FROM graft.`$p` WHERE ts_hour < TIMESTAMP '2026-03-01 12:00:00'")
+    assert(BtrLateMat.chunkDecodes.get() == before, "retention DELETE decoded data")
+    assert(spark.read.format("btr").load(p).count() == 120)
+    assert(!new java.io.File(p).listFiles().map(_.getName)
+      .exists(_.contains("2026-03-01T00")), "dropped hour dir still present")
+  }
+
+  test("TIMESTAMP_NTZ partition column round-trips") {
+    import spark.implicits._
+    val p = tmp("ntz_hours")
+    spark.sql(
+      """SELECT timestamp_ntz'2026-04-01 08:30:00' + make_interval(0,0,0,0,id,0,0) AS h,
+        | id AS v FROM range(6)""".stripMargin)
+      .write.format("btr").partitionBy("h").mode("overwrite").save(p)
+    val back = spark.read.format("btr").load(p)
+    assert(back.schema("h").dataType == org.apache.spark.sql.types.TimestampNTZType)
+    assert(back.count() == 6)
+    val got = back.select("h").as[java.time.LocalDateTime].collect().sorted(
+      Ordering.fromLessThan[java.time.LocalDateTime](_ isBefore _))
+    assert(got.head == java.time.LocalDateTime.parse("2026-04-01T08:30:00"))
+    assert(got.last == java.time.LocalDateTime.parse("2026-04-01T13:30:00"))
+  }
+
   test("append into partitioned table adds files under the right dirs") {
     import spark.implicits._
     val df1 = Seq((1L, "x"), (2L, "y")).toDF("id", "p")

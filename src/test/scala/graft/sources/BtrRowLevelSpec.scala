@@ -1,0 +1,171 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Row-level DELETE/UPDATE/MERGE (group-based copy-on-write) + ALTER
+  * TABLE: misaligned predicates rewrite exactly the affected files,
+  * untouched files stay byte-identical, aligned DELETEs stay metadata-only
+  * (zero chunk decodes), and schema evolution works through SQL DDL.
+  */
+class BtrRowLevelSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("btr-rowlevel-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  spark.conf.set("spark.sql.catalog.graft", classOf[BtrCatalog].getName)
+
+  private def tmp(name: String) = s"/tmp/btr-rowlevel/$name"
+
+  private def md5(f: java.io.File): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    d.digest(java.nio.file.Files.readAllBytes(f.toPath)).map("%02x".format(_)).mkString
+  }
+
+  private def dataFiles(p: String): Array[java.io.File] = {
+    def walk(d: java.io.File): Array[java.io.File] =
+      Option(d.listFiles()).getOrElse(Array.empty).flatMap { f =>
+        if (f.isDirectory && !f.getName.startsWith("_")) walk(f)
+        else if (f.isFile && f.getName.endsWith(".btr") && !f.getName.startsWith("_")) Array(f)
+        else Array.empty[java.io.File]
+      }
+    walk(new java.io.File(p)).sortBy(_.getPath)
+  }
+
+  test("UPDATE rewrites only touched files; untouched files byte-identical") {
+    val p = tmp("upd_partial")
+    (0 until 100).map(i => (i.toLong, s"r$i", 0L)).toDF("v", "s", "hits")
+      .coalesce(1).write.format("btr").mode("overwrite").save(p)
+    (100 until 200).map(i => (i.toLong, s"r$i", 0L)).toDF("v", "s", "hits")
+      .coalesce(1).write.format("btr").mode("append").save(p)
+    val before = dataFiles(p).map(f => f.getName -> md5(f)).toMap
+    assert(before.size == 2)
+    spark.sql(s"UPDATE graft.`$p` SET hits = hits + 1, s = concat(s, '!') WHERE v < 50")
+    val after = dataFiles(p).map(f => f.getName -> md5(f)).toMap
+    // the [100,200) file is provably MatchNone: same name, same bytes
+    val kept = before.keySet.intersect(after.keySet)
+    assert(kept.size == 1, s"expected one untouched file, got ${kept.size}")
+    assert(before(kept.head) == after(kept.head), "untouched file's bytes changed")
+    val rows = spark.read.format("btr").load(p).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    val expected = (0 until 200).map { i =>
+      if (i < 50) (i.toLong, s"r$i!", 1L) else (i.toLong, s"r$i", 0L)
+    }
+    assert(rows.toSeq == expected)
+  }
+
+  test("UPDATE that moves rows across partition directories") {
+    val p = tmp("upd_move")
+    (0 until 120).map(i => (s"k${i % 3}", i.toLong)).toDF("k", "v")
+      .repartition($"k").write.format("btr").partitionBy("k").mode("overwrite").save(p)
+    // rows with v < 10 move from their partition into k2
+    spark.sql(s"UPDATE graft.`$p` SET k = 'k2' WHERE v < 10")
+    val back = spark.read.format("btr").load(p)
+    assert(back.count() == 120)
+    val byK = back.groupBy("k").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // k0 and k1 each lose their v<10 rows (4 and 3 resp.), k2 gains 7
+    assert(byK == Map("k0" -> 36L, "k1" -> 37L, "k2" -> 47L), byK.toString)
+    assert(back.filter($"v" < 10).select("k").distinct().as[String].collect().toSeq == Seq("k2"))
+  }
+
+  test("UPDATE with a non-translatable predicate rewrites and stays correct") {
+    val p = tmp("upd_expr")
+    (0 until 60).map(i => (i.toLong, s"r$i")).toDF("v", "s")
+      .coalesce(2).write.format("btr").mode("overwrite").save(p)
+    // substring(...) does not translate to a source filter -> no file
+    // classification; the whole table rewrites, rows must still be exact
+    spark.sql(s"UPDATE graft.`$p` SET v = -v WHERE substring(s, 2, 1) = '1' AND length(s) = 3")
+    val got = spark.read.format("btr").load(p).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._2)
+    val expected = (0 until 60).map { i =>
+      val s = s"r$i"
+      (if (s.length == 3 && s(1) == '1') -i.toLong else i.toLong, s)
+    }.sortBy(_._2)
+    assert(got.toSeq == expected)
+  }
+
+  test("MERGE INTO: matched update + not-matched insert") {
+    val p = tmp("merge1")
+    (0 until 10).map(i => (i.toLong, i * 10L)).toDF("id", "amt")
+      .coalesce(1).write.format("btr").mode("overwrite").save(p)
+    Seq((5L, 999L), (6L, 888L), (20L, 111L), (21L, 222L)).toDF("id", "amt")
+      .createOrReplaceTempView("rl_src")
+    spark.sql(
+      s"""MERGE INTO graft.`$p` t USING rl_src s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET amt = s.amt
+         |WHEN NOT MATCHED THEN INSERT (id, amt) VALUES (s.id, s.amt)""".stripMargin)
+    val got = spark.read.format("btr").load(p).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val expected = (0 until 10).map { i =>
+      (i.toLong, if (i == 5) 999L else if (i == 6) 888L else i * 10L)
+    } ++ Seq((20L, 111L), (21L, 222L))
+    assert(got.toSeq == expected)
+  }
+
+  test("MERGE WHEN MATCHED DELETE removes matched rows") {
+    val p = tmp("merge_del")
+    (0 until 20).map(i => (i.toLong, s"r$i")).toDF("id", "s")
+      .coalesce(1).write.format("btr").mode("overwrite").save(p)
+    Seq(3L, 7L, 19L).toDF("id").createOrReplaceTempView("rl_del_src")
+    spark.sql(
+      s"""MERGE INTO graft.`$p` t USING rl_del_src s ON t.id = s.id
+         |WHEN MATCHED THEN DELETE""".stripMargin)
+    val got = spark.read.format("btr").load(p).select("id").as[Long].collect().sorted
+    assert(got.toSeq == (0L until 20L).filterNot(Set(3L, 7L, 19L)))
+  }
+
+  test("file-aligned DELETE stays metadata-only: zero chunk decodes") {
+    val p = tmp("aligned_zero_io")
+    (0 until 100).map(i => (i.toLong, s"r$i")).toDF("v", "s")
+      .coalesce(1).write.format("btr").mode("overwrite").save(p)
+    (100 until 200).map(i => (i.toLong, s"r$i")).toDF("v", "s")
+      .coalesce(1).write.format("btr").mode("append").save(p)
+    val before = BtrLateMat.chunkDecodes.get()
+    spark.sql(s"DELETE FROM graft.`$p` WHERE v < 100") // exact file boundary
+    assert(BtrLateMat.chunkDecodes.get() == before,
+      "aligned DELETE decoded data chunks — metadata fast path lost")
+    assert(spark.read.format("btr").load(p).count() == 100)
+  }
+
+  test("ALTER TABLE ADD COLUMN + type widening through SQL") {
+    val p = tmp("alter1")
+    (0 until 50).map(i => (i, s"r$i")).toDF("v", "s")
+      .write.format("btr").mode("overwrite").save(p)
+    spark.sql(s"ALTER TABLE graft.`$p` ADD COLUMN score DOUBLE")
+    // old files read the new column as null
+    val back = spark.read.format("btr").load(p)
+    assert(back.schema.fieldNames.toSeq == Seq("v", "s", "score"))
+    assert(back.filter($"score".isNotNull).count() == 0)
+    // appends may now fill it
+    Seq((50, "r50", 1.5)).toDF("v", "s", "score")
+      .write.format("btr").mode("append").save(p)
+    assert(spark.read.format("btr").load(p).filter($"score" === 1.5).count() == 1)
+    // widen v int -> long; old int files upcast at read
+    spark.sql(s"ALTER TABLE graft.`$p` ALTER COLUMN v TYPE BIGINT")
+    val widened = spark.read.format("btr").load(p)
+    assert(widened.schema("v").dataType == org.apache.spark.sql.types.LongType)
+    assert(widened.agg(org.apache.spark.sql.functions.sum($"v")).as[Long].head() ==
+      (0 to 50).map(_.toLong).sum)
+    // rejected changes fail loudly and change nothing
+    intercept[Exception](spark.sql(s"ALTER TABLE graft.`$p` DROP COLUMN s"))
+    intercept[Exception](spark.sql(s"ALTER TABLE graft.`$p` ALTER COLUMN s TYPE INT"))
+    assert(spark.read.format("btr").load(p).schema.fieldNames.length == 3)
+  }
+
+  test("UPDATE leaves no staging or journal leftovers") {
+    val p = tmp("upd_clean")
+    (0 until 80).map(i => (i.toLong, s"r$i")).toDF("v", "s")
+      .coalesce(1).write.format("btr").mode("overwrite").save(p)
+    spark.sql(s"UPDATE graft.`$p` SET s = 'x' WHERE v = 40")
+    val names = new java.io.File(p).listFiles().map(_.getName)
+    assert(!names.exists(_.startsWith("_rl_")), names.mkString(","))
+    assert(!names.exists(_.startsWith("_btr_swap_")), names.mkString(","))
+    assert(spark.read.format("btr").load(p).filter($"s" === "x").count() == 1)
+  }
+}

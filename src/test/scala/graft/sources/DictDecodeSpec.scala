@@ -111,6 +111,74 @@ class DictDecodeSpec extends AnyFunSuite {
     assert(g1 == g2)
   }
 
+  test("numeric DICT chunks decode to dictionary views, value-equal to decode") {
+    val n = 5000
+    val cfg = BtrConfig.Default.copy(forceInt = Some(IntCodec.Dict))
+    // ints (low cardinality) with nulls
+    val ic = new ColumnChunk(PhysType.Int64, n)
+    ic.longs = Array.tabulate(n)(i => (i % 7L) * 1000003L - 42L)
+    ic.isNull = Array.tabulate(n)(i => i % 19 == 0)
+    val iOut = new BufWriter()
+    ChunkCodec.encode(iOut, ic, 3, cfg)
+    val iBytes = iOut.result()
+    val iMat = ChunkCodec.decode(new BufReader(iBytes), PhysType.Int64, n)
+    val iDict = ChunkCodec.decodeForScan(new BufReader(iBytes), PhysType.Int64, n)
+    assert(iDict.dictLongs != null, "int DICT chunk must decode to a dictionary view")
+    (0 until n).foreach { i =>
+      assert(iDict.isNull(i) == iMat.isNull(i))
+      if (!iMat.isNull(i))
+        assert(iDict.dictLongs(iDict.longs(i).toInt) == iMat.longs(i), s"row $i")
+    }
+    // doubles: entries are raw bits
+    val dcfg = BtrConfig.Default.copy(forceDouble = Some(DoubleCodec.Dict))
+    val dc = new ColumnChunk(PhysType.Double, n)
+    dc.doubles = Array.tabulate(n)(i => Seq(1.5, -0.0, 3.25, 1e300, 7.75)(i % 5))
+    dc.isNull = new Array[Boolean](n)
+    val dOut = new BufWriter()
+    ChunkCodec.encode(dOut, dc, 3, dcfg)
+    val dBytes = dOut.result()
+    val dMat = ChunkCodec.decode(new BufReader(dBytes), PhysType.Double, n)
+    val dDict = ChunkCodec.decodeForScan(new BufReader(dBytes), PhysType.Double, n)
+    assert(dDict.dictLongs != null, "double DICT chunk must decode to a dictionary view")
+    (0 until n).foreach { i =>
+      val bits = dDict.dictLongs(dDict.longs(i).toInt)
+      assert(bits == java.lang.Double.doubleToRawLongBits(dMat.doubles(i)), s"row $i")
+    }
+  }
+
+  test("numeric dictionary read path end to end, incl. widened int32→long") {
+    import spark.implicits._
+    val p1 = tmp("num_dict_e2e")
+    val rows = (0 until 30000).map { i =>
+      (i.toLong, if (i % 11 == 0) None else Some(i % 9), (i % 5) * 2.5, (i % 6).toLong)
+    }
+    val df = rows.toDF("id", "iv", "dv", "lv")
+    df.coalesce(1).write.format("btr").option("btr.blockSize", "4096")
+      .option("btr.forceScheme.int", "dict").option("btr.forceScheme.double", "dict")
+      .mode("overwrite").save(p1)
+    val back = spark.read.format("btr").load(p1)
+    assert(back.orderBy("id").collect().map(_.toString).toSeq ==
+      df.orderBy("id").collect().map(_.toString).toSeq)
+    // codegen consumers over the dictionary-backed vectors
+    assert(back.filter($"iv" === 3).count() == df.filter($"iv" === 3).count())
+    assert(back.agg(sum($"dv")).head.getDouble(0) == df.agg(sum($"dv")).head.getDouble(0))
+    assert(back.groupBy("lv").count().collect().map(_.toString).sorted.toSeq ==
+      df.groupBy("lv").count().collect().map(_.toString).sorted.toSeq)
+    // widened: int32 dict files under a long column resolve through the
+    // dictionary's decodeToLong (no materialized upcast)
+    val p2 = tmp("num_dict_widen")
+    (0 until 8192).map(i => (i, i % 4)).toDF("id", "k")
+      .coalesce(1).write.format("btr").option("btr.blockSize", "4096")
+      .option("btr.forceScheme.int", "dict").mode("overwrite").save(p2)
+    (8192 until 9000).map(i => (i.toLong, (i % 4).toLong)).toDF("id", "k")
+      .coalesce(1).write.format("btr").option("btr.blockSize", "4096")
+      .option("btr.forceScheme.int", "dict").mode("append").save(p2)
+    val w = spark.read.format("btr").load(p2)
+    assert(w.schema("k").dataType == org.apache.spark.sql.types.LongType)
+    assert(w.count() == 9000)
+    assert(w.agg(sum($"k")).head.getLong(0) == (0 until 9000).map(_ % 4).sum.toLong)
+  }
+
   test("binary dict columns and mixed dict/non-dict row groups read correctly") {
     import spark.implicits._
     // first half low-cardinality (dict), second half unique (uncompressed):

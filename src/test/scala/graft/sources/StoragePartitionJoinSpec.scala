@@ -79,6 +79,54 @@ class StoragePartitionJoinSpec extends AnyFunSuite with AdaptiveSparkPlanHelper 
     }
   }
 
+  test("OPTIMIZE converges many-file partitions to the zero-sort SPJ layout") {
+    // unclustered writes: 4 round-robin tasks × 5 keys → 4 files per
+    // partition dir; each key group then spans several splits, so Spark
+    // cannot trust the reported ordering and SMJ keeps its sorts
+    val facts = (0 until 2000).map(i => (s"k${i % 5}", i.toLong)).toDF("k", "id")
+    val dims = (0 until 50).map(i => (s"k${i % 5}", s"name-$i")).toDF("k", "name")
+    facts.repartition(4).write.format("btr").partitionBy("k").mode("overwrite")
+      .save(tmp("opt_facts"))
+    dims.repartition(2).write.format("btr").partitionBy("k").mode("overwrite")
+      .save(tmp("opt_dims"))
+    def filesPerDir(p: String): Map[String, Int] =
+      new java.io.File(p).listFiles().filter(_.isDirectory).map { d =>
+        d.getName -> d.listFiles().count(f => f.getName.endsWith(".btr"))
+      }.toMap
+    assert(filesPerDir(tmp("opt_facts")).values.forall(_ > 1), "precondition: many files/dir")
+
+    withSpj("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      def planOf() = {
+        val q = spark.read.format("btr").load(tmp("opt_facts"))
+          .join(spark.read.format("btr").load(tmp("opt_dims")), Seq("k"))
+          .select("k", "id", "name")
+        q.collect()
+        q.queryExecution.executedPlan
+      }
+      val before = planOf()
+      assert(collect(before) { case e: ShuffleExchangeExec => e }.isEmpty,
+        s"grouped SPJ should already avoid shuffles:\n$before")
+      assert(collect(before) { case s: org.apache.spark.sql.execution.SortExec => s }.nonEmpty,
+        s"multi-split key groups should still require join sorts:\n$before")
+
+      val (fb0, fb1) = BtrCompact.optimizePartitioned(spark, tmp("opt_facts"))
+      val (db0, db1) = BtrCompact.optimizePartitioned(spark, tmp("opt_dims"))
+      assert(fb1 == 5 && db1 == 5, s"one file per partition dir: $fb0->$fb1, $db0->$db1")
+      assert(filesPerDir(tmp("opt_facts")).values.forall(_ == 1))
+
+      val after = planOf()
+      assert(collect(after) { case e: ShuffleExchangeExec => e }.isEmpty,
+        s"OPTIMIZE must keep SPJ zero-shuffle:\n$after")
+      assert(collect(after) { case s: org.apache.spark.sql.execution.SortExec => s }.isEmpty,
+        s"one-file-per-partition layout must elide join sorts:\n$after")
+      // rows unchanged by the optimize
+      val got = spark.read.format("btr").load(tmp("opt_facts"))
+        .groupBy("k").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == facts.groupBy("k").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap)
+    }
+  }
+
   test("GROUP BY the partition key aggregates without an exchange") {
     val df = (0 until 1000).map(i => (s"k${i % 4}", i.toLong)).toDF("k", "v")
     df.write.format("btr").partitionBy("k").mode("overwrite").save(tmp("aggtab"))
