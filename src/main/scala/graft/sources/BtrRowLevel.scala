@@ -126,24 +126,25 @@ class BtrRowLevelScanBuilder(op: BtrRowLevelOperation, path: String,
     val fs = dir.getFileSystem(BtrTableMeta.hadoopConf())
     val rootLen = fs.makeQualified(dir).toUri.getPath.length + 1
     def rel(p: Path): String = p.toUri.getPath.substring(rootLen)
-    val selected: Seq[String] =
-      if (cond.isEmpty)
-        // nothing pushable (e.g. MERGE ON source rows): every file may
-        // hold affected rows — full-table copy-on-write
-        BtrTableMeta.listDataFilesWithPartitions(fs, dir).map(e => rel(e.path)).toSeq
-      else
-        // MatchNone is sound even when `cond` is a subset of the real
-        // condition's conjuncts; MatchAll/Undecided both mean "rewrite"
-        // (MatchAll on a conjunct SUBSET does not prove the full
-        // condition matches, so no delete-without-read shortcut here —
-        // the fully-aligned case took the metadata path upstream)
-        BtrDelete.classify(fs, dir, tableSchema, partCols, cond)
-          .collect { case (e, v) if v != BtrDelete.MatchNone => rel(e.path) }.toSeq
-    op.replacedFiles = selected
+    // MatchNone is sound even when `cond` is a subset of the real
+    // condition's conjuncts; MatchAll/Undecided both mean "rewrite"
+    // (MatchAll on a conjunct SUBSET does not prove the full condition
+    // matches, so no delete-without-read shortcut here — the fully-
+    // aligned case took the metadata path upstream). An empty `cond`
+    // (e.g. MERGE ON source rows) classifies every file MatchAll without
+    // footer I/O — full-table copy-on-write, the honest worst case.
+    val selected = BtrDelete.classify(fs, dir, tableSchema, partCols, cond)
+      .collect { case (e, v) if v != BtrDelete.MatchNone => e }
+    val selectedRel = selected.map(e => rel(e.path)).toSeq
+    op.replacedFiles = selectedRel
+    // hand the classified entries straight to the scan: a second full
+    // listing per DML statement is a planning-scale metadata pass wasted
+    // on a 100k-file table
     new BtrScan(path, tableSchema, requiredSchema, Array.empty,
       BtrOptions.splitBytes(options), None, partCols,
       BtrOptions.expansionFactor(options), None,
-      onlyFiles = Some(selected.toSet), rewriteGroups = true)
+      onlyFiles = Some(selectedRel.toSet), rewriteGroups = true,
+      preListed = Some(selected))
   }
 }
 

@@ -169,7 +169,11 @@ class BtrScan(
     // Callers pass filters = empty; `rewriteGroups` additionally refuses
     // runtime filters for the same reason.
     onlyFiles: Option[Set[String]] = None,
-    rewriteGroups: Boolean = false
+    rewriteGroups: Boolean = false,
+    // pre-listed file entries (row-level ops classified them already) —
+    // skips this scan's own listing; onlyFiles filtering is then the
+    // caller's responsibility
+    preListed: Option[Array[BtrTableMeta.DataFileEntry]] = None
 ) extends Scan
     with Batch
     with SupportsRuntimeFiltering
@@ -195,12 +199,14 @@ class BtrScan(
   private lazy val discovered: Array[(BtrTableMeta.DataFileEntry, BtrFile.Footer)] = {
     val dir = new Path(path)
     val fs = dir.getFileSystem(BtrTableMeta.hadoopConf())
-    val all = BtrTableMeta.listDataFilesWithPartitions(fs, dir)
-    val entries = onlyFiles match {
-      case Some(set) =>
-        val rootLen = fs.makeQualified(dir).toUri.getPath.length + 1
-        all.filter(e => set.contains(e.path.toUri.getPath.substring(rootLen)))
-      case None => all
+    val entries = preListed.getOrElse {
+      val all = BtrTableMeta.listDataFilesWithPartitions(fs, dir)
+      onlyFiles match {
+        case Some(set) =>
+          val rootLen = fs.makeQualified(dir).toUri.getPath.length + 1
+          all.filter(e => set.contains(e.path.toUri.getPath.substring(rootLen)))
+        case None => all
+      }
     }
     BtrFooters.readAllIndexed(fs, dir, entries)
   }
@@ -276,6 +282,12 @@ class BtrScan(
     */
   override def outputOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
     if (partCols.isEmpty || !partCols.forall(requiredSchema.fieldNames.contains))
+      return Array.empty
+    // the claim is only valid over per-key splits; with key-grouped
+    // planning off, small splits may PACK across partition values in
+    // directory order (not value order), so no ordering is reported
+    if (!org.apache.spark.sql.internal.SQLConf.get
+        .getConfString("spark.sql.sources.v2.bucketing.enabled", "false").toBoolean)
       return Array.empty
     partCols.map(c =>
       org.apache.spark.sql.connector.expressions.Expressions.sort(
@@ -394,7 +406,47 @@ class BtrScan(
         flush()
       }
     }
-    partitions.toArray
+    packSmallSplits(partitions.toArray)
+  }
+
+  /** Pack many small per-file splits into ~splitBytes tasks (each slice
+    * charged an open-cost floor, like Spark's openCostInBytes), engaging
+    * only when the split count is large enough for per-task scheduler
+    * overhead to dominate — a 720-directory hour-partitioned table scans
+    * in a handful of tasks instead of 720. Skipped whenever key-grouped
+    * planning may consume the splits (bucketing conf on + partitioned):
+    * grouping and the reported partition-key ordering require per-key
+    * splits, and a packed split spans keys in directory order, which is
+    * NOT value order. Row-level rewrites pack too — their file set is
+    * recorded at classification, not from the splits.
+    */
+  private def packSmallSplits(raw: Array[InputPartition]): Array[InputPartition] = {
+    val keyGrouped = partCols.nonEmpty &&
+      org.apache.spark.sql.internal.SQLConf.get
+        .getConfString("spark.sql.sources.v2.bucketing.enabled", "false").toBoolean
+    if (keyGrouped || raw.length <= BtrScan.PackMinSplits) return raw
+    val openCost = 4L * 1024 * 1024
+    def sizeOf(p: BtrInputPartition): Long =
+      p.groups.iterator.map(_.lengths.iterator.map(_.toLong).sum).sum + openCost
+    val packed = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
+    var cur = scala.collection.mutable.ArrayBuffer.empty[BtrInputPartition]
+    var bytes = 0L
+    def flushPack(): Unit = {
+      if (cur.length == 1) packed += cur.head
+      else if (cur.nonEmpty) packed += BtrPackedInputPartition(cur.toArray)
+      cur = scala.collection.mutable.ArrayBuffer.empty[BtrInputPartition]
+      bytes = 0L
+    }
+    raw.foreach {
+      case p: BtrInputPartition =>
+        val sz = sizeOf(p)
+        if (bytes > 0 && bytes + sz > splitBytes) flushPack()
+        cur += p
+        bytes += sz
+      case other => flushPack(); packed += other
+    }
+    flushPack()
+    packed.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -1475,6 +1527,18 @@ final case class BtrChunkRange(numRows: Int, offsets: Array[Long], lengths: Arra
   * data columns (their offsets live in `groups`), the hive directory
   * value (or the null-partition marker) for partition columns.
   */
+/** Several per-file slices chained into one Spark task — the small-files
+  * defense (Spark's parquet path packs files into FilePartitions for the
+  * same reason): a 100k-file table (a long-running streaming sink, an
+  * hour-partitioned event layout) must not cost 100k scheduler rounds
+  * when its bytes fit in a handful of splits. Slices keep their own
+  * partition values and physical tags; the packed reader chains them.
+  * Never used when key-grouped (storage-partitioned) planning is on —
+  * grouping needs per-key splits with HasPartitionKey.
+  */
+final case class BtrPackedInputPartition(slices: Array[BtrInputPartition])
+    extends InputPartition
+
 final case class BtrInputPartition(
     file: String,
     groups: Array[BtrChunkRange],
@@ -1494,6 +1558,11 @@ final case class BtrInputPartition(
 }
 
 object BtrScan {
+  /** Split-packing engages above this many raw splits (below it, per-task
+    * overhead is noise and per-file splits keep plans observable).
+    */
+  val PackMinSplits = 64
+
   /** Directory-value string → catalyst value (the HasPartitionKey typing
     * of the same parse [[BtrColumnarReader]] fillConstant does into
     * vectors). Null partitions map to null.
@@ -1565,7 +1634,41 @@ class BtrReaderFactory(requiredSchema: StructType, filters: Array[Filter] = Arra
     throw new UnsupportedOperationException("btr scan is columnar; row reads go through columnarBatch")
 
   override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] =
-    new BtrColumnarReader(partition.asInstanceOf[BtrInputPartition], requiredSchema, filters)
+    partition match {
+      case packed: BtrPackedInputPartition =>
+        new BtrPackedColumnarReader(packed, requiredSchema, filters)
+      case single: BtrInputPartition =>
+        new BtrColumnarReader(single, requiredSchema, filters)
+    }
+}
+
+/** Chains one [[BtrColumnarReader]] per packed slice — per-slice reader
+  * state (file stream, physical tags, partition constants) stays where it
+  * was; this just sequences them inside one task.
+  */
+class BtrPackedColumnarReader(packed: BtrPackedInputPartition,
+    requiredSchema: StructType, filters: Array[Filter])
+    extends PartitionReader[ColumnarBatch] {
+  private var idx = 0
+  private var cur: BtrColumnarReader = null
+
+  override def next(): Boolean = {
+    while (true) {
+      if (cur == null) {
+        if (idx >= packed.slices.length) return false
+        cur = new BtrColumnarReader(packed.slices(idx), requiredSchema, filters)
+        idx += 1
+      }
+      if (cur.next()) return true
+      cur.close()
+      cur = null
+    }
+    false // unreachable
+  }
+
+  override def get(): ColumnarBatch = cur.get()
+
+  override def close(): Unit = if (cur != null) { cur.close(); cur = null }
 }
 
 /** Spark-side dictionary over a DICT string chunk's distinct entries.

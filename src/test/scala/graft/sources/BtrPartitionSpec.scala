@@ -178,6 +178,40 @@ class BtrPartitionSpec extends AnyFunSuite {
     assert(got.last == java.time.LocalDateTime.parse("2026-04-01T13:30:00"))
   }
 
+  test("many small files pack into few tasks; key-grouped planning opts out") {
+    import spark.implicits._
+    val p = tmp("pack_many")
+    // 120 tiny hour partitions, one file each — over the packing threshold
+    (0 until 1200).map(i => (i % 120, i.toLong)).toDF("h", "v")
+      .repartitionByRange(8, col("h"))
+      .write.format("btr").partitionBy("h").mode("overwrite").save(p)
+    def planned(df: DataFrame): Seq[org.apache.spark.sql.connector.read.InputPartition] =
+      df.queryExecution.executedPlan.collectLeaves().head
+        .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.BatchScanExec]
+        .inputPartitions
+    val back = spark.read.format("btr").load(p)
+    val parts = planned(back)
+    assert(parts.length < 120, s"expected packed splits, got ${parts.length}")
+    val sliceFiles = parts.flatMap {
+      case pk: BtrPackedInputPartition => pk.slices.map(_.file).toSeq
+      case s: BtrInputPartition => Seq(s.file)
+    }
+    assert(sliceFiles.distinct.length == 120, "every file still planned exactly once")
+    // rows and partition-value synthesis stay exact through the packed reader
+    assert(back.count() == 1200)
+    assert(back.groupBy("h").count().collect().forall(_.getLong(1) == 10))
+    assert(back.filter(col("h") === 7).select("v").as[Long].collect().sorted.toSeq ==
+      (0 until 1200).filter(_ % 120 == 7).map(_.toLong))
+    // partition pruning composes: one matching dir -> one slice planned
+    assert(planned(back.filter(col("h") === 7)).length == 1)
+    // with key-grouped planning on, splits stay per-key (SPJ needs them)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      val grouped = planned(spark.read.format("btr").load(p))
+      assert(!grouped.exists(_.isInstanceOf[BtrPackedInputPartition]))
+    } finally spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+  }
+
   test("append into partitioned table adds files under the right dirs") {
     import spark.implicits._
     val df1 = Seq((1L, "x"), (2L, "y")).toDF("id", "p")

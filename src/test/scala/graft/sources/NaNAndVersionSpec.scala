@@ -167,4 +167,47 @@ class NaNAndVersionSpec extends AnyFunSuite {
     }
     assert(messages(e2).exists(_.contains("magic")), messages(e2).mkString(" | "))
   }
+
+  test("version-4 files (no colTags bytes) read back exactly") {
+    import spark.implicits._
+    // fixture by byte surgery: a v5 file differs from v4 only by the
+    // header version int and the per-column tag bytes between the footer's
+    // column count and its row groups — strip both and the reader must
+    // parse it as a v4 file (colTags = null → physical type = logical)
+    val rows = (0 until 5000).map(i =>
+      (i.toLong, s"s${i % 40}", if (i % 9 == 0) Double.NaN else i * 1.25))
+    rows.toDF("id", "s", "d").coalesce(1)
+      .write.format("btr").mode("overwrite").save(tmp("v4"))
+    val dir = new java.io.File(tmp("v4"))
+    val file = dir.listFiles().filter(_.getName.endsWith(".btr")).head
+    val v5 = java.nio.file.Files.readAllBytes(file.toPath)
+    def leInt(off: Int): Int =
+      (v5(off) & 0xff) | ((v5(off + 1) & 0xff) << 8) |
+        ((v5(off + 2) & 0xff) << 16) | ((v5(off + 3) & 0xff) << 24)
+    val len = v5.length
+    val footerLen = leInt(len - 8)
+    val bodyStart = len - 8 - footerLen
+    val numCols = leInt(bodyStart + 4)
+    assert(numCols == 3)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(v5, 0, 4) // magic
+    out.write(Array[Byte](0, 0, 0, 4)) // header version 4 (big-endian)
+    out.write(v5, 8, bodyStart - 8) // chunk blobs (offsets unchanged)
+    out.write(v5, bodyStart, 8) // numRowGroups, numCols
+    out.write(v5, bodyStart + 8 + numCols, footerLen - 8 - numCols) // sans colTags
+    val newLen = footerLen - numCols
+    out.write(Array[Byte](newLen.toByte, (newLen >> 8).toByte,
+      (newLen >> 16).toByte, (newLen >> 24).toByte))
+    out.write(v5, len - 4, 4) // tail magic
+    java.nio.file.Files.write(file.toPath, out.toByteArray)
+    // stale sidecars must not shadow the rewritten file
+    dir.listFiles().filter(f => f.getName.endsWith(".crc") ||
+      f.getName.startsWith("_btr_footerindex")).foreach(_.delete())
+    val back = spark.read.format("btr").load(tmp("v4"))
+    assert(back.orderBy("id").collect().map(_.toString).toSeq ==
+      rows.toDF("id", "s", "d").orderBy("id").collect().map(_.toString).toSeq)
+    // pushdown still works off the v4 footer stats
+    assert(back.filter($"id" < 100).count() == 100)
+    assert(back.filter($"s" === "s7").count() == rows.count(_._2 == "s7"))
+  }
 }
