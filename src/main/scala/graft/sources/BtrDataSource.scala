@@ -61,7 +61,21 @@ class BtrDataSource extends TableProvider with DataSourceRegister {
 
 class BtrTable(path: String, tableSchema: StructType, partitionTransforms: Array[Transform] = Array.empty)
     extends Table with SupportsRead with SupportsWrite with SupportsDelete
-    with SupportsRowLevelOperations {
+    with SupportsRowLevelOperations with SupportsMetadataColumns {
+
+  /** `_file` — the qualified data-file path of each row: provenance for
+    * pipeline debugging (`SELECT _file, ...`), and the group identity the
+    * row-level rewrite's runtime group filter prunes on.
+    */
+  override def metadataColumns(): Array[MetadataColumn] = Array(
+    new MetadataColumn {
+      override def name(): String = BtrScan.FileMetaCol
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.StringType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "qualified path of the data file the row was read from"
+    })
   tableSchema.fields.foreach { f =>
     require(PhysType.supported(f.dataType), s"btr: unsupported column type ${f.name}: ${f.dataType}")
   }

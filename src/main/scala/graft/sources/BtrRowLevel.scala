@@ -61,6 +61,18 @@ class BtrRowLevelOperation(path: String, tableSchema: StructType, partCols: Seq[
 
   override def command(): RowLevelOperation.Command = cmd
 
+  /** `_file` rides along so Spark's runtime group filtering can compute
+    * the exact set of files holding matching rows (a subquery over the
+    * table projecting `_file` under the command condition — chunk
+    * skipping and blooms prune it like any scan) and dynamically narrow
+    * the rewrite to just those files. This is what keeps MERGE INTO from
+    * rewriting a whole table whose ON condition isn't statically
+    * pushable.
+    */
+  override def requiredMetadataAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column(BtrScan.FileMetaCol))
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new BtrRowLevelScanBuilder(this, path, tableSchema, partCols, options)
 
@@ -81,7 +93,11 @@ class BtrRowLevelOperation(path: String, tableSchema: StructType, partCols: Seq[
         // arity, so the code stays correct if a future Spark applies the
         // projection itself); writing it through would shear the whole
         // file's column mapping by one.
-        val rowSchema = info.schema()
+        // metadata columns are read-side identities, never data: strip
+        // them (and any operation marker) from the write schema
+        val rowSchema = StructType(info.schema().fields.filterNot(f =>
+          f.name == BtrScan.FileMetaCol ||
+            f.name == org.apache.spark.sql.catalyst.util.RowDeltaUtils.OPERATION_COLUMN))
         val inner = new BtrBatchWrite(path, rowSchema,
           BtrOverwriteMode.ReplaceFiles(() => replacedFiles),
           blockSize, cascade, graft.format.BtrConfig.Default, partCols)
@@ -139,12 +155,15 @@ class BtrRowLevelScanBuilder(op: BtrRowLevelOperation, path: String,
     op.replacedFiles = selectedRel
     // hand the classified entries straight to the scan: a second full
     // listing per DML statement is a planning-scale metadata pass wasted
-    // on a 100k-file table
+    // on a 100k-file table. The narrow callback keeps op.replacedFiles in
+    // lockstep when the runtime group filter shrinks the rewrite set —
+    // the commit must replace exactly the files the scan read.
     new BtrScan(path, tableSchema, requiredSchema, Array.empty,
       BtrOptions.splitBytes(options), None, partCols,
       BtrOptions.expansionFactor(options), None,
       onlyFiles = Some(selectedRel.toSet), rewriteGroups = true,
-      preListed = Some(selected))
+      preListed = Some(selected),
+      onRewriteNarrowed = Some(entries => op.replacedFiles = entries.map(e => rel(e.path)).toSeq))
   }
 }
 

@@ -173,7 +173,10 @@ class BtrScan(
     // pre-listed file entries (row-level ops classified them already) —
     // skips this scan's own listing; onlyFiles filtering is then the
     // caller's responsibility
-    preListed: Option[Array[BtrTableMeta.DataFileEntry]] = None
+    preListed: Option[Array[BtrTableMeta.DataFileEntry]] = None,
+    // invoked when the runtime group filter narrows a rewrite scan's file
+    // set, so the paired ReplaceData write replaces exactly what was read
+    onRewriteNarrowed: Option[Array[BtrTableMeta.DataFileEntry] => Unit] = None
 ) extends Scan
     with Batch
     with SupportsRuntimeFiltering
@@ -225,7 +228,7 @@ class BtrScan(
     val dir = new Path(path)
     val ratios = BtrTableMeta.readStatsRatios(dir.getFileSystem(BtrTableMeta.hadoopConf()), dir)
     val colIdx = requiredSchema.fields.flatMap(f =>
-      if (partCols.contains(f.name)) None
+      if (f.name == BtrScan.FileMetaCol || partCols.contains(f.name)) None
       else Some((dataSchema.fieldIndex(f.name), ratios.getOrElse(f.name, expansionFactor))))
     var rows = 0L
     var bytes = 0.0
@@ -301,14 +304,35 @@ class BtrScan(
   private var runtimeFilters: Array[Filter] = Array.empty
 
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    // a group-rewrite scan must return whole files — advertising no
-    // filterable attributes keeps Spark from injecting runtime filters
-    // that would prune chunks whose rows the rewrite must preserve
-    if (rewriteGroups) Array.empty
+    // a group-rewrite scan must return whole files, so the ONLY runtime
+    // filter it accepts is on the `_file` group identity (Spark's
+    // row-level runtime group filtering: a subquery computes the files
+    // holding matching rows and the rewrite shrinks to exactly those) —
+    // value-column runtime filters would prune chunks whose surviving
+    // rows the rewrite must preserve
+    if (rewriteGroups)
+      Array(org.apache.spark.sql.connector.expressions.Expressions.column(BtrScan.FileMetaCol))
     else requiredSchema.fieldNames.map(org.apache.spark.sql.connector.expressions.Expressions.column)
 
+  // runtime group narrowing (rewrite scans only): the subset of the
+  // pre-listed files the dynamic `_file` IN-set kept
+  @volatile private var rewriteNarrow: Option[Set[String]] = None
+
   override def filter(fs: Array[Filter]): Unit = {
-    if (rewriteGroups) return
+    if (rewriteGroups) {
+      val allowed: Option[Set[String]] = fs.collectFirst {
+        case In(BtrScan.FileMetaCol, vs) => vs.map(String.valueOf).toSet
+        case EqualTo(BtrScan.FileMetaCol, v) => Set(String.valueOf(v))
+      }
+      allowed.foreach { set =>
+        rewriteNarrow = Some(set)
+        val kept = preListed.getOrElse(Array.empty)
+          .filter(e => set.contains(e.path.toString))
+        onRewriteNarrowed.foreach(_(kept))
+        planned = null // re-plan over the narrowed set
+      }
+      return
+    }
     val kept = fs.filter(ChunkSkip.supports(tableSchema, _))
     // keep the plan memo warm when nothing usable changed (the common
     // case: a runtime filter arrives but none of it survives support
@@ -339,10 +363,12 @@ class BtrScan(
   }
 
   private def doPlanInputPartitions(): Array[InputPartition] = {
-    // required column layout: data columns map to footer indices,
-    // partition columns synthesize from the directory values
+    // required column layout: data columns map to footer indices;
+    // partition columns and the _file metadata column synthesize as
+    // per-file constants (directory value / file path)
     val colKinds = requiredSchema.fields.map { f =>
-      if (partCols.contains(f.name)) -1 else dataSchema.fieldIndex(f.name)
+      if (f.name == BtrScan.FileMetaCol || partCols.contains(f.name)) -1
+      else dataSchema.fieldIndex(f.name)
     }
     val dataIdx = colKinds.filter(_ >= 0)
     val allFilters = filters ++ runtimeFilters
@@ -352,16 +378,22 @@ class BtrScan(
     val rowBudget = if (allFilters.isEmpty) limit else None
 
     val partitions = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
-    discovered.foreach { case (entry, footer) =>
+    val live = rewriteNarrow match {
+      case Some(set) => discovered.filter { case (e, _) => set.contains(e.path.toString) }
+      case None => discovered
+    }
+    live.foreach { case (entry, footer) =>
       val file = entry.path
       val partValues = entry.partitionValues
       // partition pruning: directory values can prove a whole file empty
       val prunedByPartition = allFilters.exists(f =>
         PartitionPrune.canSkip(tableSchema, partValues, f))
       if (!prunedByPartition) {
-        // per-requiredField partition value (null marker for data cols)
+        // per-requiredField constant value (null marker for data cols):
+        // partition columns carry the directory value, _file the file path
         val reqPartValues: Array[String] = requiredSchema.fields.map { f =>
-          if (partCols.contains(f.name)) partValues.getOrElse(f.name, BtrTableMeta.NullPartition)
+          if (f.name == BtrScan.FileMetaCol) file.toString
+          else if (partCols.contains(f.name)) partValues.getOrElse(f.name, BtrTableMeta.NullPartition)
           else null
         }
         // storage-partitioned joins: the split's partition key, in
@@ -831,7 +863,8 @@ class BtrMicroBatchStream(
     val fs = dir.getFileSystem(BtrTableMeta.hadoopConf())
     val prefix = tableRootPrefix(dir, fs)
     val colKinds = requiredSchema.fields.map { f =>
-      if (partCols.contains(f.name)) -1 else dataSchema.fieldIndex(f.name)
+      if (f.name == BtrScan.FileMetaCol || partCols.contains(f.name)) -1
+      else dataSchema.fieldIndex(f.name)
     }
     val dataIdx = colKinds.filter(_ >= 0)
     var current = cachedListing.filter(en => newNames.contains(relName(en, prefix)))
@@ -847,10 +880,13 @@ class BtrMicroBatchStream(
     }
     BtrFooters.readAllIndexed(fs, dir, current).map {
       case (entry, footer) =>
+      val needsConsts = partCols.nonEmpty ||
+        requiredSchema.fieldNames.contains(BtrScan.FileMetaCol)
       val reqPartValues: Array[String] =
-        if (partCols.isEmpty) Array.empty
+        if (!needsConsts) Array.empty
         else requiredSchema.fields.map { f =>
-          if (partCols.contains(f.name))
+          if (f.name == BtrScan.FileMetaCol) entry.path.toString
+          else if (partCols.contains(f.name))
             entry.partitionValues.getOrElse(f.name, BtrTableMeta.NullPartition)
           else null
         }
@@ -1562,6 +1598,14 @@ object BtrScan {
     * overhead is noise and per-file splits keep plans observable).
     */
   val PackMinSplits = 64
+
+  /** `_file` metadata column (SupportsMetadataColumns): the qualified
+    * path of the data file each row came from — provenance for pipeline
+    * debugging, and the group identity row-level MERGE/UPDATE/DELETE
+    * runtime group filtering prunes on (the same role Spark's parquet
+    * `_metadata.file_path` and Iceberg's `_file` play).
+    */
+  val FileMetaCol = "_file"
 
   /** Directory-value string → catalyst value (the HasPartitionKey typing
     * of the same parse [[BtrColumnarReader]] fillConstant does into

@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Row-level DELETE/UPDATE/MERGE (group-based copy-on-write) + ALTER
@@ -156,6 +157,96 @@ class BtrRowLevelSpec extends AnyFunSuite {
     intercept[Exception](spark.sql(s"ALTER TABLE graft.`$p` DROP COLUMN s"))
     intercept[Exception](spark.sql(s"ALTER TABLE graft.`$p` ALTER COLUMN s TYPE INT"))
     assert(spark.read.format("btr").load(p).schema.fieldNames.length == 3)
+  }
+
+  test("_file metadata column exposes per-row provenance") {
+    val p = tmp("file_meta")
+    (0 until 100).map(i => (i.toLong, s"r$i")).toDF("v", "s")
+      .coalesce(1).write.format("btr").mode("overwrite").save(p)
+    (100 until 200).map(i => (i.toLong, s"r$i")).toDF("v", "s")
+      .coalesce(1).write.format("btr").mode("append").save(p)
+    val back = spark.read.format("btr").load(p).select($"v", $"_file")
+    val rows = back.collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.length == 200)
+    val files = rows.map(_._2).distinct
+    assert(files.length == 2, files.mkString(","))
+    assert(files.forall(f => f.endsWith(".btr") && f.contains("file_meta")))
+    // rows from one write share one file; the two ranges never mix
+    val byFile = rows.groupBy(_._2).values.map(_.map(_._1).sorted.toSeq).toSet
+    assert(byFile == Set((0L until 100L).toSeq, (100L until 200L).toSeq))
+    // _file composes with filters and aggregation
+    assert(back.filter($"v" < 100).select("_file").distinct().count() == 1)
+  }
+
+  test("MERGE runtime group filter rewrites only files with matching rows") {
+    val p = tmp("merge_groupfilter")
+    (0 until 100).map(i => (i.toLong, i * 10L)).toDF("id", "amt")
+      .coalesce(1).write.format("btr").mode("overwrite").save(p)
+    (100 until 200).map(i => (i.toLong, i * 10L)).toDF("id", "amt")
+      .coalesce(1).write.format("btr").mode("append").save(p)
+    val before = dataFiles(p).map(f => f.getName -> md5(f)).toMap
+    assert(before.size == 2)
+    // source touches ids 5 and 7 — both in the FIRST file only; the ON
+    // condition is not statically pushable (join on source rows), so
+    // without the runtime group filter BOTH files would rewrite
+    Seq((5L, 999L), (7L, 888L)).toDF("id", "amt")
+      .createOrReplaceTempView("rl_gf_src")
+    spark.sql(
+      s"""MERGE INTO graft.`$p` t USING rl_gf_src s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET amt = s.amt""".stripMargin)
+    val after = dataFiles(p).map(f => f.getName -> md5(f)).toMap
+    val kept = before.keySet.intersect(after.keySet)
+    assert(kept.size == 1, s"expected the unmatched file untouched, kept=$kept")
+    assert(before(kept.head) == after(kept.head), "unmatched file's bytes changed")
+    val got = spark.read.format("btr").load(p).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val expected = (0 until 200).map(i =>
+      (i.toLong, if (i == 5) 999L else if (i == 7) 888L else i * 10L))
+    assert(got.toSeq == expected)
+  }
+
+  test("fuzz: UPDATE equals conditional-projection semantics across random layouts") {
+    val rnd = new scala.util.Random(0xF00D42)
+    for (iter <- 0 until 6) {
+      val p = tmp(s"upd_fuzz_$iter")
+      val nApp = 1 + rnd.nextInt(3)
+      val parts = (0 until nApp).map { a =>
+        val lo = rnd.nextInt(150)
+        val n = 40 + rnd.nextInt(60)
+        (lo until lo + n).map { i =>
+          (if (rnd.nextInt(12) == 0) None else Some(i.toLong), s"g${i % (1 + rnd.nextInt(3))}")
+        }
+      }
+      parts.zipWithIndex.foreach { case (rows, a) =>
+        rows.toDF("v", "s").coalesce(1).write.format("btr")
+          .mode(if (a == 0) "overwrite" else "append").save(p)
+      }
+      val all = parts.flatten.toDF("v", "s")
+      // (SQL predicate, matching Column) — mix of stat-pushable and not
+      val preds = Seq[(String, org.apache.spark.sql.Column)](
+        ("v < 80", col("v") < 80),
+        ("v >= 120", col("v") >= 120),
+        ("v IS NULL", col("v").isNull),
+        ("s = 'g0'", col("s") === "g0"),
+        ("v % 7 = 0", col("v") % 7 === 0), // not translatable -> no static file pruning
+        ("v >= 40 AND v < 90", col("v") >= 40 && col("v") < 90))
+      val (predSql, predCol) = preds(rnd.nextInt(preds.length))
+      val hit = coalesce(predCol, lit(false))
+      // (SET clause, expected projection under `hit`)
+      val sets = Seq[(String, org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)](
+        ("v = v + 1000", d => d.withColumn("v", when(hit, col("v") + 1000).otherwise(col("v")))),
+        ("s = concat(s, '!')", d => d.withColumn("s", when(hit, concat(col("s"), lit("!"))).otherwise(col("s")))),
+        ("v = -v, s = 'x'", d => d
+          .withColumn("v2", when(hit, -col("v")).otherwise(col("v")))
+          .withColumn("s", when(hit, lit("x")).otherwise(col("s")))
+          .drop("v").withColumnRenamed("v2", "v").select("v", "s")))
+      val (setSql, expectF) = sets(rnd.nextInt(sets.length))
+      spark.sql(s"UPDATE graft.`$p` SET $setSql WHERE $predSql")
+      val got = spark.read.format("btr").load(p)
+        .collect().map(_.toString).sorted.toSeq
+      val want = expectF(all).collect().map(_.toString).sorted.toSeq
+      assert(got == want, s"iter=$iter pred=$predSql set=$setSql")
+    }
   }
 
   test("UPDATE leaves no staging or journal leftovers") {
