@@ -32,6 +32,11 @@ object BtrInspect {
   /** Commit-time ingest stats written by the last successful write
     * (rows, per-column nulls, raw/compressed bytes, ratio) — the analog
     * of the reference's `.stats` files (btrfiles/Parser.cpp:184-189).
+    * ADVISORY: they describe the last write, not necessarily the live
+    * table — DELETE and row-level rewrites drop the sidecar (an empty
+    * result here means "no current stats"), and an append's stats cover
+    * only that append's files. Exact live row counts come from the
+    * footers (`describe` / a COUNT(*) metadata-only aggregate).
     */
   def tableStats(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
@@ -39,6 +44,16 @@ object BtrInspect {
     // bytes directly instead of through a file-listing source
     val p = new Path(path, BtrTableMeta.StatsFile)
     val fs = p.getFileSystem(BtrTableMeta.hadoopConf())
+    if (!fs.exists(p)) // no current stats (e.g. after a DELETE dropped them)
+      return spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("column", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("rows", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("nulls", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("raw_bytes", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("compressed_bytes", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("ratio", org.apache.spark.sql.types.DoubleType))))
     val len = fs.getFileStatus(p).getLen.toInt
     val bytes = new Array[Byte](len)
     val in = fs.open(p)

@@ -37,10 +37,14 @@ class BtrScanBuilder(path: String, tableSchema: StructType, options: CaseInsensi
   }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    // keep every filter that references only columns with usable stats for
-    // chunk skipping; ALL filters remain post-scan residuals (correctness
-    // never depends on skipping)
-    pushed = filters.filter(ChunkSkip.supports(tableSchema, _))
+    // keep every filter that references only columns with usable stats
+    // for chunk skipping, plus filters on the `_file` metadata column
+    // (pruned at FILE granularity — `WHERE _file = '...'` provenance
+    // queries read one file); ALL filters remain post-scan residuals
+    // (correctness never depends on skipping)
+    pushed = filters.filter(f =>
+      ChunkSkip.supports(tableSchema, f) ||
+        f.references.nonEmpty && f.references.forall(_ == BtrScan.FileMetaCol))
     filters
   }
 
@@ -382,12 +386,22 @@ class BtrScan(
       case Some(set) => discovered.filter { case (e, _) => set.contains(e.path.toString) }
       case None => discovered
     }
+    // `_file` prunes through the partition machinery: its value is a
+    // per-file constant exactly like a directory value
+    val pruneSchema =
+      if (allFilters.exists(_.references.contains(BtrScan.FileMetaCol)))
+        StructType(tableSchema.fields :+
+          org.apache.spark.sql.types.StructField(BtrScan.FileMetaCol, StringType))
+      else tableSchema
     live.foreach { case (entry, footer) =>
       val file = entry.path
-      val partValues = entry.partitionValues
-      // partition pruning: directory values can prove a whole file empty
+      val partValues =
+        if (pruneSchema eq tableSchema) entry.partitionValues
+        else entry.partitionValues + (BtrScan.FileMetaCol -> file.toString)
+      // partition pruning: directory values (and the _file constant) can
+      // prove a whole file empty
       val prunedByPartition = allFilters.exists(f =>
-        PartitionPrune.canSkip(tableSchema, partValues, f))
+        PartitionPrune.canSkip(pruneSchema, partValues, f))
       if (!prunedByPartition) {
         // per-requiredField constant value (null marker for data cols):
         // partition columns carry the directory value, _file the file path

@@ -176,6 +176,14 @@ class BtrRowLevelSpec extends AnyFunSuite {
     assert(byFile == Set((0L until 100L).toSeq, (100L until 200L).toSeq))
     // _file composes with filters and aggregation
     assert(back.filter($"v" < 100).select("_file").distinct().count() == 1)
+    // a _file equality prunes the scan to that ONE file at planning
+    val one = files.head
+    val q = spark.read.format("btr").load(p).filter($"_file" === one)
+    assert(q.count() == 100)
+    val plannedFiles = q.queryExecution.executedPlan.collectLeaves().head
+      .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.BatchScanExec]
+      .inputPartitions.collect { case bp: BtrInputPartition => bp.file }.distinct
+    assert(plannedFiles == Seq(one), s"planned $plannedFiles")
   }
 
   test("MERGE runtime group filter rewrites only files with matching rows") {
