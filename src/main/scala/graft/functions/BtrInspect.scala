@@ -44,21 +44,26 @@ object BtrInspect {
     // bytes directly instead of through a file-listing source
     val p = new Path(path, BtrTableMeta.StatsFile)
     val fs = p.getFileSystem(BtrTableMeta.hadoopConf())
-    if (!fs.exists(p)) // no current stats (e.g. after a DELETE dropped them)
-      return spark.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("column", org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("rows", org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("nulls", org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("raw_bytes", org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("compressed_bytes", org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("ratio", org.apache.spark.sql.types.DoubleType))))
-    val len = fs.getFileStatus(p).getLen.toInt
-    val bytes = new Array[Byte](len)
-    val in = fs.open(p)
-    try in.readFully(0, bytes)
-    finally in.close()
+    def emptyStats = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("column", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("rows", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("nulls", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("raw_bytes", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("compressed_bytes", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ratio", org.apache.spark.sql.types.DoubleType))))
+    // open-and-catch, not exists-then-open: a concurrent DELETE may drop
+    // the sidecar between the two calls
+    val bytes =
+      try {
+        val len = fs.getFileStatus(p).getLen.toInt
+        val b = new Array[Byte](len)
+        val in = fs.open(p)
+        try in.readFully(0, b)
+        finally in.close()
+        b
+      } catch { case _: java.io.FileNotFoundException => return emptyStats }
     val lines = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
       .split("\n").toSeq.filter(_.nonEmpty)
     spark.read.json(spark.createDataset(lines))

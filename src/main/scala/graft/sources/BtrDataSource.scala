@@ -65,17 +65,21 @@ class BtrTable(path: String, tableSchema: StructType, partitionTransforms: Array
 
   /** `_file` — the qualified data-file path of each row: provenance for
     * pipeline debugging (`SELECT _file, ...`), and the group identity the
-    * row-level rewrite's runtime group filter prunes on.
+    * row-level rewrite's runtime group filter prunes on. Suppressed when
+    * a DATA column claims the name (data columns win conflicts — the
+    * SupportsMetadataColumns contract).
     */
-  override def metadataColumns(): Array[MetadataColumn] = Array(
-    new MetadataColumn {
-      override def name(): String = BtrScan.FileMetaCol
-      override def dataType(): org.apache.spark.sql.types.DataType =
-        org.apache.spark.sql.types.StringType
-      override def isNullable: Boolean = false
-      override def comment(): String =
-        "qualified path of the data file the row was read from"
-    })
+  override def metadataColumns(): Array[MetadataColumn] =
+    if (!BtrScan.fileColActive(tableSchema)) Array.empty
+    else Array(
+      new MetadataColumn {
+        override def name(): String = BtrScan.FileMetaCol
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          org.apache.spark.sql.types.StringType
+        override def isNullable: Boolean = false
+        override def comment(): String =
+          "qualified path of the data file the row was read from"
+      })
   tableSchema.fields.foreach { f =>
     require(PhysType.supported(f.dataType), s"btr: unsupported column type ${f.name}: ${f.dataType}")
   }

@@ -71,7 +71,11 @@ class BtrRowLevelOperation(path: String, tableSchema: StructType, partCols: Seq[
     */
   override def requiredMetadataAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    Array(org.apache.spark.sql.connector.expressions.Expressions.column(BtrScan.FileMetaCol))
+    // suppressed when a data column claims _file (the metadata column is
+    // inactive then — see BtrScan.fileColActive); static classification
+    // still narrows the rewrite, only the dynamic narrowing is lost
+    if (!BtrScan.fileColActive(tableSchema)) Array.empty
+    else Array(org.apache.spark.sql.connector.expressions.Expressions.column(BtrScan.FileMetaCol))
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new BtrRowLevelScanBuilder(this, path, tableSchema, partCols, options)
@@ -94,9 +98,10 @@ class BtrRowLevelOperation(path: String, tableSchema: StructType, partCols: Seq[
         // projection itself); writing it through would shear the whole
         // file's column mapping by one.
         // metadata columns are read-side identities, never data: strip
-        // them (and any operation marker) from the write schema
+        // them (and any operation marker) from the write schema — but a
+        // DATA column legitimately named _file stays
         val rowSchema = StructType(info.schema().fields.filterNot(f =>
-          f.name == BtrScan.FileMetaCol ||
+          (BtrScan.fileColActive(tableSchema) && f.name == BtrScan.FileMetaCol) ||
             f.name == org.apache.spark.sql.catalyst.util.RowDeltaUtils.OPERATION_COLUMN))
         val inner = new BtrBatchWrite(path, rowSchema,
           BtrOverwriteMode.ReplaceFiles(() => replacedFiles),
@@ -161,8 +166,7 @@ class BtrRowLevelScanBuilder(op: BtrRowLevelOperation, path: String,
     new BtrScan(path, tableSchema, requiredSchema, Array.empty,
       BtrOptions.splitBytes(options), None, partCols,
       BtrOptions.expansionFactor(options), None,
-      onlyFiles = Some(selectedRel.toSet), rewriteGroups = true,
-      preListed = Some(selected),
+      rewriteGroups = true, preListed = Some(selected),
       onRewriteNarrowed = Some(entries => op.replacedFiles = entries.map(e => rel(e.path)).toSeq))
   }
 }

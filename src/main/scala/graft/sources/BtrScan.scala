@@ -44,7 +44,8 @@ class BtrScanBuilder(path: String, tableSchema: StructType, options: CaseInsensi
     // (correctness never depends on skipping)
     pushed = filters.filter(f =>
       ChunkSkip.supports(tableSchema, f) ||
-        f.references.nonEmpty && f.references.forall(_ == BtrScan.FileMetaCol))
+        (BtrScan.fileColActive(tableSchema) &&
+          f.references.nonEmpty && f.references.forall(_ == BtrScan.FileMetaCol)))
     filters
   }
 
@@ -232,7 +233,8 @@ class BtrScan(
     val dir = new Path(path)
     val ratios = BtrTableMeta.readStatsRatios(dir.getFileSystem(BtrTableMeta.hadoopConf()), dir)
     val colIdx = requiredSchema.fields.flatMap(f =>
-      if (f.name == BtrScan.FileMetaCol || partCols.contains(f.name)) None
+      if ((BtrScan.fileColActive(tableSchema) && f.name == BtrScan.FileMetaCol) ||
+        partCols.contains(f.name)) None
       else Some((dataSchema.fieldIndex(f.name), ratios.getOrElse(f.name, expansionFactor))))
     var rows = 0L
     var bytes = 0.0
@@ -290,11 +292,11 @@ class BtrScan(
   override def outputOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
     if (partCols.isEmpty || !partCols.forall(requiredSchema.fieldNames.contains))
       return Array.empty
-    // the claim is only valid over per-key splits; with key-grouped
-    // planning off, small splits may PACK across partition values in
-    // directory order (not value order), so no ordering is reported
-    if (!org.apache.spark.sql.internal.SQLConf.get
-        .getConfString("spark.sql.sources.v2.bucketing.enabled", "false").toBoolean)
+    // the claim is valid per split only while every split holds ONE
+    // partition key; a PACKED split spans keys in directory order (not
+    // value order), so ordering is reported exactly when packing did not
+    // engage (memoized planning — no extra pass)
+    if (planInputPartitions().exists(_.isInstanceOf[BtrPackedInputPartition]))
       return Array.empty
     partCols.map(c =>
       org.apache.spark.sql.connector.expressions.Expressions.sort(
@@ -314,9 +316,15 @@ class BtrScan(
     // holding matching rows and the rewrite shrinks to exactly those) —
     // value-column runtime filters would prune chunks whose surviving
     // rows the rewrite must preserve
-    if (rewriteGroups)
-      Array(org.apache.spark.sql.connector.expressions.Expressions.column(BtrScan.FileMetaCol))
-    else requiredSchema.fieldNames.map(org.apache.spark.sql.connector.expressions.Expressions.column)
+    if (rewriteGroups) {
+      // ONLY when _file is the metadata column: with a data column of
+      // that name the group-filter subquery would collect DATA values and
+      // the path intersection would narrow the rewrite to nothing — a
+      // silently no-op DML statement
+      if (BtrScan.fileColActive(tableSchema))
+        Array(org.apache.spark.sql.connector.expressions.Expressions.column(BtrScan.FileMetaCol))
+      else Array.empty
+    } else requiredSchema.fieldNames.map(org.apache.spark.sql.connector.expressions.Expressions.column)
 
   // runtime group narrowing (rewrite scans only): the subset of the
   // pre-listed files the dynamic `_file` IN-set kept
@@ -324,6 +332,7 @@ class BtrScan(
 
   override def filter(fs: Array[Filter]): Unit = {
     if (rewriteGroups) {
+      if (!BtrScan.fileColActive(tableSchema)) return // _file is data here
       val allowed: Option[Set[String]] = fs.collectFirst {
         case In(BtrScan.FileMetaCol, vs) => vs.map(String.valueOf).toSet
         case EqualTo(BtrScan.FileMetaCol, v) => Set(String.valueOf(v))
@@ -370,8 +379,9 @@ class BtrScan(
     // required column layout: data columns map to footer indices;
     // partition columns and the _file metadata column synthesize as
     // per-file constants (directory value / file path)
+    val fileActive = BtrScan.fileColActive(tableSchema)
     val colKinds = requiredSchema.fields.map { f =>
-      if (f.name == BtrScan.FileMetaCol || partCols.contains(f.name)) -1
+      if ((fileActive && f.name == BtrScan.FileMetaCol) || partCols.contains(f.name)) -1
       else dataSchema.fieldIndex(f.name)
     }
     val dataIdx = colKinds.filter(_ >= 0)
@@ -389,7 +399,7 @@ class BtrScan(
     // `_file` prunes through the partition machinery: its value is a
     // per-file constant exactly like a directory value
     val pruneSchema =
-      if (allFilters.exists(_.references.contains(BtrScan.FileMetaCol)))
+      if (fileActive && allFilters.exists(_.references.contains(BtrScan.FileMetaCol)))
         StructType(tableSchema.fields :+
           org.apache.spark.sql.types.StructField(BtrScan.FileMetaCol, StringType))
       else tableSchema
@@ -406,7 +416,7 @@ class BtrScan(
         // per-requiredField constant value (null marker for data cols):
         // partition columns carry the directory value, _file the file path
         val reqPartValues: Array[String] = requiredSchema.fields.map { f =>
-          if (f.name == BtrScan.FileMetaCol) file.toString
+          if (fileActive && f.name == BtrScan.FileMetaCol) file.toString
           else if (partCols.contains(f.name)) partValues.getOrElse(f.name, BtrTableMeta.NullPartition)
           else null
         }
@@ -876,8 +886,9 @@ class BtrMicroBatchStream(
     val dir = new Path(path)
     val fs = dir.getFileSystem(BtrTableMeta.hadoopConf())
     val prefix = tableRootPrefix(dir, fs)
+    val fileActive = BtrScan.fileColActive(tableSchema)
     val colKinds = requiredSchema.fields.map { f =>
-      if (f.name == BtrScan.FileMetaCol || partCols.contains(f.name)) -1
+      if ((fileActive && f.name == BtrScan.FileMetaCol) || partCols.contains(f.name)) -1
       else dataSchema.fieldIndex(f.name)
     }
     val dataIdx = colKinds.filter(_ >= 0)
@@ -895,11 +906,11 @@ class BtrMicroBatchStream(
     BtrFooters.readAllIndexed(fs, dir, current).map {
       case (entry, footer) =>
       val needsConsts = partCols.nonEmpty ||
-        requiredSchema.fieldNames.contains(BtrScan.FileMetaCol)
+        (fileActive && requiredSchema.fieldNames.contains(BtrScan.FileMetaCol))
       val reqPartValues: Array[String] =
         if (!needsConsts) Array.empty
         else requiredSchema.fields.map { f =>
-          if (f.name == BtrScan.FileMetaCol) entry.path.toString
+          if (fileActive && f.name == BtrScan.FileMetaCol) entry.path.toString
           else if (partCols.contains(f.name))
             entry.partitionValues.getOrElse(f.name, BtrTableMeta.NullPartition)
           else null
@@ -1621,6 +1632,14 @@ object BtrScan {
     */
   val FileMetaCol = "_file"
 
+  /** The metadata column is active only when no DATA column claims the
+    * name — Spark's SupportsMetadataColumns contract is that data columns
+    * win conflicts, and synthesizing over a real `_file` column would
+    * shadow its stored values.
+    */
+  def fileColActive(tableSchema: StructType): Boolean =
+    !tableSchema.fieldNames.contains(FileMetaCol)
+
   /** Directory-value string → catalyst value (the HasPartitionKey typing
     * of the same parse [[BtrColumnarReader]] fillConstant does into
     * vectors). Null partitions map to null.
@@ -1726,7 +1745,13 @@ class BtrPackedColumnarReader(packed: BtrPackedInputPartition,
 
   override def get(): ColumnarBatch = cur.get()
 
-  override def close(): Unit = if (cur != null) { cur.close(); cur = null }
+  // mid-task close/resume (DataSourceRDD closes the previous reader when
+  // one task computes the same partition twice, e.g. self-zip): release
+  // only the in-flight slice's stream and KEEP cur/idx — nulling cur here
+  // would resume at the NEXT slice and silently drop the interrupted
+  // slice's remaining row groups. BtrColumnarReader.close() has the same
+  // resume-safe contract (its stream reopens on demand).
+  override def close(): Unit = if (cur != null) cur.close()
 }
 
 /** Spark-side dictionary over a DICT string chunk's distinct entries.

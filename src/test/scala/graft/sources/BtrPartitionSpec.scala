@@ -212,6 +212,27 @@ class BtrPartitionSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
   }
 
+  test("packed splits survive mid-task close/resume (self-zip)") {
+    import spark.implicits._
+    // >64 tiny files (unpartitioned) → packed splits; rdd.zip(rdd.map)
+    // makes DataSourceRDD close and re-open each partition's reader
+    // within one task — the packed reader must resume the SAME slice,
+    // not skip to the next (rows would silently vanish)
+    val p = tmp("pack_zip")
+    (0 until 8000).map(i => (i.toLong, i * 2.5)).toDF("v", "d")
+      .repartition(100).write.format("btr").mode("overwrite").save(p)
+    val df = spark.read.format("btr").load(p).select("v")
+    val planned = df.queryExecution.executedPlan.collectLeaves().head
+      .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.BatchScanExec]
+      .inputPartitions
+    assert(planned.exists(_.isInstanceOf[BtrPackedInputPartition]),
+      s"precondition: expected packed splits over 100 files, got ${planned.length}")
+    val rdd = df.rdd.map(_.getLong(0))
+    val zipped = rdd.zip(rdd.map(_ => 1.0))
+    assert(zipped.count() == 8000)
+    assert(zipped.map(_._1).sum() == (0 until 8000).map(_.toLong).sum)
+  }
+
   test("append into partitioned table adds files under the right dirs") {
     import spark.implicits._
     val df1 = Seq((1L, "x"), (2L, "y")).toDF("id", "p")

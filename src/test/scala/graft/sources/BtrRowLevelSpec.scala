@@ -213,6 +213,22 @@ class BtrRowLevelSpec extends AnyFunSuite {
     assert(got.toSeq == expected)
   }
 
+  test("a DATA column named _file wins over the metadata column") {
+    val p = tmp("file_conflict")
+    (0 until 50).map(i => (i.toLong, s"stored-$i")).toDF("v", "_file")
+      .coalesce(1).write.format("btr").mode("overwrite").save(p)
+    val back = spark.read.format("btr").load(p)
+    // the stored values come back, never the synthesized path
+    val got = back.orderBy("v").select("_file").as[String].collect()
+    assert(got.toSeq == (0 until 50).map(i => s"stored-$i"))
+    // filters on the data column evaluate on data, not paths
+    assert(back.filter($"_file" === "stored-7").count() == 1)
+    // row-level DML on such a table keeps the column as data
+    spark.sql(s"UPDATE graft.`$p` SET _file = 'updated' WHERE v = 3")
+    val after = spark.read.format("btr").load(p).orderBy("v").select("_file").as[String].collect()
+    assert(after(3) == "updated" && after(4) == "stored-4")
+  }
+
   test("fuzz: UPDATE equals conditional-projection semantics across random layouts") {
     val rnd = new scala.util.Random(0xF00D42)
     for (iter <- 0 until 6) {
