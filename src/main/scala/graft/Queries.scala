@@ -564,6 +564,60 @@ object CoreQueries {
           count(lit(1)).as("n_items"))
     }),
 
+    // TPC-H Q4 (order priority checking), adapted to the synthetic schema
+    // (no l_commitdate; "late" = any line shipped after the order date):
+    // the correlated EXISTS plans as a LEFT SEMI join — the shape the
+    // battery lacked. Through SQL so Spark's subquery decorrelation is
+    // what's exercised, not a hand-rewritten join
+    "q_tpch_q4" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("v4_orders")
+      t(s, d, "lineitem").createOrReplaceTempView("v4_lineitem")
+      s.sql(
+        """SELECT o_orderpriority, count(*) AS n_orders
+          |FROM v4_orders o
+          |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          |  AND o.o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+          |  AND EXISTS (SELECT 1 FROM v4_lineitem l
+          |              WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    }),
+
+    // TPC-H Q12 (shipping priority split), adapted (no l_shipmode;
+    // l_returnflag groups): fact-dim join with conditional CASE sums
+    "q_tpch_q12" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("v12_orders")
+      t(s, d, "lineitem").createOrReplaceTempView("v12_lineitem")
+      s.sql(
+        """SELECT l.l_returnflag,
+          |  CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+          |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+          |  CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+          |    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+          |FROM v12_orders o JOIN v12_lineitem l ON o.o_orderkey = l.l_orderkey
+          |WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          |  AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+          |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin)
+    }),
+
+    // TPC-H Q17 (small-quantity-order revenue): correlated scalar
+    // subqueries against the outer part key — Spark decorrelates them
+    // into aggregated joins (and merges the pair). The avg comparison is
+    // exact integer arithmetic on both engines: qty < 0.2*avg(qty)
+    // ⟺ 5*qty*cnt < sum(qty), with quantities rounded to exact longs
+    "q_tpch_q17" -> ((s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("v17_lineitem")
+      t(s, d, "part").createOrReplaceTempView("v17_part")
+      s.sql(
+        """SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_c,
+          |  count(*) AS n
+          |FROM v17_lineitem, v17_part
+          |WHERE p_partkey = l_partkey AND p_brand = 'Brand#13'
+          |  AND 5 * CAST(round(l_quantity) AS BIGINT) *
+          |      (SELECT count(*) FROM v17_lineitem l2 WHERE l2.l_partkey = v17_part.p_partkey)
+          |    < (SELECT CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+          |       FROM v17_lineitem l3 WHERE l3.l_partkey = v17_part.p_partkey)""".stripMargin)
+    }),
+
     // Q-point-lookup: equality probe on an unsorted join key — the
     // chunk-skipping stress case where every chunk's min/max overlaps the
     // value and only the per-chunk bloom filter (footer v3) can prune.
@@ -932,6 +986,33 @@ object CoreQueries {
         |WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 15)
         |   OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 20)
         |   OR (p_brand = 'Brand#34' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 25)""".stripMargin,
+    "q_tpch_q4" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders o
+        |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o.o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_tpch_q12" ->
+      """SELECT l.l_returnflag,
+        |  CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin,
+    "q_tpch_q17" ->
+      """SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_c,
+        |  count(*) AS n
+        |FROM lineitem, part
+        |WHERE p_partkey = l_partkey AND p_brand = 'Brand#13'
+        |  AND 5 * CAST(round(l_quantity) AS BIGINT) *
+        |      (SELECT count(*) FROM lineitem l2 WHERE l2.l_partkey = part.p_partkey)
+        |    < (SELECT CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+        |       FROM lineitem l3 WHERE l3.l_partkey = part.p_partkey)""".stripMargin,
     "q_point_lookup" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM lineitem
         |WHERE l_partkey = 1 ORDER BY l_orderkey, l_linenumber""".stripMargin,

@@ -464,9 +464,16 @@ final case class BtrPartitionedStreamingWriterFactory(
 }
 
 /** Hive-style dynamic partitioning: rows fan out to per-partition-value
-  * sub-writers under `<root>/<col>=<value>/...`. The number of open
-  * partitions per task is capped — write skew belongs upstream
-  * (repartition by the partition columns), not in unbounded buffers.
+  * sub-writers under `<root>/<col>=<value>/...`. The number of OPEN
+  * partitions per task is bounded: when a batch write exceeds the cap,
+  * the least-recently-written sub-writer is finalized early (its file
+  * commits; a reopened partition starts a fresh uniquely-named file) —
+  * the same unbounded-partition robustness Spark's file writer gets from
+  * its sort-based fallback, paid in extra files per partition instead of
+  * a sort (compaction converges them). Streaming epochs keep the HARD
+  * cap: their deterministic per-(epoch,partition) file names make
+  * re-attempts idempotent, and an evicted-then-reopened partition would
+  * need a second name — repartition by the partition columns upstream.
   */
 class BtrPartitionedDataWriter(path: String, schema: StructType, partCols: Seq[String],
     blockSize: Int, cascade: Int, partitionId: Int, taskId: Long, cfg: BtrConfig,
@@ -482,7 +489,15 @@ class BtrPartitionedDataWriter(path: String, schema: StructType, partCols: Seq[S
   private val dataSchema = StructType(dataOrdinals.map(schema.fields(_)))
   private val proj = org.apache.spark.sql.catalyst.ProjectingInternalRow(dataSchema, dataOrdinals.toIndexedSeq)
 
+  // LinkedHashMap in ACCESS order would reorder on every write; explicit
+  // last-write tick per key keeps eviction O(open) only on the rare spill
   private val writers = scala.collection.mutable.LinkedHashMap.empty[String, BtrDataWriter]
+  private val lastWrite = scala.collection.mutable.HashMap.empty[String, Long]
+  private var tick = 0L
+  // files finalized early by eviction (their commit messages)
+  private val evicted = scala.collection.mutable.ArrayBuffer.empty[BtrCommitMessage]
+  // per-key reopen count -> unique file names across evict/reopen cycles
+  private val reopens = scala.collection.mutable.HashMap.empty[String, Int]
 
   private def partValueString(row: InternalRow, i: Int): String = {
     if (row.isNullAt(partOrdinals(i))) NullPart
@@ -507,14 +522,40 @@ class BtrPartitionedDataWriter(path: String, schema: StructType, partCols: Seq[S
       s"${BtrTableMeta.escapePath(partCols(i))}=${BtrTableMeta.escapePath(partValueString(row, i))}"
     }.mkString("/")
     val w = writers.getOrElseUpdate(key, {
-      require(writers.size < MaxOpenPartitions,
-        s"btr: more than $MaxOpenPartitions concurrent partitions in one task; " +
-          "repartition by the partition columns before writing")
+      if (writers.size >= MaxOpenPartitions) {
+        if (fileNameOverride.isDefined)
+          throw new IllegalArgumentException(
+            s"btr: more than $MaxOpenPartitions concurrent partitions in one streaming " +
+              "task; repartition by the partition columns before writing")
+        evictColdest()
+      }
+      val seq = reopens.getOrElse(key, 0)
+      reopens(key) = seq + 1
+      // reopened partitions need distinct names: suffix the per-write id
+      // with the reopen ordinal (first open keeps the plain name)
+      val wid = if (seq == 0) writeId else s"$writeId-r$seq"
       new BtrDataWriter(s"$path/$key", dataSchema, blockSize, cascade, partitionId, taskId, cfg,
-        fileNameOverride = fileNameOverride, writeId = writeId, namePrefix = namePrefix)
+        fileNameOverride = fileNameOverride, writeId = wid, namePrefix = namePrefix)
     })
+    tick += 1
+    lastWrite(key) = tick
     proj.project(row)
     w.write(proj)
+  }
+
+  /** Finalize the least-recently-written sub-writer: its file commits now
+    * (stashed for the task commit message) and the slot frees up.
+    */
+  private def evictColdest(): Unit = {
+    val coldest = writers.keysIterator.minBy(k => lastWrite.getOrElse(k, 0L))
+    writers.remove(coldest).foreach { w =>
+      w.commit() match {
+        case m: BtrCommitMessage if m.fileName.nonEmpty =>
+          evicted += m.copy(fileName = s"$coldest/${m.fileName}")
+        case _ => ()
+      }
+    }
+    lastWrite.remove(coldest)
   }
 
   override def commit(): WriterCommitMessage = {
@@ -524,10 +565,16 @@ class BtrPartitionedDataWriter(path: String, schema: StructType, partCols: Seq[S
         case m: BtrCommitMessage => m
       }
     }.toArray
-    BtrMultiCommitMessage(msgs)
+    BtrMultiCommitMessage(evicted.toArray ++ msgs)
   }
 
-  override def abort(): Unit = writers.values.foreach(_.abort())
+  override def abort(): Unit = {
+    writers.values.foreach(_.abort())
+    // evicted files already committed (renamed visible) — roll them back
+    // too; the task failed as a whole
+    val fs = new Path(path).getFileSystem(BtrTableMeta.hadoopConf())
+    evicted.foreach(m => fs.delete(new Path(path, m.fileName), false))
+  }
 
   override def close(): Unit = writers.values.foreach(_.close())
 }

@@ -142,4 +142,52 @@ class TpchPlanSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(scans.exists(s => s.contains("Or(") && s.contains("p_brand")),
       s"part brand/size disjunction not pushed:\n${scans.mkString("\n")}")
   }
+
+  test("Q4: the correlated EXISTS decorrelates to a semi join; order date filter pushed") {
+    val p = plan("q_tpch_q4")
+    // LeftSemi in either hash-join flavor (AQE picks at runtime)
+    val semi = collect(p) {
+      case j: BroadcastHashJoinExec if j.joinType.toString == "LeftSemi" => j
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
+        if j.joinType.toString == "LeftSemi" => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+        if j.joinType.toString == "LeftSemi" => j
+    }
+    assert(semi.nonEmpty, s"EXISTS did not plan as a semi join:\n$p")
+    val scans = scanLeaves(p)
+    assert(scans.exists(s => s.contains("o_orderdate") && s.contains("GreaterThanOrEqual")),
+      s"order date range not pushed to the orders scan:\n${scans.mkString("\n")}")
+  }
+
+  test("Q12: shipdate year is pushed to lineitem; agg is two-phase over the join") {
+    val p = plan("q_tpch_q12")
+    val scans = scanLeaves(p)
+    assert(scans.exists(s => s.contains("l_shipdate") && s.contains("GreaterThanOrEqual")),
+      s"shipdate range not pushed:\n${scans.mkString("\n")}")
+    // only the 3 needed lineitem columns reach the scan
+    val li = scans.find(_.contains("l_shipdate")).get
+    for (c <- Seq("l_quantity", "l_extendedprice", "l_discount", "l_partkey"))
+      assert(!li.contains(c), s"unpruned column $c in scan:\n$li")
+    val aggs = collect(p) {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+    }
+    assert(aggs.size >= 2, s"expected partial+final aggregation:\n$p")
+  }
+
+  test("Q17: correlated scalar subqueries decorrelate to per-part aggregates, brand filter pushed") {
+    val p = plan("q_tpch_q17")
+    val scans = scanLeaves(p)
+    assert(scans.exists(_.contains("EqualTo(p_brand,Brand#13)")),
+      s"brand equality not pushed to the part scan:\n${scans.mkString("\n")}")
+    // the subqueries became aggregates below a join — no nested-loop
+    // per-row subquery execution survives
+    val aggs = collect(p) {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+      case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec => a
+    }
+    assert(aggs.size >= 2, s"expected decorrelated per-part aggregates:\n$p")
+    assert(collect(p) {
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+    }.isEmpty, s"nested-loop join in Q17 plan:\n$p")
+  }
 }

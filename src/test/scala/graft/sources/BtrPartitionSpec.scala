@@ -233,6 +233,22 @@ class BtrPartitionSpec extends AnyFunSuite {
     assert(zipped.map(_._1).sum() == (0 until 8000).map(_.toLong).sum)
   }
 
+  test("batch write spills past the open-partition cap instead of failing") {
+    import spark.implicits._
+    val p = tmp("spill_many")
+    // ONE task, 300 partition values, interleaved so evicted partitions
+    // reopen: 128-cap eviction must finalize+reopen, not refuse
+    (0 until 3000).map(i => (i % 300, i.toLong)).toDF("k", "v")
+      .coalesce(1).write.format("btr").partitionBy("k").mode("overwrite").save(p)
+    val back = spark.read.format("btr").load(p)
+    assert(back.count() == 3000)
+    assert(back.select("k").distinct().count() == 300)
+    assert(back.agg(sum($"v")).head.getLong(0) == (0 until 3000).map(_.toLong).sum)
+    // every partition's rows are complete
+    assert(back.filter($"k" === 7).select("v").as[Long].collect().sorted.toSeq ==
+      (0 until 3000).filter(_ % 300 == 7).map(_.toLong))
+  }
+
   test("append into partitioned table adds files under the right dirs") {
     import spark.implicits._
     val df1 = Seq((1L, "x"), (2L, "y")).toDF("id", "p")

@@ -273,6 +273,53 @@ class BtrRowLevelSpec extends AnyFunSuite {
     }
   }
 
+  test("fuzz: MERGE equals full-outer-join semantics across random layouts") {
+    val rnd = new scala.util.Random(0xBEEF01)
+    for (iter <- 0 until 5) {
+      val p = tmp(s"merge_fuzz_$iter")
+      val nT = 60 + rnd.nextInt(100)
+      val targetRows = (0 until nT).map(i => (i.toLong, (i * 3).toLong))
+      val nFiles = 1 + rnd.nextInt(3)
+      targetRows.grouped(math.max(1, nT / nFiles)).zipWithIndex.foreach { case (chunk, a) =>
+        chunk.toDF("id", "amt").coalesce(1).write.format("btr")
+          .mode(if (a == 0) "overwrite" else "append").save(p)
+      }
+      // source: random existing ids (matched) + negatives (not matched)
+      val srcRows = ((0 until nT).filter(_ => rnd.nextInt(4) == 0).map(i => (i.toLong, 7777L + i)) ++
+        (1 to 1 + rnd.nextInt(10)).map(i => (-i.toLong, 8888L + i))).distinct
+      srcRows.toDF("id", "amt").createOrReplaceTempView("merge_fuzz_src")
+      val t = targetRows.toDF("id", "amt").as("t")
+      val s = srcRows.toDF("id", "amt").as("s")
+      val joined = t.join(s, col("t.id") === col("s.id"), "full_outer")
+      val deleteVariant = rnd.nextBoolean()
+      val expected: Seq[(Long, Long)] =
+        if (deleteVariant) {
+          // WHEN MATCHED DELETE + WHEN NOT MATCHED INSERT
+          spark.sql(
+            s"""MERGE INTO graft.`$p` tt USING merge_fuzz_src ss ON tt.id = ss.id
+               |WHEN MATCHED THEN DELETE
+               |WHEN NOT MATCHED THEN INSERT (id, amt) VALUES (ss.id, ss.amt)""".stripMargin)
+          joined.filter(col("t.id").isNull || col("s.id").isNull)
+            .select(coalesce(col("t.id"), col("s.id")).as("id"),
+              coalesce(col("t.amt"), col("s.amt")).as("amt"))
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        } else {
+          // WHEN MATCHED UPDATE + WHEN NOT MATCHED INSERT
+          spark.sql(
+            s"""MERGE INTO graft.`$p` tt USING merge_fuzz_src ss ON tt.id = ss.id
+               |WHEN MATCHED THEN UPDATE SET amt = ss.amt
+               |WHEN NOT MATCHED THEN INSERT (id, amt) VALUES (ss.id, ss.amt)""".stripMargin)
+          joined.select(coalesce(col("t.id"), col("s.id")).as("id"),
+            coalesce(col("s.amt"), col("t.amt")).as("amt"))
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        }
+      val got = spark.read.format("btr").load(p).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got.sorted == expected.sorted,
+        s"iter=$iter delete=$deleteVariant nFiles=$nFiles")
+    }
+  }
+
   test("UPDATE leaves no staging or journal leftovers") {
     val p = tmp("upd_clean")
     (0 until 80).map(i => (i.toLong, s"r$i")).toDF("v", "s")
