@@ -494,10 +494,17 @@ class BtrPartitionedDataWriter(path: String, schema: StructType, partCols: Seq[S
   private val writers = scala.collection.mutable.LinkedHashMap.empty[String, BtrDataWriter]
   private val lastWrite = scala.collection.mutable.HashMap.empty[String, Long]
   private var tick = 0L
-  // files finalized early by eviction (their commit messages)
-  private val evicted = scala.collection.mutable.ArrayBuffer.empty[BtrCommitMessage]
+  // files finalized early by eviction: FINISHED but still at their hidden
+  // temp names — the rename to a visible name happens at TASK COMMIT,
+  // preserving the invariant that a crashed or speculative attempt never
+  // surfaces a file (a dead attempt's temps are `_`-hidden forever, the
+  // same posture as any writer that died mid-file)
+  private final case class PendingFile(dirKey: String, tmpName: String, msg: BtrCommitMessage)
+  private val evicted = scala.collection.mutable.ArrayBuffer.empty[PendingFile]
   // per-key reopen count -> unique file names across evict/reopen cycles
   private val reopens = scala.collection.mutable.HashMap.empty[String, Int]
+  private var evictions = 0L
+  private var warnedThrash = false
 
   private def partValueString(row: InternalRow, i: Int): String = {
     if (row.isNullAt(partOrdinals(i))) NullPart
@@ -543,37 +550,65 @@ class BtrPartitionedDataWriter(path: String, schema: StructType, partCols: Seq[S
     w.write(proj)
   }
 
-  /** Finalize the least-recently-written sub-writer: its file commits now
-    * (stashed for the task commit message) and the slot frees up.
+  /** Finish the least-recently-written sub-writer's file (footer written,
+    * stream closed) but leave it HIDDEN at its temp name; the slot frees
+    * up and the rename happens at task commit. Eviction under interleaved
+    * input thrashes toward one tiny file per rotation — that layout needs
+    * an upstream repartition/sort, so the first sustained thrash warns
+    * loudly (correctness is unaffected; compaction converges the files).
     */
   private def evictColdest(): Unit = {
     val coldest = writers.keysIterator.minBy(k => lastWrite.getOrElse(k, 0L))
-    writers.remove(coldest).foreach { w =>
-      w.commit() match {
-        case m: BtrCommitMessage if m.fileName.nonEmpty =>
-          evicted += m.copy(fileName = s"$coldest/${m.fileName}")
-        case _ => ()
-      }
+    // remove only AFTER a successful finish — if it throws, the writer is
+    // still in the map and abort() cleans its temp like any other
+    val w = writers(coldest)
+    w.finishPending().foreach { case (tmpName, msg) =>
+      evicted += PendingFile(coldest, tmpName, msg)
     }
+    writers.remove(coldest)
     lastWrite.remove(coldest)
+    evictions += 1
+    if (!warnedThrash && evictions > 4L * MaxOpenPartitions) {
+      warnedThrash = true
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"btr: task $taskId evicted $evictions partition writers (cap " +
+          s"$MaxOpenPartitions) — interleaved partition values are producing many " +
+          "tiny files; repartition by the partition columns before writing, or " +
+          "compact afterwards")
+    }
   }
 
   override def commit(): WriterCommitMessage = {
+    val fs = new Path(path).getFileSystem(BtrTableMeta.hadoopConf())
+    // evicted files surface only now — rename hidden temps to their final
+    // names (loud failure: a message for a file that never landed would
+    // serve phantom rows)
+    val evictedMsgs = evicted.map { p =>
+      val from = new Path(s"$path/${p.dirKey}", p.tmpName)
+      val to = new Path(s"$path/${p.dirKey}", p.msg.fileName)
+      if (!fs.rename(from, to))
+        throw new java.io.IOException(s"btr: rename ${p.tmpName} -> ${p.msg.fileName} " +
+          s"failed in $path/${p.dirKey}")
+      p.msg.copy(fileName = s"${p.dirKey}/${p.msg.fileName}")
+    }.toArray
     val msgs = writers.map { case (key, w) =>
       w.commit() match {
         case m: BtrCommitMessage if m.fileName.nonEmpty => m.copy(fileName = s"$key/${m.fileName}")
         case m: BtrCommitMessage => m
       }
     }.toArray
-    BtrMultiCommitMessage(evicted.toArray ++ msgs)
+    BtrMultiCommitMessage(evictedMsgs ++ msgs)
   }
 
   override def abort(): Unit = {
     writers.values.foreach(_.abort())
-    // evicted files already committed (renamed visible) — roll them back
-    // too; the task failed as a whole
+    // evicted files are still hidden temps (or, if commit() got part way,
+    // visible finals) — delete both names; the task failed as a whole
     val fs = new Path(path).getFileSystem(BtrTableMeta.hadoopConf())
-    evicted.foreach(m => fs.delete(new Path(path, m.fileName), false))
+    evicted.foreach { p =>
+      fs.delete(new Path(s"$path/${p.dirKey}", p.tmpName), false)
+      fs.delete(new Path(s"$path/${p.dirKey}", p.msg.fileName), false)
+    }
   }
 
   override def close(): Unit = writers.values.foreach(_.close())
@@ -793,6 +828,24 @@ class BtrDataWriter(path: String, schema: StructType, blockSize: Int, cascade: I
     }
     rowGroups += BtrFile.RowGroupMeta(n, colMetas)
     rowsInGroup = 0
+  }
+
+  /** Finish the file — footer written, stream closed — but KEEP it at its
+    * hidden temp name. Returns (tmpName, message) for the caller to rename
+    * at TASK commit (the dynamic-partition spill path: an evicted file
+    * must not become visible while the task can still fail or lose a
+    * speculation race). None when the file held no rows (deleted).
+    */
+  def finishPending(): Option[(String, BtrCommitMessage)] = {
+    flushGroup()
+    val footerBuf = new BufWriter(1 << 16)
+    BtrFile.writeFooter(footerBuf, BtrFile.Footer(rowGroups.toArray, tags), numCols)
+    out.write(footerBuf.backing, 0, footerBuf.pos)
+    out.close()
+    if (totalRows == 0L) {
+      fs.delete(new Path(dir, tmpName), false)
+      None
+    } else Some((tmpName, BtrCommitMessage(fileName, totalRows, colNulls, colRawBytes, colCompBytes)))
   }
 
   override def commit(): WriterCommitMessage = {
