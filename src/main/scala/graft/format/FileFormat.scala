@@ -682,6 +682,34 @@ object BtrTableMeta {
       .foreach(st => fs.delete(st.getPath, false))
   }
 
+  /** Delete orphaned hidden temporaries older than `retentionMs`: writer
+    * temps (`_tmp_*` — a task that died mid-file never runs abort) and
+    * row-level staging (`_rl_*` — a rewrite that crashed before its
+    * journal published). They are invisible to every reader, so this is
+    * pure disk hygiene; size retention WELL above the longest write or
+    * DML statement you run (an in-flight task's temp looks identical to
+    * an orphan). Metadata sidecars (`_btr_*`) are never touched.
+    */
+  def vacuumTemps(fs: FileSystem, root: Path, retentionMs: Long): Long = {
+    if (!fs.exists(root)) return 0L
+    val cutoff = System.currentTimeMillis() - retentionMs
+    var removed = 0L
+    def sweep(d: Path): Unit = {
+      val it = fs.listStatusIterator(d)
+      while (it.hasNext) {
+        val st = it.next()
+        val name = st.getPath.getName
+        if (st.isDirectory && !name.startsWith("_btr")) sweep(st.getPath)
+        else if (st.isFile && (name.startsWith("_tmp_") || name.startsWith("_rl_")) &&
+          st.getModificationTime < cutoff) {
+          if (fs.delete(st.getPath, false)) removed += 1
+        }
+      }
+    }
+    sweep(root)
+    removed
+  }
+
   /** Drop every swap journal and done-marker (overwrite-truncate: the
     * whole file set is replaced, so no mapping survives meaningfully).
     */

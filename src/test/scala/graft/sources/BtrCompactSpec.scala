@@ -264,4 +264,35 @@ class BtrCompactSpec extends AnyFunSuite {
     assert(BtrTableMeta.readSwapJournals(fs, root).isEmpty,
       "overwrite must not leave a stale journal behind")
   }
+
+  test("vacuumTemps sweeps orphaned hidden temps, spares live files and metadata") {
+    import spark.implicits._
+    import graft.format.BtrTableMeta
+    val dir = tmp("vacuum")
+    (0 until 100).map(i => (s"k${i % 2}", i.toLong)).toDF("k", "v")
+      .write.format("btr").partitionBy("k").mode("overwrite").save(dir)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(BtrTableMeta.hadoopConf())
+    // plant orphans: a writer temp at the root, one inside a partition
+    // dir, and row-level staging; plus a FRESH temp that must survive
+    def plant(p: String): Unit = {
+      val out = fs.create(new org.apache.hadoop.fs.Path(dir, p), true)
+      out.write(Array[Byte](1, 2, 3)); out.close()
+    }
+    plant("_tmp_9_part-dead.btr")
+    plant("k=k0/_tmp_9_part-dead2.btr")
+    plant("k=k1/_rl_dead_part-x.btr")
+    plant("_tmp_fresh_part.btr")
+    // age the dead ones past retention
+    val old = System.currentTimeMillis() - 100000
+    Seq("_tmp_9_part-dead.btr", "k=k0/_tmp_9_part-dead2.btr", "k=k1/_rl_dead_part-x.btr")
+      .foreach(p => fs.setTimes(new org.apache.hadoop.fs.Path(dir, p), old, -1))
+    val removed = BtrTableMeta.vacuumTemps(fs, root, retentionMs = 50000)
+    assert(removed == 3, s"removed $removed")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(dir, "_tmp_fresh_part.btr")),
+      "fresh temp must survive retention")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(dir, BtrTableMeta.MetaFile)))
+    // table unaffected
+    assert(spark.read.format("btr").load(dir).count() == 100)
+  }
 }
