@@ -699,7 +699,10 @@ object BtrTableMeta {
       while (it.hasNext) {
         val st = it.next()
         val name = st.getPath.getName
-        if (st.isDirectory && !name.startsWith("_btr")) sweep(st.getPath)
+        // same traversal guard as every reader walk: hidden ('_'/'.')
+        // directories are opaque — this sweeper owns only the temps the
+        // btr writers themselves drop beside data files
+        if (st.isDirectory && !name.startsWith("_") && !name.startsWith(".")) sweep(st.getPath)
         else if (st.isFile && (name.startsWith("_tmp_") || name.startsWith("_rl_")) &&
           st.getModificationTime < cutoff) {
           if (fs.delete(st.getPath, false)) removed += 1

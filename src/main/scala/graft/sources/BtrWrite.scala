@@ -579,30 +579,35 @@ class BtrPartitionedDataWriter(path: String, schema: StructType, partCols: Seq[S
   }
 
   override def commit(): WriterCommitMessage = {
+    // finish EVERY open writer to its hidden temp first, THEN rename all
+    // pending files in one loop: a rename failure part-way must leave
+    // every already-renamed file covered by abort()'s both-names delete,
+    // or the retried task double-counts the orphans' rows
+    val openKeys = writers.keys.toSeq
+    openKeys.foreach { key =>
+      writers(key).finishPending().foreach { case (tmpName, msg) =>
+        evicted += PendingFile(key, tmpName, msg)
+      }
+      writers.remove(key)
+    }
     val fs = new Path(path).getFileSystem(BtrTableMeta.hadoopConf())
-    // evicted files surface only now — rename hidden temps to their final
-    // names (loud failure: a message for a file that never landed would
-    // serve phantom rows)
-    val evictedMsgs = evicted.map { p =>
+    val msgs = evicted.map { p =>
       val from = new Path(s"$path/${p.dirKey}", p.tmpName)
       val to = new Path(s"$path/${p.dirKey}", p.msg.fileName)
+      // streaming epoch re-attempts replace their own deterministic file
+      // (same contract as BtrDataWriter.commit)
+      if (fileNameOverride.isDefined && fs.exists(to)) fs.delete(to, false)
       if (!fs.rename(from, to))
         throw new java.io.IOException(s"btr: rename ${p.tmpName} -> ${p.msg.fileName} " +
           s"failed in $path/${p.dirKey}")
       p.msg.copy(fileName = s"${p.dirKey}/${p.msg.fileName}")
     }.toArray
-    val msgs = writers.map { case (key, w) =>
-      w.commit() match {
-        case m: BtrCommitMessage if m.fileName.nonEmpty => m.copy(fileName = s"$key/${m.fileName}")
-        case m: BtrCommitMessage => m
-      }
-    }.toArray
-    BtrMultiCommitMessage(evictedMsgs ++ msgs)
+    BtrMultiCommitMessage(msgs)
   }
 
   override def abort(): Unit = {
     writers.values.foreach(_.abort())
-    // evicted files are still hidden temps (or, if commit() got part way,
+    // pending files are hidden temps (or, if commit() got part way,
     // visible finals) — delete both names; the task failed as a whole
     val fs = new Path(path).getFileSystem(BtrTableMeta.hadoopConf())
     evicted.foreach { p =>
@@ -848,16 +853,9 @@ class BtrDataWriter(path: String, schema: StructType, blockSize: Int, cascade: I
     } else Some((tmpName, BtrCommitMessage(fileName, totalRows, colNulls, colRawBytes, colCompBytes)))
   }
 
-  override def commit(): WriterCommitMessage = {
-    flushGroup()
-    val footerBuf = new BufWriter(1 << 16)
-    BtrFile.writeFooter(footerBuf, BtrFile.Footer(rowGroups.toArray, tags), numCols)
-    out.write(footerBuf.backing, 0, footerBuf.pos)
-    out.close()
-    if (totalRows == 0L) {
-      fs.delete(new Path(dir, tmpName), false)
-      BtrCommitMessage("", 0L)
-    } else {
+  override def commit(): WriterCommitMessage = finishPending() match {
+    case None => BtrCommitMessage("", 0L)
+    case Some((tmp, msg)) =>
       val dst = new Path(dir, fileName)
       // Hadoop rename refuses to clobber an existing destination. Batch
       // names are unique per write (writeId), so an existing dst can only
@@ -866,11 +864,10 @@ class BtrDataWriter(path: String, schema: StructType, blockSize: Int, cascade: I
       // (permissions, quota, races): committing a message for a file that
       // never materialized silently serves stale data.
       if (fileNameOverride.isDefined && fs.exists(dst)) fs.delete(dst, false)
-      if (!fs.rename(new Path(dir, tmpName), dst))
+      if (!fs.rename(new Path(dir, tmp), dst))
         throw new java.io.IOException(
-          s"btr: rename $tmpName -> $fileName failed in $dir (destination exists or FS error)")
-      BtrCommitMessage(fileName, totalRows, colNulls, colRawBytes, colCompBytes)
-    }
+          s"btr: rename $tmp -> $fileName failed in $dir (destination exists or FS error)")
+      msg
   }
 
   override def abort(): Unit = {

@@ -249,6 +249,51 @@ class BtrPartitionSpec extends AnyFunSuite {
       (0 until 3000).filter(_ % 300 == 7).map(_.toLong))
   }
 
+  test("evicted files stay hidden until task commit; abort removes every trace") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import org.apache.spark.unsafe.types.UTF8String
+    val p = tmp("evict_lifecycle")
+    // raw-writer test: no overwrite commit cleans the dir, do it ourselves
+    def rmRf(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rmRf)
+      f.delete(); ()
+    }
+    rmRf(new java.io.File(p))
+    val schema = StructType(Seq(StructField("k", StringType), StructField("v", LongType)))
+    def allFiles(): Seq[java.io.File] = {
+      def walk(d: java.io.File): Seq[java.io.File] =
+        Option(d.listFiles()).getOrElse(Array.empty).toSeq.flatMap(f =>
+          if (f.isDirectory) walk(f) else Seq(f))
+      walk(new java.io.File(p))
+    }
+    def visible(): Seq[java.io.File] =
+      allFiles().filter(f => f.getName.endsWith(".btr") && !f.getName.startsWith("_"))
+    // 200 interleaved partition values in one writer → evictions past 128
+    val w = new BtrPartitionedDataWriter(p, schema, Seq("k"), 4096, 3, 0, 1L,
+      graft.format.BtrConfig.Default, writeId = "w1")
+    (0 until 600).foreach(i =>
+      w.write(InternalRow(UTF8String.fromString(s"k${i % 200}"), i.toLong)))
+    assert(visible().isEmpty,
+      s"files surfaced before task commit: ${visible().map(_.getName).take(3)}")
+    assert(allFiles().exists(_.getName.startsWith("_tmp_")), "expected hidden temps")
+    w.abort()
+    assert(allFiles().isEmpty, s"abort left files: ${allFiles().map(_.getName).take(5)}")
+    // a fresh attempt commits: every file surfaces, rows complete
+    val w2 = new BtrPartitionedDataWriter(p, schema, Seq("k"), 4096, 3, 0, 2L,
+      graft.format.BtrConfig.Default, writeId = "w2")
+    (0 until 600).foreach(i =>
+      w2.write(InternalRow(UTF8String.fromString(s"k${i % 200}"), i.toLong)))
+    val msg = w2.commit().asInstanceOf[BtrMultiCommitMessage]
+    assert(msg.messages.map(_.numRows).sum == 600)
+    assert(visible().size >= 200)
+    assert(!allFiles().exists(_.getName.startsWith("_tmp_")), "temps left after commit")
+    val root = new org.apache.hadoop.fs.Path(p)
+    val fs = root.getFileSystem(graft.format.BtrTableMeta.hadoopConf())
+    graft.format.BtrTableMeta.write(fs, root, schema, 4096, 3, Seq("k"))
+    assert(spark.read.format("btr").load(p).count() == 600)
+  }
+
   test("append into partitioned table adds files under the right dirs") {
     import spark.implicits._
     val df1 = Seq((1L, "x"), (2L, "y")).toDF("id", "p")
