@@ -320,6 +320,56 @@ class BtrRowLevelSpec extends AnyFunSuite {
     }
   }
 
+  test("row-level swap crash windows converge: rollback before renames, forward after") {
+    import graft.format.BtrTableMeta
+    // ROLLBACK window: journal published, staged files never renamed —
+    // convergence must restore the pre-operation view and drop the stray
+    // visible final a partial rename left behind
+    val p1 = tmp("rl_crash_rollback")
+    (0 until 40).map(i => (i.toLong, s"r$i")).toDF("v", "s")
+      .coalesce(1).write.format("btr").mode("overwrite").save(p1)
+    val root1 = new org.apache.hadoop.fs.Path(p1)
+    val fs = root1.getFileSystem(BtrTableMeta.hadoopConf())
+    val source = new java.io.File(p1).listFiles()
+      .filter(f => f.getName.endsWith(".btr") && !f.getName.startsWith("_")).head
+    // fake a crashed rewrite: journal names two finals, only ONE exists
+    val strayFinal = "part-stray-rewrite.btr"
+    java.nio.file.Files.copy(source.toPath,
+      new java.io.File(p1, strayFinal).toPath)
+    BtrTableMeta.writeSwapJournal(fs, root1, "nm-crash1",
+      Seq(BtrTableMeta.SwapGroup("", Seq(strayFinal, "part-never-landed.btr"),
+        Seq(source.getName))))
+    // reads under the torn journal see the PRE-swap view (finals hidden)
+    assert(spark.read.format("btr").load(p1).count() == 40)
+    BtrTableMeta.completeSwapJournals(fs, root1)
+    assert(new java.io.File(p1, source.getName).exists(), "source lost in rollback")
+    assert(!new java.io.File(p1, strayFinal).exists(), "stray final survived rollback")
+    assert(BtrTableMeta.readSwapJournals(fs, root1).isEmpty)
+    assert(spark.read.format("btr").load(p1).count() == 40)
+
+    // FORWARD window: all finals landed, sources not yet deleted —
+    // convergence must drop the sources exactly once (no duplicates ever)
+    val p2 = tmp("rl_crash_forward")
+    (0 until 40).map(i => (i.toLong, s"r$i")).toDF("v", "s")
+      .coalesce(1).write.format("btr").mode("overwrite").save(p2)
+    val root2 = new org.apache.hadoop.fs.Path(p2)
+    val src2 = new java.io.File(p2).listFiles()
+      .filter(f => f.getName.endsWith(".btr") && !f.getName.startsWith("_")).head
+    val fin2 = "part-rewrite-done.btr"
+    java.nio.file.Files.copy(src2.toPath, new java.io.File(p2, fin2).toPath)
+    BtrTableMeta.writeSwapJournal(fs, root2, "nm-crash2",
+      Seq(BtrTableMeta.SwapGroup("", Seq(fin2), Seq(src2.getName))))
+    // both copies on disk, journal hides the superseded source: no dupes
+    assert(spark.read.format("btr").load(p2).count() == 40)
+    BtrTableMeta.completeSwapJournals(fs, root2)
+    assert(!new java.io.File(p2, src2.getName).exists(), "superseded source survived")
+    assert(new java.io.File(p2, fin2).exists())
+    // nm- journals leave NO done-marker (DML is not row-preserving)
+    assert(BtrTableMeta.readDoneSwapJournals(fs, root2).isEmpty,
+      "nm- journal must not leave a stream marker")
+    assert(spark.read.format("btr").load(p2).count() == 40)
+  }
+
   test("UPDATE leaves no staging or journal leftovers") {
     val p = tmp("upd_clean")
     (0 until 80).map(i => (i.toLong, s"r$i")).toDF("v", "s")
