@@ -53,6 +53,13 @@ object Bench {
           src.write.format("btr").mode("overwrite").save(s"/tmp/graft-bench-btr/$t")
         }
       }
+      // scaled-up source sets (ScaleUp) are parquet DIRECTORIES, not
+      // single files — sum recursively so the ratio stays meaningful at
+      // sf1 (a bare .length on a directory reads the inode size)
+      def pathBytes(f: java.io.File): Long =
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).map(pathBytes).sum
+        else f.length
       benchTables.foreach { t =>
         // count only files a reader would see — same visibility rule as
         // FileFormat's listing: no `_`/`.` prefixed names (temps, meta)
@@ -61,7 +68,7 @@ object Bench {
             val n = f.getName
             n.endsWith(".btr") && !n.startsWith("_") && !n.startsWith(".")
           }.map(_.length).sum
-        inputBytes += new java.io.File(s"$sfDir/$t.parquet").length
+        inputBytes += pathBytes(new java.io.File(s"$sfDir/$t.parquet"))
       }
 
       // ---- scan path: full-table materialization over btr -------------

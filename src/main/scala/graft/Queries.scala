@@ -13,11 +13,21 @@ object Btr {
   /** Bump when the writer's footer layout/stats change, so a stale cache
     * from an older build is never scanned.
     */
-  private val CacheVersion = "v7" // footer v5: per-column physical type tags
+  private val CacheVersion = "v8" // events.ts: nanos long → timestamp[us]
+
+  /** Max mtime over the source dir's parquet files — part of the cache
+    * key so a driver-regenerated testdata set (same paths, new contents)
+    * can never be served from a stale btr cache.
+    */
+  private def dirStamp(sfDir: String): String = {
+    val fs = Option(new java.io.File(sfDir).listFiles()).getOrElse(Array.empty[java.io.File])
+    val m = fs.filter(_.getName.endsWith(".parquet")).map(_.lastModified()).foldLeft(0L)(math.max)
+    java.lang.Long.toHexString(m)
+  }
 
   private def cacheDir(sfDir: String, table: String): String = {
     val key = sfDir.replaceAll("[^a-zA-Z0-9.]", "_")
-    s"/tmp/graft-btr-cache/$CacheVersion/$key/$table"
+    s"/tmp/graft-btr-cache/$CacheVersion/${key}_${dirStamp(sfDir)}/$table"
   }
 
   /** Public path of a cached btr table (for inspection queries). */
@@ -618,6 +628,296 @@ object CoreQueries {
           |       FROM v17_lineitem l3 WHERE l3.l_partkey = v17_part.p_partkey)""".stripMargin)
     }),
 
+    // TPC-H Q2 (minimum-cost supplier), adapted: the schema has no
+    // partsupp, so "supply cost" of a (part, supplier) pair = the
+    // minimum extended price (in exact cents) that pair ever shipped at.
+    // The correlated min subquery is the query's point — Spark
+    // decorrelates it into an aggregate + join, DuckDB runs it natively,
+    // and both must agree on the region-wide minimum per part
+    "q_tpch_q2" -> ((s, d) => {
+      t(s, d, "part").createOrReplaceTempView("v2_part")
+      t(s, d, "supplier").createOrReplaceTempView("v2_supplier")
+      t(s, d, "nation").createOrReplaceTempView("v2_nation")
+      t(s, d, "region").createOrReplaceTempView("v2_region")
+      t(s, d, "lineitem").createOrReplaceTempView("v2_lineitem")
+      s.sql(
+        """WITH cost AS (
+          |  SELECT l_partkey, l_suppkey,
+          |    min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cost_c
+          |  FROM v2_lineitem GROUP BY l_partkey, l_suppkey)
+          |SELECT round(s_acctbal, 2) AS acctbal, s_name, n_name, p_partkey, cost_c
+          |FROM v2_part p
+          |JOIN cost ON cost.l_partkey = p.p_partkey
+          |JOIN v2_supplier ON s_suppkey = cost.l_suppkey
+          |JOIN v2_nation ON s_nationkey = n_nationkey
+          |JOIN v2_region ON n_regionkey = r_regionkey
+          |WHERE p_size = 15 AND p_type = 'LARGE' AND r_name = 'EUROPE'
+          |  AND cost_c = (
+          |    SELECT min(c2.cost_c) FROM cost c2
+          |    JOIN v2_supplier s2 ON s2.s_suppkey = c2.l_suppkey
+          |    JOIN v2_nation n2 ON n2.n_nationkey = s2.s_nationkey
+          |    JOIN v2_region r2 ON r2.r_regionkey = n2.n_regionkey
+          |    WHERE c2.l_partkey = p.p_partkey AND r2.r_name = 'EUROPE')
+          |ORDER BY acctbal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin)
+    }),
+
+    // TPC-H Q7 (volume shipping): the bidirectional nation-pair join.
+    // The two tiny nation legs broadcast pre-filtered to the pair, the
+    // supplier leg broadcasts whole, and only the orders⋈customer key
+    // shuffles big data; the disjunctive pair filter runs after both
+    // nation names are bound
+    "q_tpch_q7" -> ((s, d) => {
+      val cents = round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100).cast("long")
+      val nk = t(s, d, "nation").filter(col("n_name").isin("NATION_1", "NATION_2"))
+      val sup = t(s, d, "supplier")
+        .join(broadcast(nk.select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("snk"))
+      val cust = t(s, d, "customer")
+        .join(broadcast(nk.select(col("n_nationkey").as("cnk"), col("n_name").as("cust_nation"))),
+          col("c_nationkey") === col("cnk"))
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00") &&
+          col("l_shipdate") < lit("1998-01-01 00:00:00"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          date_format(col("l_shipdate"), "yyyy").as("l_year"))
+        .agg(round(sum(cents) / 100.0, 2).as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+
+    // TPC-H Q8 (national market share): the 8-table join. Every dim leg
+    // broadcasts (filtered part, AMERICA nation keys, supplier, supplier
+    // nation names); lineitem shuffles once on orderkey and once on
+    // custkey — the minimum for fact⋈orders⋈customer. The share ratio
+    // divides exact cent longs so both engines agree to the digit
+    "q_tpch_q8" -> ((s, d) => {
+      val cents = round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100).cast("long")
+      val amer = t(s, d, "nation")
+        .join(broadcast(t(s, d, "region").filter(col("r_name") === "AMERICA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("cnk"))
+      val supN = t(s, d, "nation")
+        .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))
+      t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "part").filter(col("p_type") === "ECONOMY")
+          .select(col("p_partkey"))), col("l_partkey") === col("p_partkey"))
+        .join(t(s, d, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00") &&
+            col("o_orderdate") < lit("1998-01-01 00:00:00")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(amer), col("c_nationkey") === col("cnk"))
+        .join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(supN), col("s_nationkey") === col("snk"))
+        .groupBy(date_format(col("o_orderdate"), "yyyy").as("o_year"))
+        .agg(round(lit(100.0) *
+          sum(when(col("supp_nation") === "NATION_3", cents).otherwise(0L)) / sum(cents), 4)
+          .as("mkt_share"))
+        .orderBy("o_year")
+    }),
+
+    // TPC-H Q9 (product-type profit), adapted: no partsupp, so unit
+    // supply cost = 10% of the part's retail price — profit stays an
+    // exact long (cents minus cost-cents×quantity). part pre-filters on
+    // the name pattern and broadcasts with only the two columns the
+    // profit term needs; supplier/nation broadcast; orders shuffles once
+    "q_tpch_q9" -> ((s, d) => {
+      val profit = round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100).cast("long") -
+        round(col("p_retailprice") * 10).cast("long") * round(col("l_quantity")).cast("long")
+      t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "part").filter(col("p_name").like("%red%"))
+          .select(col("p_partkey"), col("p_retailprice"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"), date_format(col("o_orderdate"), "yyyy").as("o_year"))
+        .agg(round(sum(profit) / 100.0, 2).as("sum_profit"))
+        .orderBy("nation", "o_year")
+    }),
+
+    // TPC-H Q11 (important stock), adapted via lineitem as the
+    // part-supplier relationship: per-part shipped value for one
+    // nation's suppliers, kept where the part exceeds 0.2% of the
+    // nation's total. The HAVING-vs-scalar-subquery comparison is exact
+    // integer arithmetic (value×500 > total) so no fp threshold can
+    // disagree between engines
+    "q_tpch_q11" -> ((s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("v11_lineitem")
+      t(s, d, "supplier").createOrReplaceTempView("v11_supplier")
+      t(s, d, "nation").createOrReplaceTempView("v11_nation")
+      s.sql(
+        """WITH val AS (
+          |  SELECT l_partkey,
+          |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS value_c
+          |  FROM v11_lineitem
+          |  JOIN v11_supplier ON l_suppkey = s_suppkey
+          |  JOIN v11_nation ON s_nationkey = n_nationkey
+          |  WHERE n_name = 'NATION_7'
+          |  GROUP BY l_partkey)
+          |SELECT l_partkey, value_c
+          |FROM val
+          |WHERE value_c * 500 > (SELECT CAST(sum(value_c) AS BIGINT) FROM val)
+          |ORDER BY value_c DESC, l_partkey""".stripMargin)
+    }),
+
+    // TPC-H Q13 (customer order-count distribution), adapted: the
+    // priority exclusion stands in for the comment LIKE filter. The
+    // LEFT OUTER join keeps zero-order customers (count(o_orderkey)
+    // counts only matches), then the distribution regroups the 1500-row
+    // aggregate — the second shuffle moves per-customer counts, not rows
+    "q_tpch_q13" -> ((s, d) => {
+      val counts = t(s, d, "customer")
+        .join(t(s, d, "orders").filter(col("o_orderpriority") =!= "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+      counts.groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(desc("custdist"), desc("c_count"))
+    }),
+
+    // TPC-H Q15 (top supplier): quarter revenue per supplier, then the
+    // scalar max subquery picks the leader(s). Spark plans the CTE once
+    // per consumer; the revenue aggregate shuffles 100 rows, and the max
+    // compares exact cent longs so ties and the winner are engine-stable
+    "q_tpch_q15" -> ((s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("v15_lineitem")
+      t(s, d, "supplier").createOrReplaceTempView("v15_supplier")
+      s.sql(
+        """WITH revenue AS (
+          |  SELECT l_suppkey AS supplier_no,
+          |    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+          |      AS total_c
+          |  FROM v15_lineitem
+          |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+          |  GROUP BY l_suppkey)
+          |SELECT s_suppkey, s_name, total_c
+          |FROM v15_supplier JOIN revenue ON s_suppkey = supplier_no
+          |WHERE total_c = (SELECT max(total_c) FROM revenue)
+          |ORDER BY s_suppkey""".stripMargin)
+    }),
+
+    // TPC-H Q16 (parts/supplier relationship), via lineitem as the
+    // part-supplier pairs: the NOT IN subquery on negative-balance
+    // suppliers plans as a null-aware anti join, then a distinct
+    // supplier count per part attribute triple
+    "q_tpch_q16" -> ((s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("v16_lineitem")
+      t(s, d, "part").createOrReplaceTempView("v16_part")
+      t(s, d, "supplier").createOrReplaceTempView("v16_supplier")
+      s.sql(
+        """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+          |FROM v16_lineitem JOIN v16_part ON p_partkey = l_partkey
+          |WHERE p_brand <> 'Brand#5' AND p_type NOT LIKE 'MEDIUM%'
+          |  AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+          |  AND l_suppkey NOT IN (SELECT s_suppkey FROM v16_supplier WHERE s_acctbal < 0)
+          |GROUP BY p_brand, p_type, p_size
+          |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin)
+    }),
+
+    // TPC-H Q20 (potential part promotion), adapted: suppliers of one
+    // nation who shipped more than a quarter of some filtered part's
+    // 1997 volume. partsupp's availqty threshold becomes a share-of-part
+    // threshold over the same shipped CTE, compared in exact integers
+    "q_tpch_q20" -> ((s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("v20_lineitem")
+      t(s, d, "part").createOrReplaceTempView("v20_part")
+      t(s, d, "supplier").createOrReplaceTempView("v20_supplier")
+      t(s, d, "nation").createOrReplaceTempView("v20_nation")
+      s.sql(
+        """WITH shipped AS (
+          |  SELECT l_partkey, l_suppkey,
+          |    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+          |  FROM v20_lineitem
+          |  JOIN v20_part ON p_partkey = l_partkey
+          |  WHERE p_name LIKE 'small%'
+          |    AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+          |  GROUP BY l_partkey, l_suppkey),
+          |tot AS (
+          |  SELECT l_partkey, CAST(sum(qty) AS BIGINT) AS part_qty
+          |  FROM shipped GROUP BY l_partkey)
+          |SELECT s_suppkey, s_name
+          |FROM v20_supplier
+          |JOIN v20_nation ON s_nationkey = n_nationkey
+          |WHERE n_name = 'NATION_4'
+          |  AND s_suppkey IN (
+          |    SELECT shipped.l_suppkey FROM shipped
+          |    JOIN tot ON shipped.l_partkey = tot.l_partkey
+          |    WHERE 4 * qty > part_qty)
+          |ORDER BY s_suppkey""".stripMargin)
+    }),
+
+    // TPC-H Q21 (suppliers who kept orders waiting), adapted: "late" =
+    // shipped more than 90 days after the order date (the schema has no
+    // commit/receipt dates). The EXISTS (another supplier on the order)
+    // plans as a left semi join and the NOT EXISTS (no OTHER supplier
+    // late) as a left anti join — the two correlated-subquery shapes the
+    // battery still lacked, with a non-equality correlated predicate
+    // (l2.l_suppkey <> l1.l_suppkey) exercising Spark's decorrelation
+    "q_tpch_q21" -> ((s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("v21_lineitem")
+      t(s, d, "orders").createOrReplaceTempView("v21_orders")
+      t(s, d, "supplier").createOrReplaceTempView("v21_supplier")
+      t(s, d, "nation").createOrReplaceTempView("v21_nation")
+      s.sql(
+        """SELECT s_name, count(*) AS numwait
+          |FROM v21_supplier
+          |JOIN v21_lineitem l1 ON s_suppkey = l1.l_suppkey
+          |JOIN v21_orders ON o_orderkey = l1.l_orderkey
+          |JOIN v21_nation ON s_nationkey = n_nationkey
+          |WHERE o_orderstatus = 'F' AND n_name = 'NATION_6'
+          |  AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+          |  AND EXISTS (
+          |    SELECT 1 FROM v21_lineitem l2
+          |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+          |  AND NOT EXISTS (
+          |    SELECT 1 FROM v21_lineitem l3
+          |    JOIN v21_orders o3 ON o3.o_orderkey = l3.l_orderkey
+          |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          |      AND l3.l_shipdate > o3.o_orderdate + INTERVAL 90 DAY)
+          |GROUP BY s_name
+          |ORDER BY numwait DESC, s_name
+          |LIMIT 100""".stripMargin)
+    }),
+
+    // TPC-H Q22 (global sales opportunity), adapted: country code =
+    // nationkey mod 7 (no phone column), "inactive" = no order since
+    // 2000 (every synthetic customer has orders, none for seven years).
+    // The above-average-balance threshold multiplies through by the
+    // count so the comparison is exact cents×count vs sum — the fp avg
+    // can never flip a boundary row between engines. NOT EXISTS on the
+    // dated orders probe plans as a left anti join
+    "q_tpch_q22" -> ((s, d) => {
+      t(s, d, "customer").createOrReplaceTempView("v22_customer")
+      t(s, d, "orders").createOrReplaceTempView("v22_orders")
+      s.sql(
+        """SELECT cntrycode, count(*) AS numcust,
+          |  round(CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+          |    / CAST(100 AS DOUBLE), 2) AS totacctbal
+          |FROM (
+          |  SELECT CAST(c_nationkey % 7 AS INT) AS cntrycode, c_acctbal, c_custkey
+          |  FROM v22_customer
+          |  WHERE c_nationkey % 7 IN (1, 2, 3, 4, 5)
+          |    AND CAST(round(c_acctbal * 100) AS BIGINT) *
+          |        (SELECT count(*) FROM v22_customer
+          |         WHERE c_acctbal > 0.0 AND c_nationkey % 7 IN (1, 2, 3, 4, 5))
+          |      > (SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+          |         FROM v22_customer
+          |         WHERE c_acctbal > 0.0 AND c_nationkey % 7 IN (1, 2, 3, 4, 5))
+          |    AND NOT EXISTS (
+          |      SELECT 1 FROM v22_orders WHERE o_custkey = c_custkey
+          |      AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')) custsale
+          |GROUP BY cntrycode
+          |ORDER BY cntrycode""".stripMargin)
+    }),
+
     // Q-point-lookup: equality probe on an unsorted join key — the
     // chunk-skipping stress case where every chunk's min/max overlaps the
     // value and only the per-chunk bloom filter (footer v3) can prune.
@@ -678,11 +978,11 @@ object CoreQueries {
     }),
 
     // Q-events: tumbling hourly window agg over the event stream table
-    // (ts arrives as nanos-since-epoch long; hour bucket compared as string)
+    // (ts is a microsecond timestamp; hour bucket compared as string)
     "q_events_hourly" -> ((s, d) => {
       t(s, d, "events")
         .select(
-          date_format(timestamp_micros((col("ts") / 1000).cast("long")), "yyyy-MM-dd HH:00").as("hour_s"),
+          date_format(col("ts"), "yyyy-MM-dd HH:00").as("hour_s"),
           col("event_type"), col("value"))
         .groupBy("hour_s", "event_type")
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_v"))
@@ -693,14 +993,13 @@ object CoreQueries {
     // events land in ts_hour=<UTC instant> directories (the layout an
     // event-retention pipeline uses), partition values synthesize back on
     // read, and the per-hour aggregate must match DuckDB over the raw
-    // table (values quantize to cent-longs; ts stays exact via integer
-    // nanos→micros division)
+    // table (values quantize to cent-longs)
     "q_ts_partition" -> ((s, d) => {
       val dir = Btr.cachePath(d, "events_by_hour")
       if (!new java.io.File(dir, "_btr_meta.json").exists()) {
         Btr.pq(s, d, "events")
           .select(
-            date_trunc("hour", timestamp_micros(expr("ts div 1000"))).as("ts_hour"),
+            date_trunc("hour", col("ts")).as("ts_hour"),
             col("event_type"), col("value"))
           // contiguous hour ranges per task keep each writer under the
           // open-partition cap regardless of the session's shuffle
@@ -736,13 +1035,17 @@ object CoreQueries {
     }),
 
     // Q-sessionize: 30-minute-gap sessions per user, then per-session
-    // event count and duration (nanos arithmetic end to end)
+    // event count and duration. The gap test runs on exact epoch-micros
+    // longs (sessionize subtracts the time column, so the timestamp
+    // converts once up front — NTZ→LTZ is exact under the UTC session)
     "q_sessionize" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
       graft.functions.RelationalOps
-        .sessionize(t(s, d, "events"), "user_id", "ts", maxGap = 1800000000000L)
+        .sessionize(ev, "user_id", "ts_us", maxGap = 1800000000L)
         .groupBy(col("user_id"), col("session_seq"))
         .agg(count(lit(1)).as("n_events"),
-          round((max(col("ts")) - min(col("ts"))) / 1e9, 2).as("duration_s"))
+          round((max(col("ts_us")) - min(col("ts_us"))) / 1e6, 2).as("duration_s"))
         .orderBy("user_id", "session_seq")
     }),
 
@@ -1013,6 +1316,183 @@ object CoreQueries {
         |      (SELECT count(*) FROM lineitem l2 WHERE l2.l_partkey = part.p_partkey)
         |    < (SELECT CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
         |       FROM lineitem l3 WHERE l3.l_partkey = part.p_partkey)""".stripMargin,
+    "q_tpch_q2" ->
+      """WITH cost AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cost_c
+        |  FROM lineitem GROUP BY l_partkey, l_suppkey)
+        |SELECT round(s_acctbal, 2) AS acctbal, s_name, n_name, p_partkey, cost_c
+        |FROM part p
+        |JOIN cost ON cost.l_partkey = p.p_partkey
+        |JOIN supplier ON s_suppkey = cost.l_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE p_size = 15 AND p_type = 'LARGE' AND r_name = 'EUROPE'
+        |  AND cost_c = (
+        |    SELECT min(c2.cost_c) FROM cost c2
+        |    JOIN supplier s2 ON s2.s_suppkey = c2.l_suppkey
+        |    JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+        |    JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+        |    WHERE c2.l_partkey = p.p_partkey AND r2.r_name = 'EUROPE')
+        |ORDER BY acctbal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin,
+    "q_tpch_q7" ->
+      """SELECT supp_nation, cust_nation, l_year,
+        |  round(CAST(sum(cents) AS BIGINT) / 100.0, 2) AS revenue
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |    strftime(l_shipdate, '%Y') AS l_year,
+        |    CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS cents
+        |  FROM supplier
+        |  JOIN lineitem ON s_suppkey = l_suppkey
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00') shipping
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    "q_tpch_q8" ->
+      """SELECT o_year,
+        |  round(100.0 * CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN cents ELSE 0 END) AS BIGINT)
+        |    / CAST(sum(cents) AS BIGINT), 4) AS mkt_share
+        |FROM (
+        |  SELECT strftime(o_orderdate, '%Y') AS o_year,
+        |    CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS cents,
+        |    n2.n_name AS supp_nation
+        |  FROM part
+        |  JOIN lineitem ON p_partkey = l_partkey
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |  JOIN region ON n1.n_regionkey = r_regionkey
+        |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |  WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00') all_nations
+        |GROUP BY o_year
+        |ORDER BY o_year""".stripMargin,
+    "q_tpch_q9" ->
+      """SELECT nation, o_year, round(CAST(sum(profit_c) AS BIGINT) / 100.0, 2) AS sum_profit
+        |FROM (
+        |  SELECT n_name AS nation, strftime(o_orderdate, '%Y') AS o_year,
+        |    CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+        |      - CAST(round(p_retailprice * 10) AS BIGINT) * CAST(round(l_quantity) AS BIGINT)
+        |      AS profit_c
+        |  FROM part
+        |  JOIN lineitem ON p_partkey = l_partkey
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE p_name LIKE '%red%') profit
+        |GROUP BY nation, o_year
+        |ORDER BY nation, o_year""".stripMargin,
+    "q_tpch_q11" ->
+      """WITH val AS (
+        |  SELECT l_partkey,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS value_c
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_7'
+        |  GROUP BY l_partkey)
+        |SELECT l_partkey, value_c
+        |FROM val
+        |WHERE value_c * 500 > (SELECT CAST(sum(value_c) AS BIGINT) FROM val)
+        |ORDER BY value_c DESC, l_partkey""".stripMargin,
+    "q_tpch_q13" ->
+      """SELECT c_count, count(*) AS custdist
+        |FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer
+        |  LEFT OUTER JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey) c_orders
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q_tpch_q15" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+        |      AS total_c
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_c
+        |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        |WHERE total_c = (SELECT max(total_c) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q_tpch_q16" ->
+      """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#5' AND p_type NOT LIKE 'MEDIUM%'
+        |  AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q_tpch_q20" ->
+      """WITH shipped AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+        |  FROM lineitem
+        |  JOIN part ON p_partkey = l_partkey
+        |  WHERE p_name LIKE 'small%'
+        |    AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  GROUP BY l_partkey, l_suppkey),
+        |tot AS (
+        |  SELECT l_partkey, CAST(sum(qty) AS BIGINT) AS part_qty
+        |  FROM shipped GROUP BY l_partkey)
+        |SELECT s_suppkey, s_name
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_4'
+        |  AND s_suppkey IN (
+        |    SELECT shipped.l_suppkey FROM shipped
+        |    JOIN tot ON shipped.l_partkey = tot.l_partkey
+        |    WHERE 4 * qty > part_qty)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q_tpch_q21" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier
+        |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE o_orderstatus = 'F' AND n_name = 'NATION_6'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM lineitem l3
+        |    JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+        |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_shipdate > o3.o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 100""".stripMargin,
+    "q_tpch_q22" ->
+      """SELECT cntrycode, count(*) AS numcust,
+        |  round(CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) / 100.0, 2)
+        |    AS totacctbal
+        |FROM (
+        |  SELECT CAST(c_nationkey % 7 AS INTEGER) AS cntrycode, c_acctbal, c_custkey
+        |  FROM customer
+        |  WHERE c_nationkey % 7 IN (1, 2, 3, 4, 5)
+        |    AND CAST(round(c_acctbal * 100) AS BIGINT) *
+        |        (SELECT count(*) FROM customer
+        |         WHERE c_acctbal > 0.0 AND c_nationkey % 7 IN (1, 2, 3, 4, 5))
+        |      > (SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+        |         FROM customer
+        |         WHERE c_acctbal > 0.0 AND c_nationkey % 7 IN (1, 2, 3, 4, 5))
+        |    AND NOT EXISTS (
+        |      SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |      AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')) custsale
+        |GROUP BY cntrycode
+        |ORDER BY cntrycode""".stripMargin,
     "q_point_lookup" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM lineitem
         |WHERE l_partkey = 1 ORDER BY l_orderkey, l_linenumber""".stripMargin,

@@ -11,11 +11,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventsStreaming {
 
-  /** The events parquet schema as read with nanos-as-long. */
+  /** The events parquet schema (ts is a tz-less microsecond timestamp —
+    * pyarrow writes without isAdjustedToUTC, which Spark reads as NTZ).
+    */
   val eventsSchema: org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampNTZType),
       org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
@@ -23,16 +25,14 @@ object EventsStreaming {
     ))
 
   /** File-based event stream from a directory of parquet files. */
-  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def readEventStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream
       .schema(eventsSchema)
       .option("maxFilesPerTrigger", "1")
       .parquet(dir)
-      // integral division: `/ 1000` routes through DoubleType, whose ulp
-      // at current-epoch nanos is 256 — off-by-one-microsecond timestamps
-      .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
-  }
+      // watermarks/windows want TIMESTAMP (LTZ); NTZ→LTZ is exact under
+      // the UTC session timezone every entry point pins
+      .withColumn("ts_t", col("ts").cast("timestamp"))
 
   /** Watermarked tumbling-window aggregation per event type. */
   def hourlyCounts(events: DataFrame): DataFrame =

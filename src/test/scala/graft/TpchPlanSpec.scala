@@ -32,6 +32,15 @@ class TpchPlanSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     df.queryExecution.executedPlan
   }
 
+  /** Pre-AQE physical plan: join strategies and scan pushdowns as the
+    * planner chose them. The subquery-heavy queries assert on THIS —
+    * at sf0.001 their selective dim filters can produce empty runtime
+    * sides, and AQE's empty-relation propagation then (correctly)
+    * deletes the very semi/anti joins the test pins.
+    */
+  private def initialPlan(name: String): SparkPlan =
+    SparkEntry.queries(name)(spark, sf).queryExecution.sparkPlan
+
   private def scanLeaves(p: SparkPlan): Seq[String] =
     collectLeaves(p).map(_.toString)
 
@@ -189,5 +198,147 @@ class TpchPlanSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(collect(p) {
       case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
     }.isEmpty, s"nested-loop join in Q17 plan:\n$p")
+  }
+
+  private def semiJoins(p: SparkPlan) = collect(p) {
+    case j: BroadcastHashJoinExec if j.joinType.toString.startsWith("LeftSemi") => j
+    case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
+      if j.joinType.toString.startsWith("LeftSemi") => j
+    case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+      if j.joinType.toString.startsWith("LeftSemi") => j
+  }
+
+  private def antiJoins(p: SparkPlan) = collect(p) {
+    case j: BroadcastHashJoinExec if j.joinType.toString.startsWith("LeftAnti") => j
+    case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
+      if j.joinType.toString.startsWith("LeftAnti") => j
+    case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+      if j.joinType.toString.startsWith("LeftAnti") => j
+  }
+
+  private def noNestedLoop(p: SparkPlan, q: String): Unit =
+    assert(collect(p) {
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+    }.isEmpty, s"nested-loop join in $q plan:\n$p")
+
+  test("Q2: part filters pushed; the correlated min decorrelates — no per-row nested loop") {
+    val p = initialPlan("q_tpch_q2")
+    val scans = scanLeaves(p)
+    assert(scans.exists(s => s.contains("EqualTo(p_size,15)") && s.contains("EqualTo(p_type,LARGE)")),
+      s"part size/type equalities not pushed:\n${scans.mkString("\n")}")
+    noNestedLoop(p, "Q2")
+    val aggs = collect(p) {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+      case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec => a
+    }
+    assert(aggs.size >= 2, s"expected decorrelated per-part min aggregates:\n$p")
+  }
+
+  test("Q7: nation pair rides broadcast joins; shipdate range pushed to lineitem") {
+    val p = initialPlan("q_tpch_q7")
+    val scans = scanLeaves(p)
+    assert(scans.exists(s => s.contains("l_shipdate") && s.contains("GreaterThanOrEqual")),
+      s"shipdate range not pushed:\n${scans.mkString("\n")}")
+    val bhj = collect(p) { case b: BroadcastHashJoinExec => b }
+    assert(bhj.size >= 2, s"expected broadcast joins for nation/supplier legs:\n$p")
+  }
+
+  test("Q8: every dim leg broadcasts; part type and order date filters pushed") {
+    val p = initialPlan("q_tpch_q8")
+    val scans = scanLeaves(p)
+    assert(scans.exists(_.contains("EqualTo(p_type,ECONOMY)")),
+      s"part type equality not pushed:\n${scans.mkString("\n")}")
+    assert(scans.exists(s => s.contains("o_orderdate") && s.contains("GreaterThanOrEqual")),
+      "orders date range not pushed")
+    val bhj = collect(p) { case b: BroadcastHashJoinExec => b }
+    assert(bhj.size >= 3, s"expected broadcast joins for part/nation/supplier legs:\n$p")
+  }
+
+  test("Q9: name-filtered part broadcasts with pruned columns; agg is two-phase") {
+    val p = initialPlan("q_tpch_q9")
+    val scans = scanLeaves(p)
+    // the broadcast part leg must carry only the join key + cost column
+    val part = scans.find(_.contains("p_retailprice")).getOrElse(fail(s"no part scan:\n$p"))
+    for (c <- Seq("p_brand", "p_type", "p_size"))
+      assert(!part.contains(c), s"unpruned column $c in part scan:\n$part")
+    val bhj = collect(p) { case b: BroadcastHashJoinExec => b }
+    assert(bhj.size >= 2, s"expected broadcast part/supplier/nation joins:\n$p")
+    val aggs = collect(p) {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+    }
+    assert(aggs.size >= 2, s"expected partial+final aggregation:\n$p")
+  }
+
+  test("Q11: per-part values aggregate two-phase; the total is one scalar subquery, no nested loop") {
+    val p = initialPlan("q_tpch_q11")
+    noNestedLoop(p, "Q11")
+    val aggs = collect(p) {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+    }
+    assert(aggs.size >= 2, s"expected two-phase value aggregation:\n$p")
+  }
+
+  test("Q13: priority exclusion pushed to orders; outer join keeps zero-order customers") {
+    val p = initialPlan("q_tpch_q13")
+    val scans = scanLeaves(p)
+    assert(scans.exists(s => s.contains("o_orderpriority") && s.contains("Not")),
+      s"priority exclusion not pushed:\n${scans.mkString("\n")}")
+    val outer = collect(p) {
+      case j: BroadcastHashJoinExec if j.joinType.toString.contains("Outer") => j
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
+        if j.joinType.toString.contains("Outer") => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+        if j.joinType.toString.contains("Outer") => j
+    }
+    assert(outer.nonEmpty, s"expected an outer join for zero-order customers:\n$p")
+  }
+
+  test("Q15: quarter range pushed; revenue CTE aggregates map-side before its 100-row shuffle") {
+    val p = initialPlan("q_tpch_q15")
+    val scans = scanLeaves(p)
+    assert(scans.exists(s => s.contains("l_shipdate") && s.contains("GreaterThanOrEqual") &&
+      s.contains("LessThan")), s"quarter range not pushed:\n${scans.mkString("\n")}")
+    noNestedLoop(p, "Q15")
+    val exchanges = collect(p) { case e: ShuffleExchangeExec => e }
+    exchanges.foreach { e =>
+      val aggBelow = collect(e.child) {
+        case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+      }
+      assert(aggBelow.nonEmpty, s"exchange shuffles pre-aggregate lineitem rows:\n$e")
+    }
+  }
+
+  test("Q16: NOT IN plans as an anti join; size IN-list pushed to the part scan") {
+    val p = initialPlan("q_tpch_q16")
+    assert(antiJoins(p).nonEmpty, s"NOT IN did not plan as an anti join:\n$p")
+    val scans = scanLeaves(p)
+    assert(scans.exists(s => s.contains("In(p_size")),
+      s"size IN-list not pushed:\n${scans.mkString("\n")}")
+  }
+
+  test("Q20: the IN subquery plans as a semi join; name prefix pushed to the part scan") {
+    val p = initialPlan("q_tpch_q20")
+    assert(semiJoins(p).nonEmpty, s"IN did not plan as a semi join:\n$p")
+    val scans = scanLeaves(p)
+    assert(scans.exists(_.contains("StringStartsWith(p_name,small")),
+      s"name prefix not pushed:\n${scans.mkString("\n")}")
+    noNestedLoop(p, "Q20")
+  }
+
+  test("Q21: EXISTS is a semi join, NOT EXISTS an anti join; status filter pushed") {
+    val p = initialPlan("q_tpch_q21")
+    assert(semiJoins(p).nonEmpty, s"EXISTS did not plan as a semi join:\n$p")
+    assert(antiJoins(p).nonEmpty, s"NOT EXISTS did not plan as an anti join:\n$p")
+    val scans = scanLeaves(p)
+    assert(scans.exists(_.contains("EqualTo(o_orderstatus,F)")),
+      s"order status filter not pushed:\n${scans.mkString("\n")}")
+  }
+
+  test("Q22: NOT EXISTS on dated orders is an anti join with the date pushed to its scan") {
+    val p = initialPlan("q_tpch_q22")
+    assert(antiJoins(p).nonEmpty, s"NOT EXISTS did not plan as an anti join:\n$p")
+    val scans = scanLeaves(p)
+    assert(scans.exists(s => s.contains("o_orderdate") && s.contains("GreaterThanOrEqual")),
+      s"date cutoff not pushed to the orders probe scan:\n${scans.mkString("\n")}")
   }
 }

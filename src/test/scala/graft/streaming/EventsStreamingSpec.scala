@@ -18,13 +18,14 @@ class EventsStreamingSpec extends AnyFunSuite {
     .getOrCreate()
 
   // file streams read directories; stage the single events.parquet as a
-  // 4-file directory so processAllAvailable sees multiple micro-batches
+  // 4-file directory so processAllAvailable sees multiple micro-batches.
+  // Re-staged every JVM run: the driver regenerates testdata between
+  // rounds, so a presence check would serve stale rows (and schemas)
   private lazy val dir: String = {
     val out = "/tmp/events-stream-src"
-    if (!new java.io.File(s"$out/_SUCCESS").exists()) {
-      spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-        .repartition(4).write.mode("overwrite").parquet(out)
-    }
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .repartition(4).write.mode("overwrite").parquet(out)
     out
   }
 
@@ -123,7 +124,7 @@ class EventsStreamingSpec extends AnyFunSuite {
     val streamed = spark.table("hourly_full")
       .orderBy("hour_s", "event_type").collect().map(_.toString)
     val batch = spark.read.parquet(dir)
-      .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts_t", col("ts").cast("timestamp"))
       .groupBy(window(col("ts_t"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_v"))
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:00").as("hour_s"),
@@ -140,17 +141,16 @@ class EventsStreamingSpec extends AnyFunSuite {
   // steady-state ingest shape where the watermark trails arrivals)
   private lazy val dirOrdered: String = {
     val out = "/tmp/events-stream-src-ordered"
-    if (!new java.io.File(s"$out/_done").exists()) {
-      val df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      val qs = df.stat.approxQuantile("ts", Array(0.25, 0.5, 0.75), 0.001)
-      val bounds = (Seq(Long.MinValue) ++ qs.map(_.toLong) :+ Long.MaxValue).sliding(2).toSeq
-      new java.io.File(out).mkdirs()
-      bounds.zipWithIndex.foreach { case (Seq(lo, hi), i) =>
-        df.filter(col("ts") >= lo && col("ts") < hi).coalesce(1)
-          .write.mode("append").parquet(out)
-        Thread.sleep(1100) // distinct mtimes pin the admission order
-      }
-      new java.io.File(s"$out/_done").createNewFile()
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    val df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("__us", unix_micros(col("ts").cast("timestamp")))
+    val qs = df.stat.approxQuantile("__us", Array(0.25, 0.5, 0.75), 0.001)
+    val bounds = (Seq(Long.MinValue) ++ qs.map(_.toLong) :+ Long.MaxValue).sliding(2).toSeq
+    new java.io.File(out).mkdirs()
+    bounds.zipWithIndex.foreach { case (Seq(lo, hi), i) =>
+      df.filter(col("__us") >= lo && col("__us") < hi).drop("__us").coalesce(1)
+        .write.mode("append").parquet(out)
+      Thread.sleep(1100) // distinct mtimes pin the admission order
     }
     out
   }
@@ -166,7 +166,7 @@ class EventsStreamingSpec extends AnyFunSuite {
     val streamed = spark.table("sessions_out")
       .orderBy("user_id", "session_start").collect().map(_.toString)
     val batch = spark.read.parquet(dirOrdered)
-      .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts_t", col("ts").cast("timestamp"))
       .groupBy(col("user_id"), session_window(col("ts_t"), gap))
       .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_v"))
       .select(col("user_id"), col("session_window.start").as("session_start"),
@@ -191,13 +191,13 @@ class EventsStreamingSpec extends AnyFunSuite {
     // The stream's last watermark = max event time - 1 hour, so compare
     // only sessions closed strictly before it (later ones may be open).
     val batch = spark.read.parquet(dirOrdered)
-      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
       .groupBy(col("user_id"),
         session_window(timestamp_micros(col("ts_us")), "30 minutes"))
       .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_v"),
         min(col("ts_us")).as("start_us"), max(col("ts_us")).as("end_us"))
     val maxTs = spark.read.parquet(dirOrdered)
-      .agg(max(expr("ts div 1000"))).head.getLong(0)
+      .agg(max(unix_micros(col("ts").cast("timestamp")))).head.getLong(0)
     val horizonUs = maxTs - 3600L * 1000000
     // 2 ms guard band: the operator seals sessions on millisecond-floored
     // watermark comparisons, the oracle filter works in microseconds
