@@ -61,7 +61,8 @@ class BtrDataSource extends TableProvider with DataSourceRegister {
 
 class BtrTable(path: String, tableSchema: StructType, partitionTransforms: Array[Transform] = Array.empty)
     extends Table with SupportsRead with SupportsWrite with SupportsDelete
-    with SupportsRowLevelOperations with SupportsMetadataColumns {
+    with SupportsRowLevelOperations with SupportsMetadataColumns
+    with SupportsPartitionManagement {
 
   /** `_file` — the qualified data-file path of each row: provenance for
     * pipeline debugging (`SELECT _file, ...`), and the group identity the
@@ -150,6 +151,115 @@ class BtrTable(path: String, tableSchema: StructType, partitionTransforms: Array
       if (probe != null && (probe._1 sameElements filters)) Some(probe._2) else None
     BtrDelete.deleteWhere(path, tableSchema, partCols, filters, cached)
   }
+
+  // ---- partition management (SHOW PARTITIONS / ALTER TABLE ... DROP
+  // PARTITION / TRUNCATE ... PARTITION) --------------------------------
+  // Partitions are the hive-style directories the writer lays down; they
+  // have no standalone metadata, so listing derives from the same
+  // journal-aware file listing scans plan against (an in-flight swap can
+  // never surface a half-dropped partition), and dropping one is the
+  // metadata-level DELETE of its directory — O(files-in-partition) driver
+  // work, zero data I/O, crash-safe via the delete-intent journal.
+
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.sql.types._
+
+  override def partitionSchema(): StructType =
+    StructType(partCols.map(c => tableSchema(tableSchema.fieldIndex(c))))
+
+  /** Hive directory value string → catalyst value of the column's type. */
+  private def catalystPartValue(dt: DataType, s: String): Any =
+    if (s == BtrTableMeta.NullPartition) null
+    else dt match {
+      case StringType => org.apache.spark.unsafe.types.UTF8String.fromString(s)
+      case IntegerType => s.toInt
+      case LongType => s.toLong
+      case ShortType => s.toShort
+      case ByteType => s.toByte
+      case BooleanType => s.toBoolean
+      case DateType => java.time.LocalDate.parse(s).toEpochDay.toInt
+      case TimestampType => BtrPartTime.instantMicros(s)
+      case TimestampNTZType => BtrPartTime.localMicros(s)
+      case other =>
+        throw new UnsupportedOperationException(s"btr: partition type $other")
+    }
+
+  /** Catalyst partition value → the sources.Filter literal DELETE takes. */
+  private def filterLiteral(dt: DataType, v: Any): Any = dt match {
+    case StringType => v.toString
+    case TimestampType =>
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.microsToInstant(v.asInstanceOf[Long])
+    case TimestampNTZType =>
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.microsToLocalDateTime(v.asInstanceOf[Long])
+    case DateType => java.time.LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong)
+    case _ => v
+  }
+
+  private def distinctPartitionRows(): Array[Array[Any]] = {
+    val ps = partitionSchema()
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(BtrTableMeta.hadoopConf())
+    BtrTableMeta.listDataFilesWithPartitions(fs, dir)
+      .map(e => ps.fields.map(f =>
+        catalystPartValue(f.dataType, e.partitionValues.getOrElse(f.name, BtrTableMeta.NullPartition))))
+      .distinctBy(_.toSeq)
+  }
+
+  override def listPartitionIdentifiers(names: Array[String], ident: InternalRow): Array[InternalRow] = {
+    require(names.length == ident.numFields,
+      s"btr: partial spec names (${names.length}) != ident fields (${ident.numFields})")
+    val ps = partitionSchema()
+    val nameIdx = names.map(ps.fieldIndex)
+    distinctPartitionRows()
+      .filter { row =>
+        nameIdx.indices.forall { i =>
+          val dt = ps.fields(nameIdx(i)).dataType
+          val want = if (ident.isNullAt(i)) null else ident.get(i, dt)
+          val have = row(nameIdx(i))
+          if (want == null || have == null) want == null && have == null else want == have
+        }
+      }
+      .map(vs => new GenericInternalRow(vs): InternalRow)
+  }
+
+  /** Metadata DELETE of one partition directory's files. */
+  private def deletePartitionRows(ident: InternalRow): Boolean = {
+    val ps = partitionSchema()
+    require(ident.numFields == ps.length,
+      s"btr: partition ident has ${ident.numFields} fields, expected ${ps.length}")
+    if (listPartitionIdentifiers(ps.fieldNames, ident).isEmpty) return false
+    val filters: Array[org.apache.spark.sql.sources.Filter] =
+      ps.fields.zipWithIndex.map { case (f, i) =>
+        if (ident.isNullAt(i)) org.apache.spark.sql.sources.IsNull(f.name)
+        else org.apache.spark.sql.sources.EqualTo(
+          f.name, filterLiteral(f.dataType, ident.get(i, f.dataType)))
+      }
+    BtrDelete.deleteWhere(path, tableSchema, partCols, filters, None)
+    true
+  }
+
+  override def dropPartition(ident: InternalRow): Boolean = deletePartitionRows(ident)
+
+  // TRUNCATE TABLE t PARTITION (...) — same file drop; the directory
+  // itself holds no other state, so truncate == drop for a path table
+  override def truncatePartition(ident: InternalRow): Boolean = {
+    if (!deletePartitionRows(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchPartitionException(
+        name(), ident, partitionSchema())
+    true
+  }
+
+  override def createPartition(ident: InternalRow, properties: util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      "btr: partitions materialize on first write (hive-style file layout); " +
+        "ADD PARTITION has nothing to create")
+
+  override def replacePartitionMetadata(ident: InternalRow, properties: util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException("btr: partitions carry no metadata")
+
+  override def loadPartitionMetadata(ident: InternalRow): util.Map[String, String] =
+    util.Collections.emptyMap[String, String]()
 }
 
 /** Write-layout helper: range-cluster rows on the columns queries filter
