@@ -14,8 +14,12 @@ import graft.functions._
   * like the DSL forms; nothing here is a UDF.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    // OPTIMIZE / VACUUM maintenance verbs (delegating parser — every
+    // stock statement passes through untouched)
+    ext.injectParser((_, delegate) => new graft.sources.BtrSparkSqlParser(delegate))
+  }
 }
 
 object GraftExtensions {

@@ -210,7 +210,14 @@ object BtrCompact {
     * Hive-partition directories compact independently (files in different
     * partitions can never merge). Returns (filesBefore, filesAfter).
     */
-  def compact(spark: SparkSession, path: String, targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+  /** `keep` filters which files are ELIGIBLE for merging (ineligible
+    * files stay untouched on disk) — the streaming sink's auto-compaction
+    * uses it to exclude the epochs Spark may still retry after a crash
+    * (a retried epoch deletes-then-rewrites its own deterministic file
+    * name; merging it away first would turn that retry into duplicates).
+    */
+  def compact(spark: SparkSession, path: String, targetBytes: Long = 128L * 1024 * 1024,
+      keep: BtrTableMeta.DataFileEntry => Boolean = _ => true): (Int, Int) = {
     val root = new Path(path)
     val fs = root.getFileSystem(BtrTableMeta.hadoopConf())
     // converge any swap a crashed compactor left behind before binning
@@ -228,8 +235,9 @@ object BtrCompact {
       }
     }
     sweepTmp(root)
-    val entries = BtrTableMeta.listDataFilesWithPartitions(fs, root)
-    val before = entries.length
+    val all = BtrTableMeta.listDataFilesWithPartitions(fs, root)
+    val before = all.length
+    val entries = all.filter(keep)
 
     // bin per (directory, column count, physical tag signature):
     // footer-level merges splice row groups verbatim into one footer, and

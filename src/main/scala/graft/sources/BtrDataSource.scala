@@ -250,6 +250,57 @@ class BtrTable(path: String, tableSchema: StructType, partitionTransforms: Array
     true
   }
 
+  /** Catalyst partition value → the writer's directory value string
+    * (mirrors BtrPartitionedDataWriter.partValueString so a renamed
+    * directory is byte-identical to one the writer lays down).
+    */
+  private def dirValueString(dt: DataType, v: Any): String = dt match {
+    case StringType => v.toString
+    case DateType => java.time.LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong).toString
+    case TimestampType => BtrPartTime.microsToInstantString(v.asInstanceOf[Long])
+    case TimestampNTZType => BtrPartTime.microsToLocalString(v.asInstanceOf[Long])
+    case _ => v.toString
+  }
+
+  private def partitionDir(root: Path, ident: InternalRow): Path = {
+    val ps = partitionSchema()
+    ps.fields.zipWithIndex.foldLeft(root) { case (d, (f, i)) =>
+      val v =
+        if (ident.isNullAt(i)) BtrTableMeta.NullPartition
+        else dirValueString(f.dataType, ident.get(i, f.dataType))
+      new Path(d, s"${BtrTableMeta.escapePath(f.name)}=${BtrTableMeta.escapePath(v)}")
+    }
+  }
+
+  // ALTER TABLE ... PARTITION (...) RENAME TO PARTITION (...): a pure
+  // directory move — no data I/O. The footer-index sidecar keys entries
+  // by (relative path, len, modTime); moved files simply miss the cache
+  // and re-read their footers lazily. Refused while a swap journal is
+  // pending: journal groups name files relative to their directory, and
+  // moving that directory mid-swap would break crash convergence.
+  override def renamePartition(from: InternalRow, to: InternalRow): Boolean = {
+    val ps = partitionSchema()
+    require(from.numFields == ps.length && to.numFields == ps.length,
+      s"btr: partition idents must have ${ps.length} fields")
+    if (listPartitionIdentifiers(ps.fieldNames, from).isEmpty)
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchPartitionException(
+        name(), from, ps)
+    if (listPartitionIdentifiers(ps.fieldNames, to).nonEmpty)
+      throw new org.apache.spark.sql.catalyst.analysis.PartitionsAlreadyExistException(
+        name(), to, ps)
+    val root = new Path(path)
+    val fs = root.getFileSystem(BtrTableMeta.hadoopConf())
+    require(BtrTableMeta.readSwapJournals(fs, fs.makeQualified(root)).isEmpty,
+      "btr: rename refused while a swap journal is pending — run a read to converge it first")
+    val src = partitionDir(root, from)
+    val dst = partitionDir(root, to)
+    // an empty (no visible data files) destination dir would swallow the
+    // source as a CHILD under Hadoop rename semantics — clear it first
+    if (fs.exists(dst)) fs.delete(dst, true)
+    if (dst.getParent != null) fs.mkdirs(dst.getParent)
+    fs.rename(src, dst)
+  }
+
   override def createPartition(ident: InternalRow, properties: util.Map[String, String]): Unit =
     throw new UnsupportedOperationException(
       "btr: partitions materialize on first write (hive-style file layout); " +
@@ -337,6 +388,18 @@ object BtrOptions {
     val v = options.getInt("btr.maxFilesPerTrigger", 0)
     if (v > 0) Some(v) else None
   }
+
+  /** Streaming-sink auto-compaction: when > 0, every
+    * [[BtrStreamingWrite.IndexRefreshEpochs]] epochs the sink counts
+    * visible files smaller than half the target and, at or above this
+    * threshold, runs the footer-level compactor inline (epochs Spark may
+    * still retry are excluded — see BtrStreamingWrite.commit).
+    */
+  def autoCompactMinFiles(options: CaseInsensitiveStringMap): Int =
+    options.getInt("btr.autoCompact.minFiles", 0)
+
+  def autoCompactTargetBytes(options: CaseInsensitiveStringMap): Long =
+    options.getLong("btr.autoCompact.targetBytes", 128L * 1024 * 1024)
 
   /** Scheme-selection config: `btr.schemes` (comma list of enabled scheme
     * names), `btr.forceScheme.{int,double,string}`, and `btr.selection`

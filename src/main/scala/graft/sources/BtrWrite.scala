@@ -119,7 +119,8 @@ class BtrWriteBuilder(path: String, schema: StructType, options: CaseInsensitive
           "would re-append each epoch's full result set)")
       checkAppendCompatible() // every epoch appends
       new BtrStreamingWrite(path, schema, BtrOptions.blockSize(options),
-        BtrOptions.cascade(options), BtrOptions.config(options), partCols)
+        BtrOptions.cascade(options), BtrOptions.config(options), partCols,
+        BtrOptions.autoCompactMinFiles(options), BtrOptions.autoCompactTargetBytes(options))
     }
   }
 }
@@ -133,7 +134,8 @@ class BtrWriteBuilder(path: String, schema: StructType, options: CaseInsensitive
   * readers see the appended epochs.
   */
 class BtrStreamingWrite(path: String, schema: StructType, blockSize: Int, cascade: Int,
-    cfg: BtrConfig, partCols: Seq[String] = Nil)
+    cfg: BtrConfig, partCols: Seq[String] = Nil,
+    autoCompactMinFiles: Int = 0, autoCompactTargetBytes: Long = 128L * 1024 * 1024)
     extends streaming.StreamingWrite {
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): streaming.StreamingDataWriterFactory =
@@ -150,6 +152,32 @@ class BtrStreamingWrite(path: String, schema: StructType, blockSize: Int, cascad
     // is advisory (uncovered epochs fall back to bounded tail-reads), so
     // refresh periodically; compaction re-covers the table anyway.
     if (epochId % BtrStreamingWrite.IndexRefreshEpochs == 0) BtrFooters.refreshIndex(fs, dir)
+    // ---- auto-compaction (btr.autoCompact.minFiles > 0) ---------------
+    // A long-running stream appends one small file per (epoch, task) —
+    // unbounded file growth is the #1 operational failure of streaming
+    // file sinks at scale. On the index-refresh cadence, count visible
+    // small files and fold them with the footer-level compactor (byte
+    // splice, journaled swap — the btr streaming SOURCE stays
+    // exactly-once across it). Epochs Spark may still retry after a
+    // crash (this one and the previous) are excluded: a retried epoch
+    // deletes-then-rewrites its deterministic file name, and merging it
+    // first would turn that retry into duplicate rows. Failures only log:
+    // the epoch's data is already durable — maintenance must never fail
+    // a commit.
+    if (autoCompactMinFiles > 0 && epochId % BtrStreamingWrite.IndexRefreshEpochs == 0) {
+      try {
+        val visible = BtrTableMeta.listDataFilesWithPartitions(fs, dir)
+        val small = visible.count(_.len < autoCompactTargetBytes / 2)
+        if (small >= autoCompactMinFiles) {
+          val spark = org.apache.spark.sql.SparkSession.active
+          BtrCompact.compact(spark, path, autoCompactTargetBytes,
+            keep = e => BtrStreamingWrite.epochOf(e.path.getName).forall(_ < epochId - 1))
+        }
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[btr] auto-compact at $path failed (epoch $epochId): ${e.getMessage}")
+      }
+    }
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -170,6 +198,16 @@ object BtrStreamingWrite {
     * O(files) even though reads are incremental).
     */
   val IndexRefreshEpochs = 8
+
+  private val EpochName = """part-e(\d+)-.*""".r
+
+  /** Epoch id encoded in a streaming sink file name; None for batch /
+    * compacted files (which have no retry hazard).
+    */
+  def epochOf(name: String): Option[Long] = name match {
+    case EpochName(id) => Some(id.toLong)
+    case _ => None
+  }
 }
 
 /** Schema recorded at append commits: columns ADDED by this append are

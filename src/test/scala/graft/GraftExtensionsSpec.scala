@@ -96,4 +96,67 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(files >= 1)
     spark.sql("DROP TABLE btr_sql_t")
   }
+
+  // The maintenance parser is injected at session BUILD time in real use
+  // (spark.sql.extensions=graft.GraftExtensions); a shared test JVM's
+  // session predates this suite, so the tests drive the parser class
+  // directly — same code path sql() takes after injection.
+  test("OPTIMIZE verb: parses, resolves the catalog path, compacts") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.BtrCatalog].getName)
+    val p = "/tmp/btr-maint-sql/t"
+    new scala.reflect.io.Directory(new java.io.File(p)).deleteRecursively()
+    (0 until 8).foreach { i =>
+      Seq((i.toLong, s"s$i")).toDF("v", "s").coalesce(1)
+        .write.format("btr").mode(if (i == 0) "overwrite" else "append").save(p)
+    }
+    val parser = new graft.sources.BtrSparkSqlParser(spark.sessionState.sqlParser)
+    val cmd = parser.parsePlan(s"OPTIMIZE graft.`$p`")
+      .asInstanceOf[graft.sources.BtrOptimizeCommand]
+    val row = cmd.run(spark).head
+    assert(row.getString(0) == p)
+    assert(row.getLong(1) == 8 && row.getLong(2) < 8, row.toString)
+    assert(spark.read.format("btr").load(p).count() == 8)
+  }
+
+  test("OPTIMIZE ZORDER/CLUSTER/FULL and VACUUM parse to the right commands and run") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.BtrCatalog].getName)
+    val p = "/tmp/btr-maint-sql/z"
+    new scala.reflect.io.Directory(new java.io.File(p)).deleteRecursively()
+    (0 until 200).map(i => (i.toLong, (i * 37 % 200).toLong)).toDF("a", "b")
+      .repartition(4).write.format("btr").mode("overwrite").save(p)
+    val parser = new graft.sources.BtrSparkSqlParser(spark.sessionState.sqlParser)
+
+    val z = parser.parsePlan(s"OPTIMIZE graft.`$p` ZORDER BY (a, b)")
+      .asInstanceOf[graft.sources.BtrOptimizeCommand]
+    assert(z.mode == "ZORDER" && z.cols == Seq("a", "b"))
+    z.run(spark)
+    assert(spark.read.format("btr").load(p).count() == 200)
+
+    val c = parser.parsePlan(s"OPTIMIZE graft.`$p` CLUSTER BY (b)")
+      .asInstanceOf[graft.sources.BtrOptimizeCommand]
+    assert(c.mode == "CLUSTER" && c.cols == Seq("b"))
+
+    val f = parser.parsePlan(s"OPTIMIZE graft.`$p` FULL")
+      .asInstanceOf[graft.sources.BtrOptimizeCommand]
+    assert(f.mode == "FULL" && f.cols.isEmpty)
+
+    val v = parser.parsePlan(s"VACUUM graft.`$p` RETAIN 0 HOURS")
+      .asInstanceOf[graft.sources.BtrVacuumCommand]
+    assert(v.retentionMs == 0L)
+    assert(v.run(spark).head.getLong(1) == 0L) // no orphaned temps to sweep
+
+    val v24 = parser.parsePlan(s"VACUUM graft.`$p`")
+      .asInstanceOf[graft.sources.BtrVacuumCommand]
+    assert(v24.retentionMs == 24L * 3600 * 1000)
+
+    // every stock statement passes through the delegate untouched
+    assert(!parser.parsePlan("SELECT 1")
+      .isInstanceOf[graft.sources.BtrOptimizeCommand])
+    assert(parser.parsePlan("SELECT 1 AS optimize_me").getClass ==
+      spark.sessionState.sqlParser.parsePlan("SELECT 1 AS optimize_me").getClass)
+  }
 }

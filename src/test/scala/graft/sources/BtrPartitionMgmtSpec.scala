@@ -112,4 +112,63 @@ class BtrPartitionMgmtSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("materialize on first write"), e.getMessage)
   }
+
+  test("RENAME PARTITION moves the directory; rows re-read under the new value") {
+    val p = freshTable("rename", Seq("a", "b"))
+    val filesBefore = Option(new java.io.File(s"$p/k=a").listFiles())
+      .getOrElse(Array.empty[java.io.File]).map(f => f.getName -> f.length).sortBy(_._1).toSeq
+    spark.sql(s"ALTER TABLE graft.`$p` PARTITION (k = 'a') RENAME TO PARTITION (k = 'z')")
+    val back = spark.table(s"graft.`$p`")
+    assert(back.count() == 40)
+    assert(back.filter($"k" === "a").count() == 0)
+    assert(back.filter($"k" === "z").count() == 20)
+    // pure directory move: same file names and bytes under the new dir
+    val filesAfter = Option(new java.io.File(s"$p/k=z").listFiles())
+      .getOrElse(Array.empty[java.io.File]).map(f => f.getName -> f.length).sortBy(_._1).toSeq
+    assert(filesAfter == filesBefore, s"$filesAfter vs $filesBefore")
+    // renaming onto an existing non-empty partition refuses
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.`$p` PARTITION (k = 'z') RENAME TO PARTITION (k = 'b')")
+    }
+    assert(e.getMessage.toLowerCase.contains("already exist"), e.getMessage)
+  }
+
+  test("fuzz: random drop/rename/truncate sequences match an in-memory model") {
+    val rnd = new scala.util.Random(4711)
+    for (round <- 0 until 3) {
+      val p = tmp(s"fuzz_$round")
+      new scala.reflect.io.Directory(new java.io.File(p)).deleteRecursively()
+      val nKeys = 3 + rnd.nextInt(3)
+      var model: Map[String, Seq[Long]] =
+        (0 until nKeys).map(i => s"p$i" -> (0 until 5 + rnd.nextInt(10))
+          .map(j => (i * 1000 + j).toLong)).toMap
+      model.toSeq.flatMap { case (k, vs) => vs.map((k, _)) }
+        .toDF("k", "v")
+        .write.format("btr").partitionBy("k").mode("overwrite").save(p)
+      for (_ <- 0 until 8 if model.nonEmpty) {
+        val keys = model.keys.toSeq.sorted
+        val k = keys(rnd.nextInt(keys.size))
+        rnd.nextInt(3) match {
+          case 0 =>
+            spark.sql(s"ALTER TABLE graft.`$p` DROP PARTITION (k = '$k')")
+            model -= k
+          case 1 =>
+            val nk = s"r${rnd.nextInt(1000)}"
+            if (!model.contains(nk)) {
+              spark.sql(
+                s"ALTER TABLE graft.`$p` PARTITION (k = '$k') RENAME TO PARTITION (k = '$nk')")
+              model = model - k + (nk -> model(k))
+            }
+          case 2 =>
+            spark.sql(s"TRUNCATE TABLE graft.`$p` PARTITION (k = '$k')")
+            model -= k
+        }
+        val got = spark.table(s"graft.`$p`").select("k", "v").as[(String, Long)]
+          .collect().groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+        assert(got == model.view.mapValues(_.sorted).toMap, s"table $p diverged from model")
+        val shown = spark.sql(s"SHOW PARTITIONS graft.`$p`").as[String].collect().sorted.toSeq
+        assert(shown == model.keys.toSeq.sorted.map(k => s"k=$k"), s"SHOW PARTITIONS diverged")
+      }
+    }
+  }
 }

@@ -242,6 +242,35 @@ class EventsStreamingSpec extends AnyFunSuite {
     assert(aFiles.exists(_.startsWith("part-e")), aFiles.mkString(","))
   }
 
+  test("streaming sink auto-compaction bounds small-file growth, rows stay exact") {
+    import spark.implicits._
+    val src = "/tmp/btr-stream-autocompact-src"
+    val out = "/tmp/btr-stream-autocompact"
+    val ckpt = "/tmp/btr-stream-autocompact-ckpt"
+    Seq(src, out, ckpt).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+    (1 to 12).foreach { i =>
+      Seq((i.toLong, s"v$i")).toDF("id", "tag").coalesce(1).write.mode("append").parquet(src)
+    }
+    val q = spark.readStream.schema("id LONG, tag STRING")
+      .option("maxFilesPerTrigger", "1").parquet(src)
+      .writeStream.format("btr")
+      .option("checkpointLocation", ckpt)
+      .option("btr.autoCompact.minFiles", "4")
+      .option("btr.autoCompact.targetBytes", String.valueOf(8L * 1024 * 1024))
+      .start(out)
+    try q.processAllAvailable()
+    finally q.stop()
+    val back = spark.read.format("btr").load(out)
+    assert(back.count() == 12)
+    assert(back.agg(sum("id")).head.getLong(0) == 78L)
+    val names = new java.io.File(out).listFiles().map(_.getName).filter(_.endsWith(".btr"))
+    assert(names.length < 12, s"expected auto-compacted file count < 12, got ${names.toSeq}")
+    assert(names.exists(_.startsWith("part-compact-")), names.mkString(","))
+    // the retry-hazard window (last two epochs) was never merged
+    assert(names.exists(_.startsWith("part-e")), names.mkString(","))
+  }
+
   test("streaming source admission control: maxFilesPerTrigger bounds each batch") {
     import spark.implicits._
     val src = "/tmp/btr-stream-admission"
