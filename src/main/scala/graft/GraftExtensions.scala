@@ -16,6 +16,7 @@ import graft.functions._
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    GraftExtensions.tableFunctions.foreach(ext.injectTableFunction)
     // OPTIMIZE / VACUUM maintenance verbs (delegating parser — every
     // stock statement passes through untouched)
     ext.injectParser((_, delegate) => new graft.sources.BtrSparkSqlParser(delegate))
@@ -114,11 +115,58 @@ object GraftExtensions {
       })
   )
 
+  private def strLit(e: Expression, fn: String): String = e match {
+    case f if f.foldable => f.eval() match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      case s: String => s
+      case other => throw new IllegalArgumentException(
+        s"$fn: path must be a string constant, got $other")
+    }
+    case other => throw new IllegalArgumentException(
+      s"$fn: path must be a constant string expression, got $other")
+  }
+
+  /** Table-valued inspection functions — `SELECT * FROM btr_describe('/p')`.
+    * Each builder resolves the path literal at analysis time and returns
+    * the inspection DataFrame's logical plan (execution stays lazy; the
+    * metadata reads run when the query does).
+    */
+  private def tvf(name: String, usage: String)(
+      f: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame
+  ): (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+    (FunctionIdentifier(name), info(name, usage),
+      (args: Seq[Expression]) => {
+        val a = arity(args, 1, name, s"$name(path)")
+        f(org.apache.spark.sql.SparkSession.active, strLit(a.head, name))
+          .queryExecution.logical
+      })
+
+  private[graft] val tableFunctions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] = Seq(
+    tvf("btr_describe",
+      "btr_describe(path) - per-column scheme/chunk/byte breakdown of a btr table")(
+      graft.functions.BtrInspect.describe),
+    tvf("btr_table_stats",
+      "btr_table_stats(path) - commit-time ingest statistics (advisory sidecar)")(
+      graft.functions.BtrInspect.tableStats),
+    tvf("btr_clustering",
+      "btr_clustering(path) - per-column row-group min/max overlap depth (OPTIMIZE decision metric)")(
+      graft.functions.BtrInspect.clusteringQuality),
+    tvf("btr_file_consistency",
+      "btr_file_consistency(path) - chunk blobs must tile each data file exactly")(
+      graft.functions.BtrInspect.fileConsistency)
+  )
+
   /** Register the SQL functions on an ALREADY-RUNNING session (the
     * config-free path; `spark.sql.extensions` wires them at startup).
     */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     functions.foreach { case (id, fi, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, fi, builder)
     }
+    tableFunctions.foreach { case (id, fi, builder) =>
+      spark.sessionState.tableFunctionRegistry.registerFunction(id, fi, builder)
+    }
+  }
 }

@@ -159,4 +159,47 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(parser.parsePlan("SELECT 1 AS optimize_me").getClass ==
       spark.sessionState.sqlParser.parsePlan("SELECT 1 AS optimize_me").getClass)
   }
+
+  test("CREATE TABLE ... USING btr PARTITIONED BY lays down hive dirs") {
+    val dir = "/tmp/btr-sql-ddl-part"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    spark.sql("DROP TABLE IF EXISTS btr_sql_part")
+    spark.sql(
+      s"""CREATE TABLE btr_sql_part (id BIGINT, k STRING)
+         |USING btr PARTITIONED BY (k) LOCATION '$dir'""".stripMargin)
+    spark.sql(
+      "INSERT INTO btr_sql_part SELECT id, CASE WHEN id % 2 = 0 THEN 'even' ELSE 'odd' END FROM range(100)")
+    assert(spark.sql("SELECT count(*) FROM btr_sql_part WHERE k = 'even'").head.getLong(0) == 50L)
+    assert(new java.io.File(s"$dir/k=even").isDirectory && new java.io.File(s"$dir/k=odd").isDirectory)
+    spark.sql("DROP TABLE btr_sql_part")
+  }
+
+  test("inspection table functions: SELECT * FROM btr_describe('/path')") {
+    import spark.implicits._
+    val p = "/tmp/btr-tvf/t"
+    new scala.reflect.io.Directory(new java.io.File(p)).deleteRecursively()
+    (0 until 500).map(i => (i.toLong, s"tag${i % 5}", i * 0.25)).toDF("id", "tag", "v")
+      .coalesce(1).write.format("btr").mode("overwrite").save(p)
+
+    val desc = spark.sql(s"SELECT * FROM btr_describe('$p')")
+    assert(desc.columns.contains("column") || desc.columns.nonEmpty)
+    assert(desc.count() > 0)
+    // TVF output equals the Scala API output
+    val viaScala = graft.functions.BtrInspect.describe(spark, p)
+    assert(desc.collect().map(_.toString).sorted.toSeq ==
+      viaScala.collect().map(_.toString).sorted.toSeq)
+
+    val cons = spark.sql(s"SELECT * FROM btr_file_consistency('$p')")
+    assert(cons.count() > 0)
+
+    assert(spark.sql(s"SELECT * FROM btr_clustering('$p')").count() > 0)
+    spark.sql(s"SELECT * FROM btr_table_stats('$p')").collect() // advisory; may be empty
+
+    // non-constant path fails loudly
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM btr_describe(concat(rand(), ''))").collect()
+    }
+    assert(e.getMessage.contains("constant") || e.getMessage.contains("btr_describe"),
+      e.getMessage)
+  }
 }
