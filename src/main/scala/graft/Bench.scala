@@ -73,8 +73,11 @@ object Bench {
 
       // ---- scan path: full-table materialization over btr -------------
       val liBtr = "/tmp/graft-bench-btr/lineitem"
-      spark.read.format("btr").load(liBtr)
-        .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1))).collect() // warm
+      // warm with a REAL decode: count(*) resolves metadata-only through
+      // aggregate pushdown and never touches the decode path, so the
+      // first timed rep used to carry codegen/JIT+buffer warmup (2 s of
+      // one-time cost at sf1) — hash(*) forces every column through once
+      spark.read.format("btr").load(liBtr).selectExpr("sum(hash(*))").collect()
       scanSec = secs {
         var r = 0
         while (r < 3) {

@@ -396,6 +396,34 @@ class BtrScan(
       case Some(set) => discovered.filter { case (e, _) => set.contains(e.path.toString) }
       case None => discovered
     }
+    // Split-size floor: a table whose projected bytes fit in a handful
+    // of 128 MB splits would otherwise plan fewer tasks than the session
+    // has cores (a 10-file fact table scans on 10 of 32 threads — a 3×
+    // parallelism loss invisible at 100 TB but dominant at bench scale).
+    // For UNPARTITIONED tables, shrink the per-split target so the scan
+    // yields ≈ defaultParallelism splits at row-group granularity.
+    // Partitioned tables keep the configured size: key-grouped planning
+    // (SPJ) needs one split per key for its zero-sort guarantee, and
+    // their parallelism comes from directory count.
+    val effectiveSplitBytes: Long =
+      if (partCols.nonEmpty) splitBytes
+      else {
+        val want =
+          try org.apache.spark.sql.SparkSession.active.sparkContext.defaultParallelism
+          catch { case _: Throwable => 0 }
+        if (want <= 0) splitBytes
+        else {
+          var projBytes = 0L
+          live.foreach { case (_, footer) =>
+            footer.rowGroups.foreach { rg =>
+              dataIdx.foreach(ci =>
+                if (ci < rg.columns.length) projBytes += rg.columns(ci).length)
+            }
+          }
+          if (projBytes <= 0) splitBytes
+          else math.min(splitBytes, math.max(256L * 1024, projBytes / want))
+        }
+      }
     // `_file` prunes through the partition machinery: its value is a
     // per-file constant exactly like a directory value
     val pruneSchema =
@@ -456,7 +484,7 @@ class BtrScan(
             current += BtrChunkRange(rg.numRows, offsets, lengths)
             currentBytes += lengths.map(_.toLong).sum
             plannedRows += rg.numRows
-            if (currentBytes >= splitBytes) flush()
+            if (currentBytes >= effectiveSplitBytes) flush()
           }
         }
         flush()
