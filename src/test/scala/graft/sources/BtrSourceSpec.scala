@@ -544,4 +544,23 @@ class BtrSourceSpec extends AnyFunSuite {
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin).collect()
     assert(got.map(_.toString).toSeq == expected.map(_.toString).toSeq)
   }
+
+  test("small unpartitioned tables subdivide splits to core parallelism") {
+    import spark.implicits._
+    val p = "/tmp/btr-split-floor"
+    new scala.reflect.io.Directory(new java.io.File(p)).deleteRecursively()
+    // one file, ~6 row groups — without the effectiveSplitBytes floor
+    // this plans as ONE split regardless of core count
+    (0 until 400000).map(i => (i.toLong, i * 0.5, s"s${i % 97}")).toDF("a", "b", "c")
+      .coalesce(1).write.format("btr").mode("overwrite").save(p)
+    val df = spark.read.format("btr").load(p)
+    val want = spark.sparkContext.defaultParallelism
+    val parts = df.rdd.getNumPartitions
+    val rowGroups = 400000 / 65536 + 1
+    assert(parts >= math.min(want, rowGroups) && parts <= rowGroups,
+      s"expected ~min(cores=$want, rowGroups=$rowGroups) splits, got $parts")
+    // subdivision never changes results
+    assert(df.count() == 400000)
+    assert(df.agg(sum("a")).head.getLong(0) == (0L until 400000L).sum)
+  }
 }
