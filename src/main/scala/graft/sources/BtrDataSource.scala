@@ -389,6 +389,13 @@ object BtrOptions {
     if (v > 0) Some(v) else None
   }
 
+  /** Small-table split-parallelism floor: target split count for
+    * unpartitioned tables smaller than cores×maxSplitBytes
+    * (0 = session defaultParallelism, 1 disables subdivision).
+    */
+  def splitParallelism(options: CaseInsensitiveStringMap): Int =
+    options.getInt("btr.splitParallelism", 0)
+
   /** Streaming-sink auto-compaction: when > 0, every
     * [[BtrStreamingWrite.IndexRefreshEpochs]] epochs the sink counts
     * visible files smaller than half the target and, at or above this

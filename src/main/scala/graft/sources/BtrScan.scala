@@ -153,7 +153,8 @@ class BtrScanBuilder(path: String, tableSchema: StructType, options: CaseInsensi
         agg.groupByExpressions().toSeq.flatMap(singleCol))
     case None =>
       new BtrScan(path, tableSchema, requiredSchema, pushed, BtrOptions.splitBytes(options), limit, partCols,
-        BtrOptions.expansionFactor(options), BtrOptions.maxFilesPerTrigger(options))
+        BtrOptions.expansionFactor(options), BtrOptions.maxFilesPerTrigger(options),
+        BtrOptions.splitParallelism(options))
   }
 }
 
@@ -167,6 +168,9 @@ class BtrScan(
     partCols: Seq[String] = Nil,
     expansionFactor: Double = 4.0,
     maxFilesPerTrigger: Option[Int] = None,
+    // target split count for the small-table parallelism floor
+    // (0 = the session's defaultParallelism; 1 disables subdivision)
+    splitParallelism: Int = 0,
     // group-rewrite mode (row-level DELETE/UPDATE/MERGE): restrict the scan
     // to `onlyFiles` (root-relative paths) and read them IN FULL — the
     // paired ReplaceData write replaces whole files, so any chunk skipped
@@ -408,10 +412,14 @@ class BtrScan(
     val effectiveSplitBytes: Long =
       if (partCols.nonEmpty) splitBytes
       else {
-        val want =
+        // btr.splitParallelism: target split count for small tables
+        // (default: the session's core count; 1 disables subdivision)
+        val want = if (splitParallelism > 0) splitParallelism
+        else {
           try org.apache.spark.sql.SparkSession.active.sparkContext.defaultParallelism
           catch { case _: Throwable => 0 }
-        if (want <= 0) splitBytes
+        }
+        if (want <= 1) splitBytes
         else {
           var projBytes = 0L
           live.foreach { case (_, footer) =>
@@ -421,7 +429,7 @@ class BtrScan(
             }
           }
           if (projBytes <= 0) splitBytes
-          else math.min(splitBytes, math.max(256L * 1024, projBytes / want))
+          else math.min(splitBytes, math.max(BtrScan.MinSplitFloorBytes, projBytes / want))
         }
       }
     // `_file` prunes through the partition machinery: its value is a
@@ -1651,6 +1659,11 @@ object BtrScan {
     * overhead is noise and per-file splits keep plans observable).
     */
   val PackMinSplits = 64
+
+  /** Absolute lower bound for subdivided splits (guards tiny tables from
+    * degenerating into per-row-group scheduling confetti).
+    */
+  val MinSplitFloorBytes: Long = 1024L * 1024
 
   /** `_file` metadata column (SupportsMetadataColumns): the qualified
     * path of the data file each row came from — provenance for pipeline

@@ -554,11 +554,16 @@ class BtrSourceSpec extends AnyFunSuite {
     (0 until 400000).map(i => (i.toLong, i * 0.5, s"s${i % 97}")).toDF("a", "b", "c")
       .coalesce(1).write.format("btr").mode("overwrite").save(p)
     val df = spark.read.format("btr").load(p)
-    val want = spark.sparkContext.defaultParallelism
     val parts = df.rdd.getNumPartitions
     val rowGroups = 400000 / 65536 + 1
-    assert(parts >= math.min(want, rowGroups) && parts <= rowGroups,
-      s"expected ~min(cores=$want, rowGroups=$rowGroups) splits, got $parts")
+    // subdivided (was 1 split), bounded by row-group granularity and the
+    // 1 MiB floor
+    assert(parts > 1 && parts <= rowGroups,
+      s"expected 1 < splits <= rowGroups=$rowGroups, got $parts")
+    // btr.splitParallelism=1 disables subdivision
+    val off = spark.read.format("btr").option("btr.splitParallelism", "1").load(p)
+    assert(off.rdd.getNumPartitions == 1,
+      s"expected 1 split with subdivision off, got ${off.rdd.getNumPartitions}")
     // subdivision never changes results
     assert(df.count() == 400000)
     assert(df.agg(sum("a")).head.getLong(0) == (0L until 400000L).sum)
