@@ -169,10 +169,18 @@ object Bench {
         // locating the queries map (a raw bench_out.json needs none and
         // is unaffected); lastIndexOf so log noise can't shadow it
         val text = (try src.mkString finally src.close()).replace("\\\"", "\"")
-        val qs = text.lastIndexOf("\"queries\":{")
-        val body = if (qs < 0) "" else text.substring(qs, math.max(qs, text.indexOf('}', qs) + 1))
-        "\"([A-Za-z0-9_]+)\":([0-9.]+)".r.findAllMatchIn(body)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap - "queries"
+        // only a same-scale reference is a meaningful outlier baseline —
+        // a scale smoke comparing sf1 times against sf0.1 mins would
+        // "recheck" every query (harmless but double-measures the run)
+        val refSf = "\"sf\":\"([^\"]+)\"".r.findAllMatchIn(text)
+          .map(_.group(1)).toSeq.lastOption
+        if (refSf.exists(_ != sfDir)) Map.empty[String, Double]
+        else {
+          val qs = text.lastIndexOf("\"queries\":{")
+          val body = if (qs < 0) "" else text.substring(qs, math.max(qs, text.indexOf('}', qs) + 1))
+          "\"([A-Za-z0-9_]+)\":([0-9.]+)".r.findAllMatchIn(body)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap - "queries"
+        }
       }.getOrElse(Map.empty)
     }
     val loadBefore = loadavg()
