@@ -498,7 +498,12 @@ class BtrScan(
         flush()
       }
     }
-    packSmallSplits(partitions.toArray)
+    // pack toward the EFFECTIVE size: packing many tiny files toward the
+    // configured 128 MB would re-create the parallelism floor the
+    // subdivision above exists to remove (1000×1 MB files → 8 packed
+    // tasks on 32 cores); with the effective target the packed count
+    // lands at ≈ the session's parallelism instead
+    packSmallSplits(partitions.toArray, effectiveSplitBytes)
   }
 
   /** Pack many small per-file splits into ~splitBytes tasks (each slice
@@ -512,7 +517,8 @@ class BtrScan(
     * NOT value order. Row-level rewrites pack too — their file set is
     * recorded at classification, not from the splits.
     */
-  private def packSmallSplits(raw: Array[InputPartition]): Array[InputPartition] = {
+  private def packSmallSplits(raw: Array[InputPartition],
+      targetBytes: Long): Array[InputPartition] = {
     val keyGrouped = partCols.nonEmpty &&
       org.apache.spark.sql.internal.SQLConf.get
         .getConfString("spark.sql.sources.v2.bucketing.enabled", "false").toBoolean
@@ -520,6 +526,21 @@ class BtrScan(
     val openCost = 4L * 1024 * 1024
     def sizeOf(p: BtrInputPartition): Long =
       p.groups.iterator.map(_.lengths.iterator.map(_.toLong).sum).sum + openCost
+    // equal-share packing: aim at total-work/parallelism per task (work =
+    // bytes + per-file open cost), never below the caller's target — a
+    // sub-openCost target would disable packing outright, and packing
+    // tiny files toward a raw 128 MB would re-create the parallelism
+    // floor for many-small-file tables (1000×1 MB → 8 tasks on 32 cores)
+    val want = if (splitParallelism > 0) splitParallelism
+    else {
+      try org.apache.spark.sql.SparkSession.active.sparkContext.defaultParallelism
+      catch { case _: Throwable => 0 }
+    }
+    val totalWork = raw.iterator.map {
+      case p: BtrInputPartition => sizeOf(p)
+      case _ => 0L
+    }.sum
+    val target = if (want > 1) math.max(targetBytes, totalWork / want) else math.max(targetBytes, splitBytes)
     val packed = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
     var cur = scala.collection.mutable.ArrayBuffer.empty[BtrInputPartition]
     var bytes = 0L
@@ -532,7 +553,7 @@ class BtrScan(
     raw.foreach {
       case p: BtrInputPartition =>
         val sz = sizeOf(p)
-        if (bytes > 0 && bytes + sz > splitBytes) flushPack()
+        if (bytes > 0 && bytes + sz > target) flushPack()
         cur += p
         bytes += sz
       case other => flushPack(); packed += other
