@@ -212,6 +212,23 @@ class BtrPartitionSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
   }
 
+  test("equal-share packing lands near the session's parallelism") {
+    import spark.implicits._
+    val p = tmp("pack_share")
+    // 100 tiny unpartitioned files: raw 128 MB packing would plan ~1-3
+    // tasks; equal-share (open-cost-weighted work / cores) plans ≈ cores
+    (0 until 5000).map(i => (i.toLong, s"r$i")).toDF("v", "s")
+      .repartition(100).write.format("btr").mode("overwrite").save(p)
+    val df = spark.read.format("btr").load(p)
+    val planned = df.queryExecution.executedPlan.collectLeaves().head
+      .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.BatchScanExec]
+      .inputPartitions
+    val want = spark.sparkContext.defaultParallelism
+    assert(planned.length >= want && planned.length <= 2 * want + 1,
+      s"expected ≈$want equal-share packed tasks over 100 files, got ${planned.length}")
+    assert(df.count() == 5000)
+  }
+
   test("packed splits survive mid-task close/resume (self-zip)") {
     import spark.implicits._
     // >64 tiny files (unpartitioned) → packed splits; rdd.zip(rdd.map)
