@@ -155,7 +155,10 @@ object GraftExtensions {
       graft.functions.BtrInspect.clusteringQuality),
     tvf("btr_file_consistency",
       "btr_file_consistency(path) - chunk blobs must tile each data file exactly")(
-      graft.functions.BtrInspect.fileConsistency)
+      graft.functions.BtrInspect.fileConsistency),
+    tvf("btr_ndv",
+      "btr_ndv(path) - per-column distinct-count estimates from the footer HLL sketches")(
+      graft.functions.BtrInspect.ndvEstimates)
   )
 
   /** Register the SQL functions on an ALREADY-RUNNING session (the

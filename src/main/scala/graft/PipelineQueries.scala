@@ -293,6 +293,32 @@ object PipelineQueries {
         .orderBy("col_name")
     }),
 
+    // Metadata-only NDV: the per-column footer HyperLogLog sketches
+    // (format v6) merged across files must land within 5% of the exact
+    // distinct count — the estimate Catalyst's CBO receives from
+    // estimateStatistics. The boolean is the engine-portable gate (like
+    // q_ann_lsh's recall check); n_exact itself is compared value-exact
+    // against DuckDB. At p=12 the sketch's standard error is 1.6%, so 5%
+    // is 3 sigma — and the data is fixed, so the check is deterministic.
+    "q_ndv_meta" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      li.count() // ensure the cache table exists
+      val dir = Btr.cachePath(d, "lineitem")
+      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate")
+      val est = graft.functions.BtrInspect.ndvEstimates(s, dir)
+        .select(col("column").as("col_name"), col("ndv_est"))
+      val exact = li
+        .select(cols.map(c => countDistinct(col(c)).as(c)): _*)
+        .selectExpr(s"stack(${cols.length}, " +
+          cols.map(c => s"'$c', `$c`").mkString(", ") + ") as (col_name, n_exact)")
+      exact.join(est, "col_name")
+        .select(col("col_name"), col("n_exact"),
+          (col("ndv_est").isNotNull &&
+            abs(col("ndv_est") - col("n_exact")) <= col("n_exact") * 0.05).as("ndv_ok"))
+        .orderBy("col_name")
+    }),
+
     // REAL audio decode under the oracle gate: each doc's text becomes a
     // deterministic 8-bit PCM WAV (fixed 200-byte body, so the RIFF
     // header is one constant literal); PcmOps decodes actual samples per
@@ -475,6 +501,13 @@ object PipelineQueries {
         |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rank
         | FROM sims)
         |SELECT count(*) AS n_exact, true AS recall_ok FROM ranked WHERE rank <= 3""".stripMargin,
+    "q_ndv_meta" -> {
+      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate")
+      cols.map(c =>
+        s"SELECT '$c' AS col_name, count(DISTINCT $c) AS n_exact, true AS ndv_ok FROM lineitem")
+        .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
     "q_describe_btr" -> {
       val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
         "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate")

@@ -13,7 +13,7 @@ object Btr {
   /** Bump when the writer's footer layout/stats change, so a stale cache
     * from an older build is never scanned.
     */
-  private val CacheVersion = "v8" // events.ts: nanos long → timestamp[us]
+  private val CacheVersion = "v9" // footer v6: per-column NDV sketches
 
   /** Max mtime over the source dir's parquet files — part of the cache
     * key so a driver-regenerated testdata set (same paths, new contents)

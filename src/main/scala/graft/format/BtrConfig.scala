@@ -35,7 +35,11 @@ final case class BtrConfig(
     // the retained sample (the reference's estimateCompression contract,
     // scheme/CompressionScheme.cpp:8-46); `btr.estimate=formula` reverts
     // to closed-form-only estimates
-    measuredEstimate: Boolean = true
+    measuredEstimate: Boolean = true,
+    // per-column file-level HyperLogLog NDV sketches in the footer
+    // (format v6) — 2^p register bytes per column per file; 0 disables.
+    // Planning merges them into table NDV for Catalyst's CBO.
+    ndvPrecision: Int = Hll.DefaultP
 ) {
   def intEnabled(scheme: Int): Boolean =
     schemes.isEmpty || schemes.contains(BtrConfig.intNames(scheme))
@@ -129,6 +133,27 @@ object BtrConfig {
         case Some(other) =>
           throw new IllegalArgumentException(
             s"btr.estimate must be measured|formula, got '$other'")
+      },
+      ndvPrecision = {
+        val enabled = get("btr.ndv.enabled").map(_.trim.toLowerCase) match {
+          case None | Some("true") => true
+          case Some("false") => false
+          case Some(other) =>
+            throw new IllegalArgumentException(s"btr.ndv.enabled must be true|false, got '$other'")
+        }
+        if (!enabled) 0
+        else get("btr.ndv.precision").map { s =>
+          val v =
+            try s.trim.toInt
+            catch {
+              case _: NumberFormatException =>
+                throw new IllegalArgumentException(
+                  s"btr.ndv.precision must be an integer in [${Hll.MinP},${Hll.MaxP}], got '$s'")
+            }
+          require(v >= Hll.MinP && v <= Hll.MaxP,
+            s"btr.ndv.precision must be in [${Hll.MinP},${Hll.MaxP}], got '$s'")
+          v
+        }.getOrElse(Hll.DefaultP)
       }
     )
   }

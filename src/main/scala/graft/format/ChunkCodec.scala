@@ -192,7 +192,13 @@ object ChunkCodec {
       chunk: ColumnChunk,
       cascadeDepth: Int,
       cfg: BtrConfig = BtrConfig.Default,
-      seed: Long = 42L
+      seed: Long = 42L,
+      // optional file-level HyperLogLog registers for this column — the
+      // stats loops below fold every non-null value's hash in while they
+      // already iterate for min/max/bloom (one extra hash per value for
+      // doubles; ints/strings reuse the bloom hash)
+      ndvReg: Array[Byte] = null,
+      ndvP: Int = 0
   ): ChunkStats = {
     val nullCount = NullMap.encode(chunk.isNull, chunk.count, out)
     var i = 0
@@ -223,8 +229,12 @@ object ChunkCodec {
           val ns = sum + v
           if (((sum ^ ns) & (v ^ ns)) < 0) sumOver = true // signed wrap
           sum = ns
-          if (hashes != null && !bloomOver) {
-            if (hashes.size > ndvCap) bloomOver = true else hashes.add(Bloom.hashLong(v))
+          if ((hashes != null && !bloomOver) || ndvReg != null) {
+            val h = Bloom.hashLong(v)
+            if (hashes != null && !bloomOver) {
+              if (hashes.size > ndvCap) bloomOver = true else hashes.add(h)
+            }
+            if (ndvReg != null) Hll.add(ndvReg, ndvP, h)
           }
         }
         i += 1
@@ -262,6 +272,12 @@ object ChunkCodec {
           val v =
             if (tag == PhysType.Float) java.lang.Float.intBitsToFloat(chunk.longs(i).toInt).toDouble
             else chunk.doubles(i)
+          if (ndvReg != null) {
+            // canonical bits: -0.0 folds into 0.0 (SQL DISTINCT equates
+            // them) and doubleToLongBits canonicalizes every NaN
+            val canon = if (v == 0.0d) 0L else java.lang.Double.doubleToLongBits(v)
+            Hll.add(ndvReg, ndvP, Bloom.hashLong(canon))
+          }
           if (v.isNaN) sawNaN = true
           else {
             if (java.lang.Double.compare(v, mn) < 0) mn = v
@@ -316,8 +332,12 @@ object ChunkCodec {
           val v = chunk.strings(i)
           if (mn == null || java.util.Arrays.compareUnsigned(v, mn) < 0) mn = v
           if (mx == null || java.util.Arrays.compareUnsigned(v, mx) > 0) mx = v
-          if (hashes != null && !bloomOver) {
-            if (hashes.size > ndvCap) bloomOver = true else hashes.add(Bloom.hashBytes(v))
+          if ((hashes != null && !bloomOver) || ndvReg != null) {
+            val h = Bloom.hashBytes(v)
+            if (hashes != null && !bloomOver) {
+              if (hashes.size > ndvCap) bloomOver = true else hashes.add(h)
+            }
+            if (ndvReg != null) Hll.add(ndvReg, ndvP, h)
           }
         }
         i += 1

@@ -32,11 +32,15 @@ object BtrFile {
   // float→double) reads old narrow files under the widened table schema
   // by decoding with the file's own tag and upcasting. Readers validate
   // the header version and fail cleanly on files written by a different
-  // layout — except version 4, which differs from 5 ONLY by the absent
-  // colTags bytes: v4 files parse with colTags = null (tagOf then reports
-  // "same as logical type"), so pre-widening tables stay readable without
-  // a rewrite. Writers always emit the current version.
-  val Version = 5
+  // layout — except versions 4 and 5, which differ from 6 ONLY by absent
+  // trailing blocks: v4 files parse with colTags = null (tagOf then
+  // reports "same as logical type") and v4/v5 with colNdv = null (no NDV
+  // sketches), so older tables stay readable without a rewrite. v6: the
+  // footer carries one HyperLogLog register array per column (file-level
+  // distinct-value sketch, [[Hll]]) so planning reports table NDV to
+  // Catalyst's cost-based optimizer from metadata alone. Writers always
+  // emit the current version.
+  val Version = 6
   private val MinReadVersion = 4
   val DefaultBlockSize = 65536 // tuples per chunk, btrblocks.hpp:24
   val DefaultCascadeDepth = 3 // btrblocks.hpp:31,37,43
@@ -81,10 +85,20 @@ object BtrFile {
   /** `colTags`: the PhysType tag each column's chunks were encoded with
     * (v5). 0 = unknown — readers fall back to the table schema's tag.
     */
-  final case class Footer(rowGroups: Array[RowGroupMeta], colTags: Array[Int] = null) {
+  final case class Footer(
+      rowGroups: Array[RowGroupMeta],
+      colTags: Array[Int] = null,
+      // v6: per-column file-level HyperLogLog registers (2^ndvP bytes
+      // each; null array or null entry = no sketch for that column —
+      // array-family columns and pre-v6 files). Planning merges file
+      // sketches into a table NDV estimate for Catalyst's CBO.
+      ndvP: Int = 0,
+      colNdv: Array[Array[Byte]] = null) {
     def numRows: Long = rowGroups.map(_.numRows.toLong).sum
     def tagOf(col: Int): Int =
       if (colTags != null && col < colTags.length) colTags(col) else 0
+    def ndvOf(col: Int): Array[Byte] =
+      if (colNdv != null && col < colNdv.length) colNdv(col) else null
   }
 
   def writeFooter(out: BufWriter, footer: Footer, numCols: Int): Unit = {
@@ -105,6 +119,23 @@ object BtrFile {
     while (tc < numCols) {
       out.putByte(if (footer.colTags != null && tc < footer.colTags.length) footer.colTags(tc) else 0)
       tc += 1
+    }
+    // v6: per-column NDV sketch block — precision byte (0 = whole block
+    // absent), then per column a present flag + 2^p raw register bytes
+    if (footer.colNdv == null || footer.ndvP == 0) out.putByte(0)
+    else {
+      out.putByte(footer.ndvP)
+      var nc = 0
+      while (nc < numCols) {
+        val r = if (nc < footer.colNdv.length) footer.colNdv(nc) else null
+        if (r == null) out.putByte(0)
+        else {
+          require(r.length == (1 << footer.ndvP), "footer ndv register size mismatch")
+          out.putByte(1)
+          out.putBytes(r)
+        }
+        nc += 1
+      }
     }
     footer.rowGroups.foreach { rg =>
       out.putInt(rg.numRows)
@@ -217,6 +248,20 @@ object BtrFile {
     val colTags = if (version < 5) null else new Array[Int](numCols)
     var tc = 0
     while (colTags != null && tc < numCols) { colTags(tc) = in.getByte(); tc += 1 }
+    // v6: NDV sketch block (precision 0 = absent); pre-v6 footers have none
+    var ndvP = 0
+    var colNdv: Array[Array[Byte]] = null
+    if (version >= 6) {
+      ndvP = in.getByte()
+      if (ndvP > 0) {
+        colNdv = new Array[Array[Byte]](numCols)
+        var nc = 0
+        while (nc < numCols) {
+          if (in.getByte() != 0) colNdv(nc) = in.getBytes(1 << ndvP)
+          nc += 1
+        }
+      }
+    }
     val rgs = new Array[RowGroupMeta](numRg)
     var g = 0
     while (g < numRg) {
@@ -261,7 +306,7 @@ object BtrFile {
       rgs(g) = RowGroupMeta(numRows, cols)
       g += 1
     }
-    Footer(rgs, colTags)
+    Footer(rgs, colTags, ndvP, colNdv)
   }
 }
 

@@ -165,6 +165,64 @@ object BtrInspect {
       .toDF("file", "ok")
   }
 
+  /** Per-column table NDV estimates from the footer HyperLogLog sketches
+    * (format v6): elementwise-max union across files, linear-counting
+    * small-range correction — the metadata-only distinct count the scan
+    * reports to Catalyst's CBO. `ndv_est` is null when any file lacks a
+    * sketch (pre-v6 files, `btr.ndv.enabled=false`, array columns);
+    * partition columns report the EXACT directory-value count. Footer
+    * reads go through the footer-index sidecar — one metadata read, no
+    * data I/O.
+    */
+  def ndvEstimates(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(BtrTableMeta.hadoopConf())
+    val schema = BtrTableMeta.readSchema(fs, dir)
+    val partCols = BtrTableMeta.readPartitionCols(fs, dir)
+    val entries = BtrTableMeta.listDataFilesWithPartitions(fs, dir)
+    val footers = graft.sources.BtrFooters.readAllIndexed(fs, dir, entries)
+    val dataFields = schema.fields.filterNot(f => partCols.contains(f.name))
+    val totalRows = footers.map(_._2.numRows).sum
+    val dataRows = dataFields.zipWithIndex.map { case (f, ci) =>
+      var nulls = 0L
+      var known = true
+      var p = 0
+      var merged: Array[Byte] = null
+      footers.foreach { case (_, fo) =>
+        val present = fo.rowGroups.nonEmpty && fo.rowGroups.head.columns.length > ci
+        if (!present) nulls += fo.numRows
+        else {
+          fo.rowGroups.foreach(rg => nulls += rg.columns(ci).nullCount)
+          if (known && fo.numRows > 0) {
+            val reg = fo.ndvOf(ci)
+            if (reg == null || fo.ndvP == 0 || (merged != null && fo.ndvP != p)) known = false
+            else if (merged == null) { p = fo.ndvP; merged = reg.clone() }
+            else Hll.merge(merged, reg)
+          }
+        }
+      }
+      val nonNull = math.max(totalRows - nulls, 0L)
+      val est: Option[Long] =
+        if (!known) None
+        else if (merged == null || nonNull == 0L) Some(0L)
+        else Some(math.max(math.min(Hll.estimate(merged, p), nonNull), 1L))
+      (f.name, totalRows, nulls, est, false)
+    }
+    val partRows = partCols.map { name =>
+      val nullPart = BtrTableMeta.NullPartition
+      val vals = scala.collection.mutable.LinkedHashSet.empty[String]
+      var nulls = 0L
+      footers.foreach { case (e, fo) =>
+        val v = e.partitionValues.getOrElse(name, nullPart)
+        if (v == nullPart) nulls += fo.numRows else vals += v
+      }
+      (name, totalRows, nulls, Some(vals.size.toLong): Option[Long], true)
+    }
+    (dataRows.toSeq ++ partRows)
+      .toDF("column", "rows", "nulls", "ndv_est", "exact")
+  }
+
   def describe(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     val dir = new Path(path)

@@ -67,6 +67,11 @@ object BtrCompact {
       val groups = scala.collection.mutable.ArrayBuffer.empty[BtrFile.RowGroupMeta]
       var numCols = -1
       var colTags: Array[Int] = null
+      // NDV sketch union across sources: elementwise max when every
+      // source carries registers at one precision, else dropped (a v6
+      // reader treats an absent sketch as "NDV unknown" — conservative)
+      var ndvP = -1
+      var colNdv: Array[Array[Byte]] = null
       val buf = new Array[Byte](1 << 20)
       bin.files.foreach { name =>
         val src = new Path(dir, name)
@@ -83,6 +88,25 @@ object BtrCompact {
           require(java.util.Arrays.equals(footer.colTags, colTags),
             s"btr compact: physical type mismatch in $src " +
               s"(${footer.colTags.mkString(",")} vs ${colTags.mkString(",")})")
+        if (ndvP == -1) {
+          ndvP = footer.ndvP
+          colNdv =
+            if (footer.colNdv == null) null
+            else footer.colNdv.map(r => if (r == null) null else r.clone())
+        } else if (ndvP != 0) {
+          if (footer.ndvP != ndvP || footer.colNdv == null ||
+            colNdv == null || footer.colNdv.length != colNdv.length) {
+            ndvP = 0; colNdv = null
+          } else {
+            var nc = 0
+            while (nc < colNdv.length) {
+              if (colNdv(nc) != null && footer.colNdv(nc) != null)
+                Hll.merge(colNdv(nc), footer.colNdv(nc))
+              else colNdv(nc) = null
+              nc += 1
+            }
+          }
+        }
         val (footerStart, _) = footerSpan(fs, src, len)
         // stream the data span [8, footerStart) verbatim
         val delta = cursor - 8L
@@ -103,7 +127,9 @@ object BtrCompact {
         }
       }
       val fb = new BufWriter(1 << 16)
-      BtrFile.writeFooter(fb, BtrFile.Footer(groups.toArray, colTags), math.max(numCols, 0))
+      BtrFile.writeFooter(fb,
+        BtrFile.Footer(groups.toArray, colTags, math.max(ndvP, 0), colNdv),
+        math.max(numCols, 0))
       out.write(fb.backing, 0, fb.pos)
     } finally out.close()
   }

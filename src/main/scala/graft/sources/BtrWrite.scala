@@ -732,6 +732,13 @@ class BtrDataWriter(path: String, schema: StructType, blockSize: Int, cascade: I
   private val colNulls = new Array[Long](numCols)
   private val colRawBytes = new Array[Long](numCols)
   private val colCompBytes = new Array[Long](numCols)
+  // per-column file-level NDV sketches (footer v6); array-family columns
+  // carry none (element streams have no per-row distinctness)
+  private val ndvP = cfg.ndvPrecision
+  private val colNdv: Array[Array[Byte]] =
+    if (ndvP == 0) null
+    else Array.tabulate(numCols)(c =>
+      if (PhysType.isArrayFamily(tags(c))) null else Hll.create(ndvP))
 
   private def allocBuffers(): Unit = {
     var c = 0
@@ -833,7 +840,8 @@ class BtrDataWriter(path: String, schema: StructType, blockSize: Int, cascade: I
       // the seeded-sampler contract from SURVEY §7.4; never derived from
       // the taskId, so re-running the same write samples identically
       val seed = (partitionId.toLong << 40) ^ (rowGroups.length.toLong << 16) ^ c.toLong
-      val stats = ChunkCodec.encode(encodeBuf, chunk, cascade, cfg, seed)
+      val stats = ChunkCodec.encode(encodeBuf, chunk, cascade, cfg, seed,
+        if (colNdv == null) null else colNdv(c), ndvP)
       val blobLen = encodeBuf.pos
       out.write(encodeBuf.backing, 0, blobLen)
       val statsKind =
@@ -882,7 +890,8 @@ class BtrDataWriter(path: String, schema: StructType, blockSize: Int, cascade: I
   def finishPending(): Option[(String, BtrCommitMessage)] = {
     flushGroup()
     val footerBuf = new BufWriter(1 << 16)
-    BtrFile.writeFooter(footerBuf, BtrFile.Footer(rowGroups.toArray, tags), numCols)
+    BtrFile.writeFooter(footerBuf,
+      BtrFile.Footer(rowGroups.toArray, tags, if (colNdv == null) 0 else ndvP, colNdv), numCols)
     out.write(footerBuf.backing, 0, footerBuf.pos)
     out.close()
     if (totalRows == 0L) {

@@ -195,6 +195,12 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(spark.sql(s"SELECT * FROM btr_clustering('$p')").count() > 0)
     spark.sql(s"SELECT * FROM btr_table_stats('$p')").collect() // advisory; may be empty
 
+    // footer HLL NDV estimates: 500 distinct ids / 5 distinct tags
+    val ndv = spark.sql(s"SELECT * FROM btr_ndv('$p')").collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(math.abs(ndv("id") - 500) <= 25, s"id ndv=${ndv("id")}")
+    assert(ndv("tag") == 5L, s"tag ndv=${ndv("tag")}")
+
     // non-constant path fails loudly
     val e = intercept[Exception] {
       spark.sql("SELECT * FROM btr_describe(concat(rand(), ''))").collect()

@@ -170,10 +170,11 @@ class NaNAndVersionSpec extends AnyFunSuite {
 
   test("version-4 files (no colTags bytes) read back exactly") {
     import spark.implicits._
-    // fixture by byte surgery: a v5 file differs from v4 only by the
-    // header version int and the per-column tag bytes between the footer's
-    // column count and its row groups — strip both and the reader must
-    // parse it as a v4 file (colTags = null → physical type = logical)
+    // fixture by byte surgery: a v6 file differs from v4 only by the
+    // header version int and two footer blocks between the column count
+    // and the row groups — the per-column tag bytes (v5) and the NDV
+    // sketch block (v6). Strip all three and the reader must parse it as
+    // a v4 file (colTags = null → physical type = logical; no sketches)
     val rows = (0 until 5000).map(i =>
       (i.toLong, s"s${i % 40}", if (i % 9 == 0) Double.NaN else i * 1.25))
     rows.toDF("id", "s", "d").coalesce(1)
@@ -194,8 +195,24 @@ class NaNAndVersionSpec extends AnyFunSuite {
     out.write(Array[Byte](0, 0, 0, 4)) // header version 4 (big-endian)
     out.write(v5, 8, bodyStart - 8) // chunk blobs (offsets unchanged)
     out.write(v5, bodyStart, 8) // numRowGroups, numCols
-    out.write(v5, bodyStart + 8 + numCols, footerLen - 8 - numCols) // sans colTags
-    val newLen = footerLen - numCols
+    // skip colTags (numCols bytes) and the v6 NDV block (precision byte +
+    // per column a present flag + 2^p registers when present)
+    val ndvStart = bodyStart + 8 + numCols
+    val p = v5(ndvStart) & 0xff
+    var ndvLen = 1
+    if (p != 0) {
+      var c = 0
+      var off = ndvStart + 1
+      while (c < numCols) {
+        val present = v5(off) != 0
+        off += 1 + (if (present) 1 << p else 0)
+        c += 1
+      }
+      ndvLen = off - ndvStart
+    }
+    val cut = numCols + ndvLen
+    out.write(v5, bodyStart + 8 + cut, footerLen - 8 - cut) // sans colTags/ndv
+    val newLen = footerLen - cut
     out.write(Array[Byte](newLen.toByte, (newLen >> 8).toByte,
       (newLen >> 16).toByte, (newLen >> 24).toByte))
     out.write(v5, len - 4, 4) // tail magic
