@@ -150,6 +150,28 @@ class NdvStatsSpec extends AnyFunSuite {
     assert(m("b")._1 == 4000L)
   }
 
+  test("CBO consumes the stats: filter selectivity estimated from footer min/max") {
+    val dir = tmp("cbo")
+    sampleDf(20000).write.format("btr").mode("overwrite").save(dir)
+    val prev = spark.conf.getOption("spark.sql.cbo.enabled")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      // k_int is uniform over [0,1000); a < 100 filter should estimate
+      // ~10% of the rows via FilterEstimation's range math over the
+      // reported min/max — not the no-stats default selectivity
+      val df = spark.read.format("btr").load(dir).filter(col("k_int") < 100)
+      val est = df.queryExecution.optimizedPlan.stats.rowCount
+      assert(est.isDefined, "CBO should produce a row-count estimate")
+      assert(est.get > BigInt(1000) && est.get < BigInt(4000),
+        s"expected ~2000 estimated rows, got ${est.get}")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.cbo.enabled", v)
+        case None => spark.conf.unset("spark.sql.cbo.enabled")
+      }
+    }
+  }
+
   test("mixed enabled/disabled appends degrade to unknown, not to a wrong estimate") {
     val dir = tmp("mixed")
     spark.range(2000).select((col("id") % 50).as("k")).write.format("btr").mode("overwrite").save(dir)
