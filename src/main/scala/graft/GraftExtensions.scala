@@ -158,7 +158,10 @@ object GraftExtensions {
       graft.functions.BtrInspect.fileConsistency),
     tvf("btr_ndv",
       "btr_ndv(path) - per-column distinct-count estimates from the footer HLL sketches")(
-      graft.functions.BtrInspect.ndvEstimates)
+      graft.functions.BtrInspect.ndvEstimates),
+    tvf("btr_history",
+      "btr_history(path) - snapshot versions readable via VERSION/TIMESTAMP AS OF")(
+      graft.functions.BtrInspect.history)
   )
 
   /** Register the SQL functions on an ALREADY-RUNNING session (the

@@ -89,7 +89,42 @@ object CoreQueries {
     s.read.format("btr").load(dir)
   }
 
+  /** Two-commit lineitem for the time-travel oracle: version 1 holds
+    * only the low-quantity rows, version 2 appends the rest. Built once
+    * per (sf, cache version); both commits run in one guarded block so a
+    * half-built table can't publish (meta exists only after commit 1, and
+    * the version count is re-checked to heal a crash between commits).
+    */
+  private def lineitemTwoCommits(s: SparkSession, d: String): String = {
+    val dir = Btr.cachePath(d, "lineitem_tt")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(graft.format.BtrTableMeta.hadoopConf())
+    val root = fs.makeQualified(new org.apache.hadoop.fs.Path(dir))
+    def versionCount =
+      graft.sources.BtrLog.latestVersion(fs, root).getOrElse(0L)
+    if (!new java.io.File(dir, "_btr_meta.json").exists() || versionCount < 2) {
+      val li = Btr.pq(s, d, "lineitem")
+      li.filter(col("l_quantity") <= 25)
+        .write.format("btr").mode("overwrite").save(dir)
+      li.filter(col("l_quantity") > 25)
+        .write.format("btr").mode("append").save(dir)
+    }
+    dir
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Q-time-travel: VERSION AS OF 1 sees exactly the first commit's rows
+    // (the low-quantity half); the oracle recomputes that slice with a
+    // plain filter. A missing or mis-resolved snapshot shows up as extra
+    // or missing groups, hash-checked per returnflag.
+    "q_time_travel" -> ((s, d) => {
+      val dir = lineitemTwoCommits(s, d)
+      s.read.format("btr").option("btr.versionAsOf", "1").load(dir)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+
     // Q-identity: lossless round-trip of every lineitem column
     "q_rt_identity" -> ((s, d) => {
       t(s, d, "lineitem")
@@ -1068,6 +1103,11 @@ object CoreQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_time_travel" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        | round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem WHERE l_quantity <= 25
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_rt_identity" ->
       """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
         | l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,

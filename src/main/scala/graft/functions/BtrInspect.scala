@@ -223,6 +223,21 @@ object BtrInspect {
       .toDF("column", "rows", "nulls", "ndv_est", "exact")
   }
 
+  /** Snapshot history from the `_btr_log/` sidecar, newest first — the
+    * versions `VERSION AS OF` / `TIMESTAMP AS OF` can travel to (the
+    * newest [[graft.sources.BtrLog.KeepEntries]] commits; a version's
+    * files must also still exist physically — OPTIMIZE/DELETE truncate
+    * readable history).
+    */
+  def history(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(BtrTableMeta.hadoopConf())
+    graft.sources.BtrLog.history(fs, fs.makeQualified(dir))
+      .map(e => (e.version, new java.sql.Timestamp(e.tsMillis), e.action, e.files.length.toLong))
+      .toDF("version", "committed_at", "action", "n_files")
+  }
+
   def describe(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     val dir = new Path(path)

@@ -72,14 +72,35 @@ class BtrCatalog extends TableCatalog {
     fs.exists(new Path(dir, BtrTableMeta.MetaFile))
   }
 
-  override def loadTable(ident: Identifier): Table = {
+  override def loadTable(ident: Identifier): Table = loadPinned(ident, None, None)
+
+  /** `SELECT ... FROM t VERSION AS OF n` — a read-only view of snapshot n
+    * from the `_btr_log/` sidecar (see [[BtrLog]]).
+    */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val v =
+      try version.trim.toLong
+      catch {
+        case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"btr: VERSION AS OF takes a snapshot number, got '$version'")
+      }
+    loadPinned(ident, Some(v), None)
+  }
+
+  /** `TIMESTAMP AS OF` — micros since epoch (Spark's TimeTravelSpec unit). */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table =
+    loadPinned(ident, None, Some(timestampMicros))
+
+  private def loadPinned(ident: Identifier,
+      version: Option[Long], tsMicros: Option[Long]): Table = {
     val path = pathOf(ident)
     val (fs, dir) = fsDir(path)
     if (!fs.exists(new Path(dir, BtrTableMeta.MetaFile))) throw new NoSuchTableException(ident)
     val schema = BtrTableMeta.readSchema(fs, dir)
     val parts = BtrTableMeta.readPartitionCols(fs, dir)
       .map(c => Expressions.identity(c): Transform).toArray
-    new BtrTable(path, schema, parts)
+    new BtrTable(path, schema, parts, version, tsMicros)
   }
 
   override def createTable(

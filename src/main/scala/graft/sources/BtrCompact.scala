@@ -215,6 +215,7 @@ object BtrCompact {
     fs.delete(staging, true)
     BtrTableMeta.completeSwapJournals(fs, root) // drops the journal (idempotent)
     BtrFooters.refreshIndex(fs, root) // the rewrite replaced every file
+    BtrLog.record(fs, root, "optimize")
     (before, staged.length)
   }
 
@@ -325,6 +326,7 @@ object BtrCompact {
     // merged files replace their sources in the footer index (incremental:
     // untouched files keep their cached entries)
     BtrFooters.refreshIndex(fs, root)
+    BtrLog.record(fs, root, "optimize")
     (before, before - jobs.map(_._1.files.length).sum + jobs.length)
   }
 }

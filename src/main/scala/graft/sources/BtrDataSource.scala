@@ -59,7 +59,10 @@ class BtrDataSource extends TableProvider with DataSourceRegister {
   }
 }
 
-class BtrTable(path: String, tableSchema: StructType, partitionTransforms: Array[Transform] = Array.empty)
+class BtrTable(path: String, tableSchema: StructType, partitionTransforms: Array[Transform] = Array.empty,
+    // catalog time travel (`VERSION AS OF` / `TIMESTAMP AS OF`): reads
+    // plan the pinned snapshot's file set; every mutation is refused
+    asOfVersion: Option[Long] = None, asOfTimestampMicros: Option[Long] = None)
     extends Table with SupportsRead with SupportsWrite with SupportsDelete
     with SupportsRowLevelOperations with SupportsMetadataColumns
     with SupportsPartitionManagement {
@@ -96,7 +99,15 @@ class BtrTable(path: String, tableSchema: StructType, partitionTransforms: Array
   }
   partCols.foreach(c => require(tableSchema.fieldNames.contains(c), s"btr: unknown partition column $c"))
 
-  override def name(): String = s"btr:$path"
+  private def pinned: Boolean = asOfVersion.isDefined || asOfTimestampMicros.isDefined
+
+  private def refuseMutation(op: String): Unit =
+    require(!pinned, s"btr: $op on a VERSION/TIMESTAMP AS OF snapshot is not allowed " +
+      "(historical views are read-only)")
+
+  override def name(): String =
+    s"btr:$path${asOfVersion.map(v => s"@v$v").getOrElse("")}" +
+      asOfTimestampMicros.map(t => s"@ts$t").getOrElse("")
 
   override def schema(): StructType = tableSchema
 
@@ -108,10 +119,12 @@ class BtrTable(path: String, tableSchema: StructType, partitionTransforms: Array
       TableCapability.STREAMING_WRITE, TableCapability.MICRO_BATCH_READ).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new BtrScanBuilder(path, tableSchema, options, partCols)
+    new BtrScanBuilder(path, tableSchema, options, partCols, asOfVersion, asOfTimestampMicros)
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    refuseMutation("writing")
     new BtrWriteBuilder(path, info.schema(), info.options(), partCols)
+  }
 
   // ---- row-level DELETE/UPDATE/MERGE (group-based copy-on-write) ------
   // Fully file-aligned DELETEs short-circuit to the metadata path below
@@ -119,8 +132,10 @@ class BtrTable(path: String, tableSchema: StructType, partitionTransforms: Array
   // exactly the affected files (see BtrRowLevelOperation).
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo
-  ): org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+  ): org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    refuseMutation("a row-level operation")
     new BtrRowLevelOperationBuilder(path, tableSchema, partCols, info)
+  }
 
   // ---- metadata-level DELETE (SupportsDelete) -------------------------
   // A predicate is deletable exactly when every file is provably all-match
@@ -141,6 +156,7 @@ class BtrTable(path: String, tableSchema: StructType, partitionTransforms: Array
   }
 
   override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    refuseMutation("DELETE")
     // consume the probe exactly once: a second DELETE with an identical
     // filter on this table instance must re-classify (files the first
     // delete removed, or appends in the gap, would otherwise replay a
@@ -225,6 +241,7 @@ class BtrTable(path: String, tableSchema: StructType, partitionTransforms: Array
 
   /** Metadata DELETE of one partition directory's files. */
   private def deletePartitionRows(ident: InternalRow): Boolean = {
+    refuseMutation("a partition drop/truncate")
     val ps = partitionSchema()
     require(ident.numFields == ps.length,
       s"btr: partition ident has ${ident.numFields} fields, expected ${ps.length}")
@@ -279,6 +296,7 @@ class BtrTable(path: String, tableSchema: StructType, partitionTransforms: Array
   // pending: journal groups name files relative to their directory, and
   // moving that directory mid-swap would break crash convergence.
   override def renamePartition(from: InternalRow, to: InternalRow): Boolean = {
+    refuseMutation("RENAME PARTITION")
     val ps = partitionSchema()
     require(from.numFields == ps.length && to.numFields == ps.length,
       s"btr: partition idents must have ${ps.length} fields")
@@ -298,7 +316,9 @@ class BtrTable(path: String, tableSchema: StructType, partitionTransforms: Array
     // source as a CHILD under Hadoop rename semantics — clear it first
     if (fs.exists(dst)) fs.delete(dst, true)
     if (dst.getParent != null) fs.mkdirs(dst.getParent)
-    fs.rename(src, dst)
+    val ok = fs.rename(src, dst)
+    if (ok) BtrLog.record(fs, fs.makeQualified(root), "rename-partition")
+    ok
   }
 
   override def createPartition(ident: InternalRow, properties: util.Map[String, String]): Unit =
@@ -395,6 +415,40 @@ object BtrOptions {
     */
   def splitParallelism(options: CaseInsensitiveStringMap): Int =
     options.getInt("btr.splitParallelism", 0)
+
+  /** Time travel: pin the read to a recorded snapshot version. */
+  def versionAsOf(options: CaseInsensitiveStringMap): Option[Long] =
+    Option(options.get("btr.versionAsOf")).map { s =>
+      try s.trim.toLong
+      catch {
+        case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"btr.versionAsOf must be a snapshot number, got '$s'")
+      }
+    }
+
+  /** Time travel by time: micros since epoch, or an ISO-8601 instant /
+    * `yyyy-MM-dd HH:mm:ss` UTC string.
+    */
+  def timestampAsOf(options: CaseInsensitiveStringMap): Option[Long] =
+    Option(options.get("btr.timestampAsOf")).map { raw =>
+      val s = raw.trim
+      try s.toLong
+      catch {
+        case _: NumberFormatException =>
+          try BtrPartTime.instantMicros(s)
+          catch {
+            case _: RuntimeException | _: java.time.DateTimeException =>
+              try BtrPartTime.localMicros(s.replace(' ', 'T'))
+              catch {
+                case _: RuntimeException | _: java.time.DateTimeException =>
+                  throw new IllegalArgumentException(
+                    "btr.timestampAsOf must be micros since epoch or an " +
+                      s"ISO-8601/`yyyy-MM-dd HH:mm:ss` UTC timestamp, got '$s'")
+              }
+          }
+      }
+    }
 
   /** Streaming-sink auto-compaction: when > 0, every
     * [[BtrStreamingWrite.IndexRefreshEpochs]] epochs the sink counts

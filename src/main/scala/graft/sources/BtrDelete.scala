@@ -193,6 +193,7 @@ object BtrDelete {
     }
     deleteEmptyPartitionDirs(fs, dir)
     BtrFooters.refreshIndex(fs, dir)
+    BtrLog.record(fs, dir, "delete")
   }
 
   /** Remove partition directories emptied by a delete (leaf-first); the

@@ -21,7 +21,12 @@ import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
   * an I/O optimization and can never change results.
   */
 class BtrScanBuilder(path: String, tableSchema: StructType, options: CaseInsensitiveStringMap,
-    partCols: Seq[String] = Nil)
+    partCols: Seq[String] = Nil,
+    // catalog-pinned time travel (`VERSION AS OF` / `TIMESTAMP AS OF`);
+    // the read options btr.versionAsOf/btr.timestampAsOf are the
+    // path-API equivalents
+    pinnedVersion: Option[Long] = None,
+    pinnedTsMicros: Option[Long] = None)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
@@ -141,8 +146,15 @@ class BtrScanBuilder(path: String, tableSchema: StructType, options: CaseInsensi
   // instead of one task tail-reading every file (a straggler at 100k files)
   override def supportCompletePushDown(agg: aggregate.Aggregation): Boolean = false
 
+  private val travelVersion: Option[Long] =
+    pinnedVersion.orElse(BtrOptions.versionAsOf(options))
+  private val travelTs: Option[Long] =
+    pinnedTsMicros.orElse(BtrOptions.timestampAsOf(options))
+
   override def pushAggregation(agg: aggregate.Aggregation): Boolean = {
-    val ok = canPushAgg(agg)
+    // a metadata-only aggregate computes over the CURRENT footers; under
+    // time travel it must stay on the data path of the pinned file set
+    val ok = travelVersion.isEmpty && travelTs.isEmpty && canPushAgg(agg)
     if (ok) pushedAgg = Some(agg)
     ok
   }
@@ -152,9 +164,20 @@ class BtrScanBuilder(path: String, tableSchema: StructType, options: CaseInsensi
       new BtrAggScan(path, tableSchema, agg, partCols,
         agg.groupByExpressions().toSeq.flatMap(singleCol))
     case None =>
+      // resolve the pinned snapshot at build time: the version error (out
+      // of retention, no log) surfaces at planning, not inside tasks
+      val snapshot: Option[BtrLog.Entry] =
+        if (travelVersion.isEmpty && travelTs.isEmpty) None
+        else {
+          val dir = new Path(path)
+          val fs = dir.getFileSystem(BtrTableMeta.hadoopConf())
+          Some(BtrLog.resolve(fs, fs.makeQualified(dir), travelVersion, travelTs))
+        }
       new BtrScan(path, tableSchema, requiredSchema, pushed, BtrOptions.splitBytes(options), limit, partCols,
         BtrOptions.expansionFactor(options), BtrOptions.maxFilesPerTrigger(options),
-        BtrOptions.splitParallelism(options))
+        BtrOptions.splitParallelism(options),
+        onlyFiles = snapshot.map(_.files.toSet),
+        snapshotVersion = snapshot.map(_.version))
   }
 }
 
@@ -185,7 +208,12 @@ class BtrScan(
     preListed: Option[Array[BtrTableMeta.DataFileEntry]] = None,
     // invoked when the runtime group filter narrows a rewrite scan's file
     // set, so the paired ReplaceData write replaces exactly what was read
-    onRewriteNarrowed: Option[Array[BtrTableMeta.DataFileEntry] => Unit] = None
+    onRewriteNarrowed: Option[Array[BtrTableMeta.DataFileEntry] => Unit] = None,
+    // time travel: `onlyFiles` came from this snapshot-log version — every
+    // named file MUST still exist (a pruned file means history was
+    // physically truncated by OPTIMIZE/DELETE; serving the survivors
+    // would be a silently wrong historical view, so fail loudly instead)
+    snapshotVersion: Option[Long] = None
 ) extends Scan
     with Batch
     with SupportsRuntimeFiltering
@@ -216,7 +244,17 @@ class BtrScan(
       onlyFiles match {
         case Some(set) =>
           val rootLen = fs.makeQualified(dir).toUri.getPath.length + 1
-          all.filter(e => set.contains(e.path.toUri.getPath.substring(rootLen)))
+          val found = all.filter(e => set.contains(e.path.toUri.getPath.substring(rootLen)))
+          if (snapshotVersion.isDefined && found.length < set.size) {
+            val present = found.map(e => e.path.toUri.getPath.substring(rootLen)).toSet
+            val missing = (set -- present).toSeq.sorted
+            throw new IllegalStateException(
+              s"btr: snapshot v${snapshotVersion.get} of $path references " +
+                s"${missing.length} file(s) that no longer exist (e.g. " +
+                s"${missing.take(3).mkString(", ")}) — history before an " +
+                "OPTIMIZE/DELETE/VACUUM that removed them is no longer readable")
+          }
+          found
         case None => all
       }
     }
@@ -716,9 +754,13 @@ class BtrScan(
   override def createReaderFactory(): PartitionReaderFactory =
     new BtrReaderFactory(requiredSchema, filters ++ runtimeFilters)
 
-  override def toMicroBatchStream(checkpointLocation: String): BtrMicroBatchStream =
+  override def toMicroBatchStream(checkpointLocation: String): BtrMicroBatchStream = {
+    require(snapshotVersion.isEmpty,
+      "btr: streaming reads follow the live table; a VERSION/TIMESTAMP AS OF " +
+        "pinned snapshot cannot be streamed")
     new BtrMicroBatchStream(path, tableSchema, requiredSchema, partCols, maxFilesPerTrigger,
       checkpointLocation)
+  }
 }
 
 /** Bounded-concurrency driver-side footer fetch for scan planning.

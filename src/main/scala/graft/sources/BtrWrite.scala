@@ -151,7 +151,12 @@ class BtrStreamingWrite(path: String, schema: StructType, blockSize: Int, cascad
     // O(files) bytes per micro-batch on a long-running stream. The index
     // is advisory (uncovered epochs fall back to bounded tail-reads), so
     // refresh periodically; compaction re-covers the table anyway.
-    if (epochId % BtrStreamingWrite.IndexRefreshEpochs == 0) BtrFooters.refreshIndex(fs, dir)
+    if (epochId % BtrStreamingWrite.IndexRefreshEpochs == 0) {
+      BtrFooters.refreshIndex(fs, dir)
+      // snapshot log on the same cadence (a full listing per entry —
+      // per-epoch recording would make the sink O(files) per micro-batch)
+      BtrLog.record(fs, dir, "epoch")
+    }
     // ---- auto-compaction (btr.autoCompact.minFiles > 0) ---------------
     // A long-running stream appends one small file per (epoch, task) —
     // unbounded file growth is the #1 operational failure of streaming
@@ -461,6 +466,13 @@ class BtrBatchWrite(path: String, schema: StructType, mode: BtrOverwriteMode, bl
     // footer-index sidecar: planning on this table becomes one file read;
     // incremental (pre-existing append-mode files reuse the old index)
     BtrFooters.refreshIndex(fs, dir)
+    // snapshot log entry for time travel — recorded last: the data commit
+    // above is already durable, so a crash here costs one snapshot point
+    BtrLog.record(fs, dir, mode match {
+      case BtrOverwriteMode.Append => "append"
+      case BtrOverwriteMode.ReplaceFiles(_) => "rewrite"
+      case _ => "overwrite"
+    })
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

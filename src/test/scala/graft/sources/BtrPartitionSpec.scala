@@ -33,8 +33,10 @@ class BtrPartitionSpec extends AnyFunSuite {
     val orig = spark.read.parquet(s"$sf/lineitem.parquet")
     orig.write.format("btr").partitionBy("l_returnflag")
       .mode("overwrite").save(tmp("li_part"))
-    // layout on disk is hive-style
-    val dirs = new java.io.File(tmp("li_part")).listFiles().filter(_.isDirectory).map(_.getName)
+    // layout on disk is hive-style (metadata dirs like _btr_log are
+    // `_`-prefixed — invisible to scans, excluded here too)
+    val dirs = new java.io.File(tmp("li_part")).listFiles()
+      .filter(d => d.isDirectory && !d.getName.startsWith("_")).map(_.getName)
     assert(dirs.nonEmpty && dirs.forall(_.startsWith("l_returnflag=")), dirs.mkString(","))
     val back = spark.read.format("btr").load(tmp("li_part"))
     assert(back.schema.fieldNames.toSet == orig.schema.fieldNames.toSet)

@@ -90,9 +90,10 @@ class StoragePartitionJoinSpec extends AnyFunSuite with AdaptiveSparkPlanHelper 
     dims.repartition(2).write.format("btr").partitionBy("k").mode("overwrite")
       .save(tmp("opt_dims"))
     def filesPerDir(p: String): Map[String, Int] =
-      new java.io.File(p).listFiles().filter(_.isDirectory).map { d =>
-        d.getName -> d.listFiles().count(f => f.getName.endsWith(".btr"))
-      }.toMap
+      new java.io.File(p).listFiles()
+        .filter(d => d.isDirectory && !d.getName.startsWith("_")).map { d =>
+          d.getName -> d.listFiles().count(f => f.getName.endsWith(".btr"))
+        }.toMap
     assert(filesPerDir(tmp("opt_facts")).values.forall(_ > 1), "precondition: many files/dir")
 
     withSpj("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
