@@ -308,10 +308,13 @@ object PipelineQueries {
         "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate")
       val est = graft.functions.BtrInspect.ndvEstimates(s, dir)
         .select(col("column").as("col_name"), col("ndv_est"))
-      val exact = li
-        .select(cols.map(c => countDistinct(col(c)).as(c)): _*)
-        .selectExpr(s"stack(${cols.length}, " +
-          cols.map(c => s"'$c', `$c`").mkString(", ") + ") as (col_name, n_exact)")
+      // one single-column scan + partial-agg per column, unioned — beats
+      // the multi-countDistinct Expand (which multiplies every row by the
+      // column count before aggregating)
+      val exact = cols.map(c =>
+        li.select(col(c)).agg(countDistinct(col(c)).as("n_exact"))
+          .select(lit(c).as("col_name"), col("n_exact")))
+        .reduce(_ unionAll _)
       exact.join(est, "col_name")
         .select(col("col_name"), col("n_exact"),
           (col("ndv_est").isNotNull &&

@@ -233,9 +233,17 @@ object BtrInspect {
     import spark.implicits._
     val dir = new Path(path)
     val fs = dir.getFileSystem(BtrTableMeta.hadoopConf())
-    graft.sources.BtrLog.history(fs, fs.makeQualified(dir))
-      .map(e => (e.version, new java.sql.Timestamp(e.tsMillis), e.action, e.files.length.toLong))
-      .toDF("version", "committed_at", "action", "n_files")
+    val root = fs.makeQualified(dir)
+    // `readable`: every referenced file still exists — OPTIMIZE/DELETE
+    // physically truncate history, and surfacing that here beats finding
+    // out from a failed VERSION AS OF read
+    val rootLen = root.toUri.getPath.length + 1
+    val live = BtrTableMeta.listDataFilesWithPartitions(fs, root)
+      .map(e => e.path.toUri.getPath.substring(rootLen)).toSet
+    graft.sources.BtrLog.history(fs, root)
+      .map(e => (e.version, new java.sql.Timestamp(e.tsMillis), e.action,
+        e.files.length.toLong, e.files.forall(live.contains)))
+      .toDF("version", "committed_at", "action", "n_files", "readable")
   }
 
   def describe(spark: SparkSession, path: String): DataFrame = {

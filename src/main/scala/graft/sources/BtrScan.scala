@@ -152,32 +152,36 @@ class BtrScanBuilder(path: String, tableSchema: StructType, options: CaseInsensi
     pinnedTsMicros.orElse(BtrOptions.timestampAsOf(options))
 
   override def pushAggregation(agg: aggregate.Aggregation): Boolean = {
-    // a metadata-only aggregate computes over the CURRENT footers; under
-    // time travel it must stay on the data path of the pinned file set
-    val ok = travelVersion.isEmpty && travelTs.isEmpty && canPushAgg(agg)
+    val ok = canPushAgg(agg)
     if (ok) pushedAgg = Some(agg)
     ok
   }
 
-  override def build(): Scan = pushedAgg match {
-    case Some(agg) =>
-      new BtrAggScan(path, tableSchema, agg, partCols,
-        agg.groupByExpressions().toSeq.flatMap(singleCol))
-    case None =>
-      // resolve the pinned snapshot at build time: the version error (out
-      // of retention, no log) surfaces at planning, not inside tasks
-      val snapshot: Option[BtrLog.Entry] =
-        if (travelVersion.isEmpty && travelTs.isEmpty) None
-        else {
-          val dir = new Path(path)
-          val fs = dir.getFileSystem(BtrTableMeta.hadoopConf())
-          Some(BtrLog.resolve(fs, fs.makeQualified(dir), travelVersion, travelTs))
-        }
-      new BtrScan(path, tableSchema, requiredSchema, pushed, BtrOptions.splitBytes(options), limit, partCols,
-        BtrOptions.expansionFactor(options), BtrOptions.maxFilesPerTrigger(options),
-        BtrOptions.splitParallelism(options),
-        onlyFiles = snapshot.map(_.files.toSet),
-        snapshotVersion = snapshot.map(_.version))
+  override def build(): Scan = {
+    // resolve the pinned snapshot at build time: the version error (out
+    // of retention, no log) surfaces at planning, not inside tasks
+    val snapshot: Option[BtrLog.Entry] =
+      if (travelVersion.isEmpty && travelTs.isEmpty) None
+      else {
+        val dir = new Path(path)
+        val fs = dir.getFileSystem(BtrTableMeta.hadoopConf())
+        Some(BtrLog.resolve(fs, fs.makeQualified(dir), travelVersion, travelTs))
+      }
+    pushedAgg match {
+      case Some(agg) =>
+        // metadata-only aggregates stay correct under time travel: the
+        // pinned snapshot's own footers answer, not the current file set
+        new BtrAggScan(path, tableSchema, agg, partCols,
+          agg.groupByExpressions().toSeq.flatMap(singleCol),
+          onlyFiles = snapshot.map(_.files.toSet),
+          snapshotVersion = snapshot.map(_.version))
+      case None =>
+        new BtrScan(path, tableSchema, requiredSchema, pushed, BtrOptions.splitBytes(options), limit, partCols,
+          BtrOptions.expansionFactor(options), BtrOptions.maxFilesPerTrigger(options),
+          BtrOptions.splitParallelism(options),
+          onlyFiles = snapshot.map(_.files.toSet),
+          snapshotVersion = snapshot.map(_.version))
+    }
   }
 }
 
@@ -1457,7 +1461,11 @@ object PartitionPrune {
   * is NaN only when every value is NaN.
   */
 class BtrAggScan(path: String, tableSchema: StructType, agg: aggregate.Aggregation,
-    partCols: Seq[String] = Nil, groupCols: Seq[String] = Nil)
+    partCols: Seq[String] = Nil, groupCols: Seq[String] = Nil,
+    // time travel: aggregate over exactly this snapshot's files (their
+    // footers answer for the PINNED state; missing files fail loudly)
+    onlyFiles: Option[Set[String]] = None,
+    snapshotVersion: Option[Long] = None)
     extends Scan
     with Batch {
 
@@ -1528,7 +1536,24 @@ class BtrAggScan(path: String, tableSchema: StructType, agg: aggregate.Aggregati
     // files keep the per-task tail-read fallback
     val cached = BtrFooterIndex.read(fs, dir)
     val qualified = fs.makeQualified(dir)
-    val entries = BtrTableMeta.listDataFilesWithPartitions(fs, dir).map { e =>
+    val all = BtrTableMeta.listDataFilesWithPartitions(fs, dir)
+    val listed = onlyFiles match {
+      case Some(set) =>
+        val rootLen = qualified.toUri.getPath.length + 1
+        val found = all.filter(e => set.contains(e.path.toUri.getPath.substring(rootLen)))
+        if (snapshotVersion.isDefined && found.length < set.size) {
+          val present = found.map(e => e.path.toUri.getPath.substring(rootLen)).toSet
+          val missing = (set -- present).toSeq.sorted
+          throw new IllegalStateException(
+            s"btr: snapshot v${snapshotVersion.get} of $path references " +
+              s"${missing.length} file(s) that no longer exist (e.g. " +
+              s"${missing.take(3).mkString(", ")}) — history before an " +
+              "OPTIMIZE/DELETE/VACUUM that removed them is no longer readable")
+        }
+        found
+      case None => all
+    }
+    val entries = listed.map { e =>
       val body = cached.get(BtrFooterIndex.keyOf(qualified, e))
         .map(BtrFile.footerBodyBytes).orNull
       (e.path.toString,

@@ -147,16 +147,21 @@ class BtrTimeTravelSpec extends AnyFunSuite {
     assert(readAsOf(dir, 2).filter(col("p") === "a").agg(sum("x")).head().getLong(0) == 4L)
   }
 
-  test("metadata-only aggregates stay on the data path under time travel") {
+  test("metadata-only aggregates answer from the PINNED snapshot's footers") {
     val dir = tmp("agg")
     import spark.implicits._
     Seq(1, 2).toDF("x").write.format("btr").mode("overwrite").save(dir)
     Seq(3).toDF("x").write.format("btr").mode("append").save(dir)
-    // COUNT(*) over v1 must be 2 (the CURRENT footers say 3 — a pushed
-    // metadata aggregate would be wrong here)
-    val v1 = readAsOf(dir, 1).agg(count(lit(1)))
-    assert(v1.head().getLong(0) == 2L)
-    assert(!v1.queryExecution.executedPlan.toString.contains("BtrAggScan"))
+    // COUNT/MIN/MAX over v1 must see only the first commit (the CURRENT
+    // footers say 3 rows, max 3) — and still push to the metadata scan
+    val v1 = readAsOf(dir, 1).agg(count(lit(1)), max(col("x")))
+    assert(v1.head().getLong(0) == 2L && v1.head().getInt(1) == 2)
+    val scans = v1.queryExecution.sparkPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+    }
+    assert(scans.exists(_.isInstanceOf[BtrAggScan]), scans.map(_.getClass).mkString(","))
+    val cur = spark.read.format("btr").load(dir).agg(count(lit(1)))
+    assert(cur.head().getLong(0) == 3L)
   }
 
   test("streaming a pinned snapshot is refused") {
@@ -184,8 +189,14 @@ class BtrTimeTravelSpec extends AnyFunSuite {
     import spark.implicits._
     Seq(1).toDF("x").write.format("btr").mode("overwrite").save(dir)
     Seq(2).toDF("x").write.format("btr").mode("append").save(dir)
-    val rows = spark.sql(s"SELECT version, action, n_files FROM btr_history('$dir')").collect()
-    assert(rows.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq ==
-      Seq((2L, "append", 2L), (1L, "overwrite", 1L)))
+    val rows = spark.sql(
+      s"SELECT version, action, n_files, readable FROM btr_history('$dir')").collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getBoolean(3))).toSeq ==
+      Seq((2L, "append", 2L, true), (1L, "overwrite", 1L, true)))
+    // an overwrite truncates readable history; btr_history shows it
+    Seq(9).toDF("x").write.format("btr").mode("overwrite").save(dir)
+    val after = spark.sql(s"SELECT version, readable FROM btr_history('$dir')").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1))).toSeq
+    assert(after == Seq((3L, true), (2L, false), (1L, false)), after.toString)
   }
 }
