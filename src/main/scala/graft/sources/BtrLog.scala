@@ -233,4 +233,44 @@ object BtrLog {
   /** Full retained history, newest first (for the `btr_history` TVF). */
   def history(fs: FileSystem, root: Path): Seq[Entry] =
     versions(fs, new Path(root, LogDir)).sorted.reverse.map(readEntry(fs, root, _))
+
+  /** RESTORE the table to snapshot `version`: drop every visible data
+    * file the snapshot doesn't reference — a metadata-only undo of
+    * appends / streaming epochs (the "bad load this morning" case), no
+    * data I/O. Refuses loudly when the snapshot references files a later
+    * OPTIMIZE/DELETE/overwrite physically removed: only commits that
+    * ADDED files can be rewound. Crash-safe through the same
+    * delete-intent journal as DELETE (the doomed set hides atomically;
+    * a crash mid-loop converges on the next table operation). Returns
+    * (filesDropped, filesKept).
+    */
+  def restore(fs: FileSystem, rawRoot: Path, version: Long): (Int, Int) = {
+    val root = fs.makeQualified(rawRoot)
+    BtrTableMeta.completeSwapJournals(fs, root)
+    val entry = readEntry(fs, root, version)
+    val want = entry.files.toSet
+    val rootLen = root.toUri.getPath.length + 1
+    val live = BtrTableMeta.listDataFilesWithPartitions(fs, root)
+      .map(e => e.path.toUri.getPath.substring(rootLen))
+    val liveSet = live.toSet
+    val missing = (want -- liveSet).toSeq.sorted
+    require(missing.isEmpty,
+      s"btr: cannot restore $root to v$version — ${missing.length} referenced " +
+        s"file(s) no longer exist (e.g. ${missing.take(3).mkString(", ")}); " +
+        "only commits that ADDED files (appends, epochs) can be rewound")
+    val toDrop = live.filterNot(want.contains).sorted
+    if (toDrop.nonEmpty) {
+      BtrTableMeta.writeSwapJournal(fs, root, s"nm-restore-${BtrWriteIds.newWriteId()}",
+        Seq(BtrTableMeta.SwapGroup("", Nil, toDrop.toSeq)))
+      toDrop.foreach(f => fs.delete(new Path(root, f), false))
+      BtrTableMeta.completeSwapJournals(fs, root)
+      // write-time ingest stats describe the pre-restore table — drop
+      // the advisory sidecar like DELETE does
+      fs.delete(new Path(root, BtrTableMeta.StatsFile), false)
+    }
+    BtrDelete.deleteEmptyPartitionDirs(fs, root)
+    BtrFooters.refreshIndex(fs, root)
+    record(fs, root, "restore")
+    (toDrop.length, want.size)
+  }
 }

@@ -73,6 +73,27 @@ case class BtrOptimizeCommand(tableParts: Seq[String], mode: String, cols: Seq[S
   }
 }
 
+/** `RESTORE [TABLE] t [TO] VERSION AS OF n` — rewind to a recorded
+  * snapshot by dropping the files later commits added (see
+  * [[BtrLog.restore]]).
+  */
+case class BtrRestoreCommand(tableParts: Seq[String], version: Long)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", StringType, nullable = false)(),
+    AttributeReference("restored_version", LongType, nullable = false)(),
+    AttributeReference("files_dropped", LongType, nullable = false)(),
+    AttributeReference("files_kept", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = BtrMaintenance.resolvePath(spark, tableParts)
+    val root = new Path(path)
+    val fs = root.getFileSystem(BtrTableMeta.hadoopConf())
+    val (dropped, kept) = BtrLog.restore(fs, root, version)
+    Seq(Row(path, version, dropped.toLong, kept.toLong))
+  }
+}
+
 case class BtrVacuumCommand(tableParts: Seq[String], retentionMs: Long)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
@@ -96,6 +117,8 @@ class BtrSparkSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)^\s*OPTIMIZE\s+(.+?)(?:\s+(FULL))?(?:\s+(ZORDER|CLUSTER)\s+BY\s*\(([^)]*)\))?\s*;?\s*$""".r
   private val VacuumRe =
     """(?is)^\s*VACUUM\s+(.+?)(?:\s+RETAIN\s+(\d+)\s+HOURS)?\s*;?\s*$""".r
+  private val RestoreRe =
+    """(?is)^\s*RESTORE\s+(?:TABLE\s+)?(.+?)\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
 
   private def stripQuotes(s: String): String = {
     val t = s.trim
@@ -116,6 +139,8 @@ class BtrSparkSqlParser(delegate: ParserInterface) extends ParserInterface {
       BtrVacuumCommand(
         delegate.parseMultipartIdentifier(ref.trim),
         Option(hours).map(_.toLong).getOrElse(24L) * 3600L * 1000L)
+    case RestoreRe(ref, v) =>
+      BtrRestoreCommand(delegate.parseMultipartIdentifier(ref.trim), v.toLong)
     case _ => delegate.parsePlan(sqlText)
   }
 

@@ -176,6 +176,40 @@ class BtrTimeTravelSpec extends AnyFunSuite {
     assert(e.getMessage != null)
   }
 
+  test("RESTORE VERSION AS OF rewinds appends metadata-only; refuses pruned history") {
+    val dir = tmp("restore")
+    spark.conf.set("spark.sql.catalog.graft", classOf[BtrCatalog].getName)
+    import spark.implicits._
+    Seq(1, 2).toDF("x").write.format("btr").mode("overwrite").save(dir)
+    Seq(100).toDF("x").write.format("btr").mode("append").save(dir)
+    Seq(200).toDF("x").write.format("btr").mode("append").save(dir)
+    assert(spark.read.format("btr").load(dir).count() == 4)
+
+    // this spec's session predates the parser extension — parse the verb
+    // explicitly (GraftExtensionsSpec covers injection) and run it
+    val parser = new BtrSparkSqlParser(spark.sessionState.sqlParser)
+    def restoreSql(sql: String) =
+      parser.parsePlan(sql).asInstanceOf[BtrRestoreCommand].run(spark).head
+    val res = restoreSql(s"RESTORE TABLE graft.`$dir` TO VERSION AS OF 1")
+    // two appended files dropped; v1's own files (one per non-empty
+    // write partition) kept
+    assert(res.getLong(1) == 1L && res.getLong(2) == 2L && res.getLong(3) >= 1L, res.toString)
+    assert(spark.read.format("btr").load(dir)
+      .as[Int].collect().sorted.toSeq == Seq(1, 2))
+    // the restore is itself a version (action "restore"), newest in history
+    val (fs, root) = fsRoot(dir)
+    assert(BtrLog.history(fs, root).head.action == "restore")
+    // idempotent: restoring to the same state drops nothing
+    val again = restoreSql(s"RESTORE graft.`$dir` VERSION AS OF 1")
+    assert(again.getLong(2) == 0L)
+    // rewinding PAST an overwrite that removed files refuses loudly
+    Seq(9).toDF("x").write.format("btr").mode("overwrite").save(dir)
+    val e = intercept[Exception] {
+      restoreSql(s"RESTORE graft.`$dir` VERSION AS OF 1")
+    }
+    assert(e.getMessage.contains("no longer exist"), e.getMessage)
+  }
+
   test("log entries parse back exotic file names") {
     val entry = BtrLog.parse(
       """{"version":7,"ts":1755000000123,"action":"append","files":["a b.btr","p=x%2Fy/c\"d.btr"]}""")
