@@ -340,7 +340,7 @@ class BtrScan(
 
     def boxLong(dt: DataType, v: Long): Option[Any] = dt match {
       case IntegerType | DateType => Some(Int.box(v.toInt))
-      case LongType | TimestampType | TimestampNTZType => Some(Long.box(v))
+      case LongType | TimestampType => Some(Long.box(v))
       case ShortType => Some(Short.box(v.toShort))
       case ByteType => Some(Byte.box(v.toByte))
       case BooleanType => Some(Boolean.box(v != 0L))
@@ -373,9 +373,7 @@ class BtrScan(
             case TimestampType =>
               val ts = distinct.toSeq.map(BtrPartTime.instantMicros)
               Some((Long.box(ts.min), Long.box(ts.max)))
-            case TimestampNTZType =>
-              val ts = distinct.toSeq.map(BtrPartTime.localMicros)
-              Some((Long.box(ts.min), Long.box(ts.max)))
+            // TimestampNTZType deliberately absent (see boxLong)
             case _ => None
           }
         } catch { case _: RuntimeException | _: java.time.DateTimeException => None }
@@ -445,6 +443,12 @@ class BtrScan(
 
     requiredSchema.fields.foreach { f =>
       if (BtrScan.fileColActive(tableSchema) && f.name == BtrScan.FileMetaCol) ()
+      // NO stats entry at all for TIMESTAMP_NTZ columns: Spark 4.1's
+      // FilterEstimation.evaluateBinary is entered on colStatsMap
+      // CONTAINS (not on min/max presence) and its type match has no
+      // TimestampNTZType case — any stats entry would MatchError every
+      // cbo-enabled binary filter on the column
+      else if (f.dataType == TimestampNTZType) ()
       else if (partCols.contains(f.name)) partStats(f)
       else dataStats(f)
     }

@@ -98,6 +98,35 @@ class TpchPlanSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       s"limit 10 must plan as TakeOrderedAndProject, not a global sort:\n$p")
   }
 
+  test("CBO on: footer column stats keep the pinned plan shapes (Q3/Q5)") {
+    // the v6 NDV sketches + min/max feed FilterEstimation/JoinEstimation
+    // when cost-based optimization is on — this guards that REAL column
+    // stats never degrade the plans the battery pins (a bad NDV could
+    // e.g. flip a broadcast into a shuffle join)
+    val prevCbo = spark.conf.getOption("spark.sql.cbo.enabled")
+    val prevReorder = spark.conf.getOption("spark.sql.cbo.joinReorder.enabled")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    try {
+      val p3 = plan("q_tpch_q3")
+      assert(collect(p3) {
+        case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+      }.nonEmpty, s"Q3 under CBO lost its top-k plan:\n$p3")
+      assert(scanLeaves(p3).exists(s => s.contains("c_mktsegment") && s.contains("EqualTo")),
+        "Q3 under CBO lost the customer filter pushdown")
+      val p5 = plan("q_tpch_q5")
+      val broadcasts = collect(p5) { case b: BroadcastHashJoinExec => b }
+      assert(broadcasts.nonEmpty, s"Q5 under CBO lost its broadcast dims:\n$p5")
+    } finally {
+      def restore(k: String, v: Option[String]): Unit = v match {
+        case Some(s) => spark.conf.set(k, s)
+        case None => spark.conf.unset(k)
+      }
+      restore("spark.sql.cbo.enabled", prevCbo)
+      restore("spark.sql.cbo.joinReorder.enabled", prevReorder)
+    }
+  }
+
   test("Q14: one-month shipdate range is pushed; join feeds a single partial-agg row") {
     val p = plan("q_tpch_q14")
     val li = scanLeaves(p).find(_.contains("l_shipdate"))

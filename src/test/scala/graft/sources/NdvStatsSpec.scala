@@ -172,6 +172,38 @@ class NdvStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("TIMESTAMP_NTZ columns report no stats: Spark's FilterEstimation lacks the type") {
+    // Spark 4.1's FilterEstimation.evaluateBinary is entered whenever the
+    // column HAS a stats entry and its type match has no TimestampNTZType
+    // case — any entry (even NDV-only) would MatchError every cbo-enabled
+    // binary filter on the column. NTZ columns therefore report nothing.
+    val dir = tmp("ntz")
+    spark.range(1000)
+      .selectExpr("timestampadd(HOUR, CAST(id % 48 AS INT), TIMESTAMP_NTZ'2026-01-01 00:00:00') AS ts",
+        "id AS v")
+      .write.format("btr").mode("overwrite").save(dir)
+    val prev = spark.conf.getOption("spark.sql.cbo.enabled")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val df = spark.read.format("btr").load(dir)
+        .filter(col("ts") > lit("2026-01-01 10:00:00").cast("timestamp_ntz"))
+      // the crash happened at OPTIMIZATION time — stats estimation runs here
+      assert(df.queryExecution.optimizedPlan.stats.sizeInBytes > 0)
+      assert(df.count() > 0)
+      val rel = df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+      }.head
+      val byName = rel.computeStats().attributeStats.map { case (a, s) => a.name -> s }
+      assert(!byName.contains("ts"), "NTZ column must carry no stats entry")
+      assert(byName.contains("v"), "sibling columns keep their stats")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.cbo.enabled", v)
+        case None => spark.conf.unset("spark.sql.cbo.enabled")
+      }
+    }
+  }
+
   test("mixed enabled/disabled appends degrade to unknown, not to a wrong estimate") {
     val dir = tmp("mixed")
     spark.range(2000).select((col("id") % 50).as("k")).write.format("btr").mode("overwrite").save(dir)
