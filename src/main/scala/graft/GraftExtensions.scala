@@ -161,7 +161,33 @@ object GraftExtensions {
       graft.functions.BtrInspect.ndvEstimates),
     tvf("btr_history",
       "btr_history(path) - snapshot versions readable via VERSION/TIMESTAMP AS OF")(
-      graft.functions.BtrInspect.history)
+      graft.functions.BtrInspect.history),
+    // change feed: file-level incremental reads (see BtrChanges) — the
+    // 2-arg form reads up to the latest version
+    (FunctionIdentifier("btr_changes"),
+      info("btr_changes",
+        "btr_changes(path, from[, to]) - rows added in snapshot range (from, to] " +
+          "with _change_type/_commit_version (file-level fast path; refuses " +
+          "removed history loudly)"),
+      (args: Seq[Expression]) => {
+        if (args.length != 2 && args.length != 3) throw new IllegalArgumentException(
+          s"btr_changes expects 2 or 3 arguments — btr_changes(path, from[, to]) — " +
+            s"got ${args.length}")
+        val spark = org.apache.spark.sql.SparkSession.active
+        val dir = strLit(args.head, "btr_changes")
+        val from = intLit(args(1), "btr_changes", "from").toLong
+        val to: Long =
+          if (args.length == 3) intLit(args(2), "btr_changes", "to").toLong
+          else {
+            val p = new org.apache.hadoop.fs.Path(dir)
+            val fs = p.getFileSystem(graft.format.BtrTableMeta.hadoopConf())
+            graft.sources.BtrLog.latestVersion(fs, fs.makeQualified(p)).getOrElse(
+              throw new IllegalArgumentException(
+                s"btr_changes: no snapshot log at $dir"))
+          }
+        graft.sources.BtrChanges.between(spark, dir, from, to)
+          .queryExecution.logical
+      })
   )
 
   /** Register the SQL functions on an ALREADY-RUNNING session (the

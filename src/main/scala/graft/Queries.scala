@@ -125,6 +125,21 @@ object CoreQueries {
         .orderBy("l_returnflag")
     }),
 
+    // Q-changes-feed: the incremental-read primitive (BtrChanges /
+    // btr_changes TVF) — rows added in snapshot range (1, 2] of the
+    // two-commit table are exactly the second commit's high-quantity
+    // half, each attributed to commit 2. The scan plans ONLY the added
+    // files; the oracle recomputes the slice with a plain filter.
+    "q_changes_feed" -> ((s, d) => {
+      val dir = lineitemTwoCommits(s, d)
+      graft.sources.BtrChanges.between(s, dir, 1L, 2L)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"), round(sum(col("l_quantity")), 2).as("sum_qty"),
+          max(col("_commit_version")).as("commit_v"),
+          max(col("_change_type")).as("change_type"))
+        .orderBy("l_returnflag")
+    }),
+
     // Q-identity: lossless round-trip of every lineitem column
     "q_rt_identity" -> ((s, d) => {
       t(s, d, "lineitem")
@@ -1107,6 +1122,12 @@ object CoreQueries {
       """SELECT l_returnflag, count(*) AS n_rows,
         | round(sum(l_quantity), 2) AS sum_qty
         |FROM lineitem WHERE l_quantity <= 25
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_changes_feed" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | CAST(2 AS BIGINT) AS commit_v, 'insert' AS change_type
+        |FROM lineitem WHERE l_quantity > 25
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_rt_identity" ->
       """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,

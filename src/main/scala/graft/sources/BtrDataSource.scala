@@ -450,6 +450,31 @@ object BtrOptions {
       }
     }
 
+  /** Incremental change feed: plan only the files ADDED in
+    * `(changesFromVersion, changesToVersion]` of the snapshot log
+    * (default `to` = the latest version). Resolution and the
+    * removed-history refusal live in [[BtrChanges.resolveAdded]].
+    */
+  def changesFromVersion(options: CaseInsensitiveStringMap): Option[Long] =
+    Option(options.get("btr.changesFromVersion")).map { s =>
+      try s.trim.toLong
+      catch {
+        case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"btr.changesFromVersion must be a snapshot number, got '$s'")
+      }
+    }
+
+  def changesToVersion(options: CaseInsensitiveStringMap): Option[Long] =
+    Option(options.get("btr.changesToVersion")).map { s =>
+      try s.trim.toLong
+      catch {
+        case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"btr.changesToVersion must be a snapshot number, got '$s'")
+      }
+    }
+
   /** Streaming-sink auto-compaction: when > 0, every
     * [[BtrStreamingWrite.IndexRefreshEpochs]] epochs the sink counts
     * visible files smaller than half the target and, at or above this

@@ -157,11 +157,32 @@ class BtrScanBuilder(path: String, tableSchema: StructType, options: CaseInsensi
     ok
   }
 
+  private val changesFrom: Option[Long] = BtrOptions.changesFromVersion(options)
+  private val changesTo: Option[Long] = BtrOptions.changesToVersion(options)
+
   override def build(): Scan = {
     // resolve the pinned snapshot at build time: the version error (out
-    // of retention, no log) surfaces at planning, not inside tasks
+    // of retention, no log) surfaces at planning, not inside tasks.
+    // A change-feed read resolves to the files ADDED in the range — the
+    // same onlyFiles restriction as time travel, so pushdown, chunk
+    // skipping and the loud missing-file check all apply unchanged.
+    require(changesFrom.isDefined || changesTo.isEmpty,
+      "btr: btr.changesToVersion requires btr.changesFromVersion")
+    require(changesFrom.isEmpty || (travelVersion.isEmpty && travelTs.isEmpty),
+      "btr: a change-feed read (btr.changesFromVersion) cannot also pin a " +
+        "time-travel snapshot — the range's `to` bound IS its snapshot")
     val snapshot: Option[BtrLog.Entry] =
-      if (travelVersion.isEmpty && travelTs.isEmpty) None
+      if (changesFrom.isDefined) {
+        val dir = new Path(path)
+        val fs = dir.getFileSystem(BtrTableMeta.hadoopConf())
+        val root = fs.makeQualified(dir)
+        val toV = changesTo.orElse(BtrLog.latestVersion(fs, root)).getOrElse(
+          throw new IllegalArgumentException(
+            s"btr: no snapshot log at $root — change feeds need commits made " +
+              "by a log-aware writer"))
+        val added = BtrChanges.resolveAdded(fs, root, changesFrom.get, toV)
+        Some(BtrLog.Entry(toV, 0L, "changes", added.addedRel))
+      } else if (travelVersion.isEmpty && travelTs.isEmpty) None
       else {
         val dir = new Path(path)
         val fs = dir.getFileSystem(BtrTableMeta.hadoopConf())

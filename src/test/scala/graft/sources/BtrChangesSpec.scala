@@ -1,0 +1,158 @@
+package graft.sources
+
+import graft.format.BtrTableMeta
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Incremental change reads over the snapshot log (BtrChanges): the
+  * file-level fast path plans exactly the files added in `(from, to]`,
+  * attributes rows to their first-visible commit, refuses removed
+  * history LOUDLY, and the row-level diff fallback emits inserts AND
+  * deletes as a multiset difference of two readable snapshots.
+  */
+class BtrChangesSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("changes-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def tmp(name: String) = {
+    val d = s"/tmp/btr-changes-spec/$name"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d))
+    d
+  }
+
+  private def fsRoot(dir: String) = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(BtrTableMeta.hadoopConf())
+    (fs, fs.makeQualified(p))
+  }
+
+  test("between() returns exactly the appended rows, attributed per commit") {
+    val dir = tmp("appends")
+    import spark.implicits._
+    Seq(1, 2, 3).toDF("x").write.format("btr").mode("overwrite").save(dir) // v1
+    Seq(4, 5).toDF("x").write.format("btr").mode("append").save(dir)       // v2
+    Seq(6).toDF("x").write.format("btr").mode("append").save(dir)          // v3
+
+    val all = BtrChanges.between(spark, dir, 1L, 3L)
+      .select(col("x"), col("_commit_version"), col("_change_type"))
+      .as[(Int, Long, String)].collect().sortBy(_._1).toSeq
+    assert(all == Seq((4, 2L, "insert"), (5, 2L, "insert"), (6, 3L, "insert")))
+
+    val last = BtrChanges.between(spark, dir, 2L, 3L)
+      .select(col("x")).as[Int].collect().toSeq
+    assert(last == Seq(6))
+  }
+
+  test("empty range yields an empty feed with the feed schema") {
+    val dir = tmp("empty")
+    import spark.implicits._
+    Seq(1).toDF("x").write.format("btr").mode("overwrite").save(dir) // v1
+    val feed = BtrChanges.between(spark, dir, 1L, 1L)
+    assert(feed.columns.toSeq == Seq("x", "_change_type", "_commit_version"))
+    assert(feed.count() == 0)
+  }
+
+  test("the feed scan plans only the added files; pushdown applies on top") {
+    val dir = tmp("pruned")
+    import spark.implicits._
+    // v1 is large, the increment small: the feed must not read v1's file
+    (1 to 10000).toDF("x").write.format("btr").mode("overwrite").save(dir)
+    Seq(20001, 20002).toDF("x").write.format("btr").mode("append").save(dir)
+
+    val feed = spark.read.format("btr")
+      .option("btr.changesFromVersion", "1").load(dir)
+    val planned = feed.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    // one data file per commit here; the scan's statistics see only the
+    // small increment
+    val scanned = feed.queryExecution.optimizedPlan.stats.sizeInBytes
+    val fullScan = spark.read.format("btr").load(dir)
+      .queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(scanned * 3 < fullScan,
+      s"feed should plan only the increment: feed=$scanned full=$fullScan\n$planned")
+    assert(feed.as[Int].collect().sorted.toSeq == Seq(20001, 20002))
+    // filters compose with the restricted file set
+    assert(feed.filter(col("x") === 20002).as[Int].collect().toSeq == Seq(20002))
+  }
+
+  test("removed history refuses loudly and names the removing commit") {
+    val dir = tmp("removed")
+    import spark.implicits._
+    (1 to 100).toDF("x").write.format("btr").mode("overwrite").save(dir) // v1
+    Seq(101).toDF("x").write.format("btr").mode("append").save(dir)      // v2
+    // an overwrite removes every file visible at v1 — new-files-only
+    // would serve the whole table as "changes", so it must refuse
+    (1 to 50).toDF("x").write.format("btr").mode("overwrite").save(dir)  // v3
+    val (fs, root) = fsRoot(dir)
+
+    val e = intercept[IllegalStateException] {
+      BtrChanges.between(spark, dir, 1L, BtrLog.latestVersion(fs, root).get)
+    }
+    assert(e.getMessage.contains("removed"), e.getMessage)
+    assert(e.getMessage.contains("Re-bootstrap"), e.getMessage)
+    assert(e.getMessage.contains("overwrite"), e.getMessage)
+  }
+
+  test("diffTables() audits an incremental result against a rebuild") {
+    val left = tmp("diff-left")
+    val right = tmp("diff-right")
+    import spark.implicits._
+    // "incremental" output dropped 1,2 and gained 7,8 and a duplicate 5
+    (1 to 6).toDF("x").write.format("btr").mode("overwrite").save(left)
+    (Seq(3, 4, 5, 6, 7, 8) :+ 5).toDF("x")
+      .write.format("btr").mode("overwrite").save(right)
+
+    val d = BtrChanges.diffTables(spark, left, right)
+      .as[(Int, String)].collect().toSeq.sorted
+    assert(d == Seq((1, "delete"), (2, "delete"), (5, "insert"), (7, "insert"), (8, "insert")))
+    // equal tables diff to empty
+    assert(BtrChanges.diffTables(spark, left, left).count() == 0)
+  }
+
+  test("btr_changes TVF serves the feed from SQL") {
+    val dir = tmp("tvf")
+    import spark.implicits._
+    graft.GraftExtensions.register(spark)
+    Seq("a", "b").toDF("s").write.format("btr").mode("overwrite").save(dir) // v1
+    Seq("c").toDF("s").write.format("btr").mode("append").save(dir)         // v2
+
+    val rows = spark.sql(s"SELECT s, _commit_version FROM btr_changes('$dir', 1, 2)")
+      .as[(String, Long)].collect().toSeq
+    assert(rows == Seq(("c", 2L)))
+    // 2-arg form reads to the latest version
+    Seq("d").toDF("s").write.format("btr").mode("append").save(dir)         // v3
+    val upTo = spark.sql(s"SELECT s FROM btr_changes('$dir', 1)")
+      .as[String].collect().sorted.toSeq
+    assert(upTo == Seq("c", "d"))
+  }
+
+  test("change-feed options exclude time travel and validate bounds") {
+    val dir = tmp("valid")
+    import spark.implicits._
+    Seq(1).toDF("x").write.format("btr").mode("overwrite").save(dir)
+    Seq(2).toDF("x").write.format("btr").mode("append").save(dir)
+
+    val both = intercept[Exception] {
+      spark.read.format("btr")
+        .option("btr.changesFromVersion", "1")
+        .option("btr.versionAsOf", "2").load(dir).collect()
+    }
+    assert(both.getMessage.contains("cannot also pin"), both.getMessage)
+
+    val orphanTo = intercept[Exception] {
+      spark.read.format("btr")
+        .option("btr.changesToVersion", "2").load(dir).collect()
+    }
+    assert(orphanTo.getMessage.contains("requires"), orphanTo.getMessage)
+
+    val backwards = intercept[Exception] {
+      BtrChanges.between(spark, dir, 2L, 1L)
+    }
+    assert(backwards.getMessage.contains("to >= from"), backwards.getMessage)
+  }
+}
