@@ -16,6 +16,29 @@ import org.apache.spark.sql.functions._
 object PipelineQueries {
   import Btr.{pq, t}
 
+  /** Two-commit documents table for the incremental-pipeline oracle:
+    * version 1 holds the corpus (doc_id % 3 != 0), version 2 appends the
+    * increment (doc_id % 3 == 0). Guarded build like Queries'
+    * lineitemTwoCommits: both commits run in one block keyed on the
+    * version count, so a crash between them heals on the next run.
+    */
+  private def documentsTwoCommits(s: SparkSession, d: String): String = {
+    val dir = Btr.cachePath(d, "documents_inc")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(graft.format.BtrTableMeta.hadoopConf())
+    val root = fs.makeQualified(new org.apache.hadoop.fs.Path(dir))
+    def versionCount =
+      graft.sources.BtrLog.latestVersion(fs, root).getOrElse(0L)
+    if (!new java.io.File(dir, "_btr_meta.json").exists() || versionCount < 2) {
+      val docs = pq(s, d, "documents").select(col("doc_id"), col("text"))
+      docs.filter(col("doc_id") % 3 =!= 0)
+        .write.format("btr").mode("overwrite").save(dir)
+      docs.filter(col("doc_id") % 3 === 0)
+        .write.format("btr").mode("append").save(dir)
+    }
+    dir
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact dedup: canonical doc per distinct text. Shuffles 8-byte
     // fingerprints, not document bodies: group by xxhash64(text) first,
@@ -33,6 +56,39 @@ object PipelineQueries {
         .groupBy("fp", "text")
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
         .select(col("keep_id"), col("n_copies"))
+      singles.union(verified).orderBy("keep_id")
+    }),
+
+    // incremental dedup: the change feed powering the pipeline — only
+    // the NEW docs (snapshot range (1, 2]) are fingerprinted and checked
+    // against the corpus (version 1), so per-increment cost scales with
+    // the increment, never the corpus. Admission = not a duplicate of
+    // any corpus doc, and first (min doc_id) among its copies within the
+    // increment. Hash tiers mirror q_dedup_exact: 8-byte fingerprints
+    // shuffle, full text re-verifies only colliding groups.
+    "q_incremental_dedup" -> ((s, d) => {
+      val dir = documentsTwoCommits(s, d)
+      val feed = graft.sources.BtrChanges.between(s, dir, 1L, 2L)
+        .select(col("doc_id"), col("text"))
+      val corpus = s.read.format("btr").option("btr.versionAsOf", "1").load(dir)
+      val newFp = feed.withColumn("fp", xxhash64(col("text")))
+      val corpusFp = corpus
+        .select(xxhash64(col("text")).as("fp"), col("text").as("c_text"))
+      // fp-equal corpus matches, re-verified on full text (collisions
+      // must not evict a genuinely new doc); then anti-join the verified
+      // duplicate fps away
+      val dupFps = newFp.join(corpusFp, "fp")
+        .filter(col("text") === col("c_text")).select("fp").distinct()
+      val stillNew = newFp.join(dupFps, Seq("fp"), "left_anti")
+      val counts = stillNew.groupBy("fp")
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keep1"))
+      val singles = counts.filter(col("n") === 1)
+        .select(col("keep1").as("keep_id"), col("n").as("n_new"))
+      val multiFps = counts.filter(col("n") > 1).select("fp")
+      val verified = stillNew.join(multiFps, "fp")
+        .groupBy("fp", "text")
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_new"))
+        .select(col("keep_id"), col("n_new"))
       singles.union(verified).orderBy("keep_id")
     }),
 
@@ -462,6 +518,12 @@ object PipelineQueries {
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+    "q_incremental_dedup" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_new
+        |FROM documents
+        |WHERE doc_id % 3 = 0
+        | AND text NOT IN (SELECT text FROM documents WHERE doc_id % 3 <> 0)
+        |GROUP BY text ORDER BY keep_id""".stripMargin,
     "q_pipeline_clean" ->
       """WITH dd AS (SELECT doc_id, text, lang, row_number() OVER (
         |    PARTITION BY CAST('0x' || substr(md5(text), 1, 15) AS BIGINT)
