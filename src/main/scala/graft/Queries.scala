@@ -241,6 +241,35 @@ object CoreQueries {
         .orderBy("l_returnflag")
     }),
 
+    // Q-colmap: metadata-only RENAME/DROP COLUMN (column mapping) under
+    // the oracle gate — the build writes three columns, renames one,
+    // drops another (a MIDDLE slot: every later column would shift onto
+    // the wrong chunks without the tombstone), appends under the evolved
+    // schema, and the final table must agree with DuckDB recomputing the
+    // same slices from parquet. No data file is touched by either ALTER.
+    "q_colmap_evolution" -> ((s, d) => {
+      val dir = Btr.cachePath(d, "lineitem_colmap")
+      val done = new java.io.File(dir, "_ddl_complete")
+      if (!done.exists()) {
+        Btr.pq(s, d, "lineitem")
+          .filter(col("l_linenumber") === 1)
+          .select(col("l_orderkey"), col("l_tax").as("junk"), col("l_quantity").as("qty_old"))
+          .write.format("btr").mode("overwrite").save(dir)
+        s.conf.set("spark.sql.catalog.graft", classOf[graft.sources.BtrCatalog].getName)
+        s.sql(s"ALTER TABLE graft.`$dir` RENAME COLUMN qty_old TO qty")
+        s.sql(s"ALTER TABLE graft.`$dir` DROP COLUMN junk")
+        Btr.pq(s, d, "lineitem")
+          .filter(col("l_linenumber") === 2)
+          .select(col("l_orderkey"), col("l_quantity").as("qty"))
+          .write.format("btr").mode("append").save(dir)
+        java.nio.file.Files.createFile(done.toPath)
+      }
+      s.read.format("btr").load(dir)
+        .groupBy((col("l_orderkey") % 7).as("bucket"))
+        .agg(count(lit(1)).as("n"), round(sum(col("qty")), 2).as("sum_qty"))
+        .orderBy("bucket")
+    }),
+
     // Q-dml-rowlevel: DELETE whose predicate SPLITS files — the group-based
     // copy-on-write path (BtrRowLevelOperation): files with no matching row
     // stay untouched, the rest are rewritten without the deleted rows, and
@@ -1171,6 +1200,11 @@ object CoreQueries {
       """SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
         |FROM lineitem WHERE l_returnflag <> 'R'
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_colmap_evolution" ->
+      """SELECT CAST(l_orderkey % 7 AS BIGINT) AS bucket, count(*) AS n,
+        | round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem WHERE l_linenumber <= 2
+        |GROUP BY 1 ORDER BY bucket""".stripMargin,
     "q_dml_delete_rowlevel" ->
       """SELECT l_returnflag, count(*) AS n,
         | CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qc,

@@ -118,6 +118,8 @@ class BtrCatalog extends TableCatalog {
     schema.fields.foreach { f =>
       require(graft.format.PhysType.supported(f.dataType),
         s"btr: unsupported column type ${f.name}: ${f.dataType}")
+      require(!graft.format.BtrColumnMapping.reserved(f.name),
+        s"btr: column name ${f.name} uses the reserved dropped-column prefix")
     }
     val partCols = partitions.toSeq.map { t =>
       require(t.name() == "identity",
@@ -134,14 +136,18 @@ class BtrCatalog extends TableCatalog {
     new BtrTable(path, schema, partitions)
   }
 
-  /** ALTER TABLE over the same evolution surface the append path already
-    * implements (BtrWriteSchemas.widened): trailing nullable ADD COLUMN
-    * (old files read the column as all-null via the footer's missing-
-    * column sentinel) and type-widening ALTER COLUMN (int→long,
+  /** ALTER TABLE over the positional-footer layout: trailing nullable
+    * ADD COLUMN (old files read the column as all-null via the footer's
+    * missing-column sentinel), type-widening ALTER COLUMN (int→long,
     * float→double; old files decode under their own footer tag and
-    * upcast). Everything else — drops, renames, repositioning, narrowing
-    * — would mis-map existing files' footer columns and is rejected
-    * loudly. The change is one metadata-file rewrite; no data moves.
+    * upcast), RENAME COLUMN (pure meta rename — footers map by position,
+    * so no file is touched), and DROP COLUMN (the slot becomes a
+    * reserved-named TOMBSTONE holding its position: scans never read it,
+    * appends null-fill it, and re-adding the name creates a fresh slot so
+    * old values can never resurrect — see
+    * [[graft.format.BtrColumnMapping]]). Repositioning and narrowing
+    * would mis-map existing files' footer columns and are rejected
+    * loudly. Every change is one metadata-file rewrite; no data moves.
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val path = pathOf(ident)
@@ -150,6 +156,8 @@ class BtrCatalog extends TableCatalog {
     var schema = BtrTableMeta.readSchema(fs, dir)
     val partCols = BtrTableMeta.readPartitionCols(fs, dir)
     val (blockSize, cascade) = BtrTableMeta.readGeometry(fs, dir)
+    import graft.format.BtrColumnMapping
+    def liveNames = schema.fields.filterNot(BtrColumnMapping.isDropped).map(_.name)
     changes.foreach {
       case add: TableChange.AddColumn =>
         require(add.fieldNames().length == 1, "btr: nested ADD COLUMN unsupported")
@@ -157,7 +165,9 @@ class BtrCatalog extends TableCatalog {
         require(add.position() == null,
           "btr: ADD COLUMN supports trailing position only (FIRST/AFTER would " +
             "remap existing files' footer columns)")
-        require(!schema.fieldNames.exists(_.equalsIgnoreCase(colName)),
+        require(!BtrColumnMapping.reserved(colName),
+          s"btr: column name $colName uses the reserved dropped-column prefix")
+        require(!liveNames.exists(_.equalsIgnoreCase(colName)),
           s"btr: column $colName already exists")
         require(graft.format.PhysType.supported(add.dataType()),
           s"btr: unsupported column type $colName: ${add.dataType()}")
@@ -166,10 +176,43 @@ class BtrCatalog extends TableCatalog {
             "the change read it as all-null")
         schema = StructType(schema.fields :+
           StructField(colName, add.dataType(), nullable = true))
+      case ren: TableChange.RenameColumn =>
+        require(ren.fieldNames().length == 1, "btr: nested RENAME COLUMN unsupported")
+        val from = ren.fieldNames()(0)
+        val to = ren.newName()
+        val idx = schema.fields.indexWhere(f =>
+          !BtrColumnMapping.isDropped(f) && f.name.equalsIgnoreCase(from))
+        require(idx >= 0, s"btr: no such column $from")
+        require(!partCols.exists(_.equalsIgnoreCase(from)),
+          s"btr: cannot rename partition column $from (its name is encoded in " +
+            "every directory path)")
+        require(!BtrColumnMapping.reserved(to),
+          s"btr: column name $to uses the reserved dropped-column prefix")
+        require(!liveNames.exists(_.equalsIgnoreCase(to)),
+          s"btr: column $to already exists")
+        schema = StructType(schema.fields.updated(idx, schema.fields(idx).copy(name = to)))
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames().length == 1, "btr: nested DROP COLUMN unsupported")
+        val colName = del.fieldNames()(0)
+        val idx = schema.fields.indexWhere(f =>
+          !BtrColumnMapping.isDropped(f) && f.name.equalsIgnoreCase(colName))
+        if (idx < 0) {
+          if (!del.ifExists())
+            throw new IllegalArgumentException(s"btr: no such column $colName")
+        } else {
+          require(!partCols.exists(_.equalsIgnoreCase(colName)),
+            s"btr: cannot drop partition column $colName (values are encoded in " +
+              "directory names)")
+          require(liveNames.count(n => !partCols.exists(_.equalsIgnoreCase(n))) > 1,
+            s"btr: cannot drop $colName — a table needs at least one data column")
+          schema = StructType(schema.fields.updated(idx,
+            BtrColumnMapping.tombstone(idx, schema.fields(idx))))
+        }
       case upd: TableChange.UpdateColumnType =>
         require(upd.fieldNames().length == 1, "btr: nested ALTER COLUMN unsupported")
         val colName = upd.fieldNames()(0)
-        val idx = schema.fieldNames.indexWhere(_.equalsIgnoreCase(colName))
+        val idx = schema.fields.indexWhere(f =>
+          !BtrColumnMapping.isDropped(f) && f.name.equalsIgnoreCase(colName))
         require(idx >= 0, s"btr: no such column $colName")
         require(!partCols.exists(_.equalsIgnoreCase(colName)),
           s"btr: cannot change the type of partition column $colName (values are " +

@@ -99,6 +99,26 @@ class BtrTable(path: String, tableSchema: StructType, partitionTransforms: Array
   }
   partCols.foreach(c => require(tableSchema.fieldNames.contains(c), s"btr: unknown partition column $c"))
 
+  /** Column-mapping (dropped-column tombstones): the schema Spark sees
+    * is the LOGICAL one (tombstones stripped); scans, row-level rewrites
+    * and delete classification need the FULL slot schema (positions
+    * index footer columns). When the given schema already carries
+    * tombstones (catalog/inferSchema paths) it IS the slot schema; a
+    * user-supplied logical schema falls back to the table meta.
+    */
+  private lazy val internalSchema: StructType = {
+    if (graft.format.BtrColumnMapping.hasTombstones(tableSchema)) tableSchema
+    else {
+      val dir = new Path(path)
+      val fs = dir.getFileSystem(BtrTableMeta.hadoopConf())
+      if (!fs.exists(new Path(dir, BtrTableMeta.MetaFile))) tableSchema
+      else {
+        val m = BtrTableMeta.readSchema(fs, dir)
+        if (graft.format.BtrColumnMapping.hasTombstones(m)) m else tableSchema
+      }
+    }
+  }
+
   private def pinned: Boolean = asOfVersion.isDefined || asOfTimestampMicros.isDefined
 
   private def refuseMutation(op: String): Unit =
@@ -109,7 +129,7 @@ class BtrTable(path: String, tableSchema: StructType, partitionTransforms: Array
     s"btr:$path${asOfVersion.map(v => s"@v$v").getOrElse("")}" +
       asOfTimestampMicros.map(t => s"@ts$t").getOrElse("")
 
-  override def schema(): StructType = tableSchema
+  override def schema(): StructType = graft.format.BtrColumnMapping.logical(tableSchema)
 
   override def partitioning(): Array[Transform] = partitionTransforms
 
@@ -119,7 +139,7 @@ class BtrTable(path: String, tableSchema: StructType, partitionTransforms: Array
       TableCapability.STREAMING_WRITE, TableCapability.MICRO_BATCH_READ).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new BtrScanBuilder(path, tableSchema, options, partCols, asOfVersion, asOfTimestampMicros)
+    new BtrScanBuilder(path, internalSchema, options, partCols, asOfVersion, asOfTimestampMicros)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     refuseMutation("writing")
@@ -134,7 +154,7 @@ class BtrTable(path: String, tableSchema: StructType, partitionTransforms: Array
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo
   ): org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
     refuseMutation("a row-level operation")
-    new BtrRowLevelOperationBuilder(path, tableSchema, partCols, info)
+    new BtrRowLevelOperationBuilder(path, internalSchema, partCols, info)
   }
 
   // ---- metadata-level DELETE (SupportsDelete) -------------------------
@@ -150,7 +170,7 @@ class BtrTable(path: String, tableSchema: StructType, partitionTransforms: Array
         Array[(graft.format.BtrTableMeta.DataFileEntry, BtrDelete.Verdict)]) = null
 
   override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean = {
-    val verdicts = BtrDelete.classifyAt(path, tableSchema, partCols, filters)
+    val verdicts = BtrDelete.classifyAt(path, internalSchema, partCols, filters)
     deleteProbe = (filters, verdicts)
     verdicts.forall(_._2 != BtrDelete.Undecided)
   }
@@ -165,7 +185,7 @@ class BtrTable(path: String, tableSchema: StructType, partitionTransforms: Array
     deleteProbe = null
     val cached =
       if (probe != null && (probe._1 sameElements filters)) Some(probe._2) else None
-    BtrDelete.deleteWhere(path, tableSchema, partCols, filters, cached)
+    BtrDelete.deleteWhere(path, internalSchema, partCols, filters, cached)
   }
 
   // ---- partition management (SHOW PARTITIONS / ALTER TABLE ... DROP

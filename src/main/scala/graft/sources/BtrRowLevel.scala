@@ -130,7 +130,7 @@ class BtrRowLevelScanBuilder(op: BtrRowLevelOperation, path: String,
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
 
-  private var requiredSchema: StructType = tableSchema
+  private var requiredSchema: StructType = graft.format.BtrColumnMapping.logical(tableSchema)
   private var cond: Array[Filter] = Array.empty
 
   override def pruneColumns(required: StructType): Unit = { requiredSchema = required }

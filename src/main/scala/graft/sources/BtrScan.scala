@@ -33,7 +33,9 @@ class BtrScanBuilder(path: String, tableSchema: StructType, options: CaseInsensi
     with SupportsPushDownAggregates
     with SupportsPushDownLimit {
 
-  private var requiredSchema: StructType = tableSchema
+  // default to the LOGICAL schema: if pruning never runs, a column-mapped
+  // table must still not surface tombstoned slots
+  private var requiredSchema: StructType = graft.format.BtrColumnMapping.logical(tableSchema)
   private var pushed: Array[Filter] = Array.empty
   private var pushedAgg: Option[aggregate.Aggregation] = None
 

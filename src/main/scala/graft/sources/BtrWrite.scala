@@ -71,7 +71,9 @@ class BtrWriteBuilder(path: String, schema: StructType, options: CaseInsensitive
     val dir = new Path(path)
     val fs = dir.getFileSystem(BtrTableMeta.hadoopConf())
     if (!fs.exists(new Path(dir, BtrTableMeta.MetaFile))) return
-    val existing = BtrTableMeta.readSchema(fs, dir)
+    // appends validate against the LOGICAL schema: tombstoned slots are
+    // the writer's business (it null-fills them), not the caller's
+    val existing = graft.format.BtrColumnMapping.logical(BtrTableMeta.readSchema(fs, dir))
     // prefix match by name, with type equality relaxed to the sanctioned
     // widening pairs (int→long, float→double) in EITHER direction: a
     // wider append widens the table meta; a narrow append into an
@@ -102,7 +104,15 @@ class BtrWriteBuilder(path: String, schema: StructType, options: CaseInsensitive
       if (!truncateOnCommit) checkAppendCompatible()
       mode match {
         case BtrOverwriteMode.ByFilter(fs) =>
-          require(BtrDelete.canDelete(path, schema, partCols, fs),
+          // classify against the META schema (slot positions index footer
+          // columns — the incoming logical schema skips tombstoned slots)
+          val dir = new Path(path)
+          val hfs = dir.getFileSystem(BtrTableMeta.hadoopConf())
+          val classifySchema =
+            if (hfs.exists(new Path(dir, BtrTableMeta.MetaFile)))
+              BtrTableMeta.readSchema(hfs, dir)
+            else schema
+          require(BtrDelete.canDelete(path, classifySchema, partCols, fs),
             s"btr: overwrite condition does not align with file boundaries at $path — " +
               "use partition-column predicates, or read + filter + full overwrite")
         case _ => ()
@@ -138,9 +148,28 @@ class BtrStreamingWrite(path: String, schema: StructType, blockSize: Int, cascad
     autoCompactMinFiles: Int = 0, autoCompactTargetBytes: Long = 128L * 1024 * 1024)
     extends streaming.StreamingWrite {
 
+  // column-mapped tables: every epoch writes the physical slot layout
+  // (same translation as batch appends)
+  private lazy val slotLayout: Option[BtrSlotLayout] = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(BtrTableMeta.hadoopConf())
+    if (!fs.exists(new Path(dir, BtrTableMeta.MetaFile))) None
+    else {
+      val metaSchema = BtrTableMeta.readSchema(fs, dir)
+      if (!graft.format.BtrColumnMapping.hasTombstones(metaSchema)) None
+      else {
+        val metaData = metaSchema.fields.filterNot(f => partCols.contains(f.name))
+        val dataFields = schema.fields.filterNot(f => partCols.contains(f.name))
+        val (phys, ords) = graft.format.BtrColumnMapping.slotLayout(metaData, dataFields)
+        Some(BtrSlotLayout(phys, ords))
+      }
+    }
+  }
+
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): streaming.StreamingDataWriterFactory =
-    if (partCols.isEmpty) BtrStreamingWriterFactory(path, schema, blockSize, cascade, cfg)
-    else BtrPartitionedStreamingWriterFactory(path, schema, partCols, blockSize, cascade, cfg)
+    if (partCols.isEmpty) BtrStreamingWriterFactory(path, schema, blockSize, cascade, cfg, slotLayout)
+    else BtrPartitionedStreamingWriterFactory(path, schema, partCols, blockSize, cascade, cfg,
+      slots = slotLayout)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val dir = new Path(path)
@@ -225,7 +254,10 @@ object BtrStreamingWrite {
 object BtrWriteSchemas {
   def widened(fs: org.apache.hadoop.fs.FileSystem, dir: Path, schema: StructType): StructType = {
     if (!fs.exists(new Path(dir, BtrTableMeta.MetaFile))) return schema
-    val existing = BtrTableMeta.readSchema(fs, dir)
+    val metaSchema = BtrTableMeta.readSchema(fs, dir)
+    if (graft.format.BtrColumnMapping.hasTombstones(metaSchema))
+      return widenedSlots(dir, metaSchema, schema)
+    val existing = metaSchema
     // checkAppendCompatible validated against a meta read at BUILD time;
     // the meta re-read here may have moved under a concurrent append. The
     // overlapping prefix must still agree by name, and by type up to the
@@ -257,6 +289,35 @@ object BtrWriteSchemas {
     // once at build): keep the existing trailing columns — rewriting the
     // meta with only this writer's columns would silently hide them
     StructType(prefix ++ existing.fields.drop(schema.fields.length))
+  }
+
+  /** The tombstoned-meta variant of the merge above: the writer's fields
+    * map in order onto the LIVE slots; tombstones pass through holding
+    * their positions; fields beyond the live count append as new trailing
+    * slots (forced nullable, like any widening add). Same concurrent-
+    * conflict posture: a live slot whose name/type no longer matches the
+    * incoming field at that logical position fails loudly.
+    */
+  private def widenedSlots(dir: Path, existing: StructType, schema: StructType): StructType = {
+    import graft.format.{BtrColumnMapping, BtrWidening}
+    var li = 0
+    val merged = existing.fields.map { e =>
+      if (BtrColumnMapping.isDropped(e)) e
+      else if (li >= schema.fields.length) e // meta grew beyond this writer: keep
+      else {
+        val f = schema.fields(li); li += 1
+        if (f.name != e.name || !BtrWidening.compatible(f.dataType, e.dataType))
+          throw new IllegalStateException(
+            s"btr: concurrent append conflict at $dir live column ${li - 1} — this " +
+              s"writer validated against ${f.name}:${f.dataType.simpleString} but the " +
+              s"committed meta now holds ${e.name}:${e.dataType.simpleString}. Retry " +
+              "the append (concurrent appends adding different columns are not " +
+              "mergeable).")
+        e.copy(name = f.name, dataType = BtrWidening.widest(f.dataType, e.dataType),
+          nullable = f.nullable || e.nullable)
+      }
+    } ++ schema.fields.drop(li).map(_.copy(nullable = true))
+    StructType(merged)
   }
 }
 
@@ -312,12 +373,39 @@ class BtrBatchWrite(path: String, schema: StructType, mode: BtrOverwriteMode, bl
     if (partCols.isEmpty) schema
     else StructType(schema.fields.filterNot(f => partCols.contains(f.name)))
 
+  /** Tombstone slot layout (column mapping): when the table meta carries
+    * dropped-column tombstones, files must keep the FULL slot sequence
+    * positional — live slots take the incoming columns, tombstoned slots
+    * write an all-null column. None for truncate (the table restarts
+    * with the incoming schema, tombstones gone) and for every unmapped
+    * table (byte-identical behavior to before).
+    */
+  private lazy val slotLayout: Option[BtrSlotLayout] = {
+    if (truncate) None
+    else {
+      val dir = new Path(path)
+      val fs = dir.getFileSystem(BtrTableMeta.hadoopConf())
+      if (!fs.exists(new Path(dir, BtrTableMeta.MetaFile))) None
+      else {
+        val metaSchema = BtrTableMeta.readSchema(fs, dir)
+        if (!graft.format.BtrColumnMapping.hasTombstones(metaSchema)) None
+        else {
+          val metaData = metaSchema.fields.filterNot(f => partCols.contains(f.name))
+          val (phys, ords) =
+            graft.format.BtrColumnMapping.slotLayout(metaData, dataSchema.fields)
+          Some(BtrSlotLayout(phys, ords))
+        }
+      }
+    }
+  }
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     if (partCols.isEmpty)
-      new BtrWriterFactory(path, schema, blockSize, cascade, cfg, writeId, namePrefix)
+      new BtrWriterFactory(path, schema, blockSize, cascade, cfg, writeId, namePrefix,
+        slots = slotLayout)
     else
       new BtrPartitionedWriterFactory(path, schema, partCols, blockSize, cascade, cfg, writeId,
-        namePrefix)
+        namePrefix, slots = slotLayout)
 
   private def flatten(messages: Array[WriterCommitMessage]): Array[BtrCommitMessage] =
     messages.flatMap {
@@ -371,9 +459,15 @@ class BtrBatchWrite(path: String, schema: StructType, mode: BtrOverwriteMode, bl
         // before classification, so they cost no footer reads either). The
         // build-time canDelete probe makes an Undecided verdict here rare
         // (a concurrent append since then) — it still aborts cleanly, and
-        // Spark's abort removes the new files, leaving the table untouched
+        // Spark's abort removes the new files, leaving the table untouched.
+        // Classification uses the META schema when it carries tombstones:
+        // footer columns index by slot position, not logical position.
         BtrTableMeta.completeSwapJournals(fs, dir)
-        val verdicts = BtrDelete.classify(fs, dir, schema, partCols, filters,
+        val classifySchema =
+          if (fs.exists(new Path(dir, BtrTableMeta.MetaFile)))
+            BtrTableMeta.readSchema(fs, dir)
+          else schema
+        val verdicts = BtrDelete.classify(fs, dir, classifySchema, partCols, filters,
           exclude = e => isNew(e.path))
         val undecided = verdicts.collect { case (e, BtrDelete.Undecided) => e.path.getName }
         if (undecided.nonEmpty)
@@ -441,7 +535,10 @@ class BtrBatchWrite(path: String, schema: StructType, mode: BtrOverwriteMode, bl
     // files (btrfiles/Parser.cpp:184-189) + OutputBlockStats
     // (compression/Compressor.hpp:10-20): per-column nulls, raw vs
     // compressed bytes, ratio, aggregated over this write's files
-    val n = dataSchema.fields.length
+    // with tombstone slots the files (and so the commit messages' per-
+    // column arrays) carry the PHYSICAL layout
+    val statsSchema = slotLayout.map(_.physData).getOrElse(dataSchema)
+    val n = statsSchema.fields.length
     val nulls = new Array[Long](n)
     val raw = new Array[Long](n)
     val comp = new Array[Long](n)
@@ -462,7 +559,7 @@ class BtrBatchWrite(path: String, schema: StructType, mode: BtrOverwriteMode, bl
     // btr.expansionFactor until the next full write)
     if (mode.isInstanceOf[BtrOverwriteMode.ReplaceFiles])
       fs.delete(new Path(dir, BtrTableMeta.StatsFile), false)
-    else BtrTableMeta.writeStats(fs, dir, dataSchema.fieldNames, rows, nulls, raw, comp)
+    else BtrTableMeta.writeStats(fs, dir, statsSchema.fieldNames, rows, nulls, raw, comp)
     // footer-index sidecar: planning on this table becomes one file read;
     // incremental (pre-existing append-mode files reuse the old index)
     BtrFooters.refreshIndex(fs, dir)
@@ -493,11 +590,11 @@ final case class BtrMultiCommitMessage(messages: Array[BtrCommitMessage]) extend
 
 class BtrPartitionedWriterFactory(path: String, schema: StructType, partCols: Seq[String],
     blockSize: Int, cascade: Int, cfg: BtrConfig, writeId: String = BtrWriteIds.newWriteId(),
-    namePrefix: String = "")
+    namePrefix: String = "", slots: Option[BtrSlotLayout] = None)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new BtrPartitionedDataWriter(path, schema, partCols, blockSize, cascade, partitionId, taskId,
-      cfg, writeId, namePrefix = namePrefix)
+      cfg, writeId, namePrefix = namePrefix, slots = slots)
 }
 
 /** Partitioned streaming epochs: deterministic per-(epoch, partition)
@@ -506,11 +603,12 @@ class BtrPartitionedWriterFactory(path: String, schema: StructType, partCols: Se
   */
 final case class BtrPartitionedStreamingWriterFactory(
     path: String, schema: StructType, partCols: Seq[String],
-    blockSize: Int, cascade: Int, cfg: BtrConfig)
+    blockSize: Int, cascade: Int, cfg: BtrConfig,
+    slots: Option[BtrSlotLayout] = None)
     extends streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
     new BtrPartitionedDataWriter(path, schema, partCols, blockSize, cascade, partitionId, taskId,
-      cfg, fileNameOverride = Some(f"part-e$epochId%06d-$partitionId%05d.btr"))
+      cfg, fileNameOverride = Some(f"part-e$epochId%06d-$partitionId%05d.btr"), slots = slots)
 }
 
 /** Hive-style dynamic partitioning: rows fan out to per-partition-value
@@ -527,7 +625,8 @@ final case class BtrPartitionedStreamingWriterFactory(
   */
 class BtrPartitionedDataWriter(path: String, schema: StructType, partCols: Seq[String],
     blockSize: Int, cascade: Int, partitionId: Int, taskId: Long, cfg: BtrConfig,
-    writeId: String = "", fileNameOverride: Option[String] = None, namePrefix: String = "")
+    writeId: String = "", fileNameOverride: Option[String] = None, namePrefix: String = "",
+    slots: Option[BtrSlotLayout] = None)
     extends DataWriter[InternalRow] {
 
   private val MaxOpenPartitions = 128
@@ -536,8 +635,11 @@ class BtrPartitionedDataWriter(path: String, schema: StructType, partCols: Seq[S
   private val partOrdinals = partCols.map(schema.fieldIndex).toArray
   private val partTypes = partOrdinals.map(schema.fields(_).dataType)
   private val dataOrdinals = schema.fields.indices.filterNot(partOrdinals.contains).toArray
-  private val dataSchema = StructType(dataOrdinals.map(schema.fields(_)))
-  private val proj = org.apache.spark.sql.catalyst.ProjectingInternalRow(dataSchema, dataOrdinals.toIndexedSeq)
+  private val logicalDataSchema = StructType(dataOrdinals.map(schema.fields(_)))
+  // files carry the physical slot layout when the table is column-mapped
+  private val dataSchema = slots.map(_.physData).getOrElse(logicalDataSchema)
+  private val proj = org.apache.spark.sql.catalyst.ProjectingInternalRow(logicalDataSchema, dataOrdinals.toIndexedSeq)
+  private val slotRow: BtrSlotRow = slots.map(s => new BtrSlotRow(s.ords)).orNull
 
   // LinkedHashMap in ACCESS order would reorder on every write; explicit
   // last-write tick per key keeps eviction O(open) only on the rare spill
@@ -597,7 +699,7 @@ class BtrPartitionedDataWriter(path: String, schema: StructType, partCols: Seq[S
     tick += 1
     lastWrite(key) = tick
     proj.project(row)
-    w.write(proj)
+    w.write(if (slotRow != null) slotRow.target(proj) else proj)
   }
 
   /** Finish the least-recently-written sub-writer's file (footer written,
@@ -669,21 +771,84 @@ class BtrPartitionedDataWriter(path: String, schema: StructType, partCols: Seq[S
   override def close(): Unit = writers.values.foreach(_.close())
 }
 
+/** Physical slot layout for writes into a tombstoned (column-mapped)
+  * table: the data schema files must carry, and per slot the ordinal of
+  * its value in the incoming data row (-1 = tombstone, all-null).
+  */
+final case class BtrSlotLayout(physData: StructType, ords: Array[Int])
+
+/** Read-only InternalRow view presenting the physical slot order over an
+  * incoming data row: tombstone slots read as null, live slots delegate.
+  * One instance per writer, re-targeted per row (same statefulness
+  * contract as ProjectingInternalRow).
+  */
+final class BtrSlotRow(ords: Array[Int]) extends InternalRow {
+  private var row: InternalRow = _
+  def target(r: InternalRow): InternalRow = { row = r; this }
+  override def numFields: Int = ords.length
+  override def setNullAt(i: Int): Unit = throw new UnsupportedOperationException("read-only")
+  override def update(i: Int, value: Any): Unit = throw new UnsupportedOperationException("read-only")
+  override def copy(): InternalRow = throw new UnsupportedOperationException("transient view")
+  override def isNullAt(i: Int): Boolean = ords(i) < 0 || row.isNullAt(ords(i))
+  override def getBoolean(i: Int): Boolean = row.getBoolean(ords(i))
+  override def getByte(i: Int): Byte = row.getByte(ords(i))
+  override def getShort(i: Int): Short = row.getShort(ords(i))
+  override def getInt(i: Int): Int = row.getInt(ords(i))
+  override def getLong(i: Int): Long = row.getLong(ords(i))
+  override def getFloat(i: Int): Float = row.getFloat(ords(i))
+  override def getDouble(i: Int): Double = row.getDouble(ords(i))
+  override def getDecimal(i: Int, precision: Int, scale: Int): org.apache.spark.sql.types.Decimal =
+    row.getDecimal(ords(i), precision, scale)
+  override def getUTF8String(i: Int): org.apache.spark.unsafe.types.UTF8String =
+    row.getUTF8String(ords(i))
+  override def getBinary(i: Int): Array[Byte] = row.getBinary(ords(i))
+  override def getInterval(i: Int): org.apache.spark.unsafe.types.CalendarInterval =
+    row.getInterval(ords(i))
+  override def getStruct(i: Int, numFields: Int): InternalRow = row.getStruct(ords(i), numFields)
+  override def getArray(i: Int): org.apache.spark.sql.catalyst.util.ArrayData =
+    row.getArray(ords(i))
+  override def getMap(i: Int): org.apache.spark.sql.catalyst.util.MapData = row.getMap(ords(i))
+  override def getVariant(i: Int): org.apache.spark.unsafe.types.VariantVal =
+    row.getVariant(ords(i))
+  override def getGeography(i: Int): org.apache.spark.unsafe.types.GeographyVal =
+    row.getGeography(ords(i))
+  override def getGeometry(i: Int): org.apache.spark.unsafe.types.GeometryVal =
+    row.getGeometry(ords(i))
+  override def get(i: Int, dataType: org.apache.spark.sql.types.DataType): AnyRef =
+    if (isNullAt(i)) null else row.get(ords(i), dataType)
+}
+
+/** Wraps a writer so every incoming row is slot-projected first. */
+final class BtrSlotWriter(inner: DataWriter[InternalRow], ords: Array[Int])
+    extends DataWriter[InternalRow] {
+  private val slotRow = new BtrSlotRow(ords)
+  override def write(row: InternalRow): Unit = inner.write(slotRow.target(row))
+  override def commit(): WriterCommitMessage = inner.commit()
+  override def abort(): Unit = inner.abort()
+  override def close(): Unit = inner.close()
+}
+
 final case class BtrStreamingWriterFactory(
-    path: String, schema: StructType, blockSize: Int, cascade: Int, cfg: BtrConfig)
+    path: String, schema: StructType, blockSize: Int, cascade: Int, cfg: BtrConfig,
+    slots: Option[BtrSlotLayout] = None)
     extends streaming.StreamingDataWriterFactory {
-  override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
-    new BtrDataWriter(path, schema, blockSize, cascade, partitionId, taskId, cfg,
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] = {
+    val w = new BtrDataWriter(path, slots.map(_.physData).getOrElse(schema), blockSize, cascade,
+      partitionId, taskId, cfg,
       fileNameOverride = Some(f"part-e$epochId%06d-$partitionId%05d.btr"))
+    slots.map(s => new BtrSlotWriter(w, s.ords): DataWriter[InternalRow]).getOrElse(w)
+  }
 }
 
 class BtrWriterFactory(path: String, schema: StructType, blockSize: Int, cascade: Int,
     cfg: BtrConfig = BtrConfig.Default, writeId: String = BtrWriteIds.newWriteId(),
-    namePrefix: String = "")
+    namePrefix: String = "", slots: Option[BtrSlotLayout] = None)
     extends DataWriterFactory {
-  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new BtrDataWriter(path, schema, blockSize, cascade, partitionId, taskId, cfg,
-      writeId = writeId, namePrefix = namePrefix)
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
+    val w = new BtrDataWriter(path, slots.map(_.physData).getOrElse(schema), blockSize, cascade,
+      partitionId, taskId, cfg, writeId = writeId, namePrefix = namePrefix)
+    slots.map(s => new BtrSlotWriter(w, s.ords): DataWriter[InternalRow]).getOrElse(w)
+  }
 }
 
 /** Per-write unique suffix for final file names (driver-side, once per

@@ -153,8 +153,9 @@ class BtrRowLevelSpec extends AnyFunSuite {
     assert(widened.schema("v").dataType == org.apache.spark.sql.types.LongType)
     assert(widened.agg(org.apache.spark.sql.functions.sum($"v")).as[Long].head() ==
       (0 to 50).map(_.toLong).sum)
-    // rejected changes fail loudly and change nothing
-    intercept[Exception](spark.sql(s"ALTER TABLE graft.`$p` DROP COLUMN s"))
+    // rejected changes fail loudly and change nothing (narrowing;
+    // DROP COLUMN is a supported metadata-only change since the column-
+    // mapping layer — see ColumnMappingSpec)
     intercept[Exception](spark.sql(s"ALTER TABLE graft.`$p` ALTER COLUMN s TYPE INT"))
     assert(spark.read.format("btr").load(p).schema.fieldNames.length == 3)
   }
