@@ -169,6 +169,29 @@ class ColumnMappingSpec extends AnyFunSuite {
       Seq((9, 9.0)))
   }
 
+  test("streaming sink epochs null-fill tombstone slots like batch appends") {
+    val dir = tmp("stream")
+    val src = tmp("stream-src")
+    val ckpt = tmp("stream-ckpt")
+    import spark.implicits._
+    Seq((1, "x", 10L), (2, "y", 20L)).toDF("id", "junk", "v")
+      .write.format("btr").mode("overwrite").save(dir)
+    sql(s"ALTER TABLE graft.`$dir` DROP COLUMN junk")
+
+    Seq((3, 30L), (4, 40L)).toDF("id", "v").write.mode("overwrite").parquet(src)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src).schema)
+      .parquet(src)
+    val q = stream.writeStream.format("btr")
+      .option("checkpointLocation", ckpt).start(dir)
+    try q.processAllAvailable()
+    finally q.stop()
+
+    assert(spark.read.format("btr").load(dir).orderBy("id")
+      .as[(Int, Long)].collect().toSeq ==
+      Seq((1, 10L), (2, 20L), (3, 30L), (4, 40L)))
+  }
+
   test("metadata-only aggregates and describe stay correct over tombstone slots") {
     val dir = tmp("agg")
     import spark.implicits._
