@@ -241,6 +241,27 @@ object CoreQueries {
         .orderBy("l_returnflag")
     }),
 
+    // Q-struct: struct columns through the format — leaves compress
+    // under their own scheme selection inside one self-describing chunk,
+    // a pruned projection (only rec.qty/rec.flag) skips the unrequested
+    // ship leaf's bytes, and the leaf aggregate must agree with DuckDB
+    // recomputing from the flat parquet columns.
+    "q_struct_meta" -> ((s, d) => {
+      val dir = Btr.cachePath(d, "lineitem_struct")
+      if (!new java.io.File(dir, "_btr_meta.json").exists()) {
+        Btr.pq(s, d, "lineitem")
+          .select(col("l_orderkey"),
+            struct(col("l_quantity").as("qty"), col("l_returnflag").as("flag"),
+              col("l_shipdate").as("ship")).as("rec"))
+          .write.format("btr").mode("overwrite").save(dir)
+      }
+      s.read.format("btr").load(dir)
+        .filter(col("rec.qty") >= 10)
+        .groupBy(col("rec.flag").as("flag"))
+        .agg(count(lit(1)).as("n"), round(sum(col("rec.qty")), 2).as("sum_qty"))
+        .orderBy("flag")
+    }),
+
     // Q-colmap: metadata-only RENAME/DROP COLUMN (column mapping) under
     // the oracle gate — the build writes three columns, renames one,
     // drops another (a MIDDLE slot: every later column would shift onto
@@ -1200,6 +1221,11 @@ object CoreQueries {
       """SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
         |FROM lineitem WHERE l_returnflag <> 'R'
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_struct_meta" ->
+      """SELECT l_returnflag AS flag, count(*) AS n,
+        | round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem WHERE l_quantity >= 10
+        |GROUP BY 1 ORDER BY flag""".stripMargin,
     "q_colmap_evolution" ->
       """SELECT CAST(l_orderkey % 7 AS BIGINT) AS bucket, count(*) AS n,
         | round(sum(l_quantity), 2) AS sum_qty

@@ -16,8 +16,26 @@ object BlockDescribe {
       if (PhysType.isIntFamily(tag) || tag == PhysType.Float) describeInt(in, count)
       else if (tag == PhysType.Double) describeDouble(in, count)
       else if (PhysType.isArrayFamily(tag)) describeArray(in, tag, count)
+      else if (tag == PhysType.Struct) describeStruct(in, count)
       else describeString(in, count)
     (nullKind, tree)
+  }
+
+  private def describeStruct(in: BufReader, count: Int): String = {
+    val leafCount = in.getByte()
+    val parts = (0 until leafCount).map { _ =>
+      val lt = in.getByte()
+      val len = in.getInt()
+      val end = in.pos + len
+      val nulls = walkNullMap(in)
+      val desc =
+        if (PhysType.isIntFamily(lt) || lt == PhysType.Float) describeInt(in, count)
+        else if (lt == PhysType.Double) describeDouble(in, count)
+        else describeString(in, count)
+      in.skip(end - in.pos)
+      s"$nulls:$desc"
+    }
+    s"struct(${parts.mkString(", ")})"
   }
 
   private def walkNullMap(in: BufReader): String = in.getByte() match {

@@ -28,6 +28,11 @@ object PhysType {
   // decimal(precision ≤ 18): stored as the unscaled long through the int
   // cascade (scale is schema metadata), so skipping/stats come for free
   val Decimal64 = 15
+  // struct of scalar leaves: ONE footer column whose chunk blob is
+  // self-describing — [u8 leafCount] then per leaf [u8 tag][i32 len]
+  // [nullmap + codec payload] — so each leaf compresses under its own
+  // scheme selection and a reader can skip unrequested leaves by length
+  val Struct = 16
 
   def of(dt: DataType): Int = dt match {
     case BooleanType => Bool
@@ -47,6 +52,16 @@ object PhysType {
     case ArrayType(IntegerType, _) => ArrInt
     case ArrayType(LongType, _) => ArrLong
     case d: DecimalType if d.precision <= 18 => Decimal64
+    case st: StructType =>
+      require(st.fields.nonEmpty, "btr: empty struct type")
+      require(st.fields.length <= 255, s"btr: struct has ${st.fields.length} fields (max 255)")
+      st.fields.foreach { f =>
+        val lt = of(f.dataType)
+        require(!isArrayFamily(lt) && lt != Struct,
+          s"btr: struct leaf ${f.name}: ${f.dataType.simpleString} — structs of SCALAR " +
+            "leaves only (no nested structs or arrays)")
+      }
+      Struct
     case other => throw new UnsupportedOperationException(s"btr: unsupported type $other")
   }
 
@@ -113,6 +128,9 @@ final class ColumnChunk(val tag: Int, val count: Int) {
   var doubles: Array[Double] = _
   var strings: Array[Array[Byte]] = _
   var isNull: Array[Boolean] = new Array[Boolean](count)
+  // struct columns: one scalar ColumnChunk per leaf (parent nulls in
+  // isNull; a null struct row null-fills every leaf at that position)
+  var structLeaves: Array[ColumnChunk] = _
   // array families: per-row element counts + flattened element stream
   // (int-family/float elements in elemLongs, double elements in elemDoubles)
   var arrLens: Array[Int] = _
@@ -293,6 +311,42 @@ object ChunkCodec {
       ChunkStats(nullCount, 0, 0, mn, mx, has,
         rawBytes = chunk.count.toLong * (if (tag == PhysType.Float) 4 else 8),
         hasNaN = sawNaN)
+    } else if (tag == PhysType.Struct) {
+      // [u8 leafCount] then per leaf [u8 tag][i32 len][nullmap + codec
+      // payload] — each leaf column compresses under its own scheme
+      // selection (a constant leaf goes ONE_VALUE while its sibling
+      // dictionary-encodes), and the per-leaf length lets a reader skip
+      // leaves a pruned projection never asks for. No struct-level
+      // min/max (filters on leaves stay post-scan residuals).
+      val leaves = chunk.structLeaves
+      out.putByte(leaves.length)
+      var raw = 0L
+      val scratch = new BufWriter(1 << 16)
+      var j = 0
+      while (j < leaves.length) {
+        val lc = leaves(j)
+        val lt = lc.tag
+        scratch.truncate(0)
+        NullMap.encode(lc.isNull, lc.count, scratch)
+        if (PhysType.isIntFamily(lt) || lt == PhysType.Float) {
+          IntCodec.encode(scratch, lc.longs, lc.count, PhysType.physWidth(lt), cascadeDepth, cfg,
+            seed + 13L * (j + 1))
+          raw += lc.count.toLong * PhysType.physWidth(lt)
+        } else if (lt == PhysType.Double) {
+          DoubleCodec.encode(scratch, lc.doubles, lc.count, cascadeDepth, cfg, seed + 13L * (j + 1))
+          raw += lc.count.toLong * 8
+        } else {
+          StringCodec.encode(scratch, lc.strings, lc.count, cascadeDepth, cfg, seed + 13L * (j + 1))
+          var k = 0
+          while (k < lc.count) { raw += lc.strings(k).length; k += 1 }
+          raw += 4L * lc.count
+        }
+        out.putByte(lt)
+        out.putInt(scratch.pos)
+        out.putBytes(scratch.backing, 0, scratch.pos)
+        j += 1
+      }
+      ChunkStats(nullCount, 0, 0, 0, 0, hasMinMax = false, rawBytes = raw)
     } else if (PhysType.isArrayFamily(tag)) {
       // [lengths cascade][i32 elemCount][element nullmap][element block] —
       // the variable-length layout of the string codec generalized to
@@ -375,11 +429,53 @@ object ChunkCodec {
       val dictEntries: Array[Array[Byte]] = null,
       // numeric dictionary view (scan-side only): distinct entries as the
       // stored longs (double chunks: raw bits); `longs` holds the codes
-      val dictLongs: Array[Long] = null
+      val dictLongs: Array[Long] = null,
+      // struct columns: one scalar Decoded per leaf (file order), with
+      // the leaf tags; null entries = leaves skipped by projection
+      val structLeaves: Array[Decoded] = null,
+      val structTags: Array[Int] = null
   )
+
+  /** Decode a struct chunk's leaves. `want` restricts decoding to those
+    * leaf indices (null = all): unrequested leaves SKIP by their recorded
+    * length — a pruned projection of a wide struct reads only the bytes
+    * it uses. Skipped entries are null in the result.
+    */
+  private def decodeStructLeaves(in: BufReader, count: Int,
+      want: Array[Boolean]): (Array[Decoded], Array[Int]) = {
+    val leafCount = in.getByte()
+    val leaves = new Array[Decoded](leafCount)
+    val tags = new Array[Int](leafCount)
+    var j = 0
+    while (j < leafCount) {
+      val lt = in.getByte()
+      val len = in.getInt()
+      tags(j) = lt
+      if (want != null && (j >= want.length || !want(j))) in.skip(len)
+      else {
+        val (ln, lh) = NullMap.decodeWithFlag(in, count)
+        leaves(j) =
+          if (PhysType.isIntFamily(lt) || lt == PhysType.Float)
+            new Decoded(count, ln, lh, IntCodec.decode(in, count), null, null, null)
+          else if (lt == PhysType.Double)
+            new Decoded(count, ln, lh, null, DoubleCodec.decode(in, count), null, null)
+          else {
+            val (lens, bytes) = StringCodec.decode(in, count)
+            new Decoded(count, ln, lh, null, null, lens, bytes)
+          }
+      }
+      j += 1
+    }
+    (leaves, tags)
+  }
 
   def decode(in: BufReader, tag: Int, count: Int): Decoded = {
     val (isNull, hasNulls) = NullMap.decodeWithFlag(in, count)
+    if (tag == PhysType.Struct) {
+      val (leaves, tags) = decodeStructLeaves(in, count, null)
+      return new Decoded(count, isNull, hasNulls, null, null, null, null,
+        structLeaves = leaves, structTags = tags)
+    }
     if (PhysType.isIntFamily(tag) || tag == PhysType.Float) {
       val longs = IntCodec.decode(in, count)
       new Decoded(count, isNull, hasNulls, longs, null, null, null)
@@ -416,7 +512,14 @@ object ChunkCodec {
     * resolve. Booleans stay materialized (Spark vectors don't consult
     * dictionaries for getBoolean).
     */
-  def decodeForScan(in: BufReader, tag: Int, count: Int): Decoded = {
+  def decodeForScan(in: BufReader, tag: Int, count: Int,
+      wantLeaves: Array[Boolean] = null): Decoded = {
+    if (tag == PhysType.Struct) {
+      val (isNull, hasNulls) = NullMap.decodeWithFlag(in, count)
+      val (leaves, tags) = decodeStructLeaves(in, count, wantLeaves)
+      return new Decoded(count, isNull, hasNulls, null, null, null, null,
+        structLeaves = leaves, structTags = tags)
+    }
     if (PhysType.isStringFamily(tag)) {
       val (isNull, hasNulls) = NullMap.decodeWithFlag(in, count)
       val view = StringCodec.decodeDictView(in, count)

@@ -783,7 +783,8 @@ class BtrScan(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new BtrReaderFactory(requiredSchema, filters ++ runtimeFilters)
+    new BtrReaderFactory(requiredSchema, filters ++ runtimeFilters,
+      fullStructs = BtrScan.fullStructsOf(dataSchema))
 
   override def toMicroBatchStream(checkpointLocation: String): BtrMicroBatchStream = {
     require(snapshotVersion.isEmpty,
@@ -1207,7 +1208,8 @@ class BtrMicroBatchStream(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new BtrReaderFactory(requiredSchema)
+    new BtrReaderFactory(requiredSchema,
+      fullStructs = BtrScan.fullStructsOf(tableSchema))
 
   /** Fold committed per-batch entries into a snapshot once enough
     * accumulate (FileStreamSourceLog's compaction): entries at or below a
@@ -1931,6 +1933,17 @@ object BtrScan {
     */
   val MinSplitFloorBytes: Long = 1024L * 1024
 
+  /** Full struct types by column name — the reader maps a PRUNED struct
+    * projection's leaves onto file leaf positions through these.
+    */
+  def fullStructsOf(schema: StructType): Map[String, StructType] = {
+    val m = schema.fields.collect {
+      case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.StructType] =>
+        f.name -> f.dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    }
+    if (m.isEmpty) Map.empty else m.toMap
+  }
+
   /** `_file` metadata column (SupportsMetadataColumns): the qualified
     * path of the data file each row came from — provenance for pipeline
     * debugging, and the group identity row-level MERGE/UPDATE/DELETE
@@ -2010,7 +2023,11 @@ object BtrPartTime {
   }
 }
 
-class BtrReaderFactory(requiredSchema: StructType, filters: Array[Filter] = Array.empty)
+class BtrReaderFactory(requiredSchema: StructType, filters: Array[Filter] = Array.empty,
+    // full struct types by column name (table schema) — a PRUNED struct
+    // in requiredSchema maps its leaves onto file leaf positions through
+    // this, and unrequested leaves skip decoding entirely
+    fullStructs: Map[String, StructType] = Map.empty)
     extends PartitionReaderFactory {
   override def supportColumnarReads(partition: InputPartition): Boolean = true
 
@@ -2020,9 +2037,9 @@ class BtrReaderFactory(requiredSchema: StructType, filters: Array[Filter] = Arra
   override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] =
     partition match {
       case packed: BtrPackedInputPartition =>
-        new BtrPackedColumnarReader(packed, requiredSchema, filters)
+        new BtrPackedColumnarReader(packed, requiredSchema, filters, fullStructs)
       case single: BtrInputPartition =>
-        new BtrColumnarReader(single, requiredSchema, filters)
+        new BtrColumnarReader(single, requiredSchema, filters, fullStructs)
     }
 }
 
@@ -2031,7 +2048,8 @@ class BtrReaderFactory(requiredSchema: StructType, filters: Array[Filter] = Arra
   * was; this just sequences them inside one task.
   */
 class BtrPackedColumnarReader(packed: BtrPackedInputPartition,
-    requiredSchema: StructType, filters: Array[Filter])
+    requiredSchema: StructType, filters: Array[Filter],
+    fullStructs: Map[String, StructType] = Map.empty)
     extends PartitionReader[ColumnarBatch] {
   private var idx = 0
   private var cur: BtrColumnarReader = null
@@ -2040,7 +2058,7 @@ class BtrPackedColumnarReader(packed: BtrPackedInputPartition,
     while (true) {
       if (cur == null) {
         if (idx >= packed.slices.length) return false
-        cur = new BtrColumnarReader(packed.slices(idx), requiredSchema, filters)
+        cur = new BtrColumnarReader(packed.slices(idx), requiredSchema, filters, fullStructs)
         idx += 1
       }
       if (cur.next()) return true
@@ -2107,10 +2125,32 @@ final class BtrStringDictionary(entries: Array[Array[Byte]])
   * Catalyst/WSCG consuming batches above.
   */
 class BtrColumnarReader(partition: BtrInputPartition, requiredSchema: StructType,
-    filters: Array[Filter] = Array.empty)
+    filters: Array[Filter] = Array.empty,
+    fullStructs: Map[String, StructType] = Map.empty)
     extends PartitionReader[ColumnarBatch] {
 
   private val fs = new Path(partition.file).getFileSystem(BtrTableMeta.hadoopConf())
+
+  // nested leaf pruning: per required column, which FILE leaves to decode
+  // (null = not a struct / all leaves) and, per required child position,
+  // the file leaf index it maps to (identity when the struct is unpruned)
+  private val structWant: Array[Array[Boolean]] =
+    requiredSchema.fields.map { f =>
+      (f.dataType, fullStructs.get(f.name)) match {
+        case (st: StructType, Some(full)) if st.fields.length < full.fields.length =>
+          val wanted = st.fieldNames.toSet
+          full.fields.map(lf => wanted.contains(lf.name))
+        case _ => null
+      }
+    }
+  private val structMap: Array[Array[Int]] =
+    requiredSchema.fields.map { f =>
+      (f.dataType, fullStructs.get(f.name)) match {
+        case (st: StructType, Some(full)) if st.fields.length < full.fields.length =>
+          st.fields.map(cf => full.fieldIndex(cf.name))
+        case _ => null
+      }
+    }
   // decode with the FILE's physical tag (pre-widening files are narrower
   // than the table schema); 0 in fileTags means "same as table"
   private val tags = requiredSchema.fields.zipWithIndex.map { case (f, i) =>
@@ -2203,8 +2243,10 @@ class BtrColumnarReader(partition: BtrInputPartition, requiredSchema: StructType
       }
       in().readFully(g.offsets(d), buf, 0, len)
       BtrLateMat.chunkDecodes.incrementAndGet()
-      val dec = ChunkCodec.decodeForScan(new BufReader(buf, 0, len), tags(c), g.numRows)
-      fillVector(vectors(c), requiredSchema.fields(c).dataType, tags(c), dec, g.numRows)
+      val dec = ChunkCodec.decodeForScan(new BufReader(buf, 0, len), tags(c), g.numRows,
+        wantLeaves = structWant(c))
+      fillVector(vectors(c), requiredSchema.fields(c).dataType, tags(c), dec, g.numRows,
+        leafMap = structMap(c))
     }
   }
 
@@ -2281,7 +2323,25 @@ class BtrColumnarReader(partition: BtrInputPartition, requiredSchema: StructType
     }
   }
 
-  private def fillVector(v: OnHeapColumnVector, dt: DataType, tag: Int, dec: ChunkCodec.Decoded, n: Int): Unit = {
+  private def fillVector(v: OnHeapColumnVector, dt: DataType, tag: Int, dec: ChunkCodec.Decoded,
+      n: Int, leafMap: Array[Int] = null): Unit = {
+    if (tag == PhysType.Struct) {
+      // children fill recursively through the scalar paths below; a
+      // pruned projection maps child j onto its file leaf via leafMap
+      val st = dt.asInstanceOf[StructType]
+      var j = 0
+      while (j < st.fields.length) {
+        val fj = if (leafMap != null) leafMap(j) else j
+        val childV = v.getChild(j).asInstanceOf[OnHeapColumnVector]
+        fillVector(childV, st.fields(j).dataType, dec.structTags(fj), dec.structLeaves(fj), n)
+        j += 1
+      }
+      if (dec.hasNulls) {
+        var i = 0
+        while (i < n) { if (dec.isNull(i)) v.putNull(i); i += 1 }
+      }
+      return
+    }
     val nulls = dec.hasNulls
     val tableTag = PhysType.of(dt)
     // numeric DICT chunks fill ids only — the vector dictionary resolves

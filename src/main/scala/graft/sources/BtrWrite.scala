@@ -900,6 +900,8 @@ class BtrDataWriter(path: String, schema: StructType, blockSize: Int, cascade: I
   // array columns: per-row element counts + growable flattened elements
   private val arrLenCols = new Array[Array[Int]](numCols)
   private val arrHold = new Array[ColumnChunk](numCols)
+  // struct columns: one scalar buffer chunk per leaf
+  private val structHold = new Array[Array[ColumnChunk]](numCols)
   allocBuffers()
   private var rowsInGroup = 0
   private var totalRows = 0L
@@ -915,7 +917,8 @@ class BtrDataWriter(path: String, schema: StructType, blockSize: Int, cascade: I
   private val colNdv: Array[Array[Byte]] =
     if (ndvP == 0) null
     else Array.tabulate(numCols)(c =>
-      if (PhysType.isArrayFamily(tags(c))) null else Hll.create(ndvP))
+      if (PhysType.isArrayFamily(tags(c)) || tags(c) == PhysType.Struct) null
+      else Hll.create(ndvP))
 
   private def allocBuffers(): Unit = {
     var c = 0
@@ -926,9 +929,47 @@ class BtrDataWriter(path: String, schema: StructType, blockSize: Int, cascade: I
       else if (PhysType.isArrayFamily(tag)) {
         arrLenCols(c) = new Array[Int](blockSize)
         arrHold(c) = new ColumnChunk(tag, blockSize)
+      } else if (tag == PhysType.Struct) {
+        val st = fields(c).dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+        structHold(c) = st.fields.map { lf =>
+          val lt = PhysType.of(lf.dataType)
+          val lc = new ColumnChunk(lt, blockSize)
+          if (PhysType.isIntFamily(lt) || lt == PhysType.Float) lc.longs = new Array[Long](blockSize)
+          else if (lt == PhysType.Double) lc.doubles = new Array[Double](blockSize)
+          else lc.strings = new Array[Array[Byte]](blockSize)
+          lc
+        }
       } else stringCols(c) = new Array[Array[Byte]](blockSize)
       nullCols(c) = new Array[Boolean](blockSize)
       c += 1
+    }
+  }
+
+  /** Fill one struct leaf's buffer slot from the nested row (null when
+    * the struct itself is null at this position).
+    */
+  private def setLeaf(lc: ColumnChunk, dt: DataType, i: Int,
+      sr: org.apache.spark.sql.catalyst.InternalRow, j: Int): Unit = {
+    if (sr == null || sr.isNullAt(j)) {
+      lc.isNull(i) = true
+      if (lc.longs != null) lc.longs(i) = 0L
+      else if (lc.doubles != null) lc.doubles(i) = 0.0
+      else lc.strings(i) = Array.emptyByteArray
+      return
+    }
+    lc.isNull(i) = false
+    dt match {
+      case IntegerType | DateType => lc.longs(i) = sr.getInt(j).toLong
+      case ShortType => lc.longs(i) = sr.getShort(j).toLong
+      case ByteType => lc.longs(i) = sr.getByte(j).toLong
+      case LongType | TimestampType | TimestampNTZType => lc.longs(i) = sr.getLong(j)
+      case BooleanType => lc.longs(i) = if (sr.getBoolean(j)) 1L else 0L
+      case DoubleType => lc.doubles(i) = sr.getDouble(j)
+      case FloatType => lc.longs(i) = java.lang.Float.floatToRawIntBits(sr.getFloat(j)).toLong
+      case d: DecimalType => lc.longs(i) = sr.getDecimal(j, d.precision, d.scale).toUnscaledLong
+      case StringType => lc.strings(i) = sr.getUTF8String(j).getBytes.clone()
+      case BinaryType => lc.strings(i) = sr.getBinary(j).clone()
+      case other => throw new UnsupportedOperationException(s"btr struct leaf: $other")
     }
   }
 
@@ -941,7 +982,14 @@ class BtrDataWriter(path: String, schema: StructType, blockSize: Int, cascade: I
         if (longCols(c) != null) longCols(c)(i) = 0L
         else if (doubleCols(c) != null) doubleCols(c)(i) = 0.0
         else if (arrLenCols(c) != null) arrLenCols(c)(i) = 0
-        else stringCols(c)(i) = Array.emptyByteArray
+        else if (structHold(c) != null) {
+          // null struct: placeholder-null every leaf at this position
+          val st = fields(c).dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+          var j = 0
+          while (j < structHold(c).length) {
+            setLeaf(structHold(c)(j), st.fields(j).dataType, i, null, j); j += 1
+          }
+        } else stringCols(c)(i) = Array.emptyByteArray
       } else {
         nullCols(c)(i) = false
         fields(c).dataType match {
@@ -956,6 +1004,12 @@ class BtrDataWriter(path: String, schema: StructType, blockSize: Int, cascade: I
             longCols(c)(i) = row.getDecimal(c, dt.precision, dt.scale).toUnscaledLong
           case StringType => stringCols(c)(i) = row.getUTF8String(c).getBytes.clone()
           case BinaryType => stringCols(c)(i) = row.getBinary(c).clone()
+          case st: org.apache.spark.sql.types.StructType =>
+            val sr = row.getStruct(c, st.fields.length)
+            var j = 0
+            while (j < structHold(c).length) {
+              setLeaf(structHold(c)(j), st.fields(j).dataType, i, sr, j); j += 1
+            }
           case at: ArrayType =>
             val arr = row.getArray(c)
             val n = arr.numElements()
@@ -1011,6 +1065,18 @@ class BtrDataWriter(path: String, schema: StructType, blockSize: Int, cascade: I
         chunk.elemDoubles = hold.elemDoubles
         chunk.elemNull = hold.elemNull
         chunk.elemCount = hold.elemCount
+      }
+      if (structHold(c) != null) {
+        // leaf VIEW chunks at the group's row count over the shared
+        // buffers (the buffers are blockSize-long; count governs encode)
+        chunk.structLeaves = structHold(c).map { hold =>
+          val lc = new ColumnChunk(hold.tag, n)
+          lc.longs = hold.longs
+          lc.doubles = hold.doubles
+          lc.strings = hold.strings
+          lc.isNull = hold.isNull
+          lc
+        }
       }
       encodeBuf.truncate(0)
       // deterministic sampling seed per (partition, row group, column) —

@@ -1,0 +1,153 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Struct columns: one footer column whose chunk is self-describing —
+  * per-leaf tag + length + independently scheme-selected payload. Covers
+  * lossless round-trip across every scalar leaf type, struct-null vs
+  * leaf-null distinction, pruned leaf projections (unrequested leaves
+  * skip decoding), filters on leaves, and schema evolution adding a
+  * struct column.
+  */
+class StructColumnSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("struct-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def tmp(name: String) = {
+    val d = s"/tmp/btr-struct-spec/$name"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d))
+    d
+  }
+
+  test("structs of every scalar leaf type round-trip losslessly") {
+    val dir = tmp("roundtrip")
+    import spark.implicits._
+    val df = spark.range(0, 1000).select(
+      col("id").cast("int").as("k"),
+      struct(
+        col("id").cast("int").as("i"),
+        col("id").cast("long").as("l"),
+        (col("id") * 1.5).as("d"),
+        col("id").cast("float").as("f"),
+        concat(lit("s"), col("id")).as("s"),
+        (col("id") % 2 === 0).as("b"),
+        date_add(lit(java.sql.Date.valueOf("2026-01-01")), col("id").cast("int")).as("dt")
+      ).as("rec"))
+    df.write.format("btr").mode("overwrite").save(dir)
+
+    val back = spark.read.format("btr").load(dir)
+    assert(back.schema("rec").dataType.isInstanceOf[org.apache.spark.sql.types.StructType])
+    // compare field-by-field against the source
+    val a = df.select(col("k"), col("rec.i"), col("rec.l"), col("rec.d"), col("rec.f"),
+      col("rec.s"), col("rec.b"), col("rec.dt").cast("string")).collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Int])
+    val b = back.select(col("k"), col("rec.i"), col("rec.l"), col("rec.d"), col("rec.f"),
+      col("rec.s"), col("rec.b"), col("rec.dt").cast("string")).collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Int])
+    assert(a.length == b.length)
+    a.zip(b).foreach { case (x, y) => assert(x == y) }
+  }
+
+  test("struct-null and leaf-null are distinct after round-trip") {
+    val dir = tmp("nulls")
+    import spark.implicits._
+    val df = spark.range(0, 100).select(
+      col("id").cast("int").as("k"),
+      when(col("id") % 3 === 0, lit(null))
+        .otherwise(struct(
+          when(col("id") % 5 === 0, lit(null).cast("long")).otherwise(col("id")).as("v"),
+          concat(lit("x"), col("id")).as("s")))
+        .as("rec"))
+    df.write.format("btr").mode("overwrite").save(dir)
+    val back = spark.read.format("btr").load(dir)
+
+    assert(back.filter(col("rec").isNull).count() == df.filter(col("rec").isNull).count())
+    assert(back.filter(col("rec").isNotNull && col("rec.v").isNull).count() ==
+      df.filter(col("rec").isNotNull && col("rec.v").isNull).count())
+    assert(back.filter(col("rec.v") === 7L).select("k").as[Int].collect().toSeq == Seq(7))
+    // aggregates over leaves
+    val s1 = df.agg(sum("rec.v")).head().getLong(0)
+    val s2 = back.agg(sum("rec.v")).head().getLong(0)
+    assert(s1 == s2)
+  }
+
+  test("pruned leaf projections decode only the requested leaves") {
+    val dir = tmp("prune")
+    import spark.implicits._
+    spark.range(0, 10000).select(
+      struct(col("id").as("a"),
+        (col("id") * 2).as("b"),
+        concat(lit("wide-payload-"), col("id")).as("c")).as("rec"))
+      .write.format("btr").mode("overwrite").save(dir)
+
+    val back = spark.read.format("btr").load(dir)
+    // nested schema pruning: only rec.a requested
+    val pruned = back.select(col("rec.a"))
+    assert(pruned.as[Long].collect().sorted.toSeq == (0L until 10000L).toSeq)
+    // the optimized plan's scan schema should not carry leaf c when
+    // nested pruning applies (Spark config default on). This is a
+    // plan-shape observation, not a hard contract: fall back to value
+    // correctness if the pruned schema isn't visible.
+    val scanSchema = pruned.queryExecution.executedPlan.collectLeaves().map(_.schema).headOption
+    scanSchema.foreach { s =>
+      val rec = s.fields.find(_.name == "rec")
+      rec.foreach { f =>
+        val st = f.dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+        assert(!st.fieldNames.contains("c"), s"leaf c not pruned: ${st.simpleString}")
+      }
+    }
+    // two-leaf projection in reversed order still maps onto file slots
+    val two = back.select(col("rec.b"), col("rec.a")).as[(Long, Long)].collect()
+    assert(two.forall { case (b, a) => b == a * 2 })
+  }
+
+  test("appends may add a struct column; old files read it as null") {
+    val dir = tmp("evolve")
+    import spark.implicits._
+    Seq((1, "x")).toDF("k", "s").write.format("btr").mode("overwrite").save(dir)
+    Seq((2, "y", (10L, "m")))
+      .toDF("k", "s", "rec")
+      .write.format("btr").mode("append").save(dir)
+
+    val back = spark.read.format("btr").load(dir).orderBy("k")
+    assert(back.filter(col("rec").isNull).select("k").as[Int].collect().toSeq == Seq(1))
+    assert(back.filter(col("rec._1") === 10L).select("k").as[Int].collect().toSeq == Seq(2))
+  }
+
+  test("nested structs and arrays inside structs are rejected loudly") {
+    val dir = tmp("reject")
+    import spark.implicits._
+    val nested = spark.range(1).select(struct(struct(col("id").as("x")).as("inner")).as("rec"))
+    val e = intercept[Exception] {
+      nested.write.format("btr").mode("overwrite").save(dir)
+    }
+    assert(e.getMessage.contains("SCALAR"), e.getMessage)
+  }
+
+  test("multimodal-style metadata struct: filter + group over leaves") {
+    val dir = tmp("meta")
+    import spark.implicits._
+    spark.range(0, 5000).select(
+      col("id").as("doc_id"),
+      struct(
+        (col("id") % 4).cast("int").as("width"),
+        (col("id") % 7).cast("int").as("height"),
+        concat(lit("codec"), col("id") % 3).as("codec")).as("media"))
+      .write.format("btr").mode("overwrite").save(dir)
+
+    val back = spark.read.format("btr").load(dir)
+    val agg = back.filter(col("media.width") === 2)
+      .groupBy(col("media.codec")).agg(count(lit(1)).as("n"), sum("media.height").as("h"))
+      .orderBy("codec")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val expect = spark.range(0, 5000).select((col("id") % 4).cast("int").as("w"),
+        (col("id") % 7).cast("int").as("h"), concat(lit("codec"), col("id") % 3).as("c"))
+      .filter(col("w") === 2).groupBy("c").agg(count(lit(1)), sum("h")).orderBy("c")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(agg == expect)
+  }
+}
