@@ -495,6 +495,26 @@ object BtrOptions {
       }
     }
 
+  /** Streaming source: begin AFTER snapshot `startingVersion` — the
+    * snapshot's files seed the seen-set on a FRESH checkpoint, so the
+    * stream emits only data committed later (the streaming half of the
+    * change-feed story; `latest` = only data arriving after stream
+    * start). Ignored on recovery — the checkpoint's own seen-set wins.
+    */
+  def startingVersion(options: CaseInsensitiveStringMap): Option[String] =
+    Option(options.get("btr.startingVersion")).map { raw =>
+      val s = raw.trim
+      if (s.equalsIgnoreCase("latest")) "latest"
+      else {
+        try { s.toLong; s }
+        catch {
+          case _: NumberFormatException =>
+            throw new IllegalArgumentException(
+              s"btr.startingVersion must be a snapshot number or 'latest', got '$s'")
+        }
+      }
+    }
+
   /** Streaming-sink auto-compaction: when > 0, every
     * [[BtrStreamingWrite.IndexRefreshEpochs]] epochs the sink counts
     * visible files smaller than half the target and, at or above this

@@ -202,6 +202,7 @@ class BtrScanBuilder(path: String, tableSchema: StructType, options: CaseInsensi
         new BtrScan(path, tableSchema, requiredSchema, pushed, BtrOptions.splitBytes(options), limit, partCols,
           BtrOptions.expansionFactor(options), BtrOptions.maxFilesPerTrigger(options),
           BtrOptions.splitParallelism(options),
+          startingVersion = BtrOptions.startingVersion(options),
           onlyFiles = snapshot.map(_.files.toSet),
           snapshotVersion = snapshot.map(_.version))
     }
@@ -221,6 +222,9 @@ class BtrScan(
     // target split count for the small-table parallelism floor
     // (0 = the session's defaultParallelism; 1 disables subdivision)
     splitParallelism: Int = 0,
+    // streaming source: begin after this snapshot version ("latest" =
+    // after stream start); fresh checkpoints only
+    startingVersion: Option[String] = None,
     // group-rewrite mode (row-level DELETE/UPDATE/MERGE): restrict the scan
     // to `onlyFiles` (root-relative paths) and read them IN FULL — the
     // paired ReplaceData write replaces whole files, so any chunk skipped
@@ -791,7 +795,7 @@ class BtrScan(
       "btr: streaming reads follow the live table; a VERSION/TIMESTAMP AS OF " +
         "pinned snapshot cannot be streamed")
     new BtrMicroBatchStream(path, tableSchema, requiredSchema, partCols, maxFilesPerTrigger,
-      checkpointLocation)
+      checkpointLocation, startingVersion)
   }
 }
 
@@ -899,7 +903,8 @@ class BtrMicroBatchStream(
     requiredSchema: StructType,
     partCols: Seq[String],
     maxFilesPerTrigger: Option[Int] = None,
-    checkpointLocation: String = ""
+    checkpointLocation: String = "",
+    startingVersion: Option[String] = None
 ) extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
   import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit, ReadMaxFiles}
@@ -1111,7 +1116,31 @@ class BtrMicroBatchStream(
     if (p.startsWith(prefix)) p.substring(prefix.length) else p
   }
 
-  override def initialOffset(): Offset = LogOffset(-1L)
+  /** Fresh-checkpoint start: with `btr.startingVersion`, the snapshot's
+    * files seed the seen-set as a persisted seen-only entry (`-1.x`), so
+    * the stream emits only files committed AFTER that version — and
+    * recovery rebuilds the same seed from the checkpoint, never
+    * re-consulting the (pruned-over-time) snapshot log. Spark calls
+    * initialOffset only when the offset log is empty, so an existing
+    * checkpoint's history always wins over the option.
+    */
+  override def initialOffset(): Offset = {
+    startingVersion.foreach { v =>
+      if (!logFs.exists(seenPath(-1L))) {
+        val dir = new Path(path)
+        val fs = dir.getFileSystem(BtrTableMeta.hadoopConf())
+        val root = fs.makeQualified(dir)
+        val resolved =
+          if (v == "latest") BtrLog.latestVersion(fs, root).getOrElse(
+            throw new IllegalArgumentException(
+              s"btr.startingVersion=latest: no snapshot log at $root"))
+          else v.toLong
+        val entry = BtrLog.readEntry(fs, root, resolved)
+        writeLogFile(seenPath(-1L), entry.files)
+      }
+    }
+    LogOffset(-1L)
+  }
 
   // SupportsAdmissionControl drives batch sizing; the legacy no-arg
   // variant must not be called once the control interface is implemented

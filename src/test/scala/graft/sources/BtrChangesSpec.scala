@@ -131,6 +131,37 @@ class BtrChangesSpec extends AnyFunSuite {
     assert(upTo == Seq("c", "d"))
   }
 
+  test("streaming source with btr.startingVersion emits only post-snapshot data") {
+    val dir = tmp("stream-sv")
+    import spark.implicits._
+    Seq(1, 2, 3).toDF("x").write.format("btr").mode("overwrite").save(dir) // v1
+    Seq(4, 5).toDF("x").write.format("btr").mode("append").save(dir)       // v2
+
+    val stream = spark.readStream.format("btr")
+      .option("btr.startingVersion", "1").load(dir)
+    val q = stream.writeStream.format("memory").queryName("sv_out").start()
+    try {
+      q.processAllAvailable()
+      // v1's rows are seeded as seen: only v2 emits
+      assert(spark.table("sv_out").as[Int].collect().sorted.toSeq == Seq(4, 5))
+      Seq(6).toDF("x").write.format("btr").mode("append").save(dir)        // v3
+      q.processAllAvailable()
+      assert(spark.table("sv_out").as[Int].collect().sorted.toSeq == Seq(4, 5, 6))
+    } finally q.stop()
+
+    // 'latest' on a fresh checkpoint: nothing historical emits
+    val q2 = spark.readStream.format("btr")
+      .option("btr.startingVersion", "latest").load(dir)
+      .writeStream.format("memory").queryName("sv_latest").start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.table("sv_latest").count() == 0)
+      Seq(7).toDF("x").write.format("btr").mode("append").save(dir)
+      q2.processAllAvailable()
+      assert(spark.table("sv_latest").as[Int].collect().toSeq == Seq(7))
+    } finally q2.stop()
+  }
+
   test("change-feed options exclude time travel and validate bounds") {
     val dir = tmp("valid")
     import spark.implicits._
