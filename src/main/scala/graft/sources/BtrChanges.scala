@@ -60,11 +60,15 @@ object BtrChanges {
     * (attribution would be a guess).
     */
   def resolveAdded(fs: FileSystem, root: Path, fromVersion: Long, toVersion: Long): Added = {
-    require(fromVersion >= 1, s"btr: changes need a committed base version, got $fromVersion")
-    require(toVersion >= fromVersion,
+    require(fromVersion >= 0,
+      s"btr: changes need a base version >= 0 (0 = bootstrap: everything up to `to`), " +
+        s"got $fromVersion")
+    require(toVersion >= math.max(fromVersion, 1L),
       s"btr: change range is (from, to] with to >= from — got from=$fromVersion to=$toVersion")
-    val entries = (fromVersion to toVersion).map(v => BtrLog.readEntry(fs, root, v))
-    val fromSet = entries.head.files.toSet
+    // from = 0 bootstraps: the empty pre-table snapshot (requires v1..to
+    // retained so attribution stays exact)
+    val entries = (math.max(fromVersion, 1L) to toVersion).map(v => BtrLog.readEntry(fs, root, v))
+    val fromSet = if (fromVersion == 0) Set.empty[String] else entries.head.files.toSet
     val toSet = entries.last.files.toSet
     val removed = fromSet -- toSet
     if (removed.nonEmpty) {
@@ -89,7 +93,8 @@ object BtrChanges {
     // and later re-homed by a mid-range compaction attributes once
     val versionOf = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     var prev = fromSet
-    entries.tail.foreach { e =>
+    val walk = if (fromVersion == 0) entries else entries.tail
+    walk.foreach { e =>
       val cur = e.files.toSet
       e.files.foreach { f =>
         if (!prev.contains(f) && toSet.contains(f) && !versionOf.contains(f)) {

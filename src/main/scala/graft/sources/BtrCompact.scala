@@ -188,8 +188,16 @@ object BtrCompact {
     // here would silently inflate a small-block table's row groups and
     // destroy the chunk-skipping granularity the rewrite exists to restore
     val (blockSize, cascade) = BtrTableMeta.readGeometry(fs, root)
+    // the staging write must keep the table's SLOT layout (column
+    // mapping): a plain overwrite into the empty staging dir would write
+    // only the logical columns, and after the swap the table meta's
+    // tombstone slots would mis-map every rewritten file. Seeding the
+    // staging dir with the table meta and APPENDING makes the writer
+    // compute the same tombstone slot projection the final location
+    // expects (identity for unmapped tables — meta equals the df schema).
+    BtrTableMeta.write(fs, staging, BtrTableMeta.readSchema(fs, root), blockSize, cascade, Nil)
     layout(df, numFiles)
-      .write.format("btr").mode("overwrite")
+      .write.format("btr").mode("append")
       .option("btr.blockSize", blockSize).option("btr.maxCascadeDepth", cascade)
       .save(staging.toString)
     // swap under a journal: readers see the OLD file set until every

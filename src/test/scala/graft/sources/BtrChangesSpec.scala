@@ -17,6 +17,7 @@ class BtrChangesSpec extends AnyFunSuite {
     .master("local[4]")
     .appName("changes-spec")
     .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.catalog.graft", "graft.sources.BtrCatalog")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
@@ -129,6 +130,31 @@ class BtrChangesSpec extends AnyFunSuite {
     val upTo = spark.sql(s"SELECT s FROM btr_changes('$dir', 1)")
       .as[String].collect().sorted.toSeq
     assert(upTo == Seq("c", "d"))
+  }
+
+  test("from = 0 bootstraps: the whole table, attributed per commit") {
+    val dir = tmp("bootstrap")
+    import spark.implicits._
+    Seq(1, 2).toDF("x").write.format("btr").mode("overwrite").save(dir) // v1
+    Seq(3).toDF("x").write.format("btr").mode("append").save(dir)       // v2
+
+    val all = BtrChanges.between(spark, dir, 0L, 2L)
+      .select(col("x"), col("_commit_version"))
+      .as[(Int, Long)].collect().sortBy(_._1).toSeq
+    assert(all == Seq((1, 1L), (2, 1L), (3, 2L)))
+  }
+
+  test("the feed reads files added before a RENAME under the current schema") {
+    val dir = tmp("feed-rename")
+    import spark.implicits._
+    graft.GraftExtensions.register(spark)
+    Seq((1, "a")).toDF("id", "tag").write.format("btr").mode("overwrite").save(dir) // v1
+    Seq((2, "b")).toDF("id", "tag").write.format("btr").mode("append").save(dir)    // v2
+    spark.sql(s"ALTER TABLE graft.`$dir` RENAME COLUMN tag TO label")
+
+    val feed = BtrChanges.between(spark, dir, 1L, 2L)
+    assert(feed.columns.take(2).toSeq == Seq("id", "label"))
+    assert(feed.select("id", "label").as[(Int, String)].collect().toSeq == Seq((2, "b")))
   }
 
   test("streaming source with btr.startingVersion emits only post-snapshot data") {

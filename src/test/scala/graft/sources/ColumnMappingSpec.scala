@@ -192,6 +192,28 @@ class ColumnMappingSpec extends AnyFunSuite {
       Seq((1, 10L), (2, 20L), (3, 30L), (4, 40L)))
   }
 
+  test("OPTIMIZE (footer compact + clustered rewrite) preserves a mapped table") {
+    val dir = tmp("optimize")
+    import spark.implicits._
+    (1 to 500).map(i => (i, s"j$i", i * 2L)).toDF("id", "junk", "v")
+      .repartition(4).write.format("btr").mode("overwrite").save(dir)
+    sql(s"ALTER TABLE graft.`$dir` DROP COLUMN junk")
+    (501 to 600).map(i => (i, i * 2L)).toDF("id", "v")
+      .repartition(2).write.format("btr").mode("append").save(dir)
+
+    // footer-level compact: splices byte-identical slot layouts per bin
+    BtrCompact.compact(spark, dir, 128L * 1024 * 1024)
+    assert(spark.read.format("btr").load(dir).agg(sum("v")).as[Long].head() ==
+      (1 to 600).map(_ * 2L).sum)
+
+    // clustered rewrite reads logical rows and writes the slot layout
+    BtrCompact.rewriteClustered(spark, dir, Seq("id"))
+    val t = spark.read.format("btr").load(dir)
+    assert(t.columns.toSeq == Seq("id", "v"))
+    assert(t.agg(sum("v")).as[Long].head() == (1 to 600).map(_ * 2L).sum)
+    assert(t.filter(col("id") === 77).select("v").as[Long].head() == 154L)
+  }
+
   test("metadata-only aggregates and describe stay correct over tombstone slots") {
     val dir = tmp("agg")
     import spark.implicits._

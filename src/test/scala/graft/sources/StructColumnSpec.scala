@@ -128,6 +128,24 @@ class StructColumnSpec extends AnyFunSuite {
     assert(e.getMessage.contains("SCALAR"), e.getMessage)
   }
 
+  test("OPTIMIZE compact and clustered rewrite preserve struct columns") {
+    val dir = tmp("optimize")
+    import spark.implicits._
+    spark.range(0, 2000).select(col("id"),
+        struct((col("id") % 10).as("g"), concat(lit("v"), col("id")).as("s")).as("rec"))
+      .repartition(4).write.format("btr").mode("overwrite").save(dir)
+
+    BtrCompact.compact(spark, dir, 128L * 1024 * 1024)
+    val afterCompact = spark.read.format("btr").load(dir)
+    assert(afterCompact.count() == 2000)
+    assert(afterCompact.filter(col("rec.g") === 3).count() == 200)
+
+    BtrCompact.rewriteClustered(spark, dir, Seq("id"))
+    val t = spark.read.format("btr").load(dir)
+    assert(t.filter(col("rec.g") === 3).count() == 200)
+    assert(t.filter(col("id") === 55).select(col("rec.s")).as[String].head() == "v55")
+  }
+
   test("multimodal-style metadata struct: filter + group over leaves") {
     val dir = tmp("meta")
     import spark.implicits._
