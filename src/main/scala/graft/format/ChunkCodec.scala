@@ -176,6 +176,9 @@ object ChunkCodec {
       // split-block bloom over distinct value hashes (int/string family),
       // null when disabled or the chunk's cardinality exceeds the budget
       bloom: Array[Int] = null,
+      // struct columns: per-leaf scalar stats (file leaf order) for
+      // planning-time chunk skipping on leaf predicates
+      leafStats: Array[ChunkStats] = null,
       // int-family chunk sum over non-null values (ORC-style) for SUM
       // aggregate pushdown; wrapped on overflow with the flag set (wrap
       // is exact for LongType sums — Spark wraps too — but a decimal sum
@@ -202,6 +205,77 @@ object ChunkCodec {
       while (i >= 0 && t(i) == -1) i -= 1 // 0xFF bytes can't be incremented
       if (i < 0) null
       else { t(i) = (t(i) + 1).toByte; java.util.Arrays.copyOf(t, i + 1) }
+    }
+  }
+
+  /** Stats WITHOUT encoding — the struct-leaf path (leaves encode via
+    * their codec directly; this supplies the skip bounds). Same
+    * semantics as the inline stat loops of [[encode]]: int-family
+    * min/max over non-null values (sum deliberately absent — leaf SUM
+    * pushdown doesn't exist, and a zero sum would be a wrong answer
+    * waiting for a caller), double/float NaN-aware min/max, string
+    * byte-bounds with Parquet-style truncation + exactness flags.
+    */
+  private def scalarStats(chunk: ColumnChunk): ChunkStats = {
+    val tag = chunk.tag
+    var nulls = 0
+    var i = 0
+    while (i < chunk.count) { if (chunk.isNull(i)) nulls += 1; i += 1 }
+    if (PhysType.isIntFamily(tag)) {
+      var mn = Long.MaxValue
+      var mx = Long.MinValue
+      var has = false
+      i = 0
+      while (i < chunk.count) {
+        if (!chunk.isNull(i)) {
+          val v = chunk.longs(i)
+          if (v < mn) mn = v
+          if (v > mx) mx = v
+          has = true
+        }
+        i += 1
+      }
+      if (!has) ChunkStats(nulls, 0, 0, 0, 0, hasMinMax = false)
+      else ChunkStats(nulls, mn, mx, 0, 0, hasMinMax = true, sumOverflow = true)
+    } else if (tag == PhysType.Double || tag == PhysType.Float) {
+      var mn = java.lang.Double.POSITIVE_INFINITY
+      var mx = java.lang.Double.NEGATIVE_INFINITY
+      var has = false
+      var sawNaN = false
+      i = 0
+      while (i < chunk.count) {
+        if (!chunk.isNull(i)) {
+          val v =
+            if (tag == PhysType.Float) java.lang.Float.intBitsToFloat(chunk.longs(i).toInt).toDouble
+            else chunk.doubles(i)
+          if (java.lang.Double.isNaN(v)) sawNaN = true
+          else {
+            if (v < mn) mn = v
+            if (v > mx) mx = v
+            has = true
+          }
+        }
+        i += 1
+      }
+      if (!has && sawNaN) { mn = java.lang.Double.NaN; mx = java.lang.Double.NaN }
+      if (!has && !sawNaN) ChunkStats(nulls, 0, 0, 0, 0, hasMinMax = false)
+      else ChunkStats(nulls, 0, 0, mn, mx, hasMinMax = has, hasNaN = sawNaN)
+    } else {
+      var mn: Array[Byte] = null
+      var mx: Array[Byte] = null
+      i = 0
+      while (i < chunk.count) {
+        if (!chunk.isNull(i)) {
+          val v = chunk.strings(i)
+          if (mn == null || java.util.Arrays.compareUnsigned(v, mn) < 0) mn = v
+          if (mx == null || java.util.Arrays.compareUnsigned(v, mx) > 0) mx = v
+        }
+        i += 1
+      }
+      if (mn == null) ChunkStats(nulls, 0, 0, 0, 0, hasMinMax = false)
+      else ChunkStats(nulls, 0, 0, 0, 0, hasMinMax = true,
+        minBytes = truncMin(mn), maxBytes = truncMax(mx),
+        minExact = mn.length <= StringStatLen, maxExact = mx.length <= StringStatLen)
     }
   }
 
@@ -322,6 +396,7 @@ object ChunkCodec {
       out.putByte(leaves.length)
       var raw = 0L
       val scratch = new BufWriter(1 << 16)
+      val leafStats = new Array[ChunkStats](leaves.length)
       var j = 0
       while (j < leaves.length) {
         val lc = leaves(j)
@@ -341,12 +416,14 @@ object ChunkCodec {
           while (k < lc.count) { raw += lc.strings(k).length; k += 1 }
           raw += 4L * lc.count
         }
+        leafStats(j) = scalarStats(lc)
         out.putByte(lt)
         out.putInt(scratch.pos)
         out.putBytes(scratch.backing, 0, scratch.pos)
         j += 1
       }
-      ChunkStats(nullCount, 0, 0, 0, 0, hasMinMax = false, rawBytes = raw)
+      ChunkStats(nullCount, 0, 0, 0, 0, hasMinMax = false, rawBytes = raw,
+        leafStats = leafStats)
     } else if (PhysType.isArrayFamily(tag)) {
       // [lengths cascade][i32 elemCount][element nullmap][element block] —
       // the variable-length layout of the string codec generalized to

@@ -40,7 +40,8 @@ object BtrFile {
   // distinct-value sketch, [[Hll]]) so planning reports table NDV to
   // Catalyst's cost-based optimizer from metadata alone. Writers always
   // emit the current version.
-  val Version = 6
+  // v7: struct-leaf stat entries (footer kind 4)
+  val Version = 7
   private val MinReadVersion = 4
   val DefaultBlockSize = 65536 // tuples per chunk, btrblocks.hpp:24
   val DefaultCascadeDepth = 3 // btrblocks.hpp:31,37,43
@@ -77,7 +78,14 @@ object BtrFile {
       // with the flag set (exact for LongType sums; decimal readers fall
       // back to a decode when flagged)
       sumLong: Long = 0L,
-      sumOverflow: Boolean = false
+      sumOverflow: Boolean = false,
+      // struct columns (footer kind 4, v7): per-leaf stat entries in file
+      // leaf order — offset/length 0 (the leaves live inside the parent's
+      // blob), nullCount + statsKind + bounds populated like a scalar
+      // column's, so chunk skipping on `rec.a` reuses the scalar probes.
+      // Leaf nullCounts COUNT struct-null rows (the writer null-fills
+      // leaves under a null struct), matching SQL's rec.a IS NULL.
+      leafStats: Array[ColumnChunkMeta] = null
   )
 
   final case class RowGroupMeta(numRows: Int, columns: Array[ColumnChunkMeta])
@@ -111,6 +119,25 @@ object BtrFile {
   /** The footer body alone (no trailing length/magic) — shared by the
     * per-file footer and the table-level footer index sidecar.
     */
+  /** One stat entry's payload (kinds 1-3; kind 0 writes nothing) —
+    * shared by top-level columns and struct leaves.
+    */
+  private def writeStatPayload(out: BufWriter, c: ColumnChunkMeta): Unit = c.statsKind match {
+    case 1 =>
+      out.putLong(c.minLong); out.putLong(c.maxLong)
+      out.putByte(if (c.sumOverflow) 1 else 0); out.putLong(c.sumLong)
+    case 2 =>
+      out.putByte(if (c.hasNaN) 1 else 0)
+      out.putDouble(c.minDouble); out.putDouble(c.maxDouble)
+    case 3 =>
+      val flags = (if (c.minBytes != null) 1 else 0) | (if (c.maxBytes != null) 2 else 0) |
+        (if (c.minExact) 4 else 0) | (if (c.maxExact) 8 else 0)
+      out.putByte(flags)
+      if (c.minBytes != null) { out.putByte(c.minBytes.length); out.putBytes(c.minBytes) }
+      if (c.maxBytes != null) { out.putByte(c.maxBytes.length); out.putBytes(c.maxBytes) }
+    case _ => ()
+  }
+
   def writeFooterBody(out: BufWriter, footer: Footer, numCols: Int): Unit = {
     out.putInt(footer.rowGroups.length)
     out.putInt(numCols)
@@ -143,22 +170,18 @@ object BtrFile {
         out.putLong(c.offset)
         out.putInt(c.length)
         out.putInt(c.nullCount)
-        out.putByte(c.statsKind)
-        c.statsKind match {
-          case 1 =>
-            out.putLong(c.minLong); out.putLong(c.maxLong)
-            out.putByte(if (c.sumOverflow) 1 else 0); out.putLong(c.sumLong)
-          case 2 =>
-            out.putByte(if (c.hasNaN) 1 else 0)
-            out.putDouble(c.minDouble); out.putDouble(c.maxDouble)
-          case 3 =>
-            val flags = (if (c.minBytes != null) 1 else 0) | (if (c.maxBytes != null) 2 else 0) |
-              (if (c.minExact) 4 else 0) | (if (c.maxExact) 8 else 0)
-            out.putByte(flags)
-            if (c.minBytes != null) { out.putByte(c.minBytes.length); out.putBytes(c.minBytes) }
-            if (c.maxBytes != null) { out.putByte(c.maxBytes.length); out.putBytes(c.maxBytes) }
-          case _ => ()
-        }
+        // kind 4 (v7): struct column with per-leaf stats — the column
+        // itself has no top-level bounds; each leaf carries a scalar
+        // stat entry
+        out.putByte(if (c.leafStats != null) 4 else c.statsKind)
+        if (c.leafStats != null) {
+          out.putByte(c.leafStats.length)
+          c.leafStats.foreach { lf =>
+            out.putInt(lf.nullCount)
+            out.putByte(lf.statsKind)
+            writeStatPayload(out, lf)
+          }
+        } else writeStatPayload(out, c)
         // v3: optional bloom bits (u32 word count, 0 = none)
         if (c.bloom == null) out.putInt(0)
         else {
@@ -273,25 +296,39 @@ object BtrFile {
         val l = in.getInt()
         val nulls = in.getInt()
         val kind = in.getByte()
-        val parsed = kind match {
+        def payload(o: Long, len: Int, nc: Int, k: Int): ColumnChunkMeta = k match {
           case 1 =>
             val mn = in.getLong(); val mx = in.getLong()
             val sumOver = in.getByte() != 0
             val sum = in.getLong()
-            ColumnChunkMeta(off, l, nulls, 1, mn, mx, 0, 0,
+            ColumnChunkMeta(o, len, nc, 1, mn, mx, 0, 0,
               sumLong = sum, sumOverflow = sumOver)
           case 2 =>
             val nan = in.getByte() != 0
             val mn = in.getDouble(); val mx = in.getDouble()
-            ColumnChunkMeta(off, l, nulls, 2, 0, 0, mn, mx, hasNaN = nan)
+            ColumnChunkMeta(o, len, nc, 2, 0, 0, mn, mx, hasNaN = nan)
           case 3 =>
             val flags = in.getByte()
             val mn = if ((flags & 1) != 0) in.getBytes(in.getByte()) else null
             val mx = if ((flags & 2) != 0) in.getBytes(in.getByte()) else null
-            ColumnChunkMeta(off, l, nulls, 3, 0, 0, 0, 0, mn, mx,
+            ColumnChunkMeta(o, len, nc, 3, 0, 0, 0, 0, mn, mx,
               minExact = (flags & 4) != 0, maxExact = (flags & 8) != 0)
-          case _ => ColumnChunkMeta(off, l, nulls, 0, 0, 0, 0, 0)
+          case _ => ColumnChunkMeta(o, len, nc, 0, 0, 0, 0, 0)
         }
+        val parsed =
+          if (kind == 4) {
+            // struct leaf stats (v7): per-leaf scalar entries
+            val leafCount = in.getByte()
+            val leaves = new Array[ColumnChunkMeta](leafCount)
+            var lf = 0
+            while (lf < leafCount) {
+              val lnc = in.getInt()
+              val lk = in.getByte()
+              leaves(lf) = payload(0, 0, lnc, lk)
+              lf += 1
+            }
+            ColumnChunkMeta(off, l, nulls, 0, 0, 0, 0, 0, leafStats = leaves)
+          } else payload(off, l, nulls, kind)
         val bloomWords = in.getInt()
         cols(c) =
           if (bloomWords == 0) parsed

@@ -29,7 +29,7 @@ class BtrScanBuilder(path: String, tableSchema: StructType, options: CaseInsensi
     pinnedTsMicros: Option[Long] = None)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters
+    with SupportsPushDownV2Filters
     with SupportsPushDownAggregates
     with SupportsPushDownLimit {
 
@@ -43,20 +43,35 @@ class BtrScanBuilder(path: String, tableSchema: StructType, options: CaseInsensi
     requiredSchema = required
   }
 
-  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    // keep every filter that references only columns with usable stats
-    // for chunk skipping, plus filters on the `_file` metadata column
-    // (pruned at FILE granularity — `WHERE _file = '...'` provenance
-    // queries read one file); ALL filters remain post-scan residuals
-    // (correctness never depends on skipping)
-    pushed = filters.filter(f =>
-      ChunkSkip.supports(tableSchema, f) ||
-        (BtrScan.fileColActive(tableSchema) &&
-          f.references.nonEmpty && f.references.forall(_ == BtrScan.FileMetaCol)))
-    filters
+  // V2 predicate pushdown (SupportsPushDownV2Filters) so NESTED column
+  // references reach the scan — V1 Filter translation never carries
+  // them. Each predicate converts to the equivalent V1 Filter (dotted
+  // attribute names for struct leaves) and the scan machinery keeps
+  // operating on Filters: chunk skipping / partition pruning for
+  // top-level statable columns, late materialization for struct-leaf
+  // predicates, `_file` pruning for provenance queries. ALL predicates
+  // remain post-scan residuals (correctness never depends on skipping).
+  private var pushedV2: Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+    Array.empty
+
+  override def pushPredicates(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] = {
+    val kept = predicates.flatMap { p =>
+      BtrV2Filters.toV1(p).collect {
+        case f if ChunkSkip.supports(tableSchema, f) ||
+          BtrLateMat.supportsNested(tableSchema, f) ||
+          (BtrScan.fileColActive(tableSchema) &&
+            f.references.nonEmpty && f.references.forall(_ == BtrScan.FileMetaCol)) => (p, f)
+      }
+    }
+    pushedV2 = kept.map(_._1)
+    pushed = kept.map(_._2)
+    predicates
   }
 
-  override def pushedFilters(): Array[Filter] = pushed
+  override def pushedPredicates(): Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+    pushedV2
 
   // limit pushdown: Spark only offers a limit when everything between it
   // and the scan is already pushed, so planning fewer row groups is safe
@@ -2602,13 +2617,16 @@ object BtrLateMat {
       // null IN-values never make the predicate TRUE — evaluate the rest
       inPred(schema, vectors, a, vs.filter(_ != null))
     case IsNull(a) =>
-      col(schema, a).map(ci => (Seq(ci), (r: Int) => vectors(ci).isNullAt(r)))
+      col(schema, vectors, a).map { case (ci, vec, _) =>
+        (Seq(ci), (r: Int) => vec.isNullAt(r))
+      }
     case IsNotNull(a) =>
-      col(schema, a).map(ci => (Seq(ci), (r: Int) => !vectors(ci).isNullAt(r)))
+      col(schema, vectors, a).map { case (ci, vec, _) =>
+        (Seq(ci), (r: Int) => !vec.isNullAt(r))
+      }
     case StringStartsWith(a, v) if v != null =>
-      col(schema, a).filter(ci => schema.fields(ci).dataType == StringType).map { ci =>
+      col(schema, vectors, a).filter(_._3 == StringType).map { case (ci, vec, _) =>
         val prefix = org.apache.spark.unsafe.types.UTF8String.fromString(v)
-        val vec = vectors(ci)
         (Seq(ci), (r: Int) => !vec.isNullAt(r) && vec.getUTF8String(r).startsWith(prefix))
       }
     case And(l, r) =>
@@ -2627,17 +2645,72 @@ object BtrLateMat {
     case _ => None
   }
 
-  private def col(schema: StructType, a: String): Option[Int] = {
+  /** Resolve an attribute to (decode-dependency column index, value
+    * vector, type). Dotted names resolve one struct level: "rec.a" reads
+    * the struct column's CHILD vector, with the struct column as the
+    * decode dependency. Child nulls subsume struct nulls (the writer
+    * null-fills leaves under a null struct), so SQL's null-propagating
+    * comparison semantics fall out of the child's single isNullAt.
+    */
+  private def col(schema: StructType, vectors: Array[OnHeapColumnVector], a: String)
+      : Option[(Int, OnHeapColumnVector, DataType)] = {
     val i = schema.fields.indexWhere(_.name == a)
-    if (i < 0) None else Some(i)
+    if (i >= 0) return Some((i, vectors(i), schema.fields(i).dataType))
+    val dot = a.indexOf('.')
+    if (dot <= 0) return None
+    val pi = schema.fields.indexWhere(_.name == a.substring(0, dot))
+    if (pi < 0) return None
+    schema.fields(pi).dataType match {
+      case st: StructType =>
+        val li = st.fields.indexWhere(_.name == a.substring(dot + 1))
+        if (li < 0) None
+        else Some((pi, vectors(pi).getChild(li).asInstanceOf[OnHeapColumnVector],
+          st.fields(li).dataType))
+      case _ => None
+    }
+  }
+
+  /** Can [[build]] evaluate this filter given vectors? The nested-
+    * resolving admission check for pushFilters: a dotted struct-leaf
+    * reference that ChunkSkip (stats-based, top-level only) would
+    * reject still earns its keep through late materialization. A pushed
+    * filter build() later declines is harmless — every filter stays a
+    * residual above the scan.
+    */
+  def supportsNested(schema: StructType, f: Filter): Boolean = {
+    def leafOk(a: String): Boolean = {
+      if (!a.contains('.') || schema.fieldNames.contains(a)) return false
+      val dot = a.indexOf('.')
+      schema.fields.find(_.name == a.substring(0, dot)).map(_.dataType) match {
+        case Some(st: StructType) => st.fieldNames.contains(a.substring(dot + 1))
+        case _ => false
+      }
+    }
+    f match {
+      case EqualTo(a, v) => leafOk(a) && v != null
+      case EqualNullSafe(a, _) => leafOk(a)
+      case GreaterThan(a, v) => leafOk(a) && v != null
+      case GreaterThanOrEqual(a, v) => leafOk(a) && v != null
+      case LessThan(a, v) => leafOk(a) && v != null
+      case LessThanOrEqual(a, v) => leafOk(a) && v != null
+      case In(a, vs) => leafOk(a) && vs != null && vs.nonEmpty
+      case StringStartsWith(a, v) => leafOk(a) && v != null && v.nonEmpty
+      case IsNull(a) => leafOk(a)
+      case IsNotNull(a) => leafOk(a)
+      case And(l, r) => supportsNested(schema, l) || supportsNested(schema, r)
+      case Or(l, r) =>
+        (supportsNested(schema, l) || ChunkSkip.supports(schema, l)) &&
+          (supportsNested(schema, r) || ChunkSkip.supports(schema, r)) &&
+          (supportsNested(schema, l) || supportsNested(schema, r))
+      case _ => false
+    }
   }
 
   private def cmp(schema: StructType, vectors: Array[OnHeapColumnVector], a: String, v: Any,
       ok: Int => Boolean): Option[(Seq[Int], Int => Boolean)] = {
     if (v == null) return None
-    col(schema, a).flatMap { ci =>
-      val vec = vectors(ci)
-      try schema.fields(ci).dataType match {
+    col(schema, vectors, a).flatMap { case (ci, vec, dt) =>
+      try dt match {
         case IntegerType | DateType =>
           val lit = ChunkSkip.toLongLit(v)
           Some((Seq(ci), (r: Int) =>
@@ -2697,13 +2770,12 @@ object BtrLateMat {
   private def inPred(schema: StructType, vectors: Array[OnHeapColumnVector], a: String,
       vs: Array[Any]): Option[(Seq[Int], Int => Boolean)] = {
     if (vs.isEmpty) return None
-    col(schema, a).flatMap { ci =>
-      val vec = vectors(ci)
-      try schema.fields(ci).dataType match {
+    col(schema, vectors, a).flatMap { case (ci, vec, dt) =>
+      try dt match {
         case IntegerType | DateType | LongType | TimestampType | TimestampNTZType |
             ShortType | ByteType | BooleanType =>
           val set = vs.map(ChunkSkip.toLongLit).toSet
-          val get: Int => Long = schema.fields(ci).dataType match {
+          val get: Int => Long = dt match {
             case IntegerType | DateType => r => vec.getInt(r).toLong
             case ShortType => r => vec.getShort(r).toLong
             case ByteType => r => vec.getByte(r).toLong
@@ -2736,7 +2808,7 @@ object ChunkSkip {
     case EqualTo(a, v) => statable(schema, a) && litOk(v)
     // null-safe equality: INSERT OVERWRITE's static PARTITION specs
     // arrive as `col <=> lit`
-    case EqualNullSafe(a, null) => schema.fieldNames.contains(a)
+    case EqualNullSafe(a, null) => resolveType(schema, a).isDefined
     case EqualNullSafe(a, v) => statable(schema, a) && litOk(v)
     case GreaterThan(a, v) => statable(schema, a) && litOk(v)
     case GreaterThanOrEqual(a, v) => statable(schema, a) && litOk(v)
@@ -2744,22 +2816,35 @@ object ChunkSkip {
     case LessThanOrEqual(a, v) => statable(schema, a) && litOk(v)
     case In(a, vs) => statable(schema, a) && vs.nonEmpty && vs.forall(litOk)
     case StringStartsWith(a, v) => statable(schema, a) && v != null && v.nonEmpty
-    case IsNull(a) => schema.fieldNames.contains(a)
-    case IsNotNull(a) => schema.fieldNames.contains(a)
+    case IsNull(a) => resolveType(schema, a).isDefined
+    case IsNotNull(a) => resolveType(schema, a).isDefined
     case And(l, r) => supports(schema, l) || supports(schema, r)
     case Or(l, r) => supports(schema, l) && supports(schema, r)
     case _ => false
   }
 
-  private def statable(schema: StructType, attr: String): Boolean =
-    schema.fields.find(_.name == attr).exists { f =>
-      f.dataType match {
-        case IntegerType | LongType | DateType | TimestampType | TimestampNTZType |
-            BooleanType | DoubleType | FloatType | ShortType | ByteType => true
-        case d: DecimalType if d.precision <= 18 => true
-        case StringType | BinaryType => true
-        case _ => false
+  /** Resolve an attribute's type: a direct field, or one struct level
+    * down for dotted names ("rec.a" → leaf a of struct column rec; v7
+    * footers carry per-leaf stats, so the same skip probes apply).
+    */
+  private[sources] def resolveType(schema: StructType, attr: String): Option[DataType] = {
+    schema.fields.find(_.name == attr).map(_.dataType).orElse {
+      val dot = attr.indexOf('.')
+      if (dot <= 0) None
+      else schema.fields.find(_.name == attr.substring(0, dot)).map(_.dataType).flatMap {
+        case st: StructType => st.fields.find(_.name == attr.substring(dot + 1)).map(_.dataType)
+        case _ => None
       }
+    }
+  }
+
+  private def statable(schema: StructType, attr: String): Boolean =
+    resolveType(schema, attr).exists {
+      case IntegerType | LongType | DateType | TimestampType | TimestampNTZType |
+          BooleanType | DoubleType | FloatType | ShortType | ByteType => true
+      case d: DecimalType if d.precision <= 18 => true
+      case StringType | BinaryType => true
+      case _ => false
     }
 
   private def litOk(v: Any): Boolean = v match {
@@ -2842,13 +2927,36 @@ object ChunkSkip {
   def canSkip(schema: StructType, rg: BtrFile.RowGroupMeta, f: Filter): Boolean = {
     def col(attr: String): Option[(BtrFile.ColumnChunkMeta, DataType)] = {
       val idx = schema.fieldNames.indexOf(attr)
-      if (idx < 0) None
-      // schema evolution: a file written before this column existed reads
-      // it as all null — a stats-free meta with nullCount == numRows
-      else if (idx >= rg.columns.length)
-        Some((BtrFile.ColumnChunkMeta(0, 0, rg.numRows, 0, 0, 0, 0, 0),
-          schema.fields(idx).dataType))
-      else Some((rg.columns(idx), schema.fields(idx).dataType))
+      if (idx >= 0) {
+        // schema evolution: a file written before this column existed
+        // reads it as all null — a stats-free meta with nullCount ==
+        // numRows
+        if (idx >= rg.columns.length)
+          return Some((BtrFile.ColumnChunkMeta(0, 0, rg.numRows, 0, 0, 0, 0, 0),
+            schema.fields(idx).dataType))
+        return Some((rg.columns(idx), schema.fields(idx).dataType))
+      }
+      // struct leaf ("rec.a"): v7 footers carry per-leaf stat entries;
+      // leaf nullCounts count struct-null rows, matching SQL semantics.
+      // Pre-v7 files (no leafStats) simply don't skip.
+      val dot = attr.indexOf('.')
+      if (dot <= 0) return None
+      val pi = schema.fieldNames.indexOf(attr.substring(0, dot))
+      if (pi < 0) return None
+      schema.fields(pi).dataType match {
+        case st: StructType =>
+          val li = st.fieldNames.indexOf(attr.substring(dot + 1))
+          if (li < 0) None
+          else if (pi >= rg.columns.length)
+            Some((BtrFile.ColumnChunkMeta(0, 0, rg.numRows, 0, 0, 0, 0, 0),
+              st.fields(li).dataType))
+          else {
+            val m = rg.columns(pi)
+            if (m.leafStats == null || li >= m.leafStats.length) None
+            else Some((m.leafStats(li), st.fields(li).dataType))
+          }
+        case _ => None
+      }
     }
     // null never satisfies a value comparison: an all-null chunk skips
     // every EqualTo/range/In/startsWith probe regardless of stats

@@ -1087,14 +1087,27 @@ class BtrDataWriter(path: String, schema: StructType, blockSize: Int, cascade: I
         if (colNdv == null) null else colNdv(c), ndvP)
       val blobLen = encodeBuf.pos
       out.write(encodeBuf.backing, 0, blobLen)
-      val statsKind =
-        if (PhysType.isIntFamily(tag)) { if (stats.hasMinMax) 1 else 0 }
+      def kindOf(t: Int, s: graft.format.ChunkCodec.ChunkStats): Int =
+        if (PhysType.isIntFamily(t)) { if (s.hasMinMax) 1 else 0 }
         // an all-NaN double chunk still records kind 2 (NaN placeholders +
         // flag) so NaN-exact MIN/MAX pushdown sees it
-        else if (tag == PhysType.Double || tag == PhysType.Float) {
-          if (stats.hasMinMax || stats.hasNaN) 2 else 0
-        } else if (PhysType.isStringFamily(tag)) { if (stats.hasMinMax) 3 else 0 }
+        else if (t == PhysType.Double || t == PhysType.Float) {
+          if (s.hasMinMax || s.hasNaN) 2 else 0
+        } else if (PhysType.isStringFamily(t)) { if (s.hasMinMax) 3 else 0 }
         else 0
+      val statsKind = kindOf(tag, stats)
+      // struct columns: per-leaf stat entries (footer kind 4) so chunk
+      // skipping prunes on leaf predicates at planning
+      val leafMetas: Array[BtrFile.ColumnChunkMeta] =
+        if (stats.leafStats == null) null
+        else stats.leafStats.zipWithIndex.map { case (ls, j) =>
+          BtrFile.ColumnChunkMeta(0, 0, ls.nullCount,
+            kindOf(chunk.structLeaves(j).tag, ls),
+            ls.minLong, ls.maxLong, ls.minDouble, ls.maxDouble,
+            minBytes = ls.minBytes, maxBytes = ls.maxBytes,
+            minExact = ls.minExact, maxExact = ls.maxExact,
+            hasNaN = ls.hasNaN, sumLong = ls.sumLong, sumOverflow = ls.sumOverflow)
+        }
       colMetas(c) = BtrFile.ColumnChunkMeta(
         offset = bytesWritten,
         length = blobLen,
@@ -1111,7 +1124,8 @@ class BtrDataWriter(path: String, schema: StructType, blockSize: Int, cascade: I
         hasNaN = stats.hasNaN,
         bloom = stats.bloom,
         sumLong = stats.sumLong,
-        sumOverflow = stats.sumOverflow
+        sumOverflow = stats.sumOverflow,
+        leafStats = leafMetas
       )
       bytesWritten += blobLen
       colNulls(c) += stats.nullCount

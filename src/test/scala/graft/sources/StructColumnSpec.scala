@@ -128,6 +128,69 @@ class StructColumnSpec extends AnyFunSuite {
     assert(e.getMessage.contains("SCALAR"), e.getMessage)
   }
 
+  test("struct-leaf predicates push (V2) and late-materialize: empty groups skip siblings") {
+    val dir = tmp("latemat")
+    import spark.implicits._
+    // every chunk's leaf g straddles 0..100, so planning can't skip; a
+    // row-level look at g proves interior-range groups empty
+    spark.range(0, 8192).select(
+        struct((when(col("id") % 2 === 0, 0).otherwise(100)).as("g"),
+          concat(lit("payload-"), col("id"), lit("x" * 20)).as("s")).as("rec"),
+        col("id"))
+      .coalesce(1).write.format("btr").option("btr.blockSize", "512")
+      .mode("overwrite").save(dir)
+
+    val back = spark.read.format("btr").load(dir)
+    val plan = back.filter(col("rec.g") > 40 && col("rec.g") < 60)
+      .queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(plan.contains("rec.g"), s"nested predicate not pushed: $plan")
+
+    val skipped0 = BtrLateMat.groupsSkipped.get()
+    assert(back.filter(col("rec.g") > 40 && col("rec.g") < 60).count() == 0)
+    val skipped = BtrLateMat.groupsSkipped.get() - skipped0
+    assert(skipped >= 8, s"expected row groups skipped via the leaf predicate, got $skipped")
+
+    // null-semantics sanity on the same path: struct-null rows fail
+    // rec.g comparisons, match IS NULL
+    val nd = tmp("latemat-nulls")
+    spark.range(0, 100).select(col("id"),
+        when(col("id") % 4 === 0, lit(null))
+          .otherwise(struct(col("id").as("g"))).as("rec"))
+      .write.format("btr").mode("overwrite").save(nd)
+    val t = spark.read.format("btr").load(nd)
+    assert(t.filter(col("rec.g") >= 0).count() == 75)
+    assert(t.filter(col("rec.g").isNull).count() == 25)
+  }
+
+  test("leaf stats skip chunks at planning: a clustered leaf range decodes one group") {
+    val dir = tmp("leafskip")
+    import spark.implicits._
+    // leaf g is sorted, so each 512-row chunk covers a disjoint g range;
+    // v7 footers carry per-leaf min/max — an interior point predicate
+    // must plan (and decode) only the one covering group
+    spark.range(0, 8192).select(
+        struct(col("id").as("g"),
+          concat(lit("p"), lpad(col("id").cast("string"), 5, "0")).as("s")).as("rec"))
+      .coalesce(1).write.format("btr").option("btr.blockSize", "512")
+      .mode("overwrite").save(dir)
+
+    val back = spark.read.format("btr").load(dir)
+    // the decode counter is global and suites run in parallel — measure
+    // in a retry loop and accept the quietest observation (a true
+    // skip-failure decodes all 16 groups on EVERY attempt)
+    def minDecodes(q: => Long): Long =
+      (0 until 5).map { _ =>
+        val d0 = BtrLateMat.chunkDecodes.get()
+        assert(q == 1L)
+        BtrLateMat.chunkDecodes.get() - d0
+      }.min
+    val intDecodes = minDecodes(back.filter(col("rec.g") === 4000).count())
+    assert(intDecodes <= 2, s"expected planning-time leaf skip, got $intDecodes chunk decodes")
+    // string leaf bounds skip too
+    val strDecodes = minDecodes(back.filter(col("rec.s") === "p04000").count())
+    assert(strDecodes <= 2, s"string leaf bounds did not skip: $strDecodes")
+  }
+
   test("OPTIMIZE compact and clustered rewrite preserve struct columns") {
     val dir = tmp("optimize")
     import spark.implicits._
