@@ -132,6 +132,21 @@ class BtrChangesSpec extends AnyFunSuite {
     assert(upTo == Seq("c", "d"))
   }
 
+  test("the feed works on partitioned tables (partition dirs in the file set)") {
+    val dir = tmp("partitioned")
+    import spark.implicits._
+    Seq((1, "a"), (2, "b")).toDF("x", "p")
+      .write.format("btr").partitionBy("p").mode("overwrite").save(dir) // v1
+    Seq((3, "a"), (4, "c")).toDF("x", "p")
+      .write.format("btr").partitionBy("p").mode("append").save(dir)    // v2
+
+    val feed = BtrChanges.between(spark, dir, 1L, 2L)
+    assert(feed.select("x", "p").as[(Int, String)].collect().sortBy(_._1).toSeq ==
+      Seq((3, "a"), (4, "c")))
+    // partition pruning composes with the feed restriction
+    assert(feed.filter(col("p") === "c").select("x").as[Int].collect().toSeq == Seq(4))
+  }
+
   test("from = 0 bootstraps: the whole table, attributed per commit") {
     val dir = tmp("bootstrap")
     import spark.implicits._
