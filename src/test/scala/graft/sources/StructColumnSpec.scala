@@ -191,6 +191,30 @@ class StructColumnSpec extends AnyFunSuite {
     assert(strDecodes <= 2, s"string leaf bounds did not skip: $strDecodes")
   }
 
+  test("OPTIMIZE CLUSTER BY a struct leaf makes leaf stats disjoint again") {
+    val dir = tmp("cluster-leaf")
+    import spark.implicits._
+    // unordered leaf: every chunk straddles the full range → no skip
+    spark.range(0, 8192).select(
+        struct(((col("id") * 2654435761L) % 8192).as("g"),
+          concat(lit("p"), col("id")).as("s")).as("rec"))
+      .coalesce(1).write.format("btr").option("btr.blockSize", "512")
+      .mode("overwrite").save(dir)
+
+    BtrCompact.rewriteClustered(spark, dir, Seq("rec.g"))
+
+    val back = spark.read.format("btr").load(dir)
+    val want = back.filter(col("rec.g") === 4000).count()
+    def minDecodes(q: => Long): Long =
+      (0 until 5).map { _ =>
+        val d0 = BtrLateMat.chunkDecodes.get()
+        assert(q == want)
+        BtrLateMat.chunkDecodes.get() - d0
+      }.min
+    val decodes = minDecodes(back.filter(col("rec.g") === 4000).count())
+    assert(decodes <= 3, s"clustered leaf should skip to ~1 group, got $decodes")
+  }
+
   test("OPTIMIZE compact and clustered rewrite preserve struct columns") {
     val dir = tmp("optimize")
     import spark.implicits._
