@@ -226,6 +226,27 @@ object PipelineQueries {
     }),
 
     // token count: whitespace tokenization per doc
+    // token arrays STORED as array<string> in the format: tokenize once
+    // at write, then query the materialized lists — the layout a
+    // tokenized training corpus actually uses (re-tokenizing per query
+    // burns the regex on every pass). Round-trips through the btr
+    // array<string> element stream; DuckDB recomputes from raw text.
+    "q_token_arrays" -> ((s, d) => {
+      val dir = Btr.cachePath(d, "documents_tokens")
+      if (!new java.io.File(dir, "_btr_meta.json").exists()) {
+        t(s, d, "documents")
+          .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+          .write.format("btr").mode("overwrite").save(dir)
+      }
+      s.read.format("btr").load(dir)
+        .select(col("doc_id"), size(col("toks")).as("n_toks"),
+          element_at(col("toks"), 1).as("first_tok"))
+        .groupBy((col("doc_id") % 10).as("bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("sum_toks"),
+          min(col("first_tok")).as("min_first"))
+        .orderBy("bucket")
+    }),
+
     "q_token_count" -> ((s, d) => {
       t(s, d, "documents")
         .select(
@@ -672,6 +693,13 @@ object PipelineQueries {
       """SELECT count(*) AS n_docs,
         | count(DISTINCT lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS n_unique_fp
         |FROM documents""".stripMargin,
+    "q_token_arrays" ->
+      """WITH tk AS (SELECT doc_id,
+        |  regexp_split_to_array(trim(text), '\s+') AS toks FROM documents)
+        |SELECT CAST(doc_id % 10 AS BIGINT) AS bucket, count(*) AS n_docs,
+        | CAST(sum(length(toks)) AS BIGINT) AS sum_toks,
+        | min(toks[1]) AS min_first
+        |FROM tk GROUP BY 1 ORDER BY bucket""".stripMargin,
     "q_token_count" ->
       """SELECT doc_id,
         | length(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,

@@ -54,7 +54,9 @@ object BlockDescribe {
     val elemNulls = walkNullMap(in)
     val et = PhysType.elemTag(tag)
     val elemDesc =
-      if (et == PhysType.Double) describeDouble(in, ec) else describeInt(in, ec)
+      if (et == PhysType.Double) describeDouble(in, ec)
+      else if (et == PhysType.Str) describeString(in, ec)
+      else describeInt(in, ec)
     s"array(n_elems=$ec, lengths=$lensDesc, elem_nulls=$elemNulls, elems=$elemDesc)"
   }
 

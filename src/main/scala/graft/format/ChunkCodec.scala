@@ -28,6 +28,8 @@ object PhysType {
   // decimal(precision ≤ 18): stored as the unscaled long through the int
   // cascade (scale is schema metadata), so skipping/stats come for free
   val Decimal64 = 15
+  // array<string>: lengths cascade + flattened string-element stream
+  val ArrStr = 17
   // struct of scalar leaves: ONE footer column whose chunk blob is
   // self-describing — [u8 leafCount] then per leaf [u8 tag][i32 len]
   // [nullmap + codec payload] — so each leaf compresses under its own
@@ -51,6 +53,7 @@ object PhysType {
     case ArrayType(DoubleType, _) => ArrDouble
     case ArrayType(IntegerType, _) => ArrInt
     case ArrayType(LongType, _) => ArrLong
+    case ArrayType(StringType, _) => ArrStr
     case d: DecimalType if d.precision <= 18 => Decimal64
     case st: StructType =>
       require(st.fields.nonEmpty, "btr: empty struct type")
@@ -65,7 +68,7 @@ object PhysType {
     case other => throw new UnsupportedOperationException(s"btr: unsupported type $other")
   }
 
-  def isArrayFamily(tag: Int): Boolean = tag >= ArrFloat && tag <= ArrLong
+  def isArrayFamily(tag: Int): Boolean = (tag >= ArrFloat && tag <= ArrLong) || tag == ArrStr
 
   /** Element tag of an array family tag. */
   def elemTag(tag: Int): Int = tag match {
@@ -73,6 +76,7 @@ object PhysType {
     case ArrDouble => Double
     case ArrInt => Int32
     case ArrLong => Int64
+    case ArrStr => Str
     case other => throw new IllegalArgumentException(s"$other")
   }
 
@@ -136,6 +140,7 @@ final class ColumnChunk(val tag: Int, val count: Int) {
   var arrLens: Array[Int] = _
   var elemLongs: Array[Long] = _
   var elemDoubles: Array[Double] = _
+  var elemStrings: Array[Array[Byte]] = _
   var elemNull: Array[Boolean] = _
   var elemCount: Int = 0
 
@@ -144,6 +149,7 @@ final class ColumnChunk(val tag: Int, val count: Int) {
       val cap = math.max(n, 1024)
       elemNull = new Array[Boolean](cap)
       if (tag == PhysType.ArrDouble) elemDoubles = new Array[Double](cap)
+      else if (tag == PhysType.ArrStr) elemStrings = new Array[Array[Byte]](cap)
       else elemLongs = new Array[Long](cap)
     } else if (elemCount + n > elemNull.length) {
       val need = elemCount.toLong + n
@@ -155,6 +161,7 @@ final class ColumnChunk(val tag: Int, val count: Int) {
       elemNull = java.util.Arrays.copyOf(elemNull, capI)
       if (elemDoubles != null) elemDoubles = java.util.Arrays.copyOf(elemDoubles, capI)
       if (elemLongs != null) elemLongs = java.util.Arrays.copyOf(elemLongs, capI)
+      if (elemStrings != null) elemStrings = java.util.Arrays.copyOf(elemStrings, capI)
     }
   }
 
@@ -437,12 +444,21 @@ object ChunkCodec {
       val eNull = if (chunk.elemNull != null) chunk.elemNull else Array.emptyBooleanArray
       NullMap.encode(eNull, chunk.elemCount, out)
       val et = PhysType.elemTag(tag)
-      if (et == PhysType.Double)
+      var raw = 4L * chunk.count
+      if (et == PhysType.Double) {
         DoubleCodec.encode(out, chunk.elemDoubles, chunk.elemCount, cascadeDepth, cfg, seed + 7)
-      else
+        raw += chunk.elemCount.toLong * 8
+      } else if (et == PhysType.Str) {
+        // string elements ride the string codec whole (DICT/FSST select
+        // per element stream — token lists dictionary-encode heavily)
+        StringCodec.encode(out, chunk.elemStrings, chunk.elemCount, cascadeDepth, cfg, seed + 7)
+        var k = 0
+        while (k < chunk.elemCount) { raw += chunk.elemStrings(k).length + 4L; k += 1 }
+      } else {
         IntCodec.encode(out, chunk.elemLongs, chunk.elemCount, PhysType.physWidth(et), cascadeDepth, cfg, seed + 7)
-      ChunkStats(nullCount, 0, 0, 0, 0, hasMinMax = false,
-        rawBytes = 4L * chunk.count + chunk.elemCount.toLong * PhysType.physWidth(et))
+        raw += chunk.elemCount.toLong * PhysType.physWidth(et)
+      }
+      ChunkStats(nullCount, 0, 0, 0, 0, hasMinMax = false, rawBytes = raw)
     } else {
       cfg.forceString match {
         case Some(f) => StringCodec.encodeForced(f, out, chunk.strings, chunk.count, cascadeDepth, cfg, seed)
@@ -569,6 +585,11 @@ object ChunkCodec {
       if (PhysType.elemTag(tag) == PhysType.Double) {
         val elems = DoubleCodec.decode(in, elemCount)
         new Decoded(count, isNull, hasNulls, null, elems, null, null, lens, eNull, eHas, elemCount)
+      } else if (PhysType.elemTag(tag) == PhysType.Str) {
+        // strLens/strBytes carry the ELEMENT stream (arrLens present
+        // distinguishes the array view from a plain string column)
+        val (eLens, eBytes) = StringCodec.decode(in, elemCount)
+        new Decoded(count, isNull, hasNulls, null, null, eLens, eBytes, lens, eNull, eHas, elemCount)
       } else {
         val elems = IntCodec.decode(in, elemCount)
         new Decoded(count, isNull, hasNulls, elems, null, null, null, lens, eNull, eHas, elemCount)

@@ -2515,6 +2515,16 @@ class BtrColumnarReader(partition: BtrInputPartition, requiredSchema: StructType
               else child.putInt(e, dec.longs(e).toInt)
               e += 1
             }
+          case PhysType.Str =>
+            // string elements: strLens/strBytes carry the element stream
+            var off = 0
+            while (e < ec) {
+              val len = dec.strLens(e)
+              if (dec.elemHasNulls && dec.elemIsNull(e)) child.putNull(e)
+              else child.asInstanceOf[OnHeapColumnVector].putByteArray(e, dec.strBytes, off, len)
+              off += len
+              e += 1
+            }
           case _ => // Int64
             while (e < ec) {
               if (dec.elemHasNulls && dec.elemIsNull(e)) child.putNull(e)

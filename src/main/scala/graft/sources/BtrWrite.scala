@@ -1021,7 +1021,9 @@ class BtrDataWriter(path: String, schema: StructType, blockSize: Int, cascade: I
               val e = hold.elemCount
               if (arr.isNullAt(j)) {
                 hold.elemNull(e) = true
-                if (hold.elemLongs != null) hold.elemLongs(e) = 0L else hold.elemDoubles(e) = 0.0
+                if (hold.elemLongs != null) hold.elemLongs(e) = 0L
+                else if (hold.elemDoubles != null) hold.elemDoubles(e) = 0.0
+                else hold.elemStrings(e) = Array.emptyByteArray
               } else {
                 hold.elemNull(e) = false
                 at.elementType match {
@@ -1030,6 +1032,7 @@ class BtrDataWriter(path: String, schema: StructType, blockSize: Int, cascade: I
                   case DoubleType => hold.elemDoubles(e) = arr.getDouble(j)
                   case IntegerType => hold.elemLongs(e) = arr.getInt(j).toLong
                   case LongType => hold.elemLongs(e) = arr.getLong(j)
+                  case StringType => hold.elemStrings(e) = arr.getUTF8String(j).getBytes.clone()
                   case other => throw new UnsupportedOperationException(s"btr array elem: $other")
                 }
               }
@@ -1063,6 +1066,7 @@ class BtrDataWriter(path: String, schema: StructType, blockSize: Int, cascade: I
         chunk.arrLens = arrLenCols(c)
         chunk.elemLongs = hold.elemLongs
         chunk.elemDoubles = hold.elemDoubles
+        chunk.elemStrings = hold.elemStrings
         chunk.elemNull = hold.elemNull
         chunk.elemCount = hold.elemCount
       }
