@@ -226,6 +226,27 @@ object PipelineQueries {
     }),
 
     // token count: whitespace tokenization per doc
+    // document attributes STORED as map<string,string> in the format:
+    // the free-form metadata shape (source, license, lang tags) a real
+    // corpus carries per document. Round-trips the two element streams;
+    // DuckDB recomputes the same aggregation from the flat columns.
+    "q_map_attrs" -> ((s, d) => {
+      val dir = Btr.cachePath(d, "documents_attrs")
+      if (!new java.io.File(dir, "_btr_meta.json").exists()) {
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            map(lit("lang"), col("lang"),
+              lit("head"), substring(col("text"), 1, 8)).as("attrs"))
+          .write.format("btr").mode("overwrite").save(dir)
+      }
+      s.read.format("btr").load(dir)
+        .select(col("doc_id"), element_at(col("attrs"), "lang").as("lang"),
+          element_at(col("attrs"), "head").as("head"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), min(col("head")).as("min_head"))
+        .orderBy("lang")
+    }),
+
     // token arrays STORED as array<string> in the format: tokenize once
     // at write, then query the materialized lists — the layout a
     // tokenized training corpus actually uses (re-tokenizing per query
@@ -693,6 +714,10 @@ object PipelineQueries {
       """SELECT count(*) AS n_docs,
         | count(DISTINCT lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS n_unique_fp
         |FROM documents""".stripMargin,
+    "q_map_attrs" ->
+      """SELECT lang, count(*) AS n_docs,
+        | min(substring(text, 1, 8)) AS min_head
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q_token_arrays" ->
       """WITH tk AS (SELECT doc_id,
         |  regexp_split_to_array(trim(text), '\s+') AS toks FROM documents)

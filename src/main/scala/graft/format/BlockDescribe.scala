@@ -17,6 +17,7 @@ object BlockDescribe {
       else if (tag == PhysType.Double) describeDouble(in, count)
       else if (PhysType.isArrayFamily(tag)) describeArray(in, tag, count)
       else if (tag == PhysType.Struct) describeStruct(in, count)
+      else if (tag == PhysType.KvMap) describeMap(in, count)
       else describeString(in, count)
     (nullKind, tree)
   }
@@ -36,6 +37,21 @@ object BlockDescribe {
       s"$nulls:$desc"
     }
     s"struct(${parts.mkString(", ")})"
+  }
+
+  private def describeMap(in: BufReader, count: Int): String = {
+    val (lensDesc, _) = describeLengths(in, count)
+    val ec = in.getInt()
+    val parts = (0 until 2).map { _ =>
+      val st = in.getByte()
+      val nulls = walkNullMap(in)
+      val desc =
+        if (st == PhysType.Double) describeDouble(in, ec)
+        else if (st == PhysType.Str || st == PhysType.Binary) describeString(in, ec)
+        else describeInt(in, ec)
+      s"$nulls:$desc"
+    }
+    s"map(n_entries=$ec, lengths=$lensDesc, keys=${parts(0)}, values=${parts(1)})"
   }
 
   private def walkNullMap(in: BufReader): String = in.getByte() match {

@@ -30,6 +30,9 @@ object PhysType {
   val Decimal64 = 15
   // array<string>: lengths cascade + flattened string-element stream
   val ArrStr = 17
+  // map<K,V> of scalar key/value types: lengths cascade + TWO flattened
+  // element streams, each self-described by a scalar tag byte
+  val KvMap = 18
   // struct of scalar leaves: ONE footer column whose chunk blob is
   // self-describing — [u8 leafCount] then per leaf [u8 tag][i32 len]
   // [nullmap + codec payload] — so each leaf compresses under its own
@@ -54,6 +57,13 @@ object PhysType {
     case ArrayType(IntegerType, _) => ArrInt
     case ArrayType(LongType, _) => ArrLong
     case ArrayType(StringType, _) => ArrStr
+    case mt: MapType =>
+      val kt = of(mt.keyType)
+      val vt = of(mt.valueType)
+      require(!isArrayFamily(kt) && kt != Struct && kt != KvMap &&
+        !isArrayFamily(vt) && vt != Struct && vt != KvMap,
+        s"btr: map key/value must be scalar types, got ${mt.simpleString}")
+      KvMap
     case d: DecimalType if d.precision <= 18 => Decimal64
     case st: StructType =>
       require(st.fields.nonEmpty, "btr: empty struct type")
@@ -78,6 +88,15 @@ object PhysType {
     case ArrLong => Int64
     case ArrStr => Str
     case other => throw new IllegalArgumentException(s"$other")
+  }
+
+  /** Array-family hold tag whose element buffers fit a scalar tag (the
+    * writer buffers map key/value streams in array-element holds).
+    */
+  def holdTagOf(scalar: Int): Int = scalar match {
+    case Double => ArrDouble
+    case Str | Binary => ArrStr
+    case _ => ArrLong
   }
 
   def supported(dt: DataType): Boolean =
@@ -135,6 +154,14 @@ final class ColumnChunk(val tag: Int, val count: Int) {
   // struct columns: one scalar ColumnChunk per leaf (parent nulls in
   // isNull; a null struct row null-fills every leaf at that position)
   var structLeaves: Array[ColumnChunk] = _
+  // map columns: key/value element streams buffered as array-element
+  // holds (same grow logic); arrLens carries per-row entry counts
+  var mapKeys: ColumnChunk = _
+  var mapVals: ColumnChunk = _
+  // true scalar tags of the map key/value types (the holds' array-family
+  // tags only choose buffers — Int32 keys buffer in an ArrLong hold)
+  var mapKeyTag: Int = 0
+  var mapValTag: Int = 0
   // array families: per-row element counts + flattened element stream
   // (int-family/float elements in elemLongs, double elements in elemDoubles)
   var arrLens: Array[Int] = _
@@ -431,6 +458,35 @@ object ChunkCodec {
       }
       ChunkStats(nullCount, 0, 0, 0, 0, hasMinMax = false, rawBytes = raw,
         leafStats = leafStats)
+    } else if (tag == PhysType.KvMap) {
+      // [lengths cascade][i32 elemCount][u8 keyTag][key nullmap][key
+      // block][u8 valTag][val nullmap][val block] — the array layout
+      // with two self-described element streams
+      val lens = new Array[Long](chunk.count)
+      i = 0
+      while (i < chunk.count) { lens(i) = chunk.arrLens(i).toLong; i += 1 }
+      IntCodec.encode(out, lens, chunk.count, 4, cascadeDepth, cfg, seed)
+      val ec = chunk.mapKeys.elemCount
+      out.putInt(ec)
+      var raw = 4L * chunk.count
+      Seq(chunk.mapKeys, chunk.mapVals).zipWithIndex.foreach { case (side, si) =>
+        val st = if (si == 0) chunk.mapKeyTag else chunk.mapValTag
+        out.putByte(st)
+        val eNull = if (side.elemNull != null) side.elemNull else Array.emptyBooleanArray
+        NullMap.encode(eNull, ec, out)
+        if (st == PhysType.Double) {
+          DoubleCodec.encode(out, side.elemDoubles, ec, cascadeDepth, cfg, seed + 31 * (si + 1))
+          raw += ec.toLong * 8
+        } else if (st == PhysType.Str) {
+          StringCodec.encode(out, side.elemStrings, ec, cascadeDepth, cfg, seed + 31 * (si + 1))
+          var k = 0
+          while (k < ec) { raw += side.elemStrings(k).length + 4L; k += 1 }
+        } else {
+          IntCodec.encode(out, side.elemLongs, ec, 8, cascadeDepth, cfg, seed + 31 * (si + 1))
+          raw += ec.toLong * 8
+        }
+      }
+      ChunkStats(nullCount, 0, 0, 0, 0, hasMinMax = false, rawBytes = raw)
     } else if (PhysType.isArrayFamily(tag)) {
       // [lengths cascade][i32 elemCount][element nullmap][element block] —
       // the variable-length layout of the string codec generalized to
@@ -575,6 +631,34 @@ object ChunkCodec {
     } else if (tag == PhysType.Double) {
       val doubles = DoubleCodec.decode(in, count)
       new Decoded(count, isNull, hasNulls, null, doubles, null, null)
+    } else if (tag == PhysType.KvMap) {
+      val lensL = IntCodec.decode(in, count)
+      val lens = new Array[Int](count)
+      var i = 0
+      while (i < count) { lens(i) = lensL(i).toInt; i += 1 }
+      val elemCount = in.getInt()
+      // the key/value element streams decode as scalar Decodeds — the
+      // reader fills map child vectors through the same recursion the
+      // struct leaves use
+      val sides = new Array[Decoded](2)
+      val tags = new Array[Int](2)
+      var si = 0
+      while (si < 2) {
+        val st = in.getByte()
+        tags(si) = st
+        val (eNull, eHas) = NullMap.decodeWithFlag(in, elemCount)
+        sides(si) =
+          if (st == PhysType.Double)
+            new Decoded(elemCount, eNull, eHas, null, DoubleCodec.decode(in, elemCount), null, null)
+          else if (st == PhysType.Str || st == PhysType.Binary) {
+            val (sl, sb) = StringCodec.decode(in, elemCount)
+            new Decoded(elemCount, eNull, eHas, null, null, sl, sb)
+          } else
+            new Decoded(elemCount, eNull, eHas, IntCodec.decode(in, elemCount), null, null, null)
+        si += 1
+      }
+      new Decoded(count, isNull, hasNulls, null, null, null, null, lens,
+        null, false, elemCount, structLeaves = sides, structTags = tags)
     } else if (PhysType.isArrayFamily(tag)) {
       val lensL = IntCodec.decode(in, count)
       val lens = new Array[Int](count)

@@ -2490,6 +2490,25 @@ class BtrColumnarReader(partition: BtrInputPartition, requiredSchema: StructType
           else v.putFloat(i, java.lang.Float.intBitsToFloat(dec.longs(i).toInt))
           i += 1
         }
+      case PhysType.KvMap =>
+        val mt = dt.asInstanceOf[org.apache.spark.sql.types.MapType]
+        val kChild = v.getChild(0).asInstanceOf[OnHeapColumnVector]
+        val vChild = v.getChild(1).asInstanceOf[OnHeapColumnVector]
+        val ec = dec.elemCount
+        kChild.reset(); vChild.reset()
+        kChild.reserve(ec); vChild.reserve(ec)
+        // key/value element streams fill through the same scalar
+        // recursion struct leaves use
+        fillVector(kChild, mt.keyType, dec.structTags(0), dec.structLeaves(0), ec)
+        fillVector(vChild, mt.valueType, dec.structTags(1), dec.structLeaves(1), ec)
+        var off = 0
+        while (i < n) {
+          val len = dec.arrLens(i)
+          if (nulls && dec.isNull(i)) v.putNull(i)
+          else v.putArray(i, off, len)
+          off += len
+          i += 1
+        }
       case t if PhysType.isArrayFamily(t) =>
         val child = v.arrayData()
         val ec = dec.elemCount

@@ -902,6 +902,9 @@ class BtrDataWriter(path: String, schema: StructType, blockSize: Int, cascade: I
   private val arrHold = new Array[ColumnChunk](numCols)
   // struct columns: one scalar buffer chunk per leaf
   private val structHold = new Array[Array[ColumnChunk]](numCols)
+  // map columns: key/value element-stream holds
+  private val mapKeyHold = new Array[ColumnChunk](numCols)
+  private val mapValHold = new Array[ColumnChunk](numCols)
   allocBuffers()
   private var rowsInGroup = 0
   private var totalRows = 0L
@@ -917,7 +920,8 @@ class BtrDataWriter(path: String, schema: StructType, blockSize: Int, cascade: I
   private val colNdv: Array[Array[Byte]] =
     if (ndvP == 0) null
     else Array.tabulate(numCols)(c =>
-      if (PhysType.isArrayFamily(tags(c)) || tags(c) == PhysType.Struct) null
+      if (PhysType.isArrayFamily(tags(c)) || tags(c) == PhysType.Struct ||
+        tags(c) == PhysType.KvMap) null
       else Hll.create(ndvP))
 
   private def allocBuffers(): Unit = {
@@ -929,6 +933,11 @@ class BtrDataWriter(path: String, schema: StructType, blockSize: Int, cascade: I
       else if (PhysType.isArrayFamily(tag)) {
         arrLenCols(c) = new Array[Int](blockSize)
         arrHold(c) = new ColumnChunk(tag, blockSize)
+      } else if (tag == PhysType.KvMap) {
+        val mt = fields(c).dataType.asInstanceOf[org.apache.spark.sql.types.MapType]
+        arrLenCols(c) = new Array[Int](blockSize)
+        mapKeyHold(c) = new ColumnChunk(PhysType.holdTagOf(PhysType.of(mt.keyType)), blockSize)
+        mapValHold(c) = new ColumnChunk(PhysType.holdTagOf(PhysType.of(mt.valueType)), blockSize)
       } else if (tag == PhysType.Struct) {
         val st = fields(c).dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
         structHold(c) = st.fields.map { lf =>
@@ -942,6 +951,42 @@ class BtrDataWriter(path: String, schema: StructType, blockSize: Int, cascade: I
       } else stringCols(c) = new Array[Array[Byte]](blockSize)
       nullCols(c) = new Array[Boolean](blockSize)
       c += 1
+    }
+  }
+
+  /** Append `n` elements of an ArrayData into an element hold (the map
+    * key/value streams; same placeholder-at-null convention as arrays).
+    */
+  private def appendElems(hold: ColumnChunk,
+      arr: org.apache.spark.sql.catalyst.util.ArrayData, et: DataType, n: Int): Unit = {
+    hold.ensureElemCapacity(n)
+    var j = 0
+    while (j < n) {
+      val e = hold.elemCount
+      if (arr.isNullAt(j)) {
+        hold.elemNull(e) = true
+        if (hold.elemLongs != null) hold.elemLongs(e) = 0L
+        else if (hold.elemDoubles != null) hold.elemDoubles(e) = 0.0
+        else hold.elemStrings(e) = Array.emptyByteArray
+      } else {
+        hold.elemNull(e) = false
+        et match {
+          case IntegerType | DateType => hold.elemLongs(e) = arr.getInt(j).toLong
+          case ShortType => hold.elemLongs(e) = arr.getShort(j).toLong
+          case ByteType => hold.elemLongs(e) = arr.getByte(j).toLong
+          case LongType | TimestampType | TimestampNTZType => hold.elemLongs(e) = arr.getLong(j)
+          case BooleanType => hold.elemLongs(e) = if (arr.getBoolean(j)) 1L else 0L
+          case DoubleType => hold.elemDoubles(e) = arr.getDouble(j)
+          case FloatType =>
+            hold.elemLongs(e) = java.lang.Float.floatToRawIntBits(arr.getFloat(j)).toLong
+          case d: DecimalType => hold.elemLongs(e) = arr.getDecimal(j, d.precision, d.scale).toUnscaledLong
+          case StringType => hold.elemStrings(e) = arr.getUTF8String(j).getBytes.clone()
+          case BinaryType => hold.elemStrings(e) = arr.getBinary(j).clone()
+          case other => throw new UnsupportedOperationException(s"btr map elem: $other")
+        }
+      }
+      hold.elemCount += 1
+      j += 1
     }
   }
 
@@ -1010,6 +1055,12 @@ class BtrDataWriter(path: String, schema: StructType, blockSize: Int, cascade: I
             while (j < structHold(c).length) {
               setLeaf(structHold(c)(j), st.fields(j).dataType, i, sr, j); j += 1
             }
+          case mt: org.apache.spark.sql.types.MapType =>
+            val m = row.getMap(c)
+            val n = m.numElements()
+            arrLenCols(c)(i) = n
+            appendElems(mapKeyHold(c), m.keyArray(), mt.keyType, n)
+            appendElems(mapValHold(c), m.valueArray(), mt.valueType, n)
           case at: ArrayType =>
             val arr = row.getArray(c)
             val n = arr.numElements()
@@ -1069,6 +1120,14 @@ class BtrDataWriter(path: String, schema: StructType, blockSize: Int, cascade: I
         chunk.elemStrings = hold.elemStrings
         chunk.elemNull = hold.elemNull
         chunk.elemCount = hold.elemCount
+      }
+      if (mapKeyHold(c) != null) {
+        val mt = fields(c).dataType.asInstanceOf[org.apache.spark.sql.types.MapType]
+        chunk.arrLens = arrLenCols(c)
+        chunk.mapKeys = mapKeyHold(c)
+        chunk.mapVals = mapValHold(c)
+        chunk.mapKeyTag = PhysType.of(mt.keyType)
+        chunk.mapValTag = PhysType.of(mt.valueType)
       }
       if (structHold(c) != null) {
         // leaf VIEW chunks at the group's row count over the shared
@@ -1136,6 +1195,7 @@ class BtrDataWriter(path: String, schema: StructType, blockSize: Int, cascade: I
       colRawBytes(c) += stats.rawBytes
       colCompBytes(c) += blobLen
       if (arrHold(c) != null) arrHold(c).resetElems()
+      if (mapKeyHold(c) != null) { mapKeyHold(c).resetElems(); mapValHold(c).resetElems() }
       c += 1
     }
     rowGroups += BtrFile.RowGroupMeta(n, colMetas)

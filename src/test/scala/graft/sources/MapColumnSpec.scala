@@ -1,0 +1,87 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** map<K,V> columns: the array layout with two self-described element
+  * streams (keys/values each run their scalar codec). Null maps, null
+  * values, empty maps, string and numeric keys/values round-trip;
+  * map functions work over the read; compaction splices them.
+  */
+class MapColumnSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("map-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def tmp(name: String) = {
+    val d = s"/tmp/btr-map-spec/$name"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d))
+    d
+  }
+
+  test("string->long and string->string maps round-trip with nulls and empties") {
+    val dir = tmp("roundtrip")
+    import spark.implicits._
+    val df = spark.range(0, 2000).select(
+      col("id").cast("int").as("k"),
+      when(col("id") % 7 === 0, lit(null))
+        .otherwise(map(
+          lit("count"), col("id"),
+          lit("square"), col("id") * col("id"),
+          concat(lit("k"), col("id") % 5), col("id") % 100)).as("m"),
+      when(col("id") % 11 === 0, map())
+        .otherwise(map(lit("lang"), concat(lit("l"), col("id") % 3),
+          lit("src"), when(col("id") % 4 === 0, lit(null).cast("string")).otherwise(lit("web"))))
+        .as("attrs"))
+    df.write.format("btr").option("btr.blockSize", "256").mode("overwrite").save(dir)
+
+    val back = spark.read.format("btr").load(dir)
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("k"), to_json(struct(col("m"), col("attrs"))).as("j"))
+        .collect().map(r => (r.getInt(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(canon(back) == canon(df))
+
+    // map functions over the read
+    assert(back.filter(col("m")("square") === 144).select("k").as[Int].collect().toSeq == Seq(12))
+    assert(back.select(sum(element_at(col("m"), "count"))).head().getLong(0) ==
+      df.select(sum(element_at(col("m"), "count"))).head().getLong(0))
+    assert(back.filter(col("attrs")("src").isNull && col("attrs").isNotNull &&
+      size(col("attrs")) > 0).count() ==
+      df.filter(col("attrs")("src").isNull && col("attrs").isNotNull &&
+        size(col("attrs")) > 0).count())
+    assert(back.select(explode(map_keys(col("m")))).count() ==
+      df.select(explode(map_keys(col("m")))).count())
+  }
+
+  test("int-keyed maps with double values; append + compaction") {
+    val dir = tmp("intkey")
+    import spark.implicits._
+    Seq((1, Map(1 -> 1.5, 2 -> 2.5)), (2, Map(3 -> -0.0)))
+      .toDF("k", "m").write.format("btr").mode("overwrite").save(dir)
+    Seq((3, Map.empty[Int, Double]), (4, Map(9 -> Double.NaN)))
+      .toDF("k", "m").write.format("btr").mode("append").save(dir)
+
+    BtrCompact.compact(spark, dir, 128L * 1024 * 1024)
+    val back = spark.read.format("btr").load(dir).orderBy("k")
+      .as[(Int, Map[Int, Double])].collect().toSeq
+    assert(back.map(_._1) == Seq(1, 2, 3, 4))
+    assert(back(0)._2 == Map(1 -> 1.5, 2 -> 2.5))
+    assert(java.lang.Double.doubleToRawLongBits(back(1)._2(3)) ==
+      java.lang.Double.doubleToRawLongBits(-0.0))
+    assert(back(2)._2.isEmpty)
+    assert(back(3)._2(9).isNaN)
+  }
+
+  test("nested maps and non-scalar keys/values are rejected loudly") {
+    import spark.implicits._
+    val bad = spark.range(1).select(map(lit("a"), array(lit(1))).as("m"))
+    val e = intercept[Exception] {
+      bad.write.format("btr").mode("overwrite").save(tmp("reject"))
+    }
+    assert(e.getMessage.contains("scalar"), e.getMessage)
+  }
+}
