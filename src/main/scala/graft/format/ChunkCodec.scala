@@ -132,9 +132,26 @@ object BtrWidening {
     (from == org.apache.spark.sql.types.IntegerType && to == org.apache.spark.sql.types.LongType) ||
       (from == org.apache.spark.sql.types.FloatType && to == org.apache.spark.sql.types.DoubleType)
 
-  /** Compatible = identical or related by one sanctioned widening. */
+  /** Compatible = identical or related by one sanctioned widening.
+    * NESTED NULLABILITY is ignored (`asNullable` on both sides): an
+    * `array<string>` whose containsNull differs between writes is the
+    * same wire layout — element nullmaps always travel — and refusing it
+    * would reject byte-identical appends (same for map value nullability
+    * and struct leaf nullability).
+    */
   def compatible(a: DataType, b: DataType): Boolean =
-    a == b || widensType(a, b) || widensType(b, a)
+    allNullable(a) == allNullable(b) || widensType(a, b) || widensType(b, a)
+
+  /** Recursively force every nested nullability flag true (Spark's
+    * `asNullable` is private[sql]). */
+  private def allNullable(dt: DataType): DataType = dt match {
+    case at: ArrayType => at.copy(elementType = allNullable(at.elementType), containsNull = true)
+    case mt: MapType => mt.copy(keyType = allNullable(mt.keyType),
+      valueType = allNullable(mt.valueType), valueContainsNull = true)
+    case st: StructType => StructType(st.fields.map(f =>
+      f.copy(dataType = allNullable(f.dataType), nullable = true)))
+    case other => other
+  }
 
   /** The wider of two compatible types. */
   def widest(a: DataType, b: DataType): DataType =

@@ -156,6 +156,31 @@ class ColumnMappingSpec extends AnyFunSuite {
     failing(s"ALTER TABLE graft.`$dir` ADD COLUMN `__btr_dropped_x` INT", "reserved")
   }
 
+  test("composite-typed columns (struct/map/array) tombstone and null-fill like scalars") {
+    val dir = tmp("composite")
+    import spark.implicits._
+    spark.range(0, 100).select(
+        col("id").cast("int").as("k"),
+        struct(col("id").as("a")).as("rec"),
+        map(lit("x"), col("id")).as("m"),
+        array(concat(lit("t"), col("id"))).as("toks"),
+        (col("id") * 2).as("v"))
+      .write.format("btr").mode("overwrite").save(dir)
+    sql(s"ALTER TABLE graft.`$dir` DROP COLUMN rec")
+    sql(s"ALTER TABLE graft.`$dir` DROP COLUMN m")
+
+    // appends null-fill the struct and map tombstone slots
+    Seq((100, Seq("t100"), 200L)).toDF("k", "toks", "v")
+      .write.format("btr").mode("append").save(dir)
+
+    val t = spark.read.format("btr").load(dir)
+    assert(t.columns.toSeq == Seq("k", "toks", "v"))
+    assert(t.count() == 101)
+    assert(t.agg(sum("v")).as[Long].head() == (0 until 100).map(_ * 2L).sum + 200L)
+    assert(t.filter(array_contains(col("toks"), "t100")).select("k").as[Int].collect().toSeq ==
+      Seq(100))
+  }
+
   test("overwrite resets the mapping: tombstones do not outlive the table they describe") {
     val dir = tmp("reset")
     import spark.implicits._
