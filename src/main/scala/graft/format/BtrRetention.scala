@@ -1,0 +1,155 @@
+package graft.format
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Opt-in retention of removed data files — the piece that extends time
+  * travel and the change feed ACROSS removals. With
+  * `retainRemoved = true` in the table meta (writer option
+  * `btr.retainRemoved`, or CREATE TABLE TBLPROPERTIES), every commit
+  * that would physically delete a visible data file (DELETE, overwrite,
+  * row-level rewrite, OPTIMIZE swap convergence, RESTORE) MOVES it into
+  * the hidden `_btr_removed/` store instead — a rename, so retention
+  * costs zero data I/O and zero extra bytes beyond what the table
+  * already wrote. Listings never see the store (underscore prefix);
+  * current reads are unaffected.
+  *
+  * What it buys:
+  *  - `VERSION/TIMESTAMP AS OF` before a DELETE/overwrite/OPTIMIZE keeps
+  *    working — snapshot resolution falls back to the store for files
+  *    the live listing no longer holds;
+  *  - `BtrChanges.between` across a removal emits row-level
+  *    `_change_type = 'delete'` rows from the removed files (multiset-
+  *    consistent: a compaction re-homing rows appears as delete+insert
+  *    pairs of equal rows).
+  *
+  * Retention is bounded by `VACUUM ... RETAIN n HOURS`, which expires
+  * store entries older than the horizon (then history genuinely ends
+  * there, with the same loud missing-file errors as an unretained
+  * table). Default OFF: removal deletes files exactly as before.
+  *
+  * Store layout: one flat file per removed data file, named by the
+  * URL-escaped table-root-relative path plus a move-time suffix
+  * (`p%3D1%2Fpart-x.btr.1723600000000`) — the rel path round-trips for
+  * snapshot lookup, the suffix disambiguates the deterministic-name
+  * corner (streaming epoch retries keep HARD deletes; see
+  * BtrStreamingWrite) and makes expiry a pure name scan.
+  */
+object BtrRetention {
+  val RemovedDir = "_btr_removed"
+
+  private def esc(rel: String): String = {
+    val sb = new StringBuilder
+    rel.foreach {
+      case '/' => sb.append("%2F")
+      case '%' => sb.append("%25")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+
+  private def unesc(name: String): String =
+    name.replace("%2F", "/").replace("%25", "%")
+
+  /** Remove a VISIBLE data file: move into the store when the table
+    * retains removed files, plain delete otherwise. `rel` must be the
+    * table-root-relative path (partition dirs included).
+    */
+  def removeDataFile(fs: FileSystem, root: Path, rel: String, retain: Boolean): Unit = {
+    val src = new Path(root, rel)
+    if (!retain) { fs.delete(src, false); return }
+    // already removed (a commit's direct removal followed by its own
+    // journal convergence touches the same file twice; delete() treats
+    // a missing file as success, so the move must too)
+    if (!fs.exists(src)) return
+    val dir = new Path(root, RemovedDir)
+    fs.mkdirs(dir)
+    val dst = new Path(dir, s"${esc(rel)}.${System.currentTimeMillis()}")
+    val ok =
+      try fs.rename(src, dst)
+      catch { case _: java.io.FileNotFoundException => !fs.exists(src) }
+    if (!ok && fs.exists(src))
+      throw new java.io.IOException(s"btr retention: cannot move $rel into $RemovedDir")
+  }
+
+  /** Resolve a snapshot-referenced file the live listing no longer
+    * holds: newest store entry for its rel path, with the partition
+    * values re-parsed from the path (directory values are part of the
+    * rel string).
+    */
+  def resolveRemoved(fs: FileSystem, root: Path, rel: String): Option[BtrTableMeta.DataFileEntry] = {
+    val dir = new Path(root, RemovedDir)
+    if (!fs.exists(dir)) return None
+    val prefix = esc(rel) + "."
+    val candidates = fs.listStatus(dir).filter { st =>
+      val n = st.getPath.getName
+      n.startsWith(prefix) && n.substring(prefix.length).forall(_.isDigit)
+    }
+    if (candidates.isEmpty) None
+    else {
+      val st = candidates.maxBy(_.getPath.getName.substring(prefix.length).toLong)
+      Some(BtrTableMeta.DataFileEntry(st.getPath, st.getLen, partitionValuesOf(rel),
+        st.getModificationTime))
+    }
+  }
+
+  /** Hive-style partition values encoded in a root-relative path. */
+  def partitionValuesOf(rel: String): Map[String, String] = {
+    val parts = rel.split('/')
+    parts.dropRight(1).flatMap { seg =>
+      val eq = seg.indexOf('=')
+      if (eq <= 0) None
+      else Some(BtrTableMeta.unescapePath(seg.substring(0, eq)) ->
+        BtrTableMeta.unescapePath(seg.substring(eq + 1)))
+    }.toMap
+  }
+
+  /** Expire store entries moved before `olderThanMs` (epoch millis).
+    * Returns the number removed. History referencing them then fails
+    * loudly, like any physically-truncated history.
+    */
+  def expire(fs: FileSystem, root: Path, olderThanMs: Long): Int = {
+    val dir = new Path(root, RemovedDir)
+    if (!fs.exists(dir)) return 0
+    var n = 0
+    fs.listStatus(dir).foreach { st =>
+      val name = st.getPath.getName
+      val dot = name.lastIndexOf('.')
+      val ts = if (dot < 0) -1L
+        else scala.util.Try(name.substring(dot + 1).toLong).getOrElse(-1L)
+      if (ts >= 0 && ts < olderThanMs) {
+        if (fs.delete(st.getPath, false)) n += 1
+      }
+    }
+    n
+  }
+
+  /** Resolve a wanted snapshot file set against the live listing, with
+    * the store as fallback; fails LOUDLY naming genuinely-gone files
+    * when `version` pins a snapshot. Shared by the scan and the
+    * aggregate scan.
+    */
+  def resolveFileSet(
+      fs: FileSystem,
+      root: Path,
+      listed: Array[BtrTableMeta.DataFileEntry],
+      want: Set[String],
+      version: Option[Long],
+      tableDesc: String): Array[BtrTableMeta.DataFileEntry] = {
+    val rootLen = root.toUri.getPath.length + 1
+    val found = listed.filter(e => want.contains(e.path.toUri.getPath.substring(rootLen)))
+    if (found.length == want.size || version.isEmpty) return found
+    val present = found.map(e => e.path.toUri.getPath.substring(rootLen)).toSet
+    val missing = (want -- present).toSeq.sorted
+    val recovered = missing.flatMap(rel => resolveRemoved(fs, root, rel).map(rel -> _)).toMap
+    if (found.length + recovered.size < want.size) {
+      val gone = missing.filterNot(recovered.contains)
+      throw new IllegalStateException(
+        s"btr: snapshot v${version.get} of $tableDesc references " +
+          s"${gone.length} file(s) that no longer exist (e.g. " +
+          s"${gone.take(3).mkString(", ")}) — history before an " +
+          "OPTIMIZE/DELETE/VACUUM that removed them is no longer readable " +
+          "(enable btr.retainRemoved to keep removed files for time travel)")
+    }
+    found ++ missing.flatMap(recovered.get)
+  }
+}

@@ -469,17 +469,33 @@ object BtrTableMeta {
       schema: StructType,
       blockSize: Int,
       cascade: Int,
-      partitionCols: Seq[String] = Nil
+      partitionCols: Seq[String] = Nil,
+      // None = PRESERVE the existing table's flag (commit paths rewrite
+      // the meta without knowing about retention); Some(x) sets it
+      retainRemoved: Option[Boolean] = None
   ): Unit = {
     // minimal JSON by hand: schema json is already valid JSON; column
     // names go through the shared escaper (quotes/commas/control chars)
     val parts = partitionCols.map(jsonStr).mkString("[", ",", "]")
+    val retain = retainRemoved.getOrElse(
+      fs.exists(new Path(dir, MetaFile)) && readRetainRemoved(fs, dir))
+    val retainJson = if (retain) ""","retainRemoved":true""" else ""
     val json =
-      s"""{"version":${BtrFile.Version},"blockSize":$blockSize,"cascade":$cascade,"partitionCols":$parts,"schema":${schema.json}}"""
+      s"""{"version":${BtrFile.Version},"blockSize":$blockSize,"cascade":$cascade$retainJson,"partitionCols":$parts,"schema":${schema.json}}"""
     val out = fs.create(new Path(dir, MetaFile), true)
     out.write(json.getBytes(StandardCharsets.UTF_8))
     out.close()
   }
+
+  /** Opt-in retention of removed files (see BtrRetention): removal
+    * commits MOVE visible data files into `_btr_removed/` instead of
+    * deleting, extending time travel and the change feed across
+    * removals. Recorded in the table meta so every writer and every
+    * engine sees the same policy.
+    */
+  def readRetainRemoved(fs: FileSystem, dir: Path): Boolean =
+    fs.exists(new Path(dir, MetaFile)) &&
+      readMetaJson(fs, dir).contains("\"retainRemoved\":true")
 
   private def readMetaJson(fs: FileSystem, dir: Path): String = {
     val p = new Path(dir, MetaFile)
@@ -730,11 +746,15 @@ object BtrTableMeta {
     * replaced. Idempotent — callers run it before starting a new swap.
     */
   def completeSwapJournals(fs: FileSystem, root: Path): Unit = {
+    val retain = readRetainRemoved(fs, root)
     readSwapJournals(fs, root).foreach { case (journal, groups) =>
       val completed = groups.filter { g =>
         val dir = if (g.dir.isEmpty) root else new Path(root, g.dir)
         val forward = g.finals.forall(f => fs.exists(new Path(dir, f)))
-        if (forward) g.sources.foreach(s => fs.delete(new Path(dir, s), false))
+        if (forward) g.sources.foreach { s =>
+          val rel = if (g.dir.isEmpty) s else s"${g.dir}/$s"
+          BtrRetention.removeDataFile(fs, root, rel, retain)
+        }
         else g.finals.foreach(f => fs.delete(new Path(dir, f), false))
         forward
       }

@@ -31,16 +31,24 @@ import org.apache.spark.sql.functions._
   *    not a steady-state feed.
   *
   * When history was REMOVED in the range (DELETE, row-level rewrite,
-  * overwrite, or a compaction folding pre-`from` files), [[between]]
-  * fails loudly and names the offending commits — serving "new files
-  * only" there would double-count rows a rewrite re-homed and silently
-  * miss deletes. Removal commits physically delete their files
-  * (the listing-authoritative design: current reads never depend on a
-  * log), so no row-level reconstruction of the crossed range exists
-  * either; a consumer re-bootstraps from a full read at `to` and
-  * resumes incrementally from there. The snapshot log (`BtrLog`)
-  * retains the newest 64 entries; consuming changes on that cadence
-  * (every epoch, hour, or day) keeps every increment resolvable.
+  * overwrite, or a compaction folding pre-`from` files), the feed's
+  * behavior depends on the table's retention policy
+  * ([[graft.format.BtrRetention]]):
+  *
+  *  - with `btr.retainRemoved` ON, removal commits MOVED their files
+  *    into the hidden store, so [[between]] serves the range ROW-LEVEL:
+  *    removed files' rows emit as `_change_type = 'delete'` (attributed
+  *    to the removing commit) alongside the added files' inserts — a
+  *    multiset-consistent view (a compaction re-homing rows emits
+  *    delete+insert pairs of equal rows);
+  *  - without retention the removed files are physically gone, and
+  *    [[between]] fails loudly naming the offending commits — serving
+  *    "new files only" would double-count re-homed rows and silently
+  *    miss deletes; the consumer re-bootstraps from a full read at `to`.
+  *
+  * The snapshot log (`BtrLog`) retains the newest 64 entries and
+  * `VACUUM ... RETAIN` bounds the removed-file store; consuming changes
+  * on that cadence keeps every increment resolvable.
   */
 object BtrChanges {
 
@@ -52,6 +60,41 @@ object BtrChanges {
     *                   it (commit attribution)
     */
   final case class Added(toVersion: Long, addedRel: Seq[String], versionOf: Map[String, Long])
+
+  /** Full range resolution including REMOVALS: like [[resolveAdded]] but
+    * never throws on removed history — returns the removed rels with the
+    * version each disappeared at, for the retention-backed delete side.
+    */
+  final case class Range(added: Added, removedRels: Seq[String],
+      removedAt: Map[String, Long], removedAction: Map[String, String])
+
+  def resolveRange(fs: FileSystem, root: Path, fromVersion: Long, toVersion: Long): Range = {
+    require(fromVersion >= 0 && toVersion >= math.max(fromVersion, 1L),
+      s"btr: change range is (from, to] with to >= from — got from=$fromVersion to=$toVersion")
+    val entries = (math.max(fromVersion, 1L) to toVersion).map(v => BtrLog.readEntry(fs, root, v))
+    val fromSet = if (fromVersion == 0) Set.empty[String] else entries.head.files.toSet
+    val toSet = entries.last.files.toSet
+    val removed = fromSet -- toSet
+    val removedAt = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    val removedAction = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val versionOf = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    var prev = fromSet
+    val walk = if (fromVersion == 0) entries else entries.tail
+    walk.foreach { e =>
+      val cur = e.files.toSet
+      (prev & removed).foreach(f => if (!cur.contains(f) && !removedAt.contains(f)) {
+        removedAt(f) = e.version
+        removedAction(f) = e.action
+      })
+      e.files.foreach { f =>
+        if (!prev.contains(f) && toSet.contains(f) && !versionOf.contains(f))
+          versionOf(f) = e.version
+      }
+      prev = cur
+    }
+    Range(Added(entries.last.version, (toSet -- fromSet).toSeq.sorted, versionOf.toMap),
+      removed.toSeq.sorted, removedAt.toMap, removedAction.toMap)
+  }
 
   /** Resolve the added-file set of `(from, to]` from the snapshot log.
     * Zero data I/O: reads `to - from + 1` small JSON entries. Fails
@@ -118,35 +161,72 @@ object BtrChanges {
     val p = new Path(dir)
     val fs = p.getFileSystem(BtrTableMeta.hadoopConf())
     val root = fs.makeQualified(p)
-    val added = resolveAdded(fs, root, fromVersion, toVersion)
-    val df = spark.read.format("btr")
+    val r = resolveRange(fs, root, fromVersion, toVersion)
+
+    def read(side: String) = spark.read.format("btr")
       .option("btr.changesFromVersion", fromVersion.toString)
       .option("btr.changesToVersion", toVersion.toString)
+      .option("btr.changesSide", side)
       .load(dir)
-    if (added.addedRel.isEmpty) {
-      return df.select(col("*"))
-        .withColumn("_change_type", lit("insert"))
-        .withColumn("_commit_version", lit(null).cast("long"))
-    }
-    // attribution map keyed by the exact `_file` string the scan
-    // synthesizes: both sides derive from the same listing API, so the
-    // qualified-path strings match byte-for-byte (incl. escaped
-    // partition directory values)
+
+    // attribution rides the `_file` metadata column: map keys are the
+    // exact qualified-path strings the scan synthesizes (both sides
+    // derive from the same listing / store APIs)
+    def attributed(df: DataFrame, byFile: Map[String, Long], changeType: String): DataFrame =
+      if (byFile.isEmpty)
+        df.select(col("*"))
+          .withColumn("_change_type", lit(changeType))
+          .withColumn("_commit_version", lit(null).cast("long"))
+      else
+        df.select(col("*"), col(BtrScan.FileMetaCol))
+          .withColumn("_commit_version",
+            element_at(typedLit(byFile), col(BtrScan.FileMetaCol)))
+          .withColumn("_change_type", lit(changeType))
+          .drop(BtrScan.FileMetaCol)
+
     val rootLen = root.toUri.getPath.length + 1
-    val relToQualified: Map[String, String] =
+    lazy val relToQualified: Map[String, String] =
       BtrTableMeta.listDataFilesWithPartitions(fs, root)
         .map(e => e.path.toUri.getPath.substring(rootLen) -> e.path.toString).toMap
-    val qualifiedToVersion: Map[String, Long] = added.versionOf.map { case (rel, v) =>
+    def insertAttribution: Map[String, Long] = r.added.versionOf.map { case (rel, v) =>
       relToQualified.getOrElse(rel,
         throw new IllegalStateException(
           s"btr: change set of ($fromVersion, $toVersion] references $rel which is no " +
             s"longer listed under $root — history was physically truncated")) -> v
     }
-    df.select(col("*"), col(BtrScan.FileMetaCol))
-      .withColumn("_commit_version",
-        element_at(typedLit(qualifiedToVersion), col(BtrScan.FileMetaCol)))
-      .withColumn("_change_type", lit("insert"))
-      .drop(BtrScan.FileMetaCol)
+
+    if (r.removedRels.isEmpty) {
+      // pure-append range: the insert-only fast path (strict side —
+      // a concurrent removal between resolve and read fails loudly)
+      return attributed(read("insert"),
+        if (r.added.addedRel.isEmpty) Map.empty else insertAttribution, "insert")
+    }
+
+    // removals in range: the retention store supplies the removed files
+    // row-level — every removed file must still be resolvable
+    val removedEntries = r.removedRels.map(rel =>
+      rel -> graft.format.BtrRetention.resolveRemoved(fs, root, rel))
+    val gone = removedEntries.collect { case (rel, None) => rel }
+    if (gone.nonEmpty) {
+      val culprits = gone.take(3).map(rel =>
+        s"v${r.removedAt.getOrElse(rel, toVersion)} " +
+          s"(${r.removedAction.getOrElse(rel, "?")})").distinct
+      throw new IllegalStateException(
+        s"btr: cannot serve changes ($fromVersion, $toVersion] of $root — " +
+          s"${gone.length} file(s) removed by ${culprits.mkString(", ")} are " +
+          s"physically gone (e.g. ${gone.take(3).mkString(", ")}). Enable " +
+          "btr.retainRemoved to keep removed files for the change feed, or " +
+          s"Re-bootstrap: process a full read at v$toVersion and resume " +
+          "incrementally from there (BtrChanges.diffTables audits an " +
+          "incremental result against a rebuild).")
+    }
+    val deleteAttribution: Map[String, Long] = removedEntries.collect {
+      case (rel, Some(e)) => e.path.toString -> r.removedAt.getOrElse(rel, toVersion)
+    }.toMap
+    val inserts = attributed(read("insert-lenient"),
+      if (r.added.addedRel.isEmpty) Map.empty else insertAttribution, "insert")
+    val deletes = attributed(read("delete"), deleteAttribution, "delete")
+    inserts.unionByName(deletes)
   }
 
   /** Row-level multiset diff of two TABLES: `_change_type = 'insert'`

@@ -213,7 +213,13 @@ object BtrCompact {
       if (!fs.rename(e.path, new Path(root, e.path.getName)))
         throw new java.io.IOException(s"btr rewrite: rename ${e.path} into $root failed")
     }
-    entries.foreach(e => fs.delete(e.path, false))
+    locally {
+      val retain = BtrTableMeta.readRetainRemoved(fs, root)
+      val qroot = fs.makeQualified(root)
+      val rootLen = qroot.toUri.getPath.length + 1
+      entries.foreach(e => graft.format.BtrRetention.removeDataFile(fs, qroot,
+        e.path.toUri.getPath.substring(rootLen), retain))
+    }
     // the rewrite re-encoded everything — its commit stats supersede
     val stagedStats = new Path(staging, BtrTableMeta.StatsFile)
     if (fs.exists(stagedStats)) {
@@ -324,11 +330,15 @@ object BtrCompact {
     }
     BtrTableMeta.writeSwapJournal(fs, root, compactId,
       jobs.map { case (bin, _, fin) => BtrTableMeta.SwapGroup(rel(bin.dirUri), Seq(fin), bin.files) })
+    val retain = BtrTableMeta.readRetainRemoved(fs, root)
+    val qroot = fs.makeQualified(root)
     jobs.foreach { case (bin, tmp, fin) =>
       val dir = new Path(new java.net.URI(bin.dirUri))
       if (!fs.rename(new Path(dir, tmp), new Path(dir, fin)))
         throw new java.io.IOException(s"btr compact: rename $tmp -> $fin failed in $dir")
-      bin.files.foreach(f => fs.delete(new Path(dir, f), false))
+      val prefix = rel(bin.dirUri)
+      bin.files.foreach(f => BtrRetention.removeDataFile(fs, qroot,
+        if (prefix.isEmpty) f else s"$prefix/$f", retain))
     }
     BtrTableMeta.completeSwapJournals(fs, root)
     // merged files replace their sources in the footer index (incremental:

@@ -495,6 +495,24 @@ object BtrOptions {
       }
     }
 
+  /** Change-feed side: `insert` (default; STRICT — refuses removed
+    * history), `insert-lenient` (inserts of a removal-crossing range;
+    * BtrChanges pairs it with the delete side), `delete` (the files
+    * REMOVED in the range, resolved through the retention store).
+    */
+  def changesSide(options: CaseInsensitiveStringMap): String = {
+    val s = Option(options.get("btr.changesSide")).map(_.trim.toLowerCase).getOrElse("insert")
+    require(s == "insert" || s == "insert-lenient" || s == "delete",
+      s"btr.changesSide must be insert | insert-lenient | delete, got '$s'")
+    s
+  }
+
+  /** Opt-in retention of removed files (table meta flag; see
+    * BtrRetention). None = leave the table's recorded policy unchanged.
+    */
+  def retainRemoved(options: CaseInsensitiveStringMap): Option[Boolean] =
+    Option(options.get("btr.retainRemoved")).map(_.trim.toBoolean)
+
   /** Streaming source: begin AFTER snapshot `startingVersion` — the
     * snapshot's files seed the seen-set on a FRESH checkpoint, so the
     * stream emits only data committed later (the streaming half of the

@@ -184,7 +184,12 @@ object BtrDelete {
       BtrTableMeta.writeSwapJournal(fs, dir, s"nm-del-${BtrWriteIds.newWriteId()}",
         Seq(BtrTableMeta.SwapGroup("", Nil,
           toDelete.map(e => e.path.toUri.getPath.substring(rootLen)).toSeq)))
-      toDelete.foreach(e => fs.delete(e.path, false))
+      locally {
+        val retain = BtrTableMeta.readRetainRemoved(fs, dir)
+        toDelete.foreach(e =>
+          graft.format.BtrRetention.removeDataFile(fs, qualified,
+            e.path.toUri.getPath.substring(rootLen), retain))
+      }
       BtrTableMeta.completeSwapJournals(fs, dir)
       // the ingest-stats sidecar aggregates write-time totals; after a
       // delete they overstate the table — drop it (advisory; sizing

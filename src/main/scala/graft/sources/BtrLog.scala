@@ -262,7 +262,8 @@ object BtrLog {
     if (toDrop.nonEmpty) {
       BtrTableMeta.writeSwapJournal(fs, root, s"nm-restore-${BtrWriteIds.newWriteId()}",
         Seq(BtrTableMeta.SwapGroup("", Nil, toDrop.toSeq)))
-      toDrop.foreach(f => fs.delete(new Path(root, f), false))
+      val retain = BtrTableMeta.readRetainRemoved(fs, root)
+      toDrop.foreach(f => graft.format.BtrRetention.removeDataFile(fs, root, f, retain))
       BtrTableMeta.completeSwapJournals(fs, root)
       // write-time ingest stats describe the pre-restore table — drop
       // the advisory sidecar like DELETE does

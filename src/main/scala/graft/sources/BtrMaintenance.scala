@@ -105,7 +105,12 @@ case class BtrVacuumCommand(tableParts: Seq[String], retentionMs: Long)
     val root = new Path(path)
     val fs = root.getFileSystem(BtrTableMeta.hadoopConf())
     val removed = BtrTableMeta.vacuumTemps(fs, root, retentionMs)
-    Seq(Row(path, removed))
+    // retention store: expire removed-file entries past the horizon —
+    // history referencing them then genuinely ends (loud errors, never
+    // silently-partial snapshots)
+    val expired = graft.format.BtrRetention.expire(fs, fs.makeQualified(root),
+      System.currentTimeMillis() - retentionMs)
+    Seq(Row(path, removed + expired))
   }
 }
 

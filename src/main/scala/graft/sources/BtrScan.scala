@@ -197,8 +197,22 @@ class BtrScanBuilder(path: String, tableSchema: StructType, options: CaseInsensi
           throw new IllegalArgumentException(
             s"btr: no snapshot log at $root — change feeds need commits made " +
               "by a log-aware writer"))
-        val added = BtrChanges.resolveAdded(fs, root, changesFrom.get, toV)
-        Some(BtrLog.Entry(toV, 0L, "changes", added.addedRel))
+        BtrOptions.changesSide(options) match {
+          case "insert" =>
+            // strict: refuses removed history (raw-option consumers get
+            // the loud error; BtrChanges.between pairs the lenient sides)
+            val added = BtrChanges.resolveAdded(fs, root, changesFrom.get, toV)
+            Some(BtrLog.Entry(toV, 0L, "changes", added.addedRel))
+          case "insert-lenient" =>
+            val r = BtrChanges.resolveRange(fs, root, changesFrom.get, toV)
+            Some(BtrLog.Entry(toV, 0L, "changes", r.added.addedRel))
+          case "delete" =>
+            // the REMOVED files of the range: resolution happens in the
+            // scan through the retention store (snapshotVersion = from,
+            // so a vacuumed file fails loudly, never partially)
+            val r = BtrChanges.resolveRange(fs, root, changesFrom.get, toV)
+            Some(BtrLog.Entry(math.max(changesFrom.get, 1L), 0L, "changes-del", r.removedRels))
+        }
       } else if (travelVersion.isEmpty && travelTs.isEmpty) None
       else {
         val dir = new Path(path)
@@ -289,18 +303,11 @@ class BtrScan(
       val all = BtrTableMeta.listDataFilesWithPartitions(fs, dir)
       onlyFiles match {
         case Some(set) =>
-          val rootLen = fs.makeQualified(dir).toUri.getPath.length + 1
-          val found = all.filter(e => set.contains(e.path.toUri.getPath.substring(rootLen)))
-          if (snapshotVersion.isDefined && found.length < set.size) {
-            val present = found.map(e => e.path.toUri.getPath.substring(rootLen)).toSet
-            val missing = (set -- present).toSeq.sorted
-            throw new IllegalStateException(
-              s"btr: snapshot v${snapshotVersion.get} of $path references " +
-                s"${missing.length} file(s) that no longer exist (e.g. " +
-                s"${missing.take(3).mkString(", ")}) — history before an " +
-                "OPTIMIZE/DELETE/VACUUM that removed them is no longer readable")
-          }
-          found
+          // snapshot resolution falls back to the _btr_removed retention
+          // store for files later commits removed (loud when genuinely
+          // gone — see BtrRetention.resolveFileSet)
+          graft.format.BtrRetention.resolveFileSet(
+            fs, fs.makeQualified(dir), all, set, snapshotVersion, path)
         case None => all
       }
     }
@@ -1612,18 +1619,7 @@ class BtrAggScan(path: String, tableSchema: StructType, agg: aggregate.Aggregati
     val all = BtrTableMeta.listDataFilesWithPartitions(fs, dir)
     val listed = onlyFiles match {
       case Some(set) =>
-        val rootLen = qualified.toUri.getPath.length + 1
-        val found = all.filter(e => set.contains(e.path.toUri.getPath.substring(rootLen)))
-        if (snapshotVersion.isDefined && found.length < set.size) {
-          val present = found.map(e => e.path.toUri.getPath.substring(rootLen)).toSet
-          val missing = (set -- present).toSeq.sorted
-          throw new IllegalStateException(
-            s"btr: snapshot v${snapshotVersion.get} of $path references " +
-              s"${missing.length} file(s) that no longer exist (e.g. " +
-              s"${missing.take(3).mkString(", ")}) — history before an " +
-              "OPTIMIZE/DELETE/VACUUM that removed them is no longer readable")
-        }
-        found
+        graft.format.BtrRetention.resolveFileSet(fs, qualified, all, set, snapshotVersion, path)
       case None => all
     }
     val entries = listed.map { e =>

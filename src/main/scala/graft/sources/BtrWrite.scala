@@ -118,7 +118,8 @@ class BtrWriteBuilder(path: String, schema: StructType, options: CaseInsensitive
         case _ => ()
       }
       new BtrBatchWrite(path, schema, mode, BtrOptions.blockSize(options),
-        BtrOptions.cascade(options), BtrOptions.config(options), partCols)
+        BtrOptions.cascade(options), BtrOptions.config(options), partCols,
+        retainOpt = BtrOptions.retainRemoved(options))
     }
     override def toStreaming: streaming.StreamingWrite = {
       // Complete/Update modes arrive as truncate(); the sink only ever
@@ -350,7 +351,8 @@ object BtrOverwriteMode {
 }
 
 class BtrBatchWrite(path: String, schema: StructType, mode: BtrOverwriteMode, blockSize: Int,
-    cascade: Int, cfg: BtrConfig = BtrConfig.Default, partCols: Seq[String] = Nil)
+    cascade: Int, cfg: BtrConfig = BtrConfig.Default, partCols: Seq[String] = Nil,
+    retainOpt: Option[Boolean] = None)
     extends BatchWrite {
 
   private def truncate: Boolean = mode == BtrOverwriteMode.Truncate
@@ -417,6 +419,10 @@ class BtrBatchWrite(path: String, schema: StructType, mode: BtrOverwriteMode, bl
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = new Path(path)
     val fs = dir.getFileSystem(BtrTableMeta.hadoopConf())
+    // retention policy of the PRE-commit table governs what this commit
+    // removes (a commit that first enables retention retains from the
+    // NEXT removal on)
+    val retainRemoved = BtrTableMeta.readRetainRemoved(fs, dir)
     val msgs = flatten(messages)
     // fileName is table-root-relative (may include partition dirs)
     val committed = msgs.map(_.fileName).toSet
@@ -452,7 +458,7 @@ class BtrBatchWrite(path: String, schema: StructType, mode: BtrOverwriteMode, bl
         BtrTableMeta.dropAllSwapState(fs, dir)
         val old = BtrTableMeta.listDataFilesWithPartitions(fs, dir).filterNot(e => isNew(e.path))
         journalReplace(committed.toSeq.filter(_.nonEmpty).sorted, old.map(e => relOf(e.path)).toSeq)
-        old.foreach(e => fs.delete(e.path, false))
+        old.foreach(e => BtrRetention.removeDataFile(fs, dir, relOf(e.path), retainRemoved))
       case BtrOverwriteMode.ByFilter(filters) =>
         // delete the PRE-EXISTING rows matching the condition; this
         // write's own files are insert data and never candidates (excluded
@@ -477,7 +483,7 @@ class BtrBatchWrite(path: String, schema: StructType, mode: BtrOverwriteMode, bl
               "changed the table since this overwrite was planned; retry")
         val dels = verdicts.collect { case (e, BtrDelete.MatchAll) => e }
         journalReplace(committed.toSeq.filter(_.nonEmpty).sorted, dels.map(e => relOf(e.path)).toSeq)
-        dels.foreach(e => fs.delete(e.path, false))
+        dels.foreach(e => BtrRetention.removeDataFile(fs, dir, relOf(e.path), retainRemoved))
       case BtrOverwriteMode.Dynamic =>
         // replace exactly the partition directories this write landed
         // files in: delete their pre-existing files, keep every other
@@ -494,7 +500,7 @@ class BtrBatchWrite(path: String, schema: StructType, mode: BtrOverwriteMode, bl
           touched.contains(parent) && !isNew(e.path)
         }
         journalReplace(committed.toSeq.filter(_.nonEmpty).sorted, dels.map(e => relOf(e.path)).toSeq)
-        dels.foreach(e => fs.delete(e.path, false))
+        dels.foreach(e => BtrRetention.removeDataFile(fs, dir, relOf(e.path), retainRemoved))
       case BtrOverwriteMode.ReplaceFiles(sourcesThunk) =>
         BtrTableMeta.completeSwapJournals(fs, dir)
         // leftover hidden staging from a CRASHED previous rewrite (its
@@ -517,7 +523,7 @@ class BtrBatchWrite(path: String, schema: StructType, mode: BtrOverwriteMode, bl
           if (!fs.rename(from, to))
             throw new java.io.IOException(s"btr rewrite: rename $rel -> ${visibleOf(rel)} failed")
         }
-        sources.foreach(relPath => fs.delete(new Path(dir, relPath), false))
+        sources.foreach(relPath => BtrRetention.removeDataFile(fs, dir, relPath, retainRemoved))
       case BtrOverwriteMode.Append => ()
     }
     // retire this commit's own journal (idempotent; deletes any source a
@@ -530,7 +536,7 @@ class BtrBatchWrite(path: String, schema: StructType, mode: BtrOverwriteMode, bl
     if (mode != BtrOverwriteMode.Append) BtrDelete.deleteEmptyPartitionDirs(fs, dir)
     BtrTableMeta.write(fs, dir,
       if (truncate) schema else BtrWriteSchemas.widened(fs, dir, schema),
-      blockSize, cascade, partCols)
+      blockSize, cascade, partCols, retainRemoved = retainOpt)
     // ingest stats at commit — the analog of the reference's `.stats`
     // files (btrfiles/Parser.cpp:184-189) + OutputBlockStats
     // (compression/Compressor.hpp:10-20): per-column nulls, raw vs

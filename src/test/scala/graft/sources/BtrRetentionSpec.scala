@@ -1,0 +1,149 @@
+package graft.sources
+
+import graft.format.{BtrRetention, BtrTableMeta}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Opt-in retention of removed files (`btr.retainRemoved`): removal
+  * commits MOVE visible data files into the hidden `_btr_removed/` store
+  * instead of deleting, which extends time travel across
+  * DELETE/overwrite/OPTIMIZE and lets the change feed emit row-level
+  * deletes. `VACUUM ... RETAIN` expires the store; default-off tables
+  * behave exactly as before.
+  */
+class BtrRetentionSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("retention-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.catalog.graft", "graft.sources.BtrCatalog")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def tmp(name: String) = {
+    val d = s"/tmp/btr-retention-spec/$name"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d))
+    d
+  }
+
+  private def fsRoot(dir: String) = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(BtrTableMeta.hadoopConf())
+    (fs, fs.makeQualified(p))
+  }
+
+  private def writeRetained(dir: String, mode: String, data: Seq[Int]): Unit = {
+    import spark.implicits._
+    data.toDF("x").write.format("btr")
+      .option("btr.retainRemoved", "true").mode(mode).save(dir)
+  }
+
+  test("time travel works ACROSS an overwrite when the table retains removed files") {
+    val dir = tmp("tt-overwrite")
+    import spark.implicits._
+    writeRetained(dir, "overwrite", Seq(1, 2, 3))      // v1
+    writeRetained(dir, "append", Seq(4))               // v2
+    writeRetained(dir, "overwrite", Seq(9, 10))        // v3 — removes v1+v2 files
+
+    // current read: post-overwrite only
+    assert(spark.read.format("btr").load(dir).as[Int].collect().sorted.toSeq == Seq(9, 10))
+    // pre-overwrite snapshots resolve through the store
+    def asOf(v: Long) = spark.read.format("btr")
+      .option("btr.versionAsOf", v.toString).load(dir).as[Int].collect().sorted.toSeq
+    assert(asOf(1) == Seq(1, 2, 3))
+    assert(asOf(2) == Seq(1, 2, 3, 4))
+    assert(asOf(3) == Seq(9, 10))
+  }
+
+  test("the change feed emits row-level deletes across a DELETE") {
+    val dir = tmp("feed-delete")
+    import spark.implicits._
+    Seq((1, "a"), (2, "a"), (3, "b")).toDF("x", "p")
+      .write.format("btr").option("btr.retainRemoved", "true")
+      .partitionBy("p").mode("overwrite").save(dir)                      // v1
+    Seq((4, "c")).toDF("x", "p").write.format("btr")
+      .partitionBy("p").mode("append").save(dir)                         // v2
+    spark.sql(s"DELETE FROM graft.`$dir` WHERE p = 'a'")                 // v3
+
+    val (fs, root) = fsRoot(dir)
+    val latest = BtrLog.latestVersion(fs, root).get
+    val feed = BtrChanges.between(spark, dir, 1L, latest)
+      .select(col("x"), col("_change_type"), col("_commit_version"))
+      .as[(Int, String, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    // inserts: v2's row; deletes: the two p=a rows removed at v3
+    assert(feed == Seq((1, "delete", 3L), (2, "delete", 3L), (4, "insert", 2L)), feed.toString)
+    // current read unaffected
+    assert(spark.read.format("btr").load(dir).select("x").as[Int].collect().sorted.toSeq ==
+      Seq(3, 4))
+  }
+
+  test("metadata aggregates answer correctly for a retained historical snapshot") {
+    val dir = tmp("agg")
+    writeRetained(dir, "overwrite", (1 to 100))        // v1
+    writeRetained(dir, "overwrite", Seq(7))            // v2 — removes v1
+
+    val back = spark.read.format("btr").option("btr.versionAsOf", "1").load(dir)
+    val r = back.agg(count(lit(1)), sum("x")).head()
+    assert((r.getLong(0), r.getLong(1)) == (100L, 5050L))
+  }
+
+  test("VACUUM RETAIN 0 HOURS expires the store; history then fails loudly") {
+    val dir = tmp("vacuum")
+    writeRetained(dir, "overwrite", Seq(1, 2))         // v1
+    writeRetained(dir, "overwrite", Seq(3))            // v2 — v1 files to store
+    assert(spark.read.format("btr").option("btr.versionAsOf", "1").load(dir).count() == 2)
+
+    Thread.sleep(10) // the store entry's move-millis must be strictly past
+    // a shared test JVM's session may predate this suite, so the
+    // extensions config can be ignored by getOrCreate — drive the
+    // maintenance parser directly (same code path sql() takes)
+    val parser = new BtrSparkSqlParser(spark.sessionState.sqlParser)
+    parser.parsePlan(s"VACUUM graft.`$dir` RETAIN 0 HOURS")
+      .asInstanceOf[BtrVacuumCommand].run(spark)
+    val e = intercept[Exception] {
+      spark.read.format("btr").option("btr.versionAsOf", "1").load(dir).count()
+    }
+    assert(e.getMessage.contains("no longer exist"), e.getMessage)
+    // current reads untouched
+    assert(spark.read.format("btr").load(dir).count() == 1)
+  }
+
+  test("OPTIMIZE on a retained table keeps pre-compaction snapshots readable") {
+    val dir = tmp("optimize")
+    import spark.implicits._
+    writeRetained(dir, "overwrite", Seq(1, 2))         // v1
+    writeRetained(dir, "append", Seq(3))               // v2
+    BtrCompact.compact(spark, dir, 128L * 1024 * 1024) // v3: folds the files
+
+    assert(spark.read.format("btr").load(dir).as[Int].collect().sorted.toSeq == Seq(1, 2, 3))
+    assert(spark.read.format("btr").option("btr.versionAsOf", "1").load(dir)
+      .as[Int].collect().sorted.toSeq == Seq(1, 2))
+  }
+
+  test("default-off tables delete physically, exactly as before") {
+    val dir = tmp("off")
+    import spark.implicits._
+    Seq(1, 2).toDF("x").write.format("btr").mode("overwrite").save(dir)  // v1
+    Seq(3).toDF("x").write.format("btr").mode("overwrite").save(dir)     // v2
+    val (fs, root) = fsRoot(dir)
+    assert(!fs.exists(new Path(root, BtrRetention.RemovedDir)))
+    intercept[Exception] {
+      spark.read.format("btr").option("btr.versionAsOf", "1").load(dir).count()
+    }
+  }
+
+  test("partitioned removed files keep their partition values through the store") {
+    val dir = tmp("part")
+    import spark.implicits._
+    Seq((1, "a"), (2, "b")).toDF("x", "p")
+      .write.format("btr").option("btr.retainRemoved", "true")
+      .partitionBy("p").mode("overwrite").save(dir)                      // v1
+    spark.sql(s"DELETE FROM graft.`$dir` WHERE p = 'a'")                 // v2
+
+    val old = spark.read.format("btr").option("btr.versionAsOf", "1").load(dir)
+    assert(old.filter(col("p") === "a").select("x").as[Int].collect().toSeq == Seq(1))
+    assert(old.count() == 2)
+  }
+}
