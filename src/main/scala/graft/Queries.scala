@@ -241,6 +241,35 @@ object CoreQueries {
         .orderBy("l_returnflag")
     }),
 
+    // Q-retention: removed-file retention under the oracle gate — the
+    // build enables btr.retainRemoved, DELETEs a partition, and the
+    // VERSIONED read must still produce the FULL pre-delete table
+    // (removed files resolve through the _btr_removed store), matching
+    // DuckDB recomputing over all rows. The current read is checked too
+    // (complement predicate) via the same grouped shape.
+    "q_retained_history" -> ((s, d) => {
+      val dir = Btr.cachePath(d, "lineitem_ret")
+      val done = new java.io.File(dir, "_ret_complete")
+      if (!done.exists()) {
+        Btr.pq(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+          .write.format("btr").option("btr.retainRemoved", "true")
+          .partitionBy("l_returnflag").mode("overwrite").save(dir)
+        s.conf.set("spark.sql.catalog.graft", classOf[graft.sources.BtrCatalog].getName)
+        s.sql(s"DELETE FROM graft.`$dir` WHERE l_returnflag = 'R'")
+        java.nio.file.Files.createFile(done.toPath)
+      }
+      val historical = s.read.format("btr").option("btr.versionAsOf", "1").load(dir)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+      val current = s.read.format("btr").load(dir)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+      historical.withColumn("view", lit("v1"))
+        .unionByName(current.withColumn("view", lit("now")))
+        .orderBy("view", "l_returnflag")
+    }),
+
     // Q-struct: struct columns through the format — leaves compress
     // under their own scheme selection inside one self-describing chunk,
     // a pruned projection (only rec.qty/rec.flag) skips the unrequested
@@ -1221,6 +1250,15 @@ object CoreQueries {
       """SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
         |FROM lineitem WHERE l_returnflag <> 'R'
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_retained_history" ->
+      """WITH v1 AS (SELECT 'v1' AS view, l_returnflag, count(*) AS n,
+        |  round(sum(l_quantity), 2) AS sum_qty FROM lineitem GROUP BY 2),
+        | now AS (SELECT 'now' AS view, l_returnflag, count(*) AS n,
+        |  round(sum(l_quantity), 2) AS sum_qty FROM lineitem
+        |  WHERE l_returnflag <> 'R' GROUP BY 2)
+        |SELECT l_returnflag, n, sum_qty, view FROM v1
+        |UNION ALL SELECT l_returnflag, n, sum_qty, view FROM now
+        |ORDER BY view, l_returnflag""".stripMargin,
     "q_struct_meta" ->
       """SELECT l_returnflag AS flag, count(*) AS n,
         | round(sum(l_quantity), 2) AS sum_qty
