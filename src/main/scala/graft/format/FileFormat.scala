@@ -755,7 +755,13 @@ object BtrTableMeta {
           val rel = if (g.dir.isEmpty) s else s"${g.dir}/$s"
           BtrRetention.removeDataFile(fs, root, rel, retain)
         }
-        else g.finals.foreach(f => fs.delete(new Path(dir, f), false))
+        else g.finals.foreach { f =>
+          // rollback deletions route through retention too: a crashed
+          // RESTORE's partially-resurrected files return to the store
+          // instead of being lost (their store copies already moved out)
+          val rel = if (g.dir.isEmpty) f else s"${g.dir}/$f"
+          BtrRetention.removeDataFile(fs, root, rel, retain)
+        }
         forward
       }
       val id = journal.getName.stripPrefix(SwapPrefix).stripSuffix(".json")

@@ -254,14 +254,33 @@ object BtrLog {
       .map(e => e.path.toUri.getPath.substring(rootLen))
     val liveSet = live.toSet
     val missing = (want -- liveSet).toSeq.sorted
-    require(missing.isEmpty,
-      s"btr: cannot restore $root to v$version — ${missing.length} referenced " +
-        s"file(s) no longer exist (e.g. ${missing.take(3).mkString(", ")}); " +
-        "only commits that ADDED files (appends, epochs) can be rewound")
+    // retained tables can rewind PAST removals: missing snapshot files
+    // move back out of the _btr_removed store (the reverse rename of
+    // their removal — still zero data I/O)
+    val resurrectable = missing.flatMap(rel =>
+      graft.format.BtrRetention.resolveRemoved(fs, root, rel).map(rel -> _))
+    val gone = missing.toSet -- resurrectable.map(_._1).toSet
+    require(gone.isEmpty,
+      s"btr: cannot restore $root to v$version — ${gone.size} referenced " +
+        s"file(s) no longer exist (e.g. ${gone.toSeq.sorted.take(3).mkString(", ")}); " +
+        "only commits whose removed files were retained (btr.retainRemoved) " +
+        "or that merely ADDED files (appends, epochs) can be rewound")
     val toDrop = live.filterNot(want.contains).sorted
-    if (toDrop.nonEmpty) {
+    if (toDrop.nonEmpty || resurrectable.nonEmpty) {
+      // ONE journal group flips the whole restore atomically for
+      // readers: resurrected files stay hidden until all present, the
+      // dropped set hides the moment they are (convergence completes
+      // either direction; a rolled-back resurrection returns to the
+      // store via the retention-routed rollback)
       BtrTableMeta.writeSwapJournal(fs, root, s"nm-restore-${BtrWriteIds.newWriteId()}",
-        Seq(BtrTableMeta.SwapGroup("", Nil, toDrop.toSeq)))
+        Seq(BtrTableMeta.SwapGroup("", resurrectable.map(_._1), toDrop.toSeq)))
+      resurrectable.foreach { case (rel, e) =>
+        val dst = new Path(root, rel)
+        fs.mkdirs(dst.getParent)
+        if (!fs.rename(e.path, dst) && !fs.exists(dst))
+          throw new java.io.IOException(s"btr restore: cannot move $rel back from the " +
+            "removed store")
+      }
       val retain = BtrTableMeta.readRetainRemoved(fs, root)
       toDrop.foreach(f => graft.format.BtrRetention.removeDataFile(fs, root, f, retain))
       BtrTableMeta.completeSwapJournals(fs, root)

@@ -122,6 +122,23 @@ class BtrRetentionSpec extends AnyFunSuite {
       .as[Int].collect().sorted.toSeq == Seq(1, 2))
   }
 
+  test("RESTORE rewinds ACROSS an overwrite on a retained table") {
+    val dir = tmp("restore")
+    import spark.implicits._
+    writeRetained(dir, "overwrite", Seq(1, 2, 3))      // v1
+    writeRetained(dir, "overwrite", Seq(9))            // v2 — v1 files to store
+
+    val (fs, root) = fsRoot(dir)
+    BtrLog.restore(fs, root, 1L)
+    assert(spark.read.format("btr").load(dir).as[Int].collect().sorted.toSeq == Seq(1, 2, 3))
+    // the post-restore snapshot records the rewound state
+    val latest = BtrLog.latestVersion(fs, root).get
+    assert(BtrLog.readEntry(fs, root, latest).action == "restore")
+    // and v2 itself is STILL readable — its file moved to the store
+    assert(spark.read.format("btr").option("btr.versionAsOf", "2").load(dir)
+      .as[Int].collect().toSeq == Seq(9))
+  }
+
   test("default-off tables delete physically, exactly as before") {
     val dir = tmp("off")
     import spark.implicits._
