@@ -139,6 +139,37 @@ class BtrRetentionSpec extends AnyFunSuite {
       .as[Int].collect().toSeq == Seq(9))
   }
 
+  test("fuzz: EVERY version of a retained table reads exactly, whatever the history") {
+    val rnd = new scala.util.Random(20260814L)
+    import spark.implicits._
+    for (round <- 0 until 3) {
+      val dir = tmp(s"fuzz$round")
+      var next = 1000 * round
+      val snapshots = scala.collection.mutable.ArrayBuffer.empty[Set[Int]]
+      var live = Set.empty[Int]
+      def write(mode: String, n: Int): Unit = {
+        val vals = (0 until n).map { _ => next += 1; next }
+        vals.toDF("x").write.format("btr")
+          .option("btr.retainRemoved", "true").mode(mode).save(dir)
+        live = (if (mode == "overwrite") Set.empty[Int] else live) ++ vals
+        snapshots += live
+      }
+      write("overwrite", 1 + rnd.nextInt(5))
+      for (_ <- 0 until 8) {
+        if (rnd.nextInt(3) == 0) write("overwrite", 1 + rnd.nextInt(5))
+        else write("append", 1 + rnd.nextInt(5))
+      }
+      // with retention, the loud-error escape hatch of the unretained
+      // fuzz never applies: every version must read EXACTLY
+      snapshots.zipWithIndex.foreach { case (want, i) =>
+        val got = spark.read.format("btr")
+          .option("btr.versionAsOf", (i + 1).toString).load(dir)
+          .as[Int].collect().toSet
+        assert(got == want, s"round $round v${i + 1}: got ${got.size}, want ${want.size}")
+      }
+    }
+  }
+
   test("default-off tables delete physically, exactly as before") {
     val dir = tmp("off")
     import spark.implicits._
