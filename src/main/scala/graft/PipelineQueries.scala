@@ -30,6 +30,11 @@ object PipelineQueries {
     def versionCount =
       graft.sources.BtrLog.latestVersion(fs, root).getOrElse(0L)
     if (!new java.io.File(dir, "_btr_meta.json").exists() || versionCount < 2) {
+      // a partial cache (crash after the v1 overwrite) must be wiped, not
+      // re-overwritten: re-running the overwrite on top would record it as
+      // v2 — a truncate removing v1's files — and the hard-coded (1, 2]
+      // feed range below would hit removed history forever
+      if (fs.exists(root)) fs.delete(root, true)
       val docs = pq(s, d, "documents").select(col("doc_id"), col("text"))
       docs.filter(col("doc_id") % 3 =!= 0)
         .write.format("btr").mode("overwrite").save(dir)

@@ -188,11 +188,18 @@ object BtrChanges {
     lazy val relToQualified: Map[String, String] =
       BtrTableMeta.listDataFilesWithPartitions(fs, root)
         .map(e => e.path.toUri.getPath.substring(rootLen) -> e.path.toString).toMap
+    // a file added in the range but removed by a commit AFTER `to` (later
+    // DELETE/overwrite/OPTIMIZE) is absent from the live listing; on a
+    // retained table the store still serves it, and the scan resolves it
+    // to the store entry's path — key the attribution map the same way
     def insertAttribution: Map[String, Long] = r.added.versionOf.map { case (rel, v) =>
-      relToQualified.getOrElse(rel,
-        throw new IllegalStateException(
+      relToQualified.get(rel)
+        .orElse(graft.format.BtrRetention.resolveRemoved(fs, root, rel)
+          .map(_.path.toString))
+        .getOrElse(throw new IllegalStateException(
           s"btr: change set of ($fromVersion, $toVersion] references $rel which is no " +
-            s"longer listed under $root — history was physically truncated")) -> v
+            s"longer listed under $root and not retained — history was physically " +
+            "truncated")) -> v
     }
 
     if (r.removedRels.isEmpty) {

@@ -62,12 +62,17 @@ object BtrV2Filters {
           for (a <- refName(ch(0)); v <- litValue(ch(1)) if v != null)
             yield StringStartsWith(a, v.toString)
         case "IN" if ch.length >= 2 =>
-          for (a <- refName(ch(0)); vs <- sequence(ch.drop(1).map(litValue)))
+          for (a <- refName(ch(0)); vs <- sequence(ch.drop(1).map(litValue))
+               if !vs.contains(null))
             yield In(a, vs)
+        // null comparison literals never build a Filter: EqualTo(a, null)
+        // etc. are invalid by V1 convention (only <=> is null-safe) — the
+        // predicate stays a residual above the scan
         case op @ ("=" | "<=>" | ">" | ">=" | "<" | "<=") if ch.length == 2 =>
           (refName(ch(0)), litValue(ch(1)), refName(ch(1)), litValue(ch(0))) match {
-            case (Some(a), Some(v), _, _) => Some(mk(op, a, v))
-            case (_, _, Some(a), Some(v)) => Some(mk(flip(op), a, v))
+            case (Some(a), Some(v), _, _) if v != null || op == "<=>" => Some(mk(op, a, v))
+            case (_, _, Some(a), Some(v)) if v != null || op == "<=>" =>
+              Some(mk(flip(op), a, v))
             case _ => None
           }
         case _ => None

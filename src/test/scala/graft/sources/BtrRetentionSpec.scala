@@ -170,6 +170,28 @@ class BtrRetentionSpec extends AnyFunSuite {
     }
   }
 
+  test("an OLDER change range stays replayable after a later removal (retained)") {
+    // the retention promise: consuming (1, 2] must not break because a
+    // commit AFTER the range (v3 here) removed files added within it —
+    // the store serves them and attribution keys by the store path
+    val dir = tmp("replay-old-range")
+    import spark.implicits._
+    Seq((1, "keep"), (2, "keep")).toDF("x", "tag")
+      .write.format("btr").option("btr.retainRemoved", "true")
+      .mode("overwrite").save(dir)                                       // v1
+    Seq((10, "gone"), (11, "keep2")).toDF("x", "tag")
+      .write.format("btr").mode("append").save(dir)                      // v2
+    spark.sql(s"DELETE FROM graft.`$dir` WHERE tag = 'gone'")            // v3
+
+    val feed = BtrChanges.between(spark, dir, 1L, 2L)
+      .select(col("x"), col("_change_type"), col("_commit_version"))
+      .as[(Int, String, Long)].collect().sortBy(_._1).toSeq
+    // v2 appended one file holding rows 10 and 11; v3's row-level DELETE
+    // rewrote that file, but the range (1, 2] must still see BOTH rows as
+    // v2 inserts, served from the retention store
+    assert(feed == Seq((10, "insert", 2L), (11, "insert", 2L)), feed.toString)
+  }
+
   test("default-off tables delete physically, exactly as before") {
     val dir = tmp("off")
     import spark.implicits._
