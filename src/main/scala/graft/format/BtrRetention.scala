@@ -74,15 +74,20 @@ object BtrRetention {
   /** Resolve a snapshot-referenced file the live listing no longer
     * holds: newest store entry for its rel path, with the partition
     * values re-parsed from the path (directory values are part of the
-    * rel string).
+    * rel string). When the snapshot recorded the file's length
+    * (`expectedLen`), entries of a different length are skipped — the
+    * store can hold several incarnations of a re-used rel path, and
+    * length picks the one the snapshot actually referenced.
     */
-  def resolveRemoved(fs: FileSystem, root: Path, rel: String): Option[BtrTableMeta.DataFileEntry] = {
+  def resolveRemoved(fs: FileSystem, root: Path, rel: String,
+      expectedLen: Option[Long] = None): Option[BtrTableMeta.DataFileEntry] = {
     val dir = new Path(root, RemovedDir)
     if (!fs.exists(dir)) return None
     val prefix = esc(rel) + "."
     val candidates = fs.listStatus(dir).filter { st =>
       val n = st.getPath.getName
-      n.startsWith(prefix) && n.substring(prefix.length).forall(_.isDigit)
+      n.startsWith(prefix) && n.substring(prefix.length).forall(_.isDigit) &&
+        expectedLen.forall(_ == st.getLen)
     }
     if (candidates.isEmpty) None
     else {
@@ -127,6 +132,14 @@ object BtrRetention {
     * the store as fallback; fails LOUDLY naming genuinely-gone files
     * when `version` pins a snapshot. Shared by the scan and the
     * aggregate scan.
+    *
+    * `wantSizes` (rel → length, from the snapshot log) guards the
+    * rel-path-reuse corner: a file removed into the store whose name a
+    * later commit re-created (deterministic streaming-epoch names from a
+    * fresh checkpoint). A live file whose length contradicts the
+    * snapshot's recorded length is NOT the snapshot's file — resolution
+    * then prefers the store incarnation of matching length, and fails
+    * loudly rather than silently serving the new file's rows as history.
     */
   def resolveFileSet(
       fs: FileSystem,
@@ -134,21 +147,33 @@ object BtrRetention {
       listed: Array[BtrTableMeta.DataFileEntry],
       want: Set[String],
       version: Option[Long],
-      tableDesc: String): Array[BtrTableMeta.DataFileEntry] = {
+      tableDesc: String,
+      wantSizes: Map[String, Long] = Map.empty): Array[BtrTableMeta.DataFileEntry] = {
     val rootLen = root.toUri.getPath.length + 1
-    val found = listed.filter(e => want.contains(e.path.toUri.getPath.substring(rootLen)))
+    def relOf(e: BtrTableMeta.DataFileEntry) = e.path.toUri.getPath.substring(rootLen)
+    val hits = listed.filter(e => want.contains(relOf(e)))
+    val (found, reused) =
+      if (version.isEmpty || wantSizes.isEmpty) (hits, Array.empty[BtrTableMeta.DataFileEntry])
+      else hits.partition(e => wantSizes.get(relOf(e)).forall(_ == e.len))
     if (found.length == want.size || version.isEmpty) return found
-    val present = found.map(e => e.path.toUri.getPath.substring(rootLen)).toSet
+    val present = found.map(relOf).toSet
     val missing = (want -- present).toSeq.sorted
-    val recovered = missing.flatMap(rel => resolveRemoved(fs, root, rel).map(rel -> _)).toMap
+    val recovered = missing.flatMap(rel =>
+      resolveRemoved(fs, root, rel, expectedLen = wantSizes.get(rel)).map(rel -> _)).toMap
     if (found.length + recovered.size < want.size) {
       val gone = missing.filterNot(recovered.contains)
+      val reuseNote =
+        if (reused.isEmpty) ""
+        else s" ${reused.length} of them exist(s) under the same name with a " +
+          "DIFFERENT length — the name was re-used by a later commit, and the " +
+          "snapshot's incarnation is gone from the retention store."
       throw new IllegalStateException(
         s"btr: snapshot v${version.get} of $tableDesc references " +
           s"${gone.length} file(s) that no longer exist (e.g. " +
           s"${gone.take(3).mkString(", ")}) — history before an " +
           "OPTIMIZE/DELETE/VACUUM that removed them is no longer readable " +
-          "(enable btr.retainRemoved to keep removed files for time travel)")
+          "(enable btr.retainRemoved to keep removed files for time travel)." +
+          reuseNote)
     }
     found ++ missing.flatMap(recovered.get)
   }

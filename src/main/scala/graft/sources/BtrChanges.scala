@@ -58,49 +58,58 @@ object BtrChanges {
     *                   range and still visible at `to`, sorted
     * @param versionOf  rel path → version whose snapshot first contains
     *                   it (commit attribution)
+    * @param sizes      rel path → recorded length at `to` (where the log
+    *                   recorded one) — disambiguates rel-path reuse
     */
-  final case class Added(toVersion: Long, addedRel: Seq[String], versionOf: Map[String, Long])
+  final case class Added(toVersion: Long, addedRel: Seq[String], versionOf: Map[String, Long],
+      sizes: Map[String, Long] = Map.empty)
 
   /** Full range resolution including REMOVALS: like [[resolveAdded]] but
     * never throws on removed history — returns the removed rels with the
     * version each disappeared at, for the retention-backed delete side.
+    * `removedSizes` holds each removed file's length just before its
+    * removal (the incarnation the retention store must serve).
     */
   final case class Range(added: Added, removedRels: Seq[String],
-      removedAt: Map[String, Long], removedAction: Map[String, String])
+      removedAt: Map[String, Long], removedAction: Map[String, String],
+      removedSizes: Map[String, Long] = Map.empty)
 
   def resolveRange(fs: FileSystem, root: Path, fromVersion: Long, toVersion: Long): Range = {
     require(fromVersion >= 0 && toVersion >= math.max(fromVersion, 1L),
       s"btr: change range is (from, to] with to >= from — got from=$fromVersion to=$toVersion")
-    val entries = (math.max(fromVersion, 1L) to toVersion).map(v => BtrLog.readEntry(fs, root, v))
-    val fromSet = if (fromVersion == 0) Set.empty[String] else entries.head.files.toSet
-    val toSet = entries.last.files.toSet
+    val (base, steps) = BtrLog.walkRange(fs, root, fromVersion, toVersion)
+    val fromSet = base.fileSet
+    val toSnap = steps.lastOption.map(_._2).getOrElse(base)
+    val toSet = toSnap.fileSet
     val removed = fromSet -- toSet
     val removedAt = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     val removedAction = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val removedSizes = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     val versionOf = scala.collection.mutable.LinkedHashMap.empty[String, Long]
-    var prev = fromSet
-    val walk = if (fromVersion == 0) entries else entries.tail
-    walk.foreach { e =>
-      val cur = e.files.toSet
-      (prev & removed).foreach(f => if (!cur.contains(f) && !removedAt.contains(f)) {
+    var prev = base
+    steps.foreach { case (e, snap) =>
+      val cur = snap.fileSet
+      (prev.fileSet & removed).foreach(f => if (!cur.contains(f) && !removedAt.contains(f)) {
         removedAt(f) = e.version
         removedAction(f) = e.action
+        prev.sizes.get(f).foreach(removedSizes(f) = _)
       })
-      e.files.foreach { f =>
-        if (!prev.contains(f) && toSet.contains(f) && !versionOf.contains(f))
+      cur.foreach { f =>
+        if (!prev.fileSet.contains(f) && toSet.contains(f) && !versionOf.contains(f))
           versionOf(f) = e.version
       }
-      prev = cur
+      prev = snap
     }
-    Range(Added(entries.last.version, (toSet -- fromSet).toSeq.sorted, versionOf.toMap),
-      removed.toSeq.sorted, removedAt.toMap, removedAction.toMap)
+    Range(Added(toSnap.version, (toSet -- fromSet).toSeq.sorted, versionOf.toMap,
+        toSnap.sizes.view.filterKeys(r => toSet.contains(r) && !fromSet.contains(r)).toMap),
+      removed.toSeq.sorted, removedAt.toMap, removedAction.toMap, removedSizes.toMap)
   }
 
   /** Resolve the added-file set of `(from, to]` from the snapshot log.
-    * Zero data I/O: reads `to - from + 1` small JSON entries. Fails
-    * loudly when a file visible at `from` is gone by `to` (the fast
-    * path would be wrong) or when an entry in the range was pruned
-    * (attribution would be a guess).
+    * Zero data I/O: resolves the base snapshot and replays the range's
+    * (small JSON) entries. Fails loudly when a file visible at `from` is
+    * gone by `to` (the fast path would be wrong) or when an entry in the
+    * range was pruned (attribution would be a guess).
     */
   def resolveAdded(fs: FileSystem, root: Path, fromVersion: Long, toVersion: Long): Added = {
     require(fromVersion >= 0,
@@ -108,45 +117,22 @@ object BtrChanges {
         s"got $fromVersion")
     require(toVersion >= math.max(fromVersion, 1L),
       s"btr: change range is (from, to] with to >= from — got from=$fromVersion to=$toVersion")
-    // from = 0 bootstraps: the empty pre-table snapshot (requires v1..to
-    // retained so attribution stays exact)
-    val entries = (math.max(fromVersion, 1L) to toVersion).map(v => BtrLog.readEntry(fs, root, v))
-    val fromSet = if (fromVersion == 0) Set.empty[String] else entries.head.files.toSet
-    val toSet = entries.last.files.toSet
-    val removed = fromSet -- toSet
-    if (removed.nonEmpty) {
+    val r = resolveRange(fs, root, fromVersion, toVersion)
+    if (r.removedRels.nonEmpty) {
       // name the commits that removed base files, so the error points at
       // the exact history the fast path cannot represent
-      var prev = fromSet
-      val culprits = entries.tail.flatMap { e =>
-        val cur = e.files.toSet
-        val gone = (prev & removed) -- cur
-        prev = cur
-        if (gone.nonEmpty) Some(s"v${e.version} (${e.action}: ${gone.size} file(s))") else None
-      }
+      val culprits = r.removedRels.map(f =>
+        s"v${r.removedAt(f)} (${r.removedAction(f)})").distinct
       throw new IllegalStateException(
         s"btr: cannot serve file-level changes ($fromVersion, $toVersion] of $root — " +
-          s"${removed.size} file(s) visible at v$fromVersion were removed by " +
-          s"${culprits.mkString(", ")}; rows were rewritten or deleted, so new-files-only " +
-          "would be wrong, and the removed files are physically gone. Re-bootstrap: " +
-          s"process a full read at v$toVersion, then resume incrementally from there " +
-          "(BtrChanges.diffTables audits an incremental result against a rebuild).")
+          s"${r.removedRels.size} file(s) visible at v$fromVersion were removed by " +
+          s"${culprits.take(4).mkString(", ")}; rows were rewritten or deleted, so " +
+          "new-files-only would be wrong, and the removed files are physically gone. " +
+          s"Re-bootstrap: process a full read at v$toVersion, then resume " +
+          "incrementally from there (BtrChanges.diffTables audits an incremental " +
+          "result against a rebuild).")
     }
-    // first-appearance attribution, walked oldest→newest so a file added
-    // and later re-homed by a mid-range compaction attributes once
-    val versionOf = scala.collection.mutable.LinkedHashMap.empty[String, Long]
-    var prev = fromSet
-    val walk = if (fromVersion == 0) entries else entries.tail
-    walk.foreach { e =>
-      val cur = e.files.toSet
-      e.files.foreach { f =>
-        if (!prev.contains(f) && toSet.contains(f) && !versionOf.contains(f)) {
-          versionOf(f) = e.version
-        }
-      }
-      prev = cur
-    }
-    Added(entries.last.version, (toSet -- fromSet).toSeq.sorted, versionOf.toMap)
+    r.added
   }
 
   /** DataFrame of the rows added in `(fromVersion, toVersion]`, with
@@ -185,16 +171,20 @@ object BtrChanges {
           .drop(BtrScan.FileMetaCol)
 
     val rootLen = root.toUri.getPath.length + 1
-    lazy val relToQualified: Map[String, String] =
+    lazy val liveByRel: Map[String, BtrTableMeta.DataFileEntry] =
       BtrTableMeta.listDataFilesWithPartitions(fs, root)
-        .map(e => e.path.toUri.getPath.substring(rootLen) -> e.path.toString).toMap
+        .map(e => e.path.toUri.getPath.substring(rootLen) -> e).toMap
     // a file added in the range but removed by a commit AFTER `to` (later
     // DELETE/overwrite/OPTIMIZE) is absent from the live listing; on a
     // retained table the store still serves it, and the scan resolves it
-    // to the store entry's path — key the attribution map the same way
+    // to the store entry's path — key the attribution map the same way.
+    // Size check mirrors BtrRetention.resolveFileSet: a live file whose
+    // length contradicts the snapshot's is a re-used name, not our file
     def insertAttribution: Map[String, Long] = r.added.versionOf.map { case (rel, v) =>
-      relToQualified.get(rel)
-        .orElse(graft.format.BtrRetention.resolveRemoved(fs, root, rel)
+      val expected = r.added.sizes.get(rel)
+      liveByRel.get(rel).filter(e => expected.forall(_ == e.len)).map(_.path.toString)
+        .orElse(graft.format.BtrRetention.resolveRemoved(fs, root, rel,
+            expectedLen = expected)
           .map(_.path.toString))
         .getOrElse(throw new IllegalStateException(
           s"btr: change set of ($fromVersion, $toVersion] references $rel which is no " +
@@ -212,7 +202,8 @@ object BtrChanges {
     // removals in range: the retention store supplies the removed files
     // row-level — every removed file must still be resolvable
     val removedEntries = r.removedRels.map(rel =>
-      rel -> graft.format.BtrRetention.resolveRemoved(fs, root, rel))
+      rel -> graft.format.BtrRetention.resolveRemoved(fs, root, rel,
+        expectedLen = r.removedSizes.get(rel)))
     val gone = removedEntries.collect { case (rel, None) => rel }
     if (gone.nonEmpty) {
       val culprits = gone.take(3).map(rel =>

@@ -229,7 +229,9 @@ object BtrCompact {
     fs.delete(staging, true)
     BtrTableMeta.completeSwapJournals(fs, root) // drops the journal (idempotent)
     BtrFooters.refreshIndex(fs, root) // the rewrite replaced every file
-    BtrLog.record(fs, root, "optimize")
+    BtrLog.recordDelta(fs, root, "optimize",
+      added = staged.map(_.path.getName).toSeq,
+      removed = entries.map(_.path.getName).toSeq)
     (before, staged.length)
   }
 
@@ -344,7 +346,16 @@ object BtrCompact {
     // merged files replace their sources in the footer index (incremental:
     // untouched files keep their cached entries)
     BtrFooters.refreshIndex(fs, root)
-    BtrLog.record(fs, root, "optimize")
+    locally {
+      def withPrefix(dirUri: String, name: String): String = {
+        val prefix = rel(dirUri)
+        if (prefix.isEmpty) name else s"$prefix/$name"
+      }
+      BtrLog.recordDelta(fs, root, "optimize",
+        added = jobs.map { case (bin, _, fin) => withPrefix(bin.dirUri, fin) },
+        removed = jobs.flatMap { case (bin, _, _) =>
+          bin.files.map(withPrefix(bin.dirUri, _)) })
+    }
     (before, before - jobs.map(_._1.files.length).sum + jobs.length)
   }
 }

@@ -198,7 +198,12 @@ object BtrDelete {
     }
     deleteEmptyPartitionDirs(fs, dir)
     BtrFooters.refreshIndex(fs, dir)
-    BtrLog.record(fs, dir, "delete")
+    locally {
+      val qualified = fs.makeQualified(dir)
+      val rootLen = qualified.toUri.getPath.length + 1
+      BtrLog.recordDelta(fs, dir, "delete", added = Nil,
+        removed = toDelete.map(e => e.path.toUri.getPath.substring(rootLen)).toSeq)
+    }
   }
 
   /** Remove partition directories emptied by a delete (leaf-first); the

@@ -5,37 +5,90 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 
 /** Snapshot log for time travel: every mutating commit (append,
   * overwrite, DELETE, row-level rewrite, OPTIMIZE, streaming-epoch
-  * cadence, partition ops) records the table's VISIBLE file set as one
-  * self-contained JSON entry under `_btr_log/` — `VERSION AS OF n` /
-  * `TIMESTAMP AS OF t` reads then plan exactly that file set through the
-  * scan's `onlyFiles` restriction.
+  * cadence, partition ops) records a JSON entry under `_btr_log/` —
+  * `VERSION AS OF n` / `TIMESTAMP AS OF t` reads then plan exactly that
+  * version's file set through the scan's `onlyFiles` restriction.
   *
-  * Design points, deliberately different from a Delta/Iceberg commit log:
-  * the LISTING stays authoritative for current-state reads (the log is
-  * never consulted on a normal scan, so a lost or absent log degrades
-  * time travel, never correctness), every entry is a full snapshot (one
-  * file read resolves any version — no delta replay), and entries are
-  * pruned to the newest [[KeepEntries]] at record time so log storage is
-  * bounded by construction. History ends where physical file lifetimes
-  * end: OPTIMIZE/DELETE/VACUUM physically remove superseded files, and a
-  * versioned read whose snapshot references a removed file fails LOUDLY
-  * with the missing names — stale-but-plausible results are never
-  * served. Versioned reads use the CURRENT table schema (files older
-  * than a widening read added columns as null, like any scan).
+  * Entries come in two kinds, so commit cost scales with the COMMIT,
+  * never the table:
+  *
+  *  - DELTA entries record only the commit's own `add`/`remove` file
+  *    sets (known to every commit path for free — they are the files it
+  *    just wrote or replaced). Writing one is O(files touched): no
+  *    table listing, no O(table) serialization. This is what appends,
+  *    deletes, rewrites, compactions and streaming epochs write.
+  *  - FULL entries (checkpoints) record the complete visible file set
+  *    from a fresh listing. The first entry of a table is always full,
+  *    every [[CheckpointInterval]]-th version forces one (bounding
+  *    delta-replay depth AND periodically re-syncing the log against
+  *    the authoritative listing — a lost entry self-heals at the next
+  *    checkpoint), and [[record]] without sets stays available for
+  *    operations whose file moves defy add/remove bookkeeping
+  *    (partition renames).
+  *
+  * Resolving a version walks back to the nearest full entry and replays
+  * deltas forward — bounded by the checkpoint interval. Entries also
+  * carry per-file SIZES: a pinned snapshot read can then detect the
+  * rel-path-reuse corner (a removed-and-retained file whose name a
+  * later commit re-created) instead of silently serving the new file's
+  * rows as history (see BtrRetention.resolveFileSet).
+  *
+  * Design points, deliberately different from a Delta/Iceberg commit
+  * log: the LISTING stays authoritative for current-state reads (the
+  * log is never consulted on a normal scan, so a lost or absent log
+  * degrades time travel, never correctness), and entries are pruned to
+  * the newest [[KeepEntries]] at record time — always back to a full
+  * entry, so every retained version stays resolvable. History ends
+  * where physical file lifetimes end: OPTIMIZE/DELETE/VACUUM physically
+  * remove superseded files, and a versioned read whose snapshot
+  * references a removed file fails LOUDLY with the missing names —
+  * stale-but-plausible results are never served. Versioned reads use
+  * the CURRENT table schema (files older than a widening read added
+  * columns as null, like any scan).
   *
   * Concurrency: version numbers are claimed by no-clobber rename of a
-  * temp entry; a racing committer simply retries at the next number.
-  * Recording is best-effort-last in each commit path — the data commit
-  * is already durable when the entry is written, so a crash between the
-  * two costs one snapshot point, not table state.
+  * temp entry; a racing committer simply retries at the next number. A
+  * delta entry stays correct under the retry — it records the commit's
+  * OWN add/remove sets, which compose the same whatever version number
+  * they land on. Recording is best-effort-last in each commit path —
+  * the data commit is already durable when the entry is written, so a
+  * crash between the two costs one snapshot point, not table state.
   */
 object BtrLog {
   val LogDir = "_btr_log"
-  /** Newest entries kept; older ones are pruned at record time. */
+  /** Newest entries kept; older ones are pruned at record time (never
+    * past the full entry the oldest kept version resolves through). */
   val KeepEntries = 64
+  /** Every Nth version is recorded as a full checkpoint even when the
+    * commit offered delta sets — bounds replay depth and re-syncs the
+    * log with the authoritative listing. */
+  val CheckpointInterval = 16
   private val NameRe = "v(\\d{20})\\.json".r
 
-  final case class Entry(version: Long, tsMillis: Long, action: String, files: Seq[String])
+  /** Full-listing calls made by record paths, keyed by table root — spec
+    * instrumentation for the O(commit) guarantee (delta commits must
+    * never list). Per-root so parallel test suites don't cross-talk. */
+  private[graft] val listingsByRoot =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]
+  private[graft] def listingsFor(root: Path): Long = {
+    val v = listingsByRoot.get(root.toUri.getPath)
+    if (v == null) 0L else v.longValue()
+  }
+
+  /** One raw log entry. Full entries carry `files` (+ parallel sizes);
+    * delta entries carry `add`/`remove` (+ sizes for the adds). */
+  final case class Entry(version: Long, tsMillis: Long, action: String,
+      files: Seq[String], isDelta: Boolean = false,
+      add: Seq[String] = Nil, remove: Seq[String] = Nil,
+      sizes: Map[String, Long] = Map.empty)
+
+  /** A version's RESOLVED visible state: complete file set, with sizes
+    * where the contributing entries recorded them (legacy pre-delta
+    * entries did not). */
+  final case class Snapshot(version: Long, tsMillis: Long, action: String,
+      files: Seq[String], sizes: Map[String, Long]) {
+    def fileSet: Set[String] = files.toSet
+  }
 
   private def nameOf(v: Long): String = f"v$v%020d.json"
 
@@ -70,59 +123,121 @@ object BtrLog {
     sb.toString
   }
 
-  /** Current visible file set as table-root-relative paths — the SAME
+  /** Current visible files as (table-root-relative path, len) — the SAME
     * relativization the scan's `onlyFiles` filter applies, so a recorded
     * snapshot round-trips byte-exact into a planned file set.
     */
-  private def currentFiles(fs: FileSystem, root: Path): Seq[String] = {
+  private def currentFiles(fs: FileSystem, root: Path): Seq[(String, Long)] = {
+    listingsByRoot.merge(root.toUri.getPath, 1L, (a, b) => a + b)
     val qualified = fs.makeQualified(root)
     val rootLen = qualified.toUri.getPath.length + 1
     BtrTableMeta.listDataFilesWithPartitions(fs, qualified)
-      .map(e => e.path.toUri.getPath.substring(rootLen)).toSeq.sorted
+      .map(e => e.path.toUri.getPath.substring(rootLen) -> e.len).toSeq.sortBy(_._1)
   }
 
-  /** Record the table's current visible state as the next version.
-    * Call AFTER the mutation is fully committed. Never throws into the
-    * caller's commit path for log-directory races — the claim loop
-    * retries; genuine IO failures do propagate (the caller's data commit
-    * is already durable, so Spark surfaces the error without undoing
-    * data).
-    */
-  def record(fs: FileSystem, root: Path, action: String): Long = {
-    val files = currentFiles(fs, root)
-    val dir = new Path(root, LogDir)
-    fs.mkdirs(dir)
-    val ts = System.currentTimeMillis()
-    val body = new StringBuilder()
-      .append("{\"version\":0,\"ts\":").append(ts)
+  private def fullJson(v: Long, ts: Long, action: String, files: Seq[(String, Long)]): String = {
+    val sb = new StringBuilder()
+      .append("{\"version\":").append(v).append(",\"ts\":").append(ts)
       .append(",\"action\":\"").append(esc(action)).append("\",\"files\":[")
-    // version is patched per claim attempt below; keep the files block
-    // built once (the expensive part for a many-file table)
-    val filesJson = files.map(f => "\"" + esc(f) + "\"").mkString(",")
-    body.append(filesJson).append("]}")
-    var v = latestVersion(fs, root).getOrElse(0L) + 1
+    sb.append(files.map(f => "\"" + esc(f._1) + "\"").mkString(","))
+    sb.append("],\"sizes\":[").append(files.map(_._2).mkString(","))
+    sb.append("]}")
+    sb.toString
+  }
+
+  private def deltaJson(v: Long, ts: Long, action: String,
+      add: Seq[(String, Long)], remove: Seq[String]): String = {
+    val sb = new StringBuilder()
+      .append("{\"version\":").append(v).append(",\"ts\":").append(ts)
+      .append(",\"action\":\"").append(esc(action)).append("\",\"add\":[")
+    sb.append(add.map(f => "\"" + esc(f._1) + "\"").mkString(","))
+    sb.append("],\"addSizes\":[").append(add.map(_._2).mkString(","))
+    sb.append("],\"remove\":[")
+    sb.append(remove.map(f => "\"" + esc(f) + "\"").mkString(","))
+    sb.append("]}")
+    sb.toString
+  }
+
+  /** Claim the next version by no-clobber rename; `json` regenerates the
+    * body per attempted version (a racing committer bumps it). */
+  private def claim(fs: FileSystem, dir: Path, first: Long, json: Long => String): Long = {
+    fs.mkdirs(dir)
+    var v = first
     var attempts = 0
     var claimed = -1L
     while (claimed < 0) {
       attempts += 1
-      require(attempts <= 1000, s"btr log: could not claim a version at $root")
-      val json = body.toString.replaceFirst("\\{\"version\":0,", s"{\"version\":$v,")
+      require(attempts <= 1000, s"btr log: could not claim a version at $dir")
       val tmp = new Path(dir, s"_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
       val out = fs.create(tmp, true)
-      try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      try out.write(json(v).getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
       val dst = new Path(dir, nameOf(v))
       if (!fs.exists(dst) && fs.rename(tmp, dst)) claimed = v
       else { fs.delete(tmp, false); v += 1 }
     }
+    claimed
+  }
+
+  /** Record a FULL checkpoint of the table's current visible state as
+    * the next version — O(table files). Kept for first commits,
+    * checkpoint cadence, and operations without clean add/remove sets
+    * (partition renames). Call AFTER the mutation is fully committed.
+    */
+  def record(fs: FileSystem, root: Path, action: String): Long = {
+    val files = currentFiles(fs, root)
+    val dir = new Path(root, LogDir)
+    val ts = System.currentTimeMillis()
+    val v0 = latestVersion(fs, root).getOrElse(0L) + 1
+    val claimed = claim(fs, dir, v0, v => fullJson(v, ts, action, files))
     prune(fs, dir)
     claimed
   }
 
+  /** Record a commit as a DELTA entry — O(files touched), no listing.
+    * `added`/`removed` are the commit's own table-root-relative file
+    * sets (exactly what it wrote / replaced). Falls back to a full
+    * checkpoint for a table with no log yet and on the
+    * [[CheckpointInterval]] cadence.
+    */
+  def recordDelta(fs: FileSystem, root: Path, action: String,
+      added: Seq[String], removed: Seq[String]): Long = {
+    val dir = new Path(root, LogDir)
+    val prev = latestVersion(fs, root).getOrElse(0L)
+    if (prev == 0L) return record(fs, root, action) // first entry anchors replay
+    val ts = System.currentTimeMillis()
+    // sizes of the added files: O(added) status calls (a file a racing
+    // commit already replaced just loses its size — advisory metadata)
+    val addSized = added.distinct.sorted.map { rel =>
+      val len = try fs.getFileStatus(new Path(root, rel)).getLen
+        catch { case _: java.io.IOException => -1L }
+      rel -> len
+    }
+    val rem = removed.distinct.sorted
+    lazy val checkpointFiles = currentFiles(fs, root)
+    val claimed = claim(fs, dir, prev + 1, v =>
+      if (v % CheckpointInterval == 0) fullJson(v, ts, action, checkpointFiles)
+      else deltaJson(v, ts, action, addSized, rem))
+    prune(fs, dir)
+    claimed
+  }
+
+  /** Prune to [[KeepEntries]], then extend back (never forward) to the
+    * newest FULL entry at-or-before the cutoff — the oldest kept version
+    * must resolve without entries we just deleted. */
   private def prune(fs: FileSystem, dir: Path): Unit = {
-    val vs = versions(fs, dir)
-    if (vs.length > KeepEntries)
-      vs.sorted.dropRight(KeepEntries).foreach(v => fs.delete(new Path(dir, nameOf(v)), false))
+    val vs = versions(fs, dir).sorted
+    if (vs.length <= KeepEntries) return
+    val cutoff = vs(vs.length - KeepEntries) // oldest version we want kept
+    // find the newest full entry <= cutoff; read entries (small) backward
+    var base = cutoff
+    var found = false
+    while (!found && base >= vs.head) {
+      if (vs.contains(base) && !readEntry(fs, dir.getParent, base).isDelta) found = true
+      else base -= 1
+    }
+    if (!found) return // no resolvable base at-or-before cutoff: keep all
+    vs.filter(_ < base).foreach(v => fs.delete(new Path(dir, nameOf(v)), false))
   }
 
   private def versions(fs: FileSystem, dir: Path): Seq[Long] = {
@@ -185,27 +300,108 @@ object BtrLog {
       }
       unesc(sb.toString)
     }
-    val fKey = "\"files\":["
-    val fi = json.indexOf(fKey)
-    require(fi >= 0, "btr log: missing files")
-    val out = scala.collection.mutable.ArrayBuffer.empty[String]
-    var i = fi + fKey.length
-    var inStr = false
-    val sb = new StringBuilder
-    var done = false
-    while (!done && i < json.length) {
-      val c = json.charAt(i)
-      if (inStr) {
-        if (c == '\\' && i + 1 < json.length) { sb += c; sb += json.charAt(i + 1); i += 2 }
-        else if (c == '"') { out += unesc(sb.toString); sb.clear(); inStr = false; i += 1 }
-        else { sb += c; i += 1 }
-      } else c match {
-        case '"' => inStr = true; i += 1
-        case ']' => done = true
-        case _ => i += 1
+    def strArray(key: String): Option[Seq[String]] = {
+      val k = "\"" + key + "\":["
+      val fi = json.indexOf(k)
+      if (fi < 0) return None
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = fi + k.length
+      var inStr = false
+      val sb = new StringBuilder
+      var done = false
+      while (!done && i < json.length) {
+        val c = json.charAt(i)
+        if (inStr) {
+          if (c == '\\' && i + 1 < json.length) { sb += c; sb += json.charAt(i + 1); i += 2 }
+          else if (c == '"') { out += unesc(sb.toString); sb.clear(); inStr = false; i += 1 }
+          else { sb += c; i += 1 }
+        } else c match {
+          case '"' => inStr = true; i += 1
+          case ']' => done = true
+          case _ => i += 1
+        }
       }
+      Some(out.toSeq)
     }
-    Entry(longField("version"), longField("ts"), strField("action"), out.toSeq)
+    def longArray(key: String): Option[Seq[Long]] = {
+      val k = "\"" + key + "\":["
+      val fi = json.indexOf(k)
+      if (fi < 0) return None
+      val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var i = fi + k.length
+      val sb = new StringBuilder
+      var done = false
+      while (!done && i < json.length) {
+        val c = json.charAt(i)
+        if (c.isDigit || c == '-') { sb += c; i += 1 }
+        else {
+          if (sb.nonEmpty) { out += sb.toString.toLong; sb.clear() }
+          if (c == ']') done = true else i += 1
+        }
+      }
+      Some(out.toSeq)
+    }
+    def zipSizes(names: Seq[String], sizes: Option[Seq[Long]]): Map[String, Long] =
+      sizes match {
+        case Some(s) if s.length == names.length =>
+          names.zip(s).filter(_._2 >= 0).toMap
+        case _ => Map.empty
+      }
+    val v = longField("version"); val ts = longField("ts"); val a = strField("action")
+    strArray("add") match {
+      case Some(add) =>
+        val rem = strArray("remove").getOrElse(Nil)
+        Entry(v, ts, a, Nil, isDelta = true, add = add, remove = rem,
+          sizes = zipSizes(add, longArray("addSizes")))
+      case None =>
+        val files = strArray("files").getOrElse(
+          throw new IllegalArgumentException("btr log: missing files"))
+        Entry(v, ts, a, files, sizes = zipSizes(files, longArray("sizes")))
+    }
+  }
+
+  /** Apply one entry on top of a resolved predecessor state. */
+  private def applyEntry(prevFiles: Seq[String], prevSizes: Map[String, Long],
+      e: Entry): (Seq[String], Map[String, Long]) =
+    if (!e.isDelta) (e.files, e.sizes)
+    else {
+      val rm = e.remove.toSet
+      val addSet = e.add.toSet
+      // remove first, then add: a retried streaming epoch re-adds its own
+      // deterministic name, and the add's (newer) size must win
+      val files = prevFiles.filterNot(f => rm.contains(f) || addSet.contains(f)) ++ e.add
+      (files.sorted, (prevSizes -- rm) ++ e.sizes)
+    }
+
+  /** Resolve a version's complete visible file set: walk back to the
+    * nearest full entry, replay deltas forward. Bounded by
+    * [[CheckpointInterval]] small JSON reads.
+    */
+  def resolveSnapshot(fs: FileSystem, root: Path, version: Long): Snapshot = {
+    val chain = scala.collection.mutable.ArrayBuffer.empty[Entry]
+    var e = readEntry(fs, root, version)
+    chain += e
+    while (e.isDelta) {
+      val v = e.version - 1
+      e =
+        try readEntry(fs, root, v)
+        catch {
+          case _: IllegalArgumentException =>
+            throw new IllegalStateException(
+              s"btr: snapshot v$version at $root is a delta whose base v$v was " +
+                "pruned or lost — the log cannot resolve it (a later checkpoint " +
+                "re-anchors subsequent versions)")
+        }
+      chain += e
+    }
+    var files: Seq[String] = chain.last.files
+    var sizes: Map[String, Long] = chain.last.sizes
+    chain.init.reverseIterator.foreach { d =>
+      val r = applyEntry(files, sizes, d)
+      files = r._1; sizes = r._2
+    }
+    val head = chain.head
+    Snapshot(head.version, head.tsMillis, head.action, files, sizes)
   }
 
   /** Resolve a read's pinned snapshot: exact version, or the newest
@@ -213,26 +409,62 @@ object BtrLog {
     * TIMESTAMP AS OF unit).
     */
   def resolve(fs: FileSystem, root: Path,
-      versionAsOf: Option[Long], timestampAsOfMicros: Option[Long]): Entry = {
+      versionAsOf: Option[Long], timestampAsOfMicros: Option[Long]): Snapshot = {
     require(versionAsOf.isEmpty || timestampAsOfMicros.isEmpty,
       "btr: specify either a version or a timestamp to travel to, not both")
     versionAsOf match {
-      case Some(v) => readEntry(fs, root, v)
+      case Some(v) => resolveSnapshot(fs, root, v)
       case None =>
         val tsMillis = timestampAsOfMicros.get / 1000L
         val vs = versions(fs, new Path(root, LogDir)).sorted
         require(vs.nonEmpty, s"btr: no snapshot log at $root — time travel needs " +
           "commits made by a log-aware writer")
         val hit = vs.reverse.view.map(readEntry(fs, root, _)).find(_.tsMillis <= tsMillis)
-        hit.getOrElse(throw new IllegalArgumentException(
-          s"btr: no snapshot at or before timestamp ${tsMillis}ms at $root " +
-            s"(oldest retained: v${vs.min})"))
+        hit.map(e => resolveSnapshot(fs, root, e.version)).getOrElse(
+          throw new IllegalArgumentException(
+            s"btr: no snapshot at or before timestamp ${tsMillis}ms at $root " +
+              s"(oldest retained: v${vs.min})"))
     }
   }
 
-  /** Full retained history, newest first (for the `btr_history` TVF). */
-  def history(fs: FileSystem, root: Path): Seq[Entry] =
-    versions(fs, new Path(root, LogDir)).sorted.reverse.map(readEntry(fs, root, _))
+  /** Full retained history as RESOLVED snapshots, newest first (for the
+    * `btr_history` TVF) — one forward replay over the retained entries,
+    * not a per-version walk. */
+  def history(fs: FileSystem, root: Path): Seq[Snapshot] = {
+    val vs = versions(fs, new Path(root, LogDir)).sorted
+    if (vs.isEmpty) return Nil
+    val out = scala.collection.mutable.ArrayBuffer.empty[Snapshot]
+    var cur = resolveSnapshot(fs, root, vs.head)
+    out += cur
+    vs.tail.foreach { v =>
+      val e = readEntry(fs, root, v)
+      val (files, sizes) = applyEntry(cur.files, cur.sizes, e)
+      cur = Snapshot(e.version, e.tsMillis, e.action, files, sizes)
+      out += cur
+    }
+    out.toSeq.reverse
+  }
+
+  /** The resolved states of a change range: `(base snapshot at `from`,
+    * per-version (entry, resolved snapshot) for each version in
+    * (from, to])`. `from = 0` bootstraps from the empty pre-table set.
+    * One backward walk for the base + one forward replay — shared by
+    * BtrChanges' resolution paths.
+    */
+  def walkRange(fs: FileSystem, root: Path, fromVersion: Long, toVersion: Long)
+      : (Snapshot, Seq[(Entry, Snapshot)]) = {
+    val base: Snapshot =
+      if (fromVersion == 0) Snapshot(0L, 0L, "none", Nil, Map.empty)
+      else resolveSnapshot(fs, root, fromVersion)
+    var cur = base
+    val steps = ((fromVersion + 1) to toVersion).map { v =>
+      val e = readEntry(fs, root, v)
+      val r = applyEntry(cur.files, cur.sizes, e)
+      cur = Snapshot(e.version, e.tsMillis, e.action, r._1, r._2)
+      (e, cur)
+    }
+    (base, steps)
+  }
 
   /** RESTORE the table to snapshot `version`: drop every visible data
     * file the snapshot doesn't reference — a metadata-only undo of
@@ -247,8 +479,8 @@ object BtrLog {
   def restore(fs: FileSystem, rawRoot: Path, version: Long): (Int, Int) = {
     val root = fs.makeQualified(rawRoot)
     BtrTableMeta.completeSwapJournals(fs, root)
-    val entry = readEntry(fs, root, version)
-    val want = entry.files.toSet
+    val snapshot = resolveSnapshot(fs, root, version)
+    val want = snapshot.fileSet
     val rootLen = root.toUri.getPath.length + 1
     val live = BtrTableMeta.listDataFilesWithPartitions(fs, root)
       .map(e => e.path.toUri.getPath.substring(rootLen))
@@ -258,7 +490,8 @@ object BtrLog {
     // move back out of the _btr_removed store (the reverse rename of
     // their removal — still zero data I/O)
     val resurrectable = missing.flatMap(rel =>
-      graft.format.BtrRetention.resolveRemoved(fs, root, rel).map(rel -> _))
+      graft.format.BtrRetention.resolveRemoved(fs, root, rel,
+        expectedLen = snapshot.sizes.get(rel)).map(rel -> _))
     val gone = missing.toSet -- resurrectable.map(_._1).toSet
     require(gone.isEmpty,
       s"btr: cannot restore $root to v$version — ${gone.size} referenced " +
@@ -290,7 +523,8 @@ object BtrLog {
     }
     BtrDelete.deleteEmptyPartitionDirs(fs, root)
     BtrFooters.refreshIndex(fs, root)
-    record(fs, root, "restore")
+    recordDelta(fs, root, "restore",
+      added = resurrectable.map(_._1), removed = toDrop.toSeq)
     (toDrop.length, want.size)
   }
 }

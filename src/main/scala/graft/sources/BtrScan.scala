@@ -188,7 +188,7 @@ class BtrScanBuilder(path: String, tableSchema: StructType, options: CaseInsensi
     require(changesFrom.isEmpty || (travelVersion.isEmpty && travelTs.isEmpty),
       "btr: a change-feed read (btr.changesFromVersion) cannot also pin a " +
         "time-travel snapshot — the range's `to` bound IS its snapshot")
-    val snapshot: Option[BtrLog.Entry] =
+    val snapshot: Option[BtrLog.Snapshot] =
       if (changesFrom.isDefined) {
         val dir = new Path(path)
         val fs = dir.getFileSystem(BtrTableMeta.hadoopConf())
@@ -202,16 +202,17 @@ class BtrScanBuilder(path: String, tableSchema: StructType, options: CaseInsensi
             // strict: refuses removed history (raw-option consumers get
             // the loud error; BtrChanges.between pairs the lenient sides)
             val added = BtrChanges.resolveAdded(fs, root, changesFrom.get, toV)
-            Some(BtrLog.Entry(toV, 0L, "changes", added.addedRel))
+            Some(BtrLog.Snapshot(toV, 0L, "changes", added.addedRel, added.sizes))
           case "insert-lenient" =>
             val r = BtrChanges.resolveRange(fs, root, changesFrom.get, toV)
-            Some(BtrLog.Entry(toV, 0L, "changes", r.added.addedRel))
+            Some(BtrLog.Snapshot(toV, 0L, "changes", r.added.addedRel, r.added.sizes))
           case "delete" =>
             // the REMOVED files of the range: resolution happens in the
             // scan through the retention store (snapshotVersion = from,
             // so a vacuumed file fails loudly, never partially)
             val r = BtrChanges.resolveRange(fs, root, changesFrom.get, toV)
-            Some(BtrLog.Entry(math.max(changesFrom.get, 1L), 0L, "changes-del", r.removedRels))
+            Some(BtrLog.Snapshot(math.max(changesFrom.get, 1L), 0L, "changes-del",
+              r.removedRels, r.removedSizes))
         }
       } else if (travelVersion.isEmpty && travelTs.isEmpty) None
       else {
@@ -225,15 +226,17 @@ class BtrScanBuilder(path: String, tableSchema: StructType, options: CaseInsensi
         // pinned snapshot's own footers answer, not the current file set
         new BtrAggScan(path, tableSchema, agg, partCols,
           agg.groupByExpressions().toSeq.flatMap(singleCol),
-          onlyFiles = snapshot.map(_.files.toSet),
-          snapshotVersion = snapshot.map(_.version))
+          onlyFiles = snapshot.map(_.fileSet),
+          snapshotVersion = snapshot.map(_.version),
+          onlySizes = snapshot.map(_.sizes).getOrElse(Map.empty))
       case None =>
         new BtrScan(path, tableSchema, requiredSchema, pushed, BtrOptions.splitBytes(options), limit, partCols,
           BtrOptions.expansionFactor(options), BtrOptions.maxFilesPerTrigger(options),
           BtrOptions.splitParallelism(options),
           startingVersion = BtrOptions.startingVersion(options),
-          onlyFiles = snapshot.map(_.files.toSet),
-          snapshotVersion = snapshot.map(_.version))
+          onlyFiles = snapshot.map(_.fileSet),
+          snapshotVersion = snapshot.map(_.version),
+          onlySizes = snapshot.map(_.sizes).getOrElse(Map.empty))
     }
   }
 }
@@ -273,7 +276,9 @@ class BtrScan(
     // named file MUST still exist (a pruned file means history was
     // physically truncated by OPTIMIZE/DELETE; serving the survivors
     // would be a silently wrong historical view, so fail loudly instead)
-    snapshotVersion: Option[Long] = None
+    snapshotVersion: Option[Long] = None,
+    // snapshot-recorded file lengths (rel → len): detects rel-path reuse
+    onlySizes: Map[String, Long] = Map.empty
 ) extends Scan
     with Batch
     with SupportsRuntimeFiltering
@@ -307,7 +312,8 @@ class BtrScan(
           // store for files later commits removed (loud when genuinely
           // gone — see BtrRetention.resolveFileSet)
           graft.format.BtrRetention.resolveFileSet(
-            fs, fs.makeQualified(dir), all, set, snapshotVersion, path)
+            fs, fs.makeQualified(dir), all, set, snapshotVersion, path,
+            wantSizes = onlySizes)
         case None => all
       }
     }
@@ -1157,8 +1163,8 @@ class BtrMicroBatchStream(
             throw new IllegalArgumentException(
               s"btr.startingVersion=latest: no snapshot log at $root"))
           else v.toLong
-        val entry = BtrLog.readEntry(fs, root, resolved)
-        writeLogFile(seenPath(-1L), entry.files)
+        val snap = BtrLog.resolveSnapshot(fs, root, resolved)
+        writeLogFile(seenPath(-1L), snap.files)
       }
     }
     LogOffset(-1L)
@@ -1545,7 +1551,9 @@ class BtrAggScan(path: String, tableSchema: StructType, agg: aggregate.Aggregati
     // time travel: aggregate over exactly this snapshot's files (their
     // footers answer for the PINNED state; missing files fail loudly)
     onlyFiles: Option[Set[String]] = None,
-    snapshotVersion: Option[Long] = None)
+    snapshotVersion: Option[Long] = None,
+    // snapshot-recorded file lengths (rel → len): detects rel-path reuse
+    onlySizes: Map[String, Long] = Map.empty)
     extends Scan
     with Batch {
 
@@ -1619,7 +1627,8 @@ class BtrAggScan(path: String, tableSchema: StructType, agg: aggregate.Aggregati
     val all = BtrTableMeta.listDataFilesWithPartitions(fs, dir)
     val listed = onlyFiles match {
       case Some(set) =>
-        graft.format.BtrRetention.resolveFileSet(fs, qualified, all, set, snapshotVersion, path)
+        graft.format.BtrRetention.resolveFileSet(fs, qualified, all, set, snapshotVersion, path,
+          wantSizes = onlySizes)
       case None => all
     }
     val entries = listed.map { e =>

@@ -181,12 +181,18 @@ class BtrStreamingWrite(path: String, schema: StructType, blockSize: Int, cascad
     // O(files) bytes per micro-batch on a long-running stream. The index
     // is advisory (uncovered epochs fall back to bounded tail-reads), so
     // refresh periodically; compaction re-covers the table anyway.
-    if (epochId % BtrStreamingWrite.IndexRefreshEpochs == 0) {
+    if (epochId % BtrStreamingWrite.IndexRefreshEpochs == 0)
       BtrFooters.refreshIndex(fs, dir)
-      // snapshot log on the same cadence (a full listing per entry —
-      // per-epoch recording would make the sink O(files) per micro-batch)
-      BtrLog.record(fs, dir, "epoch")
-    }
+    // snapshot log EVERY epoch: a delta entry of just this epoch's files
+    // is O(epoch), not O(table), so per-micro-batch recording is cheap —
+    // and gives startingVersion/time-travel per-epoch granularity. A
+    // retried epoch re-adds its own deterministic name (replay add wins)
+    val epochFiles = messages.flatMap {
+      case m: BtrCommitMessage => Seq(m)
+      case m: BtrMultiCommitMessage => m.messages.toSeq
+      case _ => Nil
+    }.map(_.fileName).filter(_.nonEmpty).toSeq
+    BtrLog.recordDelta(fs, dir, "epoch", added = epochFiles, removed = Nil)
     // ---- auto-compaction (btr.autoCompact.minFiles > 0) ---------------
     // A long-running stream appends one small file per (epoch, task) —
     // unbounded file growth is the #1 operational failure of streaming
@@ -445,6 +451,11 @@ class BtrBatchWrite(path: String, schema: StructType, mode: BtrOverwriteMode, bl
           Seq(BtrTableMeta.SwapGroup("", finals, sources)))
         committedForward = true
       }
+    // this commit's add/remove file sets, for the O(commit) snapshot-log
+    // delta entry: added = the files this write produced (visible names),
+    // removed = whatever the mode below replaced
+    var logAdded: Seq[String] = committed.toSeq.filter(_.nonEmpty)
+    var logRemoved: Seq[String] = Nil
     mode match {
       case BtrOverwriteMode.Truncate =>
         // replace: drop every data file not produced by this write.
@@ -457,7 +468,8 @@ class BtrBatchWrite(path: String, schema: StructType, mode: BtrOverwriteMode, bl
         // mappings must not outlive it
         BtrTableMeta.dropAllSwapState(fs, dir)
         val old = BtrTableMeta.listDataFilesWithPartitions(fs, dir).filterNot(e => isNew(e.path))
-        journalReplace(committed.toSeq.filter(_.nonEmpty).sorted, old.map(e => relOf(e.path)).toSeq)
+        logRemoved = old.map(e => relOf(e.path)).toSeq
+        journalReplace(committed.toSeq.filter(_.nonEmpty).sorted, logRemoved)
         old.foreach(e => BtrRetention.removeDataFile(fs, dir, relOf(e.path), retainRemoved))
       case BtrOverwriteMode.ByFilter(filters) =>
         // delete the PRE-EXISTING rows matching the condition; this
@@ -482,7 +494,8 @@ class BtrBatchWrite(path: String, schema: StructType, mode: BtrOverwriteMode, bl
               s"(e.g. ${undecided.take(3).mkString(", ")}) — a concurrent write " +
               "changed the table since this overwrite was planned; retry")
         val dels = verdicts.collect { case (e, BtrDelete.MatchAll) => e }
-        journalReplace(committed.toSeq.filter(_.nonEmpty).sorted, dels.map(e => relOf(e.path)).toSeq)
+        logRemoved = dels.map(e => relOf(e.path)).toSeq
+        journalReplace(committed.toSeq.filter(_.nonEmpty).sorted, logRemoved)
         dels.foreach(e => BtrRetention.removeDataFile(fs, dir, relOf(e.path), retainRemoved))
       case BtrOverwriteMode.Dynamic =>
         // replace exactly the partition directories this write landed
@@ -499,7 +512,8 @@ class BtrBatchWrite(path: String, schema: StructType, mode: BtrOverwriteMode, bl
           val parent = if (cut < 0) "" else rel.substring(0, cut)
           touched.contains(parent) && !isNew(e.path)
         }
-        journalReplace(committed.toSeq.filter(_.nonEmpty).sorted, dels.map(e => relOf(e.path)).toSeq)
+        logRemoved = dels.map(e => relOf(e.path)).toSeq
+        journalReplace(committed.toSeq.filter(_.nonEmpty).sorted, logRemoved)
         dels.foreach(e => BtrRetention.removeDataFile(fs, dir, relOf(e.path), retainRemoved))
       case BtrOverwriteMode.ReplaceFiles(sourcesThunk) =>
         BtrTableMeta.completeSwapJournals(fs, dir)
@@ -514,6 +528,8 @@ class BtrBatchWrite(path: String, schema: StructType, mode: BtrOverwriteMode, bl
           dirPart + rel.substring(cut + 1).stripPrefix(namePrefix)
         }
         val sources = sourcesThunk().distinct
+        logAdded = staged.map(visibleOf)
+        logRemoved = sources
         BtrTableMeta.writeSwapJournal(fs, dir, s"nm-$writeId",
           Seq(BtrTableMeta.SwapGroup("", staged.map(visibleOf), sources)))
         committedForward = true
@@ -570,12 +586,14 @@ class BtrBatchWrite(path: String, schema: StructType, mode: BtrOverwriteMode, bl
     // incremental (pre-existing append-mode files reuse the old index)
     BtrFooters.refreshIndex(fs, dir)
     // snapshot log entry for time travel — recorded last: the data commit
-    // above is already durable, so a crash here costs one snapshot point
-    BtrLog.record(fs, dir, mode match {
+    // above is already durable, so a crash here costs one snapshot point.
+    // Delta entry (this commit's own add/remove sets) — O(commit), never
+    // O(table); the log's checkpoint cadence handles full listings
+    BtrLog.recordDelta(fs, dir, mode match {
       case BtrOverwriteMode.Append => "append"
       case BtrOverwriteMode.ReplaceFiles(_) => "rewrite"
       case _ => "overwrite"
-    })
+    }, added = logAdded, removed = logRemoved)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
