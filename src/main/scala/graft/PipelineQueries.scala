@@ -252,6 +252,27 @@ object PipelineQueries {
         .orderBy("lang")
     }),
 
+    // per-field score LISTS stored as map<string,array<double>> in the
+    // format (the per-span quality/toxicity shape a scored corpus
+    // carries): the value side rides the recursive array-column layout
+    // inside the map chunk. DuckDB recomputes from raw text.
+    "q_map_array_scores" -> ((s, d) => {
+      val dir = Btr.cachePath(d, "documents_scores")
+      if (!new java.io.File(dir, "_btr_meta.json").exists()) {
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            map(lit("len"), array(length(col("text")).cast("double")),
+              lit("half"), array((length(col("text")) * 0.5),
+                length(col("text")).cast("double") * 2.0)).as("scores"))
+          .write.format("btr").mode("overwrite").save(dir)
+      }
+      s.read.format("btr").load(dir)
+        .select(element_at(col("scores"), "len").getItem(0).as("len"),
+          element_at(col("scores"), "half").getItem(1).as("dbl"))
+        .agg(count(lit(1)).as("n_docs"), round(sum(col("len")), 2).as("sum_len"),
+          round(sum(col("dbl")), 2).as("sum_dbl"))
+    }),
+
     // token arrays STORED as array<string> in the format: tokenize once
     // at write, then query the materialized lists — the layout a
     // tokenized training corpus actually uses (re-tokenizing per query
@@ -723,6 +744,11 @@ object PipelineQueries {
       """SELECT lang, count(*) AS n_docs,
         | min(substring(text, 1, 8)) AS min_head
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_map_array_scores" ->
+      """SELECT count(*) AS n_docs,
+        | round(sum(CAST(length(text) AS DOUBLE)), 2) AS sum_len,
+        | round(sum(CAST(length(text) AS DOUBLE) * 2.0), 2) AS sum_dbl
+        |FROM documents""".stripMargin,
     "q_token_arrays" ->
       """WITH tk AS (SELECT doc_id,
         |  regexp_split_to_array(trim(text), '\s+') AS toks FROM documents)

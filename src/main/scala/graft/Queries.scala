@@ -291,6 +291,28 @@ object CoreQueries {
         .orderBy("flag")
     }),
 
+    // Q-struct-nested: TWO-LEVEL structs through the format — the
+    // recursive composite layout (leaf blobs nested inside leaf blobs),
+    // a depth-2 leaf predicate (rec.prov.mode) that must chunk-skip via
+    // the recursive kind-4 footer stats, and a leaf-only projection.
+    // DuckDB recomputes from the flat parquet columns.
+    "q_struct_nested" -> ((s, d) => {
+      val dir = Btr.cachePath(d, "lineitem_struct2")
+      if (!new java.io.File(dir, "_btr_meta.json").exists()) {
+        Btr.pq(s, d, "lineitem")
+          .select(col("l_orderkey"),
+            struct(col("l_quantity").as("qty"),
+              struct(col("l_returnflag").as("flag"),
+                col("l_linestatus").as("status")).as("prov")).as("rec"))
+          .write.format("btr").mode("overwrite").save(dir)
+      }
+      s.read.format("btr").load(dir)
+        .filter(col("rec.prov.status") === "F" && col("rec.qty") >= 5)
+        .groupBy(col("rec.prov.flag").as("flag"))
+        .agg(count(lit(1)).as("n"), round(sum(col("rec.qty")), 2).as("sum_qty"))
+        .orderBy("flag")
+    }),
+
     // Q-colmap: metadata-only RENAME/DROP COLUMN (column mapping) under
     // the oracle gate — the build writes three columns, renames one,
     // drops another (a MIDDLE slot: every later column would shift onto
@@ -1263,6 +1285,11 @@ object CoreQueries {
       """SELECT l_returnflag AS flag, count(*) AS n,
         | round(sum(l_quantity), 2) AS sum_qty
         |FROM lineitem WHERE l_quantity >= 10
+        |GROUP BY 1 ORDER BY flag""".stripMargin,
+    "q_struct_nested" ->
+      """SELECT l_returnflag AS flag, count(*) AS n,
+        | round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem WHERE l_linestatus = 'F' AND l_quantity >= 5
         |GROUP BY 1 ORDER BY flag""".stripMargin,
     "q_colmap_evolution" ->
       """SELECT CAST(l_orderkey % 7 AS BIGINT) AS bucket, count(*) AS n,

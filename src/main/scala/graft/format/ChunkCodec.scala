@@ -59,20 +59,26 @@ object PhysType {
     case ArrayType(StringType, _) => ArrStr
     case mt: MapType =>
       val kt = of(mt.keyType)
+      require(!isArrayFamily(kt) && kt != Struct && kt != KvMap,
+        s"btr: map keys must be scalar types, got ${mt.simpleString}")
       val vt = of(mt.valueType)
-      require(!isArrayFamily(kt) && kt != Struct && kt != KvMap &&
-        !isArrayFamily(vt) && vt != Struct && vt != KvMap,
-        s"btr: map key/value must be scalar types, got ${mt.simpleString}")
+      // values may be scalar OR array-of-scalar (per-field score lists);
+      // the value element stream then recursively encodes as an array
+      // column over the map entries
+      require(vt != Struct && vt != KvMap,
+        s"btr: map values must be scalar or array-of-scalar, got ${mt.simpleString}")
       KvMap
     case d: DecimalType if d.precision <= 18 => Decimal64
     case st: StructType =>
       require(st.fields.nonEmpty, "btr: empty struct type")
       require(st.fields.length <= 255, s"btr: struct has ${st.fields.length} fields (max 255)")
       st.fields.foreach { f =>
+        // leaves recurse: scalars, arrays-of-scalar, and nested structs
+        // all encode as self-described sub-columns of the parent's blob
         val lt = of(f.dataType)
-        require(!isArrayFamily(lt) && lt != Struct,
-          s"btr: struct leaf ${f.name}: ${f.dataType.simpleString} — structs of SCALAR " +
-            "leaves only (no nested structs or arrays)")
+        require(lt != KvMap,
+          s"btr: struct leaf ${f.name}: ${f.dataType.simpleString} — maps inside " +
+            "structs are not supported")
       }
       Struct
     case other => throw new UnsupportedOperationException(s"btr: unsupported type $other")
@@ -187,6 +193,25 @@ final class ColumnChunk(val tag: Int, val count: Int) {
   var elemStrings: Array[Array[Byte]] = _
   var elemNull: Array[Boolean] = _
   var elemCount: Int = 0
+  // growable per-entry length stream (map values that are arrays: one
+  // length per MAP ENTRY, while elem* buffers hold the flattened
+  // sub-elements); lensCount tracks entries appended so far
+  var lensCount: Int = 0
+
+  def ensureLensCapacity(n: Int): Unit = {
+    if (arrLens == null || lensNull == null) {
+      val cap = math.max(n, 1024)
+      if (arrLens == null) arrLens = new Array[Int](cap)
+      if (lensNull == null) lensNull = new Array[Boolean](math.max(arrLens.length, cap))
+    }
+    if (lensCount + n > arrLens.length) {
+      var cap = arrLens.length.toLong
+      while (cap < lensCount.toLong + n) cap <<= 1
+      val capI = math.min(cap, Int.MaxValue - 16L).toInt
+      arrLens = java.util.Arrays.copyOf(arrLens, capI)
+      lensNull = java.util.Arrays.copyOf(lensNull, capI)
+    }
+  }
 
   def ensureElemCapacity(n: Int): Unit = {
     if (elemNull == null) {
@@ -209,7 +234,35 @@ final class ColumnChunk(val tag: Int, val count: Int) {
     }
   }
 
-  def resetElems(): Unit = elemCount = 0
+  def resetElems(): Unit = { elemCount = 0; lensCount = 0 }
+
+  // per-entry null flags for the growable length stream (a map value of
+  // array type can be null per entry), grown alongside arrLens
+  var lensNull: Array[Boolean] = _
+
+  /** View this map-side hold as a standalone column chunk over the map's
+    * `ec` entries, under the side's TRUE tag: scalar sides view their
+    * element buffers as column buffers; an array-valued side views its
+    * per-entry lengths + flattened sub-elements as an array column.
+    */
+  def asEntryChunk(trueTag: Int, ec: Int): ColumnChunk = {
+    val v = new ColumnChunk(trueTag, ec)
+    if (PhysType.isArrayFamily(trueTag)) {
+      v.isNull = if (lensNull != null) lensNull else new Array[Boolean](math.max(ec, 1))
+      v.arrLens = if (arrLens != null) arrLens else new Array[Int](math.max(ec, 1))
+      v.elemNull = elemNull
+      v.elemLongs = elemLongs
+      v.elemDoubles = elemDoubles
+      v.elemStrings = elemStrings
+      v.elemCount = elemCount
+    } else {
+      v.isNull = if (elemNull != null) elemNull else new Array[Boolean](math.max(ec, 1))
+      v.longs = elemLongs
+      v.doubles = elemDoubles
+      v.strings = elemStrings
+    }
+    v
+  }
 }
 
 /** Per-column-chunk encode/decode: [nullmap][u8 scheme + payload].
@@ -227,9 +280,13 @@ object ChunkCodec {
       // split-block bloom over distinct value hashes (int/string family),
       // null when disabled or the chunk's cardinality exceeds the budget
       bloom: Array[Int] = null,
-      // struct columns: per-leaf scalar stats (file leaf order) for
-      // planning-time chunk skipping on leaf predicates
+      // struct columns: per-leaf stats (file leaf order) for
+      // planning-time chunk skipping on leaf predicates; a nested-struct
+      // leaf's entry carries its own leafStats (recursive)
       leafStats: Array[ChunkStats] = null,
+      // physical tags of the struct leaves, parallel to leafStats (the
+      // writer needs them to pick each leaf's footer stat kind)
+      leafTags: Array[Int] = null,
       // int-family chunk sum over non-null values (ORC-style) for SUM
       // aggregate pushdown; wrapped on overflow with the flag set (wrap
       // is exact for LongType sums — Spark wraps too — but a decimal sum
@@ -256,77 +313,6 @@ object ChunkCodec {
       while (i >= 0 && t(i) == -1) i -= 1 // 0xFF bytes can't be incremented
       if (i < 0) null
       else { t(i) = (t(i) + 1).toByte; java.util.Arrays.copyOf(t, i + 1) }
-    }
-  }
-
-  /** Stats WITHOUT encoding — the struct-leaf path (leaves encode via
-    * their codec directly; this supplies the skip bounds). Same
-    * semantics as the inline stat loops of [[encode]]: int-family
-    * min/max over non-null values (sum deliberately absent — leaf SUM
-    * pushdown doesn't exist, and a zero sum would be a wrong answer
-    * waiting for a caller), double/float NaN-aware min/max, string
-    * byte-bounds with Parquet-style truncation + exactness flags.
-    */
-  private def scalarStats(chunk: ColumnChunk): ChunkStats = {
-    val tag = chunk.tag
-    var nulls = 0
-    var i = 0
-    while (i < chunk.count) { if (chunk.isNull(i)) nulls += 1; i += 1 }
-    if (PhysType.isIntFamily(tag)) {
-      var mn = Long.MaxValue
-      var mx = Long.MinValue
-      var has = false
-      i = 0
-      while (i < chunk.count) {
-        if (!chunk.isNull(i)) {
-          val v = chunk.longs(i)
-          if (v < mn) mn = v
-          if (v > mx) mx = v
-          has = true
-        }
-        i += 1
-      }
-      if (!has) ChunkStats(nulls, 0, 0, 0, 0, hasMinMax = false)
-      else ChunkStats(nulls, mn, mx, 0, 0, hasMinMax = true, sumOverflow = true)
-    } else if (tag == PhysType.Double || tag == PhysType.Float) {
-      var mn = java.lang.Double.POSITIVE_INFINITY
-      var mx = java.lang.Double.NEGATIVE_INFINITY
-      var has = false
-      var sawNaN = false
-      i = 0
-      while (i < chunk.count) {
-        if (!chunk.isNull(i)) {
-          val v =
-            if (tag == PhysType.Float) java.lang.Float.intBitsToFloat(chunk.longs(i).toInt).toDouble
-            else chunk.doubles(i)
-          if (java.lang.Double.isNaN(v)) sawNaN = true
-          else {
-            if (v < mn) mn = v
-            if (v > mx) mx = v
-            has = true
-          }
-        }
-        i += 1
-      }
-      if (!has && sawNaN) { mn = java.lang.Double.NaN; mx = java.lang.Double.NaN }
-      if (!has && !sawNaN) ChunkStats(nulls, 0, 0, 0, 0, hasMinMax = false)
-      else ChunkStats(nulls, 0, 0, mn, mx, hasMinMax = has, hasNaN = sawNaN)
-    } else {
-      var mn: Array[Byte] = null
-      var mx: Array[Byte] = null
-      i = 0
-      while (i < chunk.count) {
-        if (!chunk.isNull(i)) {
-          val v = chunk.strings(i)
-          if (mn == null || java.util.Arrays.compareUnsigned(v, mn) < 0) mn = v
-          if (mx == null || java.util.Arrays.compareUnsigned(v, mx) > 0) mx = v
-        }
-        i += 1
-      }
-      if (mn == null) ChunkStats(nulls, 0, 0, 0, 0, hasMinMax = false)
-      else ChunkStats(nulls, 0, 0, 0, 0, hasMinMax = true,
-        minBytes = truncMin(mn), maxBytes = truncMax(mx),
-        minExact = mn.length <= StringStatLen, maxExact = mx.length <= StringStatLen)
     }
   }
 
@@ -437,71 +423,65 @@ object ChunkCodec {
         rawBytes = chunk.count.toLong * (if (tag == PhysType.Float) 4 else 8),
         hasNaN = sawNaN)
     } else if (tag == PhysType.Struct) {
-      // [u8 leafCount] then per leaf [u8 tag][i32 len][nullmap + codec
-      // payload] — each leaf column compresses under its own scheme
+      // [u8 leafCount] then per leaf [u8 tag][i32 len][<leaf column
+      // body>] — each leaf column compresses under its own scheme
       // selection (a constant leaf goes ONE_VALUE while its sibling
       // dictionary-encodes), and the per-leaf length lets a reader skip
-      // leaves a pruned projection never asks for. No struct-level
-      // min/max (filters on leaves stay post-scan residuals).
+      // leaves a pruned projection never asks for. A leaf body is a full
+      // recursive [[encode]]: scalar leaves keep the original
+      // [nullmap][codec] bytes, nested-struct and array leaves recurse
+      // into the same self-describing layout. No struct-level min/max
+      // (leaf predicates skip via the recursive leafStats instead).
       val leaves = chunk.structLeaves
       out.putByte(leaves.length)
       var raw = 0L
       val scratch = new BufWriter(1 << 16)
       val leafStats = new Array[ChunkStats](leaves.length)
+      val leafTags = new Array[Int](leaves.length)
+      // leaves never build blooms (footer leaf entries don't carry them)
+      // and never inherit forced schemes (scheme forcing is a top-level
+      // column knob; a leaf cascade self-selects)
+      val leafCfg = cfg.copy(bloomEnabled = false,
+        forceInt = None, forceDouble = None, forceString = None)
       var j = 0
       while (j < leaves.length) {
         val lc = leaves(j)
-        val lt = lc.tag
         scratch.truncate(0)
-        NullMap.encode(lc.isNull, lc.count, scratch)
-        if (PhysType.isIntFamily(lt) || lt == PhysType.Float) {
-          IntCodec.encode(scratch, lc.longs, lc.count, PhysType.physWidth(lt), cascadeDepth, cfg,
-            seed + 13L * (j + 1))
-          raw += lc.count.toLong * PhysType.physWidth(lt)
-        } else if (lt == PhysType.Double) {
-          DoubleCodec.encode(scratch, lc.doubles, lc.count, cascadeDepth, cfg, seed + 13L * (j + 1))
-          raw += lc.count.toLong * 8
-        } else {
-          StringCodec.encode(scratch, lc.strings, lc.count, cascadeDepth, cfg, seed + 13L * (j + 1))
-          var k = 0
-          while (k < lc.count) { raw += lc.strings(k).length; k += 1 }
-          raw += 4L * lc.count
-        }
-        leafStats(j) = scalarStats(lc)
-        out.putByte(lt)
+        val ls = encode(scratch, lc, cascadeDepth, leafCfg, seed + 13L * (j + 1))
+        raw += ls.rawBytes
+        // suppress the leaf sum: nothing consumes leaf SUM pushdown, and
+        // pre-nesting files recorded sumOverflow=true here — keep parity
+        leafStats(j) = ls.copy(sumLong = 0L, sumOverflow = true)
+        leafTags(j) = lc.tag
+        out.putByte(lc.tag)
         out.putInt(scratch.pos)
         out.putBytes(scratch.backing, 0, scratch.pos)
         j += 1
       }
       ChunkStats(nullCount, 0, 0, 0, 0, hasMinMax = false, rawBytes = raw,
-        leafStats = leafStats)
+        leafStats = leafStats, leafTags = leafTags)
     } else if (tag == PhysType.KvMap) {
-      // [lengths cascade][i32 elemCount][u8 keyTag][key nullmap][key
-      // block][u8 valTag][val nullmap][val block] — the array layout
-      // with two self-described element streams
+      // [lengths cascade][i32 elemCount][u8 keyTag][<key column body>]
+      // [u8 valTag][<val column body>] — the array layout with two
+      // self-described streams. A side's body is a recursive [[encode]]
+      // over the map ENTRIES: scalar sides keep the original
+      // [nullmap][codec] bytes; an array-valued side recurses into the
+      // array layout (per-entry lengths + flattened sub-elements).
       val lens = new Array[Long](chunk.count)
       i = 0
       while (i < chunk.count) { lens(i) = chunk.arrLens(i).toLong; i += 1 }
       IntCodec.encode(out, lens, chunk.count, 4, cascadeDepth, cfg, seed)
-      val ec = chunk.mapKeys.elemCount
+      val ec = chunk.mapKeys.elemCount // keys are scalar: one element per entry
       out.putInt(ec)
       var raw = 4L * chunk.count
+      val sideCfg = cfg.copy(bloomEnabled = false,
+        forceInt = None, forceDouble = None, forceString = None)
       Seq(chunk.mapKeys, chunk.mapVals).zipWithIndex.foreach { case (side, si) =>
         val st = if (si == 0) chunk.mapKeyTag else chunk.mapValTag
         out.putByte(st)
-        val eNull = if (side.elemNull != null) side.elemNull else Array.emptyBooleanArray
-        NullMap.encode(eNull, ec, out)
-        if (st == PhysType.Double) {
-          DoubleCodec.encode(out, side.elemDoubles, ec, cascadeDepth, cfg, seed + 31 * (si + 1))
-          raw += ec.toLong * 8
-        } else if (st == PhysType.Str) {
-          StringCodec.encode(out, side.elemStrings, ec, cascadeDepth, cfg, seed + 31 * (si + 1))
-          var k = 0
-          while (k < ec) { raw += side.elemStrings(k).length + 4L; k += 1 }
-        } else {
-          IntCodec.encode(out, side.elemLongs, ec, 8, cascadeDepth, cfg, seed + 31 * (si + 1))
-          raw += ec.toLong * 8
-        }
+        val view = side.asEntryChunk(st, ec)
+        val ss = encode(out, view, cascadeDepth, sideCfg, seed + 31 * (si + 1))
+        raw += ss.rawBytes
       }
       ChunkStats(nullCount, 0, 0, 0, 0, hasMinMax = false, rawBytes = raw)
     } else if (PhysType.isArrayFamily(tag)) {
@@ -605,7 +585,9 @@ object ChunkCodec {
   /** Decode a struct chunk's leaves. `want` restricts decoding to those
     * leaf indices (null = all): unrequested leaves SKIP by their recorded
     * length — a pruned projection of a wide struct reads only the bytes
-    * it uses. Skipped entries are null in the result.
+    * it uses. Skipped entries are null in the result. Leaves decode
+    * recursively: a nested-struct or array leaf resolves through the
+    * same [[decode]] recursion the top level uses.
     */
   private def decodeStructLeaves(in: BufReader, count: Int,
       want: Array[Boolean]): (Array[Decoded], Array[Int]) = {
@@ -618,18 +600,7 @@ object ChunkCodec {
       val len = in.getInt()
       tags(j) = lt
       if (want != null && (j >= want.length || !want(j))) in.skip(len)
-      else {
-        val (ln, lh) = NullMap.decodeWithFlag(in, count)
-        leaves(j) =
-          if (PhysType.isIntFamily(lt) || lt == PhysType.Float)
-            new Decoded(count, ln, lh, IntCodec.decode(in, count), null, null, null)
-          else if (lt == PhysType.Double)
-            new Decoded(count, ln, lh, null, DoubleCodec.decode(in, count), null, null)
-          else {
-            val (lens, bytes) = StringCodec.decode(in, count)
-            new Decoded(count, ln, lh, null, null, lens, bytes)
-          }
-      }
+      else leaves(j) = decode(in, lt, count)
       j += 1
     }
     (leaves, tags)
@@ -654,24 +625,17 @@ object ChunkCodec {
       var i = 0
       while (i < count) { lens(i) = lensL(i).toInt; i += 1 }
       val elemCount = in.getInt()
-      // the key/value element streams decode as scalar Decodeds — the
-      // reader fills map child vectors through the same recursion the
-      // struct leaves use
+      // the key/value streams decode as Decodeds over the map entries —
+      // the reader fills map child vectors through the same recursion the
+      // struct leaves use; an array-valued side decodes through the
+      // array branch (per-entry lengths + flattened sub-elements)
       val sides = new Array[Decoded](2)
       val tags = new Array[Int](2)
       var si = 0
       while (si < 2) {
         val st = in.getByte()
         tags(si) = st
-        val (eNull, eHas) = NullMap.decodeWithFlag(in, elemCount)
-        sides(si) =
-          if (st == PhysType.Double)
-            new Decoded(elemCount, eNull, eHas, null, DoubleCodec.decode(in, elemCount), null, null)
-          else if (st == PhysType.Str || st == PhysType.Binary) {
-            val (sl, sb) = StringCodec.decode(in, elemCount)
-            new Decoded(elemCount, eNull, eHas, null, null, sl, sb)
-          } else
-            new Decoded(elemCount, eNull, eHas, IntCodec.decode(in, elemCount), null, null, null)
+        sides(si) = decode(in, st, elemCount)
         si += 1
       }
       new Decoded(count, isNull, hasNulls, null, null, null, null, lens,

@@ -41,7 +41,9 @@ object BtrFile {
   // Catalyst's cost-based optimizer from metadata alone. Writers always
   // emit the current version.
   // v7: struct-leaf stat entries (footer kind 4)
-  val Version = 7
+  // v8: recursive kind-4 leaf stats (nested structs); chunk bodies gain
+  // nested-struct/array-leaf and array-valued-map layouts
+  val Version = 8
   private val MinReadVersion = 4
   val DefaultBlockSize = 65536 // tuples per chunk, btrblocks.hpp:24
   val DefaultCascadeDepth = 3 // btrblocks.hpp:31,37,43
@@ -171,17 +173,20 @@ object BtrFile {
         out.putInt(c.length)
         out.putInt(c.nullCount)
         // kind 4 (v7): struct column with per-leaf stats — the column
-        // itself has no top-level bounds; each leaf carries a scalar
-        // stat entry
-        out.putByte(if (c.leafStats != null) 4 else c.statsKind)
-        if (c.leafStats != null) {
-          out.putByte(c.leafStats.length)
-          c.leafStats.foreach { lf =>
-            out.putInt(lf.nullCount)
-            out.putByte(lf.statsKind)
-            writeStatPayload(out, lf)
-          }
-        } else writeStatPayload(out, c)
+        // itself has no top-level bounds; each leaf carries a stat
+        // entry. RECURSIVE (v8): a nested-struct leaf writes kind 4
+        // again with its own sub-leaf entries.
+        def writeStatEntry(e: ColumnChunkMeta): Unit = {
+          out.putByte(if (e.leafStats != null) 4 else e.statsKind)
+          if (e.leafStats != null) {
+            out.putByte(e.leafStats.length)
+            e.leafStats.foreach { lf =>
+              out.putInt(lf.nullCount)
+              writeStatEntry(lf)
+            }
+          } else writeStatPayload(out, e)
+        }
+        writeStatEntry(c)
         // v3: optional bloom bits (u32 word count, 0 = none)
         if (c.bloom == null) out.putInt(0)
         else {
@@ -315,20 +320,22 @@ object BtrFile {
               minExact = (flags & 4) != 0, maxExact = (flags & 8) != 0)
           case _ => ColumnChunkMeta(o, len, nc, 0, 0, 0, 0, 0)
         }
-        val parsed =
-          if (kind == 4) {
-            // struct leaf stats (v7): per-leaf scalar entries
+        // struct leaf stats (v7): per-leaf entries; recursive since v8
+        // (a nested-struct leaf parses kind 4 again)
+        def parseStatEntry(o: Long, len: Int, nc: Int, k: Int): ColumnChunkMeta =
+          if (k == 4) {
             val leafCount = in.getByte()
             val leaves = new Array[ColumnChunkMeta](leafCount)
             var lf = 0
             while (lf < leafCount) {
               val lnc = in.getInt()
               val lk = in.getByte()
-              leaves(lf) = payload(0, 0, lnc, lk)
+              leaves(lf) = parseStatEntry(0, 0, lnc, lk)
               lf += 1
             }
-            ColumnChunkMeta(off, l, nulls, 0, 0, 0, 0, 0, leafStats = leaves)
-          } else payload(off, l, nulls, kind)
+            ColumnChunkMeta(o, len, nc, 0, 0, 0, 0, 0, leafStats = leaves)
+          } else payload(o, len, nc, k)
+        val parsed = parseStatEntry(off, l, nulls, kind)
         val bloomWords = in.getInt()
         cols(c) =
           if (bloomWords == 0) parsed

@@ -2295,7 +2295,8 @@ class BtrColumnarReader(partition: BtrInputPartition, requiredSchema: StructType
       val dec = ChunkCodec.decodeForScan(new BufReader(buf, 0, len), tags(c), g.numRows,
         wantLeaves = structWant(c))
       fillVector(vectors(c), requiredSchema.fields(c).dataType, tags(c), dec, g.numRows,
-        leafMap = structMap(c))
+        leafMap = structMap(c),
+        fullDt = fullStructs.get(requiredSchema.fields(c).name).orNull)
     }
   }
 
@@ -2373,16 +2374,27 @@ class BtrColumnarReader(partition: BtrInputPartition, requiredSchema: StructType
   }
 
   private def fillVector(v: OnHeapColumnVector, dt: DataType, tag: Int, dec: ChunkCodec.Decoded,
-      n: Int, leafMap: Array[Int] = null): Unit = {
+      n: Int, leafMap: Array[Int] = null, fullDt: DataType = null): Unit = {
     if (tag == PhysType.Struct) {
       // children fill recursively through the scalar paths below; a
-      // pruned projection maps child j onto its file leaf via leafMap
+      // pruned projection maps child j onto its file leaf via leafMap at
+      // the top level, and by NAME against the file's full struct type
+      // below it (Catalyst may prune nested fields at any depth, and the
+      // decoded leaf arrays are always in FILE order)
       val st = dt.asInstanceOf[StructType]
+      val fullSt = fullDt match {
+        case f: StructType if !(f eq st) => f
+        case _ => st
+      }
       var j = 0
       while (j < st.fields.length) {
-        val fj = if (leafMap != null) leafMap(j) else j
+        val fj =
+          if (leafMap != null) leafMap(j)
+          else if (!(fullSt eq st)) fullSt.fieldIndex(st.fields(j).name)
+          else j
         val childV = v.getChild(j).asInstanceOf[OnHeapColumnVector]
-        fillVector(childV, st.fields(j).dataType, dec.structTags(fj), dec.structLeaves(fj), n)
+        fillVector(childV, st.fields(j).dataType, dec.structTags(fj), dec.structLeaves(fj), n,
+          fullDt = fullSt.fields(fj).dataType)
         j += 1
       }
       if (dec.hasNulls) {
@@ -2690,17 +2702,10 @@ object BtrLateMat {
       : Option[(Int, OnHeapColumnVector, DataType)] = {
     val i = schema.fields.indexWhere(_.name == a)
     if (i >= 0) return Some((i, vectors(i), schema.fields(i).dataType))
-    val dot = a.indexOf('.')
-    if (dot <= 0) return None
-    val pi = schema.fields.indexWhere(_.name == a.substring(0, dot))
-    if (pi < 0) return None
-    schema.fields(pi).dataType match {
-      case st: StructType =>
-        val li = st.fields.indexWhere(_.name == a.substring(dot + 1))
-        if (li < 0) None
-        else Some((pi, vectors(pi).getChild(li).asInstanceOf[OnHeapColumnVector],
-          st.fields(li).dataType))
-      case _ => None
+    ChunkSkip.nestedPath(schema, a).map { case (pi, path, dt) =>
+      var v = vectors(pi)
+      path.foreach(li => v = v.getChild(li).asInstanceOf[OnHeapColumnVector])
+      (pi, v, dt)
     }
   }
 
@@ -2712,14 +2717,9 @@ object BtrLateMat {
     * residual above the scan.
     */
   def supportsNested(schema: StructType, f: Filter): Boolean = {
-    def leafOk(a: String): Boolean = {
-      if (!a.contains('.') || schema.fieldNames.contains(a)) return false
-      val dot = a.indexOf('.')
-      schema.fields.find(_.name == a.substring(0, dot)).map(_.dataType) match {
-        case Some(st: StructType) => st.fieldNames.contains(a.substring(dot + 1))
-        case _ => false
-      }
-    }
+    def leafOk(a: String): Boolean =
+      a.contains('.') && !schema.fieldNames.contains(a) &&
+        ChunkSkip.nestedPath(schema, a).exists(!_._3.isInstanceOf[StructType])
     f match {
       case EqualTo(a, v) => leafOk(a) && v != null
       case EqualNullSafe(a, _) => leafOk(a)
@@ -2857,19 +2857,41 @@ object ChunkSkip {
     case _ => false
   }
 
-  /** Resolve an attribute's type: a direct field, or one struct level
-    * down for dotted names ("rec.a" → leaf a of struct column rec; v7
-    * footers carry per-leaf stats, so the same skip probes apply).
+  /** Resolve an attribute's type: a direct field, or a struct-leaf walk
+    * for dotted names at ANY depth ("rec.prov.url" → leaf url of nested
+    * struct prov; the recursive kind-4 footer stats carry matching
+    * per-leaf entries, so the same skip probes apply).
     */
-  private[sources] def resolveType(schema: StructType, attr: String): Option[DataType] = {
+  private[sources] def resolveType(schema: StructType, attr: String): Option[DataType] =
     schema.fields.find(_.name == attr).map(_.dataType).orElse {
-      val dot = attr.indexOf('.')
-      if (dot <= 0) None
-      else schema.fields.find(_.name == attr.substring(0, dot)).map(_.dataType).flatMap {
-        case st: StructType => st.fields.find(_.name == attr.substring(dot + 1)).map(_.dataType)
-        case _ => None
-      }
+      nestedPath(schema, attr).map(_._3)
     }
+
+  /** Walk a dotted attribute through nested structs: returns (top-level
+    * field index, leaf index at each level below it, final type).
+    */
+  private[sources] def nestedPath(schema: StructType, attr: String)
+      : Option[(Int, List[Int], DataType)] = {
+    if (!attr.contains('.')) return None
+    val parts = attr.split('.') // literal-dot split (char overload, not regex)
+    if (parts.length < 2) return None
+    val pi = schema.fieldNames.indexOf(parts(0))
+    if (pi < 0) return None
+    var dt = schema.fields(pi).dataType
+    val path = scala.collection.mutable.ListBuffer.empty[Int]
+    var k = 1
+    while (k < parts.length) {
+      dt match {
+        case st: StructType =>
+          val li = st.fieldNames.indexOf(parts(k))
+          if (li < 0) return None
+          path += li
+          dt = st.fields(li).dataType
+        case _ => return None
+      }
+      k += 1
+    }
+    Some((pi, path.toList, dt))
   }
 
   private def statable(schema: StructType, attr: String): Boolean =
@@ -2970,26 +2992,24 @@ object ChunkSkip {
             schema.fields(idx).dataType))
         return Some((rg.columns(idx), schema.fields(idx).dataType))
       }
-      // struct leaf ("rec.a"): v7 footers carry per-leaf stat entries;
-      // leaf nullCounts count struct-null rows, matching SQL semantics.
-      // Pre-v7 files (no leafStats) simply don't skip.
-      val dot = attr.indexOf('.')
-      if (dot <= 0) return None
-      val pi = schema.fieldNames.indexOf(attr.substring(0, dot))
-      if (pi < 0) return None
-      schema.fields(pi).dataType match {
-        case st: StructType =>
-          val li = st.fieldNames.indexOf(attr.substring(dot + 1))
-          if (li < 0) None
-          else if (pi >= rg.columns.length)
-            Some((BtrFile.ColumnChunkMeta(0, 0, rg.numRows, 0, 0, 0, 0, 0),
-              st.fields(li).dataType))
-          else {
-            val m = rg.columns(pi)
-            if (m.leafStats == null || li >= m.leafStats.length) None
-            else Some((m.leafStats(li), st.fields(li).dataType))
+      // struct leaf ("rec.a", "rec.prov.url"): v7+ footers carry
+      // per-leaf stat entries (recursive since v8); leaf nullCounts
+      // count struct-null rows, matching SQL semantics. Files without
+      // leafStats at some level simply don't skip.
+      nestedPath(schema, attr).flatMap { case (pi, path, dt) =>
+        if (pi >= rg.columns.length)
+          // schema evolution: the whole struct column post-dates this
+          // file — every leaf reads all-null
+          Some((BtrFile.ColumnChunkMeta(0, 0, rg.numRows, 0, 0, 0, 0, 0), dt))
+        else {
+          var m = rg.columns(pi)
+          var ok = true
+          path.foreach { li =>
+            if (ok && m.leafStats != null && li < m.leafStats.length) m = m.leafStats(li)
+            else ok = false
           }
-        case _ => None
+          if (ok) Some((m, dt)) else None
+        }
       }
     }
     // null never satisfies a value comparison: an all-null chunk skips

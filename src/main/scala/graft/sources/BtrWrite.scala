@@ -948,6 +948,25 @@ class BtrDataWriter(path: String, schema: StructType, blockSize: Int, cascade: I
         tags(c) == PhysType.KvMap) null
       else Hll.create(ndvP))
 
+  /** Allocate a struct-leaf hold for any supported leaf type: scalar
+    * buffers, array-of-scalar (growable element stream + per-row
+    * lengths), or a nested struct (recursive sub-holds).
+    */
+  private def allocLeafHold(dt: DataType): ColumnChunk = {
+    val lt = PhysType.of(dt)
+    val lc = new ColumnChunk(lt, blockSize)
+    lc.isNull = new Array[Boolean](blockSize)
+    if (PhysType.isArrayFamily(lt)) lc.arrLens = new Array[Int](blockSize)
+    else if (lt == PhysType.Struct) {
+      val st = dt.asInstanceOf[org.apache.spark.sql.types.StructType]
+      lc.structLeaves = st.fields.map(f => allocLeafHold(f.dataType))
+    } else if (PhysType.isIntFamily(lt) || lt == PhysType.Float)
+      lc.longs = new Array[Long](blockSize)
+    else if (lt == PhysType.Double) lc.doubles = new Array[Double](blockSize)
+    else lc.strings = new Array[Array[Byte]](blockSize)
+    lc
+  }
+
   private def allocBuffers(): Unit = {
     var c = 0
     while (c < numCols) {
@@ -961,17 +980,16 @@ class BtrDataWriter(path: String, schema: StructType, blockSize: Int, cascade: I
         val mt = fields(c).dataType.asInstanceOf[org.apache.spark.sql.types.MapType]
         arrLenCols(c) = new Array[Int](blockSize)
         mapKeyHold(c) = new ColumnChunk(PhysType.holdTagOf(PhysType.of(mt.keyType)), blockSize)
-        mapValHold(c) = new ColumnChunk(PhysType.holdTagOf(PhysType.of(mt.valueType)), blockSize)
+        // array-valued maps hold per-ENTRY lengths (growable) plus the
+        // flattened sub-element stream in one hold chunk
+        val vt = PhysType.of(mt.valueType)
+        mapValHold(c) =
+          if (PhysType.isArrayFamily(vt))
+            new ColumnChunk(PhysType.holdTagOf(PhysType.elemTag(vt)), blockSize)
+          else new ColumnChunk(PhysType.holdTagOf(vt), blockSize)
       } else if (tag == PhysType.Struct) {
         val st = fields(c).dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
-        structHold(c) = st.fields.map { lf =>
-          val lt = PhysType.of(lf.dataType)
-          val lc = new ColumnChunk(lt, blockSize)
-          if (PhysType.isIntFamily(lt) || lt == PhysType.Float) lc.longs = new Array[Long](blockSize)
-          else if (lt == PhysType.Double) lc.doubles = new Array[Double](blockSize)
-          else lc.strings = new Array[Array[Byte]](blockSize)
-          lc
-        }
+        structHold(c) = st.fields.map(f => allocLeafHold(f.dataType))
       } else stringCols(c) = new Array[Array[Byte]](blockSize)
       nullCols(c) = new Array[Boolean](blockSize)
       c += 1
@@ -1014,14 +1032,49 @@ class BtrDataWriter(path: String, schema: StructType, blockSize: Int, cascade: I
     }
   }
 
+  /** Append a map's ARRAY values: one per-entry length (+null flag) into
+    * the hold's growable length stream, sub-elements flattened into its
+    * element stream.
+    */
+  private def appendEntryArrays(hold: ColumnChunk,
+      vals: org.apache.spark.sql.catalyst.util.ArrayData, at: ArrayType, n: Int): Unit = {
+    hold.ensureLensCapacity(n)
+    var j = 0
+    while (j < n) {
+      val e = hold.lensCount
+      if (vals.isNullAt(j)) {
+        hold.lensNull(e) = true
+        hold.arrLens(e) = 0
+      } else {
+        hold.lensNull(e) = false
+        val sub = vals.getArray(j)
+        val sn = sub.numElements()
+        hold.arrLens(e) = sn
+        appendArrayElems(hold, sub, at.elementType, sn)
+      }
+      hold.lensCount += 1
+      j += 1
+    }
+  }
+
   /** Fill one struct leaf's buffer slot from the nested row (null when
-    * the struct itself is null at this position).
+    * the struct itself is null at this position). Recursive: nested
+    * struct leaves fan into their sub-holds, array leaves append their
+    * elements into the leaf's own element stream (a null parent
+    * null-fills the whole subtree at this row).
     */
   private def setLeaf(lc: ColumnChunk, dt: DataType, i: Int,
       sr: org.apache.spark.sql.catalyst.InternalRow, j: Int): Unit = {
     if (sr == null || sr.isNullAt(j)) {
       lc.isNull(i) = true
-      if (lc.longs != null) lc.longs(i) = 0L
+      if (lc.structLeaves != null) {
+        val st = dt.asInstanceOf[org.apache.spark.sql.types.StructType]
+        var k = 0
+        while (k < lc.structLeaves.length) {
+          setLeaf(lc.structLeaves(k), st.fields(k).dataType, i, null, k); k += 1
+        }
+      } else if (lc.arrLens != null) lc.arrLens(i) = 0
+      else if (lc.longs != null) lc.longs(i) = 0L
       else if (lc.doubles != null) lc.doubles(i) = 0.0
       else lc.strings(i) = Array.emptyByteArray
       return
@@ -1038,7 +1091,49 @@ class BtrDataWriter(path: String, schema: StructType, blockSize: Int, cascade: I
       case d: DecimalType => lc.longs(i) = sr.getDecimal(j, d.precision, d.scale).toUnscaledLong
       case StringType => lc.strings(i) = sr.getUTF8String(j).getBytes.clone()
       case BinaryType => lc.strings(i) = sr.getBinary(j).clone()
+      case st: org.apache.spark.sql.types.StructType =>
+        val sub = sr.getStruct(j, st.fields.length)
+        var k = 0
+        while (k < lc.structLeaves.length) {
+          setLeaf(lc.structLeaves(k), st.fields(k).dataType, i, sub, k); k += 1
+        }
+      case at: ArrayType =>
+        val arr = sr.getArray(j)
+        val n = arr.numElements()
+        lc.arrLens(i) = n
+        appendArrayElems(lc, arr, at.elementType, n)
       case other => throw new UnsupportedOperationException(s"btr struct leaf: $other")
+    }
+  }
+
+  /** Append an ArrayData's elements into a chunk's own element stream
+    * (array leaves of structs; same placeholder-at-null convention).
+    */
+  private def appendArrayElems(hold: ColumnChunk,
+      arr: org.apache.spark.sql.catalyst.util.ArrayData, et: DataType, n: Int): Unit = {
+    hold.ensureElemCapacity(n)
+    var j = 0
+    while (j < n) {
+      val e = hold.elemCount
+      if (arr.isNullAt(j)) {
+        hold.elemNull(e) = true
+        if (hold.elemLongs != null) hold.elemLongs(e) = 0L
+        else if (hold.elemDoubles != null) hold.elemDoubles(e) = 0.0
+        else hold.elemStrings(e) = Array.emptyByteArray
+      } else {
+        hold.elemNull(e) = false
+        et match {
+          case FloatType =>
+            hold.elemLongs(e) = java.lang.Float.floatToRawIntBits(arr.getFloat(j)).toLong
+          case DoubleType => hold.elemDoubles(e) = arr.getDouble(j)
+          case IntegerType => hold.elemLongs(e) = arr.getInt(j).toLong
+          case LongType => hold.elemLongs(e) = arr.getLong(j)
+          case StringType => hold.elemStrings(e) = arr.getUTF8String(j).getBytes.clone()
+          case other => throw new UnsupportedOperationException(s"btr array elem: $other")
+        }
+      }
+      hold.elemCount += 1
+      j += 1
     }
   }
 
@@ -1084,7 +1179,10 @@ class BtrDataWriter(path: String, schema: StructType, blockSize: Int, cascade: I
             val n = m.numElements()
             arrLenCols(c)(i) = n
             appendElems(mapKeyHold(c), m.keyArray(), mt.keyType, n)
-            appendElems(mapValHold(c), m.valueArray(), mt.valueType, n)
+            mt.valueType match {
+              case at: ArrayType => appendEntryArrays(mapValHold(c), m.valueArray(), at, n)
+              case _ => appendElems(mapValHold(c), m.valueArray(), mt.valueType, n)
+            }
           case at: ArrayType =>
             val arr = row.getArray(c)
             val n = arr.numElements()
@@ -1155,15 +1253,27 @@ class BtrDataWriter(path: String, schema: StructType, blockSize: Int, cascade: I
       }
       if (structHold(c) != null) {
         // leaf VIEW chunks at the group's row count over the shared
-        // buffers (the buffers are blockSize-long; count governs encode)
-        chunk.structLeaves = structHold(c).map { hold =>
-          val lc = new ColumnChunk(hold.tag, n)
+        // buffers (the buffers are blockSize-long; count governs encode);
+        // recursive for nested structs and array leaves
+        def viewLeaf(hold: ColumnChunk, rows: Int): ColumnChunk = {
+          val lc = new ColumnChunk(hold.tag, rows)
           lc.longs = hold.longs
           lc.doubles = hold.doubles
           lc.strings = hold.strings
           lc.isNull = hold.isNull
+          if (hold.arrLens != null) {
+            lc.arrLens = hold.arrLens
+            lc.elemLongs = hold.elemLongs
+            lc.elemDoubles = hold.elemDoubles
+            lc.elemStrings = hold.elemStrings
+            lc.elemNull = hold.elemNull
+            lc.elemCount = hold.elemCount
+          }
+          if (hold.structLeaves != null)
+            lc.structLeaves = hold.structLeaves.map(viewLeaf(_, rows))
           lc
         }
+        chunk.structLeaves = structHold(c).map(viewLeaf(_, n))
       }
       encodeBuf.truncate(0)
       // deterministic sampling seed per (partition, row group, column) —
@@ -1184,17 +1294,20 @@ class BtrDataWriter(path: String, schema: StructType, blockSize: Int, cascade: I
         else 0
       val statsKind = kindOf(tag, stats)
       // struct columns: per-leaf stat entries (footer kind 4) so chunk
-      // skipping prunes on leaf predicates at planning
+      // skipping prunes on leaf predicates at planning — RECURSIVE, a
+      // nested-struct leaf carries its own kind-4 sub-entries
+      def leafMeta(ls: graft.format.ChunkCodec.ChunkStats, t: Int): BtrFile.ColumnChunkMeta =
+        BtrFile.ColumnChunkMeta(0, 0, ls.nullCount, kindOf(t, ls),
+          ls.minLong, ls.maxLong, ls.minDouble, ls.maxDouble,
+          minBytes = ls.minBytes, maxBytes = ls.maxBytes,
+          minExact = ls.minExact, maxExact = ls.maxExact,
+          hasNaN = ls.hasNaN, sumLong = ls.sumLong, sumOverflow = ls.sumOverflow,
+          leafStats =
+            if (ls.leafStats == null) null
+            else ls.leafStats.zip(ls.leafTags).map { case (s, lt) => leafMeta(s, lt) })
       val leafMetas: Array[BtrFile.ColumnChunkMeta] =
         if (stats.leafStats == null) null
-        else stats.leafStats.zipWithIndex.map { case (ls, j) =>
-          BtrFile.ColumnChunkMeta(0, 0, ls.nullCount,
-            kindOf(chunk.structLeaves(j).tag, ls),
-            ls.minLong, ls.maxLong, ls.minDouble, ls.maxDouble,
-            minBytes = ls.minBytes, maxBytes = ls.maxBytes,
-            minExact = ls.minExact, maxExact = ls.maxExact,
-            hasNaN = ls.hasNaN, sumLong = ls.sumLong, sumOverflow = ls.sumOverflow)
-        }
+        else stats.leafStats.zip(stats.leafTags).map { case (ls, lt) => leafMeta(ls, lt) }
       colMetas(c) = BtrFile.ColumnChunkMeta(
         offset = bytesWritten,
         length = blobLen,
@@ -1220,6 +1333,14 @@ class BtrDataWriter(path: String, schema: StructType, blockSize: Int, cascade: I
       colCompBytes(c) += blobLen
       if (arrHold(c) != null) arrHold(c).resetElems()
       if (mapKeyHold(c) != null) { mapKeyHold(c).resetElems(); mapValHold(c).resetElems() }
+      if (structHold(c) != null) {
+        // array leaves accumulate element streams per group — reset them
+        def resetLeaf(hold: ColumnChunk): Unit = {
+          hold.resetElems()
+          if (hold.structLeaves != null) hold.structLeaves.foreach(resetLeaf)
+        }
+        structHold(c).foreach(resetLeaf)
+      }
       c += 1
     }
     rowGroups += BtrFile.RowGroupMeta(n, colMetas)

@@ -118,14 +118,48 @@ class StructColumnSpec extends AnyFunSuite {
     assert(back.filter(col("rec._1") === 10L).select("k").as[Int].collect().toSeq == Seq(2))
   }
 
-  test("nested structs and arrays inside structs are rejected loudly") {
-    val dir = tmp("reject")
+  test("NESTED structs and array leaves round-trip losslessly (depth 2)") {
+    val dir = tmp("nested")
     import spark.implicits._
-    val nested = spark.range(1).select(struct(struct(col("id").as("x")).as("inner")).as("rec"))
-    val e = intercept[Exception] {
-      nested.write.format("btr").mode("overwrite").save(dir)
-    }
-    assert(e.getMessage.contains("SCALAR"), e.getMessage)
+    // two-level provenance shape: rec.score scalar, rec.prov.{url,domain}
+    // nested struct, rec.tokens array leaf — nulls at both levels
+    val df = spark.range(0, 2000).select(
+      col("id").cast("int").as("k"),
+      when(col("id") % 13 === 0, lit(null)).otherwise(
+        struct(
+          (col("id") * 0.5).as("score"),
+          when(col("id") % 7 === 0, lit(null)).otherwise(
+            struct(concat(lit("http://u"), col("id")).as("url"),
+              concat(lit("d"), col("id") % 10).as("domain"))).as("prov"),
+          when(col("id") % 5 === 0, lit(null)).otherwise(
+            array(col("id"), col("id") * 2)).as("tokens"))).as("rec"))
+    df.coalesce(2).write.format("btr").option("btr.blockSize", "512")
+      .mode("overwrite").save(dir)
+    val back = spark.read.format("btr").load(dir)
+    assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty,
+      "nested round-trip mismatch")
+    // leaf-only projection at depth 2
+    val urls = back.select(col("rec.prov.url")).filter(col("rec.prov.url").isNotNull)
+    assert(urls.count() == df.filter(col("rec.prov.url").isNotNull).count())
+    // leaf predicate at depth 2 returns exact rows
+    val got = back.filter(col("rec.prov.domain") === "d3").select("k")
+      .as[Int].collect().sorted.toSeq
+    val want = df.filter(col("rec.prov.domain") === "d3").select("k")
+      .as[Int].collect().sorted.toSeq
+    assert(got == want && got.nonEmpty, s"${got.length} vs ${want.length}")
+  }
+
+  test("depth-2 leaf predicates SKIP chunks via recursive footer leaf stats") {
+    val dir = tmp("nested-skip")
+    import spark.implicits._
+    // k clusters by chunk (blockSize 512), so rec.inner.k bounds separate
+    spark.range(0, 8192).select(
+        struct(struct(col("id").as("k")).as("inner")).as("rec"), col("id"))
+      .coalesce(1).write.format("btr").option("btr.blockSize", "512")
+      .mode("overwrite").save(dir)
+    val back = spark.read.format("btr").load(dir)
+    assert(back.filter(col("rec.inner.k") === 7000).count() == 1)
+    assert(back.filter(col("rec.inner.k") < 0).count() == 0)
   }
 
   test("struct-leaf predicates push (V2) and late-materialize: empty groups skip siblings") {

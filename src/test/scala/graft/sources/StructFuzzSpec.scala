@@ -54,7 +54,32 @@ class StructFuzzSpec extends AnyFunSuite {
       case _ => s"v${rnd.nextInt(50)}"
     }
     case BooleanType => rnd.nextBoolean()
+    case st: StructType =>
+      if (rnd.nextInt(6) == 0) null
+      else Row.fromSeq(st.fields.toSeq.map(f =>
+        if (rnd.nextInt(5) == 0) null else randomValue(rnd, f.dataType)))
+    case at: ArrayType =>
+      (0 until rnd.nextInt(4)).map(_ =>
+        if (rnd.nextInt(6) == 0) null else randomValue(rnd, at.elementType))
     case other => throw new IllegalStateException(other.toString)
+  }
+
+  /** Random leaf type: scalar, array-of-scalar, or (down to `depth`) a
+    * nested struct of more random leaves. */
+  private def randomLeafType(rnd: scala.util.Random, depth: Int): DataType =
+    if (depth < 2 && rnd.nextInt(3) == 0)
+      StructType((0 to rnd.nextInt(3)).map(j =>
+        StructField(s"g${depth}_$j", randomLeafType(rnd, depth + 1), nullable = true)))
+    else if (rnd.nextInt(5) == 0)
+      ArrayType(leafTypes(rnd.nextInt(leafTypes.length)), containsNull = true)
+    else leafTypes(rnd.nextInt(leafTypes.length))
+
+  /** All dotted paths to SCALAR leaves under `prefix`. */
+  private def scalarPaths(prefix: String, dt: DataType): Seq[(String, DataType)] = dt match {
+    case st: StructType =>
+      st.fields.toSeq.flatMap(f => scalarPaths(s"$prefix.${f.name}", f.dataType))
+    case _: ArrayType => Nil
+    case scalar => Seq(prefix -> scalar)
   }
 
   test("random struct schemas, values and leaf predicates are exact") {
@@ -63,8 +88,11 @@ class StructFuzzSpec extends AnyFunSuite {
       val dir = s"/tmp/btr-struct-fuzz/r$round"
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
       val nLeaves = 1 + rnd.nextInt(5)
+      // depth-0 leaves may be scalars, arrays, or NESTED structs (to
+      // depth 2) — the recursive composite layout must stay exact for
+      // every composition
       val leaves = (0 until nLeaves).map(j =>
-        StructField(s"f$j", leafTypes(rnd.nextInt(leafTypes.length)), nullable = true))
+        StructField(s"f$j", randomLeafType(rnd, 0), nullable = true))
       val st = StructType(leaves)
       val schema = StructType(Seq(
         StructField("id", IntegerType, nullable = false),
@@ -90,18 +118,19 @@ class StructFuzzSpec extends AnyFunSuite {
       assert(a.length == b.length, s"round $round: row count")
       a.zip(b).foreach { case (x, y) => assert(x == y, s"round $round: $x vs $y") }
 
-      // 2) leaf-predicate soundness: results must equal the in-memory
-      // model under Spark's own comparison semantics — evaluate the SAME
-      // Column filter against the original df (no btr) as the oracle
-      for (_ <- 0 until 8) {
-        val lf = leaves(rnd.nextInt(leaves.length))
-        val c = col(s"rec.${lf.name}")
+      // 2) leaf-predicate soundness at ANY depth: results must equal the
+      // in-memory model under Spark's own comparison semantics — evaluate
+      // the SAME Column filter against the original df (no btr) as oracle
+      val paths = scalarPaths("rec", st)
+      for (_ <- 0 until 8 if paths.nonEmpty) {
+        val (path, pdt) = paths(rnd.nextInt(paths.length))
+        val c = col(path)
         val pred = rnd.nextInt(5) match {
           case 0 => c.isNull
           case 1 => c.isNotNull
-          case 2 => c === lit(randomValue(rnd, lf.dataType))
-          case 3 if lf.dataType != BooleanType => c >= lit(randomValue(rnd, lf.dataType))
-          case _ if lf.dataType != BooleanType => c < lit(randomValue(rnd, lf.dataType))
+          case 2 => c === lit(randomValue(rnd, pdt))
+          case 3 if pdt != BooleanType => c >= lit(randomValue(rnd, pdt))
+          case _ if pdt != BooleanType => c < lit(randomValue(rnd, pdt))
           case _ => c === lit(rnd.nextBoolean())
         }
         val want = df.filter(pred).select("id").collect().map(_.getInt(0)).sorted
