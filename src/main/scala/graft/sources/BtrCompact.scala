@@ -260,7 +260,11 @@ object BtrCompact {
     * name; merging it away first would turn that retry into duplicates).
     */
   def compact(spark: SparkSession, path: String, targetBytes: Long = 128L * 1024 * 1024,
-      keep: BtrTableMeta.DataFileEntry => Boolean = _ => true): (Int, Int) = {
+      keep: BtrTableMeta.DataFileEntry => Boolean = _ => true,
+      // test-only race injection: runs after the merge tasks, before the
+      // conflict check + journal — deterministic stand-in for a commit
+      // landing inside that window
+      beforeSwap: () => Unit = () => ()): (Int, Int) = {
     val root = new Path(path)
     val fs = root.getFileSystem(BtrTableMeta.hadoopConf())
     // converge any swap a crashed compactor left behind before binning
@@ -321,6 +325,7 @@ object BtrCompact {
     spark.sparkContext.parallelize(jobs, jobs.length).foreach { case (bin, tmp, _) =>
       mergeBin(bin, tmp)
     }
+    beforeSwap()
     // journal FIRST, then swap: with the journal visible, a listing hides
     // a bin's sources the moment its merged file appears (and hides a
     // merged file whose rename never happened), so a crash anywhere in
@@ -329,6 +334,32 @@ object BtrCompact {
     def rel(dirUri: String): String = {
       val p = new Path(new java.net.URI(dirUri)).toUri.getPath
       if (p == rootUriPath) "" else p.stripPrefix(rootUriPath).stripPrefix("/")
+    }
+    // optimistic-concurrency check BEFORE the journal publishes: a
+    // concurrent DELETE/rewrite that removed a bin source since the
+    // binning listing would have its deletion silently undone by the
+    // merged file (which still carries the removed rows). Abort instead:
+    // drop the tmp merges and fail loudly — nothing published, the
+    // concurrent commit's state stands, and the compaction retries.
+    locally {
+      val visibleNow = BtrTableMeta.listDataFilesWithPartitions(fs, root).map { e =>
+        val p = e.path.toUri.getPath
+        if (p.startsWith(rootUriPath)) p.stripPrefix(rootUriPath).stripPrefix("/") else p
+      }.toSet
+      val gone = jobs.flatMap { case (bin, _, _) =>
+        val prefix = rel(bin.dirUri)
+        bin.files.map(f => if (prefix.isEmpty) f else s"$prefix/$f")
+      }.filterNot(visibleNow.contains)
+      if (gone.nonEmpty) {
+        jobs.foreach { case (bin, tmp, _) =>
+          fs.delete(new Path(new Path(new java.net.URI(bin.dirUri)), tmp), false)
+        }
+        throw new IllegalStateException(
+          s"btr: concurrent commit conflict at $root — OPTIMIZE read ${gone.length} " +
+            s"file(s) a concurrent commit has since removed (e.g. " +
+            s"${gone.take(3).mkString(", ")}); merging them would undo that " +
+            "commit. Nothing was published; retry the OPTIMIZE.")
+      }
     }
     BtrTableMeta.writeSwapJournal(fs, root, compactId,
       jobs.map { case (bin, _, fin) => BtrTableMeta.SwapGroup(rel(bin.dirUri), Seq(fin), bin.files) })

@@ -173,6 +173,21 @@ object BtrDelete {
           "rewrites the affected files row-level (BtrRowLevelOperation); " +
           "this direct entry point only takes the metadata path.")
     val toDelete = verdicts.collect { case (e, MatchAll) => e }
+    // preclassified verdicts reuse the canDelete probe's listing — a
+    // concurrent commit may have replaced a doomed file since (its
+    // replacement could hold rows the predicate does NOT match). Verify
+    // the doomed set against a fresh listing and fail loudly on drift.
+    if (toDelete.nonEmpty && preclassified.isDefined) {
+      val visibleNow = BtrTableMeta.listDataFilesWithPartitions(fs, dir)
+        .map(_.path.toUri.getPath).toSet
+      val gone = toDelete.filterNot(e => visibleNow.contains(e.path.toUri.getPath))
+      if (gone.nonEmpty)
+        throw new IllegalStateException(
+          s"btr: concurrent commit conflict at $path — DELETE classified " +
+            s"${gone.length} file(s) a concurrent commit has since removed or " +
+            s"rewritten (e.g. ${gone.take(3).map(_.path.getName).mkString(", ")}); " +
+            "retry the DELETE.")
+    }
     if (toDelete.nonEmpty) {
       // delete-INTENT journal (a swap with no finals): published before
       // the first physical delete, it hides every doomed file at once —

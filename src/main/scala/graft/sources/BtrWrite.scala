@@ -528,6 +528,24 @@ class BtrBatchWrite(path: String, schema: StructType, mode: BtrOverwriteMode, bl
           dirPart + rel.substring(cut + 1).stripPrefix(namePrefix)
         }
         val sources = sourcesThunk().distinct
+        // optimistic-concurrency check, BEFORE the journal publishes:
+        // this rewrite's row images were computed from `sources` at scan
+        // time — if a concurrent commit (another MERGE/UPDATE/DELETE,
+        // an OPTIMIZE, an overwrite) replaced any of them since, swapping
+        // in our staged files would resurrect superseded rows or drop the
+        // concurrent commit's. Fail loudly; Spark's abort sweeps the
+        // staged files and the table keeps the concurrent commit's state.
+        locally {
+          val visibleNow = BtrTableMeta.listDataFilesWithPartitions(fs, dir)
+            .map(e => relOf(e.path)).toSet
+          val gone = sources.filterNot(visibleNow.contains)
+          if (gone.nonEmpty)
+            throw new IllegalStateException(
+              s"btr: concurrent commit conflict at $dir — this row-level rewrite " +
+                s"read ${gone.length} file(s) a concurrent commit has since " +
+                s"removed or rewritten (e.g. ${gone.take(3).mkString(", ")}). " +
+                "The rewrite's row images are stale; retry the operation.")
+        }
         logAdded = staged.map(visibleOf)
         logRemoved = sources
         BtrTableMeta.writeSwapJournal(fs, dir, s"nm-$writeId",
@@ -540,7 +558,20 @@ class BtrBatchWrite(path: String, schema: StructType, mode: BtrOverwriteMode, bl
             throw new java.io.IOException(s"btr rewrite: rename $rel -> ${visibleOf(rel)} failed")
         }
         sources.foreach(relPath => BtrRetention.removeDataFile(fs, dir, relPath, retainRemoved))
-      case BtrOverwriteMode.Append => ()
+      case BtrOverwriteMode.Append =>
+        // task-committed files are visible before this driver commit — a
+        // concurrent file-aligned DELETE (or partition drop) may have
+        // consumed SOME of them, leaving a half-applied append that no
+        // serial order of the two commits could produce. Detect and fail:
+        // Spark's abort then removes the surviving files, restoring the
+        // clean "DELETE won" state, and the append retries serializably.
+        val gone = committed.toSeq.filter(_.nonEmpty)
+          .filterNot(rel => fs.exists(new Path(dir, rel)))
+        if (gone.nonEmpty)
+          throw new IllegalStateException(
+            s"btr: concurrent commit conflict at $dir — ${gone.length} file(s) this " +
+              s"append just wrote were removed by a concurrent commit before the " +
+              s"append committed (e.g. ${gone.take(3).mkString(", ")}); retry the append.")
     }
     // retire this commit's own journal (idempotent; deletes any source a
     // crash in the loops above would have left behind)

@@ -1,0 +1,137 @@
+package graft.sources
+
+import graft.format.{BtrConfig, BtrTableMeta}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write.WriterCommitMessage
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Concurrent-writer conflict detection: a replacing commit whose source
+  * files a concurrent commit removed must ABORT LOUDLY before its swap
+  * journal publishes (staged files sweep away; the survivor's state
+  * stands), and an append whose task-committed files a concurrent DELETE
+  * consumed must fail its driver commit rather than leave a
+  * half-applied append no serial order could produce. The interleavings
+  * are driven deterministically through BtrBatchWrite: stage both
+  * writes, then commit them in conflict order.
+  */
+class BtrConflictSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("conflict-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.catalog.graft", "graft.sources.BtrCatalog")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def tmp(name: String) = {
+    val d = s"/tmp/btr-conflict-spec/$name"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d))
+    d
+  }
+
+  private def fsRoot(dir: String) = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(BtrTableMeta.hadoopConf())
+    (fs, fs.makeQualified(p))
+  }
+
+  private val intSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("x", org.apache.spark.sql.types.IntegerType)))
+
+  /** Stage a write (task-side complete, driver commit NOT yet run). */
+  private def stage(dir: String, mode: BtrOverwriteMode, rows: Seq[Int])
+      : (BtrBatchWrite, Array[WriterCommitMessage]) = {
+    val bw = new BtrBatchWrite(dir, intSchema, mode, 65536, 3, BtrConfig.Default, Nil)
+    val w = bw.createBatchWriterFactory(null).createWriter(0, scala.util.Random.nextLong())
+    rows.foreach(i => w.write(InternalRow(i)))
+    (bw, Array(w.commit()))
+  }
+
+  private def relFiles(dir: String): Seq[String] = {
+    val (fs, root) = fsRoot(dir)
+    val rootLen = root.toUri.getPath.length + 1
+    BtrTableMeta.listDataFilesWithPartitions(fs, root)
+      .map(_.path.toUri.getPath.substring(rootLen)).toSeq.sorted
+  }
+
+  private def readInts(dir: String): Seq[Int] = {
+    import spark.implicits._
+    spark.read.format("btr").load(dir).as[Int].collect().sorted.toSeq
+  }
+
+  test("two interleaved row-level rewrites: the second aborts loudly, survivor consistent") {
+    val dir = tmp("merge-race")
+    import spark.implicits._
+    Seq(1, 2, 3).toDF("x").repartition(1).write.format("btr").mode("overwrite").save(dir)
+    val sources = relFiles(dir)
+    assert(sources.length == 1)
+
+    // both rewrites read the SAME source file (two MERGEs whose scans
+    // both selected it), staged before either commits
+    val (bw1, m1) = stage(dir, BtrOverwriteMode.ReplaceFiles(() => sources), Seq(10, 20, 30))
+    val (bw2, m2) = stage(dir, BtrOverwriteMode.ReplaceFiles(() => sources), Seq(77))
+
+    bw1.commit(m1) // first rewrite wins: replaces the source
+    val e = intercept[IllegalStateException] { bw2.commit(m2) }
+    assert(e.getMessage.contains("concurrent commit conflict"), e.getMessage)
+    bw2.abort(m2)
+
+    // survivor state: exactly the first rewrite's rows, and every listed
+    // file parses (consistency check)
+    assert(readInts(dir) == Seq(10, 20, 30))
+    val consistency = graft.functions.BtrInspect.fileConsistency(spark, dir)
+    assert(consistency.filter(not(col("ok"))).count() == 0)
+  }
+
+  test("DELETE consuming an in-flight append's files fails the append commit") {
+    val dir = tmp("delete-vs-append")
+    import spark.implicits._
+    Seq(1).toDF("x").repartition(1).write.format("btr").mode("overwrite").save(dir)
+
+    // append task-commits its file (visible), driver commit pending
+    val (bw, m) = stage(dir, BtrOverwriteMode.Append, Seq(50))
+    assert(relFiles(dir).length == 2, "staged append file must be visible")
+
+    // the concurrent DELETE's predicate matches every file — it consumes
+    // the base file AND the append's task-committed file
+    spark.sql(s"DELETE FROM graft.`$dir` WHERE x >= 0")
+    assert(relFiles(dir).isEmpty)
+
+    val e = intercept[IllegalStateException] { bw.commit(m) }
+    assert(e.getMessage.contains("concurrent commit conflict"), e.getMessage)
+    bw.abort(m)
+
+    // clean "DELETE won" state: empty table, zero leftover files
+    assert(readInts(dir).isEmpty && relFiles(dir).isEmpty)
+  }
+
+  test("OPTIMIZE racing a DELETE aborts instead of resurrecting deleted rows") {
+    val dir = tmp("optimize-race")
+    import spark.implicits._
+    // two small files give the compactor a bin holding both
+    Seq(1, 2).toDF("x").repartition(1).write.format("btr").mode("overwrite").save(dir)
+    Seq(3, 4).toDF("x").repartition(1).write.format("btr").mode("append").save(dir)
+    assert(relFiles(dir).length == 2 && readInts(dir) == Seq(1, 2, 3, 4))
+
+    // the DELETE lands deterministically INSIDE the window between the
+    // compactor's merge tasks and its swap journal — publishing the
+    // merged file then would resurrect the deleted rows
+    val e = intercept[IllegalStateException] {
+      BtrCompact.compact(spark, dir, 128L * 1024 * 1024,
+        beforeSwap = () => spark.sql(s"DELETE FROM graft.`$dir` WHERE x <= 2"))
+    }
+    assert(e.getMessage.contains("concurrent commit conflict"), e.getMessage)
+
+    // DELETE's outcome stands; no tmp leftovers; every file parses
+    assert(readInts(dir) == Seq(3, 4), "post-race table must equal the DELETE's state")
+    val (fs, root) = fsRoot(dir)
+    val leftovers = fs.listStatus(root).map(_.getPath.getName)
+      .filter(_.startsWith("_tmp_compact_"))
+    assert(leftovers.isEmpty, leftovers.mkString(", "))
+    val consistency = graft.functions.BtrInspect.fileConsistency(spark, dir)
+    assert(consistency.filter(not(col("ok"))).count() == 0)
+  }
+}
