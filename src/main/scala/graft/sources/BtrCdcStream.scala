@@ -1,0 +1,167 @@
+package graft.sources
+
+import graft.format.BtrTableMeta
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** CDC column names + schema shaping for `btr.readChanges` stream reads. */
+object BtrCdc {
+  val ChangeTypeCol = "_change_type"
+  val CommitVersionCol = "_commit_version"
+
+  def isCdcCol(name: String): Boolean =
+    name == ChangeTypeCol || name == CommitVersionCol
+
+  def withCdcColumns(schema: StructType): StructType =
+    StructType(schema.fields ++ Seq(
+      StructField(ChangeTypeCol, StringType, nullable = false),
+      StructField(CommitVersionCol, LongType, nullable = true)))
+}
+
+/** Streaming change feed: a micro-batch source whose OFFSETS are
+  * snapshot-log versions and whose rows carry `_change_type` /
+  * `_commit_version` — the streaming half of [[BtrChanges.between]].
+  * Each micro-batch serves the change set of a version range `(s, e]`:
+  *
+  *  - pure-append commits plan exactly the added files (cost scales
+  *    with the new data, never the table) as `insert` rows;
+  *  - removal commits (DELETE / row-level rewrite / overwrite /
+  *    OPTIMIZE) on a table with `btr.retainRemoved` emit the removed
+  *    files' rows as `delete` rows from the retention store, alongside
+  *    the replacement files' inserts — a streaming consumer SURVIVES
+  *    an OPTIMIZE or DELETE without re-bootstrapping;
+  *  - on an unretained table a removal-crossing batch fails loudly
+  *    (same contract as the batch feed: serving inserts-only would
+  *    double-count re-homed rows and silently miss deletes).
+  *
+  * Exactly-once: offsets are versions in Spark's checkpoint; replaying
+  * a committed range is deterministic because the snapshot log resolves
+  * the same file sets (pruned log entries or expired store files fail
+  * loudly, never partially). `btr.startingVersion` picks the base
+  * version on a fresh checkpoint (`latest` / absent = only commits
+  * after stream start; an explicit `n` = start after version n —
+  * `0` bootstraps the whole table as inserts).
+  *
+  * Filters are NOT consumed here — every pushed predicate remains a
+  * residual above the scan, so correctness never depends on skipping.
+  */
+class BtrCdcMicroBatchStream(
+    path: String,
+    tableSchema: StructType,
+    requiredSchema: StructType,
+    partCols: Seq[String],
+    startingVersion: Option[String]
+) extends MicroBatchStream {
+  import BtrCdcMicroBatchStream.VersionOffset
+
+  private def fsRoot = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(BtrTableMeta.hadoopConf())
+    (fs, fs.makeQualified(dir))
+  }
+
+  /** File-column layout: table schema minus partition + CDC columns. */
+  private val dataSchema: StructType =
+    StructType(tableSchema.fields.filterNot(f =>
+      partCols.contains(f.name) || BtrCdc.isCdcCol(f.name)))
+
+  override def initialOffset(): Offset = {
+    val (fs, root) = fsRoot
+    val v = startingVersion match {
+      case Some("latest") | None => BtrLog.latestVersion(fs, root).getOrElse(0L)
+      case Some(n) => n.toLong
+    }
+    VersionOffset(v)
+  }
+
+  override def latestOffset(): Offset = {
+    val (fs, root) = fsRoot
+    VersionOffset(BtrLog.latestVersion(fs, root).getOrElse(0L))
+  }
+
+  override def deserializeOffset(json: String): Offset = VersionOffset(json.trim.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[VersionOffset].version
+    val e = end.asInstanceOf[VersionOffset].version
+    if (e <= s) return Array.empty
+    val (fs, root) = fsRoot
+    val r = BtrChanges.resolveRange(fs, root, s, e)
+
+    val rootLen = root.toUri.getPath.length + 1
+    lazy val live: Map[String, BtrTableMeta.DataFileEntry] =
+      BtrTableMeta.listDataFilesWithPartitions(fs, root)
+        .map(en => en.path.toUri.getPath.substring(rootLen) -> en).toMap
+
+    // inserts: live listing first (size-checked against the snapshot's
+    // recorded length — a re-used name is NOT our file), store fallback
+    // for files a commit after `e` already removed
+    val inserts = r.added.addedRel.map { rel =>
+      val expected = r.added.sizes.get(rel)
+      val entry = live.get(rel).filter(en => expected.forall(_ == en.len))
+        .orElse(graft.format.BtrRetention.resolveRemoved(fs, root, rel, expected))
+        .getOrElse(throw new IllegalStateException(
+          s"btr changes stream: file $rel of range ($s, $e] is no longer present " +
+            s"under $root and not retained — history was physically truncated; " +
+            "restart from a fresh checkpoint"))
+      (entry, "insert", r.added.versionOf.getOrElse(rel, e))
+    }
+    val deletes = r.removedRels.map { rel =>
+      val entry = graft.format.BtrRetention
+        .resolveRemoved(fs, root, rel, r.removedSizes.get(rel))
+        .getOrElse(throw new IllegalStateException(
+          s"btr changes stream: range ($s, $e] crosses a removal of $rel but the " +
+            s"file is physically gone — enable btr.retainRemoved on the table to " +
+            "stream across DELETE/OPTIMIZE, or restart from a fresh checkpoint " +
+            s"with a full read at v$e"))
+      (entry, "delete", r.removedAt.getOrElse(rel, e))
+    }
+
+    val fileActive = BtrScan.fileColActive(tableSchema)
+    val colKinds = requiredSchema.fields.map { f =>
+      if (BtrCdc.isCdcCol(f.name) || partCols.contains(f.name) ||
+        (fileActive && f.name == BtrScan.FileMetaCol)) -1
+      else dataSchema.fieldIndex(f.name)
+    }
+    val dataIdx = colKinds.filter(_ >= 0)
+
+    val all = inserts ++ deletes
+    val meta: Map[String, (String, Long)] =
+      all.map { case (en, ct, v) => en.path.toString -> (ct, v) }.toMap
+    val dir = new Path(path)
+    BtrFooters.readAllIndexed(fs, dir, all.map(_._1).toArray).map { case (entry, footer) =>
+      val (changeType, version) = meta(entry.path.toString)
+      val reqPartValues: Array[String] = requiredSchema.fields.map { f =>
+        if (f.name == BtrCdc.ChangeTypeCol) changeType
+        else if (f.name == BtrCdc.CommitVersionCol) version.toString
+        else if (fileActive && f.name == BtrScan.FileMetaCol) entry.path.toString
+        else if (partCols.contains(f.name))
+          entry.partitionValues.getOrElse(f.name, BtrTableMeta.NullPartition)
+        else null
+      }
+      val groups = footer.rowGroups.map { rg =>
+        BtrChunkRange(rg.numRows,
+          dataIdx.map(ci => if (ci < rg.columns.length) rg.columns(ci).offset else -1L),
+          dataIdx.map(ci => if (ci < rg.columns.length) rg.columns(ci).length else 0))
+      }
+      val reqTags: Array[Int] = colKinds.map(ci => if (ci < 0) 0 else footer.tagOf(ci))
+      BtrInputPartition(entry.path.toString, groups, reqPartValues, reqTags): InputPartition
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new BtrReaderFactory(requiredSchema, fullStructs = BtrScan.fullStructsOf(tableSchema))
+
+  override def commit(end: Offset): Unit = ()
+
+  override def stop(): Unit = ()
+}
+
+object BtrCdcMicroBatchStream {
+  /** Offset = snapshot-log version consumed through (inclusive). */
+  final case class VersionOffset(version: Long) extends Offset {
+    override def json(): String = version.toString
+  }
+}

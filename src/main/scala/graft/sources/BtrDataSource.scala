@@ -36,7 +36,9 @@ class BtrDataSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val dir = new Path(pathOf(options))
     val fs = dir.getFileSystem(BtrTableMeta.hadoopConf())
-    BtrTableMeta.readSchema(fs, dir)
+    val base = BtrTableMeta.readSchema(fs, dir)
+    // CDC stream reads surface the change-metadata columns
+    if (BtrOptions.readChanges(options)) BtrCdc.withCdcColumns(base) else base
   }
 
   override def inferPartitioning(options: CaseInsensitiveStringMap): Array[Transform] = {
@@ -107,16 +109,23 @@ class BtrTable(path: String, tableSchema: StructType, partitionTransforms: Array
     * user-supplied logical schema falls back to the table meta.
     */
   private lazy val internalSchema: StructType = {
-    if (graft.format.BtrColumnMapping.hasTombstones(tableSchema)) tableSchema
-    else {
-      val dir = new Path(path)
-      val fs = dir.getFileSystem(BtrTableMeta.hadoopConf())
-      if (!fs.exists(new Path(dir, BtrTableMeta.MetaFile))) tableSchema
+    val base =
+      if (graft.format.BtrColumnMapping.hasTombstones(tableSchema)) tableSchema
       else {
-        val m = BtrTableMeta.readSchema(fs, dir)
-        if (graft.format.BtrColumnMapping.hasTombstones(m)) m else tableSchema
+        val dir = new Path(path)
+        val fs = dir.getFileSystem(BtrTableMeta.hadoopConf())
+        if (!fs.exists(new Path(dir, BtrTableMeta.MetaFile))) tableSchema
+        else {
+          val m = BtrTableMeta.readSchema(fs, dir)
+          if (graft.format.BtrColumnMapping.hasTombstones(m)) m else tableSchema
+        }
       }
-    }
+    // CDC columns appended by inferSchema must survive the meta-schema
+    // fallback (a column-mapped table's meta lacks them)
+    val cdcExtra = tableSchema.fields.filter(f =>
+      BtrCdc.isCdcCol(f.name) && !base.fieldNames.contains(f.name))
+    if (cdcExtra.isEmpty) base
+    else org.apache.spark.sql.types.StructType(base.fields ++ cdcExtra)
   }
 
   private def pinned: Boolean = asOfVersion.isDefined || asOfTimestampMicros.isDefined
@@ -512,6 +521,15 @@ object BtrOptions {
     */
   def retainRemoved(options: CaseInsensitiveStringMap): Option[Boolean] =
     Option(options.get("btr.retainRemoved")).map(_.trim.toBoolean)
+
+  /** Streaming CDC read (`spark.readStream ... option("btr.readChanges",
+    * "true")`): rows arrive with `_change_type` / `_commit_version`
+    * columns, offsets are snapshot-log VERSIONS, and removal-crossing
+    * commits on a retained table emit row-level deletes — the streaming
+    * half of BtrChanges.between.
+    */
+  def readChanges(options: CaseInsensitiveStringMap): Boolean =
+    Option(options.get("btr.readChanges")).exists(_.trim.toBoolean)
 
   /** Streaming source: begin AFTER snapshot `startingVersion` — the
     * snapshot's files seed the seen-set on a FRESH checkpoint, so the

@@ -236,7 +236,8 @@ class BtrScanBuilder(path: String, tableSchema: StructType, options: CaseInsensi
           startingVersion = BtrOptions.startingVersion(options),
           onlyFiles = snapshot.map(_.fileSet),
           snapshotVersion = snapshot.map(_.version),
-          onlySizes = snapshot.map(_.sizes).getOrElse(Map.empty))
+          onlySizes = snapshot.map(_.sizes).getOrElse(Map.empty),
+          readChanges = BtrOptions.readChanges(options))
     }
   }
 }
@@ -278,7 +279,10 @@ class BtrScan(
     // would be a silently wrong historical view, so fail loudly instead)
     snapshotVersion: Option[Long] = None,
     // snapshot-recorded file lengths (rel → len): detects rel-path reuse
-    onlySizes: Map[String, Long] = Map.empty
+    onlySizes: Map[String, Long] = Map.empty,
+    // streaming CDC read (btr.readChanges): toMicroBatchStream returns
+    // the version-offset change stream instead of the file stream
+    readChanges: Boolean = false
 ) extends Scan
     with Batch
     with SupportsRuntimeFiltering
@@ -624,6 +628,9 @@ class BtrScan(
   private var planned: Array[InputPartition] = _
 
   override def planInputPartitions(): Array[InputPartition] = {
+    require(!readChanges,
+      "btr.readChanges is a STREAMING read option (spark.readStream); batch change " +
+        "reads use btr.changesFromVersion/btr.changesToVersion (BtrChanges.between)")
     if (planned == null || !(plannedFor eq runtimeFilters)) {
       planned = doPlanInputPartitions()
       plannedFor = runtimeFilters
@@ -818,12 +825,16 @@ class BtrScan(
     new BtrReaderFactory(requiredSchema, filters ++ runtimeFilters,
       fullStructs = BtrScan.fullStructsOf(dataSchema))
 
-  override def toMicroBatchStream(checkpointLocation: String): BtrMicroBatchStream = {
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
     require(snapshotVersion.isEmpty,
       "btr: streaming reads follow the live table; a VERSION/TIMESTAMP AS OF " +
         "pinned snapshot cannot be streamed")
-    new BtrMicroBatchStream(path, tableSchema, requiredSchema, partCols, maxFilesPerTrigger,
-      checkpointLocation, startingVersion)
+    if (readChanges)
+      new BtrCdcMicroBatchStream(path, tableSchema, requiredSchema, partCols, startingVersion)
+    else
+      new BtrMicroBatchStream(path, tableSchema, requiredSchema, partCols, maxFilesPerTrigger,
+        checkpointLocation, startingVersion)
   }
 }
 

@@ -1,0 +1,119 @@
+package graft.streaming
+
+import graft.format.BtrTableMeta
+import graft.sources.{BtrChanges, BtrLog}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming change feed (`btr.readChanges`): version offsets, CDC
+  * columns, and — on a retained table — row-level DELETE batches, so a
+  * streaming consumer survives a DELETE/OPTIMIZE without re-bootstrap.
+  * The emitted rows must equal BtrChanges.between for the same range.
+  */
+class CdcStreamSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.catalog.graft", "graft.sources.BtrCatalog")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def tmp(name: String) = {
+    val d = s"/tmp/btr-cdc-stream-spec/$name"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d))
+    d
+  }
+
+  private def fsRoot(dir: String) = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(BtrTableMeta.hadoopConf())
+    (fs, fs.makeQualified(p))
+  }
+
+  test("CDC stream across a DELETE on a retained table equals BtrChanges.between") {
+    val dir = tmp("across-delete")
+    import spark.implicits._
+    Seq((1, "keep"), (2, "drop"), (3, "keep")).toDF("x", "tag")
+      .repartition(1).write.format("btr")
+      .option("btr.retainRemoved", "true").mode("overwrite").save(dir)   // v1
+    Seq((4, "keep")).toDF("x", "tag")
+      .write.format("btr").mode("append").save(dir)                     // v2
+
+    // stream from v1 (consume (1, latest]); first pass: only v2's insert
+    val q = spark.readStream.format("btr")
+      .option("btr.readChanges", "true")
+      .option("btr.startingVersion", "1")
+      .load(dir)
+      .writeStream.format("memory").queryName("cdc_out").start()
+    def emitted() = spark.table("cdc_out")
+      .select(col("x"), col("tag"), col("_change_type"), col("_commit_version"))
+      .as[(Int, String, String, Long)].collect().sortBy(r => (r._4, r._3, r._1)).toSeq
+    try {
+      q.processAllAvailable()
+      assert(emitted() == Seq((4, "keep", "insert", 2L)), emitted().toString)
+
+      // a row-level DELETE rewrites v1's file (v3): the stream must emit
+      // the removed file's rows as deletes and the replacement's as
+      // inserts — surviving the removal without re-bootstrap
+      spark.sql(s"DELETE FROM graft.`$dir` WHERE tag = 'drop'")
+      q.processAllAvailable()
+
+      val (fs, root) = fsRoot(dir)
+      val latest = BtrLog.latestVersion(fs, root).get
+      val batch = BtrChanges.between(spark, dir, 1L, latest)
+        .select(col("x"), col("tag"), col("_change_type"), col("_commit_version"))
+        .as[(Int, String, String, Long)].collect().sortBy(r => (r._4, r._3, r._1)).toSeq
+      assert(emitted() == batch,
+        s"stream ${emitted()} must equal batch feed $batch")
+      // and the delete rows really are there
+      assert(emitted().count(_._3 == "delete") == 3, emitted().toString)
+    } finally q.stop()
+  }
+
+  test("CDC stream on an UNRETAINED table fails loudly at a removal-crossing batch") {
+    val dir = tmp("unretained")
+    import spark.implicits._
+    Seq(1, 2).toDF("x").repartition(1).write.format("btr").mode("overwrite").save(dir) // v1
+    Seq(3).toDF("x").write.format("btr").mode("append").save(dir)                      // v2
+
+    val q = spark.readStream.format("btr")
+      .option("btr.readChanges", "true")
+      .option("btr.startingVersion", "1")
+      .load(dir)
+      .writeStream.format("memory").queryName("cdc_unret").start()
+    try {
+      q.processAllAvailable()
+      spark.sql(s"DELETE FROM graft.`$dir` WHERE x <= 2") // physically removes v1's file
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+        q.awaitTermination(30000)
+      }
+      val msg = e.getCause match { case null => e.getMessage; case c => c.getMessage }
+      assert(msg.contains("retainRemoved") || e.getMessage.contains("retainRemoved"),
+        e.getMessage)
+    } finally q.stop()
+  }
+
+  test("CDC stream bootstraps the whole table from startingVersion 0") {
+    val dir = tmp("bootstrap")
+    import spark.implicits._
+    Seq(10, 11).toDF("x").repartition(1).write.format("btr").mode("overwrite").save(dir) // v1
+    Seq(12).toDF("x").write.format("btr").mode("append").save(dir)                       // v2
+
+    val q = spark.readStream.format("btr")
+      .option("btr.readChanges", "true")
+      .option("btr.startingVersion", "0")
+      .load(dir)
+      .writeStream.format("memory").queryName("cdc_boot").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("cdc_boot")
+        .select(col("x"), col("_change_type"), col("_commit_version"))
+        .as[(Int, String, Long)].collect().sortBy(_._1).toSeq
+      assert(got == Seq((10, "insert", 1L), (11, "insert", 1L), (12, "insert", 2L)),
+        got.toString)
+    } finally q.stop()
+  }
+}
