@@ -108,6 +108,19 @@ object BtrRetention {
     }.toMap
   }
 
+  /** Dry-run listing of the store entries [[expire]] would remove. */
+  def listExpired(fs: FileSystem, root: Path, olderThanMs: Long): Seq[Path] = {
+    val dir = new Path(root, RemovedDir)
+    if (!fs.exists(dir)) return Nil
+    fs.listStatus(dir).toSeq.flatMap { st =>
+      val name = st.getPath.getName
+      val dot = name.lastIndexOf('.')
+      val ts = if (dot < 0) -1L
+        else scala.util.Try(name.substring(dot + 1).toLong).getOrElse(-1L)
+      if (ts >= 0 && ts < olderThanMs) Some(st.getPath) else None
+    }
+  }
+
   /** Expire store entries moved before `olderThanMs` (epoch millis).
     * Returns the number removed. History referencing them then fails
     * loudly, like any physically-truncated history.

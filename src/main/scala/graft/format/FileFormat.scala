@@ -805,6 +805,27 @@ object BtrTableMeta {
     * DML statement you run (an in-flight task's temp looks identical to
     * an orphan). Metadata sidecars (`_btr_*`) are never touched.
     */
+  /** Dry-run listing of the orphaned temps [[vacuumTemps]] would remove
+    * (same walk, no deletes).
+    */
+  def listTemps(fs: FileSystem, root: Path, retentionMs: Long): Seq[Path] = {
+    if (!fs.exists(root)) return Nil
+    val cutoff = System.currentTimeMillis() - retentionMs
+    val out = scala.collection.mutable.ArrayBuffer.empty[Path]
+    def sweep(d: Path): Unit = {
+      val it = fs.listStatusIterator(d)
+      while (it.hasNext) {
+        val st = it.next()
+        val name = st.getPath.getName
+        if (st.isDirectory && !name.startsWith("_") && !name.startsWith(".")) sweep(st.getPath)
+        else if (st.isFile && (name.startsWith("_tmp_") || name.startsWith("_rl_")) &&
+          st.getModificationTime < cutoff) out += st.getPath
+      }
+    }
+    sweep(root)
+    out.toSeq
+  }
+
   def vacuumTemps(fs: FileSystem, root: Path, retentionMs: Long): Long = {
     if (!fs.exists(root)) return 0L
     val cutoff = System.currentTimeMillis() - retentionMs

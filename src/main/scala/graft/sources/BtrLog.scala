@@ -222,12 +222,12 @@ object BtrLog {
     claimed
   }
 
-  /** Prune to [[KeepEntries]], then extend back (never forward) to the
-    * newest FULL entry at-or-before the cutoff — the oldest kept version
-    * must resolve without entries we just deleted. */
-  private def prune(fs: FileSystem, dir: Path): Unit = {
+  /** Versions prunable right now: everything before the newest FULL
+    * entry at-or-before the [[KeepEntries]] cutoff — the oldest kept
+    * version must stay resolvable without the deleted entries. */
+  private def prunable(fs: FileSystem, dir: Path): Seq[Long] = {
     val vs = versions(fs, dir).sorted
-    if (vs.length <= KeepEntries) return
+    if (vs.length <= KeepEntries) return Nil
     val cutoff = vs(vs.length - KeepEntries) // oldest version we want kept
     // find the newest full entry <= cutoff; read entries (small) backward
     var base = cutoff
@@ -236,8 +236,25 @@ object BtrLog {
       if (vs.contains(base) && !readEntry(fs, dir.getParent, base).isDelta) found = true
       else base -= 1
     }
-    if (!found) return // no resolvable base at-or-before cutoff: keep all
-    vs.filter(_ < base).foreach(v => fs.delete(new Path(dir, nameOf(v)), false))
+    if (!found) return Nil // no resolvable base at-or-before cutoff: keep all
+    vs.filter(_ < base)
+  }
+
+  private def prune(fs: FileSystem, dir: Path): Unit =
+    prunable(fs, dir).foreach(v => fs.delete(new Path(dir, nameOf(v)), false))
+
+  /** Dry-run listing of the log entries a prune would remove (VACUUM). */
+  def listPrunable(fs: FileSystem, root: Path): Seq[Path] = {
+    val dir = new Path(root, LogDir)
+    prunable(fs, dir).map(v => new Path(dir, nameOf(v)))
+  }
+
+  /** Prune now (VACUUM entry point); returns entries removed. */
+  def pruneNow(fs: FileSystem, root: Path): Int = {
+    val dir = new Path(root, LogDir)
+    val doomed = prunable(fs, dir)
+    doomed.foreach(v => fs.delete(new Path(dir, nameOf(v)), false))
+    doomed.length
   }
 
   private def versions(fs: FileSystem, dir: Path): Seq[Long] = {

@@ -18,7 +18,10 @@ import org.apache.spark.sql.types.{LongType, StringType}
   *   OPTIMIZE graft.`/data/t` FULL                 -- one file per partition dir (zero-sort SPJ layout)
   *   OPTIMIZE graft.`/data/t` CLUSTER BY (a, b)    -- range-clustered rewrite
   *   OPTIMIZE graft.`/data/t` ZORDER BY (a, b)     -- Morton-interleaved rewrite
-  *   VACUUM graft.`/data/t` [RETAIN 48 HOURS]      -- sweep orphaned hidden temps
+  *   VACUUM graft.`/data/t` [RETAIN 48 HOURS] [DRY RUN]
+  *     -- ONE garbage entry point: converge pending swap journals, sweep
+  *        orphaned hidden temps, expire retention-store files past the
+  *        horizon, prune the snapshot log (DRY RUN lists, touches nothing)
   *
   * Table references resolve exactly like [[BtrCatalog]]: absolute paths
   * (backquoted) directly, relative names under the catalog's configured
@@ -94,23 +97,77 @@ case class BtrRestoreCommand(tableParts: Seq[String], version: Long)
   }
 }
 
-case class BtrVacuumCommand(tableParts: Seq[String], retentionMs: Long)
+/** The ONE table-garbage entry point: everything a crash, a retention
+  * policy, or normal operation can leave behind converges here.
+  *
+  *  1. swap-journal convergence — a crashed compaction/DELETE/rewrite's
+  *     pending journal completes (sources remove, journal retires);
+  *  2. orphaned hidden temps (`_tmp_*`, `_rl_*`) older than the horizon;
+  *  3. retention-store expiry — removed-file entries past the horizon
+  *     (history referencing them then genuinely ends, loudly);
+  *  4. snapshot-log pruning beyond [[BtrLog.KeepEntries]] (kept back to
+  *     the checkpoint the oldest retained version resolves through).
+  *
+  * [[plan]] is the DRY RUN: the items one [[run]] would touch, nothing
+  * mutated (pending journals are listed, not converged).
+  */
+object BtrVacuum {
+  final case class Item(action: String, item: String)
+
+  def plan(fs: org.apache.hadoop.fs.FileSystem, rawRoot: Path, retentionMs: Long): Seq[Item] = {
+    val root = fs.makeQualified(rawRoot)
+    val cutoff = System.currentTimeMillis() - retentionMs
+    BtrTableMeta.readSwapJournals(fs, root)
+      .map(j => Item("converge-journal", j._1.toString)) ++
+      BtrTableMeta.listTemps(fs, root, retentionMs)
+        .map(p => Item("remove-temp", p.toString)) ++
+      graft.format.BtrRetention.listExpired(fs, root, cutoff)
+        .map(p => Item("expire-retained", p.toString)) ++
+      BtrLog.listPrunable(fs, root).map(p => Item("prune-log", p.toString))
+  }
+
+  /** Execute; returns (journals converged, temps removed, store entries
+    * expired, log entries pruned).
+    */
+  def run(fs: org.apache.hadoop.fs.FileSystem, rawRoot: Path, retentionMs: Long)
+      : (Long, Long, Long, Long) = {
+    val root = fs.makeQualified(rawRoot)
+    // converge FIRST: journal completion can route doomed files into the
+    // retention store, and the expiry pass right after applies the same
+    // horizon to them
+    val journals = BtrTableMeta.readSwapJournals(fs, root).length.toLong
+    BtrTableMeta.completeSwapJournals(fs, root)
+    val temps = BtrTableMeta.vacuumTemps(fs, root, retentionMs)
+    // horizon includes the current millisecond (expire's bound is
+    // strict): RETAIN 0 must expire entries the convergence pass above
+    // moved into the store within this same ms
+    val expired = graft.format.BtrRetention.expire(fs, root,
+      System.currentTimeMillis() + 1 - retentionMs).toLong
+    val pruned = BtrLog.pruneNow(fs, root).toLong
+    (journals, temps, expired, pruned)
+  }
+}
+
+case class BtrVacuumCommand(tableParts: Seq[String], retentionMs: Long,
+    dryRun: Boolean = false)
     extends LeafRunnableCommand {
-  override val output: Seq[Attribute] = Seq(
-    AttributeReference("path", StringType, nullable = false)(),
-    AttributeReference("files_removed", LongType, nullable = false)())
+  override val output: Seq[Attribute] =
+    if (dryRun) Seq(
+      AttributeReference("action", StringType, nullable = false)(),
+      AttributeReference("item", StringType, nullable = false)())
+    else Seq(
+      AttributeReference("path", StringType, nullable = false)(),
+      AttributeReference("files_removed", LongType, nullable = false)())
 
   override def run(spark: SparkSession): Seq[Row] = {
     val path = BtrMaintenance.resolvePath(spark, tableParts)
     val root = new Path(path)
     val fs = root.getFileSystem(BtrTableMeta.hadoopConf())
-    val removed = BtrTableMeta.vacuumTemps(fs, root, retentionMs)
-    // retention store: expire removed-file entries past the horizon —
-    // history referencing them then genuinely ends (loud errors, never
-    // silently-partial snapshots)
-    val expired = graft.format.BtrRetention.expire(fs, fs.makeQualified(root),
-      System.currentTimeMillis() - retentionMs)
-    Seq(Row(path, removed + expired))
+    if (dryRun) BtrVacuum.plan(fs, root, retentionMs).map(i => Row(i.action, i.item))
+    else {
+      val (journals, temps, expired, pruned) = BtrVacuum.run(fs, root, retentionMs)
+      Seq(Row(path, journals + temps + expired + pruned))
+    }
   }
 }
 
@@ -121,7 +178,7 @@ class BtrSparkSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val OptimizeRe =
     """(?is)^\s*OPTIMIZE\s+(.+?)(?:\s+(FULL))?(?:\s+(ZORDER|CLUSTER)\s+BY\s*\(([^)]*)\))?\s*;?\s*$""".r
   private val VacuumRe =
-    """(?is)^\s*VACUUM\s+(.+?)(?:\s+RETAIN\s+(\d+)\s+HOURS)?\s*;?\s*$""".r
+    """(?is)^\s*VACUUM\s+(.+?)(?:\s+RETAIN\s+(\d+)\s+HOURS)?(?:\s+(DRY\s+RUN))?\s*;?\s*$""".r
   private val RestoreRe =
     """(?is)^\s*RESTORE\s+(?:TABLE\s+)?(.+?)\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
 
@@ -140,10 +197,11 @@ class BtrSparkSqlParser(delegate: ParserInterface) extends ParserInterface {
       BtrOptimizeCommand(
         delegate.parseMultipartIdentifier(ref.trim), m,
         Option(cols).toSeq.flatMap(_.split(',').map(stripQuotes)).filter(_.nonEmpty))
-    case VacuumRe(ref, hours) =>
+    case VacuumRe(ref, hours, dry) =>
       BtrVacuumCommand(
         delegate.parseMultipartIdentifier(ref.trim),
-        Option(hours).map(_.toLong).getOrElse(24L) * 3600L * 1000L)
+        Option(hours).map(_.toLong).getOrElse(24L) * 3600L * 1000L,
+        dryRun = dry != null)
     case RestoreRe(ref, v) =>
       BtrRestoreCommand(delegate.parseMultipartIdentifier(ref.trim), v.toLong)
     case _ => delegate.parsePlan(sqlText)
