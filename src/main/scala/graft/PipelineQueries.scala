@@ -273,6 +273,33 @@ object PipelineQueries {
           round(sum(col("dbl")), 2).as("sum_dbl"))
     }),
 
+    // per-span annotations STORED as array<struct<start,end,label,score>>
+    // — THE labeled-span shape of an annotated training corpus (NER
+    // spans, quality spans, redaction spans). Rides the recursive
+    // array<struct> chunk layout; DuckDB recomputes from raw text.
+    // Scores use exactly-representable quarters so both engines' double
+    // sums are bit-identical under any addition order.
+    "q_span_annotations" -> ((s, d) => {
+      val dir = Btr.cachePath(d, "documents_spans")
+      if (!new java.io.File(dir, "_btr_meta.json").exists()) {
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            array(
+              struct(lit(0).as("start"), length(col("text")).as("end"),
+                col("lang").as("label"),
+                (length(col("text")).cast("double") * 0.25).as("score")),
+              struct(lit(1).as("start"), (length(col("text")) + 7).as("end"),
+                lit("half").as("label"), lit(2.5).as("score"))).as("spans"))
+          .write.format("btr").mode("overwrite").save(dir)
+      }
+      s.read.format("btr").load(dir)
+        .select(explode(col("spans")).as("s"))
+        .groupBy(col("s.label").as("label"))
+        .agg(count(lit(1)).as("n"), sum(col("s.end")).cast("long").as("sum_end"),
+          round(sum(col("s.score")), 2).as("sum_score"))
+        .orderBy("label")
+    }),
+
     // token arrays STORED as array<string> in the format: tokenize once
     // at write, then query the materialized lists — the layout a
     // tokenized training corpus actually uses (re-tokenizing per query
@@ -744,6 +771,15 @@ object PipelineQueries {
       """SELECT lang, count(*) AS n_docs,
         | min(substring(text, 1, 8)) AS min_head
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_span_annotations" ->
+      """WITH sp AS (
+        |  SELECT lang AS label, length(text) AS e,
+        |    CAST(length(text) AS DOUBLE) * 0.25 AS sc FROM documents
+        |  UNION ALL
+        |  SELECT 'half' AS label, length(text) + 7 AS e, 2.5 AS sc FROM documents)
+        |SELECT label, count(*) AS n, CAST(sum(e) AS BIGINT) AS sum_end,
+        | round(sum(sc), 2) AS sum_score
+        |FROM sp GROUP BY 1 ORDER BY label""".stripMargin,
     "q_map_array_scores" ->
       """SELECT count(*) AS n_docs,
         | round(sum(CAST(length(text) AS DOUBLE)), 2) AS sum_len,

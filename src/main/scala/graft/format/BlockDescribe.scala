@@ -15,6 +15,7 @@ object BlockDescribe {
     val tree =
       if (PhysType.isIntFamily(tag) || tag == PhysType.Float) describeInt(in, count)
       else if (tag == PhysType.Double) describeDouble(in, count)
+      else if (tag == PhysType.ArrStruct) describeArrStruct(in, count)
       else if (PhysType.isArrayFamily(tag)) describeArray(in, tag, count)
       else if (tag == PhysType.Struct) describeStruct(in, count)
       else if (tag == PhysType.KvMap) describeMap(in, count)
@@ -28,11 +29,10 @@ object BlockDescribe {
       val lt = in.getByte()
       val len = in.getInt()
       val end = in.pos + len
-      val nulls = walkNullMap(in)
-      val desc =
-        if (PhysType.isIntFamily(lt) || lt == PhysType.Float) describeInt(in, count)
-        else if (lt == PhysType.Double) describeDouble(in, count)
-        else describeString(in, count)
+      // a leaf body is a full column body — recurse (nested structs and
+      // array leaves describe like any column); length-skip guards the
+      // walker's byte position either way
+      val (nulls, desc) = describeChunk(in, lt, count)
       in.skip(end - in.pos)
       s"$nulls:$desc"
     }
@@ -44,14 +44,19 @@ object BlockDescribe {
     val ec = in.getInt()
     val parts = (0 until 2).map { _ =>
       val st = in.getByte()
-      val nulls = walkNullMap(in)
-      val desc =
-        if (st == PhysType.Double) describeDouble(in, ec)
-        else if (st == PhysType.Str || st == PhysType.Binary) describeString(in, ec)
-        else describeInt(in, ec)
+      // each side is a full column body over the entries (array-valued
+      // sides recurse into the array layout)
+      val (nulls, desc) = describeChunk(in, st, ec)
       s"$nulls:$desc"
     }
     s"map(n_entries=$ec, lengths=$lensDesc, keys=${parts(0)}, values=${parts(1)})"
+  }
+
+  private def describeArrStruct(in: BufReader, count: Int): String = {
+    val (lensDesc, _) = describeLengths(in, count)
+    val ec = in.getInt()
+    val (elemNulls, body) = describeChunk(in, PhysType.Struct, ec)
+    s"array(n_elems=$ec, lengths=$lensDesc, elem_nulls=$elemNulls, elems=$body)"
   }
 
   private def walkNullMap(in: BufReader): String = in.getByte() match {

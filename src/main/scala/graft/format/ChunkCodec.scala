@@ -38,6 +38,10 @@ object PhysType {
   // [nullmap + codec payload] — so each leaf compresses under its own
   // scheme selection and a reader can skip unrequested leaves by length
   val Struct = 16
+  // array<struct<...>>: per-row lengths cascade + a flattened element
+  // stream encoded as a STRUCT column body over the elements — the
+  // per-span annotation shape (array<struct<start,end,label>>)
+  val ArrStruct = 19
 
   def of(dt: DataType): Int = dt match {
     case BooleanType => Bool
@@ -57,6 +61,17 @@ object PhysType {
     case ArrayType(IntegerType, _) => ArrInt
     case ArrayType(LongType, _) => ArrLong
     case ArrayType(StringType, _) => ArrStr
+    case ArrayType(st: StructType, _) =>
+      require(of(st) == Struct, s"btr: unsupported array element ${st.simpleString}")
+      // v1 scope: element structs of SCALAR leaves (the span-annotation
+      // shape); deeper nesting inside array elements stays rejected
+      st.fields.foreach { f =>
+        val lt = of(f.dataType)
+        require(!isArrayFamily(lt) && lt != Struct && lt != KvMap,
+          s"btr: array<struct> element leaf ${f.name}: ${f.dataType.simpleString} — " +
+            "scalar leaves only")
+      }
+      ArrStruct
     case mt: MapType =>
       val kt = of(mt.keyType)
       require(!isArrayFamily(kt) && kt != Struct && kt != KvMap,
@@ -65,7 +80,7 @@ object PhysType {
       // values may be scalar OR array-of-scalar (per-field score lists);
       // the value element stream then recursively encodes as an array
       // column over the map entries
-      require(vt != Struct && vt != KvMap,
+      require(vt != Struct && vt != KvMap && vt != ArrStruct,
         s"btr: map values must be scalar or array-of-scalar, got ${mt.simpleString}")
       KvMap
     case d: DecimalType if d.precision <= 18 => Decimal64
@@ -76,15 +91,16 @@ object PhysType {
         // leaves recurse: scalars, arrays-of-scalar, and nested structs
         // all encode as self-described sub-columns of the parent's blob
         val lt = of(f.dataType)
-        require(lt != KvMap,
-          s"btr: struct leaf ${f.name}: ${f.dataType.simpleString} — maps inside " +
-            "structs are not supported")
+        require(lt != KvMap && lt != ArrStruct,
+          s"btr: struct leaf ${f.name}: ${f.dataType.simpleString} — maps and " +
+            "struct-element arrays inside structs are not supported")
       }
       Struct
     case other => throw new UnsupportedOperationException(s"btr: unsupported type $other")
   }
 
-  def isArrayFamily(tag: Int): Boolean = (tag >= ArrFloat && tag <= ArrLong) || tag == ArrStr
+  def isArrayFamily(tag: Int): Boolean =
+    (tag >= ArrFloat && tag <= ArrLong) || tag == ArrStr || tag == ArrStruct
 
   /** Element tag of an array family tag. */
   def elemTag(tag: Int): Int = tag match {
@@ -93,6 +109,7 @@ object PhysType {
     case ArrInt => Int32
     case ArrLong => Int64
     case ArrStr => Str
+    case ArrStruct => Struct
     case other => throw new IllegalArgumentException(s"$other")
   }
 
@@ -219,6 +236,7 @@ final class ColumnChunk(val tag: Int, val count: Int) {
       elemNull = new Array[Boolean](cap)
       if (tag == PhysType.ArrDouble) elemDoubles = new Array[Double](cap)
       else if (tag == PhysType.ArrStr) elemStrings = new Array[Array[Byte]](cap)
+      else if (tag == PhysType.ArrStruct) () // element values live in leaf holds
       else elemLongs = new Array[Long](cap)
     } else if (elemCount + n > elemNull.length) {
       val need = elemCount.toLong + n
@@ -234,7 +252,13 @@ final class ColumnChunk(val tag: Int, val count: Int) {
     }
   }
 
-  def resetElems(): Unit = { elemCount = 0; lensCount = 0 }
+  def resetElems(): Unit = {
+    elemCount = 0; lensCount = 0
+    // element-mode struct leaves (array<struct> holds) carry their own
+    // element streams; row-mode struct leaves don't use these counters,
+    // so the recursion is always safe
+    if (structLeaves != null) structLeaves.foreach(_.resetElems())
+  }
 
   // per-entry null flags for the growable length stream (a map value of
   // array type can be null per entry), grown alongside arrLens
@@ -484,6 +508,24 @@ object ChunkCodec {
         raw += ss.rawBytes
       }
       ChunkStats(nullCount, 0, 0, 0, 0, hasMinMax = false, rawBytes = raw)
+    } else if (tag == PhysType.ArrStruct) {
+      // [lengths cascade][i32 elemCount][<struct column body over the
+      // elements>] — the element stream IS a struct column (its nullmap
+      // doubles as the element nullmap), so span-annotation leaves each
+      // compress under their own scheme selection like any struct leaf
+      val lens = new Array[Long](chunk.count)
+      i = 0
+      while (i < chunk.count) { lens(i) = chunk.arrLens(i).toLong; i += 1 }
+      IntCodec.encode(out, lens, chunk.count, 4, cascadeDepth, cfg, seed)
+      val ec = chunk.elemCount
+      out.putInt(ec)
+      val view = new ColumnChunk(PhysType.Struct, ec)
+      view.isNull =
+        if (chunk.elemNull != null) chunk.elemNull else new Array[Boolean](math.max(ec, 1))
+      view.structLeaves = chunk.structLeaves // caller pre-viewed at count = ec
+      val ss = encode(out, view, cascadeDepth, cfg, seed + 7)
+      ChunkStats(nullCount, 0, 0, 0, 0, hasMinMax = false,
+        rawBytes = 4L * chunk.count + ss.rawBytes)
     } else if (PhysType.isArrayFamily(tag)) {
       // [lengths cascade][i32 elemCount][element nullmap][element block] —
       // the variable-length layout of the string codec generalized to
@@ -640,6 +682,18 @@ object ChunkCodec {
       }
       new Decoded(count, isNull, hasNulls, null, null, null, null, lens,
         null, false, elemCount, structLeaves = sides, structTags = tags)
+    } else if (tag == PhysType.ArrStruct) {
+      val lensL = IntCodec.decode(in, count)
+      val lens = new Array[Int](count)
+      var i = 0
+      while (i < count) { lens(i) = lensL(i).toInt; i += 1 }
+      val elemCount = in.getInt()
+      // the element stream is a struct column body: its nullmap is the
+      // element nullmap, its leaves the per-element field streams
+      val elemDec = decode(in, PhysType.Struct, elemCount)
+      new Decoded(count, isNull, hasNulls, null, null, null, null, lens,
+        elemDec.isNull, elemDec.hasNulls, elemCount,
+        structLeaves = elemDec.structLeaves, structTags = elemDec.structTags)
     } else if (PhysType.isArrayFamily(tag)) {
       val lensL = IntCodec.decode(in, count)
       val lens = new Array[Int](count)

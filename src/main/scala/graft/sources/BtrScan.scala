@@ -2000,6 +2000,15 @@ object BtrScan {
     val m = schema.fields.collect {
       case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.StructType] =>
         f.name -> f.dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+      // array<struct> columns: the full ELEMENT struct, for by-name
+      // mapping when Catalyst prunes element fields (consumers matching
+      // on (dataType, get) never confuse the two — the column's own type
+      // is ArrayType)
+      case f if f.dataType.isInstanceOf[ArrayType] &&
+        f.dataType.asInstanceOf[ArrayType].elementType
+          .isInstanceOf[org.apache.spark.sql.types.StructType] =>
+        f.name -> f.dataType.asInstanceOf[ArrayType].elementType
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
     }
     if (m.isEmpty) Map.empty else m.toMap
   }
@@ -2534,6 +2543,39 @@ class BtrColumnarReader(partition: BtrInputPartition, requiredSchema: StructType
           val len = dec.arrLens(i)
           if (nulls && dec.isNull(i)) v.putNull(i)
           else v.putArray(i, off, len)
+          off += len
+          i += 1
+        }
+      case PhysType.ArrStruct =>
+        // array<struct>: the array child is a struct vector whose own
+        // children fill from the decoded element-leaf streams; nested
+        // field pruning maps required element fields by NAME against the
+        // file's full element struct (decode always yields file order)
+        val at = dt.asInstanceOf[ArrayType]
+        val est = at.elementType.asInstanceOf[StructType]
+        val fullEst = fullDt match {
+          case f: StructType if !(f eq est) => f
+          case _ => est
+        }
+        val child = v.arrayData()
+        val ec = dec.elemCount
+        child.reserve(ec)
+        var j = 0
+        while (j < est.fields.length) {
+          val fj = if (!(fullEst eq est)) fullEst.fieldIndex(est.fields(j).name) else j
+          val cv = child.getChild(j).asInstanceOf[OnHeapColumnVector]
+          cv.reserve(ec) // reserve() does NOT cascade into struct children
+          fillVector(cv, est.fields(j).dataType, dec.structTags(fj), dec.structLeaves(fj), ec)
+          j += 1
+        }
+        if (dec.elemHasNulls) {
+          var e = 0
+          while (e < ec) { if (dec.elemIsNull(e)) child.putNull(e); e += 1 }
+        }
+        var off = 0
+        while (i < n) {
+          val len = dec.arrLens(i)
+          if (nulls && dec.isNull(i)) v.putNull(i) else v.putArray(i, off, len)
           off += len
           i += 1
         }

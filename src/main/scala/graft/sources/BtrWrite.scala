@@ -1004,7 +1004,17 @@ class BtrDataWriter(path: String, schema: StructType, blockSize: Int, cascade: I
       val tag = tags(c)
       if (PhysType.isIntFamily(tag) || tag == PhysType.Float) longCols(c) = new Array[Long](blockSize)
       else if (tag == PhysType.Double) doubleCols(c) = new Array[Double](blockSize)
-      else if (PhysType.isArrayFamily(tag)) {
+      else if (tag == PhysType.ArrStruct) {
+        // array<struct>: per-row lengths + element nullmap on the hold,
+        // element VALUES in per-leaf element-mode holds
+        val st = fields(c).dataType.asInstanceOf[ArrayType]
+          .elementType.asInstanceOf[org.apache.spark.sql.types.StructType]
+        arrLenCols(c) = new Array[Int](blockSize)
+        val hold = new ColumnChunk(tag, blockSize)
+        hold.structLeaves = st.fields.map(f =>
+          new ColumnChunk(PhysType.holdTagOf(PhysType.of(f.dataType)), blockSize))
+        arrHold(c) = hold
+      } else if (PhysType.isArrayFamily(tag)) {
         arrLenCols(c) = new Array[Int](blockSize)
         arrHold(c) = new ColumnChunk(tag, blockSize)
       } else if (tag == PhysType.KvMap) {
@@ -1059,6 +1069,46 @@ class BtrDataWriter(path: String, schema: StructType, blockSize: Int, cascade: I
         }
       }
       hold.elemCount += 1
+      j += 1
+    }
+  }
+
+  /** Append ONE struct element of an array<struct> column: each scalar
+    * leaf value goes into its leaf hold's element stream (`sr == null`
+    * — a null element — placeholder-fills every leaf).
+    */
+  private def appendStructElem(hold: ColumnChunk,
+      st: org.apache.spark.sql.types.StructType,
+      sr: org.apache.spark.sql.catalyst.InternalRow): Unit = {
+    var j = 0
+    while (j < hold.structLeaves.length) {
+      val lh = hold.structLeaves(j)
+      lh.ensureElemCapacity(1)
+      val e = lh.elemCount
+      if (sr == null || sr.isNullAt(j)) {
+        lh.elemNull(e) = true
+        if (lh.elemLongs != null) lh.elemLongs(e) = 0L
+        else if (lh.elemDoubles != null) lh.elemDoubles(e) = 0.0
+        else lh.elemStrings(e) = Array.emptyByteArray
+      } else {
+        lh.elemNull(e) = false
+        st.fields(j).dataType match {
+          case IntegerType | DateType => lh.elemLongs(e) = sr.getInt(j).toLong
+          case ShortType => lh.elemLongs(e) = sr.getShort(j).toLong
+          case ByteType => lh.elemLongs(e) = sr.getByte(j).toLong
+          case LongType | TimestampType | TimestampNTZType => lh.elemLongs(e) = sr.getLong(j)
+          case BooleanType => lh.elemLongs(e) = if (sr.getBoolean(j)) 1L else 0L
+          case DoubleType => lh.elemDoubles(e) = sr.getDouble(j)
+          case FloatType =>
+            lh.elemLongs(e) = java.lang.Float.floatToRawIntBits(sr.getFloat(j)).toLong
+          case d: DecimalType =>
+            lh.elemLongs(e) = sr.getDecimal(j, d.precision, d.scale).toUnscaledLong
+          case StringType => lh.elemStrings(e) = sr.getUTF8String(j).getBytes.clone()
+          case BinaryType => lh.elemStrings(e) = sr.getBinary(j).clone()
+          case other => throw new UnsupportedOperationException(s"btr array<struct> leaf: $other")
+        }
+      }
+      lh.elemCount += 1
       j += 1
     }
   }
@@ -1214,6 +1264,22 @@ class BtrDataWriter(path: String, schema: StructType, blockSize: Int, cascade: I
               case at: ArrayType => appendEntryArrays(mapValHold(c), m.valueArray(), at, n)
               case _ => appendElems(mapValHold(c), m.valueArray(), mt.valueType, n)
             }
+          case at: ArrayType if at.elementType.isInstanceOf[org.apache.spark.sql.types.StructType] =>
+            val st = at.elementType.asInstanceOf[org.apache.spark.sql.types.StructType]
+            val arr = row.getArray(c)
+            val n = arr.numElements()
+            val hold = arrHold(c)
+            arrLenCols(c)(i) = n
+            hold.ensureElemCapacity(n)
+            var j = 0
+            while (j < n) {
+              val e = hold.elemCount
+              val sr = if (arr.isNullAt(j)) null else arr.getStruct(j, st.fields.length)
+              hold.elemNull(e) = sr == null
+              appendStructElem(hold, st, sr)
+              hold.elemCount += 1
+              j += 1
+            }
           case at: ArrayType =>
             val arr = row.getArray(c)
             val n = arr.numElements()
@@ -1273,6 +1339,15 @@ class BtrDataWriter(path: String, schema: StructType, blockSize: Int, cascade: I
         chunk.elemStrings = hold.elemStrings
         chunk.elemNull = hold.elemNull
         chunk.elemCount = hold.elemCount
+        if (tag == PhysType.ArrStruct) {
+          // element-leaf views at the element count (same buffer-view
+          // trick as map sides)
+          val st = fields(c).dataType.asInstanceOf[ArrayType]
+            .elementType.asInstanceOf[org.apache.spark.sql.types.StructType]
+          chunk.structLeaves = hold.structLeaves.zip(st.fields).map { case (lh, f) =>
+            lh.asEntryChunk(PhysType.of(f.dataType), hold.elemCount)
+          }
+        }
       }
       if (mapKeyHold(c) != null) {
         val mt = fields(c).dataType.asInstanceOf[org.apache.spark.sql.types.MapType]
