@@ -313,6 +313,29 @@ object CoreQueries {
         .orderBy("flag")
     }),
 
+    // Q-struct-evolution: struct-LEAF schema evolution under the oracle
+    // gate — commit 1 writes rec{qty}, commit 2 appends rec{qty, flag}
+    // (the meta widens; NO file is rewritten), and the aggregate over
+    // BOTH generations must agree with DuckDB recomputing from parquet
+    // (old rows read flag as null).
+    "q_struct_leaf_evolution" -> ((s, d) => {
+      val dir = Btr.cachePath(d, "lineitem_structevo")
+      if (!new java.io.File(dir, "_btr_meta.json").exists()) {
+        Btr.pq(s, d, "lineitem").filter(col("l_linenumber") === 1)
+          .select(col("l_orderkey"),
+            struct(col("l_quantity").as("qty")).as("rec"))
+          .write.format("btr").mode("overwrite").save(dir)
+        Btr.pq(s, d, "lineitem").filter(col("l_linenumber") === 2)
+          .select(col("l_orderkey"),
+            struct(col("l_quantity").as("qty"), col("l_returnflag").as("flag")).as("rec"))
+          .write.format("btr").mode("append").save(dir)
+      }
+      s.read.format("btr").load(dir)
+        .groupBy(coalesce(col("rec.flag"), lit("<none>")).as("flag"))
+        .agg(count(lit(1)).as("n"), round(sum(col("rec.qty")), 2).as("sum_qty"))
+        .orderBy("flag")
+    }),
+
     // Q-colmap: metadata-only RENAME/DROP COLUMN (column mapping) under
     // the oracle gate — the build writes three columns, renames one,
     // drops another (a MIDDLE slot: every later column would shift onto
@@ -1290,6 +1313,11 @@ object CoreQueries {
       """SELECT l_returnflag AS flag, count(*) AS n,
         | round(sum(l_quantity), 2) AS sum_qty
         |FROM lineitem WHERE l_linestatus = 'F' AND l_quantity >= 5
+        |GROUP BY 1 ORDER BY flag""".stripMargin,
+    "q_struct_leaf_evolution" ->
+      """SELECT CASE WHEN l_linenumber = 2 THEN l_returnflag ELSE '<none>' END AS flag,
+        | count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem WHERE l_linenumber <= 2
         |GROUP BY 1 ORDER BY flag""".stripMargin,
     "q_colmap_evolution" ->
       """SELECT CAST(l_orderkey % 7 AS BIGINT) AS bucket, count(*) AS n,

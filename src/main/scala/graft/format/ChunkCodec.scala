@@ -155,15 +155,30 @@ object BtrWidening {
     (from == org.apache.spark.sql.types.IntegerType && to == org.apache.spark.sql.types.LongType) ||
       (from == org.apache.spark.sql.types.FloatType && to == org.apache.spark.sql.types.DoubleType)
 
-  /** Compatible = identical or related by one sanctioned widening.
-    * NESTED NULLABILITY is ignored (`asNullable` on both sides): an
-    * `array<string>` whose containsNull differs between writes is the
-    * same wire layout — element nullmaps always travel — and refusing it
-    * would reject byte-identical appends (same for map value nullability
-    * and struct leaf nullability).
+  /** Compatible = identical, related by one sanctioned widening, or —
+    * for STRUCTS — one side's leaves a named PREFIX of the other's
+    * (leaf types recursively compatible): appends may ADD struct leaves
+    * at the end exactly like top-level columns, and old chunks read the
+    * added leaves as null (each chunk blob self-describes its leaf
+    * count). NESTED NULLABILITY is ignored (`asNullable` on both
+    * sides): an `array<string>` whose containsNull differs between
+    * writes is the same wire layout — element nullmaps always travel —
+    * and refusing it would reject byte-identical appends (same for map
+    * value nullability and struct leaf nullability).
     */
   def compatible(a: DataType, b: DataType): Boolean =
-    allNullable(a) == allNullable(b) || widensType(a, b) || widensType(b, a)
+    allNullable(a) == allNullable(b) || widensType(a, b) || widensType(b, a) ||
+      structPrefixCompatible(a, b)
+
+  private def structPrefixCompatible(a: DataType, b: DataType): Boolean = (a, b) match {
+    case (x: StructType, y: StructType) =>
+      val (short, long) =
+        if (x.fields.length <= y.fields.length) (x, y) else (y, x)
+      short.fields.zip(long.fields).forall { case (s, l) =>
+        s.name == l.name && compatible(s.dataType, l.dataType)
+      }
+    case _ => false
+  }
 
   /** Recursively force every nested nullability flag true (Spark's
     * `asNullable` is private[sql]). */
@@ -176,9 +191,22 @@ object BtrWidening {
     case other => other
   }
 
-  /** The wider of two compatible types. */
-  def widest(a: DataType, b: DataType): DataType =
-    if (widensType(a, b)) b else a
+  /** The wider of two compatible types. For structs, the LONGER leaf
+    * list wins, shared leaves merge recursively, and added leaves force
+    * nullable (pre-evolution chunks read them as null).
+    */
+  def widest(a: DataType, b: DataType): DataType = (a, b) match {
+    case (x: StructType, y: StructType) if structPrefixCompatible(x, y) =>
+      val (short, long) =
+        if (x.fields.length <= y.fields.length) (x, y) else (y, x)
+      StructType(long.fields.zipWithIndex.map { case (l, i) =>
+        if (i < short.fields.length)
+          l.copy(dataType = widest(short.fields(i).dataType, l.dataType),
+            nullable = l.nullable || short.fields(i).nullable)
+        else l.copy(nullable = true)
+      })
+    case _ => if (widensType(a, b)) b else a
+  }
 }
 
 /** Dense in-memory column chunk (≤65,536 rows), the unit of compression —

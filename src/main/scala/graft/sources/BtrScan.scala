@@ -2413,7 +2413,11 @@ class BtrColumnarReader(partition: BtrInputPartition, requiredSchema: StructType
           else if (!(fullSt eq st)) fullSt.fieldIndex(st.fields(j).name)
           else j
         val childV = v.getChild(j).asInstanceOf[OnHeapColumnVector]
-        fillVector(childV, st.fields(j).dataType, dec.structTags(fj), dec.structLeaves(fj), n,
+        // struct-leaf evolution: a file written before this leaf existed
+        // has fewer leaves (each chunk self-describes its count) — the
+        // added leaf reads as all null, like an added top-level column
+        if (fj >= dec.structTags.length) childV.putNulls(0, n)
+        else fillVector(childV, st.fields(j).dataType, dec.structTags(fj), dec.structLeaves(fj), n,
           fullDt = fullSt.fields(fj).dataType)
         j += 1
       }
@@ -3057,11 +3061,20 @@ object ChunkSkip {
         else {
           var m = rg.columns(pi)
           var ok = true
+          var allNull = false // leaf post-dates this file (leaf evolution)
           path.foreach { li =>
-            if (ok && m.leafStats != null && li < m.leafStats.length) m = m.leafStats(li)
-            else ok = false
+            if (ok && !allNull) {
+              if (m.leafStats == null) ok = false
+              // a recorded leafStats SHORTER than the leaf index proves
+              // the file's struct lacks this leaf — it reads all-null
+              else if (li >= m.leafStats.length) allNull = true
+              else m = m.leafStats(li)
+            }
           }
-          if (ok) Some((m, dt)) else None
+          if (!ok) None
+          else if (allNull)
+            Some((BtrFile.ColumnChunkMeta(0, 0, rg.numRows, 0, 0, 0, 0, 0), dt))
+          else Some((m, dt))
         }
       }
     }
