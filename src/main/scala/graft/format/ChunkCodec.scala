@@ -657,10 +657,13 @@ object ChunkCodec {
     * length — a pruned projection of a wide struct reads only the bytes
     * it uses. Skipped entries are null in the result. Leaves decode
     * recursively: a nested-struct or array leaf resolves through the
-    * same [[decode]] recursion the top level uses.
+    * same [[decode]] recursion the top level uses. `forScan` keeps DICT
+    * leaf chunks as dictionary views (the vector fill and late
+    * materialization consume them exactly like top-level columns —
+    * low-cardinality struct leaves skip per-row materialization).
     */
   private def decodeStructLeaves(in: BufReader, count: Int,
-      want: Array[Boolean]): (Array[Decoded], Array[Int]) = {
+      want: Array[Boolean], forScan: Boolean = false): (Array[Decoded], Array[Int]) = {
     val leafCount = in.getByte()
     val leaves = new Array[Decoded](leafCount)
     val tags = new Array[Int](leafCount)
@@ -670,7 +673,14 @@ object ChunkCodec {
       val len = in.getInt()
       tags(j) = lt
       if (want != null && (j >= want.length || !want(j))) in.skip(len)
-      else leaves(j) = decode(in, lt, count)
+      else {
+        val end = in.pos + len
+        leaves(j) = if (forScan) decodeForScan(in, lt, count) else decode(in, lt, count)
+        // leaves share one reader: a dict VIEW decode may leave trailing
+        // block bytes unconsumed (it defers entry materialization) — the
+        // recorded length re-aligns the next leaf either way
+        in.skip(end - in.pos)
+      }
       j += 1
     }
     (leaves, tags)
@@ -761,7 +771,7 @@ object ChunkCodec {
       wantLeaves: Array[Boolean] = null): Decoded = {
     if (tag == PhysType.Struct) {
       val (isNull, hasNulls) = NullMap.decodeWithFlag(in, count)
-      val (leaves, tags) = decodeStructLeaves(in, count, wantLeaves)
+      val (leaves, tags) = decodeStructLeaves(in, count, wantLeaves, forScan = true)
       return new Decoded(count, isNull, hasNulls, null, null, null, null,
         structLeaves = leaves, structTags = tags)
     }
