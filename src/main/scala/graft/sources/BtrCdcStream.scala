@@ -52,9 +52,12 @@ class BtrCdcMicroBatchStream(
     tableSchema: StructType,
     requiredSchema: StructType,
     partCols: Seq[String],
-    startingVersion: Option[String]
-) extends MicroBatchStream {
+    startingVersion: Option[String],
+    maxFilesPerTrigger: Option[Int] = None
+) extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
   import BtrCdcMicroBatchStream.VersionOffset
+  import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxFiles}
 
   private def fsRoot = {
     val dir = new Path(path)
@@ -76,9 +79,46 @@ class BtrCdcMicroBatchStream(
     VersionOffset(v)
   }
 
-  override def latestOffset(): Offset = {
+  // SupportsAdmissionControl drives batch sizing; the legacy no-arg
+  // variant must not be called once the control interface is implemented
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called instead of this method")
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(n => ReadLimit.maxFiles(n)).getOrElse(ReadLimit.allAvailable())
+
+  /** Admission control: cap a micro-batch's version range so its ADDED
+    * file count stays within `maxFilesPerTrigger` — a consumer behind a
+    * large backlog drains it in bounded batches instead of one giant
+    * catch-up. Delta log entries carry their add sets, so sizing a batch
+    * is O(versions examined) small JSON reads. At least one version is
+    * always admitted (progress guarantee); a full-checkpoint entry ends
+    * its batch (its add set isn't knowable without resolution).
+    */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[VersionOffset].version
     val (fs, root) = fsRoot
-    VersionOffset(BtrLog.latestVersion(fs, root).getOrElse(0L))
+    val latest = BtrLog.latestVersion(fs, root).getOrElse(0L)
+    if (latest <= s) return VersionOffset(s)
+    limit match {
+      case mf: ReadMaxFiles =>
+        val cap = mf.maxFiles()
+        var v = s
+        var files = 0
+        var done = false
+        while (!done && v < latest) {
+          val e = BtrLog.readEntry(fs, root, v + 1)
+          val adds = if (e.isDelta) e.add.length else Int.MaxValue
+          if (v == s || (adds != Int.MaxValue && files + adds <= cap)) {
+            v += 1
+            files = if (adds == Int.MaxValue) cap else files + adds
+          } else done = true
+          if (adds == Int.MaxValue) done = true // checkpoint = batch boundary
+        }
+        VersionOffset(v)
+      case _ => VersionOffset(latest)
+    }
   }
 
   override def deserializeOffset(json: String): Offset = VersionOffset(json.trim.toLong)

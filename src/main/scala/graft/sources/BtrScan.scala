@@ -831,7 +831,8 @@ class BtrScan(
       "btr: streaming reads follow the live table; a VERSION/TIMESTAMP AS OF " +
         "pinned snapshot cannot be streamed")
     if (readChanges)
-      new BtrCdcMicroBatchStream(path, tableSchema, requiredSchema, partCols, startingVersion)
+      new BtrCdcMicroBatchStream(path, tableSchema, requiredSchema, partCols, startingVersion,
+        maxFilesPerTrigger)
     else
       new BtrMicroBatchStream(path, tableSchema, requiredSchema, partCols, maxFilesPerTrigger,
         checkpointLocation, startingVersion)

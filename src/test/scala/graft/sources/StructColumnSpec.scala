@@ -160,6 +160,10 @@ class StructColumnSpec extends AnyFunSuite {
     val back = spark.read.format("btr").load(dir)
     assert(back.filter(col("rec.inner.k") === 7000).count() == 1)
     assert(back.filter(col("rec.inner.k") < 0).count() == 0)
+    // the depth-2 predicate PUSHES (V2 → dotted V1 filter on the scan)
+    val plan = back.filter(col("rec.inner.k") === 7000)
+      .queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(plan.contains("rec.inner.k"), s"depth-2 predicate not pushed: $plan")
   }
 
   test("struct-leaf predicates push (V2) and late-materialize: empty groups skip siblings") {

@@ -96,6 +96,70 @@ class CdcStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("CDC stream recovers from its checkpoint — no duplicates, no gaps") {
+    val dir = tmp("recovery")
+    val ckpt = tmp("recovery-ckpt")
+    import spark.implicits._
+    Seq(1).toDF("x").write.format("btr").mode("overwrite").save(dir)   // v1
+    Seq(2).toDF("x").write.format("btr").mode("append").save(dir)      // v2
+
+    // memory sink can't recover a checkpoint — collect via foreachBatch
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long)]()
+    def startQ() = spark.readStream.format("btr")
+      .option("btr.readChanges", "true")
+      .option("btr.startingVersion", "0")
+      .load(dir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.select(col("x"), col("_commit_version"))
+          .as[(Int, Long)].collect().foreach(seen.add)
+        ()
+      }
+      .option("checkpointLocation", ckpt).start()
+
+    val q1 = startQ()
+    try { q1.processAllAvailable() } finally q1.stop()
+    assert(scala.jdk.CollectionConverters.CollectionHasAsScala(seen).asScala.toSeq
+      .sortBy(_._1) == Seq((1, 1L), (2, 2L)), seen.toString)
+
+    // new commits while the stream is down
+    Seq(3).toDF("x").write.format("btr").mode("append").save(dir)      // v3
+    Seq(4).toDF("x").write.format("btr").mode("append").save(dir)      // v4
+
+    // restart on the SAME checkpoint: only v3/v4 arrive — no duplicates
+    // of the committed range, no gaps
+    val q2 = startQ()
+    try {
+      q2.processAllAvailable()
+      val got = scala.jdk.CollectionConverters.CollectionHasAsScala(seen).asScala.toSeq
+        .sortBy(_._1)
+      assert(got == Seq((1, 1L), (2, 2L), (3, 3L), (4, 4L)), got.toString)
+    } finally q2.stop()
+  }
+
+  test("maxFilesPerTrigger drains a version backlog in bounded batches") {
+    val dir = tmp("admission")
+    import spark.implicits._
+    Seq(0).toDF("x").write.format("btr").mode("overwrite").save(dir)   // v1
+    (1 to 6).foreach(i =>
+      Seq(i).toDF("x").write.format("btr").mode("append").save(dir))   // v2..v7, 1 file each
+
+    val q = spark.readStream.format("btr")
+      .option("btr.readChanges", "true")
+      .option("btr.startingVersion", "0")
+      .option("btr.maxFilesPerTrigger", "2")
+      .load(dir)
+      .writeStream.format("memory").queryName("cdc_adm").start()
+    try {
+      q.processAllAvailable()
+      // all rows arrive...
+      assert(spark.table("cdc_adm").count() == 7)
+      // ...across MULTIPLE micro-batches (7 files / cap 2 ≥ 4 batches)
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 3,
+        q.recentProgress.map(_.numInputRows).mkString(","))
+    } finally q.stop()
+  }
+
   test("CDC stream bootstraps the whole table from startingVersion 0") {
     val dir = tmp("bootstrap")
     import spark.implicits._
