@@ -678,7 +678,12 @@ object ChunkCodec {
         leaves(j) = if (forScan) decodeForScan(in, lt, count) else decode(in, lt, count)
         // leaves share one reader: a dict VIEW decode may leave trailing
         // block bytes unconsumed (it defers entry materialization) — the
-        // recorded length re-aligns the next leaf either way
+        // recorded length re-aligns the next leaf. Over-consumption is a
+        // codec bug; rewinding would silently mis-decode every later
+        // leaf, so fail loudly instead.
+        require(in.pos <= end,
+          s"btr: struct leaf $j (tag $lt) decode consumed ${in.pos - (end - len)} " +
+            s"bytes of a $len-byte body")
         in.skip(end - in.pos)
       }
       j += 1

@@ -17,6 +17,7 @@ class StructEvolutionSpec extends AnyFunSuite {
     .master("local[4]")
     .appName("struct-evolution-spec")
     .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.catalog.graft", "graft.sources.BtrCatalog")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
@@ -117,6 +118,28 @@ class StructEvolutionSpec extends AnyFunSuite {
     assert(back.filter(col("rec.w").isNull).count() == 300)
     assert(back.filter(col("rec.w") === 3).count() == (300 until 600).count(_ % 7 == 3))
     assert(back.agg(sum(col("rec.a"))).head().getLong(0) == (0L until 600L).sum)
+  }
+
+  test("struct-leaf evolution composes with column mapping (tombstoned table)") {
+    val dir = tmp("colmap")
+    import spark.implicits._
+    // slot layout: [k][junk][rec{a}]; junk becomes a tombstone
+    spark.range(0, 200).select(col("id").cast("int").as("k"),
+        (col("id") * 3).cast("int").as("junk"),
+        struct(col("id").cast("int").as("a")).as("rec"))
+      .write.format("btr").mode("overwrite").save(dir)
+    spark.sql(s"ALTER TABLE graft.`$dir` DROP COLUMN junk")
+    // append under the evolved struct shape INTO the tombstoned layout
+    spark.range(200, 400).select(col("id").cast("int").as("k"),
+        struct(col("id").cast("int").as("a"), lit("tag").as("t")).as("rec"))
+      .write.format("btr").mode("append").save(dir)
+    val back = spark.read.format("btr").load(dir)
+    assert(back.schema.fieldNames.toSeq == Seq("k", "rec"))
+    assert(back.schema("rec").dataType.simpleString == "struct<a:int,t:string>")
+    assert(back.count() == 400)
+    assert(back.filter(col("rec.t").isNull).count() == 200)
+    assert(back.filter(col("rec.t") === "tag").count() == 200)
+    assert(back.agg(sum(col("rec.a"))).head().getLong(0) == (0L until 400L).sum)
   }
 
   test("INCOMPATIBLE struct changes stay rejected (renamed/retyped leaf)") {
