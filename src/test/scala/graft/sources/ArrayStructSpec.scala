@@ -105,6 +105,56 @@ class ArrayStructSpec extends AnyFunSuite {
     assert(a == b, "post-compaction mismatch")
   }
 
+  test("fuzz: random element-struct shapes and adversarial values round-trip exactly") {
+    import org.apache.spark.sql.types._
+    val rnd = new scala.util.Random(11_2026_08_14L)
+    val scalars = Vector(IntegerType, LongType, DoubleType, StringType, BooleanType)
+    def rv(dt: DataType): Any = dt match {
+      case IntegerType => rnd.nextInt(3) match {
+        case 0 => Int.MinValue; case 1 => Int.MaxValue; case _ => rnd.nextInt(100)
+      }
+      case LongType => rnd.nextLong() % 10000L
+      case DoubleType => rnd.nextInt(6) match {
+        case 0 => Double.NaN; case 1 => -0.0d; case 2 => Double.PositiveInfinity
+        case _ => rnd.nextDouble() * 10
+      }
+      case StringType => rnd.nextInt(4) match {
+        case 0 => ""; case 1 => "ü中\n"; case _ => s"v${rnd.nextInt(20)}"
+      }
+      case BooleanType => rnd.nextBoolean()
+      case other => throw new IllegalStateException(other.toString)
+    }
+    for (round <- 0 until 4) {
+      val dir = tmp(s"fuzz$round")
+      val nLeaves = 1 + rnd.nextInt(4)
+      val est = StructType((0 until nLeaves).map(j =>
+        StructField(s"f$j", scalars(rnd.nextInt(scalars.length)), nullable = true)))
+      val schema = StructType(Seq(
+        StructField("id", IntegerType, nullable = false),
+        StructField("spans", org.apache.spark.sql.types.ArrayType(est, containsNull = true),
+          nullable = true)))
+      val n = 100 + rnd.nextInt(400)
+      val rows = (0 until n).map { i =>
+        val arr =
+          if (rnd.nextInt(7) == 0) null
+          else (0 until rnd.nextInt(5)).map { _ =>
+            if (rnd.nextInt(6) == 0) null
+            else org.apache.spark.sql.Row.fromSeq(est.fields.toSeq.map(f =>
+              if (rnd.nextInt(5) == 0) null else rv(f.dataType)))
+          }
+        org.apache.spark.sql.Row(i, arr)
+      }
+      val df = spark.createDataFrame(
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, schema)
+      df.write.format("btr").option("btr.blockSize", "64").mode("overwrite").save(dir)
+      val back = spark.read.format("btr").load(dir)
+      val a = df.select(col("id"), to_json(col("spans"))).collect().map(_.toString).sorted.toSeq
+      val b = back.select(col("id"), to_json(col("spans"))).collect().map(_.toString).sorted.toSeq
+      assert(a.length == b.length, s"round $round count")
+      a.zip(b).foreach { case (x, y) => assert(x == y, s"round $round: $x vs $y") }
+    }
+  }
+
   test("describe walks the array<struct> cascade tree") {
     val dir = tmp("describe")
     spansDf.coalesce(1).write.format("btr").mode("overwrite").save(dir)

@@ -160,6 +160,54 @@ class CdcStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("CDC stream serves PARTITIONED tables (partition values as constants)") {
+    val dir = tmp("partitioned")
+    import spark.implicits._
+    Seq((1, "a"), (2, "b")).toDF("x", "p").write.format("btr")
+      .option("btr.retainRemoved", "true")
+      .partitionBy("p").mode("overwrite").save(dir)                    // v1
+    Seq((3, "a")).toDF("x", "p").write.format("btr")
+      .partitionBy("p").mode("append").save(dir)                       // v2
+    spark.sql(s"DELETE FROM graft.`$dir` WHERE p = 'b'")               // v3
+
+    // one uncapped batch covers (0, 3]: the feed serves the NET change
+    // set of the range (a file added AND removed inside it nets out) —
+    // the state a from-scratch consumer needs, with partition values
+    // riding as constants
+    val q = spark.readStream.format("btr")
+      .option("btr.readChanges", "true")
+      .option("btr.startingVersion", "0")
+      .load(dir)
+      .writeStream.format("memory").queryName("cdc_part").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("cdc_part")
+        .select(col("x"), col("p"), col("_change_type"), col("_commit_version"))
+        .as[(Int, String, String, Long)].collect()
+        .sortBy(r => (r._4, r._3, r._1)).toSeq
+      assert(got == Seq((1, "a", "insert", 1L), (3, "a", "insert", 2L)), got.toString)
+    } finally q.stop()
+
+    // capped to one file per batch, the SAME range replays as per-commit
+    // EVENTS: the p=b insert at v1 and its delete at v3 both appear
+    val q2 = spark.readStream.format("btr")
+      .option("btr.readChanges", "true")
+      .option("btr.startingVersion", "0")
+      .option("btr.maxFilesPerTrigger", "1")
+      .load(dir)
+      .writeStream.format("memory").queryName("cdc_part_ev").start()
+    try {
+      q2.processAllAvailable()
+      val got = spark.table("cdc_part_ev")
+        .select(col("x"), col("p"), col("_change_type"), col("_commit_version"))
+        .as[(Int, String, String, Long)].collect()
+        .sortBy(r => (r._4, r._3, r._1)).toSeq
+      assert(got == Seq(
+        (1, "a", "insert", 1L), (2, "b", "insert", 1L),
+        (3, "a", "insert", 2L), (2, "b", "delete", 3L)), got.toString)
+    } finally q2.stop()
+  }
+
   test("CDC stream bootstraps the whole table from startingVersion 0") {
     val dir = tmp("bootstrap")
     import spark.implicits._
