@@ -53,7 +53,10 @@ class BtrCdcMicroBatchStream(
     requiredSchema: StructType,
     partCols: Seq[String],
     startingVersion: Option[String],
-    maxFilesPerTrigger: Option[Int] = None
+    maxFilesPerTrigger: Option[Int] = None,
+    // start by TIME (micros since epoch): resolves to the newest
+    // snapshot at-or-before the instant on a fresh checkpoint
+    startingTimestampMicros: Option[Long] = None
 ) extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
   import BtrCdcMicroBatchStream.VersionOffset
@@ -71,10 +74,14 @@ class BtrCdcMicroBatchStream(
       partCols.contains(f.name) || BtrCdc.isCdcCol(f.name)))
 
   override def initialOffset(): Offset = {
+    require(startingVersion.isEmpty || startingTimestampMicros.isEmpty,
+      "btr: specify either btr.startingVersion or btr.startingTimestamp, not both")
     val (fs, root) = fsRoot
-    val v = startingVersion match {
-      case Some("latest") | None => BtrLog.latestVersion(fs, root).getOrElse(0L)
-      case Some(n) => n.toLong
+    val v = (startingVersion, startingTimestampMicros) match {
+      case (Some("latest"), _) => BtrLog.latestVersion(fs, root).getOrElse(0L)
+      case (Some(n), _) => n.toLong
+      case (None, Some(micros)) => BtrLog.versionAtOrBefore(fs, root, micros / 1000L)
+      case (None, None) => BtrLog.latestVersion(fs, root).getOrElse(0L)
     }
     VersionOffset(v)
   }

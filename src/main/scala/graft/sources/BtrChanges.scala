@@ -227,6 +227,25 @@ object BtrChanges {
     inserts.unionByName(deletes)
   }
 
+  /** [[between]] with TIMESTAMP bounds (epoch millis): each bound maps
+    * to the newest snapshot at-or-before it, so `(fromTs, toTs]` serves
+    * exactly the commits that became visible in that wall-clock window
+    * — the "changes since last night's run" call a scheduled pipeline
+    * makes without tracking versions itself.
+    */
+  def betweenTimestamps(spark: SparkSession, dir: String,
+      fromTsMillis: Long, toTsMillis: Long): DataFrame = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(BtrTableMeta.hadoopConf())
+    val root = fs.makeQualified(p)
+    val from = BtrLog.versionAtOrBefore(fs, root, fromTsMillis)
+    val to = BtrLog.versionAtOrBefore(fs, root, toTsMillis)
+    require(to >= math.max(from, 1L),
+      s"btr: no commits in ($fromTsMillis, $toTsMillis] at $root " +
+        s"(resolved versions: from=v$from, to=v$to)")
+    between(spark, dir, from, to)
+  }
+
   /** Row-level multiset diff of two TABLES: `_change_type = 'insert'`
     * rows are in `right` but not `left`, `'delete'` the reverse; a row
     * appearing k more times gains k change rows (exceptAll semantics).

@@ -479,6 +479,30 @@ object BtrOptions {
       }
     }
 
+  /** CDC/stream start by TIME: same formats as btr.timestampAsOf;
+    * resolves to the newest snapshot at-or-before the instant — the
+    * stream then serves commits strictly after it.
+    */
+  def startingTimestamp(options: CaseInsensitiveStringMap): Option[Long] =
+    Option(options.get("btr.startingTimestamp")).map { raw =>
+      val s = raw.trim
+      try s.toLong
+      catch {
+        case _: NumberFormatException =>
+          try BtrPartTime.instantMicros(s)
+          catch {
+            case _: RuntimeException | _: java.time.DateTimeException =>
+              try BtrPartTime.localMicros(s.replace(' ', 'T'))
+              catch {
+                case _: RuntimeException | _: java.time.DateTimeException =>
+                  throw new IllegalArgumentException(
+                    "btr.startingTimestamp must be micros since epoch or an " +
+                      s"ISO-8601/`yyyy-MM-dd HH:mm:ss` UTC timestamp, got '$s'")
+              }
+          }
+      }
+    }
+
   /** Incremental change feed: plan only the files ADDED in
     * `(changesFromVersion, changesToVersion]` of the snapshot log
     * (default `to` = the latest version). Resolution and the

@@ -444,6 +444,19 @@ object BtrLog {
     }
   }
 
+  /** Newest version whose entry timestamp is at-or-before `tsMillis`,
+    * or 0 when every retained entry is newer (a change range starting
+    * there bootstraps from the pre-table state). Loud when no log
+    * exists. Timestamp→version mapping for the change feeds.
+    */
+  def versionAtOrBefore(fs: FileSystem, root: Path, tsMillis: Long): Long = {
+    val vs = versions(fs, new Path(root, LogDir)).sorted
+    require(vs.nonEmpty, s"btr: no snapshot log at $root — timestamp-based change " +
+      "reads need commits made by a log-aware writer")
+    vs.reverse.view.map(readEntry(fs, root, _)).find(_.tsMillis <= tsMillis)
+      .map(_.version).getOrElse(0L)
+  }
+
   /** Full retained history as RESOLVED snapshots, newest first (for the
     * `btr_history` TVF) — one forward replay over the retained entries,
     * not a per-version walk. */

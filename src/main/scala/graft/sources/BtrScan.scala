@@ -234,6 +234,7 @@ class BtrScanBuilder(path: String, tableSchema: StructType, options: CaseInsensi
           BtrOptions.expansionFactor(options), BtrOptions.maxFilesPerTrigger(options),
           BtrOptions.splitParallelism(options),
           startingVersion = BtrOptions.startingVersion(options),
+          startingTimestampMicros = BtrOptions.startingTimestamp(options),
           onlyFiles = snapshot.map(_.fileSet),
           snapshotVersion = snapshot.map(_.version),
           onlySizes = snapshot.map(_.sizes).getOrElse(Map.empty),
@@ -258,6 +259,9 @@ class BtrScan(
     // streaming source: begin after this snapshot version ("latest" =
     // after stream start); fresh checkpoints only
     startingVersion: Option[String] = None,
+    // CDC stream: begin after the newest snapshot at-or-before this
+    // instant (micros since epoch); fresh checkpoints only
+    startingTimestampMicros: Option[Long] = None,
     // group-rewrite mode (row-level DELETE/UPDATE/MERGE): restrict the scan
     // to `onlyFiles` (root-relative paths) and read them IN FULL — the
     // paired ReplaceData write replaces whole files, so any chunk skipped
@@ -832,7 +836,7 @@ class BtrScan(
         "pinned snapshot cannot be streamed")
     if (readChanges)
       new BtrCdcMicroBatchStream(path, tableSchema, requiredSchema, partCols, startingVersion,
-        maxFilesPerTrigger)
+        maxFilesPerTrigger, startingTimestampMicros)
     else
       new BtrMicroBatchStream(path, tableSchema, requiredSchema, partCols, maxFilesPerTrigger,
         checkpointLocation, startingVersion)

@@ -33,6 +33,32 @@ class BtrChangesSpec extends AnyFunSuite {
     (fs, fs.makeQualified(p))
   }
 
+  test("betweenTimestamps() maps wall-clock bounds to snapshot versions") {
+    val dir = tmp("by-time")
+    import spark.implicits._
+    val (fs, root) = fsRoot(dir)
+    Seq(1).toDF("x").write.format("btr").mode("overwrite").save(dir)   // v1
+    val t1 = BtrLog.readEntry(fs, root, 1L).tsMillis
+    Thread.sleep(10)
+    Seq(2).toDF("x").write.format("btr").mode("append").save(dir)      // v2
+    Thread.sleep(10)
+    Seq(3).toDF("x").write.format("btr").mode("append").save(dir)      // v3
+    val t3 = BtrLog.readEntry(fs, root, 3L).tsMillis
+
+    // (t1, t3] covers exactly v2 and v3
+    val got = BtrChanges.betweenTimestamps(spark, dir, t1, t3)
+      .select(col("x"), col("_commit_version"))
+      .as[(Int, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((2, 2L), (3, 3L)), got.toString)
+    // bounds BEFORE the first commit bootstrap from the pre-table state
+    val all = BtrChanges.betweenTimestamps(spark, dir, t1 - 1000, t3)
+      .select(col("x")).as[Int].collect().sorted.toSeq
+    assert(all == Seq(1, 2, 3))
+    // an empty window is an EMPTY feed (a scheduled pipeline's no-new-
+    // data case), not an error
+    assert(BtrChanges.betweenTimestamps(spark, dir, t3, t3).isEmpty)
+  }
+
   test("between() returns exactly the appended rows, attributed per commit") {
     val dir = tmp("appends")
     import spark.implicits._

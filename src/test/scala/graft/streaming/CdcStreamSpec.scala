@@ -208,6 +208,30 @@ class CdcStreamSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("CDC stream starts by TIMESTAMP (btr.startingTimestamp)") {
+    val dir = tmp("by-timestamp")
+    import spark.implicits._
+    Seq(1).toDF("x").write.format("btr").mode("overwrite").save(dir)   // v1
+    val (fs, root) = fsRoot(dir)
+    val t1 = BtrLog.readEntry(fs, root, 1L).tsMillis
+    Thread.sleep(10)
+    Seq(2).toDF("x").write.format("btr").mode("append").save(dir)      // v2
+
+    // start at v1's instant: only commits AFTER it arrive (v2)
+    val q = spark.readStream.format("btr")
+      .option("btr.readChanges", "true")
+      .option("btr.startingTimestamp", (t1 * 1000L).toString) // micros
+      .load(dir)
+      .writeStream.format("memory").queryName("cdc_ts").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("cdc_ts")
+        .select(col("x"), col("_commit_version"))
+        .as[(Int, Long)].collect().toSeq
+      assert(got == Seq((2, 2L)), got.toString)
+    } finally q.stop()
+  }
+
   test("CDC stream bootstraps the whole table from startingVersion 0") {
     val dir = tmp("bootstrap")
     import spark.implicits._
