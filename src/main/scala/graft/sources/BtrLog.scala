@@ -185,11 +185,15 @@ object BtrLog {
     * (partition renames). Call AFTER the mutation is fully committed.
     */
   def record(fs: FileSystem, root: Path, action: String): Long = {
-    val files = currentFiles(fs, root)
     val dir = new Path(root, LogDir)
     val ts = System.currentTimeMillis()
     val v0 = latestVersion(fs, root).getOrElse(0L) + 1
-    val claimed = claim(fs, dir, v0, v => fullJson(v, ts, action, files))
+    // re-list on every claim attempt: a lost race means a concurrent
+    // commit changed the table since our listing, and a FULL entry built
+    // from the stale listing would mis-anchor every delta replayed on
+    // top of it until the next checkpoint. Attempt 1 (the only one,
+    // absent races) lists exactly once, as before.
+    val claimed = claim(fs, dir, v0, v => fullJson(v, ts, action, currentFiles(fs, root)))
     prune(fs, dir)
     claimed
   }
@@ -214,9 +218,10 @@ object BtrLog {
       rel -> len
     }
     val rem = removed.distinct.sorted
-    lazy val checkpointFiles = currentFiles(fs, root)
+    // checkpoints list per attempt (see record()): a checkpoint built
+    // from a pre-race listing would mis-anchor subsequent delta replay
     val claimed = claim(fs, dir, prev + 1, v =>
-      if (v % CheckpointInterval == 0) fullJson(v, ts, action, checkpointFiles)
+      if (v % CheckpointInterval == 0) fullJson(v, ts, action, currentFiles(fs, root))
       else deltaJson(v, ts, action, addSized, rem))
     prune(fs, dir)
     claimed
