@@ -139,7 +139,11 @@ class BtrScanBuilder(path: String, tableSchema: StructType, options: CaseInsensi
       }
 
   private def canPushAgg(agg: aggregate.Aggregation): Boolean =
-    pushed.isEmpty &&
+    // a (mis-directed) BATCH read with btr.readChanges must reach the
+    // data scan's loud refusal — a pushed aggregate would silently
+    // answer from the CURRENT table instead of erroring
+    !BtrOptions.readChanges(options) &&
+      pushed.isEmpty &&
       // grouping is pushable only on partition columns: their values are
       // directory names, so per-group footers stay metadata-only
       agg.groupByExpressions().forall(e => singleCol(e).exists(partCols.contains)) &&

@@ -232,6 +232,25 @@ class CdcStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("a BATCH read with btr.readChanges refuses loudly (even under agg pushdown)") {
+    val dir = tmp("batch-refuse")
+    import spark.implicits._
+    Seq(1, 2).toDF("x").write.format("btr").mode("overwrite").save(dir)
+    // a pushed COUNT would otherwise silently answer from the CURRENT
+    // table instead of erroring — both shapes must hit the refusal
+    val e1 = intercept[Exception] {
+      spark.read.format("btr").option("btr.readChanges", "true").load(dir).count()
+    }
+    assert(e1.getMessage.contains("STREAMING") ||
+      Option(e1.getCause).exists(_.getMessage.contains("STREAMING")), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.read.format("btr").option("btr.readChanges", "true").load(dir)
+        .select(col("x")).collect()
+    }
+    assert(e2.getMessage.contains("STREAMING") ||
+      Option(e2.getCause).exists(_.getMessage.contains("STREAMING")), e2.getMessage)
+  }
+
   test("CDC stream bootstraps the whole table from startingVersion 0") {
     val dir = tmp("bootstrap")
     import spark.implicits._
