@@ -565,8 +565,14 @@ class BtrBatchWrite(path: String, schema: StructType, mode: BtrOverwriteMode, bl
         // serial order of the two commits could produce. Detect and fail:
         // Spark's abort then removes the surviving files, restoring the
         // clean "DELETE won" state, and the append retries serializably.
-        val gone = committed.toSeq.filter(_.nonEmpty)
-          .filterNot(rel => fs.exists(new Path(dir, rel)))
+        // ONE journal-filtered listing (not O(files) existence RPCs):
+        // reader VISIBILITY is the right check — a file a concurrent
+        // commit's journal already hides has effectively lost the race
+        // even if its bytes still exist.
+        val rels = committed.toSeq.filter(_.nonEmpty)
+        val visible = BtrTableMeta.listDataFilesWithPartitions(fs, dir)
+          .map(e => relOf(e.path)).toSet
+        val gone = rels.filterNot(visible.contains)
         if (gone.nonEmpty)
           throw new IllegalStateException(
             s"btr: concurrent commit conflict at $dir — ${gone.length} file(s) this " +
