@@ -166,23 +166,8 @@ object Bench {
         .filter(f => f.getName.matches("BENCH_r\\d+\\.json")).sortBy(_.getName).lastOption
       refFile.map { f =>
         val src = scala.io.Source.fromFile(f)
-        // the committed artifact is the DRIVER's wrapper: the metric line
-        // sits escaped inside its "tail" string field — unescape before
-        // locating the queries map (a raw bench_out.json needs none and
-        // is unaffected); lastIndexOf so log noise can't shadow it
-        val text = (try src.mkString finally src.close()).replace("\\\"", "\"")
-        // only a same-scale reference is a meaningful outlier baseline —
-        // a scale smoke comparing sf1 times against sf0.1 mins would
-        // "recheck" every query (harmless but double-measures the run)
-        val refSf = "\"sf\":\"([^\"]+)\"".r.findAllMatchIn(text)
-          .map(_.group(1)).toSeq.lastOption
-        if (refSf.exists(_ != sfDir)) Map.empty[String, Double]
-        else {
-          val qs = text.lastIndexOf("\"queries\":{")
-          val body = if (qs < 0) "" else text.substring(qs, math.max(qs, text.indexOf('}', qs) + 1))
-          "\"([A-Za-z0-9_]+)\":([0-9.]+)".r.findAllMatchIn(body)
-            .map(m => m.group(1) -> m.group(2).toDouble).toMap - "queries"
-        }
+        val text = try src.mkString finally src.close()
+        parseRefMins(text, sfDir, SparkEntry.queries.keySet)
       }.getOrElse(Map.empty)
     }
     val loadBefore = loadavg()
@@ -214,6 +199,49 @@ object Bench {
       } else name -> t
     }
 
+    // ---- streaming CDC throughput row ---------------------------------
+    // the batch battery never exercises the streaming surfaces; this row
+    // appends EPOCHS epochs to a fresh table and then drains them through
+    // the CDC streaming source (version offsets, foreachBatch count), so
+    // a regression in the streaming sink or the change-feed planner
+    // becomes visible in the committed artifact
+    var cdcAppendSec = 0.0
+    var cdcDrainSec = 0.0
+    var cdcRows = 0L
+    try {
+      val cdcDir = "/tmp/graft-bench-cdc/table"
+      val cdcCkpt = "/tmp/graft-bench-cdc/ckpt"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File("/tmp/graft-bench-cdc"))
+      val src = spark.read.parquet(s"$sfDir/events.parquet").limit(80000).cache()
+      src.count() // materialize outside the timed region
+      val epochs = 8
+      cdcAppendSec = secs {
+        var i = 0
+        while (i < epochs) {
+          src.write.format("btr").mode(if (i == 0) "overwrite" else "append").save(cdcDir)
+          i += 1
+        }
+      }
+      val counted = new java.util.concurrent.atomic.AtomicLong(0L)
+      cdcDrainSec = secs {
+        val q = spark.readStream.format("btr")
+          .option("btr.readChanges", "true")
+          .option("btr.startingVersion", "0")
+          .load(cdcDir)
+          .writeStream
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            counted.addAndGet(b.count()); ()
+          }
+          .option("checkpointLocation", cdcCkpt)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      cdcRows = counted.get()
+      src.unpersist()
+    } catch {
+      case e: Throwable => System.err.println(s"[bench] cdc row failed: ${e.getMessage}")
+    }
+
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val ratio = if (btrBytes > 0) inputBytes.toDouble / btrBytes else 0.0
@@ -223,7 +251,7 @@ object Bench {
       if (tryallBytes > 0) sampleLineitemBytes.toDouble / tryallBytes else 0.0
     val loadAfter = loadavg()
     val extras =
-      f""""write_sec":$writeSec%.3f,"scan_sec":$scanSec%.3f,"parquet_bytes":$inputBytes,"btr_bytes":$btrBytes,"parquet_over_btr_ratio":$ratio%.3f,"tryall_write_sec":$tryallSec%.3f,"tryall_bytes":$tryallBytes,"sample_over_tryall_bytes":$selQuality%.3f,"reps":$reps,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","load_waited_sec":$loadWaited%.1f,"outliers_rechecked":$rechecked"""
+      f""""write_sec":$writeSec%.3f,"scan_sec":$scanSec%.3f,"parquet_bytes":$inputBytes,"btr_bytes":$btrBytes,"parquet_over_btr_ratio":$ratio%.3f,"tryall_write_sec":$tryallSec%.3f,"tryall_bytes":$tryallBytes,"sample_over_tryall_bytes":$selQuality%.3f,"cdc_append_sec":$cdcAppendSec%.3f,"cdc_drain_sec":$cdcDrainSec%.3f,"cdc_rows":$cdcRows,"reps":$reps,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","load_waited_sec":$loadWaited%.1f,"outliers_rechecked":$rechecked"""
     val line =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,$extras,"sf":"$sfDir"}"""
     println(line)
@@ -236,5 +264,34 @@ object Bench {
       finally w.close()
     } catch { case e: Throwable => System.err.println(s"[bench] write $outPath failed: $e") }
     spark.stop()
+  }
+
+  /** Extract previous per-query min times from a committed bench artifact.
+    *
+    * The committed artifact is the DRIVER's wrapper JSON: the metric line
+    * sits escaped inside its "tail" string field, and the driver truncates
+    * that field to its last ~2000 characters. Once the battery passed ~74
+    * queries the leading `"queries":{` anchor fell off the front, which
+    * silently disabled the outlier-recheck pass in rounds 10-11 (the old
+    * parse anchored on it). The individual `"q_*":N` pairs DO survive
+    * truncation, so parse those anywhere in the unescaped text, keeping
+    * only `known` names so scalar metric fields can never collide. A raw
+    * bench_out.json (no escaping, no truncation) parses identically.
+    *
+    * Only a same-scale reference is a meaningful outlier baseline — a
+    * scale smoke comparing sf1 times against sf0.1 mins would "recheck"
+    * every query (harmless but double-measures the run), so a reference
+    * recorded at a different `sf` yields an empty map.
+    */
+  def parseRefMins(raw: String, sfDir: String, known: Set[String]): Map[String, Double] = {
+    val text = raw.replace("\\\"", "\"")
+    val refSf = "\"sf\":\"([^\"]+)\"".r.findAllMatchIn(text)
+      .map(_.group(1)).toSeq.lastOption
+    if (refSf.exists(_ != sfDir)) Map.empty
+    else
+      "\"(q_[A-Za-z0-9_]+)\":([0-9.]+)".r.findAllMatchIn(text)
+        .map(m => m.group(1) -> m.group(2).toDouble)
+        .filter { case (k, _) => known.contains(k) }
+        .toMap
   }
 }
