@@ -216,6 +216,12 @@ object TextOps {
   private val lastDedupResult =
     new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.SparkSession, DataFrame]()
 
+  /** (oversized buckets, member rows) of the most recent [[lshCandidates]]
+    * run in a session — the representative-path recall-trade telemetry
+    * (0, 0) means every bucket was exhaustive. */
+  val lastOversizedBuckets =
+    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.SparkSession, (Long, Long)]()
+
   /** Candidate pairs from LSH buckets, with a skew guard: buckets up to
     * maxBucketSize produce all-pairs (exhaustive); larger buckets — one
     * viral duplicate class can otherwise make a single bucket quadratic —
@@ -233,6 +239,25 @@ object TextOps {
     val sized = exploded
       .withColumn("bsz", count(lit(1)).over(w))
       .withColumn("rep", min(col("id")).over(w))
+    // the representative path is a recall trade (members of an oversized
+    // bucket only connect through its min-id doc) — it must never trigger
+    // SILENTLY. One small aggregate job surfaces how many buckets (and
+    // members) took it; specs and operators read it per session.
+    locally {
+      val spark = exploded.sparkSession
+      val big = sized.filter(col("bsz") > maxBucketSize)
+        .agg(count_distinct(struct(bucketCols.map(col): _*)).as("buckets"),
+          count(lit(1)).as("members"))
+        .collect()(0)
+      val (buckets, members) = (big.getLong(0), big.getLong(1))
+      lastOversizedBuckets.put(spark, (buckets, members))
+      if (buckets > 0)
+        org.apache.log4j.Logger.getLogger(getClass).warn(
+          s"lshCandidates: $buckets bucket(s) over maxBucketSize=$maxBucketSize " +
+            s"($members member rows) fell back to representative pairing — " +
+            "recall within those buckets is reduced; raise maxBucketSize or " +
+            "(for simhash) this means the key space is saturating")
+    }
     val small = sized.filter(col("bsz") <= maxBucketSize)
       .select((col("id") +: bucketCols.map(col)): _*)
     val joinCond = bucketCols.map(c => col(s"x.$c") === col(s"y.$c"))
@@ -419,8 +444,16 @@ object TextOps {
   }
 
   /** SimHash near-dup pairs with hamming distance ≤ maxDist, candidates
-    * bucketed by 16-bit blocks (any pair within distance 3 shares ≥1 of 4
-    * exact blocks; wider distances raise the block count).
+    * bucketed by BLOCK-PAIR keys: the signature splits into 6 blocks
+    * (~bits/6 wide) and the 6 bucket tables are the edges of two disjoint
+    * triangles over them — (0,1),(1,2),(0,2) and (3,4),(4,5),(3,5). Any
+    * pair within distance 3 dirties ≤3 blocks, so one triangle keeps ≥2
+    * clean blocks and its clean edge is a shared exact pair key (a
+    * 3-vertex cover cannot hit both triangles). Versus the classic 4×
+    * 16-bit single-block scheme this widens each table's key space from
+    * 2^16 to ~2^21 values, pushing the corpus size where buckets saturate
+    * (and the skew guard starts trading recall) ~30× higher — the classic
+    * keys demonstrably saturate on ~10M-doc corpora.
     */
   def simhashDedup(
       docs: DataFrame,
@@ -431,32 +464,52 @@ object TextOps {
       bits: Int = 64,
       useMd5: Boolean = false
   ): DataFrame = {
-    // the 4-block pigeonhole only covers hamming <= 3: at distance 4 a
-    // pair can differ in every block and silently vanish — fail loudly
-    require(maxDist <= 3, s"simhashDedup: 16-bit block bucketing covers maxDist <= 3, got $maxDist")
     // the signature projection feeds THREE plan branches (block buckets +
     // both sides of the hamming verify join); persist the tiny
     // (id, simhash) result once instead of recomputing per branch
     val sh = simhash(docs, idCol, textCol, bits, useMd5)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val blockBits = bits / 4
-    val mask = (1L << blockBits) - 1
-    val blocks = sh.select(col("id"), col("simhash"),
-      posexplode(array((0 until 4).map(i =>
-        shiftright(col("simhash"), blockBits * i).bitwiseAND(lit(mask))): _*)).as(Seq("blk", "v")))
-    val cand = lshCandidates(blocks, Seq("blk", "v"), maxBucketSize)
-    val hA = sh.select(col("id").as("id_a"), col("simhash").as("h_a"))
-    val hB = sh.select(col("id").as("id_b"), col("simhash").as("h_b"))
-    val pairs = cand.join(hA, "id_a").join(hB, "id_b")
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast("long").as("hamming"))
-      .filter(col("hamming") <= maxDist)
-    val out = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = simhashPairsFromSignatures(sh, maxDist, maxBucketSize, bits)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count()
     sh.unpersist(blocking = false)
     val prev = lastSimhashResult.put(docs.sparkSession, out)
     if (prev != null && (prev ne out)) prev.unpersist(blocking = false)
     out
+  }
+
+  /** Pair generation from an (id, simhash) frame — the bucketing +
+    * verify stage of [[simhashDedup]], factored so specs can feed
+    * CONSTRUCTED signatures (planted overflow corpora) directly.
+    */
+  private[functions] def simhashPairsFromSignatures(
+      sh: DataFrame,
+      maxDist: Int,
+      maxBucketSize: Int,
+      bits: Int
+  ): DataFrame = {
+    // the two-triangle pigeonhole covers hamming <= 3: at distance 4 the
+    // dirty bits can cover both triangles and a pair silently vanishes —
+    // fail loudly instead
+    require(maxDist <= 3,
+      s"simhashDedup: block-pair bucketing covers maxDist <= 3, got $maxDist")
+    require(bits >= 12 && bits <= 64, s"simhashDedup: bits must be in [12, 64], got $bits")
+    val widths = Array.tabulate(6)(k => bits / 6 + (if (k < bits % 6) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    def block(k: Int): Column =
+      shiftright(col("simhash"), offsets(k)).bitwiseAND(lit((1L << widths(k)) - 1))
+    val tables = Seq((0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5))
+    val blocks = sh.select(col("id"), col("simhash"),
+      posexplode(array(tables.map { case (i, j) =>
+        shiftleft(block(i), 16).bitwiseOR(block(j))
+      }: _*)).as(Seq("blk", "v")))
+    val cand = lshCandidates(blocks, Seq("blk", "v"), maxBucketSize)
+    val hA = sh.select(col("id").as("id_a"), col("simhash").as("h_a"))
+    val hB = sh.select(col("id").as("id_b"), col("simhash").as("h_b"))
+    cand.join(hA, "id_a").join(hB, "id_b")
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxDist)
   }
 
   // one cached simhash result per session (see simhashDedup)

@@ -54,6 +54,57 @@ class PipelineOpsSpec extends AnyFunSuite {
     pairs.unpersist()
   }
 
+  test("simhash block-pair buckets keep FULL recall where single-block keys saturate") {
+    // planted corpus: 2,000 signatures that all share the same LOW 16
+    // bits (the classic 4×16-bit scheme's block 0) — under that scheme
+    // one bucket holds all 2,000 docs, exceeds maxBucketSize=1024, and
+    // the representative path silently loses pairs between non-rep
+    // members. The block-PAIR keys spread these signatures across many
+    // buckets, so recall must be exact vs brute force.
+    val base = 0x5CAFE0000L | 0x1234L // low 16 bits fixed
+    val rnd = new scala.util.Random(7)
+    val sigs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    (0 until 2000).foreach { i =>
+      // unique high bits, shared low 16 bits
+      sigs += ((i.toLong, (rnd.nextLong() << 16) | 0x1234L))
+    }
+    // planted near-dup pair deep in the middle (neither is a bucket
+    // min-id representative): ids 1500/1501, distance 3
+    val a = (0x0F0F0F0F0F0FL << 16) | 0x1234L
+    sigs(1500) = (1500L, a)
+    sigs(1501) = (1501L, a ^ (1L << 20) ^ (1L << 33) ^ (1L << 63))
+    val sh = sigs.toSeq.toDF("id", "simhash")
+
+    val got = TextOps.simhashPairsFromSignatures(sh, maxDist = 3,
+      maxBucketSize = 1024, bits = 64)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // brute-force truth over all C(2000,2) pairs
+    val truth = sh.as("x").join(sh.as("y"), col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("d"))
+      .filter(col("d") <= 3)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(truth.contains((1500L, 1501L)), "setup: the planted pair must be real")
+    assert(got == truth, s"block-pair recall must be exact: missing ${truth -- got}, " +
+      s"extra ${got -- truth}")
+    // and no bucket overflowed — the telemetry proves the key space held
+    val (buckets, _) = TextOps.lastOversizedBuckets.get(spark)
+    assert(buckets == 0L, s"pair keys must not saturate here, got $buckets oversized")
+  }
+
+  test("oversized-bucket telemetry reports the representative-path recall trade") {
+    // force overflow: 300 IDENTICAL signatures with maxBucketSize=64 —
+    // every table's bucket holds all 300
+    val sh = (0 until 300).map(i => (i.toLong, 0xABCDEF012345L)).toDF("id", "simhash")
+    val pairs = TextOps.simhashPairsFromSignatures(sh, maxDist = 0,
+      maxBucketSize = 64, bits = 64)
+    val cnt = pairs.count()
+    assert(cnt == 299L, s"representative path links members to min-id, got $cnt")
+    val (buckets, members) = TextOps.lastOversizedBuckets.get(spark)
+    assert(buckets == 6L && members == 1800L,
+      s"all 6 tables must report their oversized bucket, got ($buckets, $members)")
+  }
+
   test("simhash: identical texts hash identically, near-dups are close, unrelated far") {
     val sh = TextOps.simhash(docs, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
