@@ -273,6 +273,39 @@ object PipelineQueries {
           round(sum(col("dbl")), 2).as("sum_dbl"))
     }),
 
+    // per-FIELD PROVENANCE stored as map<string,struct<source,version,
+    // confidence>> in the format — the training-data metadata shape where
+    // each document field carries where it came from. The struct VALUE
+    // stream rides the recursive struct-column layout inside the map
+    // chunk (each leaf under its own scheme selection); confidences use
+    // exactly-representable quarters so both engines' sums are
+    // bit-identical. DuckDB recomputes from the flat columns.
+    "q_map_struct_values" -> ((s, d) => {
+      val dir = Btr.cachePath(d, "documents_prov")
+      if (!new java.io.File(dir, "_btr_meta.json").exists()) {
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            map(
+              lit("text"), struct(
+                col("lang").as("source"),
+                (col("doc_id") % 5).cast("long").as("version"),
+                (length(col("text")).cast("double") * 0.25).as("confidence")),
+              lit("title"), struct(
+                lit("web").as("source"), lit(1L).as("version"),
+                lit(0.5).as("confidence"))).as("prov"))
+          .write.format("btr").mode("overwrite").save(dir)
+      }
+      s.read.format("btr").load(dir)
+        .select(
+          element_at(col("prov"), "text").getField("source").as("source"),
+          element_at(col("prov"), "text").getField("version").as("version"),
+          element_at(col("prov"), "text").getField("confidence").as("conf"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"), sum(col("version")).cast("long").as("sum_ver"),
+          round(sum(col("conf")), 2).as("sum_conf"))
+        .orderBy("source")
+    }),
+
     // per-span annotations STORED as array<struct<start,end,label,score>>
     // — THE labeled-span shape of an annotated training corpus (NER
     // spans, quality spans, redaction spans). Rides the recursive
@@ -771,6 +804,11 @@ object PipelineQueries {
       """SELECT lang, count(*) AS n_docs,
         | min(substring(text, 1, 8)) AS min_head
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_map_struct_values" ->
+      """SELECT lang AS source, count(*) AS n,
+        | CAST(sum(doc_id % 5) AS BIGINT) AS sum_ver,
+        | round(sum(CAST(length(text) AS DOUBLE) * 0.25), 2) AS sum_conf
+        |FROM documents GROUP BY 1 ORDER BY source""".stripMargin,
     "q_span_annotations" ->
       """WITH sp AS (
         |  SELECT lang AS label, length(text) AS e,

@@ -161,9 +161,34 @@ object BtrRetention {
       want: Set[String],
       version: Option[Long],
       tableDesc: String,
-      wantSizes: Map[String, Long] = Map.empty): Array[BtrTableMeta.DataFileEntry] = {
+      wantSizes: Map[String, Long] = Map.empty,
+      preferStore: Boolean = false): Array[BtrTableMeta.DataFileEntry] = {
     val rootLen = root.toUri.getPath.length + 1
     def relOf(e: BtrTableMeta.DataFileEntry) = e.path.toUri.getPath.substring(rootLen)
+    if (preferStore) {
+      // delete-side change-feed resolution: every wanted rel was REMOVED
+      // by a commit in the range, so on a retained table the store holds
+      // its incarnation — a live file under the same rel is always a
+      // LATER re-add, and with an equal length the generic live-first
+      // path would silently serve the new bytes as history. Store first;
+      // live only as the size-checked fallback (RESTORE moves a store
+      // entry back into the table, making live the genuine incarnation).
+      val byRel = listed.iterator.map(e => relOf(e) -> e).toMap
+      val resolved = want.toSeq.sorted.flatMap { rel =>
+        resolveRemoved(fs, root, rel, expectedLen = wantSizes.get(rel))
+          .orElse(byRel.get(rel).filter(e => wantSizes.get(rel).forall(_ == e.len)))
+      }
+      if (resolved.size < want.size) {
+        val present = resolved.map(relOf).toSet
+        val gone = (want -- present).toSeq.sorted
+        throw new IllegalStateException(
+          s"btr: change range of $tableDesc references ${gone.length} removed " +
+            s"file(s) that are neither retained nor restored (e.g. " +
+            s"${gone.take(3).mkString(", ")}) — enable btr.retainRemoved to " +
+            "keep removed files for the change feed.")
+      }
+      return resolved.toArray
+    }
     val hits = listed.filter(e => want.contains(relOf(e)))
     val (found, reused) =
       if (version.isEmpty || wantSizes.isEmpty) (hits, Array.empty[BtrTableMeta.DataFileEntry])

@@ -63,36 +63,51 @@ object PhysType {
     case ArrayType(StringType, _) => ArrStr
     case ArrayType(st: StructType, _) =>
       require(of(st) == Struct, s"btr: unsupported array element ${st.simpleString}")
-      // v1 scope: element structs of SCALAR leaves (the span-annotation
-      // shape); deeper nesting inside array elements stays rejected
-      st.fields.foreach { f =>
-        val lt = of(f.dataType)
-        require(!isArrayFamily(lt) && lt != Struct && lt != KvMap,
-          s"btr: array<struct> element leaf ${f.name}: ${f.dataType.simpleString} — " +
-            "scalar leaves only")
+      // element structs may nest: struct and array-of-scalar leaves
+      // recurse through the element-granularity encode; maps inside
+      // array elements stay rejected AT ANY DEPTH (no elem-mode map
+      // hold) — and at planning, not the first write task. ArrStruct
+      // leaves are already rejected anywhere by of(StructType).
+      def noMaps(path: String, dt: DataType): Unit = dt match {
+        case s: StructType => s.fields.foreach(f =>
+          noMaps(if (path.isEmpty) f.name else s"$path.${f.name}", f.dataType))
+        case m: MapType => throw new UnsupportedOperationException(
+          s"btr: array<struct> element leaf $path: ${m.simpleString} — " +
+            "maps inside array elements are not supported")
+        case _ => ()
       }
+      noMaps("", st)
       ArrStruct
     case mt: MapType =>
       val kt = of(mt.keyType)
       require(!isArrayFamily(kt) && kt != Struct && kt != KvMap,
         s"btr: map keys must be scalar types, got ${mt.simpleString}")
       val vt = of(mt.valueType)
-      // values may be scalar OR array-of-scalar (per-field score lists);
-      // the value element stream then recursively encodes as an array
-      // column over the map entries
-      require(vt != Struct && vt != KvMap && vt != ArrStruct,
-        s"btr: map values must be scalar or array-of-scalar, got ${mt.simpleString}")
+      // values may be scalar, array-of-scalar (per-field score lists), or
+      // a STRUCT of scalar leaves (per-field provenance): the value
+      // stream recursively encodes as an array / struct column over the
+      // map entries
+      require(vt != KvMap && vt != ArrStruct,
+        s"btr: map values must be scalar, array-of-scalar or struct, got ${mt.simpleString}")
+      if (vt == Struct)
+        mt.valueType.asInstanceOf[StructType].fields.foreach { f =>
+          val lt = of(f.dataType)
+          require(!isArrayFamily(lt) && lt != Struct && lt != KvMap,
+            s"btr: map struct-value leaf ${f.name}: ${f.dataType.simpleString} — " +
+              "scalar leaves only")
+        }
       KvMap
     case d: DecimalType if d.precision <= 18 => Decimal64
     case st: StructType =>
       require(st.fields.nonEmpty, "btr: empty struct type")
       require(st.fields.length <= 255, s"btr: struct has ${st.fields.length} fields (max 255)")
       st.fields.foreach { f =>
-        // leaves recurse: scalars, arrays-of-scalar, and nested structs
-        // all encode as self-described sub-columns of the parent's blob
+        // leaves recurse: scalars, arrays-of-scalar, nested structs AND
+        // maps all encode as self-described sub-columns of the parent's
+        // blob (a map leaf is a full KvMap body at row granularity)
         val lt = of(f.dataType)
-        require(lt != KvMap && lt != ArrStruct,
-          s"btr: struct leaf ${f.name}: ${f.dataType.simpleString} — maps and " +
+        require(lt != ArrStruct,
+          s"btr: struct leaf ${f.name}: ${f.dataType.simpleString} — " +
             "struct-element arrays inside structs are not supported")
       }
       Struct
@@ -242,6 +257,10 @@ final class ColumnChunk(val tag: Int, val count: Int) {
   // length per MAP ENTRY, while elem* buffers hold the flattened
   // sub-elements); lensCount tracks entries appended so far
   var lensCount: Int = 0
+  // element-mode struct holds: TRUE tags of the leaf fields, parallel to
+  // structLeaves (the leaf holds carry array-family BUFFER tags;
+  // asEntryChunk needs the real ones to view them)
+  var leafTrueTags: Array[Int] = _
 
   def ensureLensCapacity(n: Int): Unit = {
     if (arrLens == null || lensNull == null) {
@@ -284,8 +303,11 @@ final class ColumnChunk(val tag: Int, val count: Int) {
     elemCount = 0; lensCount = 0
     // element-mode struct leaves (array<struct> holds) carry their own
     // element streams; row-mode struct leaves don't use these counters,
-    // so the recursion is always safe
+    // so the recursion is always safe. Map-leaf holds carry their entry
+    // streams in the key/value sub-holds.
     if (structLeaves != null) structLeaves.foreach(_.resetElems())
+    if (mapKeys != null) mapKeys.resetElems()
+    if (mapVals != null) mapVals.resetElems()
   }
 
   // per-entry null flags for the growable length stream (a map value of
@@ -307,6 +329,14 @@ final class ColumnChunk(val tag: Int, val count: Int) {
       v.elemDoubles = elemDoubles
       v.elemStrings = elemStrings
       v.elemCount = elemCount
+    } else if (trueTag == PhysType.Struct) {
+      // struct-valued entries (map values / nested array<struct> element
+      // fields): the hold's elemNull is the per-entry struct nullmap and
+      // each leaf hold views recursively under its TRUE tag
+      v.isNull = if (elemNull != null) elemNull else new Array[Boolean](math.max(ec, 1))
+      v.structLeaves = structLeaves.zipWithIndex.map { case (lh, k) =>
+        lh.asEntryChunk(leafTrueTags(k), ec)
+      }
     } else {
       v.isNull = if (elemNull != null) elemNull else new Array[Boolean](math.max(ec, 1))
       v.longs = elemLongs

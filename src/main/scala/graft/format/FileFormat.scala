@@ -479,16 +479,21 @@ object BtrTableMeta {
       partitionCols: Seq[String] = Nil,
       // None = PRESERVE the existing table's flag (commit paths rewrite
       // the meta without knowing about retention); Some(x) sets it
-      retainRemoved: Option[Boolean] = None
+      retainRemoved: Option[Boolean] = None,
+      // snapshot-log entries to keep (None = preserve / engine default):
+      // per-table because retention bounds how far a CDC consumer may lag
+      logRetention: Option[Int] = None
   ): Unit = {
     // minimal JSON by hand: schema json is already valid JSON; column
     // names go through the shared escaper (quotes/commas/control chars)
     val parts = partitionCols.map(jsonStr).mkString("[", ",", "]")
-    val retain = retainRemoved.getOrElse(
-      fs.exists(new Path(dir, MetaFile)) && readRetainRemoved(fs, dir))
+    val exists = fs.exists(new Path(dir, MetaFile))
+    val retain = retainRemoved.getOrElse(exists && readRetainRemoved(fs, dir))
     val retainJson = if (retain) ""","retainRemoved":true""" else ""
+    val keepLog = logRetention.orElse(if (exists) readLogRetention(fs, dir) else None)
+    val keepJson = keepLog.map(n => s""","logRetention":$n""").getOrElse("")
     val json =
-      s"""{"version":${BtrFile.Version},"blockSize":$blockSize,"cascade":$cascade$retainJson,"partitionCols":$parts,"schema":${schema.json}}"""
+      s"""{"version":${BtrFile.Version},"blockSize":$blockSize,"cascade":$cascade$retainJson$keepJson,"partitionCols":$parts,"schema":${schema.json}}"""
     val out = fs.create(new Path(dir, MetaFile), true)
     out.write(json.getBytes(StandardCharsets.UTF_8))
     out.close()
@@ -503,6 +508,25 @@ object BtrTableMeta {
   def readRetainRemoved(fs: FileSystem, dir: Path): Boolean =
     fs.exists(new Path(dir, MetaFile)) &&
       readMetaJson(fs, dir).contains("\"retainRemoved\":true")
+
+  /** Per-table snapshot-log retention (`btr.logRetention` write option):
+    * how many newest log entries prune keeps. None = the engine default
+    * ([[graft.sources.BtrLog.KeepEntries]]). Table meta, not session
+    * config, because it bounds how far a CDC consumer may lag — every
+    * writer must honor the same bound or one commit's prune would break
+    * another consumer's resolvable range.
+    */
+  def readLogRetention(fs: FileSystem, dir: Path): Option[Int] = {
+    if (!fs.exists(new Path(dir, MetaFile))) return None
+    val json = readMetaJson(fs, dir)
+    val k = "\"logRetention\":"
+    val i = json.indexOf(k)
+    if (i < 0) None
+    else {
+      val digits = json.substring(i + k.length).dropWhile(_ == ' ').takeWhile(_.isDigit)
+      if (digits.isEmpty) None else Some(digits.toInt)
+    }
+  }
 
   private def readMetaJson(fs: FileSystem, dir: Path): String = {
     val p = new Path(dir, MetaFile)

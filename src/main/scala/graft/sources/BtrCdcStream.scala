@@ -95,13 +95,18 @@ class BtrCdcMicroBatchStream(
   override def getDefaultReadLimit: ReadLimit =
     maxFilesPerTrigger.map(n => ReadLimit.maxFiles(n)).getOrElse(ReadLimit.allAvailable())
 
-  /** Admission control: cap a micro-batch's version range so its ADDED
+  /** Admission control: cap a micro-batch's version range so its planned
     * file count stays within `maxFilesPerTrigger` — a consumer behind a
     * large backlog drains it in bounded batches instead of one giant
-    * catch-up. Delta log entries carry their add sets, so sizing a batch
-    * is O(versions examined) small JSON reads. At least one version is
-    * always admitted (progress guarantee); a full-checkpoint entry ends
-    * its batch (its add set isn't knowable without resolution).
+    * catch-up. A version's cost counts its ADD set AND its REMOVE set:
+    * every removed file becomes a retention-store read for the delete
+    * side of the batch, so a removal-heavy commit (large DELETE or
+    * OPTIMIZE on a retained table) is just as expensive to plan as an
+    * equally-sized append. Delta log entries carry both sets, so sizing
+    * a batch is O(versions examined) small JSON reads. At least one
+    * version is always admitted (progress guarantee); a full-checkpoint
+    * entry ends its batch (its change sets aren't knowable without
+    * resolution).
     */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[VersionOffset].version
@@ -116,12 +121,12 @@ class BtrCdcMicroBatchStream(
         var done = false
         while (!done && v < latest) {
           val e = BtrLog.readEntry(fs, root, v + 1)
-          val adds = if (e.isDelta) e.add.length else Int.MaxValue
-          if (v == s || (adds != Int.MaxValue && files + adds <= cap)) {
+          val cost = if (e.isDelta) e.add.length + e.remove.length else Int.MaxValue
+          if (v == s || (cost != Int.MaxValue && files + cost <= cap)) {
             v += 1
-            files = if (adds == Int.MaxValue) cap else files + adds
+            files = if (cost == Int.MaxValue) cap else files + cost
           } else done = true
-          if (adds == Int.MaxValue) done = true // checkpoint = batch boundary
+          if (cost == Int.MaxValue) done = true // checkpoint = batch boundary
         }
         VersionOffset(v)
       case _ => VersionOffset(latest)

@@ -81,7 +81,6 @@ object BtrChanges {
     val fromSet = base.fileSet
     val toSnap = steps.lastOption.map(_._2).getOrElse(base)
     val toSet = toSnap.fileSet
-    val removed = fromSet -- toSet
     val removedAt = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     val removedAction = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val removedSizes = scala.collection.mutable.LinkedHashMap.empty[String, Long]
@@ -89,19 +88,32 @@ object BtrChanges {
     var prev = base
     steps.foreach { case (e, snap) =>
       val cur = snap.fileSet
-      (prev.fileSet & removed).foreach(f => if (!cur.contains(f) && !removedAt.contains(f)) {
+      // a base-visible rel disappearing records a delete event — INCLUDING
+      // one that re-appears later in the range (deterministic epoch-name
+      // reuse): a plain set difference of the endpoints would land such a
+      // rel in neither side and the feed would emit ZERO events for a rel
+      // whose row content changed. Recording the removal (old incarnation,
+      // size from the pre-removal snapshot) and pairing it with the
+      // re-add's insert below keeps the feed multiset-consistent; the
+      // retention store disambiguates incarnations by recorded length.
+      (prev.fileSet & fromSet).foreach(f => if (!cur.contains(f) && !removedAt.contains(f)) {
         removedAt(f) = e.version
         removedAction(f) = e.action
         prev.sizes.get(f).foreach(removedSizes(f) = _)
       })
       cur.foreach { f =>
-        if (!prev.fileSet.contains(f) && toSet.contains(f) && !versionOf.contains(f))
+        if (!prev.fileSet.contains(f) && toSet.contains(f) && !versionOf.contains(f)
+          && (!fromSet.contains(f) || removedAt.contains(f)))
           versionOf(f) = e.version
       }
       prev = snap
     }
-    Range(Added(toSnap.version, (toSet -- fromSet).toSeq.sorted, versionOf.toMap,
-        toSnap.sizes.view.filterKeys(r => toSet.contains(r) && !fromSet.contains(r)).toMap),
+    // removed = base files that are gone at `to` PLUS base files removed
+    // and re-created mid-range (their re-add is in `addedRel`)
+    val removed = (fromSet -- toSet) ++ removedAt.keys
+    val addedRel = (toSet -- fromSet) ++ removedAt.keysIterator.filter(toSet.contains)
+    Range(Added(toSnap.version, addedRel.toSeq.sorted, versionOf.toMap,
+        toSnap.sizes.view.filterKeys(addedRel.contains).toMap),
       removed.toSeq.sorted, removedAt.toMap, removedAction.toMap, removedSizes.toMap)
   }
 
@@ -200,10 +212,22 @@ object BtrChanges {
     }
 
     // removals in range: the retention store supplies the removed files
-    // row-level — every removed file must still be resolvable
-    val removedEntries = r.removedRels.map(rel =>
-      rel -> graft.format.BtrRetention.resolveRemoved(fs, root, rel,
-        expectedLen = r.removedSizes.get(rel)))
+    // row-level — every removed file must still be resolvable. One
+    // exception to store-only: a removed rel re-added by RESTORE moved
+    // its bytes BACK into the table, so live (size-checked) IS the
+    // removed incarnation; any other re-add is new content and must not
+    // masquerade as history.
+    val removedEntries = r.removedRels.map { rel =>
+      val stored = graft.format.BtrRetention.resolveRemoved(fs, root, rel,
+        expectedLen = r.removedSizes.get(rel))
+      rel -> stored.orElse {
+        val readdedByRestore = r.added.versionOf.get(rel).exists(v =>
+          BtrLog.readEntry(fs, root, v).action == "restore")
+        if (readdedByRestore)
+          liveByRel.get(rel).filter(e => r.removedSizes.get(rel).forall(_ == e.len))
+        else None
+      }
+    }
     val gone = removedEntries.collect { case (rel, None) => rel }
     if (gone.nonEmpty) {
       val culprits = gone.take(3).map(rel =>

@@ -176,14 +176,41 @@ object BtrCompact {
     val fs = root.getFileSystem(BtrTableMeta.hadoopConf())
     require(BtrTableMeta.readPartitionCols(fs, root).isEmpty,
       "btr rewriteClustered: partitioned tables cluster within partitions via partitionBy writes")
+    graft.format.BtrFs.requireAtomicRename(fs, root)
     BtrTableMeta.completeSwapJournals(fs, root) // converge a crashed swap first
-    val entries = BtrTableMeta.listDataFilesWithPartitions(fs, root)
+    // rewrite ONLY the committed snapshot's files (same rule as compact():
+    // a concurrent append's task-committed files are listing-visible
+    // before that append's driver commit; swallowing one would make the
+    // append fail its conflict check and a retry would duplicate rows).
+    // The read pins the same snapshot so the row set and the removed
+    // file set agree exactly.
+    val qrootV = fs.makeQualified(root)
+    val latestV = BtrLog.latestVersion(fs, qrootV)
+    val rootLenV = qrootV.toUri.getPath.length + 1
+    val allListed = BtrTableMeta.listDataFilesWithPartitions(fs, root)
+    val listedRels = allListed.map(e => e.path.toUri.getPath.substring(rootLenV)).toSet
+    // the pinned-snapshot protection only applies when the log COVERS the
+    // listing (normal case): a crash-converged swap can leave the log
+    // referencing files the convergence replaced, and pinning to that
+    // stale snapshot would resurrect or lose rows — fall back to the
+    // live read there (the next full checkpoint re-syncs the log)
+    val committedSet: Option[Set[String]] = latestV
+      .map(v => BtrLog.resolveSnapshot(fs, qrootV, v).fileSet)
+      .filter(_.subsetOf(listedRels))
+    val entries = allListed.filter(e =>
+      committedSet.forall(_.contains(e.path.toUri.getPath.substring(rootLenV))))
     val before = entries.length
     if (before == 0) return (0, 0)
     val staging = new Path(root, "_rewrite_staging")
     fs.delete(staging, true) // leftovers from a crashed rewrite are invisible to scans
     val numFiles = math.max(1, math.ceil(entries.map(_.len).sum.toDouble / targetBytes).toInt)
-    val df = spark.read.format("btr").load(path)
+    val df =
+      if (committedSet.isDefined && entries.length < allListed.length)
+        // some listed files are uncommitted (an in-flight append's task
+        // files): read exactly the committed snapshot so the row set and
+        // the removed file set agree, leaving the in-flight files alone
+        spark.read.format("btr").option("btr.versionAsOf", latestV.get.toString).load(path)
+      else spark.read.format("btr").load(path)
     // the rewrite must keep the table's recorded geometry — defaulting
     // here would silently inflate a small-block table's row groups and
     // destroy the chunk-skipping granularity the rewrite exists to restore
@@ -205,6 +232,22 @@ object BtrCompact {
     // a crash mid-swap never exposes a mix (staged names carry a fresh
     // writeId, so they can't collide with existing ones)
     val staged = BtrTableMeta.listDataFilesWithPartitions(fs, staging)
+    // optimistic-concurrency check BEFORE the journal publishes: the
+    // rewrite's row images came from the pinned snapshot — if a
+    // concurrent DELETE/rewrite removed one of its files since, swapping
+    // our staged files in would silently resurrect the superseded rows.
+    locally {
+      val visibleNow = BtrTableMeta.listDataFilesWithPartitions(fs, root)
+        .map(_.path.getName).toSet
+      val gone = entries.map(_.path.getName).filterNot(visibleNow.contains)
+      if (gone.nonEmpty) {
+        fs.delete(staging, true)
+        throw new IllegalStateException(
+          s"btr: concurrent commit conflict at $root — this rewrite read " +
+            s"${gone.length} file(s) a concurrent commit has since removed or " +
+            s"rewritten (e.g. ${gone.take(3).mkString(", ")}); retry the rewrite.")
+      }
+    }
     BtrTableMeta.writeSwapJournal(fs, root,
       java.util.UUID.randomUUID().toString.substring(0, 8),
       Seq(BtrTableMeta.SwapGroup("",
@@ -267,6 +310,7 @@ object BtrCompact {
       beforeSwap: () => Unit = () => ()): (Int, Int) = {
     val root = new Path(path)
     val fs = root.getFileSystem(BtrTableMeta.hadoopConf())
+    graft.format.BtrFs.requireAtomicRename(fs, root)
     // converge any swap a crashed compactor left behind before binning
     BtrTableMeta.completeSwapJournals(fs, root)
     // a compactor that died between its merge tasks and the journal write
@@ -284,7 +328,31 @@ object BtrCompact {
     sweepTmp(root)
     val all = BtrTableMeta.listDataFilesWithPartitions(fs, root)
     val before = all.length
+    // bin ONLY files the committed snapshot log already references: a
+    // concurrent append's task-committed files are visible in the listing
+    // BEFORE the append's driver commit, and folding one into a merged
+    // bin would re-home its rows — the append's own conflict check then
+    // sees the file gone, fails, and its advised retry would DUPLICATE
+    // rows that are already durable in the merged file. Restricting bins
+    // to the committed snapshot makes append-then-OPTIMIZE serialize
+    // cleanly; the uncommitted file is simply left for a later pass.
+    val qualRoot = fs.makeQualified(root)
+    val rootLen = qualRoot.toUri.getPath.length + 1
+    def relOf(e: BtrTableMeta.DataFileEntry): String =
+      e.path.toUri.getPath.substring(rootLen)
+    val committedSet: Option[Set[String]] =
+      BtrLog.latestVersion(fs, qualRoot).map { v =>
+        // finals of COMPLETED swaps are row-preserving re-homes of
+        // committed files: a crash between a swap's convergence and its
+        // log entry leaves them listing-visible but log-unknown until the
+        // next full checkpoint re-syncs — they are safe to bin, unlike a
+        // genuinely uncommitted (in-flight append) file
+        BtrLog.resolveSnapshot(fs, qualRoot, v).fileSet ++
+          BtrTableMeta.readDoneSwapJournals(fs, qualRoot).flatMap(_._2).flatMap(g =>
+            g.finals.map(f => if (g.dir.isEmpty) f else s"${g.dir}/$f"))
+      }
     val entries = all.filter(keep)
+      .filter(e => committedSet.forall(_.contains(relOf(e))))
 
     // bin per (directory, column count, physical tag signature):
     // footer-level merges splice row groups verbatim into one footer, and

@@ -546,6 +546,26 @@ object BtrOptions {
   def retainRemoved(options: CaseInsensitiveStringMap): Option[Boolean] =
     Option(options.get("btr.retainRemoved")).map(_.trim.toBoolean)
 
+  /** Per-table snapshot-log retention (entries kept by prune). None =
+    * leave the table's recorded policy unchanged (engine default 64).
+    * The bound caps CDC consumer lag: a consumer further behind than
+    * the retained history must re-bootstrap, so a table feeding slow
+    * consumers wants a higher value.
+    */
+  def logRetention(options: CaseInsensitiveStringMap): Option[Int] =
+    Option(options.get("btr.logRetention")).map { s =>
+      val n =
+        try s.trim.toInt
+        catch {
+          case _: NumberFormatException =>
+            throw new IllegalArgumentException(
+              s"btr.logRetention must be a positive entry count, got '$s'")
+        }
+      require(n >= 2,
+        s"btr.logRetention must be >= 2 (the latest entry plus a resolvable base), got $n")
+      n
+    }
+
   /** Streaming CDC read (`spark.readStream ... option("btr.readChanges",
     * "true")`): rows arrive with `_change_type` / `_commit_version`
     * columns, offsets are snapshot-log VERSIONS, and removal-crossing

@@ -227,13 +227,23 @@ object BtrLog {
     claimed
   }
 
+  /** The table's effective log retention: per-table meta
+    * (`btr.logRetention`) when set, else [[KeepEntries]]. Per-table
+    * because the bound caps CDC consumer lag — a long-retention table
+    * lets a consumer fall arbitrarily far behind (within the bound)
+    * and still resolve its range without a re-bootstrap.
+    */
+  def keepEntriesFor(fs: FileSystem, root: Path): Int =
+    BtrTableMeta.readLogRetention(fs, root).map(math.max(_, 2)).getOrElse(KeepEntries)
+
   /** Versions prunable right now: everything before the newest FULL
-    * entry at-or-before the [[KeepEntries]] cutoff — the oldest kept
+    * entry at-or-before the retention cutoff — the oldest kept
     * version must stay resolvable without the deleted entries. */
   private def prunable(fs: FileSystem, dir: Path): Seq[Long] = {
+    val keep = keepEntriesFor(fs, dir.getParent)
     val vs = versions(fs, dir).sorted
-    if (vs.length <= KeepEntries) return Nil
-    val cutoff = vs(vs.length - KeepEntries) // oldest version we want kept
+    if (vs.length <= keep) return Nil
+    val cutoff = vs(vs.length - keep) // oldest version we want kept
     // find the newest full entry <= cutoff; read entries (small) backward
     var base = cutoff
     var found = false
@@ -289,7 +299,8 @@ object BtrLog {
           throw new IllegalArgumentException(
             s"btr: no snapshot v$version at $root — history holds " +
               s"${versions(fs, new Path(root, LogDir)).sorted.mkString("[", ",", "]")} " +
-              s"(the newest $KeepEntries commits; older entries are pruned)")
+              s"(the newest ${keepEntriesFor(fs, root)} commits; older entries " +
+              "are pruned — raise btr.logRetention to keep more)")
       }
     val b = new Array[Byte](st.getLen.toInt)
     val in = fs.open(p)
@@ -513,6 +524,7 @@ object BtrLog {
     */
   def restore(fs: FileSystem, rawRoot: Path, version: Long): (Int, Int) = {
     val root = fs.makeQualified(rawRoot)
+    graft.format.BtrFs.requireAtomicRename(fs, root)
     BtrTableMeta.completeSwapJournals(fs, root)
     val snapshot = resolveSnapshot(fs, root, version)
     val want = snapshot.fileSet

@@ -192,6 +192,7 @@ class BtrScanBuilder(path: String, tableSchema: StructType, options: CaseInsensi
     require(changesFrom.isEmpty || (travelVersion.isEmpty && travelTs.isEmpty),
       "btr: a change-feed read (btr.changesFromVersion) cannot also pin a " +
         "time-travel snapshot — the range's `to` bound IS its snapshot")
+    var deleteSide = false
     val snapshot: Option[BtrLog.Snapshot] =
       if (changesFrom.isDefined) {
         val dir = new Path(path)
@@ -215,6 +216,7 @@ class BtrScanBuilder(path: String, tableSchema: StructType, options: CaseInsensi
             // scan through the retention store (snapshotVersion = from,
             // so a vacuumed file fails loudly, never partially)
             val r = BtrChanges.resolveRange(fs, root, changesFrom.get, toV)
+            deleteSide = true
             Some(BtrLog.Snapshot(math.max(changesFrom.get, 1L), 0L, "changes-del",
               r.removedRels, r.removedSizes))
         }
@@ -232,7 +234,8 @@ class BtrScanBuilder(path: String, tableSchema: StructType, options: CaseInsensi
           agg.groupByExpressions().toSeq.flatMap(singleCol),
           onlyFiles = snapshot.map(_.fileSet),
           snapshotVersion = snapshot.map(_.version),
-          onlySizes = snapshot.map(_.sizes).getOrElse(Map.empty))
+          onlySizes = snapshot.map(_.sizes).getOrElse(Map.empty),
+          preferStoreResolution = deleteSide)
       case None =>
         new BtrScan(path, tableSchema, requiredSchema, pushed, BtrOptions.splitBytes(options), limit, partCols,
           BtrOptions.expansionFactor(options), BtrOptions.maxFilesPerTrigger(options),
@@ -242,7 +245,8 @@ class BtrScanBuilder(path: String, tableSchema: StructType, options: CaseInsensi
           onlyFiles = snapshot.map(_.fileSet),
           snapshotVersion = snapshot.map(_.version),
           onlySizes = snapshot.map(_.sizes).getOrElse(Map.empty),
-          readChanges = BtrOptions.readChanges(options))
+          readChanges = BtrOptions.readChanges(options),
+          preferStoreResolution = deleteSide)
     }
   }
 }
@@ -290,7 +294,12 @@ class BtrScan(
     onlySizes: Map[String, Long] = Map.empty,
     // streaming CDC read (btr.readChanges): toMicroBatchStream returns
     // the version-offset change stream instead of the file stream
-    readChanges: Boolean = false
+    readChanges: Boolean = false,
+    // delete-side change feed: resolve `onlyFiles` through the retention
+    // store FIRST — a live file under a removed rel is a later re-add,
+    // and with an equal recorded length the live-first path would serve
+    // the new incarnation's bytes as history
+    preferStoreResolution: Boolean = false
 ) extends Scan
     with Batch
     with SupportsRuntimeFiltering
@@ -325,7 +334,7 @@ class BtrScan(
           // gone — see BtrRetention.resolveFileSet)
           graft.format.BtrRetention.resolveFileSet(
             fs, fs.makeQualified(dir), all, set, snapshotVersion, path,
-            wantSizes = onlySizes)
+            wantSizes = onlySizes, preferStore = preferStoreResolution)
         case None => all
       }
     }
@@ -841,9 +850,24 @@ class BtrScan(
     if (readChanges)
       new BtrCdcMicroBatchStream(path, tableSchema, requiredSchema, partCols, startingVersion,
         maxFilesPerTrigger, startingTimestampMicros)
-    else
+    else {
+      // honor btr.startingTimestamp on the plain stream too: resolve it to
+      // the version at-or-before the instant and seed exactly like
+      // btr.startingVersion — silently starting from latest would drop the
+      // requested history on the floor
+      require(startingVersion.isEmpty || startingTimestampMicros.isEmpty,
+        "btr: specify either btr.startingVersion or btr.startingTimestamp, not both")
+      val sv = startingTimestampMicros match {
+        case Some(micros) =>
+          val dir = new Path(path)
+          val fs = dir.getFileSystem(BtrTableMeta.hadoopConf())
+          val root = fs.makeQualified(dir)
+          Some(BtrLog.versionAtOrBefore(fs, root, micros / 1000L).toString)
+        case None => startingVersion
+      }
       new BtrMicroBatchStream(path, tableSchema, requiredSchema, partCols, maxFilesPerTrigger,
-        checkpointLocation, startingVersion)
+        checkpointLocation, sv)
+    }
   }
 }
 
@@ -1573,7 +1597,9 @@ class BtrAggScan(path: String, tableSchema: StructType, agg: aggregate.Aggregati
     onlyFiles: Option[Set[String]] = None,
     snapshotVersion: Option[Long] = None,
     // snapshot-recorded file lengths (rel → len): detects rel-path reuse
-    onlySizes: Map[String, Long] = Map.empty)
+    onlySizes: Map[String, Long] = Map.empty,
+    // delete-side change feed: store-first file resolution (see BtrScan)
+    preferStoreResolution: Boolean = false)
     extends Scan
     with Batch {
 
@@ -1648,7 +1674,7 @@ class BtrAggScan(path: String, tableSchema: StructType, agg: aggregate.Aggregati
     val listed = onlyFiles match {
       case Some(set) =>
         graft.format.BtrRetention.resolveFileSet(fs, qualified, all, set, snapshotVersion, path,
-          wantSizes = onlySizes)
+          wantSizes = onlySizes, preferStore = preferStoreResolution)
       case None => all
     }
     val entries = listed.map { e =>
@@ -2017,6 +2043,14 @@ object BtrScan {
         f.dataType.asInstanceOf[ArrayType].elementType
           .isInstanceOf[org.apache.spark.sql.types.StructType] =>
         f.name -> f.dataType.asInstanceOf[ArrayType].elementType
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+      // map<K, struct> columns: the full VALUE struct — Catalyst prunes
+      // value-struct fields too, and the fill must map required fields
+      // by name onto the file's leaf order
+      case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType] &&
+        f.dataType.asInstanceOf[org.apache.spark.sql.types.MapType].valueType
+          .isInstanceOf[org.apache.spark.sql.types.StructType] =>
+        f.name -> f.dataType.asInstanceOf[org.apache.spark.sql.types.MapType].valueType
           .asInstanceOf[org.apache.spark.sql.types.StructType]
     }
     if (m.isEmpty) Map.empty else m.toMap
@@ -2422,6 +2456,10 @@ class BtrColumnarReader(partition: BtrInputPartition, requiredSchema: StructType
           else if (!(fullSt eq st)) fullSt.fieldIndex(st.fields(j).name)
           else j
         val childV = v.getChild(j).asInstanceOf[OnHeapColumnVector]
+        // reserve() does NOT cascade into struct children — and a struct
+        // filled at ENTRY granularity (map values) can exceed the batch
+        // capacity its children were allocated with
+        childV.reserve(n)
         // struct-leaf evolution: a file written before this leaf existed
         // has fewer leaves (each chunk self-describes its count) — the
         // added leaf reads as all null, like an added top-level column
@@ -2548,9 +2586,16 @@ class BtrColumnarReader(partition: BtrInputPartition, requiredSchema: StructType
         kChild.reset(); vChild.reset()
         kChild.reserve(ec); vChild.reserve(ec)
         // key/value element streams fill through the same scalar
-        // recursion struct leaves use
+        // recursion struct leaves use; a struct VALUE type may be pruned
+        // by Catalyst, so thread the file's full value struct through
+        val fullValDt: DataType = fullDt match {
+          case f: org.apache.spark.sql.types.MapType => f.valueType
+          case f: StructType => f // top-level registration stores the value struct
+          case _ => mt.valueType
+        }
         fillVector(kChild, mt.keyType, dec.structTags(0), dec.structLeaves(0), ec)
-        fillVector(vChild, mt.valueType, dec.structTags(1), dec.structLeaves(1), ec)
+        fillVector(vChild, mt.valueType, dec.structTags(1), dec.structLeaves(1), ec,
+          fullDt = fullValDt)
         var off = 0
         while (i < n) {
           val len = dec.arrLens(i)

@@ -119,7 +119,8 @@ class BtrWriteBuilder(path: String, schema: StructType, options: CaseInsensitive
       }
       new BtrBatchWrite(path, schema, mode, BtrOptions.blockSize(options),
         BtrOptions.cascade(options), BtrOptions.config(options), partCols,
-        retainOpt = BtrOptions.retainRemoved(options))
+        retainOpt = BtrOptions.retainRemoved(options),
+        logRetentionOpt = BtrOptions.logRetention(options))
     }
     override def toStreaming: streaming.StreamingWrite = {
       // Complete/Update modes arrive as truncate(); the sink only ever
@@ -148,6 +149,12 @@ class BtrStreamingWrite(path: String, schema: StructType, blockSize: Int, cascad
     cfg: BtrConfig, partCols: Seq[String] = Nil,
     autoCompactMinFiles: Int = 0, autoCompactTargetBytes: Long = 128L * 1024 * 1024)
     extends streaming.StreamingWrite {
+
+  locally {
+    val dir = new Path(path)
+    graft.format.BtrFs.requireAtomicRename(
+      dir.getFileSystem(BtrTableMeta.hadoopConf()), dir)
+  }
 
   // column-mapped tables: every epoch writes the physical slot layout
   // (same translation as batch appends)
@@ -358,7 +365,7 @@ object BtrOverwriteMode {
 
 class BtrBatchWrite(path: String, schema: StructType, mode: BtrOverwriteMode, blockSize: Int,
     cascade: Int, cfg: BtrConfig = BtrConfig.Default, partCols: Seq[String] = Nil,
-    retainOpt: Option[Boolean] = None)
+    retainOpt: Option[Boolean] = None, logRetentionOpt: Option[Int] = None)
     extends BatchWrite {
 
   private def truncate: Boolean = mode == BtrOverwriteMode.Truncate
@@ -368,6 +375,14 @@ class BtrBatchWrite(path: String, schema: StructType, mode: BtrOverwriteMode, bl
   private val writeId = BtrWriteIds.newWriteId()
   private val namePrefix =
     if (mode.isInstanceOf[BtrOverwriteMode.ReplaceFiles]) s"_rl_${writeId}_" else ""
+
+  // the commit protocol needs atomic rename — refuse known
+  // copy+delete-rename object stores before any bytes move (BtrFs)
+  locally {
+    val dir = new Path(path)
+    graft.format.BtrFs.requireAtomicRename(
+      dir.getFileSystem(BtrTableMeta.hadoopConf()), dir)
+  }
 
   // set the moment this commit's swap journal is visible: from then on the
   // operation converges FORWARD (the journal governs the listing), so a
@@ -589,7 +604,8 @@ class BtrBatchWrite(path: String, schema: StructType, mode: BtrOverwriteMode, bl
     if (mode != BtrOverwriteMode.Append) BtrDelete.deleteEmptyPartitionDirs(fs, dir)
     BtrTableMeta.write(fs, dir,
       if (truncate) schema else BtrWriteSchemas.widened(fs, dir, schema),
-      blockSize, cascade, partCols, retainRemoved = retainOpt)
+      blockSize, cascade, partCols, retainRemoved = retainOpt,
+      logRetention = logRetentionOpt)
     // ingest stats at commit — the analog of the reference's `.stats`
     // files (btrfiles/Parser.cpp:184-189) + OutputBlockStats
     // (compression/Compressor.hpp:10-20): per-column nulls, raw vs
@@ -997,11 +1013,47 @@ class BtrDataWriter(path: String, schema: StructType, blockSize: Int, cascade: I
     else if (lt == PhysType.Struct) {
       val st = dt.asInstanceOf[org.apache.spark.sql.types.StructType]
       lc.structLeaves = st.fields.map(f => allocLeafHold(f.dataType))
+    } else if (lt == PhysType.KvMap) {
+      // map leaf: per-row entry counts + key/value entry streams in
+      // sub-holds — the same layout as a top-level map column
+      val mt = dt.asInstanceOf[org.apache.spark.sql.types.MapType]
+      lc.arrLens = new Array[Int](blockSize)
+      lc.mapKeys = new ColumnChunk(PhysType.holdTagOf(PhysType.of(mt.keyType)), blockSize)
+      lc.mapVals = allocMapValHold(mt.valueType)
+      lc.mapKeyTag = PhysType.of(mt.keyType)
+      lc.mapValTag = PhysType.of(mt.valueType)
     } else if (PhysType.isIntFamily(lt) || lt == PhysType.Float)
       lc.longs = new Array[Long](blockSize)
     else if (lt == PhysType.Double) lc.doubles = new Array[Double](blockSize)
     else lc.strings = new Array[Array[Byte]](blockSize)
     lc
+  }
+
+  /** Element-granularity hold for an array<struct> element field (or a
+    * map's struct value field): scalar fields buffer in array-family
+    * holds, struct fields recurse, array-of-scalar fields get a length
+    * stream plus a flattened sub-element stream.
+    */
+  private def allocElemHold(dt: DataType): ColumnChunk = {
+    val t = PhysType.of(dt)
+    if (t == PhysType.Struct) {
+      val st = dt.asInstanceOf[org.apache.spark.sql.types.StructType]
+      val h = new ColumnChunk(PhysType.ArrStruct, blockSize)
+      h.structLeaves = st.fields.map(f => allocElemHold(f.dataType))
+      h.leafTrueTags = st.fields.map(f => PhysType.of(f.dataType))
+      h
+    } else if (PhysType.isArrayFamily(t))
+      new ColumnChunk(PhysType.holdTagOf(PhysType.elemTag(t)), blockSize)
+    else new ColumnChunk(PhysType.holdTagOf(t), blockSize)
+  }
+
+  /** Hold for a map column's VALUE stream by value type. */
+  private def allocMapValHold(vt: DataType): ColumnChunk = {
+    val t = PhysType.of(vt)
+    if (t == PhysType.Struct) allocElemHold(vt)
+    else if (PhysType.isArrayFamily(t))
+      new ColumnChunk(PhysType.holdTagOf(PhysType.elemTag(t)), blockSize)
+    else new ColumnChunk(PhysType.holdTagOf(t), blockSize)
   }
 
   private def allocBuffers(): Unit = {
@@ -1012,14 +1064,12 @@ class BtrDataWriter(path: String, schema: StructType, blockSize: Int, cascade: I
       else if (tag == PhysType.Double) doubleCols(c) = new Array[Double](blockSize)
       else if (tag == PhysType.ArrStruct) {
         // array<struct>: per-row lengths + element nullmap on the hold,
-        // element VALUES in per-leaf element-mode holds
+        // element VALUES in per-leaf element-mode holds (recursive:
+        // nested struct / array-of-scalar element fields get sub-holds)
         val st = fields(c).dataType.asInstanceOf[ArrayType]
           .elementType.asInstanceOf[org.apache.spark.sql.types.StructType]
         arrLenCols(c) = new Array[Int](blockSize)
-        val hold = new ColumnChunk(tag, blockSize)
-        hold.structLeaves = st.fields.map(f =>
-          new ColumnChunk(PhysType.holdTagOf(PhysType.of(f.dataType)), blockSize))
-        arrHold(c) = hold
+        arrHold(c) = allocElemHold(st)
       } else if (PhysType.isArrayFamily(tag)) {
         arrLenCols(c) = new Array[Int](blockSize)
         arrHold(c) = new ColumnChunk(tag, blockSize)
@@ -1028,12 +1078,9 @@ class BtrDataWriter(path: String, schema: StructType, blockSize: Int, cascade: I
         arrLenCols(c) = new Array[Int](blockSize)
         mapKeyHold(c) = new ColumnChunk(PhysType.holdTagOf(PhysType.of(mt.keyType)), blockSize)
         // array-valued maps hold per-ENTRY lengths (growable) plus the
-        // flattened sub-element stream in one hold chunk
-        val vt = PhysType.of(mt.valueType)
-        mapValHold(c) =
-          if (PhysType.isArrayFamily(vt))
-            new ColumnChunk(PhysType.holdTagOf(PhysType.elemTag(vt)), blockSize)
-          else new ColumnChunk(PhysType.holdTagOf(vt), blockSize)
+        // flattened sub-element stream; struct-valued maps hold per-leaf
+        // element streams (the per-field provenance shape)
+        mapValHold(c) = allocMapValHold(mt.valueType)
       } else if (tag == PhysType.Struct) {
         val st = fields(c).dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
         structHold(c) = st.fields.map(f => allocLeafHold(f.dataType))
@@ -1079,9 +1126,12 @@ class BtrDataWriter(path: String, schema: StructType, blockSize: Int, cascade: I
     }
   }
 
-  /** Append ONE struct element of an array<struct> column: each scalar
-    * leaf value goes into its leaf hold's element stream (`sr == null`
-    * — a null element — placeholder-fills every leaf).
+  /** Append ONE struct element of an array<struct> column (or a map's
+    * struct value): each leaf value goes into its leaf hold's element
+    * stream (`sr == null` — a null element — placeholder-fills every
+    * leaf). Recursive: nested struct fields fan into their sub-holds,
+    * array-of-scalar fields append a per-entry length plus flattened
+    * sub-elements.
     */
   private def appendStructElem(hold: ColumnChunk,
       st: org.apache.spark.sql.types.StructType,
@@ -1089,35 +1139,84 @@ class BtrDataWriter(path: String, schema: StructType, blockSize: Int, cascade: I
     var j = 0
     while (j < hold.structLeaves.length) {
       val lh = hold.structLeaves(j)
-      lh.ensureElemCapacity(1)
-      val e = lh.elemCount
-      if (sr == null || sr.isNullAt(j)) {
-        lh.elemNull(e) = true
-        if (lh.elemLongs != null) lh.elemLongs(e) = 0L
-        else if (lh.elemDoubles != null) lh.elemDoubles(e) = 0.0
-        else lh.elemStrings(e) = Array.emptyByteArray
-      } else {
-        lh.elemNull(e) = false
-        st.fields(j).dataType match {
-          case IntegerType | DateType => lh.elemLongs(e) = sr.getInt(j).toLong
-          case ShortType => lh.elemLongs(e) = sr.getShort(j).toLong
-          case ByteType => lh.elemLongs(e) = sr.getByte(j).toLong
-          case LongType | TimestampType | TimestampNTZType => lh.elemLongs(e) = sr.getLong(j)
-          case BooleanType => lh.elemLongs(e) = if (sr.getBoolean(j)) 1L else 0L
-          case DoubleType => lh.elemDoubles(e) = sr.getDouble(j)
-          case FloatType =>
-            lh.elemLongs(e) = java.lang.Float.floatToRawIntBits(sr.getFloat(j)).toLong
-          case d: DecimalType =>
-            lh.elemLongs(e) = sr.getDecimal(j, d.precision, d.scale).toUnscaledLong
-          case StringType => lh.elemStrings(e) = sr.getUTF8String(j).getBytes.clone()
-          case BinaryType => lh.elemStrings(e) = sr.getBinary(j).clone()
-          case other => throw new UnsupportedOperationException(s"btr array<struct> leaf: $other")
-        }
+      st.fields(j).dataType match {
+        case st2: org.apache.spark.sql.types.StructType =>
+          lh.ensureElemCapacity(1)
+          val e = lh.elemCount
+          val sub =
+            if (sr == null || sr.isNullAt(j)) null
+            else sr.getStruct(j, st2.fields.length)
+          lh.elemNull(e) = sub == null
+          appendStructElem(lh, st2, sub)
+          lh.elemCount += 1
+        case at: ArrayType =>
+          lh.ensureLensCapacity(1)
+          val e = lh.lensCount
+          if (sr == null || sr.isNullAt(j)) {
+            lh.lensNull(e) = true
+            lh.arrLens(e) = 0
+          } else {
+            lh.lensNull(e) = false
+            val sub = sr.getArray(j)
+            val sn = sub.numElements()
+            lh.arrLens(e) = sn
+            appendElems(lh, sub, at.elementType, sn)
+          }
+          lh.lensCount += 1
+        case ft =>
+          lh.ensureElemCapacity(1)
+          val e = lh.elemCount
+          if (sr == null || sr.isNullAt(j)) {
+            lh.elemNull(e) = true
+            if (lh.elemLongs != null) lh.elemLongs(e) = 0L
+            else if (lh.elemDoubles != null) lh.elemDoubles(e) = 0.0
+            else lh.elemStrings(e) = Array.emptyByteArray
+          } else {
+            lh.elemNull(e) = false
+            ft match {
+              case IntegerType | DateType => lh.elemLongs(e) = sr.getInt(j).toLong
+              case ShortType => lh.elemLongs(e) = sr.getShort(j).toLong
+              case ByteType => lh.elemLongs(e) = sr.getByte(j).toLong
+              case LongType | TimestampType | TimestampNTZType => lh.elemLongs(e) = sr.getLong(j)
+              case BooleanType => lh.elemLongs(e) = if (sr.getBoolean(j)) 1L else 0L
+              case DoubleType => lh.elemDoubles(e) = sr.getDouble(j)
+              case FloatType =>
+                lh.elemLongs(e) = java.lang.Float.floatToRawIntBits(sr.getFloat(j)).toLong
+              case d: DecimalType =>
+                lh.elemLongs(e) = sr.getDecimal(j, d.precision, d.scale).toUnscaledLong
+              case StringType => lh.elemStrings(e) = sr.getUTF8String(j).getBytes.clone()
+              case BinaryType => lh.elemStrings(e) = sr.getBinary(j).clone()
+              case other =>
+                throw new UnsupportedOperationException(s"btr array<struct> leaf: $other")
+            }
+          }
+          lh.elemCount += 1
       }
-      lh.elemCount += 1
       j += 1
     }
   }
+
+  /** Append a map's values by value type: scalar entries into the elem
+    * stream, array values via [[appendEntryArrays]], struct values one
+    * element per entry into the per-leaf elem holds.
+    */
+  private def appendMapValues(hold: ColumnChunk,
+      vals: org.apache.spark.sql.catalyst.util.ArrayData, vt: DataType, n: Int): Unit =
+    vt match {
+      case at: ArrayType => appendEntryArrays(hold, vals, at, n)
+      case st: org.apache.spark.sql.types.StructType =>
+        hold.ensureElemCapacity(n)
+        var j = 0
+        while (j < n) {
+          val e = hold.elemCount
+          val sr = if (vals.isNullAt(j)) null else vals.getStruct(j, st.fields.length)
+          hold.elemNull(e) = sr == null
+          appendStructElem(hold, st, sr)
+          hold.elemCount += 1
+          j += 1
+        }
+      case _ => appendElems(hold, vals, vt, n)
+    }
 
   /** Append a map's ARRAY values: one per-entry length (+null flag) into
     * the hold's growable length stream, sub-elements flattened into its
@@ -1189,6 +1288,14 @@ class BtrDataWriter(path: String, schema: StructType, blockSize: Int, cascade: I
         val n = arr.numElements()
         lc.arrLens(i) = n
         appendArrayElems(lc, arr, at.elementType, n)
+      case mt: org.apache.spark.sql.types.MapType =>
+        // map leaf inside a struct: same per-row entry count + key/value
+        // entry streams as a top-level map column
+        val m = sr.getMap(j)
+        val n = m.numElements()
+        lc.arrLens(i) = n
+        appendElems(lc.mapKeys, m.keyArray(), mt.keyType, n)
+        appendMapValues(lc.mapVals, m.valueArray(), mt.valueType, n)
       case other => throw new UnsupportedOperationException(s"btr struct leaf: $other")
     }
   }
@@ -1266,10 +1373,7 @@ class BtrDataWriter(path: String, schema: StructType, blockSize: Int, cascade: I
             val n = m.numElements()
             arrLenCols(c)(i) = n
             appendElems(mapKeyHold(c), m.keyArray(), mt.keyType, n)
-            mt.valueType match {
-              case at: ArrayType => appendEntryArrays(mapValHold(c), m.valueArray(), at, n)
-              case _ => appendElems(mapValHold(c), m.valueArray(), mt.valueType, n)
-            }
+            appendMapValues(mapValHold(c), m.valueArray(), mt.valueType, n)
           case at: ArrayType if at.elementType.isInstanceOf[org.apache.spark.sql.types.StructType] =>
             val st = at.elementType.asInstanceOf[org.apache.spark.sql.types.StructType]
             val arr = row.getArray(c)
@@ -1383,6 +1487,12 @@ class BtrDataWriter(path: String, schema: StructType, blockSize: Int, cascade: I
           }
           if (hold.structLeaves != null)
             lc.structLeaves = hold.structLeaves.map(viewLeaf(_, rows))
+          if (hold.mapKeys != null) {
+            lc.mapKeys = hold.mapKeys
+            lc.mapVals = hold.mapVals
+            lc.mapKeyTag = hold.mapKeyTag
+            lc.mapValTag = hold.mapValTag
+          }
           lc
         }
         chunk.structLeaves = structHold(c).map(viewLeaf(_, n))

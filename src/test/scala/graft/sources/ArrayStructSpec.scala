@@ -155,6 +155,46 @@ class ArrayStructSpec extends AnyFunSuite {
     }
   }
 
+  test("NESTED element fields round-trip: struct and array leaves inside array<struct>") {
+    // the annotated-span shape with nested score structs the r11 verdict
+    // named: array<struct<start,end,meta:struct<model,score>,tags:array<string>>>
+    val dir = tmp("nested-elems")
+    val df = spark.range(0, 1200).select(
+      col("id").cast("int").as("k"),
+      when(col("id") % 11 === 0, lit(null)).otherwise(array(
+        struct(
+          lit(0).as("start"), (col("id") % 50).cast("int").as("end"),
+          when(col("id") % 7 === 0,
+              lit(null).cast("struct<model:string,score:double>"))
+            .otherwise(struct(concat(lit("m"), col("id") % 3).as("model"),
+              (col("id") * 0.25).as("score"))).as("meta"),
+          when(col("id") % 5 === 0, lit(null).cast("array<string>"))
+            .otherwise(array(lit("a"), concat(lit("t"), col("id") % 4))).as("tags")),
+        struct(
+          lit(1).as("start"), lit(9).as("end"),
+          struct(lit("m9").as("model"), lit(0.5).as("score")).as("meta"),
+          array().cast("array<string>").as("tags")))).as("spans"))
+    df.coalesce(2).write.format("btr").option("btr.blockSize", "256")
+      .mode("overwrite").save(dir)
+
+    val back = spark.read.format("btr").load(dir)
+    assert(back.schema("spans").dataType.simpleString ==
+      df.schema("spans").dataType.simpleString)
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("k"), to_json(col("spans")).as("j"))
+        .collect().map(_.toString).sorted.toSeq
+    assert(canon(back) == canon(df), "nested element round-trip mismatch")
+    // exploded access into the nested struct + array element fields
+    def agg(d: org.apache.spark.sql.DataFrame) =
+      d.select(explode(col("spans")).as("s"))
+        .groupBy(col("s.meta.model").as("model"))
+        .agg(count(lit(1)).as("n"), round(sum(col("s.meta.score")), 2).as("sum_score"),
+          sum(size(col("s.tags"))).as("sum_tags"))
+        .orderBy("model")
+        .collect().map(_.toString).toSeq
+    assert(agg(back) == agg(df))
+  }
+
   test("describe walks the array<struct> cascade tree") {
     val dir = tmp("describe")
     spansDf.coalesce(1).write.format("btr").mode("overwrite").save(dir)

@@ -107,6 +107,54 @@ class BtrChangesSpec extends AnyFunSuite {
     assert(feed.filter(col("x") === 20002).as[Int].collect().toSeq == Seq(20002))
   }
 
+  test("a rel removed and RE-CREATED within one range emits a delete+insert pair") {
+    // deterministic epoch-name reuse: the same root-relative path holds
+    // DIFFERENT content at `from` and `to`. A plain set difference of the
+    // endpoint file sets lands the rel in neither removed nor added and
+    // the feed would emit ZERO events for changed rows.
+    val dir = tmp("readd")
+    import spark.implicits._
+    val (fs, root) = fsRoot(dir)
+    Seq(1).toDF("x").repartition(1).write.format("btr")
+      .option("btr.retainRemoved", "true").mode("overwrite").save(dir)   // v1: one file
+    val rel = fs.listStatus(root).map(_.getPath.getName)
+      .filter(n => n.endsWith(".btr") && !n.startsWith("_")).head
+
+    // v2: remove that file (retention keeps its bytes)
+    graft.format.BtrRetention.removeDataFile(fs, root, rel, retain = true)
+    BtrLog.recordDelta(fs, root, "delete", added = Nil, removed = Seq(rel))
+
+    // v3: re-create the SAME rel with different content (2 rows → a
+    // different size, the incarnation disambiguator)
+    val donor = tmp("readd-donor")
+    Seq(2, 3).toDF("x").repartition(1).write.format("btr").mode("overwrite").save(donor)
+    val (dfs, droot) = fsRoot(donor)
+    val donorFile = dfs.listStatus(droot).map(_.getPath)
+      .filter(p => p.getName.endsWith(".btr") && !p.getName.startsWith("_")).head
+    org.apache.hadoop.fs.FileUtil.copy(dfs, donorFile, fs, new Path(root, rel),
+      false, BtrTableMeta.hadoopConf())
+    BtrLog.recordDelta(fs, root, "append", added = Seq(rel), removed = Nil)
+
+    val r = BtrChanges.resolveRange(fs, root, 1L, 3L)
+    assert(r.removedRels == Seq(rel), r.toString)
+    assert(r.removedAt(rel) == 2L && r.added.versionOf(rel) == 3L, r.toString)
+    assert(r.added.addedRel == Seq(rel), r.toString)
+    assert(r.removedSizes(rel) != r.added.sizes(rel),
+      "incarnations must carry their own recorded sizes")
+
+    // end-to-end: the feed serves delete(old rows) + insert(new rows)
+    val got = BtrChanges.between(spark, dir, 1L, 3L)
+      .select(col("x"), col("_change_type"), col("_commit_version"))
+      .as[(Int, String, Long)].collect().sortBy(r => (r._3, r._1)).toSeq
+    assert(got == Seq((1, "delete", 2L), (2, "insert", 3L), (3, "insert", 3L)),
+      got.toString)
+    // and the file-level fast path refuses this range loudly
+    val e = intercept[IllegalStateException] {
+      BtrChanges.resolveAdded(fs, root, 1L, 3L)
+    }
+    assert(e.getMessage.contains("removed"), e.getMessage)
+  }
+
   test("removed history refuses loudly and names the removing commit") {
     val dir = tmp("removed")
     import spark.implicits._

@@ -108,6 +108,46 @@ class BtrConflictSpec extends AnyFunSuite {
     assert(readInts(dir).isEmpty && relFiles(dir).isEmpty)
   }
 
+  test("OPTIMIZE ignores an in-flight append's task files; the append then commits") {
+    val dir = tmp("optimize-vs-append")
+    import spark.implicits._
+    // two committed files give the compactor a bin
+    Seq(1).toDF("x").repartition(1).write.format("btr").mode("overwrite").save(dir) // v1
+    Seq(2).toDF("x").repartition(1).write.format("btr").mode("append").save(dir)    // v2
+
+    // append task-commits its file (listing-visible), driver commit pending
+    val (bw, m) = stage(dir, BtrOverwriteMode.Append, Seq(50))
+    assert(relFiles(dir).length == 3, "staged append file must be visible")
+
+    // the compactor must bin ONLY the snapshot-committed files: folding
+    // the in-flight task file into a merged bin would re-home its rows,
+    // fail the append's conflict check, and the advised retry would
+    // DUPLICATE rows already durable in the merged file
+    val (_, after) = BtrCompact.compact(spark, dir, 128L * 1024 * 1024)
+    assert(after >= 1)
+    assert(relFiles(dir).length == 2, // merged file + untouched staged file
+      relFiles(dir).toString)
+
+    // append-then-OPTIMIZE serializes cleanly: the append commits fine
+    bw.commit(m)
+    assert(readInts(dir) == Seq(1, 2, 50))
+    val consistency = graft.functions.BtrInspect.fileConsistency(spark, dir)
+    assert(consistency.filter(not(col("ok"))).count() == 0)
+  }
+
+  test("clustered rewrite ignores an in-flight append's task files too") {
+    val dir = tmp("rewrite-vs-append")
+    import spark.implicits._
+    Seq(3, 1).toDF("x").repartition(1).write.format("btr").mode("overwrite").save(dir) // v1
+    Seq(2).toDF("x").repartition(1).write.format("btr").mode("append").save(dir)       // v2
+
+    val (bw, m) = stage(dir, BtrOverwriteMode.Append, Seq(50))
+    BtrCompact.rewriteClustered(spark, dir, Seq("x"))
+    // the rewrite replaced only the committed snapshot's rows/files
+    bw.commit(m)
+    assert(readInts(dir) == Seq(1, 2, 3, 50))
+  }
+
   test("OPTIMIZE racing a DELETE aborts instead of resurrecting deleted rows") {
     val dir = tmp("optimize-race")
     import spark.implicits._

@@ -123,6 +123,45 @@ class BtrLogDeltaSpec extends AnyFunSuite {
     assert(BtrLog.resolveSnapshot(fs, root, latest).files.length == latest)
   }
 
+  test("btr.logRetention raises the bound: a consumer lagging past the default still resolves") {
+    val dir = tmp("long-retention")
+    val (fs, root) = fsRoot(dir)
+    import spark.implicits._
+    Seq(0).toDF("x").write.format("btr")
+      .option("btr.logRetention", "200").mode("overwrite").save(dir)     // v1
+    assert(BtrLog.keepEntriesFor(fs, root) == 200)
+    // commits WAY past the default KeepEntries=64, recorded through the
+    // log API over tiny planted files (checkpoint entries re-list the
+    // directory, so the rels must really exist)
+    (2 to BtrLog.KeepEntries + 20).foreach { i =>
+      val out = fs.create(new Path(root, s"f$i.btr"), true)
+      out.write(Array[Byte](1, 2, 3)); out.close()
+      BtrLog.recordDelta(fs, root, "append", added = Seq(s"f$i.btr"), removed = Nil)
+    }
+    val latest = BtrLog.latestVersion(fs, root).get
+    assert(latest == BtrLog.KeepEntries + 20L)
+    // a consumer still holding v2 (lag > default retention) resolves its
+    // range — the whole point of per-table retention
+    val r = BtrChanges.resolveRange(fs, root, 2L, latest)
+    assert(r.added.addedRel.size == latest - 2,
+      s"every commit in (2, $latest] must attribute, got ${r.added.addedRel.size}")
+    // lowering retention (recorded table meta) prunes at the next commit —
+    // back to a full base
+    val (blockSize, cascade) = BtrTableMeta.readGeometry(fs, root)
+    BtrTableMeta.write(fs, root, BtrTableMeta.readSchema(fs, root), blockSize, cascade,
+      Nil, logRetention = Some(5))
+    BtrLog.recordDelta(fs, root, "append", added = Nil, removed = Nil)
+    val logDir = new Path(root, BtrLog.LogDir)
+    val kept = fs.listStatus(logDir).map(_.getPath.getName)
+      .collect { case n if n.matches("v\\d{20}\\.json") => n.substring(1, 21).toLong }
+      .sorted
+    assert(kept.length <= 5 + BtrLog.CheckpointInterval,
+      s"retention 5 must prune (kept ${kept.length})")
+    assert(!BtrLog.readEntry(fs, root, kept.head).isDelta,
+      "oldest retained entry must stay a full checkpoint")
+    assert(BtrLog.resolveSnapshot(fs, root, kept.last).version == kept.last)
+  }
+
   test("legacy full-listing entries (no sizes, pre-delta) still read") {
     val parsed = BtrLog.parse(
       """{"version":7,"ts":1755000000123,"action":"append","files":["a.btr","p=1/b.btr"]}""")

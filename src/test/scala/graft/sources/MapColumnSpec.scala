@@ -99,6 +99,73 @@ class MapColumnSpec extends AnyFunSuite {
     assert(flat(back) == flat(df), "array-valued map round-trip mismatch")
   }
 
+  test("STRUCT-valued maps round-trip (map<string,struct> per-field provenance)") {
+    val dir = tmp("structval")
+    import spark.implicits._
+    // the training-data metadata shape: field name -> {source, version,
+    // confidence}, with null structs, null leaves, empty and null maps
+    val df = spark.range(0, 2000).select(
+      col("id").cast("int").as("k"),
+      when(col("id") % 13 === 0, lit(null)).otherwise(
+        map(
+          lit("title"), struct(
+            concat(lit("src"), col("id") % 3).as("source"),
+            col("id").cast("long").as("version"),
+            (col("id") * 0.01).as("confidence")),
+          lit("body"), when(col("id") % 7 === 0,
+              lit(null).cast("struct<source:string,version:bigint,confidence:double>"))
+            .otherwise(struct(
+              lit("web").as("source"),
+              when(col("id") % 5 === 0, lit(null).cast("long")).otherwise(lit(2L))
+                .as("version"),
+              lit(0.5).as("confidence"))))).as("prov"),
+      when(col("id") % 17 === 0, map().cast("map<string,struct<n:int>>"))
+        .otherwise(map(lit("a"), struct((col("id") % 9).cast("int").as("n")))).as("tiny"))
+    df.coalesce(2).write.format("btr").option("btr.blockSize", "512")
+      .mode("overwrite").save(dir)
+
+    val back = spark.read.format("btr").load(dir)
+    assert(back.schema("prov").dataType.simpleString ==
+      "map<string,struct<source:string,version:bigint,confidence:double>>")
+    def flat(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("k"), explode_outer(col("prov")).as(Seq("f", "p")), col("tiny"))
+        .select(col("k"), col("f"), col("p.source"), col("p.version"),
+          col("p.confidence"), to_json(col("tiny")).as("t"))
+        .collect().map(_.toString).sorted.toSeq
+    assert(flat(back) == flat(df), "struct-valued map round-trip mismatch")
+    // value-struct field access works over the read
+    assert(back.select(sum(col("prov")("title").getField("version"))).head().getLong(0) ==
+      df.select(sum(col("prov")("title").getField("version"))).head().getLong(0))
+  }
+
+  test("maps INSIDE structs round-trip (struct<...,attrs:map<string,string>>)") {
+    val dir = tmp("map-in-struct")
+    import spark.implicits._
+    val df = spark.range(0, 1500).select(
+      col("id").cast("int").as("k"),
+      when(col("id") % 19 === 0, lit(null)).otherwise(struct(
+        concat(lit("doc"), col("id")).as("name"),
+        when(col("id") % 6 === 0, lit(null).cast("map<string,string>"))
+          .otherwise(map(lit("lang"), concat(lit("l"), col("id") % 4),
+            lit("lic"), lit("cc"))).as("attrs"),
+        map(lit("n"), col("id")).as("counts"))).as("meta"))
+    df.coalesce(2).write.format("btr").option("btr.blockSize", "256")
+      .mode("overwrite").save(dir)
+
+    val back = spark.read.format("btr").load(dir)
+    assert(back.schema("meta").dataType.simpleString ==
+      "struct<name:string,attrs:map<string,string>,counts:map<string,bigint>>")
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("k"), to_json(col("meta")).as("j"))
+        .collect().map(r => (r.getInt(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(canon(back) == canon(df), "map-inside-struct round-trip mismatch")
+    // sibling-leaf pruning still works next to the map leaf, and the map
+    // leaf itself resolves through element_at
+    assert(back.select(col("meta.name")).where(col("meta.name") === "doc7").count() == 1)
+    assert(back.select(sum(element_at(col("meta.counts"), "n"))).head().getLong(0) ==
+      df.select(sum(element_at(col("meta.counts"), "n"))).head().getLong(0))
+  }
+
   test("nested maps and non-scalar KEYS stay rejected loudly") {
     import spark.implicits._
     val bad = spark.range(1).select(map(array(lit(1)), lit("v")).as("m"))

@@ -61,24 +61,39 @@ class StructFuzzSpec extends AnyFunSuite {
     case at: ArrayType =>
       (0 until rnd.nextInt(4)).map(_ =>
         if (rnd.nextInt(6) == 0) null else randomValue(rnd, at.elementType))
+    case mt: MapType =>
+      (0 until rnd.nextInt(4)).map(k =>
+        s"k$k" -> (if (rnd.nextInt(6) == 0) null else randomValue(rnd, mt.valueType))).toMap
     case other => throw new IllegalStateException(other.toString)
   }
 
-  /** Random leaf type: scalar, array-of-scalar, or (down to `depth`) a
-    * nested struct of more random leaves. */
+  /** Random leaf type: scalar, array-of-scalar, map (scalar- or
+    * struct-valued), or (down to `depth`) a nested struct of more random
+    * leaves. */
   private def randomLeafType(rnd: scala.util.Random, depth: Int): DataType =
     if (depth < 2 && rnd.nextInt(3) == 0)
       StructType((0 to rnd.nextInt(3)).map(j =>
         StructField(s"g${depth}_$j", randomLeafType(rnd, depth + 1), nullable = true)))
     else if (rnd.nextInt(5) == 0)
       ArrayType(leafTypes(rnd.nextInt(leafTypes.length)), containsNull = true)
-    else leafTypes(rnd.nextInt(leafTypes.length))
+    else if (rnd.nextInt(5) == 0) {
+      // map leaves inside structs — scalar-valued, or struct-valued
+      // (per-field provenance shape) with scalar sub-leaves
+      val vt =
+        if (depth < 2 && rnd.nextInt(3) == 0)
+          StructType((0 to rnd.nextInt(2)).map(j =>
+            StructField(s"m${depth}_$j", leafTypes(rnd.nextInt(leafTypes.length)),
+              nullable = true)))
+        else leafTypes(rnd.nextInt(leafTypes.length))
+      MapType(StringType, vt, valueContainsNull = true)
+    } else leafTypes(rnd.nextInt(leafTypes.length))
 
   /** All dotted paths to SCALAR leaves under `prefix`. */
   private def scalarPaths(prefix: String, dt: DataType): Seq[(String, DataType)] = dt match {
     case st: StructType =>
       st.fields.toSeq.flatMap(f => scalarPaths(s"$prefix.${f.name}", f.dataType))
     case _: ArrayType => Nil
+    case _: MapType => Nil
     case scalar => Seq(prefix -> scalar)
   }
 

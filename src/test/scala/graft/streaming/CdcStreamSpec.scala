@@ -160,6 +160,55 @@ class CdcStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("admission control counts REMOVALS too (delete-heavy batches stay bounded)") {
+    val dir = tmp("adm-removals")
+    import spark.implicits._
+    // retained table: v1 one file, v2 one file, v3 a DELETE removing both
+    // (adds 0), v4 one more file
+    Seq(1).toDF("x").repartition(1).write.format("btr")
+      .option("btr.retainRemoved", "true").mode("overwrite").save(dir)  // v1
+    Seq(2).toDF("x").repartition(1).write.format("btr").mode("append").save(dir) // v2
+    spark.sql(s"DELETE FROM graft.`$dir` WHERE x <= 2")                 // v3: removes 2 files
+    Seq(3).toDF("x").repartition(1).write.format("btr").mode("append").save(dir) // v4
+
+    val schema = spark.read.format("btr").load(dir).schema
+    val stream = new graft.sources.BtrCdcMicroBatchStream(
+      dir, schema, schema, Seq.empty, None, Some(2), None)
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val VOff = graft.sources.BtrCdcMicroBatchStream.VersionOffset
+    // from v1 with cap 2: v2 costs 1 add; v3 costs 2 removals — every
+    // removed file is a retention-store read on the delete side — so
+    // admitting it would plan 3 files. The batch must stop at v2.
+    val end = stream.latestOffset(VOff(1L), ReadLimit.maxFiles(2))
+    assert(end == VOff(2L), s"delete-heavy v3 must start its own batch, got $end")
+    // the removal commit itself still makes progress (at-least-one rule)
+    val end2 = stream.latestOffset(VOff(2L), ReadLimit.maxFiles(2))
+    assert(end2 == VOff(3L), end2.toString)
+  }
+
+  test("plain (non-CDC) stream honors btr.startingTimestamp") {
+    val dir = tmp("plain-ts")
+    import spark.implicits._
+    Seq(1).toDF("x").write.format("btr").mode("overwrite").save(dir)   // v1
+    val (fs, root) = fsRoot(dir)
+    val t1 = BtrLog.readEntry(fs, root, 1L).tsMillis
+    Thread.sleep(10)
+    Seq(2).toDF("x").write.format("btr").mode("append").save(dir)      // v2
+
+    // no btr.readChanges: the identity stream must still seed its
+    // seen-set from the version at-or-before the instant — only files
+    // committed AFTER it arrive (previously it silently started latest)
+    val q = spark.readStream.format("btr")
+      .option("btr.startingTimestamp", (t1 * 1000L).toString) // micros
+      .load(dir)
+      .writeStream.format("memory").queryName("plain_ts").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("plain_ts").select(col("x")).as[Int].collect().toSeq
+      assert(got == Seq(2), got.toString)
+    } finally q.stop()
+  }
+
   test("CDC stream serves PARTITIONED tables (partition values as constants)") {
     val dir = tmp("partitioned")
     import spark.implicits._
