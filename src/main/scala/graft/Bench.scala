@@ -159,16 +159,21 @@ object Bench {
       Thread.sleep(5000)
       loadWaited = (System.nanoTime() - waitStart) / 1e9
     }
-    // previous committed per-query mins (newest BENCH_r*.json in the repo)
+    // previous committed per-query mins: the NEWEST committed artifact
+    // recorded at the SAME scale (sf1 smokes recheck against the last
+    // sf1 artifact, sf0.1 rounds against the last sf0.1 round — the
+    // parse returns empty for a scale mismatch, so walk newest-first)
     val refMins: Map[String, Double] = {
       val dir = new java.io.File(sys.env.getOrElse("SPARK_GRAFT_BENCH_REF_DIR", "/root/repo"))
-      val refFile = Option(dir.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.getName.matches("BENCH_r\\d+\\.json")).sortBy(_.getName).lastOption
-      refFile.map { f =>
-        val src = scala.io.Source.fromFile(f)
-        val text = try src.mkString finally src.close()
-        parseRefMins(text, sfDir, SparkEntry.queries.keySet)
-      }.getOrElse(Map.empty)
+      Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.matches("BENCH_r\\d+(_sf1)?\\.json"))
+        .sortBy(_.getName).reverse.view
+        .map { f =>
+          val src = scala.io.Source.fromFile(f)
+          val text = try src.mkString finally src.close()
+          parseRefMins(text, sfDir, SparkEntry.queries.keySet)
+        }
+        .find(_.nonEmpty).getOrElse(Map.empty)
     }
     val loadBefore = loadavg()
     def timeQuery(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double =

@@ -306,6 +306,30 @@ object PipelineQueries {
         .orderBy("source")
     }),
 
+    // NESTED double vectors stored as array<array<double>> in the format
+    // (the per-span-embedding / tokenized-sentence shape): the outer
+    // lengths cascade rides over an element stream that is itself an
+    // array column. Values are exact binary fractions (quarters/halves)
+    // so both engines' sums are bit-identical in any order. DuckDB
+    // recomputes from the flat columns.
+    "q_nested_arrays" -> ((s, d) => {
+      val dir = Btr.cachePath(d, "documents_nested_arrays")
+      if (!new java.io.File(dir, "_btr_meta.json").exists()) {
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            array(
+              array(length(col("text")).cast("double") * 0.25),
+              array(col("doc_id") * 0.5,
+                length(col("text")).cast("double"))).as("vecs"))
+          .write.format("btr").mode("overwrite").save(dir)
+      }
+      s.read.format("btr").load(dir)
+        .select(explode(col("vecs")).as("v"))
+        .agg(count(lit(1)).as("n_inner"),
+          sum(size(col("v"))).cast("long").as("n_vals"),
+          round(sum(aggregate(col("v"), lit(0.0), (a, x) => a + x)), 2).as("sum_all"))
+    }),
+
     // per-span annotations STORED as array<struct<start,end,label,score>>
     // — THE labeled-span shape of an annotated training corpus (NER
     // spans, quality spans, redaction spans). Rides the recursive
@@ -804,6 +828,12 @@ object PipelineQueries {
       """SELECT lang, count(*) AS n_docs,
         | min(substring(text, 1, 8)) AS min_head
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_nested_arrays" ->
+      """SELECT CAST(2 * count(*) AS BIGINT) AS n_inner,
+        | CAST(3 * count(*) AS BIGINT) AS n_vals,
+        | round(sum(CAST(length(text) AS DOUBLE) * 0.25 + doc_id * 0.5 +
+        |   CAST(length(text) AS DOUBLE)), 2) AS sum_all
+        |FROM documents""".stripMargin,
     "q_map_struct_values" ->
       """SELECT lang AS source, count(*) AS n,
         | CAST(sum(doc_id % 5) AS BIGINT) AS sum_ver,

@@ -16,6 +16,7 @@ object BlockDescribe {
       if (PhysType.isIntFamily(tag) || tag == PhysType.Float) describeInt(in, count)
       else if (tag == PhysType.Double) describeDouble(in, count)
       else if (tag == PhysType.ArrStruct) describeArrStruct(in, count)
+      else if (tag == PhysType.ArrArr) describeArrArr(in, count)
       else if (PhysType.isArrayFamily(tag)) describeArray(in, tag, count)
       else if (tag == PhysType.Struct) describeStruct(in, count)
       else if (tag == PhysType.KvMap) describeMap(in, count)
@@ -50,6 +51,15 @@ object BlockDescribe {
       s"$nulls:$desc"
     }
     s"map(n_entries=$ec, lengths=$lensDesc, keys=${parts(0)}, values=${parts(1)})"
+  }
+
+  private def describeArrArr(in: BufReader, count: Int): String = {
+    val (lensDesc, _) = describeLengths(in, count)
+    val ec = in.getInt()
+    val it = in.getByte()
+    // the element stream is an array column body over the outer elements
+    val (elemNulls, body) = describeChunk(in, it, ec)
+    s"array(n_elems=$ec, lengths=$lensDesc, elem_nulls=$elemNulls, elems=$body)"
   }
 
   private def describeArrStruct(in: BufReader, count: Int): String = {

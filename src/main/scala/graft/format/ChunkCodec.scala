@@ -42,6 +42,11 @@ object PhysType {
   // stream encoded as a STRUCT column body over the elements — the
   // per-span annotation shape (array<struct<start,end,label>>)
   val ArrStruct = 19
+  // array<array<scalar>>: per-row lengths cascade + a flattened element
+  // stream encoded as an ARRAY column body over the outer elements (the
+  // tokenized-sentences / per-span-embedding shape); inner tag is
+  // self-described on the wire
+  val ArrArr = 20
 
   def of(dt: DataType): Int = dt match {
     case BooleanType => Bool
@@ -61,6 +66,11 @@ object PhysType {
     case ArrayType(IntegerType, _) => ArrInt
     case ArrayType(LongType, _) => ArrLong
     case ArrayType(StringType, _) => ArrStr
+    case ArrayType(inner: ArrayType, _) =>
+      val it = of(inner)
+      require(isArrayFamily(it) && it != ArrStruct && it != ArrArr,
+        s"btr: array<array> elements must be arrays of SCALARS, got ${inner.simpleString}")
+      ArrArr
     case ArrayType(st: StructType, _) =>
       require(of(st) == Struct, s"btr: unsupported array element ${st.simpleString}")
       // element structs may nest: struct and array-of-scalar leaves
@@ -68,15 +78,7 @@ object PhysType {
       // array elements stay rejected AT ANY DEPTH (no elem-mode map
       // hold) — and at planning, not the first write task. ArrStruct
       // leaves are already rejected anywhere by of(StructType).
-      def noMaps(path: String, dt: DataType): Unit = dt match {
-        case s: StructType => s.fields.foreach(f =>
-          noMaps(if (path.isEmpty) f.name else s"$path.${f.name}", f.dataType))
-        case m: MapType => throw new UnsupportedOperationException(
-          s"btr: array<struct> element leaf $path: ${m.simpleString} — " +
-            "maps inside array elements are not supported")
-        case _ => ()
-      }
-      noMaps("", st)
+      noNestedMaps("array<struct> element", "", st)
       ArrStruct
     case mt: MapType =>
       val kt = of(mt.keyType)
@@ -84,18 +86,13 @@ object PhysType {
         s"btr: map keys must be scalar types, got ${mt.simpleString}")
       val vt = of(mt.valueType)
       // values may be scalar, array-of-scalar (per-field score lists), or
-      // a STRUCT of scalar leaves (per-field provenance): the value
-      // stream recursively encodes as an array / struct column over the
-      // map entries
-      require(vt != KvMap && vt != ArrStruct,
+      // a STRUCT (per-field provenance) whose leaves recurse through the
+      // element-granularity encode — nested structs and arrays-of-scalar
+      // included, maps excluded at any depth (no elem-mode map hold)
+      require(vt != KvMap && vt != ArrStruct && vt != ArrArr,
         s"btr: map values must be scalar, array-of-scalar or struct, got ${mt.simpleString}")
       if (vt == Struct)
-        mt.valueType.asInstanceOf[StructType].fields.foreach { f =>
-          val lt = of(f.dataType)
-          require(!isArrayFamily(lt) && lt != Struct && lt != KvMap,
-            s"btr: map struct-value leaf ${f.name}: ${f.dataType.simpleString} — " +
-              "scalar leaves only")
-        }
+        noNestedMaps("map struct-value", "", mt.valueType)
       KvMap
     case d: DecimalType if d.precision <= 18 => Decimal64
     case st: StructType =>
@@ -106,16 +103,30 @@ object PhysType {
         // maps all encode as self-described sub-columns of the parent's
         // blob (a map leaf is a full KvMap body at row granularity)
         val lt = of(f.dataType)
-        require(lt != ArrStruct,
+        require(lt != ArrStruct && lt != ArrArr,
           s"btr: struct leaf ${f.name}: ${f.dataType.simpleString} — " +
-            "struct-element arrays inside structs are not supported")
+            "struct-element and nested arrays inside structs are not supported")
       }
       Struct
     case other => throw new UnsupportedOperationException(s"btr: unsupported type $other")
   }
 
+  /** Maps cannot ride at ELEMENT granularity (no elem-mode map hold):
+    * reject them anywhere under an element struct — at planning, with
+    * the dotted path, not at the first write task.
+    */
+  private def noNestedMaps(ctx: String, path: String, dt: DataType): Unit = dt match {
+    case s: StructType => s.fields.foreach(f =>
+      noNestedMaps(ctx, if (path.isEmpty) f.name else s"$path.${f.name}", f.dataType))
+    case m: MapType => throw new UnsupportedOperationException(
+      s"btr: $ctx leaf $path: ${m.simpleString} — maps are not supported at " +
+        "element granularity")
+    case _ => ()
+  }
+
   def isArrayFamily(tag: Int): Boolean =
-    (tag >= ArrFloat && tag <= ArrLong) || tag == ArrStr || tag == ArrStruct
+    (tag >= ArrFloat && tag <= ArrLong) || tag == ArrStr || tag == ArrStruct ||
+      tag == ArrArr
 
   /** Element tag of an array family tag. */
   def elemTag(tag: Int): Int = tag match {
@@ -566,6 +577,25 @@ object ChunkCodec {
         raw += ss.rawBytes
       }
       ChunkStats(nullCount, 0, 0, 0, 0, hasMinMax = false, rawBytes = raw)
+    } else if (tag == PhysType.ArrArr) {
+      // [lengths cascade][i32 outerElemCount][u8 innerTag][<array column
+      // body over the outer elements>] — the element stream IS an array
+      // column (its nullmap doubles as the outer-element nullmap), the
+      // exact layout a map's array-valued side uses, minus the keys
+      val lens = new Array[Long](chunk.count)
+      i = 0
+      while (i < chunk.count) { lens(i) = chunk.arrLens(i).toLong; i += 1 }
+      IntCodec.encode(out, lens, chunk.count, 4, cascadeDepth, cfg, seed)
+      val inner = chunk.mapVals // inner-array hold (lens + flat elements)
+      val ec = inner.lensCount
+      out.putInt(ec)
+      out.putByte(chunk.mapValTag)
+      val innerCfg = cfg.copy(bloomEnabled = false,
+        forceInt = None, forceDouble = None, forceString = None)
+      val view = inner.asEntryChunk(chunk.mapValTag, ec)
+      val ss = encode(out, view, cascadeDepth, innerCfg, seed + 7)
+      ChunkStats(nullCount, 0, 0, 0, 0, hasMinMax = false,
+        rawBytes = 4L * chunk.count + ss.rawBytes)
     } else if (tag == PhysType.ArrStruct) {
       // [lengths cascade][i32 elemCount][<struct column body over the
       // elements>] — the element stream IS a struct column (its nullmap
@@ -721,7 +751,13 @@ object ChunkCodec {
     (leaves, tags)
   }
 
-  def decode(in: BufReader, tag: Int, count: Int): Decoded = {
+  /** `wantValueLeaves` (KvMap / ArrStruct only): restrict decoding of
+    * the STRUCT value side (map) or the element struct (array<struct>)
+    * to those leaf indices — a pruned projection skips unrequested
+    * leaves by their recorded length, like struct columns.
+    */
+  def decode(in: BufReader, tag: Int, count: Int,
+      wantValueLeaves: Array[Boolean] = null): Decoded = {
     val (isNull, hasNulls) = NullMap.decodeWithFlag(in, count)
     if (tag == PhysType.Struct) {
       val (leaves, tags) = decodeStructLeaves(in, count, null)
@@ -750,11 +786,32 @@ object ChunkCodec {
       while (si < 2) {
         val st = in.getByte()
         tags(si) = st
-        sides(si) = decode(in, st, elemCount)
+        sides(si) =
+          if (si == 1 && st == PhysType.Struct && wantValueLeaves != null) {
+            // pruned struct-value projection: decode only requested
+            // value leaves (skip-by-length), by file leaf index
+            val (vNull, vHas) = NullMap.decodeWithFlag(in, elemCount)
+            val (leaves, ltags) = decodeStructLeaves(in, elemCount, wantValueLeaves)
+            new Decoded(elemCount, vNull, vHas, null, null, null, null,
+              structLeaves = leaves, structTags = ltags)
+          } else decode(in, st, elemCount)
         si += 1
       }
       new Decoded(count, isNull, hasNulls, null, null, null, null, lens,
         null, false, elemCount, structLeaves = sides, structTags = tags)
+    } else if (tag == PhysType.ArrArr) {
+      val lensL = IntCodec.decode(in, count)
+      val lens = new Array[Int](count)
+      var i = 0
+      while (i < count) { lens(i) = lensL(i).toInt; i += 1 }
+      val ec = in.getInt()
+      val it = in.getByte()
+      // the element stream decodes as an ARRAY column over the outer
+      // elements; its row nullmap is the outer-element nullmap
+      val innerDec = decode(in, it, ec)
+      new Decoded(count, isNull, hasNulls, null, null, null, null, lens,
+        innerDec.isNull, innerDec.hasNulls, ec,
+        structLeaves = Array(innerDec), structTags = Array(it))
     } else if (tag == PhysType.ArrStruct) {
       val lensL = IntCodec.decode(in, count)
       val lens = new Array[Int](count)
@@ -763,7 +820,14 @@ object ChunkCodec {
       val elemCount = in.getInt()
       // the element stream is a struct column body: its nullmap is the
       // element nullmap, its leaves the per-element field streams
-      val elemDec = decode(in, PhysType.Struct, elemCount)
+      // (pruned element projections skip unrequested leaves by length)
+      val elemDec =
+        if (wantValueLeaves != null) {
+          val (eNull, eHas) = NullMap.decodeWithFlag(in, elemCount)
+          val (leaves, ltags) = decodeStructLeaves(in, elemCount, wantValueLeaves)
+          new Decoded(elemCount, eNull, eHas, null, null, null, null,
+            structLeaves = leaves, structTags = ltags)
+        } else decode(in, PhysType.Struct, elemCount)
       new Decoded(count, isNull, hasNulls, null, null, null, null, lens,
         elemDec.isNull, elemDec.hasNulls, elemCount,
         structLeaves = elemDec.structLeaves, structTags = elemDec.structTags)
@@ -834,6 +898,10 @@ object ChunkCodec {
         new Decoded(count, isNull, hasNulls, view.codes, null, null, null,
           dictLongs = view.entries)
       else new Decoded(count, isNull, hasNulls, IntCodec.decode(in, count), null, null, null)
-    } else decode(in, tag, count)
+    } else if (tag == PhysType.KvMap || tag == PhysType.ArrStruct)
+      // wantLeaves names the VALUE-struct (map) / element-struct
+      // (array<struct>) leaves to keep
+      decode(in, tag, count, wantValueLeaves = wantLeaves)
+    else decode(in, tag, count)
   }
 }

@@ -2252,6 +2252,18 @@ class BtrColumnarReader(partition: BtrInputPartition, requiredSchema: StructType
         case (st: StructType, Some(full)) if st.fields.length < full.fields.length =>
           val wanted = st.fieldNames.toSet
           full.fields.map(lf => wanted.contains(lf.name))
+        // pruned map VALUE-struct / array<struct> ELEMENT projections:
+        // skip unrequested leaves by recorded length, like struct columns
+        case (mt: org.apache.spark.sql.types.MapType, Some(full))
+          if mt.valueType.isInstanceOf[StructType] &&
+            mt.valueType.asInstanceOf[StructType].fields.length < full.fields.length =>
+          val wanted = mt.valueType.asInstanceOf[StructType].fieldNames.toSet
+          full.fields.map(lf => wanted.contains(lf.name))
+        case (at: ArrayType, Some(full))
+          if at.elementType.isInstanceOf[StructType] &&
+            at.elementType.asInstanceOf[StructType].fields.length < full.fields.length =>
+          val wanted = at.elementType.asInstanceOf[StructType].fieldNames.toSet
+          full.fields.map(lf => wanted.contains(lf.name))
         case _ => null
       }
     }
@@ -2601,6 +2613,24 @@ class BtrColumnarReader(partition: BtrInputPartition, requiredSchema: StructType
           val len = dec.arrLens(i)
           if (nulls && dec.isNull(i)) v.putNull(i)
           else v.putArray(i, off, len)
+          off += len
+          i += 1
+        }
+      case PhysType.ArrArr =>
+        // array<array>: the array child is itself an array vector that
+        // fills from the decoded inner-array stream through the generic
+        // recursion (outer-element nulls ride the inner Decoded's row
+        // nullmap)
+        val at = dt.asInstanceOf[ArrayType]
+        val child = v.arrayData().asInstanceOf[OnHeapColumnVector]
+        val ec = dec.elemCount
+        child.reset()
+        child.reserve(ec)
+        fillVector(child, at.elementType, dec.structTags(0), dec.structLeaves(0), ec)
+        var off = 0
+        while (i < n) {
+          val len = dec.arrLens(i)
+          if (nulls && dec.isNull(i)) v.putNull(i) else v.putArray(i, off, len)
           off += len
           i += 1
         }

@@ -1070,6 +1070,18 @@ class BtrDataWriter(path: String, schema: StructType, blockSize: Int, cascade: I
           .elementType.asInstanceOf[org.apache.spark.sql.types.StructType]
         arrLenCols(c) = new Array[Int](blockSize)
         arrHold(c) = allocElemHold(st)
+      } else if (tag == PhysType.ArrArr) {
+        // array<array<scalar>>: outer lengths per row; the inner stream
+        // (per-outer-element lengths + flat scalars) rides the same hold
+        // shape as a map's array-valued side
+        val inner = fields(c).dataType.asInstanceOf[ArrayType]
+          .elementType.asInstanceOf[ArrayType]
+        arrLenCols(c) = new Array[Int](blockSize)
+        val hold = new ColumnChunk(tag, blockSize)
+        hold.mapVals = new ColumnChunk(
+          PhysType.holdTagOf(PhysType.elemTag(PhysType.of(inner))), blockSize)
+        hold.mapValTag = PhysType.of(inner)
+        arrHold(c) = hold
       } else if (PhysType.isArrayFamily(tag)) {
         arrLenCols(c) = new Array[Int](blockSize)
         arrHold(c) = new ColumnChunk(tag, blockSize)
@@ -1374,6 +1386,12 @@ class BtrDataWriter(path: String, schema: StructType, blockSize: Int, cascade: I
             arrLenCols(c)(i) = n
             appendElems(mapKeyHold(c), m.keyArray(), mt.keyType, n)
             appendMapValues(mapValHold(c), m.valueArray(), mt.valueType, n)
+          case at: ArrayType if at.elementType.isInstanceOf[ArrayType] =>
+            val arr = row.getArray(c)
+            val n = arr.numElements()
+            arrLenCols(c)(i) = n
+            appendEntryArrays(arrHold(c).mapVals, arr,
+              at.elementType.asInstanceOf[ArrayType], n)
           case at: ArrayType if at.elementType.isInstanceOf[org.apache.spark.sql.types.StructType] =>
             val st = at.elementType.asInstanceOf[org.apache.spark.sql.types.StructType]
             val arr = row.getArray(c)
@@ -1457,6 +1475,10 @@ class BtrDataWriter(path: String, schema: StructType, blockSize: Int, cascade: I
           chunk.structLeaves = hold.structLeaves.zip(st.fields).map { case (lh, f) =>
             lh.asEntryChunk(PhysType.of(f.dataType), hold.elemCount)
           }
+        }
+        if (tag == PhysType.ArrArr) {
+          chunk.mapVals = hold.mapVals
+          chunk.mapValTag = hold.mapValTag
         }
       }
       if (mapKeyHold(c) != null) {

@@ -138,6 +138,42 @@ class MapColumnSpec extends AnyFunSuite {
       df.select(sum(col("prov")("title").getField("version"))).head().getLong(0))
   }
 
+  test("map value-structs may NEST (struct + array sub-leaves) and prune by name") {
+    val dir = tmp("structval-nested")
+    import spark.implicits._
+    // per-field provenance with a nested score struct and a tag list
+    val df = spark.range(0, 1200).select(
+      col("id").cast("int").as("k"),
+      map(
+        lit("text"), struct(
+          concat(lit("s"), col("id") % 3).as("source"),
+          when(col("id") % 7 === 0, lit(null).cast("struct<model:string,value:double>"))
+            .otherwise(struct(lit("m1").as("model"), (col("id") * 0.25).as("value")))
+            .as("score"),
+          when(col("id") % 5 === 0, lit(null).cast("array<string>"))
+            .otherwise(array(lit("a"), concat(lit("t"), col("id") % 4))).as("tags"))
+      ).as("prov"))
+    df.coalesce(2).write.format("btr").option("btr.blockSize", "256")
+      .mode("overwrite").save(dir)
+
+    val back = spark.read.format("btr").load(dir)
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("k"), to_json(col("prov")).as("j"))
+        .collect().map(_.toString).sorted.toSeq
+    assert(canon(back) == canon(df), "nested map-value round-trip mismatch")
+    // pruned value projection (only score.value survives): unrequested
+    // value leaves skip by recorded length, and the fill maps the
+    // surviving leaf by name onto the file's full value struct
+    def sums(d: org.apache.spark.sql.DataFrame) =
+      d.select(round(sum(element_at(col("prov"), "text")
+        .getField("score").getField("value")), 2)).head().getDouble(0)
+    assert(sums(back) == sums(df))
+    def tagCounts(d: org.apache.spark.sql.DataFrame) =
+      d.select(sum(size(element_at(col("prov"), "text").getField("tags"))))
+        .head().getLong(0)
+    assert(tagCounts(back) == tagCounts(df))
+  }
+
   test("maps INSIDE structs round-trip (struct<...,attrs:map<string,string>>)") {
     val dir = tmp("map-in-struct")
     import spark.implicits._

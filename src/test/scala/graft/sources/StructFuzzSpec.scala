@@ -78,12 +78,20 @@ class StructFuzzSpec extends AnyFunSuite {
       ArrayType(leafTypes(rnd.nextInt(leafTypes.length)), containsNull = true)
     else if (rnd.nextInt(5) == 0) {
       // map leaves inside structs — scalar-valued, or struct-valued
-      // (per-field provenance shape) with scalar sub-leaves
+      // (per-field provenance shape) whose sub-leaves may themselves be
+      // scalars, arrays-of-scalar or nested scalar structs
       val vt =
         if (depth < 2 && rnd.nextInt(3) == 0)
-          StructType((0 to rnd.nextInt(2)).map(j =>
-            StructField(s"m${depth}_$j", leafTypes(rnd.nextInt(leafTypes.length)),
-              nullable = true)))
+          StructType((0 to rnd.nextInt(2)).map { j =>
+            val ft = rnd.nextInt(5) match {
+              case 0 => ArrayType(leafTypes(rnd.nextInt(leafTypes.length)),
+                containsNull = true)
+              case 1 => StructType(Seq(StructField(s"n$j",
+                leafTypes(rnd.nextInt(leafTypes.length)), nullable = true)))
+              case _ => leafTypes(rnd.nextInt(leafTypes.length))
+            }
+            StructField(s"m${depth}_$j", ft, nullable = true)
+          })
         else leafTypes(rnd.nextInt(leafTypes.length))
       MapType(StringType, vt, valueContainsNull = true)
     } else leafTypes(rnd.nextInt(leafTypes.length))
