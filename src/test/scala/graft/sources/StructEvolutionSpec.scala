@@ -61,6 +61,39 @@ class StructEvolutionSpec extends AnyFunSuite {
 
   private def sum2(c: org.apache.spark.sql.Column) = sum(c)
 
+  test("added leaves may be MAPS; added COLUMNS may be maps and array<array>") {
+    val dir = tmp("add-map-leaf")
+    import spark.implicits._
+    // generation 1: rec{a}
+    spark.range(0, 400).select(col("id").cast("int").as("k"),
+        struct(col("id").cast("int").as("a")).as("rec"))
+      .coalesce(1).write.format("btr").mode("overwrite").save(dir)
+    // generation 2 appends rec{a, attrs: map<string,string>} plus two
+    // whole NEW columns of the round-12 shapes
+    spark.range(400, 800).select(col("id").cast("int").as("k"),
+        struct(col("id").cast("int").as("a"),
+          map(lit("lang"), concat(lit("l"), col("id") % 3)).as("attrs")).as("rec"),
+        map(lit("text"), struct(lit("web").as("source"))).as("prov"),
+        array(sequence(lit(0L), col("id") % 3)).as("vecs"))
+      .coalesce(1).write.format("btr").mode("append").save(dir)
+
+    val back = spark.read.format("btr").load(dir)
+    assert(back.schema("rec").dataType.simpleString ==
+      "struct<a:int,attrs:map<string,string>>")
+    assert(back.count() == 800)
+    // pre-widening rows read the added map leaf and map/array<array>
+    // columns as null
+    assert(back.filter(col("k") < 400 && col("rec.attrs").isNull &&
+      col("prov").isNull && col("vecs").isNull).count() == 400)
+    // post-widening rows resolve through every new shape
+    assert(back.filter(element_at(col("rec.attrs"), "lang") === "l1").count() ==
+      (400 until 800).count(_ % 3 == 1))
+    assert(back.filter(element_at(col("prov"), "text").getField("source") === "web")
+      .count() == 400)
+    assert(back.select(sum2(size(element_at(col("vecs"), 1)))).head().getLong(0) ==
+      (400 until 800).map(id => id % 3 + 1).sum)
+  }
+
   test("NARROW appends into a widened table still work (write the old shape)") {
     val dir = tmp("narrow")
     import spark.implicits._
