@@ -97,6 +97,18 @@ object BtrRetention {
     }
   }
 
+  /** Original rel path of a retention-store entry (inverse of the store
+    * naming `esc(rel).<millis>`); None when `p` is not under the store.
+    */
+  def relOfStorePath(root: Path, p: Path): Option[String] = {
+    val dirPrefix = new Path(root, RemovedDir).toUri.getPath + "/"
+    val pp = p.toUri.getPath
+    if (!pp.startsWith(dirPrefix)) return None
+    val name = pp.substring(dirPrefix.length)
+    val dot = name.lastIndexOf('.')
+    if (dot <= 0) None else Some(unesc(name.substring(0, dot)))
+  }
+
   /** Hive-style partition values encoded in a root-relative path. */
   def partitionValuesOf(rel: String): Map[String, String] = {
     val parts = rel.split('/')

@@ -482,7 +482,10 @@ object BtrTableMeta {
       retainRemoved: Option[Boolean] = None,
       // snapshot-log entries to keep (None = preserve / engine default):
       // per-table because retention bounds how far a CDC consumer may lag
-      logRetention: Option[Int] = None
+      logRetention: Option[Int] = None,
+      // merge-on-read deletion vectors (see graft.format.DeletionVector):
+      // None = preserve the table's recorded policy
+      deletionVectors: Option[Boolean] = None
   ): Unit = {
     // minimal JSON by hand: schema json is already valid JSON; column
     // names go through the shared escaper (quotes/commas/control chars)
@@ -492,8 +495,10 @@ object BtrTableMeta {
     val retainJson = if (retain) ""","retainRemoved":true""" else ""
     val keepLog = logRetention.orElse(if (exists) readLogRetention(fs, dir) else None)
     val keepJson = keepLog.map(n => s""","logRetention":$n""").getOrElse("")
+    val dv = deletionVectors.getOrElse(exists && readDeletionVectors(fs, dir))
+    val dvJson = if (dv) ""","deletionVectors":true""" else ""
     val json =
-      s"""{"version":${BtrFile.Version},"blockSize":$blockSize,"cascade":$cascade$retainJson$keepJson,"partitionCols":$parts,"schema":${schema.json}}"""
+      s"""{"version":${BtrFile.Version},"blockSize":$blockSize,"cascade":$cascade$retainJson$keepJson$dvJson,"partitionCols":$parts,"schema":${schema.json}}"""
     val out = fs.create(new Path(dir, MetaFile), true)
     out.write(json.getBytes(StandardCharsets.UTF_8))
     out.close()
@@ -508,6 +513,16 @@ object BtrTableMeta {
   def readRetainRemoved(fs: FileSystem, dir: Path): Boolean =
     fs.exists(new Path(dir, MetaFile)) &&
       readMetaJson(fs, dir).contains("\"retainRemoved\":true")
+
+  /** Merge-on-read deletion vectors enabled (`btr.deletionVectors`
+    * write option / TBLPROPERTIES): row-level DELETE writes position
+    * sidecars under `_btr_dv/` instead of rewriting files, and scans
+    * mask the recorded ordinals out. Table meta, not session config —
+    * every reader must apply the masks or deleted rows resurrect.
+    */
+  def readDeletionVectors(fs: FileSystem, dir: Path): Boolean =
+    fs.exists(new Path(dir, MetaFile)) &&
+      readMetaJson(fs, dir).contains("\"deletionVectors\":true")
 
   /** Per-table snapshot-log retention (`btr.logRetention` write option):
     * how many newest log entries prune keeps. None = the engine default

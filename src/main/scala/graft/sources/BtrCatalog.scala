@@ -131,8 +131,14 @@ class BtrCatalog extends TableCatalog {
     }
     partCols.foreach(c => require(schema.fieldNames.contains(c),
       s"btr: unknown partition column $c"))
+    // TBLPROPERTIES → table-meta policies (same keys as the write
+    // options; table meta because every writer must see the same policy)
+    def boolProp(k: String) = Option(properties.get(k)).map(_.trim.toBoolean)
     BtrTableMeta.write(fs, dir, schema, BtrFile.DefaultBlockSize, BtrFile.DefaultCascadeDepth,
-      partCols)
+      partCols,
+      retainRemoved = boolProp("btr.retainRemoved"),
+      logRetention = Option(properties.get("btr.logRetention")).map(_.trim.toInt),
+      deletionVectors = boolProp("btr.deletionVectors"))
     new BtrTable(path, schema, partitions)
   }
 

@@ -193,10 +193,14 @@ class BtrCdcMicroBatchStream(
           entry.partitionValues.getOrElse(f.name, BtrTableMeta.NullPartition)
         else null
       }
+      var ordinal = 0L
       val groups = footer.rowGroups.map { rg =>
+        val base = ordinal
+        ordinal += rg.numRows
         BtrChunkRange(rg.numRows,
           dataIdx.map(ci => if (ci < rg.columns.length) rg.columns(ci).offset else -1L),
-          dataIdx.map(ci => if (ci < rg.columns.length) rg.columns(ci).length else 0))
+          dataIdx.map(ci => if (ci < rg.columns.length) rg.columns(ci).length else 0),
+          base)
       }
       val reqTags: Array[Int] = colKinds.map(ci => if (ci < 0) 0 else footer.tagOf(ci))
       BtrInputPartition(entry.path.toString, groups, reqPartValues, reqTags): InputPartition

@@ -75,17 +75,31 @@ class BtrTable(path: String, tableSchema: StructType, partitionTransforms: Array
     * a DATA column claims the name (data columns win conflicts — the
     * SupportsMetadataColumns contract).
     */
-  override def metadataColumns(): Array[MetadataColumn] =
-    if (!BtrScan.fileColActive(tableSchema)) Array.empty
-    else Array(
-      new MetadataColumn {
-        override def name(): String = BtrScan.FileMetaCol
-        override def dataType(): org.apache.spark.sql.types.DataType =
-          org.apache.spark.sql.types.StringType
-        override def isNullable: Boolean = false
-        override def comment(): String =
-          "qualified path of the data file the row was read from"
-      })
+  override def metadataColumns(): Array[MetadataColumn] = {
+    val file: Array[MetadataColumn] =
+      if (!BtrScan.fileColActive(tableSchema)) Array.empty
+      else Array(
+        new MetadataColumn {
+          override def name(): String = BtrScan.FileMetaCol
+          override def dataType(): org.apache.spark.sql.types.DataType =
+            org.apache.spark.sql.types.StringType
+          override def isNullable: Boolean = false
+          override def comment(): String =
+            "qualified path of the data file the row was read from"
+        })
+    val pos: Array[MetadataColumn] =
+      if (!BtrScan.posColActive(tableSchema)) Array.empty
+      else Array(
+        new MetadataColumn {
+          override def name(): String = BtrScan.PosMetaCol
+          override def dataType(): org.apache.spark.sql.types.DataType =
+            org.apache.spark.sql.types.LongType
+          override def isNullable: Boolean = false
+          override def comment(): String =
+            "0-based row ordinal within the row's data file"
+        })
+    file ++ pos
+  }
   tableSchema.fields.foreach { f =>
     require(PhysType.supported(f.dataType), s"btr: unsupported column type ${f.name}: ${f.dataType}")
   }
@@ -552,6 +566,13 @@ object BtrOptions {
     * the retained history must re-bootstrap, so a table feeding slow
     * consumers wants a higher value.
     */
+  /** Merge-on-read deletion vectors (table meta flag; see
+    * graft.format.DeletionVector). None = leave the table's recorded
+    * policy unchanged.
+    */
+  def deletionVectors(options: CaseInsensitiveStringMap): Option[Boolean] =
+    Option(options.get("btr.deletionVectors")).map(_.trim.toBoolean)
+
   def logRetention(options: CaseInsensitiveStringMap): Option[Int] =
     Option(options.get("btr.logRetention")).map { s =>
       val n =

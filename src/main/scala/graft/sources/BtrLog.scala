@@ -127,12 +127,29 @@ object BtrLog {
     * relativization the scan's `onlyFiles` filter applies, so a recorded
     * snapshot round-trips byte-exact into a planned file set.
     */
-  private def currentFiles(fs: FileSystem, root: Path): Seq[(String, Long)] = {
+  private def currentFiles(fs: FileSystem, root: Path,
+      dvAdds: Seq[String] = Nil, dvRemoves: Set[String] = Set.empty): Seq[(String, Long)] = {
     listingsByRoot.merge(root.toUri.getPath, 1L, (a, b) => a + b)
     val qualified = fs.makeQualified(root)
     val rootLen = qualified.toUri.getPath.length + 1
-    BtrTableMeta.listDataFilesWithPartitions(fs, qualified)
-      .map(e => e.path.toUri.getPath.substring(rootLen) -> e.len).toSeq.sortBy(_._1)
+    val data = BtrTableMeta.listDataFilesWithPartitions(fs, qualified)
+      .map(e => e.path.toUri.getPath.substring(rootLen) -> e.len).toSeq
+    // deletion-vector rels are LOG-authoritative, never re-listed: a
+    // crashed uncommitted blob must not be absorbed into a checkpoint.
+    // Carry the previous snapshot's dv rels forward (still-existing only
+    // — a removal this commit performed moved or deleted them
+    // physically) plus the committing entry's own adds.
+    val prevDv: Seq[String] = latestVersion(fs, root) match {
+      case Some(v) =>
+        resolveSnapshot(fs, qualified, v).files
+          .filter(graft.format.DeletionVector.isDvRel)
+      case None => Nil
+    }
+    val dv = (prevDv ++ dvAdds).distinct.filterNot(dvRemoves).flatMap { rel =>
+      try Some(rel -> fs.getFileStatus(new Path(qualified, rel)).getLen)
+      catch { case _: java.io.IOException => None }
+    }
+    (data ++ dv).sortBy(_._1)
   }
 
   private def fullJson(v: Long, ts: Long, action: String, files: Seq[(String, Long)]): String = {
@@ -221,7 +238,10 @@ object BtrLog {
     // checkpoints list per attempt (see record()): a checkpoint built
     // from a pre-race listing would mis-anchor subsequent delta replay
     val claimed = claim(fs, dir, prev + 1, v =>
-      if (v % CheckpointInterval == 0) fullJson(v, ts, action, currentFiles(fs, root))
+      if (v % CheckpointInterval == 0)
+        fullJson(v, ts, action, currentFiles(fs, root,
+          dvAdds = added.filter(graft.format.DeletionVector.isDvRel),
+          dvRemoves = removed.filter(graft.format.DeletionVector.isDvRel).toSet))
       else deltaJson(v, ts, action, addSized, rem))
     prune(fs, dir)
     claimed
@@ -529,8 +549,13 @@ object BtrLog {
     val snapshot = resolveSnapshot(fs, root, version)
     val want = snapshot.fileSet
     val rootLen = root.toUri.getPath.length + 1
+    // deletion-vector blobs restore like data files: blobs added after
+    // the restore point drop (their deletes rewind), blobs the restore
+    // point referenced but a later commit removed resurrect from the
+    // retention store
     val live = BtrTableMeta.listDataFilesWithPartitions(fs, root)
-      .map(e => e.path.toUri.getPath.substring(rootLen))
+      .map(e => e.path.toUri.getPath.substring(rootLen)) ++
+      graft.format.DeletionVector.listBlobRels(fs, root)
     val liveSet = live.toSet
     val missing = (want -- liveSet).toSeq.sorted
     // retained tables can rewind PAST removals: missing snapshot files

@@ -45,8 +45,20 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 class BtrRowLevelOperationBuilder(path: String, tableSchema: StructType,
     partCols: Seq[String], info: RowLevelOperationInfo)
     extends RowLevelOperationBuilder {
-  override def build(): RowLevelOperation =
+  override def build(): RowLevelOperation = {
+    // DELETE on a deletion-vector table takes the delta-based
+    // (merge-on-read) path: positions, not rewrites. `_pos` must be
+    // available as a metadata column (a data column claiming the name
+    // forces copy-on-write — honest fallback, still correct).
+    if (info.command() == RowLevelOperation.Command.DELETE) {
+      val dir = new Path(path)
+      val fs = dir.getFileSystem(BtrTableMeta.hadoopConf())
+      if (BtrTableMeta.readDeletionVectors(fs, dir) &&
+        BtrScan.posColActive(tableSchema) && BtrScan.fileColActive(tableSchema))
+        return new BtrDvDeleteOperation(path, tableSchema, partCols)
+    }
     new BtrRowLevelOperation(path, tableSchema, partCols, info.command())
+  }
 }
 
 class BtrRowLevelOperation(path: String, tableSchema: StructType, partCols: Seq[String],

@@ -172,8 +172,28 @@ class BtrScanBuilder(path: String, tableSchema: StructType, options: CaseInsensi
   private val travelTs: Option[Long] =
     pinnedTsMicros.orElse(BtrOptions.timestampAsOf(options))
 
+  /** Footer-stats aggregate pushdown is UNSOUND once any deletion
+    * vector applies: counts include masked rows, and a masked row may
+    * hold the recorded min/max. One small check per agg query, gated on
+    * the table-meta flag so non-DV tables pay nothing; refusal falls
+    * back to the (mask-correct) row scan.
+    */
+  private lazy val dvPresent: Boolean = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(BtrTableMeta.hadoopConf())
+    BtrTableMeta.readDeletionVectors(fs, dir) && {
+      val root = fs.makeQualified(dir)
+      val snap =
+        if (travelVersion.isDefined || travelTs.isDefined)
+          try Some(BtrLog.resolve(fs, root, travelVersion, travelTs))
+          catch { case _: Exception => None } // build() re-raises loudly
+        else BtrLog.latestVersion(fs, root).map(BtrLog.resolveSnapshot(fs, root, _))
+      snap.exists(_.files.exists(graft.format.DeletionVector.isDvRel))
+    }
+  }
+
   override def pushAggregation(agg: aggregate.Aggregation): Boolean = {
-    val ok = canPushAgg(agg)
+    val ok = canPushAgg(agg) && !dvPresent
     if (ok) pushedAgg = Some(agg)
     ok
   }
@@ -322,7 +342,50 @@ class BtrScan(
     * parallelizes the same metadata pass with TBB,
     * tools/conversion/decompression-speed.cpp:46-59).
     */
+  /** Deletion-vector blobs by TARGET data-file rel path (absolute blob
+    * paths). For pinned snapshots the set is exactly the snapshot's own
+    * `_btr_dv/` rels; for current reads it is the log's LATEST resolved
+    * snapshot, fetched BEFORE the data listing (the log-before-listing
+    * order makes every interleaving a consistent, possibly slightly
+    * older, state — see [[graft.format.DeletionVector]]). Gated on the
+    * table-meta flag so non-DV tables pay nothing.
+    */
+  private lazy val dvByTarget: Map[String, Array[String]] = {
+    import graft.format.DeletionVector
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(BtrTableMeta.hadoopConf())
+    val root = fs.makeQualified(dir)
+    def resolve(rels: Iterable[String]): Map[String, Array[String]] =
+      rels.toSeq.flatMap { rel =>
+        DeletionVector.targetOf(rel).map { target =>
+          val live = new Path(root, rel)
+          val p =
+            if (fs.exists(live)) live
+            else graft.format.BtrRetention.resolveRemoved(fs, root, rel, onlySizes.get(rel))
+              .map(_.path).getOrElse(throw new IllegalStateException(
+                s"btr: snapshot references deletion vector $rel which no longer exists " +
+                  s"under $path — history has been physically truncated (VACUUM / " +
+                  "unretained removal); this historical view is gone"))
+          target -> p.toString
+        }
+      }.groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).toArray }
+    onlyFiles match {
+      case Some(set) => resolve(set.filter(DeletionVector.isDvRel))
+      case None =>
+        if (!BtrTableMeta.readDeletionVectors(fs, dir)) Map.empty
+        else BtrLog.latestVersion(fs, root) match {
+          case None => Map.empty
+          case Some(v) =>
+            resolve(BtrLog.resolveSnapshot(fs, root, v).files
+              .filter(DeletionVector.isDvRel))
+        }
+    }
+  }
+
   private lazy val discovered: Array[(BtrTableMeta.DataFileEntry, BtrFile.Footer)] = {
+    // force the DV resolution FIRST: the commit protocol's consistency
+    // argument needs the log read to happen before the data listing
+    val dvs = dvByTarget
     val dir = new Path(path)
     val fs = dir.getFileSystem(BtrTableMeta.hadoopConf())
     val entries = preListed.getOrElse {
@@ -331,9 +394,12 @@ class BtrScan(
         case Some(set) =>
           // snapshot resolution falls back to the _btr_removed retention
           // store for files later commits removed (loud when genuinely
-          // gone — see BtrRetention.resolveFileSet)
+          // gone — see BtrRetention.resolveFileSet); dv rels resolved
+          // separately above
           graft.format.BtrRetention.resolveFileSet(
-            fs, fs.makeQualified(dir), all, set, snapshotVersion, path,
+            fs, fs.makeQualified(dir), all,
+            set.filterNot(graft.format.DeletionVector.isDvRel),
+            snapshotVersion, path,
             wantSizes = onlySizes, preferStore = preferStoreResolution)
         case None => all
       }
@@ -356,6 +422,7 @@ class BtrScan(
     val ratios = BtrTableMeta.readStatsRatios(dir.getFileSystem(BtrTableMeta.hadoopConf()), dir)
     val colIdx = requiredSchema.fields.flatMap(f =>
       if ((BtrScan.fileColActive(tableSchema) && f.name == BtrScan.FileMetaCol) ||
+        (BtrScan.posColActive(tableSchema) && f.name == BtrScan.PosMetaCol) ||
         partCols.contains(f.name)) None
       else Some((dataSchema.fieldIndex(f.name), ratios.getOrElse(f.name, expansionFactor))))
     var rows = 0L
@@ -518,7 +585,8 @@ class BtrScan(
     }
 
     requiredSchema.fields.foreach { f =>
-      if (BtrScan.fileColActive(tableSchema) && f.name == BtrScan.FileMetaCol) ()
+      if ((BtrScan.fileColActive(tableSchema) && f.name == BtrScan.FileMetaCol) ||
+        (BtrScan.posColActive(tableSchema) && f.name == BtrScan.PosMetaCol)) ()
       // NO stats entry at all for TIMESTAMP_NTZ columns: Spark 4.1's
       // FilterEstimation.evaluateBinary is entered on colStatsMap
       // CONTAINS (not on min/max presence) and its type match has no
@@ -660,16 +728,32 @@ class BtrScan(
     // partition columns and the _file metadata column synthesize as
     // per-file constants (directory value / file path)
     val fileActive = BtrScan.fileColActive(tableSchema)
+    val posActive = BtrScan.posColActive(tableSchema)
     val colKinds = requiredSchema.fields.map { f =>
-      if ((fileActive && f.name == BtrScan.FileMetaCol) || partCols.contains(f.name)) -1
+      if ((fileActive && f.name == BtrScan.FileMetaCol) ||
+        (posActive && f.name == BtrScan.PosMetaCol) || partCols.contains(f.name)) -1
       else dataSchema.fieldIndex(f.name)
     }
     val dataIdx = colKinds.filter(_ >= 0)
     val allFilters = filters ++ runtimeFilters
     var plannedRows = 0L // pushed-limit budget (limit re-applies above)
     // Spark only pushes a limit when no residual filter sits between it
-    // and the scan; guard anyway — truncation is only safe unfiltered
-    val rowBudget = if (allFilters.isEmpty) limit else None
+    // and the scan; guard anyway — truncation is only safe unfiltered.
+    // Deletion vectors also disable the truncation: planned row counts
+    // include masked rows, so a budget hit could under-deliver the limit
+    val rowBudget = if (allFilters.isEmpty && dvByTarget.isEmpty) limit else None
+    val qualifiedRoot = {
+      val dir = new Path(path)
+      dir.getFileSystem(BtrTableMeta.hadoopConf()).makeQualified(dir)
+    }
+    val rootPrefixLen = qualifiedRoot.toUri.getPath.length + 1
+    // rel path for DV lookup: store-resolved snapshot entries decode back
+    // to their original rel; live entries strip the root prefix
+    def dvRelOf(p: Path): String =
+      graft.format.BtrRetention.relOfStorePath(qualifiedRoot, p).getOrElse {
+        val pp = p.toUri.getPath
+        if (pp.length > rootPrefixLen) pp.substring(rootPrefixLen) else pp
+      }
 
     val partitions = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
     val live = rewriteNarrow match {
@@ -729,6 +813,10 @@ class BtrScan(
         // partition columns carry the directory value, _file the file path
         val reqPartValues: Array[String] = requiredSchema.fields.map { f =>
           if (fileActive && f.name == BtrScan.FileMetaCol) file.toString
+          // non-null placeholder keeps the reader's data-offset indexing
+          // aligned; the reader fills ordinals by posCol index, never
+          // parsing this value
+          else if (posActive && f.name == BtrScan.PosMetaCol) ""
           else if (partCols.contains(f.name)) partValues.getOrElse(f.name, BtrTableMeta.NullPartition)
           else null
         }
@@ -743,18 +831,24 @@ class BtrScan(
                 partValues.getOrElse(pc, BtrTableMeta.NullPartition))
             }.toArray)
         val reqTags: Array[Int] = colKinds.map(ci => if (ci < 0) 0 else footer.tagOf(ci))
+        val dvBlobs: Array[String] =
+          if (dvByTarget.isEmpty) Array.empty
+          else dvByTarget.getOrElse(dvRelOf(entry.path), Array.empty)
         // chunk-skip + group surviving row groups into ~splitBytes splits
         var current = scala.collection.mutable.ArrayBuffer.empty[BtrChunkRange]
         var currentBytes = 0L
         def flush(): Unit = {
           if (current.nonEmpty) {
             partitions += BtrInputPartition(file.toString, current.toArray, reqPartValues, reqTags,
-              partKey)
+              partKey, dvBlobs = dvBlobs, fileLen = entry.len)
             current = scala.collection.mutable.ArrayBuffer.empty[BtrChunkRange]
             currentBytes = 0L
           }
         }
+        var ordinal = 0L // within-file row ordinal, counted BEFORE skipping
         footer.rowGroups.foreach { rg =>
+          val groupBase = ordinal
+          ordinal += rg.numRows
           val underLimit = rowBudget.forall(n => plannedRows < n)
           val keep = underLimit &&
             (allFilters.isEmpty || !allFilters.exists(f => ChunkSkip.canSkip(dataSchema, rg, f)))
@@ -765,7 +859,7 @@ class BtrScan(
               if (ci < rg.columns.length) rg.columns(ci).offset else -1L)
             val lengths = dataIdx.map(ci =>
               if (ci < rg.columns.length) rg.columns(ci).length else 0)
-            current += BtrChunkRange(rg.numRows, offsets, lengths)
+            current += BtrChunkRange(rg.numRows, offsets, lengths, groupBase)
             currentBytes += lengths.map(_.toLong).sum
             plannedRows += rg.numRows
             if (currentBytes >= effectiveSplitBytes) flush()
@@ -840,7 +934,11 @@ class BtrScan(
 
   override def createReaderFactory(): PartitionReaderFactory =
     new BtrReaderFactory(requiredSchema, filters ++ runtimeFilters,
-      fullStructs = BtrScan.fullStructsOf(dataSchema))
+      fullStructs = BtrScan.fullStructsOf(dataSchema),
+      posCol =
+        if (BtrScan.posColActive(tableSchema))
+          requiredSchema.fieldNames.indexOf(BtrScan.PosMetaCol)
+        else -1)
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
@@ -1286,6 +1384,25 @@ class BtrMicroBatchStream(
         s"btr streaming source: committed offset references files no longer present " +
           s"under $path (data files must be immutable): ${missing.mkString(", ")}")
     }
+    // deletion vectors: the append stream emits a file's CURRENTLY
+    // visible rows when it first appears (masks as of now); deletes that
+    // land after a file streamed are CDC-stream territory, not re-emitted
+    val dvs: Map[String, Array[String]] = {
+      import graft.format.DeletionVector
+      if (!BtrTableMeta.readDeletionVectors(fs, dir)) Map.empty
+      else {
+        val root = fs.makeQualified(dir)
+        BtrLog.latestVersion(fs, root) match {
+          case None => Map.empty
+          case Some(v) =>
+            BtrLog.resolveSnapshot(fs, root, v).files
+              .filter(DeletionVector.isDvRel)
+              .flatMap(rel => DeletionVector.targetOf(rel)
+                .map(t => t -> new Path(root, rel).toString))
+              .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).toArray }
+        }
+      }
+    }
     BtrFooters.readAllIndexed(fs, dir, current).map {
       case (entry, footer) =>
       val needsConsts = partCols.nonEmpty ||
@@ -1298,13 +1415,19 @@ class BtrMicroBatchStream(
             entry.partitionValues.getOrElse(f.name, BtrTableMeta.NullPartition)
           else null
         }
+      var ordinal = 0L
       val groups = footer.rowGroups.map { rg =>
+        val base = ordinal
+        ordinal += rg.numRows
         BtrChunkRange(rg.numRows,
           dataIdx.map(ci => if (ci < rg.columns.length) rg.columns(ci).offset else -1L),
-          dataIdx.map(ci => if (ci < rg.columns.length) rg.columns(ci).length else 0))
+          dataIdx.map(ci => if (ci < rg.columns.length) rg.columns(ci).length else 0),
+          base)
       }
       val reqTags: Array[Int] = colKinds.map(ci => if (ci < 0) 0 else footer.tagOf(ci))
-      BtrInputPartition(entry.path.toString, groups, reqPartValues, reqTags): InputPartition
+      BtrInputPartition(entry.path.toString, groups, reqPartValues, reqTags,
+        dvBlobs = dvs.getOrElse(relName(entry, prefix), Array.empty),
+        fileLen = entry.len): InputPartition
     }
   }
 
@@ -1981,7 +2104,11 @@ class BtrAggReader(
 /** One read split: a set of surviving row groups of one file, with the
   * projected columns' block offsets resolved at planning time.
   */
-final case class BtrChunkRange(numRows: Int, offsets: Array[Long], lengths: Array[Int])
+final case class BtrChunkRange(numRows: Int, offsets: Array[Long], lengths: Array[Int],
+    // 0-based ordinal of this group's first row WITHIN ITS FILE, from the
+    // full footer (chunk skipping never shifts it) — deletion-vector
+    // masks and the _pos metadata column address rows by this ordinal
+    firstOrdinal: Long = 0L)
 
 /** One read split. `partValues` aligns with the required schema: null for
   * data columns (their offsets live in `groups`), the hive directory
@@ -2011,7 +2138,14 @@ final case class BtrInputPartition(
     // key-grouped split grouping (storage-partitioned joins); null for
     // unpartitioned tables, where outputPartitioning reports unknown and
     // Spark never consults this
-    partKey: InternalRow = null
+    partKey: InternalRow = null,
+    // deletion-vector blobs targeting this file (absolute paths; empty =
+    // no mask) and the file's length for the blobs' imposter check
+    dvBlobs: Array[String] = Array.empty,
+    fileLen: Long = -1L,
+    // CDC delete batches INVERT the mask: emit exactly the rows the
+    // blobs delete (the change rows of a DV commit), not the survivors
+    dvEmitDeleted: Boolean = false
 ) extends InputPartition
     with HasPartitionKey {
   override def partitionKey(): InternalRow = partKey
@@ -2071,6 +2205,17 @@ object BtrScan {
     */
   def fileColActive(tableSchema: StructType): Boolean =
     !tableSchema.fieldNames.contains(FileMetaCol)
+
+  /** `_pos` — the row's 0-based ordinal within its data file, from the
+    * footer's group row counts (chunk skipping never shifts it). With
+    * `_file` it forms the row ID of delta-based row-level operations
+    * (deletion-vector DELETE). Suppressed when a data column claims the
+    * name, like `_file`.
+    */
+  val PosMetaCol = "_pos"
+
+  def posColActive(tableSchema: StructType): Boolean =
+    !tableSchema.fieldNames.contains(PosMetaCol)
 
   /** Directory-value string → catalyst value (the HasPartitionKey typing
     * of the same parse [[BtrColumnarReader]] fillConstant does into
@@ -2139,7 +2284,10 @@ class BtrReaderFactory(requiredSchema: StructType, filters: Array[Filter] = Arra
     // full struct types by column name (table schema) — a PRUNED struct
     // in requiredSchema maps its leaves onto file leaf positions through
     // this, and unrequested leaves skip decoding entirely
-    fullStructs: Map[String, StructType] = Map.empty)
+    fullStructs: Map[String, StructType] = Map.empty,
+    // required-schema index of the `_pos` metadata column (-1 = absent):
+    // the reader synthesizes it from each group's firstOrdinal
+    posCol: Int = -1)
     extends PartitionReaderFactory {
   override def supportColumnarReads(partition: InputPartition): Boolean = true
 
@@ -2149,9 +2297,9 @@ class BtrReaderFactory(requiredSchema: StructType, filters: Array[Filter] = Arra
   override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] =
     partition match {
       case packed: BtrPackedInputPartition =>
-        new BtrPackedColumnarReader(packed, requiredSchema, filters, fullStructs)
+        new BtrPackedColumnarReader(packed, requiredSchema, filters, fullStructs, posCol)
       case single: BtrInputPartition =>
-        new BtrColumnarReader(single, requiredSchema, filters, fullStructs)
+        new BtrColumnarReader(single, requiredSchema, filters, fullStructs, posCol)
     }
 }
 
@@ -2161,7 +2309,7 @@ class BtrReaderFactory(requiredSchema: StructType, filters: Array[Filter] = Arra
   */
 class BtrPackedColumnarReader(packed: BtrPackedInputPartition,
     requiredSchema: StructType, filters: Array[Filter],
-    fullStructs: Map[String, StructType] = Map.empty)
+    fullStructs: Map[String, StructType] = Map.empty, posCol: Int = -1)
     extends PartitionReader[ColumnarBatch] {
   private var idx = 0
   private var cur: BtrColumnarReader = null
@@ -2170,7 +2318,8 @@ class BtrPackedColumnarReader(packed: BtrPackedInputPartition,
     while (true) {
       if (cur == null) {
         if (idx >= packed.slices.length) return false
-        cur = new BtrColumnarReader(packed.slices(idx), requiredSchema, filters, fullStructs)
+        cur = new BtrColumnarReader(packed.slices(idx), requiredSchema, filters, fullStructs,
+          posCol)
         idx += 1
       }
       if (cur.next()) return true
@@ -2238,7 +2387,7 @@ final class BtrStringDictionary(entries: Array[Array[Byte]])
   */
 class BtrColumnarReader(partition: BtrInputPartition, requiredSchema: StructType,
     filters: Array[Filter] = Array.empty,
-    fullStructs: Map[String, StructType] = Map.empty)
+    fullStructs: Map[String, StructType] = Map.empty, posCol: Int = -1)
     extends PartitionReader[ColumnarBatch] {
 
   private val fs = new Path(partition.file).getFileSystem(BtrTableMeta.hadoopConf())
@@ -2296,6 +2445,13 @@ class BtrColumnarReader(partition: BtrInputPartition, requiredSchema: StructType
   // hold, and no per-group allocation
   private var vectors: Array[OnHeapColumnVector] = _
   private var batch: ColumnarBatch = _
+  // deletion-vector masking: the decoded vectors stay columnar; groups
+  // with masked rows emit through a row-map-indirected batch instead
+  // (see BtrMaskedColumnVector). Loaded lazily — only DV'd files pay.
+  private var dvMask: graft.format.DeletionVector.FileMask = _
+  private var rowMap: BtrRowMap = _
+  private var maskedBatch: ColumnarBatch = _
+  private var emitMasked = false
   // grow-only per-column compressed-blob scratch (the analog of the
   // reference's thread-local get_level_data buffers, common/Units.hpp:118-129):
   // wide scans would otherwise allocate one Array[Byte] per column per row
@@ -2326,6 +2482,28 @@ class BtrColumnarReader(partition: BtrInputPartition, requiredSchema: StructType
     partition.groups.foreach(gr => if (gr.numRows > maxRows) maxRows = gr.numRows)
     vectors = requiredSchema.fields.map(f => new OnHeapColumnVector(maxRows, f.dataType))
     batch = new ColumnarBatch(vectors.asInstanceOf[Array[ColumnVector]], 0)
+    if (partition.dvBlobs.nonEmpty) {
+      val blobs = partition.dvBlobs.map { bp =>
+        val p = new Path(bp)
+        val blob =
+          try graft.format.DeletionVector.readBlob(p.getFileSystem(BtrTableMeta.hadoopConf()), p)
+          catch {
+            case e: java.io.FileNotFoundException => throw new IllegalStateException(
+              s"btr: deletion vector $bp vanished mid-scan — a concurrent commit " +
+                "rewrote or removed its target; retry the read", e)
+          }
+        // rel-path-reuse imposter check, same discriminator the snapshot
+        // log's recorded sizes use
+        require(partition.fileLen < 0 || blob.expectedTargetLen == partition.fileLen,
+          s"btr: deletion vector $bp targets a file of length ${blob.expectedTargetLen} " +
+            s"but ${partition.file} has length ${partition.fileLen} — rel path reuse")
+        blob
+      }
+      dvMask = new graft.format.DeletionVector.FileMask(blobs)
+      rowMap = new BtrRowMap
+      maskedBatch = new ColumnarBatch(
+        vectors.map(v => new BtrMaskedColumnVector(v, rowMap): ColumnVector), 0)
+    }
     blobBufs = new Array[Array[Byte]](tags.length)
     val hasPart = partition.partValues.nonEmpty
     dataIdxOf = new Array[Int](tags.length)
@@ -2353,7 +2531,12 @@ class BtrColumnarReader(partition: BtrInputPartition, requiredSchema: StructType
   private def fillColumn(c: Int, g: BtrChunkRange): Unit = {
     vectors(c).reset()
     val d = dataIdxOf(c)
-    if (d < 0) {
+    if (c == posCol) {
+      // `_pos` metadata column: within-file ordinals from the footer
+      val v = vectors(c)
+      var i = 0
+      while (i < g.numRows) { v.putLong(i, g.firstOrdinal + i); i += 1 }
+    } else if (d < 0) {
       fillConstant(vectors(c), requiredSchema.fields(c).dataType, partition.partValues(c), g.numRows)
     } else if (g.offsets(d) < 0) {
       // schema evolution: the file predates this column — all null
@@ -2394,7 +2577,20 @@ class BtrColumnarReader(partition: BtrInputPartition, requiredSchema: StructType
       val g = partition.groups(groupIdx)
       ensureInit()
       var survives = true
-      if (preds.nonEmpty) {
+      var deleted: java.util.BitSet = null
+      if (dvMask != null) {
+        deleted = dvMask.deletedIn(g.firstOrdinal, g.numRows)
+        if (partition.dvEmitDeleted) {
+          // CDC delete batch: only groups holding DELETED rows emit
+          if (deleted == null || deleted.isEmpty) survives = false
+        } else if (deleted != null && deleted.cardinality() == g.numRows) {
+          // fully-deleted group: skipped before any decode
+          survives = false
+        }
+      } else if (partition.dvEmitDeleted) {
+        survives = false // no mask, no deleted rows to emit
+      }
+      if (survives && preds.nonEmpty) {
         predCols.foreach(fillColumn(_, g))
         if (!anyRowPasses(g.numRows)) {
           // stats/bloom couldn't prove this group empty but the decoded
@@ -2405,8 +2601,21 @@ class BtrColumnarReader(partition: BtrInputPartition, requiredSchema: StructType
       }
       if (survives) {
         restCols.foreach(fillColumn(_, g))
-        batch.setNumRows(g.numRows)
-        return true
+        if (deleted == null && !partition.dvEmitDeleted) {
+          emitMasked = false
+          batch.setNumRows(g.numRows)
+          return true
+        }
+        val n =
+          if (partition.dvEmitDeleted) rowMap.fillDeleted(deleted, g.numRows)
+          else rowMap.fillSurvivors(deleted, g.numRows)
+        if (n > 0) {
+          emitMasked = true
+          maskedBatch.setNumRows(n)
+          return true
+        }
+        // every survivor masked away (shouldn't happen: full-deletion
+        // short-circuits above) — fall through to the next group
       }
     }
     false // unreachable
@@ -2757,7 +2966,7 @@ class BtrColumnarReader(partition: BtrInputPartition, requiredSchema: StructType
     }
   }
 
-  override def get(): ColumnarBatch = batch
+  override def get(): ColumnarBatch = if (emitMasked) maskedBatch else batch
 
   override def close(): Unit = {
     // only the stream: a concurrent consumer in the same task may still

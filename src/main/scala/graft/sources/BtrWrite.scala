@@ -120,7 +120,8 @@ class BtrWriteBuilder(path: String, schema: StructType, options: CaseInsensitive
       new BtrBatchWrite(path, schema, mode, BtrOptions.blockSize(options),
         BtrOptions.cascade(options), BtrOptions.config(options), partCols,
         retainOpt = BtrOptions.retainRemoved(options),
-        logRetentionOpt = BtrOptions.logRetention(options))
+        logRetentionOpt = BtrOptions.logRetention(options),
+        dvOpt = BtrOptions.deletionVectors(options))
     }
     override def toStreaming: streaming.StreamingWrite = {
       // Complete/Update modes arrive as truncate(); the sink only ever
@@ -365,7 +366,8 @@ object BtrOverwriteMode {
 
 class BtrBatchWrite(path: String, schema: StructType, mode: BtrOverwriteMode, blockSize: Int,
     cascade: Int, cfg: BtrConfig = BtrConfig.Default, partCols: Seq[String] = Nil,
-    retainOpt: Option[Boolean] = None, logRetentionOpt: Option[Int] = None)
+    retainOpt: Option[Boolean] = None, logRetentionOpt: Option[Int] = None,
+    dvOpt: Option[Boolean] = None)
     extends BatchWrite {
 
   private def truncate: Boolean = mode == BtrOverwriteMode.Truncate
@@ -605,7 +607,7 @@ class BtrBatchWrite(path: String, schema: StructType, mode: BtrOverwriteMode, bl
     BtrTableMeta.write(fs, dir,
       if (truncate) schema else BtrWriteSchemas.widened(fs, dir, schema),
       blockSize, cascade, partCols, retainRemoved = retainOpt,
-      logRetention = logRetentionOpt)
+      logRetention = logRetentionOpt, deletionVectors = dvOpt)
     // ingest stats at commit — the analog of the reference's `.stats`
     // files (btrfiles/Parser.cpp:184-189) + OutputBlockStats
     // (compression/Compressor.hpp:10-20): per-column nulls, raw vs

@@ -1,0 +1,165 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Merge-on-read deletion vectors: DELETE on a `btr.deletionVectors`
+  * table writes `_btr_dv/` position blobs instead of rewriting files;
+  * scans mask the ordinals out, time travel rewinds the masks, and data
+  * files stay byte-identical.
+  */
+class BtrDvSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("btr-dv-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  spark.conf.set("spark.sql.catalog.graft", classOf[BtrCatalog].getName)
+
+  private def tmp(name: String) = s"/tmp/btr-dv/$name"
+
+  private def md5(f: java.io.File): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    d.digest(java.nio.file.Files.readAllBytes(f.toPath)).map("%02x".format(_)).mkString
+  }
+
+  private def dataFiles(p: String): Array[java.io.File] = {
+    def walk(d: java.io.File): Array[java.io.File] =
+      Option(d.listFiles()).getOrElse(Array.empty).flatMap { f =>
+        if (f.isDirectory && !f.getName.startsWith("_")) walk(f)
+        else if (f.isFile && f.getName.endsWith(".btr") && !f.getName.startsWith("_")) Array(f)
+        else Array.empty[java.io.File]
+      }
+    walk(new java.io.File(p)).sortBy(_.getPath)
+  }
+
+  private def dvBlobs(p: String): Array[java.io.File] =
+    Option(new java.io.File(p, "_btr_dv").listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".dv")).sortBy(_.getPath)
+
+  test("_pos metadata column carries within-file ordinals") {
+    val p = tmp("pos-col")
+    (0 until 300).map(i => (i, s"s$i")).toDF("v", "s")
+      .coalesce(1).write.format("btr").mode("overwrite").save(p)
+    val rows = spark.read.format("btr").load(p)
+      .select(col("v"), col("_pos")).collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(rows.length == 300)
+    // single file, single writer task: ordinals are 0..299 in v order
+    assert(rows.sortBy(_._1).map(_._2).toSeq == (0L until 300L))
+  }
+
+  test("DELETE writes blobs, leaves data files byte-identical, masks reads") {
+    val p = tmp("basic")
+    (0 until 1000).map(i => (i.toLong, s"r$i")).toDF("v", "s")
+      .coalesce(1).write.format("btr").mode("overwrite")
+      .option("btr.deletionVectors", "true").save(p)
+    (1000 until 2000).map(i => (i.toLong, s"r$i")).toDF("v", "s")
+      .coalesce(1).write.format("btr").mode("append").save(p)
+    val before = dataFiles(p).map(f => f.getName -> md5(f)).toMap
+    assert(before.size == 2)
+
+    // misaligned predicate: would be a 2-file rewrite under copy-on-write
+    spark.sql(s"DELETE FROM graft.`$p` WHERE v % 10 = 3")
+
+    val after = dataFiles(p).map(f => f.getName -> md5(f)).toMap
+    assert(after == before, "deletion-vector DELETE must not touch data files")
+    assert(dvBlobs(p).nonEmpty, "expected _btr_dv blobs")
+
+    val back = spark.read.format("btr").load(p)
+    assert(back.count() == 1800)
+    assert(back.filter($"v" % 10 === 3).count() == 0)
+    assert(back.agg(sum($"v")).head.getLong(0) ==
+      (0L until 2000L).filterNot(_ % 10 == 3).sum)
+  }
+
+  test("successive DELETEs union their masks") {
+    val p = tmp("union")
+    (0 until 500).map(i => (i.toLong, i % 7)).toDF("v", "m")
+      .coalesce(1).write.format("btr").mode("overwrite")
+      .option("btr.deletionVectors", "true").save(p)
+    spark.sql(s"DELETE FROM graft.`$p` WHERE m = 2")
+    spark.sql(s"DELETE FROM graft.`$p` WHERE m = 5")
+    val vs = spark.read.format("btr").load(p).select("v").as[Long].collect().sorted
+    assert(vs.toSeq == (0L until 500L).filter(v => v % 7 != 2 && v % 7 != 5))
+    assert(dataFiles(p).length == 1)
+  }
+
+  test("time travel rewinds the masks; RESTORE drops the blobs") {
+    val p = tmp("travel")
+    (0 until 400).map(i => (i.toLong, s"x$i")).toDF("v", "s")
+      .coalesce(1).write.format("btr").mode("overwrite")
+      .option("btr.deletionVectors", "true").save(p)
+    val fs = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(graft.format.BtrTableMeta.hadoopConf())
+    val root = fs.makeQualified(new org.apache.hadoop.fs.Path(p))
+    val v0 = BtrLog.latestVersion(fs, root).get
+    spark.sql(s"DELETE FROM graft.`$p` WHERE v >= 300")
+    val v1 = BtrLog.latestVersion(fs, root).get
+    assert(v1 == v0 + 1)
+
+    assert(spark.read.format("btr").option("btr.versionAsOf", v0.toString)
+      .load(p).count() == 400)
+    assert(spark.read.format("btr").option("btr.versionAsOf", v1.toString)
+      .load(p).count() == 300)
+    assert(spark.read.format("btr").load(p).count() == 300)
+
+    // RESTORE to the pre-delete version: blobs drop, rows resurrect
+    BtrLog.restore(fs, root, v0)
+    assert(spark.read.format("btr").load(p).count() == 400)
+    assert(dvBlobs(p).isEmpty, "restore past the DELETE must drop its blobs")
+  }
+
+  test("partitioned table: DELETE masks rows without touching files or dirs") {
+    val p = tmp("parts")
+    (0 until 600).map(i => (s"k${i % 3}", i.toLong)).toDF("k", "v")
+      .repartition($"k").write.format("btr").partitionBy("k")
+      .option("btr.deletionVectors", "true").mode("overwrite").save(p)
+    val before = dataFiles(p).map(f => f.getPath -> md5(f)).toMap
+    spark.sql(s"DELETE FROM graft.`$p` WHERE v % 2 = 0 AND k = 'k1'")
+    val after = dataFiles(p).map(f => f.getPath -> md5(f)).toMap
+    assert(after == before)
+    val back = spark.read.format("btr").load(p)
+    assert(back.count() == 600 - 100)
+    assert(back.filter($"k" === "k1").count() == 100)
+    // partition pruning still applies on the masked table
+    assert(back.filter($"k" === "k0").count() == 200)
+  }
+
+  test("multi-row-group files mask per group and skip fully-deleted groups") {
+    val p = tmp("groups")
+    // > 65536 rows in one file → several row groups
+    (0 until 150000).map(i => (i.toLong, i % 100)).toDF("v", "m")
+      .coalesce(1).write.format("btr").mode("overwrite")
+      .option("btr.deletionVectors", "true").save(p)
+    // wipe the first row group entirely plus a band in the second
+    spark.sql(s"DELETE FROM graft.`$p` WHERE v < 65536 OR (v >= 70000 AND v < 70100)")
+    val back = spark.read.format("btr").load(p)
+    assert(back.count() == 150000 - 65536 - 100)
+    assert(back.agg(min($"v")).head.getLong(0) == 65536L)
+    assert(back.filter($"v" >= 70000 && $"v" < 70100).count() == 0)
+    assert(dataFiles(p).length == 1)
+  }
+
+  test("DELETE matching nothing commits nothing") {
+    val p = tmp("noop")
+    (0 until 100).map(i => (i.toLong, s"r$i")).toDF("v", "s")
+      .coalesce(1).write.format("btr").mode("overwrite")
+      .option("btr.deletionVectors", "true").save(p)
+    val fs = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(graft.format.BtrTableMeta.hadoopConf())
+    val root = fs.makeQualified(new org.apache.hadoop.fs.Path(p))
+    val v0 = BtrLog.latestVersion(fs, root).get
+    // modulo predicate: stats can't prove it empty (no metadata-delete
+    // downgrade), the delta plan runs, zero rows match → no version
+    spark.sql(s"DELETE FROM graft.`$p` WHERE v % 103 = 101")
+    assert(BtrLog.latestVersion(fs, root).get == v0, "no-op DELETE must not commit")
+    assert(dvBlobs(p).isEmpty)
+    assert(spark.read.format("btr").load(p).count() == 100)
+  }
+}
