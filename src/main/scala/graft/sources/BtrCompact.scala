@@ -247,11 +247,33 @@ object BtrCompact {
             s"${gone.length} file(s) a concurrent commit has since removed or " +
             s"rewritten (e.g. ${gone.take(3).mkString(", ")}); retry the rewrite.")
       }
+      // the rewrite's read applied the PINNED snapshot's deletion
+      // vectors; a merge-on-read DELETE committed against the sources
+      // since would be silently dropped by the swap — fail loudly
+      if (BtrTableMeta.readDeletionVectors(fs, root)) {
+        import graft.format.DeletionVector
+        val srcRels = entries.map(e => e.path.toUri.getPath.substring(rootLenV)).toSet
+        def dvAt(v: Option[Long]): Set[String] = v.map(x =>
+          BtrLog.resolveSnapshot(fs, qrootV, x).files.filter(DeletionVector.isDvRel)
+            .filter(r => DeletionVector.targetOf(r).exists(srcRels.contains)).toSet)
+          .getOrElse(Set.empty)
+        if (dvAt(BtrLog.latestVersion(fs, qrootV)) != dvAt(latestV)) {
+          fs.delete(staging, true)
+          throw new IllegalStateException(
+            s"btr: concurrent commit conflict at $root — deletion vectors over " +
+              "this rewrite's source files changed after its scan (a concurrent " +
+              "merge-on-read DELETE); retry the rewrite.")
+        }
+      }
     }
+    // a rewritten source's blobs go with it: the output holds survivors
+    // only, and the masks reference ordinals of the dying incarnation
+    val srcBlobRels = graft.format.DeletionVector.blobRelsForTargets(fs, qrootV,
+      entries.map(e => e.path.toUri.getPath.substring(rootLenV)).toSet)
     BtrTableMeta.writeSwapJournal(fs, root,
       java.util.UUID.randomUUID().toString.substring(0, 8),
       Seq(BtrTableMeta.SwapGroup("",
-        staged.map(_.path.getName).toSeq, entries.map(_.path.getName).toSeq)))
+        staged.map(_.path.getName).toSeq, entries.map(_.path.getName).toSeq ++ srcBlobRels)))
     staged.foreach { e =>
       if (!fs.rename(e.path, new Path(root, e.path.getName)))
         throw new java.io.IOException(s"btr rewrite: rename ${e.path} into $root failed")
@@ -260,8 +282,8 @@ object BtrCompact {
       val retain = BtrTableMeta.readRetainRemoved(fs, root)
       val qroot = fs.makeQualified(root)
       val rootLen = qroot.toUri.getPath.length + 1
-      entries.foreach(e => graft.format.BtrRetention.removeDataFile(fs, qroot,
-        e.path.toUri.getPath.substring(rootLen), retain))
+      (entries.map(e => e.path.toUri.getPath.substring(rootLen)) ++ srcBlobRels)
+        .foreach(rel => graft.format.BtrRetention.removeDataFile(fs, qroot, rel, retain))
     }
     // the rewrite re-encoded everything — its commit stats supersede
     val stagedStats = new Path(staging, BtrTableMeta.StatsFile)
@@ -274,7 +296,7 @@ object BtrCompact {
     BtrFooters.refreshIndex(fs, root) // the rewrite replaced every file
     BtrLog.recordDelta(fs, root, "optimize",
       added = staged.map(_.path.getName).toSeq,
-      removed = entries.map(_.path.getName).toSeq)
+      removed = entries.map(_.path.getName).toSeq ++ srcBlobRels)
     (before, staged.length)
   }
 
@@ -351,8 +373,17 @@ object BtrCompact {
           BtrTableMeta.readDoneSwapJournals(fs, qualRoot).flatMap(_._2).flatMap(g =>
             g.finals.map(f => if (g.dir.isEmpty) f else s"${g.dir}/$f"))
       }
+    // files with deletion-vector blobs are ineligible for byte-merging:
+    // a footer splice re-homes rows under NEW ordinals, orphaning every
+    // mask. OPTIMIZE's full rewrite (rewriteWith) applies + drops the
+    // masks instead; physical blob presence is the (conservative) test —
+    // an uncommitted blob's DELETE may commit while the bin merges.
+    val masked: Set[String] =
+      graft.format.DeletionVector.listBlobRels(fs, qualRoot)
+        .flatMap(graft.format.DeletionVector.targetOf).toSet
     val entries = all.filter(keep)
       .filter(e => committedSet.forall(_.contains(relOf(e))))
+      .filterNot(e => masked.contains(relOf(e)))
 
     // bin per (directory, column count, physical tag signature):
     // footer-level merges splice row groups verbatim into one footer, and

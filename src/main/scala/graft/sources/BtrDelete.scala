@@ -197,14 +197,17 @@ object BtrDelete {
       // files aren't merged anywhere; streams must not map them).
       val qualified = fs.makeQualified(dir)
       val rootLen = qualified.toUri.getPath.length + 1
+      val doomedRels = toDelete.map(e => e.path.toUri.getPath.substring(rootLen)).toSeq
+      // a deleted file's deletion-vector blobs go with it (their masks
+      // reference ordinals of the dying incarnation)
+      val doomedAll = doomedRels ++
+        graft.format.DeletionVector.blobRelsForTargets(fs, qualified, doomedRels.toSet)
       BtrTableMeta.writeSwapJournal(fs, dir, s"nm-del-${BtrWriteIds.newWriteId()}",
-        Seq(BtrTableMeta.SwapGroup("", Nil,
-          toDelete.map(e => e.path.toUri.getPath.substring(rootLen)).toSeq)))
+        Seq(BtrTableMeta.SwapGroup("", Nil, doomedAll)))
       locally {
         val retain = BtrTableMeta.readRetainRemoved(fs, dir)
-        toDelete.foreach(e =>
-          graft.format.BtrRetention.removeDataFile(fs, qualified,
-            e.path.toUri.getPath.substring(rootLen), retain))
+        doomedAll.foreach(rel =>
+          graft.format.BtrRetention.removeDataFile(fs, qualified, rel, retain))
       }
       BtrTableMeta.completeSwapJournals(fs, dir)
       // the ingest-stats sidecar aggregates write-time totals; after a
@@ -217,8 +220,14 @@ object BtrDelete {
     locally {
       val qualified = fs.makeQualified(dir)
       val rootLen = qualified.toUri.getPath.length + 1
-      BtrLog.recordDelta(fs, dir, "delete", added = Nil,
-        removed = toDelete.map(e => e.path.toUri.getPath.substring(rootLen)).toSeq)
+      val doomedRels = toDelete.map(e => e.path.toUri.getPath.substring(rootLen)).toSeq
+      // blobs already physically removed above; the log's removed set
+      // must drop them too or snapshots would reference orphaned masks
+      val doomedDv = BtrLog.latestVersion(fs, qualified).toSeq.flatMap(v =>
+        BtrLog.resolveSnapshot(fs, qualified, v).files
+          .filter(graft.format.DeletionVector.isDvRel)
+          .filter(r => graft.format.DeletionVector.targetOf(r).exists(doomedRels.contains)))
+      BtrLog.recordDelta(fs, dir, "delete", added = Nil, removed = doomedRels ++ doomedDv)
     }
   }
 

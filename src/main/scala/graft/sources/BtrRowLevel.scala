@@ -71,6 +71,12 @@ class BtrRowLevelOperation(path: String, tableSchema: StructType, partCols: Seq[
     */
   @volatile private[sources] var replacedFiles: Seq[String] = Nil
 
+  /** Deletion-vector rels the rewrite scan applied while computing row
+    * images (empty on non-DV tables) — the commit conflicts when the
+    * committed set changed since.
+    */
+  @volatile private[sources] var appliedDvRels: Set[String] = Set.empty
+
   override def command(): RowLevelOperation.Command = cmd
 
   /** `_file` rides along so Spark's runtime group filtering can compute
@@ -116,7 +122,7 @@ class BtrRowLevelOperation(path: String, tableSchema: StructType, partCols: Seq[
           (BtrScan.fileColActive(tableSchema) && f.name == BtrScan.FileMetaCol) ||
             f.name == org.apache.spark.sql.catalyst.util.RowDeltaUtils.OPERATION_COLUMN))
         val inner = new BtrBatchWrite(path, rowSchema,
-          BtrOverwriteMode.ReplaceFiles(() => replacedFiles),
+          BtrOverwriteMode.ReplaceFiles(() => replacedFiles, () => appliedDvRels),
           blockSize, cascade, graft.format.BtrConfig.Default, partCols)
         new BatchWrite {
           override def createBatchWriterFactory(pInfo: PhysicalWriteInfo): DataWriterFactory =
@@ -179,7 +185,8 @@ class BtrRowLevelScanBuilder(op: BtrRowLevelOperation, path: String,
       BtrOptions.splitBytes(options), None, partCols,
       BtrOptions.expansionFactor(options), None,
       rewriteGroups = true, preListed = Some(selected),
-      onRewriteNarrowed = Some(entries => op.replacedFiles = entries.map(e => rel(e.path)).toSeq))
+      onRewriteNarrowed = Some(entries => op.replacedFiles = entries.map(e => rel(e.path)).toSeq),
+      onDvApplied = Some(rels => op.appliedDvRels = rels))
   }
 }
 

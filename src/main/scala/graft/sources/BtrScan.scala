@@ -319,7 +319,11 @@ class BtrScan(
     // store FIRST — a live file under a removed rel is a later re-add,
     // and with an equal recorded length the live-first path would serve
     // the new incarnation's bytes as history
-    preferStoreResolution: Boolean = false
+    preferStoreResolution: Boolean = false,
+    // invoked with the deletion-vector rels this scan applies — a paired
+    // row-level rewrite's commit conflicts when the committed set has
+    // changed since (see BtrOverwriteMode.ReplaceFiles)
+    onDvApplied: Option[Set[String] => Unit] = None
 ) extends Scan
     with Batch
     with SupportsRuntimeFiltering
@@ -355,7 +359,8 @@ class BtrScan(
     val dir = new Path(path)
     val fs = dir.getFileSystem(BtrTableMeta.hadoopConf())
     val root = fs.makeQualified(dir)
-    def resolve(rels: Iterable[String]): Map[String, Array[String]] =
+    def resolve(rels: Iterable[String]): Map[String, Array[String]] = {
+      onDvApplied.foreach(_(rels.toSet))
       rels.toSeq.flatMap { rel =>
         DeletionVector.targetOf(rel).map { target =>
           val live = new Path(root, rel)
@@ -369,6 +374,7 @@ class BtrScan(
           target -> p.toString
         }
       }.groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).toArray }
+    }
     onlyFiles match {
       case Some(set) => resolve(set.filter(DeletionVector.isDvRel))
       case None =>

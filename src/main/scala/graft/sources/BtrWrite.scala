@@ -361,7 +361,12 @@ object BtrOverwriteMode {
     * them visible, then drops the replaced sources — crash-atomic at
     * every step (a torn commit rolls back to the pre-operation view).
     */
-  final case class ReplaceFiles(sources: () => Seq[String]) extends BtrOverwriteMode
+  final case class ReplaceFiles(sources: () => Seq[String],
+      // deletion-vector rels the paired scan APPLIED while computing its
+      // row images — the commit conflicts when the committed set for the
+      // sources has changed since (a concurrent merge-on-read DELETE
+      // would be silently dropped by the swap otherwise)
+      appliedDv: () => Set[String] = () => Set.empty) extends BtrOverwriteMode
 }
 
 class BtrBatchWrite(path: String, schema: StructType, mode: BtrOverwriteMode, blockSize: Int,
@@ -473,6 +478,12 @@ class BtrBatchWrite(path: String, schema: StructType, mode: BtrOverwriteMode, bl
     // removed = whatever the mode below replaced
     var logAdded: Seq[String] = committed.toSeq.filter(_.nonEmpty)
     var logRemoved: Seq[String] = Nil
+    // merge-on-read deletion vectors: a removed data file takes its
+    // `_btr_dv/` blobs with it — journaled and retention-routed like the
+    // file itself, and recorded in the log's removed set so snapshots
+    // never reference orphaned masks. Zero cost without a `_btr_dv` dir.
+    def blobsOf(removedRels: Seq[String]): Seq[String] =
+      graft.format.DeletionVector.blobRelsForTargets(fs, dir, removedRels.toSet)
     mode match {
       case BtrOverwriteMode.Truncate =>
         // replace: drop every data file not produced by this write.
@@ -485,9 +496,11 @@ class BtrBatchWrite(path: String, schema: StructType, mode: BtrOverwriteMode, bl
         // mappings must not outlive it
         BtrTableMeta.dropAllSwapState(fs, dir)
         val old = BtrTableMeta.listDataFilesWithPartitions(fs, dir).filterNot(e => isNew(e.path))
-        logRemoved = old.map(e => relOf(e.path)).toSeq
+        // truncate replaces the whole file set: every blob goes
+        logRemoved = old.map(e => relOf(e.path)).toSeq ++
+          graft.format.DeletionVector.listBlobRels(fs, dir)
         journalReplace(committed.toSeq.filter(_.nonEmpty).sorted, logRemoved)
-        old.foreach(e => BtrRetention.removeDataFile(fs, dir, relOf(e.path), retainRemoved))
+        logRemoved.foreach(rel => BtrRetention.removeDataFile(fs, dir, rel, retainRemoved))
       case BtrOverwriteMode.ByFilter(filters) =>
         // delete the PRE-EXISTING rows matching the condition; this
         // write's own files are insert data and never candidates (excluded
@@ -512,8 +525,9 @@ class BtrBatchWrite(path: String, schema: StructType, mode: BtrOverwriteMode, bl
               "changed the table since this overwrite was planned; retry")
         val dels = verdicts.collect { case (e, BtrDelete.MatchAll) => e }
         logRemoved = dels.map(e => relOf(e.path)).toSeq
+        logRemoved = logRemoved ++ blobsOf(logRemoved)
         journalReplace(committed.toSeq.filter(_.nonEmpty).sorted, logRemoved)
-        dels.foreach(e => BtrRetention.removeDataFile(fs, dir, relOf(e.path), retainRemoved))
+        logRemoved.foreach(rel => BtrRetention.removeDataFile(fs, dir, rel, retainRemoved))
       case BtrOverwriteMode.Dynamic =>
         // replace exactly the partition directories this write landed
         // files in: delete their pre-existing files, keep every other
@@ -530,9 +544,10 @@ class BtrBatchWrite(path: String, schema: StructType, mode: BtrOverwriteMode, bl
           touched.contains(parent) && !isNew(e.path)
         }
         logRemoved = dels.map(e => relOf(e.path)).toSeq
+        logRemoved = logRemoved ++ blobsOf(logRemoved)
         journalReplace(committed.toSeq.filter(_.nonEmpty).sorted, logRemoved)
-        dels.foreach(e => BtrRetention.removeDataFile(fs, dir, relOf(e.path), retainRemoved))
-      case BtrOverwriteMode.ReplaceFiles(sourcesThunk) =>
+        logRemoved.foreach(rel => BtrRetention.removeDataFile(fs, dir, rel, retainRemoved))
+      case BtrOverwriteMode.ReplaceFiles(sourcesThunk, appliedDvThunk) =>
         BtrTableMeta.completeSwapJournals(fs, dir)
         // leftover hidden staging from a CRASHED previous rewrite (its
         // journal never published, so nothing else deletes them)
@@ -562,11 +577,31 @@ class BtrBatchWrite(path: String, schema: StructType, mode: BtrOverwriteMode, bl
                 s"read ${gone.length} file(s) a concurrent commit has since " +
                 s"removed or rewritten (e.g. ${gone.take(3).mkString(", ")}). " +
                 "The rewrite's row images are stale; retry the operation.")
+          // merge-on-read deletes committed AGAINST the sources since the
+          // scan applied its masks would be silently dropped by this swap
+          // (the staged row images predate them) — fail loudly instead
+          if (BtrTableMeta.readDeletionVectors(fs, dir)) {
+            import graft.format.DeletionVector
+            val srcSet = sources.toSet
+            def forSources(rels: Iterable[String]): Set[String] = rels.iterator
+              .filter(DeletionVector.isDvRel)
+              .filter(r => DeletionVector.targetOf(r).exists(srcSet.contains)).toSet
+            val qdir = fs.makeQualified(dir)
+            val nowDv = BtrLog.latestVersion(fs, qdir)
+              .map(v => forSources(BtrLog.resolveSnapshot(fs, qdir, v).files))
+              .getOrElse(Set.empty)
+            if (nowDv != forSources(appliedDvThunk()))
+              throw new IllegalStateException(
+                s"btr: concurrent commit conflict at $dir — deletion vectors over " +
+                  "this rewrite's source files changed after its scan (a concurrent " +
+                  "merge-on-read DELETE); the staged row images are stale, retry.")
+          }
         }
+        val srcBlobs = blobsOf(sources)
         logAdded = staged.map(visibleOf)
-        logRemoved = sources
+        logRemoved = sources ++ srcBlobs
         BtrTableMeta.writeSwapJournal(fs, dir, s"nm-$writeId",
-          Seq(BtrTableMeta.SwapGroup("", staged.map(visibleOf), sources)))
+          Seq(BtrTableMeta.SwapGroup("", staged.map(visibleOf), sources ++ srcBlobs)))
         committedForward = true
         staged.foreach { rel =>
           val from = new Path(dir, rel)
@@ -574,7 +609,7 @@ class BtrBatchWrite(path: String, schema: StructType, mode: BtrOverwriteMode, bl
           if (!fs.rename(from, to))
             throw new java.io.IOException(s"btr rewrite: rename $rel -> ${visibleOf(rel)} failed")
         }
-        sources.foreach(relPath => BtrRetention.removeDataFile(fs, dir, relPath, retainRemoved))
+        logRemoved.foreach(relPath => BtrRetention.removeDataFile(fs, dir, relPath, retainRemoved))
       case BtrOverwriteMode.Append =>
         // task-committed files are visible before this driver commit — a
         // concurrent file-aligned DELETE (or partition drop) may have
@@ -646,7 +681,7 @@ class BtrBatchWrite(path: String, schema: StructType, mode: BtrOverwriteMode, bl
     // O(table); the log's checkpoint cadence handles full listings
     BtrLog.recordDelta(fs, dir, mode match {
       case BtrOverwriteMode.Append => "append"
-      case BtrOverwriteMode.ReplaceFiles(_) => "rewrite"
+      case BtrOverwriteMode.ReplaceFiles(_, _) => "rewrite"
       case _ => "overwrite"
     }, added = logAdded, removed = logRemoved)
   }

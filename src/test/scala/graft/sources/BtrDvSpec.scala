@@ -146,6 +146,84 @@ class BtrDvSpec extends AnyFunSuite {
     assert(dataFiles(p).length == 1)
   }
 
+  test("CoW UPDATE on a masked table applies the masks and drops replaced blobs") {
+    val p = tmp("cow-upd")
+    (0 until 800).map(i => (i.toLong, 0L)).toDF("v", "hits")
+      .coalesce(1).write.format("btr").mode("overwrite")
+      .option("btr.deletionVectors", "true").save(p)
+    spark.sql(s"DELETE FROM graft.`$p` WHERE v % 4 = 1")
+    assert(dvBlobs(p).nonEmpty)
+    // UPDATE keeps copy-on-write: the rewrite must drop masked rows and
+    // retire the now-orphaned blobs
+    spark.sql(s"UPDATE graft.`$p` SET hits = 1 WHERE v % 4 = 2")
+    assert(dvBlobs(p).isEmpty, "rewrite must retire the replaced file's blobs")
+    val back = spark.read.format("btr").load(p).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val expect = (0L until 800L).filter(_ % 4 != 1).map(v => (v, if (v % 4 == 2) 1L else 0L))
+    assert(back.toSeq == expect)
+  }
+
+  test("file-aligned metadata DELETE takes the doomed file's blobs with it") {
+    val p = tmp("aligned")
+    (0 until 500).map(i => (i.toLong, i % 5)).toDF("v", "m")
+      .coalesce(1).write.format("btr").mode("overwrite")
+      .option("btr.deletionVectors", "true").save(p)
+    (500 until 1000).map(i => (i.toLong, i % 5)).toDF("v", "m")
+      .coalesce(1).write.format("btr").mode("append").save(p)
+    spark.sql(s"DELETE FROM graft.`$p` WHERE v % 5 = 0") // DV path, blobs on both files
+    assert(dvBlobs(p).length >= 2)
+    // stats-aligned predicate → metadata path deletes the first file whole
+    spark.sql(s"DELETE FROM graft.`$p` WHERE v < 500")
+    assert(dataFiles(p).length == 1)
+    val namesLeft = dvBlobs(p).map(_.getName)
+    assert(namesLeft.forall(n => !graft.format.DeletionVector
+      .targetOf(s"_btr_dv/$n").exists(_.isEmpty)), "sanity")
+    // only the surviving file's blob remains
+    val back = spark.read.format("btr").load(p).select("v").as[Long].collect().sorted
+    assert(back.toSeq == (500L until 1000L).filterNot(_ % 5 == 0))
+    // current snapshot must not reference removed blobs (a fresh scan
+    // resolves them without error — loud failure would throw here)
+    assert(spark.read.format("btr").load(p).count() == back.length)
+  }
+
+  test("OPTIMIZE compact leaves masked files alone; CLUSTER rewrite applies + drops masks") {
+    val p = tmp("optimize")
+    (0 until 300).map(i => (i.toLong, s"a$i")).toDF("v", "s")
+      .coalesce(1).write.format("btr").mode("overwrite")
+      .option("btr.deletionVectors", "true").save(p)
+    (300 until 600).map(i => (i.toLong, s"a$i")).toDF("v", "s")
+      .coalesce(1).write.format("btr").mode("append").save(p)
+    (600 until 900).map(i => (i.toLong, s"a$i")).toDF("v", "s")
+      .coalesce(1).write.format("btr").mode("append").save(p)
+    spark.sql(s"DELETE FROM graft.`$p` WHERE v % 3 = 0 AND v < 300") // masks file 1 only
+    assert(dataFiles(p).length == 3 && dvBlobs(p).length == 1)
+
+    // byte-merge compaction must not splice the masked file
+    val (b, a) = BtrCompact.compact(spark, p, targetBytes = Long.MaxValue)
+    assert(dvBlobs(p).length == 1, "compact must not touch masked files' blobs")
+    val afterCompact = spark.read.format("btr").load(p).select("v").as[Long].collect().sorted
+    assert(afterCompact.toSeq == (0L until 900L).filterNot(v => v % 3 == 0 && v < 300))
+
+    // full rewrite applies the masks physically and drops the blobs
+    BtrCompact.rewriteClustered(spark, p, Seq("v"))
+    assert(dvBlobs(p).isEmpty, "rewrite must retire applied blobs")
+    val afterRewrite = spark.read.format("btr").load(p).select("v").as[Long].collect().sorted
+    assert(afterRewrite.toSeq == afterCompact.toSeq)
+  }
+
+  test("truncate overwrite clears every blob") {
+    val p = tmp("truncate")
+    (0 until 200).map(i => (i.toLong, s"x$i")).toDF("v", "s")
+      .coalesce(1).write.format("btr").mode("overwrite")
+      .option("btr.deletionVectors", "true").save(p)
+    spark.sql(s"DELETE FROM graft.`$p` WHERE v % 2 = 1")
+    assert(dvBlobs(p).nonEmpty)
+    (0 until 50).map(i => (i.toLong, s"y$i")).toDF("v", "s")
+      .coalesce(1).write.format("btr").mode("overwrite").save(p)
+    assert(dvBlobs(p).isEmpty, "truncate must clear the dv dir")
+    assert(spark.read.format("btr").load(p).count() == 50)
+  }
+
   test("DELETE matching nothing commits nothing") {
     val p = tmp("noop")
     (0 until 100).map(i => (i.toLong, s"r$i")).toDF("v", "s")
