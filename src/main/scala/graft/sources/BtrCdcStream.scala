@@ -168,7 +168,7 @@ class BtrCdcMicroBatchStream(
             s"file is physically gone — enable btr.retainRemoved on the table to " +
             "stream across DELETE/OPTIMIZE, or restart from a fresh checkpoint " +
             s"with a full read at v$e"))
-      (entry, "delete", r.removedAt.getOrElse(rel, e))
+      (rel, entry, r.removedAt.getOrElse(rel, e))
     }
 
     val fileActive = BtrScan.fileColActive(tableSchema)
@@ -179,12 +179,54 @@ class BtrCdcMicroBatchStream(
     }
     val dataIdx = colKinds.filter(_ >= 0)
 
-    val all = inserts ++ deletes
-    val meta: Map[String, (String, Long)] =
-      all.map { case (en, ct, v) => en.path.toString -> (ct, v) }.toMap
+    // deletion-vector events: a blob add emits its masked rows as
+    // deletes, a blob drop with a surviving target (RESTORE rewind) as
+    // inserts — always minus the prior blobs' rows. And a removed MASKED
+    // file's delete side serves survivors only, via its removal-time
+    // mask blobs (resolved from the store alongside the file).
+    def resolveBlob(rel: String, sizes: Map[String, Long]): String = {
+      val livep = new Path(root, rel)
+      if (fs.exists(livep)) livep.toString
+      else graft.format.BtrRetention.resolveRemoved(fs, root, rel, sizes.get(rel))
+        .map(_.path.toString).getOrElse(throw new IllegalStateException(
+          s"btr changes stream: deletion vector $rel of range ($s, $e] is " +
+            s"physically gone — enable btr.retainRemoved, or restart from a " +
+            "fresh checkpoint"))
+    }
+    def targetEntry(rel: String, sizes: Map[String, Long]): BtrTableMeta.DataFileEntry =
+      live.get(rel).filter(en => sizes.get(rel).forall(_ == en.len))
+        .orElse(graft.format.BtrRetention.resolveRemoved(fs, root, rel, sizes.get(rel)))
+        .getOrElse(throw new IllegalStateException(
+          s"btr changes stream: deletion-vector target $rel of range ($s, $e] is no " +
+            s"longer present under $root and not retained — history was physically " +
+            "truncated; restart from a fresh checkpoint"))
+    final case class Item(entry: BtrTableMeta.DataFileEntry, changeType: String,
+      version: Long, dvBlobs: Array[String] = Array.empty,
+      dvPrior: Array[String] = Array.empty, emitDeleted: Boolean = false)
+    val dvItems: Seq[Item] =
+      r.dvAdded.map(ev => Item(targetEntry(ev.targetRel, ev.sizes), "delete", ev.version,
+        ev.blobRels.map(resolveBlob(_, ev.sizes)).toArray,
+        ev.priorRels.map(resolveBlob(_, ev.sizes)).toArray, emitDeleted = true)) ++
+      r.dvDropped.map(ev => Item(targetEntry(ev.targetRel, ev.sizes), "insert", ev.version,
+        ev.blobRels.map(resolveBlob(_, ev.sizes)).toArray,
+        ev.priorRels.map(resolveBlob(_, ev.sizes)).toArray, emitDeleted = true))
+    val all: Seq[Item] =
+      inserts.map { case (en, ct, v) => Item(en, ct, v) } ++
+      deletes.map { case (rel, en, v) =>
+        Item(en, "delete", v,
+          r.maskRelsOfRemoved.getOrElse(rel, Nil)
+            .map(resolveBlob(_, r.removedSizes)).toArray)
+      } ++ dvItems
     val dir = new Path(path)
-    BtrFooters.readAllIndexed(fs, dir, all.map(_._1).toArray).map { case (entry, footer) =>
-      val (changeType, version) = meta(entry.path.toString)
+    val footers: Map[String, graft.format.BtrFile.Footer] =
+      BtrFooters.readAllIndexed(fs, dir,
+        all.map(_.entry).groupBy(_.path.toString).values.map(_.head).toArray)
+        .map { case (en, fo) => en.path.toString -> fo }.toMap
+    all.toArray.map { item =>
+      val entry = item.entry
+      val footer = footers(entry.path.toString)
+      val changeType = item.changeType
+      val version = item.version
       val reqPartValues: Array[String] = requiredSchema.fields.map { f =>
         if (f.name == BtrCdc.ChangeTypeCol) changeType
         else if (f.name == BtrCdc.CommitVersionCol) version.toString
@@ -203,7 +245,9 @@ class BtrCdcMicroBatchStream(
           base)
       }
       val reqTags: Array[Int] = colKinds.map(ci => if (ci < 0) 0 else footer.tagOf(ci))
-      BtrInputPartition(entry.path.toString, groups, reqPartValues, reqTags): InputPartition
+      BtrInputPartition(entry.path.toString, groups, reqPartValues, reqTags,
+        dvBlobs = item.dvBlobs, fileLen = entry.len,
+        dvEmitDeleted = item.emitDeleted, dvPriorBlobs = item.dvPrior): InputPartition
     }
   }
 

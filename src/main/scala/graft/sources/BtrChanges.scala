@@ -64,28 +64,53 @@ object BtrChanges {
   final case class Added(toVersion: Long, addedRel: Seq[String], versionOf: Map[String, Long],
       sizes: Map[String, Long] = Map.empty)
 
+  /** One deletion-vector change event: at `version`, `blobRels` were
+    * committed over (or, for a RESTORE rewind, dropped from) `targetRel`.
+    * `priorRels` are the target's blobs that applied just BEFORE (add
+    * events) / still apply AFTER (drop events) — their rows are
+    * subtracted so overlapping or partial histories never double-emit.
+    * `sizes` records the lengths of the target and every named blob at
+    * that point, for retention-store incarnation selection.
+    */
+  final case class DvEvent(version: Long, targetRel: String, blobRels: Seq[String],
+      priorRels: Seq[String], sizes: Map[String, Long])
+
   /** Full range resolution including REMOVALS: like [[resolveAdded]] but
     * never throws on removed history — returns the removed rels with the
     * version each disappeared at, for the retention-backed delete side.
     * `removedSizes` holds each removed file's length just before its
     * removal (the incarnation the retention store must serve).
+    * Deletion-vector rels never appear in `addedRel`/`removedRels`: blob
+    * adds surface as [[DvEvent]]s in `dvAdded` (row-level delete events),
+    * blob drops with a surviving target (RESTORE rewinds) as `dvDropped`
+    * (row-level insert events), and blobs of a removed data file ride
+    * `maskRelsOfRemoved` so the delete side serves the file's SURVIVORS
+    * (its masked rows were already reported when their blob committed).
     */
   final case class Range(added: Added, removedRels: Seq[String],
       removedAt: Map[String, Long], removedAction: Map[String, String],
-      removedSizes: Map[String, Long] = Map.empty)
+      removedSizes: Map[String, Long] = Map.empty,
+      dvAdded: Seq[DvEvent] = Nil, dvDropped: Seq[DvEvent] = Nil,
+      maskRelsOfRemoved: Map[String, Seq[String]] = Map.empty)
 
   def resolveRange(fs: FileSystem, root: Path, fromVersion: Long, toVersion: Long): Range = {
+    import graft.format.DeletionVector.{isDvRel, targetOf}
     require(fromVersion >= 0 && toVersion >= math.max(fromVersion, 1L),
       s"btr: change range is (from, to] with to >= from — got from=$fromVersion to=$toVersion")
     val (base, steps) = BtrLog.walkRange(fs, root, fromVersion, toVersion)
-    val fromSet = base.fileSet
+    val fromSet = base.fileSet.filterNot(isDvRel)
     val toSnap = steps.lastOption.map(_._2).getOrElse(base)
-    val toSet = toSnap.fileSet
+    val toSet = toSnap.fileSet.filterNot(isDvRel)
     val removedAt = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     val removedAction = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val removedSizes = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     val versionOf = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    val dvAdded = scala.collection.mutable.ArrayBuffer.empty[DvEvent]
+    val dvDropped = scala.collection.mutable.ArrayBuffer.empty[DvEvent]
+    val maskRels = scala.collection.mutable.LinkedHashMap.empty[String, Seq[String]]
     var prev = base
+    def blobsOf(snapFiles: Seq[String], target: String): Seq[String] =
+      snapFiles.filter(isDvRel).filter(r => targetOf(r).contains(target))
     steps.foreach { case (e, snap) =>
       val cur = snap.fileSet
       // a base-visible rel disappearing records a delete event — INCLUDING
@@ -100,9 +125,39 @@ object BtrChanges {
         removedAt(f) = e.version
         removedAction(f) = e.action
         prev.sizes.get(f).foreach(removedSizes(f) = _)
+        // masks applying to f when it died: the delete side must serve
+        // the SURVIVORS — masked rows were reported at their blob's commit
+        val masks = blobsOf(prev.files, f)
+        if (masks.nonEmpty) {
+          maskRels(f) = masks
+          masks.foreach(m => prev.sizes.get(m).foreach(removedSizes(m) = _))
+        }
       })
+      // deletion-vector events
+      val curDv = cur.filter(isDvRel)
+      val prevDv = prev.fileSet.filter(isDvRel)
+      (curDv -- prevDv).groupBy(r => targetOf(r).getOrElse("")).foreach { case (t, blobs) =>
+        if (t.nonEmpty) {
+          val prior = blobsOf(prev.files, t)
+          val sized = (blobs.toSeq ++ prior ++ Seq(t)).flatMap(r =>
+            snap.sizes.get(r).orElse(prev.sizes.get(r)).map(r -> _)).toMap
+          dvAdded += DvEvent(e.version, t, blobs.toSeq.sorted, prior, sized)
+        }
+      }
+      (prevDv -- curDv).groupBy(r => targetOf(r).getOrElse("")).foreach { case (t, blobs) =>
+        // blob dropped while its target PERSISTS = a RESTORE (or rolled-
+        // back delete) un-deleting rows: emit them as inserts. A target
+        // removed in the same commit is covered by its masked delete side.
+        if (t.nonEmpty && cur.contains(t)) {
+          val kept = blobsOf(snap.files, t)
+          val sized = (blobs.toSeq ++ kept ++ Seq(t)).flatMap(r =>
+            prev.sizes.get(r).orElse(snap.sizes.get(r)).map(r -> _)).toMap
+          dvDropped += DvEvent(e.version, t, blobs.toSeq.sorted, kept, sized)
+        }
+      }
       cur.foreach { f =>
-        if (!prev.fileSet.contains(f) && toSet.contains(f) && !versionOf.contains(f)
+        if (!isDvRel(f) && !prev.fileSet.contains(f) && toSet.contains(f)
+          && !versionOf.contains(f)
           && (!fromSet.contains(f) || removedAt.contains(f)))
           versionOf(f) = e.version
       }
@@ -114,7 +169,8 @@ object BtrChanges {
     val addedRel = (toSet -- fromSet) ++ removedAt.keysIterator.filter(toSet.contains)
     Range(Added(toSnap.version, addedRel.toSeq.sorted, versionOf.toMap,
         toSnap.sizes.view.filterKeys(addedRel.contains).toMap),
-      removed.toSeq.sorted, removedAt.toMap, removedAction.toMap, removedSizes.toMap)
+      removed.toSeq.sorted, removedAt.toMap, removedAction.toMap, removedSizes.toMap,
+      dvAdded.toSeq, dvDropped.toSeq, maskRels.toMap)
   }
 
   /** Resolve the added-file set of `(from, to]` from the snapshot log.
@@ -130,6 +186,13 @@ object BtrChanges {
     require(toVersion >= math.max(fromVersion, 1L),
       s"btr: change range is (from, to] with to >= from — got from=$fromVersion to=$toVersion")
     val r = resolveRange(fs, root, fromVersion, toVersion)
+    if (r.dvAdded.nonEmpty || r.dvDropped.nonEmpty)
+      throw new IllegalStateException(
+        s"btr: cannot serve file-level changes ($fromVersion, $toVersion] of $root — " +
+          s"the range contains deletion-vector commits (e.g. " +
+          s"v${(r.dvAdded ++ r.dvDropped).map(_.version).min}): rows were deleted " +
+          "in place, so new-files-only would be wrong. Use BtrChanges.between " +
+          "(row-level delete events) or the CDC stream.")
     if (r.removedRels.nonEmpty) {
       // name the commits that removed base files, so the error points at
       // the exact history the fast path cannot represent
@@ -204,11 +267,37 @@ object BtrChanges {
             "truncated")) -> v
     }
 
-    if (r.removedRels.isEmpty) {
+    // deletion-vector change events: one read per DV commit (delete
+    // events of a blob add; insert events of a RESTORE's blob drop),
+    // each emitting exactly the rows that commit masked/unmasked —
+    // read from the STILL-LIVE target file, no rewrite ever happened
+    def readDv(side: String, v: Long) = spark.read.format("btr")
+      .option("btr.changesFromVersion", fromVersion.toString)
+      .option("btr.changesToVersion", toVersion.toString)
+      .option("btr.changesSide", side)
+      .option("btr.changesDvVersion", v.toString)
+      .load(dir)
+    val dvReads: Seq[DataFrame] =
+      r.dvAdded.map(_.version).distinct.sorted.map(v =>
+        readDv("dv-delete", v)
+          .withColumn("_commit_version", lit(v))
+          .withColumn("_change_type", lit("delete"))) ++
+      r.dvDropped.map(_.version).distinct.sorted.map(v =>
+        readDv("dv-insert", v)
+          .withColumn("_commit_version", lit(v))
+          .withColumn("_change_type", lit("insert")))
+
+    if (r.removedRels.isEmpty && dvReads.isEmpty) {
       // pure-append range: the insert-only fast path (strict side —
       // a concurrent removal between resolve and read fails loudly)
       return attributed(read("insert"),
         if (r.added.addedRel.isEmpty) Map.empty else insertAttribution, "insert")
+    }
+    if (r.removedRels.isEmpty) {
+      // appends + in-place deletes only
+      val inserts = attributed(read("insert-lenient"),
+        if (r.added.addedRel.isEmpty) Map.empty else insertAttribution, "insert")
+      return dvReads.foldLeft(inserts)(_ unionByName _)
     }
 
     // removals in range: the retention store supplies the removed files
@@ -248,7 +337,7 @@ object BtrChanges {
     val inserts = attributed(read("insert-lenient"),
       if (r.added.addedRel.isEmpty) Map.empty else insertAttribution, "insert")
     val deletes = attributed(read("delete"), deleteAttribution, "delete")
-    inserts.unionByName(deletes)
+    dvReads.foldLeft(inserts.unionByName(deletes))(_ unionByName _)
   }
 
   /** [[between]] with TIMESTAMP bounds (epoch millis): each bound maps

@@ -549,9 +549,25 @@ object BtrOptions {
     */
   def changesSide(options: CaseInsensitiveStringMap): String = {
     val s = Option(options.get("btr.changesSide")).map(_.trim.toLowerCase).getOrElse("insert")
-    require(s == "insert" || s == "insert-lenient" || s == "delete",
-      s"btr.changesSide must be insert | insert-lenient | delete, got '$s'")
+    require(s == "insert" || s == "insert-lenient" || s == "delete" ||
+      s == "dv-delete" || s == "dv-insert",
+      s"btr.changesSide must be insert | insert-lenient | delete | dv-delete | " +
+        s"dv-insert, got '$s'")
     s
+  }
+
+  /** The single commit version a `dv-delete`/`dv-insert` side serves
+    * (deletion-vector change events attribute per commit).
+    */
+  def changesDvVersion(options: CaseInsensitiveStringMap): Long = {
+    val s = Option(options.get("btr.changesDvVersion")).getOrElse(
+      throw new IllegalArgumentException(
+        "btr: changesSide dv-delete/dv-insert requires btr.changesDvVersion"))
+    try s.trim.toLong
+    catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"btr.changesDvVersion must be a snapshot number, got '$s'")
+    }
   }
 
   /** Opt-in retention of removed files (table meta flag; see

@@ -106,12 +106,16 @@ class BtrDvDeltaWrite(path: String, rowIdSchema: StructType) extends DeltaWrite 
       // between the check above and the log claim would orphan these
       // masks and LOSE the delete — roll the commit back loudly (the
       // compensating entry removes the blobs from the log's file set)
-      // rather than silently resurrecting rows
+      // rather than silently resurrecting rows. The physical removal
+      // routes through retention: on a retained table the change feed
+      // then serves the add/drop pair (which cancels out) instead of
+      // failing on a vanished blob.
       try verifyTargets("post-claim")
       catch {
         case e: IllegalStateException =>
           BtrLog.recordDelta(fs, root, "delete-abort", added = Nil, removed = blobs)
-          cleanup()
+          val retain = BtrTableMeta.readRetainRemoved(fs, root)
+          blobs.foreach(r => graft.format.BtrRetention.removeDataFile(fs, root, r, retain))
           throw e
       }
       // write-time ingest stats now overstate the table — drop the

@@ -279,6 +279,19 @@ object BtrLog {
     prunable(fs, dir).foreach(v => fs.delete(new Path(dir, nameOf(v)), false))
 
   /** Dry-run listing of the log entries a prune would remove (VACUUM). */
+  /** Deletion-vector rels any RETAINED log entry references (checkpoint
+    * file sets + delta adds) — the protected set for VACUUM's orphan
+    * sweep: a physically-present blob outside it belongs to a crashed,
+    * never-recorded commit and is rolled back by removal.
+    */
+  def referencedDvRels(fs: FileSystem, root: Path): Set[String] = {
+    val dir = new Path(root, LogDir)
+    versions(fs, dir).flatMap { v =>
+      val e = readEntry(fs, root, v)
+      (e.files ++ e.add).filter(graft.format.DeletionVector.isDvRel)
+    }.toSet
+  }
+
   def listPrunable(fs: FileSystem, root: Path): Seq[Path] = {
     val dir = new Path(root, LogDir)
     prunable(fs, dir).map(v => new Path(dir, nameOf(v)))

@@ -121,9 +121,30 @@ object BtrVacuum {
       .map(j => Item("converge-journal", j._1.toString)) ++
       BtrTableMeta.listTemps(fs, root, retentionMs)
         .map(p => Item("remove-temp", p.toString)) ++
+      listOrphanDvBlobs(fs, root, cutoff)
+        .map(p => Item("remove-orphan-dv", p.toString)) ++
       graft.format.BtrRetention.listExpired(fs, root, cutoff)
         .map(p => Item("expire-retained", p.toString)) ++
       BtrLog.listPrunable(fs, root).map(p => Item("prune-log", p.toString))
+  }
+
+  /** Deletion-vector blobs no retained log entry references (a crashed
+    * DELETE's never-recorded blobs, or its task `.tmp-` leftovers),
+    * aged past the horizon — removing them rolls the crashed commit
+    * back; scans never applied them (blob discovery is log-resolved).
+    */
+  private def listOrphanDvBlobs(fs: org.apache.hadoop.fs.FileSystem, root: Path,
+      cutoff: Long): Seq[Path] = {
+    import graft.format.DeletionVector
+    val dvDir = new Path(root, DeletionVector.DvDir)
+    if (!fs.exists(dvDir)) return Nil
+    lazy val referenced = BtrLog.referencedDvRels(fs, root)
+    fs.listStatus(dvDir).toSeq.filter { st =>
+      val name = st.getPath.getName
+      st.isFile && st.getModificationTime < cutoff &&
+        (name.startsWith(".tmp-") ||
+          (name.endsWith(".dv") && !referenced(s"${DeletionVector.DvDir}/$name")))
+    }.map(_.getPath)
   }
 
   /** Execute; returns (journals converged, temps removed, store entries
@@ -137,7 +158,9 @@ object BtrVacuum {
     // horizon to them
     val journals = BtrTableMeta.readSwapJournals(fs, root).length.toLong
     BtrTableMeta.completeSwapJournals(fs, root)
-    val temps = BtrTableMeta.vacuumTemps(fs, root, retentionMs)
+    val temps = BtrTableMeta.vacuumTemps(fs, root, retentionMs) +
+      listOrphanDvBlobs(fs, root, System.currentTimeMillis() - retentionMs)
+        .count(p => fs.delete(p, false))
     // horizon includes the current millisecond (expire's bound is
     // strict): RETAIN 0 must expire entries the convergence pass above
     // moved into the store within this same ms

@@ -213,6 +213,8 @@ class BtrScanBuilder(path: String, tableSchema: StructType, options: CaseInsensi
       "btr: a change-feed read (btr.changesFromVersion) cannot also pin a " +
         "time-travel snapshot — the range's `to` bound IS its snapshot")
     var deleteSide = false
+    var dvEmit = false
+    var dvPrior: Set[String] = Set.empty
     val snapshot: Option[BtrLog.Snapshot] =
       if (changesFrom.isDefined) {
         val dir = new Path(path)
@@ -222,6 +224,13 @@ class BtrScanBuilder(path: String, tableSchema: StructType, options: CaseInsensi
           throw new IllegalArgumentException(
             s"btr: no snapshot log at $root — change feeds need commits made " +
               "by a log-aware writer"))
+        def dvEventSnapshot(events: Seq[BtrChanges.DvEvent]): Option[BtrLog.Snapshot] = {
+          dvEmit = true
+          dvPrior = events.flatMap(_.priorRels).toSet
+          val files = events.flatMap(e => e.targetRel +: (e.blobRels ++ e.priorRels)).distinct
+          val sizes = events.flatMap(_.sizes).toMap
+          Some(BtrLog.Snapshot(toV, 0L, "changes-dv", files.sorted, sizes))
+        }
         BtrOptions.changesSide(options) match {
           case "insert" =>
             // strict: refuses removed history (raw-option consumers get
@@ -234,11 +243,25 @@ class BtrScanBuilder(path: String, tableSchema: StructType, options: CaseInsensi
           case "delete" =>
             // the REMOVED files of the range: resolution happens in the
             // scan through the retention store (snapshotVersion = from,
-            // so a vacuumed file fails loudly, never partially)
+            // so a vacuumed file fails loudly, never partially). Blobs
+            // that masked a removed file ride along so the scan serves
+            // its SURVIVORS (masked rows were reported at blob commit).
             val r = BtrChanges.resolveRange(fs, root, changesFrom.get, toV)
             deleteSide = true
+            val maskBlobs = r.maskRelsOfRemoved.values.flatten.toSeq.distinct
             Some(BtrLog.Snapshot(math.max(changesFrom.get, 1L), 0L, "changes-del",
-              r.removedRels, r.removedSizes))
+              r.removedRels ++ maskBlobs, r.removedSizes))
+          case "dv-delete" =>
+            // row-level delete events of ONE deletion-vector commit
+            val v = BtrOptions.changesDvVersion(options)
+            val r = BtrChanges.resolveRange(fs, root, changesFrom.get, toV)
+            dvEventSnapshot(r.dvAdded.filter(_.version == v))
+          case "dv-insert" =>
+            // row-level insert events of ONE blob-dropping commit
+            // (RESTORE rewinding a delete)
+            val v = BtrOptions.changesDvVersion(options)
+            val r = BtrChanges.resolveRange(fs, root, changesFrom.get, toV)
+            dvEventSnapshot(r.dvDropped.filter(_.version == v))
         }
       } else if (travelVersion.isEmpty && travelTs.isEmpty) None
       else {
@@ -266,7 +289,9 @@ class BtrScanBuilder(path: String, tableSchema: StructType, options: CaseInsensi
           snapshotVersion = snapshot.map(_.version),
           onlySizes = snapshot.map(_.sizes).getOrElse(Map.empty),
           readChanges = BtrOptions.readChanges(options),
-          preferStoreResolution = deleteSide)
+          preferStoreResolution = deleteSide,
+          dvEmitDeleted = dvEmit,
+          dvPriorRels = dvPrior)
     }
   }
 }
@@ -323,7 +348,14 @@ class BtrScan(
     // invoked with the deletion-vector rels this scan applies — a paired
     // row-level rewrite's commit conflicts when the committed set has
     // changed since (see BtrOverwriteMode.ReplaceFiles)
-    onDvApplied: Option[Set[String] => Unit] = None
+    onDvApplied: Option[Set[String] => Unit] = None,
+    // change-feed DV event read: emit exactly the rows the onlyFiles dv
+    // blobs delete (not the survivors), minus rows `dvPriorRels` blobs
+    // already masked — the row source of `_change_type='delete'` events
+    // for a deletion-vector commit (and of 'insert' events for a RESTORE
+    // that dropped blobs)
+    dvEmitDeleted: Boolean = false,
+    dvPriorRels: Set[String] = Set.empty
 ) extends Scan
     with Batch
     with SupportsRuntimeFiltering
@@ -354,13 +386,12 @@ class BtrScan(
     * older, state — see [[graft.format.DeletionVector]]). Gated on the
     * table-meta flag so non-DV tables pay nothing.
     */
-  private lazy val dvByTarget: Map[String, Array[String]] = {
+  private lazy val dvResolved: (Map[String, Array[String]], Map[String, Array[String]]) = {
     import graft.format.DeletionVector
     val dir = new Path(path)
     val fs = dir.getFileSystem(BtrTableMeta.hadoopConf())
     val root = fs.makeQualified(dir)
-    def resolve(rels: Iterable[String]): Map[String, Array[String]] = {
-      onDvApplied.foreach(_(rels.toSet))
+    def resolve(rels: Iterable[String]): Map[String, Array[String]] =
       rels.toSeq.flatMap { rel =>
         DeletionVector.targetOf(rel).map { target =>
           val live = new Path(root, rel)
@@ -374,19 +405,22 @@ class BtrScan(
           target -> p.toString
         }
       }.groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).toArray }
-    }
-    onlyFiles match {
-      case Some(set) => resolve(set.filter(DeletionVector.isDvRel))
+    val mainRels: Set[String] = onlyFiles match {
+      case Some(set) => set.filter(DeletionVector.isDvRel) -- dvPriorRels
       case None =>
-        if (!BtrTableMeta.readDeletionVectors(fs, dir)) Map.empty
+        if (!BtrTableMeta.readDeletionVectors(fs, dir)) Set.empty
         else BtrLog.latestVersion(fs, root) match {
-          case None => Map.empty
+          case None => Set.empty
           case Some(v) =>
-            resolve(BtrLog.resolveSnapshot(fs, root, v).files
-              .filter(DeletionVector.isDvRel))
+            BtrLog.resolveSnapshot(fs, root, v).files
+              .filter(DeletionVector.isDvRel).toSet
         }
     }
+    onDvApplied.foreach(_(mainRels))
+    (resolve(mainRels), resolve(dvPriorRels))
   }
+
+  private def dvByTarget: Map[String, Array[String]] = dvResolved._1
 
   private lazy val discovered: Array[(BtrTableMeta.DataFileEntry, BtrFile.Footer)] = {
     // force the DV resolution FIRST: the commit protocol's consistency
@@ -837,19 +871,25 @@ class BtrScan(
                 partValues.getOrElse(pc, BtrTableMeta.NullPartition))
             }.toArray)
         val reqTags: Array[Int] = colKinds.map(ci => if (ci < 0) 0 else footer.tagOf(ci))
+        val fileRel = if (dvByTarget.isEmpty && dvResolved._2.isEmpty) null else dvRelOf(entry.path)
         val dvBlobs: Array[String] =
           if (dvByTarget.isEmpty) Array.empty
-          else dvByTarget.getOrElse(dvRelOf(entry.path), Array.empty)
+          else dvByTarget.getOrElse(fileRel, Array.empty)
+        val dvPrior: Array[String] =
+          if (dvResolved._2.isEmpty) Array.empty
+          else dvResolved._2.getOrElse(fileRel, Array.empty)
         // chunk-skip + group surviving row groups into ~splitBytes splits
         var current = scala.collection.mutable.ArrayBuffer.empty[BtrChunkRange]
         var currentBytes = 0L
         def flush(): Unit = {
-          if (current.nonEmpty) {
+          // a DV event read emits only masked rows: a file with no new
+          // blobs plans nothing at all
+          if (current.nonEmpty && !(dvEmitDeleted && dvBlobs.isEmpty))
             partitions += BtrInputPartition(file.toString, current.toArray, reqPartValues, reqTags,
-              partKey, dvBlobs = dvBlobs, fileLen = entry.len)
-            current = scala.collection.mutable.ArrayBuffer.empty[BtrChunkRange]
-            currentBytes = 0L
-          }
+              partKey, dvBlobs = dvBlobs, fileLen = entry.len,
+              dvEmitDeleted = dvEmitDeleted, dvPriorBlobs = dvPrior)
+          current = scala.collection.mutable.ArrayBuffer.empty[BtrChunkRange]
+          currentBytes = 0L
         }
         var ordinal = 0L // within-file row ordinal, counted BEFORE skipping
         footer.rowGroups.foreach { rg =>
@@ -2151,7 +2191,11 @@ final case class BtrInputPartition(
     fileLen: Long = -1L,
     // CDC delete batches INVERT the mask: emit exactly the rows the
     // blobs delete (the change rows of a DV commit), not the survivors
-    dvEmitDeleted: Boolean = false
+    dvEmitDeleted: Boolean = false,
+    // blobs ALREADY applied before the emitting commit: rows they mask
+    // are subtracted from the emitted set (concurrent same-target
+    // deletes may overlap; an overlap row was already reported)
+    dvPriorBlobs: Array[String] = Array.empty
 ) extends InputPartition
     with HasPartitionKey {
   override def partitionKey(): InternalRow = partKey
@@ -2455,6 +2499,7 @@ class BtrColumnarReader(partition: BtrInputPartition, requiredSchema: StructType
   // with masked rows emit through a row-map-indirected batch instead
   // (see BtrMaskedColumnVector). Loaded lazily — only DV'd files pay.
   private var dvMask: graft.format.DeletionVector.FileMask = _
+  private var dvPriorMask: graft.format.DeletionVector.FileMask = _
   private var rowMap: BtrRowMap = _
   private var maskedBatch: ColumnarBatch = _
   private var emitMasked = false
@@ -2489,7 +2534,7 @@ class BtrColumnarReader(partition: BtrInputPartition, requiredSchema: StructType
     vectors = requiredSchema.fields.map(f => new OnHeapColumnVector(maxRows, f.dataType))
     batch = new ColumnarBatch(vectors.asInstanceOf[Array[ColumnVector]], 0)
     if (partition.dvBlobs.nonEmpty) {
-      val blobs = partition.dvBlobs.map { bp =>
+      def load(paths: Array[String]) = paths.map { bp =>
         val p = new Path(bp)
         val blob =
           try graft.format.DeletionVector.readBlob(p.getFileSystem(BtrTableMeta.hadoopConf()), p)
@@ -2505,7 +2550,9 @@ class BtrColumnarReader(partition: BtrInputPartition, requiredSchema: StructType
             s"but ${partition.file} has length ${partition.fileLen} — rel path reuse")
         blob
       }
-      dvMask = new graft.format.DeletionVector.FileMask(blobs)
+      dvMask = new graft.format.DeletionVector.FileMask(load(partition.dvBlobs))
+      if (partition.dvPriorBlobs.nonEmpty)
+        dvPriorMask = new graft.format.DeletionVector.FileMask(load(partition.dvPriorBlobs))
       rowMap = new BtrRowMap
       maskedBatch = new ColumnarBatch(
         vectors.map(v => new BtrMaskedColumnVector(v, rowMap): ColumnVector), 0)
@@ -2587,7 +2634,12 @@ class BtrColumnarReader(partition: BtrInputPartition, requiredSchema: StructType
       if (dvMask != null) {
         deleted = dvMask.deletedIn(g.firstOrdinal, g.numRows)
         if (partition.dvEmitDeleted) {
-          // CDC delete batch: only groups holding DELETED rows emit
+          // CDC delete batch: only groups holding DELETED rows emit;
+          // rows an earlier commit already masked were already reported
+          if (deleted != null && dvPriorMask != null) {
+            val prior = dvPriorMask.deletedIn(g.firstOrdinal, g.numRows)
+            if (prior != null) deleted.andNot(prior)
+          }
           if (deleted == null || deleted.isEmpty) survives = false
         } else if (deleted != null && deleted.cardinality() == g.numRows) {
           // fully-deleted group: skipped before any decode

@@ -224,6 +224,34 @@ class BtrDvSpec extends AnyFunSuite {
     assert(spark.read.format("btr").load(p).count() == 50)
   }
 
+  test("VACUUM sweeps orphan (never-committed) blobs, keeps referenced ones") {
+    val p = tmp("vacuum")
+    (0 until 200).map(i => (i.toLong, s"r$i")).toDF("v", "s")
+      .coalesce(1).write.format("btr").mode("overwrite")
+      .option("btr.deletionVectors", "true").save(p)
+    spark.sql(s"DELETE FROM graft.`$p` WHERE v % 2 = 0")
+    val committed = dvBlobs(p).map(_.getName).toSet
+    assert(committed.nonEmpty)
+    // plant a crashed commit's leftovers: an unreferenced blob + a task tmp
+    val dvDir = new java.io.File(p, "_btr_dv")
+    val orphan = new java.io.File(dvDir, "part-0.btr.deadbeef-0-0.dv")
+    java.nio.file.Files.write(orphan.toPath,
+      graft.format.DeletionVector.serialize(1L, Array(0L)))
+    val tmpBlob = new java.io.File(dvDir, ".tmp-deadbeef-0-0-0")
+    java.nio.file.Files.write(tmpBlob.toPath, Array[Byte](1, 2, 3))
+    orphan.setLastModified(System.currentTimeMillis() - 100000)
+    tmpBlob.setLastModified(System.currentTimeMillis() - 100000)
+
+    val fs = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(graft.format.BtrTableMeta.hadoopConf())
+    BtrVacuum.run(fs, new org.apache.hadoop.fs.Path(p), retentionMs = 10000)
+    val left = dvBlobs(p).map(_.getName).toSet
+    assert(left == committed, s"expected $committed, got $left")
+    assert(!tmpBlob.exists())
+    // masks still apply after the vacuum
+    assert(spark.read.format("btr").load(p).count() == 100)
+  }
+
   test("DELETE matching nothing commits nothing") {
     val p = tmp("noop")
     (0 until 100).map(i => (i.toLong, s"r$i")).toDF("v", "s")

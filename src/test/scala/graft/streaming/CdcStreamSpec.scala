@@ -72,6 +72,53 @@ class CdcStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("CDC stream serves deletion-vector commits as row-level delete events") {
+    val dir = tmp("dv-events")
+    import spark.implicits._
+    (0 until 100).map(i => (i, s"s$i")).toDF("x", "tag")
+      .repartition(1).write.format("btr")
+      .option("btr.deletionVectors", "true")
+      .option("btr.retainRemoved", "true").mode("overwrite").save(dir) // v1
+    val q = spark.readStream.format("btr")
+      .option("btr.readChanges", "true")
+      .option("btr.startingVersion", "1")
+      .load(dir)
+      .writeStream.format("memory").queryName("cdc_dv_out").start()
+    def emitted() = spark.table("cdc_dv_out")
+      .select(col("x"), col("_change_type"), col("_commit_version"))
+      .as[(Int, String, Long)].collect().sortBy(r => (r._3, r._2, r._1)).toSeq
+    try {
+      // DV DELETE: no file rewritten, stream must emit the masked rows
+      spark.sql(s"DELETE FROM graft.`$dir` WHERE x % 10 = 7")          // v2
+      q.processAllAvailable()
+      assert(emitted() == (7 until 100 by 10).map(x => (x, "delete", 2L)))
+
+      // second DV DELETE emits only the NEWLY masked rows: x%5==2 also
+      // matches x%10==7, but those rows are already gone — only x%10==2
+      // survive to be deleted now
+      spark.sql(s"DELETE FROM graft.`$dir` WHERE x % 5 = 2")           // v3
+      q.processAllAvailable()
+      val second = emitted().filter(_._3 == 3L)
+      assert(second == (2 until 100 by 10).map(x => (x, "delete", 3L)), second.toString)
+
+      // RESTORE across both deletes drops the blobs: re-insert events
+      val (fs, root) = fsRoot(dir)
+      BtrLog.restore(fs, root, 1L)                                     // v4
+      q.processAllAvailable()
+      val reinserts = emitted().filter(_._3 == 4L)
+      val expected = ((7 until 100 by 10) ++ (2 until 100 by 10)).sorted.map(x =>
+        (x, "insert", 4L))
+      assert(reinserts == expected, reinserts.toString)
+
+      // and the whole stream equals the batch feed over the same range
+      val latest = BtrLog.latestVersion(fs, root).get
+      val batch = BtrChanges.between(spark, dir, 1L, latest)
+        .select(col("x"), col("_change_type"), col("_commit_version"))
+        .as[(Int, String, Long)].collect().sortBy(r => (r._3, r._2, r._1)).toSeq
+      assert(emitted() == batch)
+    } finally q.stop()
+  }
+
   test("CDC stream on an UNRETAINED table fails loudly at a removal-crossing batch") {
     val dir = tmp("unretained")
     import spark.implicits._
