@@ -389,6 +389,36 @@ object CoreQueries {
         .orderBy("l_returnflag")
     }),
 
+    // Q-dml-delete-dv: the same misaligned DELETE on a deletion-vector
+    // table — merge-on-read: no data file is rewritten, the delete writes
+    // `_btr_dv/` position blobs and the scan masks them out. The oracle
+    // is identical to the copy-on-write variant, proving the two paths
+    // produce the same rows; the masked count + sum + distinct exercise
+    // the masked columnar read end-to-end.
+    "q_dml_delete_dv" -> ((s, d) => {
+      val dir = Btr.cachePath(d, "lineitem_dml_dv")
+      val done = new java.io.File(dir, "_dml_complete")
+      if (!done.exists()) {
+        Btr.pq(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_returnflag"))
+          .repartition(4)
+          .write.format("btr").mode("overwrite")
+          .option("btr.deletionVectors", "true").save(dir)
+        s.conf.set("spark.sql.catalog.graft", classOf[graft.sources.BtrCatalog].getName)
+        s.sql(s"DELETE FROM graft.`$dir` WHERE l_quantity < 10")
+        require(new java.io.File(dir, "_btr_dv").listFiles()
+          .exists(_.getName.endsWith(".dv")),
+          "q_dml_delete_dv: expected deletion-vector blobs, not a rewrite")
+        java.nio.file.Files.createFile(done.toPath)
+      }
+      s.read.format("btr").load(dir)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("l_quantity") * 100).cast("long")).as("sum_qc"),
+          countDistinct(col("l_orderkey")).as("n_orders"))
+        .orderBy("l_returnflag")
+    }),
+
     // Q-dml-update: SQL UPDATE with a predicate that splits files — the
     // same copy-on-write rewrite, verified end-to-end against a CASE
     // expression in DuckDB (quantities quantize to cent-longs for exact
@@ -1325,6 +1355,12 @@ object CoreQueries {
         |FROM lineitem WHERE l_linenumber <= 2
         |GROUP BY 1 ORDER BY bucket""".stripMargin,
     "q_dml_delete_rowlevel" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qc,
+        | count(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem WHERE l_quantity >= 10
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_dml_delete_dv" ->
       """SELECT l_returnflag, count(*) AS n,
         | CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qc,
         | count(DISTINCT l_orderkey) AS n_orders
