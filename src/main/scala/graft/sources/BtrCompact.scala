@@ -459,6 +459,26 @@ object BtrCompact {
             s"${gone.take(3).mkString(", ")}); merging them would undo that " +
             "commit. Nothing was published; retry the OPTIMIZE.")
       }
+      // a deletion-vector commit that landed on a binned file since
+      // planning would be LOST by the byte splice (its ordinals die with
+      // the source) — re-check and abort; the DV commit's own post-claim
+      // verify covers the reverse interleaving
+      val binnedRels = jobs.flatMap { case (bin, _, _) =>
+        val prefix = rel(bin.dirUri)
+        bin.files.map(f => if (prefix.isEmpty) f else s"$prefix/$f")
+      }.toSet
+      val nowMasked = graft.format.DeletionVector
+        .blobRelsForTargets(fs, qualRoot, binnedRels)
+      if (nowMasked.nonEmpty) {
+        jobs.foreach { case (bin, tmp, _) =>
+          fs.delete(new Path(new Path(new java.net.URI(bin.dirUri)), tmp), false)
+        }
+        throw new IllegalStateException(
+          s"btr: concurrent commit conflict at $root — a merge-on-read DELETE " +
+            s"committed deletion vectors over ${nowMasked.size} file(s) this " +
+            "OPTIMIZE was merging; splicing them would resurrect the deleted " +
+            "rows. Nothing was published; retry the OPTIMIZE.")
+      }
     }
     BtrTableMeta.writeSwapJournal(fs, root, compactId,
       jobs.map { case (bin, _, fin) => BtrTableMeta.SwapGroup(rel(bin.dirUri), Seq(fin), bin.files) })

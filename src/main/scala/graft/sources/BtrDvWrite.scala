@@ -63,7 +63,11 @@ final case class BtrDvCommitMessage(
     // a same-rel file of a different length is a replacement)
     targets: Map[String, Long]) extends WriterCommitMessage
 
-class BtrDvDeltaWrite(path: String, rowIdSchema: StructType) extends DeltaWrite {
+class BtrDvDeltaWrite(path: String, rowIdSchema: StructType,
+    // test-only race injection: runs between the pre-commit conflict
+    // check and the log claim — deterministic stand-in for a commit
+    // landing inside that window (same pattern as BtrCompact.beforeSwap)
+    beforeClaim: () => Unit = () => ()) extends DeltaWrite {
   private val writeId = BtrWriteIds.newWriteId()
 
   override def toBatch: DeltaBatchWrite = new DeltaBatchWrite {
@@ -100,6 +104,7 @@ class BtrDvDeltaWrite(path: String, rowIdSchema: StructType) extends DeltaWrite 
       try verifyTargets("pre-commit")
       catch { case e: IllegalStateException => cleanup(); throw e }
 
+      beforeClaim()
       BtrLog.recordDelta(fs, root, "delete", added = blobs, removed = Nil)
 
       // post-claim re-verify: an OPTIMIZE/rewrite that binned a target

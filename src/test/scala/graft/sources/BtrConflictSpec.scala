@@ -174,4 +174,89 @@ class BtrConflictSpec extends AnyFunSuite {
     val consistency = graft.functions.BtrInspect.fileConsistency(spark, dir)
     assert(consistency.filter(not(col("ok"))).count() == 0)
   }
+
+  // ---- deletion-vector commit races --------------------------------
+
+  private val rowIdSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField(BtrScan.FileMetaCol,
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField(BtrScan.PosMetaCol,
+      org.apache.spark.sql.types.LongType)))
+
+  /** Stage a DV delete of `positions` in the table's single data file
+    * (task blobs written, driver commit NOT yet run).
+    */
+  private def stageDv(dir: String, positions: Seq[Long], beforeClaim: () => Unit = () => ())
+      : (org.apache.spark.sql.connector.write.DeltaBatchWrite, Array[WriterCommitMessage]) = {
+    val (fs, root) = fsRoot(dir)
+    val target = BtrTableMeta.listDataFilesWithPartitions(fs, root).head.path.toString
+    val bw = new BtrDvDeltaWrite(dir, rowIdSchema, beforeClaim).toBatch
+    val w = bw.createBatchWriterFactory(null).createWriter(0, scala.util.Random.nextLong())
+    positions.foreach(p => w.delete(null,
+      InternalRow(org.apache.spark.unsafe.types.UTF8String.fromString(target), p)))
+    (bw, Array(w.commit()))
+  }
+
+  private def dvBlobNames(dir: String): Seq[String] =
+    Option(new java.io.File(dir, "_btr_dv").listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".dv")).map(_.getName).toSeq
+
+  test("a staged DV delete conflicts when a rewrite replaced its target (pre-commit)") {
+    val dir = tmp("dv-pre")
+    import spark.implicits._
+    Seq(1, 2, 3, 4).toDF("x").repartition(1).write.format("btr")
+      .option("btr.deletionVectors", "true").mode("overwrite").save(dir)
+    val (bw, msgs) = stageDv(dir, Seq(0L))
+    // the rewrite wins the race: target replaced before the DV commit
+    BtrCompact.rewriteClustered(spark, dir, Seq("x"))
+    val e = intercept[IllegalStateException] { bw.commit(msgs) }
+    assert(e.getMessage.contains("concurrent commit conflict"), e.getMessage)
+    assert(dvBlobNames(dir).isEmpty, "conflicted commit must clean its blobs")
+    assert(readInts(dir) == Seq(1, 2, 3, 4), "no delete happened")
+    val (fs, root) = fsRoot(dir)
+    assert(BtrLog.readEntry(fs, root, BtrLog.latestVersion(fs, root).get)
+      .action == "optimize")
+  }
+
+  test("a DV commit losing the post-claim race rolls back with a compensating entry") {
+    val dir = tmp("dv-post")
+    import spark.implicits._
+    Seq(1, 2, 3, 4).toDF("x").repartition(1).write.format("btr")
+      .option("btr.deletionVectors", "true").mode("overwrite").save(dir)
+    // the rewrite lands deterministically BETWEEN the DV commit's
+    // pre-check and its log claim — the worst interleaving: the claim
+    // succeeds but the masks are orphaned. The commit must detect it
+    // post-claim, write the compensating entry, and fail loudly.
+    val (bw, msgs) = stageDv(dir, Seq(0L),
+      beforeClaim = () => BtrCompact.rewriteClustered(spark, dir, Seq("x")))
+    val e = intercept[IllegalStateException] { bw.commit(msgs) }
+    assert(e.getMessage.contains("post-claim"), e.getMessage)
+    assert(dvBlobNames(dir).isEmpty, "rolled-back commit must remove its blobs")
+    assert(readInts(dir) == Seq(1, 2, 3, 4), "the delete must be rolled back")
+    val (fs, root) = fsRoot(dir)
+    val latest = BtrLog.latestVersion(fs, root).get
+    assert(BtrLog.readEntry(fs, root, latest).action == "delete-abort")
+    // current and historical scans stay resolvable (no orphaned dv rels)
+    assert(spark.read.format("btr").option("btr.versionAsOf", latest.toString)
+      .load(dir).count() == 4)
+  }
+
+  test("OPTIMIZE racing a DV DELETE aborts instead of losing the delete") {
+    val dir = tmp("dv-compact-race")
+    import spark.implicits._
+    Seq(1, 2).toDF("x").repartition(1).write.format("btr")
+      .option("btr.deletionVectors", "true").mode("overwrite").save(dir)
+    Seq(3, 4).toDF("x").repartition(1).write.format("btr").mode("append").save(dir)
+    // the DV DELETE lands between the compactor's merge tasks and its
+    // swap — splicing the masked file would resurrect x=1
+    val e = intercept[IllegalStateException] {
+      BtrCompact.compact(spark, dir, 128L * 1024 * 1024,
+        beforeSwap = () => spark.sql(s"DELETE FROM graft.`$dir` WHERE x % 2 = 1"))
+    }
+    assert(e.getMessage.contains("merge-on-read DELETE"), e.getMessage)
+    assert(readInts(dir) == Seq(2, 4), "the DELETE's outcome stands")
+    // a retry AFTER the delete skips the masked files and succeeds
+    BtrCompact.compact(spark, dir, 128L * 1024 * 1024)
+    assert(readInts(dir) == Seq(2, 4))
+  }
 }
