@@ -163,6 +163,12 @@ class BtrCdcMicroBatchStream(
     val deletes = r.removedRels.map { rel =>
       val entry = graft.format.BtrRetention
         .resolveRemoved(fs, root, rel, r.removedSizes.get(rel))
+        // a later RESTORE moved the incarnation back out of the store:
+        // live (size-checked) IS the historical bytes
+        .orElse(live.get(rel)
+          .filter(en => r.removedSizes.get(rel).forall(_ == en.len))
+          .filter(_ => BtrChanges.reAddedByRestore(fs, root, rel,
+            r.removedAt.getOrElse(rel, e))))
         .getOrElse(throw new IllegalStateException(
           s"btr changes stream: range ($s, $e] crosses a removal of $rel but the " +
             s"file is physically gone — enable btr.retainRemoved on the table to " +

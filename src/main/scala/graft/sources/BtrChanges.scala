@@ -108,6 +108,7 @@ object BtrChanges {
     val dvAdded = scala.collection.mutable.ArrayBuffer.empty[DvEvent]
     val dvDropped = scala.collection.mutable.ArrayBuffer.empty[DvEvent]
     val maskRels = scala.collection.mutable.LinkedHashMap.empty[String, Seq[String]]
+    val unrepresentable = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     var prev = base
     def blobsOf(snapFiles: Seq[String], target: String): Seq[String] =
       snapFiles.filter(isDvRel).filter(r => targetOf(r).contains(target))
@@ -121,18 +122,29 @@ object BtrChanges {
       // size from the pre-removal snapshot) and pairing it with the
       // re-add's insert below keeps the feed multiset-consistent; the
       // retention store disambiguates incarnations by recorded length.
-      (prev.fileSet & fromSet).foreach(f => if (!cur.contains(f) && !removedAt.contains(f)) {
-        removedAt(f) = e.version
-        removedAction(f) = e.action
-        prev.sizes.get(f).foreach(removedSizes(f) = _)
-        // masks applying to f when it died: the delete side must serve
-        // the SURVIVORS — masked rows were reported at their blob's commit
-        val masks = blobsOf(prev.files, f)
-        if (masks.nonEmpty) {
-          maskRels(f) = masks
-          masks.foreach(m => prev.sizes.get(m).foreach(removedSizes(m) = _))
+      (prev.fileSet & fromSet).foreach { f =>
+        if (!cur.contains(f)) {
+          if (!removedAt.contains(f)) {
+            removedAt(f) = e.version
+            removedAction(f) = e.action
+            prev.sizes.get(f).foreach(removedSizes(f) = _)
+            // masks applying to f when it died: the delete side must serve
+            // the SURVIVORS — masked rows were reported at their blob's commit
+            val masks = blobsOf(prev.files, f)
+            if (masks.nonEmpty) {
+              maskRels(f) = masks
+              masks.foreach(m => prev.sizes.get(m).foreach(removedSizes(m) = _))
+            }
+          } else {
+            // a SECOND removal of the same rel (it was removed, restored,
+            // and removed again inside one range): the set-based sides can
+            // serve one delete incarnation per rel — this history is
+            // unrepresentable in a single range and must fail loudly
+            // (each single-version sub-range IS representable)
+            unrepresentable += (f -> e.version)
+          }
         }
-      })
+      }
       // deletion-vector events
       val curDv = cur.filter(isDvRel)
       val prevDv = prev.fileSet.filter(isDvRel)
@@ -163,6 +175,19 @@ object BtrChanges {
       }
       prev = snap
     }
+    if (unrepresentable.nonEmpty) {
+      val ex = unrepresentable.take(3).map { case (f, v) => s"$f (again at v$v)" }
+      throw new IllegalStateException(
+        s"btr: cannot serve changes ($fromVersion, $toVersion] of $root in ONE range — " +
+          s"${unrepresentable.size} file(s) were removed, restored, and removed AGAIN " +
+          s"inside it (e.g. ${ex.mkString(", ")}); the per-rel sides can serve one " +
+          "delete incarnation each. Split the range at the intermediate versions " +
+          "(every (v, v+1] sub-range is representable) and union the results.")
+    }
+    // a deletion-vector event whose target is TRANSIENT (added and removed
+    // inside the range, so its content never enters the feed) must not
+    // emit: the rows it masks were never inserted
+    def transient(t: String): Boolean = !fromSet.contains(t) && !toSet.contains(t)
     // removed = base files that are gone at `to` PLUS base files removed
     // and re-created mid-range (their re-add is in `addedRel`)
     val removed = (fromSet -- toSet) ++ removedAt.keys
@@ -170,7 +195,33 @@ object BtrChanges {
     Range(Added(toSnap.version, addedRel.toSeq.sorted, versionOf.toMap,
         toSnap.sizes.view.filterKeys(addedRel.contains).toMap),
       removed.toSeq.sorted, removedAt.toMap, removedAction.toMap, removedSizes.toMap,
-      dvAdded.toSeq, dvDropped.toSeq, maskRels.toMap)
+      dvAdded.toSeq.filterNot(ev => transient(ev.targetRel)),
+      dvDropped.toSeq.filterNot(ev => transient(ev.targetRel)), maskRels.toMap)
+  }
+
+  /** True when `rel`'s CURRENT live incarnation provably came back via a
+    * RESTORE after its removal at `removedV` — restore renames the bytes
+    * back out of the store, so live IS the historical incarnation
+    * (callers still size-check). Any other re-creation is new content
+    * that must not masquerade as history. Walks the log forward from the
+    * removal; the LAST absent→present transition names the incarnation's
+    * origin.
+    */
+  private[sources] def reAddedByRestore(fs: FileSystem, root: Path, rel: String,
+      removedV: Long): Boolean = {
+    val latest = BtrLog.latestVersion(fs, root).getOrElse(return false)
+    if (latest <= removedV) return false
+    val (base, steps) =
+      try BtrLog.walkRange(fs, root, removedV, latest)
+      catch { case _: IllegalStateException => return false }
+    var present = base.fileSet.contains(rel)
+    var origin: Option[String] = None
+    steps.foreach { case (e, snap) =>
+      val now = snap.fileSet.contains(rel)
+      if (now && !present) origin = Some(e.action)
+      present = now
+    }
+    present && origin.contains("restore")
   }
 
   /** Resolve the added-file set of `(from, to]` from the snapshot log.
@@ -302,19 +353,17 @@ object BtrChanges {
 
     // removals in range: the retention store supplies the removed files
     // row-level — every removed file must still be resolvable. One
-    // exception to store-only: a removed rel re-added by RESTORE moved
-    // its bytes BACK into the table, so live (size-checked) IS the
-    // removed incarnation; any other re-add is new content and must not
-    // masquerade as history.
+    // exception to store-only: a removed rel whose CURRENT incarnation
+    // came back via RESTORE (in-range or after it) moved its bytes BACK
+    // into the table, so live (size-checked) IS the removed incarnation;
+    // any other re-add is new content and must not masquerade as history.
     val removedEntries = r.removedRels.map { rel =>
       val stored = graft.format.BtrRetention.resolveRemoved(fs, root, rel,
         expectedLen = r.removedSizes.get(rel))
       rel -> stored.orElse {
-        val readdedByRestore = r.added.versionOf.get(rel).exists(v =>
-          BtrLog.readEntry(fs, root, v).action == "restore")
-        if (readdedByRestore)
-          liveByRel.get(rel).filter(e => r.removedSizes.get(rel).forall(_ == e.len))
-        else None
+        liveByRel.get(rel).filter(e => r.removedSizes.get(rel).forall(_ == e.len))
+          .filter(_ => reAddedByRestore(fs, root, rel,
+            r.removedAt.getOrElse(rel, toVersion)))
       }
     }
     val gone = removedEntries.collect { case (rel, None) => rel }
