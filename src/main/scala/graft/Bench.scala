@@ -247,6 +247,47 @@ object Bench {
       case e: Throwable => System.err.println(s"[bench] cdc row failed: ${e.getMessage}")
     }
 
+    // ---- deletion-vector vs copy-on-write DELETE row ------------------
+    // the same misaligned point-ish DELETE on two identical tables: the
+    // merge-on-read path writes KB of position blobs, the copy-on-write
+    // path rewrites every touched file — the ratio is the feature's
+    // reason to exist, and a regression in either path (or in the masked
+    // scan that follows) shows up in the committed artifact
+    var dvDeleteSec = 0.0
+    var cowDeleteSec = 0.0
+    var dvMaskedScanSec = 0.0
+    try {
+      spark.conf.set("spark.sql.catalog.graft",
+        classOf[graft.sources.BtrCatalog].getName)
+      val base = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag").cache()
+      base.count()
+      def freshTable(dir: String, dv: Boolean): Unit = {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+        base.repartition(8).write.format("btr")
+          .option("btr.deletionVectors", dv.toString).mode("overwrite").save(dir)
+      }
+      val dvDir = "/tmp/graft-bench-dv/mor"
+      val cowDir = "/tmp/graft-bench-dv/cow"
+      freshTable(dvDir, dv = true)
+      freshTable(cowDir, dv = false)
+      // misaligned predicate touching every file: the honest worst case
+      // for copy-on-write, the common case for merge-on-read
+      dvDeleteSec = secs {
+        spark.sql(s"DELETE FROM graft.`$dvDir` WHERE l_orderkey % 1000 = 7")
+      }
+      cowDeleteSec = secs {
+        spark.sql(s"DELETE FROM graft.`$cowDir` WHERE l_orderkey % 1000 = 7")
+      }
+      dvMaskedScanSec = secs {
+        spark.read.format("btr").load(dvDir)
+          .agg(org.apache.spark.sql.functions.sum("l_quantity")).collect()
+      }
+      base.unpersist()
+    } catch {
+      case e: Throwable => System.err.println(s"[bench] dv row failed: ${e.getMessage}")
+    }
+
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val ratio = if (btrBytes > 0) inputBytes.toDouble / btrBytes else 0.0
@@ -256,7 +297,7 @@ object Bench {
       if (tryallBytes > 0) sampleLineitemBytes.toDouble / tryallBytes else 0.0
     val loadAfter = loadavg()
     val extras =
-      f""""write_sec":$writeSec%.3f,"scan_sec":$scanSec%.3f,"parquet_bytes":$inputBytes,"btr_bytes":$btrBytes,"parquet_over_btr_ratio":$ratio%.3f,"tryall_write_sec":$tryallSec%.3f,"tryall_bytes":$tryallBytes,"sample_over_tryall_bytes":$selQuality%.3f,"cdc_append_sec":$cdcAppendSec%.3f,"cdc_drain_sec":$cdcDrainSec%.3f,"cdc_rows":$cdcRows,"reps":$reps,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","load_waited_sec":$loadWaited%.1f,"outliers_rechecked":$rechecked"""
+      f""""write_sec":$writeSec%.3f,"scan_sec":$scanSec%.3f,"parquet_bytes":$inputBytes,"btr_bytes":$btrBytes,"parquet_over_btr_ratio":$ratio%.3f,"tryall_write_sec":$tryallSec%.3f,"tryall_bytes":$tryallBytes,"sample_over_tryall_bytes":$selQuality%.3f,"cdc_append_sec":$cdcAppendSec%.3f,"cdc_drain_sec":$cdcDrainSec%.3f,"cdc_rows":$cdcRows,"dv_delete_sec":$dvDeleteSec%.3f,"cow_delete_sec":$cowDeleteSec%.3f,"dv_masked_scan_sec":$dvMaskedScanSec%.3f,"reps":$reps,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","load_waited_sec":$loadWaited%.1f,"outliers_rechecked":$rechecked"""
     val line =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,$extras,"sf":"$sfDir"}"""
     println(line)

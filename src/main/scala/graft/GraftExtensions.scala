@@ -162,6 +162,9 @@ object GraftExtensions {
     tvf("btr_history",
       "btr_history(path) - snapshot versions readable via VERSION/TIMESTAMP AS OF")(
       graft.functions.BtrInspect.history),
+    tvf("btr_dv",
+      "btr_dv(path) - committed deletion-vector blobs: target, masked rows, bytes")(
+      graft.functions.BtrInspect.deletionVectors),
     // change feed: file-level incremental reads (see BtrChanges) — the
     // 2-arg form reads up to the latest version
     (FunctionIdentifier("btr_changes"),

@@ -70,6 +70,30 @@ object BtrInspect {
       .select("column", "rows", "nulls", "raw_bytes", "compressed_bytes", "ratio")
   }
 
+  /** Deletion-vector inventory: one row per COMMITTED blob (log-resolved,
+    * like the scan — a crashed commit's orphan never shows) with its
+    * target file, masked-row count and blob size. `SUM(deleted_rows)` is
+    * the table's mask debt; OPTIMIZE clears it. Empty on non-DV tables.
+    */
+  def deletionVectors(spark: SparkSession, path: String): DataFrame = {
+    import graft.format.DeletionVector
+    import spark.implicits._
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(BtrTableMeta.hadoopConf())
+    val root = fs.makeQualified(dir)
+    val rels: Seq[String] =
+      graft.sources.BtrLog.latestVersion(fs, root) match {
+        case None => Nil
+        case Some(v) => graft.sources.BtrLog.resolveSnapshot(fs, root, v).files
+          .filter(DeletionVector.isDvRel)
+      }
+    rels.map { rel =>
+      val blob = DeletionVector.readBlob(fs, new Path(root, rel))
+      (rel, DeletionVector.targetOf(rel).getOrElse(""), blob.posCount,
+        fs.getFileStatus(new Path(root, rel)).getLen, blob.expectedTargetLen)
+    }.toDF("blob", "target", "deleted_rows", "blob_bytes", "target_len")
+  }
+
   /** Clustering quality per column (the OPTIMIZE decision metric, the
     * analog of Delta's clustering depth): for every row group, the number
     * of row-group [min,max] windows that contain its min point — the

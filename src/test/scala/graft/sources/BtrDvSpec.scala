@@ -252,6 +252,23 @@ class BtrDvSpec extends AnyFunSuite {
     assert(spark.read.format("btr").load(p).count() == 100)
   }
 
+  test("btr_dv TVF inventories committed blobs; OPTIMIZE clears the debt") {
+    val p = tmp("tvf")
+    graft.GraftExtensions.register(spark)
+    (0 until 300).map(i => (i.toLong, s"r$i")).toDF("v", "s")
+      .coalesce(1).write.format("btr").mode("overwrite")
+      .option("btr.deletionVectors", "true").save(p)
+    assert(spark.sql(s"SELECT * FROM btr_dv('$p')").count() == 0)
+    spark.sql(s"DELETE FROM graft.`$p` WHERE v % 3 = 1")
+    val rows = spark.sql(
+      s"SELECT target, deleted_rows FROM btr_dv('$p')").collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(1)).sum == (0 until 300).count(_ % 3 == 1))
+    BtrCompact.rewriteClustered(spark, p, Seq("v"))
+    assert(spark.sql(s"SELECT * FROM btr_dv('$p')").count() == 0,
+      "OPTIMIZE must clear the mask debt")
+  }
+
   test("DELETE matching nothing commits nothing") {
     val p = tmp("noop")
     (0 until 100).map(i => (i.toLong, s"r$i")).toDF("v", "s")
