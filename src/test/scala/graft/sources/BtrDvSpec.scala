@@ -269,6 +269,44 @@ class BtrDvSpec extends AnyFunSuite {
       "OPTIMIZE must clear the mask debt")
   }
 
+  test("masks compose with schema evolution (pre-widening files + added columns)") {
+    val p = tmp("evolution")
+    // generation 1: narrow schema
+    (0 until 300).map(i => (i, s"r$i")).toDF("v", "s")
+      .coalesce(1).write.format("btr").mode("overwrite")
+      .option("btr.deletionVectors", "true").save(p)
+    // generation 2 widens v to long and adds a column
+    (300L until 600L).map(i => (i, s"r$i", i * 2)).toDF("v", "s", "extra")
+      .coalesce(1).write.format("btr").mode("append").save(p)
+    // masks land on BOTH generations
+    spark.sql(s"DELETE FROM graft.`$p` WHERE v % 3 = 0")
+    val back = spark.read.format("btr").load(p)
+    assert(back.count() == (0L until 600L).count(_ % 3 != 0))
+    // pre-widening rows read the added column as null, masked rows gone
+    assert(back.filter(col("extra").isNull).count() == (0 until 300).count(_ % 3 != 0))
+    assert(back.filter(col("v") === 3L || col("v") === 300L).count() == 0)
+    assert(back.agg(sum($"extra")).head.getLong(0) ==
+      (300L until 600L).filterNot(_ % 3 == 0).map(_ * 2).sum)
+  }
+
+  test("masks compose with column mapping (RENAME COLUMN after a DV delete)") {
+    val p = tmp("colmap")
+    (0 until 200).map(i => (i.toLong, s"r$i")).toDF("v", "s")
+      .coalesce(1).write.format("btr").mode("overwrite")
+      .option("btr.deletionVectors", "true").save(p)
+    spark.sql(s"DELETE FROM graft.`$p` WHERE v % 4 = 2")
+    spark.sql(s"ALTER TABLE graft.`$p` RENAME COLUMN v TO val")
+    val back = spark.read.format("btr").load(p)
+    assert(back.columns.toSeq == Seq("val", "s"))
+    assert(back.select("val").as[Long].collect().sorted.toSeq ==
+      (0L until 200L).filterNot(_ % 4 == 2))
+    // and a DELETE through the NEW name still takes the DV path
+    val files = dataFiles(p).map(_.getName).toSet
+    spark.sql(s"DELETE FROM graft.`$p` WHERE val % 4 = 3")
+    assert(dataFiles(p).map(_.getName).toSet == files)
+    assert(back.count() == (0L until 200L).count(v => v % 4 != 2 && v % 4 != 3))
+  }
+
   test("DELETE matching nothing commits nothing") {
     val p = tmp("noop")
     (0 until 100).map(i => (i.toLong, s"r$i")).toDF("v", "s")
