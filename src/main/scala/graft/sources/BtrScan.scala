@@ -183,12 +183,26 @@ class BtrScanBuilder(path: String, tableSchema: StructType, options: CaseInsensi
     val fs = dir.getFileSystem(BtrTableMeta.hadoopConf())
     BtrTableMeta.readDeletionVectors(fs, dir) && {
       val root = fs.makeQualified(dir)
-      val snap =
-        if (travelVersion.isDefined || travelTs.isDefined)
-          try Some(BtrLog.resolve(fs, root, travelVersion, travelTs))
-          catch { case _: Exception => None } // build() re-raises loudly
-        else BtrLog.latestVersion(fs, root).map(BtrLog.resolveSnapshot(fs, root, _))
-      snap.exists(_.files.exists(graft.format.DeletionVector.isDvRel))
+      if (changesFrom.isDefined) {
+        // change-feed reads: footer aggregates are wrong whenever masks
+        // touch the range — a masked removed file's delete side serves
+        // SURVIVORS, and the dv sides serve event rows, never whole files
+        try {
+          changesTo.orElse(BtrLog.latestVersion(fs, root)) match {
+            case None => false
+            case Some(toV) =>
+              val r = BtrChanges.resolveRange(fs, root, changesFrom.get, toV)
+              r.dvAdded.nonEmpty || r.dvDropped.nonEmpty || r.maskRelsOfRemoved.nonEmpty
+          }
+        } catch { case _: Exception => true } // build() raises loudly; stay safe
+      } else {
+        val snap =
+          if (travelVersion.isDefined || travelTs.isDefined)
+            try Some(BtrLog.resolve(fs, root, travelVersion, travelTs))
+            catch { case _: Exception => None } // build() re-raises loudly
+          else BtrLog.latestVersion(fs, root).map(BtrLog.resolveSnapshot(fs, root, _))
+        snap.exists(_.files.exists(graft.format.DeletionVector.isDvRel))
+      }
     }
   }
 

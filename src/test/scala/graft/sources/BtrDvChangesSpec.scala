@@ -90,6 +90,9 @@ class BtrDvChangesSpec extends AnyFunSuite {
       "removed masked file must emit SURVIVORS only")
     // multiset consistency: every row deleted exactly once
     assert(ev.map(_._1).sorted == (0L until 300L))
+    // a COUNT over the feed must not push to footer stats: the delete
+    // side serves survivors, footers would count every row
+    assert(BtrChanges.between(spark, p, v0, v0 + 2).count() == 300)
   }
 
   test("RESTORE across a DV delete emits re-insert events that cancel the deletes") {
