@@ -53,18 +53,74 @@ object BtrMaintenance {
   }
 }
 
-case class BtrOptimizeCommand(tableParts: Seq[String], mode: String, cols: Seq[String])
+case class BtrOptimizeCommand(tableParts: Seq[String], mode: String, cols: Seq[String],
+    where: Option[String] = None)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("path", StringType, nullable = false)(),
     AttributeReference("files_before", LongType, nullable = false)(),
     AttributeReference("files_after", LongType, nullable = false)())
 
+  /** `OPTIMIZE ... WHERE <partition predicate>`: evaluate the predicate
+    * once per file against its TYPED partition-directory values (full
+    * Spark expression power — ranges, IN, functions) and compact only
+    * the matching files. Partition-scoped maintenance is what makes
+    * OPTIMIZE operable at 100 TB: compact yesterday's hot partitions on
+    * a schedule instead of rewriting a year of history.
+    */
+  private def partitionKeep(spark: SparkSession, path: String,
+      pred: String): BtrTableMeta.DataFileEntry => Boolean = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(BtrTableMeta.hadoopConf())
+    val partCols = BtrTableMeta.readPartitionCols(fs, root)
+    require(partCols.nonEmpty,
+      "OPTIMIZE ... WHERE selects partition directories — the table is unpartitioned")
+    val schema = BtrTableMeta.readSchema(fs, root)
+    val fields = partCols.map(c => schema(schema.fieldIndex(c)))
+    def external(dt: org.apache.spark.sql.types.DataType, v: String): Any = {
+      if (v == BtrTableMeta.NullPartition) return null
+      dt match {
+        case org.apache.spark.sql.types.StringType => v
+        case org.apache.spark.sql.types.IntegerType => v.toInt
+        case org.apache.spark.sql.types.LongType => v.toLong
+        case org.apache.spark.sql.types.ShortType => v.toShort
+        case org.apache.spark.sql.types.ByteType => v.toByte
+        case org.apache.spark.sql.types.BooleanType => v.toBoolean
+        case org.apache.spark.sql.types.DateType =>
+          java.sql.Date.valueOf(java.time.LocalDate.parse(v))
+        case org.apache.spark.sql.types.TimestampType =>
+          java.sql.Timestamp.from(java.time.Instant.parse(v))
+        case org.apache.spark.sql.types.TimestampNTZType => java.time.LocalDateTime.parse(v)
+        case other => throw new UnsupportedOperationException(
+          s"btr OPTIMIZE WHERE: partition column type $other")
+      }
+    }
+    val entries = BtrTableMeta.listDataFilesWithPartitions(fs, fs.makeQualified(root))
+    val rows: Seq[Row] = entries.toSeq.map { e =>
+      Row.fromSeq(e.path.toString +: fields.map(f =>
+        external(f.dataType,
+          e.partitionValues.getOrElse(f.name, BtrTableMeta.NullPartition))))
+    }
+    val dfSchema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("__file", StringType, nullable = false) +:
+        fields.map(f => f.copy(nullable = true)))
+    val keepSet = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), dfSchema)
+      .filter(org.apache.spark.sql.functions.expr(pred))
+      .select("__file").collect().map(_.getString(0)).toSet
+    e => keepSet.contains(e.path.toString)
+  }
+
   override def run(spark: SparkSession): Seq[Row] = {
     val path = BtrMaintenance.resolvePath(spark, tableParts)
+    require(where.isEmpty || mode == "COMPACT" || mode == "FULL",
+      "OPTIMIZE ... WHERE applies to compaction modes only (CLUSTER/ZORDER " +
+        "rewrites are unpartitioned whole-table layouts)")
+    val keep = where.map(partitionKeep(spark, path, _)).getOrElse(
+      (_: BtrTableMeta.DataFileEntry) => true)
     val (before, after) = mode match {
-      case "COMPACT" => BtrCompact.compact(spark, path)
-      case "FULL" => BtrCompact.optimizePartitioned(spark, path)
+      case "COMPACT" => BtrCompact.compact(spark, path, keep = keep)
+      case "FULL" => BtrCompact.compact(spark, path, Long.MaxValue, keep = keep)
       case "CLUSTER" =>
         require(cols.nonEmpty, "OPTIMIZE ... CLUSTER BY needs at least one column")
         BtrCompact.rewriteClustered(spark, path, cols)
@@ -199,7 +255,7 @@ case class BtrVacuumCommand(tableParts: Seq[String], retentionMs: Long,
   */
 class BtrSparkSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val OptimizeRe =
-    """(?is)^\s*OPTIMIZE\s+(.+?)(?:\s+(FULL))?(?:\s+(ZORDER|CLUSTER)\s+BY\s*\(([^)]*)\))?\s*;?\s*$""".r
+    """(?is)^\s*OPTIMIZE\s+(.+?)(?:\s+(FULL))?(?:\s+(ZORDER|CLUSTER)\s+BY\s*\(([^)]*)\))?(?:\s+WHERE\s+(.+?))?\s*;?\s*$""".r
   private val VacuumRe =
     """(?is)^\s*VACUUM\s+(.+?)(?:\s+RETAIN\s+(\d+)\s+HOURS)?(?:\s+(DRY\s+RUN))?\s*;?\s*$""".r
   private val RestoreRe =
@@ -212,14 +268,15 @@ class BtrSparkSqlParser(delegate: ParserInterface) extends ParserInterface {
   }
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
-    case OptimizeRe(ref, full, mode, cols) =>
+    case OptimizeRe(ref, full, mode, cols, where) =>
       val m =
         if (mode != null) mode.toUpperCase(java.util.Locale.ROOT)
         else if (full != null) "FULL"
         else "COMPACT"
       BtrOptimizeCommand(
         delegate.parseMultipartIdentifier(ref.trim), m,
-        Option(cols).toSeq.flatMap(_.split(',').map(stripQuotes)).filter(_.nonEmpty))
+        Option(cols).toSeq.flatMap(_.split(',').map(stripQuotes)).filter(_.nonEmpty),
+        where = Option(where).map(_.trim).filter(_.nonEmpty))
     case VacuumRe(ref, hours, dry) =>
       BtrVacuumCommand(
         delegate.parseMultipartIdentifier(ref.trim),

@@ -160,6 +160,42 @@ class GraftExtensionsSpec extends AnyFunSuite {
       spark.sessionState.sqlParser.parsePlan("SELECT 1 AS optimize_me").getClass)
   }
 
+  test("OPTIMIZE ... WHERE compacts only the matching partitions") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.BtrCatalog].getName)
+    val p = "/tmp/btr-maint-sql/w"
+    new scala.reflect.io.Directory(new java.io.File(p)).deleteRecursively()
+    // 4 tiny files per partition day
+    (0 until 4).foreach { i =>
+      Seq(("2025-01-01", i.toLong), ("2025-01-02", i.toLong), ("2025-01-03", i.toLong))
+        .toDF("day", "v").repartition($"day")
+        .write.format("btr").partitionBy("day")
+        .mode(if (i == 0) "overwrite" else "append").save(p)
+    }
+    def filesIn(day: String) =
+      Option(new java.io.File(p, s"day=$day").listFiles()).getOrElse(Array.empty)
+        .count(f => f.getName.endsWith(".btr") && !f.getName.startsWith("_"))
+    assert(filesIn("2025-01-01") == 4 && filesIn("2025-01-03") == 4)
+
+    val parser = new graft.sources.BtrSparkSqlParser(spark.sessionState.sqlParser)
+    val cmd = parser.parsePlan(
+      s"OPTIMIZE graft.`$p` WHERE day < '2025-01-03'")
+      .asInstanceOf[graft.sources.BtrOptimizeCommand]
+    assert(cmd.mode == "COMPACT" && cmd.where.contains("day < '2025-01-03'"))
+    cmd.run(spark)
+    assert(filesIn("2025-01-01") == 1 && filesIn("2025-01-02") == 1,
+      "matching partitions must compact")
+    assert(filesIn("2025-01-03") == 4, "non-matching partition must stay untouched")
+    assert(spark.read.format("btr").load(p).count() == 12)
+
+    // WHERE on CLUSTER/ZORDER refuses loudly
+    val bad = parser.parsePlan(s"OPTIMIZE graft.`$p` ZORDER BY (v) WHERE day = 'x'")
+      .asInstanceOf[graft.sources.BtrOptimizeCommand]
+    val e = intercept[IllegalArgumentException] { bad.run(spark) }
+    assert(e.getMessage.contains("compaction modes"), e.getMessage)
+  }
+
   test("CREATE TABLE ... USING btr PARTITIONED BY lays down hive dirs") {
     val dir = "/tmp/btr-sql-ddl-part"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))

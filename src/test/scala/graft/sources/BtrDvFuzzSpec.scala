@@ -32,7 +32,10 @@ class BtrDvFuzzSpec extends AnyFunSuite {
 
   test("current, versioned and change-feed reads stay exact across random DV histories") {
     val rnd = new scala.util.Random(20260814L)
-    for (round <- 0 until 3) {
+    for (round <- 0 until 4) {
+      // round 3 partitions by x%2: blob rels carry escaped partition
+      // dirs, masks live beside hive directories, restores cross them
+      val partitioned = round == 3
       val dir = s"/tmp/btr-dv-fuzz/r$round"
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
       val root = new Path(dir)
@@ -45,10 +48,16 @@ class BtrDvFuzzSpec extends AnyFunSuite {
       val model = scala.collection.mutable.Map.empty[Long, Seq[Int]]
 
       // seed: retained + deletion vectors, so every history replays
-      (0 until 64).toDF("x").repartition(2).write.format("btr")
-        .option("btr.deletionVectors", "true")
-        .option("btr.retainRemoved", "true")
-        .mode("overwrite").save(dir)
+      locally {
+        val seed = (0 until 64).toDF("x")
+          .withColumn("k", org.apache.spark.sql.functions.pmod(
+            org.apache.spark.sql.functions.col("x"), org.apache.spark.sql.functions.lit(2)))
+        val w = seed.repartition(2).write.format("btr")
+          .option("btr.deletionVectors", "true")
+          .option("btr.retainRemoved", "true")
+          .mode("overwrite")
+        if (partitioned) w.partitionBy("k").save(dir) else w.save(dir)
+      }
       nextVal = 64
       live = (0 until 64).toSeq
       model(latest) = live
@@ -61,8 +70,13 @@ class BtrDvFuzzSpec extends AnyFunSuite {
             val n = 8 + rnd.nextInt(24)
             val vals = (nextVal until nextVal + n).toSeq
             nextVal += n
-            vals.toDF("x").repartition(1 + rnd.nextInt(2))
-              .write.format("btr").mode("append").save(dir)
+            val aw = vals.toDF("x")
+              .withColumn("k", org.apache.spark.sql.functions.pmod(
+                org.apache.spark.sql.functions.col("x"),
+                org.apache.spark.sql.functions.lit(2)))
+              .repartition(1 + rnd.nextInt(2))
+              .write.format("btr").mode("append")
+            if (partitioned) aw.partitionBy("k").save(dir) else aw.save(dir)
             trace += s"v$latest append $n"
             live = (live ++ vals).sorted
           case 1 | 2 => // DV delete (modulo predicate: never stat-aligned)
@@ -85,8 +99,9 @@ class BtrDvFuzzSpec extends AnyFunSuite {
             live = live.filterNot(x => x >= lo && x < hi)
             if (latest == before) assert(live == model(before))
           case 4 => // physical reorganization (applies + drops masks)
-            if (rnd.nextBoolean()) { BtrCompact.rewriteClustered(spark, dir, Seq("x")); trace += s"v$latest rewrite" }
-            else { BtrCompact.compact(spark, dir, 1L << 20); trace += s"v$latest compact" }
+            if (!partitioned && rnd.nextBoolean()) {
+              BtrCompact.rewriteClustered(spark, dir, Seq("x")); trace += s"v$latest rewrite"
+            } else { BtrCompact.compact(spark, dir, 1L << 20); trace += s"v$latest compact" }
           case 5 => // restore to a random recorded version
             val vs = model.keys.toSeq.sorted
             val target = vs(rnd.nextInt(vs.length))
