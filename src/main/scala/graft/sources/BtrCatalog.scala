@@ -230,14 +230,67 @@ class BtrCatalog extends TableCatalog {
             "(int->long, float->double)")
         schema = StructType(schema.fields.updated(idx,
           schema.fields(idx).copy(dataType = upd.newDataType())))
+      case sp: TableChange.SetProperty =>
+        setPolicy(fs, dir, sp.property, Some(sp.value))
+      case rp: TableChange.RemoveProperty =>
+        setPolicy(fs, dir, rp.property, None)
       case other =>
         throw new UnsupportedOperationException(
           s"btr: unsupported ALTER TABLE change $other — supported: ADD COLUMN " +
-            "(trailing, nullable), ALTER COLUMN TYPE (int->long, float->double)")
+            "(trailing, nullable), ALTER COLUMN TYPE (int->long, float->double), " +
+            "SET/UNSET TBLPROPERTIES (btr.retainRemoved, btr.deletionVectors, " +
+            "btr.logRetention)")
     }
     BtrTableMeta.write(fs, dir, schema, blockSize, cascade, partCols)
     new BtrTable(path, schema,
       partCols.map(c => Expressions.identity(c): Transform).toArray)
+  }
+
+  /** ALTER TABLE SET/UNSET TBLPROPERTIES for the table-meta policies.
+    * Disabling deletion vectors while committed blobs exist would
+    * RESURRECT the masked rows — refused until OPTIMIZE folds them in.
+    */
+  private def setPolicy(fs: org.apache.hadoop.fs.FileSystem, dir: Path,
+      key: String, value: Option[String]): Unit = {
+    val schema = BtrTableMeta.readSchema(fs, dir)
+    val partCols = BtrTableMeta.readPartitionCols(fs, dir)
+    val (blockSize, cascade) = BtrTableMeta.readGeometry(fs, dir)
+    def write(retain: Option[Boolean] = None, keep: Option[Int] = None,
+        dv: Option[Boolean] = None): Unit =
+      BtrTableMeta.write(fs, dir, schema, blockSize, cascade, partCols,
+        retainRemoved = retain, logRetention = keep, deletionVectors = dv)
+    key match {
+      case "btr.retainRemoved" =>
+        write(retain = Some(value.exists(_.trim.toBoolean)))
+      case "btr.deletionVectors" =>
+        val enable = value.exists(_.trim.toBoolean)
+        if (!enable) {
+          val root = fs.makeQualified(dir)
+          val debt = BtrLog.latestVersion(fs, root)
+            .map(v => BtrLog.resolveSnapshot(fs, root, v).files
+              .count(graft.format.DeletionVector.isDvRel)).getOrElse(0)
+          require(debt == 0,
+            s"btr: cannot disable deletion vectors at $dir — $debt committed " +
+              "blob(s) still mask rows (disabling would resurrect them); run " +
+              "OPTIMIZE ... CLUSTER/ZORDER BY to fold the masks in first")
+        }
+        write(dv = Some(enable))
+      case "btr.logRetention" =>
+        value match {
+          case Some(v) =>
+            val n = v.trim.toInt
+            require(n >= 2, s"btr.logRetention must be >= 2, got $n")
+            write(keep = Some(n))
+          case None =>
+            // meta write PRESERVES absent options — rewrite without the key
+            // by regenerating the json minus logRetention via a sentinel:
+            // simplest correct form is writing the default back explicitly
+            write(keep = Some(BtrLog.KeepEntries))
+        }
+      case other => throw new UnsupportedOperationException(
+        s"btr: unsupported table property '$other' — supported: " +
+          "btr.retainRemoved, btr.deletionVectors, btr.logRetention")
+    }
   }
 
   /** A table is its directory; DROP removes it (explicit user intent). */

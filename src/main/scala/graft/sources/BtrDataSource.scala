@@ -154,6 +154,25 @@ class BtrTable(path: String, tableSchema: StructType, partitionTransforms: Array
 
   override def schema(): StructType = graft.format.BtrColumnMapping.logical(tableSchema)
 
+  /** Table-meta policies surface through SHOW TBLPROPERTIES / DESCRIBE
+    * EXTENDED; set via CREATE TBLPROPERTIES, write options, or ALTER
+    * TABLE SET TBLPROPERTIES.
+    */
+  override def properties(): util.Map[String, String] = {
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(graft.format.BtrTableMeta.hadoopConf())
+    val m = new util.HashMap[String, String]()
+    try {
+      if (graft.format.BtrTableMeta.readRetainRemoved(fs, dir))
+        m.put("btr.retainRemoved", "true")
+      if (graft.format.BtrTableMeta.readDeletionVectors(fs, dir))
+        m.put("btr.deletionVectors", "true")
+      graft.format.BtrTableMeta.readLogRetention(fs, dir)
+        .foreach(n => m.put("btr.logRetention", n.toString))
+    } catch { case _: java.io.IOException => () } // advisory surface
+    m
+  }
+
   override def partitioning(): Array[Transform] = partitionTransforms
 
   override def capabilities(): util.Set[TableCapability] =

@@ -307,6 +307,33 @@ class BtrDvSpec extends AnyFunSuite {
     assert(back.count() == (0L until 200L).count(v => v % 4 != 2 && v % 4 != 3))
   }
 
+  test("TBLPROPERTIES surface: SHOW, SET enables DV, UNSET refuses while masks exist") {
+    val p = tmp("props")
+    (0 until 100).map(i => (i.toLong, s"r$i")).toDF("v", "s")
+      .coalesce(1).write.format("btr").mode("overwrite").save(p)
+    // not a DV table yet: DELETE takes copy-on-write
+    assert(spark.sql(s"SHOW TBLPROPERTIES graft.`$p`")
+      .filter($"key" === "btr.deletionVectors").count() == 0)
+    spark.sql(s"ALTER TABLE graft.`$p` SET TBLPROPERTIES ('btr.deletionVectors' = 'true')")
+    assert(spark.sql(s"SHOW TBLPROPERTIES graft.`$p`")
+      .filter($"key" === "btr.deletionVectors").head.getString(1) == "true")
+    val files = dataFiles(p).map(_.getName).toSet
+    spark.sql(s"DELETE FROM graft.`$p` WHERE v % 5 = 1")
+    assert(dataFiles(p).map(_.getName).toSet == files, "post-SET delete must be MoR")
+    assert(dvBlobs(p).nonEmpty)
+    // disabling with outstanding masks would resurrect rows — refused
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.`$p` UNSET TBLPROPERTIES ('btr.deletionVectors')")
+    }
+    assert(e.getMessage.contains("OPTIMIZE"), e.getMessage)
+    // after OPTIMIZE folds the masks in, disabling works
+    BtrCompact.rewriteClustered(spark, p, Seq("v"))
+    spark.sql(s"ALTER TABLE graft.`$p` UNSET TBLPROPERTIES ('btr.deletionVectors')")
+    assert(spark.sql(s"SHOW TBLPROPERTIES graft.`$p`")
+      .filter($"key" === "btr.deletionVectors").count() == 0)
+    assert(spark.read.format("btr").load(p).count() == 80)
+  }
+
   test("DELETE matching nothing commits nothing") {
     val p = tmp("noop")
     (0 until 100).map(i => (i.toLong, s"r$i")).toDF("v", "s")
