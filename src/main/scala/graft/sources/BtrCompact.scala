@@ -142,40 +142,104 @@ object BtrCompact {
     * `_`-prefixed subdirectory that scans never list, then swaps:
     * staged files move in (names unique per write), old files delete —
     * same crash posture as [[compact]] (re-run converges; no loss).
-    * Unpartitioned tables only; partitioned layouts cluster within their
-    * directory tree by writing with partitionBy + sorted input instead.
+    * Partitioned tables cluster WITHIN their directories (the partition
+    * columns lead the range ordering and the staged write partitions by
+    * them — directory layout preserved); `where` scopes the rewrite to
+    * matching partitions (predicate over partition columns only).
     */
   def rewriteClustered(
       spark: SparkSession,
       path: String,
       cols: Seq[String],
-      targetBytes: Long = 128L * 1024 * 1024
-  ): (Int, Int) =
-    rewriteWith(spark, path, targetBytes)((df, n) => BtrLayout.clusterBy(df, cols, n))
+      targetBytes: Long = 128L * 1024 * 1024,
+      where: Option[String] = None
+  ): (Int, Int) = {
+    val partCols = BtrTableMeta.readPartitionCols(
+      new Path(path).getFileSystem(BtrTableMeta.hadoopConf()), new Path(path))
+    val ordered = (partCols ++ cols.filterNot(partCols.contains)).toSeq
+    rewriteWith(spark, path, targetBytes, where)((df, n) =>
+      BtrLayout.clusterBy(df, ordered, n))
+  }
 
   /** OPTIMIZE ZORDER: like [[rewriteClustered]] but interleaving the
     * clustering columns' quantile-bucket bits (BtrLayout.zOrderBy), so
     * chunk skipping prunes on EVERY clustered dimension instead of just
-    * the leading one. Same staging + journaled-swap crash posture.
+    * the leading one. Same staging + journaled-swap crash posture. On a
+    * partitioned table the partition columns lead the range ordering
+    * (z-values interleave only the requested data columns).
     */
   def rewriteZOrdered(
       spark: SparkSession,
       path: String,
       cols: Seq[String],
       targetBytes: Long = 128L * 1024 * 1024,
-      bits: Int = 8
-  ): (Int, Int) =
-    rewriteWith(spark, path, targetBytes)((df, n) => BtrLayout.zOrderBy(df, cols, n, bits))
+      bits: Int = 8,
+      where: Option[String] = None
+  ): (Int, Int) = {
+    val partCols = BtrTableMeta.readPartitionCols(
+      new Path(path).getFileSystem(BtrTableMeta.hadoopConf()), new Path(path))
+    rewriteWith(spark, path, targetBytes, where)((df, n) =>
+      BtrLayout.zOrderBy(df, cols, n, bits, prefix = partCols))
+  }
+
+  /** Evaluate a partition predicate once per listed file against its
+    * TYPED directory values (full Spark expression power). Predicates
+    * referencing non-partition columns fail analysis loudly. Shared by
+    * `OPTIMIZE ... WHERE` compaction and partition-scoped rewrites.
+    */
+  def partitionPredicateKeep(spark: SparkSession, path: String,
+      pred: String): BtrTableMeta.DataFileEntry => Boolean = {
+    import org.apache.spark.sql.types._
+    val root = new Path(path)
+    val fs = root.getFileSystem(BtrTableMeta.hadoopConf())
+    val partCols = BtrTableMeta.readPartitionCols(fs, root)
+    require(partCols.nonEmpty,
+      "btr: a partition predicate needs a partitioned table")
+    val schema = BtrTableMeta.readSchema(fs, root)
+    val fields = partCols.map(c => schema(schema.fieldIndex(c)))
+    def external(dt: DataType, v: String): Any = {
+      if (v == BtrTableMeta.NullPartition) return null
+      dt match {
+        case StringType => v
+        case IntegerType => v.toInt
+        case LongType => v.toLong
+        case ShortType => v.toShort
+        case ByteType => v.toByte
+        case BooleanType => v.toBoolean
+        case DateType => java.sql.Date.valueOf(java.time.LocalDate.parse(v))
+        case TimestampType => java.sql.Timestamp.from(java.time.Instant.parse(v))
+        case TimestampNTZType => java.time.LocalDateTime.parse(v)
+        case other => throw new UnsupportedOperationException(
+          s"btr partition predicate: partition column type $other")
+      }
+    }
+    val entries = BtrTableMeta.listDataFilesWithPartitions(fs, fs.makeQualified(root))
+    val rows: Seq[org.apache.spark.sql.Row] = entries.toSeq.map { e =>
+      org.apache.spark.sql.Row.fromSeq(e.path.toString +: fields.map(f =>
+        external(f.dataType,
+          e.partitionValues.getOrElse(f.name, BtrTableMeta.NullPartition))))
+    }
+    val dfSchema = StructType(
+      StructField("__file", StringType, nullable = false) +:
+        fields.map(f => f.copy(nullable = true)))
+    val keepSet = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), dfSchema)
+      .filter(org.apache.spark.sql.functions.expr(pred))
+      .select("__file").collect().map(_.getString(0)).toSet
+    e => keepSet.contains(e.path.toString)
+  }
 
   private def rewriteWith(
       spark: SparkSession,
       path: String,
-      targetBytes: Long
+      targetBytes: Long,
+      where: Option[String] = None
   )(layout: (org.apache.spark.sql.DataFrame, Int) => org.apache.spark.sql.DataFrame): (Int, Int) = {
     val root = new Path(path)
     val fs = root.getFileSystem(BtrTableMeta.hadoopConf())
-    require(BtrTableMeta.readPartitionCols(fs, root).isEmpty,
-      "btr rewriteClustered: partitioned tables cluster within partitions via partitionBy writes")
+    val partCols = BtrTableMeta.readPartitionCols(fs, root)
+    require(where.isEmpty || partCols.nonEmpty,
+      "btr rewrite WHERE: a partition predicate needs a partitioned table")
     graft.format.BtrFs.requireAtomicRename(fs, root)
     BtrTableMeta.completeSwapJournals(fs, root) // converge a crashed swap first
     // rewrite ONLY the committed snapshot's files (same rule as compact():
@@ -187,8 +251,9 @@ object BtrCompact {
     val qrootV = fs.makeQualified(root)
     val latestV = BtrLog.latestVersion(fs, qrootV)
     val rootLenV = qrootV.toUri.getPath.length + 1
+    def relOfPath(p: Path): String = p.toUri.getPath.substring(rootLenV)
     val allListed = BtrTableMeta.listDataFilesWithPartitions(fs, root)
-    val listedRels = allListed.map(e => e.path.toUri.getPath.substring(rootLenV)).toSet
+    val listedRels = allListed.map(e => relOfPath(e.path)).toSet
     // the pinned-snapshot protection only applies when the log COVERS the
     // listing (normal case): a crash-converged swap can leave the log
     // referencing files the convergence replaced, and pinning to that
@@ -197,20 +262,29 @@ object BtrCompact {
     val committedSet: Option[Set[String]] = latestV
       .map(v => BtrLog.resolveSnapshot(fs, qrootV, v).fileSet)
       .filter(_.subsetOf(listedRels))
+    // WHERE scopes the rewrite to matching partitions: the predicate
+    // evaluates over typed DIRECTORY values, and the pinned read below
+    // filters on the same predicate — partition pruning makes them
+    // select exactly the same rows (predicates over data columns fail
+    // the keep evaluation's analysis loudly)
+    val keep = where.map(partitionPredicateKeep(spark, path, _))
+      .getOrElse((_: BtrTableMeta.DataFileEntry) => true)
     val entries = allListed.filter(e =>
-      committedSet.forall(_.contains(e.path.toUri.getPath.substring(rootLenV))))
+      committedSet.forall(_.contains(relOfPath(e.path)))).filter(keep)
     val before = entries.length
     if (before == 0) return (0, 0)
     val staging = new Path(root, "_rewrite_staging")
     fs.delete(staging, true) // leftovers from a crashed rewrite are invisible to scans
     val numFiles = math.max(1, math.ceil(entries.map(_.len).sum.toDouble / targetBytes).toInt)
-    val df =
-      if (committedSet.isDefined && entries.length < allListed.length)
+    val df0 =
+      if (committedSet.isDefined && allListed.exists(e =>
+        !committedSet.get.contains(relOfPath(e.path))))
         // some listed files are uncommitted (an in-flight append's task
         // files): read exactly the committed snapshot so the row set and
         // the removed file set agree, leaving the in-flight files alone
         spark.read.format("btr").option("btr.versionAsOf", latestV.get.toString).load(path)
       else spark.read.format("btr").load(path)
+    val df = where.map(w => df0.filter(org.apache.spark.sql.functions.expr(w))).getOrElse(df0)
     // the rewrite must keep the table's recorded geometry — defaulting
     // here would silently inflate a small-block table's row groups and
     // destroy the chunk-skipping granularity the rewrite exists to restore
@@ -222,10 +296,12 @@ object BtrCompact {
     // staging dir with the table meta and APPENDING makes the writer
     // compute the same tombstone slot projection the final location
     // expects (identity for unmapped tables — meta equals the df schema).
-    BtrTableMeta.write(fs, staging, BtrTableMeta.readSchema(fs, root), blockSize, cascade, Nil)
-    layout(df, numFiles)
+    BtrTableMeta.write(fs, staging, BtrTableMeta.readSchema(fs, root), blockSize, cascade,
+      partCols)
+    val stagedWriter = layout(df, numFiles)
       .write.format("btr").mode("append")
       .option("btr.blockSize", blockSize).option("btr.maxCascadeDepth", cascade)
+    (if (partCols.nonEmpty) stagedWriter.partitionBy(partCols: _*) else stagedWriter)
       .save(staging.toString)
     // swap under a journal: readers see the OLD file set until every
     // staged file is renamed in, then the old set is superseded at once —
@@ -236,10 +312,14 @@ object BtrCompact {
     // rewrite's row images came from the pinned snapshot — if a
     // concurrent DELETE/rewrite removed one of its files since, swapping
     // our staged files in would silently resurrect the superseded rows.
+    val qstaging = fs.makeQualified(staging)
+    val stagingLen = qstaging.toUri.getPath.length + 1
+    val stagedRels = staged.map(e => e.path.toUri.getPath.substring(stagingLen)).toSeq
+    val srcRelsSeq = entries.map(e => relOfPath(e.path)).toSeq
     locally {
       val visibleNow = BtrTableMeta.listDataFilesWithPartitions(fs, root)
-        .map(_.path.getName).toSet
-      val gone = entries.map(_.path.getName).filterNot(visibleNow.contains)
+        .map(e => relOfPath(e.path)).toSet
+      val gone = srcRelsSeq.filterNot(visibleNow.contains)
       if (gone.nonEmpty) {
         fs.delete(staging, true)
         throw new IllegalStateException(
@@ -252,7 +332,7 @@ object BtrCompact {
       // since would be silently dropped by the swap — fail loudly
       if (BtrTableMeta.readDeletionVectors(fs, root)) {
         import graft.format.DeletionVector
-        val srcRels = entries.map(e => e.path.toUri.getPath.substring(rootLenV)).toSet
+        val srcRels = srcRelsSeq.toSet
         def dvAt(v: Option[Long]): Set[String] = v.map(x =>
           BtrLog.resolveSnapshot(fs, qrootV, x).files.filter(DeletionVector.isDvRel)
             .filter(r => DeletionVector.targetOf(r).exists(srcRels.contains)).toSet)
@@ -269,21 +349,23 @@ object BtrCompact {
     // a rewritten source's blobs go with it: the output holds survivors
     // only, and the masks reference ordinals of the dying incarnation
     val srcBlobRels = graft.format.DeletionVector.blobRelsForTargets(fs, qrootV,
-      entries.map(e => e.path.toUri.getPath.substring(rootLenV)).toSet)
+      srcRelsSeq.toSet)
+    // ONE journal group, rel paths as names (Path resolution nests
+    // through partition dirs) — the whole rewrite flips together
     BtrTableMeta.writeSwapJournal(fs, root,
       java.util.UUID.randomUUID().toString.substring(0, 8),
-      Seq(BtrTableMeta.SwapGroup("",
-        staged.map(_.path.getName).toSeq, entries.map(_.path.getName).toSeq ++ srcBlobRels)))
+      Seq(BtrTableMeta.SwapGroup("", stagedRels, srcRelsSeq ++ srcBlobRels)))
     staged.foreach { e =>
-      if (!fs.rename(e.path, new Path(root, e.path.getName)))
+      val rel = e.path.toUri.getPath.substring(stagingLen)
+      val dst = new Path(root, rel)
+      fs.mkdirs(dst.getParent)
+      if (!fs.rename(e.path, dst))
         throw new java.io.IOException(s"btr rewrite: rename ${e.path} into $root failed")
     }
     locally {
       val retain = BtrTableMeta.readRetainRemoved(fs, root)
-      val qroot = fs.makeQualified(root)
-      val rootLen = qroot.toUri.getPath.length + 1
-      (entries.map(e => e.path.toUri.getPath.substring(rootLen)) ++ srcBlobRels)
-        .foreach(rel => graft.format.BtrRetention.removeDataFile(fs, qroot, rel, retain))
+      (srcRelsSeq ++ srcBlobRels)
+        .foreach(rel => graft.format.BtrRetention.removeDataFile(fs, qrootV, rel, retain))
     }
     // the rewrite re-encoded everything — its commit stats supersede
     val stagedStats = new Path(staging, BtrTableMeta.StatsFile)
@@ -293,10 +375,12 @@ object BtrCompact {
     }
     fs.delete(staging, true)
     BtrTableMeta.completeSwapJournals(fs, root) // drops the journal (idempotent)
-    BtrFooters.refreshIndex(fs, root) // the rewrite replaced every file
+    // a partition whose rows were all masked out produces no staged
+    // files — its now-empty directory sweeps like a DELETE's would
+    if (partCols.nonEmpty) BtrDelete.deleteEmptyPartitionDirs(fs, root)
+    BtrFooters.refreshIndex(fs, root) // the rewrite replaced every selected file
     BtrLog.recordDelta(fs, root, "optimize",
-      added = staged.map(_.path.getName).toSeq,
-      removed = entries.map(_.path.getName).toSeq ++ srcBlobRels)
+      added = stagedRels, removed = srcRelsSeq ++ srcBlobRels)
     (before, staged.length)
   }
 

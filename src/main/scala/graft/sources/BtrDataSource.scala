@@ -420,7 +420,11 @@ object BtrLayout {
     * clustering serves only its leading column.
     */
   def zOrderBy(df: org.apache.spark.sql.DataFrame, cols: Seq[String],
-      numFiles: Int = 0, bits: Int = 8): org.apache.spark.sql.DataFrame = {
+      numFiles: Int = 0, bits: Int = 8,
+      // partitioned rewrites: these columns LEAD the range ordering so
+      // rows stay within their partition directories; z interleaves only
+      // the data columns
+      prefix: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{array, col}
     require(cols.length >= 2, "btr zOrderBy: z-ordering needs at least two columns")
     val probs = (1 until (1 << bits)).map(_.toDouble / (1 << bits)).toArray
@@ -432,9 +436,10 @@ object BtrLayout {
     val bounds = cast.stat.approxQuantile(qNames.toArray, probs, 0.01).map(_.toSeq).toSeq
     val z = graft.functions.ZValueExpr.of(
       array(cols.map(col(_).cast("double")): _*), bounds, bits)
+    val order = prefix.map(col) :+ col("__z")
     df.withColumn("__z", z)
-      .repartitionByRange(fileCount(df, numFiles), col("__z"))
-      .sortWithinPartitions("__z")
+      .repartitionByRange(fileCount(df, numFiles), order: _*)
+      .sortWithinPartitions(order: _*)
       .drop("__z")
   }
 

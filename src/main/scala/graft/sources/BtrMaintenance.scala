@@ -61,72 +61,27 @@ case class BtrOptimizeCommand(tableParts: Seq[String], mode: String, cols: Seq[S
     AttributeReference("files_before", LongType, nullable = false)(),
     AttributeReference("files_after", LongType, nullable = false)())
 
-  /** `OPTIMIZE ... WHERE <partition predicate>`: evaluate the predicate
-    * once per file against its TYPED partition-directory values (full
-    * Spark expression power — ranges, IN, functions) and compact only
-    * the matching files. Partition-scoped maintenance is what makes
-    * OPTIMIZE operable at 100 TB: compact yesterday's hot partitions on
-    * a schedule instead of rewriting a year of history.
+  /** `OPTIMIZE ... [CLUSTER/ZORDER BY (...)] WHERE <partition predicate>`:
+    * the predicate evaluates once per file against its TYPED
+    * partition-directory values (full Spark expression power — ranges,
+    * IN, functions; see [[BtrCompact.partitionPredicateKeep]]) and only
+    * matching partitions compact or rewrite. Partition-scoped maintenance
+    * is what makes OPTIMIZE operable at 100 TB: cluster yesterday's hot
+    * partitions on a schedule instead of rewriting a year of history.
     */
-  private def partitionKeep(spark: SparkSession, path: String,
-      pred: String): BtrTableMeta.DataFileEntry => Boolean = {
-    val root = new Path(path)
-    val fs = root.getFileSystem(BtrTableMeta.hadoopConf())
-    val partCols = BtrTableMeta.readPartitionCols(fs, root)
-    require(partCols.nonEmpty,
-      "OPTIMIZE ... WHERE selects partition directories — the table is unpartitioned")
-    val schema = BtrTableMeta.readSchema(fs, root)
-    val fields = partCols.map(c => schema(schema.fieldIndex(c)))
-    def external(dt: org.apache.spark.sql.types.DataType, v: String): Any = {
-      if (v == BtrTableMeta.NullPartition) return null
-      dt match {
-        case org.apache.spark.sql.types.StringType => v
-        case org.apache.spark.sql.types.IntegerType => v.toInt
-        case org.apache.spark.sql.types.LongType => v.toLong
-        case org.apache.spark.sql.types.ShortType => v.toShort
-        case org.apache.spark.sql.types.ByteType => v.toByte
-        case org.apache.spark.sql.types.BooleanType => v.toBoolean
-        case org.apache.spark.sql.types.DateType =>
-          java.sql.Date.valueOf(java.time.LocalDate.parse(v))
-        case org.apache.spark.sql.types.TimestampType =>
-          java.sql.Timestamp.from(java.time.Instant.parse(v))
-        case org.apache.spark.sql.types.TimestampNTZType => java.time.LocalDateTime.parse(v)
-        case other => throw new UnsupportedOperationException(
-          s"btr OPTIMIZE WHERE: partition column type $other")
-      }
-    }
-    val entries = BtrTableMeta.listDataFilesWithPartitions(fs, fs.makeQualified(root))
-    val rows: Seq[Row] = entries.toSeq.map { e =>
-      Row.fromSeq(e.path.toString +: fields.map(f =>
-        external(f.dataType,
-          e.partitionValues.getOrElse(f.name, BtrTableMeta.NullPartition))))
-    }
-    val dfSchema = org.apache.spark.sql.types.StructType(
-      org.apache.spark.sql.types.StructField("__file", StringType, nullable = false) +:
-        fields.map(f => f.copy(nullable = true)))
-    val keepSet = spark.createDataFrame(
-        spark.sparkContext.parallelize(rows, 1), dfSchema)
-      .filter(org.apache.spark.sql.functions.expr(pred))
-      .select("__file").collect().map(_.getString(0)).toSet
-    e => keepSet.contains(e.path.toString)
-  }
-
   override def run(spark: SparkSession): Seq[Row] = {
     val path = BtrMaintenance.resolvePath(spark, tableParts)
-    require(where.isEmpty || mode == "COMPACT" || mode == "FULL",
-      "OPTIMIZE ... WHERE applies to compaction modes only (CLUSTER/ZORDER " +
-        "rewrites are unpartitioned whole-table layouts)")
-    val keep = where.map(partitionKeep(spark, path, _)).getOrElse(
+    val keep = where.map(BtrCompact.partitionPredicateKeep(spark, path, _)).getOrElse(
       (_: BtrTableMeta.DataFileEntry) => true)
     val (before, after) = mode match {
       case "COMPACT" => BtrCompact.compact(spark, path, keep = keep)
       case "FULL" => BtrCompact.compact(spark, path, Long.MaxValue, keep = keep)
       case "CLUSTER" =>
         require(cols.nonEmpty, "OPTIMIZE ... CLUSTER BY needs at least one column")
-        BtrCompact.rewriteClustered(spark, path, cols)
+        BtrCompact.rewriteClustered(spark, path, cols, where = where)
       case "ZORDER" =>
         require(cols.nonEmpty, "OPTIMIZE ... ZORDER BY needs at least one column")
-        BtrCompact.rewriteZOrdered(spark, path, cols)
+        BtrCompact.rewriteZOrdered(spark, path, cols, where = where)
     }
     Seq(Row(path, before.toLong, after.toLong))
   }

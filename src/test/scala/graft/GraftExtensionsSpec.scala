@@ -189,11 +189,22 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(filesIn("2025-01-03") == 4, "non-matching partition must stay untouched")
     assert(spark.read.format("btr").load(p).count() == 12)
 
-    // WHERE on CLUSTER/ZORDER refuses loudly
-    val bad = parser.parsePlan(s"OPTIMIZE graft.`$p` ZORDER BY (v) WHERE day = 'x'")
+    // CLUSTER rewrite scoped to ONE partition: other dirs stay untouched
+    val jan3 = Option(new java.io.File(p, "day=2025-01-03").listFiles())
+      .getOrElse(Array.empty).filter(_.getName.endsWith(".btr")).map(_.getName).toSet
+    val cw = parser.parsePlan(
+      s"OPTIMIZE graft.`$p` CLUSTER BY (v) WHERE day = '2025-01-02'")
       .asInstanceOf[graft.sources.BtrOptimizeCommand]
-    val e = intercept[IllegalArgumentException] { bad.run(spark) }
-    assert(e.getMessage.contains("compaction modes"), e.getMessage)
+    assert(cw.mode == "CLUSTER" && cw.where.contains("day = '2025-01-02'"))
+    cw.run(spark)
+    assert(Option(new java.io.File(p, "day=2025-01-03").listFiles())
+      .getOrElse(Array.empty).filter(_.getName.endsWith(".btr")).map(_.getName).toSet == jan3,
+      "unselected partitions must keep their exact files")
+    assert(filesIn("2025-01-02") == 1)
+    assert(spark.read.format("btr").load(p).count() == 12)
+    assert(spark.read.format("btr").load(p)
+      .filter($"day" === "2025-01-02").select("v").as[Long].collect().sorted.toSeq ==
+      Seq(0L, 1L, 2L, 3L))
   }
 
   test("CREATE TABLE ... USING btr PARTITIONED BY lays down hive dirs") {

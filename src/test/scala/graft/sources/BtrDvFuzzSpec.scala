@@ -98,8 +98,9 @@ class BtrDvFuzzSpec extends AnyFunSuite {
             trace += s"v$latest range-delete [$lo,$hi)"
             live = live.filterNot(x => x >= lo && x < hi)
             if (latest == before) assert(live == model(before))
-          case 4 => // physical reorganization (applies + drops masks)
-            if (!partitioned && rnd.nextBoolean()) {
+          case 4 => // physical reorganization (applies + drops masks);
+            // partitioned tables rewrite within their directories
+            if (rnd.nextBoolean()) {
               BtrCompact.rewriteClustered(spark, dir, Seq("x")); trace += s"v$latest rewrite"
             } else { BtrCompact.compact(spark, dir, 1L << 20); trace += s"v$latest compact" }
           case 5 => // restore to a random recorded version

@@ -211,6 +211,26 @@ class BtrDvSpec extends AnyFunSuite {
     assert(afterRewrite.toSeq == afterCompact.toSeq)
   }
 
+  test("partitioned CLUSTER rewrite applies masks per directory and drops blobs") {
+    val p = tmp("part-rewrite")
+    (0 until 600).map(i => (s"k${i % 3}", i.toLong)).toDF("k", "v")
+      .repartition($"k").write.format("btr").partitionBy("k")
+      .option("btr.deletionVectors", "true").mode("overwrite").save(p)
+    spark.sql(s"DELETE FROM graft.`$p` WHERE v % 4 = 1")
+    assert(dvBlobs(p).nonEmpty)
+    val (b, a) = BtrCompact.rewriteClustered(spark, p, Seq("v"))
+    assert(b > 0 && a > 0)
+    assert(dvBlobs(p).isEmpty, "rewrite must retire applied blobs")
+    // directory layout preserved, masked rows physically gone
+    val back = spark.read.format("btr").load(p)
+    assert(back.select("k").distinct().count() == 3)
+    assert(back.count() == (0L until 600L).count(_ % 4 != 1))
+    assert(back.filter($"v" % 4 === 1).count() == 0)
+    // partition pruning still exact after the rewrite
+    assert(back.filter($"k" === "k1").count() ==
+      (0L until 600L).count(v => v % 3 == 1 && v % 4 != 1))
+  }
+
   test("truncate overwrite clears every blob") {
     val p = tmp("truncate")
     (0 until 200).map(i => (i.toLong, s"x$i")).toDF("v", "s")
