@@ -148,6 +148,32 @@ object PipelineQueries {
     }),
 
     // embedding cosine near-dup pairs over a bounded id range
+    // embedding k-means clusters — the SemDeDup-style curation primitive
+    // (cluster the corpus, then sample/cap/diversify PER cluster).
+    // Deterministic quantized Lloyd's (integer distances, smallest-id
+    // init, HALF_UP centroid rounding) so DuckDB replays the identical
+    // two iterations; assignment is a broadcast map-only pass at scale
+    "q_embed_clusters" -> ((s, d) => {
+      SimilarityOps.kmeansClusters(t(s, d, "embeddings"), "vec_id", "embedding",
+          k = 4, iters = 2)
+        .select(col("id").as("vec_id"), col("cluster"))
+        .orderBy("vec_id")
+    }),
+
+    // cluster-balanced sample: the 3 lowest portable-hash members per
+    // cluster — the downsampling shape that keeps corpus diversity
+    "q_cluster_sample" -> ((s, d) => {
+      val assigned = SimilarityOps.kmeansClusters(t(s, d, "embeddings"),
+        "vec_id", "embedding", k = 4, iters = 2)
+      assigned.withColumn("rn",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("cluster"))
+            .orderBy(md5(col("id").cast("string")), col("id"))))
+        .filter(col("rn") <= 3)
+        .select(col("id").as("vec_id"), col("cluster"))
+        .orderBy("cluster", "vec_id")
+    }),
+
     "q_embed_neardup" -> ((s, d) => {
       SimilarityOps.cosineNearDupPairs(
           t(s, d, "embeddings").filter(col("vec_id") < 200), "vec_id", "embedding", 0.35)
@@ -771,6 +797,80 @@ object PipelineQueries {
         |   SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b
         | )
         |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    "q_embed_clusters" ->
+      """WITH q AS (SELECT vec_id,
+        |   list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) qv
+        | FROM embeddings),
+        |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, qv AS cv
+        |       FROM q ORDER BY vec_id LIMIT 4),
+        |d0 AS (SELECT q.vec_id, q.qv, c0.cl,
+        |   list_sum(list_transform(generate_series(1, 64),
+        |     i -> (q.qv[i] - c0.cv[i]) * (q.qv[i] - c0.cv[i]))) AS dist
+        | FROM q, c0),
+        |a0 AS (SELECT vec_id, qv, cl FROM
+        |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) rn FROM d0)
+        |  WHERE rn = 1),
+        |u0 AS (SELECT cl, i, CAST(round(CAST(sum(qv[i]) AS DOUBLE) / count(*)) AS BIGINT) c
+        |       FROM a0, generate_series(1, 64) AS g(i) GROUP BY cl, i),
+        |c1 AS (SELECT c0.cl, COALESCE(u.cv, c0.cv) cv FROM c0 LEFT JOIN
+        |       (SELECT cl, list(c ORDER BY i) cv FROM u0 GROUP BY cl) u USING (cl)),
+        |d1 AS (SELECT q.vec_id, q.qv, c1.cl,
+        |   list_sum(list_transform(generate_series(1, 64),
+        |     i -> (q.qv[i] - c1.cv[i]) * (q.qv[i] - c1.cv[i]))) AS dist
+        | FROM q, c1),
+        |a1 AS (SELECT vec_id, qv, cl FROM
+        |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) rn FROM d1)
+        |  WHERE rn = 1),
+        |u1 AS (SELECT cl, i, CAST(round(CAST(sum(qv[i]) AS DOUBLE) / count(*)) AS BIGINT) c
+        |       FROM a1, generate_series(1, 64) AS g(i) GROUP BY cl, i),
+        |c2 AS (SELECT c1.cl, COALESCE(u.cv, c1.cv) cv FROM c1 LEFT JOIN
+        |       (SELECT cl, list(c ORDER BY i) cv FROM u1 GROUP BY cl) u USING (cl)),
+        |d2 AS (SELECT q.vec_id, c2.cl,
+        |   list_sum(list_transform(generate_series(1, 64),
+        |     i -> (q.qv[i] - c2.cv[i]) * (q.qv[i] - c2.cv[i]))) AS dist
+        | FROM q, c2)
+        |SELECT vec_id, CAST(cl AS INT) AS cluster FROM
+        |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) rn FROM d2)
+        |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    "q_cluster_sample" ->
+      """WITH q AS (SELECT vec_id,
+        |   list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) qv
+        | FROM embeddings),
+        |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, qv AS cv
+        |       FROM q ORDER BY vec_id LIMIT 4),
+        |d0 AS (SELECT q.vec_id, q.qv, c0.cl,
+        |   list_sum(list_transform(generate_series(1, 64),
+        |     i -> (q.qv[i] - c0.cv[i]) * (q.qv[i] - c0.cv[i]))) AS dist
+        | FROM q, c0),
+        |a0 AS (SELECT vec_id, qv, cl FROM
+        |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) rn FROM d0)
+        |  WHERE rn = 1),
+        |u0 AS (SELECT cl, i, CAST(round(CAST(sum(qv[i]) AS DOUBLE) / count(*)) AS BIGINT) c
+        |       FROM a0, generate_series(1, 64) AS g(i) GROUP BY cl, i),
+        |c1 AS (SELECT c0.cl, COALESCE(u.cv, c0.cv) cv FROM c0 LEFT JOIN
+        |       (SELECT cl, list(c ORDER BY i) cv FROM u0 GROUP BY cl) u USING (cl)),
+        |d1 AS (SELECT q.vec_id, q.qv, c1.cl,
+        |   list_sum(list_transform(generate_series(1, 64),
+        |     i -> (q.qv[i] - c1.cv[i]) * (q.qv[i] - c1.cv[i]))) AS dist
+        | FROM q, c1),
+        |a1 AS (SELECT vec_id, qv, cl FROM
+        |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) rn FROM d1)
+        |  WHERE rn = 1),
+        |u1 AS (SELECT cl, i, CAST(round(CAST(sum(qv[i]) AS DOUBLE) / count(*)) AS BIGINT) c
+        |       FROM a1, generate_series(1, 64) AS g(i) GROUP BY cl, i),
+        |c2 AS (SELECT c1.cl, COALESCE(u.cv, c1.cv) cv FROM c1 LEFT JOIN
+        |       (SELECT cl, list(c ORDER BY i) cv FROM u1 GROUP BY cl) u USING (cl)),
+        |d2 AS (SELECT q.vec_id, c2.cl,
+        |   list_sum(list_transform(generate_series(1, 64),
+        |     i -> (q.qv[i] - c2.cv[i]) * (q.qv[i] - c2.cv[i]))) AS dist
+        | FROM q, c2),
+        |fin AS (SELECT vec_id, cl FROM
+        |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) rn FROM d2)
+        |  WHERE rn = 1)
+        |SELECT vec_id, CAST(cl AS INT) AS cluster FROM
+        |  (SELECT vec_id, cl, row_number() OVER (PARTITION BY cl
+        |     ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) rn FROM fin)
+        |WHERE rn <= 3 ORDER BY cluster, vec_id""".stripMargin,
     "q_embed_neardup" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         | round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cos

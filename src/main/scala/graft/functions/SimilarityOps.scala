@@ -152,6 +152,74 @@ object SimilarityOps {
     }
   }
 
+  /** Distributed embedding clustering — the SemDeDup-style curation
+    * primitive (cluster the corpus, then sample/cap/diversify PER
+    * cluster). Lloyd's iterations with the scale shape a 100 TB corpus
+    * needs: assignment is a MAP-ONLY pass (centroids broadcast as plan
+    * literals, distances codegen'd `zip_with`+`aggregate`), the centroid
+    * update is one k×dim-bounded shuffle (posexplode dims → partial-agg
+    * sums) with a k×dim driver collect per iteration; nothing scales
+    * with the corpus except the embarrassingly-parallel passes.
+    *
+    * DETERMINISTIC and engine-portable, so DuckDB replays it exactly:
+    * vectors quantize to `round(x*scale)` LONGS (integer distances —
+    * no float summation-order drift), init centroids are the k
+    * smallest-id vectors, argmin ties break on the lowest cluster id,
+    * and centroid updates round `sum/count` with SQL ROUND (HALF_UP)
+    * semantics. An empty cluster keeps its previous centroid.
+    */
+  def kmeansClusters(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int,
+      scale: Double = 1000.0
+  ): DataFrame = {
+    require(k >= 1 && iters >= 0, s"kmeansClusters: k=$k iters=$iters")
+    val spark = vectors.sparkSession
+    val q = vectors.select(col(idCol).as("id"),
+        transform(col(vecCol), x => round(x.cast("double") * scale).cast("long")).as("qv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def assign(centroids: Seq[Seq[Long]]): DataFrame = {
+      val dists = array(centroids.map { c =>
+        aggregate(
+          zip_with(col("qv"), typedLit(c), (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, d) => acc + d)
+      }: _*)
+      q.withColumn("__d", dists)
+        .withColumn("cluster",
+          (array_position(col("__d"), array_min(col("__d"))) - 1).cast("int"))
+        .drop("__d")
+    }
+    var centroids: Seq[Seq[Long]] = q.orderBy("id").limit(k)
+      .collect().map(_.getSeq[Long](1)).toSeq
+    require(centroids.nonEmpty, "kmeansClusters: empty input")
+    var it = 0
+    while (it < iters) {
+      val upd = assign(centroids)
+        .select(col("cluster"), posexplode(col("qv")).as(Seq("d", "x")))
+        .groupBy("cluster", "d")
+        // SQL ROUND (HALF_UP) keeps the update bit-identical across
+        // engines: sum and count are exact integers, the division and
+        // rounding are single IEEE ops on identical inputs
+        .agg(round(sum(col("x")) / count(lit(1))).cast("long").as("c"))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+      val byCluster = upd.groupBy(_._1)
+      centroids = centroids.zipWithIndex.map { case (old, ci) =>
+        byCluster.get(ci) match {
+          case Some(rows) => rows.sortBy(_._2).map(_._3).toSeq
+          case None => old // empty cluster keeps its centroid
+        }
+      }
+      it += 1
+    }
+    val out = assign(centroids).select(col("id"), col("cluster"))
+    out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
+    q.unpersist(blocking = false)
+    out
+  }
+
   /** IVF (inverted-file) ANN: a k-means coarse quantizer partitions the
     * candidates into nlist cells; each query probes its nprobe nearest
     * centroids and ranks only those cells' members by exact cosine. The

@@ -880,4 +880,30 @@ class PipelineOpsSpec extends AnyFunSuite {
     val vals = for (y <- 0 until 2; x <- 0 until 4) yield raster.getSample(x, y, 0)
     assert(vals == (0 until 8).map(_ * 10), vals.toString)
   }
+
+  test("kmeansClusters: deterministic, total, and locally optimal assignments") {
+    import spark.implicits._
+    // three well-separated blobs in 2-D
+    val rnd = new java.util.Random(7)
+    val centers = Seq((0.0, 0.0), (10.0, 10.0), (-10.0, 8.0))
+    val pts = (0 until 90).map { i =>
+      val (cx, cy) = centers(i % 3)
+      (i.toLong, Seq((cx + rnd.nextGaussian() * 0.5).toFloat,
+        (cy + rnd.nextGaussian() * 0.5).toFloat))
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    val out = graft.functions.SimilarityOps
+      .kmeansClusters(df, "vec_id", "embedding", k = 3, iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out.size == 90, "every point assigned exactly once")
+    // well-separated blobs: each true blob lands in ONE cluster
+    val byBlob = pts.map(_._1).groupBy(_ % 3).view.mapValues(_.map(out).toSet).toMap
+    byBlob.values.foreach(s => assert(s.size == 1, s"blob split across $s"))
+    assert(byBlob.values.flatten.toSet.size == 3, "three distinct clusters")
+    // determinism: a second run is bit-identical
+    val again = graft.functions.SimilarityOps
+      .kmeansClusters(df, "vec_id", "embedding", k = 3, iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(again == out)
+  }
 }
