@@ -174,6 +174,17 @@ object PipelineQueries {
         .orderBy("cluster", "vec_id")
     }),
 
+    // SemDeDup end to end: k-means clusters → within-cluster cosine
+    // near-dup pairs (pairwise compare bounded per cluster) → connected
+    // components → keep each component's lowest id. One exact oracle
+    // checks the whole composition
+    "q_semantic_dedup" -> ((s, d) => {
+      SimilarityOps.semanticDedup(t(s, d, "embeddings"), "vec_id", "embedding",
+          k = 4, iters = 2, threshold = 0.35)
+        .select(col("id").as("vec_id"), col("cluster"))
+        .orderBy("vec_id")
+    }),
+
     "q_embed_neardup" -> ((s, d) => {
       SimilarityOps.cosineNearDupPairs(
           t(s, d, "embeddings").filter(col("vec_id") < 200), "vec_id", "embedding", 0.35)
@@ -871,6 +882,56 @@ object PipelineQueries {
         |  (SELECT vec_id, cl, row_number() OVER (PARTITION BY cl
         |     ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) rn FROM fin)
         |WHERE rn <= 3 ORDER BY cluster, vec_id""".stripMargin,
+    "q_semantic_dedup" ->
+      """WITH RECURSIVE q AS (SELECT vec_id,
+        |   list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) qv
+        | FROM embeddings),
+        |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, qv AS cv
+        |       FROM q ORDER BY vec_id LIMIT 4),
+        |d0 AS (SELECT q.vec_id, q.qv, c0.cl,
+        |   list_sum(list_transform(generate_series(1, 64),
+        |     i -> (q.qv[i] - c0.cv[i]) * (q.qv[i] - c0.cv[i]))) AS dist
+        | FROM q, c0),
+        |a0 AS (SELECT vec_id, qv, cl FROM
+        |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) rn FROM d0)
+        |  WHERE rn = 1),
+        |u0 AS (SELECT cl, i, CAST(round(CAST(sum(qv[i]) AS DOUBLE) / count(*)) AS BIGINT) c
+        |       FROM a0, generate_series(1, 64) AS g(i) GROUP BY cl, i),
+        |c1 AS (SELECT c0.cl, COALESCE(u.cv, c0.cv) cv FROM c0 LEFT JOIN
+        |       (SELECT cl, list(c ORDER BY i) cv FROM u0 GROUP BY cl) u USING (cl)),
+        |d1 AS (SELECT q.vec_id, q.qv, c1.cl,
+        |   list_sum(list_transform(generate_series(1, 64),
+        |     i -> (q.qv[i] - c1.cv[i]) * (q.qv[i] - c1.cv[i]))) AS dist
+        | FROM q, c1),
+        |a1 AS (SELECT vec_id, qv, cl FROM
+        |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) rn FROM d1)
+        |  WHERE rn = 1),
+        |u1 AS (SELECT cl, i, CAST(round(CAST(sum(qv[i]) AS DOUBLE) / count(*)) AS BIGINT) c
+        |       FROM a1, generate_series(1, 64) AS g(i) GROUP BY cl, i),
+        |c2 AS (SELECT c1.cl, COALESCE(u.cv, c1.cv) cv FROM c1 LEFT JOIN
+        |       (SELECT cl, list(c ORDER BY i) cv FROM u1 GROUP BY cl) u USING (cl)),
+        |d2 AS (SELECT q.vec_id, c2.cl,
+        |   list_sum(list_transform(generate_series(1, 64),
+        |     i -> (q.qv[i] - c2.cv[i]) * (q.qv[i] - c2.cv[i]))) AS dist
+        | FROM q, c2),
+        |fin AS (SELECT vec_id, cl FROM
+        |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) rn FROM d2)
+        |  WHERE rn = 1),
+        |pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM fin a JOIN fin b ON a.cl = b.cl AND a.vec_id < b.vec_id
+        |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+        |  JOIN embeddings eb ON eb.vec_id = b.vec_id
+        |  WHERE round(list_cosine_similarity(ea.embedding, eb.embedding), 4) >= 0.35),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT vec_id, vec_id FROM embeddings
+        |  UNION
+        |  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b),
+        |comp AS (SELECT id, min(r) AS cid FROM reach GROUP BY id)
+        |SELECT f.vec_id, CAST(f.cl AS INT) AS cluster
+        |FROM fin f JOIN comp ON comp.id = f.vec_id AND comp.cid = f.vec_id
+        |ORDER BY vec_id""".stripMargin,
     "q_embed_neardup" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         | round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cos

@@ -220,6 +220,39 @@ object SimilarityOps {
     out
   }
 
+  /** SemDeDup — semantic deduplication, the published cluster-then-
+    * compare shape: k-means the corpus ([[kmeansClusters]]), find
+    * cosine near-duplicate pairs WITHIN each cluster (the pairwise
+    * compare is bounded per cluster — the whole reason to cluster
+    * first; a corpus-wide cross join would be quadratic), connect the
+    * pairs, and keep each duplicate component's lowest id. Returns the
+    * SURVIVORS as (id, cluster). Deterministic end to end (deterministic
+    * clustering + the portable rounded-cosine threshold + min-id
+    * representatives), so an SQL engine replays it exactly.
+    */
+  def semanticDedup(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int,
+      threshold: Double
+  ): DataFrame = {
+    val assigned = kmeansClusters(vectors, idCol, vecCol, k, iters)
+    val v = vectors.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val j = assigned.join(v, "id")
+    val a = j.select(col("cluster"), col("id").as("id_a"), col("vec").as("va"))
+    val b = j.select(col("cluster"), col("id").as("id_b"), col("vec").as("vb"))
+    val pairs = a.join(b, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(round(cosine(col("va"), col("vb")), 4) >= threshold)
+      .select(col("id_a"), col("id_b"))
+    val comps = graft.functions.TextOps
+      .connectedComponents(assigned.select(col("id")), pairs)
+    // survivors: each component's minimum id is its representative
+    assigned.join(comps.filter(col("id") === col("cid")).select(col("id")), "id")
+  }
+
   /** IVF (inverted-file) ANN: a k-means coarse quantizer partitions the
     * candidates into nlist cells; each query probes its nprobe nearest
     * centroids and ranks only those cells' members by exact cosine. The
