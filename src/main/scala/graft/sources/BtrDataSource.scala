@@ -613,6 +613,29 @@ object BtrOptions {
   def deletionVectors(options: CaseInsensitiveStringMap): Option[Boolean] =
     Option(options.get("btr.deletionVectors")).map(_.trim.toBoolean)
 
+  /** Idempotent batch append identity (`btr.txnAppId` + `btr.txnVersion`,
+    * Delta's txn semantics): replaying a (appId, version) the retained
+    * log already records — at that version or newer — commits NOTHING
+    * and succeeds silently, so a retried pipeline job can never append
+    * its rows twice. Both options or neither.
+    */
+  def txn(options: CaseInsensitiveStringMap): Option[(String, Long)] = {
+    val app = Option(options.get("btr.txnAppId")).map(_.trim).filter(_.nonEmpty)
+    val ver = Option(options.get("btr.txnVersion")).map { s =>
+      try s.trim.toLong
+      catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"btr.txnVersion must be a number, got '$s'")
+      }
+    }
+    (app, ver) match {
+      case (Some(a), Some(v)) => Some(a -> v)
+      case (None, None) => None
+      case _ => throw new IllegalArgumentException(
+        "btr: btr.txnAppId and btr.txnVersion must be set together")
+    }
+  }
+
   def logRetention(options: CaseInsensitiveStringMap): Option[Int] =
     Option(options.get("btr.logRetention")).map { s =>
       val n =

@@ -80,7 +80,10 @@ object BtrLog {
   final case class Entry(version: Long, tsMillis: Long, action: String,
       files: Seq[String], isDelta: Boolean = false,
       add: Seq[String] = Nil, remove: Seq[String] = Nil,
-      sizes: Map[String, Long] = Map.empty)
+      sizes: Map[String, Long] = Map.empty,
+      // idempotent-commit identity (btr.txnAppId/btr.txnVersion): a
+      // replayed (appId, version <= recorded) commit becomes a no-op
+      txnApp: Option[String] = None, txnVer: Option[Long] = None)
 
   /** A version's RESOLVED visible state: complete file set, with sizes
     * where the contributing entries recorded them (legacy pre-delta
@@ -152,18 +155,25 @@ object BtrLog {
     (data ++ dv).sortBy(_._1)
   }
 
-  private def fullJson(v: Long, ts: Long, action: String, files: Seq[(String, Long)]): String = {
+  private def txnJson(txn: Option[(String, Long)]): String =
+    txn.map { case (app, ver) =>
+      ",\"txnApp\":\"" + esc(app) + "\",\"txnVer\":" + ver
+    }.getOrElse("")
+
+  private def fullJson(v: Long, ts: Long, action: String, files: Seq[(String, Long)],
+      txn: Option[(String, Long)] = None): String = {
     val sb = new StringBuilder()
       .append("{\"version\":").append(v).append(",\"ts\":").append(ts)
       .append(",\"action\":\"").append(esc(action)).append("\",\"files\":[")
     sb.append(files.map(f => "\"" + esc(f._1) + "\"").mkString(","))
     sb.append("],\"sizes\":[").append(files.map(_._2).mkString(","))
-    sb.append("]}")
+    sb.append("]").append(txnJson(txn)).append("}")
     sb.toString
   }
 
   private def deltaJson(v: Long, ts: Long, action: String,
-      add: Seq[(String, Long)], remove: Seq[String]): String = {
+      add: Seq[(String, Long)], remove: Seq[String],
+      txn: Option[(String, Long)] = None): String = {
     val sb = new StringBuilder()
       .append("{\"version\":").append(v).append(",\"ts\":").append(ts)
       .append(",\"action\":\"").append(esc(action)).append("\",\"add\":[")
@@ -171,7 +181,7 @@ object BtrLog {
     sb.append("],\"addSizes\":[").append(add.map(_._2).mkString(","))
     sb.append("],\"remove\":[")
     sb.append(remove.map(f => "\"" + esc(f) + "\"").mkString(","))
-    sb.append("]}")
+    sb.append("]").append(txnJson(txn)).append("}")
     sb.toString
   }
 
@@ -222,7 +232,8 @@ object BtrLog {
     * [[CheckpointInterval]] cadence.
     */
   def recordDelta(fs: FileSystem, root: Path, action: String,
-      added: Seq[String], removed: Seq[String]): Long = {
+      added: Seq[String], removed: Seq[String],
+      txn: Option[(String, Long)] = None): Long = {
     val dir = new Path(root, LogDir)
     val prev = latestVersion(fs, root).getOrElse(0L)
     if (prev == 0L) return record(fs, root, action) // first entry anchors replay
@@ -241,8 +252,9 @@ object BtrLog {
       if (v % CheckpointInterval == 0)
         fullJson(v, ts, action, currentFiles(fs, root,
           dvAdds = added.filter(graft.format.DeletionVector.isDvRel),
-          dvRemoves = removed.filter(graft.format.DeletionVector.isDvRel).toSet))
-      else deltaJson(v, ts, action, addSized, rem))
+          dvRemoves = removed.filter(graft.format.DeletionVector.isDvRel).toSet),
+          txn)
+      else deltaJson(v, ts, action, addSized, rem, txn))
     prune(fs, dir)
     claimed
   }
@@ -279,6 +291,26 @@ object BtrLog {
     prunable(fs, dir).foreach(v => fs.delete(new Path(dir, nameOf(v)), false))
 
   /** Dry-run listing of the log entries a prune would remove (VACUUM). */
+  /** Highest `btr.txnVersion` any RETAINED entry records for `appId`
+    * (None = no commit from that app in retained history). The
+    * idempotence horizon is the log retention: a writer replaying a
+    * commit OLDER than the retained history is not detected — size
+    * `btr.logRetention` to the longest retry window, exactly like
+    * Delta's txn retention guidance.
+    */
+  def lastTxnVersion(fs: FileSystem, root: Path, appId: String,
+      belowVersion: Long = Long.MaxValue): Option[Long] = {
+    val dir = new Path(root, LogDir)
+    val vs = versions(fs, dir).filter(_ < belowVersion)
+    val hits = vs.flatMap { v =>
+      val e =
+        try readEntry(fs, root, v)
+        catch { case _: IllegalArgumentException => return None } // pruned mid-walk
+      if (e.txnApp.contains(appId)) e.txnVer else None
+    }
+    if (hits.isEmpty) None else Some(hits.max)
+  }
+
   /** Deletion-vector rels any RETAINED log entry references (checkpoint
     * file sets + delta adds) — the protected set for VACUUM's orphan
     * sweep: a physically-present blob outside it belongs to a crashed,
@@ -414,15 +446,20 @@ object BtrLog {
         case _ => Map.empty
       }
     val v = longField("version"); val ts = longField("ts"); val a = strField("action")
+    val txnA: Option[String] =
+      if (json.contains("\"txnApp\":")) Some(strField("txnApp")) else None
+    val txnV: Option[Long] =
+      if (json.contains("\"txnVer\":")) Some(longField("txnVer")) else None
     strArray("add") match {
       case Some(add) =>
         val rem = strArray("remove").getOrElse(Nil)
         Entry(v, ts, a, Nil, isDelta = true, add = add, remove = rem,
-          sizes = zipSizes(add, longArray("addSizes")))
+          sizes = zipSizes(add, longArray("addSizes")), txnApp = txnA, txnVer = txnV)
       case None =>
         val files = strArray("files").getOrElse(
           throw new IllegalArgumentException("btr log: missing files"))
-        Entry(v, ts, a, files, sizes = zipSizes(files, longArray("sizes")))
+        Entry(v, ts, a, files, sizes = zipSizes(files, longArray("sizes")),
+          txnApp = txnA, txnVer = txnV)
     }
   }
 

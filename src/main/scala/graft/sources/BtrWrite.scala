@@ -121,7 +121,8 @@ class BtrWriteBuilder(path: String, schema: StructType, options: CaseInsensitive
         BtrOptions.cascade(options), BtrOptions.config(options), partCols,
         retainOpt = BtrOptions.retainRemoved(options),
         logRetentionOpt = BtrOptions.logRetention(options),
-        dvOpt = BtrOptions.deletionVectors(options))
+        dvOpt = BtrOptions.deletionVectors(options),
+        txnOpt = BtrOptions.txn(options))
     }
     override def toStreaming: streaming.StreamingWrite = {
       // Complete/Update modes arrive as truncate(); the sink only ever
@@ -372,7 +373,11 @@ object BtrOverwriteMode {
 class BtrBatchWrite(path: String, schema: StructType, mode: BtrOverwriteMode, blockSize: Int,
     cascade: Int, cfg: BtrConfig = BtrConfig.Default, partCols: Seq[String] = Nil,
     retainOpt: Option[Boolean] = None, logRetentionOpt: Option[Int] = None,
-    dvOpt: Option[Boolean] = None)
+    dvOpt: Option[Boolean] = None, txnOpt: Option[(String, Long)] = None,
+    // test-only race injection: runs right before the log claim —
+    // deterministic stand-in for a concurrent duplicate txn landing
+    // inside the pre-check → claim window
+    beforeLog: () => Unit = () => ())
     extends BatchWrite {
 
   private def truncate: Boolean = mode == BtrOverwriteMode.Truncate
@@ -452,6 +457,21 @@ class BtrBatchWrite(path: String, schema: StructType, mode: BtrOverwriteMode, bl
     // NEXT removal on)
     val retainRemoved = BtrTableMeta.readRetainRemoved(fs, dir)
     val msgs = flatten(messages)
+    // idempotent replay (btr.txnAppId/btr.txnVersion): a version the
+    // retained log already records for this app — at-or-above this one —
+    // has ALREADY committed; drop this attempt's files and succeed
+    // silently, so a retried pipeline job never appends twice
+    txnOpt.foreach { case (app, ver) =>
+      require(mode == BtrOverwriteMode.Append,
+        "btr: btr.txnAppId/btr.txnVersion are APPEND idempotence options " +
+          "(replacing writes are naturally re-runnable)")
+      if (BtrLog.lastTxnVersion(fs, dir, app).exists(_ >= ver)) {
+        msgs.foreach(m =>
+          if (m.fileName.nonEmpty) fs.delete(new Path(dir, m.fileName), false))
+        BtrDelete.deleteEmptyPartitionDirs(fs, dir)
+        return
+      }
+    }
     // fileName is table-root-relative (may include partition dirs)
     val committed = msgs.map(_.fileName).toSet
     val rootLen = dir.toUri.getPath.length + 1
@@ -679,11 +699,23 @@ class BtrBatchWrite(path: String, schema: StructType, mode: BtrOverwriteMode, bl
     // above is already durable, so a crash here costs one snapshot point.
     // Delta entry (this commit's own add/remove sets) — O(commit), never
     // O(table); the log's checkpoint cadence handles full listings
-    BtrLog.recordDelta(fs, dir, mode match {
+    beforeLog()
+    val claimed = BtrLog.recordDelta(fs, dir, mode match {
       case BtrOverwriteMode.Append => "append"
       case BtrOverwriteMode.ReplaceFiles(_, _) => "rewrite"
       case _ => "overwrite"
-    }, added = logAdded, removed = logRemoved)
+    }, added = logAdded, removed = logRemoved, txn = txnOpt)
+    // post-claim duplicate detection: a concurrent attempt of the SAME
+    // (appId, version) that won the race between our pre-check and our
+    // claim makes OUR commit the redundant one — roll it back with a
+    // compensating entry (rows then exist exactly once, via the winner)
+    txnOpt.foreach { case (app, ver) =>
+      if (BtrLog.lastTxnVersion(fs, dir, app, belowVersion = claimed).exists(_ >= ver)) {
+        BtrLog.recordDelta(fs, dir, "txn-abort", added = Nil, removed = logAdded)
+        logAdded.foreach(rel => BtrRetention.removeDataFile(fs, dir, rel, retainRemoved))
+        BtrDelete.deleteEmptyPartitionDirs(fs, dir)
+      }
+    }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

@@ -1,0 +1,111 @@
+package graft.sources
+
+import graft.format.{BtrConfig, BtrTableMeta}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write.WriterCommitMessage
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Idempotent batch appends (`btr.txnAppId` + `btr.txnVersion`): a
+  * replayed (appId, version) commits nothing — including when two
+  * attempts of the same version race through the pre-check window.
+  */
+class BtrTxnSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("btr-txn-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def tmp(name: String) = {
+    val d = s"/tmp/btr-txn-spec/$name"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d))
+    d
+  }
+
+  private def readInts(dir: String): Seq[Int] =
+    spark.read.format("btr").load(dir).as[Int].collect().sorted.toSeq
+
+  private def fsRoot(dir: String) = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(BtrTableMeta.hadoopConf())
+    (fs, fs.makeQualified(p))
+  }
+
+  test("replaying the same (appId, version) appends nothing") {
+    val dir = tmp("replay")
+    Seq(1, 2, 3).toDF("x").coalesce(1).write.format("btr").mode("overwrite").save(dir)
+
+    def appendTxn(vals: Seq[Int], ver: Long): Unit =
+      vals.toDF("x").coalesce(1).write.format("btr").mode("append")
+        .option("btr.txnAppId", "job-A").option("btr.txnVersion", ver.toString)
+        .save(dir)
+
+    appendTxn(Seq(10, 11), 1L)
+    assert(readInts(dir) == Seq(1, 2, 3, 10, 11))
+    appendTxn(Seq(10, 11), 1L) // retry of the SAME batch: no-op
+    assert(readInts(dir) == Seq(1, 2, 3, 10, 11))
+    appendTxn(Seq(99), 1L) // even different rows at the same version: no-op
+    assert(readInts(dir) == Seq(1, 2, 3, 10, 11))
+    appendTxn(Seq(20), 2L) // the NEXT version appends
+    assert(readInts(dir) == Seq(1, 2, 3, 10, 11, 20))
+    // stale replay below the recorded version: still a no-op
+    appendTxn(Seq(77), 1L)
+    assert(readInts(dir) == Seq(1, 2, 3, 10, 11, 20))
+    // a different app is independent
+    Seq(30).toDF("x").coalesce(1).write.format("btr").mode("append")
+      .option("btr.txnAppId", "job-B").option("btr.txnVersion", "1").save(dir)
+    assert(readInts(dir) == Seq(1, 2, 3, 10, 11, 20, 30))
+  }
+
+  private val intSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("x", org.apache.spark.sql.types.IntegerType)))
+
+  private def stage(dir: String, rows: Seq[Int], txn: (String, Long),
+      beforeLog: () => Unit = () => ())
+      : (BtrBatchWrite, Array[WriterCommitMessage]) = {
+    val bw = new BtrBatchWrite(dir, intSchema, BtrOverwriteMode.Append, 65536, 3,
+      BtrConfig.Default, Nil, txnOpt = Some(txn), beforeLog = beforeLog)
+    val w = bw.createBatchWriterFactory(null).createWriter(0, scala.util.Random.nextLong())
+    rows.foreach(i => w.write(InternalRow(i)))
+    (bw, Array(w.commit()))
+  }
+
+  test("two racing attempts of one version: the loser rolls back, rows exist once") {
+    val dir = tmp("race")
+    Seq(1).toDF("x").coalesce(1).write.format("btr").mode("overwrite").save(dir)
+    val (bw1, m1) = stage(dir, Seq(50), "job-R" -> 7L)
+    // attempt 2's pre-check runs BEFORE attempt 1 commits; attempt 1
+    // lands deterministically inside attempt 2's pre-check→claim window
+    val (bw2, m2) = stage(dir, Seq(50), "job-R" -> 7L,
+      beforeLog = () => bw1.commit(m1))
+    bw2.commit(m2) // must detect the duplicate post-claim and roll back
+    assert(readInts(dir) == Seq(1, 50), "the batch must exist exactly once")
+    val (fs, root) = fsRoot(dir)
+    val latest = BtrLog.latestVersion(fs, root).get
+    assert(BtrLog.readEntry(fs, root, latest).action == "txn-abort")
+    // every retained version still resolves (the abort entry removed the
+    // duplicate's files from the log set)
+    assert(spark.read.format("btr")
+      .option("btr.versionAsOf", latest.toString).load(dir).count() == 2)
+  }
+
+  test("txn options on a non-append write refuse loudly") {
+    val dir = tmp("nonappend")
+    Seq(1).toDF("x").coalesce(1).write.format("btr").mode("overwrite").save(dir)
+    val e = intercept[Exception] {
+      Seq(2).toDF("x").coalesce(1).write.format("btr").mode("overwrite")
+        .option("btr.txnAppId", "a").option("btr.txnVersion", "1").save(dir)
+    }
+    assert(e.getMessage.contains("APPEND"), e.getMessage)
+    val e2 = intercept[Exception] {
+      Seq(2).toDF("x").coalesce(1).write.format("btr").mode("append")
+        .option("btr.txnAppId", "a").save(dir)
+    }
+    assert(e2.getMessage.contains("together"), e2.getMessage)
+  }
+}
