@@ -87,11 +87,13 @@ case class BtrOptimizeCommand(tableParts: Seq[String], mode: String, cols: Seq[S
   }
 }
 
-/** `RESTORE [TABLE] t [TO] VERSION AS OF n` — rewind to a recorded
-  * snapshot by dropping the files later commits added (see
-  * [[BtrLog.restore]]).
+/** `RESTORE [TABLE] t [TO] VERSION AS OF n` (or `TIMESTAMP AS OF 'ts'`,
+  * resolved to the newest snapshot at-or-before the instant) — rewind to
+  * a recorded snapshot by dropping the files later commits added (see
+  * [[BtrLog.restore]]). `version < 0` carries a timestamp in millis.
   */
-case class BtrRestoreCommand(tableParts: Seq[String], version: Long)
+case class BtrRestoreCommand(tableParts: Seq[String], version: Long,
+    tsMillis: Option[Long] = None)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("path", StringType, nullable = false)(),
@@ -103,8 +105,13 @@ case class BtrRestoreCommand(tableParts: Seq[String], version: Long)
     val path = BtrMaintenance.resolvePath(spark, tableParts)
     val root = new Path(path)
     val fs = root.getFileSystem(BtrTableMeta.hadoopConf())
-    val (dropped, kept) = BtrLog.restore(fs, root, version)
-    Seq(Row(path, version, dropped.toLong, kept.toLong))
+    val v = tsMillis match {
+      case Some(ts) => BtrLog.versionAtOrBefore(fs, fs.makeQualified(root), ts)
+      case None => version
+    }
+    require(v >= 1, s"btr RESTORE: no snapshot at or before the requested instant at $path")
+    val (dropped, kept) = BtrLog.restore(fs, root, v)
+    Seq(Row(path, v, dropped.toLong, kept.toLong))
   }
 }
 
@@ -215,6 +222,8 @@ class BtrSparkSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)^\s*VACUUM\s+(.+?)(?:\s+RETAIN\s+(\d+)\s+HOURS)?(?:\s+(DRY\s+RUN))?\s*;?\s*$""".r
   private val RestoreRe =
     """(?is)^\s*RESTORE\s+(?:TABLE\s+)?(.+?)\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
+  private val RestoreTsRe =
+    """(?is)^\s*RESTORE\s+(?:TABLE\s+)?(.+?)\s+(?:TO\s+)?TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*$""".r
 
   private def stripQuotes(s: String): String = {
     val t = s.trim
@@ -239,6 +248,20 @@ class BtrSparkSqlParser(delegate: ParserInterface) extends ParserInterface {
         dryRun = dry != null)
     case RestoreRe(ref, v) =>
       BtrRestoreCommand(delegate.parseMultipartIdentifier(ref.trim), v.toLong)
+    case RestoreTsRe(ref, ts) =>
+      // ISO instant or local date-time (UTC): the same forms time travel
+      // accepts through btr.timestampAsOf
+      val millis =
+        try java.time.Instant.parse(ts.trim).toEpochMilli
+        catch {
+          case _: java.time.format.DateTimeParseException =>
+            // bare local date-time reads as UTC — session-TZ independent,
+            // like the partition-directory timestamp encoding
+            java.time.LocalDateTime.parse(ts.trim.replace(' ', 'T'))
+              .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+        }
+      BtrRestoreCommand(delegate.parseMultipartIdentifier(ref.trim), -1L,
+        tsMillis = Some(millis))
     case _ => delegate.parsePlan(sqlText)
   }
 

@@ -207,6 +207,44 @@ class GraftExtensionsSpec extends AnyFunSuite {
       Seq(0L, 1L, 2L, 3L))
   }
 
+  test("RESTORE ... TIMESTAMP AS OF resolves the instant and rewinds") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.BtrCatalog].getName)
+    val p = "/tmp/btr-maint-sql/rts"
+    new scala.reflect.io.Directory(new java.io.File(p)).deleteRecursively()
+    Seq(1, 2).toDF("x").coalesce(1).write.format("btr").mode("overwrite").save(p)
+    Thread.sleep(10)
+    val mid = java.time.Instant.now().toString
+    Thread.sleep(10)
+    Seq(3, 4).toDF("x").coalesce(1).write.format("btr").mode("append").save(p)
+    assert(spark.read.format("btr").load(p).count() == 4)
+    val parser = new graft.sources.BtrSparkSqlParser(spark.sessionState.sqlParser)
+    val cmd = parser.parsePlan(s"RESTORE TABLE graft.`$p` TO TIMESTAMP AS OF '$mid'")
+      .asInstanceOf[graft.sources.BtrRestoreCommand]
+    cmd.run(spark)
+    assert(spark.read.format("btr").load(p).as[Int].collect().sorted.toSeq == Seq(1, 2))
+  }
+
+  test("MERGE WHEN NOT MATCHED BY SOURCE works through the row-level path") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.BtrCatalog].getName)
+    val p = "/tmp/btr-maint-sql/nmbs"
+    new scala.reflect.io.Directory(new java.io.File(p)).deleteRecursively()
+    Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v")
+      .coalesce(1).write.format("btr").mode("overwrite").save(p)
+    Seq((2, "B"), (4, "D")).toDF("k", "v").createOrReplaceTempView("src_nmbs")
+    spark.sql(
+      s"""MERGE INTO graft.`$p` t USING src_nmbs s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET v = s.v
+         |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)
+         |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    val rows = spark.read.format("btr").load(p)
+      .as[(Int, String)].collect().sortBy(_._1).toSeq
+    assert(rows == Seq((2, "B"), (4, "D")), rows.toString)
+  }
+
   test("CREATE TABLE ... USING btr PARTITIONED BY lays down hive dirs") {
     val dir = "/tmp/btr-sql-ddl-part"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
