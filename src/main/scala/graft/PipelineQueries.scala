@@ -180,7 +180,7 @@ object PipelineQueries {
     // checks the whole composition
     "q_semantic_dedup" -> ((s, d) => {
       SimilarityOps.semanticDedup(t(s, d, "embeddings"), "vec_id", "embedding",
-          k = 4, iters = 2, threshold = 0.35)
+          k = 16, iters = 2, threshold = 0.35)
         .select(col("id").as("vec_id"), col("cluster"))
         .orderBy("vec_id")
     }),
@@ -887,7 +887,7 @@ object PipelineQueries {
         |   list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) qv
         | FROM embeddings),
         |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, qv AS cv
-        |       FROM q ORDER BY vec_id LIMIT 4),
+        |       FROM q ORDER BY vec_id LIMIT 16),
         |d0 AS (SELECT q.vec_id, q.qv, c0.cl,
         |   list_sum(list_transform(generate_series(1, 64),
         |     i -> (q.qv[i] - c0.cv[i]) * (q.qv[i] - c0.cv[i]))) AS dist

@@ -443,6 +443,34 @@ object CoreQueries {
         .orderBy("l_returnflag")
     }),
 
+    // Q-dml-update-dv: the same UPDATE on a deletion-vector table —
+    // merge-on-read: old images mask out via position blobs, new images
+    // land in appended files, no original file is rewritten. Same oracle
+    // as the copy-on-write variant: the two paths must be row-equal.
+    "q_dml_update_dv" -> ((s, d) => {
+      val dir = Btr.cachePath(d, "lineitem_dml_upd_dv")
+      val done = new java.io.File(dir, "_dml_complete")
+      if (!done.exists()) {
+        Btr.pq(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_returnflag"))
+          .repartition(4)
+          .write.format("btr").mode("overwrite")
+          .option("btr.deletionVectors", "true").save(dir)
+        s.conf.set("spark.sql.catalog.graft", classOf[graft.sources.BtrCatalog].getName)
+        s.sql(s"UPDATE graft.`$dir` SET l_quantity = l_quantity + 100 " +
+          "WHERE l_returnflag = 'R' AND l_linenumber <= 2")
+        require(new java.io.File(dir, "_btr_dv").listFiles()
+          .exists(_.getName.endsWith(".dv")),
+          "q_dml_update_dv: expected deletion-vector blobs, not a rewrite")
+        java.nio.file.Files.createFile(done.toPath)
+      }
+      s.read.format("btr").load(dir)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("l_quantity") * 100).cast("long")).as("sum_qc"))
+        .orderBy("l_returnflag")
+    }),
+
     // Q-dml-merge: MERGE INTO with matched-UPDATE and not-matched-INSERT —
     // source rows with positive ids update existing orders, negated ids
     // insert new rows; the merged table must agree with DuckDB's
@@ -1367,6 +1395,11 @@ object CoreQueries {
         |FROM lineitem WHERE l_quantity >= 10
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_dml_update" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | CAST(sum(CAST(round((CASE WHEN l_returnflag = 'R' AND l_linenumber <= 2
+        |   THEN l_quantity + 100 ELSE l_quantity END) * 100) AS BIGINT)) AS BIGINT) AS sum_qc
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_dml_update_dv" ->
       """SELECT l_returnflag, count(*) AS n,
         | CAST(sum(CAST(round((CASE WHEN l_returnflag = 'R' AND l_linenumber <= 2
         |   THEN l_quantity + 100 ELSE l_quantity END) * 100) AS BIGINT)) AS BIGINT) AS sum_qc

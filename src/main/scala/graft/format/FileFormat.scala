@@ -659,7 +659,16 @@ object BtrTableMeta {
       }
     }
     walk(dir, Map.empty)
-    val listed = out.sortBy(_.path.toString).toArray
+    var listed = out.sortBy(_.path.toString).toArray
+    // pending merge-on-read UPDATE/MERGE markers: their insert files are
+    // invisible until the marker retires (the pre-update view — the
+    // commit's deletes aren't applied yet either, see DvPendingPrefix)
+    val pending = readDvPending(fs, dir)
+    if (pending.nonEmpty) {
+      val hidden = pending.flatMap(_._2).flatMap(_.finals)
+        .map(rel => new Path(dir, rel).toUri.getPath).toSet
+      listed = listed.filterNot(e => hidden.contains(e.path.toUri.getPath))
+    }
     val journals = readSwapJournals(fs, dir)
     if (journals.isEmpty) return listed
     val exclude = scala.collection.mutable.HashSet.empty[String]
@@ -696,6 +705,23 @@ object BtrTableMeta {
   final case class SwapGroup(dir: String, finals: Seq[String], sources: Seq[String])
 
   private val SwapPrefix = "_btr_swap_"
+  /** Pending merge-on-read UPDATE/MERGE commits: the marker lists the
+    * commit's (already-renamed-or-renaming) insert files as `finals` and
+    * its deletion-vector blobs as `sources`. While a marker is pending,
+    * LISTINGS exclude its finals and scans ignore its blobs — readers
+    * see the consistent PRE-update state; the marker's deletion (after
+    * the log entry) flips them to the post-update state atomically.
+    * Crash convergence: [[graft.sources.BtrDvOps.convergePending]].
+    */
+  private[graft] val DvPendingPrefix = "_btr_dvpending_"
+
+  def writeDvPending(fs: FileSystem, root: Path, id: String,
+      insertRels: Seq[String], blobRels: Seq[String]): Path =
+    writeJournalFile(fs, root, s"$DvPendingPrefix$id.json",
+      Seq(SwapGroup("", insertRels, blobRels)))
+
+  def readDvPending(fs: FileSystem, root: Path): Seq[(Path, Seq[SwapGroup])] =
+    readJournalsWithPrefix(fs, root, DvPendingPrefix)
   // completed swaps keep a done-marker (same JSON) instead of vanishing:
   // streaming readers map superseded sources -> finals through it, so a
   // compaction between two stream polls neither re-emits merged rows nor

@@ -240,7 +240,12 @@ object SimilarityOps {
   ): DataFrame = {
     val assigned = kmeansClusters(vectors, idCol, vecCol, k, iters)
     val v = vectors.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    // the (cluster, id, vec) side feeds BOTH legs of the self-join —
+    // persist it, or each leg recomputes the assignment join. k governs
+    // the pairwise cost (≈ (n/k)²·k compares): size k so clusters stay
+    // in the hundreds-to-thousands, the published SemDeDup regime.
     val j = assigned.join(v, "id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = j.select(col("cluster"), col("id").as("id_a"), col("vec").as("va"))
     val b = j.select(col("cluster"), col("id").as("id_b"), col("vec").as("vb"))
     val pairs = a.join(b, Seq("cluster"))
@@ -250,7 +255,12 @@ object SimilarityOps {
     val comps = graft.functions.TextOps
       .connectedComponents(assigned.select(col("id")), pairs)
     // survivors: each component's minimum id is its representative
-    assigned.join(comps.filter(col("id") === col("cid")).select(col("id")), "id")
+    val out = assigned
+      .join(comps.filter(col("id") === col("cid")).select(col("id")), "id")
+    val mat = out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    mat.count()
+    j.unpersist(blocking = false)
+    mat
   }
 
   /** IVF (inverted-file) ANN: a k-means coarse quantizer partitions the

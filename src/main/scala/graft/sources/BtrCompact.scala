@@ -242,6 +242,7 @@ object BtrCompact {
       "btr rewrite WHERE: a partition predicate needs a partitioned table")
     graft.format.BtrFs.requireAtomicRename(fs, root)
     BtrTableMeta.completeSwapJournals(fs, root) // converge a crashed swap first
+    BtrDvOps.convergePending(fs, root)
     // rewrite ONLY the committed snapshot's files (same rule as compact():
     // a concurrent append's task-committed files are listing-visible
     // before that append's driver commit; swallowing one would make the
@@ -419,6 +420,7 @@ object BtrCompact {
     graft.format.BtrFs.requireAtomicRename(fs, root)
     // converge any swap a crashed compactor left behind before binning
     BtrTableMeta.completeSwapJournals(fs, root)
+    BtrDvOps.convergePending(fs, root)
     // a compactor that died between its merge tasks and the journal write
     // leaves _tmp_compact_* files scans never see but nothing else ever
     // deletes — sweep them here (concurrent compactors are unsupported,

@@ -164,6 +164,7 @@ object BtrDelete {
     // converge any crashed compaction swap first: classifying a journal-
     // filtered listing and then deleting finals would resurrect sources
     BtrTableMeta.completeSwapJournals(fs, dir)
+    BtrDvOps.convergePending(fs, dir)
     val verdicts = preclassified.getOrElse(classify(fs, dir, tableSchema, partCols, filters))
     val undecided = verdicts.collect { case (e, Undecided) => e.path.getName }
     if (undecided.nonEmpty)

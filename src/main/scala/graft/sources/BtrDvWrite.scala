@@ -1,6 +1,6 @@
 package graft.sources
 
-import graft.format.{BtrTableMeta, DeletionVector}
+import graft.format.{BtrConfig, BtrTableMeta, DeletionVector}
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.expressions.NamedReference
@@ -9,29 +9,45 @@ import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-/** Delta-based (merge-on-read) row-level DELETE — the deletion-vector
-  * path, taken when the table meta records `deletionVectors = true`.
+/** Delta-based (merge-on-read) row-level DML — the deletion-vector path,
+  * taken when the table meta records `deletionVectors = true`.
   *
   * Where the group-based operation (BtrRowLevel) rewrites every file
-  * holding a matching row, this one writes the matching rows' POSITIONS:
-  * Spark's RewriteDeleteFromTable sees [[SupportsDelta]], plans a scan
-  * of ONLY the matching rows (full pushdown + chunk skipping apply — no
-  * survivors need reading), projects the row ID (`_file`, `_pos`), and
-  * feeds it to [[BtrDvDeltaWriter]], which buffers positions per target
-  * file and writes one small `_btr_dv/` blob per (target, task). The
-  * commit records the blobs in the snapshot log; scans mask from there.
-  * A point delete on a 100 TB table costs one filtered scan plus
-  * kilobytes of sidecar — no data file is rewritten.
+  * holding a matching row, this one ships only the CHANGES: Spark's
+  * rewrite rules see [[SupportsDelta]], plan a scan of ONLY the touched
+  * rows (full pushdown applies — no survivors need reading), and feed
+  * [[BtrDvDeltaWriter]]:
   *
-  * Commit protocol and conflict rules in [[graft.format.DeletionVector]];
-  * UPDATE and MERGE keep the group-based copy-on-write path (their
-  * inserts would need the full writer surface here — Delta Lake shipped
-  * DVs for DELETE first for the same reason).
+  *  - DELETE rows become per-target position blobs under `_btr_dv/`;
+  *  - UPDATE rows split into delete + re-insert
+  *    (`representUpdateAsDeleteAndInsert`); inserts (from UPDATE's new
+  *    images and MERGE's not-matched rows) stage as hidden `_rl_` files
+  *    through the ordinary append writers (partitioned layout included).
+  *
+  * A point UPDATE on a 100 TB table costs the matching rows' I/O plus
+  * kilobytes of sidecar — untouched rows in touched files are never
+  * read or rewritten.
+  *
+  * Commit protocol for commits WITH inserts (pure deletes keep the
+  * simpler blob-only protocol — the snapshot log alone publishes them):
+  * a `_btr_dvpending_` marker listing the insert rels + blob rels is
+  * written BEFORE the staged files rename visible. While the marker is
+  * pending, listings exclude its insert files and scans ignore its
+  * blobs — every reader sees the consistent PRE-update state. The log
+  * entry records the commit, then the marker retires, flipping readers
+  * to the post-update state. Crash convergence ([[BtrDvOps
+  * .convergePending]], invoked from every mutation entry point): all
+  * insert files present → roll FORWARD (record the entry if the log
+  * doesn't already cover it, retire the marker); otherwise roll BACK
+  * (remove the partial files and blobs). Either way no reader ever saw
+  * a half-applied update.
   */
-class BtrDvDeleteOperation(path: String, tableSchema: StructType, partCols: Seq[String])
-    extends RowLevelOperation with SupportsDelta {
+class BtrDvRowLevelOperation(path: String, tableSchema: StructType, partCols: Seq[String],
+    cmd: RowLevelOperation.Command) extends RowLevelOperation with SupportsDelta {
 
-  override def command(): RowLevelOperation.Command = RowLevelOperation.Command.DELETE
+  override def command(): RowLevelOperation.Command = cmd
+
+  override def representUpdateAsDeleteAndInsert(): Boolean = true
 
   override def rowId(): Array[NamedReference] = Array(
     org.apache.spark.sql.connector.expressions.Expressions.column(BtrScan.FileMetaCol),
@@ -39,10 +55,10 @@ class BtrDvDeleteOperation(path: String, tableSchema: StructType, partCols: Seq[
 
   override def requiredMetadataAttributes(): Array[NamedReference] = Array.empty
 
-  /** The table's NORMAL scan builder: a delta delete reads only matching
-    * rows, so every pushdown (filters, blooms, chunk skipping, late
-    * materialization) applies — unlike the group rewrite's read-in-full
-    * scan.
+  /** The table's NORMAL scan builder: a delta operation reads only the
+    * rows it touches, so every pushdown (filters, blooms, chunk
+    * skipping, late materialization) applies — unlike the group
+    * rewrite's read-in-full scan.
     */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new BtrScanBuilder(path, tableSchema, options, partCols)
@@ -51,28 +67,49 @@ class BtrDvDeleteOperation(path: String, tableSchema: StructType, partCols: Seq[
     new DeltaWriteBuilder {
       override def build(): DeltaWrite = new BtrDvDeltaWrite(path,
         info.rowIdSchema().orElseThrow(() =>
-          new IllegalStateException("btr: delta write without a rowId schema")))
+          new IllegalStateException("btr: delta write without a rowId schema")),
+        rowSchema =
+          if (cmd == RowLevelOperation.Command.DELETE) None else Some(info.schema()),
+        partCols = partCols)
     }
 
-  override def description(): String = s"btr deletion-vector DELETE on $path"
+  override def description(): String = s"btr deletion-vector $cmd on $path"
 }
 
 final case class BtrDvCommitMessage(
     blobRels: Seq[String],
     // target rel -> the file length the blob recorded (conflict check:
     // a same-rel file of a different length is a replacement)
-    targets: Map[String, Long]) extends WriterCommitMessage
+    targets: Map[String, Long],
+    // staged (hidden) insert files from UPDATE/MERGE, with stats
+    dataMsgs: Seq[BtrCommitMessage] = Nil) extends WriterCommitMessage
 
 class BtrDvDeltaWrite(path: String, rowIdSchema: StructType,
     // test-only race injection: runs between the pre-commit conflict
     // check and the log claim — deterministic stand-in for a commit
     // landing inside that window (same pattern as BtrCompact.beforeSwap)
-    beforeClaim: () => Unit = () => ()) extends DeltaWrite {
+    beforeClaim: () => Unit = () => (),
+    // UPDATE/MERGE: the full row schema for the insert side; None = a
+    // pure DELETE (no insert writers)
+    rowSchema: Option[StructType] = None,
+    partCols: Seq[String] = Nil) extends DeltaWrite {
   private val writeId = BtrWriteIds.newWriteId()
 
   override def toBatch: DeltaBatchWrite = new DeltaBatchWrite {
+    // the insert side reuses the ordinary (hidden-staged) row-level
+    // writers — partitioned layout, column-mapping slots and commit
+    // stats all behave exactly like a CoW rewrite's output
+    private val innerFactory: Option[DataWriterFactory] = rowSchema.map { rs =>
+      val dir = new Path(path)
+      val fs = dir.getFileSystem(BtrTableMeta.hadoopConf())
+      val (blockSize, cascade) = BtrTableMeta.readGeometry(fs, dir)
+      new BtrBatchWrite(path, rs, BtrOverwriteMode.ReplaceFiles(() => Nil),
+        blockSize, cascade, BtrConfig.Default, partCols)
+        .createBatchWriterFactory(null)
+    }
+
     override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
-      BtrDvWriterFactory(path, rowIdSchema, writeId)
+      BtrDvWriterFactory(path, rowIdSchema, writeId, innerFactory)
 
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
       val dir = new Path(path)
@@ -81,82 +118,121 @@ class BtrDvDeltaWrite(path: String, rowIdSchema: StructType,
       graft.format.BtrFs.requireAtomicRename(fs, root)
       val msgs = messages.collect { case m: BtrDvCommitMessage => m }
       val blobs = msgs.flatMap(_.blobRels).toSeq.distinct.sorted
-      if (blobs.isEmpty) return // nothing matched: no commit, no version
+      val dataMsgs = msgs.flatMap(_.dataMsgs).filter(_.fileName.nonEmpty)
+      if (blobs.isEmpty && dataMsgs.isEmpty) return // nothing touched: no commit
       val targets: Map[String, Long] = msgs.flatMap(_.targets).toMap
       val rootLen = root.toUri.getPath.length + 1
 
-      def cleanup(): Unit = blobs.foreach(r => fs.delete(new Path(root, r), false))
+      def cleanupBlobs(): Unit = blobs.foreach(r => fs.delete(new Path(root, r), false))
 
       def verifyTargets(phase: String): Unit = {
+        if (targets.isEmpty) return
         val visible = BtrTableMeta.listDataFilesWithPartitions(fs, root)
           .map(e => e.path.toUri.getPath.substring(rootLen) -> e.len).toMap
         val drifted = targets.filter { case (rel, len) => !visible.get(rel).contains(len) }
         if (drifted.nonEmpty)
           throw new IllegalStateException(
-            s"btr: concurrent commit conflict at $path — DELETE computed deletion " +
-              s"vectors against ${drifted.size} file(s) a concurrent commit has since " +
-              s"removed or rewritten ($phase; e.g. " +
-              s"${drifted.keys.toSeq.sorted.take(3).mkString(", ")}); retry the DELETE.")
+            s"btr: concurrent commit conflict at $path — this row-level operation " +
+              s"computed deletion vectors against ${drifted.size} file(s) a " +
+              s"concurrent commit has since removed or rewritten ($phase; e.g. " +
+              s"${drifted.keys.toSeq.sorted.take(3).mkString(", ")}); retry.")
       }
 
-      // conflict check BEFORE publishing to the log: the scanned files
-      // must still be the visible incarnations (same rel AND same length)
+      if (dataMsgs.isEmpty) {
+        // pure DELETE: blob-only commit, published by the log alone
+        try verifyTargets("pre-commit")
+        catch { case e: IllegalStateException => cleanupBlobs(); throw e }
+        beforeClaim()
+        BtrLog.recordDelta(fs, root, "delete", added = blobs, removed = Nil)
+        try verifyTargets("post-claim")
+        catch {
+          case e: IllegalStateException =>
+            BtrLog.recordDelta(fs, root, "delete-abort", added = Nil, removed = blobs)
+            val retain = BtrTableMeta.readRetainRemoved(fs, root)
+            blobs.foreach(r => graft.format.BtrRetention.removeDataFile(fs, root, r, retain))
+            throw e
+        }
+        fs.delete(new Path(root, BtrTableMeta.StatsFile), false)
+        return
+      }
+
+      // UPDATE/MERGE with inserts: marker-protected two-phase publish
+      val stagedRels = dataMsgs.map(_.fileName)
+      def visibleOf(rel: String): String = {
+        val cut = rel.lastIndexOf('/')
+        val dirPart = if (cut < 0) "" else rel.substring(0, cut + 1)
+        dirPart + rel.substring(cut + 1).replaceFirst("^_rl_[0-9a-f]{8}_", "")
+      }
+      val insertRels = stagedRels.map(visibleOf)
+      def cleanupStaged(): Unit =
+        stagedRels.foreach(r => fs.delete(new Path(root, r), false))
       try verifyTargets("pre-commit")
-      catch { case e: IllegalStateException => cleanup(); throw e }
+      catch { case e: IllegalStateException => cleanupBlobs(); cleanupStaged(); throw e }
 
+      BtrTableMeta.writeDvPending(fs, root, writeId, insertRels, blobs)
+      stagedRels.foreach { rel =>
+        val dst = new Path(root, visibleOf(rel))
+        fs.mkdirs(dst.getParent)
+        if (!fs.rename(new Path(root, rel), dst))
+          throw new java.io.IOException(s"btr: rename $rel -> ${visibleOf(rel)} failed")
+      }
       beforeClaim()
-      BtrLog.recordDelta(fs, root, "delete", added = blobs, removed = Nil)
-
-      // post-claim re-verify: an OPTIMIZE/rewrite that binned a target
-      // between the check above and the log claim would orphan these
-      // masks and LOSE the delete — roll the commit back loudly (the
-      // compensating entry removes the blobs from the log's file set)
-      // rather than silently resurrecting rows. The physical removal
-      // routes through retention: on a retained table the change feed
-      // then serves the add/drop pair (which cancels out) instead of
-      // failing on a vanished blob.
+      BtrLog.recordDelta(fs, root, "rowdelta", added = insertRels ++ blobs, removed = Nil)
       try verifyTargets("post-claim")
       catch {
         case e: IllegalStateException =>
-          BtrLog.recordDelta(fs, root, "delete-abort", added = Nil, removed = blobs)
+          BtrLog.recordDelta(fs, root, "rowdelta-abort", added = Nil,
+            removed = insertRels ++ blobs)
           val retain = BtrTableMeta.readRetainRemoved(fs, root)
-          blobs.foreach(r => graft.format.BtrRetention.removeDataFile(fs, root, r, retain))
+          (insertRels ++ blobs).foreach(r =>
+            graft.format.BtrRetention.removeDataFile(fs, root, r, retain))
+          fs.delete(new Path(root, s"${BtrTableMeta.DvPendingPrefix}$writeId.json"), false)
+          BtrDelete.deleteEmptyPartitionDirs(fs, root)
           throw e
       }
-      // write-time ingest stats now overstate the table — drop the
-      // advisory sidecar, like the metadata DELETE does
+      // the marker's retirement is the atomic flip to the post-update view
+      fs.delete(new Path(root, s"${BtrTableMeta.DvPendingPrefix}$writeId.json"), false)
       fs.delete(new Path(root, BtrTableMeta.StatsFile), false)
+      BtrFooters.refreshIndex(fs, root)
     }
 
     override def abort(messages: Array[WriterCommitMessage]): Unit = {
       val dir = new Path(path)
       val fs = dir.getFileSystem(BtrTableMeta.hadoopConf())
       val root = fs.makeQualified(dir)
-      messages.collect { case m: BtrDvCommitMessage => m }
-        .flatMap(_.blobRels).foreach(r => fs.delete(new Path(root, r), false))
+      messages.collect { case m: BtrDvCommitMessage => m }.foreach { m =>
+        m.blobRels.foreach(r => fs.delete(new Path(root, r), false))
+        m.dataMsgs.foreach(d =>
+          if (d.fileName.nonEmpty) fs.delete(new Path(root, d.fileName), false))
+      }
     }
   }
 
-  override def description(): String = s"btr dv-delete $writeId"
+  override def description(): String = s"btr dv-dml $writeId"
 }
 
-final case class BtrDvWriterFactory(path: String, rowIdSchema: StructType, writeId: String)
+final case class BtrDvWriterFactory(path: String, rowIdSchema: StructType, writeId: String,
+    innerFactory: Option[DataWriterFactory] = None)
     extends DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
-    new BtrDvDeltaWriter(path, rowIdSchema, s"$writeId-$partitionId-$taskId")
+    new BtrDvDeltaWriter(path, rowIdSchema, s"$writeId-$partitionId-$taskId",
+      innerFactory.map(_.createWriter(partitionId, taskId)))
 }
 
-/** Task-side position collector. Scan order is (file, ascending pos)
-  * within a task, but a shuffle between scan and write may reorder —
-  * positions are sorted and deduped at task commit.
+/** Task-side collector: positions per target file for the delete side,
+  * a hidden-staged ordinary writer for the insert side. Scan order is
+  * (file, ascending pos) within a task, but a shuffle between scan and
+  * write may reorder — positions are sorted and deduped at task commit.
   */
-class BtrDvDeltaWriter(path: String, rowIdSchema: StructType, suffix: String)
+class BtrDvDeltaWriter(path: String, rowIdSchema: StructType, suffix: String,
+    inner: Option[DataWriter[InternalRow]] = None)
     extends DeltaWriter[InternalRow] {
 
   private val fileIdx = rowIdSchema.fieldIndex(BtrScan.FileMetaCol)
   private val posIdx = rowIdSchema.fieldIndex(BtrScan.PosMetaCol)
   private val byFile = scala.collection.mutable.HashMap.empty[String, java.util.ArrayList[Long]]
   private val written = scala.collection.mutable.ArrayBuffer.empty[String]
+  private var innerUsed = false
 
   private lazy val (fs, root) = {
     val dir = new Path(path)
@@ -171,11 +247,13 @@ class BtrDvDeltaWriter(path: String, rowIdSchema: StructType, suffix: String)
 
   override def update(metadata: InternalRow, id: InternalRow, row: InternalRow): Unit =
     throw new UnsupportedOperationException(
-      "btr: deletion-vector writes carry DELETE only (UPDATE/MERGE take copy-on-write)")
+      "btr: updates arrive split as delete + insert (representUpdateAsDeleteAndInsert)")
 
-  override def insert(row: InternalRow): Unit =
-    throw new UnsupportedOperationException(
-      "btr: deletion-vector writes carry DELETE only (UPDATE/MERGE take copy-on-write)")
+  override def insert(row: InternalRow): Unit = inner match {
+    case Some(w) => innerUsed = true; w.write(row)
+    case None => throw new UnsupportedOperationException(
+      "btr: this deletion-vector write carries DELETE only")
+  }
 
   override def commit(): WriterCommitMessage = {
     val rootLen = root.toUri.getPath.length + 1
@@ -207,11 +285,55 @@ class BtrDvDeltaWriter(path: String, rowIdSchema: StructType, suffix: String)
       written += relBlob
       targets(rel) = targetLen
     }
-    BtrDvCommitMessage(written.toSeq, targets.toMap)
+    val dataMsgs: Seq[BtrCommitMessage] =
+      if (!innerUsed) { inner.foreach(_.abort()); Nil }
+      else inner.get.commit() match {
+        case m: BtrCommitMessage => Seq(m)
+        case m: BtrMultiCommitMessage => m.messages.toSeq
+        case _ => Nil
+      }
+    BtrDvCommitMessage(written.toSeq, targets.toMap, dataMsgs)
   }
 
-  override def abort(): Unit =
+  override def abort(): Unit = {
     written.foreach(r => fs.delete(new Path(root, r), false))
+    if (innerUsed) inner.foreach(_.abort())
+  }
 
-  override def close(): Unit = ()
+  override def close(): Unit = inner.foreach(_.close())
+}
+
+object BtrDvOps {
+  /** Converge crashed merge-on-read UPDATE/MERGE commits (pending
+    * `_btr_dvpending_` markers), invoked from every mutation entry
+    * point alongside swap-journal convergence: all insert files present
+    * → roll FORWARD (record the log entry if the log doesn't already
+    * cover the files, retire the marker); any missing → roll BACK
+    * (remove the partial files and blobs). Readers never applied a
+    * pending commit, so neither direction can lose acknowledged state.
+    */
+  def convergePending(fs: FileSystem, rawRoot: Path): Unit = {
+    val root = fs.makeQualified(rawRoot)
+    val pending = BtrTableMeta.readDvPending(fs, root)
+    if (pending.isEmpty) return
+    val retain = BtrTableMeta.readRetainRemoved(fs, root)
+    pending.foreach { case (marker, groups) =>
+      val finals = groups.flatMap(_.finals)
+      val blobs = groups.flatMap(_.sources)
+      val allPresent = finals.forall(f => fs.exists(new Path(root, f)))
+      if (allPresent && finals.nonEmpty) {
+        val recorded = BtrLog.latestVersion(fs, root).exists { v =>
+          val snap = BtrLog.resolveSnapshot(fs, root, v).fileSet
+          finals.forall(snap.contains)
+        }
+        if (!recorded)
+          BtrLog.recordDelta(fs, root, "rowdelta", added = finals ++ blobs, removed = Nil)
+      } else {
+        (finals ++ blobs).foreach(rel =>
+          graft.format.BtrRetention.removeDataFile(fs, root, rel, retain))
+        BtrDelete.deleteEmptyPartitionDirs(fs, root)
+      }
+      fs.delete(marker, false)
+    }
+  }
 }

@@ -596,6 +596,7 @@ object BtrLog {
     val root = fs.makeQualified(rawRoot)
     graft.format.BtrFs.requireAtomicRename(fs, root)
     BtrTableMeta.completeSwapJournals(fs, root)
+    BtrDvOps.convergePending(fs, root)
     val snapshot = resolveSnapshot(fs, root, version)
     val want = snapshot.fileSet
     val rootLen = root.toUri.getPath.length + 1

@@ -176,6 +176,7 @@ object BtrVacuum {
     // horizon to them
     val journals = BtrTableMeta.readSwapJournals(fs, root).length.toLong
     BtrTableMeta.completeSwapJournals(fs, root)
+    BtrDvOps.convergePending(fs, root)
     val temps = BtrTableMeta.vacuumTemps(fs, root, retentionMs) +
       listOrphanDvBlobs(fs, root, System.currentTimeMillis() - retentionMs)
         .count(p => fs.delete(p, false))

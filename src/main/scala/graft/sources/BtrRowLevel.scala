@@ -46,17 +46,17 @@ class BtrRowLevelOperationBuilder(path: String, tableSchema: StructType,
     partCols: Seq[String], info: RowLevelOperationInfo)
     extends RowLevelOperationBuilder {
   override def build(): RowLevelOperation = {
-    // DELETE on a deletion-vector table takes the delta-based
-    // (merge-on-read) path: positions, not rewrites. `_pos` must be
-    // available as a metadata column (a data column claiming the name
-    // forces copy-on-write — honest fallback, still correct).
-    if (info.command() == RowLevelOperation.Command.DELETE) {
-      val dir = new Path(path)
-      val fs = dir.getFileSystem(BtrTableMeta.hadoopConf())
-      if (BtrTableMeta.readDeletionVectors(fs, dir) &&
-        BtrScan.posColActive(tableSchema) && BtrScan.fileColActive(tableSchema))
-        return new BtrDvDeleteOperation(path, tableSchema, partCols)
-    }
+    // DML on a deletion-vector table takes the delta-based
+    // (merge-on-read) path: DELETE writes position blobs, UPDATE/MERGE
+    // write blobs for the old row images plus ordinary staged files for
+    // the new ones — no untouched row is ever read or rewritten. `_pos`
+    // must be available as a metadata column (a data column claiming
+    // the name forces copy-on-write — honest fallback, still correct).
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(BtrTableMeta.hadoopConf())
+    if (BtrTableMeta.readDeletionVectors(fs, dir) &&
+      BtrScan.posColActive(tableSchema) && BtrScan.fileColActive(tableSchema))
+      return new BtrDvRowLevelOperation(path, tableSchema, partCols, info.command())
     new BtrRowLevelOperation(path, tableSchema, partCols, info.command())
   }
 }

@@ -426,8 +426,13 @@ class BtrScan(
         else BtrLog.latestVersion(fs, root) match {
           case None => Set.empty
           case Some(v) =>
+            // a pending merge-on-read UPDATE/MERGE's blobs don't apply
+            // yet (its insert files are hidden too — the consistent
+            // pre-update view until the marker retires)
+            val pendingBlobs = BtrTableMeta.readDvPending(fs, root)
+              .flatMap(_._2).flatMap(_.sources).toSet
             BtrLog.resolveSnapshot(fs, root, v).files
-              .filter(DeletionVector.isDvRel).toSet
+              .filter(DeletionVector.isDvRel).toSet -- pendingBlobs
         }
     }
     onDvApplied.foreach(_(mainRels))

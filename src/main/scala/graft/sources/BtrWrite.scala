@@ -456,6 +456,10 @@ class BtrBatchWrite(path: String, schema: StructType, mode: BtrOverwriteMode, bl
     // removes (a commit that first enables retention retains from the
     // NEXT removal on)
     val retainRemoved = BtrTableMeta.readRetainRemoved(fs, dir)
+    // converge a crashed merge-on-read UPDATE/MERGE first (forward or
+    // back — see BtrDvOps.convergePending); every mode's own listing
+    // below must see the converged state
+    BtrDvOps.convergePending(fs, dir)
     val msgs = flatten(messages)
     // idempotent replay (btr.txnAppId/btr.txnVersion): a version the
     // retained log already records for this app — at-or-above this one —

@@ -1,0 +1,186 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Merge-on-read UPDATE/MERGE: old row images mask out through
+  * deletion-vector blobs, new images land in appended files, untouched
+  * files stay byte-identical, the pending-marker protocol keeps every
+  * crash window consistent, and the change feed represents an UPDATE as
+  * exact delete+insert events.
+  */
+class BtrDvDmlSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("btr-dv-dml-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  spark.conf.set("spark.sql.catalog.graft", classOf[BtrCatalog].getName)
+
+  private def tmp(name: String) = {
+    val d = s"/tmp/btr-dv-dml/$name"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d))
+    d
+  }
+
+  private def md5(f: java.io.File): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    d.digest(java.nio.file.Files.readAllBytes(f.toPath)).map("%02x".format(_)).mkString
+  }
+
+  private def dataFiles(p: String): Array[java.io.File] = {
+    def walk(d: java.io.File): Array[java.io.File] =
+      Option(d.listFiles()).getOrElse(Array.empty).flatMap { f =>
+        if (f.isDirectory && !f.getName.startsWith("_")) walk(f)
+        else if (f.isFile && f.getName.endsWith(".btr") && !f.getName.startsWith("_")) Array(f)
+        else Array.empty[java.io.File]
+      }
+    walk(new java.io.File(p)).sortBy(_.getPath)
+  }
+
+  private def fsRoot(p: String) = {
+    val fs = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(graft.format.BtrTableMeta.hadoopConf())
+    (fs, fs.makeQualified(new org.apache.hadoop.fs.Path(p)))
+  }
+
+  test("UPDATE: untouched files byte-identical, new images appended, masks applied") {
+    val p = tmp("update")
+    (0 until 500).map(i => (i.toLong, s"r$i", 0L)).toDF("v", "s", "hits")
+      .coalesce(1).write.format("btr").mode("overwrite")
+      .option("btr.deletionVectors", "true").save(p)
+    (500 until 1000).map(i => (i.toLong, s"r$i", 0L)).toDF("v", "s", "hits")
+      .coalesce(1).write.format("btr").mode("append").save(p)
+    val before = dataFiles(p).map(f => f.getName -> md5(f)).toMap
+    spark.sql(s"UPDATE graft.`$p` SET hits = hits + 1, s = concat(s, '!') WHERE v % 100 = 7")
+    val after = dataFiles(p).map(f => f.getName -> md5(f)).toMap
+    before.foreach { case (n, h) =>
+      assert(after.get(n).contains(h), s"original file $n must stay byte-identical")
+    }
+    assert(after.size > before.size, "new images must land in appended files")
+    val rows = spark.read.format("btr").load(p).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    val expected = (0 until 1000).map { i =>
+      if (i % 100 == 7) (i.toLong, s"r$i!", 1L) else (i.toLong, s"r$i", 0L)
+    }
+    assert(rows.toSeq == expected)
+    assert(new java.io.File(p).listFiles().forall(
+      !_.getName.startsWith("_btr_dvpending_")), "marker must retire")
+  }
+
+  test("MERGE: update + insert + delete, all merge-on-read") {
+    val p = tmp("merge")
+    (0 until 100).map(i => (i.toLong, i.toLong * 10)).toDF("k", "val")
+      .coalesce(1).write.format("btr").mode("overwrite")
+      .option("btr.deletionVectors", "true").save(p)
+    val before = dataFiles(p).map(f => f.getName -> md5(f)).toMap
+    Seq((5L, 555L), (200L, 2000L), (7L, -1L)).toDF("k", "val")
+      .createOrReplaceTempView("dml_src")
+    spark.sql(
+      s"""MERGE INTO graft.`$p` t USING dml_src s ON t.k = s.k
+         |WHEN MATCHED AND s.val < 0 THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET val = s.val
+         |WHEN NOT MATCHED THEN INSERT (k, val) VALUES (s.k, s.val)""".stripMargin)
+    val after = dataFiles(p).map(f => f.getName -> md5(f)).toMap
+    before.foreach { case (n, h) => assert(after.get(n).contains(h)) }
+    val rows = spark.read.format("btr").load(p).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val expected = ((0 until 100).filterNot(_ == 7).map(i =>
+      (i.toLong, if (i == 5) 555L else i * 10L)) :+ (200L, 2000L)).sortBy(_._1)
+    assert(rows == expected, rows.take(12).toString)
+  }
+
+  test("partitioned UPDATE moves rows across partition directories") {
+    val p = tmp("part-move")
+    (0 until 120).map(i => (s"k${i % 3}", i.toLong)).toDF("k", "v")
+      .repartition($"k").write.format("btr").partitionBy("k")
+      .option("btr.deletionVectors", "true").mode("overwrite").save(p)
+    spark.sql(s"UPDATE graft.`$p` SET k = 'k2' WHERE v < 10")
+    val back = spark.read.format("btr").load(p)
+    assert(back.count() == 120)
+    assert(back.filter($"k" === "k2" && $"v" < 10).count() == 10)
+    assert(back.filter($"k" =!= "k2" && $"v" < 10).count() == 0)
+  }
+
+  test("time travel and RESTORE rewind an UPDATE (inserts drop, masks drop)") {
+    val p = tmp("travel")
+    (0 until 300).map(i => (i.toLong, 0L)).toDF("v", "hits")
+      .coalesce(1).write.format("btr").mode("overwrite")
+      .option("btr.deletionVectors", "true").save(p)
+    val (fs, root) = fsRoot(p)
+    val v0 = BtrLog.latestVersion(fs, root).get
+    spark.sql(s"UPDATE graft.`$p` SET hits = 9 WHERE v >= 250")
+    assert(spark.read.format("btr").load(p).filter($"hits" === 9).count() == 50)
+    assert(spark.read.format("btr").option("btr.versionAsOf", v0.toString)
+      .load(p).filter($"hits" === 9).count() == 0)
+    BtrLog.restore(fs, root, v0)
+    val back = spark.read.format("btr").load(p)
+    assert(back.count() == 300 && back.filter($"hits" === 9).count() == 0)
+  }
+
+  test("change feed represents an UPDATE as exact delete+insert events") {
+    val p = tmp("feed")
+    (0 until 200).map(i => (i.toLong, 0L)).toDF("v", "hits")
+      .coalesce(1).write.format("btr").mode("overwrite")
+      .option("btr.deletionVectors", "true").save(p)
+    val (fs, root) = fsRoot(p)
+    val v0 = BtrLog.latestVersion(fs, root).get
+    spark.sql(s"UPDATE graft.`$p` SET hits = 1 WHERE v % 50 = 3")
+    val ev = BtrChanges.between(spark, p, v0, BtrLog.latestVersion(fs, root).get)
+      .select($"v", $"hits", $"_change_type")
+      .as[(Long, Long, String)].collect().sortBy(e => (e._3, e._1)).toSeq
+    val touched = (0L until 200L).filter(_ % 50 == 3)
+    assert(ev == touched.map(v => (v, 0L, "delete")) ++ touched.map(v => (v, 1L, "insert")),
+      ev.toString)
+  }
+
+  test("crash before the log entry: readers see the pre-update state; convergence rolls forward") {
+    val p = tmp("crash")
+    (0 until 100).map(i => (i.toLong, 0L)).toDF("v", "hits")
+      .coalesce(1).write.format("btr").mode("overwrite")
+      .option("btr.deletionVectors", "true").save(p)
+    val (fs, root) = fsRoot(p)
+
+    // drive the delta write directly with a crash injected between the
+    // renames and the log claim — the torn window the marker guards
+    val rowIdSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(BtrScan.FileMetaCol,
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField(BtrScan.PosMetaCol,
+        org.apache.spark.sql.types.LongType)))
+    val rowSchema = spark.read.format("btr").load(p).schema
+    val target = graft.format.BtrTableMeta
+      .listDataFilesWithPartitions(fs, root).head.path.toString
+    val bw = new BtrDvDeltaWrite(p, rowIdSchema,
+      beforeClaim = () => throw new RuntimeException("boom"),
+      rowSchema = Some(rowSchema)).toBatch
+    val w = bw.createBatchWriterFactory(null).createWriter(0, 1L)
+    // "update" row 0: delete old image, insert the new one
+    w.delete(null, org.apache.spark.sql.catalyst.InternalRow(
+      org.apache.spark.unsafe.types.UTF8String.fromString(target), 0L))
+    w.insert(org.apache.spark.sql.catalyst.InternalRow(0L, 42L))
+    val msg = w.commit()
+    intercept[RuntimeException] { bw.commit(Array(msg)) }
+
+    // torn state: marker present, insert file renamed, no log entry —
+    // readers must see the consistent PRE-update table
+    assert(new java.io.File(p).listFiles().exists(_.getName.startsWith("_btr_dvpending_")))
+    val pre = spark.read.format("btr").load(p)
+    assert(pre.count() == 100 && pre.filter($"hits" === 42).count() == 0)
+
+    // convergence (here via the vacuum entry point) rolls FORWARD: all
+    // insert files present → record + retire the marker
+    BtrDvOps.convergePending(fs, root)
+    assert(new java.io.File(p).listFiles().forall(
+      !_.getName.startsWith("_btr_dvpending_")))
+    val post = spark.read.format("btr").load(p)
+    assert(post.count() == 100)
+    assert(post.filter($"v" === 0L).select("hits").as[Long].head() == 42L)
+  }
+}

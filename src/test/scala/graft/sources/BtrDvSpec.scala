@@ -146,17 +146,22 @@ class BtrDvSpec extends AnyFunSuite {
     assert(dataFiles(p).length == 1)
   }
 
-  test("CoW UPDATE on a masked table applies the masks and drops replaced blobs") {
-    val p = tmp("cow-upd")
+  test("UPDATE after a DELETE is merge-on-read too: masks stack, no file rewritten") {
+    val p = tmp("mor-upd")
     (0 until 800).map(i => (i.toLong, 0L)).toDF("v", "hits")
       .coalesce(1).write.format("btr").mode("overwrite")
       .option("btr.deletionVectors", "true").save(p)
+    val original = dataFiles(p).map(_.getName).toSet
     spark.sql(s"DELETE FROM graft.`$p` WHERE v % 4 = 1")
-    assert(dvBlobs(p).nonEmpty)
-    // UPDATE keeps copy-on-write: the rewrite must drop masked rows and
-    // retire the now-orphaned blobs
+    val blobsAfterDelete = dvBlobs(p).length
+    assert(blobsAfterDelete > 0)
+    // UPDATE takes the delta path: old images mask out, new images land
+    // in a fresh appended file — the original file is never rewritten
     spark.sql(s"UPDATE graft.`$p` SET hits = 1 WHERE v % 4 = 2")
-    assert(dvBlobs(p).isEmpty, "rewrite must retire the replaced file's blobs")
+    assert(original.subsetOf(dataFiles(p).map(_.getName).toSet),
+      "original files must survive byte-identical under merge-on-read UPDATE")
+    assert(dataFiles(p).length > original.size, "updated rows land in new files")
+    assert(dvBlobs(p).length > blobsAfterDelete, "the UPDATE adds masks")
     val back = spark.read.format("btr").load(p).collect()
       .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     val expect = (0L until 800L).filter(_ % 4 != 1).map(v => (v, if (v % 4 == 2) 1L else 0L))
