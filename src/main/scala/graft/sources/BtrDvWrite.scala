@@ -304,17 +304,35 @@ class BtrDvDeltaWriter(path: String, rowIdSchema: StructType, suffix: String,
 }
 
 object BtrDvOps {
-  /** Converge crashed merge-on-read UPDATE/MERGE commits (pending
-    * `_btr_dvpending_` markers), invoked from every mutation entry
-    * point alongside swap-journal convergence: all insert files present
-    * → roll FORWARD (record the log entry if the log doesn't already
-    * cover the files, retire the marker); any missing → roll BACK
-    * (remove the partial files and blobs). Readers never applied a
-    * pending commit, so neither direction can lose acknowledged state.
+  /** A marker younger than this is presumed IN-FLIGHT (its commit is
+    * still running) and is left alone — converging a live commit would
+    * early-publish it under the feet of its own post-claim conflict
+    * checks. A healthy commit retires its marker within seconds; only a
+    * crash leaves one to age past the lease. Same idea as Delta's
+    * transaction timeouts.
     */
-  def convergePending(fs: FileSystem, rawRoot: Path): Unit = {
+  val InFlightLeaseMs: Long = 10L * 60 * 1000
+
+  /** Converge crashed merge-on-read UPDATE/MERGE commits (pending
+    * `_btr_dvpending_` markers older than [[InFlightLeaseMs]]), invoked
+    * from every mutation entry point alongside swap-journal
+    * convergence: all insert files present → roll FORWARD (record the
+    * log entry if the log doesn't already cover the files, retire the
+    * marker); any missing → roll BACK (remove the partial files and
+    * blobs). Readers never applied a pending commit, so neither
+    * direction can lose acknowledged state; a concurrent mutation
+    * running against a still-leased marker simply sees (and may
+    * replace) the pre-update state, and the in-flight commit's own
+    * post-claim checks then roll it back loudly.
+    */
+  def convergePending(fs: FileSystem, rawRoot: Path,
+      minAgeMs: Long = InFlightLeaseMs): Unit = {
     val root = fs.makeQualified(rawRoot)
-    val pending = BtrTableMeta.readDvPending(fs, root)
+    val cutoff = System.currentTimeMillis() - minAgeMs
+    val pending = BtrTableMeta.readDvPending(fs, root).filter { case (marker, _) =>
+      try fs.getFileStatus(marker).getModificationTime <= cutoff
+      catch { case _: java.io.IOException => false } // retired concurrently
+    }
     if (pending.isEmpty) return
     val retain = BtrTableMeta.readRetainRemoved(fs, root)
     pending.foreach { case (marker, groups) =>

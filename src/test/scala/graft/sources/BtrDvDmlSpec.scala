@@ -140,6 +140,44 @@ class BtrDvDmlSpec extends AnyFunSuite {
       ev.toString)
   }
 
+  test("UPDATE losing a post-claim race against OPTIMIZE rolls back completely") {
+    val p = tmp("race")
+    (0 until 100).map(i => (i.toLong, 0L)).toDF("v", "hits")
+      .coalesce(1).write.format("btr").mode("overwrite")
+      .option("btr.deletionVectors", "true").save(p)
+    val (fs, root) = fsRoot(p)
+    val rowIdSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(BtrScan.FileMetaCol,
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField(BtrScan.PosMetaCol,
+        org.apache.spark.sql.types.LongType)))
+    val rowSchema = spark.read.format("btr").load(p).schema
+    val target = graft.format.BtrTableMeta
+      .listDataFilesWithPartitions(fs, root).head.path.toString
+    // the rewrite lands inside the UPDATE's pre-check → claim window:
+    // its masks would be orphaned and its delete lost — must roll back
+    val bw = new BtrDvDeltaWrite(p, rowIdSchema,
+      beforeClaim = () => BtrCompact.rewriteClustered(spark, p, Seq("v")),
+      rowSchema = Some(rowSchema)).toBatch
+    val w = bw.createBatchWriterFactory(null).createWriter(0, 1L)
+    w.delete(null, org.apache.spark.sql.catalyst.InternalRow(
+      org.apache.spark.unsafe.types.UTF8String.fromString(target), 3L))
+    w.insert(org.apache.spark.sql.catalyst.InternalRow(3L, 42L))
+    val msg = w.commit()
+    val e = intercept[IllegalStateException] { bw.commit(Array(msg)) }
+    assert(e.getMessage.contains("post-claim"), e.getMessage)
+    // complete rollback: no marker, no masks, no stray inserts, latest
+    // log entry is the compensating abort
+    assert(new java.io.File(p).listFiles().forall(
+      !_.getName.startsWith("_btr_dvpending_")))
+    val back = spark.read.format("btr").load(p)
+    assert(back.count() == 100 && back.filter($"hits" === 42).count() == 0)
+    val latest = BtrLog.latestVersion(fs, root).get
+    assert(BtrLog.readEntry(fs, root, latest).action == "rowdelta-abort")
+    assert(spark.read.format("btr").option("btr.versionAsOf", latest.toString)
+      .load(p).count() == 100)
+  }
+
   test("crash before the log entry: readers see the pre-update state; convergence rolls forward") {
     val p = tmp("crash")
     (0 until 100).map(i => (i.toLong, 0L)).toDF("v", "hits")
@@ -174,9 +212,10 @@ class BtrDvDmlSpec extends AnyFunSuite {
     val pre = spark.read.format("btr").load(p)
     assert(pre.count() == 100 && pre.filter($"hits" === 42).count() == 0)
 
-    // convergence (here via the vacuum entry point) rolls FORWARD: all
-    // insert files present → record + retire the marker
-    BtrDvOps.convergePending(fs, root)
+    // convergence rolls FORWARD: all insert files present → record +
+    // retire the marker (minAge 0: the in-flight lease is for LIVE
+    // commits; this one provably crashed)
+    BtrDvOps.convergePending(fs, root, minAgeMs = 0L)
     assert(new java.io.File(p).listFiles().forall(
       !_.getName.startsWith("_btr_dvpending_")))
     val post = spark.read.format("btr").load(p)

@@ -119,6 +119,29 @@ class CdcStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("CDC stream serves a merge-on-read UPDATE as delete+insert events") {
+    val dir = tmp("dv-update")
+    import spark.implicits._
+    (0 until 60).map(i => (i, 0)).toDF("x", "hits")
+      .repartition(1).write.format("btr")
+      .option("btr.deletionVectors", "true").mode("overwrite").save(dir) // v1
+    val q = spark.readStream.format("btr")
+      .option("btr.readChanges", "true")
+      .option("btr.startingVersion", "1")
+      .load(dir)
+      .writeStream.format("memory").queryName("cdc_upd_out").start()
+    try {
+      spark.sql(s"UPDATE graft.`$dir` SET hits = 1 WHERE x % 20 = 5")   // v2 (MoR)
+      q.processAllAvailable()
+      val ev = spark.table("cdc_upd_out")
+        .select(col("x"), col("hits"), col("_change_type"), col("_commit_version"))
+        .as[(Int, Int, String, Long)].collect().sortBy(e => (e._3, e._1)).toSeq
+      val touched = Seq(5, 25, 45)
+      assert(ev == touched.map(x => (x, 0, "delete", 2L)) ++
+        touched.map(x => (x, 1, "insert", 2L)), ev.toString)
+    } finally q.stop()
+  }
+
   test("CDC stream on an UNRETAINED table fails loudly at a removal-crossing batch") {
     val dir = tmp("unretained")
     import spark.implicits._
