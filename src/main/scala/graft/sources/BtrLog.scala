@@ -131,28 +131,43 @@ object BtrLog {
     * snapshot round-trips byte-exact into a planned file set.
     */
   private def currentFiles(fs: FileSystem, root: Path,
-      dvAdds: Seq[String] = Nil, dvRemoves: Set[String] = Set.empty): Seq[(String, Long)] = {
+      dvAdds: Seq[String] = Nil, dvRemoves: Set[String] = Set.empty,
+      // the committing entry's own added DATA rels: a merge-on-read
+      // UPDATE/MERGE records its entry while its pending marker still
+      // HIDES its insert files from listings — a checkpoint built from
+      // the listing alone would permanently lose them
+      extraAdds: Seq[String] = Nil): Seq[(String, Long)] = {
     listingsByRoot.merge(root.toUri.getPath, 1L, (a, b) => a + b)
     val qualified = fs.makeQualified(root)
     val rootLen = qualified.toUri.getPath.length + 1
     val data = BtrTableMeta.listDataFilesWithPartitions(fs, qualified)
       .map(e => e.path.toUri.getPath.substring(rootLen) -> e.len).toSeq
+    val dataSet = data.map(_._1).toSet
     // deletion-vector rels are LOG-authoritative, never re-listed: a
     // crashed uncommitted blob must not be absorbed into a checkpoint.
     // Carry the previous snapshot's dv rels forward (still-existing only
     // — a removal this commit performed moved or deleted them
     // physically) plus the committing entry's own adds.
-    val prevDv: Seq[String] = latestVersion(fs, root) match {
-      case Some(v) =>
-        resolveSnapshot(fs, qualified, v).files
-          .filter(graft.format.DeletionVector.isDvRel)
-      case None => Nil
-    }
-    val dv = (prevDv ++ dvAdds).distinct.filterNot(dvRemoves).flatMap { rel =>
+    val prevSnap: Option[Snapshot] = latestVersion(fs, root)
+      .map(v => resolveSnapshot(fs, qualified, v))
+    val prevDv: Seq[String] =
+      prevSnap.map(_.files.filter(graft.format.DeletionVector.isDvRel)).getOrElse(Nil)
+    def statted(rels: Seq[String]): Seq[(String, Long)] = rels.flatMap { rel =>
       try Some(rel -> fs.getFileStatus(new Path(qualified, rel)).getLen)
       catch { case _: java.io.IOException => None }
     }
-    (data ++ dv).sortBy(_._1)
+    val dv = statted((prevDv ++ dvAdds).distinct.filterNot(dvRemoves))
+    // a FOREIGN pending marker may hide files the log already recorded
+    // (the marker retires moments after its entry lands): keep every
+    // previously-recorded, physically-present data rel the listing
+    // dropped, plus this commit's own extraAdds
+    val pendingFinals = BtrTableMeta.readDvPending(fs, qualified)
+      .flatMap(_._2).flatMap(_.finals)
+    val recordedHidden = prevSnap.map(_.files).getOrElse(Nil)
+      .filter(pendingFinals.contains)
+    val extras = statted((recordedHidden ++ extraAdds).distinct
+      .filterNot(r => dataSet.contains(r) || graft.format.DeletionVector.isDvRel(r)))
+    (data ++ dv ++ extras).sortBy(_._1)
   }
 
   private def txnJson(txn: Option[(String, Long)]): String =
@@ -252,7 +267,8 @@ object BtrLog {
       if (v % CheckpointInterval == 0)
         fullJson(v, ts, action, currentFiles(fs, root,
           dvAdds = added.filter(graft.format.DeletionVector.isDvRel),
-          dvRemoves = removed.filter(graft.format.DeletionVector.isDvRel).toSet),
+          dvRemoves = removed.filter(graft.format.DeletionVector.isDvRel).toSet,
+          extraAdds = added.filterNot(graft.format.DeletionVector.isDvRel)),
           txn)
       else deltaJson(v, ts, action, addSized, rem, txn))
     prune(fs, dir)

@@ -140,6 +140,35 @@ class BtrDvDmlSpec extends AnyFunSuite {
       ev.toString)
   }
 
+  test("a rowdelta entry landing on a CHECKPOINT version keeps its insert files") {
+    val p = tmp("ckpt")
+    (0 until 50).map(i => (i.toLong, 0L)).toDF("v", "hits")
+      .coalesce(1).write.format("btr").mode("overwrite")
+      .option("btr.deletionVectors", "true").save(p) // v1
+    (0 until 14).foreach { i => // v2..v15
+      Seq((1000L + i, 0L)).toDF("v", "hits")
+        .coalesce(1).write.format("btr").mode("append").save(p)
+    }
+    val (fs, root) = fsRoot(p)
+    assert(BtrLog.latestVersion(fs, root).get == 15L)
+    // v16 = checkpoint cadence: the rowdelta entry is a FULL listing
+    // built while this commit's own pending marker still hides its
+    // insert file — the checkpoint must carry it anyway
+    spark.sql(s"UPDATE graft.`$p` SET hits = 7 WHERE v = 3")
+    assert(BtrLog.latestVersion(fs, root).get == 16L)
+    assert(!BtrLog.readEntry(fs, root, 16L).isDelta, "v16 must be a checkpoint")
+    def hitsAt(ver: Long): Long =
+      spark.read.format("btr").option("btr.versionAsOf", ver.toString).load(p)
+        .filter($"v" === 3L).select("hits").as[Long].head()
+    assert(hitsAt(16L) == 7L, "the checkpoint must include the insert file")
+    assert(spark.read.format("btr").option("btr.versionAsOf", "16").load(p).count() == 64)
+    // a later delta anchors on the checkpoint and stays complete
+    Seq((2000L, 0L)).toDF("v", "hits")
+      .coalesce(1).write.format("btr").mode("append").save(p) // v17
+    assert(hitsAt(17L) == 7L)
+    assert(spark.read.format("btr").option("btr.versionAsOf", "17").load(p).count() == 65)
+  }
+
   test("UPDATE losing a post-claim race against OPTIMIZE rolls back completely") {
     val p = tmp("race")
     (0 until 100).map(i => (i.toLong, 0L)).toDF("v", "hits")
