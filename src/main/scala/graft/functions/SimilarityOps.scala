@@ -217,8 +217,15 @@ object SimilarityOps {
     val out = assign(centroids).select(col("id"), col("cluster"))
     out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
     q.unpersist(blocking = false)
+    // bounded cache: ONE live clustering result per session — repeated
+    // calls release the previous one (same discipline as minhashDedup)
+    val prev = lastKmeansResult.put(spark, out)
+    if (prev != null && (prev ne out)) prev.unpersist(blocking = false)
     out
   }
+
+  private val lastKmeansResult =
+    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.SparkSession, DataFrame]()
 
   /** SemDeDup — semantic deduplication, the published cluster-then-
     * compare shape: k-means the corpus ([[kmeansClusters]]), find
@@ -260,8 +267,16 @@ object SimilarityOps {
     val mat = out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     mat.count()
     j.unpersist(blocking = false)
+    // release the intermediate clustering cache; keep only the survivors
+    // (one live result per session, like minhashDedup)
+    assigned.unpersist(blocking = false)
+    val prev = lastSemanticResult.put(vectors.sparkSession, mat)
+    if (prev != null && (prev ne mat)) prev.unpersist(blocking = false)
     mat
   }
+
+  private val lastSemanticResult =
+    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.SparkSession, DataFrame]()
 
   /** IVF (inverted-file) ANN: a k-means coarse quantizer partitions the
     * candidates into nlist cells; each query probes its nprobe nearest
