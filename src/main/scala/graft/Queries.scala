@@ -508,6 +508,47 @@ object CoreQueries {
         .orderBy("o_orderstatus")
     }),
 
+    // Q-dml-merge-dv: the same MERGE on a deletion-vector table —
+    // merge-on-read: matched updates mask the old rows and append new
+    // images, not-matched inserts append, published through the pending
+    // marker. Same oracle as the copy-on-write variant: row-equal paths.
+    "q_dml_merge_dv" -> ((s, d) => {
+      val dir = Btr.cachePath(d, "orders_dml_merge_dv")
+      val done = new java.io.File(dir, "_dml_complete")
+      if (!done.exists()) {
+        Btr.pq(s, d, "orders")
+          .select(col("o_orderkey"),
+            round(col("o_totalprice") * 100).cast("long").as("price_qc"),
+            col("o_orderstatus"))
+          .repartition(4)
+          .write.format("btr").mode("overwrite")
+          .option("btr.deletionVectors", "true").save(dir)
+        s.conf.set("spark.sql.catalog.graft", classOf[graft.sources.BtrCatalog].getName)
+        // orderkey 0 would collide with its own negation as an insert id
+        val src0 = Btr.pq(s, d, "lineitem")
+          .filter(col("l_orderkey") % 4 === 0 && col("l_orderkey") =!= 0)
+          .groupBy(col("l_orderkey").as("id"))
+          .agg(sum(round(col("l_quantity") * 100).cast("long")).as("qc"))
+        src0.select(col("id"), col("qc"))
+          .unionAll(src0.select((-col("id")).as("id"), col("qc")))
+          .createOrReplaceTempView("dml_merge_dv_src")
+        s.sql(
+          s"""MERGE INTO graft.`$dir` t USING dml_merge_src s ON t.o_orderkey = s.id
+             |WHEN MATCHED THEN UPDATE SET price_qc = s.qc
+             |WHEN NOT MATCHED THEN INSERT (o_orderkey, price_qc, o_orderstatus)
+             |  VALUES (s.id, s.qc, 'X')""".stripMargin)
+        require(new java.io.File(dir, "_btr_dv").listFiles()
+          .exists(_.getName.endsWith(".dv")),
+          "q_dml_merge_dv: expected deletion-vector blobs, not a rewrite")
+        java.nio.file.Files.createFile(done.toPath)
+      }
+      s.read.format("btr").load(dir)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("price_qc")).as("sum_qc"),
+          countDistinct(col("o_orderkey")).as("n_keys"))
+        .orderBy("o_orderstatus")
+    }),
+
     // Q-spj: join two btr tables ON their shared partition key — with
     // v2.bucketing enabled (the Verify session does), both sides report
     // KeyGroupedPartitioning and the join plans over key-grouped splits,
@@ -1405,6 +1446,22 @@ object CoreQueries {
         |   THEN l_quantity + 100 ELSE l_quantity END) * 100) AS BIGINT)) AS BIGINT) AS sum_qc
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_dml_merge" ->
+      """WITH src0 AS (
+        |  SELECT l_orderkey AS id,
+        |    CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qc
+        |  FROM lineitem WHERE l_orderkey % 4 = 0 AND l_orderkey <> 0 GROUP BY 1),
+        |src AS (SELECT id, qc FROM src0 UNION ALL SELECT -id, qc FROM src0),
+        |merged AS (
+        |  SELECT o.o_orderkey AS k, o.o_orderstatus AS st,
+        |    COALESCE(s.qc, CAST(round(o.o_totalprice * 100) AS BIGINT)) AS qc
+        |  FROM orders o LEFT JOIN src s ON o.o_orderkey = s.id
+        |  UNION ALL
+        |  SELECT s.id AS k, 'X' AS st, s.qc
+        |  FROM src s WHERE s.id NOT IN (SELECT o_orderkey FROM orders))
+        |SELECT st AS o_orderstatus, count(*) AS n, CAST(sum(qc) AS BIGINT) AS sum_qc,
+        |  count(DISTINCT k) AS n_keys
+        |FROM merged GROUP BY st ORDER BY st""".stripMargin,
+    "q_dml_merge_dv" ->
       """WITH src0 AS (
         |  SELECT l_orderkey AS id,
         |    CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qc
