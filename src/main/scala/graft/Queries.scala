@@ -533,7 +533,7 @@ object CoreQueries {
           .unionAll(src0.select((-col("id")).as("id"), col("qc")))
           .createOrReplaceTempView("dml_merge_dv_src")
         s.sql(
-          s"""MERGE INTO graft.`$dir` t USING dml_merge_src s ON t.o_orderkey = s.id
+          s"""MERGE INTO graft.`$dir` t USING dml_merge_dv_src s ON t.o_orderkey = s.id
              |WHEN MATCHED THEN UPDATE SET price_qc = s.qc
              |WHEN NOT MATCHED THEN INSERT (o_orderkey, price_qc, o_orderstatus)
              |  VALUES (s.id, s.qc, 'X')""".stripMargin)

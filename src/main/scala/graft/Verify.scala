@@ -25,7 +25,11 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Sorted by name: hash-Map order let one query lean on another's temp
+    // views undetected (the r12 q_dml_merge_dv defect). A deterministic
+    // order means any such dependence either always passes or always fails
+    // — and the IsolationSpec guards the "always" part per-query.
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
