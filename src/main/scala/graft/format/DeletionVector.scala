@@ -80,12 +80,19 @@ object DeletionVector {
     * need only the committed set resolve the log instead). Zero cost on
     * tables that never had a DV (no `_btr_dv` dir).
     */
-  def listBlobRels(fs: FileSystem, root: Path): Seq[String] = {
+  def listBlobRels(fs: FileSystem, root: Path): Seq[String] =
+    listBlobRels(fs, root, withTimes = true).map(_._1)
+
+  /** Blob rels with modification times — RESTORE uses the mtime to leave
+    * in-flight (young, uncommitted) blobs out of its drop set.
+    */
+  def listBlobRels(fs: FileSystem, root: Path, withTimes: Boolean)
+      : Seq[(String, Long)] = {
     val d = new Path(root, DvDir)
     if (!fs.exists(d)) return Nil
     fs.listStatus(d).toSeq.collect {
       case st if st.isFile && st.getPath.getName.endsWith(".dv") =>
-        s"$DvDir/${st.getPath.getName}"
+        (s"$DvDir/${st.getPath.getName}", st.getModificationTime)
     }
   }
 

@@ -126,16 +126,30 @@ class BtrDvDeltaWrite(path: String, rowIdSchema: StructType,
       def cleanupBlobs(): Unit = blobs.foreach(r => fs.delete(new Path(root, r), false))
 
       def verifyTargets(phase: String): Unit = {
-        if (targets.isEmpty) return
-        val visible = BtrTableMeta.listDataFilesWithPartitions(fs, root)
-          .map(e => e.path.toUri.getPath.substring(rootLen) -> e.len).toMap
-        val drifted = targets.filter { case (rel, len) => !visible.get(rel).contains(len) }
-        if (drifted.nonEmpty)
+        if (targets.nonEmpty) {
+          val visible = BtrTableMeta.listDataFilesWithPartitions(fs, root)
+            .map(e => e.path.toUri.getPath.substring(rootLen) -> e.len).toMap
+          val drifted = targets.filter { case (rel, len) => !visible.get(rel).contains(len) }
+          if (drifted.nonEmpty)
+            throw new IllegalStateException(
+              s"btr: concurrent commit conflict at $path — this row-level operation " +
+                s"computed deletion vectors against ${drifted.size} file(s) a " +
+                s"concurrent commit has since removed or rewritten ($phase; e.g. " +
+                s"${drifted.keys.toSeq.sorted.take(3).mkString(", ")}); retry.")
+        }
+        // OUR blobs must also still exist: a concurrent RESTORE builds its
+        // live set from a physical listing, so it can drop task-committed
+        // blobs this commit has not yet recorded — committing anyway would
+        // publish a snapshot referencing physically missing blobs. Checking
+        // post-claim serializes the race: either restore sees our log entry
+        // (and rewinds the delete properly) or we roll back and retry.
+        val lostBlobs = blobs.filterNot(r => fs.exists(new Path(root, r)))
+        if (lostBlobs.nonEmpty)
           throw new IllegalStateException(
-            s"btr: concurrent commit conflict at $path — this row-level operation " +
-              s"computed deletion vectors against ${drifted.size} file(s) a " +
-              s"concurrent commit has since removed or rewritten ($phase; e.g. " +
-              s"${drifted.keys.toSeq.sorted.take(3).mkString(", ")}); retry.")
+            s"btr: concurrent commit conflict at $path — ${lostBlobs.size} " +
+              s"deletion-vector blob(s) of this commit were removed by a " +
+              s"concurrent operation ($phase; e.g. " +
+              s"${lostBlobs.sorted.take(3).mkString(", ")}); retry.")
       }
 
       if (dataMsgs.isEmpty) {

@@ -317,12 +317,18 @@ object BtrLog {
   def lastTxnVersion(fs: FileSystem, root: Path, appId: String,
       belowVersion: Long = Long.MaxValue): Option[Long] = {
     val dir = new Path(root, LogDir)
-    val vs = versions(fs, dir).filter(_ < belowVersion)
+    // Newest-first, and a version pruned mid-walk is SKIPPED, not fatal:
+    // aborting with None here ("no prior txn") would let a concurrent
+    // VACUUM turn an idempotent-append replay into a duplicate commit even
+    // when newer retained entries still record the (appId, version). A
+    // skipped entry is by definition beyond the retained idempotence
+    // horizon, which the scaladoc above already scopes out.
+    val vs = versions(fs, dir).filter(_ < belowVersion).sorted(Ordering[Long].reverse)
     val hits = vs.flatMap { v =>
-      val e =
-        try readEntry(fs, root, v)
-        catch { case _: IllegalArgumentException => return None } // pruned mid-walk
-      if (e.txnApp.contains(appId)) e.txnVer else None
+      try {
+        val e = readEntry(fs, root, v)
+        if (e.txnApp.contains(appId)) e.txnVer else None
+      } catch { case _: IllegalArgumentException => None } // pruned mid-walk
     }
     if (hits.isEmpty) None else Some(hits.max)
   }
@@ -620,9 +626,20 @@ object BtrLog {
     // the restore point drop (their deletes rewind), blobs the restore
     // point referenced but a later commit removed resurrect from the
     // retention store
+    // Blob listing includes physically-present but UNCOMMITTED blobs (a
+    // live blob-only DELETE's task output). Dropping those would race the
+    // in-flight commit, so blobs younger than the in-flight lease that no
+    // retained log entry references are left alone: either their commit
+    // records them (its post-claim verify re-checks targets against the
+    // restored file set and conflicts if they drifted) or VACUUM sweeps
+    // them as orphans once the lease expires. Committed young blobs still
+    // drop — rewinding their deletes is exactly what RESTORE means.
+    val blobCutoff = System.currentTimeMillis() - BtrDvOps.InFlightLeaseMs
+    lazy val committedBlobs = referencedDvRels(fs, root)
+    val blobRels = graft.format.DeletionVector.listBlobRels(fs, root, withTimes = true)
+      .collect { case (rel, mtime) if mtime < blobCutoff || committedBlobs(rel) => rel }
     val live = BtrTableMeta.listDataFilesWithPartitions(fs, root)
-      .map(e => e.path.toUri.getPath.substring(rootLen)) ++
-      graft.format.DeletionVector.listBlobRels(fs, root)
+      .map(e => e.path.toUri.getPath.substring(rootLen)) ++ blobRels
     val liveSet = live.toSet
     val missing = (want -- liveSet).toSeq.sorted
     // retained tables can rewind PAST removals: missing snapshot files

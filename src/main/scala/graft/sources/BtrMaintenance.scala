@@ -132,14 +132,15 @@ case class BtrRestoreCommand(tableParts: Seq[String], version: Long,
 object BtrVacuum {
   final case class Item(action: String, item: String)
 
-  def plan(fs: org.apache.hadoop.fs.FileSystem, rawRoot: Path, retentionMs: Long): Seq[Item] = {
+  def plan(fs: org.apache.hadoop.fs.FileSystem, rawRoot: Path, retentionMs: Long,
+      dvLeaseMs: Long = BtrDvOps.InFlightLeaseMs): Seq[Item] = {
     val root = fs.makeQualified(rawRoot)
     val cutoff = System.currentTimeMillis() - retentionMs
     BtrTableMeta.readSwapJournals(fs, root)
       .map(j => Item("converge-journal", j._1.toString)) ++
       BtrTableMeta.listTemps(fs, root, retentionMs)
         .map(p => Item("remove-temp", p.toString)) ++
-      listOrphanDvBlobs(fs, root, cutoff)
+      listOrphanDvBlobs(fs, root, math.min(cutoff, System.currentTimeMillis() - dvLeaseMs))
         .map(p => Item("remove-orphan-dv", p.toString)) ++
       graft.format.BtrRetention.listExpired(fs, root, cutoff)
         .map(p => Item("expire-retained", p.toString)) ++
@@ -150,6 +151,11 @@ object BtrVacuum {
     * DELETE's never-recorded blobs, or its task `.tmp-` leftovers),
     * aged past the horizon — removing them rolls the crashed commit
     * back; scans never applied them (blob discovery is log-resolved).
+    * The cutoff callers pass is floored by the in-flight lease
+    * independently of the user retention: with `RETAIN 0 HOURS` a
+    * task-committed blob of a LIVE blob-only DELETE (driver about to
+    * record it) must not be swept out from under the commit, or the
+    * latest snapshot would reference physically missing blobs.
     */
   private def listOrphanDvBlobs(fs: org.apache.hadoop.fs.FileSystem, root: Path,
       cutoff: Long): Seq[Path] = {
@@ -168,7 +174,8 @@ object BtrVacuum {
   /** Execute; returns (journals converged, temps removed, store entries
     * expired, log entries pruned).
     */
-  def run(fs: org.apache.hadoop.fs.FileSystem, rawRoot: Path, retentionMs: Long)
+  def run(fs: org.apache.hadoop.fs.FileSystem, rawRoot: Path, retentionMs: Long,
+      dvLeaseMs: Long = BtrDvOps.InFlightLeaseMs)
       : (Long, Long, Long, Long) = {
     val root = fs.makeQualified(rawRoot)
     // converge FIRST: journal completion can route doomed files into the
@@ -178,7 +185,8 @@ object BtrVacuum {
     BtrTableMeta.completeSwapJournals(fs, root)
     BtrDvOps.convergePending(fs, root)
     val temps = BtrTableMeta.vacuumTemps(fs, root, retentionMs) +
-      listOrphanDvBlobs(fs, root, System.currentTimeMillis() - retentionMs)
+      listOrphanDvBlobs(fs, root,
+        System.currentTimeMillis() - math.max(retentionMs, dvLeaseMs))
         .count(p => fs.delete(p, false))
     // horizon includes the current millisecond (expire's bound is
     // strict): RETAIN 0 must expire entries the convergence pass above

@@ -241,6 +241,28 @@ class BtrConflictSpec extends AnyFunSuite {
       .load(dir).count() == 4)
   }
 
+  test("a DV commit whose blobs were swept mid-commit rolls back, never publishing them") {
+    val dir = tmp("dv-lost-blob")
+    import spark.implicits._
+    Seq(1, 2, 3, 4).toDF("x").repartition(1).write.format("btr")
+      .option("btr.deletionVectors", "true").mode("overwrite").save(dir)
+    val (fs, root) = fsRoot(dir)
+    // a concurrent RESTORE (or an expired-lease orphan sweep) physically
+    // removes the task-committed blob between the pre-check and the log
+    // claim; committing anyway would publish a snapshot referencing a
+    // missing blob and every subsequent scan would fail
+    val (bw, msgs) = stageDv(dir, Seq(0L),
+      beforeClaim = () => dvBlobNames(dir).foreach(n =>
+        fs.delete(new org.apache.hadoop.fs.Path(root, s"_btr_dv/$n"), false)))
+    val e = intercept[IllegalStateException] { bw.commit(msgs) }
+    assert(e.getMessage.contains("blob"), e.getMessage)
+    assert(readInts(dir) == Seq(1, 2, 3, 4), "the delete must be rolled back")
+    val latest = BtrLog.latestVersion(fs, root).get
+    assert(BtrLog.readEntry(fs, root, latest).action == "delete-abort")
+    // the latest snapshot scans cleanly: no reference to the lost blob
+    assert(spark.read.format("btr").load(dir).count() == 4)
+  }
+
   test("OPTIMIZE racing a DV DELETE aborts instead of losing the delete") {
     val dir = tmp("dv-compact-race")
     import spark.implicits._

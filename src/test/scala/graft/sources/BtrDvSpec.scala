@@ -115,6 +115,34 @@ class BtrDvSpec extends AnyFunSuite {
     assert(dvBlobs(p).isEmpty, "restore past the DELETE must drop its blobs")
   }
 
+  test("RESTORE leaves a fresh uncommitted blob alone (in-flight lease)") {
+    val p = tmp("restore-lease")
+    (0 until 200).map(i => (i.toLong, s"x$i")).toDF("v", "s")
+      .coalesce(1).write.format("btr").mode("overwrite")
+      .option("btr.deletionVectors", "true").save(p)
+    val fs = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(graft.format.BtrTableMeta.hadoopConf())
+    val root = fs.makeQualified(new org.apache.hadoop.fs.Path(p))
+    val v0 = BtrLog.latestVersion(fs, root).get
+    spark.sql(s"DELETE FROM graft.`$p` WHERE v >= 150")
+    assert(dvBlobs(p).nonEmpty)
+    // the task-committed half of an IN-FLIGHT blob-only DELETE whose
+    // driver has not recorded it yet: restore's live set must not drop
+    // it (the commit would otherwise publish a snapshot referencing a
+    // physically missing blob) — it is leased, not orphaned
+    val inflight = new java.io.File(new java.io.File(p, "_btr_dv"),
+      "part-0.btr.deadbeef-0-0.dv")
+    java.nio.file.Files.write(inflight.toPath,
+      graft.format.DeletionVector.serialize(1L, Array(0L)))
+    BtrLog.restore(fs, root, v0)
+    assert(spark.read.format("btr").load(p).count() == 200)
+    assert(inflight.exists(), "restore must not sweep a leased uncommitted blob")
+    val left = dvBlobs(p).map(_.getName).toSet
+    assert(left == Set(inflight.getName),
+      "committed blobs past the restore point must still drop")
+    inflight.delete()
+  }
+
   test("partitioned table: DELETE masks rows without touching files or dirs") {
     val p = tmp("parts")
     (0 until 600).map(i => (s"k${i % 3}", i.toLong)).toDF("k", "v")
@@ -267,12 +295,25 @@ class BtrDvSpec extends AnyFunSuite {
     orphan.setLastModified(System.currentTimeMillis() - 100000)
     tmpBlob.setLastModified(System.currentTimeMillis() - 100000)
 
+    // a FRESH unreferenced blob — the task-committed half of an
+    // in-flight blob-only DELETE. Even RETAIN 0 must not sweep it: the
+    // orphan cutoff is floored by the in-flight lease independently of
+    // the user-supplied retention.
+    val inflight = new java.io.File(dvDir, "part-0.btr.cafebabe-0-0.dv")
+    java.nio.file.Files.write(inflight.toPath,
+      graft.format.DeletionVector.serialize(1L, Array(1L)))
+
     val fs = new org.apache.hadoop.fs.Path(p)
       .getFileSystem(graft.format.BtrTableMeta.hadoopConf())
-    BtrVacuum.run(fs, new org.apache.hadoop.fs.Path(p), retentionMs = 10000)
+    BtrVacuum.run(fs, new org.apache.hadoop.fs.Path(p), retentionMs = 0)
+    assert(inflight.exists(),
+      "in-flight lease must protect fresh blobs from RETAIN 0")
+    BtrVacuum.run(fs, new org.apache.hadoop.fs.Path(p), retentionMs = 10000,
+      dvLeaseMs = 50000)
     val left = dvBlobs(p).map(_.getName).toSet
-    assert(left == committed, s"expected $committed, got $left")
+    assert(left == committed + inflight.getName, s"expected $committed, got $left")
     assert(!tmpBlob.exists())
+    inflight.delete()
     // masks still apply after the vacuum
     assert(spark.read.format("btr").load(p).count() == 100)
   }

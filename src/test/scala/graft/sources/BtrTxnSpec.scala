@@ -94,6 +94,33 @@ class BtrTxnSpec extends AnyFunSuite {
       .option("btr.versionAsOf", latest.toString).load(dir).count() == 2)
   }
 
+  test("lastTxnVersion skips entries pruned mid-walk instead of forgetting the txn") {
+    val dir = tmp("pruned-walk")
+    Seq(1).toDF("x").coalesce(1).write.format("btr").mode("overwrite").save(dir)
+    Seq(2).toDF("x").coalesce(1).write.format("btr").mode("append")
+      .option("btr.txnAppId", "job-P").option("btr.txnVersion", "5").save(dir)
+    val (fs, root) = fsRoot(dir)
+    assert(BtrLog.lastTxnVersion(fs, root, "job-P").contains(5L))
+    // a FS whose listing includes a version VACUUM pruned between the
+    // list and the read: reading it throws; the walk must SKIP it and
+    // still find the retained (job-P, 5) entry — returning None here
+    // would let an idempotent-append replay duplicate the batch
+    val phantom = new org.apache.hadoop.fs.FilterFileSystem(fs) {
+      override def listStatusIterator(p: Path)
+          : org.apache.hadoop.fs.RemoteIterator[org.apache.hadoop.fs.FileStatus] = {
+        val fake = new org.apache.hadoop.fs.FileStatus(
+          10, false, 1, 1, 0L, new Path(p, "v00000000000000000099.json"))
+        val all = (super.listStatus(p) :+ fake).iterator
+        new org.apache.hadoop.fs.RemoteIterator[org.apache.hadoop.fs.FileStatus] {
+          def hasNext: Boolean = all.hasNext
+          def next(): org.apache.hadoop.fs.FileStatus = all.next()
+        }
+      }
+    }
+    assert(BtrLog.lastTxnVersion(phantom, root, "job-P").contains(5L),
+      "an unreadable listed version must be skipped, not abort the walk")
+  }
+
   test("txn options on a non-append write refuse loudly") {
     val dir = tmp("nonappend")
     Seq(1).toDF("x").coalesce(1).write.format("btr").mode("overwrite").save(dir)
