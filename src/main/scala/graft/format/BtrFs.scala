@@ -47,8 +47,15 @@ object BtrFs {
 
   private val OverrideKey = "btr.unsafeAllowNonAtomicRename"
 
-  /** Loud capability check at every mutation entry point. */
-  def requireAtomicRename(fs: FileSystem, root: Path): Unit = {
+  /** Loud capability check at every mutation entry point. A store whose
+    * rename is copy+delete is admitted when the deployment selects the
+    * rename-free claim primitive (`btr.commitProtocol=conditional-put`,
+    * see [[BtrCommitProtocol]]) — the protocol then never relies on
+    * rename atomicity for mutual exclusion — or, as a last resort, via
+    * the single-writer escape hatch.
+    */
+  def requireCommitCapable(fs: FileSystem, root: Path): Unit = {
+    if (BtrCommitProtocol.configured(fs).contains("conditional-put")) return
     val scheme = Option(fs.getUri).flatMap(u => Option(u.getScheme)).getOrElse("file")
     if (renameAtomicity(scheme).contains(false) &&
       !java.lang.Boolean.parseBoolean(
@@ -56,9 +63,12 @@ object BtrFs {
       throw new IllegalStateException(
         s"btr: table root $root is on '$scheme', whose rename is copy+delete — " +
           "the commit protocol (no-clobber version claims, journaled swaps) needs " +
-          "ATOMIC rename and would corrupt under concurrent writers. Put the table " +
-          "on an HDFS-semantics filesystem (hdfs/abfs/local), or — for a " +
-          "SINGLE-writer deployment that accepts the risk — set " +
-          s"spark.hadoop.$OverrideKey=true.")
+          "ATOMIC rename and would corrupt under concurrent writers. Either set " +
+          s"spark.hadoop.${BtrCommitProtocol.ConfKey}=conditional-put if the " +
+          "store/connector provides atomic conditional creates (S3 If-None-Match " +
+          "PUT via S3A's fs.s3a.create.conditional.enabled, GCS generation " +
+          "preconditions), or put the table on an HDFS-semantics filesystem " +
+          "(hdfs/abfs/local), or — for a SINGLE-writer deployment that accepts " +
+          s"the risk — set spark.hadoop.$OverrideKey=true.")
   }
 }

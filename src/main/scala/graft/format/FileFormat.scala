@@ -748,13 +748,10 @@ object BtrTableMeta {
       s"""{"dir":${jsonStr(g.dir)},"finals":${g.finals.map(jsonStr).mkString("[", ",", "]")},""" +
         s""""sources":${g.sources.map(jsonStr).mkString("[", ",", "]")}}"""
     }.mkString("""{"groups":[""", ",", "]}")
-    val tmp = new Path(root, s"_tmp_swap_$name")
-    val out = fs.create(tmp, true)
-    out.write(body.getBytes(StandardCharsets.UTF_8))
-    out.close()
     val fin = new Path(root, name)
-    if (!fs.rename(tmp, fin))
-      throw new java.io.IOException(s"btr swap journal: rename $tmp -> $fin failed")
+    // atomic-visibility publish through the store's commit primitive
+    // (temp+rename on HDFS-semantics stores, one PUT on object stores)
+    BtrCommitProtocol.forFs(fs).put(fs, fin, body.getBytes(StandardCharsets.UTF_8))
     fin
   }
 

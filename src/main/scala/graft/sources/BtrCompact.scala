@@ -240,7 +240,7 @@ object BtrCompact {
     val partCols = BtrTableMeta.readPartitionCols(fs, root)
     require(where.isEmpty || partCols.nonEmpty,
       "btr rewrite WHERE: a partition predicate needs a partitioned table")
-    graft.format.BtrFs.requireAtomicRename(fs, root)
+    graft.format.BtrFs.requireCommitCapable(fs, root)
     BtrTableMeta.completeSwapJournals(fs, root) // converge a crashed swap first
     BtrDvOps.convergePending(fs, root)
     // rewrite ONLY the committed snapshot's files (same rule as compact():
@@ -417,7 +417,7 @@ object BtrCompact {
       beforeSwap: () => Unit = () => ()): (Int, Int) = {
     val root = new Path(path)
     val fs = root.getFileSystem(BtrTableMeta.hadoopConf())
-    graft.format.BtrFs.requireAtomicRename(fs, root)
+    graft.format.BtrFs.requireCommitCapable(fs, root)
     // converge any swap a crashed compactor left behind before binning
     BtrTableMeta.completeSwapJournals(fs, root)
     BtrDvOps.convergePending(fs, root)

@@ -160,7 +160,7 @@ object BtrDelete {
       preclassified: Option[Array[(BtrTableMeta.DataFileEntry, Verdict)]] = None): Unit = {
     val dir = new Path(path)
     val fs = dir.getFileSystem(BtrTableMeta.hadoopConf())
-    graft.format.BtrFs.requireAtomicRename(fs, dir)
+    graft.format.BtrFs.requireCommitCapable(fs, dir)
     // converge any crashed compaction swap first: classifying a journal-
     // filtered listing and then deleting finals would resurrect sources
     BtrTableMeta.completeSwapJournals(fs, dir)

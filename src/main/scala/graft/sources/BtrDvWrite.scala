@@ -115,7 +115,7 @@ class BtrDvDeltaWrite(path: String, rowIdSchema: StructType,
       val dir = new Path(path)
       val fs = dir.getFileSystem(BtrTableMeta.hadoopConf())
       val root = fs.makeQualified(dir)
-      graft.format.BtrFs.requireAtomicRename(fs, root)
+      graft.format.BtrFs.requireCommitCapable(fs, root)
       val msgs = messages.collect { case m: BtrDvCommitMessage => m }
       val blobs = msgs.flatMap(_.blobRels).toSeq.distinct.sorted
       val dataMsgs = msgs.flatMap(_.dataMsgs).filter(_.fileName.nonEmpty)

@@ -200,23 +200,23 @@ object BtrLog {
     sb.toString
   }
 
-  /** Claim the next version by no-clobber rename; `json` regenerates the
-    * body per attempted version (a racing committer bumps it). */
+  /** Claim the next version through the store's no-clobber publish
+    * primitive (no-clobber rename on HDFS-semantics stores, conditional
+    * PUT on object stores — [[graft.format.BtrCommitProtocol]]); `json`
+    * regenerates the body per attempted version (a racing committer
+    * bumps it). */
   private def claim(fs: FileSystem, dir: Path, first: Long, json: Long => String): Long = {
     fs.mkdirs(dir)
+    val proto = graft.format.BtrCommitProtocol.forFs(fs)
     var v = first
     var attempts = 0
     var claimed = -1L
     while (claimed < 0) {
       attempts += 1
       require(attempts <= 1000, s"btr log: could not claim a version at $dir")
-      val tmp = new Path(dir, s"_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
-      val out = fs.create(tmp, true)
-      try out.write(json(v).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-      val dst = new Path(dir, nameOf(v))
-      if (!fs.exists(dst) && fs.rename(tmp, dst)) claimed = v
-      else { fs.delete(tmp, false); v += 1 }
+      val body = json(v).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      if (proto.putIfAbsent(fs, new Path(dir, nameOf(v)), body)) claimed = v
+      else v += 1
     }
     claimed
   }
@@ -616,7 +616,7 @@ object BtrLog {
     */
   def restore(fs: FileSystem, rawRoot: Path, version: Long): (Int, Int) = {
     val root = fs.makeQualified(rawRoot)
-    graft.format.BtrFs.requireAtomicRename(fs, root)
+    graft.format.BtrFs.requireCommitCapable(fs, root)
     BtrTableMeta.completeSwapJournals(fs, root)
     BtrDvOps.convergePending(fs, root)
     val snapshot = resolveSnapshot(fs, root, version)

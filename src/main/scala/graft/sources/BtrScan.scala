@@ -400,7 +400,8 @@ class BtrScan(
     * older, state — see [[graft.format.DeletionVector]]). Gated on the
     * table-meta flag so non-DV tables pay nothing.
     */
-  private lazy val dvResolved: (Map[String, Array[String]], Map[String, Array[String]]) = {
+  private lazy val dvAndEntries: ((Map[String, Array[String]], Map[String, Array[String]]),
+      Array[BtrTableMeta.DataFileEntry]) = {
     import graft.format.DeletionVector
     val dir = new Path(path)
     val fs = dir.getFileSystem(BtrTableMeta.hadoopConf())
@@ -419,35 +420,7 @@ class BtrScan(
           target -> p.toString
         }
       }.groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).toArray }
-    val mainRels: Set[String] = onlyFiles match {
-      case Some(set) => set.filter(DeletionVector.isDvRel) -- dvPriorRels
-      case None =>
-        if (!BtrTableMeta.readDeletionVectors(fs, dir)) Set.empty
-        else BtrLog.latestVersion(fs, root) match {
-          case None => Set.empty
-          case Some(v) =>
-            // a pending merge-on-read UPDATE/MERGE's blobs don't apply
-            // yet (its insert files are hidden too — the consistent
-            // pre-update view until the marker retires)
-            val pendingBlobs = BtrTableMeta.readDvPending(fs, root)
-              .flatMap(_._2).flatMap(_.sources).toSet
-            BtrLog.resolveSnapshot(fs, root, v).files
-              .filter(DeletionVector.isDvRel).toSet -- pendingBlobs
-        }
-    }
-    onDvApplied.foreach(_(mainRels))
-    (resolve(mainRels), resolve(dvPriorRels))
-  }
-
-  private def dvByTarget: Map[String, Array[String]] = dvResolved._1
-
-  private lazy val discovered: Array[(BtrTableMeta.DataFileEntry, BtrFile.Footer)] = {
-    // force the DV resolution FIRST: the commit protocol's consistency
-    // argument needs the log read to happen before the data listing
-    val dvs = dvByTarget
-    val dir = new Path(path)
-    val fs = dir.getFileSystem(BtrTableMeta.hadoopConf())
-    val entries = preListed.getOrElse {
+    def listEntries(): Array[BtrTableMeta.DataFileEntry] = preListed.getOrElse {
       val all = BtrTableMeta.listDataFilesWithPartitions(fs, dir)
       onlyFiles match {
         case Some(set) =>
@@ -463,7 +436,84 @@ class BtrScan(
         case None => all
       }
     }
-    BtrFooters.readAllIndexed(fs, dir, entries)
+    def done(mainRels: Set[String], entries: Array[BtrTableMeta.DataFileEntry]) = {
+      onDvApplied.foreach(_(mainRels))
+      ((resolve(mainRels), resolve(dvPriorRels)), entries)
+    }
+    onlyFiles match {
+      case Some(set) =>
+        // pinned snapshot / change-feed read: the file set is
+        // log-resolved already — no planning race to guard
+        done(set.filter(DeletionVector.isDvRel) -- dvPriorRels, listEntries())
+      case None if preListed.nonEmpty || !BtrTableMeta.readDeletionVectors(fs, dir) =>
+        done(Set.empty, listEntries())
+      case None =>
+        // CURRENT read on a merge-on-read table: resolve the mask set
+        // from the log BEFORE the data listing (the commit protocol's
+        // consistency argument), CAPTURE the pending markers first, and
+        // hide the captured markers' insert files from the listing even
+        // if a marker retires in between — otherwise a rowdelta commit
+        // finishing inside the resolve→list gap would expose its insert
+        // files while this plan's mask set still lacks its blobs: old
+        // AND new row images both emitted, a state that never existed.
+        // A commit that both starts and finishes inside the gap leaves
+        // no marker to capture, so after listing the log is re-checked
+        // for rowdelta entries (and brand-new markers) and the plan
+        // retries — each attempt is milliseconds of metadata I/O, so a
+        // stable pass is reached long before the bound in practice.
+        def attemptPlan(attempt: Int): (Set[String], Array[BtrTableMeta.DataFileEntry]) = {
+          val markers0 = BtrTableMeta.readDvPending(fs, root)
+          val marker0Names = markers0.map(_._1.getName).toSet
+          val pendingBlobs = markers0.flatMap(_._2).flatMap(_.sources).toSet
+          val v0 = BtrLog.latestVersion(fs, root)
+          val mainRels: Set[String] = v0 match {
+            case None => Set.empty
+            case Some(v) => BtrLog.resolveSnapshot(fs, root, v).files
+              .filter(DeletionVector.isDvRel).toSet -- pendingBlobs
+          }
+          val hook = BtrScan.betweenDvResolveAndListing
+          BtrScan.betweenDvResolveAndListing = () => ()
+          hook()
+          val listed = listEntries()
+          val hidden = markers0.flatMap(_._2).flatMap(_.finals)
+            .map(rel => new Path(root, rel).toUri.getPath).toSet
+          val entries =
+            if (hidden.isEmpty) listed
+            else listed.filterNot(e => hidden.contains(e.path.toUri.getPath))
+          val gapRowdelta = (v0, BtrLog.latestVersion(fs, root)) match {
+            case (Some(a), Some(b)) if b > a =>
+              ((a + 1) to b).exists { v =>
+                val action =
+                  try BtrLog.readEntry(fs, root, v).action
+                  catch { case _: IllegalArgumentException => "rowdelta" } // pruned: retry
+                action.startsWith("rowdelta")
+              }
+            case (None, Some(_)) => true // first commits landed mid-plan
+            case _ => false
+          }
+          val newMarkers = BtrTableMeta.readDvPending(fs, root)
+            .exists(m => !marker0Names.contains(m._1.getName))
+          if (!gapRowdelta && !newMarkers) (mainRels, entries)
+          else if (attempt < 5) attemptPlan(attempt + 1)
+          else throw new IllegalStateException(
+            s"btr: cannot plan a consistent read of $path — merge-on-read " +
+              "commits kept landing inside the resolve-listing window on " +
+              s"every of ${attempt + 1} attempts; retry the query")
+        }
+        val (mainRels, entries) = attemptPlan(0)
+        done(mainRels, entries)
+    }
+  }
+
+  private def dvResolved: (Map[String, Array[String]], Map[String, Array[String]]) =
+    dvAndEntries._1
+
+  private def dvByTarget: Map[String, Array[String]] = dvResolved._1
+
+  private lazy val discovered: Array[(BtrTableMeta.DataFileEntry, BtrFile.Footer)] = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(BtrTableMeta.hadoopConf())
+    BtrFooters.readAllIndexed(fs, dir, dvAndEntries._2)
   }
 
   /** Table statistics from footers only: row count is exact; size is the
@@ -2221,6 +2271,13 @@ final case class BtrInputPartition(
 }
 
 object BtrScan {
+  /** Test-only race injection: runs between a current read's mask
+    * resolve and its data listing — the deterministic stand-in for a
+    * merge-on-read commit landing inside that window (same pattern as
+    * `BtrCompact.beforeSwap`). One-shot: consumed on use.
+    */
+  private[graft] var betweenDvResolveAndListing: () => Unit = () => ()
+
   /** Split-packing engages above this many raw splits (below it, per-task
     * overhead is noise and per-file splits keep plans observable).
     */

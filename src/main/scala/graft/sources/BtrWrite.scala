@@ -154,7 +154,7 @@ class BtrStreamingWrite(path: String, schema: StructType, blockSize: Int, cascad
 
   locally {
     val dir = new Path(path)
-    graft.format.BtrFs.requireAtomicRename(
+    graft.format.BtrFs.requireCommitCapable(
       dir.getFileSystem(BtrTableMeta.hadoopConf()), dir)
   }
 
@@ -392,7 +392,7 @@ class BtrBatchWrite(path: String, schema: StructType, mode: BtrOverwriteMode, bl
   // copy+delete-rename object stores before any bytes move (BtrFs)
   locally {
     val dir = new Path(path)
-    graft.format.BtrFs.requireAtomicRename(
+    graft.format.BtrFs.requireCommitCapable(
       dir.getFileSystem(BtrTableMeta.hadoopConf()), dir)
   }
 

@@ -169,6 +169,28 @@ class BtrDvDmlSpec extends AnyFunSuite {
     assert(spark.read.format("btr").option("btr.versionAsOf", "17").load(p).count() == 65)
   }
 
+  test("a scan racing a finishing UPDATE sees exactly one image per row") {
+    val p = tmp("resolve-listing-gap")
+    (0 until 400).map(i => (i.toLong, s"r$i")).toDF("v", "s")
+      .coalesce(1).write.format("btr").mode("overwrite")
+      .option("btr.deletionVectors", "true").save(p)
+    // the UPDATE lands deterministically BETWEEN the reader's mask
+    // resolve and its data listing — the worst interleaving: without
+    // marker capture + the rowdelta recheck, the listing would show the
+    // update's insert files while this plan's mask set lacks its blobs,
+    // emitting old AND new row images (a state that never existed)
+    BtrScan.betweenDvResolveAndListing =
+      () => spark.sql(s"UPDATE graft.`$p` SET s = 'upd' WHERE v < 100")
+    try {
+      val rows = spark.read.format("btr").load(p)
+        .select("v", "s").collect().map(r => (r.getLong(0), r.getString(1)))
+      assert(rows.length == 400, s"expected 400 rows, got ${rows.length} (duplicates?)")
+      assert(rows.groupBy(_._1).forall(_._2.length == 1), "one image per key")
+      // the retry re-resolves the log AFTER the commit: post-update view
+      assert(rows.count(_._2 == "upd") == 100)
+    } finally BtrScan.betweenDvResolveAndListing = () => ()
+  }
+
   test("UPDATE losing a post-claim race against OPTIMIZE rolls back completely") {
     val p = tmp("race")
     (0 until 100).map(i => (i.toLong, 0L)).toDF("v", "hits")
