@@ -256,6 +256,7 @@ object Bench {
     var dvDeleteSec = 0.0
     var cowDeleteSec = 0.0
     var dvMaskedScanSec = 0.0
+    var dvPurgeSec = 0.0
     try {
       spark.conf.set("spark.sql.catalog.graft",
         classOf[graft.sources.BtrCatalog].getName)
@@ -283,6 +284,13 @@ object Bench {
         spark.read.format("btr").load(dvDir)
           .agg(org.apache.spark.sql.functions.sum("l_quantity")).collect()
       }
+      // mask-debt reclamation: push every file over the purge threshold
+      // with a 30% delete, then APPLY PURGE rewrites survivors and
+      // retires the blobs — the nightly maintenance cost per unit debt
+      spark.sql(s"DELETE FROM graft.`$dvDir` WHERE l_orderkey % 10 < 3")
+      dvPurgeSec = secs {
+        graft.sources.BtrCompact.purgeMasked(spark, dvDir)
+      }
       base.unpersist()
     } catch {
       case e: Throwable => System.err.println(s"[bench] dv row failed: ${e.getMessage}")
@@ -297,7 +305,7 @@ object Bench {
       if (tryallBytes > 0) sampleLineitemBytes.toDouble / tryallBytes else 0.0
     val loadAfter = loadavg()
     val extras =
-      f""""write_sec":$writeSec%.3f,"scan_sec":$scanSec%.3f,"parquet_bytes":$inputBytes,"btr_bytes":$btrBytes,"parquet_over_btr_ratio":$ratio%.3f,"tryall_write_sec":$tryallSec%.3f,"tryall_bytes":$tryallBytes,"sample_over_tryall_bytes":$selQuality%.3f,"cdc_append_sec":$cdcAppendSec%.3f,"cdc_drain_sec":$cdcDrainSec%.3f,"cdc_rows":$cdcRows,"dv_delete_sec":$dvDeleteSec%.3f,"cow_delete_sec":$cowDeleteSec%.3f,"dv_masked_scan_sec":$dvMaskedScanSec%.3f,"reps":$reps,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","load_waited_sec":$loadWaited%.1f,"outliers_rechecked":$rechecked"""
+      f""""write_sec":$writeSec%.3f,"scan_sec":$scanSec%.3f,"parquet_bytes":$inputBytes,"btr_bytes":$btrBytes,"parquet_over_btr_ratio":$ratio%.3f,"tryall_write_sec":$tryallSec%.3f,"tryall_bytes":$tryallBytes,"sample_over_tryall_bytes":$selQuality%.3f,"cdc_append_sec":$cdcAppendSec%.3f,"cdc_drain_sec":$cdcDrainSec%.3f,"cdc_rows":$cdcRows,"dv_delete_sec":$dvDeleteSec%.3f,"cow_delete_sec":$cowDeleteSec%.3f,"dv_masked_scan_sec":$dvMaskedScanSec%.3f,"dv_purge_sec":$dvPurgeSec%.3f,"reps":$reps,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","load_waited_sec":$loadWaited%.1f,"outliers_rechecked":$rechecked"""
     val line =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,$extras,"sf":"$sfDir"}"""
     println(line)

@@ -485,7 +485,10 @@ object BtrTableMeta {
       logRetention: Option[Int] = None,
       // merge-on-read deletion vectors (see graft.format.DeletionVector):
       // None = preserve the table's recorded policy
-      deletionVectors: Option[Boolean] = None
+      deletionVectors: Option[Boolean] = None,
+      // masked-row fraction above which OPTIMIZE ... APPLY PURGE
+      // rewrites a file (None = preserve / engine default)
+      dvPurgeThreshold: Option[Double] = None
   ): Unit = {
     // minimal JSON by hand: schema json is already valid JSON; column
     // names go through the shared escaper (quotes/commas/control chars)
@@ -497,8 +500,10 @@ object BtrTableMeta {
     val keepJson = keepLog.map(n => s""","logRetention":$n""").getOrElse("")
     val dv = deletionVectors.getOrElse(exists && readDeletionVectors(fs, dir))
     val dvJson = if (dv) ""","deletionVectors":true""" else ""
+    val purge = dvPurgeThreshold.orElse(if (exists) readDvPurgeThreshold(fs, dir) else None)
+    val purgeJson = purge.map(t => s""","dvPurgeThreshold":$t""").getOrElse("")
     val json =
-      s"""{"version":${BtrFile.Version},"blockSize":$blockSize,"cascade":$cascade$retainJson$keepJson$dvJson,"partitionCols":$parts,"schema":${schema.json}}"""
+      s"""{"version":${BtrFile.Version},"blockSize":$blockSize,"cascade":$cascade$retainJson$keepJson$dvJson$purgeJson,"partitionCols":$parts,"schema":${schema.json}}"""
     val out = fs.create(new Path(dir, MetaFile), true)
     out.write(json.getBytes(StandardCharsets.UTF_8))
     out.close()
@@ -540,6 +545,24 @@ object BtrTableMeta {
     else {
       val digits = json.substring(i + k.length).dropWhile(_ == ' ').takeWhile(_.isDigit)
       if (digits.isEmpty) None else Some(digits.toInt)
+    }
+  }
+
+  /** Per-table `OPTIMIZE ... APPLY PURGE` trigger
+    * (`btr.dvPurgeThreshold` TBLPROPERTIES): a file rewrites when its
+    * committed masks cover at least this fraction of its rows. None =
+    * the engine default ([[graft.sources.BtrCompact.DefaultDvPurgeThreshold]]).
+    */
+  def readDvPurgeThreshold(fs: FileSystem, dir: Path): Option[Double] = {
+    if (!fs.exists(new Path(dir, MetaFile))) return None
+    val json = readMetaJson(fs, dir)
+    val k = "\"dvPurgeThreshold\":"
+    val i = json.indexOf(k)
+    if (i < 0) None
+    else {
+      val num = json.substring(i + k.length).dropWhile(_ == ' ')
+        .takeWhile(c => c.isDigit || c == '.' || c == 'E' || c == '-')
+      if (num.isEmpty) None else Some(num.toDouble)
     }
   }
 

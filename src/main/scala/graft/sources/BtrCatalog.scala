@@ -138,7 +138,8 @@ class BtrCatalog extends TableCatalog {
       partCols,
       retainRemoved = boolProp("btr.retainRemoved"),
       logRetention = Option(properties.get("btr.logRetention")).map(_.trim.toInt),
-      deletionVectors = boolProp("btr.deletionVectors"))
+      deletionVectors = boolProp("btr.deletionVectors"),
+      dvPurgeThreshold = Option(properties.get("btr.dvPurgeThreshold")).map(_.trim.toDouble))
     new BtrTable(path, schema, partitions)
   }
 
@@ -239,7 +240,7 @@ class BtrCatalog extends TableCatalog {
           s"btr: unsupported ALTER TABLE change $other — supported: ADD COLUMN " +
             "(trailing, nullable), ALTER COLUMN TYPE (int->long, float->double), " +
             "SET/UNSET TBLPROPERTIES (btr.retainRemoved, btr.deletionVectors, " +
-            "btr.logRetention)")
+            "btr.logRetention, btr.dvPurgeThreshold)")
     }
     BtrTableMeta.write(fs, dir, schema, blockSize, cascade, partCols)
     new BtrTable(path, schema,
@@ -256,9 +257,10 @@ class BtrCatalog extends TableCatalog {
     val partCols = BtrTableMeta.readPartitionCols(fs, dir)
     val (blockSize, cascade) = BtrTableMeta.readGeometry(fs, dir)
     def write(retain: Option[Boolean] = None, keep: Option[Int] = None,
-        dv: Option[Boolean] = None): Unit =
+        dv: Option[Boolean] = None, purge: Option[Double] = None): Unit =
       BtrTableMeta.write(fs, dir, schema, blockSize, cascade, partCols,
-        retainRemoved = retain, logRetention = keep, deletionVectors = dv)
+        retainRemoved = retain, logRetention = keep, deletionVectors = dv,
+        dvPurgeThreshold = purge)
     key match {
       case "btr.retainRemoved" =>
         write(retain = Some(value.exists(_.trim.toBoolean)))
@@ -287,9 +289,22 @@ class BtrCatalog extends TableCatalog {
             // simplest correct form is writing the default back explicitly
             write(keep = Some(BtrLog.KeepEntries))
         }
+      case "btr.dvPurgeThreshold" =>
+        value match {
+          case Some(v) =>
+            val t = v.trim.toDouble
+            require(t > 0 && t <= 1,
+              s"btr.dvPurgeThreshold must be in (0, 1], got $t")
+            write(purge = Some(t))
+          case None =>
+            // meta write PRESERVES absent options — write the engine
+            // default back explicitly (same shape as logRetention UNSET)
+            write(purge = Some(BtrCompact.DefaultDvPurgeThreshold))
+        }
       case other => throw new UnsupportedOperationException(
         s"btr: unsupported table property '$other' — supported: " +
-          "btr.retainRemoved, btr.deletionVectors, btr.logRetention")
+          "btr.retainRemoved, btr.deletionVectors, btr.logRetention, " +
+          "btr.dvPurgeThreshold")
     }
   }
 

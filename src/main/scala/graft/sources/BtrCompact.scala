@@ -182,6 +182,71 @@ object BtrCompact {
       BtrLayout.zOrderBy(df, cols, n, bits, prefix = partCols))
   }
 
+  /** Masked-row fraction above which `OPTIMIZE ... APPLY PURGE`
+    * rewrites a file, absent a per-table `btr.dvPurgeThreshold`. 10%
+    * mirrors common REORG guidance: below it the masks cost less than
+    * the rewrite would.
+    */
+  val DefaultDvPurgeThreshold: Double = 0.10
+
+  /** Threshold-triggered mask purge (Delta's `REORG ... APPLY (PURGE)`
+    * shape): value-level rewrite of ONLY the files whose committed
+    * deletion-vector masks cover at least the purge threshold of their
+    * rows — their survivors re-write mask-free and the blobs retire;
+    * lightly-masked neighbors stay untouched (footer-level byte-merge
+    * compaction keeps skipping masked files, so without this the only
+    * way to reclaim mask debt was a full table/partition rewrite).
+    * Eligibility is O(masked files) metadata I/O: blob headers carry
+    * position counts, footers carry row counts, no data is read. This
+    * is what keeps rolling DV deletes operable at 100 TB: a nightly
+    * `OPTIMIZE t APPLY PURGE [WHERE <hot partitions>]` touches only the
+    * files whose debt crossed the line. Returns (filesRewritten,
+    * filesAfter).
+    */
+  def purgeMasked(
+      spark: SparkSession,
+      path: String,
+      targetBytes: Long = 128L * 1024 * 1024,
+      where: Option[String] = None
+  ): (Int, Int) = {
+    import graft.format.DeletionVector
+    val root = new Path(path)
+    val fs = root.getFileSystem(BtrTableMeta.hadoopConf())
+    val qroot = fs.makeQualified(root)
+    require(!BtrTableMeta.readSchema(fs, root).fieldNames.contains(BtrScan.FileMetaCol),
+      s"btr APPLY PURGE: the table has a data column named ${BtrScan.FileMetaCol}, " +
+        "which shadows the file-identity metadata column the purge scopes by")
+    val threshold = BtrTableMeta.readDvPurgeThreshold(fs, root)
+      .getOrElse(DefaultDvPurgeThreshold)
+    val latest = BtrLog.latestVersion(fs, qroot)
+    if (latest.isEmpty) return (0, 0)
+    val committedDv = BtrLog.resolveSnapshot(fs, qroot, latest.get).files
+      .filter(DeletionVector.isDvRel)
+    if (committedDv.isEmpty) return (0, 0)
+    val rootLen = qroot.toUri.getPath.length + 1
+    val entriesByRel = BtrTableMeta.listDataFilesWithPartitions(fs, qroot)
+      .map(e => e.path.toUri.getPath.substring(rootLen) -> e).toMap
+    val byTarget: Map[String, Seq[String]] = committedDv
+      .flatMap(r => DeletionVector.targetOf(r).map(_ -> r))
+      .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2) }
+    val heavy: Set[String] = byTarget.flatMap { case (target, blobRels) =>
+      entriesByRel.get(target).flatMap { entry =>
+        // masks never overlap (a delta writer only sees VISIBLE rows),
+        // so summed position counts equal the union mask size
+        val masked = blobRels.map(r =>
+          DeletionVector.readBlob(fs, new Path(qroot, r)).posCount).sum
+        val rows = BtrFooters.readAllIndexed(fs, qroot, Array(entry))
+          .headOption.map(_._2.rowGroups.map(_.numRows.toLong).sum).getOrElse(0L)
+        if (rows > 0 && masked.toDouble / rows >= threshold) Some(target) else None
+      }
+    }.toSet
+    if (heavy.isEmpty) return (0, 0)
+    // identity layout: one read split per purged file becomes one staged
+    // file — no shuffle, locality preserved, untouched files unread
+    rewriteWith(spark, path, targetBytes, where, scopeToRels = Some(heavy))(
+      (df, _) => df)
+  }
+
   /** Evaluate a partition predicate once per listed file against its
     * TYPED directory values (full Spark expression power). Predicates
     * referencing non-partition columns fail analysis loudly. Shared by
@@ -233,7 +298,11 @@ object BtrCompact {
       spark: SparkSession,
       path: String,
       targetBytes: Long,
-      where: Option[String] = None
+      where: Option[String] = None,
+      // file-scoped rewrite (APPLY PURGE): only these table-root-relative
+      // data files rewrite; the read is narrowed to exactly them through
+      // the `_file` metadata column (planning prunes every other file)
+      scopeToRels: Option[Set[String]] = None
   )(layout: (org.apache.spark.sql.DataFrame, Int) => org.apache.spark.sql.DataFrame): (Int, Int) = {
     val root = new Path(path)
     val fs = root.getFileSystem(BtrTableMeta.hadoopConf())
@@ -272,6 +341,7 @@ object BtrCompact {
       .getOrElse((_: BtrTableMeta.DataFileEntry) => true)
     val entries = allListed.filter(e =>
       committedSet.forall(_.contains(relOfPath(e.path)))).filter(keep)
+      .filter(e => scopeToRels.forall(_.contains(relOfPath(e.path))))
     val before = entries.length
     if (before == 0) return (0, 0)
     val staging = new Path(root, "_rewrite_staging")
@@ -285,7 +355,15 @@ object BtrCompact {
         // the removed file set agree, leaving the in-flight files alone
         spark.read.format("btr").option("btr.versionAsOf", latestV.get.toString).load(path)
       else spark.read.format("btr").load(path)
-    val df = where.map(w => df0.filter(org.apache.spark.sql.functions.expr(w))).getOrElse(df0)
+    val df1 = where.map(w => df0.filter(org.apache.spark.sql.functions.expr(w))).getOrElse(df0)
+    // `_file` is a per-file constant to the planner: the IN filter prunes
+    // every out-of-scope file before any data I/O, so a purge of K files
+    // costs O(K) reads on a million-file table
+    val df = scopeToRels match {
+      case Some(_) => df1.filter(org.apache.spark.sql.functions
+        .col(BtrScan.FileMetaCol).isin(entries.map(_.path.toString).toSeq: _*))
+      case None => df1
+    }
     // the rewrite must keep the table's recorded geometry — defaulting
     // here would silently inflate a small-block table's row groups and
     // destroy the chunk-skipping granularity the rewrite exists to restore

@@ -169,6 +169,8 @@ class BtrTable(path: String, tableSchema: StructType, partitionTransforms: Array
         m.put("btr.deletionVectors", "true")
       graft.format.BtrTableMeta.readLogRetention(fs, dir)
         .foreach(n => m.put("btr.logRetention", n.toString))
+      graft.format.BtrTableMeta.readDvPurgeThreshold(fs, dir)
+        .foreach(t => m.put("btr.dvPurgeThreshold", t.toString))
     } catch { case _: java.io.IOException => () } // advisory surface
     m
   }

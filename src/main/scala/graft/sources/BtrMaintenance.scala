@@ -18,6 +18,8 @@ import org.apache.spark.sql.types.{LongType, StringType}
   *   OPTIMIZE graft.`/data/t` FULL                 -- one file per partition dir (zero-sort SPJ layout)
   *   OPTIMIZE graft.`/data/t` CLUSTER BY (a, b)    -- range-clustered rewrite
   *   OPTIMIZE graft.`/data/t` ZORDER BY (a, b)     -- Morton-interleaved rewrite
+  *   OPTIMIZE graft.`/data/t` APPLY PURGE          -- rewrite ONLY files whose
+  *     deletion-vector masks exceed btr.dvPurgeThreshold (reclaim mask debt)
   *   VACUUM graft.`/data/t` [RETAIN 48 HOURS] [DRY RUN]
   *     -- ONE garbage entry point: converge pending swap journals, sweep
   *        orphaned hidden temps, expire retention-store files past the
@@ -82,6 +84,7 @@ case class BtrOptimizeCommand(tableParts: Seq[String], mode: String, cols: Seq[S
       case "ZORDER" =>
         require(cols.nonEmpty, "OPTIMIZE ... ZORDER BY needs at least one column")
         BtrCompact.rewriteZOrdered(spark, path, cols, where = where)
+      case "PURGE" => BtrCompact.purgeMasked(spark, path, where = where)
     }
     Seq(Row(path, before.toLong, after.toLong))
   }
@@ -226,7 +229,7 @@ case class BtrVacuumCommand(tableParts: Seq[String], retentionMs: Long,
   */
 class BtrSparkSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val OptimizeRe =
-    """(?is)^\s*OPTIMIZE\s+(.+?)(?:\s+(FULL))?(?:\s+(ZORDER|CLUSTER)\s+BY\s*\(([^)]*)\))?(?:\s+WHERE\s+(.+?))?\s*;?\s*$""".r
+    """(?is)^\s*OPTIMIZE\s+(.+?)(?:\s+(FULL))?(?:\s+(ZORDER|CLUSTER)\s+BY\s*\(([^)]*)\))?(?:\s+APPLY\s+\(?\s*(PURGE)\s*\)?)?(?:\s+WHERE\s+(.+?))?\s*;?\s*$""".r
   private val VacuumRe =
     """(?is)^\s*VACUUM\s+(.+?)(?:\s+RETAIN\s+(\d+)\s+HOURS)?(?:\s+(DRY\s+RUN))?\s*;?\s*$""".r
   private val RestoreRe =
@@ -241,9 +244,13 @@ class BtrSparkSqlParser(delegate: ParserInterface) extends ParserInterface {
   }
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
-    case OptimizeRe(ref, full, mode, cols, where) =>
+    case OptimizeRe(ref, full, mode, cols, purge, where) =>
+      require(purge == null || (full == null && mode == null),
+        "btr OPTIMIZE: APPLY PURGE cannot combine with FULL/CLUSTER/ZORDER — " +
+          "a clustered rewrite already folds every mask in")
       val m =
-        if (mode != null) mode.toUpperCase(java.util.Locale.ROOT)
+        if (purge != null) "PURGE"
+        else if (mode != null) mode.toUpperCase(java.util.Locale.ROOT)
         else if (full != null) "FULL"
         else "COMPACT"
       BtrOptimizeCommand(

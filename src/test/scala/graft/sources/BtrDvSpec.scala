@@ -264,6 +264,91 @@ class BtrDvSpec extends AnyFunSuite {
       (0L until 600L).count(v => v % 3 == 1 && v % 4 != 1))
   }
 
+  test("APPLY PURGE rewrites only files over the mask threshold, retiring their blobs") {
+    // the shared test session predates parser injection — drive the
+    // parser class directly, same path sql() takes after injection
+    val parser = new BtrSparkSqlParser(spark.sessionState.sqlParser)
+    def purge(stmt: String): org.apache.spark.sql.Row =
+      parser.parsePlan(stmt).asInstanceOf[BtrOptimizeCommand].run(spark).head
+    val p = tmp("purge")
+    // this test ALTERs table meta (the threshold property survives an
+    // overwrite) — start from a clean slate
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+    // two single-file appends with disjoint key ranges so the DELETEs
+    // below mask a controlled fraction of each file
+    (0 until 1000).map(i => (i.toLong, s"r$i")).toDF("v", "s")
+      .coalesce(1).write.format("btr").mode("overwrite")
+      .option("btr.deletionVectors", "true").save(p)
+    (1000 until 2000).map(i => (i.toLong, s"r$i")).toDF("v", "s")
+      .coalesce(1).write.format("btr").mode("append").save(p)
+    spark.sql(s"DELETE FROM graft.`$p` WHERE v < 500") // 50% of file 1
+    spark.sql(s"DELETE FROM graft.`$p` WHERE v >= 1000 AND v < 1020") // 2% of file 2
+    val before = dataFiles(p).map(f => f.getName -> md5(f)).toMap
+    assert(before.size == 2 && dvBlobs(p).length == 2)
+
+    val res = purge(s"OPTIMIZE graft.`$p` APPLY PURGE")
+    assert(res.getLong(1) == 1 && res.getLong(2) == 1,
+      s"expected (1 rewritten, 1 staged), got $res")
+
+    val after = dataFiles(p).map(f => f.getName -> md5(f)).toMap
+    val untouched = before.filter { case (n, h) => after.get(n).contains(h) }
+    assert(untouched.size == 1, "the lightly-masked file must stay byte-identical")
+    assert(after.size == 2, "survivors of the purged file land in one new file")
+    // only the light file's blob remains, and it still masks its rows
+    val leftBlobs = dvBlobs(p).map(_.getName)
+    assert(leftBlobs.length == 1, leftBlobs.mkString(", "))
+    assert(graft.format.DeletionVector.targetOf(s"_btr_dv/${leftBlobs.head}")
+      .contains(untouched.keySet.head))
+    val back = spark.read.format("btr").load(p).select("v").as[Long].collect().sorted
+    assert(back.toSeq == (500L until 1000L) ++ (1020L until 2000L))
+
+    // a second purge finds nothing over the line: zero-touch
+    assert(purge(s"OPTIMIZE graft.`$p` APPLY PURGE").getLong(1) == 0)
+
+    // lowering the per-table threshold pulls the light file over the line
+    spark.sql(s"ALTER TABLE graft.`$p` SET TBLPROPERTIES ('btr.dvPurgeThreshold' = '0.01')")
+    assert(spark.sql(s"SHOW TBLPROPERTIES graft.`$p`").collect()
+      .exists(r => r.getString(0) == "btr.dvPurgeThreshold" && r.getString(1) == "0.01"))
+    assert(purge(s"OPTIMIZE graft.`$p` APPLY PURGE").getLong(1) == 1)
+    assert(dvBlobs(p).isEmpty, "all mask debt reclaimed")
+    assert(spark.read.format("btr").load(p).count() == 1480)
+  }
+
+  test("partition-scoped APPLY PURGE WHERE touches only matching partitions") {
+    val parser = new BtrSparkSqlParser(spark.sessionState.sqlParser)
+    val p = tmp("purge-where")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+    (0 until 600).map(i => (s"k${i % 3}", i.toLong)).toDF("k", "v")
+      .repartition($"k").write.format("btr").partitionBy("k")
+      .option("btr.deletionVectors", "true").mode("overwrite").save(p)
+    // both k0 and k1 end up heavily masked; only k0 is in scope
+    spark.sql(s"DELETE FROM graft.`$p` WHERE v % 2 = 0 AND k IN ('k0', 'k1')")
+    val before = dataFiles(p).map(f => f.getPath -> md5(f)).toMap
+    val res = parser.parsePlan(s"OPTIMIZE graft.`$p` APPLY PURGE WHERE k = 'k0'")
+      .asInstanceOf[BtrOptimizeCommand].run(spark).head
+    assert(res.getLong(1) == 1, res.toString)
+    val after = dataFiles(p).map(f => f.getPath -> md5(f)).toMap
+    // k1's and k2's files untouched
+    assert(before.filter(_._1.contains("k=k1")).forall { case (n, h) =>
+      after.get(n).contains(h) })
+    assert(before.filter(_._1.contains("k=k2")).forall { case (n, h) =>
+      after.get(n).contains(h) })
+    // k1's masks still apply, k0's debt is reclaimed
+    val leftTargets = dvBlobs(p).map(f =>
+      graft.format.DeletionVector.targetOf(s"_btr_dv/${f.getName}").get).toSeq
+    assert(leftTargets.nonEmpty && leftTargets.forall(_.startsWith("k=k1/")),
+      leftTargets.mkString(", "))
+    val back = spark.read.format("btr").load(p)
+    assert(back.count() == 400)
+    assert(back.filter($"k" === "k0").count() == 100)
+    assert(back.filter($"k" === "k1").count() == 100)
+    // combining PURGE with a clustered rewrite refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      parser.parsePlan(s"OPTIMIZE graft.`$p` CLUSTER BY (v) APPLY PURGE")
+    }
+    assert(e.getMessage.contains("APPLY PURGE"), e.getMessage)
+  }
+
   test("truncate overwrite clears every blob") {
     val p = tmp("truncate")
     (0 until 200).map(i => (i.toLong, s"x$i")).toDF("v", "s")
