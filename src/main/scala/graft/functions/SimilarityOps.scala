@@ -227,6 +227,43 @@ object SimilarityOps {
   private val lastKmeansResult =
     new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.SparkSession, DataFrame]()
 
+  /** Upper bound for [[autoK]]: assignment broadcasts centroids as plan
+    * literals (that is what keeps the pass map-only and deterministic),
+    * so k is a codegen-size budget, not a data budget. 256 clusters of
+    * `targetClusterSize` rows each covers the published SemDeDup regime
+    * well past any single-table corpus this engine clusters in one call;
+    * larger corpora shard by partition first.
+    */
+  val DefaultMaxK = 256
+
+  /** Size k from the corpus instead of asking the caller to: k =
+    * ⌈n / targetClusterSize⌉ bounded to [1, maxK]. Mis-sizing k is the
+    * one way [[semanticDedup]] degrades at scale — too small and the
+    * within-cluster pairwise stage grows as (n/k)², too large and the
+    * clusters carry no semantic neighborhoods — so the auto path keeps
+    * per-cluster pair work ≈ targetClusterSize² at ANY corpus size.
+    * One count() job.
+    */
+  def autoK(vectors: DataFrame, targetClusterSize: Int, maxK: Int = DefaultMaxK): Int = {
+    require(targetClusterSize >= 1, s"autoK: targetClusterSize=$targetClusterSize")
+    require(maxK >= 1, s"autoK: maxK=$maxK")
+    val n = vectors.count()
+    math.max(1, math.min(maxK, math.ceil(n.toDouble / targetClusterSize).toInt))
+  }
+
+  /** [[kmeansClusters]] with k sized by [[autoK]]. */
+  def kmeansClustersAuto(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      targetClusterSize: Int,
+      iters: Int,
+      scale: Double = 1000.0,
+      maxK: Int = DefaultMaxK
+  ): DataFrame =
+    kmeansClusters(vectors, idCol, vecCol,
+      autoK(vectors, targetClusterSize, maxK), iters, scale)
+
   /** SemDeDup — semantic deduplication, the published cluster-then-
     * compare shape: k-means the corpus ([[kmeansClusters]]), find
     * cosine near-duplicate pairs WITHIN each cluster (the pairwise
@@ -243,22 +280,63 @@ object SimilarityOps {
       vecCol: String,
       k: Int,
       iters: Int,
-      threshold: Double
+      threshold: Double,
+      maxClusterCompareSize: Int = DefaultMaxClusterCompareSize
   ): DataFrame = {
+    val spark = vectors.sparkSession
     val assigned = kmeansClusters(vectors, idCol, vecCol, k, iters)
     val v = vectors.select(col(idCol).as("id"), col(vecCol).as("vec"))
     // the (cluster, id, vec) side feeds BOTH legs of the self-join —
     // persist it, or each leg recomputes the assignment join. k governs
     // the pairwise cost (≈ (n/k)²·k compares): size k so clusters stay
-    // in the hundreds-to-thousands, the published SemDeDup regime.
+    // in the hundreds-to-thousands, the published SemDeDup regime
+    // ([[autoK]] does this from a targetClusterSize).
     val j = assigned.join(v, "id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = j.select(col("cluster"), col("id").as("id_a"), col("vec").as("va"))
-    val b = j.select(col("cluster"), col("id").as("id_b"), col("vec").as("vb"))
-    val pairs = a.join(b, Seq("cluster"))
+    // per-cluster pair-count guard, the lshCandidates maxBucketSize
+    // discipline: a cluster past maxClusterCompareSize would make the
+    // all-pairs stage quadratic in ITS size alone (one mis-sized k or
+    // one degenerate embedding mode is enough), so oversized clusters
+    // fall back to min-id representative pairing — linear, still
+    // connects each near-dup class through its canonical member — and
+    // the trade is surfaced, never silent. One k-bounded collect.
+    val sizes = j.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("csz"), min(col("id")).as("rep")).collect()
+    val bigRows = sizes.filter(_.getAs[Long]("csz") > maxClusterCompareSize)
+    lastOversizedClusters.put(spark,
+      (bigRows.length.toLong, bigRows.map(_.getAs[Long]("csz")).sum))
+    if (bigRows.nonEmpty)
+      org.apache.log4j.Logger.getLogger(getClass).warn(
+        s"semanticDedup: ${bigRows.length} cluster(s) over " +
+          s"maxClusterCompareSize=$maxClusterCompareSize " +
+          s"(${bigRows.map(_.getAs[Long]("csz")).sum} member rows) fell back to " +
+          "representative pairing — recall within those clusters is reduced; " +
+          "raise k (or use autoK/targetClusterSize) so clusters shrink")
+    val bigSet = bigRows.map(_.getAs[Int]("cluster")).toSeq
+    val small = if (bigSet.isEmpty) j else j.filter(!col("cluster").isin(bigSet: _*))
+    val a = small.select(col("cluster"), col("id").as("id_a"), col("vec").as("va"))
+    val b = small.select(col("cluster"), col("id").as("id_b"), col("vec").as("vb"))
+    val pairsSmall = a.join(b, Seq("cluster"))
       .filter(col("id_a") < col("id_b"))
       .filter(round(cosine(col("va"), col("vb")), 4) >= threshold)
       .select(col("id_a"), col("id_b"))
+    val pairs =
+      if (bigSet.isEmpty) pairsSmall
+      else {
+        val bigJ = j.filter(col("cluster").isin(bigSet: _*))
+        // the k-bounded representative side broadcasts: one map-only
+        // pass over the oversized clusters, no quadratic anywhere
+        val reps = bigJ.join(
+            broadcast(bigJ.groupBy(col("cluster")).agg(min(col("id")).as("rep_id"))),
+            Seq("cluster"))
+          .filter(col("id") === col("rep_id"))
+          .select(col("cluster"), col("rep_id"), col("vec").as("vrep"))
+        val pairsBig = bigJ.join(broadcast(reps), Seq("cluster"))
+          .filter(col("id") =!= col("rep_id"))
+          .filter(round(cosine(col("vec"), col("vrep")), 4) >= threshold)
+          .select(col("rep_id").as("id_a"), col("id").as("id_b"))
+        pairsSmall.union(pairsBig)
+      }
     val comps = graft.functions.TextOps
       .connectedComponents(assigned.select(col("id")), pairs)
     // survivors: each component's minimum id is its representative
@@ -277,6 +355,37 @@ object SimilarityOps {
 
   private val lastSemanticResult =
     new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.SparkSession, DataFrame]()
+
+  /** Rows per cluster the pairwise stage compares exhaustively before
+    * falling back to representative pairing. 10k members = ≤ ~5·10⁷
+    * pairs per cluster, a bounded task; the published regime keeps
+    * clusters far smaller.
+    */
+  val DefaultMaxClusterCompareSize = 10000
+
+  /** (oversized clusters, member rows) of the most recent
+    * [[semanticDedup]] run in a session — like
+    * [[TextOps.lastOversizedBuckets]], (0, 0) means every cluster was
+    * compared exhaustively.
+    */
+  val lastOversizedClusters =
+    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.SparkSession, (Long, Long)]()
+
+  /** [[semanticDedup]] with k sized by [[autoK]] — the safe-at-any-scale
+    * entry point: per-cluster pairwise work stays ≈ targetClusterSize²
+    * whether the corpus is 500 rows or 500 million.
+    */
+  def semanticDedupAuto(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      targetClusterSize: Int,
+      iters: Int,
+      threshold: Double,
+      maxK: Int = DefaultMaxK
+  ): DataFrame =
+    semanticDedup(vectors, idCol, vecCol,
+      autoK(vectors, targetClusterSize, maxK), iters, threshold)
 
   /** IVF (inverted-file) ANN: a k-means coarse quantizer partitions the
     * candidates into nlist cells; each query probes its nprobe nearest

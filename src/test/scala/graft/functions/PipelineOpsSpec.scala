@@ -906,4 +906,65 @@ class PipelineOpsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(again == out)
   }
+
+  test("autoK sizes k from the corpus and bounds per-cluster pair work") {
+    import spark.implicits._
+    val S = graft.functions.SimilarityOps
+    def corpus(n: Int) = {
+      val rnd = new java.util.Random(11)
+      (0 until n).map(i => (i.toLong,
+        Seq(rnd.nextGaussian().toFloat, rnd.nextGaussian().toFloat))).toDF("id", "vec")
+    }
+    val small = corpus(500)
+    val large = corpus(2000)
+    assert(S.autoK(small, targetClusterSize = 100) == 5)
+    assert(S.autoK(large, targetClusterSize = 100) == 20)
+    assert(S.autoK(large, targetClusterSize = 100, maxK = 8) == 8, "bounded by maxK")
+    assert(S.autoK(corpus(3), targetClusterSize = 100) == 1, "floored at 1")
+
+    // the auto path keeps per-cluster sizes near the target at BOTH
+    // corpus sizes — bounded pairwise work is the whole point
+    def maxClusterSize(df: org.apache.spark.sql.DataFrame, target: Int): Long = {
+      val assigned = S.kmeansClustersAuto(df, "id", "vec", target, iters = 3)
+      assigned.groupBy("cluster").count().collect().map(_.getLong(1)).max
+    }
+    // gaussian blobs cluster unevenly; 4x the target is a loose but
+    // scale-proof bound (a fixed k would grow per-cluster size LINEARLY
+    // with the corpus instead)
+    assert(maxClusterSize(small, 100) <= 400)
+    assert(maxClusterSize(large, 100) <= 400)
+  }
+
+  test("semanticDedup caps per-cluster pair work with non-silent telemetry") {
+    import spark.implicits._
+    val S = graft.functions.SimilarityOps
+    // one tight duplicate class of 40 (off-plane) + 60 singletons fanned
+    // 0.1 rad apart in the xy-plane: adjacent-singleton cosine is
+    // cos(0.1) ≈ 0.995 < 0.999 and class-to-singleton cosine ≤ 0.28 —
+    // no accidental near-dups
+    val docs = (0 until 40).map(i => (i.toLong,
+        Seq(1.0f + (i % 3) * 1e-4f, 1.0f, 5.0f))) ++
+      (40 until 100).map(i => (i.toLong,
+        Seq(math.cos(i * 0.1).toFloat, math.sin(i * 0.1).toFloat, 0.0f)))
+    val df = docs.toDF("id", "vec")
+    val exhaustive = S.semanticDedup(df, "id", "vec", k = 4, iters = 2,
+      threshold = 0.999)
+      .collect().map(_.getLong(0)).toSet
+    assert(S.lastOversizedClusters.get(spark) == ((0L, 0L)),
+      "generous cap: every cluster exhaustive")
+    assert(!exhaustive.exists(id => id > 0 && id < 40),
+      "the duplicate class collapses to id 0")
+
+    // a tiny cap forces the representative path on the big cluster:
+    // telemetry is non-zero and the duplicate class STILL collapses
+    // (every member connects through the min-id representative)
+    val capped = S.semanticDedup(df, "id", "vec", k = 4, iters = 2,
+      threshold = 0.999, maxClusterCompareSize = 10)
+      .collect().map(_.getLong(0)).toSet
+    val (bigClusters, members) = S.lastOversizedClusters.get(spark)
+    assert(bigClusters >= 1 && members >= 40L,
+      s"telemetry must surface the capped cluster(s): ($bigClusters, $members)")
+    assert(capped == exhaustive,
+      "representative pairing keeps the duplicate class connected")
+  }
 }
