@@ -194,8 +194,20 @@ object Bench {
     val firstPass = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) => name -> timeQuery(name, fn) }
-    // second chance for load-spiked outliers; keep the better measurement
+    // second chance for load-spiked outliers; keep the better measurement.
+    // The recheck used to run SECONDS after the first pass, so a sustained
+    // load episode covered both and drifted rows survived it (round 12:
+    // q_tpch_q22/q3 recorded 3-4x their band through an active recheck; a
+    // full re-run on the same commit reproduced neither). Re-arm the
+    // idle-box gate first — the second look must happen under DIFFERENT
+    // conditions or it measures the same spike twice.
     var rechecked = 0
+    if (firstPass.exists { case (name, t) =>
+      t > 1.5 * refMins.getOrElse(name, Double.MaxValue) }) {
+      val t0 = System.nanoTime()
+      while (load1() >= loadLimit && (System.nanoTime() - t0) / 1e9 < loadWaitMax)
+        Thread.sleep(5000)
+    }
     val results = firstPass.map { case (name, t) =>
       val ref = refMins.getOrElse(name, Double.MaxValue)
       if (t > 1.5 * ref) {
