@@ -107,6 +107,16 @@ class BtrCdcMicroBatchStream(
     * version is always admitted (progress guarantee); a full-checkpoint
     * entry ends its batch (its change sets aren't knowable without
     * resolution).
+    *
+    * THE BATCH FLOOR IS ONE COMMIT — a single commit is never split, so
+    * one wide DML (a deletion-vector DELETE/UPDATE masking rows across
+    * thousands of files: cost = its blob count ≈ touched files) bounds
+    * its batch at the COMMIT's width, not the cap. That is the same
+    * floor Delta's maxFilesPerTrigger has, and it is safe because the
+    * plan within the commit is one InputPartition per touched file
+    * (driver cost O(commit) metadata, reads execute in parallel) — only
+    * the sink sees the whole commit at once, which exactly-once
+    * version-granular offsets require.
     */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[VersionOffset].version

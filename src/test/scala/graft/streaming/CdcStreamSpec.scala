@@ -256,6 +256,37 @@ class CdcStreamSpec extends AnyFunSuite {
     assert(end2 == VOff(3L), end2.toString)
   }
 
+  test("a wide DV commit: admission isolates it, the batch plans one partition per touched file") {
+    val dir = tmp("adm-wide-dv")
+    import spark.implicits._
+    (0 until 8).foreach { i =>
+      (i * 100 until i * 100 + 10).map(v => (v.toLong, s"r$v")).toDF("v", "s")
+        .coalesce(1).write.format("btr")
+        .option("btr.deletionVectors", "true")
+        .mode(if (i == 0) "overwrite" else "append").save(dir)
+    } // v1..v8, one file each
+    spark.sql(s"DELETE FROM graft.`$dir` WHERE v % 100 = 0") // v9: one blob per file, 8 files
+    Seq((9999L, "tail")).toDF("v", "s").coalesce(1)
+      .write.format("btr").mode("append").save(dir) // v10
+
+    val schema = spark.read.format("btr").load(dir).schema
+    val stream = new graft.sources.BtrCdcMicroBatchStream(
+      dir, schema, schema, Seq.empty, None, Some(2), None)
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val VOff = graft.sources.BtrCdcMicroBatchStream.VersionOffset
+    // the DV commit's cost is its blob count (≈ touched files): 8 > cap 2,
+    // so it is admitted ALONE (the at-least-one progress floor) — the
+    // batch's size is bounded by the COMMIT's width, never the table's
+    val end = stream.latestOffset(VOff(8L), ReadLimit.maxFiles(2))
+    assert(end == VOff(9L), s"the wide DV commit must start and end its own batch, got $end")
+    // within the commit, the plan is one partition per touched file:
+    // the reads execute in parallel, the driver does O(commit) metadata
+    val parts = stream.planInputPartitions(VOff(8L), VOff(9L))
+    assert(parts.length == 8, s"expected 8 per-file partitions, got ${parts.length}")
+    // the batch after it resumes normal sizing
+    assert(stream.latestOffset(VOff(9L), ReadLimit.maxFiles(2)) == VOff(10L))
+  }
+
   test("plain (non-CDC) stream honors btr.startingTimestamp") {
     val dir = tmp("plain-ts")
     import spark.implicits._
