@@ -215,14 +215,17 @@ object PipelineQueries {
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       val cands = emb.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
       val lsh = SimilarityOps.lshTopK(queries, cands, 3, numBits = 5, dim = 64, numTables = 8)
-        .select(col("qid"), col("cid"))
+        .select(col("qid"), col("cid"), lit(1).as("hit"))
       val exact = SimilarityOps.bruteForceTopK(queries, cands, 3)
         .select(col("qid"), col("cid"))
-      val hits = exact.join(lsh, Seq("qid", "cid"), "left_semi")
-      exact.agg(count(lit(1)).as("n_exact"))
-        .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
-        .select(col("n_exact"),
-          (col("n_hit").cast("double") / col("n_exact") >= 0.3).as("recall_ok"))
+      // ONE pass over the (expensive) brute-force truth: a left join
+      // counts the total and the hits together — the previous
+      // semi-join + crossJoin shape evaluated the O(n·q) brute force
+      // twice per run (both pairs sets are unique on (qid, cid), so the
+      // left join is 1:≤1 and the counts are exact)
+      exact.join(lsh, Seq("qid", "cid"), "left")
+        .agg(count(lit(1)).as("n_exact"),
+          (count(col("hit")).cast("double") / count(lit(1)) >= 0.3).as("recall_ok"))
     }),
 
     // IVF ANN (k-means coarse quantizer, probe nprobe cells), scored as
@@ -233,14 +236,13 @@ object PipelineQueries {
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       val cands = emb.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
       val ivf = SimilarityOps.ivfTopK(queries, cands, 3, nlist = 16, nprobe = 6)
-        .select(col("qid"), col("cid"))
+        .select(col("qid"), col("cid"), lit(1).as("hit"))
       val exact = SimilarityOps.bruteForceTopK(queries, cands, 3)
         .select(col("qid"), col("cid"))
-      val hits = exact.join(ivf, Seq("qid", "cid"), "left_semi")
-      exact.agg(count(lit(1)).as("n_exact"))
-        .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
-        .select(col("n_exact"),
-          (col("n_hit").cast("double") / col("n_exact") >= 0.3).as("recall_ok"))
+      // single pass over the brute-force truth (see q_ann_lsh)
+      exact.join(ivf, Seq("qid", "cid"), "left")
+        .agg(count(lit(1)).as("n_exact"),
+          (count(col("hit")).cast("double") / count(lit(1)) >= 0.3).as("recall_ok"))
     }),
 
     // BPE-style token counting (lookahead-free GPT-2 pre-tokenizer regex,
