@@ -328,9 +328,16 @@ object BtrCompact {
     // listing (normal case): a crash-converged swap can leave the log
     // referencing files the convergence replaced, and pinning to that
     // stale snapshot would resurrect or lose rows — fall back to the
-    // live read there (the next full checkpoint re-syncs the log)
+    // live read there (the next full checkpoint re-syncs the log).
+    // Deletion-vector blob rels are excluded BEFORE the coverage check:
+    // they live under _btr_dv/, never in the data-file listing, so
+    // leaving them in would disable the protection on any table with a
+    // live mask — and an in-flight append's task files would then be
+    // swallowed by the rewrite (rows kept) while the append's own
+    // conflict check aborts it, advising a retry that duplicates rows
     val committedSet: Option[Set[String]] = latestV
-      .map(v => BtrLog.resolveSnapshot(fs, qrootV, v).fileSet)
+      .map(v => BtrLog.resolveSnapshot(fs, qrootV, v).fileSet
+        .filterNot(graft.format.DeletionVector.isDvRel))
       .filter(_.subsetOf(listedRels))
     // WHERE scopes the rewrite to matching partitions: the predicate
     // evaluates over typed DIRECTORY values, and the pinned read below

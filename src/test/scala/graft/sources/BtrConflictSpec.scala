@@ -135,6 +135,28 @@ class BtrConflictSpec extends AnyFunSuite {
     assert(consistency.filter(not(col("ok"))).count() == 0)
   }
 
+  test("clustered rewrite on a MASKED table still ignores in-flight append task files") {
+    // regression (found by BtrRaceFuzzSpec seed 977001): the rewrite's
+    // pinned-snapshot guard checked log-coverage against the data-file
+    // listing WITHOUT excluding deletion-vector blob rels — any live
+    // mask disabled the guard, the rewrite swallowed the staged file's
+    // rows, and the append aborted with a retry advice that would have
+    // duplicated them
+    val dir = tmp("rewrite-masked-vs-append")
+    import spark.implicits._
+    Seq(1, 2, 3, 4).toDF("x").repartition(1).write.format("btr")
+      .option("btr.deletionVectors", "true").mode("overwrite").save(dir)
+    spark.sql(s"DELETE FROM graft.`$dir` WHERE x = 2") // leaves a live DV blob
+    assert(readInts(dir) == Seq(1, 3, 4))
+
+    val (bw, m) = stage(dir, BtrOverwriteMode.Append, Seq(50))
+    BtrCompact.rewriteClustered(spark, dir, Seq("x"))
+    // the staged file must be untouched: the append commits cleanly and
+    // its rows appear exactly once
+    bw.commit(m)
+    assert(readInts(dir) == Seq(1, 3, 4, 50))
+  }
+
   test("clustered rewrite ignores an in-flight append's task files too") {
     val dir = tmp("rewrite-vs-append")
     import spark.implicits._
