@@ -107,6 +107,22 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // incremental near-dup: only the increment (version-(1,2] change
+    // feed) is shingled and signed; its band rows probe the corpus's
+    // banded-signature index (recomputed here from v1; persisted at
+    // scale) — per-batch cost scales with the increment, never
+    // corpus × corpus. Candidates verify with exact trigram Jaccard, so
+    // the brute-force cross-pair oracle matches exactly
+    "q_incremental_minhash" -> ((s, d) => {
+      val dir = documentsTwoCommits(s, d)
+      val corpus = s.read.format("btr").option("btr.versionAsOf", "1").load(dir)
+      val increment = graft.sources.BtrChanges.between(s, dir, 1L, 2L)
+        .select(col("doc_id"), col("text"))
+      TextOps.minhashIncrement(corpus, increment, "doc_id", "text",
+          shingleSize = 3, numHashes = 32, bands = 8, threshold = 0.5)
+        .orderBy("id_new", "id_corpus")
+    }),
+
     // SimHash near-dup pairs (hamming ≤ 3), built on the engine-portable
     // md5-derived 60-bit token hash so DuckDB recomputes the identical
     // simhashes and the brute-force xor/bit_count oracle matches EXACTLY —
@@ -496,6 +512,29 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // corpus mixing: fill per-source token budgets deterministically —
+    // docs ordered by a salted portable hash within their source, taken
+    // while the budget has room (a doc whose PRIOR cumulative tokens are
+    // under the budget is admitted, so every budget is met or exceeded
+    // by at most one doc, and reruns are byte-identical). One window
+    // shuffle partitioned by source; at 100 TB each source's docs sort
+    // within their partitions — no global sort, no driver state
+    "q_corpus_mix" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val budget = when(col("lang") === "en", 5000L).otherwise(3000L)
+      val tk = t(s, d, "documents").select(
+        col("doc_id"), col("lang"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
+        TextOps.md5Hash60(concat(lit("graft-mix-1"), col("doc_id").cast("string")))
+          .as("hk"))
+      val w = Window.partitionBy("lang").orderBy(col("hk"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tk.withColumn("prior", sum(col("n_tokens")).over(w) - col("n_tokens"))
+        .filter(col("prior") < budget)
+        .select(col("doc_id"), col("lang"), col("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // the whole training-data cleaning pipeline composed end to end:
     // exact dedup (keep min id per portable text hash) → drop benchmark
     // docs → decontaminate (no shared 8-gram with the benchmark) →
@@ -735,6 +774,29 @@ object PipelineQueries {
         |  AND CAST('0x' || substr(md5('graft-clean-1' || CAST(k.doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100
         |      < CASE WHEN k.lang = 'en' THEN 30 ELSE 60 END
         |ORDER BY k.doc_id""".stripMargin,
+    "q_incremental_minhash" ->
+      """WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') toks FROM documents),
+        | sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks)-2),
+        |   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) s FROM tok)
+        |SELECT n.doc_id AS id_new, c.doc_id AS id_corpus,
+        | round(CAST(len(list_intersect(n.s, c.s)) AS DOUBLE) /
+        |   (len(n.s) + len(c.s) - len(list_intersect(n.s, c.s))), 4) AS jaccard
+        |FROM sh n JOIN sh c ON n.doc_id % 3 = 0 AND c.doc_id % 3 <> 0
+        |WHERE CAST(len(list_intersect(n.s, c.s)) AS DOUBLE) /
+        |   (len(n.s) + len(c.s) - len(list_intersect(n.s, c.s))) >= 0.5
+        |ORDER BY id_new, id_corpus""".stripMargin,
+    "q_corpus_mix" ->
+      """WITH tk AS (SELECT doc_id, lang,
+        |   CAST(length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |   CAST('0x' || substr(md5('graft-mix-1' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS hk
+        |  FROM documents),
+        | cum AS (SELECT doc_id, lang, n_tokens,
+        |   sum(n_tokens) OVER (PARTITION BY lang ORDER BY hk, doc_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS prior
+        |  FROM tk)
+        |SELECT doc_id, lang, n_tokens FROM cum
+        |WHERE prior < CASE WHEN lang = 'en' THEN 5000 ELSE 3000 END
+        |ORDER BY doc_id""".stripMargin,
     "q_dedup_simhash" ->
       """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents),
         | th AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h FROM tok),

@@ -212,6 +212,89 @@ object TextOps {
     out
   }
 
+  /** INCREMENTAL MinHash+LSH near-dup: pairs (id_new, id_corpus, jaccard
+    * ≥ threshold) between an increment's docs and the existing corpus —
+    * the change-feed admission shape. Unlike running [[minhashDedup]]
+    * over corpus+increment (full-corpus candidate work every batch),
+    * only the INCREMENT is shingled/signed fresh and its band rows are
+    * equi-joined against the corpus's band rows: per-batch cost is
+    * O(increment × bands) probe rows plus the (small) verified-candidate
+    * join — never corpus × corpus. At 100 TB the corpus side is a
+    * PERSISTED banded-signature index table maintained alongside the
+    * corpus (this function recomputes it from `corpus` for the
+    * self-contained form; feed it the index instead via the same band
+    * schema); corpus-side viral buckets (one text duplicated millions of
+    * times) degrade to min-id representative pairing above
+    * `maxBucketSize`, non-silently ([[lastOversizedBuckets]]), so one
+    * hot bucket can't make a batch quadratic.
+    */
+  def minhashIncrement(
+      corpus: DataFrame,
+      increment: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      threshold: Double = 0.5,
+      maxBucketSize: Int = 1024
+  ): DataFrame = {
+    require(bands >= 1 && numHashes >= bands && numHashes % bands == 0,
+      s"minhashIncrement: numHashes ($numHashes) must be a positive multiple of bands ($bands)")
+    val rows = numHashes / bands
+    def prep(df: DataFrame): DataFrame = df.select(
+      col(idCol).as("id"),
+      WordShinglesExpr.of(col(textCol), shingleSize).as("shingles"))
+    val shC = prep(corpus).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val shN = prep(increment).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def bandRows(sh: DataFrame): DataFrame = sh.select(col("id"),
+        bandSignatures(minhash(col("shingles"), numHashes), bands, rows).as("bands"))
+      .select(col("id"), posexplode(col("bands")).as(Seq("band", "sig")))
+    // corpus bucket sizing (precomputed in the persisted-index form):
+    // small buckets join exhaustively, oversized ones expose only their
+    // min-id representative — linear in bucket size, loudly telemetered
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("band"), col("sig"))
+    val sizedC = bandRows(shC)
+      .withColumn("bsz", count(lit(1)).over(w))
+      .withColumn("rep", min(col("id")).over(w))
+    locally {
+      val spark = corpus.sparkSession
+      val big = sizedC.filter(col("bsz") > maxBucketSize)
+        .agg(count_distinct(struct(col("band"), col("sig"))).as("buckets"),
+          count(lit(1)).as("members"))
+        .collect()(0)
+      lastOversizedBuckets.put(spark, (big.getLong(0), big.getLong(1)))
+      if (big.getLong(0) > 0)
+        org.apache.log4j.Logger.getLogger(getClass).warn(
+          s"minhashIncrement: ${big.getLong(0)} corpus bucket(s) over " +
+            s"maxBucketSize=$maxBucketSize (${big.getLong(1)} member rows) expose " +
+            "only their min-id representative — recall within those buckets is " +
+            "reduced; raise maxBucketSize")
+    }
+    val smallC = sizedC.filter(col("bsz") <= maxBucketSize)
+      .select(col("id"), col("band"), col("sig"))
+    val bigRepsC = sizedC.filter(col("bsz") > maxBucketSize)
+      .select(col("rep").as("id"), col("band"), col("sig")).distinct()
+    val nx = bandRows(shN)
+    val cand = nx.as("n")
+      .join(smallC.union(bigRepsC).as("c"), Seq("band", "sig"))
+      .select(col("n.id").as("id_new"), col("c.id").as("id_corpus")).distinct()
+    val verified = cand
+      .join(shN.select(col("id").as("id_new"), col("shingles").as("sh_n")), "id_new")
+      .join(shC.select(col("id").as("id_corpus"), col("shingles").as("sh_c")), "id_corpus")
+      .select(col("id_new"), col("id_corpus"),
+        round(jaccard(col("sh_n"), col("sh_c")), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+    val out = verified.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    shC.unpersist(blocking = false)
+    shN.unpersist(blocking = false)
+    val prev = lastDedupResult.put(corpus.sparkSession, out)
+    if (prev != null && (prev ne out)) prev.unpersist(blocking = false)
+    out
+  }
+
   // one cached dedup result per session (see minhashDedup)
   private val lastDedupResult =
     new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.SparkSession, DataFrame]()

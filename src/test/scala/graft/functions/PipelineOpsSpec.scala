@@ -54,6 +54,79 @@ class PipelineOpsSpec extends AnyFunSuite {
     pairs.unpersist()
   }
 
+  test("minhashIncrement pairs increment docs against corpus only, exact-verified") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (3L, "completely different content about spark columnar compression engines"),
+      (5L, "yet another unrelated text on adaptive execution and shuffle planning")
+    ).toDF("doc_id", "text")
+    val increment = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the river bend"), // near-dup of 1
+      (11L, "the quick brown fox jumps over the lazy dog near the river bank"), // exact dup of 1
+      (12L, "fresh admission-worthy document with entirely novel token content"),
+      (13L, "the quick brown fox jumps over the lazy dog near the river bend")  // dup of 10 — but
+        // in-increment pairs are NOT this operator's output (corpus side only)
+    ).toDF("doc_id", "text")
+    val pairs = TextOps.minhashIncrement(corpus, increment, "doc_id", "text",
+        shingleSize = 3, numHashes = 32, bands = 8, threshold = 0.5)
+      .select("id_new", "id_corpus").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((10L, 1L)) && pairs.contains((11L, 1L)) && pairs.contains((13L, 1L)))
+    assert(!pairs.exists(_._1 == 12L), "novel doc must have no corpus match")
+    assert(pairs.forall(p => Set(1L, 3L, 5L).contains(p._2)),
+      "right side must always be a corpus doc")
+    assert(!pairs.exists(p => p._1 == 13L && p._2 == 10L),
+      "increment-internal pairs are out of scope")
+  }
+
+  test("minhashIncrement: a viral CORPUS class degrades linearly with loud telemetry") {
+    val n = 5000
+    val viralCorpus = (0 until n).map(i =>
+        (i.toLong, "the same viral document body repeated across the corpus many times over"))
+      .toDF("doc_id", "text")
+    val increment = Seq(
+      (900000L, "the same viral document body repeated across the corpus many times over"),
+      (900001L, "a novel increment document that matches nothing in the corpus at all")
+    ).toDF("doc_id", "text")
+    val pairs = TextOps.minhashIncrement(viralCorpus, increment, "doc_id", "text",
+      shingleSize = 3, numHashes = 32, bands = 8, threshold = 0.5, maxBucketSize = 256)
+    val cnt = pairs.count()
+    // the probing doc links to the viral bucket's representative, not to
+    // every member: output stays O(increment), never O(bucket)
+    assert(cnt >= 1 && cnt < 64, s"expected representative-bounded matches, got $cnt")
+    assert(pairs.filter(col("id_new") === 900000L && col("id_corpus") === 0L).count() == 1,
+      "viral probe must link to the corpus bucket's min-id representative")
+    val (buckets, members) = TextOps.lastOversizedBuckets.get(spark)
+    assert(buckets > 0 && members > 0, "the recall trade must be telemetered, not silent")
+    pairs.unpersist()
+  }
+
+  test("corpus-mix budget window is deterministic and stops at the budget line") {
+    // mirror of q_corpus_mix's shape on a tiny frame: per-source salted-
+    // hash order, admit while PRIOR cumulative tokens are under budget
+    import org.apache.spark.sql.expressions.Window
+    val docs = Seq(
+      (1L, "a", "one two three four"), (2L, "a", "five six seven"),
+      (3L, "a", "eight nine"), (4L, "b", "ten eleven twelve thirteen fourteen")
+    ).toDF("doc_id", "src", "text")
+    val tk = docs.select(col("doc_id"), col("src"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
+      TextOps.md5Hash60(concat(lit("salt"), col("doc_id").cast("string"))).as("hk"))
+    val w = Window.partitionBy("src").orderBy(col("hk"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def mix(budget: Long) = tk
+      .withColumn("prior", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .filter(col("prior") < budget)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val r1 = mix(5L); val r2 = mix(5L)
+    assert(r1 == r2, "same budget must admit the identical doc set")
+    // budget 5 over source a (9 tokens in 3 docs): first doc always
+    // admitted (prior 0), and at least one doc must be left out
+    assert(r1.nonEmpty && r1.size < 4)
+    // a huge budget admits everything; zero budget admits nothing
+    assert(mix(1000L).size == 4 && mix(0L).isEmpty)
+  }
+
   test("simhash block-pair buckets keep FULL recall where single-block keys saturate") {
     // planted corpus: 2,000 signatures that all share the same LOW 16
     // bits (the classic 4×16-bit scheme's block 0) — under that scheme
