@@ -765,6 +765,55 @@ object BtrTableMeta {
   def writeSwapJournal(fs: FileSystem, root: Path, id: String, groups: Seq[SwapGroup]): Path =
     writeJournalFile(fs, root, s"$SwapPrefix$id.json", groups)
 
+  /** A pending swap journal (or maintenance temp) younger than this is
+    * presumed to belong to a LIVE writer and is left alone by entry-time
+    * convergence and temp sweeps; only a crash leaves one to age past
+    * the lease. This is what makes partition-disjoint maintenance
+    * workers (`OPTIMIZE ... WHERE` sharded across partitions) safe to
+    * run concurrently: without it, worker B's entry convergence could
+    * roll back worker A's mid-rename journal — deleting finals A already
+    * renamed while A goes on to remove their sources. Same idea as
+    * [[graft.sources.BtrDvOps.InFlightLeaseMs]].
+    */
+  val MaintenanceLeaseMs: Long = 10L * 60 * 1000
+
+  /** Publish a swap journal, then RE-CHECK for other pending journals
+    * claiming any of the same source files, and retract ours if one
+    * does (throwing the standard concurrent-commit conflict — the
+    * caller's cleanup/abort then sweeps its staged outputs; nothing was
+    * renamed yet).
+    *
+    * This closes the two-in-flight window that per-operation visibility
+    * checks cannot: two maintenance/rewrite writers can both pass their
+    * pre-publish source-visibility checks before EITHER publishes, and
+    * both would then replace the same sources — duplicating (compact ×
+    * compact) or resurrecting (compact × DELETE/rewrite) rows. Journal
+    * publication is atomically visible and listings are consistent, so
+    * of two racers at least one lists AFTER both published; whoever
+    * OBSERVES a conflict yields. (Both may observe and both yield —
+    * safe, both retry; never do two proceed on shared sources.)
+    */
+  def publishSwapJournalChecked(
+      fs: FileSystem, root: Path, id: String, groups: Seq[SwapGroup]): Path = {
+    val mine = writeSwapJournal(fs, root, id, groups)
+    def keyOf(dir: String, n: String): String = if (dir.isEmpty) n else s"$dir/$n"
+    val mySources = groups.flatMap(g => g.sources.map(s => keyOf(g.dir, s))).toSet
+    val clash = readSwapJournals(fs, root)
+      .filter(_._1.getName != mine.getName)
+      .flatMap(_._2)
+      .flatMap(g => g.sources.map(s => keyOf(g.dir, s)))
+      .filter(mySources.contains)
+    if (clash.nonEmpty) {
+      fs.delete(mine, false)
+      throw new IllegalStateException(
+        s"btr: concurrent commit conflict at $root — another in-flight rewrite/" +
+          s"maintenance journal claims ${clash.size} of this operation's source " +
+          s"file(s) (e.g. ${clash.sorted.take(3).mkString(", ")}); this writer " +
+          "yielded before renaming anything. Nothing was published; retry.")
+    }
+    mine
+  }
+
   private def writeJournalFile(
       fs: FileSystem, root: Path, name: String, groups: Seq[SwapGroup]): Path = {
     val body = groups.map { g =>
@@ -836,34 +885,58 @@ object BtrTableMeta {
     * see [[DonePrefix]]); incomplete groups delete any stray finals
     * (their sources are still complete) and leave no marker — nothing was
     * replaced. Idempotent — callers run it before starting a new swap.
+    *
+    * ROLLBACK of an incomplete journal requires it to be older than
+    * `rollbackMinAgeMs` (default [[MaintenanceLeaseMs]]): an incomplete
+    * young journal usually belongs to a LIVE writer mid-rename, and
+    * rolling it back would delete finals it already renamed while it
+    * goes on to remove their sources — losing rows. A journal whose
+    * groups are ALL complete converges forward at any age (idempotent —
+    * the live owner's own retirement no-ops). Pass 0 to force immediate
+    * rollback (explicit crash recovery when no writer can be live).
     */
-  def completeSwapJournals(fs: FileSystem, root: Path): Unit = {
+  def completeSwapJournals(fs: FileSystem, root: Path,
+      rollbackMinAgeMs: Long = MaintenanceLeaseMs): Unit = {
     val retain = readRetainRemoved(fs, root)
     readSwapJournals(fs, root).foreach { case (journal, groups) =>
-      val completed = groups.filter { g =>
+      val anyIncomplete = groups.exists { g =>
         val dir = if (g.dir.isEmpty) root else new Path(root, g.dir)
-        val forward = g.finals.forall(f => fs.exists(new Path(dir, f)))
-        if (forward) g.sources.foreach { s =>
-          val rel = if (g.dir.isEmpty) s else s"${g.dir}/$s"
-          BtrRetention.removeDataFile(fs, root, rel, retain)
-        }
-        else g.finals.foreach { f =>
-          // rollback deletions route through retention too: a crashed
-          // RESTORE's partially-resurrected files return to the store
-          // instead of being lost (their store copies already moved out)
-          val rel = if (g.dir.isEmpty) f else s"${g.dir}/$f"
-          BtrRetention.removeDataFile(fs, root, rel, retain)
-        }
-        forward
+        !g.finals.forall(f => fs.exists(new Path(dir, f)))
       }
-      val id = journal.getName.stripPrefix(SwapPrefix).stripSuffix(".json")
-      // "nm-" journals (DML replacements: DELETE/UPDATE/MERGE/overwrite)
-      // retire WITHOUT a done-marker — the swap is not row-preserving, so
-      // a tailing stream must treat the finals as new data, never as
-      // compaction merges of rows it already emitted
-      if (completed.nonEmpty && !id.startsWith("nm-"))
-        writeJournalFile(fs, root, s"$DonePrefix$id.json", completed)
-      fs.delete(journal, false)
+      val leaveAlone = anyIncomplete && rollbackMinAgeMs > 0 && {
+        // a live writer is mid-rename: leave its journal pending (readers
+        // hold the consistent pre-swap view); a crashed writer's journal
+        // converges once the lease expires
+        try System.currentTimeMillis() - fs.getFileStatus(journal).getModificationTime <
+          rollbackMinAgeMs
+        catch { case _: java.io.IOException => true } // retired concurrently: skip
+      }
+      if (!leaveAlone) {
+        val completed = groups.filter { g =>
+          val dir = if (g.dir.isEmpty) root else new Path(root, g.dir)
+          val forward = g.finals.forall(f => fs.exists(new Path(dir, f)))
+          if (forward) g.sources.foreach { s =>
+            val rel = if (g.dir.isEmpty) s else s"${g.dir}/$s"
+            BtrRetention.removeDataFile(fs, root, rel, retain)
+          }
+          else g.finals.foreach { f =>
+            // rollback deletions route through retention too: a crashed
+            // RESTORE's partially-resurrected files return to the store
+            // instead of being lost (their store copies already moved out)
+            val rel = if (g.dir.isEmpty) f else s"${g.dir}/$f"
+            BtrRetention.removeDataFile(fs, root, rel, retain)
+          }
+          forward
+        }
+        val id = journal.getName.stripPrefix(SwapPrefix).stripSuffix(".json")
+        // "nm-" journals (DML replacements: DELETE/UPDATE/MERGE/overwrite)
+        // retire WITHOUT a done-marker — the swap is not row-preserving, so
+        // a tailing stream must treat the finals as new data, never as
+        // compaction merges of rows it already emitted
+        if (completed.nonEmpty && !id.startsWith("nm-"))
+          writeJournalFile(fs, root, s"$DonePrefix$id.json", completed)
+        fs.delete(journal, false)
+      }
     }
   }
 

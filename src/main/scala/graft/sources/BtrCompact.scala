@@ -351,8 +351,18 @@ object BtrCompact {
       .filter(e => scopeToRels.forall(_.contains(relOfPath(e.path))))
     val before = entries.length
     if (before == 0) return (0, 0)
-    val staging = new Path(root, "_rewrite_staging")
-    fs.delete(staging, true) // leftovers from a crashed rewrite are invisible to scans
+    // per-invocation staging dir: concurrent partition-scoped rewrites
+    // must not clobber each other's staged files; a CRASHED rewrite's
+    // staging (invisible to scans) sweeps once it ages past the
+    // maintenance lease — a younger one may belong to a live worker
+    val staging = new Path(root, s"_rewrite_staging_${BtrWriteIds.newWriteId()}")
+    locally {
+      val cutoff = System.currentTimeMillis() - BtrTableMeta.MaintenanceLeaseMs
+      if (fs.exists(root)) fs.listStatus(root)
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("_rewrite_staging") &&
+          st.getModificationTime < cutoff)
+        .foreach(st => fs.delete(st.getPath, true))
+    }
     val numFiles = math.max(1, math.ceil(entries.map(_.len).sum.toDouble / targetBytes).toInt)
     val df0 =
       if (committedSet.isDefined && allListed.exists(e =>
@@ -437,10 +447,15 @@ object BtrCompact {
     val srcBlobRels = graft.format.DeletionVector.blobRelsForTargets(fs, qrootV,
       srcRelsSeq.toSet)
     // ONE journal group, rel paths as names (Path resolution nests
-    // through partition dirs) — the whole rewrite flips together
-    BtrTableMeta.writeSwapJournal(fs, root,
+    // through partition dirs) — the whole rewrite flips together.
+    // Publish-then-recheck: the observer of a concurrent maintenance
+    // journal over shared sources yields before renaming anything
+    try BtrTableMeta.publishSwapJournalChecked(fs, root,
       java.util.UUID.randomUUID().toString.substring(0, 8),
       Seq(BtrTableMeta.SwapGroup("", stagedRels, srcRelsSeq ++ srcBlobRels)))
+    catch {
+      case e: IllegalStateException => fs.delete(staging, true); throw e
+    }
     staged.foreach { e =>
       val rel = e.path.toUri.getPath.substring(stagingLen)
       val dst = new Path(root, rel)
@@ -499,7 +514,11 @@ object BtrCompact {
       // test-only race injection: runs after the merge tasks, before the
       // conflict check + journal — deterministic stand-in for a commit
       // landing inside that window
-      beforeSwap: () => Unit = () => ()): (Int, Int) = {
+      beforeSwap: () => Unit = () => (),
+      // test-only: runs between the journal publish and the renames — the
+      // window the post-publish overlap check (publishSwapJournalChecked)
+      // guards; a concurrent maintenance writer landing here must yield
+      afterJournal: () => Unit = () => ()): (Int, Int) = {
     val root = new Path(path)
     val fs = root.getFileSystem(BtrTableMeta.hadoopConf())
     graft.format.BtrFs.requireCommitCapable(fs, root)
@@ -508,14 +527,20 @@ object BtrCompact {
     BtrDvOps.convergePending(fs, root)
     // a compactor that died between its merge tasks and the journal write
     // leaves _tmp_compact_* files scans never see but nothing else ever
-    // deletes — sweep them here (concurrent compactors are unsupported,
-    // so any tmp present at this point is dead weight)
+    // deletes — sweep them here. ONLY temps older than the maintenance
+    // lease: a younger one may belong to a LIVE concurrent
+    // partition-scoped compactor (`OPTIMIZE ... WHERE` sharded across
+    // partitions), and sweeping it would fail that worker's rename
+    // mid-swap; a dead worker's temps sweep on the first pass after the
+    // lease expires
     def sweepTmp(d: Path): Unit = {
+      val cutoff = System.currentTimeMillis() - BtrTableMeta.MaintenanceLeaseMs
       val it = fs.listStatusIterator(d)
       while (it.hasNext) {
         val st = it.next()
         if (st.isDirectory) sweepTmp(st.getPath)
-        else if (st.getPath.getName.startsWith("_tmp_compact_")) fs.delete(st.getPath, false)
+        else if (st.getPath.getName.startsWith("_tmp_compact_") &&
+          st.getModificationTime < cutoff) fs.delete(st.getPath, false)
       }
     }
     sweepTmp(root)
@@ -651,8 +676,20 @@ object BtrCompact {
             "rows. Nothing was published; retry the OPTIMIZE.")
       }
     }
-    BtrTableMeta.writeSwapJournal(fs, root, compactId,
+    // publish-then-recheck: another maintenance writer (a second
+    // OPTIMIZE, a rewrite, a DELETE) may have published a journal over
+    // shared sources in the window where neither saw the other
+    // pre-publish — the observer yields before renaming anything
+    try BtrTableMeta.publishSwapJournalChecked(fs, root, compactId,
       jobs.map { case (bin, _, fin) => BtrTableMeta.SwapGroup(rel(bin.dirUri), Seq(fin), bin.files) })
+    catch {
+      case e: IllegalStateException =>
+        jobs.foreach { case (bin, tmp, _) =>
+          fs.delete(new Path(new Path(new java.net.URI(bin.dirUri)), tmp), false)
+        }
+        throw e
+    }
+    afterJournal()
     val retain = BtrTableMeta.readRetainRemoved(fs, root)
     val qroot = fs.makeQualified(root)
     jobs.foreach { case (bin, tmp, fin) =>

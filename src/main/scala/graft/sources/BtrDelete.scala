@@ -203,7 +203,10 @@ object BtrDelete {
       // reference ordinals of the dying incarnation)
       val doomedAll = doomedRels ++
         graft.format.DeletionVector.blobRelsForTargets(fs, qualified, doomedRels.toSet)
-      BtrTableMeta.writeSwapJournal(fs, dir, s"nm-del-${BtrWriteIds.newWriteId()}",
+      // publish-then-recheck: if an in-flight OPTIMIZE/rewrite journal
+      // claims one of the doomed files, the observer yields — merging or
+      // rewriting a file this DELETE is dropping must serialize
+      BtrTableMeta.publishSwapJournalChecked(fs, dir, s"nm-del-${BtrWriteIds.newWriteId()}",
         Seq(BtrTableMeta.SwapGroup("", Nil, doomedAll)))
       locally {
         val retain = BtrTableMeta.readRetainRemoved(fs, dir)

@@ -661,7 +661,9 @@ object BtrLog {
       // dropped set hides the moment they are (convergence completes
       // either direction; a rolled-back resurrection returns to the
       // store via the retention-routed rollback)
-      BtrTableMeta.writeSwapJournal(fs, root, s"nm-restore-${BtrWriteIds.newWriteId()}",
+      // publish-then-recheck: an in-flight maintenance journal over a
+      // dropped file means the observer (this RESTORE) yields
+      BtrTableMeta.publishSwapJournalChecked(fs, root, s"nm-restore-${BtrWriteIds.newWriteId()}",
         Seq(BtrTableMeta.SwapGroup("", resurrectable.map(_._1), toDrop.toSeq)))
       resurrectable.foreach { case (rel, e) =>
         val dst = new Path(root, rel)

@@ -493,7 +493,10 @@ class BtrBatchWrite(path: String, schema: StructType, mode: BtrOverwriteMode, bl
     // merges of rows it already emitted.
     def journalReplace(finals: Seq[String], sources: Seq[String]): Unit =
       if (sources.nonEmpty) {
-        BtrTableMeta.writeSwapJournal(fs, dir, s"nm-$writeId",
+        // publish-then-recheck: a concurrent maintenance journal over
+        // shared sources means the observer yields (Spark's abort then
+        // sweeps this commit's staged files; nothing was renamed)
+        BtrTableMeta.publishSwapJournalChecked(fs, dir, s"nm-$writeId",
           Seq(BtrTableMeta.SwapGroup("", finals, sources)))
         committedForward = true
       }
@@ -624,7 +627,9 @@ class BtrBatchWrite(path: String, schema: StructType, mode: BtrOverwriteMode, bl
         val srcBlobs = blobsOf(sources)
         logAdded = staged.map(visibleOf)
         logRemoved = sources ++ srcBlobs
-        BtrTableMeta.writeSwapJournal(fs, dir, s"nm-$writeId",
+        // publish-then-recheck (see journalReplace): the observer of a
+        // concurrent maintenance journal over shared sources yields
+        BtrTableMeta.publishSwapJournalChecked(fs, dir, s"nm-$writeId",
           Seq(BtrTableMeta.SwapGroup("", staged.map(visibleOf), sources ++ srcBlobs)))
         committedForward = true
         staged.foreach { rel =>

@@ -84,9 +84,13 @@ class BtrCompactSpec extends AnyFunSuite {
 
     // a rolled-back swap (finals never landed) must leave NO marker: the
     // sources are still live, so a source→final mapping would be a lie
-    BtrTableMeta.writeSwapJournal(fs, root, "deadbeef",
+    val jDead = BtrTableMeta.writeSwapJournal(fs, root, "deadbeef",
       Seq(BtrTableMeta.SwapGroup("", Seq("never-written.btr"),
         btrFiles(dir).map(f => new java.io.File(f).getName))))
+    locally { // crashed-writer simulation: age past the maintenance lease
+      val old = System.currentTimeMillis() - BtrTableMeta.MaintenanceLeaseMs - 60000
+      fs.setTimes(jDead, old, old)
+    }
     BtrTableMeta.completeSwapJournals(fs, root)
     assert(BtrTableMeta.readSwapJournals(fs, root).isEmpty)
     assert(BtrTableMeta.readDoneSwapJournals(fs, root).isEmpty)
@@ -217,10 +221,16 @@ class BtrCompactSpec extends AnyFunSuite {
 
     // CRASH WINDOW 2 (pre-rename): journal exists, final never appeared.
     // Reader keeps the sources (pre-swap view): rows unchanged.
-    BtrTableMeta.writeSwapJournal(fs, root, "t2",
+    val j2 = BtrTableMeta.writeSwapJournal(fs, root, "t2",
       Seq(BtrTableMeta.SwapGroup("", Seq("part-compact-never-00000.btr"), Seq(names(1)))))
     assert(sortedRows(spark.read.format("btr").load(dir)) == expected,
       "pre-rename window dropped rows")
+    // rollback of an incomplete journal requires the lease to expire
+    // (a young one is presumed to belong to a live mid-rename worker)
+    locally {
+      val old = System.currentTimeMillis() - BtrTableMeta.MaintenanceLeaseMs - 60000
+      fs.setTimes(j2, old, old)
+    }
     BtrTableMeta.completeSwapJournals(fs, root)
     assert(fs.exists(new Path(root, names(1))), "rollback must keep sources")
     assert(sortedRows(spark.read.format("btr").load(dir)) == expected)

@@ -1,0 +1,180 @@
+package graft.sources
+
+import graft.format.BtrTableMeta
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Concurrent maintenance workers: partition-DISJOINT `OPTIMIZE`
+  * shards run in parallel (the 100 TB pattern — one worker per hot
+  * partition set), while OVERLAPPING writers serialize through the
+  * publish-then-recheck journal protocol
+  * ([[graft.format.BtrTableMeta.publishSwapJournalChecked]]): whoever
+  * observes another in-flight journal over shared sources yields before
+  * renaming anything. Entry-time convergence and temp sweeps honor the
+  * maintenance lease so a live worker's journal/temps are never rolled
+  * back or swept from under it.
+  */
+class BtrMaintenanceRaceSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("maintenance-race-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.catalog.graft", "graft.sources.BtrCatalog")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def tmp(name: String) = {
+    val d = s"/tmp/btr-maint-race/$name"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d))
+    d
+  }
+
+  private def fsRoot(dir: String) = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(BtrTableMeta.hadoopConf())
+    (fs, fs.makeQualified(p))
+  }
+
+  private def readRows(dir: String): Seq[Int] =
+    spark.read.format("btr").load(dir).select("x").as[Int].collect().sorted.toSeq
+
+  private def dataFiles(dir: String): Seq[String] = {
+    val (fs, root) = fsRoot(dir)
+    val rootLen = root.toUri.getPath.length + 1
+    BtrTableMeta.listDataFilesWithPartitions(fs, root)
+      .map(_.path.toUri.getPath.substring(rootLen)).toSeq.sorted
+  }
+
+  test("partition-disjoint OPTIMIZE workers run concurrently, both commit") {
+    val dir = tmp("disjoint")
+    // two files per partition so each worker has a bin
+    Seq(1, 3).toDF("x").withColumn("k", org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.col("x"), org.apache.spark.sql.functions.lit(2)))
+      .repartition(1).write.format("btr").partitionBy("k").mode("overwrite").save(dir)
+    Seq(2, 4).toDF("x").withColumn("k", org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.col("x"), org.apache.spark.sql.functions.lit(2)))
+      .repartition(1).write.format("btr").partitionBy("k").mode("append").save(dir)
+    Seq(5, 6).toDF("x").withColumn("k", org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.col("x"), org.apache.spark.sql.functions.lit(2)))
+      .repartition(1).write.format("btr").partitionBy("k").mode("append").save(dir)
+    assert(readRows(dir) == Seq(1, 2, 3, 4, 5, 6))
+    val filesBefore = dataFiles(dir)
+    assert(filesBefore.count(_.startsWith("k=0")) >= 2 &&
+      filesBefore.count(_.startsWith("k=1")) >= 2, filesBefore.toString)
+
+    // worker B (partition k=1) lands INSIDE worker A's (k=0) publish
+    // window — the worst interleaving: A's journal is pending and
+    // incomplete while B enters, bins, publishes and completes. B's
+    // entry convergence must leave A's young journal alone, and B's
+    // overlap re-check must find no shared sources
+    var bResult: Option[(Int, Int)] = None
+    val aResult = BtrCompact.compact(spark, dir, 128L * 1024 * 1024,
+      keep = e => e.partitionValues.get("k").contains("0"),
+      afterJournal = () => {
+        bResult = Some(BtrCompact.compact(spark, dir, 128L * 1024 * 1024,
+          keep = e => e.partitionValues.get("k").contains("1")))
+      })
+    assert(bResult.exists(r => r._2 < r._1), s"worker B must have merged, got $bResult")
+    assert(aResult._2 < aResult._1, s"worker A must have merged, got $aResult")
+    assert(readRows(dir) == Seq(1, 2, 3, 4, 5, 6), "no rows lost or duplicated")
+    val after = dataFiles(dir)
+    assert(after.count(_.startsWith("k=0")) == 1 && after.count(_.startsWith("k=1")) == 1,
+      after.toString)
+    val consistency = graft.functions.BtrInspect.fileConsistency(spark, dir)
+    assert(consistency.filter(org.apache.spark.sql.functions.not(
+      org.apache.spark.sql.functions.col("ok"))).count() == 0)
+  }
+
+  test("overlapping compactors: the observer yields post-publish, no duplicate rows") {
+    val dir = tmp("overlap")
+    Seq(1, 2).toDF("x").repartition(1).write.format("btr").mode("overwrite").save(dir)
+    Seq(3, 4).toDF("x").repartition(1).write.format("btr").mode("append").save(dir)
+    // B lands between A's journal publish and A's renames: B bins the
+    // SAME files (A's journal is pending+incomplete, so its sources are
+    // still listed), passes its own pre-publish visibility check, then
+    // its post-publish re-check sees A's journal and yields
+    var bErr: Option[String] = None
+    BtrCompact.compact(spark, dir, 128L * 1024 * 1024,
+      afterJournal = () => {
+        val e = intercept[IllegalStateException] {
+          BtrCompact.compact(spark, dir, 128L * 1024 * 1024)
+        }
+        bErr = Some(e.getMessage)
+      })
+    assert(bErr.exists(m => m.contains("conflict") && m.contains("yielded")), bErr.toString)
+    assert(readRows(dir) == Seq(1, 2, 3, 4), "A's merge applied exactly once")
+    assert(dataFiles(dir).length == 1, dataFiles(dir).toString)
+    // nothing left behind by the yielded worker
+    assert(dataFiles(dir).forall(!_.contains("_tmp_compact_")))
+    val (fs, root) = fsRoot(dir)
+    assert(BtrTableMeta.readSwapJournals(fs, root).isEmpty, "no stale journals")
+  }
+
+  test("entry sweep honors the lease: live temps and staging survive, aged ones sweep") {
+    val dir = tmp("lease-sweep")
+    Seq(1, 2).toDF("x").repartition(1).write.format("btr").mode("overwrite").save(dir)
+    Seq(3).toDF("x").repartition(1).write.format("btr").mode("append").save(dir)
+    val (fs, root) = fsRoot(dir)
+    // a FRESH compactor temp (simulating a live concurrent worker)
+    val liveTmp = new Path(root, "_tmp_compact_live-0.btr")
+    val out = fs.create(liveTmp, true); out.write(1); out.close()
+    val liveStaging = new Path(root, "_rewrite_staging_live")
+    fs.mkdirs(liveStaging)
+    BtrCompact.compact(spark, dir, 128L * 1024 * 1024)
+    assert(fs.exists(liveTmp), "a fresh temp may belong to a live worker — must survive")
+    BtrCompact.rewriteClustered(spark, dir, Seq("x"))
+    assert(fs.exists(liveStaging), "a fresh staging dir may belong to a live worker")
+    // age both past the lease: the next maintenance pass sweeps them
+    val old = System.currentTimeMillis() - BtrTableMeta.MaintenanceLeaseMs - 60000
+    fs.setTimes(liveTmp, old, old)
+    fs.setTimes(liveStaging, old, old)
+    Seq(9).toDF("x").repartition(1).write.format("btr").mode("append").save(dir)
+    BtrCompact.compact(spark, dir, 128L * 1024 * 1024)
+    assert(!fs.exists(liveTmp), "an aged temp is a crashed worker's leftovers")
+    BtrCompact.rewriteClustered(spark, dir, Seq("x"))
+    assert(!fs.exists(liveStaging), "an aged staging dir sweeps")
+    assert(readRows(dir) == Seq(1, 2, 3, 9))
+  }
+
+  test("a young incomplete journal is left pending; an aged one rolls back") {
+    val dir = tmp("journal-lease")
+    Seq(1, 2).toDF("x").repartition(1).write.format("btr").mode("overwrite").save(dir)
+    val (fs, root) = fsRoot(dir)
+    val src = dataFiles(dir).head
+    // an incomplete journal (final never renamed in) as a crashed — or
+    // still-running — swap would leave it
+    val journal = BtrTableMeta.writeSwapJournal(fs, root, "zz-crashed",
+      Seq(BtrTableMeta.SwapGroup("", Seq("part-never-arrived.btr"), Seq(src))))
+    BtrTableMeta.completeSwapJournals(fs, root)
+    assert(fs.exists(journal),
+      "a YOUNG incomplete journal may belong to a live mid-rename worker — left pending")
+    assert(readRows(dir) == Seq(1, 2), "readers hold the consistent pre-swap view")
+    val old = System.currentTimeMillis() - BtrTableMeta.MaintenanceLeaseMs - 60000
+    fs.setTimes(journal, old, old)
+    BtrTableMeta.completeSwapJournals(fs, root)
+    assert(!fs.exists(journal), "an aged incomplete journal rolls back and retires")
+    assert(readRows(dir) == Seq(1, 2), "rollback keeps the sources authoritative")
+  }
+
+  test("DELETE racing an in-flight OPTIMIZE journal yields instead of dropping merged rows") {
+    val dir = tmp("delete-vs-optimize")
+    Seq(1, 2).toDF("x").repartition(1).write.format("btr").mode("overwrite").save(dir)
+    Seq(3, 4).toDF("x").repartition(1).write.format("btr").mode("append").save(dir)
+    // the DELETE lands between the OPTIMIZE's journal publish and its
+    // renames; its file-aligned drop claims the same sources — observer
+    // (the DELETE) yields loudly
+    var delErr: Option[String] = None
+    BtrCompact.compact(spark, dir, 128L * 1024 * 1024,
+      afterJournal = () => {
+        val e = intercept[Exception] {
+          spark.sql(s"DELETE FROM graft.`$dir` WHERE x >= 0")
+        }
+        delErr = Some(e.getMessage)
+      })
+    assert(delErr.exists(_.contains("conflict")), delErr.toString)
+    assert(readRows(dir) == Seq(1, 2, 3, 4), "the OPTIMIZE's merge stands, nothing lost")
+  }
+}

@@ -342,6 +342,13 @@ class BtrRowLevelSpec extends AnyFunSuite {
         Seq(source.getName))))
     // reads under the torn journal see the PRE-swap view (finals hidden)
     assert(spark.read.format("btr").load(p1).count() == 40)
+    // age the journal past the maintenance lease: rollback presumes the
+    // writer is dead, and a YOUNG incomplete journal is presumed live
+    locally {
+      val j = BtrTableMeta.readSwapJournals(fs, root1).head._1
+      val old = System.currentTimeMillis() - BtrTableMeta.MaintenanceLeaseMs - 60000
+      fs.setTimes(j, old, old)
+    }
     BtrTableMeta.completeSwapJournals(fs, root1)
     assert(new java.io.File(p1, source.getName).exists(), "source lost in rollback")
     assert(!new java.io.File(p1, strayFinal).exists(), "stray final survived rollback")
