@@ -450,11 +450,30 @@ object BtrCompact {
     // through partition dirs) — the whole rewrite flips together.
     // Publish-then-recheck: the observer of a concurrent maintenance
     // journal over shared sources yields before renaming anything
-    try BtrTableMeta.publishSwapJournalChecked(fs, root,
-      java.util.UUID.randomUUID().toString.substring(0, 8),
-      Seq(BtrTableMeta.SwapGroup("", stagedRels, srcRelsSeq ++ srcBlobRels)))
-    catch {
-      case e: IllegalStateException => fs.delete(staging, true); throw e
+    val myJournal =
+      try BtrTableMeta.publishSwapJournalChecked(fs, root,
+        java.util.UUID.randomUUID().toString.substring(0, 8),
+        Seq(BtrTableMeta.SwapGroup("", stagedRels, srcRelsSeq ++ srcBlobRels)))
+      catch {
+        case e: IllegalStateException => fs.delete(staging, true); throw e
+      }
+    // masks re-check AFTER the journal is visible (same reasoning as
+    // compact()): a DV commit landing between the pre-publish check and
+    // the publish saw no journal — look again now that ours is visible
+    locally {
+      val srcSet = srcRelsSeq.toSet
+      val maskedNow = graft.format.DeletionVector
+        .blobRelsForTargets(fs, qrootV, srcSet)
+        .filterNot(srcBlobRels.toSet.contains)
+      if (maskedNow.nonEmpty) {
+        fs.delete(myJournal, false)
+        fs.delete(staging, true)
+        throw new IllegalStateException(
+          s"btr: concurrent commit conflict at $root — a merge-on-read commit " +
+            s"put deletion vectors on ${maskedNow.size} of this rewrite's source " +
+            "file(s) (post-publish); this writer yielded before renaming " +
+            "anything. Nothing was published; retry the rewrite.")
+      }
     }
     staged.foreach { e =>
       val rel = e.path.toUri.getPath.substring(stagingLen)
@@ -680,14 +699,40 @@ object BtrCompact {
     // OPTIMIZE, a rewrite, a DELETE) may have published a journal over
     // shared sources in the window where neither saw the other
     // pre-publish — the observer yields before renaming anything
-    try BtrTableMeta.publishSwapJournalChecked(fs, root, compactId,
-      jobs.map { case (bin, _, fin) => BtrTableMeta.SwapGroup(rel(bin.dirUri), Seq(fin), bin.files) })
-    catch {
-      case e: IllegalStateException =>
+    val myJournal =
+      try BtrTableMeta.publishSwapJournalChecked(fs, root, compactId,
+        jobs.map { case (bin, _, fin) => BtrTableMeta.SwapGroup(rel(bin.dirUri), Seq(fin), bin.files) })
+      catch {
+        case e: IllegalStateException =>
+          jobs.foreach { case (bin, tmp, _) =>
+            fs.delete(new Path(new Path(new java.net.URI(bin.dirUri)), tmp), false)
+          }
+          throw e
+      }
+    // masks re-check AFTER the journal is visible: a merge-on-read
+    // DELETE/UPDATE whose blobs landed between the pre-publish check and
+    // the publish saw no journal at ITS conflict checks (DV commits
+    // publish no swap journal), so this side must look again — one of
+    // the two racers always observes the other (our journal is visible
+    // from here on, and its blobs precede its own post-claim verify)
+    locally {
+      val binnedRels = jobs.flatMap { case (bin, _, _) =>
+        val prefix = rel(bin.dirUri)
+        bin.files.map(f => if (prefix.isEmpty) f else s"$prefix/$f")
+      }.toSet
+      val maskedNow = graft.format.DeletionVector
+        .blobRelsForTargets(fs, qualRoot, binnedRels)
+      if (maskedNow.nonEmpty) {
+        fs.delete(myJournal, false)
         jobs.foreach { case (bin, tmp, _) =>
           fs.delete(new Path(new Path(new java.net.URI(bin.dirUri)), tmp), false)
         }
-        throw e
+        throw new IllegalStateException(
+          s"btr: concurrent commit conflict at $root — a merge-on-read commit " +
+            s"put deletion vectors on ${maskedNow.size} file(s) this OPTIMIZE " +
+            "was merging (post-publish); this writer yielded before renaming " +
+            "anything. Nothing was published; retry the OPTIMIZE.")
+      }
     }
     afterJournal()
     val retain = BtrTableMeta.readRetainRemoved(fs, root)

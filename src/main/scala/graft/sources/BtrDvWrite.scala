@@ -137,6 +137,26 @@ class BtrDvDeltaWrite(path: String, rowIdSchema: StructType,
                 s"concurrent commit has since removed or rewritten ($phase; e.g. " +
                 s"${drifted.keys.toSeq.sorted.take(3).mkString(", ")}); retry.")
         }
+        // a PENDING maintenance swap journal claiming a target is an
+        // in-flight OPTIMIZE/rewrite/DELETE about to re-home or drop its
+        // rows — our masks reference ordinals that die with the source,
+        // so committing would silently lose this DELETE/UPDATE. The
+        // maintenance side re-checks masks AFTER publishing its journal,
+        // so of the two racers at least one observes the other: it sees
+        // our (task-committed) blobs and yields, or we see its journal
+        // here and roll back.
+        if (targets.nonEmpty) {
+          val claimed = BtrTableMeta.readSwapJournals(fs, root)
+            .flatMap(_._2)
+            .flatMap(g => g.sources.map(s => if (g.dir.isEmpty) s else s"${g.dir}/$s"))
+            .filter(targets.contains)
+          if (claimed.nonEmpty)
+            throw new IllegalStateException(
+              s"btr: concurrent commit conflict at $path — an in-flight maintenance " +
+                s"swap journal claims ${claimed.size} file(s) this row-level operation " +
+                s"computed deletion vectors against ($phase; e.g. " +
+                s"${claimed.sorted.take(3).mkString(", ")}); retry.")
+        }
         // OUR blobs must also still exist: a concurrent RESTORE builds its
         // live set from a physical listing, so it can drop task-committed
         // blobs this commit has not yet recorded — committing anyway would

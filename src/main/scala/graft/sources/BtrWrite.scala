@@ -629,8 +629,24 @@ class BtrBatchWrite(path: String, schema: StructType, mode: BtrOverwriteMode, bl
         logRemoved = sources ++ srcBlobs
         // publish-then-recheck (see journalReplace): the observer of a
         // concurrent maintenance journal over shared sources yields
-        BtrTableMeta.publishSwapJournalChecked(fs, dir, s"nm-$writeId",
+        val myJournal = BtrTableMeta.publishSwapJournalChecked(fs, dir, s"nm-$writeId",
           Seq(BtrTableMeta.SwapGroup("", staged.map(visibleOf), sources ++ srcBlobs)))
+        // masks re-check AFTER the journal is visible: a DV commit whose
+        // blobs landed between the pre-publish DV-set check and the
+        // publish saw no journal at its own conflict checks — look again
+        // (physical blob listing: conservative, an in-flight commit that
+        // will roll back still makes this writer yield — both-yield is
+        // safe, proceed-proceed is not)
+        locally {
+          val newBlobs = blobsOf(sources).filterNot(srcBlobs.toSet.contains)
+          if (newBlobs.nonEmpty) {
+            fs.delete(myJournal, false)
+            throw new IllegalStateException(
+              s"btr: concurrent commit conflict at $dir — a merge-on-read commit " +
+                s"put deletion vectors on ${newBlobs.size} of this rewrite's source " +
+                "file(s) (post-publish); the staged row images are stale, retry.")
+          }
+        }
         committedForward = true
         staged.foreach { rel =>
           val from = new Path(dir, rel)

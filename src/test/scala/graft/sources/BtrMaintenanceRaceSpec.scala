@@ -159,6 +159,34 @@ class BtrMaintenanceRaceSpec extends AnyFunSuite {
     assert(readRows(dir) == Seq(1, 2), "rollback keeps the sources authoritative")
   }
 
+  test("a DV UPDATE landing in the OPTIMIZE publish window rolls back; no row resurrection") {
+    // regression (found by BtrRaceFuzzSpec seed 20260815 round 15): a
+    // merge-on-read UPDATE publishes NO swap journal, so the compactor's
+    // publish-then-recheck could not see it, and the UPDATE's target
+    // checks did not look at pending journals — both proceeded: the
+    // splice re-homed the masked ordinals, resurrecting the old images
+    // NEXT TO the update's new images. Now the DV commit's verifyTargets
+    // treats a pending journal claiming a target as a conflict.
+    val dir = tmp("dv-in-publish-window")
+    Seq(1, 2).toDF("x").repartition(1).write.format("btr")
+      .option("btr.deletionVectors", "true").mode("overwrite").save(dir)
+    Seq(3, 4).toDF("x").repartition(1).write.format("btr").mode("append").save(dir)
+    var updErr: Option[String] = None
+    BtrCompact.compact(spark, dir, 128L * 1024 * 1024,
+      afterJournal = () => {
+        val e = intercept[Exception] {
+          spark.sql(s"UPDATE graft.`$dir` SET x = x + 100 WHERE x <= 2")
+        }
+        updErr = Some(e.getMessage)
+      })
+    assert(updErr.exists(_.contains("conflict")), updErr.toString)
+    assert(readRows(dir) == Seq(1, 2, 3, 4),
+      "the UPDATE rolled back whole: no masks lost, no orphan images")
+    // a retry AFTER the compaction serializes cleanly
+    spark.sql(s"UPDATE graft.`$dir` SET x = x + 100 WHERE x <= 2")
+    assert(readRows(dir) == Seq(3, 4, 101, 102))
+  }
+
   test("DELETE racing an in-flight OPTIMIZE journal yields instead of dropping merged rows") {
     val dir = tmp("delete-vs-optimize")
     Seq(1, 2).toDF("x").repartition(1).write.format("btr").mode("overwrite").save(dir)

@@ -87,8 +87,14 @@ class BtrRaceFuzzSpec extends AnyFunSuite {
     a.filter { x => if (cnt(x) > 0) { cnt(x) -= 1; false } else true }
   }
 
-  private def isConflict(e: IllegalStateException): Boolean =
-    e.getMessage != null && e.getMessage.contains("conflict")
+  private def isConflict(e: Throwable): Boolean = {
+    var t: Throwable = e
+    while (t != null) {
+      if (t.getMessage != null && t.getMessage.contains("conflict")) return true
+      t = t.getCause
+    }
+    false
+  }
 
   private def stage(mode: BtrOverwriteMode, rows: Seq[Int], seed: Long)
       : (BtrBatchWrite, Array[WriterCommitMessage]) = {
@@ -171,14 +177,14 @@ class BtrRaceFuzzSpec extends AnyFunSuite {
         }
       def runB(): Unit =
         try runB0()
-        catch { case e: IllegalStateException if isConflict(e) => bCommitted = false }
+        catch { case e: Exception if isConflict(e) => bCommitted = false }
 
       // ---- outer operation A (staged; B lands inside its window) ----
       var aCommitted = true
       var bRan = false
       def fireB(): Unit = { bRan = true; runB() }
 
-      val (aName, effA): (String, Seq[Int] => Seq[Int]) = rnd.nextInt(4) match {
+      val (aName, effA): (String, Seq[Int] => Seq[Int]) = rnd.nextInt(5) match {
         case 0 =>
           val vs = freshVals(4 + rnd.nextInt(8))
           val (bw, msgs) = stage(BtrOverwriteMode.Append, vs, rnd.nextLong())
@@ -215,10 +221,17 @@ class BtrRaceFuzzSpec extends AnyFunSuite {
           try bw.commit(msgs)
           catch { case e: IllegalStateException if isConflict(e) => aCommitted = false }
           (s"staged-dv-delete(${vals.sorted.mkString(",")})", m => msDiff(m, vals))
-        case _ =>
+        case 3 =>
           try BtrCompact.compact(spark, dir, 1L << 20, beforeSwap = () => fireB())
           catch { case e: IllegalStateException if isConflict(e) => aCommitted = false }
           ("compact+hook", identity)
+        case _ =>
+          // B lands between the compactor's journal publish and its
+          // renames — the window publish-then-recheck guards: B must
+          // either succeed on disjoint files or yield, never corrupt
+          try BtrCompact.compact(spark, dir, 1L << 20, afterJournal = () => fireB())
+          catch { case e: IllegalStateException if isConflict(e) => aCommitted = false }
+          ("compact+afterJournal", identity)
       }
       if (!bRan) runB() // compact found no bin or failed pre-hook: B runs after
 
