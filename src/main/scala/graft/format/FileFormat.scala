@@ -488,7 +488,10 @@ object BtrTableMeta {
       deletionVectors: Option[Boolean] = None,
       // masked-row fraction above which OPTIMIZE ... APPLY PURGE
       // rewrites a file (None = preserve / engine default)
-      dvPurgeThreshold: Option[Double] = None
+      dvPurgeThreshold: Option[Double] = None,
+      // declared clustering columns (`btr.clusterBy` TBLPROPERTIES):
+      // None = preserve; Some(Nil) = clear the declaration
+      clusterBy: Option[Seq[String]] = None
   ): Unit = {
     // minimal JSON by hand: schema json is already valid JSON; column
     // names go through the shared escaper (quotes/commas/control chars)
@@ -502,8 +505,12 @@ object BtrTableMeta {
     val dvJson = if (dv) ""","deletionVectors":true""" else ""
     val purge = dvPurgeThreshold.orElse(if (exists) readDvPurgeThreshold(fs, dir) else None)
     val purgeJson = purge.map(t => s""","dvPurgeThreshold":$t""").getOrElse("")
+    val cluster = clusterBy.getOrElse(if (exists) readClusterBy(fs, dir) else Nil)
+    val clusterJson =
+      if (cluster.isEmpty) ""
+      else s""","clusterBy":${cluster.map(jsonStr).mkString("[", ",", "]")}"""
     val json =
-      s"""{"version":${BtrFile.Version},"blockSize":$blockSize,"cascade":$cascade$retainJson$keepJson$dvJson$purgeJson,"partitionCols":$parts,"schema":${schema.json}}"""
+      s"""{"version":${BtrFile.Version},"blockSize":$blockSize,"cascade":$cascade$retainJson$keepJson$dvJson$purgeJson$clusterJson,"partitionCols":$parts,"schema":${schema.json}}"""
     val out = fs.create(new Path(dir, MetaFile), true)
     out.write(json.getBytes(StandardCharsets.UTF_8))
     out.close()
@@ -605,9 +612,20 @@ object BtrTableMeta {
   }
 
   /** Partition column names recorded at write time (hive-style layout). */
-  def readPartitionCols(fs: FileSystem, dir: Path): Seq[String] = {
-    val json = readMetaJson(fs, dir)
-    val key = "\"partitionCols\":"
+  def readPartitionCols(fs: FileSystem, dir: Path): Seq[String] =
+    readStringArray(readMetaJson(fs, dir), "partitionCols")
+
+  /** Declared clustering columns (`btr.clusterBy` TBLPROPERTIES). Writers
+    * sort incoming rows by these so fresh files arrive pre-clustered for
+    * chunk skipping; `OPTIMIZE ... CLUSTER BY` remains the explicit
+    * whole-table re-cluster. Nil = no declaration.
+    */
+  def readClusterBy(fs: FileSystem, dir: Path): Seq[String] =
+    if (!fs.exists(new Path(dir, MetaFile))) Nil
+    else readStringArray(readMetaJson(fs, dir), "clusterBy")
+
+  private def readStringArray(json: String, name: String): Seq[String] = {
+    val key = "\"" + name + "\":"
     val idx = json.indexOf(key)
     if (idx < 0) Nil
     else {

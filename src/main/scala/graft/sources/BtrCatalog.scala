@@ -240,7 +240,7 @@ class BtrCatalog extends TableCatalog {
           s"btr: unsupported ALTER TABLE change $other — supported: ADD COLUMN " +
             "(trailing, nullable), ALTER COLUMN TYPE (int->long, float->double), " +
             "SET/UNSET TBLPROPERTIES (btr.retainRemoved, btr.deletionVectors, " +
-            "btr.logRetention, btr.dvPurgeThreshold)")
+            "btr.logRetention, btr.dvPurgeThreshold, btr.clusterBy)")
     }
     BtrTableMeta.write(fs, dir, schema, blockSize, cascade, partCols)
     new BtrTable(path, schema,
@@ -257,10 +257,11 @@ class BtrCatalog extends TableCatalog {
     val partCols = BtrTableMeta.readPartitionCols(fs, dir)
     val (blockSize, cascade) = BtrTableMeta.readGeometry(fs, dir)
     def write(retain: Option[Boolean] = None, keep: Option[Int] = None,
-        dv: Option[Boolean] = None, purge: Option[Double] = None): Unit =
+        dv: Option[Boolean] = None, purge: Option[Double] = None,
+        cluster: Option[Seq[String]] = None): Unit =
       BtrTableMeta.write(fs, dir, schema, blockSize, cascade, partCols,
         retainRemoved = retain, logRetention = keep, deletionVectors = dv,
-        dvPurgeThreshold = purge)
+        dvPurgeThreshold = purge, clusterBy = cluster)
     key match {
       case "btr.retainRemoved" =>
         write(retain = Some(value.exists(_.trim.toBoolean)))
@@ -301,10 +302,27 @@ class BtrCatalog extends TableCatalog {
             // default back explicitly (same shape as logRetention UNSET)
             write(purge = Some(BtrCompact.DefaultDvPurgeThreshold))
         }
+      case "btr.clusterBy" =>
+        value match {
+          case Some(v) =>
+            val cols = v.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+            require(cols.nonEmpty, "btr.clusterBy must name at least one column")
+            val logical = graft.format.BtrColumnMapping.logical(schema)
+            cols.foreach { c =>
+              require(logical.fieldNames.contains(c),
+                s"btr.clusterBy column '$c' does not exist " +
+                  s"(columns: ${logical.fieldNames.mkString(", ")})")
+              require(!partCols.contains(c),
+                s"btr.clusterBy column '$c' is a partition column — partition " +
+                  "values are constant within a file; clustering by them is a no-op")
+            }
+            write(cluster = Some(cols))
+          case None => write(cluster = Some(Nil))
+        }
       case other => throw new UnsupportedOperationException(
         s"btr: unsupported table property '$other' — supported: " +
           "btr.retainRemoved, btr.deletionVectors, btr.logRetention, " +
-          "btr.dvPurgeThreshold")
+          "btr.dvPurgeThreshold, btr.clusterBy")
     }
   }
 

@@ -171,6 +171,8 @@ class BtrTable(path: String, tableSchema: StructType, partitionTransforms: Array
         .foreach(n => m.put("btr.logRetention", n.toString))
       graft.format.BtrTableMeta.readDvPurgeThreshold(fs, dir)
         .foreach(t => m.put("btr.dvPurgeThreshold", t.toString))
+      val cluster = graft.format.BtrTableMeta.readClusterBy(fs, dir)
+      if (cluster.nonEmpty) m.put("btr.clusterBy", cluster.mkString(","))
     } catch { case _: java.io.IOException => () } // advisory surface
     m
   }
@@ -484,6 +486,40 @@ object BtrOptions {
     */
   def splitParallelism(options: CaseInsensitiveStringMap): Int =
     options.getInt("btr.splitParallelism", 0)
+
+  /** Write-side distribution mode (`btr.write.distribution`):
+    *  - `auto` (default): partitioned tables require a CLUSTERED
+    *    distribution on the partition columns (each partition's rows
+    *    land in one task — one file per partition instead of one per
+    *    task×partition) plus a task-local sort by partition then
+    *    cluster columns; unpartitioned tables with a declared
+    *    `btr.clusterBy` require an ORDERED (range) distribution so
+    *    files carry disjoint cluster-key ranges.
+    *  - `local`: no shuffle; only the task-local sort is requested
+    *    (bounds open partition writers, files still arrive sorted).
+    *  - `none`: no requirements at all (the caller owns the layout).
+    */
+  def writeDistribution(options: CaseInsensitiveStringMap): String = {
+    val v = options.getOrDefault("btr.write.distribution", "auto").trim.toLowerCase
+    require(v == "auto" || v == "local" || v == "none",
+      s"btr.write.distribution must be auto|local|none, got '$v'")
+    v
+  }
+
+  /** Write-time clustering override (`btr.clusterBy` write option):
+    * comma-separated column names; absent = the table's declared
+    * `btr.clusterBy` TBLPROPERTIES.
+    */
+  def clusterBy(options: CaseInsensitiveStringMap): Option[Seq[String]] =
+    Option(options.get("btr.clusterBy"))
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+
+  /** Advisory shuffle-partition size for required write distributions
+    * (AQE splits/coalesces the pre-write shuffle toward this many
+    * bytes per task). 0 = the session's advisory size.
+    */
+  def writeAdvisoryPartitionBytes(options: CaseInsensitiveStringMap): Long =
+    options.getLong("btr.write.advisoryPartitionBytes", 0L)
 
   /** Time travel: pin the read to a recorded snapshot version. */
   def versionAsOf(options: CaseInsensitiveStringMap): Option[Long] =

@@ -92,8 +92,40 @@ class BtrDvDeltaWrite(path: String, rowIdSchema: StructType,
     // UPDATE/MERGE: the full row schema for the insert side; None = a
     // pure DELETE (no insert writers)
     rowSchema: Option[StructType] = None,
-    partCols: Seq[String] = Nil) extends DeltaWrite {
+    partCols: Seq[String] = Nil) extends DeltaWrite
+    with RequiresDistributionAndOrdering {
   private val writeId = BtrWriteIds.newWriteId()
+
+  // ---- delta distribution + ordering --------------------------------
+  // Pure DELETE: cluster rows by their target file (non-strict — AQE
+  // rebalance coalesces/splits) so each touched file's positions land in
+  // ONE task → exactly one position blob per file. Without it, a delete
+  // spread over T tasks touching F files writes up to T×F blobs — at
+  // fleet scale that is millions of KB-sized sidecars for one DELETE.
+  // UPDATE/MERGE rows mix deletes with INSERTs whose `_file` is null;
+  // clustering by `_file` would funnel every new row image into one
+  // task, so those writes request only the task-local sort (nulls
+  // first: inserts lead, then deletes grouped per file, positions
+  // pre-sorted for tight varint ranges).
+  private val isPureDelete = rowSchema.isEmpty
+  import org.apache.spark.sql.connector.expressions.{Expressions => VE}
+
+  override def requiredDistribution(): org.apache.spark.sql.connector.distributions.Distribution =
+    if (isPureDelete)
+      org.apache.spark.sql.connector.distributions.Distributions.clustered(
+        Array[org.apache.spark.sql.connector.expressions.Expression](
+          VE.column(BtrScan.FileMetaCol)))
+    else
+      org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+
+  override def distributionStrictlyRequired(): Boolean = false
+
+  override def requiredOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    Array(
+      VE.sort(VE.column(BtrScan.FileMetaCol),
+        org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING),
+      VE.sort(VE.column(BtrScan.PosMetaCol),
+        org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
 
   override def toBatch: DeltaBatchWrite = new DeltaBatchWrite {
     // the insert side reuses the ordinary (hidden-staged) row-level

@@ -95,7 +95,24 @@ class BtrWriteBuilder(path: String, schema: StructType, options: CaseInsensitive
         s"existing layout ${existingParts.mkString("[", ",", "]")} at $path")
   }
 
-  override def build(): Write = new Write {
+  override def build(): Write = new Write with RequiresDistributionAndOrdering {
+    // ---- write-time layout (distribution + ordering) ------------------
+    // Declared once here so batch appends, overwrites, CTAS and every
+    // streaming epoch get the same shape: partitioned tables cluster rows
+    // by partition value BEFORE the writers (one file per partition, not
+    // one per task×partition — the small-files failure of naive
+    // partitioned appends at fleet scale), and a declared `btr.clusterBy`
+    // sorts rows inside each task so fresh files carry tight min/max
+    // ranges for chunk skipping without waiting for OPTIMIZE.
+    private val layout = BtrWriteLayout(path, schema, options, partCols)
+
+    override def requiredDistribution(): org.apache.spark.sql.connector.distributions.Distribution =
+      layout.distribution
+    override def requiredOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+      layout.ordering
+    override def distributionStrictlyRequired(): Boolean = layout.strictly
+    override def advisoryPartitionSizeInBytes(): Long = layout.advisoryBytes
+
     override def toBatch: BatchWrite = {
       // by-filter and dynamic overwrites replace a SUBSET of files, so the
       // surviving files' layout must stay compatible — same contract as an
@@ -136,6 +153,71 @@ class BtrWriteBuilder(path: String, schema: StructType, options: CaseInsensitive
         BtrOptions.cascade(options), BtrOptions.config(options), partCols,
         BtrOptions.autoCompactMinFiles(options), BtrOptions.autoCompactTargetBytes(options))
     }
+  }
+}
+
+/** Write-time distribution + ordering (the DSv2
+  * `RequiresDistributionAndOrdering` surface), resolved once per write.
+  *
+  * Shapes (mode `auto`, the default):
+  *  - Partitioned table: CLUSTERED distribution on the partition columns,
+  *    non-strict — Spark plans a `RebalancePartitions`, which AQE both
+  *    coalesces (many tiny partitions share a task) and SPLITS on skew
+  *    (one huge partition fans out over several tasks, a few
+  *    size-proportional files instead of one giant or task×partition
+  *    many). Strict hash clustering would collapse a daily-partitioned
+  *    fleet-scale load to one task per day — explicitly avoided.
+  *  - Unpartitioned table with declared/overridden `btr.clusterBy`:
+  *    strict ORDERED (range) distribution — the range partitioner's
+  *    sampling balances skew and files land with DISJOINT cluster-key
+  *    ranges, so chunk skipping prunes whole files immediately.
+  *  - Both: a task-local sort by partition-then-cluster columns, so
+  *    each partition's rows arrive contiguous (the fan-out writer keeps
+  *    one open file, never thrashing eviction) and chunk min/max stay
+  *    tight.
+  * Mode `local` keeps only the task-local sort; `none` requests nothing.
+  */
+final case class BtrWriteLayout(
+    distribution: org.apache.spark.sql.connector.distributions.Distribution,
+    ordering: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+    strictly: Boolean,
+    advisoryBytes: Long)
+
+object BtrWriteLayout {
+  import org.apache.spark.sql.connector.distributions.Distributions
+  import org.apache.spark.sql.connector.expressions.{Expression => VExpression, Expressions, SortDirection, SortOrder}
+
+  def apply(path: String, schema: StructType, options: CaseInsensitiveStringMap,
+      partCols: Seq[String]): BtrWriteLayout = {
+    val mode = BtrOptions.writeDistribution(options)
+    if (mode == "none")
+      return BtrWriteLayout(Distributions.unspecified(), Array.empty[SortOrder],
+        strictly = false, advisoryBytes = 0L)
+    val cluster = BtrOptions.clusterBy(options).getOrElse {
+      val dir = new Path(path)
+      try BtrTableMeta.readClusterBy(dir.getFileSystem(BtrTableMeta.hadoopConf()), dir)
+      catch { case _: java.io.IOException => Nil }
+    }
+    cluster.foreach { c =>
+      require(schema.fieldNames.contains(c),
+        s"btr.clusterBy column '$c' is not a column of the write schema " +
+          s"${schema.fieldNames.mkString("[", ",", "]")}")
+      require(!partCols.contains(c),
+        s"btr.clusterBy column '$c' is a partition column — partition values " +
+          "are constant within a file; clustering by them is a no-op")
+    }
+    val ordering: Array[SortOrder] =
+      (partCols ++ cluster).map(c =>
+        Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)).toArray
+    val advisory = BtrOptions.writeAdvisoryPartitionBytes(options)
+    if (mode == "local" || ordering.isEmpty)
+      BtrWriteLayout(Distributions.unspecified(), ordering, strictly = false, advisory)
+    else if (partCols.nonEmpty)
+      BtrWriteLayout(
+        Distributions.clustered(partCols.map(c => Expressions.identity(c): VExpression).toArray),
+        ordering, strictly = false, advisory)
+    else
+      BtrWriteLayout(Distributions.ordered(ordering), ordering, strictly = true, advisory)
   }
 }
 

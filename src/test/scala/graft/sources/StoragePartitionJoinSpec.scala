@@ -85,10 +85,12 @@ class StoragePartitionJoinSpec extends AnyFunSuite with AdaptiveSparkPlanHelper 
     // cannot trust the reported ordering and SMJ keeps its sorts
     val facts = (0 until 2000).map(i => (s"k${i % 5}", i.toLong)).toDF("k", "id")
     val dims = (0 until 50).map(i => (s"k${i % 5}", s"name-$i")).toDF("k", "name")
+    // distribution=none: the default write layout would converge each
+    // partition to one file up front — this fixture NEEDS the scatter
     facts.repartition(4).write.format("btr").partitionBy("k").mode("overwrite")
-      .save(tmp("opt_facts"))
+      .option("btr.write.distribution", "none").save(tmp("opt_facts"))
     dims.repartition(2).write.format("btr").partitionBy("k").mode("overwrite")
-      .save(tmp("opt_dims"))
+      .option("btr.write.distribution", "none").save(tmp("opt_dims"))
     def filesPerDir(p: String): Map[String, Int] =
       new java.io.File(p).listFiles()
         .filter(d => d.isDirectory && !d.getName.startsWith("_")).map { d =>
