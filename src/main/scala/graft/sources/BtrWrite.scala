@@ -908,7 +908,7 @@ class BtrPartitionedDataWriter(path: String, schema: StructType, partCols: Seq[S
   private val evicted = scala.collection.mutable.ArrayBuffer.empty[PendingFile]
   // per-key reopen count -> unique file names across evict/reopen cycles
   private val reopens = scala.collection.mutable.HashMap.empty[String, Int]
-  private var evictions = 0L
+  private var reopenEvents = 0L
   private var warnedThrash = false
 
   private def partValueString(row: InternalRow, i: Int): String = {
@@ -943,6 +943,23 @@ class BtrPartitionedDataWriter(path: String, schema: StructType, partCols: Seq[S
       }
       val seq = reopens.getOrElse(key, 0)
       reopens(key) = seq + 1
+      // a reopen AFTER eviction is the real tiny-files signal: sorted
+      // input (the default write layout's task-local sort) evicts each
+      // partition exactly once and never comes back — that layout is one
+      // file per partition and deserves no warning. Interleaved input
+      // rotates evict->reopen, one tiny file per rotation.
+      if (seq > 0) {
+        reopenEvents += 1
+        if (!warnedThrash && reopenEvents > MaxOpenPartitions) {
+          warnedThrash = true
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"btr: task $taskId reopened $reopenEvents evicted partition writers " +
+              s"(cap $MaxOpenPartitions open) — interleaved partition values are " +
+              "producing many tiny files; repartition/sort by the partition columns " +
+              "before writing (the default btr.write.distribution=auto does this), " +
+              "or compact afterwards")
+        }
+      }
       // reopened partitions need distinct names: suffix the per-write id
       // with the reopen ordinal (first open keeps the plain name)
       val wid = if (seq == 0) writeId else s"$writeId-r$seq"
@@ -957,10 +974,10 @@ class BtrPartitionedDataWriter(path: String, schema: StructType, partCols: Seq[S
 
   /** Finish the least-recently-written sub-writer's file (footer written,
     * stream closed) but leave it HIDDEN at its temp name; the slot frees
-    * up and the rename happens at task commit. Eviction under interleaved
-    * input thrashes toward one tiny file per rotation — that layout needs
-    * an upstream repartition/sort, so the first sustained thrash warns
-    * loudly (correctness is unaffected; compaction converges the files).
+    * up and the rename happens at task commit. Sorted input evicts each
+    * partition at most once (clean one-file layout); interleaved input
+    * rotates evict->reopen, which write() detects and warns about
+    * (correctness is unaffected; compaction converges the files).
     */
   private def evictColdest(): Unit = {
     val coldest = writers.keysIterator.minBy(k => lastWrite.getOrElse(k, 0L))
@@ -972,15 +989,6 @@ class BtrPartitionedDataWriter(path: String, schema: StructType, partCols: Seq[S
     }
     writers.remove(coldest)
     lastWrite.remove(coldest)
-    evictions += 1
-    if (!warnedThrash && evictions > 4L * MaxOpenPartitions) {
-      warnedThrash = true
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"btr: task $taskId evicted $evictions partition writers (cap " +
-          s"$MaxOpenPartitions) — interleaved partition values are producing many " +
-          "tiny files; repartition by the partition columns before writing, or " +
-          "compact afterwards")
-    }
   }
 
   override def commit(): WriterCommitMessage = {
