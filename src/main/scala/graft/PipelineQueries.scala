@@ -535,6 +535,18 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // sequence packing: every doc's position in fixed-512-token training
+    // sequences (concat-and-chunk over 8 independent md5-routed shards —
+    // one window shuffle, no global sequential dependency)
+    "q_seq_pack" -> ((s, d) => {
+      val docs = t(s, d, "documents").filter(col("text").isNotNull)
+      TextOps.packSequences(docs, "doc_id",
+          size(split(trim(col("text")), "\\s+")).cast("long"),
+          budget = 512L, shards = 8)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // the whole training-data cleaning pipeline composed end to end:
     // exact dedup (keep min id per portable text hash) → drop benchmark
     // docs → decontaminate (no shared 8-gram with the benchmark) →
@@ -797,6 +809,21 @@ object PipelineQueries {
         |SELECT doc_id, lang, n_tokens FROM cum
         |WHERE prior < CASE WHEN lang = 'en' THEN 5000 ELSE 3000 END
         |ORDER BY doc_id""".stripMargin,
+    "q_seq_pack" ->
+      """WITH tk AS (SELECT doc_id,
+        |   CAST(length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |   CAST('0x' || substr(md5('graft-pack-1-shard' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 8 AS shard,
+        |   CAST('0x' || substr(md5('graft-pack-1' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS hk
+        |  FROM documents WHERE text IS NOT NULL),
+        | cum AS (SELECT doc_id, shard, n_tokens,
+        |   sum(n_tokens) OVER (PARTITION BY shard ORDER BY hk, doc_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS prior
+        |  FROM tk)
+        |SELECT doc_id, shard, n_tokens,
+        | prior // 512 AS first_seq,
+        | CASE WHEN n_tokens > 0 THEN (prior + n_tokens - 1) // 512 ELSE prior // 512 END AS last_seq,
+        | prior % 512 AS "offset"
+        |FROM cum ORDER BY doc_id""".stripMargin,
     "q_dedup_simhash" ->
       """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents),
         | th AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h FROM tok),

@@ -797,4 +797,52 @@ object TextOps {
     */
   def sampleKey(key: Column, salt: String): Column =
     pmod(md5Hash60(concat(lit(salt), key.cast("string"))), lit(100L))
+
+  /** Sequence packing for pretraining: assign every document a position
+    * in a stream of fixed-`budget`-token training sequences
+    * (concatenate-and-chunk — the GPT-style packing where documents tile
+    * the token stream and sequences are cut every `budget` tokens, so no
+    * sequence has padding and a document may straddle a boundary).
+    *
+    * Scale shape: one portable hash routes each doc to one of `shards`
+    * INDEPENDENT streams, so packing is a single window shuffle
+    * partitioned by shard — no global sequential dependency, no driver
+    * state; shards pack in parallel on a 1000-executor cluster and the
+    * assignment is deterministic and engine-portable (md5-60 routing +
+    * ordering, reproducible by any SQL engine for audits).
+    *
+    * Returns (id, shard, n_tokens, first_seq, last_seq, offset): the
+    * doc occupies tokens [offset, ...) of `first_seq` through `last_seq`
+    * within its shard (seq ids are per-shard; (shard, seq) is the global
+    * sequence key). Docs with a null token count are dropped.
+    */
+  def packSequences(
+      docs: DataFrame,
+      idCol: String,
+      tokensCol: Column,
+      budget: Long,
+      shards: Int,
+      salt: String = "graft-pack-1"
+  ): DataFrame = {
+    require(budget > 0, s"packSequences budget must be positive, got $budget")
+    require(shards > 0, s"packSequences shards must be positive, got $shards")
+    import org.apache.spark.sql.expressions.Window
+    val routed = docs
+      .select(
+        col(idCol).as("id"),
+        tokensCol.cast("long").as("n_tokens"),
+        pmod(md5Hash60(concat(lit(s"$salt-shard"), col(idCol).cast("string"))),
+          lit(shards.toLong)).as("shard"),
+        md5Hash60(concat(lit(salt), col(idCol).cast("string"))).as("hk"))
+      .filter(col("n_tokens").isNotNull)
+    val w = Window.partitionBy("shard").orderBy(col("hk"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    routed
+      .withColumn("prior", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col("id"), col("shard"), col("n_tokens"),
+        expr(s"prior DIV ${budget}L").as("first_seq"),
+        expr(s"CASE WHEN n_tokens > 0 THEN (prior + n_tokens - 1) DIV ${budget}L " +
+          s"ELSE prior DIV ${budget}L END").as("last_seq"),
+        pmod(col("prior"), lit(budget)).as("offset"))
+  }
 }

@@ -127,6 +127,48 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(mix(1000L).size == 4 && mix(0L).isEmpty)
   }
 
+  test("packSequences tiles each shard's token stream exactly, no gaps, no padding") {
+    val n = 3000
+    val rnd = new scala.util.Random(11)
+    val corpus = (0 until n).map { i =>
+      (i.toLong, Seq.fill(1 + rnd.nextInt(40))("w").mkString(" "))
+    }.toDF("doc_id", "text")
+    val budget = 64L
+    val packed = TextOps.packSequences(corpus, "doc_id",
+      size(split(trim(col("text")), "\\s+")).cast("long"), budget, shards = 4)
+    val rows = packed.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.length == n, "total: every doc is assigned")
+    // deterministic across runs
+    val again = packed.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.sortBy(_._1).sameElements(again.sortBy(_._1)))
+    rows.groupBy(_._2).foreach { case (shard, docs) =>
+      // per shard: doc token spans tile [0, total) contiguously — sort by
+      // global position (first_seq * budget + offset) and check each doc
+      // starts exactly where the previous ended
+      val byPos = docs.sortBy(d => d._4 * budget + d._6)
+      var expectedStart = 0L
+      byPos.foreach { case (_, _, tok, firstSeq, lastSeq, off) =>
+        assert(firstSeq * budget + off == expectedStart,
+          s"shard $shard: doc starts at ${firstSeq * budget + off}, expected $expectedStart")
+        assert(off >= 0 && off < budget)
+        // last_seq is the sequence holding the doc's final token
+        val lastTokenPos = expectedStart + math.max(tok, 1L) - 1
+        assert(lastSeq == lastTokenPos / budget)
+        expectedStart += tok
+      }
+      // every sequence before the last is exactly full (concat-and-chunk
+      // has no padding): total tokens span ceil(total/budget) sequences
+      val total = docs.map(_._3).sum
+      assert(byPos.last._5 == (total - 1) / budget,
+        s"shard $shard: last sequence id must be (total-1)/budget")
+    }
+    // shards are balanced enough to parallelize (md5 routing)
+    val perShard = rows.groupBy(_._2).map(_._2.length)
+    assert(perShard.size == 4 && perShard.min > n / 8)
+  }
+
   test("simhash block-pair buckets keep FULL recall where single-block keys saturate") {
     // planted corpus: 2,000 signatures that all share the same LOW 16
     // bits (the classic 4×16-bit scheme's block 0) — under that scheme
