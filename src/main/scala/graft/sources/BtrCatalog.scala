@@ -40,7 +40,9 @@ class BtrCatalog extends TableCatalog {
     // absolute: a rooted local path OR a scheme-qualified URI (s3a://…,
     // hdfs://…) — resolving a URI under the warehouse would silently send
     // DML to a literal "s3a:" directory on the default filesystem
-    def abs(s: String) = s.startsWith("/") || s.contains("://")
+    // absolute = rooted path or any scheme-qualified Hadoop URI (both the
+    // scheme://auth/path and the authority-less scheme:/path forms)
+    def abs(s: String) = s.startsWith("/") || s.matches("[A-Za-z][A-Za-z0-9+.-]*:/.*")
     val parts = ident.namespace().toSeq :+ ident.name()
     val joined = parts.mkString("/")
     if (abs(joined)) joined

@@ -37,11 +37,13 @@ class BtrRaceFuzzSpec extends AnyFunSuite {
 
   import spark.implicits._
 
-  private val dir = {
+  private val localDir = {
     val d = "/tmp/btr-race-fuzz/t"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File("/tmp/btr-race-fuzz"))
     d
   }
+  // the table under fuzz — set per fuzz() run (helpers below read it)
+  private var dir: String = localDir
 
   private def fsRoot = {
     val p = new Path(dir)
@@ -105,17 +107,34 @@ class BtrRaceFuzzSpec extends AnyFunSuite {
   }
 
   test("randomized two-writer interleavings only ever produce serializable outcomes") {
-    val aborts = Seq(20260815L, 977001L).map(fuzz).sum
+    val aborts = Seq(20260815L, 977001L).map(fuzz(_, localDir)).sum
     // the schedules must actually exercise the conflict machinery — a
     // degenerate run where nothing ever races proves nothing
     assert(aborts >= 2, s"only $aborts conflicts across both seeds — schedule too tame")
   }
 
-  private def fuzz(seed: Long): Int = {
+  test("the same fuzz holds on a copy+delete-rename object store (conditional-put protocol)") {
+    // register the mock scheme engine-wide: rename is non-atomic
+    // copy+delete, the version claim is an atomic conditional CREATE —
+    // the full append/DML/OPTIMIZE/RESTORE surface must still serialize
+    spark.sparkContext.hadoopConfiguration.set(
+      "fs.mockobj.impl", classOf[graft.format.MockObjectStoreFs].getName)
+    // guard the arm itself: the mock FS must select the conditional-put
+    // primitive, or this test silently degrades to rename commits
+    val mockFs = new Path("mockobj:/tmp/btr-race-fuzz-obj/t")
+      .getFileSystem(BtrTableMeta.hadoopConf())
+    assert(graft.format.BtrCommitProtocol.forFs(mockFs) eq
+      graft.format.ConditionalPutCommit)
+    val aborts = fuzz(20260815L, "mockobj:/tmp/btr-race-fuzz-obj/t")
+    assert(aborts >= 1, s"only $aborts conflicts — object-store schedule too tame")
+  }
+
+  private def fuzz(seed: Long, tableDir: String): Int = {
+    dir = tableDir
     val rnd = new scala.util.Random(seed)
     var abortCount = 0
 
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    locally { val (fs0, root0) = fsRoot; fs0.delete(root0, true) }
     (0 until 48).toDF("x").repartition(2).write.format("btr")
       .option("btr.deletionVectors", "true")
       .option("btr.retainRemoved", "true") // restores must replay history
