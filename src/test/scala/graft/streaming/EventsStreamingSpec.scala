@@ -242,6 +242,33 @@ class EventsStreamingSpec extends AnyFunSuite {
     assert(aFiles.exists(_.startsWith("part-e")), aFiles.mkString(","))
   }
 
+  test("streaming epochs get the write layout: one epoch file per partition") {
+    import spark.implicits._
+    val out = "/tmp/btr-stream-layout-sink"
+    val srcDir = "/tmp/btr-stream-layout-src"
+    val ckpt = "/tmp/btr-stream-layout-ckpt"
+    Seq(out, srcDir, ckpt).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+    Seq((0L, "p0"), (1L, "p1"), (2L, "p2")).toDF("id", "k")
+      .write.format("btr").partitionBy("k").mode("overwrite").save(out)
+    // 3 partition values interleaved across 4 source tasks: without the
+    // required clustered distribution the epoch would write up to 4
+    // files per partition value (one per task)
+    (10 until 3010).map(i => (i.toLong, s"p${i % 3}")).toDF("id", "k")
+      .repartition(4).write.parquet(srcDir)
+    val q = spark.readStream.schema("id LONG, k STRING").parquet(srcDir)
+      .writeStream.format("btr").option("checkpointLocation", ckpt).start(out)
+    try q.processAllAvailable()
+    finally q.stop()
+    assert(spark.read.format("btr").load(out).count() == 3003)
+    (0 until 3).foreach { p =>
+      val epochFiles = new java.io.File(s"$out/k=p$p").listFiles()
+        .map(_.getName).filter(n => n.endsWith(".btr") && n.startsWith("part-e"))
+      assert(epochFiles.length == 1,
+        s"k=p$p: expected one epoch file, got ${epochFiles.mkString(",")}")
+    }
+  }
+
   test("streaming sink auto-compaction bounds small-file growth, rows stay exact") {
     import spark.implicits._
     val src = "/tmp/btr-stream-autocompact-src"
