@@ -1291,6 +1291,31 @@ object CoreQueries {
         .orderBy("hour_s")
     }),
 
+    // Q-days-partition: TRANSFORM partitioning — `days(ts)` derives the
+    // directory from a timestamp that stays IN the files (the fleet-scale
+    // event-table shape); the 10-day filter prunes whole day directories
+    // before any footer is read
+    "q_days_partition" -> ((s, d) => {
+      val dir = Btr.cachePath(d, "events_by_day")
+      if (!new java.io.File(dir, "_btr_meta.json").exists()) {
+        Btr.pq(s, d, "events")
+          .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+          .write.format("btr").mode("overwrite")
+          .option("btr.partitionSpec", "days(ts)")
+          .save(dir)
+      }
+      s.read.format("btr").load(dir)
+        .filter(col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp_ntz") &&
+          col("ts") < lit("2024-01-20 00:00:00").cast("timestamp_ntz"))
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("sum_vc"),
+          min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day_s"),
+          col("n"), col("sum_vc"), col("min_id"), col("max_id"))
+        .orderBy("day_s")
+    }),
+
     // Q-asof: for each click, the latest prior view by the same user —
     // DuckDB's ASOF LEFT JOIN, realized as one key-shuffle union+window
     // (ts is raw nanos on both sides, so the comparison is exact)
@@ -1871,6 +1896,15 @@ object CoreQueries {
         | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_vc
         |FROM events WHERE event_type <> 'view'
         |GROUP BY 1 ORDER BY hour_s""".stripMargin,
+    "q_days_partition" ->
+      """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day_s,
+        | count(*) AS n,
+        | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_vc,
+        | min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-20 00:00:00'
+        |GROUP BY 1 ORDER BY day_s""".stripMargin,
     "q_asof_join" ->
       """SELECT l.event_id, l.user_id, r.view_id AS asof_view_id,
         | round(r.value, 2) AS asof_value

@@ -101,7 +101,7 @@ class BtrCatalog extends TableCatalog {
     if (!fs.exists(new Path(dir, BtrTableMeta.MetaFile))) throw new NoSuchTableException(ident)
     val schema = BtrTableMeta.readSchema(fs, dir)
     val parts = BtrTableMeta.readPartitionCols(fs, dir)
-      .map(c => Expressions.identity(c): Transform).toArray
+      .map(c => graft.format.PartitionTransform.toV2(c)).toArray
     new BtrTable(path, schema, parts, version, tsMicros)
   }
 
@@ -124,15 +124,10 @@ class BtrCatalog extends TableCatalog {
         s"btr: column name ${f.name} uses the reserved dropped-column prefix")
     }
     val partCols = partitions.toSeq.map { t =>
-      require(t.name() == "identity",
-        s"btr: only identity partitioning supported, got ${t.describe()}")
-      val refs = t.references()
-      require(refs.length == 1 && refs(0).fieldNames().length == 1,
-        "btr: nested partition columns unsupported")
-      refs(0).fieldNames()(0)
+      val f = graft.format.PartitionTransform.fromV2(t)
+      graft.format.PartitionTransform.validate(f, schema)
+      f.serialized
     }
-    partCols.foreach(c => require(schema.fieldNames.contains(c),
-      s"btr: unknown partition column $c"))
     // TBLPROPERTIES → table-meta policies (same keys as the write
     // options; table meta because every writer must see the same policy)
     def boolProp(k: String) = Option(properties.get(k)).map(_.trim.toBoolean)
@@ -246,7 +241,7 @@ class BtrCatalog extends TableCatalog {
     }
     BtrTableMeta.write(fs, dir, schema, blockSize, cascade, partCols)
     new BtrTable(path, schema,
-      partCols.map(c => Expressions.identity(c): Transform).toArray)
+      partCols.map(c => graft.format.PartitionTransform.toV2(c)).toArray)
   }
 
   /** ALTER TABLE SET/UNSET TBLPROPERTIES for the table-meta policies.

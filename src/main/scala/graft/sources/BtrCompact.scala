@@ -156,7 +156,10 @@ object BtrCompact {
   ): (Int, Int) = {
     val partCols = BtrTableMeta.readPartitionCols(
       new Path(path).getFileSystem(BtrTableMeta.hadoopConf()), new Path(path))
-    val ordered = (partCols ++ cols.filterNot(partCols.contains)).toSeq
+    // transform fields lead with their SOURCE column (sorting by ts keeps
+    // each ts_days dir contiguous, the same locality identity cols get)
+    val leads = partCols.map(c => graft.format.PartitionTransform.parse(c).source)
+    val ordered = (leads ++ cols.filterNot(leads.contains)).distinct.toSeq
     rewriteWith(spark, path, targetBytes, where)((df, n) =>
       BtrLayout.clusterBy(df, ordered, n))
   }
@@ -178,8 +181,9 @@ object BtrCompact {
   ): (Int, Int) = {
     val partCols = BtrTableMeta.readPartitionCols(
       new Path(path).getFileSystem(BtrTableMeta.hadoopConf()), new Path(path))
+    val leads = partCols.map(c => graft.format.PartitionTransform.parse(c).source)
     rewriteWith(spark, path, targetBytes, where)((df, n) =>
-      BtrLayout.zOrderBy(df, cols, n, bits, prefix = partCols))
+      BtrLayout.zOrderBy(df, cols, n, bits, prefix = leads))
   }
 
   /** Masked-row fraction above which `OPTIMIZE ... APPLY PURGE`
@@ -261,7 +265,14 @@ object BtrCompact {
     require(partCols.nonEmpty,
       "btr: a partition predicate needs a partitioned table")
     val schema = BtrTableMeta.readSchema(fs, root)
-    val fields = partCols.map(c => schema(schema.fieldIndex(c)))
+    // transform fields surface their DERIVED directory value as a string
+    // column named after the dir (`WHERE ts_days >= '2026-08-15'` — ISO
+    // values compare lexicographically in time order)
+    val fields = partCols.map { c =>
+      val f = graft.format.PartitionTransform.parse(c)
+      if (f.isIdentity) schema(schema.fieldIndex(f.source))
+      else StructField(f.dirName, StringType)
+    }
     def external(dt: DataType, v: String): Any = {
       if (v == BtrTableMeta.NullPartition) return null
       dt match {
@@ -394,10 +405,15 @@ object BtrCompact {
     // expects (identity for unmapped tables — meta equals the df schema).
     BtrTableMeta.write(fs, staging, BtrTableMeta.readSchema(fs, root), blockSize, cascade,
       partCols)
-    val stagedWriter = layout(df, numFiles)
+    // partitioning comes from the staging dir's seeded meta (the write
+    // builder reads it — partitionBy can't express transform specs), and
+    // distribution=none keeps the layout closure's EXACT shape: the
+    // default write distribution would stack a second shuffle on top of
+    // the clustering range partition the rewrite just computed
+    layout(df, numFiles)
       .write.format("btr").mode("append")
       .option("btr.blockSize", blockSize).option("btr.maxCascadeDepth", cascade)
-    (if (partCols.nonEmpty) stagedWriter.partitionBy(partCols: _*) else stagedWriter)
+      .option("btr.write.distribution", "none")
       .save(staging.toString)
     // swap under a journal: readers see the OLD file set until every
     // staged file is renamed in, then the old set is superseded at once —

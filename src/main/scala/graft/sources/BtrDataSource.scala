@@ -46,7 +46,7 @@ class BtrDataSource extends TableProvider with DataSourceRegister {
     val fs = dir.getFileSystem(BtrTableMeta.hadoopConf())
     if (fs.exists(new Path(dir, BtrTableMeta.MetaFile)))
       BtrTableMeta.readPartitionCols(fs, dir)
-        .map(c => org.apache.spark.sql.connector.expressions.Expressions.identity(c)).toArray
+        .map(c => graft.format.PartitionTransform.toV2(c)).toArray
     else Array.empty
   }
 
@@ -104,16 +104,16 @@ class BtrTable(path: String, tableSchema: StructType, partitionTransforms: Array
     require(PhysType.supported(f.dataType), s"btr: unsupported column type ${f.name}: ${f.dataType}")
   }
 
-  /** Partition column names (hive-style layout); identity transforms only. */
-  private val partCols: Seq[String] = partitionTransforms.toSeq.map { t =>
-    require(t.name() == "identity",
-      s"btr: only identity partitioning supported, got ${t.describe()}")
-    val refs = t.references()
-    require(refs.length == 1 && refs(0).fieldNames().length == 1,
-      "btr: nested partition columns unsupported")
-    refs(0).fieldNames()(0)
-  }
-  partCols.foreach(c => require(tableSchema.fieldNames.contains(c), s"btr: unknown partition column $c"))
+  /** Serialized partition spec (hive-style layout): identity fields as
+    * plain column names, transforms as `fn(source)` / `fn(arg,source)` —
+    * see [[graft.format.PartitionTransform]]. Transform sources stay in
+    * the data files; identity columns live in directory names only.
+    */
+  private val partCols: Seq[String] = partitionTransforms.toSeq.map(t =>
+    graft.format.PartitionTransform.fromV2(t).serialized)
+  partCols.foreach(c => graft.format.PartitionTransform.validate(
+    graft.format.PartitionTransform.parse(c),
+    graft.format.BtrColumnMapping.logical(tableSchema)))
 
   /** Column-mapping (dropped-column tombstones): the schema Spark sees
     * is the LOGICAL one (tombstones stripped); scans, row-level rewrites
@@ -177,7 +177,10 @@ class BtrTable(path: String, tableSchema: StructType, partitionTransforms: Array
     m
   }
 
-  override def partitioning(): Array[Transform] = partitionTransforms
+  // canonical transforms: a `.partitionBy("days(ts)")` arrives as a
+  // pseudo-identity transform; report the parsed form
+  override def partitioning(): Array[Transform] =
+    partCols.map(c => graft.format.PartitionTransform.toV2(c)).toArray
 
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
@@ -248,7 +251,13 @@ class BtrTable(path: String, tableSchema: StructType, partitionTransforms: Array
   import org.apache.spark.sql.types._
 
   override def partitionSchema(): StructType =
-    StructType(partCols.map(c => tableSchema(tableSchema.fieldIndex(c))))
+    StructType(partCols.map { c =>
+      val f = graft.format.PartitionTransform.parse(c)
+      if (f.isIdentity) tableSchema(tableSchema.fieldIndex(f.source))
+      // transform fields expose the DERIVED directory value (a string):
+      // SHOW PARTITIONS lists `ts_days=2026-08-15`, RENAME/DROP address it
+      else StructField(f.dirName, StringType)
+    })
 
   /** Hive directory value string → catalyst value of the column's type. */
   private def catalystPartValue(dt: DataType, s: String): Any =
@@ -318,7 +327,16 @@ class BtrTable(path: String, tableSchema: StructType, partitionTransforms: Array
         else org.apache.spark.sql.sources.EqualTo(
           f.name, filterLiteral(f.dataType, ident.get(i, f.dataType)))
       }
-    BtrDelete.deleteWhere(path, tableSchema, partCols, filters, None)
+    // transform fields filter on the DERIVED directory name: appending
+    // them (string-typed) to the classification schema lets the
+    // partition-value route decide every file; data columns keep their
+    // footer indices (appended at the end, partition route always
+    // settles first)
+    val derived = partCols.map(graft.format.PartitionTransform.parse)
+      .filterNot(_.isIdentity)
+      .map(f => StructField(f.dirName, StringType))
+    BtrDelete.deleteWhere(path, StructType(tableSchema.fields ++ derived),
+      partCols, filters, None)
     true
   }
 
@@ -505,6 +523,27 @@ object BtrOptions {
       s"btr.write.distribution must be auto|local|none, got '$v'")
     v
   }
+
+  /** Partition spec for path-based first writes (`btr.partitionSpec`
+    * write option): comma-separated transform entries, e.g.
+    * `"region, days(ts), bucket(16,id)"`. Commas inside transform
+    * arguments don't split.
+    */
+  def partitionSpec(options: CaseInsensitiveStringMap): Option[Seq[String]] =
+    Option(options.get("btr.partitionSpec")).map { v =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      val sb = new StringBuilder
+      var depth = 0
+      v.foreach { c =>
+        if (c == ',' && depth == 0) { out += sb.toString; sb.clear() }
+        else {
+          if (c == '(') depth += 1 else if (c == ')') depth -= 1
+          sb.append(c)
+        }
+      }
+      out += sb.toString
+      out.map(_.trim).filter(_.nonEmpty).toSeq
+    }
 
   /** Write-time clustering override (`btr.clusterBy` write option):
     * comma-separated column names; absent = the table's declared

@@ -377,12 +377,20 @@ class BtrScan(
     with SupportsReportPartitioning
     with SupportsReportOrdering {
 
-  /** Footer column layout: the table schema minus partition columns
-    * (partition values live in directory names, not data files).
+  /** Footer column layout: the table schema minus IDENTITY partition
+    * columns (their values live in directory names, not data files).
+    * Transform-partition SOURCE columns stay in the files; their derived
+    * directory values only prune (see `txParts`).
     */
   private val dataSchema: StructType =
     if (partCols.isEmpty) tableSchema
     else StructType(tableSchema.fields.filterNot(f => partCols.contains(f.name)))
+
+  // identity names vs derived transform fields of the partition spec
+  private val idParts: Seq[String] =
+    graft.format.PartitionTransform.identityNames(partCols)
+  private val txParts: Seq[graft.format.PartField] =
+    graft.format.PartitionTransform.transformFields(partCols)
 
   /** File listing + footers, read once per Scan instance and shared by
     * statistics estimation and (possibly repeated, after runtime filters)
@@ -914,9 +922,12 @@ class BtrScan(
         if (pruneSchema eq tableSchema) entry.partitionValues
         else entry.partitionValues + (BtrScan.FileMetaCol -> file.toString)
       // partition pruning: directory values (and the _file constant) can
-      // prove a whole file empty
+      // prove a whole file empty; transform dirs prune source-column
+      // predicates through their derived-value bounds
       val prunedByPartition = allFilters.exists(f =>
-        PartitionPrune.canSkip(pruneSchema, partValues, f))
+        PartitionPrune.canSkip(pruneSchema, partValues, f)) ||
+        (txParts.nonEmpty && allFilters.exists(f =>
+          graft.format.PartitionTransform.canSkip(tableSchema, txParts, partValues, f)))
       if (!prunedByPartition) {
         // per-requiredField constant value (null marker for data cols):
         // partition columns carry the directory value, _file the file path
@@ -932,9 +943,9 @@ class BtrScan(
         // storage-partitioned joins: the split's partition key, in
         // partCols order, catalyst-typed (HasPartitionKey contract)
         val partKey: InternalRow =
-          if (partCols.isEmpty) null
+          if (idParts.isEmpty) null
           else new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-            partCols.map { pc =>
+            idParts.map { pc =>
               BtrScan.partKeyValue(
                 tableSchema.fields(tableSchema.fieldIndex(pc)).dataType,
                 partValues.getOrElse(pc, BtrTableMeta.NullPartition))
@@ -1004,7 +1015,7 @@ class BtrScan(
     */
   private def packSmallSplits(raw: Array[InputPartition],
       targetBytes: Long): Array[InputPartition] = {
-    val keyGrouped = partCols.nonEmpty &&
+    val keyGrouped = idParts.nonEmpty &&
       org.apache.spark.sql.internal.SQLConf.get
         .getConfString("spark.sql.sources.v2.bucketing.enabled", "false").toBoolean
     if (keyGrouped || raw.length <= BtrScan.PackMinSplits) return raw

@@ -21,10 +21,37 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * task commit so speculative/failed attempts never surface.
   */
 class BtrWriteBuilder(path: String, schema: StructType, options: CaseInsensitiveStringMap,
-    partCols: Seq[String] = Nil)
+    partColsIn: Seq[String] = Nil)
     extends WriteBuilder
     with SupportsOverwrite
     with SupportsDynamicOverwrite {
+
+  /** Path writes declare a TRANSFORM spec on first write via the
+    * `btr.partitionSpec` option ("days(ts), bucket(16,id)") —
+    * `DataFrameWriter.partitionBy` parses plain identifiers only. An
+    * existing table's layout always wins (mismatches refuse in
+    * checkAppendCompatible).
+    */
+  private val partCols: Seq[String] =
+    if (partColsIn.nonEmpty) partColsIn
+    else BtrOptions.partitionSpec(options).map { spec =>
+      spec.map { s =>
+        val f = graft.format.PartitionTransform.parse(s)
+        graft.format.PartitionTransform.validate(f, schema)
+        f.serialized
+      }
+    }.getOrElse {
+      // spec-less path append to an existing table: the layout comes
+      // from the table meta (Spark's path-write flow hands the builder
+      // the DataFrame schema and empty partitioning)
+      val dir = new Path(path)
+      try {
+        val fs = dir.getFileSystem(BtrTableMeta.hadoopConf())
+        if (fs.exists(new Path(dir, BtrTableMeta.MetaFile)))
+          BtrTableMeta.readPartitionCols(fs, dir)
+        else Nil
+      } catch { case _: java.io.IOException => Nil }
+    }
 
   private var mode: BtrOverwriteMode = BtrOverwriteMode.Append
   private def truncateOnCommit = mode == BtrOverwriteMode.Truncate
@@ -90,7 +117,9 @@ class BtrWriteBuilder(path: String, schema: StructType, options: CaseInsensitive
         "float->double only; use overwrite to replace the table with an " +
         "incompatible schema.")
     val existingParts = BtrTableMeta.readPartitionCols(fs, dir)
-    require(existingParts == partCols,
+      .map(c => graft.format.PartitionTransform.parse(c).serialized)
+    require(existingParts == partCols.map(c =>
+        graft.format.PartitionTransform.parse(c).serialized),
       s"btr: append partitioning ${partCols.mkString("[", ",", "]")} does not match the " +
         s"existing layout ${existingParts.mkString("[", ",", "]")} at $path")
   }
@@ -206,12 +235,20 @@ object BtrWriteLayout {
         s"btr.clusterBy column '$c' is a partition column — partition values " +
           "are constant within a file; clustering by them is a no-op")
     }
+    val fields = partCols.map(graft.format.PartitionTransform.parse)
     val ordering: Array[SortOrder] =
-      (partCols ++ cluster).map(c =>
+      (fields.map(_.source) ++ cluster).distinct.map(c =>
         Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)).toArray
     val advisory = BtrOptions.writeAdvisoryPartitionBytes(options)
     if (mode == "local" || ordering.isEmpty)
       BtrWriteLayout(Distributions.unspecified(), ordering, strictly = false, advisory)
+    else if (fields.exists(!_.isIdentity))
+      // transform partitioning: range-distribute by the SOURCE columns —
+      // a range task covers a contiguous source slice, i.e. a handful of
+      // whole days/buckets' prefixes, so dirs converge to few files
+      // without resolving the derived expression (which would need a V2
+      // FunctionCatalog); the task-local sort keeps each dir contiguous
+      BtrWriteLayout(Distributions.ordered(ordering), ordering, strictly = true, advisory)
     else if (partCols.nonEmpty)
       BtrWriteLayout(
         Distributions.clustered(partCols.map(c => Expressions.identity(c): VExpression).toArray),
@@ -885,9 +922,15 @@ class BtrPartitionedDataWriter(path: String, schema: StructType, partCols: Seq[S
   private val MaxOpenPartitions = 128
   private val NullPart = BtrTableMeta.NullPartition
 
-  private val partOrdinals = partCols.map(schema.fieldIndex).toArray
+  // spec-aware: identity fields live in directory names only (dropped
+  // from the data schema); transform fields DERIVE their directory value
+  // from a source column that STAYS in the files
+  private val partFields = partCols.map(graft.format.PartitionTransform.parse).toArray
+  private val partOrdinals = partFields.map(f => schema.fieldIndex(f.source))
   private val partTypes = partOrdinals.map(schema.fields(_).dataType)
-  private val dataOrdinals = schema.fields.indices.filterNot(partOrdinals.contains).toArray
+  private val identityOrdinals = partFields.indices
+    .collect { case i if partFields(i).isIdentity => partOrdinals(i) }
+  private val dataOrdinals = schema.fields.indices.filterNot(identityOrdinals.contains).toArray
   private val logicalDataSchema = StructType(dataOrdinals.map(schema.fields(_)))
   // files carry the physical slot layout when the table is column-mapped
   private val dataSchema = slots.map(_.physData).getOrElse(logicalDataSchema)
@@ -913,6 +956,16 @@ class BtrPartitionedDataWriter(path: String, schema: StructType, partCols: Seq[S
 
   private def partValueString(row: InternalRow, i: Int): String = {
     if (row.isNullAt(partOrdinals(i))) NullPart
+    else if (!partFields(i).isIdentity) {
+      val raw: Any = partTypes(i) match {
+        case IntegerType | DateType => Int.box(row.getInt(partOrdinals(i)))
+        case LongType | TimestampType | TimestampNTZType => Long.box(row.getLong(partOrdinals(i)))
+        case StringType => row.getUTF8String(partOrdinals(i)).toString
+        case other => throw new UnsupportedOperationException(
+          s"btr: partition transform source type $other")
+      }
+      graft.format.PartitionTransform.dirValue(partFields(i), partTypes(i), raw)
+    }
     else partTypes(i) match {
       case StringType => row.getUTF8String(partOrdinals(i)).toString
       case IntegerType => row.getInt(partOrdinals(i)).toString
@@ -930,8 +983,9 @@ class BtrPartitionedDataWriter(path: String, schema: StructType, partCols: Seq[S
   }
 
   override def write(row: InternalRow): Unit = {
-    val key = partCols.indices.map { i =>
-      s"${BtrTableMeta.escapePath(partCols(i))}=${BtrTableMeta.escapePath(partValueString(row, i))}"
+    val key = partFields.indices.map { i =>
+      s"${BtrTableMeta.escapePath(partFields(i).dirName)}=" +
+        s"${BtrTableMeta.escapePath(partValueString(row, i))}"
     }.mkString("/")
     val w = writers.getOrElseUpdate(key, {
       if (writers.size >= MaxOpenPartitions) {

@@ -1,0 +1,249 @@
+package graft.sources
+
+import graft.format.{BtrTableMeta, PartField, PartitionTransform}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Partition transforms (`days(ts)`, `hours(ts)`, `months/years`,
+  * `bucket(n, col)`, `truncate(w, col)`): the source column STAYS in the
+  * data files, the directory carries the derived value, and predicates
+  * on the source column prune whole directories — the shape a 100 TB
+  * time-partitioned event table actually uses (`PARTITIONED BY
+  * (days(ts))`), per the public Iceberg partition-transform model.
+  */
+class PartitionTransformSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("partition-transform-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.catalog.graft", "graft.sources.BtrCatalog")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def tmp(name: String) = {
+    val d = s"/tmp/btr-part-transform/$name"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d))
+    d
+  }
+
+  // ---- unit: parse / serialize / derive -------------------------------
+
+  test("spec strings parse, serialize canonically, and name directories") {
+    assert(PartitionTransform.parse("region") == PartField("identity", 0, "region"))
+    assert(PartitionTransform.parse("days(ts)") == PartField("days", 0, "ts"))
+    assert(PartitionTransform.parse("day(ts)") == PartField("days", 0, "ts"))
+    assert(PartitionTransform.parse("bucket(16, id)") == PartField("bucket", 16, "id"))
+    assert(PartitionTransform.parse("truncate(4,code)") == PartField("truncate", 4, "code"))
+    assert(PartitionTransform.parse("bucket(16,id)").serialized == "bucket(16,id)")
+    assert(PartitionTransform.parse("days(ts)").dirName == "ts_days")
+    assert(PartitionTransform.parse("bucket(16,id)").dirName == "id_bucket_16")
+    intercept[IllegalArgumentException](PartitionTransform.parse("zorder(ts)"))
+    intercept[IllegalArgumentException](PartitionTransform.parse("bucket(ts)"))
+    intercept[IllegalArgumentException](PartitionTransform.parse("days(3,ts)"))
+  }
+
+  test("dirValue derives time / bucket / truncate values, pre-1970 included") {
+    val micros = java.time.Instant.parse("2026-08-15T03:07:11Z").toEpochMilli * 1000L
+    def dv(spec: String, dt: DataType, v: Any) =
+      PartitionTransform.dirValue(PartitionTransform.parse(spec), dt, v)
+    assert(dv("days(ts)", TimestampType, Long.box(micros)) == "2026-08-15")
+    assert(dv("hours(ts)", TimestampType, Long.box(micros)) == "2026-08-15-03")
+    assert(dv("months(ts)", TimestampType, Long.box(micros)) == "2026-08")
+    assert(dv("years(ts)", TimestampType, Long.box(micros)) == "2026")
+    val before = java.time.Instant.parse("1969-12-31T22:30:00Z").toEpochMilli * 1000L
+    assert(dv("days(ts)", TimestampType, Long.box(before)) == "1969-12-31")
+    assert(dv("hours(ts)", TimestampType, Long.box(before)) == "1969-12-31-22")
+    assert(dv("days(d)", DateType, Int.box(0)) == "1970-01-01")
+    assert(dv("truncate(3,s)", StringType, "abcdef") == "abc")
+    assert(dv("truncate(3,s)", StringType, "ab") == "ab")
+    assert(dv("truncate(10,v)", LongType, Long.box(-7L)) == "-10")
+    // bucket is deterministic and in range
+    val b = dv("bucket(8,id)", LongType, Long.box(42L))
+    assert(b == dv("bucket(8,id)", LongType, Long.box(42L)) && b.toInt >= 0 && b.toInt < 8)
+  }
+
+  test("canSkip prunes source-column predicates through derived dirs") {
+    val schema = StructType.fromDDL("id BIGINT, ts TIMESTAMP, s STRING")
+    val days = Seq(PartitionTransform.parse("days(ts)"))
+    def micros(s: String) = java.time.Instant.parse(s)
+    val aug15 = Map("ts_days" -> "2026-08-15")
+    def skip(fields: Seq[PartField], values: Map[String, String], f: Filter) =
+      PartitionTransform.canSkip(schema, fields, values, f)
+    // range on ts vs a day dir
+    assert(skip(days, aug15, LessThan("ts", micros("2026-08-15T00:00:00Z"))))
+    assert(!skip(days, aug15, LessThan("ts", micros("2026-08-15T00:00:01Z"))))
+    assert(skip(days, aug15, GreaterThan("ts", micros("2026-08-15T23:59:59.999999Z"))))
+    assert(!skip(days, aug15, GreaterThan("ts", micros("2026-08-15T23:59:59Z"))))
+    assert(skip(days, aug15, EqualTo("ts", micros("2026-08-16T00:00:00Z"))))
+    assert(!skip(days, aug15, EqualTo("ts", micros("2026-08-15T12:00:00Z"))))
+    // And/Or composition
+    assert(skip(days, aug15, And(IsNotNull("ts"), EqualTo("ts", micros("2026-08-16T01:00:00Z")))))
+    assert(!skip(days, aug15, Or(EqualTo("ts", micros("2026-08-16T01:00:00Z")),
+      EqualTo("ts", micros("2026-08-15T01:00:00Z")))))
+    // null dir: only IS NULL keeps it
+    val nullDir = Map("ts_days" -> BtrTableMeta.NullPartition)
+    assert(skip(days, nullDir, EqualTo("ts", micros("2026-08-15T01:00:00Z"))))
+    assert(!skip(days, nullDir, IsNull("ts")))
+    assert(skip(days, aug15, IsNull("ts")))
+    // bucket: equality prunes, ranges never
+    val bucket = Seq(PartitionTransform.parse("bucket(8,id)"))
+    val bVal = PartitionTransform.bucketOf(8, LongType, Long.box(42L))
+    assert(!skip(bucket, Map("id_bucket_8" -> bVal.toString), EqualTo("id", 42L)))
+    assert(skip(bucket, Map("id_bucket_8" -> ((bVal + 1) % 8).toString), EqualTo("id", 42L)))
+    assert(!skip(bucket, Map("id_bucket_8" -> "0"), GreaterThan("id", 10L)))
+    // truncate prefix dirs against string predicates
+    val tr = Seq(PartitionTransform.parse("truncate(2,s)"))
+    assert(skip(tr, Map("s_trunc_2" -> "ab"), EqualTo("s", "ac")))
+    assert(!skip(tr, Map("s_trunc_2" -> "ab"), EqualTo("s", "abz")))
+    assert(skip(tr, Map("s_trunc_2" -> "ab"), GreaterThan("s", "ac")))
+    assert(!skip(tr, Map("s_trunc_2" -> "ab"), GreaterThan("s", "abq")))
+    assert(skip(tr, Map("s_trunc_2" -> "ab"), LessThan("s", "ab")))
+    assert(!skip(tr, Map("s_trunc_2" -> "ab"), LessThan("s", "ab0")))
+    assert(skip(tr, Map("s_trunc_2" -> "ab"), StringStartsWith("s", "ac")))
+    assert(!skip(tr, Map("s_trunc_2" -> "ab"), StringStartsWith("s", "a")))
+  }
+
+  // ---- end to end ------------------------------------------------------
+
+  private def dirsOf(p: String): Seq[String] =
+    new java.io.File(p).listFiles().filter(_.isDirectory)
+      .map(_.getName).filterNot(_.startsWith("_")).sorted.toSeq
+
+  test("CREATE TABLE PARTITIONED BY (days(ts)): dirs, round trip, pruning, DV delete") {
+    import spark.implicits._
+    val p = tmp("days")
+    spark.sql(s"CREATE TABLE graft.`$p` (id BIGINT, ts TIMESTAMP, v DOUBLE) " +
+      "USING btr PARTITIONED BY (days(ts)) TBLPROPERTIES ('btr.deletionVectors'='true')")
+    // 3 UTC days, scattered over 4 input tasks
+    val rows = (0 until 3000).map { i =>
+      (i.toLong, java.sql.Timestamp.from(
+        java.time.Instant.parse("2026-08-14T00:00:00Z").plusSeconds(i * 60L)), i * 0.5)
+    }
+    rows.toDF("id", "ts", "v").repartition(4)
+      .writeTo(s"graft.`$p`").append()
+    assert(dirsOf(p) == Seq("ts_days=2026-08-14", "ts_days=2026-08-15", "ts_days=2026-08-16"))
+    // the source column survives in the files (full round trip)
+    val back = spark.table(s"graft.`$p`")
+    assert(back.count() == 3000)
+    assert(back.agg(sum("id")).collect()(0).getLong(0) == rows.map(_._1).sum)
+    assert(back.select(min("ts")).collect()(0).getTimestamp(0) == rows.head._2)
+    // directory pruning: one day's predicate plans only that day's files
+    val oneDay = back.filter(
+      col("ts") >= lit("2026-08-15 00:00:00").cast("timestamp") &&
+        col("ts") < lit("2026-08-16 00:00:00").cast("timestamp"))
+    val planned = oneDay.rdd.getNumPartitions
+    val allPlanned = back.rdd.getNumPartitions
+    assert(planned < allPlanned,
+      s"expected the day filter to plan fewer partitions ($planned vs $allPlanned)")
+    val expected = rows.filter(r => {
+      val t = r._2.toInstant
+      !t.isBefore(java.time.Instant.parse("2026-08-15T00:00:00Z")) &&
+        t.isBefore(java.time.Instant.parse("2026-08-16T00:00:00Z"))
+    })
+    assert(oneDay.count() == expected.length)
+    assert(oneDay.agg(sum("id")).collect()(0).getLong(0) == expected.map(_._1).sum)
+    // row-level DML is layout-agnostic: a merge-on-read DELETE on the
+    // source column works and the masked reads stay exact
+    spark.sql(s"DELETE FROM graft.`$p` WHERE ts < TIMESTAMP'2026-08-14 12:00:00'")
+    val kept = rows.filterNot(_._2.toInstant.isBefore(
+      java.time.Instant.parse("2026-08-14T12:00:00Z")))
+    // files were masked, not rewritten (still 3 day dirs)
+    assert(dirsOf(p).size == 3)
+    val after = spark.table(s"graft.`$p`")
+    assert(after.count() == kept.length &&
+      after.agg(sum("id")).collect()(0).getLong(0) == kept.map(_._1).sum)
+    // SHOW PARTITIONS surfaces the derived dirs
+    val parts = spark.sql(s"SHOW PARTITIONS graft.`$p`").collect().map(_.getString(0)).sorted
+    assert(parts.toSeq == Seq("ts_days=2026-08-14", "ts_days=2026-08-15", "ts_days=2026-08-16"),
+      parts.mkString(","))
+  }
+
+  test("path writes declare transforms via btr.partitionSpec; few files per day") {
+    import spark.implicits._
+    val p = tmp("days-path")
+    val rows = (0 until 2000).map { i =>
+      (i.toLong, java.sql.Timestamp.from(
+        java.time.Instant.parse("2026-01-10T00:00:00Z").plusSeconds(i * 90L)))
+    }
+    rows.toDF("id", "ts").repartition(4)
+      .write.format("btr").mode("append")
+      .option("btr.partitionSpec", "days(ts)").save(p)
+    val dirs = dirsOf(p)
+    assert(dirs.forall(_.startsWith("ts_days=")) && dirs.size >= 2, dirs.mkString(","))
+    // the range-ordered write keeps each day to one file (boundary tasks
+    // may split a day across two)
+    val filesPerDir = dirs.map(d =>
+      new java.io.File(s"$p/$d").listFiles().count(_.getName.endsWith(".btr")))
+    assert(filesPerDir.forall(_ <= 2), filesPerDir.mkString(","))
+    val back = spark.read.format("btr").load(p)
+    assert(back.count() == 2000 &&
+      back.agg(sum("id")).collect()(0).getLong(0) == rows.map(_._1).sum)
+    // further appends pick the spec up from the table meta (no option)
+    rows.take(10).map(r => (r._1 + 10000, r._2)).toDF("id", "ts")
+      .write.format("btr").mode("append").save(p)
+    assert(spark.read.format("btr").load(p).count() == 2010)
+    // appends with a DIFFERENT spec refuse loudly
+    val err = intercept[Exception] {
+      rows.take(10).toDF("id", "ts").write.format("btr").mode("append")
+        .option("btr.partitionSpec", "hours(ts)").save(p)
+    }
+    assert(err.getMessage.contains("partitioning"), err.getMessage)
+  }
+
+  test("bucket(8,id): equality prunes to the one bucket dir; answers exact") {
+    import spark.implicits._
+    val p = tmp("bucket")
+    spark.sql(s"CREATE TABLE graft.`$p` (id BIGINT, s STRING) " +
+      "USING btr PARTITIONED BY (bucket(8, id))")
+    (0 until 4000).map(i => (i.toLong, s"row-$i")).toDF("id", "s")
+      .repartition(4).writeTo(s"graft.`$p`").append()
+    val dirs = dirsOf(p)
+    assert(dirs.size == 8 && dirs.forall(_.startsWith("id_bucket_8=")), dirs.mkString(","))
+    val one = spark.table(s"graft.`$p`").filter(col("id") === 1234L)
+    assert(one.rdd.getNumPartitions <
+      spark.table(s"graft.`$p`").rdd.getNumPartitions)
+    assert(one.collect().map(_.getString(1)).toSeq == Seq("row-1234"))
+  }
+
+  test("mixed identity + transform spec: nested dirs, both prune") {
+    import spark.implicits._
+    val p = tmp("mixed")
+    spark.sql(s"CREATE TABLE graft.`$p` (id BIGINT, region STRING, d DATE) " +
+      "USING btr PARTITIONED BY (region, months(d))")
+    val rows = (0 until 1200).map(i =>
+      (i.toLong, s"r${i % 2}", java.sql.Date.valueOf(java.time.LocalDate.of(2026, 1 + i % 3, 5))))
+    rows.toDF("id", "region", "d").repartition(4).writeTo(s"graft.`$p`").append()
+    assert(dirsOf(p) == Seq("region=r0", "region=r1"))
+    assert(dirsOf(s"$p/region=r0") ==
+      Seq("d_months=2026-01", "d_months=2026-02", "d_months=2026-03"))
+    val q = spark.table(s"graft.`$p`")
+      .filter(col("region") === "r1" && col("d") >= lit("2026-03-01").cast("date"))
+    val expect = rows.filter(r => r._2 == "r1" && !r._3.toLocalDate.isBefore(
+      java.time.LocalDate.of(2026, 3, 1)))
+    assert(q.count() == expect.length &&
+      q.agg(sum("id")).collect()(0).getLong(0) == expect.map(_._1).sum)
+    assert(q.rdd.getNumPartitions < spark.table(s"graft.`$p`").rdd.getNumPartitions)
+  }
+
+  test("validation refuses bad sources before any meta lands") {
+    val p = tmp("bad")
+    val e1 = intercept[Exception](spark.sql(
+      s"CREATE TABLE graft.`$p` (id BIGINT, s STRING) USING btr PARTITIONED BY (days(s))"))
+    assert(e1.getMessage.contains("timestamp or date"), e1.getMessage)
+    assert(!new java.io.File(p, "_btr_meta.json").exists())
+    val e2 = intercept[Exception](spark.sql(
+      s"CREATE TABLE graft.`$p` (id BIGINT) USING btr PARTITIONED BY (days(nope))"))
+    // Spark's own analyzer may reject the unknown column before our check
+    assert(e2.getMessage.contains("unknown column") ||
+      e2.getMessage.contains("Couldn't find column"), e2.getMessage)
+    // the option form validates through our parser
+    val e3 = intercept[Exception](PartitionTransform.validate(
+      PartitionTransform.parse("days(nope)"), StructType.fromDDL("id BIGINT")))
+    assert(e3.getMessage.contains("unknown column"), e3.getMessage)
+  }
+}
