@@ -230,6 +230,44 @@ class PartitionTransformSpec extends AnyFunSuite {
     assert(q.rdd.getNumPartitions < spark.table(s"graft.`$p`").rdd.getNumPartitions)
   }
 
+  test("maintenance on a transform table: compact, clustered rewrite, WHERE on derived dirs") {
+    import spark.implicits._
+    val p = tmp("maint")
+    spark.sql(s"CREATE TABLE graft.`$p` (id BIGINT, ts TIMESTAMP) " +
+      "USING btr PARTITIONED BY (days(ts))")
+    // several small appends → many files per day dir
+    (0 until 4).foreach { k =>
+      (0 until 400).map { i =>
+        (k * 1000L + i, java.sql.Timestamp.from(
+          java.time.Instant.parse("2026-03-01T00:00:00Z").plusSeconds(i * 432L)))
+      }.toDF("id", "ts").coalesce(1)
+        .write.format("btr").mode("append")
+        .option("btr.write.distribution", "local").save(p)
+    }
+    val totalBefore = spark.table(s"graft.`$p`").count()
+    def files(day: String) =
+      new java.io.File(s"$p/ts_days=$day").listFiles().count(_.getName.endsWith(".btr"))
+    assert(files("2026-03-01") >= 4, "precondition: several files per day")
+    // byte-merge compaction works per directory
+    BtrCompact.compact(spark, p, 64L * 1024 * 1024)
+    assert(files("2026-03-01") == 1)
+    assert(spark.table(s"graft.`$p`").count() == totalBefore)
+    // clustered rewrite leads with the SOURCE column; dirs preserved
+    BtrCompact.rewriteClustered(spark, p, Seq("id"))
+    assert(dirsOf(p) == Seq("ts_days=2026-03-01", "ts_days=2026-03-02"))
+    assert(spark.table(s"graft.`$p`").agg(sum("id")).collect()(0).getLong(0) ==
+      (0 until 4).flatMap(k => (0 until 400).map(i => k * 1000L + i)).sum)
+    // OPTIMIZE ... WHERE filters transform dirs as ISO strings
+    val keep = BtrCompact.partitionPredicateKeep(spark, p, "ts_days = '2026-03-02'")
+    val (fs, root) = {
+      val pp = new Path(p); val f = pp.getFileSystem(BtrTableMeta.hadoopConf())
+      (f, f.makeQualified(pp))
+    }
+    val kept = BtrTableMeta.listDataFilesWithPartitions(fs, root).filter(keep)
+    assert(kept.nonEmpty &&
+      kept.forall(_.partitionValues.get("ts_days").contains("2026-03-02")))
+  }
+
   test("validation refuses bad sources before any meta lands") {
     val p = tmp("bad")
     val e1 = intercept[Exception](spark.sql(
