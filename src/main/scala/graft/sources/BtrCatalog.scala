@@ -25,7 +25,21 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * marks existence), so the catalog itself holds no state to lose and
   * every engine sees the same table the moment the commit renames.
   */
-class BtrCatalog extends TableCatalog {
+class BtrCatalog extends TableCatalog with FunctionCatalog {
+
+  // ---- FunctionCatalog: the partition-transform functions -------------
+  // Storage-partitioned joins resolve a scan's reported `bucket`
+  // transform through the relation's FunctionCatalog; providing it here
+  // lets two bucket-partitioned btr tables join with zero shuffle.
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty) Array(Identifier.of(Array.empty, "bucket"))
+    else Array.empty
+
+  override def loadFunction(ident: Identifier): functions.UnboundFunction =
+    if (ident.namespace().isEmpty && ident.name().equalsIgnoreCase("bucket"))
+      BtrBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
+
   private var catalogName: String = "btr"
   private var warehouse: Option[String] = None
 

@@ -391,6 +391,12 @@ class BtrScan(
     graft.format.PartitionTransform.identityNames(partCols)
   private val txParts: Seq[graft.format.PartField] =
     graft.format.PartitionTransform.transformFields(partCols)
+  // fields that can carry a split partition key (HasPartitionKey):
+  // identity values and bucket ordinals — matches outputPartitioning's
+  // reportable set, in spec order
+  private val keyFields: Seq[graft.format.PartField] =
+    partCols.map(graft.format.PartitionTransform.parse)
+      .filter(f => f.isIdentity || f.fn == "bucket")
 
   /** File listing + footers, read once per Scan instance and shared by
     * statistics estimation and (possibly repeated, after runtime filters)
@@ -727,7 +733,17 @@ class BtrScan(
     * the output or the table is unpartitioned.
     */
   override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning = {
-    if (partCols.isEmpty || !partCols.forall(requiredSchema.fieldNames.contains))
+    // reportable fields: identity (the directory value IS the column) and
+    // bucket (Spark resolves the transform through the catalog's bucket
+    // function — see BtrBucketFunction); a time/truncate transform in the
+    // spec falls back to unknown (plain shuffle planning). Every
+    // reportable source must survive in the output schema.
+    val fields = partCols.map(graft.format.PartitionTransform.parse)
+    val reportable = fields.nonEmpty && fields.forall { f =>
+      (f.isIdentity || f.fn == "bucket") &&
+        requiredSchema.fieldNames.contains(f.source)
+    }
+    if (!reportable)
       return new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
     // Spark 4.1's V2ScanPartitioningAndOrdering reads only keys() from
     // this object and regroups splits by HasPartitionKey itself
@@ -735,9 +751,14 @@ class BtrScan(
     // splits), so planning here just to count distinct keys would be a
     // second full planning pass for a number nothing reads — report 0
     new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
-      partCols.map(n =>
-        org.apache.spark.sql.connector.expressions.Expressions.identity(n):
-          org.apache.spark.sql.connector.expressions.Expression).toArray,
+      fields.map { f =>
+        if (f.isIdentity)
+          org.apache.spark.sql.connector.expressions.Expressions.identity(f.source):
+            org.apache.spark.sql.connector.expressions.Expression
+        else
+          org.apache.spark.sql.connector.expressions.Expressions.bucket(f.arg, f.source):
+            org.apache.spark.sql.connector.expressions.Expression
+      }.toArray,
       0)
   }
 
@@ -943,12 +964,17 @@ class BtrScan(
         // storage-partitioned joins: the split's partition key, in
         // partCols order, catalyst-typed (HasPartitionKey contract)
         val partKey: InternalRow =
-          if (idParts.isEmpty) null
+          if (keyFields.isEmpty) null
           else new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-            idParts.map { pc =>
-              BtrScan.partKeyValue(
-                tableSchema.fields(tableSchema.fieldIndex(pc)).dataType,
-                partValues.getOrElse(pc, BtrTableMeta.NullPartition))
+            keyFields.map { f =>
+              if (f.isIdentity)
+                BtrScan.partKeyValue(
+                  tableSchema.fields(tableSchema.fieldIndex(f.source)).dataType,
+                  partValues.getOrElse(f.source, BtrTableMeta.NullPartition))
+              else { // bucket ordinal, IntegerType
+                val v = partValues.getOrElse(f.dirName, BtrTableMeta.NullPartition)
+                if (v == BtrTableMeta.NullPartition) null else Int.box(v.toInt)
+              }
             }.toArray)
         val reqTags: Array[Int] = colKinds.map(ci => if (ci < 0) 0 else footer.tagOf(ci))
         val fileRel = if (dvByTarget.isEmpty && dvResolved._2.isEmpty) null else dvRelOf(entry.path)
@@ -1015,7 +1041,7 @@ class BtrScan(
     */
   private def packSmallSplits(raw: Array[InputPartition],
       targetBytes: Long): Array[InputPartition] = {
-    val keyGrouped = idParts.nonEmpty &&
+    val keyGrouped = keyFields.nonEmpty &&
       org.apache.spark.sql.internal.SQLConf.get
         .getConfString("spark.sql.sources.v2.bucketing.enabled", "false").toBoolean
     if (keyGrouped || raw.length <= BtrScan.PackMinSplits) return raw

@@ -149,6 +149,36 @@ class StoragePartitionJoinSpec extends AnyFunSuite with AdaptiveSparkPlanHelper 
     }
   }
 
+  test("bucket(8,id)-partitioned tables join with ZERO shuffle (transform SPJ)") {
+    // catalog-loaded relations carry the FunctionCatalog that resolves
+    // the reported bucket transform (BtrBucketFunction); both sides bind
+    // the same canonical function + bucket count → co-partitioned
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.BtrCatalog")
+    val pa = tmp("bucket_facts"); val pb = tmp("bucket_dims")
+    Seq(pa, pb).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+    spark.sql(s"CREATE TABLE graft.`$pa` (id BIGINT, v DOUBLE) " +
+      "USING btr PARTITIONED BY (bucket(8, id))")
+    spark.sql(s"CREATE TABLE graft.`$pb` (id BIGINT, name STRING) " +
+      "USING btr PARTITIONED BY (bucket(8, id))")
+    (0 until 4000).map(i => (i.toLong, i * 1.5)).toDF("id", "v")
+      .repartition(4).writeTo(s"graft.`$pa`").append()
+    (0 until 500).map(i => (i.toLong, s"n-$i")).toDF("id", "name")
+      .repartition(2).writeTo(s"graft.`$pb`").append()
+    withSpj("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val q = spark.table(s"graft.`$pa`")
+        .join(spark.table(s"graft.`$pb`"), Seq("id"))
+        .select("id", "v", "name")
+      val rows = q.collect()
+      assert(rows.length == 500)
+      assert(rows.map(_.getLong(0)).sorted.toSeq == (0L until 500L))
+      val plan = q.queryExecution.executedPlan
+      val shuffles = collect(plan) { case e: ShuffleExchangeExec => e }
+      assert(shuffles.isEmpty,
+        s"expected a bucket-transform SPJ with zero shuffles, got ${shuffles.length}:\n$plan")
+    }
+  }
+
   test("joining an unpartitioned side shuffles ONLY that side to the key-grouped layout") {
     val facts = (0 until 3000).map(i => (s"k${i % 4}", i.toLong)).toDF("k", "id")
     facts.repartition($"k").write.format("btr").partitionBy("k").mode("overwrite")
