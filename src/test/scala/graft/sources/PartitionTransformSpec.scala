@@ -268,6 +268,68 @@ class PartitionTransformSpec extends AnyFunSuite {
       kept.forall(_.partitionValues.get("ts_days").contains("2026-03-02")))
   }
 
+  test("UPDATE moves a row's new image into the RIGHT derived dir; streaming epochs too") {
+    import spark.implicits._
+    val p = tmp("dml-move")
+    spark.sql(s"CREATE TABLE graft.`$p` (id BIGINT, ts TIMESTAMP) " +
+      "USING btr PARTITIONED BY (days(ts)) TBLPROPERTIES ('btr.deletionVectors'='true')")
+    (0 until 100).map(i => (i.toLong, java.sql.Timestamp.from(
+      java.time.Instant.parse("2026-05-01T12:00:00Z").plusSeconds(i)))).toDF("id", "ts")
+      .writeTo(s"graft.`$p`").append()
+    assert(dirsOf(p) == Seq("ts_days=2026-05-01"))
+    // shift half the rows one day forward: merge-on-read UPDATE masks the
+    // old positions and APPENDS the new images — which must land under
+    // the NEW day's directory (derived from the updated ts)
+    spark.sql(s"UPDATE graft.`$p` SET ts = ts + INTERVAL 1 DAY WHERE id % 2 = 0")
+    assert(dirsOf(p) == Seq("ts_days=2026-05-01", "ts_days=2026-05-02"))
+    val may2 = spark.table(s"graft.`$p`")
+      .filter(col("ts") >= lit("2026-05-02 00:00:00").cast("timestamp"))
+    assert(may2.count() == 50 &&
+      may2.select("id").collect().forall(_.getLong(0) % 2 == 0))
+    assert(spark.table(s"graft.`$p`").count() == 100)
+
+    // streaming epochs derive transform dirs the same way
+    val sp = tmp("stream-days"); val src = tmp("stream-days-src"); val ck = tmp("stream-days-ck")
+    spark.sql(s"CREATE TABLE graft.`$sp` (id BIGINT, ts TIMESTAMP) " +
+      "USING btr PARTITIONED BY (days(ts))")
+    (0 until 200).map(i => (i.toLong, java.sql.Timestamp.from(
+      java.time.Instant.parse("2026-06-01T00:00:00Z").plusSeconds(i * 1000L))))
+      .toDF("id", "ts").write.parquet(src)
+    val q = spark.readStream.schema("id BIGINT, ts TIMESTAMP").parquet(src)
+      .writeStream.format("btr").option("checkpointLocation", ck).start(sp)
+    try q.processAllAvailable()
+    finally q.stop()
+    assert(dirsOf(sp) == Seq("ts_days=2026-06-01", "ts_days=2026-06-02", "ts_days=2026-06-03"))
+    assert(spark.read.format("btr").load(sp).count() == 200)
+  }
+
+  test("GROUP BY the bucket source aggregates without an exchange") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val p = tmp("bucket-agg")
+    spark.sql(s"CREATE TABLE graft.`$p` (id BIGINT, v DOUBLE) " +
+      "USING btr PARTITIONED BY (bucket(8, id))")
+    (0 until 4000).map(i => (i.toLong % 500, i * 1.0)).toDF("id", "v")
+      .repartition(4).writeTo(s"graft.`$p`").append()
+    val got = spark.table(s"graft.`$p`").groupBy("id").agg(sum("v").as("s"))
+    val want = (0 until 4000).map(i => (i.toLong % 500, i * 1.0))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+    val res = got.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(res == want)
+    val withSpjConf = Seq("spark.sql.sources.v2.bucketing.enabled" -> "true")
+    withSpjConf.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val q = spark.table(s"graft.`$p`").groupBy("id").agg(sum("v").as("s"))
+      q.collect()
+      val shuffles = new org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {}
+        .collect(q.queryExecution.executedPlan) { case e: ShuffleExchangeExec => e }
+      // all rows of one id share a bucket dir, so the aggregate's
+      // clustered distribution is satisfied by the key-grouped scan
+      assert(shuffles.isEmpty,
+        s"expected bucket key-grouped scan to satisfy GROUP BY id:\n${q.queryExecution.executedPlan}")
+    } finally withSpjConf.foreach { case (k, _) => spark.conf.unset(k) }
+  }
+
   test("validation refuses bad sources before any meta lands") {
     val p = tmp("bad")
     val e1 = intercept[Exception](spark.sql(
