@@ -173,6 +173,10 @@ class BtrCatalog extends TableCatalog with FunctionCatalog {
     if (!fs.exists(new Path(dir, BtrTableMeta.MetaFile))) throw new NoSuchTableException(ident)
     var schema = BtrTableMeta.readSchema(fs, dir)
     val partCols = BtrTableMeta.readPartitionCols(fs, dir)
+    // the guarded names: identity fields AND transform sources (renaming
+    // or dropping `ts` under days(ts) would orphan the spec; dir values
+    // of identity fields are typed under the recorded type)
+    val partSources = partCols.map(c => graft.format.PartitionTransform.parse(c).source)
     val (blockSize, cascade) = BtrTableMeta.readGeometry(fs, dir)
     import graft.format.BtrColumnMapping
     def liveNames = schema.fields.filterNot(BtrColumnMapping.isDropped).map(_.name)
@@ -201,9 +205,9 @@ class BtrCatalog extends TableCatalog with FunctionCatalog {
         val idx = schema.fields.indexWhere(f =>
           !BtrColumnMapping.isDropped(f) && f.name.equalsIgnoreCase(from))
         require(idx >= 0, s"btr: no such column $from")
-        require(!partCols.exists(_.equalsIgnoreCase(from)),
+        require(!partSources.exists(_.equalsIgnoreCase(from)),
           s"btr: cannot rename partition column $from (its name is encoded in " +
-            "every directory path)")
+            "every directory path or referenced by a partition transform)")
         require(!BtrColumnMapping.reserved(to),
           s"btr: column name $to uses the reserved dropped-column prefix")
         require(!liveNames.exists(_.equalsIgnoreCase(to)),
@@ -218,10 +222,10 @@ class BtrCatalog extends TableCatalog with FunctionCatalog {
           if (!del.ifExists())
             throw new IllegalArgumentException(s"btr: no such column $colName")
         } else {
-          require(!partCols.exists(_.equalsIgnoreCase(colName)),
+          require(!partSources.exists(_.equalsIgnoreCase(colName)),
             s"btr: cannot drop partition column $colName (values are encoded in " +
-              "directory names)")
-          require(liveNames.count(n => !partCols.exists(_.equalsIgnoreCase(n))) > 1,
+              "directory names or referenced by a partition transform)")
+          require(liveNames.count(n => !partSources.exists(_.equalsIgnoreCase(n))) > 1,
             s"btr: cannot drop $colName — a table needs at least one data column")
           schema = StructType(schema.fields.updated(idx,
             BtrColumnMapping.tombstone(idx, schema.fields(idx))))
@@ -232,7 +236,13 @@ class BtrCatalog extends TableCatalog with FunctionCatalog {
         val idx = schema.fields.indexWhere(f =>
           !BtrColumnMapping.isDropped(f) && f.name.equalsIgnoreCase(colName))
         require(idx >= 0, s"btr: no such column $colName")
-        require(!partCols.exists(_.equalsIgnoreCase(colName)),
+        // identity fields refuse (dir values are typed strings under the
+        // recorded type); transform sources may widen — bucket hashes int
+        // values through the same mix64(long) path, truncate(int->long)
+        // derives the identical dir string, so every existing directory
+        // stays consistent with the widened derivation
+        require(!graft.format.PartitionTransform.identityNames(partCols)
+            .exists(_.equalsIgnoreCase(colName)),
           s"btr: cannot change the type of partition column $colName (values are " +
             "encoded in directory names under the recorded type)")
         val from = schema.fields(idx).dataType

@@ -330,6 +330,59 @@ class PartitionTransformSpec extends AnyFunSuite {
     } finally withSpjConf.foreach { case (k, _) => spark.conf.unset(k) }
   }
 
+  test("ALTER guards transform sources; widening a bucket source keeps dirs consistent") {
+    import spark.implicits._
+    val p = tmp("alter-guard")
+    spark.sql(s"CREATE TABLE graft.`$p` (id INT, ts TIMESTAMP, v DOUBLE) " +
+      "USING btr PARTITIONED BY (days(ts), bucket(8, id))")
+    (0 until 100).map(i => (i, java.sql.Timestamp.from(
+      java.time.Instant.parse("2026-07-01T00:00:00Z").plusSeconds(i * 10L)), i * 1.0))
+      .toDF("id", "ts", "v").writeTo(s"graft.`$p`").append()
+    val ren = intercept[Exception](
+      spark.sql(s"ALTER TABLE graft.`$p` RENAME COLUMN ts TO t2"))
+    assert(ren.getMessage.contains("partition"), ren.getMessage)
+    val drop = intercept[Exception](
+      spark.sql(s"ALTER TABLE graft.`$p` DROP COLUMN id"))
+    assert(drop.getMessage.contains("partition"), drop.getMessage)
+    // widening a BUCKET source is safe: mix64 hashes ints through the
+    // identical long path, so existing dirs stay consistent
+    spark.sql(s"ALTER TABLE graft.`$p` ALTER COLUMN id TYPE BIGINT")
+    val before = dirsOf(p).flatMap(d => dirsOf(s"$p/$d")).sorted
+    (0 until 100).map(i => (i.toLong, java.sql.Timestamp.from(
+      java.time.Instant.parse("2026-07-01T00:00:00Z").plusSeconds(i * 10L)), i * 2.0))
+      .toDF("id", "ts", "v").writeTo(s"graft.`$p`").append()
+    val after = dirsOf(p).flatMap(d => dirsOf(s"$p/$d")).distinct.sorted
+    assert(after == before, s"widened append must reuse the same bucket dirs: $after vs $before")
+    assert(spark.table(s"graft.`$p`").count() == 200)
+  }
+
+  test("dynamic overwrite replaces only the touched derived days") {
+    import spark.implicits._
+    val p = tmp("dyn-overwrite")
+    spark.sql(s"CREATE TABLE graft.`$p` (id BIGINT, ts TIMESTAMP) " +
+      "USING btr PARTITIONED BY (days(ts))")
+    def day(d: Int, n: Int, base: Long) = (0 until n).map(i =>
+      (base + i, java.sql.Timestamp.from(
+        java.time.Instant.parse(f"2026-09-0$d%dT06:00:00Z").plusSeconds(i))))
+    (day(1, 50, 0L) ++ day(2, 50, 100L) ++ day(3, 50, 200L))
+      .toDF("id", "ts").writeTo(s"graft.`$p`").append()
+    assert(spark.table(s"graft.`$p`").count() == 150)
+    // reprocess day 2 only: dynamic overwrite drops just ts_days=2026-09-02
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      day(2, 20, 1000L).toDF("id", "ts").createOrReplaceTempView("day2_fix")
+      spark.sql(s"INSERT OVERWRITE graft.`$p` SELECT id, ts FROM day2_fix")
+    } finally spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    val t = spark.table(s"graft.`$p`")
+    assert(t.count() == 120, s"expected 50+20+50, got ${t.count()}")
+    val day2 = t.filter(col("ts") >= lit("2026-09-02 00:00:00").cast("timestamp") &&
+      col("ts") < lit("2026-09-03 00:00:00").cast("timestamp"))
+    assert(day2.count() == 20 && day2.select(min("id")).collect()(0).getLong(0) == 1000L)
+    // untouched days keep their original rows
+    assert(t.filter(col("id") < 100).count() == 50 &&
+      t.filter(col("id") >= 200 && col("id") < 1000).count() == 50)
+  }
+
   test("validation refuses bad sources before any meta lands") {
     val p = tmp("bad")
     val e1 = intercept[Exception](spark.sql(
