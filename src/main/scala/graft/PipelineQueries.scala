@@ -547,6 +547,17 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // document chunking for embedding/RAG pipelines: overlapping 32-token
+    // windows every 24 tokens — one codegen'd projection + posexplode,
+    // no shuffle, no UDF
+    "q_doc_chunks" -> ((s, d) => {
+      TextOps.chunkDocuments(
+          t(s, d, "documents").filter(col("text").isNotNull),
+          "doc_id", "text", window = 32, stride = 24)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "chunk_id")
+    }),
+
     // the whole training-data cleaning pipeline composed end to end:
     // exact dedup (keep min id per portable text hash) → drop benchmark
     // docs → decontaminate (no shared 8-gram with the benchmark) →
@@ -809,6 +820,20 @@ object PipelineQueries {
         |SELECT doc_id, lang, n_tokens FROM cum
         |WHERE prior < CASE WHEN lang = 'en' THEN 5000 ELSE 3000 END
         |ORDER BY doc_id""".stripMargin,
+    "q_doc_chunks" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+        |  FROM documents WHERE text IS NOT NULL),
+        | st AS (SELECT doc_id, words,
+        |   unnest(generate_series(0,
+        |     CAST((length(words) - 1) - ((length(words) - 1) % 24) AS BIGINT), 24))
+        |     AS chunk_start
+        |  FROM w)
+        |SELECT doc_id,
+        | chunk_start // 24 AS chunk_id,
+        | chunk_start AS chunk_start,
+        | least(32, CAST(length(words) AS BIGINT) - chunk_start) AS chunk_tokens,
+        | array_to_string(words[chunk_start + 1 : chunk_start + 32], ' ') AS chunk_text
+        |FROM st ORDER BY doc_id, chunk_id""".stripMargin,
     "q_seq_pack" ->
       """WITH tk AS (SELECT doc_id,
         |   CAST(length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,

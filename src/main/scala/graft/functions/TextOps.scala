@@ -798,6 +798,42 @@ object TextOps {
   def sampleKey(key: Column, salt: String): Column =
     pmod(md5Hash60(concat(lit(salt), key.cast("string"))), lit(100L))
 
+  /** Document chunking for embedding/RAG pipelines: split each document
+    * into overlapping token windows of `window` tokens every `stride`
+    * tokens (stride < window ⇒ overlap). Purely declarative — one
+    * codegen'd projection + posexplode, no shuffle, no UDF: cost is
+    * O(tokens × window/stride) map-side work, embarrassingly parallel at
+    * any corpus size. Emits (id, chunk_id, chunk_start, chunk_tokens,
+    * chunk_text); every document yields at least one chunk (empty/short
+    * docs produce their whole text as chunk 0), and the final window is
+    * the last one that starts inside the document.
+    */
+  def chunkDocuments(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      window: Int,
+      stride: Int
+  ): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"chunkDocuments needs 0 < stride <= window, got window=$window stride=$stride")
+    val starts = sequence(lit(0),
+      greatest(lit(0), (size(col("w")) - 1) - pmod(size(col("w")) - 1, lit(stride))),
+      lit(stride))
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("w"))
+      .select(col("id"), col("w"), posexplode(starts).as(Seq("chunk_id", "chunk_start")))
+      // keep only windows that begin inside the doc (sequence's upper
+      // bound already guarantees it; the filter documents the invariant)
+      .filter(col("chunk_start") < greatest(size(col("w")), lit(1)))
+      .select(
+        col("id"),
+        col("chunk_id").cast("long").as("chunk_id"),
+        col("chunk_start").cast("long").as("chunk_start"),
+        least(lit(window), size(col("w")) - col("chunk_start")).cast("long").as("chunk_tokens"),
+        concat_ws(" ", slice(col("w"), col("chunk_start") + 1, lit(window))).as("chunk_text"))
+  }
+
   /** Sequence packing for pretraining: assign every document a position
     * in a stream of fixed-`budget`-token training sequences
     * (concatenate-and-chunk — the GPT-style packing where documents tile

@@ -127,6 +127,36 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(mix(1000L).size == 4 && mix(0L).isEmpty)
   }
 
+  test("chunkDocuments: overlapping windows cover every token, reconstruct exactly") {
+    val window = 8; val stride = 5
+    val corpus = Seq(
+      (1L, (1 to 23).map(i => s"t$i").mkString(" ")), // several windows + ragged tail
+      (2L, "a b c"),                                   // shorter than one window
+      (3L, "solo"),                                    // single token
+      (4L, (1 to 10).map(i => s"u$i").mkString(" "))   // exactly start-boundary tail
+    ).toDF("doc_id", "text")
+    val chunks = TextOps.chunkDocuments(corpus, "doc_id", "text", window, stride)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    val byDoc = chunks.groupBy(_._1)
+    val words = corpus.collect().map(r => r.getLong(0) -> r.getString(1).split("\\s+")).toMap
+    words.foreach { case (id, ws) =>
+      val cs = byDoc(id).sortBy(_._2)
+      // chunk ids dense from 0, starts at stride multiples
+      assert(cs.map(_._2).toSeq == cs.indices.map(_.toLong))
+      cs.foreach { case (_, cid, start, n, text) =>
+        assert(start == cid * stride)
+        assert(n == math.min(window, ws.length - start))
+        assert(text == ws.slice(start.toInt, start.toInt + window).mkString(" "))
+      }
+      // full coverage: every token position falls inside some window
+      val covered = cs.flatMap(c => c._3 until (c._3 + c._4)).toSet
+      assert(covered == (0L until ws.length).toSet, s"doc $id coverage hole")
+      // the last window starts inside the doc
+      assert(cs.last._3 < ws.length)
+    }
+    assert(byDoc(2L).length == 1 && byDoc(3L).length == 1)
+  }
+
   test("packSequences tiles each shard's token stream exactly, no gaps, no padding") {
     val n = 3000
     val rnd = new scala.util.Random(11)
