@@ -1316,6 +1316,32 @@ object CoreQueries {
         .orderBy("day_s")
     }),
 
+    // Q-bucket-join: two bucket(8, custkey)-partitioned tables joined on
+    // the bucket source through the catalog (the layout two co-located
+    // 100 TB fact tables would carry; SPJ zero-shuffle is plan-pinned in
+    // StoragePartitionJoinSpec — here the oracle checks the answers)
+    "q_bucket_join" -> ((s, d) => {
+      s.conf.set("spark.sql.catalog.graft", classOf[graft.sources.BtrCatalog].getName)
+      val cdir = Btr.cachePath(d, "customer_bucketed")
+      val odir = Btr.cachePath(d, "orders_bucketed")
+      if (!new java.io.File(cdir, "_btr_meta.json").exists()) {
+        Btr.pq(s, d, "customer").select("c_custkey", "c_mktsegment")
+          .write.format("btr").mode("overwrite")
+          .option("btr.partitionSpec", "bucket(8, c_custkey)").save(cdir)
+      }
+      if (!new java.io.File(odir, "_btr_meta.json").exists()) {
+        Btr.pq(s, d, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+          .write.format("btr").mode("overwrite")
+          .option("btr.partitionSpec", "bucket(8, o_custkey)").save(odir)
+      }
+      s.table(s"graft.`$cdir`")
+        .join(s.table(s"graft.`$odir`"), col("c_custkey") === col("o_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("sum_tp"))
+        .orderBy("c_mktsegment")
+    }),
+
     // Q-asof: for each click, the latest prior view by the same user —
     // DuckDB's ASOF LEFT JOIN, realized as one key-shuffle union+window
     // (ts is raw nanos on both sides, so the comparison is exact)
@@ -1896,6 +1922,11 @@ object CoreQueries {
         | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_vc
         |FROM events WHERE event_type <> 'view'
         |GROUP BY 1 ORDER BY hour_s""".stripMargin,
+    "q_bucket_join" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        | CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_tp
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
     "q_days_partition" ->
       """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day_s,
         | count(*) AS n,

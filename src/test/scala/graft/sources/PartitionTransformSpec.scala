@@ -383,6 +383,65 @@ class PartitionTransformSpec extends AnyFunSuite {
       t.filter(col("id") >= 200 && col("id") < 1000).count() == 50)
   }
 
+  test("change feed over a transform table: appends and DV deletes emit exact rows") {
+    import spark.implicits._
+    val p = tmp("cdc")
+    spark.sql(s"CREATE TABLE graft.`$p` (id BIGINT, ts TIMESTAMP) " +
+      "USING btr PARTITIONED BY (days(ts)) " +
+      "TBLPROPERTIES ('btr.deletionVectors'='true', 'btr.retainRemoved'='true')")
+    (0 until 60).map(i => (i.toLong, java.sql.Timestamp.from(
+      java.time.Instant.parse("2026-10-01T00:00:00Z").plusSeconds(i * 2000L))))
+      .toDF("id", "ts").writeTo(s"graft.`$p`").append()
+    val (fs, root) = {
+      val pp = new Path(p); val f = pp.getFileSystem(BtrTableMeta.hadoopConf())
+      (f, f.makeQualified(pp))
+    }
+    val v0 = BtrLog.latestVersion(fs, root).get
+    (100 until 110).map(i => (i.toLong, java.sql.Timestamp.from(
+      java.time.Instant.parse("2026-10-05T00:00:00Z").plusSeconds(i))))
+      .toDF("id", "ts").writeTo(s"graft.`$p`").append()
+    spark.sql(s"DELETE FROM graft.`$p` WHERE id < 5")
+    val v2 = BtrLog.latestVersion(fs, root).get
+    val feed = BtrChanges.between(spark, p, v0, v2)
+    val byType = feed.groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType.getOrElse("insert", 0L) == 10, byType.toString)
+    assert(byType.getOrElse("delete", 0L) == 5, byType.toString)
+    assert(feed.filter(col("_change_type") === "delete")
+      .select("id").as[Long].collect().sorted.toSeq == (0L until 5L))
+  }
+
+  test("APPLY PURGE and DROP PARTITION work on derived dirs") {
+    import spark.implicits._
+    val p = tmp("purge-drop")
+    spark.sql(s"CREATE TABLE graft.`$p` (id BIGINT, ts TIMESTAMP) " +
+      "USING btr PARTITIONED BY (days(ts)) TBLPROPERTIES ('btr.deletionVectors'='true')")
+    def rows(d: String, n: Int, base: Long) = (0 until n).map(i =>
+      (base + i, java.sql.Timestamp.from(
+        java.time.Instant.parse(s"$d:00Z").plusSeconds(i))))
+    (rows("2026-11-01T01:00", 100, 0L) ++ rows("2026-11-02T01:00", 100, 1000L))
+      .toDF("id", "ts").writeTo(s"graft.`$p`").append()
+    // mask 40% of day 1's file, then purge: the masked file rewrites
+    // inside its derived dir, the untouched day survives as-is
+    spark.sql(s"DELETE FROM graft.`$p` WHERE id < 40")
+    val (fs, root) = {
+      val pp = new Path(p); val f = pp.getFileSystem(BtrTableMeta.hadoopConf())
+      (f, f.makeQualified(pp))
+    }
+    def blobs = fs.listStatus(new Path(root, graft.format.DeletionVector.DvDir))
+      .count(!_.getPath.getName.startsWith("."))
+    assert(blobs > 0, "precondition: masks exist")
+    val (rewritten, _) = BtrCompact.purgeMasked(spark, p, 64L * 1024 * 1024)
+    assert(rewritten >= 1)
+    assert(blobs == 0, "purge must retire the applied blobs")
+    assert(dirsOf(p) == Seq("ts_days=2026-11-01", "ts_days=2026-11-02"))
+    assert(spark.table(s"graft.`$p`").count() == 160)
+    // DROP PARTITION addresses the derived dir
+    spark.sql(s"ALTER TABLE graft.`$p` DROP PARTITION (ts_days = '2026-11-01')")
+    assert(spark.table(s"graft.`$p`").count() == 100)
+    assert(spark.table(s"graft.`$p`").select(min("id")).collect()(0).getLong(0) == 1000L)
+  }
+
   test("validation refuses bad sources before any meta lands") {
     val p = tmp("bad")
     val e1 = intercept[Exception](spark.sql(
