@@ -98,9 +98,13 @@ class BtrRaceFuzzSpec extends AnyFunSuite {
     false
   }
 
+  // partition spec of the table under fuzz (Nil = unpartitioned); the
+  // bucket arm runs every op against a transform layout
+  private var partSpec: Seq[String] = Nil
+
   private def stage(mode: BtrOverwriteMode, rows: Seq[Int], seed: Long)
       : (BtrBatchWrite, Array[WriterCommitMessage]) = {
-    val bw = new BtrBatchWrite(dir, intSchema, mode, 65536, 3, BtrConfig.Default, Nil)
+    val bw = new BtrBatchWrite(dir, intSchema, mode, 65536, 3, BtrConfig.Default, partSpec)
     val w = bw.createBatchWriterFactory(null).createWriter(0, seed)
     rows.foreach(i => w.write(InternalRow(i)))
     (bw, Array(w.commit()))
@@ -129,15 +133,26 @@ class BtrRaceFuzzSpec extends AnyFunSuite {
     assert(aborts >= 1, s"only $aborts conflicts — object-store schedule too tame")
   }
 
-  private def fuzz(seed: Long, tableDir: String): Int = {
+  test("the same fuzz holds on a bucket-transform-partitioned table") {
+    // every op — staged appends/replaces, DV and range DELETEs, UPDATE,
+    // compact, clustered rewrite, APPLY PURGE, RESTORE — races on a
+    // bucket(4,x) layout: derived dirs, per-dir compaction bins, row
+    // images that MOVE buckets on update
+    val aborts = fuzz(977001L, "/tmp/btr-race-fuzz-bucket/t", Seq("bucket(4,x)"))
+    assert(aborts >= 1, s"only $aborts conflicts — bucket schedule too tame")
+  }
+
+  private def fuzz(seed: Long, tableDir: String, spec: Seq[String] = Nil): Int = {
     dir = tableDir
+    partSpec = spec
     val rnd = new scala.util.Random(seed)
     var abortCount = 0
 
     locally { val (fs0, root0) = fsRoot; fs0.delete(root0, true) }
-    (0 until 48).toDF("x").repartition(2).write.format("btr")
+    val w0 = (0 until 48).toDF("x").repartition(2).write.format("btr")
       .option("btr.deletionVectors", "true")
       .option("btr.retainRemoved", "true") // restores must replay history
+    (if (spec.isEmpty) w0 else w0.option("btr.partitionSpec", spec.mkString(",")))
       .mode("overwrite").save(dir)
     var model: Seq[Int] = (0 until 48).toSeq
     var nextVal = 48
