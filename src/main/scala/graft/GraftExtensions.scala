@@ -20,6 +20,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // OPTIMIZE / VACUUM maintenance verbs (delegating parser — every
     // stock statement passes through untouched)
     ext.injectParser((_, delegate) => new graft.sources.BtrSparkSqlParser(delegate))
+    // day-level predicates (to_date(ts) = D, year(d) = Y) become source
+    // timestamp/date ranges, so they push down, chunk-skip and prune
+    // days(ts) directories (see DateRangeRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.DateRangeRewrite)
   }
 }
 
@@ -203,5 +207,11 @@ object GraftExtensions {
     tableFunctions.foreach { case (id, fi, builder) =>
       spark.sessionState.tableFunctionRegistry.registerFunction(id, fi, builder)
     }
+    // already-built sessions can't take injectOptimizerRule; the
+    // experimental hook lands the same rule in the user-provided
+    // fixpoint batch
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.DateRangeRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.DateRangeRewrite
   }
 }

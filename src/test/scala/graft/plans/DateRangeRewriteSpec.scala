@@ -1,0 +1,95 @@
+package graft.plans
+
+import graft.GraftExtensions
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[DateRangeRewrite]]: day-level predicates become source timestamp
+  * ranges — value-exact (same boolean/null result row by row), and the
+  * derived comparisons reach the btr scan as pushed filters that prune
+  * `days(ts)` directories.
+  */
+class DateRangeRewriteSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.catalog.graft", "graft.sources.BtrCatalog")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    GraftExtensions.register(s)
+    s
+  }
+
+  import spark.implicits._
+
+  // the value-exactness oracle: computing the SAME predicate in a
+  // projection (which the rule leaves untouched) and filtering on the
+  // flag must select identical rows
+  private def sameRows(df: org.apache.spark.sql.DataFrame,
+      pred: org.apache.spark.sql.Column, id: String = "id"): Unit = {
+    val rewritten = df.filter(pred).select(id).as[Long].collect().sorted.toSeq
+    val reference = df.withColumn("__flag", pred).filter(col("__flag"))
+      .select(id).as[Long].collect().sorted.toSeq
+    assert(rewritten == reference,
+      s"rewrite changed the selected rows: ${rewritten.take(5)}.. vs ${reference.take(5)}..")
+  }
+
+  private def tsDf = {
+    val rows = (0 until 2000).map(i => (i.toLong, java.sql.Timestamp.from(
+      java.time.Instant.parse("2026-04-09T22:00:00Z").plusSeconds(i * 150L)))) :+
+      ((9999L, null.asInstanceOf[java.sql.Timestamp]))
+    rows.toDF("id", "ts")
+  }
+
+  test("to_date comparisons select exactly the original rows (nulls included)") {
+    val df = tsDf
+    val d = lit("2026-04-10").cast("date")
+    sameRows(df, to_date(col("ts")) === d)
+    sameRows(df, to_date(col("ts")) >= d)
+    sameRows(df, to_date(col("ts")) > d)
+    sameRows(df, to_date(col("ts")) < d)
+    sameRows(df, to_date(col("ts")) <= d)
+    sameRows(df, to_date(col("ts")).isin(
+      java.sql.Date.valueOf("2026-04-10"), java.sql.Date.valueOf("2026-04-12")))
+    sameRows(df, !(to_date(col("ts")) === d) || col("id") < 10)
+    // year() over a date column
+    val dd = df.filter(col("ts").isNotNull).select(col("id"), to_date(col("ts")).as("d"))
+    sameRows(dd, year(col("d")) === 2026)
+    sameRows(dd, year(col("d")) >= 2027)
+  }
+
+  test("the rewrite is session-zone aware") {
+    val old = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Australia/Sydney")
+    try {
+      // rows straddle the Sydney midnight, not the UTC one
+      sameRows(tsDf, to_date(col("ts")) === lit("2026-04-10").cast("date"))
+      sameRows(tsDf, to_date(col("ts")) <= lit("2026-04-10").cast("date"))
+    } finally spark.conf.set("spark.sql.session.timeZone", old)
+  }
+
+  test("rewritten day filter pushes down and prunes days(ts) directories") {
+    val p = "/tmp/btr-date-rewrite/days"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File("/tmp/btr-date-rewrite"))
+    spark.sql(s"CREATE TABLE graft.`$p` (id BIGINT, ts TIMESTAMP) " +
+      "USING btr PARTITIONED BY (days(ts))")
+    (0 until 3000).map(i => (i.toLong, java.sql.Timestamp.from(
+      java.time.Instant.parse("2026-04-09T00:00:00Z").plusSeconds(i * 90L))))
+      .toDF("id", "ts").writeTo(s"graft.`$p`").append()
+    val all = spark.table(s"graft.`$p`")
+    val oneDay = all.filter(to_date(col("ts")) === lit("2026-04-10").cast("date"))
+    // the day predicate must reach the scan: fewer planned partitions
+    assert(oneDay.rdd.getNumPartitions < all.rdd.getNumPartitions,
+      "expected the derived range to prune day directories")
+    // and the answers are the explicit-range answers
+    val explicit = all.filter(
+      col("ts") >= lit("2026-04-10 00:00:00").cast("timestamp") &&
+        col("ts") < lit("2026-04-11 00:00:00").cast("timestamp"))
+      .agg(count(lit(1)), sum("id")).collect()(0)
+    val got = oneDay.agg(count(lit(1)), sum("id")).collect()(0)
+    assert(got == explicit)
+  }
+}
