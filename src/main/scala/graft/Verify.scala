@@ -22,6 +22,11 @@ object Verify {
       // a key group share one key), so SPJ sort-merge joins skip sorts
       .config("spark.sql.sources.v2.bucketing.sorting.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // the full library surface: SQL functions, maintenance verbs, and
+      // the day-predicate range derivation (which must run BEFORE V2
+      // pushdown — only build-time extension injection places it in the
+      // operator-optimization fixpoint)
+      .withExtensions(new GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -28,6 +28,16 @@ import org.apache.spark.sql.types._
   * timestamp_ntz is zone-free. Registered by [[graft.GraftExtensions]]
   * into the operator-optimization fixpoint, so chained forms
   * (`year(to_date(ts))`) converge across iterations.
+  *
+  * Ordering matters: V2 pushdown runs ONCE, early — only build-time
+  * injection (`injectOptimizerRule`, i.e. `.withExtensions` /
+  * `spark.sql.extensions`) places this rule before it. The post-hoc
+  * `GraftExtensions.register` fallback appends to the User-Provided
+  * batch, which runs after pushdown: still value-exact, but the derived
+  * range only helps the post-scan filter. (Spark 4's own
+  * UnwrapCastInBinaryComparison already unwraps the plain
+  * CAST(ts AS DATE) comparisons; this rule's unique coverage is
+  * `date_trunc`, `year`, and date IN-lists.)
   */
 object DateRangeRewrite extends Rule[LogicalPlan] {
   private val MicrosPerDay = 86_400_000_000L
@@ -108,9 +118,101 @@ object DateRangeRewrite extends Rule[LogicalPlan] {
             case Literal(days: Int, DateType) => Some(castDateCmp(ts, zone, days, op))
             case _ => None
           }
-        }.orElse(yearCmp(e, lit, op))
+        }.orElse(yearCmp(e, lit, op)).orElse(truncCmp(e, lit, op))
     }
   }
+
+  // ---- date_trunc(unit, ts) cmp timestamp-literal ----------------------
+
+  private val TruncUnits: Map[String, java.time.temporal.ChronoUnit] = {
+    import java.time.temporal.ChronoUnit._
+    Map(
+      "second" -> SECONDS, "minute" -> MINUTES,
+      "hour" -> HOURS, "hh" -> HOURS,
+      "day" -> DAYS, "dd" -> DAYS,
+      "week" -> WEEKS,
+      "month" -> MONTHS, "mon" -> MONTHS, "mm" -> MONTHS,
+      "quarter" -> MONTHS /* handled specially */,
+      "year" -> YEARS, "yyyy" -> YEARS, "yy" -> YEARS)
+  }
+
+  private def zdtOf(micros: Long, zone: java.time.ZoneId): java.time.ZonedDateTime =
+    java.time.Instant.ofEpochSecond(
+      java.lang.Math.floorDiv(micros, 1_000_000L),
+      java.lang.Math.floorMod(micros, 1_000_000L) * 1000L).atZone(zone)
+
+  private def microsOf(z: java.time.ZonedDateTime): Long = {
+    val i = z.toInstant
+    i.getEpochSecond * 1_000_000L + i.getNano / 1000L
+  }
+
+  private def truncTo(micros: Long, unit: String, zone: java.time.ZoneId): Long = {
+    import java.time.temporal.{ChronoUnit, TemporalAdjusters}
+    val z = zdtOf(micros, zone)
+    val t = unit match {
+      case "second" | "minute" | "hour" | "hh" =>
+        z.truncatedTo(TruncUnits(unit))
+      case "day" | "dd" => z.toLocalDate.atStartOfDay(zone)
+      case "week" =>
+        z.toLocalDate.`with`(TemporalAdjusters.previousOrSame(java.time.DayOfWeek.MONDAY))
+          .atStartOfDay(zone)
+      case "month" | "mon" | "mm" => z.toLocalDate.withDayOfMonth(1).atStartOfDay(zone)
+      case "quarter" =>
+        val m = ((z.getMonthValue - 1) / 3) * 3 + 1
+        z.toLocalDate.withDayOfMonth(1).withMonth(m).atStartOfDay(zone)
+      case "year" | "yyyy" | "yy" =>
+        z.toLocalDate.withDayOfYear(1).atStartOfDay(zone)
+      case other => throw new IllegalStateException(s"unit $other")
+    }
+    microsOf(t)
+  }
+
+  private def advance(micros: Long, unit: String, zone: java.time.ZoneId): Long = {
+    val z = zdtOf(micros, zone)
+    val n = unit match {
+      case "second" => z.plusSeconds(1)
+      case "minute" => z.plusMinutes(1)
+      case "hour" | "hh" => z.plusHours(1)
+      case "day" | "dd" => z.plusDays(1)
+      case "week" => z.plusWeeks(1)
+      case "month" | "mon" | "mm" => z.plusMonths(1)
+      case "quarter" => z.plusMonths(3)
+      case "year" | "yyyy" | "yy" => z.plusYears(1)
+      case other => throw new IllegalStateException(s"unit $other")
+    }
+    microsOf(n)
+  }
+
+  /** `date_trunc(unit, ts) cmp L`: with `B = trunc(L)` every value of
+    * the left side is a boundary, so the comparison collapses to a plain
+    * range on `ts` — `= L` only when L is itself a boundary (off-boundary
+    * equality is left untouched), order comparisons always (an
+    * off-boundary L rounds to the next boundary for >/>=, and `< L` ≡
+    * `<= B` ≡ `ts < next(B)`). Null-exact: every derived comparison is
+    * null exactly when ts is null.
+    */
+  private def truncCmp(e: Expression, lit: Literal, op: String): Option[Expression] =
+    (e, lit) match {
+      case (t @ TruncTimestamp(Literal(fmt, StringType), ts, _), Literal(m: Long, TimestampType))
+        if fmt != null && ts.dataType == TimestampType && ts.deterministic && op != "?" &&
+          TruncUnits.contains(fmt.toString.toLowerCase(java.util.Locale.ROOT)) =>
+        val unit = fmt.toString.toLowerCase(java.util.Locale.ROOT)
+        val zone = java.time.ZoneId.of(t.timeZoneId.getOrElse(conf.sessionLocalTimeZone))
+        val b = truncTo(m, unit, zone)
+        val onBoundary = b == m
+        def lt(v: Long) = LessThan(ts, Literal(v, TimestampType))
+        def ge(v: Long) = GreaterThanOrEqual(ts, Literal(v, TimestampType))
+        op match {
+          case "=" if onBoundary => Some(And(ge(m), lt(advance(m, unit, zone))))
+          case "=" => None
+          case ">=" => Some(if (onBoundary) ge(m) else ge(advance(b, unit, zone)))
+          case ">" => Some(ge(advance(b, unit, zone)))
+          case "<" => Some(if (onBoundary) lt(m) else lt(advance(b, unit, zone)))
+          case "<=" => Some(lt(advance(b, unit, zone)))
+          case _ => None
+        }
+      case _ => None
+    }
 
   private def opOf(cmp: BinaryComparison, flipped: Boolean): String = cmp match {
     case _: EqualTo => "="

@@ -11,15 +11,26 @@ import org.scalatest.funsuite.AnyFunSuite
   * `days(ts)` directories.
   */
 class DateRangeRewriteSpec extends AnyFunSuite {
+  // The rule must run BEFORE V2 pushdown (operator-optimization
+  // fixpoint), which only build-time extension injection provides — so
+  // this suite builds its OWN session with extensions instead of
+  // reusing the JVM's shared one (post-hoc register() appends to the
+  // User-Provided batch, which runs after pushdown: still value-exact,
+  // but too late to prune). The shared default session is restored for
+  // later suites.
   lazy val spark: SparkSession = {
+    val prior = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
     val s = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.catalog.graft", "graft.sources.BtrCatalog")
       .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
       .getOrCreate()
-    GraftExtensions.register(s)
+    prior.foreach(SparkSession.setDefaultSession)
     s
   }
 
@@ -59,6 +70,33 @@ class DateRangeRewriteSpec extends AnyFunSuite {
     val dd = df.filter(col("ts").isNotNull).select(col("id"), to_date(col("ts")).as("d"))
     sameRows(dd, year(col("d")) === 2026)
     sameRows(dd, year(col("d")) >= 2027)
+  }
+
+  test("date_trunc comparisons select exactly the original rows") {
+    val df = tsDf
+    val onB = lit("2026-04-10 00:00:00").cast("timestamp")  // day boundary (UTC)
+    val offB = lit("2026-04-10 13:30:00").cast("timestamp") // off-boundary
+    for (u <- Seq("day", "hour", "week", "month", "quarter", "year")) {
+      sameRows(df, date_trunc(u, col("ts")) === onB)
+      sameRows(df, date_trunc(u, col("ts")) >= offB)
+      sameRows(df, date_trunc(u, col("ts")) > onB)
+      sameRows(df, date_trunc(u, col("ts")) < offB)
+      sameRows(df, date_trunc(u, col("ts")) <= onB)
+    }
+    // off-boundary equality stays untouched (and still answers right)
+    sameRows(df, date_trunc("day", col("ts")) === offB)
+    // pruning: the derived hour range reaches the scan
+    val p = "/tmp/btr-date-rewrite/trunc"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+    spark.sql(s"CREATE TABLE graft.`$p` (id BIGINT, ts TIMESTAMP) " +
+      "USING btr PARTITIONED BY (days(ts))")
+    (0 until 3000).map(i => (i.toLong, java.sql.Timestamp.from(
+      java.time.Instant.parse("2026-04-09T00:00:00Z").plusSeconds(i * 90L))))
+      .toDF("id", "ts").writeTo(s"graft.`$p`").append()
+    val all = spark.table(s"graft.`$p`")
+    val oneDay = all.filter(date_trunc("day", col("ts")) === onB)
+    assert(oneDay.rdd.getNumPartitions < all.rdd.getNumPartitions,
+      "expected the derived date_trunc range to prune day directories")
   }
 
   test("the rewrite is session-zone aware") {
