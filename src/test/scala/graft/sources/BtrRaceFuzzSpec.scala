@@ -111,10 +111,10 @@ class BtrRaceFuzzSpec extends AnyFunSuite {
   }
 
   test("randomized two-writer interleavings only ever produce serializable outcomes") {
-    val aborts = Seq(20260815L, 977001L).map(fuzz(_, localDir)).sum
+    val aborts = Seq(20260815L, 977001L, 31415926L, 27182818L, 16180339L).map(fuzz(_, localDir)).sum
     // the schedules must actually exercise the conflict machinery — a
     // degenerate run where nothing ever races proves nothing
-    assert(aborts >= 2, s"only $aborts conflicts across both seeds — schedule too tame")
+    assert(aborts >= 2, s"only $aborts conflicts across the seeds — schedule too tame")
   }
 
   test("the same fuzz holds on a copy+delete-rename object store (conditional-put protocol)") {
@@ -138,7 +138,7 @@ class BtrRaceFuzzSpec extends AnyFunSuite {
     // compact, clustered rewrite, APPLY PURGE, RESTORE — races on a
     // bucket(4,x) layout: derived dirs, per-dir compaction bins, row
     // images that MOVE buckets on update
-    val aborts = fuzz(977001L, "/tmp/btr-race-fuzz-bucket/t", Seq("bucket(4,x)"))
+    val aborts = Seq(977001L, 31415926L, 8675309L).map(s => fuzz(s, "/tmp/btr-race-fuzz-bucket/t", Seq("bucket(4,x)"))).sum
     assert(aborts >= 1, s"only $aborts conflicts — bucket schedule too tame")
   }
 
@@ -169,7 +169,7 @@ class BtrRaceFuzzSpec extends AnyFunSuite {
     def ctx(round: Int, extra: String) =
       s"seed=$seed round=$round $extra\ntrace:\n${trace.mkString("\n")}"
 
-    for (round <- 0 until 20) {
+    for (round <- 0 until 40) {
       val m0 = model
 
       // ---- inner operation B (runs to completion inside A's window) --
