@@ -169,6 +169,9 @@ object GraftExtensions {
     tvf("btr_dv",
       "btr_dv(path) - committed deletion-vector blobs: target, masked rows, bytes")(
       graft.functions.BtrInspect.deletionVectors),
+    tvf("btr_partitions",
+      "btr_partitions(path) - per-partition-dir files/rows/bytes/mask debt (metadata only)")(
+      graft.functions.BtrInspect.partitions),
     // change feed: file-level incremental reads (see BtrChanges) — the
     // 2-arg form reads up to the latest version
     (FunctionIdentifier("btr_changes"),

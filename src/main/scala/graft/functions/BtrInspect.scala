@@ -94,6 +94,51 @@ object BtrInspect {
     }.toDF("blob", "target", "deleted_rows", "blob_bytes", "target_len")
   }
 
+  /** Per-partition-directory operational summary from metadata alone:
+    * files, rows, bytes, and outstanding deletion-vector mask debt — the
+    * maintenance-planning view ("which days need OPTIMIZE, which files
+    * crossed the purge threshold") at O(files) footer reads + O(blobs)
+    * header reads, zero data I/O. Derived transform dirs report under
+    * their directory names (`ts_days=2026-08-15`); an unpartitioned
+    * table reports one `(table)` row.
+    */
+  def partitions(spark: SparkSession, path: String): DataFrame = {
+    import graft.format.DeletionVector
+    import spark.implicits._
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(BtrTableMeta.hadoopConf())
+    val root = fs.makeQualified(dir)
+    val entries = BtrTableMeta.listDataFilesWithPartitions(fs, root)
+    val partCols = BtrTableMeta.readPartitionCols(fs, root)
+    val dirFields: Seq[String] =
+      partCols.map(c => graft.format.PartitionTransform.parse(c).dirName)
+    def keyOf(values: Map[String, String]): String =
+      if (dirFields.isEmpty) "(table)"
+      else dirFields.map(n =>
+        s"$n=${values.getOrElse(n, BtrTableMeta.NullPartition)}").mkString("/")
+    val maskedByTarget: Map[String, Long] =
+      graft.sources.BtrLog.latestVersion(fs, root) match {
+        case None => Map.empty
+        case Some(v) => graft.sources.BtrLog.resolveSnapshot(fs, root, v).files
+          .filter(DeletionVector.isDvRel)
+          .flatMap { rel =>
+            DeletionVector.targetOf(rel).map(t =>
+              t -> DeletionVector.readBlob(fs, new Path(root, rel)).posCount.toLong)
+          }
+          .groupBy(_._1).map { case (t, vs) => t -> vs.map(_._2).sum }
+      }
+    val rootLen = root.toUri.getPath.length + 1
+    entries.toSeq.map { e =>
+      val footer = graft.format.BtrFile.readFooter(fs, e.path, e.len)
+      val rel = e.path.toUri.getPath.substring(rootLen)
+      (keyOf(e.partitionValues), footer.numRows, e.len,
+        maskedByTarget.getOrElse(rel, 0L))
+    }.groupBy(_._1).toSeq.map { case (k, vs) =>
+      (k, vs.length.toLong, vs.map(_._2).sum, vs.map(_._3).sum, vs.map(_._4).sum)
+    }.toDF("partition", "files", "rows", "bytes", "masked_rows")
+      .orderBy("partition")
+  }
+
   /** Clustering quality per column (the OPTIMIZE decision metric, the
     * analog of Delta's clustering depth): for every row group, the number
     * of row-group [min,max] windows that contain its min point — the

@@ -442,6 +442,24 @@ class PartitionTransformSpec extends AnyFunSuite {
     assert(spark.table(s"graft.`$p`").select(min("id")).collect()(0).getLong(0) == 1000L)
   }
 
+  test("btr_partitions reports per-dir files/rows/bytes and mask debt") {
+    import spark.implicits._
+    val p = tmp("inspect")
+    spark.sql(s"CREATE TABLE graft.`$p` (id BIGINT, ts TIMESTAMP) " +
+      "USING btr PARTITIONED BY (days(ts)) TBLPROPERTIES ('btr.deletionVectors'='true')")
+    (0 until 200).map(i => (i.toLong, java.sql.Timestamp.from(
+      java.time.Instant.parse("2026-12-01T00:00:00Z").plusSeconds(i * 600L))))
+      .toDF("id", "ts").writeTo(s"graft.`$p`").append()
+    spark.sql(s"DELETE FROM graft.`$p` WHERE id < 30") // masks day 1 only
+    val rows = graft.functions.BtrInspect.partitions(spark, p).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(4))).toMap
+    assert(rows.keySet == Set("ts_days=2026-12-01", "ts_days=2026-12-02"))
+    assert(rows.values.map(_._2).sum == 200, "rows include masked positions (physical view)")
+    assert(rows("ts_days=2026-12-01")._3 == 30 && rows("ts_days=2026-12-02")._3 == 0,
+      rows.toString)
+    assert(rows.values.forall(v => v._1 >= 1))
+  }
+
   test("validation refuses bad sources before any meta lands") {
     val p = tmp("bad")
     val e1 = intercept[Exception](spark.sql(
