@@ -138,8 +138,17 @@ class BtrRaceFuzzSpec extends AnyFunSuite {
     // compact, clustered rewrite, APPLY PURGE, RESTORE — races on a
     // bucket(4,x) layout: derived dirs, per-dir compaction bins, row
     // images that MOVE buckets on update
-    val aborts = Seq(977001L, 31415926L, 8675309L).map(s => fuzz(s, "/tmp/btr-race-fuzz-bucket/t", Seq("bucket(4,x)"))).sum
+    val aborts = Seq(977001L, 31415926L, 8675309L).map(s =>
+      fuzz(s, "/tmp/btr-race-fuzz-bucket/t", Seq("bucket(4,x)"))).sum
     assert(aborts >= 1, s"only $aborts conflicts — bucket schedule too tame")
+    // and the compound: a transform layout on the copy+delete-rename
+    // object store under the conditional-put protocol — derived dirs,
+    // races and object-store commit primitives all at once
+    spark.sparkContext.hadoopConfiguration.set(
+      "fs.mockobj.impl", classOf[graft.format.MockObjectStoreFs].getName)
+    val objAborts = fuzz(20260815L, "mockobj:/tmp/btr-race-fuzz-obj-bucket/t",
+      Seq("bucket(4,x)"))
+    assert(objAborts >= 1, s"only $objAborts conflicts — object-store bucket schedule too tame")
   }
 
   private def fuzz(seed: Long, tableDir: String, spec: Seq[String] = Nil): Int = {
