@@ -408,6 +408,114 @@ object PartitionTransform {
     }
   }
 
+  /** TWO-SIDED verdict of a leaf filter against one file's transform
+    * directory values: Some(true) = every row provably matches,
+    * Some(false) = no row can match, None = undecided (footer stats
+    * decide). The exactness rests on the writer's invariant that a dir
+    * holds EXACTLY the rows whose derived value is the dir value — a
+    * null dir holds only null-source rows, a time dir holds exactly the
+    * rows inside its bounds. With this, a retention
+    * `DELETE WHERE ts < X` on a days(ts) table classifies every file
+    * from the LISTING alone — zero footer I/O at any table size.
+    */
+  def holds(schema: StructType, fields: Seq[PartField],
+      values: Map[String, String], filter: Filter): Option[Boolean] = {
+    val nullPart = BtrTableMeta.NullPartition
+    val bySource = fields.filterNot(_.isIdentity)
+      .flatMap(f => values.get(f.dirName).map(v => (f, v))).groupBy(_._1.source)
+
+    def dtOf(a: String): Option[DataType] =
+      schema.fields.find(_.name == a).map(_.dataType)
+
+    // strongest verdict any one transform field over the source gives
+    def forSource(a: String)(perField: (PartField, String, DataType) => Option[Boolean])
+        : Option[Boolean] =
+      bySource.get(a).flatMap { fs =>
+        dtOf(a).flatMap { dt =>
+          fs.iterator.map { case (f, dirVal) => perField(f, dirVal, dt) }
+            .collectFirst { case Some(v) => v }
+        }
+      }
+
+    // interval position of [lo,hi] vs literal l under an order operator
+    def range(f: PartField, dirVal: String, dt: DataType, l: Long,
+        allIf: (Long, Long) => Boolean, noneIf: (Long, Long) => Boolean): Option[Boolean] =
+      sourceBounds(f, dt, dirVal).flatMap { case (lo, hi) =>
+        if (allIf(lo, hi)) Some(true)
+        else if (noneIf(lo, hi)) Some(false)
+        else None
+      }
+
+    filter match {
+      case IsNull(a) => forSource(a)((_, dirVal, _) => Some(dirVal == nullPart))
+      case IsNotNull(a) => forSource(a)((_, dirVal, _) => Some(dirVal != nullPart))
+      case EqualTo(a, v) => forSource(a) { (f, dirVal, dt) =>
+        if (dirVal == nullPart) Some(false)
+        else f.fn match {
+          case "bucket" =>
+            bucketLit(f, dt, v).flatMap(b => if (b.toString != dirVal) Some(false) else None)
+          case "truncate" if dt == StringType => v match {
+            case s: String => if (dirValue(f, dt, s) != dirVal) Some(false) else None
+            case _ => None
+          }
+          case _ => literalLongPub(dt, v)
+            .flatMap(l => range(f, dirVal, dt, l,
+              allIf = (lo, hi) => lo == l && hi == l,
+              noneIf = (lo, hi) => l < lo || l > hi))
+        }
+      }
+      case GreaterThan(a, v) => forSource(a) { (f, dirVal, dt) =>
+        if (dirVal == nullPart) Some(false)
+        else literalLongPub(dt, v).flatMap(l => range(f, dirVal, dt, l,
+          allIf = (lo, _) => lo > l, noneIf = (_, hi) => hi <= l))
+      }
+      case GreaterThanOrEqual(a, v) => forSource(a) { (f, dirVal, dt) =>
+        if (dirVal == nullPart) Some(false)
+        else literalLongPub(dt, v).flatMap(l => range(f, dirVal, dt, l,
+          allIf = (lo, _) => lo >= l, noneIf = (_, hi) => hi < l))
+      }
+      case LessThan(a, v) => forSource(a) { (f, dirVal, dt) =>
+        if (dirVal == nullPart) Some(false)
+        else literalLongPub(dt, v).flatMap(l => range(f, dirVal, dt, l,
+          allIf = (_, hi) => hi < l, noneIf = (lo, _) => lo >= l))
+      }
+      case LessThanOrEqual(a, v) => forSource(a) { (f, dirVal, dt) =>
+        if (dirVal == nullPart) Some(false)
+        else literalLongPub(dt, v).flatMap(l => range(f, dirVal, dt, l,
+          allIf = (_, hi) => hi <= l, noneIf = (lo, _) => lo > l))
+      }
+      case In(a, vs) if vs.nonEmpty => forSource(a) { (f, dirVal, dt) =>
+        if (dirVal == nullPart) Some(false)
+        else {
+          // all-false when EVERY candidate is provably excluded
+          val verdicts = vs.toSeq.map(v =>
+            holds(schema, Seq(f), values, EqualTo(a, v)))
+          if (verdicts.forall(_.contains(false))) Some(false)
+          else if (verdicts.exists(_.contains(true))) Some(true)
+          else None
+        }
+      }
+      case StringStartsWith(a, p) => forSource(a) { (f, dirVal, dt) =>
+        if (dirVal == nullPart) Some(false)
+        else f.fn match {
+          case "truncate" if dt == StringType =>
+            // every value in the dir starts with dirVal; dirVal itself
+            // starts with p ⟹ all match. Disjoint prefixes ⟹ none.
+            if (dirVal.startsWith(p)) Some(true)
+            else if (!p.startsWith(dirVal)) Some(false)
+            else None
+          case _ => None
+        }
+      }
+      // And/Or composition is the CALLER's job (BtrDelete.classifyOne
+      // recurses before consulting leaf verdicts)
+      case _ => None
+    }
+  }
+
+  /** Literal → comparison domain, shared with [[canSkip]]. */
+  private def literalLongPub(dt: DataType, lit: Any): Option[Long] = literalLong(dt, lit)
+
   private def bucketLit(f: PartField, dt: DataType, lit: Any): Option[Int] =
     (dt match {
       case IntegerType => lit match { case i: Int => Some(i); case _ => None }

@@ -49,20 +49,28 @@ object BtrDelete {
   private def classifyOne(
       tableSchema: StructType,
       dataSchema: StructType,
+      txFields: Seq[graft.format.PartField],
       partValues: Map[String, String],
       footer: () => BtrFile.Footer,
       f: Filter): Verdict =
-    PartitionPrune.holds(tableSchema, partValues, f) match {
+    PartitionPrune.holds(tableSchema, partValues, f)
+      // transform dirs give TWO-SIDED verdicts on source-column
+      // predicates (a dir holds exactly the rows whose derived value is
+      // the dir value) — a retention DELETE on a days(ts) table then
+      // classifies every file from the listing, zero footer I/O
+      .orElse(if (txFields.isEmpty) None
+        else graft.format.PartitionTransform.holds(tableSchema, txFields, partValues, f))
+    match {
       case Some(true) => MatchAll
       case Some(false) => MatchNone
       case None =>
         f match {
           case And(l, r) => combineAnd(
-            classifyOne(tableSchema, dataSchema, partValues, footer, l),
-            classifyOne(tableSchema, dataSchema, partValues, footer, r))
+            classifyOne(tableSchema, dataSchema, txFields, partValues, footer, l),
+            classifyOne(tableSchema, dataSchema, txFields, partValues, footer, r))
           case Or(l, r) => combineOr(
-            classifyOne(tableSchema, dataSchema, partValues, footer, l),
-            classifyOne(tableSchema, dataSchema, partValues, footer, r))
+            classifyOne(tableSchema, dataSchema, txFields, partValues, footer, l),
+            classifyOne(tableSchema, dataSchema, txFields, partValues, footer, r))
           case _ =>
             val rgs = footer().rowGroups
             if (rgs.forall(rg => ChunkSkip.canSkip(dataSchema, rg, f))) MatchNone
@@ -90,6 +98,7 @@ object BtrDelete {
     val dataSchema =
       if (partCols.isEmpty) tableSchema
       else StructType(tableSchema.fields.filterNot(f => partCols.contains(f.name)))
+    val txFields = graft.format.PartitionTransform.transformFields(partCols)
     val entries = BtrTableMeta.listDataFilesWithPartitions(fs, dir).filterNot(exclude)
     if (entries.isEmpty) return Array.empty
     // pass 1: per-conjunct partition-only classification (footer thunk
@@ -98,7 +107,7 @@ object BtrDelete {
     val sentinel: () => BtrFile.Footer = () => throw BtrDelete.NeedFooter
     val perFilter: Array[Array[Option[Verdict]]] = entries.map { e =>
       filters.map { f =>
-        try Some(classifyOne(tableSchema, dataSchema, e.partitionValues, sentinel, f))
+        try Some(classifyOne(tableSchema, dataSchema, txFields, e.partitionValues, sentinel, f))
         catch { case NeedFooter => None }
       }
     }
@@ -123,7 +132,7 @@ object BtrDelete {
           filters.indices.foldLeft(MatchAll: Verdict) { (acc, j) =>
             if (acc == MatchNone) MatchNone
             else combineAnd(acc, pf(j).getOrElse(
-              classifyOne(tableSchema, dataSchema, e.partitionValues, () => fo, filters(j))))
+              classifyOne(tableSchema, dataSchema, txFields, e.partitionValues, () => fo, filters(j))))
           }
         }
       (e, v)

@@ -460,6 +460,55 @@ class PartitionTransformSpec extends AnyFunSuite {
     assert(rows.values.forall(v => v._1 >= 1))
   }
 
+  test("day-aligned retention DELETE classifies from the listing alone (zero footer I/O)") {
+    import spark.implicits._
+    val p = tmp("retention")
+    spark.sql(s"CREATE TABLE graft.`$p` (id BIGINT, ts TIMESTAMP) " +
+      "USING btr PARTITIONED BY (days(ts))")
+    (0 until 300).map(i => (i.toLong, java.sql.Timestamp.from(
+      java.time.Instant.parse("2027-01-01T00:00:00Z").plusSeconds(i * 1000L))))
+      .toDF("id", "ts").writeTo(s"graft.`$p`").append()
+    // break every data file's TAIL in a copy: any footer read now throws,
+    // so a verdict on the copy is PROOF it came from directory names
+    val p2 = tmp("retention-broken")
+    org.apache.commons.io.FileUtils.copyDirectory(new java.io.File(p), new java.io.File(p2))
+    def breakTails(d: java.io.File): Unit = d.listFiles().foreach { f =>
+      if (f.isDirectory) breakTails(f)
+      else if (f.getName.endsWith(".btr")) {
+        val ch = java.nio.channels.FileChannel.open(f.toPath,
+          java.nio.file.StandardOpenOption.WRITE)
+        try ch.truncate(4L) finally ch.close()
+      } else if (f.getName == graft.format.BtrFooterIndex.IndexFile) f.delete()
+    }
+    breakTails(new java.io.File(p2))
+    val (fs2, root2) = {
+      val pp = new Path(p2); val f = pp.getFileSystem(BtrTableMeta.hadoopConf())
+      (f, f.makeQualified(pp))
+    }
+    val schema = BtrTableMeta.readSchema(fs2, root2)
+    val partCols = BtrTableMeta.readPartitionCols(fs2, root2)
+    // day-aligned retention predicate: every file decides from its dir
+    val boundary = java.time.Instant.parse("2027-01-03T00:00:00Z")
+    val aligned = Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.LessThan("ts", boundary))
+    assert(BtrDelete.canDelete(p2, schema, partCols, aligned),
+      "aligned predicate must split at file boundaries with no footer read")
+    val verdicts = BtrDelete.classifyAt(p2, schema, partCols, aligned)
+    assert(verdicts.nonEmpty && verdicts.forall(_._2 != BtrDelete.Undecided))
+    verdicts.foreach { case (e, v) =>
+      val day = e.partitionValues("ts_days")
+      val expect = if (day < "2027-01-03") BtrDelete.MatchAll else BtrDelete.MatchNone
+      assert(v == expect, s"$day -> $v")
+    }
+    // an UNALIGNED predicate genuinely needs footers — on the broken
+    // copy that read must fail loudly, proving the aligned case above
+    // never took the footer route
+    val unaligned = Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.LessThan("ts",
+        java.time.Instant.parse("2027-01-03T11:30:00Z")))
+    intercept[Exception](BtrDelete.classifyAt(p2, schema, partCols, unaligned))
+  }
+
   test("validation refuses bad sources before any meta lands") {
     val p = tmp("bad")
     val e1 = intercept[Exception](spark.sql(
