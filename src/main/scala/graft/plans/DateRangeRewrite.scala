@@ -112,6 +112,7 @@ object DateRangeRewrite extends Rule[LogicalPlan] {
     }
     oriented.flatMap {
       case (_, Literal(null, _), _) => None
+      case (_, _, "?") => None // EqualNullSafe: null semantics differ under NOT
       case (e, lit, op) =>
         dayCastOf(e).flatMap { case (ts, zone) =>
           lit match {

@@ -66,6 +66,10 @@ class DateRangeRewriteSpec extends AnyFunSuite {
     sameRows(df, to_date(col("ts")).isin(
       java.sql.Date.valueOf("2026-04-10"), java.sql.Date.valueOf("2026-04-12")))
     sameRows(df, !(to_date(col("ts")) === d) || col("id") < 10)
+    // <=> must never rewrite: NOT(null <=> D) is TRUE for null rows —
+    // a derived range (null) would silently drop them
+    sameRows(df, !(to_date(col("ts")) <=> d))
+    sameRows(df, to_date(col("ts")) <=> d)
     // year() over a date column
     val dd = df.filter(col("ts").isNotNull).select(col("id"), to_date(col("ts")).as("d"))
     sameRows(dd, year(col("d")) === 2026)
