@@ -396,15 +396,17 @@ object SimilarityOps {
     * corpus size); cell assignment and probing run through the native
     * [[NearestCentersExpr]] kernel. Deterministic via the fixed seed.
     */
-  def ivfTopK(
-      queries: DataFrame, // (qid, qvec)
-      candidates: DataFrame, // (cid, cvec)
-      k: Int,
-      nlist: Int = 16,
-      nprobe: Int = 4,
-      fitSampleRows: Int = 10000
-  ): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** Deterministic IVF coarse-quantizer fit over a `cvec` column: seeded
+    * fixed-fraction sample hard-capped at `fitSampleRows` (constant cost
+    * at any corpus size), driver-local k-means. Shared by the per-call
+    * [[ivfTopK]] and the persisted [[ivfIndexBuild]], so an index built
+    * from the same candidate set reproduces the per-call centers exactly.
+    */
+  private def fitCoarseCenters(
+      candidates: DataFrame, // has cvec
+      nlist: Int,
+      fitSampleRows: Int
+  ): Seq[Seq[Double]] = {
     // One bounded job, no count(): a fixed-fraction sample capped by
     // limit() — CollectLimit stops pulling partitions once the cap is
     // reached, so the fit cost stays constant at any corpus size. A tiny
@@ -430,10 +432,157 @@ object SimilarityOps {
       else rawVecs.groupBy(_.length).toSeq
         .maxBy { case (len, vs) => (vs.length, -len) }._1 // count, tie→smaller dim: deterministic
     val sample = rawVecs.filter(_.length == dim0).map(_.toArray.map(_.toDouble))
-    val centers: Seq[Seq[Double]] =
-      LocalKMeans.fit(sample, nlist, iters = 5, seed = 42L).map(_.toSeq).toSeq
+    LocalKMeans.fit(sample, nlist, iters = 5, seed = 42L).map(_.toSeq).toSeq
+  }
+
+  def ivfTopK(
+      queries: DataFrame, // (qid, qvec)
+      candidates: DataFrame, // (cid, cvec)
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      fitSampleRows: Int = 10000
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val centers = fitCoarseCenters(candidates, nlist, fitSampleRows)
     val cb = candidates.withColumn("cluster",
       element_at(NearestCentersExpr.of(col("cvec"), centers, 1), 1))
+    val probes = queries.select(col("qid"), col("qvec"),
+      explode(NearestCentersExpr.of(col("qvec"), centers, math.min(nprobe, centers.length)))
+        .as("cluster"))
+    val joined = cb.join(broadcast(probes), Seq("cluster"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), round(cosine(col("qvec"), col("cvec")), 4).as("cos"))
+    val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("cid"))
+    joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  // ------------------------------------------------------------------
+  // Persisted IVF index: at 100 TB the coarse quantizer must not re-fit
+  // per query — the centroids and per-row cell assignments live as btr
+  // tables next to the corpus and refresh INCREMENTALLY off the change
+  // feed, the same shape as minhashIncrement's persisted band index.
+  //   <indexDir>/centroids : (cluster INT, centroid ARRAY<DOUBLE>,
+  //                           mean_cos DOUBLE)   — nlist rows
+  //   <indexDir>/assign    : (cid <id type>, cluster INT) — 1 row/vector
+  // ------------------------------------------------------------------
+
+  /** Per-session drift telemetry of the last [[ivfIndexAppend]]:
+    * (rowsAssigned, driftRatio) where driftRatio = the increment's mean
+    * cosine-to-assigned-centroid over the build-time mean. A ratio well
+    * below 1 means the corpus distribution has drifted off the centroids
+    * (time to re-fit); surfaced loudly below 0.8.
+    */
+  val lastIvfDrift =
+    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.SparkSession, (Long, Double)]()
+
+  private[functions] def centroidsOf(spark: org.apache.spark.sql.SparkSession, indexDir: String)
+      : Seq[(Int, Seq[Double], Double)] =
+    spark.read.format("btr").load(s"$indexDir/centroids")
+      .select(col("cluster"), col("centroid"), col("mean_cos"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+
+  /** Per-batch cell assignment + quality: one map-only pass through the
+    * native kernel (centers broadcast as literals), no shuffle.
+    */
+  private def assignBatch(batch: DataFrame, centers: Seq[Seq[Double]]): DataFrame =
+    batch.select(col("cid"),
+      element_at(NearestCentersExpr.of(col("cvec"), centers, 1), 1).as("cluster"),
+      col("cvec"))
+
+  /** Build the persisted index: fit the coarse quantizer exactly like
+    * [[ivfTopK]] (same seed/sample → same centers for the same corpus),
+    * assign every candidate map-only, and write both tables. Overwrites
+    * any previous index at `indexDir`.
+    */
+  def ivfIndexBuild(
+      candidates: DataFrame, // (cid, cvec)
+      indexDir: String,
+      nlist: Int = 16,
+      fitSampleRows: Int = 10000
+  ): Unit = {
+    val spark = candidates.sparkSession
+    val centers = fitCoarseCenters(candidates, nlist, fitSampleRows)
+    val assigned = assignBatch(candidates, centers)
+      .withColumn("cos_c", centroidCos(col("cvec"), col("cluster"), centers))
+    // k×dim-bounded per-cluster quality aggregate (same shape as the
+    // k-means centroid shuffle): build-time mean cosine per cell anchors
+    // the drift telemetry of later appends
+    val meanByCluster = assigned.groupBy("cluster")
+      .agg(avg(col("cos_c")).as("mean_cos"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    import spark.implicits._
+    centers.zipWithIndex
+      .map { case (c, i) => (i, c, meanByCluster.getOrElse(i, 1.0)) }
+      .toDF("cluster", "centroid", "mean_cos")
+      .coalesce(1)
+      .write.format("btr").mode("overwrite").save(s"$indexDir/centroids")
+    assigned.select(col("cid"), col("cluster"))
+      .write.format("btr").mode("overwrite").save(s"$indexDir/assign")
+  }
+
+  /** Assign ONLY the increment against the persisted centroids and
+    * append the rows — per-batch cost is O(increment), never a corpus
+    * re-assign. Returns (rowsAssigned, driftRatio); drift below 0.8 of
+    * the build-time mean warns loudly (re-fit advised), never silently.
+    */
+  def ivfIndexAppend(
+      increment: DataFrame, // (cid, cvec)
+      indexDir: String
+  ): (Long, Double) = {
+    val spark = increment.sparkSession
+    val cents = centroidsOf(spark, indexDir)
+    val centers = cents.map(_._2)
+    val assigned = assignBatch(increment, centers)
+      .withColumn("cos_c", centroidCos(col("cvec"), col("cluster"), centers))
+    assigned.select(col("cid"), col("cluster"))
+      .write.format("btr").mode("append").save(s"$indexDir/assign")
+    val stats = assigned.agg(count(lit(1)), avg(col("cos_c"))).collect()(0)
+    val n = stats.getLong(0)
+    val incMean = if (n == 0 || stats.isNullAt(1)) 1.0 else stats.getDouble(1)
+    val buildMean = {
+      val ms = cents.map(_._3).filter(!_.isNaN)
+      if (ms.isEmpty) 1.0 else ms.sum / ms.length
+    }
+    val drift = if (buildMean <= 0) 1.0 else incMean / buildMean
+    lastIvfDrift.put(spark, (n, drift))
+    if (n > 0 && drift < 0.8)
+      org.apache.log4j.Logger.getLogger(getClass).warn(
+        f"ivfIndexAppend: increment mean centroid-cosine $incMean%.4f is " +
+          f"$drift%.2fx the build-time mean $buildMean%.4f — the embedding " +
+          "distribution has drifted off the persisted centroids; re-run " +
+          "ivfIndexBuild to re-fit")
+    (n, drift)
+  }
+
+  /** Cosine of a vector to its assigned centroid (literal lookup). */
+  private def centroidCos(vec: Column, cluster: Column, centers: Seq[Seq[Double]]): Column = {
+    val centArr = array(centers.map(c => array(c.map(lit): _*)): _*)
+    cosine(vec, element_at(centArr, cluster + 1))
+  }
+
+  /** IVF ANN through the PERSISTED index: identical semantics to
+    * [[ivfTopK]], but centroids come from the index's centroids table
+    * and cell membership from the assign table (equi-join on the id —
+    * no per-call fit, no per-call corpus assignment). With an index
+    * built (+ appended) from the same candidate set, the output is
+    * row-identical to assigning fresh against the same centers.
+    */
+  def ivfTopKIndexed(
+      queries: DataFrame, // (qid, qvec)
+      candidates: DataFrame, // (cid, cvec)
+      indexDir: String,
+      k: Int,
+      nprobe: Int = 4
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = candidates.sparkSession
+    val centers = centroidsOf(spark, indexDir).map(_._2)
+    val assign = spark.read.format("btr").load(s"$indexDir/assign")
+      .select(col("cid"), col("cluster"))
+    val cb = candidates.join(assign, Seq("cid"))
     val probes = queries.select(col("qid"), col("qvec"),
       explode(NearestCentersExpr.of(col("qvec"), centers, math.min(nprobe, centers.length)))
         .as("cluster"))

@@ -463,6 +463,49 @@ class PipelineOpsSpec extends AnyFunSuite {
       exact.map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"))).toSet)
   }
 
+  test("persisted IVF index: append assigns ONLY the increment, indexed ≡ fresh, drift telemetry") {
+    val rnd = new scala.util.Random(11)
+    val all = (0 until 500).map(i => (i.toLong, Seq.fill(16)(rnd.nextGaussian().toFloat)))
+    val corpus = all.filter(_._1 % 5 != 0).toDF("cid", "cvec")
+    val increment = all.filter(_._1 % 5 == 0).toDF("cid", "cvec")
+    val full = all.toDF("cid", "cvec")
+    val dir = s"/tmp/btr-ivf-index-spec/${System.nanoTime()}"
+    SimilarityOps.ivfIndexBuild(corpus, dir, nlist = 8, fitSampleRows = 100)
+    val assignPath = s"$dir/assign"
+    val afterBuild = spark.read.format("btr").load(assignPath)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(afterBuild.size == corpus.count().toInt, "build assigns the whole corpus")
+    // APPEND: only the increment's rows are assigned and written
+    val (n, drift) = SimilarityOps.ivfIndexAppend(increment, dir)
+    assert(n == increment.count(), s"append assigned $n rows, not just the increment")
+    val afterAppend = spark.read.format("btr").load(assignPath)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(afterAppend.size == afterBuild.size + n)
+    assert(afterBuild.forall { case (id, c) => afterAppend(id) == c },
+      "append must not touch existing assignments")
+    // same-distribution increment → no drift warning zone
+    assert(drift > 0.8 && drift < 1.25, s"drift ratio $drift")
+    assert(SimilarityOps.lastIvfDrift.get(spark) == ((n, drift)))
+    // every appended assignment equals a FRESH assignment against the
+    // persisted centroids (the incremental path loses nothing)
+    val centers = SimilarityOps.centroidsOf(spark, dir).map(_._2)
+    val fresh = increment.select(col("cid"),
+      element_at(NearestCentersExpr.of(col("cvec"), centers, 1), 1).as("cluster"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(fresh.forall { case (id, c) => afterAppend(id) == c })
+    // the indexed query path is row-identical to the per-call shape run
+    // against the same centroids (full probe → equals brute force too)
+    val queries = full.filter(col("cid") < 5)
+      .select(col("cid").as("qid"), col("cvec").as("qvec"))
+    val viaIndex = SimilarityOps.ivfTopKIndexed(queries, full, dir, k = 3, nprobe = 8)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"), r.getAs[Int]("rank")))
+    val exact = SimilarityOps.bruteForceTopK(queries, full, 3)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"), r.getAs[Int]("rank")))
+    assert(viaIndex.toSet == exact.toSet,
+      s"nprobe=nlist indexed path must equal brute force; got ${viaIndex.length} rows")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("CharShinglesExpr equals the declarative char-shingle pipeline") {
     val edge = Seq(
       (1L, Some("abcdefgh")),
