@@ -168,6 +168,22 @@ object BlockDescribe {
         val nPatch = in.getInt()
         in.skip(nPatch * 8)
         s"pseudodec(digits=$d, exps=$e, patches=$nPatch)"
+      case DoubleCodec.DoubleBp =>
+        // two u32 planes in 256-value blocks: width byte + packed words
+        var widths = List.empty[Int]
+        var plane = 0
+        while (plane < 2) {
+          var base = 0
+          while (base < count) {
+            val n = math.min(256, count - base)
+            val w = in.getByte()
+            widths = w :: widths
+            in.skip(Bitpack.packedBytes(n, w))
+            base += n
+          }
+          plane += 1
+        }
+        s"double_bp(max_width=${if (widths.isEmpty) 0 else widths.max})"
       case other => s"dbl:?$other"
     }
   }

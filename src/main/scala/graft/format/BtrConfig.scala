@@ -44,7 +44,12 @@ final case class BtrConfig(
   def intEnabled(scheme: Int): Boolean =
     schemes.isEmpty || schemes.contains(BtrConfig.intNames(scheme))
   def doubleEnabled(scheme: Int): Boolean =
-    schemes.isEmpty || schemes.contains(BtrConfig.doubleNames(scheme))
+    if (scheme == DoubleCodec.DoubleBp)
+      // registered but NOT in the default set, like the reference pool
+      // (scheme/SchemeType.hpp:49-53 omits DOUBLE_BP; the example config
+      // opts in explicitly) — empty `schemes` means "default set" here
+      schemes.contains(BtrConfig.doubleNames(scheme))
+    else schemes.isEmpty || schemes.contains(BtrConfig.doubleNames(scheme))
   def stringEnabled(scheme: Int): Boolean =
     schemes.isEmpty || schemes.contains(BtrConfig.stringNames(scheme))
 }
@@ -66,7 +71,8 @@ object BtrConfig {
     DoubleCodec.Dict -> "dict",
     DoubleCodec.Rle -> "rle",
     DoubleCodec.Frequency -> "frequency",
-    DoubleCodec.Pseudodecimal -> "pseudodecimal"
+    DoubleCodec.Pseudodecimal -> "pseudodecimal",
+    DoubleCodec.DoubleBp -> "doublebp"
   )
   val stringNames: Map[Int, String] = Map(
     StringCodec.Uncompressed -> "uncompressed",

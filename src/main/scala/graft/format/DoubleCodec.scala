@@ -100,6 +100,20 @@ object DoubleCodec {
   val Frequency = 4
   val Pseudodecimal = 5
 
+  /** DOUBLE_BP (ref /root/reference/btrblocks/scheme/double/DoubleBP.cpp:16-57):
+    * the raw IEEE754 words bit-packed as u32s. Like the reference pool it is
+    * registered but NOT in the default scheme set
+    * (scheme/SchemeType.hpp:49-53) — opt in via `btr.schemes=...,doublebp` or
+    * `btr.forceScheme.double=doublebp` (the analog of the example config's
+    * `schemes.enable(DOUBLE_BP)`, tools/examples/compression.cpp:47). Our
+    * layout splits the hi/lo u32 planes and packs each in 256-value blocks
+    * with a per-block width, which packs tighter than interleaved words when
+    * sign/exponent bits are stable across a chunk.
+    */
+  val DoubleBp = 6
+
+  private val BpBlock = 256
+
   /** Exponent stream value marking a patched (non-convertible) double
     * (reference uses an exception marker too,
     * /root/reference/btrblocks/scheme/double/Pseudodecimal.cpp:107-123).
@@ -181,6 +195,7 @@ object DoubleCodec {
   private def structurallyValid(scheme: Int, s: DoubleStats, depth: Int): Boolean = scheme match {
     case OneValue => s.runCount <= 1
     case Uncompressed => true
+    case DoubleBp => s.count >= 1 // terminal scheme, no cascade
     case Dict | Rle | Frequency | Pseudodecimal => depth >= 1 && s.count >= 1
     case _ => false
   }
@@ -194,7 +209,7 @@ object DoubleCodec {
       s: DoubleStats,
       seed: Long
   ): Unit = {
-    val candidates = Array(OneValue, Dict, Rle, Frequency, Pseudodecimal, Uncompressed)
+    val candidates = Array(OneValue, Dict, Rle, Frequency, Pseudodecimal, DoubleBp, Uncompressed)
     var bestBytes: Array[Byte] = null
     var i = 0
     while (i < candidates.length) {
@@ -238,7 +253,7 @@ object DoubleCodec {
     // formula screen per gated candidate; contenders within 1.5× of the
     // leader then get MEASURED by compressing the retained sample (the
     // measure pass below, mirroring IntCodec.choose)
-    val fEst = new Array[Long](6)
+    val fEst = new Array[Long](7)
     java.util.Arrays.fill(fEst, Long.MaxValue)
     var best = Uncompressed
     var bestSize = 1L + count.toLong * 8
@@ -286,6 +301,29 @@ object DoubleCodec {
         fEst(Pseudodecimal) = e
         if (e < bestSize) { best = Pseudodecimal; bestSize = e }
       }
+    }
+    if (cfg.doubleEnabled(DoubleBp)) {
+      // formula screen over the retained sample: global max hi/lo widths
+      // (per-block widths at encode only pack tighter than this bound)
+      val smp = s.sample
+      var wLo = 0
+      var wHi = 0
+      if (smp != null && s.sampleN > 0) {
+        var i = 0
+        while (i < s.sampleN) {
+          val b = java.lang.Double.doubleToRawLongBits(smp(i))
+          val bl = Bitpack.bitsFor(b & 0xFFFFFFFFL)
+          val bh = Bitpack.bitsFor(b >>> 32)
+          if (bl > wLo) wLo = bl
+          if (bh > wHi) wHi = bh
+          i += 1
+        }
+      } else { wLo = 32; wHi = 32 }
+      val blocks = (count + BpBlock - 1) / BpBlock
+      val e = 1L + 2L * blocks +
+        Bitpack.packedBytes(count, wLo).toLong + Bitpack.packedBytes(count, wHi).toLong
+      fEst(DoubleBp) = e
+      if (e < bestSize) { best = DoubleBp; bestSize = e }
     }
     // measure pass: every formula here is approximate (all four cascade),
     // so any contender in the zone is re-sized on the sample
@@ -374,6 +412,20 @@ object DoubleCodec {
         }
         IntCodec.encode(out, pos, nExc, 8, depth - 1, cfg, sub)
         IntCodec.encode(out, exc, nExc, 8, depth - 1, cfg, sub + 1)
+      case DoubleBp =>
+        // raw IEEE754 words as two u32 planes (lo, hi), each packed in
+        // 256-value blocks with a per-block width byte
+        val lo = new Array[Long](count)
+        val hi = new Array[Long](count)
+        var i = 0
+        while (i < count) {
+          val b = java.lang.Double.doubleToRawLongBits(values(i))
+          lo(i) = b & 0xFFFFFFFFL
+          hi(i) = b >>> 32
+          i += 1
+        }
+        packU32Blocks(out, lo, count)
+        packU32Blocks(out, hi, count)
       case Pseudodecimal =>
         val digits = new Array[Long](count)
         val exps = new Array[Long](count)
@@ -399,6 +451,42 @@ object DoubleCodec {
         var p = 0
         while (p < pv.length) { out.putDouble(pv(p)); p += 1 }
     }
+  }
+
+  /** Pack a u32 plane in [[BpBlock]]-value blocks, one width byte per
+    * block. Values must already be masked to 32 bits.
+    */
+  private def packU32Blocks(out: BufWriter, vals: Array[Long], count: Int): Unit = {
+    val scratch = new Array[Long](BpBlock)
+    var base = 0
+    while (base < count) {
+      val n = math.min(BpBlock, count - base)
+      var w = 0
+      var i = 0
+      while (i < n) {
+        val b = Bitpack.bitsFor(vals(base + i))
+        if (b > w) w = b
+        i += 1
+      }
+      out.putByte(w)
+      System.arraycopy(vals, base, scratch, 0, n)
+      Bitpack.pack(scratch, n, w, out)
+      base += n
+    }
+  }
+
+  private def unpackU32Blocks(in: BufReader, count: Int): Array[Long] = {
+    val out = new Array[Long](count)
+    val scratch = new Array[Long](BpBlock)
+    var base = 0
+    while (base < count) {
+      val n = math.min(BpBlock, count - base)
+      val w = in.getByte()
+      Bitpack.unpack(in, n, w, scratch)
+      System.arraycopy(scratch, 0, out, base, n)
+      base += n
+    }
+    out
   }
 
   def decode(in: BufReader, count: Int): Array[Double] = {
@@ -460,6 +548,14 @@ object DoubleCodec {
         var i = 0
         while (i < nExc) {
           out(pos(i).toInt) = java.lang.Double.longBitsToDouble(exc(i))
+          i += 1
+        }
+      case DoubleBp =>
+        val lo = unpackU32Blocks(in, count)
+        val hi = unpackU32Blocks(in, count)
+        var i = 0
+        while (i < count) {
+          out(i) = java.lang.Double.longBitsToDouble((hi(i) << 32) | lo(i))
           i += 1
         }
       case Pseudodecimal =>

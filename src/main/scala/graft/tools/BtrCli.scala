@@ -187,6 +187,7 @@ object BtrCli {
       case DoubleCodec.Rle => "rle"
       case DoubleCodec.Frequency => "frequency"
       case DoubleCodec.Pseudodecimal => "pseudodec"
+      case DoubleCodec.DoubleBp => "double_bp"
       case _ => s"dbl:$id"
     }
     else id match {

@@ -164,6 +164,38 @@ class CodecSpec extends AnyFunSuite {
     assert(size < 65000 * 8 * 6 / 10, s"pseudodecimal size $size should beat raw")
   }
 
+  test("double double_bp: bit-exact round-trip, opt-in gating, beats raw on int-valued data") {
+    // registered-but-not-default, like the reference pool (SchemeType.hpp:49-53)
+    assert(!BtrConfig.Default.doubleEnabled(DoubleCodec.DoubleBp))
+    assert(BtrConfig.Default.copy(schemes = Set("doublebp"))
+      .doubleEnabled(DoubleCodec.DoubleBp))
+    def forcedRoundTrip(vals: Array[Double]): Int = {
+      val out = new BufWriter()
+      DoubleCodec.encodeForced(DoubleCodec.DoubleBp, out, vals, vals.length, 3)
+      val decoded = DoubleCodec.decode(new BufReader(out.result()), vals.length)
+      var i = 0
+      while (i < vals.length) {
+        assert(java.lang.Double.doubleToRawLongBits(decoded(i)) ==
+          java.lang.Double.doubleToRawLongBits(vals(i)), s"bit mismatch at $i")
+        i += 1
+      }
+      out.pos
+    }
+    val rnd = new Random(13)
+    // integer-valued doubles: lo u32 plane is all zero, hi plane narrow
+    val intish = Array.tabulate(65000)(i => (i % 4096).toDouble)
+    val size = forcedRoundTrip(intish)
+    assert(size < 65000 * 8 / 2, s"double_bp size $size should beat raw on int-valued data")
+    // full-entropy + special payloads stay bit-exact (worst case ≈ raw)
+    forcedRoundTrip(Array.tabulate(4096)(_ => rnd.nextDouble() * 1e18 - 5e17))
+    forcedRoundTrip(Array(
+      -0.0, 0.0, Double.NaN, java.lang.Double.longBitsToDouble(0x7ff8000000abcdefL),
+      Double.PositiveInfinity, Double.NegativeInfinity,
+      Double.MinPositiveValue, java.lang.Double.MAX_VALUE))
+    // ragged tail (non-multiple of the 256-value block)
+    forcedRoundTrip(Array.tabulate(300)(i => i * 1.5))
+  }
+
   test("double specials: -0.0, NaN, infinities, subnormals") {
     val vals = Array(
       -0.0, 0.0, Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity,

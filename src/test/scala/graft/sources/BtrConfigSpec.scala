@@ -88,6 +88,30 @@ class BtrConfigSpec extends AnyFunSuite {
     assert(schemesOf(dir).exists(_.startsWith("pseudodec")))
   }
 
+  test("double_bp is opt-in: forced and TRY_ALL-eligible when enabled, absent by default") {
+    import spark.implicits._
+    val df = (0 until 5000).map(i => (i % 4096).toDouble).toDF("v")
+    // default scheme set never emits double_bp (reference pool parity)
+    val defDir = tmp("dbl_bp_default")
+    df.coalesce(1).write.format("btr").mode("overwrite").save(defDir)
+    assertRoundTrip(df, defDir)
+    assert(!schemesOf(defDir).exists(_.startsWith("double_bp")), schemesOf(defDir).toString)
+    // forced
+    val fDir = tmp("dbl_bp_forced")
+    df.coalesce(1).write.format("btr").mode("overwrite")
+      .option("btr.forceScheme.double", "doublebp").save(fDir)
+    assertRoundTrip(df, fDir)
+    assert(schemesOf(fDir).exists(_.startsWith("double_bp")), schemesOf(fDir).toString)
+    // TRY_ALL with the scheme opted in and the cascading family excluded:
+    // int-valued doubles pack far below raw, so double_bp must win
+    val tDir = tmp("dbl_bp_tryall")
+    df.coalesce(1).write.format("btr").mode("overwrite")
+      .option("btr.selection", "tryall")
+      .option("btr.schemes", "doublebp").save(tDir)
+    assertRoundTrip(df, tDir)
+    assert(schemesOf(tDir).exists(_.startsWith("double_bp")), schemesOf(tDir).toString)
+  }
+
   test("forcing onevalue on non-constant data fails fast") {
     import spark.implicits._
     val df = Seq(1L, 2L, 3L).toDF("v")
