@@ -795,40 +795,81 @@ object BtrTableMeta {
     */
   val MaintenanceLeaseMs: Long = 10L * 60 * 1000
 
-  /** Publish a swap journal, then RE-CHECK for other pending journals
-    * claiming any of the same source files, and retract ours if one
-    * does (throwing the standard concurrent-commit conflict — the
-    * caller's cleanup/abort then sweeps its staged outputs; nothing was
-    * renamed yet).
+  /** Pre-publication claims: a swap journal body parked under a prefix
+    * that [[completeSwapJournals]] never ACTS on. The claim participates
+    * in conflict detection (both racers see each other's) but is not
+    * actionable — so it can be retracted without any window in which a
+    * concurrent convergence pass could treat it as a real journal.
+    * Intents are transient (they live for one listing inside
+    * [[publishSwapJournalChecked]]); one older than [[MaintenanceLeaseMs]]
+    * belongs to a crashed publisher, is ignored by conflict checks, and
+    * is swept by [[completeSwapJournals]] — always safe, an intent
+    * precedes every rename/delete of its operation.
+    */
+  private[graft] val IntentPrefix = "_btr_swapintent_"
+
+  private[graft] def readFreshIntents(fs: FileSystem, root: Path): Seq[(Path, Seq[SwapGroup])] = {
+    val now = System.currentTimeMillis()
+    readJournalsWithPrefix(fs, root, IntentPrefix).filter { case (p, _) =>
+      try now - fs.getFileStatus(p).getModificationTime < MaintenanceLeaseMs
+      catch { case _: java.io.IOException => false } // retracted concurrently
+    }
+  }
+
+  /** Publish a swap journal with a conflict re-check, via a two-step
+    * claim: park the journal body under [[IntentPrefix]], RE-CHECK for
+    * other pending journals or live intents claiming any of the same
+    * source files, and only then promote the claim to an actionable
+    * [[SwapPrefix]] journal (retract the intent and throw the standard
+    * concurrent-commit conflict if the check fails — the caller's
+    * cleanup/abort then sweeps its staged outputs; nothing was renamed).
     *
-    * This closes the two-in-flight window that per-operation visibility
-    * checks cannot: two maintenance/rewrite writers can both pass their
-    * pre-publish source-visibility checks before EITHER publishes, and
-    * both would then replace the same sources — duplicating (compact ×
-    * compact) or resurrecting (compact × DELETE/rewrite) rows. Journal
-    * publication is atomically visible and listings are consistent, so
-    * of two racers at least one lists AFTER both published; whoever
-    * OBSERVES a conflict yields. (Both may observe and both yield —
-    * safe, both retry; never do two proceed on shared sources.)
+    * The re-check closes the two-in-flight window that per-operation
+    * visibility checks cannot: two maintenance/rewrite writers can both
+    * pass their pre-publish source-visibility checks before EITHER
+    * publishes, and both would then replace the same sources —
+    * duplicating (compact × compact) or resurrecting (compact ×
+    * DELETE/rewrite) rows. Claim publication is atomically visible and
+    * listings are consistent, so of two racers at least one lists AFTER
+    * both claimed; whoever OBSERVES a conflict yields. (Both may observe
+    * and both yield — safe, both retry; never do two proceed on shared
+    * sources.) During promotion the swap journal is written BEFORE the
+    * intent is dropped, so from first claim to retirement the operation's
+    * sources are continuously claimed under at least one prefix.
+    *
+    * The intent step exists because a retractable REAL journal is unsafe:
+    * a journal whose finals are all visible — trivially so for the
+    * empty-finals delete-intent groups of [[graft.sources.BtrDelete]],
+    * and equally for overwrite commits whose finals were renamed by task
+    * commits — is "all complete" to a concurrent [[completeSwapJournals]]
+    * pass (run at every table operation), which would converge it FORWARD
+    * at any age, deleting the doomed sources inside the publish→retract
+    * window. The conflict throw's "nothing was published" would then be
+    * false, and readers could observe present→absent→present transients.
+    * An intent is never converged, so the window does not exist.
     */
   def publishSwapJournalChecked(
-      fs: FileSystem, root: Path, id: String, groups: Seq[SwapGroup]): Path = {
-    val mine = writeSwapJournal(fs, root, id, groups)
+      fs: FileSystem, root: Path, id: String, groups: Seq[SwapGroup],
+      afterIntent: () => Unit = () => ()): Path = {
+    val intent = writeJournalFile(fs, root, s"$IntentPrefix$id.json", groups)
+    afterIntent() // test injection point: the claim is parked, not actionable
     def keyOf(dir: String, n: String): String = if (dir.isEmpty) n else s"$dir/$n"
     val mySources = groups.flatMap(g => g.sources.map(s => keyOf(g.dir, s))).toSet
-    val clash = readSwapJournals(fs, root)
-      .filter(_._1.getName != mine.getName)
+    val clash = (readSwapJournals(fs, root) ++ readFreshIntents(fs, root))
+      .filter(_._1.getName != intent.getName)
       .flatMap(_._2)
       .flatMap(g => g.sources.map(s => keyOf(g.dir, s)))
       .filter(mySources.contains)
     if (clash.nonEmpty) {
-      fs.delete(mine, false)
+      fs.delete(intent, false)
       throw new IllegalStateException(
         s"btr: concurrent commit conflict at $root — another in-flight rewrite/" +
           s"maintenance journal claims ${clash.size} of this operation's source " +
           s"file(s) (e.g. ${clash.sorted.take(3).mkString(", ")}); this writer " +
           "yielded before renaming anything. Nothing was published; retry.")
     }
+    val mine = writeSwapJournal(fs, root, id, groups)
+    fs.delete(intent, false)
     mine
   }
 
@@ -848,6 +889,23 @@ object BtrTableMeta {
   /** All pending swap journals at the root (journal path + its groups). */
   def readSwapJournals(fs: FileSystem, root: Path): Seq[(Path, Seq[SwapGroup])] =
     readJournalsWithPrefix(fs, root, SwapPrefix)
+
+  /** Deletion-vector blob rels advertised as FINALS by pending swap
+    * journals or live intents other than `excludeName` — a RESTORE
+    * mid-resurrection: the masks for those blobs' TARGET data files are
+    * about to return. A merge/rewrite whose sources include such a
+    * target must yield (splicing the unmasked incarnation would
+    * resurrect the re-masked rows); symmetrically the RESTORE yields
+    * when a pending journal claims one of its blob targets as a source
+    * (found by BtrRaceFuzzSpec seed 27182818 round 8: compact ×
+    * restore→v both committed, masked rows resurrected into the merge).
+    */
+  def pendingBlobFinals(fs: FileSystem, root: Path, excludeName: String): Seq[String] =
+    (readSwapJournals(fs, root) ++ readFreshIntents(fs, root))
+      .filter(_._1.getName != excludeName)
+      .flatMap(_._2)
+      .flatMap(g => g.finals.map(f => if (g.dir.isEmpty) f else s"${g.dir}/$f"))
+      .filter(DeletionVector.isDvRel)
 
   /** Done markers of completed swaps (source→final mappings for streams). */
   def readDoneSwapJournals(fs: FileSystem, root: Path): Seq[(Path, Seq[SwapGroup])] =
@@ -915,6 +973,18 @@ object BtrTableMeta {
     */
   def completeSwapJournals(fs: FileSystem, root: Path,
       rollbackMinAgeMs: Long = MaintenanceLeaseMs): Unit = {
+    // sweep crashed publishers' claims (see [[IntentPrefix]]): an intent
+    // precedes every rename/delete of its operation, so dropping a stale
+    // one never loses work. Live intents (younger than the lease — or any
+    // age under forced recovery, when no writer can be live) are left to
+    // their owner.
+    if (fs.exists(root)) {
+      val now = System.currentTimeMillis()
+      fs.listStatus(root)
+        .filter(st => st.isFile && st.getPath.getName.startsWith(IntentPrefix) &&
+          now - st.getModificationTime >= rollbackMinAgeMs)
+        .foreach(st => fs.delete(st.getPath, false))
+    }
     val retain = readRetainRemoved(fs, root)
     readSwapJournals(fs, root).foreach { case (journal, groups) =>
       val anyIncomplete = groups.exists { g =>

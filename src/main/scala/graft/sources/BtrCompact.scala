@@ -152,7 +152,9 @@ object BtrCompact {
       path: String,
       cols: Seq[String],
       targetBytes: Long = 128L * 1024 * 1024,
-      where: Option[String] = None
+      where: Option[String] = None,
+      // test-only race injection (see compact's afterJournal)
+      afterJournal: () => Unit = () => ()
   ): (Int, Int) = {
     val partCols = BtrTableMeta.readPartitionCols(
       new Path(path).getFileSystem(BtrTableMeta.hadoopConf()), new Path(path))
@@ -160,7 +162,7 @@ object BtrCompact {
     // each ts_days dir contiguous, the same locality identity cols get)
     val leads = partCols.map(c => graft.format.PartitionTransform.parse(c).source)
     val ordered = (leads ++ cols.filterNot(leads.contains)).distinct.toSeq
-    rewriteWith(spark, path, targetBytes, where)((df, n) =>
+    rewriteWith(spark, path, targetBytes, where, afterJournal = afterJournal)((df, n) =>
       BtrLayout.clusterBy(df, ordered, n))
   }
 
@@ -211,7 +213,9 @@ object BtrCompact {
       spark: SparkSession,
       path: String,
       targetBytes: Long = 128L * 1024 * 1024,
-      where: Option[String] = None
+      where: Option[String] = None,
+      // test-only race injection (see compact's afterJournal)
+      afterJournal: () => Unit = () => ()
   ): (Int, Int) = {
     import graft.format.DeletionVector
     val root = new Path(path)
@@ -247,8 +251,8 @@ object BtrCompact {
     if (heavy.isEmpty) return (0, 0)
     // identity layout: one read split per purged file becomes one staged
     // file — no shuffle, locality preserved, untouched files unread
-    rewriteWith(spark, path, targetBytes, where, scopeToRels = Some(heavy))(
-      (df, _) => df)
+    rewriteWith(spark, path, targetBytes, where, scopeToRels = Some(heavy),
+      afterJournal = afterJournal)((df, _) => df)
   }
 
   /** Evaluate a partition predicate once per listed file against its
@@ -313,7 +317,10 @@ object BtrCompact {
       // file-scoped rewrite (APPLY PURGE): only these table-root-relative
       // data files rewrite; the read is narrowed to exactly them through
       // the `_file` metadata column (planning prunes every other file)
-      scopeToRels: Option[Set[String]] = None
+      scopeToRels: Option[Set[String]] = None,
+      // test-only race injection: between the journal publish and the
+      // staged renames (the lease-skew guard's window)
+      afterJournal: () => Unit = () => ()
   )(layout: (org.apache.spark.sql.DataFrame, Int) => org.apache.spark.sql.DataFrame): (Int, Int) = {
     val root = new Path(path)
     val fs = root.getFileSystem(BtrTableMeta.hadoopConf())
@@ -383,15 +390,28 @@ object BtrCompact {
         // the removed file set agree, leaving the in-flight files alone
         spark.read.format("btr").option("btr.versionAsOf", latestV.get.toString).load(path)
       else spark.read.format("btr").load(path)
-    val df1 = where.map(w => df0.filter(org.apache.spark.sql.functions.expr(w))).getOrElse(df0)
+    // WHERE row-scoping: on an identity-partitioned table the predicate
+    // is a data-column filter and partition pruning keeps the read
+    // O(selected dirs). On a TRANSFORM layout the documented predicates
+    // reference DERIVED dir fields (`ts_days >= '2026-08-15'`) that are
+    // not DataFrame columns — expr(where) would fail analysis — so the
+    // rewrite scopes by FILES instead: the keep evaluation above already
+    // selected exactly the matching files over typed dir values, and
+    // partition-aligned predicates match whole files by construction.
+    val transformPartitioned =
+      partCols.exists(c => !graft.format.PartitionTransform.parse(c).isIdentity)
+    val df1 = where match {
+      case Some(w) if !transformPartitioned =>
+        df0.filter(org.apache.spark.sql.functions.expr(w))
+      case _ => df0
+    }
     // `_file` is a per-file constant to the planner: the IN filter prunes
     // every out-of-scope file before any data I/O, so a purge of K files
     // costs O(K) reads on a million-file table
-    val df = scopeToRels match {
-      case Some(_) => df1.filter(org.apache.spark.sql.functions
+    val df = if (scopeToRels.isDefined || (where.isDefined && transformPartitioned))
+      df1.filter(org.apache.spark.sql.functions
         .col(BtrScan.FileMetaCol).isin(entries.map(_.path.toString).toSeq: _*))
-      case None => df1
-    }
+    else df1
     // the rewrite must keep the table's recorded geometry — defaulting
     // here would silently inflate a small-block table's row groups and
     // destroy the chunk-skipping granularity the rewrite exists to restore
@@ -466,9 +486,9 @@ object BtrCompact {
     // through partition dirs) — the whole rewrite flips together.
     // Publish-then-recheck: the observer of a concurrent maintenance
     // journal over shared sources yields before renaming anything
+    val rewriteId = java.util.UUID.randomUUID().toString.substring(0, 8)
     val myJournal =
-      try BtrTableMeta.publishSwapJournalChecked(fs, root,
-        java.util.UUID.randomUUID().toString.substring(0, 8),
+      try BtrTableMeta.publishSwapJournalChecked(fs, root, rewriteId,
         Seq(BtrTableMeta.SwapGroup("", stagedRels, srcRelsSeq ++ srcBlobRels)))
       catch {
         case e: IllegalStateException => fs.delete(staging, true); throw e
@@ -478,8 +498,10 @@ object BtrCompact {
     // the publish saw no journal — look again now that ours is visible
     locally {
       val srcSet = srcRelsSeq.toSet
-      val maskedNow = graft.format.DeletionVector
-        .blobRelsForTargets(fs, qrootV, srcSet)
+      val maskedNow = (graft.format.DeletionVector
+        .blobRelsForTargets(fs, qrootV, srcSet) ++
+        BtrTableMeta.pendingBlobFinals(fs, root, myJournal.getName)
+          .filter(r => graft.format.DeletionVector.targetOf(r).exists(srcSet.contains)))
         .filterNot(srcBlobRels.toSet.contains)
       if (maskedNow.nonEmpty) {
         fs.delete(myJournal, false)
@@ -491,12 +513,37 @@ object BtrCompact {
             "anything. Nothing was published; retry the rewrite.")
       }
     }
+    afterJournal()
     staged.foreach { e =>
       val rel = e.path.toUri.getPath.substring(stagingLen)
       val dst = new Path(root, rel)
       fs.mkdirs(dst.getParent)
       if (!fs.rename(e.path, dst))
         throw new java.io.IOException(s"btr rewrite: rename ${e.path} into $root failed")
+    }
+    // lease-skew guard: if a convergence pass treated this worker as
+    // crashed (a stall past MaintenanceLeaseMs, or sweeper clock skew)
+    // it rolled the journal back MID-RENAME, deleting finals already in;
+    // deleting the sources now would lose those rows. All finals are in
+    // at this point, so any convergence from here on goes FORWARD (it
+    // does exactly the source-deletes below — idempotent); only a
+    // missing journal means a rollback raced the rename loop: withdraw
+    // and yield with the sources authoritative.
+    if (!fs.exists(myJournal)) {
+      // one group: the done-marker means the pass carried the whole swap
+      // forward (committed; sources already removed) — continue. No
+      // marker means a rollback: withdraw the outputs and yield.
+      val converged = BtrTableMeta.readDoneSwapJournals(fs, root)
+        .exists(_._1.getName == s"_btr_swapdone_$rewriteId.json")
+      if (!converged) {
+        stagedRels.foreach(rel => fs.delete(new Path(root, rel), false))
+        fs.delete(staging, true)
+        throw new IllegalStateException(
+          s"btr: concurrent commit conflict at $root — this rewrite's swap journal " +
+            "was rolled back mid-rename (a convergence pass judged the worker " +
+            "crashed past the maintenance lease); its outputs were withdrawn and " +
+            "the sources remain authoritative. Retry the rewrite.")
+      }
     }
     locally {
       val retain = BtrTableMeta.readRetainRemoved(fs, root)
@@ -553,7 +600,11 @@ object BtrCompact {
       // test-only: runs between the journal publish and the renames — the
       // window the post-publish overlap check (publishSwapJournalChecked)
       // guards; a concurrent maintenance writer landing here must yield
-      afterJournal: () => Unit = () => ()): (Int, Int) = {
+      afterJournal: () => Unit = () => (),
+      // test-only: runs while the claim is PARKED under the intent prefix,
+      // before the overlap re-check promotes it (the window where a
+      // concurrent convergence pass must not act on the claim)
+      afterIntent: () => Unit = () => ()): (Int, Int) = {
     val root = new Path(path)
     val fs = root.getFileSystem(BtrTableMeta.hadoopConf())
     graft.format.BtrFs.requireCommitCapable(fs, root)
@@ -717,7 +768,8 @@ object BtrCompact {
     // pre-publish — the observer yields before renaming anything
     val myJournal =
       try BtrTableMeta.publishSwapJournalChecked(fs, root, compactId,
-        jobs.map { case (bin, _, fin) => BtrTableMeta.SwapGroup(rel(bin.dirUri), Seq(fin), bin.files) })
+        jobs.map { case (bin, _, fin) => BtrTableMeta.SwapGroup(rel(bin.dirUri), Seq(fin), bin.files) },
+        afterIntent = afterIntent)
       catch {
         case e: IllegalStateException =>
           jobs.foreach { case (bin, tmp, _) =>
@@ -736,8 +788,14 @@ object BtrCompact {
         val prefix = rel(bin.dirUri)
         bin.files.map(f => if (prefix.isEmpty) f else s"$prefix/$f")
       }.toSet
+      // physically-present blobs (an in-flight DV commit) PLUS blobs a
+      // pending RESTORE journal is about to resurrect (its finals) —
+      // either way the masks for a binned file are in flight and the
+      // splice would resurrect the masked rows
       val maskedNow = graft.format.DeletionVector
-        .blobRelsForTargets(fs, qualRoot, binnedRels)
+        .blobRelsForTargets(fs, qualRoot, binnedRels) ++
+        BtrTableMeta.pendingBlobFinals(fs, root, myJournal.getName)
+          .filter(r => graft.format.DeletionVector.targetOf(r).exists(binnedRels.contains))
       if (maskedNow.nonEmpty) {
         fs.delete(myJournal, false)
         jobs.foreach { case (bin, tmp, _) =>
@@ -753,10 +811,41 @@ object BtrCompact {
     afterJournal()
     val retain = BtrTableMeta.readRetainRemoved(fs, root)
     val qroot = fs.makeQualified(root)
+    // rename ALL finals in, THEN delete sources — with the lease-skew
+    // guard between (see rewriteWith): once every group's final is
+    // visible the journal is all-complete, and any convergence pass goes
+    // FORWARD (idempotent with the deletes below). A journal missing at
+    // the barrier means a rollback raced the rename loop — groups whose
+    // sources survive withdraw their final; forward-converged groups
+    // (sources already gone) keep theirs, they are committed.
     jobs.foreach { case (bin, tmp, fin) =>
       val dir = new Path(new java.net.URI(bin.dirUri))
       if (!fs.rename(new Path(dir, tmp), new Path(dir, fin)))
         throw new java.io.IOException(s"btr compact: rename $tmp -> $fin failed in $dir")
+    }
+    if (!fs.exists(myJournal)) {
+      // the done-marker says EXACTLY which groups the convergence pass
+      // carried forward (their swap committed — sources already removed);
+      // every other group was rolled back and withdraws its merged file.
+      // Source presence is NOT the discriminator: a third writer may have
+      // consumed a rolled-back group's sources after the rollback.
+      val converged: Set[(String, String)] = BtrTableMeta.readDoneSwapJournals(fs, root)
+        .filter(_._1.getName == s"_btr_swapdone_$compactId.json")
+        .flatMap(_._2).flatMap(g => g.finals.map(f => (g.dir, f))).toSet
+      val withdrawn = jobs.filter { case (bin, _, fin) =>
+        if (!converged.contains((rel(bin.dirUri), fin))) {
+          fs.delete(new Path(new Path(new java.net.URI(bin.dirUri)), fin), false); true
+        } else false
+      }
+      if (withdrawn.nonEmpty)
+        throw new IllegalStateException(
+          s"btr: concurrent commit conflict at $root — this OPTIMIZE's swap " +
+            s"journal was rolled back mid-rename (a convergence pass judged the " +
+            s"worker crashed past the maintenance lease); ${withdrawn.length} " +
+            "bin(s) withdrew their merged file, sources remain authoritative. " +
+            "Retry the OPTIMIZE.")
+    }
+    jobs.foreach { case (bin, _, _) =>
       val prefix = rel(bin.dirUri)
       bin.files.foreach(f => BtrRetention.removeDataFile(fs, qroot,
         if (prefix.isEmpty) f else s"$prefix/$f", retain))

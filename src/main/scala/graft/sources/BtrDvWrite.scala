@@ -178,9 +178,15 @@ class BtrDvDeltaWrite(path: String, rowIdSchema: StructType,
         // our (task-committed) blobs and yields, or we see its journal
         // here and roll back.
         if (targets.nonEmpty) {
-          val claimed = BtrTableMeta.readSwapJournals(fs, root)
+          // claims = journal sources (an OPTIMIZE/rewrite/DELETE about to
+          // re-home or drop the target) PLUS blob FINALS of a pending
+          // RESTORE (masks about to return over the target — our masks
+          // were computed against visibility that excluded them)
+          val claimed = (BtrTableMeta.readSwapJournals(fs, root)
             .flatMap(_._2)
-            .flatMap(g => g.sources.map(s => if (g.dir.isEmpty) s else s"${g.dir}/$s"))
+            .flatMap(g => g.sources.map(s => if (g.dir.isEmpty) s else s"${g.dir}/$s")) ++
+            BtrTableMeta.pendingBlobFinals(fs, root, "")
+              .flatMap(graft.format.DeletionVector.targetOf))
             .filter(targets.contains)
           if (claimed.nonEmpty)
             throw new IllegalStateException(

@@ -663,8 +663,39 @@ object BtrLog {
       // store via the retention-routed rollback)
       // publish-then-recheck: an in-flight maintenance journal over a
       // dropped file means the observer (this RESTORE) yields
-      BtrTableMeta.publishSwapJournalChecked(fs, root, s"nm-restore-${BtrWriteIds.newWriteId()}",
+      val myJournal = BtrTableMeta.publishSwapJournalChecked(fs, root,
+        s"nm-restore-${BtrWriteIds.newWriteId()}",
         Seq(BtrTableMeta.SwapGroup("", resurrectable.map(_._1), toDrop.toSeq)))
+      // resurrected deletion-vector blobs re-mask rows in their TARGET
+      // data files; a pending maintenance journal (or live intent)
+      // claiming such a target is mid-merge of the UNMASKED incarnation —
+      // completing both would resurrect the re-masked rows into the
+      // merged file (the publish-then-recheck above compares only
+      // sources vs sources, which cannot see this overlap; found by
+      // BtrRaceFuzzSpec seed 27182818). The merge writers run the
+      // symmetric check against pending blob FINALS, so whichever of the
+      // two publishes second observes the other; the observer yields.
+      locally {
+        val resurrectTargets = resurrectable.map(_._1)
+          .flatMap(graft.format.DeletionVector.targetOf).toSet
+        if (resurrectTargets.nonEmpty) {
+          val claimed = (BtrTableMeta.readSwapJournals(fs, root) ++
+            BtrTableMeta.readFreshIntents(fs, root))
+            .filter(_._1.getName != myJournal.getName)
+            .flatMap(_._2)
+            .flatMap(g => g.sources.map(s => if (g.dir.isEmpty) s else s"${g.dir}/$s"))
+            .filter(resurrectTargets.contains)
+          if (claimed.nonEmpty) {
+            fs.delete(myJournal, false)
+            throw new IllegalStateException(
+              s"btr: concurrent commit conflict at $root — an in-flight rewrite/" +
+                s"maintenance journal claims ${claimed.size} data file(s) whose " +
+                "deletion-vector masks this RESTORE would resurrect (e.g. " +
+                s"${claimed.sorted.take(3).mkString(", ")}); the RESTORE yielded " +
+                "before moving anything. Retry the RESTORE.")
+          }
+        }
+      }
       resurrectable.foreach { case (rel, e) =>
         val dst = new Path(root, rel)
         fs.mkdirs(dst.getParent)
@@ -673,6 +704,27 @@ object BtrLog {
             "removed store")
       }
       val retain = BtrTableMeta.readRetainRemoved(fs, root)
+      // lease-skew guard (see BtrCompact.rewriteWith): a rollback racing
+      // the resurrection loop has already routed some resurrected files
+      // back to the store; dropping `toDrop` now would make the table
+      // neither pre- nor post-restore. "nm-" journals leave no
+      // done-marker, so discriminate by the sources: any `toDrop` file
+      // still present means the pass ROLLED BACK — return the
+      // resurrections and yield; all gone means it converged forward
+      // (the restore committed) — continue, the deletes below no-op.
+      if (!fs.exists(myJournal) &&
+        (toDrop.exists(f => fs.exists(new Path(root, f))) ||
+          (toDrop.isEmpty && resurrectable.exists(r => !fs.exists(new Path(root, r._1)))))) {
+        resurrectable.foreach { case (rel, _) =>
+          graft.format.BtrRetention.removeDataFile(fs, root, rel, retain)
+        }
+        throw new IllegalStateException(
+          s"btr: concurrent commit conflict at $root — this RESTORE's swap " +
+            "journal was rolled back mid-resurrection (a convergence pass " +
+            "judged the worker crashed past the maintenance lease); the " +
+            "resurrected files returned to the removed store and the current " +
+            "version stands. Retry the RESTORE.")
+      }
       toDrop.foreach(f => graft.format.BtrRetention.removeDataFile(fs, root, f, retain))
       BtrTableMeta.completeSwapJournals(fs, root)
       // write-time ingest stats describe the pre-restore table — drop

@@ -757,7 +757,11 @@ class BtrBatchWrite(path: String, schema: StructType, mode: BtrOverwriteMode, bl
         // will roll back still makes this writer yield — both-yield is
         // safe, proceed-proceed is not)
         locally {
-          val newBlobs = blobsOf(sources).filterNot(srcBlobs.toSet.contains)
+          val srcSet = sources.toSet
+          val newBlobs = (blobsOf(sources) ++
+            BtrTableMeta.pendingBlobFinals(fs, dir, myJournal.getName)
+              .filter(r => graft.format.DeletionVector.targetOf(r).exists(srcSet.contains)))
+            .filterNot(srcBlobs.toSet.contains)
           if (newBlobs.nonEmpty) {
             fs.delete(myJournal, false)
             throw new IllegalStateException(
@@ -772,6 +776,24 @@ class BtrBatchWrite(path: String, schema: StructType, mode: BtrOverwriteMode, bl
           val to = new Path(dir, visibleOf(rel))
           if (!fs.rename(from, to))
             throw new java.io.IOException(s"btr rewrite: rename $rel -> ${visibleOf(rel)} failed")
+        }
+        // lease-skew guard (see BtrCompact.rewriteWith): a convergence
+        // pass that judged this writer crashed rolled the journal back
+        // mid-rename, deleting finals already in — deleting the sources
+        // now would lose their rows. "nm-" journals leave no done-marker,
+        // so discriminate by the sources: any still present means the
+        // pass ROLLED BACK (forward convergence removes them all) —
+        // withdraw and yield; all gone means it converged forward
+        // (committed) — continue, the deletes below no-op.
+        if (!fs.exists(myJournal) &&
+          logRemoved.exists(r => fs.exists(new Path(dir, r)))) {
+          committedForward = false
+          staged.foreach(rel => fs.delete(new Path(dir, visibleOf(rel)), false))
+          throw new IllegalStateException(
+            s"btr: concurrent commit conflict at $dir — this rewrite's swap " +
+              "journal was rolled back mid-rename (a convergence pass judged " +
+              "the writer crashed past the maintenance lease); its outputs were " +
+              "withdrawn and the sources remain authoritative. Retry.")
         }
         logRemoved.foreach(relPath => BtrRetention.removeDataFile(fs, dir, relPath, retainRemoved))
       case BtrOverwriteMode.Append =>

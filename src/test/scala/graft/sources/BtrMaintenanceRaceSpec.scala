@@ -187,6 +187,180 @@ class BtrMaintenanceRaceSpec extends AnyFunSuite {
     assert(readRows(dir) == Seq(3, 4, 101, 102))
   }
 
+  test("a convergence pass inside the publish re-check window cannot act on the claim") {
+    // regression (ADVICE r13): publishSwapJournalChecked used to publish a
+    // REAL swap journal before its overlap re-check. A journal whose
+    // finals are all visible — vacuously so for a DELETE's empty-finals
+    // intent group — is "all complete" to completeSwapJournals, which
+    // converges it FORWARD at any age: a concurrent pass inside the
+    // publish→retract window deleted the doomed sources even though the
+    // publisher went on to throw "nothing was published". The claim now
+    // parks under a non-actionable intent prefix until the check passes.
+    val dir = tmp("intent-window")
+    Seq(1, 2).toDF("x").repartition(1).write.format("btr").mode("overwrite").save(dir)
+    val (fs, root) = fsRoot(dir)
+    val src = dataFiles(dir).head
+    var sawWindow = false
+    BtrTableMeta.publishSwapJournalChecked(fs, root, "nm-itest",
+      Seq(BtrTableMeta.SwapGroup("", Nil, Seq(src))),
+      afterIntent = () => {
+        // the adversary: a full convergence pass while the claim is parked
+        BtrTableMeta.completeSwapJournals(fs, root)
+        assert(fs.exists(new Path(root, src)),
+          "a parked claim must never be converged forward — sources intact")
+        assert(readRows(dir) == Seq(1, 2))
+        sawWindow = true
+      })
+    assert(sawWindow)
+    // the promoted journal converges like any committed delete intent
+    fs.delete(new Path(root, src), false)
+    BtrTableMeta.completeSwapJournals(fs, root)
+    assert(!fs.exists(new Path(root, s"_btr_swap_nm-itest.json")))
+  }
+
+  test("a stale intent is ignored by the conflict check and swept; a live one blocks") {
+    val dir = tmp("intent-lease")
+    Seq(1, 2).toDF("x").repartition(1).write.format("btr").mode("overwrite").save(dir)
+    val (fs, root) = fsRoot(dir)
+    val src = dataFiles(dir).head
+    // adversary A parks a claim on `src` and stalls (simulated crash):
+    // grab the intent file from inside A's window, then fail A's check
+    var intentPath: Option[Path] = None
+    intercept[IllegalStateException] {
+      BtrTableMeta.publishSwapJournalChecked(fs, root, "nm-crasher",
+        Seq(BtrTableMeta.SwapGroup("", Nil, Seq(src))),
+        afterIntent = () => {
+          intentPath = Some(new Path(root, "_btr_swapintent_nm-crasher.json"))
+          assert(fs.exists(intentPath.get))
+          // writer B claims the same source while A is live → B must yield
+          val e = intercept[IllegalStateException] {
+            BtrTableMeta.publishSwapJournalChecked(fs, root, "nm-b",
+              Seq(BtrTableMeta.SwapGroup("", Nil, Seq(src))))
+          }
+          assert(e.getMessage.contains("conflict"))
+          // make A's own re-check fail too (B's retract left nothing, so
+          // plant a conflicting journal to abort A deterministically)
+          BtrTableMeta.writeSwapJournal(fs, root, "nm-planted",
+            Seq(BtrTableMeta.SwapGroup("", Seq("planted-final.btr"), Seq(src))))
+        })
+    }
+    // A retracted its intent on the conflict path
+    assert(!fs.exists(intentPath.get), "a failed check retracts the intent")
+    fs.delete(new Path(root, "_btr_swap_nm-planted.json"), false)
+    // a crashed publisher leaves its intent orphaned mid-publish
+    intercept[RuntimeException] {
+      BtrTableMeta.publishSwapJournalChecked(fs, root, "nm-stale",
+        Seq(BtrTableMeta.SwapGroup("", Nil, Seq(src))),
+        afterIntent = () => throw new RuntimeException("simulated crash mid-publish"))
+    }
+    val orphan = new Path(root, "_btr_swapintent_nm-stale.json")
+    assert(fs.exists(orphan))
+    // while young it still blocks a conflicting publisher (could be live)
+    val e2 = intercept[IllegalStateException] {
+      BtrTableMeta.publishSwapJournalChecked(fs, root, "nm-c",
+        Seq(BtrTableMeta.SwapGroup("", Nil, Seq(src))))
+    }
+    assert(e2.getMessage.contains("conflict"))
+    // past the lease: ignored by the check and swept by convergence
+    val old = System.currentTimeMillis() - BtrTableMeta.MaintenanceLeaseMs - 60000
+    fs.setTimes(orphan, old, old)
+    val ok = BtrTableMeta.publishSwapJournalChecked(fs, root, "nm-d",
+      Seq(BtrTableMeta.SwapGroup("", Nil, Seq(src))))
+    assert(fs.exists(ok), "a stale orphan intent must not block forever")
+    fs.delete(ok, false) // retire the probe journal without acting on it
+    BtrTableMeta.completeSwapJournals(fs, root)
+    assert(!fs.exists(orphan), "convergence sweeps stale intents")
+    assert(readRows(dir) == Seq(1, 2))
+  }
+
+  test("a sweep past the lease mid-OPTIMIZE: the worker withdraws instead of losing rows") {
+    // clock-skew / long-stall hardening: a convergence pass may judge a
+    // LIVE worker crashed once its journal ages past MaintenanceLeaseMs
+    // and roll the journal back mid-swap. The worker must detect the
+    // rollback at its rename→delete barrier and withdraw its outputs —
+    // continuing would delete the sources whose replacement finals the
+    // rollback just removed (row loss).
+    val dir = tmp("lease-skew-compact")
+    Seq(1, 2).toDF("x").repartition(1).write.format("btr").mode("overwrite").save(dir)
+    Seq(3, 4).toDF("x").repartition(1).write.format("btr").mode("append").save(dir)
+    val (fs, root) = fsRoot(dir)
+    val filesBefore = dataFiles(dir)
+    val e = intercept[IllegalStateException] {
+      BtrCompact.compact(spark, dir, 1L << 20, afterJournal = () => {
+        val old = System.currentTimeMillis() - BtrTableMeta.MaintenanceLeaseMs - 60000
+        BtrTableMeta.readSwapJournals(fs, root).foreach { case (p, _) =>
+          fs.setTimes(p, old, old)
+        }
+        BtrTableMeta.completeSwapJournals(fs, root) // the adversary sweeper
+      })
+    }
+    assert(e.getMessage.contains("conflict"), e.getMessage)
+    assert(readRows(dir) == Seq(1, 2, 3, 4), "no rows lost to the skewed sweep")
+    assert(dataFiles(dir).sorted == filesBefore.sorted,
+      "the merged file withdrew; the sources remain authoritative")
+    // the retry converges normally
+    val (b, a) = BtrCompact.compact(spark, dir, 1L << 20)
+    assert(a < b)
+    assert(readRows(dir) == Seq(1, 2, 3, 4))
+  }
+
+  test("a sweep past the lease mid-rewrite: outputs withdrawn, sources stand") {
+    val dir = tmp("lease-skew-rewrite")
+    Seq(2, 1).toDF("x").repartition(1).write.format("btr").mode("overwrite").save(dir)
+    Seq(4, 3).toDF("x").repartition(1).write.format("btr").mode("append").save(dir)
+    val (fs, root) = fsRoot(dir)
+    val filesBefore = dataFiles(dir)
+    val e = intercept[IllegalStateException] {
+      BtrCompact.rewriteClustered(spark, dir, Seq("x"), afterJournal = () => {
+        val old = System.currentTimeMillis() - BtrTableMeta.MaintenanceLeaseMs - 60000
+        BtrTableMeta.readSwapJournals(fs, root).foreach { case (p, _) =>
+          fs.setTimes(p, old, old)
+        }
+        BtrTableMeta.completeSwapJournals(fs, root)
+      })
+    }
+    assert(e.getMessage.contains("conflict"), e.getMessage)
+    assert(readRows(dir) == Seq(1, 2, 3, 4))
+    assert(dataFiles(dir).sorted == filesBefore.sorted, dataFiles(dir).toString)
+    // no staging leftovers
+    assert(!fs.listStatus(root).exists(_.getPath.getName.startsWith("_rewrite_staging")),
+      "withdrawn rewrite cleans its staging dir")
+  }
+
+  test("a RESTORE resurrecting deletion vectors inside an OPTIMIZE window yields") {
+    // regression (found by BtrRaceFuzzSpec seed 27182818 round 8): the
+    // publish-then-recheck compares sources vs sources, but a RESTORE's
+    // resurrected DV blobs are journal FINALS — so a compactor mid-swap
+    // and a restore re-masking the compactor's sources both passed their
+    // checks, and the splice merged the UNMASKED incarnation, resurrecting
+    // the deleted rows. Now the restore checks its blob TARGETS against
+    // pending journal sources (and the merge side checks pending blob
+    // finals): the observer yields.
+    val dir = tmp("restore-vs-optimize")
+    (0 until 6).toDF("x").repartition(1).write.format("btr")
+      .option("btr.deletionVectors", "true")
+      .option("btr.retainRemoved", "true").mode("overwrite").save(dir)
+    Seq(6, 7).toDF("x").repartition(1).write.format("btr").mode("append").save(dir)
+    val (fs, root) = fsRoot(dir)
+    spark.sql(s"DELETE FROM graft.`$dir` WHERE x % 2 = 1") // DV masks (v: deleted)
+    val vMasked = BtrLog.latestVersion(fs, root).get
+    BtrLog.restore(fs, root, vMasked - 1) // masks rewound; rows back
+    assert(readRows(dir) == Seq(0, 1, 2, 3, 4, 5, 6, 7))
+    var restoreErr: Option[String] = None
+    BtrCompact.compact(spark, dir, 1L << 20, afterJournal = () => {
+      val e = intercept[IllegalStateException] {
+        BtrLog.restore(fs, root, vMasked) // would resurrect blobs over the bins
+      }
+      restoreErr = Some(e.getMessage)
+    })
+    assert(restoreErr.exists(_.contains("conflict")), restoreErr.toString)
+    assert(readRows(dir) == Seq(0, 1, 2, 3, 4, 5, 6, 7),
+      "the OPTIMIZE's merge stands; the restore rolled back whole")
+    // the retry serializes cleanly after the compaction
+    BtrLog.restore(fs, root, vMasked)
+    assert(readRows(dir) == Seq(0, 2, 4, 6))
+  }
+
   test("DELETE racing an in-flight OPTIMIZE journal yields instead of dropping merged rows") {
     val dir = tmp("delete-vs-optimize")
     Seq(1, 2).toDF("x").repartition(1).write.format("btr").mode("overwrite").save(dir)

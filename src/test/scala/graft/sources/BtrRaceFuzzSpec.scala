@@ -227,7 +227,7 @@ class BtrRaceFuzzSpec extends AnyFunSuite {
       var bRan = false
       def fireB(): Unit = { bRan = true; runB() }
 
-      val (aName, effA): (String, Seq[Int] => Seq[Int]) = rnd.nextInt(5) match {
+      val (aName, effA): (String, Seq[Int] => Seq[Int]) = rnd.nextInt(8) match {
         case 0 =>
           val vs = freshVals(4 + rnd.nextInt(8))
           val (bw, msgs) = stage(BtrOverwriteMode.Append, vs, rnd.nextLong())
@@ -268,13 +268,46 @@ class BtrRaceFuzzSpec extends AnyFunSuite {
           try BtrCompact.compact(spark, dir, 1L << 20, beforeSwap = () => fireB())
           catch { case e: IllegalStateException if isConflict(e) => aCommitted = false }
           ("compact+hook", identity)
-        case _ =>
+        case 4 =>
           // B lands between the compactor's journal publish and its
           // renames — the window publish-then-recheck guards: B must
           // either succeed on disjoint files or yield, never corrupt
           try BtrCompact.compact(spark, dir, 1L << 20, afterJournal = () => fireB())
           catch { case e: IllegalStateException if isConflict(e) => aCommitted = false }
           ("compact+afterJournal", identity)
+        case 5 =>
+          // B lands while the compactor's claim is PARKED under the
+          // intent prefix (pre-promotion): B's own convergence passes
+          // must not act on the claim, and overlapping B commits make
+          // the compactor's re-check yield
+          try BtrCompact.compact(spark, dir, 1L << 20, afterIntent = () => fireB())
+          catch { case e: IllegalStateException if isConflict(e) => aCommitted = false }
+          ("compact+afterIntent", identity)
+        case 6 =>
+          // APPLY PURGE's journal window: B (which may draw RESTORE —
+          // the VERDICT r13 #5b interleaving, masked tables under the
+          // transform/object-store arms) lands between the purge's
+          // journal publish and its staged renames
+          try BtrCompact.purgeMasked(spark, dir, 1L << 20, afterJournal = () => fireB())
+          catch { case e: IllegalStateException if isConflict(e) => aCommitted = false }
+          ("purge+afterJournal", identity)
+        case _ =>
+          // sweeper vs LIVE worker past the lease (clock skew / long
+          // stall): the journal ages mid-swap, an adversary convergence
+          // rolls it back, then B lands — the worker must withdraw at
+          // its rename→delete barrier, never delete sources whose
+          // replacement the rollback removed
+          try BtrCompact.compact(spark, dir, 1L << 20, afterJournal = () => {
+            val (fs, root) = fsRoot
+            val old = System.currentTimeMillis() - BtrTableMeta.MaintenanceLeaseMs - 60000
+            BtrTableMeta.readSwapJournals(fs, root).foreach { case (p, _) =>
+              fs.setTimes(p, old, old)
+            }
+            BtrTableMeta.completeSwapJournals(fs, root)
+            fireB()
+          })
+          catch { case e: IllegalStateException if isConflict(e) => aCommitted = false }
+          ("compact+leaseskew", identity)
       }
       if (!bRan) runB() // compact found no bin or failed pre-hook: B runs after
 

@@ -266,6 +266,25 @@ class PartitionTransformSpec extends AnyFunSuite {
     val kept = BtrTableMeta.listDataFilesWithPartitions(fs, root).filter(keep)
     assert(kept.nonEmpty &&
       kept.forall(_.partitionValues.get("ts_days").contains("2026-03-02")))
+    // FULL rewrite with WHERE on the derived dir (regression, ADVICE r13:
+    // expr(where) failed analysis — ts_days is not a DataFrame column; the
+    // rewrite now scopes the read by the keep-set's files instead)
+    def names(day: String) = new java.io.File(s"$p/ts_days=$day").listFiles()
+      .map(_.getName).filter(_.endsWith(".btr")).sorted.toSeq
+    val day1Before = names("2026-03-01")
+    val day2Before = names("2026-03-02")
+    val (sel, _) = BtrCompact.rewriteClustered(spark, p, Seq("id"),
+      where = Some("ts_days = '2026-03-02'"))
+    assert(sel > 0, "the scoped rewrite must select the matching day's files")
+    assert(names("2026-03-01") == day1Before, "out-of-scope day untouched")
+    assert(names("2026-03-02") != day2Before, "in-scope day rewritten")
+    assert(spark.table(s"graft.`$p`").count() == totalBefore)
+    assert(spark.table(s"graft.`$p`").agg(sum("id")).collect()(0).getLong(0) ==
+      (0 until 4).flatMap(k => (0 until 400).map(i => k * 1000L + i)).sum)
+    // APPLY PURGE's WHERE rides the same file-scoped route (no masks here
+    // → no-op, but the predicate must not fail analysis)
+    assert(BtrCompact.purgeMasked(spark, p, where = Some("ts_days >= '2026-03-01'")) ==
+      (0, 0))
   }
 
   test("UPDATE moves a row's new image into the RIGHT derived dir; streaming epochs too") {
