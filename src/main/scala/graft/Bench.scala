@@ -195,27 +195,15 @@ object Bench {
     val firstPass = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) => name -> timeQuery(name, fn) }
-    // second chance for load-spiked outliers; keep the better measurement.
-    // The recheck used to run SECONDS after the first pass, so a sustained
-    // load episode covered both and drifted rows survived it (round 12:
-    // q_tpch_q22/q3 recorded 3-4x their band through an active recheck; a
-    // full re-run on the same commit reproduced neither). Re-arm the
-    // idle-box gate first — the second look must happen under DIFFERENT
-    // conditions or it measures the same spike twice.
+    // load-spiked outliers get a second look — but DEFERRED to the very
+    // end of the battery (after the CDC/DV sections below), not here:
+    // rechecking seconds after the first pass re-measures the same load
+    // episode (round 12: q_tpch_q22/q3 recorded 3-4× their band through
+    // an active recheck; round 13: a contiguous 5-query block stayed
+    // inflated through 9 same-episode rechecks).
     var rechecked = 0
-    if (firstPass.exists { case (name, t) =>
-      t > 1.5 * refMins.getOrElse(name, Double.MaxValue) }) {
-      val t0 = System.nanoTime()
-      while (load1() >= loadLimit && (System.nanoTime() - t0) / 1e9 < loadWaitMax)
-        Thread.sleep(5000)
-    }
-    val results = firstPass.map { case (name, t) =>
-      val ref = refMins.getOrElse(name, Double.MaxValue)
-      if (t > 1.5 * ref) {
-        rechecked += 1
-        name -> math.min(t, timeQuery(name, SparkEntry.queries(name)))
-      } else name -> t
-    }
+    var outliersRemaining = 0
+    var results = firstPass
 
     // ---- streaming CDC throughput row ---------------------------------
     // the batch battery never exercises the streaming surfaces; this row
@@ -309,6 +297,36 @@ object Bench {
       case e: Throwable => System.err.println(s"[bench] dv row failed: ${e.getMessage}")
     }
 
+    // ---- deferred outlier recheck (see noise defenses above) ----------
+    // Runs at the END of the battery: the CDC/DV sections above put real
+    // wall-clock between the first pass and this one, so a load episode
+    // that inflated the battery must outlast ALL of it to also cover the
+    // recheck. Each outlier re-arms the idle-box gate individually
+    // against a shared wait budget, keeps the best of up to two
+    // re-measures, and anything STILL outside its committed band is
+    // counted in `outliers_remaining` — a drifted artifact
+    // self-identifies instead of reading as a regression.
+    locally {
+      val budget0 = System.nanoTime()
+      def budgetLeft: Boolean = (System.nanoTime() - budget0) / 1e9 < loadWaitMax
+      results = results.map { case (name, t) =>
+        val ref = refMins.getOrElse(name, Double.MaxValue)
+        var best = t
+        var attempts = 0
+        while (best > 1.5 * ref && attempts < 2) {
+          while (load1() >= loadLimit && budgetLeft) Thread.sleep(5000)
+          best = math.min(best, timeQuery(name, SparkEntry.queries(name)))
+          attempts += 1
+          // a second attempt only helps under CHANGED conditions; without
+          // wait budget left the conditions cannot change
+          if (best > 1.5 * ref && !budgetLeft) attempts = 2
+        }
+        if (attempts > 0) rechecked += 1
+        if (best > 1.5 * ref) outliersRemaining += 1
+        name -> best
+      }
+    }
+
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val ratio = if (btrBytes > 0) inputBytes.toDouble / btrBytes else 0.0
@@ -318,7 +336,7 @@ object Bench {
       if (tryallBytes > 0) sampleLineitemBytes.toDouble / tryallBytes else 0.0
     val loadAfter = loadavg()
     val extras =
-      f""""write_sec":$writeSec%.3f,"scan_sec":$scanSec%.3f,"parquet_bytes":$inputBytes,"btr_bytes":$btrBytes,"parquet_over_btr_ratio":$ratio%.3f,"tryall_write_sec":$tryallSec%.3f,"tryall_bytes":$tryallBytes,"sample_over_tryall_bytes":$selQuality%.3f,"cdc_append_sec":$cdcAppendSec%.3f,"cdc_drain_sec":$cdcDrainSec%.3f,"cdc_rows":$cdcRows,"dv_delete_sec":$dvDeleteSec%.3f,"cow_delete_sec":$cowDeleteSec%.3f,"dv_masked_scan_sec":$dvMaskedScanSec%.3f,"dv_purge_sec":$dvPurgeSec%.3f,"reps":$reps,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","load_waited_sec":$loadWaited%.1f,"outliers_rechecked":$rechecked"""
+      f""""write_sec":$writeSec%.3f,"scan_sec":$scanSec%.3f,"parquet_bytes":$inputBytes,"btr_bytes":$btrBytes,"parquet_over_btr_ratio":$ratio%.3f,"tryall_write_sec":$tryallSec%.3f,"tryall_bytes":$tryallBytes,"sample_over_tryall_bytes":$selQuality%.3f,"cdc_append_sec":$cdcAppendSec%.3f,"cdc_drain_sec":$cdcDrainSec%.3f,"cdc_rows":$cdcRows,"dv_delete_sec":$dvDeleteSec%.3f,"cow_delete_sec":$cowDeleteSec%.3f,"dv_masked_scan_sec":$dvMaskedScanSec%.3f,"dv_purge_sec":$dvPurgeSec%.3f,"reps":$reps,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","load_waited_sec":$loadWaited%.1f,"outliers_rechecked":$rechecked,"outliers_remaining":$outliersRemaining"""
     val line =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,$extras,"sf":"$sfDir"}"""
     println(line)

@@ -40,9 +40,15 @@ final class BtrBoundBucket(dt: DataType) extends ScalarFunction[Integer] {
   // canonical identity drives SPJ compatibility: equal names + equal
   // numBuckets literals → co-partitioned
   override def canonicalName(): String = s"graft.bucket(${dt.typeName})"
-  override def isResultNullable: Boolean = false
+  // a null key has no bucket: the writer routes nulls to the dedicated
+  // null partition dir, never to bucket(0) — the bound function must
+  // agree or a shuffle planned through it would co-locate null keys
+  // with bucket-0 rows (benign for equi-joins, which drop null keys,
+  // but a silent layout divergence otherwise)
+  override def isResultNullable: Boolean = true
 
   override def produceResult(input: InternalRow): Integer = {
+    if (input.isNullAt(1)) return null
     val n = input.getInt(0)
     val v: Any = dt match {
       case IntegerType | DateType => Int.box(input.getInt(1))
