@@ -434,21 +434,29 @@ object PipelineQueries {
     // so both engines' sums are bit-identical in any order. DuckDB
     // recomputes from the flat columns.
     "q_nested_arrays" -> ((s, d) => {
-      val dir = Btr.cachePath(d, "documents_nested_arrays")
+      // DEPTH-3 nested arrays (array<array<array<double>>> — the
+      // token-span-embedding shape): every level carries its own lengths
+      // cascade, scalars compress at the bottom. Values are exact
+      // quarters so both engines' double sums are order-independent.
+      val dir = Btr.cachePath(d, "documents_nested3")
       if (!new java.io.File(dir, "_btr_meta.json").exists()) {
         t(s, d, "documents")
           .select(col("doc_id"),
             array(
-              array(length(col("text")).cast("double") * 0.25),
-              array(col("doc_id") * 0.5,
-                length(col("text")).cast("double"))).as("vecs"))
+              array(
+                array(length(col("text")).cast("double") * 0.25),
+                array(col("doc_id") * 0.5,
+                  length(col("text")).cast("double"))),
+              array(
+                array(col("doc_id") + lit(0.25)))).as("vecs"))
           .write.format("btr").mode("overwrite").save(dir)
       }
       s.read.format("btr").load(dir)
-        .select(explode(col("vecs")).as("v"))
-        .agg(count(lit(1)).as("n_inner"),
-          sum(size(col("v"))).cast("long").as("n_vals"),
-          round(sum(aggregate(col("v"), lit(0.0), (a, x) => a + x)), 2).as("sum_all"))
+        .select(explode(col("vecs")).as("mid"))
+        .select(explode(col("mid")).as("leaf"))
+        .agg(count(lit(1)).cast("long").as("n_leaf"),
+          sum(size(col("leaf"))).cast("long").as("n_vals"),
+          round(sum(aggregate(col("leaf"), lit(0.0), (a, x) => a + x)), 2).as("sum_all"))
     }),
 
     // per-span annotations STORED as array<struct<start,end,label,score>>
@@ -1184,10 +1192,10 @@ object PipelineQueries {
         | min(substring(text, 1, 8)) AS min_head
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q_nested_arrays" ->
-      """SELECT CAST(2 * count(*) AS BIGINT) AS n_inner,
-        | CAST(3 * count(*) AS BIGINT) AS n_vals,
+      """SELECT CAST(3 * count(*) AS BIGINT) AS n_leaf,
+        | CAST(4 * count(*) AS BIGINT) AS n_vals,
         | round(sum(CAST(length(text) AS DOUBLE) * 0.25 + doc_id * 0.5 +
-        |   CAST(length(text) AS DOUBLE)), 2) AS sum_all
+        |   CAST(length(text) AS DOUBLE) + doc_id + 0.25), 2) AS sum_all
         |FROM documents""".stripMargin,
     "q_map_struct_values" ->
       """SELECT lang AS source, count(*) AS n,

@@ -67,9 +67,14 @@ object PhysType {
     case ArrayType(LongType, _) => ArrLong
     case ArrayType(StringType, _) => ArrStr
     case ArrayType(inner: ArrayType, _) =>
+      // nesting recurses: array<array<scalar>> and deeper
+      // (array<array<array<...>>> — token-span embeddings) all ride the
+      // same [lengths cascade][self-described element stream] layout;
+      // struct elements stay excluded at any depth
       val it = of(inner)
-      require(isArrayFamily(it) && it != ArrStruct && it != ArrArr,
-        s"btr: array<array> elements must be arrays of SCALARS, got ${inner.simpleString}")
+      require(isArrayFamily(it) && it != ArrStruct,
+        s"btr: array<array> elements must be arrays of scalars or nested " +
+          s"arrays, got ${inner.simpleString}")
       ArrArr
     case ArrayType(st: StructType, _) =>
       require(of(st) == Struct, s"btr: unsupported array element ${st.simpleString}")
@@ -340,6 +345,12 @@ final class ColumnChunk(val tag: Int, val count: Int) {
       v.elemDoubles = elemDoubles
       v.elemStrings = elemStrings
       v.elemCount = elemCount
+      if (trueTag == PhysType.ArrArr) {
+        // a nested-array entry view keeps its own inner stream: the
+        // encode recursion reads it through the same mapVals hold shape
+        v.mapVals = mapVals
+        v.mapValTag = mapValTag
+      }
     } else if (trueTag == PhysType.Struct) {
       // struct-valued entries (map values / nested array<struct> element
       // fields): the hold's elemNull is the per-entry struct nullmap and

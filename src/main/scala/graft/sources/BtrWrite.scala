@@ -1331,17 +1331,12 @@ class BtrDataWriter(path: String, schema: StructType, blockSize: Int, cascade: I
         arrLenCols(c) = new Array[Int](blockSize)
         arrHold(c) = allocElemHold(st)
       } else if (tag == PhysType.ArrArr) {
-        // array<array<scalar>>: outer lengths per row; the inner stream
-        // (per-outer-element lengths + flat scalars) rides the same hold
-        // shape as a map's array-valued side
-        val inner = fields(c).dataType.asInstanceOf[ArrayType]
-          .elementType.asInstanceOf[ArrayType]
+        // array<array<...>>: outer lengths per row; each nesting level's
+        // stream (per-element lengths + the next level) rides the same
+        // hold shape as a map's array-valued side, recursively down to
+        // the flat-scalar level
         arrLenCols(c) = new Array[Int](blockSize)
-        val hold = new ColumnChunk(tag, blockSize)
-        hold.mapVals = new ColumnChunk(
-          PhysType.holdTagOf(PhysType.elemTag(PhysType.of(inner))), blockSize)
-        hold.mapValTag = PhysType.of(inner)
-        arrHold(c) = hold
+        arrHold(c) = allocArrArrHold(fields(c).dataType.asInstanceOf[ArrayType])
       } else if (PhysType.isArrayFamily(tag)) {
         arrLenCols(c) = new Array[Int](blockSize)
         arrHold(c) = new ColumnChunk(tag, blockSize)
@@ -1494,6 +1489,25 @@ class BtrDataWriter(path: String, schema: StructType, blockSize: Int, cascade: I
     * the hold's growable length stream, sub-elements flattened into its
     * element stream.
     */
+  /** Allocate the hold chain for a (possibly deeply) nested array
+    * column: every `array<array<...>>` level is an ArrArr hold whose
+    * mapVals is the NEXT level's hold, bottoming out at a flat scalar
+    * element hold — the wire layout recursion mirrored in buffers.
+    */
+  private def allocArrArrHold(at: ArrayType): ColumnChunk = {
+    val tag = PhysType.of(at)
+    val hold = new ColumnChunk(tag, blockSize)
+    if (tag == PhysType.ArrArr) {
+      val inner = at.elementType.asInstanceOf[ArrayType]
+      hold.mapValTag = PhysType.of(inner)
+      hold.mapVals =
+        if (hold.mapValTag == PhysType.ArrArr) allocArrArrHold(inner)
+        else new ColumnChunk(
+          PhysType.holdTagOf(PhysType.elemTag(hold.mapValTag)), blockSize)
+    }
+    hold
+  }
+
   private def appendEntryArrays(hold: ColumnChunk,
       vals: org.apache.spark.sql.catalyst.util.ArrayData, at: ArrayType, n: Int): Unit = {
     hold.ensureLensCapacity(n)
@@ -1508,7 +1522,12 @@ class BtrDataWriter(path: String, schema: StructType, blockSize: Int, cascade: I
         val sub = vals.getArray(j)
         val sn = sub.numElements()
         hold.arrLens(e) = sn
-        appendArrayElems(hold, sub, at.elementType, sn)
+        at.elementType match {
+          // deeper nesting recurses into the next level's hold; this
+          // level records only the element COUNT per entry
+          case iat: ArrayType => appendEntryArrays(hold.mapVals, sub, iat, sn)
+          case et => appendArrayElems(hold, sub, et, sn)
+        }
       }
       hold.lensCount += 1
       j += 1

@@ -88,17 +88,65 @@ class ArrayArraySpec extends AnyFunSuite {
       d.startsWith("array(") && d.contains("elems=array(")), desc.mkString("; "))
   }
 
-  test("deeper nesting stays rejected loudly at planning") {
-    val bad3 = spark.range(1).select(array(array(array(lit(1)))).as("a"))
-    val e = intercept[Exception] {
-      bad3.write.format("btr").mode("overwrite").save(tmp("reject"))
-    }
-    assert(e.getMessage.contains("array"), e.getMessage)
+  test("depth-3+ nesting round-trips: array<array<array<double>>> (span embeddings)") {
+    // the token-span-embedding shape: per doc, per span, per token, a
+    // vector — every nesting level gets its own lengths cascade and the
+    // flat scalar stream compresses at the bottom
+    val dir = tmp("depth3")
+    val df = spark.range(0, 1500).select(
+      col("id").cast("int").as("k"),
+      when(col("id") % 17 === 0, lit(null)).otherwise(array(
+        when(col("id") % 7 === 0, lit(null).cast("array<array<double>>"))
+          .otherwise(array(
+            transform(sequence(lit(0L), col("id") % 3),
+              x => x.cast("double") * 0.5 + col("id")),
+            array().cast("array<double>"))),
+        array(array(lit(1.25), lit(null).cast("double")))))
+        .as("spans"),
+      // depth 4, string leaves: outer null, mid empties, inner nulls
+      when(col("id") % 13 === 0, array().cast("array<array<array<string>>>"))
+        .otherwise(array(array(
+          split(concat(lit("x y"), col("id") % 5), " "),
+          array(lit(null).cast("string"), concat(lit("t"), col("id"))))))
+        .as("deep"))
+    df.coalesce(2).write.format("btr").option("btr.blockSize", "256")
+      .mode("overwrite").save(dir)
+    val back = spark.read.format("btr").load(dir)
+    assert(back.schema("spans").dataType.simpleString == "array<array<array<double>>>")
+    assert(back.schema("deep").dataType.simpleString == "array<array<array<string>>>")
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("k"), to_json(struct(col("spans"), col("deep"))).as("j"))
+        .collect().map(_.toString).sorted.toSeq
+    assert(canon(back) == canon(df), "depth-3 round-trip mismatch")
+    // nested access still computes over the btr read
+    val total = back.select(explode(col("spans")).as("span"))
+      .select(explode(col("span")).as("v"))
+      .select(explode(col("v")).as("x")).agg(sum("x")).collect()(0)
+    val expect = df.select(explode(col("spans")).as("span"))
+      .select(explode(col("span")).as("v"))
+      .select(explode(col("v")).as("x")).agg(sum("x")).collect()(0)
+    assert(total == expect)
+    // the describe tree walks all levels
+    import spark.implicits._
+    val desc = graft.functions.BtrInspect.describe(spark, dir)
+      .filter(col("column") === "spans")
+      .select("scheme_tree").as[String].collect()
+    assert(desc.nonEmpty && desc.forall(d => d.contains("elems=array(")), desc.mkString("; "))
+  }
+
+  test("struct leaves still reject nested arrays loudly at planning") {
     val badStruct = spark.range(1)
       .select(struct(array(array(lit(1))).as("aa")).as("rec"))
     val e2 = intercept[Exception] {
       badStruct.write.format("btr").mode("overwrite").save(tmp("reject2"))
     }
     assert(e2.getMessage.contains("struct"), e2.getMessage)
+    // array<array<struct>> stays out at any depth too
+    val badAAS = spark.range(1)
+      .select(array(array(struct(lit(1).as("f")))).as("a"))
+    val e3 = intercept[Exception] {
+      badAAS.write.format("btr").mode("overwrite").save(tmp("reject3"))
+    }
+    assert(e3.getMessage != null)
   }
 }
