@@ -121,6 +121,94 @@ class BtrTxnSpec extends AnyFunSuite {
       "an unreadable listed version must be skipped, not abort the walk")
   }
 
+  test("fuzz: log pruning never turns a RETAINED replay into a duplicate") {
+    // the idempotence horizon is the log retention; this arm keeps the
+    // horizon under continuous pressure (small btr.logRetention, filler
+    // commits pruning every few rounds, prunes landing INSIDE a txn's
+    // pre-check→record window) and asserts the invariant that must hold
+    // regardless: a replay whose (appId, version) is still recorded in
+    // the retained window never appends, and a fresh version always
+    // appends exactly once — even when the claim races a prune.
+    for (seed <- Seq(20260815L, 424242L)) {
+      val dir = tmp(s"prune-fuzz-$seed")
+      Seq(0).toDF("x").coalesce(1).write.format("btr").mode("overwrite")
+        .option("btr.logRetention", "8").save(dir)
+      val rnd = new scala.util.Random(seed)
+      var expected = List(0)
+      var next = 100
+      val lastVer = scala.collection.mutable.Map("A" -> 0L, "B" -> 0L)
+      // simulated retained window (entries newest-first, appId or None):
+      // the sim keeps EXACTLY logRetention entries, the engine keeps at
+      // least that many (checkpoint bases extend it) — so "sim-retained"
+      // is a sound subset of really-retained and the no-dup assertion
+      // below is never applied to a genuinely pruned entry
+      var logTail = List[Option[String]](None)
+      def recordSim(app: Option[String]): Unit = logTail = (app :: logTail).take(8)
+      def appendTxn(app: String, ver: Long, vals: Seq[Int]): Unit =
+        vals.toDF("x").coalesce(1).write.format("btr").mode("append")
+          .option("btr.txnAppId", app).option("btr.txnVersion", ver.toString).save(dir)
+      for (round <- 0 until 30) {
+        val app = if (rnd.nextBoolean()) "A" else "B"
+        rnd.nextInt(4) match {
+          case 0 => // fresh version: appends exactly once
+            val v = lastVer(app) + 1
+            val x = next; next += 1
+            appendTxn(app, v, Seq(x))
+            expected ::= x; lastVer(app) = v; recordSim(Some(app))
+          case 1 if lastVer(app) > 0 && logTail.contains(Some(app)) =>
+            // same-or-stale replay while the app's entry is sim-retained:
+            // MUST be a no-op (junk value must never surface)
+            val v = math.max(1L, lastVer(app) - rnd.nextInt(2))
+            appendTxn(app, v, Seq(900000 + round))
+          case 2 => // filler commit: advances the log, prunes past retention
+            val x = next; next += 1
+            Seq(x).toDF("x").coalesce(1).write.format("btr").mode("append").save(dir)
+            expected ::= x; recordSim(None)
+          case 3 => // a PRUNE landing inside the claim window: fillers
+            // commit between the fresh txn's pre-check and its log
+            // record — the append must still land exactly once
+            val v = lastVer(app) + 1
+            val x = next; next += 1
+            val (bw, m) = stage(dir, Seq(x), app -> v,
+              beforeLog = () => (0 until 2).foreach { _ =>
+                val y = next; next += 1
+                Seq(y).toDF("x").coalesce(1).write.format("btr").mode("append").save(dir)
+                expected ::= y; recordSim(None)
+              })
+            bw.commit(m)
+            expected ::= x; lastVer(app) = v; recordSim(Some(app))
+          case _ => ()
+        }
+        assert(readInts(dir) == expected.sorted,
+          s"seed=$seed round=$round: retained-horizon idempotence violated")
+      }
+    }
+  }
+
+  test("a replay OLDER than the retained history duplicates — the documented horizon") {
+    // contract, not bug (scaladoc at BtrLog.lastTxnVersion): size
+    // btr.logRetention to the longest retry window. This pin makes the
+    // horizon semantics an explicit, visible fact rather than folklore.
+    val dir = tmp("beyond-horizon")
+    Seq(1).toDF("x").coalesce(1).write.format("btr").mode("overwrite")
+      .option("btr.logRetention", "2").save(dir)
+    Seq(10).toDF("x").coalesce(1).write.format("btr").mode("append")
+      .option("btr.txnAppId", "job-C").option("btr.txnVersion", "1").save(dir)
+    assert(readInts(dir) == Seq(1, 10))
+    // deltas survive nominal retention until a full checkpoint supersedes
+    // them (prune never drops what the oldest kept version resolves
+    // through) — push past the checkpoint interval so (job-C, 1) truly
+    // leaves the retained window
+    (0 until (BtrLog.CheckpointInterval + 4)).foreach { i =>
+      Seq(100 + i).toDF("x").coalesce(1).write.format("btr").mode("append").save(dir)
+    }
+    // (job-C, 1) is gone from the retained log → the replay is not detected
+    Seq(10).toDF("x").coalesce(1).write.format("btr").mode("append")
+      .option("btr.txnAppId", "job-C").option("btr.txnVersion", "1").save(dir)
+    assert(readInts(dir).count(_ == 10) == 2,
+      "beyond the retention horizon a replay duplicates by contract")
+  }
+
   test("txn options on a non-append write refuse loudly") {
     val dir = tmp("nonappend")
     Seq(1).toDF("x").coalesce(1).write.format("btr").mode("overwrite").save(dir)
