@@ -506,6 +506,44 @@ class PipelineOpsSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("IVF index refreshes off the CHANGE FEED: each CDC batch appends only its rows") {
+    // the 100 TB maintenance loop: index built once from a snapshot,
+    // then every change-feed batch assigns incrementally against the
+    // persisted centroids — never a corpus re-fit or re-assign
+    val rnd = new scala.util.Random(23)
+    val dir = s"/tmp/btr-ivf-cdc-spec/${System.nanoTime()}/table"
+    val idx = s"/tmp/btr-ivf-cdc-spec/${System.nanoTime()}/index"
+    val all = (0 until 400).map(i => (i.toLong, Seq.fill(8)(rnd.nextGaussian().toFloat)))
+    all.filter(_._1 % 4 != 0).toDF("vec_id", "embedding")
+      .write.format("btr").mode("overwrite").save(dir)   // v1: corpus
+    all.filter(_._1 % 4 == 0).toDF("vec_id", "embedding")
+      .write.format("btr").mode("append").save(dir)      // v2: increment
+    val v1 = spark.read.format("btr").option("btr.versionAsOf", "1").load(dir)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    SimilarityOps.ivfIndexBuild(v1, idx, nlist = 8, fitSampleRows = 100)
+    val feed = graft.sources.BtrChanges.between(spark, dir, 1L, 2L)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val (n, drift) = SimilarityOps.ivfIndexAppend(feed, idx)
+    assert(n == all.count(_._1 % 4 == 0), s"append must cover exactly the feed, got $n")
+    assert(drift > 0.7, s"same-distribution feed, drift=$drift")
+    // the assign table now covers the WHOLE current table, once each
+    val assigned = spark.read.format("btr").load(s"$idx/assign")
+      .select("cid").as[Long].collect().sorted.toSeq
+    assert(assigned == all.map(_._1).sorted, "assignments = corpus ∪ feed, no dup/miss")
+    // and the indexed query path serves the full table (full probe =
+    // brute force)
+    val cands = spark.read.format("btr").load(dir)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val qs = cands.filter(col("cid") < 3)
+      .select(col("cid").as("qid"), col("cvec").as("qvec"))
+    val viaIdx = SimilarityOps.ivfTopKIndexed(qs, cands, idx, k = 2, nprobe = 8)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"))).toSet
+    val exact = SimilarityOps.bruteForceTopK(qs, cands, 2)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"))).toSet
+    assert(viaIdx == exact)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File("/tmp/btr-ivf-cdc-spec"))
+  }
+
   test("CharShinglesExpr equals the declarative char-shingle pipeline") {
     val edge = Seq(
       (1L, Some("abcdefgh")),
