@@ -111,7 +111,14 @@ class BtrRaceFuzzSpec extends AnyFunSuite {
   }
 
   test("randomized two-writer interleavings only ever produce serializable outcomes") {
-    val aborts = Seq(20260815L, 977001L, 31415926L, 27182818L, 16180339L).map(fuzz(_, localDir)).sum
+    // SPARK_GRAFT_FUZZ_SEEDS=1,2,3 appends hunt seeds without a source
+    // edit — used for extended bug hunts between rounds; the committed
+    // seed set stays deterministic for CI
+    val extra = sys.env.get("SPARK_GRAFT_FUZZ_SEEDS").toSeq
+      .flatMap(_.split(',')).flatMap(s => scala.util.Try(s.trim.toLong).toOption)
+    val aborts =
+      (Seq(20260815L, 977001L, 31415926L, 27182818L, 16180339L) ++ extra)
+        .map(fuzz(_, localDir)).sum
     // the schedules must actually exercise the conflict machinery — a
     // degenerate run where nothing ever races proves nothing
     assert(aborts >= 2, s"only $aborts conflicts across the seeds — schedule too tame")
