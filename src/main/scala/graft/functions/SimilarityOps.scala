@@ -496,31 +496,52 @@ object SimilarityOps {
     * [[ivfTopK]] (same seed/sample → same centers for the same corpus),
     * assign every candidate map-only, and write both tables. Overwrites
     * any previous index at `indexDir`.
+    *
+    * `assignPartitionSpec` (e.g. `Seq("bucket(16,cid)")`) lays the
+    * assign table out with a partition transform: give it the SAME
+    * bucket spec as the corpus table's id column and the per-query
+    * membership join ([[ivfTopKIndexed]]'s `candidates ⋈ assign`) plans
+    * as a storage-partitioned join — zero shuffle on either side, which
+    * is what makes the indexed path cheaper than a per-call fit at
+    * 100 TB rather than merely amortized (spec-pinned in
+    * StoragePartitionJoinSpec; catalog-table reads resolve the bucket
+    * function for SPJ).
     */
   def ivfIndexBuild(
       candidates: DataFrame, // (cid, cvec)
       indexDir: String,
       nlist: Int = 16,
-      fitSampleRows: Int = 10000
+      fitSampleRows: Int = 10000,
+      assignPartitionSpec: Seq[String] = Nil
   ): Unit = {
     val spark = candidates.sparkSession
     val centers = fitCoarseCenters(candidates, nlist, fitSampleRows)
+    // ONE assignment pass over the corpus: the quality aggregate and the
+    // assign-table write both read the persisted pass, not two
+    // evaluations of the kernel
     val assigned = assignBatch(candidates, centers)
       .withColumn("cos_c", centroidCos(col("cvec"), col("cluster"), centers))
-    // k×dim-bounded per-cluster quality aggregate (same shape as the
-    // k-means centroid shuffle): build-time mean cosine per cell anchors
-    // the drift telemetry of later appends
-    val meanByCluster = assigned.groupBy("cluster")
-      .agg(avg(col("cos_c")).as("mean_cos"))
-      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
-    import spark.implicits._
-    centers.zipWithIndex
-      .map { case (c, i) => (i, c, meanByCluster.getOrElse(i, 1.0)) }
-      .toDF("cluster", "centroid", "mean_cos")
-      .coalesce(1)
-      .write.format("btr").mode("overwrite").save(s"$indexDir/centroids")
-    assigned.select(col("cid"), col("cluster"))
-      .write.format("btr").mode("overwrite").save(s"$indexDir/assign")
+      .select(col("cid"), col("cluster"), col("cos_c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // k×dim-bounded per-cluster quality aggregate (same shape as the
+      // k-means centroid shuffle): build-time mean cosine per cell
+      // anchors the drift telemetry of later appends
+      val meanByCluster = assigned.groupBy("cluster")
+        .agg(avg(col("cos_c")).as("mean_cos"))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      import spark.implicits._
+      centers.zipWithIndex
+        .map { case (c, i) => (i, c, meanByCluster.getOrElse(i, 1.0)) }
+        .toDF("cluster", "centroid", "mean_cos")
+        .coalesce(1)
+        .write.format("btr").mode("overwrite").save(s"$indexDir/centroids")
+      val w = assigned.select(col("cid"), col("cluster"))
+        .write.format("btr").mode("overwrite")
+      (if (assignPartitionSpec.nonEmpty)
+        w.option("btr.partitionSpec", assignPartitionSpec.mkString(","))
+      else w).save(s"$indexDir/assign")
+    } finally assigned.unpersist(blocking = false)
   }
 
   /** Assign ONLY the increment against the persisted centroids and

@@ -31,7 +31,9 @@ class BtrDvFuzzSpec extends AnyFunSuite {
       .select("x").as[Int].collect().sorted.toSeq
 
   test("current, versioned and change-feed reads stay exact across random DV histories") {
-    val rnd = new scala.util.Random(20260814L)
+    // SPARK_GRAFT_FUZZ_SEED overrides the base seed for extended hunts
+    val rnd = new scala.util.Random(
+      sys.env.get("SPARK_GRAFT_FUZZ_SEED").map(_.toLong).getOrElse(20260814L))
     for (round <- 0 until 4) {
       // round 3 partitions by x%2: blob rels carry escaped partition
       // dirs, masks live beside hive directories, restores cross them

@@ -29,7 +29,9 @@ class BtrTimeTravelFuzzSpec extends AnyFunSuite {
 
   test("versioned reads are exact-or-loud across random mutation sequences") {
     import spark.implicits._
-    val rnd = new scala.util.Random(20260814L)
+    // SPARK_GRAFT_FUZZ_SEED overrides the base seed for extended hunts
+    val rnd = new scala.util.Random(
+      sys.env.get("SPARK_GRAFT_FUZZ_SEED").map(_.toLong).getOrElse(20260814L))
     for (round <- 0 until 3) {
       val dir = s"/tmp/btr-tt-fuzz/r$round"
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))

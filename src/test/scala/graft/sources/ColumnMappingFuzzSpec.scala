@@ -27,7 +27,9 @@ class ColumnMappingFuzzSpec extends AnyFunSuite {
   }
 
   test("random DDL/append interleavings read back the model exactly") {
-    val rnd = new scala.util.Random(20260814)
+    // SPARK_GRAFT_FUZZ_SEED overrides the base seed for extended hunts
+    val rnd = new scala.util.Random(
+      sys.env.get("SPARK_GRAFT_FUZZ_SEED").map(_.toLong).getOrElse(20260814L))
     for (round <- 0 until 4) {
       val dir = tmp(s"r$round")
       // model: live column names in order (head is the never-dropped id

@@ -215,6 +215,36 @@ class StoragePartitionJoinSpec extends AnyFunSuite with AdaptiveSparkPlanHelper 
     }
   }
 
+  test("IVF assign table bucketed like the corpus: the membership join is zero-shuffle") {
+    // the persisted-IVF 100 TB shape: the corpus table and the index's
+    // assign table share bucket(8, id) layout, so the per-query
+    // membership join (candidates ⋈ assign ON id) plans as a
+    // storage-partitioned join — the corpus never moves
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.BtrCatalog")
+    val corpus = tmp("ivf_corpus"); val idx = tmp("ivf_index")
+    Seq(corpus, idx).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+    spark.sql(s"CREATE TABLE graft.`$corpus` (cid BIGINT, cvec ARRAY<FLOAT>) " +
+      "USING btr PARTITIONED BY (bucket(8, cid))")
+    val rnd = new scala.util.Random(31)
+    (0 until 2000).map(i => (i.toLong, Seq.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("cid", "cvec").repartition(4).writeTo(s"graft.`$corpus`").append()
+    graft.functions.SimilarityOps.ivfIndexBuild(
+      spark.table(s"graft.`$corpus`"), idx, nlist = 8, fitSampleRows = 200,
+      assignPartitionSpec = Seq("bucket(8,cid)"))
+    withSpj("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val q = spark.table(s"graft.`$corpus`")
+        .join(spark.table(s"graft.`$idx/assign`"), Seq("cid"))
+        .select("cid", "cluster")
+      val rows = q.collect()
+      assert(rows.length == 2000, s"every corpus row has exactly one cell: ${rows.length}")
+      val plan = q.queryExecution.executedPlan
+      val shuffles = collect(plan) { case e: ShuffleExchangeExec => e }
+      assert(shuffles.isEmpty,
+        s"corpus ⋈ assign must be a bucket SPJ with zero shuffles:\n$plan")
+    }
+  }
+
   test("results stay exact when one side is missing a partition") {
     val left = Seq(("a", 1L), ("b", 2L), ("c", 3L)).toDF("k", "lv")
     val right = Seq(("a", 10L), ("b", 20L)).toDF("k", "rv") // no "c"
