@@ -67,7 +67,8 @@ object PipelineQueries {
       // the increment against the persisted centroids (drift ≈ 1)
       val inc = emb.filter(col("vec_id") < 10)
         .select((col("vec_id") + 1000000L).as("cid"), col("embedding").as("cvec"))
-      graft.functions.SimilarityOps.ivfIndexAppend(inc, dir)
+      graft.functions.SimilarityOps.ivfIndexAppend(inc, dir,
+        txnAppId = Some("ivf_gate"), txnVersion = Some(1L))
       new java.io.FileOutputStream(done).close()
     }
     dir

@@ -368,8 +368,9 @@ object SimilarityOps {
     * [[TextOps.lastOversizedBuckets]], (0, 0) means every cluster was
     * compared exhaustively.
     */
-  val lastOversizedClusters =
-    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.SparkSession, (Long, Long)]()
+  val lastOversizedClusters: java.util.Map[org.apache.spark.sql.SparkSession, (Long, Long)] =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, (Long, Long)]())
 
   /** [[semanticDedup]] with k sized by [[autoK]] — the safe-at-any-scale
     * entry point: per-cluster pairwise work stays ≈ targetClusterSize²
@@ -471,10 +472,13 @@ object SimilarityOps {
     * (rowsAssigned, driftRatio) where driftRatio = the increment's mean
     * cosine-to-assigned-centroid over the build-time mean. A ratio well
     * below 1 means the corpus distribution has drifted off the centroids
-    * (time to re-fit); surfaced loudly below 0.8.
+    * (time to re-fit); surfaced loudly below 0.8. Weak keys: the value is
+    * session-free, so a stopped-and-dropped session's entry collects with
+    * it instead of pinning the session for the driver's lifetime.
     */
-  val lastIvfDrift =
-    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.SparkSession, (Long, Double)]()
+  val lastIvfDrift: java.util.Map[org.apache.spark.sql.SparkSession, (Long, Double)] =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, (Long, Double)]())
 
   private[functions] def centroidsOf(spark: org.apache.spark.sql.SparkSession, indexDir: String)
       : Seq[(Int, Seq[Double], Double)] =
@@ -548,34 +552,143 @@ object SimilarityOps {
     * append the rows — per-batch cost is O(increment), never a corpus
     * re-assign. Returns (rowsAssigned, driftRatio); drift below 0.8 of
     * the build-time mean warns loudly (re-fit advised), never silently.
+    *
+    * RETRY-IDEMPOTENT when the caller supplies transactional identity
+    * (`txnAppId` + `txnVersion`, both or neither): the pair threads into
+    * the assign-table append as `btr.txnAppId`/`btr.txnVersion`, the
+    * engine's own idempotent-append mechanism, so a retried or replayed
+    * refresh batch commits NOTHING the second time. Without it a replay
+    * appends duplicate (cid, cluster) rows, and duplicate assign rows
+    * duplicate candidates through [[ivfTopKIndexed]]'s membership join —
+    * duplicated neighbors occupy multiple ranks and displace true top-k
+    * results. Unattended change-feed refresh loops MUST pass identity
+    * (e.g. appId = the consumer name, version = the feed's to-version).
+    *
+    * Single kernel pass: the assigned increment is persisted so the
+    * append write and the drift aggregate read the SAME materialized
+    * rows — a live source mutating between two evaluations can no longer
+    * diverge the returned telemetry from what was written.
     */
   def ivfIndexAppend(
       increment: DataFrame, // (cid, cvec)
-      indexDir: String
+      indexDir: String,
+      txnAppId: Option[String] = None,
+      txnVersion: Option[Long] = None
   ): (Long, Double) = {
+    require(txnAppId.isDefined == txnVersion.isDefined,
+      "ivfIndexAppend: txnAppId and txnVersion come together (both or neither)")
     val spark = increment.sparkSession
+    // replay fast-path: an already-recorded (appId, version) skips the
+    // whole batch — no kernel pass, no write, honest (0 rows) telemetry.
+    // The engine-level txn check at commit time remains the atomic
+    // backstop for the race window this pre-check leaves open.
+    if (txnRecorded(s"$indexDir/assign", txnAppId, txnVersion))
+      return (0L, 1.0)
     val cents = centroidsOf(spark, indexDir)
     val centers = cents.map(_._2)
     val assigned = assignBatch(increment, centers)
       .withColumn("cos_c", centroidCos(col("cvec"), col("cluster"), centers))
-    assigned.select(col("cid"), col("cluster"))
-      .write.format("btr").mode("append").save(s"$indexDir/assign")
-    val stats = assigned.agg(count(lit(1)), avg(col("cos_c"))).collect()(0)
-    val n = stats.getLong(0)
-    val incMean = if (n == 0 || stats.isNullAt(1)) 1.0 else stats.getDouble(1)
-    val buildMean = {
-      val ms = cents.map(_._3).filter(!_.isNaN)
-      if (ms.isEmpty) 1.0 else ms.sum / ms.length
-    }
-    val drift = if (buildMean <= 0) 1.0 else incMean / buildMean
-    lastIvfDrift.put(spark, (n, drift))
-    if (n > 0 && drift < 0.8)
-      org.apache.log4j.Logger.getLogger(getClass).warn(
-        f"ivfIndexAppend: increment mean centroid-cosine $incMean%.4f is " +
-          f"$drift%.2fx the build-time mean $buildMean%.4f — the embedding " +
-          "distribution has drifted off the persisted centroids; re-run " +
-          "ivfIndexBuild to re-fit")
-    (n, drift)
+      .select(col("cid"), col("cluster"), col("cos_c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val w0 = assigned.select(col("cid"), col("cluster"))
+        .write.format("btr").mode("append")
+      val w = (txnAppId, txnVersion) match {
+        case (Some(app), Some(ver)) =>
+          w0.option("btr.txnAppId", app).option("btr.txnVersion", ver.toString)
+        case _ => w0
+      }
+      w.save(s"$indexDir/assign")
+      val stats = assigned.agg(count(lit(1)), avg(col("cos_c"))).collect()(0)
+      val n = stats.getLong(0)
+      val incMean = if (n == 0 || stats.isNullAt(1)) 1.0 else stats.getDouble(1)
+      val buildMean = {
+        val ms = cents.map(_._3).filter(!_.isNaN)
+        if (ms.isEmpty) 1.0 else ms.sum / ms.length
+      }
+      val drift = if (buildMean <= 0) 1.0 else incMean / buildMean
+      lastIvfDrift.put(spark, (n, drift))
+      if (n > 0 && drift < 0.8)
+        org.apache.log4j.Logger.getLogger(getClass).warn(
+          f"ivfIndexAppend: increment mean centroid-cosine $incMean%.4f is " +
+            f"$drift%.2fx the build-time mean $buildMean%.4f — the embedding " +
+            "distribution has drifted off the persisted centroids; re-run " +
+            "ivfIndexBuild to re-fit")
+      (n, drift)
+    } finally assigned.unpersist(blocking = false)
+  }
+
+  /** True when the assign table's log already records (appId, version)
+    * at-or-above `ver` — the batch has fully committed before.
+    */
+  private def txnRecorded(
+      assignDir: String, txnAppId: Option[String], txnVersion: Option[Long]): Boolean =
+    (for (app <- txnAppId; ver <- txnVersion) yield {
+      val p = new org.apache.hadoop.fs.Path(assignDir)
+      val fs = p.getFileSystem(graft.format.BtrTableMeta.hadoopConf())
+      graft.sources.BtrLog.lastTxnVersion(fs, fs.makeQualified(p), app).exists(_ >= ver)
+    }).getOrElse(false)
+
+  /** Result of one [[ivfIndexRefresh]] batch. `replayed` means the
+    * batch's (txnAppId, txnVersion) was already recorded on the assign
+    * table's log — the whole refresh no-opped (nothing deleted, nothing
+    * appended), the retry-safe outcome.
+    */
+  final case class IvfRefreshStats(
+      rowsAssigned: Long, rowsDeleted: Long, drift: Double, replayed: Boolean)
+
+  /** Refresh the persisted index from a CHANGE FEED batch carrying both
+    * inserts and deletes (`_change_type` ∈ {'insert','delete'}, the
+    * [[graft.sources.BtrChanges.between]] shape): delete rows anti the
+    * assign table first (a MERGE … WHEN MATCHED THEN DELETE on cid — the
+    * standard one-shuffle shape, SPJ-eligible under a shared bucket
+    * spec), then assign + append the inserts via [[ivfIndexAppend]].
+    * Without the delete leg, assign rows for corpus rows deleted through
+    * the feed accumulate forever: harmless to the membership join
+    * (deleted cids drop out of the candidates side) but unbounded
+    * metadata debt and a drift-telemetry skew.
+    *
+    * Delete-before-insert makes an UPDATE (delete+insert of one cid)
+    * land as its new assignment. Retry convergence with txn identity:
+    * the recorded (appId, version) high-water mark is checked FIRST, so
+    * a fully-committed batch replays as a no-op (the delete leg never
+    * re-runs against the already-refreshed rows); a crash between the
+    * legs retries into delete-no-op + append. Batches of one appId must
+    * run serially (the single-consumer change-feed contract).
+    */
+  def ivfIndexRefresh(
+      feed: DataFrame, // (cid, cvec, _change_type)
+      indexDir: String,
+      txnAppId: Option[String] = None,
+      txnVersion: Option[Long] = None
+  ): IvfRefreshStats = {
+    require(txnAppId.isDefined == txnVersion.isDefined,
+      "ivfIndexRefresh: txnAppId and txnVersion come together (both or neither)")
+    val spark = feed.sparkSession
+    val assignDir = s"$indexDir/assign"
+    if (txnRecorded(assignDir, txnAppId, txnVersion))
+      return IvfRefreshStats(0L, 0L, 1.0, replayed = true)
+    val f = feed.select(col("cid"), col("cvec"), col("_change_type"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dels = f.filter(col("_change_type") === "delete")
+        .select(col("cid")).distinct()
+      val nDel = dels.count()
+      if (nDel > 0) {
+        spark.conf.set("spark.sql.catalog.graft",
+          classOf[graft.sources.BtrCatalog].getName)
+        val view = s"__ivf_refresh_del_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+        dels.createOrReplaceTempView(view)
+        try spark.sql(
+          s"MERGE INTO graft.`$assignDir` t USING $view s ON t.cid = s.cid " +
+            "WHEN MATCHED THEN DELETE")
+        finally spark.catalog.dropTempView(view)
+      }
+      val ins = f.filter(col("_change_type") === "insert")
+        .select(col("cid"), col("cvec"))
+      val (n, drift) = ivfIndexAppend(ins, indexDir, txnAppId, txnVersion)
+      IvfRefreshStats(n, nDel, drift, replayed = false)
+    } finally f.unpersist(blocking = false)
   }
 
   /** Cosine of a vector to its assigned centroid (literal lookup). */
@@ -584,30 +697,76 @@ object SimilarityOps {
     cosine(vec, element_at(centArr, cluster + 1))
   }
 
+  /** Probe rows (queries × nprobe) [[ivfTopKIndexed]] will broadcast
+    * before dropping the hint and letting AQE pick the join: ANN serves
+    * bounded query batches, and an unguarded `broadcast()` over an
+    * unexpectedly large query table would OOM the driver instead of
+    * degrading to a shuffle join.
+    */
+  val DefaultMaxBroadcastProbes: Long = 1000000L
+
+  /** Assign-table staleness: candidate rows the persisted index has NOT
+    * assigned yet (build/append lagging the corpus). One left-anti
+    * count — the monitoring probe a refresh loop alarms on.
+    * [[ivfTopKIndexed]] itself never narrows silently: unassigned
+    * candidates fall back to an on-the-fly assignment (same centroids),
+    * so this probe is telemetry, not a correctness gate.
+    */
+  def ivfIndexStaleness(candidates: DataFrame, indexDir: String): Long = {
+    val spark = candidates.sparkSession
+    val assign = spark.read.format("btr").load(s"$indexDir/assign").select(col("cid"))
+    candidates.select(col("cid")).join(assign, Seq("cid"), "left_anti").count()
+  }
+
   /** IVF ANN through the PERSISTED index: identical semantics to
     * [[ivfTopK]], but centroids come from the index's centroids table
     * and cell membership from the assign table (equi-join on the id —
     * no per-call fit, no per-call corpus assignment). With an index
     * built (+ appended) from the same candidate set, the output is
     * row-identical to assigning fresh against the same centers.
+    *
+    * An index LAGGING the corpus never narrows the search silently:
+    * candidates missing from the assign table (left join miss) assign on
+    * the fly against the persisted centroids — `coalesce` short-circuits,
+    * so the kernel runs only on the unassigned rows and an up-to-date
+    * index pays nothing. [[ivfIndexStaleness]] is the monitoring probe.
+    *
+    * The probe set broadcasts only while `queries ≤ maxBroadcastProbes /
+    * nprobe` (checked with an early-stopping limit+count, not a full
+    * count): past the guard the hint is dropped with a loud warning and
+    * AQE plans the join, degrading instead of OOMing the driver.
     */
   def ivfTopKIndexed(
       queries: DataFrame, // (qid, qvec)
       candidates: DataFrame, // (cid, cvec)
       indexDir: String,
       k: Int,
-      nprobe: Int = 4
+      nprobe: Int = 4,
+      maxBroadcastProbes: Long = DefaultMaxBroadcastProbes
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = candidates.sparkSession
     val centers = centroidsOf(spark, indexDir).map(_._2)
     val assign = spark.read.format("btr").load(s"$indexDir/assign")
       .select(col("cid"), col("cluster"))
-    val cb = candidates.join(assign, Seq("cid"))
+    val cb = candidates.join(assign, Seq("cid"), "left")
+      .withColumn("cluster", coalesce(col("cluster"),
+        element_at(NearestCentersExpr.of(col("cvec"), centers, 1), 1)))
+    val nEff = math.min(nprobe, centers.length)
     val probes = queries.select(col("qid"), col("qvec"),
-      explode(NearestCentersExpr.of(col("qvec"), centers, math.min(nprobe, centers.length)))
-        .as("cluster"))
-    val joined = cb.join(broadcast(probes), Seq("cluster"))
+      explode(NearestCentersExpr.of(col("qvec"), centers, nEff)).as("cluster"))
+    val maxQ = math.max(1L, maxBroadcastProbes / math.max(1, nEff))
+    val overCap = queries.select(lit(1)).limit(
+      math.min(maxQ + 1, Int.MaxValue.toLong).toInt).count() > maxQ
+    if (overCap)
+      org.apache.log4j.Logger.getLogger(getClass).warn(
+        s"ivfTopKIndexed: query batch exceeds $maxQ rows (maxBroadcastProbes=" +
+          s"$maxBroadcastProbes / nprobe=$nEff) — dropping the probe broadcast " +
+          "hint; AQE plans the membership join. ANN batches this large are " +
+          "usually a pipeline bug; split the query set or raise the cap " +
+          "deliberately.")
+    val probeSide = if (overCap) probes else broadcast(probes)
+    val joined = cb.join(probeSide, Seq("cluster"))
       .filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"), round(cosine(col("qvec"), col("cvec")), 4).as("cos"))
     val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("cid"))

@@ -37,10 +37,16 @@ object ScaleProbe {
       try graft.SparkEntry.queries(n)(spark, sfDir).write.mode("overwrite").format("noop").save()
       catch { case e: Throwable => System.err.println(s"[probe] warm $n: ${e.getMessage}") }
     }
+    // a failing or misnamed query records a -1 sentinel instead of
+    // aborting the probe — the other queries' measurements still emit
     val times = names.map { n =>
-      n -> secs {
+      n -> (try secs {
         graft.SparkEntry.queries(n)(spark, sfDir).write.mode("overwrite").format("noop").save()
-      }
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[probe] timed $n FAILED: ${e.getMessage}")
+          -1.0
+      })
     }
     val tele = {
       val ob = graft.functions.TextOps.lastOversizedBuckets.get(spark)

@@ -1,0 +1,301 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Maintenance surface of the persisted IVF index: retry-idempotent
+  * appends (txn identity), CDC-driven refresh with deletes, stale-index
+  * query fallback, the probe-broadcast guard, and a seeded maintenance
+  * fuzz interleaving appends × replays × assign-table compaction.
+  */
+class IvfIndexMaintenanceSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("ivf-index-maintenance-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def tmp(name: String): String = {
+    val d = s"/tmp/btr-ivf-maint-spec/$name"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d))
+    d
+  }
+
+  private val Dim = 8
+
+  private def randVecs(ids: Seq[Long], seed: Long): Seq[(Long, Seq[Float])] = {
+    val rnd = new scala.util.Random(seed)
+    ids.map(i => i -> Seq.fill(Dim)(rnd.nextGaussian().toFloat))
+  }
+
+  private def df(rows: Seq[(Long, Seq[Float])]): DataFrame = rows.toDF("cid", "cvec")
+
+  private def assignRows(dir: String): Seq[(Long, Int)] =
+    spark.read.format("btr").load(s"$dir/assign")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+
+  test("txn-identified append: replayed batch is a no-op; duplicate rows WOULD corrupt top-k") {
+    val dir = tmp("txn-append")
+    val corpus = randVecs(0L until 200L, seed = 5)
+    SimilarityOps.ivfIndexBuild(df(corpus), dir, nlist = 8, fitSampleRows = 100)
+    // the increment contains a guaranteed rank-1 neighbor per query:
+    // cvec = 1.5 × the query vector (cosine exactly 1.0)
+    val queries = corpus.take(3).map { case (i, v) => (i, v) }
+    val inc = queries.map { case (i, v) => (10000L + i, v.map(x => x * 1.5f)) }
+    val (n1, d1) = SimilarityOps.ivfIndexAppend(df(inc), dir,
+      txnAppId = Some("feed"), txnVersion = Some(1L))
+    assert(n1 == 3 && d1 > 0.0)
+    val after1 = assignRows(dir)
+    assert(after1.map(_._1).sorted == (corpus.map(_._1) ++ inc.map(_._1)).sorted)
+
+    // replay of the SAME (appId, version): zero rows, table untouched
+    val (n2, d2) = SimilarityOps.ivfIndexAppend(df(inc), dir,
+      txnAppId = Some("feed"), txnVersion = Some(1L))
+    assert(n2 == 0L && d2 == 1.0, s"replay must no-op, got ($n2, $d2)")
+    assert(assignRows(dir).sorted == after1.sorted, "replay must not change the assign table")
+    // stale below-high-water version: also a no-op
+    val (n3, _) = SimilarityOps.ivfIndexAppend(df(inc), dir,
+      txnAppId = Some("feed"), txnVersion = Some(0L))
+    assert(n3 == 0L)
+    assert(assignRows(dir).map(_._1).distinct.length == assignRows(dir).length,
+      "no duplicate cids after replays")
+
+    // the NEXT version appends; an independent app is independent
+    val inc2 = Seq((20000L, corpus(3)._2.map(_ * 2.0f)))
+    val (n4, _) = SimilarityOps.ivfIndexAppend(df(inc2), dir,
+      txnAppId = Some("feed"), txnVersion = Some(2L))
+    assert(n4 == 1L)
+
+    // sanity before injection: indexed top-k (full probe) ≡ brute force
+    val full = df(corpus ++ inc ++ inc2)
+    val qdf = df(queries).select(col("cid").as("qid"), col("cvec").as("qvec"))
+    def topk() = SimilarityOps.ivfTopKIndexed(qdf, full, dir, k = 3, nprobe = 8)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"))).toSeq
+    val exact = SimilarityOps.bruteForceTopK(qdf, full, 3)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"))).toSeq
+    assert(topk().sorted == exact.sorted)
+
+    // INJECTION: a txn-LESS replay appends duplicate assign rows, and the
+    // membership join then serves duplicated candidates — the guaranteed
+    // rank-1 neighbors occupy MULTIPLE ranks and displace true results.
+    // This is the silent corruption the txn identity exists to prevent.
+    SimilarityOps.ivfIndexAppend(df(inc), dir) // no identity: duplicates land
+    val dupRows = assignRows(dir)
+    assert(dupRows.length == dupRows.map(_._1).distinct.length + 3,
+      "injection must produce exactly the 3 duplicate rows")
+    val corrupted = topk()
+    val dupPairs = corrupted.groupBy(identity).filter(_._2.length > 1)
+    assert(dupPairs.nonEmpty,
+      "duplicate assign rows must visibly corrupt the indexed top-k " +
+        s"(got ${corrupted.length} rows, no duplicated (qid,cid))")
+    assert(corrupted.sorted != exact.sorted)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  test("ivfIndexRefresh consumes CDC deletes and updates; replayed batch no-ops") {
+    val base = tmp("refresh")
+    val table = s"$base/table"
+    val idx = s"$base/index"
+    val all = randVecs(0L until 300L, seed = 9)
+    // v1: the corpus, retained so the change feed can serve deletes
+    df(all).select(col("cid").as("vec_id"), col("cvec").as("embedding"))
+      .write.format("btr").option("btr.retainRemoved", "true")
+      .mode("overwrite").save(table)
+    val v1 = spark.read.format("btr").option("btr.versionAsOf", "1").load(table)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    SimilarityOps.ivfIndexBuild(v1, idx, nlist = 8, fitSampleRows = 100)
+
+    // v2: DELETE every cid % 10 == 0; v3: append fresh rows 1000..1019
+    // plus an UPDATE-shaped re-insert of cid 5 with a NEW vector
+    spark.conf.set("spark.sql.catalog.graft", classOf[graft.sources.BtrCatalog].getName)
+    spark.sql(s"DELETE FROM graft.`$table` WHERE vec_id % 10 = 0 OR vec_id = 5")
+    val fresh = randVecs(1000L until 1020L, seed = 77) :+ (5L -> Seq.fill(Dim)(0.25f))
+    df(fresh).select(col("cid").as("vec_id"), col("cvec").as("embedding"))
+      .write.format("btr").mode("append").save(table)
+
+    val feed = graft.sources.BtrChanges.between(spark, table, 1L, 3L)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"), col("_change_type"))
+    val stats = SimilarityOps.ivfIndexRefresh(feed, idx,
+      txnAppId = Some("refresh"), txnVersion = Some(3L))
+    assert(!stats.replayed)
+    // copy-on-write DELETE rewrites whole files, so the retained feed
+    // emits delete + re-insert pairs for the rewritten files' survivors
+    // too (multiset-consistent) — the delete leg covers AT LEAST the
+    // truly-removed cids, and the insert leg re-lands the survivors
+    assert(stats.rowsDeleted >= all.count(_._1 % 10 == 0) + 1,
+      s"deletes must cover the removed cids, got ${stats.rowsDeleted}")
+    assert(stats.rowsAssigned >= fresh.length)
+
+    // assign table == current table's cids, exactly once each
+    val current = spark.read.format("btr").load(table)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val assignCids = assignRows(idx).map(_._1)
+    assert(assignCids.sorted == current.select("cid").as[Long].collect().sorted.toSeq,
+      "assign table must equal the live corpus after the delete+insert batch")
+    assert(assignCids.distinct.length == assignCids.length)
+
+    // the UPDATEd cid 5 carries its NEW vector's assignment
+    val centers = SimilarityOps.centroidsOf(spark, idx).map(_._2)
+    val fresh5 = df(Seq(5L -> Seq.fill(Dim)(0.25f)))
+      .select(element_at(NearestCentersExpr.of(col("cvec"), centers, 1), 1))
+      .collect()(0).getInt(0)
+    assert(assignRows(idx).toMap.apply(5L) == fresh5)
+
+    // indexed ≡ brute force on the refreshed corpus (full probe)
+    val qs = current.filter(col("cid") < 4).select(col("cid").as("qid"), col("cvec").as("qvec"))
+    val viaIdx = SimilarityOps.ivfTopKIndexed(qs, current, idx, k = 3, nprobe = 8)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"))).toSet
+    val exact = SimilarityOps.bruteForceTopK(qs, current, 3)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"))).toSet
+    assert(viaIdx == exact)
+
+    // replay of the whole batch: no delete re-run, no append — the
+    // delete-then-append sequence must NOT eat the updated row on retry
+    val before = assignRows(idx).sorted
+    val replay = SimilarityOps.ivfIndexRefresh(feed, idx,
+      txnAppId = Some("refresh"), txnVersion = Some(3L))
+    assert(replay.replayed && replay.rowsAssigned == 0 && replay.rowsDeleted == 0)
+    assert(assignRows(idx).sorted == before)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+  }
+
+  test("stale index: unassigned candidates assign on the fly, staleness probe counts them") {
+    val dir = tmp("stale")
+    val all0 = randVecs(0L until 240L, seed = 13)
+    // plant a guaranteed fallback hit: lagging cid 4 = 1.5 × query 1's
+    // vector (cosine 1.0 → rank 1 for qid 1), so the on-the-fly
+    // assignment is provably exercised, not left to random top-k chance
+    val all = all0.map { case (i, v) =>
+      if (i == 4L) (i, all0(1)._2.map(x => x * 1.5f)) else (i, v)
+    }
+    val (indexed, lagging) = all.partition(_._1 % 4 != 0)
+    SimilarityOps.ivfIndexBuild(df(indexed), dir, nlist = 8, fitSampleRows = 100)
+    val full = df(all)
+    assert(SimilarityOps.ivfIndexStaleness(full, dir) == lagging.length,
+      "staleness probe = candidates the index has not assigned")
+    assert(SimilarityOps.ivfIndexStaleness(df(indexed), dir) == 0L)
+    // the query path must cover the FULL candidate set — the lagging rows
+    // assign on the fly against the persisted centroids, so a full probe
+    // still equals brute force (an inner membership join would silently
+    // drop every 4th row)
+    val qs = full.filter(col("cid") < 4).select(col("cid").as("qid"), col("cvec").as("qvec"))
+    val viaIdx = SimilarityOps.ivfTopKIndexed(qs, full, dir, k = 4, nprobe = 8)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"))).toSet
+    val exact = SimilarityOps.bruteForceTopK(qs, full, 4)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"))).toSet
+    assert(viaIdx == exact, "stale index must not narrow the search space")
+    assert(viaIdx.exists { case (_, cid) => cid % 4 == 0 },
+      "schedule too tame: no lagging row in any top-k — the fallback went unexercised")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  test("probe broadcast guard: an oversized query batch drops the hint, same rows") {
+    val dir = tmp("guard")
+    val corpus = randVecs(0L until 150L, seed = 21)
+    SimilarityOps.ivfIndexBuild(df(corpus), dir, nlist = 8, fitSampleRows = 100)
+    val full = df(corpus)
+    val qs = full.filter(col("cid") < 6).select(col("cid").as("qid"), col("cvec").as("qvec"))
+    val hinted = SimilarityOps.ivfTopKIndexed(qs, full, dir, k = 3, nprobe = 8)
+    val guarded = SimilarityOps.ivfTopKIndexed(qs, full, dir, k = 3, nprobe = 8,
+      maxBroadcastProbes = 1L)
+    def hasBroadcastHint(dfr: DataFrame): Boolean =
+      dfr.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join
+            if j.hint.leftHint.exists(_.strategy.isDefined) ||
+              j.hint.rightHint.exists(_.strategy.isDefined) => j
+      }.nonEmpty
+    assert(hasBroadcastHint(hinted), "bounded batch keeps the broadcast hint")
+    assert(!hasBroadcastHint(guarded), "over-cap batch must drop the broadcast hint")
+    val a = hinted.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val b = guarded.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(a == b, "guarded path returns identical rows")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  test("maintenance fuzz: appends × replays × assign-table compaction stay exactly-once") {
+    // the assign table is an ordinary btr table — index appends race
+    // OPTIMIZE like any writer. Seeded rounds interleave txn-identified
+    // appends, replays of committed versions, and compaction with an
+    // append/replay fired INSIDE the compactor's windows; the oracle is
+    // exactly-once: assign cids == committed batches' cids, no
+    // duplicates, and clusters == a fresh kernel assignment at the end.
+    val extra = sys.env.get("SPARK_GRAFT_FUZZ_SEEDS").toSeq
+      .flatMap(_.split(',')).flatMap(s => scala.util.Try(s.trim.toLong).toOption)
+    for (seed <- Seq(11051105L, 90210L) ++ extra) {
+      val dir = tmp(s"fuzz-$seed")
+      val rnd = new scala.util.Random(seed)
+      val corpus = randVecs(0L until 120L, seed = seed)
+      SimilarityOps.ivfIndexBuild(df(corpus), dir, nlist = 4, fitSampleRows = 100)
+      val live = scala.collection.mutable.Map[Long, Seq[Float]](corpus: _*)
+      var nextCid = 1000L
+      var nextVer = 0L
+      val committed = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[(Long, Seq[Float])])]
+      var replays = 0; var compacts = 0; var inWindow = 0
+
+      def freshBatch(): Seq[(Long, Seq[Float])] = {
+        val n = 2 + rnd.nextInt(5)
+        val b = randVecs(nextCid until nextCid + n, seed = rnd.nextLong())
+        nextCid += n
+        b
+      }
+      def append(): Unit = {
+        val b = freshBatch(); nextVer += 1
+        val (n, _) = SimilarityOps.ivfIndexAppend(df(b), dir,
+          txnAppId = Some("fuzz"), txnVersion = Some(nextVer))
+        assert(n == b.length)
+        committed += ((nextVer, b)); b.foreach { case (i, v) => live(i) = v }
+      }
+      def replay(): Unit = if (committed.nonEmpty) {
+        val (ver, b) = committed(rnd.nextInt(committed.length))
+        val (n, _) = SimilarityOps.ivfIndexAppend(df(b), dir,
+          txnAppId = Some("fuzz"), txnVersion = Some(ver))
+        assert(n == 0L, s"seed=$seed: replay of v$ver appended $n rows")
+        replays += 1
+      }
+      for (round <- 0 until 14) {
+        rnd.nextInt(4) match {
+          case 0 | 1 => append()
+          case 2 => replay()
+          case _ =>
+            // compaction with an append or replay landing inside its
+            // window (before the conflict check, or between journal
+            // publish and renames)
+            val fire: () => Unit =
+              if (rnd.nextBoolean()) { () => { append(); inWindow += 1 } }
+              else { () => { replay(); inWindow += 1 } }
+            try {
+              if (rnd.nextBoolean())
+                graft.sources.BtrCompact.compact(spark, s"$dir/assign", 1L << 20,
+                  beforeSwap = fire)
+              else
+                graft.sources.BtrCompact.compact(spark, s"$dir/assign", 1L << 20,
+                  afterJournal = fire)
+            } catch { case _: IllegalStateException => () } // compactor yields
+            compacts += 1
+        }
+        val rows = assignRows(dir)
+        assert(rows.map(_._1).sorted == live.keys.toSeq.sorted,
+          s"seed=$seed round=$round: assign cids != committed cids")
+        assert(rows.map(_._1).distinct.length == rows.length,
+          s"seed=$seed round=$round: duplicate assign rows")
+      }
+      assert(replays >= 1 && compacts >= 1 && inWindow >= 1,
+        s"seed=$seed schedule too tame: replays=$replays compacts=$compacts inWindow=$inWindow")
+      // final semantic oracle: every live cid carries the same cluster a
+      // fresh assignment against the persisted centroids produces
+      val centers = SimilarityOps.centroidsOf(spark, dir).map(_._2)
+      val freshAssign = df(live.toSeq)
+        .select(col("cid"), element_at(NearestCentersExpr.of(col("cvec"), centers, 1), 1).as("cl"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assignRows(dir).foreach { case (cid, cl) =>
+        assert(freshAssign(cid) == cl, s"seed=$seed: cid=$cid cluster drifted through maintenance")
+      }
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+}
