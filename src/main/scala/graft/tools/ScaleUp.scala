@@ -25,6 +25,23 @@ object ScaleUp {
     val src = args(0)
     val out = args(1)
     val copies = if (args.length > 2) args(2).toInt else 10
+    // mode=replicate (default) keeps replica text byte-identical, so
+    // duplicate-class SIZE grows ∝ copies — a guard stress, but dedup
+    // output (true pairs) grows quadratically in copies BY CONSTRUCTION.
+    // mode=perturb injects a replica-unique marker token into documents
+    // text every few words (replica 0 stays pristine): within-replica
+    // duplicate classes survive unchanged while cross-replica jaccard
+    // collapses, so class size stays CONSTANT as the corpus grows — the
+    // realistic growth direction, for measuring the verify-stage curve
+    // without the replication artifact.
+    val mode = if (args.length > 3) args(3) else "replicate"
+    require(mode == "replicate" || mode == "perturb", s"mode=$mode")
+    // optional table subset (comma list) — a perturb probe only needs
+    // `documents`, no point re-emitting 100× lineitem
+    val only: Option[Set[String]] =
+      if (args.length > 4 && args(4) != "all")
+        Some(args(4).split(',').map(_.trim).filter(_.nonEmpty).toSet)
+      else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -37,28 +54,44 @@ object ScaleUp {
 
     def t(name: String): DataFrame = spark.read.parquet(s"$src/$name.parquet")
 
-    /** Union `copies` replicas, shifting the listed key columns by i*K. */
-    def replicate(df: DataFrame, keyCols: Seq[String]): DataFrame =
+    /** Union `copies` replicas, shifting the listed key columns by i*K;
+      * `perturb` transforms each non-zero replica after the shift.
+      */
+    def replicate(df: DataFrame, keyCols: Seq[String],
+        perturb: (DataFrame, Int) => DataFrame = (d, _) => d): DataFrame =
       (0 until copies).map { i =>
-        keyCols.foldLeft(df)((d, c) => d.withColumn(c, col(c) + lit(i * K)))
+        val shifted = keyCols.foldLeft(df)((d, c) => d.withColumn(c, col(c) + lit(i * K)))
+        if (i == 0) shifted else perturb(shifted, i)
       }.reduce(_ unionAll _)
 
-    val plans: Seq[(String, DataFrame)] = Seq(
-      "region" -> t("region"),
-      "nation" -> t("nation"),
-      "customer" -> replicate(t("customer"), Seq("c_custkey")),
-      "supplier" -> replicate(t("supplier"), Seq("s_suppkey")),
-      "part" -> replicate(t("part"), Seq("p_partkey")),
-      "orders" -> replicate(t("orders"), Seq("o_orderkey", "o_custkey")),
-      "lineitem" -> replicate(t("lineitem"), Seq("l_orderkey", "l_partkey", "l_suppkey")),
+    /** Inject a replica-unique marker after every 4th word: exact and
+      * near duplicates WITHIN a replica stay duplicates (both sides get
+      * the same markers at the same positions), while any cross-replica
+      * pair's shingle jaccard collapses far below dedup thresholds.
+      */
+    def perturbDocs(d: DataFrame, i: Int): DataFrame =
+      if (mode != "perturb") d
+      else d.withColumn("text", array_join(
+        transform(split(col("text"), " "),
+          (w, j) => when(j % 4 === lit(3), concat(w, lit(s" zzr${i}zz"))).otherwise(w)),
+        " "))
+
+    val plans: Seq[(String, () => DataFrame)] = Seq(
+      "region" -> (() => t("region")),
+      "nation" -> (() => t("nation")),
+      "customer" -> (() => replicate(t("customer"), Seq("c_custkey"))),
+      "supplier" -> (() => replicate(t("supplier"), Seq("s_suppkey"))),
+      "part" -> (() => replicate(t("part"), Seq("p_partkey"))),
+      "orders" -> (() => replicate(t("orders"), Seq("o_orderkey", "o_custkey"))),
+      "lineitem" -> (() => replicate(t("lineitem"), Seq("l_orderkey", "l_partkey", "l_suppkey"))),
       // events keep their time range (hour-partition layouts stay 720
       // dirs with 10× rows each — the realistic growth direction)
-      "events" -> replicate(t("events"), Seq("event_id", "user_id")),
-      "documents" -> replicate(t("documents"), Seq("doc_id")),
-      "embeddings" -> replicate(t("embeddings"), Seq("vec_id"))
+      "events" -> (() => replicate(t("events"), Seq("event_id", "user_id"))),
+      "documents" -> (() => replicate(t("documents"), Seq("doc_id"), perturbDocs)),
+      "embeddings" -> (() => replicate(t("embeddings"), Seq("vec_id")))
     )
-    plans.foreach { case (name, df) =>
-      df.write.mode("overwrite").parquet(s"$out/$name.parquet.dir")
+    plans.filter(p => only.forall(_.contains(p._1))).foreach { case (name, mk) =>
+      mk().write.mode("overwrite").parquet(s"$out/$name.parquet.dir")
       // the bench reads <table>.parquet as a path; a directory works for
       // spark.read.parquet, so normalize the name
       val fs = new org.apache.hadoop.fs.Path(out)
