@@ -74,6 +74,54 @@ object PipelineQueries {
     dir
   }
 
+  /** Cached fixture for the CDC-driven index refresh gate
+    * (`q_ann_ivf_refresh`): corpus table (retained) at v1 → index built
+    * from v1 → DELETE `vec_id % 7 = 3` (v2) → append the +2,000,000
+    * shifted increment (v3) → ONE `ivfIndexRefresh` over the (1,3] feed
+    * with txn identity (replayed immediately to prove the no-op under
+    * the gate) → a final +3,000,000-shifted append the index does NOT
+    * see, so the query path's staleness fallback is exercised too.
+    * Returns (corpusTableDir, indexDir).
+    */
+  private def ivfRefreshDirs(s: SparkSession, d: String): (String, String) = {
+    val root = Btr.cachePath(d, "ivf_refresh")
+    val table = s"$root/corpus"
+    val idx = s"$root/index"
+    val done = new java.io.File(root, "_built_v1")
+    if (!done.exists()) {
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(graft.format.BtrTableMeta.hadoopConf())
+      val qroot = fs.makeQualified(new org.apache.hadoop.fs.Path(root))
+      if (fs.exists(qroot)) fs.delete(qroot, true) // partial build: wipe
+      val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      emb.write.format("btr").option("btr.retainRemoved", "true")
+        .mode("overwrite").save(table)
+      val v1 = s.read.format("btr").option("btr.versionAsOf", "1").load(table)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      SimilarityOps.ivfIndexBuild(v1, idx, nlist = 16)
+      s.conf.set("spark.sql.catalog.graft", classOf[graft.sources.BtrCatalog].getName)
+      s.sql(s"DELETE FROM graft.`$table` WHERE vec_id % 7 = 3")
+      emb.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 2000000L).as("vec_id"), col("embedding"))
+        .write.format("btr").mode("append").save(table)
+      val feed = graft.sources.BtrChanges.between(s, table, 1L, 3L)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"), col("_change_type"))
+      val st = SimilarityOps.ivfIndexRefresh(feed, idx,
+        txnAppId = Some("gate"), txnVersion = Some(3L))
+      require(!st.replayed && st.rowsAssigned > 0 && st.rowsDeleted > 0,
+        s"ivf_refresh gate fixture: unexpected refresh stats $st")
+      val replay = SimilarityOps.ivfIndexRefresh(feed, idx,
+        txnAppId = Some("gate"), txnVersion = Some(3L))
+      require(replay.replayed && replay.rowsAssigned == 0,
+        s"ivf_refresh gate fixture: replay must no-op, got $replay")
+      emb.filter(col("vec_id") >= 20 && col("vec_id") < 30)
+        .select((col("vec_id") + 3000000L).as("vec_id"), col("embedding"))
+        .write.format("btr").mode("append").save(table)
+      new java.io.FileOutputStream(done).close()
+    }
+    (table, idx)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact dedup: canonical doc per distinct text. Shuffles 8-byte
     // fingerprints, not document bodies: group by xxhash64(text) first,
@@ -326,6 +374,38 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_exact"),
           (count(col("hit")).cast("double") / count(lit(1)) >= 0.3).as("recall_ok"))
         .crossJoin(fo) // 1×1
+    }),
+
+    // CDC-driven IVF index refresh (VERDICT r14 #1/#2 under the gate):
+    // the fixture deletes a seventh of the corpus and appends an
+    // increment through ONE txn-identified ivfIndexRefresh batch
+    // (replayed to prove exactly-once), then appends rows the index
+    // does NOT cover. The indexed top-k must reach the recall gate
+    // against DuckDB's exact ranking over the SAME current corpus
+    // (reconstructed by predicate on the parquet table), the assign
+    // table must hold exactly the refreshed ids once each, and the
+    // staleness fallback must be live (unindexed rows still searched).
+    "q_ann_ivf_refresh" -> ((s, d) => {
+      val (table, idx) = ivfRefreshDirs(s, d)
+      val current = s.read.format("btr").load(table)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val queries = current.filter(col("cid") < 10)
+        .select(col("cid").as("qid"), col("cvec").as("qvec"))
+      val topk = SimilarityOps.ivfTopKIndexed(queries, current, idx, 3, nprobe = 6)
+        .select(col("qid"), col("cid"))
+      val assign = s.read.format("btr").load(s"$idx/assign").select(col("cid"))
+      val nAssign = assign.count()
+      val refreshed = current.filter(col("cid") < 3000000L)
+      val exactlyOnce = nAssign == assign.distinct().count() &&
+        nAssign == refreshed.count()
+      val stale = SimilarityOps.ivfIndexStaleness(current, idx)
+      val exact = SimilarityOps.bruteForceTopK(queries, current, 3)
+        .select(col("qid"), col("cid"))
+      exact.join(topk.withColumn("hit", lit(1)), Seq("qid", "cid"), "left")
+        .agg(count(lit(1)).as("n_exact"),
+          (count(col("hit")).cast("double") / count(lit(1)) >= 0.3).as("recall_ok"))
+        .withColumn("refresh_exactly_once", lit(exactlyOnce))
+        .withColumn("fallback_covered", lit(stale == 10L))
     }),
 
     // BPE-style token counting (lookahead-free GPT-2 pre-tokenizer regex,
@@ -1178,6 +1258,25 @@ object PipelineQueries {
         | FROM sims)
         |SELECT count(*) AS n_exact, true AS recall_ok,
         | true AS indexed_matches_percall
+        |FROM ranked WHERE rank <= 3""".stripMargin,
+    "q_ann_ivf_refresh" ->
+      """WITH cur AS (
+        | SELECT vec_id, embedding FROM embeddings WHERE vec_id % 7 <> 3
+        | UNION ALL
+        | SELECT vec_id + 2000000, embedding FROM embeddings WHERE vec_id < 20
+        | UNION ALL
+        | SELECT vec_id + 3000000, embedding FROM embeddings
+        |  WHERE vec_id >= 20 AND vec_id < 30),
+        | sims AS (
+        | SELECT q.vec_id AS qid, c.vec_id AS cid,
+        |  list_cosine_similarity(q.embedding, c.embedding) AS cos
+        | FROM cur q JOIN cur c ON q.vec_id <> c.vec_id
+        | WHERE q.vec_id < 10),
+        | ranked AS (SELECT qid, cid,
+        |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rank
+        | FROM sims)
+        |SELECT count(*) AS n_exact, true AS recall_ok,
+        | true AS refresh_exactly_once, true AS fallback_covered
         |FROM ranked WHERE rank <= 3""".stripMargin,
     "q_token_bpe" ->
       """SELECT doc_id,
