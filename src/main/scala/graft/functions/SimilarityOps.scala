@@ -691,6 +691,48 @@ object SimilarityOps {
     } finally f.unpersist(blocking = false)
   }
 
+  /** UNATTENDED index maintenance: tail the corpus table's change feed
+    * (the `btr.readChanges` micro-batch stream) and refresh the
+    * persisted index once per micro-batch via [[ivfIndexRefresh]].
+    * Exactly-once end to end: the stream's offsets are snapshot-log
+    * versions in Spark's checkpoint, and each batch refreshes under
+    * (`appId`, foreachBatch's `batchId`) as its txn identity — a batch
+    * replayed after a crash-restart (committed to the index but not yet
+    * to the checkpoint) no-ops through the same `btr.txnAppId`
+    * machinery a manual refresh uses, so the assign table never
+    * collects duplicate rows. Deletes flow through (the source emits
+    * retained removal commits as `delete` rows), so the index tracks
+    * DELETE / OPTIMIZE / row-level rewrites without re-bootstrapping.
+    *
+    * `startingVersion`: `"latest"` maintains from stream start (the
+    * index was just built from the current snapshot); an explicit
+    * version string resumes after a known refresh horizon.
+    */
+  def ivfIndexMaintainStream(
+      spark: org.apache.spark.sql.SparkSession,
+      tableDir: String,
+      indexDir: String,
+      idCol: String,
+      vecCol: String,
+      appId: String,
+      checkpointDir: String,
+      startingVersion: String = "latest"
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
+    val feed = spark.readStream.format("btr")
+      .option("btr.readChanges", "true")
+      .option("btr.startingVersion", startingVersion)
+      .load(tableDir)
+      .select(col(idCol).as("cid"), col(vecCol).as("cvec"), col("_change_type"))
+    feed.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ivfIndexRefresh(batch, indexDir,
+          txnAppId = Some(appId), txnVersion = Some(batchId))
+        ()
+      }
+      .start()
+  }
+
   /** Cosine of a vector to its assigned centroid (literal lookup). */
   private def centroidCos(vec: Column, cluster: Column, centers: Seq[Seq[Double]]): Column = {
     val centArr = array(centers.map(c => array(c.map(lit): _*)): _*)

@@ -217,6 +217,65 @@ class IvfIndexMaintenanceSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("ivfIndexMaintainStream: the index tracks the change feed across appends, deletes and restart") {
+    val base = tmp("stream")
+    val table = s"$base/table"
+    val idx = s"$base/index"
+    val ckpt = s"$base/ckpt"
+    val all = randVecs(0L until 200L, seed = 31)
+    df(all).select(col("cid").as("vec_id"), col("cvec").as("embedding"))
+      .write.format("btr").option("btr.retainRemoved", "true")
+      .mode("overwrite").save(table)
+    val snapshot = spark.read.format("btr").load(table)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    SimilarityOps.ivfIndexBuild(snapshot, idx, nlist = 8, fitSampleRows = 100)
+
+    def startStream() = SimilarityOps.ivfIndexMaintainStream(
+      spark, table, idx, "vec_id", "embedding", appId = "maint", checkpointDir = ckpt)
+
+    val b1 = randVecs(1000L until 1030L, seed = 41)
+    val q = startStream()
+    try {
+      // micro-batch 1: an append lands in the index incrementally
+      df(b1).select(col("cid").as("vec_id"), col("cvec").as("embedding"))
+        .write.format("btr").mode("append").save(table)
+      q.processAllAvailable()
+      assert(assignRows(idx).map(_._1).sorted == (all ++ b1).map(_._1).sorted)
+
+      // micro-batch 2: a DELETE flows through as delete rows
+      spark.conf.set("spark.sql.catalog.graft", classOf[graft.sources.BtrCatalog].getName)
+      spark.sql(s"DELETE FROM graft.`$table` WHERE vec_id % 5 = 0")
+      q.processAllAvailable()
+      val live = (all ++ b1).map(_._1).filterNot(_ % 5 == 0)
+      assert(assignRows(idx).map(_._1).sorted == live.sorted,
+        "delete batch must shrink the assign table to the live corpus")
+    } finally q.stop()
+
+    // restart on the same checkpoint: no duplicate refreshes, and the
+    // next batch continues from the recorded horizon
+    val q2 = startStream()
+    try {
+      val b2 = randVecs(2000L until 2010L, seed = 43)
+      df(b2).select(col("cid").as("vec_id"), col("cvec").as("embedding"))
+        .write.format("btr").mode("append").save(table)
+      q2.processAllAvailable()
+      val live = ((all ++ b1).map(_._1).filterNot(_ % 5 == 0) ++ b2.map(_._1)).sorted
+      val rows = assignRows(idx)
+      assert(rows.map(_._1).sorted == live, "restarted stream must continue exactly-once")
+      assert(rows.map(_._1).distinct.length == rows.length, "no duplicate assign rows after restart")
+      // and the maintained index still serves exact results (full probe)
+      val current = spark.read.format("btr").load(table)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val qs = current.filter(col("cid") < 4).select(col("cid").as("qid"), col("cvec").as("qvec"))
+      val viaIdx = SimilarityOps.ivfTopKIndexed(qs, current, idx, k = 3, nprobe = 8)
+        .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"))).toSet
+      val exact = SimilarityOps.bruteForceTopK(qs, current, 3)
+        .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"))).toSet
+      assert(viaIdx == exact)
+    } finally q2.stop()
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+  }
+
   test("maintenance fuzz: appends × replays × assign-table compaction stay exactly-once") {
     // the assign table is an ordinary btr table — index appends race
     // OPTIMIZE like any writer. Seeded rounds interleave txn-identified
