@@ -105,7 +105,8 @@ object PipelineQueries {
         .select((col("vec_id") + 2000000L).as("vec_id"), col("embedding"))
         .write.format("btr").mode("append").save(table)
       val feed = graft.sources.BtrChanges.between(s, table, 1L, 3L)
-        .select(col("vec_id").as("cid"), col("embedding").as("cvec"), col("_change_type"))
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"),
+          col("_change_type"), col("_commit_version"))
       val st = SimilarityOps.ivfIndexRefresh(feed, idx,
         txnAppId = Some("gate"), txnVersion = Some(3L))
       require(!st.replayed && st.rowsAssigned > 0 && st.rowsDeleted > 0,

@@ -165,6 +165,21 @@ object CoreQueries {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
+    // Q-filter with a MIXED disjunction: one side pushable (equality —
+    // bloom/min-max skippable), the other not (modulo). Guards the
+    // round-15 wrong-results class: a partial V1 translation of an OR
+    // used as a skip filter silently drops the untranslatable side's
+    // rows. The whole predicate must stay residual; every row returns.
+    "q_or_filter" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .filter(col("l_returnflag") === "R" || col("l_orderkey") % 7 === 0)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_orderkey")).cast("long").as("sum_okey"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+
     // Q-stats over an integer column (NumberStats surface)
     "q_stats_int" -> ((s, d) => {
       t(s, d, "lineitem").agg(
@@ -1414,6 +1429,13 @@ object CoreQueries {
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem
         |WHERE l_quantity >= 10 AND l_quantity <= 20 AND l_returnflag = 'R'
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_or_filter" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | CAST(sum(l_orderkey) AS BIGINT) AS sum_okey,
+        | round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |WHERE l_returnflag = 'R' OR l_orderkey % 7 = 0
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_stats_int" ->
       """SELECT count(*) AS n_rows, count(l_orderkey) AS n_vals,
         | min(l_orderkey) AS min_v, max(l_orderkey) AS max_v,

@@ -639,25 +639,34 @@ object SimilarityOps {
 
   /** Refresh the persisted index from a CHANGE FEED batch carrying both
     * inserts and deletes (`_change_type` ∈ {'insert','delete'}, the
-    * [[graft.sources.BtrChanges.between]] shape): delete rows anti the
-    * assign table first (a MERGE … WHEN MATCHED THEN DELETE on cid — the
-    * standard one-shuffle shape, SPJ-eligible under a shared bucket
-    * spec), then assign + append the inserts via [[ivfIndexAppend]].
-    * Without the delete leg, assign rows for corpus rows deleted through
-    * the feed accumulate forever: harmless to the membership join
-    * (deleted cids drop out of the candidates side) but unbounded
-    * metadata debt and a drift-telemetry skew.
+    * [[graft.sources.BtrChanges.between]] shape; `_commit_version` used
+    * when present). Without the delete leg, assign rows for corpus rows
+    * deleted through the feed accumulate forever: harmless to the
+    * membership join (deleted cids drop out of the candidates side) but
+    * unbounded metadata debt and a drift-telemetry skew.
     *
-    * Delete-before-insert makes an UPDATE (delete+insert of one cid)
-    * land as its new assignment. Retry convergence with txn identity:
-    * the recorded (appId, version) high-water mark is checked FIRST, so
-    * a fully-committed batch replays as a no-op (the delete leg never
-    * re-runs against the already-refreshed rows); a crash between the
-    * legs retries into delete-no-op + append. Batches of one appId must
-    * run serially (the single-consumer change-feed contract).
+    * The feed is NETTED per cid before applying — the highest
+    * `_commit_version` event wins, with insert beating delete within
+    * one version (a rewrite commit emits delete + re-insert of a
+    * surviving row under the SAME version; a DELETE emits only the
+    * delete). So a multi-commit batch lands only each row's final
+    * state: delete-then-reinsert (update) assigns the new vector,
+    * insert-then-delete (a row that lived shorter than the batch)
+    * leaves NO phantom assign row. Net-dead and re-inserted cids clear
+    * through one `MERGE … WHEN MATCHED THEN DELETE` on cid (the
+    * standard one-shuffle shape), then the net-live rows append via
+    * [[ivfIndexAppend]]; a feed with no delete events skips the MERGE
+    * entirely (the pure-append fast path).
+    *
+    * Retry convergence with txn identity: the recorded (appId, version)
+    * high-water mark is checked FIRST, so a fully-committed batch
+    * replays as a no-op (the delete leg never re-runs against the
+    * already-refreshed rows); a crash between the legs retries into
+    * delete-no-op + append. Batches of one appId must run serially (the
+    * single-consumer change-feed contract).
     */
   def ivfIndexRefresh(
-      feed: DataFrame, // (cid, cvec, _change_type)
+      feed: DataFrame, // (cid, cvec, _change_type[, _commit_version])
       indexDir: String,
       txnAppId: Option[String] = None,
       txnVersion: Option[Long] = None
@@ -668,27 +677,43 @@ object SimilarityOps {
     val assignDir = s"$indexDir/assign"
     if (txnRecorded(assignDir, txnAppId, txnVersion))
       return IvfRefreshStats(0L, 0L, 1.0, replayed = true)
-    val f = feed.select(col("cid"), col("cvec"), col("_change_type"))
+    val ver =
+      if (feed.columns.contains("_commit_version"))
+        coalesce(col("_commit_version"), lit(0L))
+      else lit(0L)
+    // net per cid: (version, isInsert, cvec) struct-max — the final
+    // event decides the row's fate, insert > delete within a version
+    val net = feed
+      .select(col("cid"),
+        struct(ver.as("_v"),
+          (col("_change_type") === "insert").cast("int").as("_ins"),
+          col("cvec")).as("_ev"),
+        col("_change_type"))
+      .groupBy(col("cid"))
+      .agg(max(col("_ev")).as("last"),
+        max((col("_change_type") === "delete").cast("int")).as("sawDelete"))
+      .select(col("cid"), col("last._ins").as("ins"), col("last.cvec").as("cvec"),
+        col("sawDelete"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val dels = f.filter(col("_change_type") === "delete")
-        .select(col("cid")).distinct()
-      val nDel = dels.count()
-      if (nDel > 0) {
+      val anyDelete = net.filter(col("sawDelete") === 1).limit(1).count() > 0
+      val nDead = if (anyDelete) net.filter(col("ins") === 0).count() else 0L
+      if (anyDelete) {
+        // clear EVERY feed cid (stale assignment of updates, dead rows);
+        // cids absent from the assign table match nothing — a no-op
         spark.conf.set("spark.sql.catalog.graft",
           classOf[graft.sources.BtrCatalog].getName)
         val view = s"__ivf_refresh_del_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-        dels.createOrReplaceTempView(view)
+        net.select(col("cid")).createOrReplaceTempView(view)
         try spark.sql(
           s"MERGE INTO graft.`$assignDir` t USING $view s ON t.cid = s.cid " +
             "WHEN MATCHED THEN DELETE")
         finally spark.catalog.dropTempView(view)
       }
-      val ins = f.filter(col("_change_type") === "insert")
-        .select(col("cid"), col("cvec"))
+      val ins = net.filter(col("ins") === 1).select(col("cid"), col("cvec"))
       val (n, drift) = ivfIndexAppend(ins, indexDir, txnAppId, txnVersion)
-      IvfRefreshStats(n, nDel, drift, replayed = false)
-    } finally f.unpersist(blocking = false)
+      IvfRefreshStats(n, nDead, drift, replayed = false)
+    } finally net.unpersist(blocking = false)
   }
 
   /** UNATTENDED index maintenance: tail the corpus table's change feed
@@ -722,7 +747,8 @@ object SimilarityOps {
       .option("btr.readChanges", "true")
       .option("btr.startingVersion", startingVersion)
       .load(tableDir)
-      .select(col(idCol).as("cid"), col(vecCol).as("cvec"), col("_change_type"))
+      .select(col(idCol).as("cid"), col(vecCol).as("cvec"),
+        col("_change_type"), col("_commit_version"))
     feed.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>

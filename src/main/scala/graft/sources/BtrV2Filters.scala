@@ -6,16 +6,60 @@ import org.apache.spark.sql.connector.expressions.filter.{And => V2And, Not => V
 import org.apache.spark.sql.sources._
 
 /** V2 Predicate → V1 Filter translation, extended with NESTED column
-  * references (dotted attribute names like `rec.a`). Spark's own
-  * `PredicateUtils.toV1` covers every top-level shape the engine already
-  * pushes; it declines multi-part references, so struct-leaf predicates
-  * fall through to the translation below and reach late materialization
-  * as ordinary Filters. Anything neither translator understands simply
-  * isn't pushed — every predicate stays a residual above the scan.
+  * references (dotted attribute names like `rec.a`), SOUND FOR PRUNING.
+  *
+  * The scan uses the translated Filters to SKIP data (chunk min/max,
+  * blooms, partition pruning), so a translation may only ever match a
+  * SUPERSET of the predicate's rows. Compound shapes are translated
+  * here with explicit exactness tracking, because Spark's own
+  * `PredicateUtils.toV1` partially translates disjunctions —
+  * `toV1(Or(untranslatable, x = 5))` returns `EqualTo(x, 5)` — which is
+  * fine for its re-applying callers but, used as a skip filter, drops
+  * every row matching only the untranslatable side (a silent
+  * wrong-results bug: `WHERE x % 10 = 0 OR x = 5` scanned only x=5's
+  * chunks). Soundness rules:
+  *
+  *  - AND may drop an untranslatable side (superset — a conjunct subset
+  *    is implied by the whole), marking the result INEXACT;
+  *  - OR requires BOTH sides (a disjunct subset is implied-BY, not
+  *    implying); a superset-of-either side still yields a superset, so
+  *    inexact children are fine;
+  *  - NOT requires an EXACT child (negating a superset gives a subset —
+  *    precisely the unsound direction).
+  *
+  * Spark's translator is consulted for LEAF shapes only; leaves either
+  * translate exactly or not at all. Anything untranslated simply isn't
+  * pushed — every predicate stays a residual above the scan.
   */
 object BtrV2Filters {
 
-  def toV1(p: Predicate): Option[Filter] =
+  def toV1(p: Predicate): Option[Filter] = translate(p).map(_._1)
+
+  /** (filter, exact): inexact means the filter matches a superset of
+    * the predicate's rows — sound for skipping under positive polarity,
+    * rejected under NOT.
+    */
+  private def translate(p: Predicate): Option[(Filter, Boolean)] = p match {
+    case a: V2And =>
+      (translate(a.left()), translate(a.right())) match {
+        case (Some((l, le)), Some((r, re))) => Some((And(l, r), le && re))
+        case (Some((l, _)), None) => Some((l, false))
+        case (None, Some((r, _))) => Some((r, false))
+        case _ => None
+      }
+    case o: V2Or =>
+      for ((l, le) <- translate(o.left()); (r, re) <- translate(o.right()))
+        yield (Or(l, r), le && re)
+    case n: V2Not =>
+      translate(n.child()).collect { case (f, true) => (Not(f), true) }
+    case _ if p.name() == "AND" || p.name() == "OR" || p.name() == "NOT" =>
+      None // compound by NAME but not by class: never hand it to a
+           // translator that may partial-translate it
+    case _ =>
+      leaf(p).map((_, true))
+  }
+
+  private def leaf(p: Predicate): Option[Filter] =
     org.apache.spark.sql.graft.ColumnShim.predicateToV1(p).orElse(nested(p))
 
   private def refName(e: V2Expr): Option[String] = e match {
@@ -49,10 +93,10 @@ object BtrV2Filters {
     case other => other // = and <=> are symmetric
   }
 
+  /** LEAF translation with nested (dotted) references — compound shapes
+    * never reach here ([[translate]] intercepts them).
+    */
   private def nested(p: Predicate): Option[Filter] = p match {
-    case a: V2And => for (l <- toV1(a.left()); r <- toV1(a.right())) yield And(l, r)
-    case o: V2Or => for (l <- toV1(o.left()); r <- toV1(o.right())) yield Or(l, r)
-    case n: V2Not => toV1(n.child()).map(Not)
     case _ =>
       val ch = p.children()
       p.name() match {

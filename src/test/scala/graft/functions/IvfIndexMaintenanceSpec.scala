@@ -119,16 +119,17 @@ class IvfIndexMaintenanceSpec extends AnyFunSuite {
       .write.format("btr").mode("append").save(table)
 
     val feed = graft.sources.BtrChanges.between(spark, table, 1L, 3L)
-      .select(col("vec_id").as("cid"), col("embedding").as("cvec"), col("_change_type"))
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"),
+        col("_change_type"), col("_commit_version"))
     val stats = SimilarityOps.ivfIndexRefresh(feed, idx,
       txnAppId = Some("refresh"), txnVersion = Some(3L))
     assert(!stats.replayed)
-    // copy-on-write DELETE rewrites whole files, so the retained feed
-    // emits delete + re-insert pairs for the rewritten files' survivors
-    // too (multiset-consistent) — the delete leg covers AT LEAST the
-    // truly-removed cids, and the insert leg re-lands the survivors
-    assert(stats.rowsDeleted >= all.count(_._1 % 10 == 0) + 1,
-      s"deletes must cover the removed cids, got ${stats.rowsDeleted}")
+    // the netted feed makes the telemetry EXACT: net-dead = the truly
+    // removed cids (cid 5 was re-inserted at v3, so it nets live even
+    // though the copy-on-write rewrite emitted delete+re-insert pairs
+    // for every rewritten file's survivor)
+    assert(stats.rowsDeleted == all.count(_._1 % 10 == 0).toLong,
+      s"net-dead must be exactly the removed cids, got ${stats.rowsDeleted}")
     assert(stats.rowsAssigned >= fresh.length)
 
     // assign table == current table's cids, exactly once each
@@ -252,14 +253,20 @@ class IvfIndexMaintenanceSpec extends AnyFunSuite {
     } finally q.stop()
 
     // restart on the same checkpoint: no duplicate refreshes, and the
-    // next batch continues from the recorded horizon
+    // next batch continues from the recorded horizon. The offline window
+    // also plants an IN-BATCH insert-then-delete: rows 2005..2009 are
+    // appended and then deleted BEFORE the stream restarts, so one
+    // micro-batch carries both events — the netted refresh must leave no
+    // phantom assign rows for rows that lived shorter than the batch
+    val b2 = randVecs(2000L until 2010L, seed = 43)
+    df(b2).select(col("cid").as("vec_id"), col("cvec").as("embedding"))
+      .write.format("btr").mode("append").save(table)
+    spark.sql(s"DELETE FROM graft.`$table` WHERE vec_id >= 2005")
     val q2 = startStream()
     try {
-      val b2 = randVecs(2000L until 2010L, seed = 43)
-      df(b2).select(col("cid").as("vec_id"), col("cvec").as("embedding"))
-        .write.format("btr").mode("append").save(table)
       q2.processAllAvailable()
-      val live = ((all ++ b1).map(_._1).filterNot(_ % 5 == 0) ++ b2.map(_._1)).sorted
+      val live = ((all ++ b1).map(_._1).filterNot(_ % 5 == 0) ++
+        b2.map(_._1).filter(_ < 2005)).sorted
       val rows = assignRows(idx)
       assert(rows.map(_._1).sorted == live, "restarted stream must continue exactly-once")
       assert(rows.map(_._1).distinct.length == rows.length, "no duplicate assign rows after restart")

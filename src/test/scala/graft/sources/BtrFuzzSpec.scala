@@ -133,7 +133,19 @@ class BtrFuzzSpec extends AnyFunSuite {
           case _ => col("f") <= pick(Seq(0.25f, 0.75f))
         }
       }
-      preds += (if (rnd.nextInt(4) == 0) p && (col("id") < pick(longLits)) else p)
+      // combinators cover every polarity the V1 translation must stay
+      // sound under (the round-15 find: a partially-translated OR used
+      // as a skip filter): mixed OR with an untranslatable side, exact
+      // OR, NOT, NOT over a partially-translatable AND
+      preds += (rnd.nextInt(8) match {
+        case 0 => p && (col("id") < pick(longLits))
+        case 1 => p || (col("id") % 7 === 0) // untranslatable disjunct
+        case 2 => p || (col("i") === pick(longLits).toInt) // exact OR
+        case 3 => !p
+        case 4 => !(p && (col("id") % 3 === 0)) // NOT over partial AND
+        case 5 => (col("id") % 5 === 1) || p // untranslatable, flipped
+        case _ => p
+      })
     }
     preds.foreach { p =>
       val exp = df.filter(p).count()
