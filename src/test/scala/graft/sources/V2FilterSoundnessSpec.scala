@@ -78,6 +78,20 @@ class V2FilterSoundnessSpec extends AnyFunSuite {
     assert(both == Seq(5L, 250L))
   }
 
+  test("UPDATE with Or(untranslatable, equality) updates every matching row") {
+    val d = "/tmp/btr-v2filter-spec/update"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d))
+    (0L until 300L).map(i => (i, 0L)).toDF("x", "y")
+      .write.format("btr").mode("overwrite").save(d)
+    spark.conf.set("spark.sql.catalog.graft", classOf[BtrCatalog].getName)
+    spark.sql(s"UPDATE graft.`$d` SET y = 1 WHERE x % 10 = 0 OR x = 5")
+    val updated = spark.read.format("btr").load(d).filter(col("y") === 1)
+      .select("x").as[Long].collect().sorted.toSeq
+    val want = (0L until 300L).filter(i => i % 10 == 0 || i == 5)
+    assert(updated == want,
+      s"UPDATE narrowed by the equality disjunct: ${updated.length} rows, want ${want.length}")
+  }
+
   test("row-level DELETE with Or(untranslatable, equality) deletes every matching row") {
     val d = "/tmp/btr-v2filter-spec/delete"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d))
