@@ -301,7 +301,10 @@ class IvfIndexMaintenanceSpec extends AnyFunSuite {
       var nextCid = 1000L
       var nextVer = 0L
       val committed = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[(Long, Seq[Float])])]
-      var replays = 0; var compacts = 0; var inWindow = 0
+      // committed REFRESH batches: (version, feed rows (cid, cvec, type, ver))
+      val refreshedBatches =
+        scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[(Long, Seq[Float], String, Long)])]
+      var replays = 0; var compacts = 0; var inWindow = 0; var refreshes = 0
 
       def freshBatch(): Seq[(Long, Seq[Float])] = {
         val n = 2 + rnd.nextInt(5)
@@ -309,6 +312,8 @@ class IvfIndexMaintenanceSpec extends AnyFunSuite {
         nextCid += n
         b
       }
+      def feedDf(rows: Seq[(Long, Seq[Float], String, Long)]): org.apache.spark.sql.DataFrame =
+        rows.toDF("cid", "cvec", "_change_type", "_commit_version")
       def append(): Unit = {
         val b = freshBatch(); nextVer += 1
         val (n, _) = SimilarityOps.ivfIndexAppend(df(b), dir,
@@ -316,17 +321,63 @@ class IvfIndexMaintenanceSpec extends AnyFunSuite {
         assert(n == b.length)
         committed += ((nextVer, b)); b.foreach { case (i, v) => live(i) = v }
       }
-      def replay(): Unit = if (committed.nonEmpty) {
-        val (ver, b) = committed(rnd.nextInt(committed.length))
-        val (n, _) = SimilarityOps.ivfIndexAppend(df(b), dir,
-          txnAppId = Some("fuzz"), txnVersion = Some(ver))
-        assert(n == 0L, s"seed=$seed: replay of v$ver appended $n rows")
+      def replay(): Unit = if (committed.nonEmpty || refreshedBatches.nonEmpty) {
+        // any committed version (append OR refresh) must no-op on replay
+        val total = committed.length + refreshedBatches.length
+        val pick = rnd.nextInt(total)
+        if (pick < committed.length) {
+          val (ver, b) = committed(pick)
+          val (n, _) = SimilarityOps.ivfIndexAppend(df(b), dir,
+            txnAppId = Some("fuzz"), txnVersion = Some(ver))
+          assert(n == 0L, s"seed=$seed: replay of append v$ver appended $n rows")
+        } else {
+          val (ver, rows) = refreshedBatches(pick - committed.length)
+          val st = SimilarityOps.ivfIndexRefresh(feedDf(rows), dir,
+            txnAppId = Some("fuzz"), txnVersion = Some(ver))
+          assert(st.replayed && st.rowsAssigned == 0 && st.rowsDeleted == 0,
+            s"seed=$seed: replay of refresh v$ver was not a no-op: $st")
+        }
         replays += 1
       }
-      for (round <- 0 until 14) {
-        rnd.nextInt(4) match {
+      def refresh(): Unit = {
+        // a netted change batch: fresh inserts, deletes of existing cids,
+        // an update (delete+insert of one existing cid at the same
+        // version), and sometimes a PHANTOM (insert@1 then delete@2 —
+        // a row living shorter than the batch must leave no assign row)
+        val ins = freshBatch()
+        val pool = rnd.shuffle(live.keys.toSeq.sorted)
+        val dels = pool.take(rnd.nextInt(math.min(4, pool.size + 1)))
+        val upd = pool.drop(dels.length).take(rnd.nextInt(2))
+        val updVecs = upd.map(i => i -> randVecs(Seq(i), rnd.nextLong()).head._2)
+        val phantom =
+          if (rnd.nextBoolean()) randVecs(Seq({ nextCid += 1; nextCid - 1 }), rnd.nextLong())
+          else Nil
+        val rows =
+          ins.map { case (i, v) => (i, v, "insert", 1L) } ++
+            dels.map(i => (i, live(i), "delete", 1L)) ++
+            updVecs.map { case (i, v) => (i, v, "insert", 1L) } ++
+            upd.map(i => (i, live(i), "delete", 1L)) ++
+            phantom.map { case (i, v) => (i, v, "insert", 1L) } ++
+            phantom.map { case (i, v) => (i, v, "delete", 2L) }
+        nextVer += 1
+        val st = SimilarityOps.ivfIndexRefresh(feedDf(rows), dir,
+          txnAppId = Some("fuzz"), txnVersion = Some(nextVer))
+        assert(!st.replayed, s"seed=$seed: fresh refresh v$nextVer claimed replayed")
+        assert(st.rowsAssigned == ins.length + upd.length,
+          s"seed=$seed: refresh assigned ${st.rowsAssigned}, want ${ins.length + upd.length}")
+        assert(st.rowsDeleted == dels.length + phantom.length,
+          s"seed=$seed: refresh net-dead ${st.rowsDeleted}, want ${dels.length + phantom.length}")
+        refreshedBatches += ((nextVer, rows))
+        dels.foreach(live.remove)
+        ins.foreach { case (i, v) => live(i) = v }
+        updVecs.foreach { case (i, v) => live(i) = v }
+        refreshes += 1
+      }
+      for (round <- 0 until 16) {
+        rnd.nextInt(6) match {
           case 0 | 1 => append()
           case 2 => replay()
+          case 3 | 4 => refresh()
           case _ =>
             // compaction with an append or replay landing inside its
             // window (before the conflict check, or between journal
@@ -350,8 +401,9 @@ class IvfIndexMaintenanceSpec extends AnyFunSuite {
         assert(rows.map(_._1).distinct.length == rows.length,
           s"seed=$seed round=$round: duplicate assign rows")
       }
-      assert(replays >= 1 && compacts >= 1 && inWindow >= 1,
-        s"seed=$seed schedule too tame: replays=$replays compacts=$compacts inWindow=$inWindow")
+      assert(replays >= 1 && compacts >= 1 && inWindow >= 1 && refreshes >= 1,
+        s"seed=$seed schedule too tame: replays=$replays compacts=$compacts " +
+          s"inWindow=$inWindow refreshes=$refreshes")
       // final semantic oracle: every live cid carries the same cluster a
       // fresh assignment against the persisted centroids produces
       val centers = SimilarityOps.centroidsOf(spark, dir).map(_._2)
