@@ -183,10 +183,15 @@ class BtrFuzzSpec extends AnyFunSuite {
         case 2 => col("d") <= 0.5
         case _ => col("i").isNotNull
       }
-      val pred = rnd.nextInt(3) match {
+      val pred = rnd.nextInt(6) match {
         case 0 => pp && dp
         case 1 => pp || dp
-        case _ => dp && pp && col("id") <= pick(longLits)
+        case 2 => dp && pp && col("id") <= pick(longLits)
+        // polarity mixes over the DIRECTORY-pruning tier (the round-15
+        // OR-soundness class, now with partition columns in the tree)
+        case 3 => pp || (col("id") % 7 === 0) // untranslatable disjunct
+        case 4 => !(pp && dp)
+        case _ => !pp || dp
       }
       val exp = df.filter(pred).count()
       val got = back.filter(pred).count()
