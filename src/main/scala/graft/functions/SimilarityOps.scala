@@ -716,6 +716,67 @@ object SimilarityOps {
     } finally net.unpersist(blocking = false)
   }
 
+  /** Corpus-level drift probe: the mean centroid-cosine of a seeded,
+    * bounded sample of `candidates` (assigned map-only against the
+    * persisted centroids) over the BUILD-TIME mean — the whole-corpus
+    * analog of the per-append [[lastIvfDrift]] telemetry. ≈1 means the
+    * centroids still describe the corpus; well below 1 means the
+    * embedding distribution has moved and recall is degrading. One
+    * bounded job: the sample is capped at `sampleRows` regardless of
+    * corpus size (same discipline as the quantizer fit).
+    */
+  def ivfIndexDriftProbe(
+      candidates: DataFrame, // (cid, cvec)
+      indexDir: String,
+      sampleRows: Int = 10000
+  ): Double = {
+    val spark = candidates.sparkSession
+    val cents = centroidsOf(spark, indexDir)
+    val centers = cents.map(_._2)
+    val sampled = candidates.select(col("cvec"))
+      .sample(withReplacement = false, fraction = IvfFitFraction, seed = 43L)
+      .limit(sampleRows)
+    val probe = sampled
+      .withColumn("cluster", element_at(NearestCentersExpr.of(col("cvec"), centers, 1), 1))
+      .withColumn("cos_c", centroidCos(col("cvec"), col("cluster"), centers))
+      .agg(avg(col("cos_c"))).collect()(0)
+    if (probe.isNullAt(0)) return 1.0 // empty sample: nothing to judge
+    val sampleMean = probe.getDouble(0)
+    val buildMean = {
+      val ms = cents.map(_._3).filter(!_.isNaN)
+      if (ms.isEmpty) 1.0 else ms.sum / ms.length
+    }
+    if (buildMean <= 0) 1.0 else sampleMean / buildMean
+  }
+
+  /** Close the drift loop: probe ([[ivfIndexDriftProbe]]) and, when the
+    * ratio falls below `minDrift`, re-fit + rebuild the whole index from
+    * the current candidates ([[ivfIndexBuild]] — an OVERWRITE of both
+    * index tables, after which append/refresh consumers restart their
+    * txn versioning from the new build). Returns (rebuilt, driftRatio).
+    * The periodic-maintenance primitive a refresh pipeline calls between
+    * batches; rebuild cost is the one-corpus assignment pass, so callers
+    * gate it on the probe, never on a schedule alone.
+    */
+  def ivfIndexRebuildIfDrifted(
+      candidates: DataFrame, // (cid, cvec)
+      indexDir: String,
+      minDrift: Double = 0.8,
+      nlist: Int = 16,
+      fitSampleRows: Int = 10000,
+      assignPartitionSpec: Seq[String] = Nil,
+      sampleRows: Int = 10000
+  ): (Boolean, Double) = {
+    val drift = ivfIndexDriftProbe(candidates, indexDir, sampleRows)
+    if (drift < minDrift) {
+      org.apache.log4j.Logger.getLogger(getClass).warn(
+        f"ivfIndexRebuildIfDrifted: corpus drift ratio $drift%.3f < $minDrift%.2f — " +
+          "re-fitting the coarse quantizer and rebuilding the index")
+      ivfIndexBuild(candidates, indexDir, nlist, fitSampleRows, assignPartitionSpec)
+      (true, drift)
+    } else (false, drift)
+  }
+
   /** UNATTENDED index maintenance: tail the corpus table's change feed
     * (the `btr.readChanges` micro-batch stream) and refresh the
     * persisted index once per micro-batch via [[ivfIndexRefresh]].

@@ -283,6 +283,44 @@ class IvfIndexMaintenanceSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
   }
 
+  test("drift probe ≈1 on the build corpus; a shifted corpus triggers the gated rebuild") {
+    val dir = tmp("drift")
+    // corpus lives in the FIRST half of the dims; the drifted corpus
+    // moves the same values into the second half — every drifted vector
+    // is exactly orthogonal to every build-time centroid (probe → 0),
+    // so the gate decision is deterministic, not threshold-marginal
+    val corpus = randVecs(0L until 300L, seed = 51).map { case (i, v) =>
+      (i, v.zipWithIndex.map { case (x, j) => if (j < Dim / 2) x else 0f })
+    }
+    SimilarityOps.ivfIndexBuild(df(corpus), dir, nlist = 8, fitSampleRows = 200)
+    val d0 = SimilarityOps.ivfIndexDriftProbe(df(corpus), dir, sampleRows = 200)
+    assert(d0 > 0.75 && d0 < 1.25, s"same-corpus drift probe should be ~1, got $d0")
+    val (rebuilt0, _) = SimilarityOps.ivfIndexRebuildIfDrifted(df(corpus), dir,
+      minDrift = 0.8, nlist = 8, fitSampleRows = 200, sampleRows = 200)
+    assert(!rebuilt0, "an undrifted corpus must not trigger a rebuild")
+
+    // rotate the distribution into the orthogonal half-space
+    val shifted = corpus.map { case (i, v) =>
+      (i, v.indices.map(j => if (j >= Dim / 2) v(j - Dim / 2) else 0f).toSeq)
+    }
+    val dShift = SimilarityOps.ivfIndexDriftProbe(df(shifted), dir, sampleRows = 200)
+    assert(dShift < 0.2, s"orthogonal corpus must probe as fully drifted, got $dShift")
+    val (rebuilt, dAtRebuild) = SimilarityOps.ivfIndexRebuildIfDrifted(df(shifted), dir,
+      minDrift = 0.8, nlist = 8, fitSampleRows = 200, sampleRows = 200)
+    assert(rebuilt && dAtRebuild == dShift)
+    // after the re-fit the index describes the shifted corpus again and
+    // serves brute-force-exact results at full probe
+    val dAfter = SimilarityOps.ivfIndexDriftProbe(df(shifted), dir, sampleRows = 200)
+    assert(dAfter > 0.75 && dAfter < 1.25, s"post-rebuild drift should be ~1, got $dAfter")
+    val qs = df(shifted.take(3)).select(col("cid").as("qid"), col("cvec").as("qvec"))
+    val viaIdx = SimilarityOps.ivfTopKIndexed(qs, df(shifted), dir, k = 3, nprobe = 8)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"))).toSet
+    val exact = SimilarityOps.bruteForceTopK(qs, df(shifted), 3)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"))).toSet
+    assert(viaIdx == exact)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("maintenance fuzz: appends × replays × assign-table compaction stay exactly-once") {
     // the assign table is an ordinary btr table — index appends race
     // OPTIMIZE like any writer. Seeded rounds interleave txn-identified
