@@ -100,7 +100,12 @@ class BtrFuzzSpec extends AnyFunSuite {
     df.write.format("btr").option("btr.blockSize", "256").mode("overwrite").save(dir)
     val back = spark.read.format("btr").load(dir)
 
-    val rnd = new scala.util.Random(99)
+    // SPARK_GRAFT_FUZZ_SEEDS extends the predicate schedule for hunts
+    // without a source edit (same contract as the race fuzzes)
+    val extraSeeds = sys.env.get("SPARK_GRAFT_FUZZ_SEEDS").toSeq
+      .flatMap(_.split(',')).flatMap(s => scala.util.Try(s.trim.toLong).toOption)
+    for (seed <- Seq(99L) ++ extraSeeds) {
+    val rnd = new scala.util.Random(seed)
     val doubleLits = Seq(0.0, -0.0, Double.NaN, 0.5, 3.0, -1.0, 1e9)
     val longLits = Seq(0L, 42L, -1L, 150L, Long.MinValue, Long.MaxValue)
     val strLits = Seq("", "tag_1", "日本語テキスト1", "zzz", "a")
@@ -150,8 +155,9 @@ class BtrFuzzSpec extends AnyFunSuite {
     preds.foreach { p =>
       val exp = df.filter(p).count()
       val got = back.filter(p).count()
-      assert(got == exp, s"filter $p: btr=$got in-memory=$exp")
+      assert(got == exp, s"seed=$seed filter $p: btr=$got in-memory=$exp")
     }
+    } // seed loop
   }
 
   test("random filters over a PARTITIONED table mix directory pruning with row-level preds") {
