@@ -148,13 +148,22 @@ class StructFuzzSpec extends AnyFunSuite {
       for (_ <- 0 until 8 if paths.nonEmpty) {
         val (path, pdt) = paths(rnd.nextInt(paths.length))
         val c = col(path)
-        val pred = rnd.nextInt(5) match {
+        val leaf = rnd.nextInt(5) match {
           case 0 => c.isNull
           case 1 => c.isNotNull
           case 2 => c === lit(randomValue(rnd, pdt))
           case 3 if pdt != BooleanType => c >= lit(randomValue(rnd, pdt))
           case _ if pdt != BooleanType => c < lit(randomValue(rnd, pdt))
           case _ => c === lit(rnd.nextBoolean())
+        }
+        // polarity combinators over the LATE-MATERIALIZATION tier (the
+        // round-15 OR-soundness class with struct-leaf references):
+        // mixed OR with an untranslatable disjunct, NOT, plain leaf
+        val pred = rnd.nextInt(4) match {
+          case 0 => leaf || (col("id") % 7 === 0)
+          case 1 => !leaf
+          case 2 => leaf && (col("id") % 3 =!= 1)
+          case _ => leaf
         }
         val want = df.filter(pred).select("id").collect().map(_.getInt(0)).sorted
         val got = back.filter(pred).select("id").collect().map(_.getInt(0)).sorted
