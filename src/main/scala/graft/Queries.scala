@@ -180,6 +180,22 @@ object CoreQueries {
         .orderBy("l_returnflag")
     }),
 
+    // Q-agg-filter-mix: footer-pushable aggregate SHAPES (min/max/count/
+    // sum) composed over a mixed-polarity filter (NOT over equality OR an
+    // untranslatable modulo). The aggregate must answer from the FILTERED
+    // rows — a pushed metadata-only aggregate ignoring the residual filter
+    // (the agg-pushdown cousin of the r15 OR-translation bug) would return
+    // whole-table numbers. Pinned here and by the BtrFuzzSpec agg-seam arm.
+    "q_agg_filter_mix" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .filter(!(col("l_returnflag") === "R") || col("l_orderkey") % 7 === 0)
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("l_orderkey")).as("min_okey"),
+          max(col("l_orderkey")).as("max_okey"),
+          sum(col("l_linenumber")).cast("long").as("sum_line"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"))
+    }),
+
     // Q-stats over an integer column (NumberStats surface)
     "q_stats_int" -> ((s, d) => {
       t(s, d, "lineitem").agg(
@@ -1436,6 +1452,14 @@ object CoreQueries {
         |FROM lineitem
         |WHERE l_returnflag = 'R' OR l_orderkey % 7 = 0
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_agg_filter_mix" ->
+      """SELECT count(*) AS n_rows,
+        | min(l_orderkey) AS min_okey,
+        | max(l_orderkey) AS max_okey,
+        | CAST(sum(l_linenumber) AS BIGINT) AS sum_line,
+        | round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |WHERE NOT (l_returnflag = 'R') OR l_orderkey % 7 = 0""".stripMargin,
     "q_stats_int" ->
       """SELECT count(*) AS n_rows, count(l_orderkey) AS n_vals,
         | min(l_orderkey) AS min_v, max(l_orderkey) AS max_v,

@@ -76,6 +76,29 @@ class DateRangeRewriteSpec extends AnyFunSuite {
     sameRows(dd, year(col("d")) >= 2027)
   }
 
+  test("nested NOT / <=> compositions stay value-exact") {
+    val df = tsDf
+    val d = lit("2026-04-10").cast("date")
+    val d2 = lit("2026-04-12").cast("date")
+    val onB = lit("2026-04-10 00:00:00").cast("timestamp")
+    // double negation over a rewritten leaf
+    sameRows(df, !(!(to_date(col("ts")) === d)))
+    // NOT over an IN-list rewrite (the Or of ranges must negate exactly,
+    // nulls matching neither side)
+    sameRows(df, !to_date(col("ts")).isin(
+      java.sql.Date.valueOf("2026-04-10"), java.sql.Date.valueOf("2026-04-12")))
+    // <=> disjoined with a rewritten date_trunc leaf, the whole thing negated:
+    // the <=> side must NOT turn into a range while the trunc side may
+    sameRows(df, !((to_date(col("ts")) <=> d) || (date_trunc("day", col("ts")) === onB)))
+    sameRows(df, !((to_date(col("ts")) <=> d) && (to_date(col("ts")) < d2)))
+    // NOT over a range conjoined with an untranslatable residue
+    sameRows(df, !(to_date(col("ts")) >= d) && col("id") % 3 === 0)
+    // nested NOT with null-safe equality against NULL (matches exactly the
+    // null-ts row; its negation matches everything else)
+    sameRows(df, !(to_date(col("ts")) <=> lit(null).cast("date")))
+    sameRows(df, !(!(to_date(col("ts")) <=> lit(null).cast("date")) || to_date(col("ts")) === d))
+  }
+
   test("date_trunc comparisons select exactly the original rows") {
     val df = tsDf
     val onB = lit("2026-04-10 00:00:00").cast("timestamp")  // day boundary (UTC)

@@ -210,6 +210,183 @@ class BtrFuzzSpec extends AnyFunSuite {
       want.collect().map(_.toString).sorted.toSeq)
   }
 
+  test("fuzzed aggregate/filter mixes stay exact over btr (agg-pushdown seam)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.Column
+    // the seam: SupportsPushDownAggregates offers footer-only answers, and
+    // pushAggregation must refuse whenever a filter could make the footer
+    // answer wrong (the scan builder requires pushed.isEmpty AND Spark
+    // itself blocks agg pushdown under residual filters — both layers are
+    // pinned here by comparing against in-memory results under every
+    // polarity the r15 OR-bug class taught us to distrust)
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(randomRows(31L, 4000), 2), schema)
+    val dir = "/tmp/btr-fuzz/agg-filters"
+    df.write.format("btr").option("btr.blockSize", "256").mode("overwrite").save(dir)
+    val back = spark.read.format("btr").load(dir)
+    val rnd = new scala.util.Random(131)
+    val longLits = Seq(0L, 42L, -1L, 150L, Long.MaxValue)
+    def pick[T](xs: Seq[T]): T = xs(rnd.nextInt(xs.length))
+    val aggs = Seq(count(lit(1)).as("n"), count(col("i")).as("ni"),
+      min(col("id")).as("mn"), max(col("id")).as("mx"),
+      min(col("s")).as("mns"), max(col("s")).as("mxs"),
+      sum(col("i")).as("si"), min(col("d")).as("mnd"), max(col("d")).as("mxd"))
+    (1 to 40).foreach { _ =>
+      val p0: Column = rnd.nextInt(6) match {
+        case 0 => col("id") > pick(longLits)
+        case 1 => col("s") === "tag_1"
+        case 2 => col("i").isNotNull
+        case 3 => col("d") <= 0.5
+        case 4 => col("id").isin(pick(longLits), 42L)
+        case _ => col("f").isNull
+      }
+      val p = rnd.nextInt(5) match {
+        case 0 => p0
+        case 1 => p0 || (col("id") % 7 === 0) // untranslatable disjunct
+        case 2 => !p0
+        case 3 => !(p0 && (col("id") % 3 === 0)) // NOT over partial AND
+        case _ => p0 && col("i") > -500000
+      }
+      val got = back.filter(p).agg(aggs.head, aggs.tail: _*).head.toString
+      val exp = df.filter(p).agg(aggs.head, aggs.tail: _*).head.toString
+      assert(got == exp, s"agg/filter mix $p: btr=$got in-memory=$exp")
+    }
+    // the unfiltered shapes — the path that actually pushes to footers —
+    // agree too, nulls and NaN included
+    val gotAll = back.agg(aggs.head, aggs.tail: _*).head.toString
+    val expAll = df.agg(aggs.head, aggs.tail: _*).head.toString
+    assert(gotAll == expAll, s"pushed aggs: $gotAll vs $expAll")
+  }
+
+  test("fuzzed DELETE polarity predicates stay exact over transform partitions (holds seam)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.Column
+    // the seam: BtrDelete.classifyOne composes PartitionPrune.holds /
+    // PartitionTransform.holds two-sided verdicts under And/Or (Not falls
+    // to footer stats) — MatchAll drops whole files, so an unsound
+    // verdict is silent data loss. Sequential DELETEs with every polarity
+    // (NOT over ranges on a days(ts) dir with NULL-ts rows is the trap:
+    // NULL makes the negation NULL, the rows must SURVIVE) diff against
+    // an in-memory survivors oracle after each statement.
+    spark.conf.set("spark.sql.catalog.graft", classOf[BtrCatalog].getName)
+    val p = "/tmp/btr-fuzz/delete-transform"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+    spark.sql(s"CREATE TABLE graft.`$p` (id BIGINT, ts TIMESTAMP, v INT, s STRING) " +
+      "USING btr PARTITIONED BY (days(ts), bucket(4, id))")
+    val rnd = new scala.util.Random(41)
+    val base = java.time.Instant.parse("2026-03-01T00:00:00Z")
+    val rows = (0 until 3000).map { i =>
+      val ts = if (rnd.nextInt(11) == 0) null
+        else java.sql.Timestamp.from(base.plusSeconds(i * 400L))
+      (if (rnd.nextInt(13) == 0) null else java.lang.Long.valueOf(i.toLong),
+        ts, Int.box(rnd.nextInt(20)), s"s${rnd.nextInt(5)}")
+    }
+    val df0 = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2, r._3, r._4)), 3),
+      StructType(Seq(StructField("id", LongType), StructField("ts", TimestampType),
+        StructField("v", IntegerType), StructField("s", StringType))))
+    df0.writeTo(s"graft.`$p`").append()
+    def ts(sv: String) = lit(sv).cast("timestamp")
+    val preds: Seq[(String, Column)] = Seq(
+      ("ts < TIMESTAMP'2026-03-03 00:00:00'", col("ts") < ts("2026-03-03 00:00:00")),
+      ("NOT (ts >= TIMESTAMP'2026-03-12 00:00:00')", // NULL ts must survive
+        !(col("ts") >= ts("2026-03-12 00:00:00"))),
+      ("NOT (v = 7)", !(col("v") === 7)),
+      ("ts IS NULL OR v < 3", col("ts").isNull || col("v") < 3),
+      ("NOT (ts < TIMESTAMP'2026-03-06 00:00:00' OR id % 7 = 0)", // untranslatable disjunct under NOT
+        !(col("ts") < ts("2026-03-06 00:00:00") || col("id") % 7 === 0)),
+      ("id IS NULL", col("id").isNull),
+      ("s = 's1' OR ts > TIMESTAMP'2026-03-13 00:00:00'",
+        col("s") === "s1" || col("ts") > ts("2026-03-13 00:00:00")),
+      ("NOT (s = 's3' AND ts IS NOT NULL)", !(col("s") === "s3" && col("ts").isNotNull)))
+    var expected = df0
+    def canon(d: org.apache.spark.sql.DataFrame): Seq[String] =
+      d.select(col("id"), col("ts").cast("string"), col("v"), col("s"))
+        .collect().map(_.toString).sorted.toSeq
+    for ((sqlPred, colPred) <- preds) {
+      spark.sql(s"DELETE FROM graft.`$p` WHERE $sqlPred")
+      // SQL DELETE removes rows where the predicate IS TRUE; null-result
+      // rows survive
+      expected = expected.filter(!coalesce(colPred, lit(false)))
+      val got = canon(spark.table(s"graft.`$p`"))
+      val want = canon(expected)
+      assert(got == want,
+        s"DELETE WHERE $sqlPred: ${got.length} rows vs expected ${want.length}")
+    }
+  }
+
+  test("runtime filter arrays are conjunctions: adversarial shapes never over-prune") {
+    import org.apache.spark.sql.functions._
+    // the seam: SupportsRuntimeFiltering.filter(Array[Filter]) — the scan
+    // treats each element as an independently-implied conjunct for chunk
+    // skipping and drops unsupported elements. Pin the assumption by
+    // injecting arrays directly (the way Spark's DPP would) with every
+    // polarity shape and asserting the scan still SURFACES every row the
+    // conjunction matches (skipping may only remove non-matching chunks).
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(randomRows(53L, 4000), 2), schema)
+    val dir = "/tmp/btr-fuzz/runtime-filters"
+    df.sort("id").coalesce(1).write.format("btr")
+      .option("btr.blockSize", "256").mode("overwrite").save(dir)
+    val idVals: Seq[java.lang.Long] =
+      df.select("id").collect().map(r => if (r.isNullAt(0)) null else Long.box(r.getLong(0))).toSeq
+    import org.apache.spark.sql.sources._
+    // in-memory V1 evaluation over the id column (null never satisfies)
+    def eval(f: Filter, v: java.lang.Long): Boolean = f match {
+      case EqualTo("id", x: Long) => v != null && v.longValue() == x
+      case GreaterThan("id", x: Long) => v != null && v.longValue() > x
+      case LessThanOrEqual("id", x: Long) => v != null && v.longValue() <= x
+      case In("id", vs) => v != null && vs.exists { case x: Long => x == v.longValue(); case _ => false }
+      case IsNull("id") => v == null
+      case IsNotNull("id") => v != null
+      case And(l, r) => eval(l, v) && eval(r, v)
+      case Or(l, r) => eval(l, v) || eval(r, v)
+      case Not(inner) => v != null && !eval(inner, v) // 3VL: null matches neither side
+      case StringContains("s", _) => true // unsupported by ChunkSkip: dropped, constrains nothing
+      case _ => fail(s"unhandled eval shape $f")
+    }
+    val rnd = new scala.util.Random(177)
+    val present = idVals.filter(_ != null).map(_.longValue())
+    def pickId(): Long = if (present.isEmpty || rnd.nextBoolean()) rnd.nextInt(300).toLong
+      else present(rnd.nextInt(present.length))
+    (1 to 25).foreach { _ =>
+      val n = 1 + rnd.nextInt(3)
+      val arr: Array[Filter] = Array.fill(n)(rnd.nextInt(7) match {
+        case 0 => In("id", Array.fill(1 + rnd.nextInt(4))(Long.box(pickId())).map(_.asInstanceOf[Any]))
+        case 1 => EqualTo("id", pickId())
+        case 2 => GreaterThan("id", pickId())
+        case 3 => Or(EqualTo("id", pickId()), EqualTo("id", pickId()))
+        case 4 => Not(GreaterThan("id", pickId()))
+        case 5 => StringContains("s", "tag") // unsupported shape rides along
+        case _ => And(GreaterThan("id", pickId() - 200), LessThanOrEqual("id", pickId() + 200))
+      })
+      // fresh scan per trial (runtime filters accumulate per instance)
+      val fresh = spark.read.format("btr").load(dir).select("id")
+      val scan = fresh.queryExecution.sparkPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+      }.head.asInstanceOf[BtrScan]
+      scan.filter(arr)
+      val got = scala.collection.mutable.HashSet.empty[Long]
+      var scanned = 0L
+      val factory = scan.toBatch.createReaderFactory()
+      scan.planInputPartitions().foreach { ip =>
+        val r = factory.createColumnarReader(ip)
+        try while (r.next()) {
+          val it = r.get().rowIterator()
+          while (it.hasNext) {
+            val row = it.next(); scanned += 1
+            if (!row.isNullAt(0)) got += row.getLong(0)
+          }
+        } finally r.close()
+      }
+      val matching = idVals.filter(v => arr.forall(eval(_, v)))
+      val missing = matching.filter(v => v != null && !got.contains(v.longValue()))
+      assert(missing.isEmpty,
+        s"runtime conjunction ${arr.mkString(" AND ")} lost ids ${missing.take(5)}")
+      assert(scanned <= idVals.length.toLong, "scan invented rows")
+    }
+  }
+
   test("compaction of fuzzed multi-file appends preserves every row shape") {
     val dir = "/tmp/btr-fuzz/compact"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
