@@ -394,7 +394,8 @@ object PipelineQueries {
         .select(col("cid").as("qid"), col("cvec").as("qvec"))
       val topk = SimilarityOps.ivfTopKIndexed(queries, current, idx, 3, nprobe = 6)
         .select(col("qid"), col("cid"))
-      val assign = s.read.format("btr").load(s"$idx/assign").select(col("cid"))
+      val assign = s.read.format("btr")
+        .load(SimilarityOps.ivfIndexAssignPath(idx)).select(col("cid"))
       val nAssign = assign.count()
       val refreshed = current.filter(col("cid") < 3000000L)
       val exactlyOnce = nAssign == assign.distinct().count() &&

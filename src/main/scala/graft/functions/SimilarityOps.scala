@@ -463,10 +463,78 @@ object SimilarityOps {
   // per query — the centroids and per-row cell assignments live as btr
   // tables next to the corpus and refresh INCREMENTALLY off the change
   // feed, the same shape as minhashIncrement's persisted band index.
-  //   <indexDir>/centroids : (cluster INT, centroid ARRAY<DOUBLE>,
-  //                           mean_cos DOUBLE)   — nlist rows
-  //   <indexDir>/assign    : (cid <id type>, cluster INT) — 1 row/vector
+  //
+  // VERSIONED layout (crash-atomic rebuilds):
+  //   <indexDir>/_current      : pointer {"v":N[,"corpusVersion":V]}
+  //   <indexDir>/v{N}/centroids: (cluster INT, centroid ARRAY<DOUBLE>,
+  //                               mean_cos DOUBLE)   — nlist rows
+  //   <indexDir>/v{N}/assign   : (cid <id type>, cluster INT) — 1 row/vector
+  // A build stages BOTH tables under an unpublished v{N} dir and then
+  // publishes with ONE atomically-visible pointer write (the same
+  // rename/conditional-put primitives the snapshot log commits through),
+  // so a reader sees the old build or the new build in full — never new
+  // centroids joined with an assign table whose cluster ids were computed
+  // against the old centroid set (silent recall loss the staleness
+  // fallback cannot catch: the rows ARE assigned, just in the wrong id
+  // space). Each build's assign table is a FRESH btr table, so refresh
+  // txn high-water marks are build-scoped by construction — consumers may
+  // restart their txn versioning after a rebuild without replayed batches
+  // silently no-op'ing against the old build's log. Pre-pointer indexes
+  // (tables directly under <indexDir>) stay readable; their first rebuild
+  // migrates them to v1 (the superseded root-level tables are left behind
+  // as garbage — drop them manually once no reader pins the old layout).
   // ------------------------------------------------------------------
+
+  /** Resolved state of the CURRENT index build: `root` holds the
+    * centroids/assign tables; `corpusVersion` is the corpus snapshot the
+    * build read (when recorded) — refresh drops feed events at-or-below
+    * it, making a rebuild-then-replay overlap converge instead of
+    * duplicating assign rows.
+    */
+  final case class IvfIndexState(root: String, buildVersion: Long, corpusVersion: Option[Long])
+
+  private def indexFs(indexDir: String)
+      : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val p = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = p.getFileSystem(graft.format.BtrTableMeta.hadoopConf())
+    (fs, fs.makeQualified(p))
+  }
+
+  /** Path of the CURRENT build's assign table (inspection, monitoring,
+    * maintenance tools like OPTIMIZE address the live build through this,
+    * never a hard-coded layout).
+    */
+  def ivfIndexAssignPath(indexDir: String): String = s"${ivfIndexState(indexDir).root}/assign"
+
+  private val PtrV = """"v"\s*:\s*(\d+)""".r.unanchored
+  private val PtrCorpus = """"corpusVersion"\s*:\s*(\d+)""".r.unanchored
+
+  private[functions] def ivfIndexState(indexDir: String): IvfIndexState = {
+    val (fs, root) = indexFs(indexDir)
+    val ptr = new org.apache.hadoop.fs.Path(root, "_current")
+    val body: Option[String] =
+      try {
+        if (!fs.exists(ptr)) None
+        else {
+          val in = fs.open(ptr)
+          try Some(new String(
+            org.apache.commons.io.IOUtils.toByteArray(in),
+            java.nio.charset.StandardCharsets.UTF_8))
+          finally in.close()
+        }
+      } catch { case _: java.io.FileNotFoundException => None }
+    body match {
+      case Some(s) =>
+        val v = s match {
+          case PtrV(n) => n.toLong
+          case _ => throw new IllegalStateException(
+            s"ivf index pointer $ptr is unparseable: $s")
+        }
+        val corpus = s match { case PtrCorpus(n) => Some(n.toLong); case _ => None }
+        IvfIndexState(s"$indexDir/v$v", v, corpus)
+      case None => IvfIndexState(indexDir, 0L, None) // pre-pointer layout
+    }
+  }
 
   /** Per-session drift telemetry of the last [[ivfIndexAppend]]:
     * (rowsAssigned, driftRatio) where driftRatio = the increment's mean
@@ -482,7 +550,11 @@ object SimilarityOps {
 
   private[functions] def centroidsOf(spark: org.apache.spark.sql.SparkSession, indexDir: String)
       : Seq[(Int, Seq[Double], Double)] =
-    spark.read.format("btr").load(s"$indexDir/centroids")
+    centroidsAt(spark, ivfIndexState(indexDir).root)
+
+  private def centroidsAt(spark: org.apache.spark.sql.SparkSession, root: String)
+      : Seq[(Int, Seq[Double], Double)] =
+    spark.read.format("btr").load(s"$root/centroids")
       .select(col("cluster"), col("centroid"), col("mean_cos"))
       .collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1), r.getDouble(2)))
@@ -511,15 +583,35 @@ object SimilarityOps {
     * StoragePartitionJoinSpec; catalog-table reads resolve the bucket
     * function for SPJ).
     */
+  /** Test-only crash-injection hooks: between the two staged table writes
+    * and between staging and pointer publication. A crash in either window
+    * must leave readers on the PRIOR build in full.
+    */
+  private[graft] var ivfBuildInjectMid: () => Unit = () => ()
+  private[graft] var ivfBuildInjectPrePublish: () => Unit = () => ()
+
   def ivfIndexBuild(
       candidates: DataFrame, // (cid, cvec)
       indexDir: String,
       nlist: Int = 16,
       fitSampleRows: Int = 10000,
-      assignPartitionSpec: Seq[String] = Nil
+      assignPartitionSpec: Seq[String] = Nil,
+      // corpus snapshot version the candidate set was read AS OF: recorded
+      // in the pointer so a change-feed refresh can drop events the build
+      // already reflects (rebuild/replay overlap convergence)
+      corpusVersion: Option[Long] = None
   ): Unit = {
     val spark = candidates.sparkSession
     val centers = fitCoarseCenters(candidates, nlist, fitSampleRows)
+    // claim the next build slot FIRST: concurrent rebuilds serialize on
+    // the putIfAbsent claim marker, never overwrite each other's staging
+    val (fs, root) = indexFs(indexDir)
+    val prim = graft.format.BtrCommitProtocol.forFs(fs)
+    var next = ivfIndexState(indexDir).buildVersion + 1
+    val claimBody = "claim".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    while (!prim.putIfAbsent(fs,
+      new org.apache.hadoop.fs.Path(root, s"v$next/_claim"), claimBody)) next += 1
+    val target = s"$indexDir/v$next"
     // ONE assignment pass over the corpus: the quality aggregate and the
     // assign-table write both read the persisted pass, not two
     // evaluations of the kernel
@@ -539,13 +631,21 @@ object SimilarityOps {
         .map { case (c, i) => (i, c, meanByCluster.getOrElse(i, 1.0)) }
         .toDF("cluster", "centroid", "mean_cos")
         .coalesce(1)
-        .write.format("btr").mode("overwrite").save(s"$indexDir/centroids")
+        .write.format("btr").mode("overwrite").save(s"$target/centroids")
+      ivfBuildInjectMid()
       val w = assigned.select(col("cid"), col("cluster"))
         .write.format("btr").mode("overwrite")
       (if (assignPartitionSpec.nonEmpty)
         w.option("btr.partitionSpec", assignPartitionSpec.mkString(","))
-      else w).save(s"$indexDir/assign")
+      else w).save(s"$target/assign")
     } finally assigned.unpersist(blocking = false)
+    ivfBuildInjectPrePublish()
+    // publish: ONE atomically-visible pointer write — readers resolve the
+    // old build or the new one, never a centroids/assign mix
+    val ptr = "{\"v\":" + next +
+      corpusVersion.map(v => ",\"corpusVersion\":" + v).getOrElse("") + "}"
+    prim.put(fs, new org.apache.hadoop.fs.Path(root, "_current"),
+      ptr.getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
   /** Assign ONLY the increment against the persisted centroids and
@@ -578,13 +678,18 @@ object SimilarityOps {
     require(txnAppId.isDefined == txnVersion.isDefined,
       "ivfIndexAppend: txnAppId and txnVersion come together (both or neither)")
     val spark = increment.sparkSession
+    // resolve the CURRENT build once: the replay check, the centroids and
+    // the append all address the same build even if a rebuild publishes
+    // mid-call (the append then lands on the superseded build — stale,
+    // exactly as if it had completed just before the publish)
+    val state = ivfIndexState(indexDir)
     // replay fast-path: an already-recorded (appId, version) skips the
     // whole batch — no kernel pass, no write, honest (0 rows) telemetry.
     // The engine-level txn check at commit time remains the atomic
     // backstop for the race window this pre-check leaves open.
-    if (txnRecorded(s"$indexDir/assign", txnAppId, txnVersion))
+    if (txnRecorded(s"${state.root}/assign", txnAppId, txnVersion))
       return (0L, 1.0)
-    val cents = centroidsOf(spark, indexDir)
+    val cents = centroidsAt(spark, state.root)
     val centers = cents.map(_._2)
     val assigned = assignBatch(increment, centers)
       .withColumn("cos_c", centroidCos(col("cvec"), col("cluster"), centers))
@@ -598,7 +703,7 @@ object SimilarityOps {
           w0.option("btr.txnAppId", app).option("btr.txnVersion", ver.toString)
         case _ => w0
       }
-      w.save(s"$indexDir/assign")
+      w.save(s"${state.root}/assign")
       val stats = assigned.agg(count(lit(1)), avg(col("cos_c"))).collect()(0)
       val n = stats.getLong(0)
       val incMean = if (n == 0 || stats.isNullAt(1)) 1.0 else stats.getDouble(1)
@@ -674,16 +779,30 @@ object SimilarityOps {
     require(txnAppId.isDefined == txnVersion.isDefined,
       "ivfIndexRefresh: txnAppId and txnVersion come together (both or neither)")
     val spark = feed.sparkSession
-    val assignDir = s"$indexDir/assign"
+    val state = ivfIndexState(indexDir)
+    val assignDir = s"${state.root}/assign"
     if (txnRecorded(assignDir, txnAppId, txnVersion))
       return IvfRefreshStats(0L, 0L, 1.0, replayed = true)
+    // drop events the CURRENT build already reflects: a rebuild records
+    // the corpus snapshot version it read, so a feed batch overlapping
+    // the rebuild (stream lag, restarted consumer) converges instead of
+    // appending duplicate assign rows for cids the build assigned
+    val fed = state.corpusVersion match {
+      case Some(base) if feed.columns.contains("_commit_version") =>
+        feed.filter(coalesce(col("_commit_version"), lit(0L)) > base)
+      case _ => feed
+    }
     val ver =
-      if (feed.columns.contains("_commit_version"))
+      if (fed.columns.contains("_commit_version"))
         coalesce(col("_commit_version"), lit(0L))
       else lit(0L)
     // net per cid: (version, isInsert, cvec) struct-max — the final
-    // event decides the row's fate, insert > delete within a version
-    val net = feed
+    // event decides the row's fate, insert > delete within a version.
+    // CDC contract: a feed carries at most ONE insert event per
+    // (cid, version) — the tie-break inside one version is insert-over-
+    // delete, and two same-version inserts of one cid (not a shape
+    // BtrChanges emits) would resolve arbitrarily between their vectors
+    val net = fed
       .select(col("cid"),
         struct(ver.as("_v"),
           (col("_change_type") === "insert").cast("int").as("_ins"),
@@ -733,15 +852,28 @@ object SimilarityOps {
     val spark = candidates.sparkSession
     val cents = centroidsOf(spark, indexDir)
     val centers = cents.map(_._2)
-    val sampled = candidates.select(col("cvec"))
+    def meanOf(rows: DataFrame): (Long, Double) = {
+      val r = rows
+        .withColumn("cluster", element_at(NearestCentersExpr.of(col("cvec"), centers, 1), 1))
+        .withColumn("cos_c", centroidCos(col("cvec"), col("cluster"), centers))
+        .agg(count(col("cos_c")), avg(col("cos_c"))).collect()(0)
+      (r.getLong(0), if (r.isNullAt(1)) Double.NaN else r.getDouble(1))
+    }
+    // same top-up discipline as the quantizer fit: a fraction sample that
+    // under-fills the floor (tiny corpus) re-probes with a plain limit()
+    // scan — the rebuild gate must not decide from a handful of rows
+    val (n0, mean0) = meanOf(candidates.select(col("cvec"))
       .sample(withReplacement = false, fraction = IvfFitFraction, seed = 43L)
-      .limit(sampleRows)
-    val probe = sampled
-      .withColumn("cluster", element_at(NearestCentersExpr.of(col("cvec"), centers, 1), 1))
-      .withColumn("cos_c", centroidCos(col("cvec"), col("cluster"), centers))
-      .agg(avg(col("cos_c"))).collect()(0)
-    if (probe.isNullAt(0)) return 1.0 // empty sample: nothing to judge
-    val sampleMean = probe.getDouble(0)
+      .limit(sampleRows))
+    val floor = math.min(sampleRows, 256)
+    val (n, sampleMean) =
+      if (n0 >= floor) (n0, mean0)
+      else meanOf(candidates.select(col("cvec")).limit(sampleRows))
+    if (n == 0 || sampleMean.isNaN) return 1.0 // empty corpus: nothing to judge
+    if (n < floor)
+      org.apache.log4j.Logger.getLogger(getClass).warn(
+        s"ivfIndexDriftProbe: probe ran on only $n rows (< $floor) — the " +
+          "drift verdict is high-variance on a corpus this small")
     val buildMean = {
       val ms = cents.map(_._3).filter(!_.isNaN)
       if (ms.isEmpty) 1.0 else ms.sum / ms.length
@@ -751,12 +883,17 @@ object SimilarityOps {
 
   /** Close the drift loop: probe ([[ivfIndexDriftProbe]]) and, when the
     * ratio falls below `minDrift`, re-fit + rebuild the whole index from
-    * the current candidates ([[ivfIndexBuild]] — an OVERWRITE of both
-    * index tables, after which append/refresh consumers restart their
-    * txn versioning from the new build). Returns (rebuilt, driftRatio).
-    * The periodic-maintenance primitive a refresh pipeline calls between
-    * batches; rebuild cost is the one-corpus assignment pass, so callers
-    * gate it on the probe, never on a schedule alone.
+    * the current candidates ([[ivfIndexBuild]] — a staged new build
+    * published by one atomic pointer swap; readers and a crash mid-build
+    * stay on the prior build in full). The new build's assign table is a
+    * fresh btr table, so refresh consumers MAY restart their txn
+    * versioning; pass `corpusVersion` (the snapshot the candidates were
+    * read AS OF) and overlapping change-feed replays converge through the
+    * recorded base version instead of duplicating assign rows. Returns
+    * (rebuilt, driftRatio). The periodic-maintenance primitive a refresh
+    * pipeline calls between batches; rebuild cost is the one-corpus
+    * assignment pass, so callers gate it on the probe, never on a
+    * schedule alone.
     */
   def ivfIndexRebuildIfDrifted(
       candidates: DataFrame, // (cid, cvec)
@@ -765,14 +902,16 @@ object SimilarityOps {
       nlist: Int = 16,
       fitSampleRows: Int = 10000,
       assignPartitionSpec: Seq[String] = Nil,
-      sampleRows: Int = 10000
+      sampleRows: Int = 10000,
+      corpusVersion: Option[Long] = None
   ): (Boolean, Double) = {
     val drift = ivfIndexDriftProbe(candidates, indexDir, sampleRows)
     if (drift < minDrift) {
       org.apache.log4j.Logger.getLogger(getClass).warn(
         f"ivfIndexRebuildIfDrifted: corpus drift ratio $drift%.3f < $minDrift%.2f — " +
           "re-fitting the coarse quantizer and rebuilding the index")
-      ivfIndexBuild(candidates, indexDir, nlist, fitSampleRows, assignPartitionSpec)
+      ivfIndexBuild(candidates, indexDir, nlist, fitSampleRows, assignPartitionSpec,
+        corpusVersion)
       (true, drift)
     } else (false, drift)
   }
@@ -793,6 +932,18 @@ object SimilarityOps {
     * `startingVersion`: `"latest"` maintains from stream start (the
     * index was just built from the current snapshot); an explicit
     * version string resumes after a known refresh horizon.
+    *
+    * DRIFT LOOP (`driftProbeEveryBatches` > 0): after every Nth batch's
+    * refresh, probe corpus drift against the current build
+    * ([[ivfIndexDriftProbe]]) and, below `minDrift`, rebuild through
+    * [[ivfIndexRebuildIfDrifted]] — the candidates are the corpus table
+    * read AS OF its latest snapshot version V, and V is recorded as the
+    * new build's `corpusVersion`, so the NEXT batches' events at-or-below
+    * V (already reflected in the rebuild) are dropped by
+    * [[ivfIndexRefresh]] instead of appended twice. The rebuild is
+    * crash-atomic (staged v{N+1} + pointer swap), so serving stays on a
+    * consistent build throughout; probe + rebuild run inside foreachBatch,
+    * serial with refreshes (the single-maintainer contract).
     */
   def ivfIndexMaintainStream(
       spark: org.apache.spark.sql.SparkSession,
@@ -802,7 +953,13 @@ object SimilarityOps {
       vecCol: String,
       appId: String,
       checkpointDir: String,
-      startingVersion: String = "latest"
+      startingVersion: String = "latest",
+      driftProbeEveryBatches: Int = 0,
+      minDrift: Double = 0.8,
+      nlist: Int = 16,
+      fitSampleRows: Int = 10000,
+      assignPartitionSpec: Seq[String] = Nil,
+      driftSampleRows: Int = 10000
   ): org.apache.spark.sql.streaming.StreamingQuery = {
     val feed = spark.readStream.format("btr")
       .option("btr.readChanges", "true")
@@ -815,6 +972,18 @@ object SimilarityOps {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         ivfIndexRefresh(batch, indexDir,
           txnAppId = Some(appId), txnVersion = Some(batchId))
+        if (driftProbeEveryBatches > 0 && batchId % driftProbeEveryBatches == 0) {
+          val p = new org.apache.hadoop.fs.Path(tableDir)
+          val fs = p.getFileSystem(graft.format.BtrTableMeta.hadoopConf())
+          graft.sources.BtrLog.latestVersion(fs, fs.makeQualified(p)).foreach { v =>
+            val corpus = spark.read.format("btr")
+              .option("btr.versionAsOf", v.toString).load(tableDir)
+              .select(col(idCol).as("cid"), col(vecCol).as("cvec"))
+            ivfIndexRebuildIfDrifted(corpus, indexDir, minDrift, nlist,
+              fitSampleRows, assignPartitionSpec, driftSampleRows,
+              corpusVersion = Some(v))
+          }
+        }
         ()
       }
       .start()
@@ -843,7 +1012,8 @@ object SimilarityOps {
     */
   def ivfIndexStaleness(candidates: DataFrame, indexDir: String): Long = {
     val spark = candidates.sparkSession
-    val assign = spark.read.format("btr").load(s"$indexDir/assign").select(col("cid"))
+    val assign = spark.read.format("btr")
+      .load(s"${ivfIndexState(indexDir).root}/assign").select(col("cid"))
     candidates.select(col("cid")).join(assign, Seq("cid"), "left_anti").count()
   }
 
@@ -875,8 +1045,12 @@ object SimilarityOps {
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = candidates.sparkSession
-    val centers = centroidsOf(spark, indexDir).map(_._2)
-    val assign = spark.read.format("btr").load(s"$indexDir/assign")
+    // ONE state resolution for both index tables: a rebuild publishing
+    // mid-planning cannot hand this query new centroids with the old
+    // build's assign rows (cluster ids live in per-build id spaces)
+    val idxRoot = ivfIndexState(indexDir).root
+    val centers = centroidsAt(spark, idxRoot).map(_._2)
+    val assign = spark.read.format("btr").load(s"$idxRoot/assign")
       .select(col("cid"), col("cluster"))
     val cb = candidates.join(assign, Seq("cid"), "left")
       .withColumn("cluster", coalesce(col("cluster"),
@@ -885,7 +1059,13 @@ object SimilarityOps {
     val probes = queries.select(col("qid"), col("qvec"),
       explode(NearestCentersExpr.of(col("qvec"), centers, nEff)).as("cluster"))
     val maxQ = math.max(1L, maxBroadcastProbes / math.max(1, nEff))
-    val overCap = queries.select(lit(1)).limit(
+    // Catalyst's static row-count bound first: a caller-capped batch
+    // (limit(n) ≤ maxQ) skips the guard's extra action entirely — no
+    // re-evaluation of a possibly expensive or non-deterministic
+    // upstream plan just to size-check it
+    val staticMax: Option[Long] =
+      try queries.queryExecution.optimizedPlan.maxRows catch { case _: Exception => None }
+    val overCap = !staticMax.exists(_ <= maxQ) && queries.select(lit(1)).limit(
       math.min(maxQ + 1, Int.MaxValue.toLong).toInt).count() > maxQ
     if (overCap)
       org.apache.log4j.Logger.getLogger(getClass).warn(

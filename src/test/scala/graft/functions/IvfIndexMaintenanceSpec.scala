@@ -36,7 +36,7 @@ class IvfIndexMaintenanceSpec extends AnyFunSuite {
   private def df(rows: Seq[(Long, Seq[Float])]): DataFrame = rows.toDF("cid", "cvec")
 
   private def assignRows(dir: String): Seq[(Long, Int)] =
-    spark.read.format("btr").load(s"$dir/assign")
+    spark.read.format("btr").load(SimilarityOps.ivfIndexAssignPath(dir))
       .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
 
   test("txn-identified append: replayed batch is a no-op; duplicate rows WOULD corrupt top-k") {
@@ -321,6 +321,160 @@ class IvfIndexMaintenanceSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("rebuild is crash-atomic: a crash in either window leaves readers on the prior build") {
+    val dir = tmp("crash-rebuild")
+    val corpus = randVecs(0L until 200L, seed = 61)
+    SimilarityOps.ivfIndexBuild(df(corpus), dir, nlist = 8, fitSampleRows = 100)
+    val st1 = SimilarityOps.ivfIndexState(dir)
+    val qs = df(corpus.take(3)).select(col("cid").as("qid"), col("cvec").as("qvec"))
+    def topk() = SimilarityOps.ivfTopKIndexed(qs, df(corpus), dir, k = 3, nprobe = 8)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"))).toSet
+    val before = topk()
+    val beforeCents = SimilarityOps.centroidsOf(spark, dir)
+    val beforeAssign = assignRows(dir).sorted
+    // a rebuild attempt whose quantizer input DIFFERS (scaled vectors) —
+    // if any window leaked, the mixed state would be visible below
+    val scaled = corpus.map { case (i, v) => (i, v.map(_ * 3f)) }
+    def crashed(hook: (() => Unit) => Unit): Unit = {
+      hook(() => throw new RuntimeException("injected crash"))
+      try {
+        val e = intercept[RuntimeException] {
+          SimilarityOps.ivfIndexBuild(df(scaled), dir, nlist = 8, fitSampleRows = 100)
+        }
+        assert(e.getMessage == "injected crash")
+      } finally hook(() => ())
+      // the pointer never advanced: readers see the OLD build in full —
+      // old centroids AND old assign rows, never a mix
+      assert(SimilarityOps.ivfIndexState(dir).buildVersion == st1.buildVersion,
+        "a crashed rebuild must not advance the pointer")
+      assert(SimilarityOps.centroidsOf(spark, dir) == beforeCents,
+        "reader must still resolve the OLD centroids")
+      assert(assignRows(dir).sorted == beforeAssign,
+        "reader must still resolve the OLD assign table")
+      assert(topk() == before, "serving must be unchanged by the crashed rebuild")
+    }
+    // window A: between the staged centroids write and the assign write
+    crashed(f => SimilarityOps.ivfBuildInjectMid = f)
+    // window B: both tables staged, pointer not yet published
+    crashed(f => SimilarityOps.ivfBuildInjectPrePublish = f)
+    // a COMPLETED rebuild flips atomically to the new build
+    SimilarityOps.ivfIndexBuild(df(corpus), dir, nlist = 8, fitSampleRows = 100)
+    val st2 = SimilarityOps.ivfIndexState(dir)
+    assert(st2.buildVersion > st1.buildVersion)
+    assert(assignRows(dir).length == corpus.length)
+    assert(topk() == before, "same corpus, full probe: results identical across builds")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  test("rebuild corpusVersion: an overlapping change-feed replay converges, no duplicates") {
+    val base = tmp("rebuild-overlap")
+    val table = s"$base/table"
+    val idx = s"$base/index"
+    val all = randVecs(0L until 200L, seed = 71)
+    df(all).select(col("cid").as("vec_id"), col("cvec").as("embedding"))
+      .write.format("btr").option("btr.retainRemoved", "true")
+      .mode("overwrite").save(table) // v1
+    val b1 = randVecs(1000L until 1020L, seed = 72)
+    df(b1).select(col("cid").as("vec_id"), col("cvec").as("embedding"))
+      .write.format("btr").mode("append").save(table) // v2
+    // the rebuild reads the corpus AS OF v2 and records it
+    val cur = spark.read.format("btr").option("btr.versionAsOf", "2").load(table)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    SimilarityOps.ivfIndexBuild(cur, idx, nlist = 8, fitSampleRows = 100,
+      corpusVersion = Some(2L))
+    assert(SimilarityOps.ivfIndexState(idx).corpusVersion.contains(2L))
+    def feed(from: Long, to: Long) =
+      graft.sources.BtrChanges.between(spark, table, from, to)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"),
+          col("_change_type"), col("_commit_version"))
+    // a lagging consumer replays the (1,2] feed the build already
+    // reflects: without the base-version filter this would append 20
+    // duplicate assign rows (the pure-append path has no MERGE leg)
+    val st = SimilarityOps.ivfIndexRefresh(feed(1L, 2L), idx,
+      txnAppId = Some("lag"), txnVersion = Some(2L))
+    assert(st.rowsAssigned == 0,
+      s"events at-or-below the build's corpusVersion must drop, got $st")
+    val rows1 = assignRows(idx)
+    assert(rows1.map(_._1).distinct.length == rows1.length)
+    assert(rows1.length == all.length + b1.length)
+    // a feed STRADDLING the base applies only its post-base suffix
+    val b2 = randVecs(2000L until 2015L, seed = 73)
+    df(b2).select(col("cid").as("vec_id"), col("cvec").as("embedding"))
+      .write.format("btr").mode("append").save(table) // v3
+    val st2 = SimilarityOps.ivfIndexRefresh(feed(1L, 3L), idx,
+      txnAppId = Some("lag"), txnVersion = Some(3L))
+    assert(st2.rowsAssigned == b2.length.toLong,
+      s"straddling feed must apply exactly the post-base suffix, got $st2")
+    val rows2 = assignRows(idx)
+    assert(rows2.map(_._1).distinct.length == rows2.length, "no duplicate assign rows")
+    assert(rows2.map(_._1).sorted == (all ++ b1 ++ b2).map(_._1).sorted)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+  }
+
+  test("streaming drift loop: injected drift triggers exactly one atomic rebuild, serving stays exact") {
+    val base = tmp("stream-drift")
+    val table = s"$base/table"
+    val idx = s"$base/index"
+    val ckpt = s"$base/ckpt"
+    // build-time corpus lives in the FIRST half of the dims; the injected
+    // drift appends 2× as many rows living in the orthogonal second half,
+    // pulling the corpus-level probe ratio to ~1/3 — far below the gate
+    val corpus = randVecs(0L until 200L, seed = 81).map { case (i, v) =>
+      (i, v.zipWithIndex.map { case (x, j) => if (j < Dim / 2) x else 0f })
+    }
+    df(corpus).select(col("cid").as("vec_id"), col("cvec").as("embedding"))
+      .write.format("btr").option("btr.retainRemoved", "true")
+      .mode("overwrite").save(table)
+    val snapshot = spark.read.format("btr").load(table)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    SimilarityOps.ivfIndexBuild(snapshot, idx, nlist = 8, fitSampleRows = 200)
+    val st0 = SimilarityOps.ivfIndexState(idx)
+    val q = SimilarityOps.ivfIndexMaintainStream(
+      spark, table, idx, "vec_id", "embedding", appId = "maint-drift",
+      checkpointDir = ckpt, driftProbeEveryBatches = 1, minDrift = 0.8,
+      nlist = 8, fitSampleRows = 200, driftSampleRows = 200)
+    try {
+      val shifted = randVecs(1000L until 1400L, seed = 82).map { case (i, v) =>
+        (i, v.zipWithIndex.map { case (x, j) => if (j >= Dim / 2) x else 0f })
+      }
+      df(shifted).select(col("cid").as("vec_id"), col("cvec").as("embedding"))
+        .write.format("btr").mode("append").save(table)
+      q.processAllAvailable()
+      val st1 = SimilarityOps.ivfIndexState(idx)
+      assert(st1.buildVersion == st0.buildVersion + 1,
+        s"drifted batch must trigger exactly ONE rebuild, got $st0 -> $st1")
+      assert(st1.corpusVersion.isDefined, "the in-loop rebuild must record its corpus version")
+      val rows1 = assignRows(idx)
+      assert(rows1.map(_._1).distinct.length == rows1.length, "no duplicates after the rebuild")
+      assert(rows1.map(_._1).sorted == (corpus ++ shifted).map(_._1).sorted)
+      // an UNDRIFTED follow-up batch refreshes incrementally (its events
+      // postdate the recorded corpus version) and must NOT rebuild again
+      val b2 = randVecs(2000L until 2030L, seed = 83).map { case (i, v) =>
+        (i, v.zipWithIndex.map { case (x, j) => if (j >= Dim / 2) x else 0f })
+      }
+      df(b2).select(col("cid").as("vec_id"), col("cvec").as("embedding"))
+        .write.format("btr").mode("append").save(table)
+      q.processAllAvailable()
+      val st2 = SimilarityOps.ivfIndexState(idx)
+      assert(st2.buildVersion == st1.buildVersion, "undrifted batch must not rebuild")
+      val rows2 = assignRows(idx)
+      assert(rows2.map(_._1).distinct.length == rows2.length)
+      assert(rows2.map(_._1).sorted == (corpus ++ shifted ++ b2).map(_._1).sorted,
+        "exactly-once across the rebuild boundary")
+      // serving stays exact throughout (full probe ≡ brute force)
+      val current = spark.read.format("btr").load(table)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val qs = current.filter(col("cid").isin(0L, 1L, 1000L, 2000L))
+        .select(col("cid").as("qid"), col("cvec").as("qvec"))
+      val viaIdx = SimilarityOps.ivfTopKIndexed(qs, current, idx, k = 3, nprobe = 8)
+        .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"))).toSet
+      val exact = SimilarityOps.bruteForceTopK(qs, current, 3)
+        .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"))).toSet
+      assert(viaIdx == exact)
+    } finally q.stop()
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+  }
+
   test("maintenance fuzz: appends × replays × assign-table compaction stay exactly-once") {
     // the assign table is an ordinary btr table — index appends race
     // OPTIMIZE like any writer. Seeded rounds interleave txn-identified
@@ -429,10 +583,10 @@ class IvfIndexMaintenanceSpec extends AnyFunSuite {
               else { () => { replay(); inWindow += 1 } }
             try {
               if (rnd.nextBoolean())
-                graft.sources.BtrCompact.compact(spark, s"$dir/assign", 1L << 20,
+                graft.sources.BtrCompact.compact(spark, SimilarityOps.ivfIndexAssignPath(dir), 1L << 20,
                   beforeSwap = fire)
               else
-                graft.sources.BtrCompact.compact(spark, s"$dir/assign", 1L << 20,
+                graft.sources.BtrCompact.compact(spark, SimilarityOps.ivfIndexAssignPath(dir), 1L << 20,
                   afterJournal = fire)
             } catch { case _: IllegalStateException => () } // compactor yields
             compacts += 1

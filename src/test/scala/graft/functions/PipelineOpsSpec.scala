@@ -471,7 +471,7 @@ class PipelineOpsSpec extends AnyFunSuite {
     val full = all.toDF("cid", "cvec")
     val dir = s"/tmp/btr-ivf-index-spec/${System.nanoTime()}"
     SimilarityOps.ivfIndexBuild(corpus, dir, nlist = 8, fitSampleRows = 100)
-    val assignPath = s"$dir/assign"
+    val assignPath = SimilarityOps.ivfIndexAssignPath(dir)
     val afterBuild = spark.read.format("btr").load(assignPath)
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(afterBuild.size == corpus.count().toInt, "build assigns the whole corpus")
@@ -527,7 +527,7 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(n == all.count(_._1 % 4 == 0), s"append must cover exactly the feed, got $n")
     assert(drift > 0.7, s"same-distribution feed, drift=$drift")
     // the assign table now covers the WHOLE current table, once each
-    val assigned = spark.read.format("btr").load(s"$idx/assign")
+    val assigned = spark.read.format("btr").load(SimilarityOps.ivfIndexAssignPath(idx))
       .select("cid").as[Long].collect().sorted.toSeq
     assert(assigned == all.map(_._1).sorted, "assignments = corpus ∪ feed, no dup/miss")
     // and the indexed query path serves the full table (full probe =

@@ -234,7 +234,8 @@ class StoragePartitionJoinSpec extends AnyFunSuite with AdaptiveSparkPlanHelper 
       assignPartitionSpec = Seq("bucket(8,cid)"))
     withSpj("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
       val q = spark.table(s"graft.`$corpus`")
-        .join(spark.table(s"graft.`$idx/assign`"), Seq("cid"))
+        .join(spark.table(
+          s"graft.`${graft.functions.SimilarityOps.ivfIndexAssignPath(idx)}`"), Seq("cid"))
         .select("cid", "cluster")
       val rows = q.collect()
       assert(rows.length == 2000, s"every corpus row has exactly one cell: ${rows.length}")
