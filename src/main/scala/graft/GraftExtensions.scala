@@ -146,6 +146,38 @@ object GraftExtensions {
           .queryExecution.logical
       })
 
+  /** Maintenance TVF: the ACTION runs at resolution (like the OPTIMIZE /
+    * VACUUM parser verbs) and the returned one-row relation is its
+    * outcome report — a SQL-only user operates the index lifecycle
+    * without the Scala API.
+    */
+  private def ivfTvf(name: String, usage: String, minArgs: Int, maxArgs: Int)(
+      f: (org.apache.spark.sql.SparkSession, Seq[Expression]) => org.apache.spark.sql.DataFrame
+  ): (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+    (FunctionIdentifier(name), info(name, usage),
+      (args: Seq[Expression]) => {
+        if (args.length < minArgs || args.length > maxArgs)
+          throw new IllegalArgumentException(
+            s"$name expects $minArgs..$maxArgs arguments — $usage — got ${args.length}")
+        f(org.apache.spark.sql.SparkSession.active, args).queryExecution.logical
+      })
+
+  private def corpusDf(spark: org.apache.spark.sql.SparkSession, tableDir: String,
+      idCol: String, vecCol: String, versionAsOf: Option[Long]): org.apache.spark.sql.DataFrame = {
+    val r0 = spark.read.format("btr")
+    val r = versionAsOf.fold(r0)(v => r0.option("btr.versionAsOf", v.toString))
+    r.load(tableDir).select(
+      org.apache.spark.sql.functions.col(idCol).as("cid"),
+      org.apache.spark.sql.functions.col(vecCol).as("cvec"))
+  }
+
+  private def latestVersionOf(tableDir: String): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(tableDir)
+    val fs = p.getFileSystem(graft.format.BtrTableMeta.hadoopConf())
+    graft.sources.BtrLog.latestVersion(fs, fs.makeQualified(p))
+  }
+
   private[graft] val tableFunctions: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] = Seq(
     tvf("btr_describe",
@@ -172,6 +204,103 @@ object GraftExtensions {
     tvf("btr_partitions",
       "btr_partitions(path) - per-partition-dir files/rows/bytes/mask debt (metadata only)")(
       graft.functions.BtrInspect.partitions),
+    // ---- IVF index lifecycle (SQL-only operators) --------------------
+    // Maintenance verbs, not queries: the action runs when the TVF is
+    // resolved (like OPTIMIZE/VACUUM through the parser) and the returned
+    // single row is its outcome report. All arguments are constants.
+    ivfTvf("ivf_index_build",
+      "ivf_index_build(tableDir, idCol, vecCol, indexDir[, nlist]) - fit the coarse " +
+        "quantizer over the table's CURRENT snapshot and (re)build the persisted " +
+        "index crash-atomically; records the corpus version for refresh convergence",
+      4, 5) { (spark, args) =>
+      import spark.implicits._
+      val Seq(table, idCol, vecCol, idxDir) = args.take(4).map(strLit(_, "ivf_index_build"))
+      val nlist = if (args.length == 5) intLit(args(4), "ivf_index_build", "nlist") else 16
+      val v = latestVersionOf(table)
+      val corpus = corpusDf(spark, table, idCol, vecCol, v)
+      graft.functions.SimilarityOps.ivfIndexBuild(corpus, idxDir, nlist = nlist,
+        corpusVersion = v)
+      val st = graft.functions.SimilarityOps.ivfIndexState(idxDir)
+      Seq((st.buildVersion, st.corpusVersion.getOrElse(-1L)))
+        .toDF("build_version", "corpus_version")
+    }
+    ,
+    ivfTvf("ivf_index_refresh",
+      "ivf_index_refresh(tableDir, idCol, vecCol, indexDir, appId, from[, to]) - apply " +
+        "the table's change feed (from, to] to the index under (appId, to) txn " +
+        "identity; retried batches no-op",
+      6, 7) { (spark, args) =>
+      import spark.implicits._
+      val Seq(table, idCol, vecCol, idxDir, appId) =
+        args.take(5).map(strLit(_, "ivf_index_refresh"))
+      val from = intLit(args(5), "ivf_index_refresh", "from").toLong
+      val to: Long =
+        if (args.length == 7) intLit(args(6), "ivf_index_refresh", "to").toLong
+        else latestVersionOf(table).getOrElse(throw new IllegalArgumentException(
+          s"ivf_index_refresh: no snapshot log at $table"))
+      val feed = graft.sources.BtrChanges.between(spark, table, from, to)
+        .select(org.apache.spark.sql.functions.col(idCol).as("cid"),
+          org.apache.spark.sql.functions.col(vecCol).as("cvec"),
+          org.apache.spark.sql.functions.col("_change_type"),
+          org.apache.spark.sql.functions.col("_commit_version"))
+      val st = graft.functions.SimilarityOps.ivfIndexRefresh(feed, idxDir,
+        txnAppId = Some(appId), txnVersion = Some(to))
+      Seq((st.rowsAssigned, st.rowsDeleted, st.drift, st.replayed))
+        .toDF("rows_assigned", "rows_deleted", "drift", "replayed")
+    }
+    ,
+    ivfTvf("ivf_index_staleness",
+      "ivf_index_staleness(tableDir, idCol, vecCol, indexDir) - corpus rows the " +
+        "index has not assigned yet (monitoring; the query path falls back on them)",
+      4, 4) { (spark, args) =>
+      import spark.implicits._
+      val Seq(table, idCol, vecCol, idxDir) = args.map(strLit(_, "ivf_index_staleness"))
+      val n = graft.functions.SimilarityOps.ivfIndexStaleness(
+        corpusDf(spark, table, idCol, vecCol, None), idxDir)
+      Seq(Tuple1(n)).toDF("stale_rows")
+    }
+    ,
+    ivfTvf("ivf_index_drift",
+      "ivf_index_drift(tableDir, idCol, vecCol, indexDir[, sampleRows]) - corpus " +
+        "drift ratio vs the build-time mean centroid cosine (~1 healthy, <0.8 re-fit)",
+      4, 5) { (spark, args) =>
+      import spark.implicits._
+      val Seq(table, idCol, vecCol, idxDir) = args.take(4).map(strLit(_, "ivf_index_drift"))
+      val rows = if (args.length == 5) intLit(args(4), "ivf_index_drift", "sampleRows") else 10000
+      val d = graft.functions.SimilarityOps.ivfIndexDriftProbe(
+        corpusDf(spark, table, idCol, vecCol, None), idxDir, sampleRows = rows)
+      Seq(Tuple1(d)).toDF("drift")
+    }
+    ,
+    ivfTvf("ivf_index_rebuild_if_drifted",
+      "ivf_index_rebuild_if_drifted(tableDir, idCol, vecCol, indexDir[, minDriftPct]) - " +
+        "probe drift and rebuild crash-atomically below minDriftPct/100 (default 80)",
+      4, 5) { (spark, args) =>
+      import spark.implicits._
+      val Seq(table, idCol, vecCol, idxDir) =
+        args.take(4).map(strLit(_, "ivf_index_rebuild_if_drifted"))
+      val minDrift =
+        (if (args.length == 5) intLit(args(4), "ivf_index_rebuild_if_drifted", "minDriftPct")
+        else 80) / 100.0
+      val v = latestVersionOf(table)
+      val (rebuilt, drift) = graft.functions.SimilarityOps.ivfIndexRebuildIfDrifted(
+        corpusDf(spark, table, idCol, vecCol, v), idxDir, minDrift = minDrift,
+        corpusVersion = v)
+      val st = graft.functions.SimilarityOps.ivfIndexState(idxDir)
+      Seq((rebuilt, drift, st.buildVersion)).toDF("rebuilt", "drift", "build_version")
+    }
+    ,
+    ivfTvf("ivf_index_state",
+      "ivf_index_state(indexDir) - current build: tables root, build version, " +
+        "recorded corpus version (pure inspection, no action)",
+      1, 1) { (spark, args) =>
+      import spark.implicits._
+      val st = graft.functions.SimilarityOps.ivfIndexState(
+        strLit(args.head, "ivf_index_state"))
+      Seq((st.root, st.buildVersion, st.corpusVersion.getOrElse(-1L)))
+        .toDF("root", "build_version", "corpus_version")
+    }
+    ,
     // change feed: file-level incremental reads (see BtrChanges) — the
     // 2-arg form reads up to the latest version
     (FunctionIdentifier("btr_changes"),

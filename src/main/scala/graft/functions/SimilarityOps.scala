@@ -509,7 +509,7 @@ object SimilarityOps {
   private val PtrV = """"v"\s*:\s*(\d+)""".r.unanchored
   private val PtrCorpus = """"corpusVersion"\s*:\s*(\d+)""".r.unanchored
 
-  private[functions] def ivfIndexState(indexDir: String): IvfIndexState = {
+  private[graft] def ivfIndexState(indexDir: String): IvfIndexState = {
     val (fs, root) = indexFs(indexDir)
     val ptr = new org.apache.hadoop.fs.Path(root, "_current")
     val body: Option[String] =
@@ -548,7 +548,7 @@ object SimilarityOps {
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, (Long, Double)]())
 
-  private[functions] def centroidsOf(spark: org.apache.spark.sql.SparkSession, indexDir: String)
+  private[graft] def centroidsOf(spark: org.apache.spark.sql.SparkSession, indexDir: String)
       : Seq[(Int, Seq[Double], Double)] =
     centroidsAt(spark, ivfIndexState(indexDir).root)
 

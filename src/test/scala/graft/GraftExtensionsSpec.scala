@@ -293,4 +293,92 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("constant") || e.getMessage.contains("btr_describe"),
       e.getMessage)
   }
+
+  test("IVF index lifecycle is drivable from pure SQL and matches the Scala API") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.catalog.graft", classOf[graft.sources.BtrCatalog].getName)
+    val base = "/tmp/btr-ext-spec/ivf-sql"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val table = s"$base/corpus"
+    val idxSql = s"$base/idx-sql"
+    val idxScala = s"$base/idx-scala"
+    val rnd = new scala.util.Random(7)
+    val all = (0L until 200L).map(i => (i, Seq.fill(8)(rnd.nextGaussian().toFloat)))
+    all.toDF("vec_id", "embedding")
+      .write.format("btr").option("btr.retainRemoved", "true")
+      .mode("overwrite").save(table) // v1
+
+    // BUILD via TVF ≡ Scala build with the same parameters (deterministic
+    // quantizer fit → identical centroids AND assignments)
+    val b = spark.sql(
+      s"SELECT * FROM ivf_index_build('$table', 'vec_id', 'embedding', '$idxSql', 8)").head
+    assert(b.getLong(0) == 1L && b.getLong(1) == 1L, s"build report: $b")
+    val scalaCorpus = spark.read.format("btr").option("btr.versionAsOf", "1").load(table)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    graft.functions.SimilarityOps.ivfIndexBuild(scalaCorpus, idxScala, nlist = 8,
+      corpusVersion = Some(1L))
+    def assignOf(idx: String): Seq[String] =
+      spark.read.format("btr")
+        .load(graft.functions.SimilarityOps.ivfIndexAssignPath(idx))
+        .collect().map(_.toString).sorted.toSeq
+    assert(assignOf(idxSql) == assignOf(idxScala), "SQL build ≡ Scala build (assign)")
+    assert(graft.functions.SimilarityOps.centroidsOf(spark, idxSql) ==
+      graft.functions.SimilarityOps.centroidsOf(spark, idxScala), "… and centroids")
+
+    // STATE inspection TVF mirrors the resolver
+    val st = spark.sql(s"SELECT * FROM ivf_index_state('$idxSql')").head
+    val stApi = graft.functions.SimilarityOps.ivfIndexState(idxSql)
+    assert(st.getString(0) == stApi.root && st.getLong(1) == stApi.buildVersion &&
+      st.getLong(2) == stApi.corpusVersion.getOrElse(-1L))
+
+    // corpus DML → REFRESH via TVF on one index, Scala refresh on the twin
+    spark.sql(s"DELETE FROM graft.`$table` WHERE vec_id % 10 = 0") // v2
+    val fresh = (1000L until 1015L).map(i => (i, Seq.fill(8)(rnd.nextGaussian().toFloat)))
+    fresh.toDF("vec_id", "embedding").write.format("btr").mode("append").save(table) // v3
+    val r = spark.sql("SELECT * FROM ivf_index_refresh(" +
+      s"'$table', 'vec_id', 'embedding', '$idxSql', 'sqlapp', 1, 3)").head
+    // rows_assigned covers the fresh appends PLUS the CoW rewrite's
+    // netted-live survivors (delete+re-insert pairs); net-dead is exactly
+    // the 20 removed cids
+    assert(r.getLong(0) >= fresh.length.toLong && r.getLong(1) == 20L && !r.getBoolean(3),
+      s"refresh report: $r")
+    val feed = graft.sources.BtrChanges.between(spark, table, 1L, 3L)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"),
+        col("_change_type"), col("_commit_version"))
+    graft.functions.SimilarityOps.ivfIndexRefresh(feed, idxScala,
+      txnAppId = Some("scalaapp"), txnVersion = Some(3L))
+    assert(assignOf(idxSql) == assignOf(idxScala), "SQL refresh ≡ Scala refresh")
+    // replayed batch no-ops through the TVF too
+    val replay = spark.sql("SELECT * FROM ivf_index_refresh(" +
+      s"'$table', 'vec_id', 'embedding', '$idxSql', 'sqlapp', 1, 3)").head
+    assert(replay.getBoolean(3) && replay.getLong(0) == 0L)
+
+    // STALENESS and DRIFT TVFs equal the Scala probes
+    val current = spark.read.format("btr").load(table)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val staleSql = spark.sql("SELECT * FROM ivf_index_staleness(" +
+      s"'$table', 'vec_id', 'embedding', '$idxSql')").head.getLong(0)
+    assert(staleSql == graft.functions.SimilarityOps.ivfIndexStaleness(current, idxSql))
+    assert(staleSql == 0L, "refreshed index must not lag its corpus")
+    val driftSql = spark.sql("SELECT * FROM ivf_index_drift(" +
+      s"'$table', 'vec_id', 'embedding', '$idxSql', 200)").head.getDouble(0)
+    val driftApi = graft.functions.SimilarityOps.ivfIndexDriftProbe(current, idxSql,
+      sampleRows = 200)
+    assert(driftSql == driftApi, s"$driftSql vs $driftApi")
+
+    // gated rebuild TVF: an impossible gate (200%) forces the rebuild and
+    // the pointer advances crash-atomically
+    val rb = spark.sql("SELECT * FROM ivf_index_rebuild_if_drifted(" +
+      s"'$table', 'vec_id', 'embedding', '$idxSql', 200)").head
+    assert(rb.getBoolean(0) && rb.getLong(2) == 2L, s"rebuild report: $rb")
+    assert(graft.functions.SimilarityOps.ivfIndexState(idxSql).corpusVersion.contains(3L))
+    // post-rebuild serving stays brute-force-exact at full probe
+    val qs = current.filter(col("cid") < 3).select(col("cid").as("qid"), col("cvec").as("qvec"))
+    val viaIdx = graft.functions.SimilarityOps.ivfTopKIndexed(qs, current, idxSql, 3, nprobe = 8)
+      .collect().map(x => (x.getAs[Long]("qid"), x.getAs[Long]("cid"))).toSet
+    val exact = graft.functions.SimilarityOps.bruteForceTopK(qs, current, 3)
+      .collect().map(x => (x.getAs[Long]("qid"), x.getAs[Long]("cid"))).toSet
+    assert(viaIdx == exact)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+  }
 }
