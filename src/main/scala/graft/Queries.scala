@@ -112,7 +112,38 @@ object CoreQueries {
     dir
   }
 
+  /** URL-shaped high-uniqueness strings (one distinct URL per lineitem
+    * row, long shared substrings): the corpus where the FSST gate
+    * (unique ≥ non-null/2 AND >16 KiB — scheme/string/Fsst.cpp:119-127)
+    * must fire under NATURAL selection and beat dict. The derivation uses
+    * only integer/string columns so DuckDB reproduces the bytes exactly.
+    */
+  private def fsstUrlsDir(s: SparkSession, d: String): String = {
+    val dir = Btr.cachePath(d, "fsst_urls")
+    if (!new java.io.File(dir, "_btr_meta.json").exists()) {
+      Btr.pq(s, d, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        concat(lit("https://cdn.example.com/assets/"), col("l_returnflag"),
+          lit("/item-"), col("l_partkey").cast("string"),
+          lit("-"), col("l_suppkey").cast("string"),
+          lit("/v"), col("l_linenumber").cast("string"),
+          lit("?session="), col("l_orderkey").cast("string")).as("url"))
+        .write.format("btr").mode("overwrite").save(dir)
+    }
+    dir
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Q-fsst: byte-exact round-trip of a high-uniqueness URL column the
+    // writer must compress with FSST (dict degenerates at ~100%
+    // uniqueness). The oracle re-derives the same strings from the
+    // parquet lineitem, so any symbol-table corruption hash-mismatches.
+    // FsstSpec pins that this shape actually SELECTS fsst and beats dict.
+    "q_fsst_strings" -> ((s, d) => {
+      s.read.format("btr").load(fsstUrlsDir(s, d))
+        .select(col("l_orderkey"), col("l_linenumber"), col("url"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
     // Q-time-travel: VERSION AS OF 1 sees exactly the first commit's rows
     // (the low-quantity half); the oracle recomputes that slice with a
     // plain filter. A missing or mis-resolved snapshot shows up as extra
@@ -1452,6 +1483,13 @@ object CoreQueries {
         |FROM lineitem
         |WHERE l_returnflag = 'R' OR l_orderkey % 7 = 0
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_fsst_strings" ->
+      """SELECT l_orderkey, l_linenumber,
+        | 'https://cdn.example.com/assets/' || l_returnflag || '/item-' ||
+        |   CAST(l_partkey AS VARCHAR) || '-' || CAST(l_suppkey AS VARCHAR) ||
+        |   '/v' || CAST(l_linenumber AS VARCHAR) || '?session=' ||
+        |   CAST(l_orderkey AS VARCHAR) AS url
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q_agg_filter_mix" ->
       """SELECT count(*) AS n_rows,
         | min(l_orderkey) AS min_okey,

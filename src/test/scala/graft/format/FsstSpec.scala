@@ -62,4 +62,49 @@ class FsstSpec extends AnyFunSuite {
     val raw = values.map(_.length + 4).sum
     assert(blob.length < raw / 2, s"fsst-in-codec $blob.length vs $raw")
   }
+
+  test("writer NATURALLY selects fsst on URL-shaped columns and beats dict on bytes") {
+    // the end-to-end must-win proof: a high-uniqueness URL column (the
+    // q_fsst_strings oracle shape) through the ordinary write path — no
+    // forced scheme — must (a) select FSST per the reference gate
+    // (unique ≥ non-null/2 AND >16 KiB, scheme/string/Fsst.cpp:119-127),
+    // (b) produce fewer bytes than forced-dict AND forced-uncompressed,
+    // (c) round-trip byte-exactly
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    import spark.implicits._
+    val df = (0 until 30000).map { i =>
+      (i.toLong, s"https://cdn.example.com/assets/bucket-${i % 7}/item-${i * 37 % 9973}" +
+        s"-${i % 211}/v${i % 5}?session=$i&trace=${i * 2654435761L}")
+    }.toDF("id", "url")
+    def bytesOf(dir: String): Long =
+      new java.io.File(dir).listFiles()
+        .filter(f => f.getName.endsWith(".btr") && !f.getName.startsWith("_"))
+        .map(_.length).sum
+    val base = "/tmp/btr-fsst-win"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    df.coalesce(1).write.format("btr").mode("overwrite").save(s"$base/natural")
+    df.coalesce(1).write.format("btr").mode("overwrite")
+      .option("btr.forceScheme.string", "dict").save(s"$base/dict")
+    df.coalesce(1).write.format("btr").mode("overwrite")
+      .option("btr.forceScheme.string", "uncompressed").save(s"$base/raw")
+    // (a) telemetry: the url column's chunks report an fsst scheme tree
+    val schemes = graft.functions.BtrInspect.describe(spark, s"$base/natural")
+      .filter(org.apache.spark.sql.functions.col("column") === "url")
+      .select("scheme_tree").collect().map(_.getString(0))
+    assert(schemes.nonEmpty && schemes.forall(_.contains("fsst")),
+      s"natural selection must pick fsst for every url chunk: ${schemes.distinct.mkString(";")}")
+    // (b) bytes: fsst strictly beats dict and uncompressed on this corpus
+    val (nat, dict, raw) = (bytesOf(s"$base/natural"), bytesOf(s"$base/dict"), bytesOf(s"$base/raw"))
+    assert(nat < dict, s"fsst must beat dict on unique URLs: fsst=$nat dict=$dict")
+    assert(nat < raw * 7 / 10, s"fsst must compress: fsst=$nat raw=$raw")
+    // (c) byte-exact round-trip through the scan
+    val back = spark.read.format("btr").load(s"$base/natural")
+      .orderBy("id").select("url").as[String].collect()
+    val want = df.orderBy("id").select("url").as[String].collect()
+    assert(back.sameElements(want), "fsst round-trip must be byte-exact")
+  }
 }
