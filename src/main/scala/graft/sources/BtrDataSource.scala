@@ -505,6 +505,24 @@ object BtrOptions {
   def splitParallelism(options: CaseInsensitiveStringMap): Int =
     options.getInt("btr.splitParallelism", 0)
 
+  /** Chunk-sampling read (`btr.sampleChunks` + `btr.sampleSeed`): plan a
+    * seeded random subset of up to N row groups — the analog of the
+    * reference's `Relation::getRanges(SplitStrategy::RANDOM,
+    * max_chunk_count)` (storage/Relation.cpp:42-69), which its sampling
+    * experiments use to measure scheme behavior on a bounded random slice
+    * of a relation. Deterministic per seed (the reference seeds from
+    * random_device; tests and repeated experiments want replayable
+    * samples). A SAMPLING surface, not a query optimization: results are
+    * intentionally a subset, so the option refuses DML/CDC scan shapes.
+    */
+  def sampleChunks(options: CaseInsensitiveStringMap): Option[Int] = {
+    val v = options.getInt("btr.sampleChunks", 0)
+    if (v > 0) Some(v) else None
+  }
+
+  def sampleSeed(options: CaseInsensitiveStringMap): Long =
+    options.getLong("btr.sampleSeed", 42L)
+
   /** Write-side distribution mode (`btr.write.distribution`):
     *  - `auto` (default): partitioned tables require a CLUSTERED
     *    distribution on the partition columns (each partition's rows

@@ -141,8 +141,11 @@ class BtrScanBuilder(path: String, tableSchema: StructType, options: CaseInsensi
   private def canPushAgg(agg: aggregate.Aggregation): Boolean =
     // a (mis-directed) BATCH read with btr.readChanges must reach the
     // data scan's loud refusal — a pushed aggregate would silently
-    // answer from the CURRENT table instead of erroring
+    // answer from the CURRENT table instead of erroring. A chunk-SAMPLE
+    // read refuses too: footer aggregates cover every chunk, but the
+    // caller asked for a bounded random subset
     !BtrOptions.readChanges(options) &&
+      BtrOptions.sampleChunks(options).isEmpty &&
       pushed.isEmpty &&
       // grouping is pushable only on partition columns: their values are
       // directory names, so per-group footers stay metadata-only
@@ -226,6 +229,9 @@ class BtrScanBuilder(path: String, tableSchema: StructType, options: CaseInsensi
     require(changesFrom.isEmpty || (travelVersion.isEmpty && travelTs.isEmpty),
       "btr: a change-feed read (btr.changesFromVersion) cannot also pin a " +
         "time-travel snapshot — the range's `to` bound IS its snapshot")
+    require(changesFrom.isEmpty || BtrOptions.sampleChunks(options).isEmpty,
+      "btr.sampleChunks is a batch SAMPLING option — a change feed must " +
+        "serve every change row")
     var deleteSide = false
     var dvEmit = false
     var dvPrior: Set[String] = Set.empty
@@ -305,7 +311,9 @@ class BtrScanBuilder(path: String, tableSchema: StructType, options: CaseInsensi
           readChanges = BtrOptions.readChanges(options),
           preferStoreResolution = deleteSide,
           dvEmitDeleted = dvEmit,
-          dvPriorRels = dvPrior)
+          dvPriorRels = dvPrior,
+          sampleChunks = BtrOptions.sampleChunks(options),
+          sampleSeed = BtrOptions.sampleSeed(options))
     }
   }
 }
@@ -369,7 +377,12 @@ class BtrScan(
     // for a deletion-vector commit (and of 'insert' events for a RESTORE
     // that dropped blobs)
     dvEmitDeleted: Boolean = false,
-    dvPriorRels: Set[String] = Set.empty
+    dvPriorRels: Set[String] = Set.empty,
+    // seeded random chunk sample (btr.sampleChunks/btr.sampleSeed): plan
+    // at most N row groups, chosen by a deterministic shuffle — the
+    // reference's getRanges(RANDOM, max_chunk_count) sampling surface
+    sampleChunks: Option[Int] = None,
+    sampleSeed: Long = 42L
 ) extends Scan
     with Batch
     with SupportsRuntimeFiltering
@@ -1020,12 +1033,36 @@ class BtrScan(
         flush()
       }
     }
+    // seeded chunk sample: keep at most N row groups across the whole
+    // plan, chosen by a deterministic shuffle over the (stable) planned
+    // order — the sampling-experiment surface, never a DML/CDC shape
+    val afterSample: Array[InputPartition] = sampleChunks match {
+      case Some(n) =>
+        require(!rewriteGroups && !dvEmitDeleted,
+          "btr.sampleChunks is a batch SAMPLING read option — row-level " +
+            "rewrites and change-feed reads must see every surviving row")
+        val flat = partitions.toArray.flatMap {
+          case p: BtrInputPartition => p.groups.map(g => (p, g))
+          case _ => Array.empty[(BtrInputPartition, BtrChunkRange)]
+        }
+        val rnd = new scala.util.Random(sampleSeed)
+        val picked = rnd.shuffle(flat.toIndexedSeq).take(n)
+        picked.groupBy(_._1).toArray
+          .map { case (p, gs) =>
+            p.copy(groups = gs.map(_._2).sortBy(_.firstOrdinal).toArray): InputPartition
+          }
+          .sortBy {
+            case p: BtrInputPartition => (p.file, p.groups.head.firstOrdinal)
+            case _ => ("", 0L)
+          }
+      case None => partitions.toArray
+    }
     // pack toward the EFFECTIVE size: packing many tiny files toward the
     // configured 128 MB would re-create the parallelism floor the
     // subdivision above exists to remove (1000×1 MB files → 8 packed
     // tasks on 32 cores); with the effective target the packed count
     // lands at ≈ the session's parallelism instead
-    packSmallSplits(partitions.toArray, effectiveSplitBytes)
+    packSmallSplits(afterSample, effectiveSplitBytes)
   }
 
   /** Pack many small per-file splits into ~splitBytes tasks (each slice

@@ -428,6 +428,48 @@ class BtrSourceSpec extends AnyFunSuite {
     assert(surviving(none) == 0)
   }
 
+  test("btr.sampleChunks plans a seeded random chunk subset (getRanges RANDOM analog)") {
+    import spark.implicits._
+    // 4000 rows at blockSize 256 → ~16 chunks across 2 files
+    (0 until 4000).map(i => (i.toLong, s"v$i")).toDF("id", "s")
+      .repartition(2).write.format("btr")
+      .option("btr.blockSize", "256").mode("overwrite").save(tmp("sample"))
+    val full = spark.read.format("btr").load(tmp("sample"))
+    val fullIds = full.select("id").as[Long].collect().toSet
+    def sampled(n: Int, seed: Long) = spark.read.format("btr")
+      .option("btr.sampleChunks", n.toString)
+      .option("btr.sampleSeed", seed.toString).load(tmp("sample"))
+    // exactly 5 whole chunks' worth of rows (each file's tail chunk holds
+    // 2000 - 7×256 = 208 rows), a strict subset of the table
+    val s5 = sampled(5, 42L).select("id").as[Long].collect()
+    assert(s5.length >= 5 * 208 && s5.length <= 5 * 256,
+      s"expected 5 whole chunks (1040..1280 rows), got ${s5.length}")
+    assert(s5.toSet.subsetOf(fullIds) && s5.length < 4000)
+    // deterministic per seed; a different seed draws a different subset
+    val s5again = sampled(5, 42L).select("id").as[Long].collect()
+    assert(s5.sorted.sameElements(s5again.sorted), "same seed must replay the same sample")
+    val sOther = sampled(5, 99L).select("id").as[Long].collect()
+    assert(sOther.toSet != s5.toSet, "schedule too tame: two seeds drew the same sample")
+    // a cap above the chunk count degrades to the full table
+    assert(sampled(1000, 42L).count() == 4000L)
+    // aggregates stay on the (sampled) data path — the footer-only
+    // answer would cover every chunk and contradict the sample intent
+    val agg = sampled(5, 42L).agg(count(lit(1)), min("id"), max("id"))
+    val scans = agg.queryExecution.executedPlan.collectLeaves()
+    assert(!scans.exists {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan.isInstanceOf[BtrAggScan]
+      case _ => false
+    }, "sampled reads must refuse aggregate pushdown")
+    assert(agg.head.getLong(0) == s5.length.toLong)
+    // a change-feed read refuses the option loudly
+    val e = intercept[Exception] {
+      spark.read.format("btr").option("btr.sampleChunks", "3")
+        .option("btr.changesFromVersion", "1").load(tmp("sample")).collect()
+    }
+    assert(e.getMessage.contains("SAMPLING"), e.getMessage)
+  }
+
   test("runtime IN filters prune row groups (dynamic pruning path)") {
     val orig = spark.read.parquet(s"$sf/lineitem.parquet")
     orig.sort("l_orderkey").coalesce(1).write.format("btr")
