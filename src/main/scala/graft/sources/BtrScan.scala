@@ -1134,6 +1134,9 @@ class BtrScan(
     require(snapshotVersion.isEmpty,
       "btr: streaming reads follow the live table; a VERSION/TIMESTAMP AS OF " +
         "pinned snapshot cannot be streamed")
+    require(sampleChunks.isEmpty,
+      "btr.sampleChunks is a batch SAMPLING option — a stream must serve " +
+        "every committed row exactly once")
     if (readChanges)
       new BtrCdcMicroBatchStream(path, tableSchema, requiredSchema, partCols, startingVersion,
         maxFilesPerTrigger, startingTimestampMicros)

@@ -313,6 +313,48 @@ class BtrFuzzSpec extends AnyFunSuite {
       assert(got == want,
         s"DELETE WHERE $sqlPred: ${got.length} rows vs expected ${want.length}")
     }
+
+    // seeded extension: random polarity schedules over fresh tables (the
+    // hunt hook — SPARK_GRAFT_FUZZ_SEEDS adds schedules without a source
+    // edit, same contract as the other fuzzes)
+    val extraSeeds = sys.env.get("SPARK_GRAFT_FUZZ_SEEDS").toSeq
+      .flatMap(_.split(',')).flatMap(x => scala.util.Try(x.trim.toLong).toOption)
+    for (seed <- extraSeeds) {
+      val sp = s"/tmp/btr-fuzz/delete-transform-$seed"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(sp))
+      spark.sql(s"CREATE TABLE graft.`$sp` (id BIGINT, ts TIMESTAMP, v INT, s STRING) " +
+        "USING btr PARTITIONED BY (days(ts), bucket(4, id))")
+      df0.writeTo(s"graft.`$sp`").append()
+      val srnd = new scala.util.Random(seed)
+      def day(): String = f"2026-03-${1 + srnd.nextInt(15)}%02d 00:00:00"
+      def leaf(): (String, Column) = srnd.nextInt(6) match {
+        case 0 => val d0 = day(); (s"ts < TIMESTAMP'$d0'", col("ts") < ts(d0))
+        case 1 => val d0 = day(); (s"ts >= TIMESTAMP'$d0'", col("ts") >= ts(d0))
+        case 2 => val x = srnd.nextInt(20); (s"v = $x", col("v") === x)
+        case 3 => val x = srnd.nextInt(5); (s"s = 's$x'", col("s") === s"s$x")
+        case 4 => ("ts IS NULL", col("ts").isNull)
+        case _ => val x = srnd.nextInt(3000); (s"id = $x", col("id") === x)
+      }
+      var exp = df0
+      (1 to 6).foreach { _ =>
+        val (s1, c1) = leaf()
+        val (s2, c2) = leaf()
+        val (sqlPred, colPred) = srnd.nextInt(5) match {
+          case 0 => (s"NOT ($s1)", !c1)
+          case 1 => (s"$s1 OR $s2", c1 || c2)
+          case 2 => (s"NOT ($s1 OR id % 7 = 0)", !(c1 || col("id") % 7 === 0))
+          case 3 => (s"$s1 AND $s2", c1 && c2)
+          case _ => (s"NOT ($s1 AND $s2)", !(c1 && c2))
+        }
+        spark.sql(s"DELETE FROM graft.`$sp` WHERE $sqlPred")
+        exp = exp.filter(!coalesce(colPred, lit(false)))
+        val got = canon(spark.table(s"graft.`$sp`"))
+        val want = canon(exp)
+        assert(got == want,
+          s"seed=$seed DELETE WHERE $sqlPred: ${got.length} vs ${want.length}")
+      }
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(sp))
+    }
   }
 
   test("runtime filter arrays are conjunctions: adversarial shapes never over-prune") {
