@@ -468,6 +468,16 @@ class BtrSourceSpec extends AnyFunSuite {
         .option("btr.changesFromVersion", "1").load(tmp("sample")).collect()
     }
     assert(e.getMessage.contains("SAMPLING"), e.getMessage)
+    // deletion-vector masks still apply INSIDE sampled chunks: a sampled
+    // read of a DV-masked table must never resurrect deleted rows
+    spark.conf.set("spark.sql.catalog.graft", classOf[BtrCatalog].getName)
+    spark.sql(s"ALTER TABLE graft.`${tmp("sample")}` " +
+      "SET TBLPROPERTIES ('btr.deletionVectors'='true')")
+    spark.sql(s"DELETE FROM graft.`${tmp("sample")}` WHERE id % 10 = 0")
+    val sampledAfter = sampled(5, 42L).select("id").as[Long].collect()
+    assert(!sampledAfter.exists(_ % 10 == 0),
+      "sampled chunks must serve their deletion-vector masks")
+    assert(sampledAfter.nonEmpty && sampledAfter.toSet.subsetOf(fullIds))
   }
 
   test("runtime IN filters prune row groups (dynamic pruning path)") {
