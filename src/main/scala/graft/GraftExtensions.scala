@@ -290,6 +290,17 @@ object GraftExtensions {
       Seq((rebuilt, drift, st.buildVersion)).toDF("rebuilt", "drift", "build_version")
     }
     ,
+    ivfTvf("ivf_index_vacuum",
+      "ivf_index_vacuum(indexDir[, keepLast]) - drop superseded index builds " +
+        "(default keeps the current and one prior; staged rebuilds untouched)",
+      1, 2) { (spark, args) =>
+      import spark.implicits._
+      val idxDir = strLit(args.head, "ivf_index_vacuum")
+      val keep = if (args.length == 2) intLit(args(1), "ivf_index_vacuum", "keepLast") else 2
+      Seq(Tuple1(graft.functions.SimilarityOps.ivfIndexVacuum(idxDir, keep)))
+        .toDF("dropped_dirs")
+    }
+    ,
     ivfTvf("ivf_index_state",
       "ivf_index_state(indexDir) - current build: tables root, build version, " +
         "recorded corpus version (pure inspection, no action)",

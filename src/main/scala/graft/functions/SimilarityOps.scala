@@ -583,6 +583,37 @@ object SimilarityOps {
     * StoragePartitionJoinSpec; catalog-table reads resolve the bucket
     * function for SPJ).
     */
+  /** Drop superseded index builds: every published v{N} below the current
+    * pointer except the `keepLast - 1` most recent (default keepLast=2
+    * keeps ONE prior build so a reader that resolved the pointer just
+    * before a rebuild finishes its query against intact tables). Staged-
+    * but-unpublished builds ABOVE the pointer (a rebuild in flight) are
+    * never touched. Once a versioned build is current, the pre-pointer
+    * layout's root-level tables are superseded and dropped too. Returns
+    * the number of directories removed — the retention companion every
+    * overwrite-by-version layout needs, same role as table VACUUM.
+    */
+  def ivfIndexVacuum(indexDir: String, keepLast: Int = 2): Int = {
+    require(keepLast >= 1, s"ivfIndexVacuum: keepLast must be >= 1, got $keepLast")
+    val (fs, root) = indexFs(indexDir)
+    val st = ivfIndexState(indexDir)
+    if (st.buildVersion == 0) return 0 // pre-pointer layout: nothing versioned
+    val vdirs = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.matches("v\\d+"))
+      .map(s => (s.getPath.getName.substring(1).toLong, s.getPath))
+    val keep = vdirs.map(_._1).filter(_ <= st.buildVersion)
+      .sorted.reverse.take(keepLast).toSet
+    var dropped = 0
+    vdirs.foreach { case (n, p) =>
+      if (n < st.buildVersion && !keep.contains(n) && fs.delete(p, true)) dropped += 1
+    }
+    Seq("centroids", "assign").foreach { t =>
+      val p = new org.apache.hadoop.fs.Path(root, t)
+      if (fs.exists(p) && fs.delete(p, true)) dropped += 1
+    }
+    dropped
+  }
+
   /** Test-only crash-injection hooks: between the two staged table writes
     * and between staging and pointer publication. A crash in either window
     * must leave readers on the PRIOR build in full.

@@ -372,6 +372,11 @@ class GraftExtensionsSpec extends AnyFunSuite {
       s"'$table', 'vec_id', 'embedding', '$idxSql', 200)").head
     assert(rb.getBoolean(0) && rb.getLong(2) == 2L, s"rebuild report: $rb")
     assert(graft.functions.SimilarityOps.ivfIndexState(idxSql).corpusVersion.contains(3L))
+    // retention from SQL too: keepLast=1 sweeps the superseded v1 build
+    val vac = spark.sql(s"SELECT * FROM ivf_index_vacuum('$idxSql', 1)").head
+    assert(vac.getInt(0) == 1, s"vacuum report: $vac")
+    assert(!new java.io.File(idxSql, "v1").exists())
+    assert(graft.functions.SimilarityOps.ivfIndexState(idxSql).buildVersion == 2L)
     // post-rebuild serving stays brute-force-exact at full probe
     val qs = current.filter(col("cid") < 3).select(col("cid").as("qid"), col("cvec").as("qvec"))
     val viaIdx = graft.functions.SimilarityOps.ivfTopKIndexed(qs, current, idxSql, 3, nprobe = 8)

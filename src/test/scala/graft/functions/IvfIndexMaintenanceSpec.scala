@@ -475,6 +475,50 @@ class IvfIndexMaintenanceSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
   }
 
+  test("ivfIndexVacuum drops superseded builds, keeps current + prior, spares staged rebuilds") {
+    val dir = tmp("vacuum")
+    val corpus = randVecs(0L until 150L, seed = 91)
+    SimilarityOps.ivfIndexBuild(df(corpus), dir, nlist = 4, fitSampleRows = 100) // v1
+    SimilarityOps.ivfIndexBuild(df(corpus), dir, nlist = 4, fitSampleRows = 100) // v2
+    SimilarityOps.ivfIndexBuild(df(corpus), dir, nlist = 4, fitSampleRows = 100) // v3
+    def vdirs(): Set[String] = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+")).map(_.getName).toSet
+    assert(vdirs() == Set("v1", "v2", "v3"))
+    // a STAGED rebuild above the pointer (crash mid-build) must survive
+    val staged = new java.io.File(dir, "v4/_claim")
+    staged.getParentFile.mkdirs()
+    new java.io.FileOutputStream(staged).close()
+    // default keepLast=2: current (v3) + one prior (v2) stay
+    assert(SimilarityOps.ivfIndexVacuum(dir) == 1)
+    assert(vdirs() == Set("v2", "v3", "v4"), s"got ${vdirs()}")
+    // keepLast=1: only the current build remains (plus the staged v4)
+    assert(SimilarityOps.ivfIndexVacuum(dir, keepLast = 1) == 1)
+    assert(vdirs() == Set("v3", "v4"))
+    // serving is untouched throughout
+    val qs = df(corpus.take(2)).select(col("cid").as("qid"), col("cvec").as("qvec"))
+    val viaIdx = SimilarityOps.ivfTopKIndexed(qs, df(corpus), dir, k = 3, nprobe = 4)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"))).toSet
+    val exact = SimilarityOps.bruteForceTopK(qs, df(corpus), 3)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"))).toSet
+    assert(viaIdx == exact)
+    // legacy migration debris: a pre-pointer index rebuilt once leaves the
+    // root-level tables behind; vacuum sweeps them
+    val legacy = tmp("vacuum-legacy")
+    SimilarityOps.ivfIndexBuild(df(corpus), legacy, nlist = 4, fitSampleRows = 100)
+    // fake the legacy layout: copy the v1 tables to the root, drop pointer
+    val fsRoot = new java.io.File(legacy)
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(fsRoot, "v1/centroids"), new java.io.File(fsRoot, "centroids"))
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(fsRoot, "v1/assign"), new java.io.File(fsRoot, "assign"))
+    assert(SimilarityOps.ivfIndexVacuum(legacy, keepLast = 1) == 2,
+      "root-level legacy tables are superseded once a versioned build is current")
+    assert(!new java.io.File(fsRoot, "centroids").exists())
+    assert(SimilarityOps.centroidsOf(spark, legacy).nonEmpty)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(legacy))
+  }
+
   test("maintenance fuzz: appends × replays × assign-table compaction stay exactly-once") {
     // the assign table is an ordinary btr table — index appends race
     // OPTIMIZE like any writer. Seeded rounds interleave txn-identified
