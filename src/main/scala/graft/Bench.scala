@@ -380,7 +380,7 @@ object Bench {
       }
     }
 
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val qs = formatQueries(results)
     val total = results.map(_._2).sum
     val ratio = if (btrBytes > 0) inputBytes.toDouble / btrBytes else 0.0
     // sample_over_tryall_bytes ≥ 1.0 measures how much compression the
@@ -394,13 +394,22 @@ object Bench {
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"col_bw":$colBw,$extras,"sf":"$sfDir"}"""
     println(line)
     // the full line outgrew the driver's ~2000-char tail window around
-    // 100 queries (BENCH_r15.json recorded an unparseable mid-line
-    // fragment) — so ALSO print a compact scalar summary LAST: whatever
-    // tail window a collector keeps, its final line is a complete JSON
-    // record; per-query data stays in the full line / bench_out.json
+    // 100 queries, and round 16's col_bw block pushed the per-query map
+    // out of the window ENTIRELY (BENCH_r16.json kept zero q_* pairs and
+    // the outlier recheck lost its newest-artifact baseline). Two more
+    // stdout lines fix both failure modes:
+    //  - a compact scalar summary (extras, no queries) so the BASELINE.md
+    //    metrics stay readable near the tail even when the final line
+    //    overflows the window;
+    //  - LAST, the tail line: per-query map at the END with "sf" after it,
+    //    so whatever suffix a collector keeps always carries the trailing
+    //    q_* pairs AND the scale marker (parseRefMins anchors on the LAST
+    //    "sf" match — sf must never truncate off a cross-scale artifact).
+    // Full fidelity stays in the first line / bench_out.json.
     val compact =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","nq":${results.size},$extras,"sf":"$sfDir"}"""
     println(compact)
+    println(tailLine(total, results.size, qs, sfDir))
     // stdout under sbt is buried in [info] noise; also write the line to a
     // file so the driver's bench gate can parse it reliably
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_out.json")
@@ -411,6 +420,22 @@ object Bench {
     } catch { case e: Throwable => System.err.println(s"[bench] write $outPath failed: $e") }
     spark.stop()
   }
+
+  /** Compact per-query JSON map, `{"q_a":0.123,...}`, sorted by name. */
+  def formatQueries(results: Seq[(String, Double)]): String =
+    results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+
+  /** The FINAL stdout line: per-query map LAST (before only the `sf`
+    * marker), so a collector keeping a bounded suffix of the output
+    * retains the maximum number of trailing `q_*` pairs plus the scale
+    * marker. At 111 queries the map alone (~2.4 KB) outgrows the
+    * driver's 2000-char tail window, so the LEADING pairs may still
+    * truncate — [[parseRefMins]] is anchor-free and same-scale-gated,
+    * so a truncated head costs only those queries' recheck baselines,
+    * never a mis-scaled or empty parse (the r16 failure mode).
+    */
+  def tailLine(total: Double, nq: Int, qs: String, sfDir: String): String =
+    f"""{"metric":"total","value":$total%.3f,"unit":"sec","nq":$nq,"queries":$qs,"sf":"$sfDir"}"""
 
   /** Extract previous per-query min times from a committed bench artifact.
     *

@@ -44,20 +44,50 @@ class BenchRefMinsSpec extends AnyFunSuite {
       Map("q_agg_join" -> 0.111, "q_scan" -> 0.05))
   }
 
-  test("the real committed artifact, if present, parses non-empty at its own sf") {
+  test("a 2000-char driver truncation of the real tail line keeps pairs AND sf") {
+    // the r16 regression: the full metric line put col_bw after the
+    // queries map and the driver's 2000-char tail window kept ZERO q_*
+    // pairs. The tail line puts the map last (sf after it); simulate the
+    // exact window — escaped quotes, trailing sbt noise — over the FULL
+    // production query set and assert a usable baseline survives.
+    val names = SparkEntry.queries.keySet.toSeq.sorted
+    val results = names.zipWithIndex.map { case (n, i) => n -> (0.05 + i * 0.001) }
+    val line = Bench.tailLine(results.map(_._2).sum, names.size,
+      Bench.formatQueries(results), sf)
+    val window = (line.replace("\"", "\\\"") +
+      "\\n[success] Total time: 295 s (04:55), completed Aug 15, 2026, 10:07:47 PM\n\",\n  \"parsed\": null\n}")
+      .takeRight(2000)
+    val mins = Bench.parseRefMins(window, sf, names.toSet)
+    assert(mins.size >= 40, s"expected >=40 surviving pairs, got ${mins.size}")
+    // the sf marker sits AFTER the map, so it can never truncate away:
+    // a cross-scale artifact must still gate to empty
+    assert(Bench.parseRefMins(window, "/root/testdata/sf1", names.toSet).isEmpty)
+  }
+
+  test("the production newest-first artifact walk yields per-query mins") {
+    // BENCH_r16.json committed the broken col_bw-after-queries shape (its
+    // tail has zero pairs), so the NEWEST artifact alone is not pinned —
+    // this asserts what the bench actually relies on: the newest-first
+    // walk over committed artifacts, with the bench_out.json backfill,
+    // produces a non-empty recheck baseline. From r17 on the tail line
+    // makes the newest artifact itself parse non-empty again.
     val dir = new java.io.File("/root/repo")
-    val refFile = Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.getName.matches("BENCH_r\\d+\\.json")).sortBy(_.getName).lastOption
-    refFile.foreach { f =>
-      val src = scala.io.Source.fromFile(f)
-      val text = try src.mkString finally src.close()
-      // the artifact's own sf string (unescape first; take the last match)
-      val sfOwn = "\"sf\":\"([^\"]+)\"".r
-        .findAllMatchIn(text.replace("\\\"", "\"")).map(_.group(1)).toSeq.lastOption
-      sfOwn.foreach { s =>
-        val mins = Bench.parseRefMins(text, s, SparkEntry.queries.keySet)
-        assert(mins.nonEmpty, s"expected per-query mins from ${f.getName}")
-      }
+    def parse(f: java.io.File): Map[String, Double] =
+      try {
+        val src = scala.io.Source.fromFile(f)
+        val text = try src.mkString finally src.close()
+        val sfOwn = "\"sf\":\"([^\"]+)\"".r
+          .findAllMatchIn(text.replace("\\\"", "\"")).map(_.group(1)).toSeq.lastOption
+        sfOwn.map(s => Bench.parseRefMins(text, s, SparkEntry.queries.keySet))
+          .getOrElse(Map.empty)
+      } catch { case _: Throwable => Map.empty }
+    val files = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.matches("BENCH_r\\d+\\.json")).sortBy(_.getName).reverse
+    if (files.nonEmpty) {
+      val walked = files.view.map(parse).find(_.nonEmpty).getOrElse(Map.empty)
+      val backfill = parse(new java.io.File(dir, "bench_out.json"))
+      assert((backfill ++ walked).nonEmpty,
+        "no committed bench artifact (nor bench_out.json) yields per-query mins")
     }
   }
 }
