@@ -150,6 +150,16 @@ object GraftExtensions {
     * VACUUM parser verbs) and the returned one-row relation is its
     * outcome report — a SQL-only user operates the index lifecycle
     * without the Scala API.
+    *
+    * CAVEAT — resolution IS execution: anything that re-analyzes the
+    * statement re-runs the action. `EXPLAIN ivf_index_build(...)` builds
+    * a whole new index; a view over a maintenance TVF re-executes on
+    * every re-resolution. `ivf_index_refresh` alone is replay-guarded by
+    * its (appId, version) txn identity (a re-resolution no-ops);
+    * `ivf_index_build` / `ivf_index_rebuild_if_drifted` /
+    * `ivf_index_vacuum` are NOT idempotent across re-analysis — never
+    * EXPLAIN them, never put them in views. (Each usage string repeats
+    * this; the long-term home is a parser verb executing at run().)
     */
   private def ivfTvf(name: String, usage: String, minArgs: Int, maxArgs: Int)(
       f: (org.apache.spark.sql.SparkSession, Seq[Expression]) => org.apache.spark.sql.DataFrame
@@ -211,7 +221,8 @@ object GraftExtensions {
     ivfTvf("ivf_index_build",
       "ivf_index_build(tableDir, idCol, vecCol, indexDir[, nlist]) - fit the coarse " +
         "quantizer over the table's CURRENT snapshot and (re)build the persisted " +
-        "index crash-atomically; records the corpus version for refresh convergence",
+        "index crash-atomically; records the corpus version for refresh convergence. " +
+        "Runs at statement RESOLUTION: EXPLAIN/DESCRIBE/views re-execute the build",
       4, 5) { (spark, args) =>
       import spark.implicits._
       val Seq(table, idCol, vecCol, idxDir) = args.take(4).map(strLit(_, "ivf_index_build"))
@@ -274,7 +285,8 @@ object GraftExtensions {
     ,
     ivfTvf("ivf_index_rebuild_if_drifted",
       "ivf_index_rebuild_if_drifted(tableDir, idCol, vecCol, indexDir[, minDriftPct]) - " +
-        "probe drift and rebuild crash-atomically below minDriftPct/100 (default 80)",
+        "probe drift and rebuild crash-atomically below minDriftPct/100 (default 80). " +
+        "Runs at statement RESOLUTION: EXPLAIN/DESCRIBE/views re-probe and may rebuild",
       4, 5) { (spark, args) =>
       import spark.implicits._
       val Seq(table, idCol, vecCol, idxDir) =
@@ -291,8 +303,11 @@ object GraftExtensions {
     }
     ,
     ivfTvf("ivf_index_vacuum",
-      "ivf_index_vacuum(indexDir[, keepLast]) - drop superseded index builds " +
-        "(default keeps the current and one prior; staged rebuilds untouched)",
+      "ivf_index_vacuum(indexDir[, keepLast]) - drop superseded index builds. " +
+        "Default keepLast=2 keeps the current AND one prior build (in-flight " +
+        "readers that resolved the pointer pre-rebuild finish intact); keepLast=1 " +
+        "breaks such readers. Staged rebuilds above the pointer are untouched. " +
+        "Runs at statement RESOLUTION: EXPLAIN/DESCRIBE/views re-run the vacuum",
       1, 2) { (spark, args) =>
       import spark.implicits._
       val idxDir = strLit(args.head, "ivf_index_vacuum")

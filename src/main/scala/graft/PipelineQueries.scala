@@ -74,6 +74,27 @@ object PipelineQueries {
     dir
   }
 
+  /** IVF-flat index whose content is EXACTLY the embeddings corpus (no
+    * shifted increment, unlike [[ivfIndexDir]]): the pure-index serving
+    * gate (`q_ann_ivf_serve`) ranks against the index's own stored
+    * vectors, so its content must equal the oracle's corpus row-for-row.
+    */
+  private def ivfServeIndexDir(s: SparkSession, d: String): String = {
+    val dir = Btr.cachePath(d, "ivf_serve_index")
+    val done = new java.io.File(dir, "_built_v1")
+    if (!done.exists()) {
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(graft.format.BtrTableMeta.hadoopConf())
+      val root = fs.makeQualified(new org.apache.hadoop.fs.Path(dir))
+      if (fs.exists(root)) fs.delete(root, true)
+      val cands = t(s, d, "embeddings")
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      graft.functions.SimilarityOps.ivfIndexBuild(cands, dir, nlist = 16)
+      new java.io.FileOutputStream(done).close()
+    }
+    dir
+  }
+
   /** Cached fixture for the CDC-driven index refresh gate
     * (`q_ann_ivf_refresh`): corpus table (retained) at v1 → index built
     * from v1 → DELETE `vec_id % 7 = 3` (v2) → append the +2,000,000
@@ -371,6 +392,37 @@ object PipelineQueries {
       val exact = SimilarityOps.bruteForceTopK(queries, cands, 3)
         .select(col("qid"), col("cid"))
       exact.join(idx.select(col("qid"), col("cid"), lit(1).as("hit")),
+          Seq("qid", "cid"), "left")
+        .agg(count(lit(1)).as("n_exact"),
+          (count(col("hit")).cast("double") / count(lit(1)) >= 0.3).as("recall_ok"))
+        .crossJoin(fo) // 1×1
+    }),
+
+    // PURE-INDEX IVF serving (the flat-cost ANN path at 100 TB): the
+    // IVF-flat index IS the corpus — one query batch reads the centroids
+    // plus ONLY the probed cells' partition directories, zero corpus
+    // access (per-batch I/O ∝ nprobe/nlist; partition pruning is plan-
+    // pinned in IvfServeSpec). Recall-gated against DuckDB's exact
+    // ranking, plus row-identity against ivfTopKIndexed over the same
+    // corpus — serve and indexed share persisted centers and membership,
+    // so their approximate answers must agree exactly.
+    "q_ann_ivf_serve" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val cands = emb.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val dir = ivfServeIndexDir(s, d)
+      val served = SimilarityOps.ivfTopKServe(queries, dir, 3, nprobe = 6)
+        .select(col("qid"), col("cid"), col("rank"))
+      val idx = SimilarityOps.ivfTopKIndexed(queries, cands, dir, 3, nprobe = 6)
+        .select(col("qid"), col("cid"), col("rank"))
+      val fo = served.withColumn("ia", lit(1))
+        .join(idx.withColumn("ib", lit(1)), Seq("qid", "cid", "rank"), "full_outer")
+        .agg((count(lit(1)) === count(col("ia")) &&
+          count(lit(1)) === count(col("ib"))).as("serve_matches_indexed"))
+      val exact = SimilarityOps.bruteForceTopK(queries, cands, 3)
+        .select(col("qid"), col("cid"))
+      exact.join(served.select(col("qid"), col("cid"), lit(1).as("hit")),
           Seq("qid", "cid"), "left")
         .agg(count(lit(1)).as("n_exact"),
           (count(col("hit")).cast("double") / count(lit(1)) >= 0.3).as("recall_ok"))
@@ -1260,6 +1312,18 @@ object PipelineQueries {
         | FROM sims)
         |SELECT count(*) AS n_exact, true AS recall_ok,
         | true AS indexed_matches_percall
+        |FROM ranked WHERE rank <= 3""".stripMargin,
+    "q_ann_ivf_serve" ->
+      """WITH sims AS (
+        | SELECT q.vec_id AS qid, c.vec_id AS cid,
+        |  list_cosine_similarity(q.embedding, c.embedding) AS cos
+        | FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        | WHERE q.vec_id < 10),
+        | ranked AS (SELECT qid, cid,
+        |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rank
+        | FROM sims)
+        |SELECT count(*) AS n_exact, true AS recall_ok,
+        | true AS serve_matches_indexed
         |FROM ranked WHERE rank <= 3""".stripMargin,
     "q_ann_ivf_refresh" ->
       """WITH cur AS (

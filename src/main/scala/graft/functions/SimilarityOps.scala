@@ -509,10 +509,20 @@ object SimilarityOps {
   private val PtrV = """"v"\s*:\s*(\d+)""".r.unanchored
   private val PtrCorpus = """"corpusVersion"\s*:\s*(\d+)""".r.unanchored
 
+  /** Per-build marker written right AFTER the pointer publish: when the
+    * pointer itself is transiently unreadable (stores whose rename
+    * refuses to clobber republish `_current` via delete-then-rename, so
+    * a reader can race the gap), state resolution falls back to the
+    * HIGHEST build carrying this marker — a build that was current once —
+    * instead of the root-level legacy layout, which a vacuum may already
+    * have swept.
+    */
+  private val PublishedMarker = "_published"
+
   private[graft] def ivfIndexState(indexDir: String): IvfIndexState = {
     val (fs, root) = indexFs(indexDir)
     val ptr = new org.apache.hadoop.fs.Path(root, "_current")
-    val body: Option[String] =
+    def readPtr(): Option[String] =
       try {
         if (!fs.exists(ptr)) None
         else {
@@ -523,6 +533,17 @@ object SimilarityOps {
           finally in.close()
         }
       } catch { case _: java.io.FileNotFoundException => None }
+    val body: Option[String] = readPtr().orElse {
+      // absent pointer: either the legacy pre-pointer layout (no v-dirs)
+      // or a republish window on a delete-then-rename store. Retry once
+      // before falling back — the window is a single rename wide.
+      val versioned =
+        try fs.listStatus(root).exists(s =>
+          s.isDirectory && s.getPath.getName.matches("v\\d+"))
+        catch { case _: java.io.IOException => false }
+      if (!versioned) None
+      else { Thread.sleep(20); readPtr() }
+    }
     body match {
       case Some(s) =>
         val v = s match {
@@ -532,7 +553,23 @@ object SimilarityOps {
         }
         val corpus = s match { case PtrCorpus(n) => Some(n.toLong); case _ => None }
         IvfIndexState(s"$indexDir/v$v", v, corpus)
-      case None => IvfIndexState(indexDir, 0L, None) // pre-pointer layout
+      case None =>
+        // still no pointer: resolve the highest once-published build if
+        // any exists (its corpusVersion is unknown — refresh convergence
+        // degrades to applying the full feed, never to data loss); a
+        // table with no published v-dirs is the legacy root layout.
+        val published: Option[Long] =
+          try fs.listStatus(root).toSeq
+            .filter(s => s.isDirectory && s.getPath.getName.matches("v\\d+"))
+            .filter(s => fs.exists(
+              new org.apache.hadoop.fs.Path(s.getPath, PublishedMarker)))
+            .map(_.getPath.getName.substring(1).toLong)
+            .sorted.lastOption
+          catch { case _: java.io.IOException => None }
+        published match {
+          case Some(v) => IvfIndexState(s"$indexDir/v$v", v, None)
+          case None => IvfIndexState(indexDir, 0L, None) // pre-pointer layout
+        }
     }
   }
 
@@ -568,21 +605,6 @@ object SimilarityOps {
       element_at(NearestCentersExpr.of(col("cvec"), centers, 1), 1).as("cluster"),
       col("cvec"))
 
-  /** Build the persisted index: fit the coarse quantizer exactly like
-    * [[ivfTopK]] (same seed/sample → same centers for the same corpus),
-    * assign every candidate map-only, and write both tables. Overwrites
-    * any previous index at `indexDir`.
-    *
-    * `assignPartitionSpec` (e.g. `Seq("bucket(16,cid)")`) lays the
-    * assign table out with a partition transform: give it the SAME
-    * bucket spec as the corpus table's id column and the per-query
-    * membership join ([[ivfTopKIndexed]]'s `candidates ⋈ assign`) plans
-    * as a storage-partitioned join — zero shuffle on either side, which
-    * is what makes the indexed path cheaper than a per-call fit at
-    * 100 TB rather than merely amortized (spec-pinned in
-    * StoragePartitionJoinSpec; catalog-table reads resolve the bucket
-    * function for SPJ).
-    */
   /** Drop superseded index builds: every published v{N} below the current
     * pointer except the `keepLast - 1` most recent (default keepLast=2
     * keeps ONE prior build so a reader that resolved the pointer just
@@ -592,9 +614,24 @@ object SimilarityOps {
     * layout's root-level tables are superseded and dropped too. Returns
     * the number of directories removed — the retention companion every
     * overwrite-by-version layout needs, same role as table VACUUM.
+    *
+    * READER SAFETY: `keepLast = 2` (the default) is the two-builds-
+    * retained contract — a reader (query, drift probe, staleness probe)
+    * that resolved the pointer just before a rebuild published finishes
+    * its scan against intact tables. `keepLast = 1` drops that guarantee:
+    * it deletes the prior build immediately, so any reader still mid-
+    * flight on it fails with missing files (and under a concurrent
+    * rebuild it can also sweep a superseded still-staging dir below the
+    * pointer — loud, never silent). Use 1 only when no reader or
+    * maintainer can be in flight.
     */
   def ivfIndexVacuum(indexDir: String, keepLast: Int = 2): Int = {
     require(keepLast >= 1, s"ivfIndexVacuum: keepLast must be >= 1, got $keepLast")
+    if (keepLast == 1)
+      org.apache.log4j.Logger.getLogger(getClass).warn(
+        s"ivfIndexVacuum($indexDir, keepLast=1): dropping the prior build " +
+          "immediately — readers that resolved the pointer before the last " +
+          "rebuild published will fail mid-scan; keepLast=2 is the safe default")
     val (fs, root) = indexFs(indexDir)
     val st = ivfIndexState(indexDir)
     if (st.buildVersion == 0) return 0 // pre-pointer layout: nothing versioned
@@ -621,6 +658,22 @@ object SimilarityOps {
   private[graft] var ivfBuildInjectMid: () => Unit = () => ()
   private[graft] var ivfBuildInjectPrePublish: () => Unit = () => ()
 
+  /** Builds the index. Returns true when this build PUBLISHED (became
+    * current); false when a concurrent rebuild published a higher build
+    * first and this one was abandoned unpublished (see the guard below).
+    *
+    * IVF-FLAT layout (`storeVectors = true`, the default): the assign
+    * table carries the vector alongside the cell id —
+    * `(cid, cluster, cvec)` — and is identity-partitioned on `cluster`
+    * unless the caller supplies `assignPartitionSpec`. Serving then reads
+    * ONLY the probed cells' partition directories ([[ivfTopKIndexed]],
+    * [[ivfTopKServe]]): per-query-batch I/O is proportional to
+    * nprobe/nlist of the corpus, not the corpus — the property that makes
+    * a persisted index cheaper than a per-call fit at 100 TB rather than
+    * merely amortized. `storeVectors = false` writes the legacy
+    * `(cid, cluster)` membership layout (half the index bytes; serving
+    * joins back to the corpus for vectors, an O(corpus) read per batch).
+    */
   def ivfIndexBuild(
       candidates: DataFrame, // (cid, cvec)
       indexDir: String,
@@ -630,12 +683,14 @@ object SimilarityOps {
       // corpus snapshot version the candidate set was read AS OF: recorded
       // in the pointer so a change-feed refresh can drop events the build
       // already reflects (rebuild/replay overlap convergence)
-      corpusVersion: Option[Long] = None
-  ): Unit = {
+      corpusVersion: Option[Long] = None,
+      storeVectors: Boolean = true
+  ): Boolean = {
     val spark = candidates.sparkSession
     val centers = fitCoarseCenters(candidates, nlist, fitSampleRows)
-    // claim the next build slot FIRST: concurrent rebuilds serialize on
-    // the putIfAbsent claim marker, never overwrite each other's staging
+    // claim the next build slot FIRST: concurrent rebuilds serialize
+    // their STAGING on the putIfAbsent claim marker, never overwrite
+    // each other's files (publication order is guarded separately below)
     val (fs, root) = indexFs(indexDir)
     val prim = graft.format.BtrCommitProtocol.forFs(fs)
     var next = ivfIndexState(indexDir).buildVersion + 1
@@ -648,7 +703,7 @@ object SimilarityOps {
     // evaluations of the kernel
     val assigned = assignBatch(candidates, centers)
       .withColumn("cos_c", centroidCos(col("cvec"), col("cluster"), centers))
-      .select(col("cid"), col("cluster"), col("cos_c"))
+      .select(col("cid"), col("cluster"), col("cvec"), col("cos_c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // k×dim-bounded per-cluster quality aggregate (same shape as the
@@ -664,19 +719,46 @@ object SimilarityOps {
         .coalesce(1)
         .write.format("btr").mode("overwrite").save(s"$target/centroids")
       ivfBuildInjectMid()
-      val w = assigned.select(col("cid"), col("cluster"))
+      val cols = if (storeVectors) Seq("cid", "cluster", "cvec") else Seq("cid", "cluster")
+      val spec =
+        if (assignPartitionSpec.nonEmpty) assignPartitionSpec
+        else if (storeVectors) Seq("cluster") // IVF-flat: one dir per cell
+        else Nil
+      val w = assigned.select(cols.map(col): _*)
         .write.format("btr").mode("overwrite")
-      (if (assignPartitionSpec.nonEmpty)
-        w.option("btr.partitionSpec", assignPartitionSpec.mkString(","))
+      (if (spec.nonEmpty) w.option("btr.partitionSpec", spec.mkString(","))
       else w).save(s"$target/assign")
     } finally assigned.unpersist(blocking = false)
     ivfBuildInjectPrePublish()
     // publish: ONE atomically-visible pointer write — readers resolve the
-    // old build or the new one, never a centroids/assign mix
-    val ptr = "{\"v\":" + next +
-      corpusVersion.map(v => ",\"corpusVersion\":" + v).getOrElse("") + "}"
-    prim.put(fs, new org.apache.hadoop.fs.Path(root, "_current"),
-      ptr.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // old build or the new one, never a centroids/assign mix. Publication
+    // is MONOTONIC: with two concurrent rebuilds only staging serializes
+    // (the claim loop), so the build that claimed the LOWER slot can
+    // reach this point after the higher slot already published — blindly
+    // putting would move the pointer BACKWARDS onto a build a vacuum may
+    // then sweep. Re-read and skip instead (concurrent rebuilds remain
+    // outside the single-maintainer contract; the guard turns the lost
+    // race into an abandoned unpublished build, never a regression).
+    val cur = ivfIndexState(indexDir).buildVersion
+    if (cur >= next) {
+      org.apache.log4j.Logger.getLogger(getClass).warn(
+        s"ivfIndexBuild: staged build v$next at $indexDir is superseded by the " +
+          s"already-published v$cur (concurrent rebuild) — leaving the pointer " +
+          "alone. The staged build stays unpublished below the pointer; the " +
+          "next ivfIndexVacuum sweeps it as superseded")
+      false
+    } else {
+      val ptr = "{\"v\":" + next +
+        corpusVersion.map(v => ",\"corpusVersion\":" + v).getOrElse("") + "}"
+      prim.put(fs, new org.apache.hadoop.fs.Path(root, "_current"),
+        ptr.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // the published marker backs the pointer-absent fallback in
+      // ivfIndexState; written after the pointer, so a crash between the
+      // two costs only the fallback for THIS build (the pointer is live)
+      prim.put(fs, new org.apache.hadoop.fs.Path(root, s"v$next/$PublishedMarker"),
+        "published".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      true
+    }
   }
 
   /** Assign ONLY the increment against the persisted centroids and
@@ -724,10 +806,16 @@ object SimilarityOps {
     val centers = cents.map(_._2)
     val assigned = assignBatch(increment, centers)
       .withColumn("cos_c", centroidCos(col("cvec"), col("cluster"), centers))
-      .select(col("cid"), col("cluster"), col("cos_c"))
+      .select(col("cid"), col("cluster"), col("cvec"), col("cos_c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val w0 = assigned.select(col("cid"), col("cluster"))
+      // match the build's layout: an IVF-flat assign table (carries cvec)
+      // gets the vector; a legacy membership table stays two-column. The
+      // append itself follows the table's recorded partition spec.
+      val flat = spark.read.format("btr").load(s"${state.root}/assign")
+        .schema.fieldNames.contains("cvec")
+      val outCols = if (flat) Seq("cid", "cluster", "cvec") else Seq("cid", "cluster")
+      val w0 = assigned.select(outCols.map(col): _*)
         .write.format("btr").mode("append")
       val w = (txnAppId, txnVersion) match {
         case (Some(app), Some(ver)) =>
@@ -818,9 +906,15 @@ object SimilarityOps {
     // the corpus snapshot version it read, so a feed batch overlapping
     // the rebuild (stream lag, restarted consumer) converges instead of
     // appending duplicate assign rows for cids the build assigned
+    // Only a NON-NULL _commit_version can prove an event is already
+    // reflected in the build; a null-version event (a caller-assembled
+    // feed without version info — legal, ver falls back to 0 below) must
+    // still APPLY, not silently vanish behind the base filter. Such a
+    // feed cannot converge with a rebuild overlap (nothing to compare),
+    // which is an at-least-once degradation, never data loss.
     val fed = state.corpusVersion match {
       case Some(base) if feed.columns.contains("_commit_version") =>
-        feed.filter(coalesce(col("_commit_version"), lit(0L)) > base)
+        feed.filter(col("_commit_version").isNull || col("_commit_version") > base)
       case _ => feed
     }
     val ver =
@@ -1048,44 +1142,18 @@ object SimilarityOps {
     candidates.select(col("cid")).join(assign, Seq("cid"), "left_anti").count()
   }
 
-  /** IVF ANN through the PERSISTED index: identical semantics to
-    * [[ivfTopK]], but centroids come from the index's centroids table
-    * and cell membership from the assign table (equi-join on the id —
-    * no per-call fit, no per-call corpus assignment). With an index
-    * built (+ appended) from the same candidate set, the output is
-    * row-identical to assigning fresh against the same centers.
-    *
-    * An index LAGGING the corpus never narrows the search silently:
-    * candidates missing from the assign table (left join miss) assign on
-    * the fly against the persisted centroids — `coalesce` short-circuits,
-    * so the kernel runs only on the unassigned rows and an up-to-date
-    * index pays nothing. [[ivfIndexStaleness]] is the monitoring probe.
-    *
-    * The probe set broadcasts only while `queries ≤ maxBroadcastProbes /
-    * nprobe` (checked with an early-stopping limit+count, not a full
-    * count): past the guard the hint is dropped with a loud warning and
-    * AQE plans the join, degrading instead of OOMing the driver.
+  /** Stale rows at-or-below this count fetch their vectors through an
+    * id-IN pushdown on the corpus scan (bloom/min-max chunk skipping
+    * makes the read selective); above it the fetch degrades to a full
+    * anti-join pass with a loud warning — an index THIS stale has lost
+    * its purpose and needs a refresh.
     */
-  def ivfTopKIndexed(
-      queries: DataFrame, // (qid, qvec)
-      candidates: DataFrame, // (cid, cvec)
-      indexDir: String,
-      k: Int,
-      nprobe: Int = 4,
-      maxBroadcastProbes: Long = DefaultMaxBroadcastProbes
-  ): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val spark = candidates.sparkSession
-    // ONE state resolution for both index tables: a rebuild publishing
-    // mid-planning cannot hand this query new centroids with the old
-    // build's assign rows (cluster ids live in per-build id spaces)
-    val idxRoot = ivfIndexState(indexDir).root
-    val centers = centroidsAt(spark, idxRoot).map(_._2)
-    val assign = spark.read.format("btr").load(s"$idxRoot/assign")
-      .select(col("cid"), col("cluster"))
-    val cb = candidates.join(assign, Seq("cid"), "left")
-      .withColumn("cluster", coalesce(col("cluster"),
-        element_at(NearestCentersExpr.of(col("cvec"), centers, 1), 1)))
+  val DefaultMaxStalePushdownCids = 2048
+
+  /** Shared probe machinery: (probe rows, effective nprobe, overCap). */
+  private def probeRows(
+      queries: DataFrame, centers: Seq[Seq[Double]], nprobe: Int,
+      maxBroadcastProbes: Long, caller: String): (DataFrame, Int, Boolean) = {
     val nEff = math.min(nprobe, centers.length)
     val probes = queries.select(col("qid"), col("qvec"),
       explode(NearestCentersExpr.of(col("qvec"), centers, nEff)).as("cluster"))
@@ -1100,17 +1168,157 @@ object SimilarityOps {
       math.min(maxQ + 1, Int.MaxValue.toLong).toInt).count() > maxQ
     if (overCap)
       org.apache.log4j.Logger.getLogger(getClass).warn(
-        s"ivfTopKIndexed: query batch exceeds $maxQ rows (maxBroadcastProbes=" +
+        s"$caller: query batch exceeds $maxQ rows (maxBroadcastProbes=" +
           s"$maxBroadcastProbes / nprobe=$nEff) — dropping the probe broadcast " +
           "hint; AQE plans the membership join. ANN batches this large are " +
           "usually a pipeline bug; split the query set or raise the cap " +
           "deliberately.")
-    val probeSide = if (overCap) probes else broadcast(probes)
-    val joined = cb.join(probeSide, Seq("cluster"))
+    (probes, nEff, overCap)
+  }
+
+  /** Rank the (cluster-matched) candidate rows per query. */
+  private def rankTopK(cells: DataFrame, probeSide: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val joined = cells.join(probeSide, Seq("cluster"))
       .filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"), round(cosine(col("qvec"), col("cvec")), 4).as("cos"))
     val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("cid"))
     joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** IVF ANN through the PERSISTED index: identical semantics to
+    * [[ivfTopK]] — `candidates` remains the membership truth — but with
+    * an IVF-flat index (assign carries `cvec`, partitioned on `cluster`)
+    * the VECTOR I/O is partition-pruned to the probed cells:
+    *
+    *  1. the distinct probed cluster ids (≤ nlist, driver-collected)
+    *     push into the assign scan as an IN filter → only nprobe-ish
+    *     partition directories are read;
+    *  2. ghost rows (index entries whose cid left the candidate set —
+    *     e.g. corpus deletes the index has not refreshed over) drop via
+    *     a LEFT SEMI join against the candidates' id column — a NARROW
+    *     one-column corpus pass, not a vector read;
+    *  3. stale rows (candidates the index has not assigned) surface via
+    *     a LEFT ANTI count on the same narrow column; when none (the
+    *     maintained-index fast path) the corpus vectors are never
+    *     touched, else the stale few fetch by id-IN pushdown and assign
+    *     on the fly against the persisted centroids
+    *     ([[ivfIndexStaleness]] is the monitoring probe for this debt).
+    *
+    * A legacy membership-layout index (no stored vectors) falls back to
+    * the corpus-join path: `candidates ⋈ assign` with a per-row coalesce
+    * — correct, but O(corpus) vector I/O per batch.
+    *
+    * Indexed rows rank by the INDEX's vector copy (bit-exact round-trip
+    * of what build/refresh assigned); a corpus that mutates vectors
+    * outside the change feed must refresh before the copy re-converges.
+    *
+    * The probe set broadcasts only while `queries ≤ maxBroadcastProbes /
+    * nprobe` (checked with an early-stopping limit+count, not a full
+    * count): past the guard the hint is dropped with a loud warning and
+    * AQE plans the join, degrading instead of OOMing the driver.
+    */
+  def ivfTopKIndexed(
+      queries: DataFrame, // (qid, qvec)
+      candidates: DataFrame, // (cid, cvec)
+      indexDir: String,
+      k: Int,
+      nprobe: Int = 4,
+      maxBroadcastProbes: Long = DefaultMaxBroadcastProbes,
+      maxStalePushdownCids: Int = DefaultMaxStalePushdownCids
+  ): DataFrame = {
+    val spark = candidates.sparkSession
+    // ONE state resolution for both index tables: a rebuild publishing
+    // mid-planning cannot hand this query new centroids with the old
+    // build's assign rows (cluster ids live in per-build id spaces)
+    val idxRoot = ivfIndexState(indexDir).root
+    val centers = centroidsAt(spark, idxRoot).map(_._2)
+    val assign = spark.read.format("btr").load(s"$idxRoot/assign")
+    val (probes, nEff, overCap) = probeRows(
+      queries, centers, nprobe, maxBroadcastProbes, "ivfTopKIndexed")
+    val probeSide = if (overCap) probes else broadcast(probes)
+    val cb: DataFrame =
+      if (!assign.columns.contains("cvec")) {
+        // legacy membership layout: vectors live only in the corpus
+        candidates.join(assign.select(col("cid"), col("cluster")), Seq("cid"), "left")
+          .withColumn("cluster", coalesce(col("cluster"),
+            element_at(NearestCentersExpr.of(col("cvec"), centers, 1), 1)))
+      } else {
+        // IVF-flat: probed cells only, bounded driver collect (≤ nlist)
+        val probed: Seq[Int] =
+          probes.select(col("cluster")).distinct().collect().map(_.getInt(0)).toSeq
+        val cells =
+          if (probed.isEmpty) assign.filter(lit(false))
+          else assign.filter(col("cluster").isin(probed.map(Int.box): _*))
+        val candIds = candidates.select(col("cid"))
+        val live = cells.join(candIds, Seq("cid"), "left_semi")
+          .select(col("cid"), col("cluster"), col("cvec"))
+        val staleIds = candIds.join(assign.select(col("cid")), Seq("cid"), "left_anti")
+        val nStale = staleIds.count() // narrow: one id column on each side
+        if (nStale == 0L) live
+        else {
+          val staleRows =
+            if (nStale <= maxStalePushdownCids) {
+              val ids = staleIds.limit(maxStalePushdownCids).collect().map(_.get(0))
+              candidates.filter(col("cid").isin(ids: _*))
+            } else {
+              org.apache.log4j.Logger.getLogger(getClass).warn(
+                s"ivfTopKIndexed: $nStale candidates are missing from the index at " +
+                  s"$indexDir (> $maxStalePushdownCids) — falling back to a full " +
+                  "anti-join vector pass for them; refresh the index " +
+                  "(ivfIndexRefresh / ivfIndexMaintainStream)")
+              candidates.join(assign.select(col("cid")), Seq("cid"), "left_anti")
+            }
+          val staleAssigned = staleRows
+            .withColumn("cluster",
+              element_at(NearestCentersExpr.of(col("cvec"), centers, 1), 1))
+            .filter(if (probed.isEmpty) lit(false)
+            else col("cluster").isin(probed.map(Int.box): _*))
+            // align the element type with the index's stored vectors so
+            // the union stays well-typed (build-from-same-corpus keeps
+            // them identical; a widened corpus narrows here, documented)
+            .select(col("cid"), col("cluster"),
+              col("cvec").cast(live.schema("cvec").dataType).as("cvec"))
+          live.unionByName(staleAssigned)
+        }
+      }
+    rankTopK(cb, probeSide, k)
+  }
+
+  /** PURE-INDEX IVF serving — the flat-cost ANN path at 100 TB: the
+    * IVF-flat index IS the corpus (no candidates argument), so one query
+    * batch reads the centroids table plus ONLY the probed cells'
+    * partition directories — per-batch I/O ∝ (nprobe / nlist) × corpus,
+    * with zero corpus-table access. Freshness is the maintainer's
+    * contract: run [[ivfIndexMaintainStream]] (or explicit refreshes) so
+    * inserts/deletes/updates land in the index; [[ivfIndexStaleness]]
+    * monitors the debt. Requires an index built with vectors
+    * (`storeVectors = true`); refuses a legacy membership layout loudly.
+    */
+  def ivfTopKServe(
+      queries: DataFrame, // (qid, qvec)
+      indexDir: String,
+      k: Int,
+      nprobe: Int = 4,
+      maxBroadcastProbes: Long = DefaultMaxBroadcastProbes
+  ): DataFrame = {
+    val spark = queries.sparkSession
+    val idxRoot = ivfIndexState(indexDir).root
+    val centers = centroidsAt(spark, idxRoot).map(_._2)
+    val assign = spark.read.format("btr").load(s"$idxRoot/assign")
+    require(assign.columns.contains("cvec"),
+      s"ivfTopKServe: the index at $indexDir uses the legacy membership " +
+        "layout (no stored vectors) — rebuild with storeVectors=true, or " +
+        "query through ivfTopKIndexed with the corpus as candidates")
+    val (probes, _, overCap) = probeRows(
+      queries, centers, nprobe, maxBroadcastProbes, "ivfTopKServe")
+    val probeSide = if (overCap) probes else broadcast(probes)
+    val probed: Seq[Int] =
+      probes.select(col("cluster")).distinct().collect().map(_.getInt(0)).toSeq
+    val cells =
+      if (probed.isEmpty) assign.filter(lit(false))
+      else assign.filter(col("cluster").isin(probed.map(Int.box): _*))
+    rankTopK(cells.select(col("cid"), col("cluster"), col("cvec")), probeSide, k)
   }
 
   /** Embedding near-duplicate pairs: all (a,b) with cosine ≥ threshold.

@@ -37,6 +37,7 @@ class IvfIndexMaintenanceSpec extends AnyFunSuite {
 
   private def assignRows(dir: String): Seq[(Long, Int)] =
     spark.read.format("btr").load(SimilarityOps.ivfIndexAssignPath(dir))
+      .select(col("cid"), col("cluster"))
       .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
 
   test("txn-identified append: replayed batch is a no-op; duplicate rows WOULD corrupt top-k") {
@@ -655,5 +656,124 @@ class IvfIndexMaintenanceSpec extends AnyFunSuite {
     assert(replays >= 1 && compacts >= 1 && inWindow >= 1 && refreshes >= 1,
       s"run-wide schedule too tame: replays=$replays compacts=$compacts " +
         s"inWindow=$inWindow refreshes=$refreshes")
+  }
+
+  test("concurrent rebuild: the lost race never moves the pointer backwards") {
+    // Staging serializes on the v{N}/_claim putIfAbsent, but PUBLICATION
+    // order is a separate hazard: build A claims v2, then a faster build
+    // B claims v3 and publishes FIRST. A's blind pointer put would move
+    // _current BACKWARDS onto v2 — and a vacuum(keepLast=1) after B's
+    // publish deletes v2 (below the pointer), so A would then publish a
+    // pointer to a deleted build. The monotonic guard re-reads the
+    // pointer pre-publish and abandons the superseded build instead.
+    val dir = tmp("concurrent-rebuild")
+    val corpus = randVecs(0L until 150L, seed = 101)
+    SimilarityOps.ivfIndexBuild(df(corpus), dir, nlist = 4, fitSampleRows = 100) // v1
+    // A's quantizer input DIFFERS (scaled): if A's build ever became
+    // current, serving would rank against the wrong vector copies
+    val scaled = corpus.map { case (i, v) => (i, v.map(_ * 3f)) }
+    var innerPublished = false
+    SimilarityOps.ivfBuildInjectPrePublish = () => {
+      // reset FIRST: the nested build fires the same hook
+      SimilarityOps.ivfBuildInjectPrePublish = () => ()
+      // B: claims the next free slot (v3; v2 is A's), publishes v3
+      innerPublished = SimilarityOps.ivfIndexBuild(
+        df(corpus), dir, nlist = 4, fitSampleRows = 100)
+      // vacuum racing A's unpublished staging: v2 is below the pointer —
+      // keepLast=1 sweeps it, the exact ADVICE hazard; A must still not
+      // publish a pointer onto the deleted v2
+      SimilarityOps.ivfIndexVacuum(dir, keepLast = 1)
+    }
+    val outerPublished =
+      try SimilarityOps.ivfIndexBuild(df(scaled), dir, nlist = 4, fitSampleRows = 100)
+      finally SimilarityOps.ivfBuildInjectPrePublish = () => ()
+    assert(innerPublished, "the faster rebuild publishes normally")
+    assert(!outerPublished, "the lost race must report it did NOT publish")
+    val st = SimilarityOps.ivfIndexState(dir)
+    assert(st.buildVersion == 3L,
+      s"pointer must stay on the newest published build, got v${st.buildVersion}")
+    // serving resolves B's build end-to-end (A's scaled vectors nowhere)
+    val qs = df(corpus.take(2)).select(col("cid").as("qid"), col("cvec").as("qvec"))
+    val viaIdx = SimilarityOps.ivfTopKIndexed(qs, df(corpus), dir, k = 3, nprobe = 4)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"))).toSet
+    val exact = SimilarityOps.bruteForceTopK(qs, df(corpus), 3)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"))).toSet
+    assert(viaIdx == exact)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  test("absent _current resolves the highest PUBLISHED build, never the swept root") {
+    // On stores whose rename refuses to clobber, the pointer republish is
+    // delete-then-rename: a reader racing the gap sees NO _current. The
+    // legacy-layout fallback would resolve root-level tables — swept by
+    // any vacuum — so state resolution must fall back to the highest
+    // once-published v-dir instead.
+    val dir = tmp("absent-pointer")
+    val corpus = randVecs(0L until 150L, seed = 111)
+    SimilarityOps.ivfIndexBuild(df(corpus), dir, nlist = 4, fitSampleRows = 100) // v1
+    SimilarityOps.ivfIndexBuild(df(corpus), dir, nlist = 4, fitSampleRows = 100) // v2
+    // a staged-but-unpublished v3 (crashed rebuild) must NOT be resolved
+    val staged = new java.io.File(dir, "v3/_claim")
+    staged.getParentFile.mkdirs()
+    new java.io.FileOutputStream(staged).close()
+    assert(new java.io.File(dir, "_current").delete(), "simulate the republish gap")
+    val st = SimilarityOps.ivfIndexState(dir)
+    assert(st.buildVersion == 2L && st.root.endsWith("/v2"),
+      s"expected the highest published build v2, got $st")
+    // the full read path serves through the fallback
+    val qs = df(corpus.take(2)).select(col("cid").as("qid"), col("cvec").as("qvec"))
+    val viaIdx = SimilarityOps.ivfTopKIndexed(qs, df(corpus), dir, k = 3, nprobe = 4)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"))).toSet
+    val exact = SimilarityOps.bruteForceTopK(qs, df(corpus), 3)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"))).toSet
+    assert(viaIdx == exact)
+    // a true pre-pointer table (no v-dirs at all) still resolves the root
+    val legacy = tmp("absent-pointer-legacy")
+    SimilarityOps.ivfIndexBuild(df(corpus), legacy, nlist = 4, fitSampleRows = 100)
+    val lf = new java.io.File(legacy)
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(lf, "v1/centroids"), new java.io.File(lf, "centroids"))
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(lf, "v1/assign"), new java.io.File(lf, "assign"))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(lf, "v1"))
+    assert(new java.io.File(lf, "_current").delete())
+    val lst = SimilarityOps.ivfIndexState(legacy)
+    assert(lst.buildVersion == 0L && !lst.root.matches(".*/v\\d+$"),
+      s"no published v-dirs: the pre-pointer root layout is the truth, got $lst")
+    assert(SimilarityOps.centroidsOf(spark, legacy).nonEmpty)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(legacy))
+  }
+
+  test("null _commit_version events still APPLY after a rebuild records corpusVersion") {
+    // A caller-assembled feed without version info is legal (ver falls
+    // back to 0). The rebuild-overlap filter must not coalesce null to 0
+    // and drop such events behind the recorded base — that silently
+    // no-ops the whole feed; only a NON-NULL version proves an event is
+    // already reflected in the build.
+    val dir = tmp("null-ver-feed")
+    val corpus = randVecs(0L until 100L, seed = 121)
+    SimilarityOps.ivfIndexBuild(df(corpus), dir, nlist = 4, fitSampleRows = 100,
+      corpusVersion = Some(7L))
+    assert(SimilarityOps.ivfIndexState(dir).corpusVersion.contains(7L))
+    val newRows = randVecs(500L until 510L, seed = 122)
+    val feed = newRows.map { case (id, v) => (id, v, "insert", null.asInstanceOf[java.lang.Long]) }
+      .toDF("cid", "cvec", "_change_type", "_commit_version")
+    val st = SimilarityOps.ivfIndexRefresh(feed, dir,
+      txnAppId = Some("nullver"), txnVersion = Some(1L))
+    assert(st.rowsAssigned == newRows.length.toLong,
+      s"null-version events must apply (at-least-once), got $st")
+    assert(assignRows(dir).map(_._1).toSet ==
+      (corpus.map(_._1) ++ newRows.map(_._1)).toSet)
+    // versioned events at-or-below the base still drop (the filter's
+    // other half is not weakened by the null fix)
+    val stale = randVecs(600L until 605L, seed = 123)
+      .map { case (id, v) => (id, v, "insert", java.lang.Long.valueOf(7L)) }
+      .toDF("cid", "cvec", "_change_type", "_commit_version")
+    val st2 = SimilarityOps.ivfIndexRefresh(stale, dir,
+      txnAppId = Some("nullver"), txnVersion = Some(2L))
+    assert(st2.rowsAssigned == 0L,
+      s"events at-or-below the recorded base must still drop, got $st2")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 }

@@ -1,0 +1,184 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** IVF-flat serving: the persisted assign table carries the vectors and
+  * is identity-partitioned on `cluster`, so a query batch reads ONLY the
+  * probed cells' directories — per-batch I/O ∝ nprobe/nlist of the
+  * corpus. Pins exactness (serve ≡ indexed ≡ brute force at full probe),
+  * the partition-pruning plan shape (scanned files ∝ nprobe), the stale
+  * id-IN pushdown and its over-cap degrade, ghost-row drops, and the
+  * legacy membership-layout fallbacks.
+  */
+class IvfServeSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("ivf-serve-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def tmp(name: String): String = {
+    val d = s"/tmp/btr-ivf-serve-spec/$name"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d))
+    d
+  }
+
+  private val Dim = 8
+
+  private def randVecs(ids: Seq[Long], seed: Long): Seq[(Long, Seq[Float])] = {
+    val rnd = new scala.util.Random(seed)
+    ids.map(i => i -> Seq.fill(Dim)(rnd.nextGaussian().toFloat))
+  }
+
+  private def df(rows: Seq[(Long, Seq[Float])]): DataFrame = rows.toDF("cid", "cvec")
+
+  private def pairs(r: DataFrame): Set[(Long, Long, Int)] =
+    r.collect().map(x => (x.getAs[Long]("qid"), x.getAs[Long]("cid"),
+      x.getAs[Int]("rank"))).toSet
+
+  /** Files the plan's btr assign scan would actually read (descends
+    * through the AQE wrapper — join plans re-optimize adaptively).
+    */
+  private def scannedAssignFiles(r: DataFrame): Seq[String] = {
+    def leaves(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p.collectLeaves().flatMap {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          leaves(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          leaves(q.plan)
+        case x => Seq(x)
+      }
+    leaves(r.queryExecution.executedPlan).collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.flatMap(_.inputPartitions).flatMap {
+      case p: graft.sources.BtrPackedInputPartition => p.slices.map(_.file).toSeq
+      case s: graft.sources.BtrInputPartition => Seq(s.file)
+      case _ => Nil
+    }.filter(_.contains("/assign/"))
+  }
+
+  test("IVF-flat build lays assign out one directory per cell, vectors inside") {
+    val dir = tmp("flat-layout")
+    val corpus = randVecs(0L until 300L, seed = 7)
+    SimilarityOps.ivfIndexBuild(df(corpus), dir, nlist = 8, fitSampleRows = 200)
+    val assign = spark.read.format("btr").load(SimilarityOps.ivfIndexAssignPath(dir))
+    assert(assign.columns.toSet == Set("cid", "cluster", "cvec"))
+    assert(assign.count() == corpus.length.toLong)
+    // identity partition dirs: cluster=N under the assign table
+    val dirs = new java.io.File(s"$dir/v1/assign").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cluster=")).map(_.getName)
+    assert(dirs.length >= 2, s"expected per-cell directories, got ${dirs.toSeq}")
+    // the stored vector copy is a bit-exact round-trip of the corpus
+    val back = assign.select(col("cid"), col("cvec"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    corpus.foreach { case (id, v) => assert(back(id) == v, s"cid=$id vector drifted") }
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  test("ivfTopKServe ≡ ivfTopKIndexed ≡ brute force; scanned files ∝ nprobe") {
+    val dir = tmp("serve-exact")
+    val corpus = randVecs(0L until 400L, seed = 17)
+    SimilarityOps.ivfIndexBuild(df(corpus), dir, nlist = 8, fitSampleRows = 300)
+    val qs = df(corpus.take(3)).select(col("cid").as("qid"), col("cvec").as("qvec"))
+    // full probe: every cell is read → exactly brute force
+    val exact = pairs(SimilarityOps.bruteForceTopK(qs, df(corpus), 5))
+    assert(pairs(SimilarityOps.ivfTopKServe(qs, dir, k = 5, nprobe = 8)) == exact)
+    assert(pairs(SimilarityOps.ivfTopKIndexed(qs, df(corpus), dir, k = 5, nprobe = 8)) == exact)
+    // partial probe: serve and indexed agree row-for-row (same persisted
+    // centers, same membership) — the approximate answers are identical
+    val servedPartial = SimilarityOps.ivfTopKServe(qs, dir, k = 5, nprobe = 2)
+    assert(pairs(servedPartial) ==
+      pairs(SimilarityOps.ivfTopKIndexed(qs, df(corpus), dir, k = 5, nprobe = 2)))
+    // THE scale property: the nprobe=2 plan reads only the probed cells'
+    // directories; the full-probe plan reads them all. With 3 queries × 2
+    // probes the probed set is ≤ 6 of 8 cells — strictly fewer files.
+    val allFiles = scannedAssignFiles(
+      SimilarityOps.ivfTopKServe(qs, dir, k = 5, nprobe = 8))
+    val prunedFiles = scannedAssignFiles(servedPartial)
+    assert(allFiles.nonEmpty && prunedFiles.nonEmpty)
+    def cells(fs: Seq[String]): Set[String] =
+      fs.flatMap(_.split('/').find(_.startsWith("cluster="))).toSet
+    assert(cells(allFiles).size >= 4, s"precondition: multiple cells, got ${cells(allFiles)}")
+    assert(cells(prunedFiles).size < cells(allFiles).size,
+      s"nprobe=2 must read fewer cells: ${cells(prunedFiles)} vs ${cells(allFiles)}")
+    // single query, nprobe=1 → exactly one cell directory scanned
+    val one = df(corpus.take(1)).select(col("cid").as("qid"), col("cvec").as("qvec"))
+    assert(cells(scannedAssignFiles(
+      SimilarityOps.ivfTopKServe(one, dir, k = 5, nprobe = 1))).size == 1)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  test("stale candidates: id-IN pushdown below the cap, loud full pass above, both exact") {
+    val dir = tmp("serve-stale")
+    val indexed = randVecs(0L until 300L, seed = 27)
+    val late = randVecs(300L until 350L, seed = 28) // never refreshed in
+    val all = indexed ++ late
+    SimilarityOps.ivfIndexBuild(df(indexed), dir, nlist = 8, fitSampleRows = 200)
+    val qs = df(all.take(3)).select(col("cid").as("qid"), col("cvec").as("qvec"))
+    val exact = pairs(SimilarityOps.bruteForceTopK(qs, df(all), 5))
+    // 50 stale ≤ default cap → pushdown path
+    assert(pairs(SimilarityOps.ivfTopKIndexed(qs, df(all), dir, k = 5, nprobe = 8)) == exact)
+    // force the over-cap degrade: same rows, full anti-join vector pass
+    assert(pairs(SimilarityOps.ivfTopKIndexed(qs, df(all), dir, k = 5, nprobe = 8,
+      maxStalePushdownCids = 10)) == exact)
+    // ghost rows: candidates SHRANK below the index (deletes not yet
+    // refreshed) — the semi-join drops them, no phantom neighbors
+    val shrunk = indexed.take(200)
+    val qs2 = df(shrunk.take(3)).select(col("cid").as("qid"), col("cvec").as("qvec"))
+    val got = SimilarityOps.ivfTopKIndexed(qs2, df(shrunk), dir, k = 5, nprobe = 8)
+    assert(pairs(got) == pairs(SimilarityOps.bruteForceTopK(qs2, df(shrunk), 5)))
+    val liveIds = shrunk.map(_._1).toSet
+    got.collect().foreach(r => assert(liveIds.contains(r.getAs[Long]("cid")),
+      s"ghost cid ${r.getAs[Long]("cid")} served from the index"))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  test("legacy membership layout: serve refuses loudly, indexed falls back exactly") {
+    val dir = tmp("serve-legacy")
+    val corpus = randVecs(0L until 250L, seed = 37)
+    SimilarityOps.ivfIndexBuild(df(corpus), dir, nlist = 8, fitSampleRows = 200,
+      storeVectors = false)
+    val assign = spark.read.format("btr").load(SimilarityOps.ivfIndexAssignPath(dir))
+    assert(assign.columns.toSet == Set("cid", "cluster"), "legacy layout stores no vectors")
+    val qs = df(corpus.take(3)).select(col("cid").as("qid"), col("cvec").as("qvec"))
+    val e = intercept[IllegalArgumentException] {
+      SimilarityOps.ivfTopKServe(qs, dir, k = 5, nprobe = 8)
+    }
+    assert(e.getMessage.contains("legacy membership"))
+    assert(pairs(SimilarityOps.ivfTopKIndexed(qs, df(corpus), dir, k = 5, nprobe = 8)) ==
+      pairs(SimilarityOps.bruteForceTopK(qs, df(corpus), 5)))
+    // a refresh against the legacy layout keeps the two-column shape
+    val inc = randVecs(500L until 520L, seed = 38)
+    val (n, _) = SimilarityOps.ivfIndexAppend(df(inc), dir)
+    assert(n == inc.length.toLong)
+    val after = spark.read.format("btr").load(SimilarityOps.ivfIndexAssignPath(dir))
+    assert(after.columns.toSet == Set("cid", "cluster"))
+    assert(after.count() == (corpus.length + inc.length).toLong)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  test("refresh keeps the IVF-flat layout: appended rows carry their vectors") {
+    val dir = tmp("serve-refresh")
+    val corpus = randVecs(0L until 250L, seed = 47)
+    SimilarityOps.ivfIndexBuild(df(corpus), dir, nlist = 8, fitSampleRows = 200)
+    val inc = randVecs(500L until 530L, seed = 48)
+    val feed = inc.map { case (id, v) => (id, v, "insert", 1L) }
+      .toDF("cid", "cvec", "_change_type", "_commit_version")
+    val st = SimilarityOps.ivfIndexRefresh(feed, dir,
+      txnAppId = Some("flat"), txnVersion = Some(1L))
+    assert(st.rowsAssigned == inc.length.toLong)
+    // the appended rows are servable PURELY from the index
+    val all = corpus ++ inc
+    val qs = df(inc.take(3)).select(col("cid").as("qid"), col("cvec").as("qvec"))
+    assert(pairs(SimilarityOps.ivfTopKServe(qs, dir, k = 5, nprobe = 8)) ==
+      pairs(SimilarityOps.bruteForceTopK(qs, df(all), 5)))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+}

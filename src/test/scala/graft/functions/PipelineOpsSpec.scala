@@ -473,13 +473,13 @@ class PipelineOpsSpec extends AnyFunSuite {
     SimilarityOps.ivfIndexBuild(corpus, dir, nlist = 8, fitSampleRows = 100)
     val assignPath = SimilarityOps.ivfIndexAssignPath(dir)
     val afterBuild = spark.read.format("btr").load(assignPath)
-      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      .select("cid", "cluster").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(afterBuild.size == corpus.count().toInt, "build assigns the whole corpus")
     // APPEND: only the increment's rows are assigned and written
     val (n, drift) = SimilarityOps.ivfIndexAppend(increment, dir)
     assert(n == increment.count(), s"append assigned $n rows, not just the increment")
     val afterAppend = spark.read.format("btr").load(assignPath)
-      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      .select("cid", "cluster").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(afterAppend.size == afterBuild.size + n)
     assert(afterBuild.forall { case (id, c) => afterAppend(id) == c },
       "append must not touch existing assignments")
