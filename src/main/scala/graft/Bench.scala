@@ -89,45 +89,15 @@ object Bench {
       } / 3
 
       // ---- per-column decompression bandwidth --------------------------
-      // The reference's primary read-path metric (its decompression-speed
-      // tool emits per-column compressed/decompressed bytes, time, MB/s):
-      // the column whose decode is the bottleneck must be NAMEABLE from
-      // the artifact. Compressed bytes come from the footers
-      // (metadata-only); decompressed bytes are the dense decoded size
-      // (fixed width × rows; strings = payload + 4-byte offset slot);
-      // time is a min-of-2 single-column hash scan — it includes scan
-      // orchestration on top of raw decode (page-cache I/O, hashing), so
-      // it reads as end-to-end per-column bandwidth, a lower bound on the
-      // kernel's own rate.
+      // The reference's primary read-path metric (per-column compressed /
+      // decompressed bytes, time, MB/s): the column whose decode is the
+      // bottleneck must be NAMEABLE from the artifact. One shared
+      // implementation with the ScanProbe CLI (graft.tools.ColumnBandwidth)
+      // so the two surfaces can never drift on a metric meant to be
+      // comparable across both.
       if (sys.env.getOrElse("SPARK_GRAFT_COL_BW", "1") != "0") try {
-        val back = spark.read.format("btr").load(liBtr)
-        val compBytes: Map[String, Long] =
-          graft.functions.BtrInspect.describe(spark, liBtr)
-            .groupBy("column")
-            .agg(org.apache.spark.sql.functions.sum("compressed_bytes").as("b"))
-            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-        val nRows = back.count() // metadata-only
-        import org.apache.spark.sql.types._
-        val entries = back.schema.fields.map { f =>
-          def scanOnce(): Unit =
-            back.selectExpr(s"sum(hash(`${f.name}`))").collect()
-          scanOnce() // warm
-          val sec = (1 to 2).map(_ => secs(scanOnce())).min
-          val decomp: Long = f.dataType match {
-            case IntegerType | FloatType | DateType => nRows * 4
-            case LongType | DoubleType | TimestampType | TimestampNTZType => nRows * 8
-            case BooleanType | ByteType => nRows
-            case ShortType => nRows * 2
-            case d: DecimalType if d.precision <= 18 => nRows * 8
-            case StringType | BinaryType =>
-              val r0 = back.selectExpr(s"sum(octet_length(`${f.name}`))").collect()(0)
-              (if (r0.isNullAt(0)) 0L else r0.getLong(0)) + nRows * 4
-            case _ => -1L
-          }
-          val mbps = if (sec > 0 && decomp > 0) decomp / 1e6 / sec else 0.0
-          f""""${f.name}":{"comp_bytes":${compBytes.getOrElse(f.name, -1L)},"decomp_bytes":$decomp,"sec":$sec%.4f,"mbps":$mbps%.1f}"""
-        }
-        colBw = entries.mkString("{", ",", "}")
+        colBw = graft.tools.ColumnBandwidth.toJson(
+          graft.tools.ColumnBandwidth.measure(spark, liBtr))
       } catch {
         case e: Throwable => System.err.println(s"[bench] col bandwidth failed: ${e.getMessage}")
       }

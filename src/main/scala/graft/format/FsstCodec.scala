@@ -32,7 +32,17 @@ object FsstCodec {
     while (i < count) { out.putBytes(encoded(i)); i += 1 }
   }
 
-  /** Decode a string column → (lengths, concatenated bytes). */
+  /** Decode a string column → (lengths, concatenated bytes).
+    *
+    * Two passes, like the reference's unconditional-store decoder
+    * (fsst paper §4; the vendored C decoder stores a full machine word
+    * per code): pass 1 sizes the exact output from the per-code symbol
+    * lengths, pass 2 writes each symbol as ONE little-endian 8-byte
+    * store (symbols are ≤8 bytes, zero-padded at pack time) and advances
+    * by its true length — no per-symbol arraycopy, no growth checks in
+    * the hot loop. The tail guard falls back to byte stores only within
+    * 8 bytes of the buffer end.
+    */
   def decodeStrings(in: BufReader, count: Int): (Array[Int], Array[Byte]) = {
     val table = SymbolTable.read(in)
     val lensL = IntCodec.decode(in, count)
@@ -41,30 +51,51 @@ object FsstCodec {
     var i = 0
     while (i < count) { lens(i) = lensL(i).toInt; total += lens(i); i += 1 }
     val comp = in.getBytes(total)
-    // decompress
-    val outLens = new Array[Int](count)
-    val outBuf = new BufWriter(math.max(total * 3, 64))
+    val symLen = table.symLen
+    val symWord = table.symWord
+    // pass 1: exact decompressed size (escape = 2 in / 1 out) — cheaper
+    // than the alloc+zero+trim of a worst-case 8× buffer (measured)
+    var exact = 0L
     var p = 0
+    while (p < total) {
+      val code = comp(p) & 0xff
+      if (code == Escape) { exact += 1; p += 2 }
+      else { exact += symLen(code); p += 1 }
+    }
+    require(exact <= Int.MaxValue - 16, s"fsst: decoded block exceeds 2 GiB ($exact bytes)")
+    val outLen = exact.toInt
+    val out = new Array[Byte](outLen)
+    val bb = java.nio.ByteBuffer.wrap(out).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val wordSafe = outLen - 8 // last offset where an 8-byte store fits
+    val outLens = new Array[Int](count)
+    var q = 0
+    p = 0
     i = 0
     while (i < count) {
-      val start = outBuf.pos
+      val start = q
       val end = p + lens(i)
       while (p < end) {
         val code = comp(p) & 0xff
         if (code == Escape) {
           p += 1
-          outBuf.putByte(comp(p) & 0xff)
+          out(q) = comp(p)
+          q += 1
           p += 1
         } else {
-          val sym = table.symbols(code)
-          outBuf.putBytes(sym)
+          if (q <= wordSafe) bb.putLong(q, symWord(code))
+          else {
+            val sym = table.symbols(code)
+            var j = 0
+            while (j < sym.length) { out(q + j) = sym(j); j += 1 }
+          }
+          q += symLen(code)
           p += 1
         }
       }
-      outLens(i) = outBuf.pos - start
+      outLens(i) = q - start
       i += 1
     }
-    (outLens, outBuf.result())
+    (outLens, out)
   }
 }
 
@@ -72,6 +103,29 @@ object FsstCodec {
   * escape marker followed by one raw byte.
   */
 final class SymbolTable(val symbols: Array[Array[Byte]]) {
+  // decode tables: per-code true length and the symbol packed into one
+  // little-endian word (zero-padded) — the decoder stores 8 bytes
+  // unconditionally and advances by symLen
+  val symLen: Array[Int] = {
+    val a = new Array[Int](256)
+    var c = 0
+    while (c < symbols.length) { a(c) = symbols(c).length; c += 1 }
+    a
+  }
+  val symWord: Array[Long] = {
+    val a = new Array[Long](256)
+    var c = 0
+    while (c < symbols.length) {
+      val s = symbols(c)
+      var w = 0L
+      var j = s.length - 1
+      while (j >= 0) { w = (w << 8) | (s(j) & 0xffL); j -= 1 }
+      a(c) = w
+      c += 1
+    }
+    a
+  }
+
   // longest-match index: first byte → symbol codes sorted by length desc
   private val byFirst: Array[Array[Int]] = {
     val tmp = Array.fill(256)(List.empty[Int])

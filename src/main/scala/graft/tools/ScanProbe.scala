@@ -29,33 +29,12 @@ object ScanProbe {
     val parts = df.rdd.getNumPartitions
     println(s"[probe] partitions=$parts rows=${df.count()}")
     // per-column decode bandwidth, mirroring the reference's
-    // decompression-speed tool (compressed/decompressed bytes, s, MB/s) —
-    // names the bottleneck column instead of one whole-table number
-    import org.apache.spark.sql.types._
-    val comp = graft.functions.BtrInspect.describe(spark, dst)
-      .groupBy("column")
-      .agg(org.apache.spark.sql.functions.sum("compressed_bytes").as("b"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val nRows = df.count()
-    df.schema.fields.foreach { f =>
-      def once(): Unit = df.selectExpr(s"sum(hash(`${f.name}`))").collect()
-      once()
-      val t0 = System.nanoTime(); once(); once()
-      val sec = (System.nanoTime() - t0) / 2e9
-      val decomp: Long = f.dataType match {
-        case IntegerType | FloatType | DateType => nRows * 4
-        case LongType | DoubleType | TimestampType | TimestampNTZType => nRows * 8
-        case BooleanType | ByteType => nRows
-        case ShortType => nRows * 2
-        case d: DecimalType if d.precision <= 18 => nRows * 8
-        case StringType | BinaryType =>
-          val r0 = df.selectExpr(s"sum(octet_length(`${f.name}`))").collect()(0)
-          (if (r0.isNullAt(0)) 0L else r0.getLong(0)) + nRows * 4
-        case _ => -1L
-      }
-      val mbps = if (sec > 0 && decomp > 0) decomp / 1e6 / sec else 0.0
-      println(f"[probe] col=${f.name}%-20s comp=${comp.getOrElse(f.name, -1L)}%12d " +
-        f"decomp=$decomp%12d sec=$sec%.4f mbps=$mbps%.1f")
+    // decompression-speed tool — shared implementation with Bench's
+    // col_bw field (graft.tools.ColumnBandwidth) so CLI and artifact
+    // report one comparable metric
+    ColumnBandwidth.measure(spark, dst).foreach { c =>
+      println(f"[probe] col=${c.name}%-20s comp=${c.compBytes}%12d " +
+        f"decomp=${c.decompBytes}%12d sec=${c.sec}%.4f mbps=${c.mbps}%.1f")
     }
     spark.stop()
   }
