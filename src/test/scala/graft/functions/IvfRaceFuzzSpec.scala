@@ -1,0 +1,139 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Seeded race fuzz over the versioned IVF index lifecycle (VERDICT r16
+  * #8): interleaves rebuilds, crash-injected rebuilds (both windows),
+  * nested concurrent rebuilds firing inside the pre-publish window,
+  * vacuums (keepLast 1 and 2) — including vacuums fired INSIDE a
+  * rebuild's pre-publish window, the exact ADVICE hazard — and
+  * pointer-republish gaps (deleted `_current`). Invariants after every
+  * op: the pointer never moves backwards, state always resolves a
+  * COMPLETE build (centroids readable, assign covers the corpus), and
+  * full-probe serving through the index equals brute force.
+  */
+class IvfRaceFuzzSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("ivf-race-fuzz-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private val Dim = 6
+
+  private def randVecs(ids: Seq[Long], seed: Long): Seq[(Long, Seq[Float])] = {
+    val rnd = new scala.util.Random(seed)
+    ids.map(i => i -> Seq.fill(Dim)(rnd.nextGaussian().toFloat))
+  }
+  private def df(rows: Seq[(Long, Seq[Float])]): DataFrame = rows.toDF("cid", "cvec")
+
+  test("rebuild x vacuum x crash x republish-gap schedules keep the index serving exactly") {
+    val extra = sys.env.get("SPARK_GRAFT_FUZZ_SEEDS").toSeq
+      .flatMap(_.split(',')).flatMap(s => scala.util.Try(s.trim.toLong).toOption)
+    // run-wide coverage counters: every arm must fire across the run
+    var crashes = 0; var nested = 0; var vacuums = 0; var midVacuums = 0; var gaps = 0
+    for (seed <- Seq(4242L, 1337L) ++ extra) {
+      val dir = s"/tmp/btr-ivf-race-fuzz/$seed"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      val rnd = new scala.util.Random(seed)
+      val corpus = randVecs(0L until 120L, seed)
+      SimilarityOps.ivfIndexBuild(df(corpus), dir, nlist = 4, fitSampleRows = 100)
+      val qs = df(corpus.take(2)).select(col("cid").as("qid"), col("cvec").as("qvec"))
+      val exact = SimilarityOps.bruteForceTopK(qs, df(corpus), 3)
+        .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"))).toSet
+      var lastVersion = SimilarityOps.ivfIndexState(dir).buildVersion
+
+      def check(op: String): Unit = {
+        val st = SimilarityOps.ivfIndexState(dir)
+        assert(st.buildVersion >= lastVersion,
+          s"seed=$seed after $op: pointer moved BACKWARDS " +
+            s"(v$lastVersion -> v${st.buildVersion})")
+        lastVersion = st.buildVersion
+        assert(SimilarityOps.centroidsOf(spark, dir).nonEmpty,
+          s"seed=$seed after $op: current build has no readable centroids")
+        val got = SimilarityOps.ivfTopKIndexed(qs, df(corpus), dir, k = 3, nprobe = 4)
+          .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"))).toSet
+        assert(got == exact, s"seed=$seed after $op: serving diverged from brute force")
+      }
+
+      for (round <- 0 until 10) {
+        val op = rnd.nextInt(6)
+        op match {
+          case 0 => // plain rebuild
+            SimilarityOps.ivfIndexBuild(df(corpus), dir, nlist = 4, fitSampleRows = 100)
+            check(s"rebuild(r$round)")
+          case 1 => // crash-injected rebuild (either window)
+            val hook: (() => Unit) => Unit =
+              if (rnd.nextBoolean()) f => SimilarityOps.ivfBuildInjectMid = f
+              else f => SimilarityOps.ivfBuildInjectPrePublish = f
+            hook(() => throw new RuntimeException("boom"))
+            try intercept[RuntimeException] {
+              SimilarityOps.ivfIndexBuild(df(corpus), dir, nlist = 4, fitSampleRows = 100)
+            } finally hook(() => ())
+            crashes += 1
+            check(s"crashed-rebuild(r$round)")
+          case 2 => // nested rebuild publishes first; loser must abandon
+            SimilarityOps.ivfBuildInjectPrePublish = () => {
+              SimilarityOps.ivfBuildInjectPrePublish = () => ()
+              SimilarityOps.ivfIndexBuild(df(corpus), dir, nlist = 4, fitSampleRows = 100)
+              // half the time the ADVICE hazard: vacuum(1) right after the
+              // nested publish, sweeping the loser's still-staged build
+              if (rnd.nextBoolean()) { SimilarityOps.ivfIndexVacuum(dir, 1); midVacuums += 1 }
+            }
+            val won =
+              try SimilarityOps.ivfIndexBuild(df(corpus), dir, nlist = 4, fitSampleRows = 100)
+              finally SimilarityOps.ivfBuildInjectPrePublish = () => ()
+            assert(!won, s"seed=$seed r$round: the raced-out build claimed it published")
+            nested += 1
+            check(s"nested-rebuild(r$round)")
+          case 3 => // vacuum, both retention settings
+            SimilarityOps.ivfIndexVacuum(dir, keepLast = 1 + rnd.nextInt(2))
+            vacuums += 1
+            check(s"vacuum(r$round)")
+          case 4 => // republish gap: pointer briefly absent
+            val ptr = new java.io.File(dir, "_current")
+            if (ptr.exists()) {
+              val body = java.nio.file.Files.readAllBytes(ptr.toPath)
+              assert(ptr.delete())
+              gaps += 1
+              check(s"pointer-gap(r$round)") // resolves highest published build
+              java.nio.file.Files.write(ptr.toPath, body)
+              check(s"pointer-restored(r$round)")
+            }
+          case _ => // plain read round
+            check(s"read(r$round)")
+        }
+      }
+      // deterministic tail arms: the two rare hazards fire at least once
+      // per seed regardless of the random draw
+      SimilarityOps.ivfBuildInjectPrePublish = () => {
+        SimilarityOps.ivfBuildInjectPrePublish = () => ()
+        SimilarityOps.ivfIndexBuild(df(corpus), dir, nlist = 4, fitSampleRows = 100)
+        SimilarityOps.ivfIndexVacuum(dir, 1)
+        midVacuums += 1
+      }
+      val tailWon =
+        try SimilarityOps.ivfIndexBuild(df(corpus), dir, nlist = 4, fitSampleRows = 100)
+        finally SimilarityOps.ivfBuildInjectPrePublish = () => ()
+      assert(!tailWon, s"seed=$seed tail: the raced-out build claimed it published")
+      nested += 1
+      check("tail-nested-vacuum")
+      val ptr = new java.io.File(dir, "_current")
+      val body = java.nio.file.Files.readAllBytes(ptr.toPath)
+      assert(ptr.delete())
+      gaps += 1
+      check("tail-pointer-gap")
+      java.nio.file.Files.write(ptr.toPath, body)
+      check("tail-pointer-restored")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+    assert(crashes >= 1 && nested >= 1 && vacuums >= 1 && midVacuums >= 1 && gaps >= 1,
+      s"run-wide schedule too tame: crashes=$crashes nested=$nested " +
+        s"vacuums=$vacuums midVacuums=$midVacuums gaps=$gaps")
+  }
+}

@@ -495,4 +495,155 @@ class BtrFuzzSpec extends AnyFunSuite {
       min(col("added")), max(col("added")), count(lit(1))).head
     assert(a.toString == e.toString, s"$a vs $e")
   }
+
+  test("fuzzed sampling reads: deterministic exact subsets across filters, projections and DV deletes (sampling seam)") {
+    // btr.sampleChunks samples PLANNED row groups — i.e. it composes with
+    // chunk skipping, late materialization, nested-leaf projection and
+    // deletion-vector masks, exactly the r15 OR-bug seam class, one tier
+    // up. Per seeded schedule: (a) the degenerate full-size sample must
+    // equal the unsampled answer EXACTLY through the regroup/pack path,
+    // (b) a real sample must be a deterministic subset of the filtered
+    // truth and replay identically, (c) projection must not change which
+    // chunks a fixed (n, seed) draws, and (d) after a DV DELETE no
+    // sampled read may resurrect a deleted row.
+    import org.apache.spark.sql.functions._
+    val dir = "/tmp/btr-fuzz/sampling"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(randomRows(31L, 5000), 2), schema)
+    df.write.format("btr").option("btr.blockSize", "256").mode("overwrite").save(dir)
+    spark.conf.set("spark.sql.catalog.graft", classOf[BtrCatalog].getName)
+    spark.sql(s"ALTER TABLE graft.`$dir` SET TBLPROPERTIES ('btr.deletionVectors'='true')")
+    def sampled(n: Int, seed: Long) = spark.read.format("btr")
+      .option("btr.sampleChunks", n.toString)
+      .option("btr.sampleSeed", seed.toString).load(dir)
+    def full() = spark.read.format("btr").load(dir)
+
+    val extraSeeds = sys.env.get("SPARK_GRAFT_FUZZ_SEEDS").toSeq
+      .flatMap(_.split(',')).flatMap(s => scala.util.Try(s.trim.toLong).toOption)
+    val doubleLits = Seq(0.0, -0.0, Double.NaN, 0.5, 3.0)
+    val longLits = Seq(0L, 42L, -1L, 150L, Long.MaxValue)
+    for (seed <- Seq(171L, 172L) ++ extraSeeds) {
+      val rnd = new scala.util.Random(seed)
+      def pick[T](xs: Seq[T]): T = xs(rnd.nextInt(xs.length))
+      def pred(): org.apache.spark.sql.Column = {
+        val p = rnd.nextInt(6) match {
+          case 0 => col("id") > pick(longLits)
+          case 1 => col("d") <= pick(doubleLits)
+          case 2 => col("s").startsWith(pick(Seq("tag", "日本", "x")))
+          case 3 => col("id").isin(pick(longLits), 42L, 987654321L)
+          case 4 => col("f").isNull
+          case _ => col("dec") > BigDecimal(pick(longLits).toInt.abs % 1000)
+        }
+        // the polarity combinators the r15 bug class lives in
+        rnd.nextInt(5) match {
+          case 0 => p || (col("id") % 7 === 0) // untranslatable disjunct
+          case 1 => !p
+          case 2 => p && (col("i") > pick(longLits).toInt)
+          case 3 => !(p && (col("id") % 3 === 0))
+          case _ => p
+        }
+      }
+      var round = 0
+      while (round < 6) {
+        val p = pred()
+        val truth = full().filter(p).collect().map(fmt).sorted.toSeq
+        // (a) degenerate sample == full answer, exactly
+        val all = sampled(10000, seed + round).filter(p).collect().map(fmt).sorted.toSeq
+        assert(all == truth, s"seed=$seed round=$round: full-size sample diverged under $p")
+        // (b) deterministic strict subset
+        val n = 1 + rnd.nextInt(8)
+        val s1 = sampled(n, seed + round).filter(p).collect().map(fmt).sorted.toSeq
+        val s2 = sampled(n, seed + round).filter(p).collect().map(fmt).sorted.toSeq
+        assert(s1 == s2, s"seed=$seed round=$round: sample must replay identically")
+        val truthBag = scala.collection.mutable.Map.empty[String, Int]
+        truth.foreach(r => truthBag(r) = truthBag.getOrElse(r, 0) + 1)
+        s1.groupBy(identity).foreach { case (r, xs) =>
+          assert(truthBag.getOrElse(r, 0) >= xs.length,
+            s"seed=$seed round=$round: sampled row not in (or over-multiplied vs) the truth: $r")
+        }
+        // (c) projection must not re-draw the sample: project-at-scan ==
+        // project-after-read for the same (n, seed), incl. a nested leaf
+        val cols = Seq("id", "s", "arr")
+        val proj = sampled(n, seed + round).select(cols.map(col): _*)
+          .collect().map(fmt).sorted.toSeq
+        val post = sampled(n, seed + round).collect()
+          .map(r => fmt(Row.fromSeq(cols.map(c => r.getAs[Any](c)))))
+          .sorted.toSeq
+        assert(proj == post,
+          s"seed=$seed round=$round: projection changed the drawn sample")
+        // (d) every few rounds, a DV DELETE with a fuzzed predicate — no
+        // sampled read afterwards may resurrect a deleted row
+        if (round % 2 == 1) {
+          val sqlPred = rnd.nextInt(3) match {
+            case 0 => s"id % ${2 + rnd.nextInt(9)} = 0"
+            case 1 => s"i > ${rnd.nextInt(1 << 30)}"
+            case _ => s"s LIKE 'tag_${rnd.nextInt(5)}%'"
+          }
+          spark.sql(s"DELETE FROM graft.`$dir` WHERE $sqlPred")
+          val alive = full().collect().map(fmt).toSet
+          val resampled = sampled(1 + rnd.nextInt(8), seed + round)
+            .collect().map(fmt).toSeq
+          resampled.foreach(r => assert(alive.contains(r),
+            s"seed=$seed round=$round: sampled read resurrected a DV-deleted row: $r"))
+        }
+        round += 1
+      }
+    }
+  }
+
+  test("fuzzed sampled reads racing DV commits in the resolve/listing gap see ONE snapshot") {
+    // a merge-on-read commit landing BETWEEN a sampled read's mask
+    // resolve and its data listing is the worst interleaving for the
+    // sampling tier. The read contract is snapshot consistency, not
+    // freshness: a pure DV DELETE adds no data files, so the raced read
+    // may legitimately serve the (consistent) pre-commit state; an
+    // UPDATE adds files, so the rowdelta recheck retries onto the
+    // post-commit log. The oracle is therefore: the raced sampled read
+    // equals EXACTLY ONE of the two consistent samples for that
+    // (n, seed) — pre-commit or post-commit — never a mix (post-commit
+    // listing with pre-commit masks would emit rows that existed in
+    // neither snapshot), across fuzzed predicates, sample sizes and
+    // DELETE/UPDATE ops.
+    import org.apache.spark.sql.functions._
+    val dir = "/tmp/btr-fuzz/sampling-dv-race"
+    val extraSeeds = sys.env.get("SPARK_GRAFT_FUZZ_SEEDS").toSeq
+      .flatMap(_.split(',')).flatMap(s => scala.util.Try(s.trim.toLong).toOption)
+    spark.conf.set("spark.sql.catalog.graft", classOf[BtrCatalog].getName)
+    for (seed <- Seq(181L, 182L) ++ extraSeeds) {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(randomRows(seed, 4000), 2), schema)
+      df.write.format("btr").option("btr.blockSize", "256")
+        .option("btr.deletionVectors", "true").mode("overwrite").save(dir)
+      val rnd = new scala.util.Random(seed)
+      def sampled(n: Int, s: Long) = spark.read.format("btr")
+        .option("btr.sampleChunks", n.toString)
+        .option("btr.sampleSeed", s.toString).load(dir)
+      var round = 0
+      while (round < 4) {
+        val n = 1 + rnd.nextInt(8)
+        val sqlPred = rnd.nextInt(3) match {
+          case 0 => s"id % ${2 + rnd.nextInt(9)} = 0"
+          case 1 => s"i < ${rnd.nextInt(1 << 30) - (1 << 29)}"
+          case _ => s"s LIKE 'tag_${rnd.nextInt(5)}%'"
+        }
+        val dml =
+          if (rnd.nextBoolean()) s"DELETE FROM graft.`$dir` WHERE $sqlPred"
+          else s"UPDATE graft.`$dir` SET i = 0 WHERE $sqlPred"
+        val sseed = seed * 31 + round
+        val pre = sampled(n, sseed).collect().map(fmt).sorted.toSeq
+        BtrScan.betweenDvResolveAndListing = () => spark.sql(dml)
+        val raced =
+          try sampled(n, sseed).collect().map(fmt).sorted.toSeq
+          finally { BtrScan.betweenDvResolveAndListing = () => () }
+        val post = sampled(n, sseed).collect().map(fmt).sorted.toSeq
+        assert(raced == pre || raced == post,
+          s"seed=$seed round=$round dml=[$dml]: raced sample matches NEITHER " +
+            s"consistent snapshot (pre=${pre.length} raced=${raced.length} " +
+            s"post=${post.length} rows) — a mixed mask/listing state")
+        round += 1
+      }
+    }
+  }
 }
