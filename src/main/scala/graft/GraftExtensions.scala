@@ -158,8 +158,13 @@ object GraftExtensions {
     * its (appId, version) txn identity (a re-resolution no-ops);
     * `ivf_index_build` / `ivf_index_rebuild_if_drifted` /
     * `ivf_index_vacuum` are NOT idempotent across re-analysis — never
-    * EXPLAIN them, never put them in views. (Each usage string repeats
-    * this; the long-term home is a parser verb executing at run().)
+    * EXPLAIN them, never put them in views. Each usage string repeats
+    * this and names the EXPLAIN-safe alternative: the `IVF BUILD/
+    * REFRESH/REBUILD/VACUUM INDEX` parser VERBS
+    * ([[graft.sources.BtrIvfCommands]]) execute at run() like
+    * OPTIMIZE/VACUUM and are the recommended surface for automation;
+    * both front-ends share one action layer
+    * ([[graft.functions.IvfMaintenance]]).
     */
   private def ivfTvf(name: String, usage: String, minArgs: Int, maxArgs: Int)(
       f: (org.apache.spark.sql.SparkSession, Seq[Expression]) => org.apache.spark.sql.DataFrame
@@ -222,18 +227,15 @@ object GraftExtensions {
       "ivf_index_build(tableDir, idCol, vecCol, indexDir[, nlist]) - fit the coarse " +
         "quantizer over the table's CURRENT snapshot and (re)build the persisted " +
         "index crash-atomically; records the corpus version for refresh convergence. " +
-        "Runs at statement RESOLUTION: EXPLAIN/DESCRIBE/views re-execute the build",
+        "Runs at statement RESOLUTION: EXPLAIN/DESCRIBE/views re-execute the build — " +
+        "automation should use the EXPLAIN-safe verb: IVF BUILD INDEX '<idx>' FROM <t> (id, vec)",
       4, 5) { (spark, args) =>
       import spark.implicits._
       val Seq(table, idCol, vecCol, idxDir) = args.take(4).map(strLit(_, "ivf_index_build"))
       val nlist = if (args.length == 5) intLit(args(4), "ivf_index_build", "nlist") else 16
-      val v = latestVersionOf(table)
-      val corpus = corpusDf(spark, table, idCol, vecCol, v)
-      graft.functions.SimilarityOps.ivfIndexBuild(corpus, idxDir, nlist = nlist,
-        corpusVersion = v)
-      val st = graft.functions.SimilarityOps.ivfIndexState(idxDir)
-      Seq((st.buildVersion, st.corpusVersion.getOrElse(-1L)))
-        .toDF("build_version", "corpus_version")
+      val (bv, cv) = graft.functions.IvfMaintenance.build(
+        spark, table, idCol, vecCol, idxDir, nlist)
+      Seq((bv, cv)).toDF("build_version", "corpus_version")
     }
     ,
     ivfTvf("ivf_index_refresh",
@@ -245,18 +247,12 @@ object GraftExtensions {
       val Seq(table, idCol, vecCol, idxDir, appId) =
         args.take(5).map(strLit(_, "ivf_index_refresh"))
       val from = intLit(args(5), "ivf_index_refresh", "from").toLong
-      val to: Long =
-        if (args.length == 7) intLit(args(6), "ivf_index_refresh", "to").toLong
-        else latestVersionOf(table).getOrElse(throw new IllegalArgumentException(
-          s"ivf_index_refresh: no snapshot log at $table"))
-      val feed = graft.sources.BtrChanges.between(spark, table, from, to)
-        .select(org.apache.spark.sql.functions.col(idCol).as("cid"),
-          org.apache.spark.sql.functions.col(vecCol).as("cvec"),
-          org.apache.spark.sql.functions.col("_change_type"),
-          org.apache.spark.sql.functions.col("_commit_version"))
-      val st = graft.functions.SimilarityOps.ivfIndexRefresh(feed, idxDir,
-        txnAppId = Some(appId), txnVersion = Some(to))
-      Seq((st.rowsAssigned, st.rowsDeleted, st.drift, st.replayed))
+      val to: Option[Long] =
+        if (args.length == 7) Some(intLit(args(6), "ivf_index_refresh", "to").toLong)
+        else None
+      val (a, d, drift, replayed) = graft.functions.IvfMaintenance.refresh(
+        spark, table, idCol, vecCol, idxDir, appId, from, to)
+      Seq((a, d, drift, replayed))
         .toDF("rows_assigned", "rows_deleted", "drift", "replayed")
     }
     ,
@@ -286,20 +282,18 @@ object GraftExtensions {
     ivfTvf("ivf_index_rebuild_if_drifted",
       "ivf_index_rebuild_if_drifted(tableDir, idCol, vecCol, indexDir[, minDriftPct]) - " +
         "probe drift and rebuild crash-atomically below minDriftPct/100 (default 80). " +
-        "Runs at statement RESOLUTION: EXPLAIN/DESCRIBE/views re-probe and may rebuild",
+        "Runs at statement RESOLUTION: EXPLAIN/DESCRIBE/views re-probe and may rebuild — " +
+        "automation should use the verb: IVF REBUILD INDEX '<idx>' FROM <t> (id, vec) IF DRIFT BELOW 80",
       4, 5) { (spark, args) =>
       import spark.implicits._
       val Seq(table, idCol, vecCol, idxDir) =
         args.take(4).map(strLit(_, "ivf_index_rebuild_if_drifted"))
-      val minDrift =
-        (if (args.length == 5) intLit(args(4), "ivf_index_rebuild_if_drifted", "minDriftPct")
-        else 80) / 100.0
-      val v = latestVersionOf(table)
-      val (rebuilt, drift) = graft.functions.SimilarityOps.ivfIndexRebuildIfDrifted(
-        corpusDf(spark, table, idCol, vecCol, v), idxDir, minDrift = minDrift,
-        corpusVersion = v)
-      val st = graft.functions.SimilarityOps.ivfIndexState(idxDir)
-      Seq((rebuilt, drift, st.buildVersion)).toDF("rebuilt", "drift", "build_version")
+      val pct =
+        if (args.length == 5) intLit(args(4), "ivf_index_rebuild_if_drifted", "minDriftPct")
+        else 80
+      val (rebuilt, drift, bv) = graft.functions.IvfMaintenance.rebuildIfDrifted(
+        spark, table, idCol, vecCol, idxDir, pct)
+      Seq((rebuilt, drift, bv)).toDF("rebuilt", "drift", "build_version")
     }
     ,
     ivfTvf("ivf_index_vacuum",
@@ -307,12 +301,13 @@ object GraftExtensions {
         "Default keepLast=2 keeps the current AND one prior build (in-flight " +
         "readers that resolved the pointer pre-rebuild finish intact); keepLast=1 " +
         "breaks such readers. Staged rebuilds above the pointer are untouched. " +
-        "Runs at statement RESOLUTION: EXPLAIN/DESCRIBE/views re-run the vacuum",
+        "Runs at statement RESOLUTION: EXPLAIN/DESCRIBE/views re-run the vacuum — " +
+        "automation should use the verb: IVF VACUUM INDEX '<idx>' [KEEP n]",
       1, 2) { (spark, args) =>
       import spark.implicits._
       val idxDir = strLit(args.head, "ivf_index_vacuum")
       val keep = if (args.length == 2) intLit(args(1), "ivf_index_vacuum", "keepLast") else 2
-      Seq(Tuple1(graft.functions.SimilarityOps.ivfIndexVacuum(idxDir, keep)))
+      Seq(Tuple1(graft.functions.IvfMaintenance.vacuum(idxDir, keep)))
         .toDF("dropped_dirs")
     }
     ,

@@ -236,6 +236,22 @@ class BtrSparkSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)^\s*RESTORE\s+(?:TABLE\s+)?(.+?)\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
   private val RestoreTsRe =
     """(?is)^\s*RESTORE\s+(?:TABLE\s+)?(.+?)\s+(?:TO\s+)?TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*$""".r
+  // IVF index lifecycle verbs (EXPLAIN-safe: LeafRunnableCommands, the
+  // action runs at run(), never at resolution — see BtrIvfCommands)
+  private val IvfBuildRe =
+    """(?is)^\s*IVF\s+BUILD\s+INDEX\s+'([^']+)'\s+FROM\s+(.+?)\s*\(\s*([^,()\s]+)\s*,\s*([^,()\s]+)\s*\)(?:\s+NLIST\s+(\d+))?\s*;?\s*$""".r
+  private val IvfRefreshRe =
+    """(?is)^\s*IVF\s+REFRESH\s+INDEX\s+'([^']+)'\s+FROM\s+(.+?)\s*\(\s*([^,()\s]+)\s*,\s*([^,()\s]+)\s*\)\s+APP\s+'([^']+)'\s+VERSIONS\s+(\d+)(?:\s+TO\s+(\d+))?\s*;?\s*$""".r
+  private val IvfRebuildRe =
+    """(?is)^\s*IVF\s+REBUILD\s+INDEX\s+'([^']+)'\s+FROM\s+(.+?)\s*\(\s*([^,()\s]+)\s*,\s*([^,()\s]+)\s*\)(?:\s+IF\s+DRIFT\s+BELOW\s+(\d+))?\s*;?\s*$""".r
+  private val IvfVacuumRe =
+    """(?is)^\s*IVF\s+VACUUM\s+INDEX\s+'([^']+)'(?:\s+KEEP\s+(\d+))?\s*;?\s*$""".r
+  // EXPLAIN of a custom verb: Spark's parser owns EXPLAIN, so a custom
+  // statement inside it never reaches this delegate — intercept the
+  // prefix and wrap the verb in ExplainCommand ourselves (the command
+  // plans but does NOT run; that non-execution is the verbs' point)
+  private val ExplainVerbRe =
+    """(?is)^\s*EXPLAIN\s+((?:IVF|OPTIMIZE|VACUUM|RESTORE)\s+.+)$""".r
 
   private def stripQuotes(s: String): String = {
     val t = s.trim
@@ -244,6 +260,9 @@ class BtrSparkSqlParser(delegate: ParserInterface) extends ParserInterface {
   }
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case ExplainVerbRe(inner) =>
+      org.apache.spark.sql.execution.command.ExplainCommand(
+        parsePlan(inner), org.apache.spark.sql.execution.SimpleMode)
     case OptimizeRe(ref, full, mode, cols, purge, where) =>
       require(purge == null || (full == null && mode == null),
         "btr OPTIMIZE: APPLY PURGE cannot combine with FULL/CLUSTER/ZORDER — " +
@@ -278,6 +297,19 @@ class BtrSparkSqlParser(delegate: ParserInterface) extends ParserInterface {
         }
       BtrRestoreCommand(delegate.parseMultipartIdentifier(ref.trim), -1L,
         tsMillis = Some(millis))
+    case IvfBuildRe(idx, ref, idCol, vecCol, nlist) =>
+      BtrIvfBuildCommand(idx, delegate.parseMultipartIdentifier(ref.trim),
+        stripQuotes(idCol), stripQuotes(vecCol),
+        Option(nlist).map(_.toInt).getOrElse(16))
+    case IvfRefreshRe(idx, ref, idCol, vecCol, app, from, to) =>
+      BtrIvfRefreshCommand(idx, delegate.parseMultipartIdentifier(ref.trim),
+        stripQuotes(idCol), stripQuotes(vecCol), app, from.toLong,
+        Option(to).map(_.toLong))
+    case IvfRebuildRe(idx, ref, idCol, vecCol, pct) =>
+      BtrIvfRebuildCommand(idx, delegate.parseMultipartIdentifier(ref.trim),
+        stripQuotes(idCol), stripQuotes(vecCol), Option(pct).map(_.toInt))
+    case IvfVacuumRe(idx, keep) =>
+      BtrIvfVacuumCommand(idx, Option(keep).map(_.toInt).getOrElse(2))
     case _ => delegate.parsePlan(sqlText)
   }
 

@@ -386,4 +386,92 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(viaIdx == exact)
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
   }
+
+  test("IVF verbs execute at run(), not resolution: EXPLAIN builds nothing") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.catalog.graft", classOf[graft.sources.BtrCatalog].getName)
+    val base = "/tmp/btr-ext-spec/ivf-verbs"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val table = s"$base/corpus"
+    val idx = s"$base/idx"
+    val idxTvf = s"$base/idx-tvf"
+    val rnd = new scala.util.Random(11)
+    val all = (0L until 200L).map(i => (i, Seq.fill(8)(rnd.nextGaussian().toFloat)))
+    all.toDF("vec_id", "embedding")
+      .write.format("btr").option("btr.retainRemoved", "true")
+      .mode("overwrite").save(table) // v1
+
+    // the session was built before register() — parser injection only
+    // applies at session build (spark.sql.extensions), so drive the
+    // delegating parser directly, same pattern as the OPTIMIZE tests
+    val parser = new graft.sources.BtrSparkSqlParser(spark.sessionState.sqlParser)
+    def run(sql: String): Seq[org.apache.spark.sql.Row] =
+      parser.parsePlan(sql)
+        .asInstanceOf[org.apache.spark.sql.execution.command.RunnableCommand].run(spark)
+
+    // THE hazard the verbs exist to close: EXPLAIN of the verb plans
+    // without executing — no index appears (an EXPLAIN of the TVF form
+    // would have built one)
+    val explained = parser.parsePlan(
+      s"EXPLAIN IVF BUILD INDEX '$idx' FROM graft.`$table` (vec_id, embedding) NLIST 8")
+    val ex = explained.asInstanceOf[org.apache.spark.sql.execution.command.ExplainCommand]
+    assert(ex.logicalPlan.isInstanceOf[graft.sources.BtrIvfBuildCommand], ex.logicalPlan)
+    val planText = ex.run(spark).map(_.getString(0)).mkString("\n")
+    assert(planText.contains("BtrIvfBuildCommand"), planText)
+    assert(!new java.io.File(idx).exists(),
+      "EXPLAIN of the IVF BUILD verb must not execute the build")
+
+    // executing the verb ≡ the TVF build (shared action layer)
+    val b = run(
+      s"IVF BUILD INDEX '$idx' FROM graft.`$table` (vec_id, embedding) NLIST 8").head
+    assert(b.getLong(0) == 1L && b.getLong(1) == 1L, s"build report: $b")
+    spark.sql(s"SELECT * FROM ivf_index_build('$table', 'vec_id', 'embedding', '$idxTvf', 8)")
+      .collect()
+    def assignOf(i: String): Seq[String] =
+      spark.read.format("btr")
+        .load(graft.functions.SimilarityOps.ivfIndexAssignPath(i))
+        .collect().map(_.toString).sorted.toSeq
+    assert(assignOf(idx) == assignOf(idxTvf), "verb build ≡ TVF build")
+
+    // change feed → REFRESH verb; replayed batch no-ops
+    val fresh = (1000L until 1010L).map(i => (i, Seq.fill(8)(rnd.nextGaussian().toFloat)))
+    fresh.toDF("vec_id", "embedding").write.format("btr").mode("append").save(table) // v2
+    val r = run(s"IVF REFRESH INDEX '$idx' FROM graft.`$table` " +
+      "(vec_id, embedding) APP 'verbs' VERSIONS 1 TO 2").head
+    assert(r.getLong(0) == fresh.length.toLong && !r.getBoolean(3), s"refresh: $r")
+    val replay = run(s"IVF REFRESH INDEX '$idx' FROM graft.`$table` " +
+      "(vec_id, embedding) APP 'verbs' VERSIONS 1 TO 2").head
+    assert(replay.getBoolean(3) && replay.getLong(0) == 0L, s"replay: $replay")
+
+    // gated REBUILD verb: impossible gate (200%) forces; EXPLAIN doesn't
+    val before = graft.functions.SimilarityOps.ivfIndexState(idx).buildVersion
+    parser.parsePlan(s"EXPLAIN IVF REBUILD INDEX '$idx' FROM graft.`$table` " +
+      "(vec_id, embedding) IF DRIFT BELOW 200")
+      .asInstanceOf[org.apache.spark.sql.execution.command.ExplainCommand].run(spark)
+    assert(graft.functions.SimilarityOps.ivfIndexState(idx).buildVersion == before,
+      "EXPLAIN of the REBUILD verb must not rebuild")
+    val rb = run(s"IVF REBUILD INDEX '$idx' FROM graft.`$table` " +
+      "(vec_id, embedding) IF DRIFT BELOW 200").head
+    assert(rb.getBoolean(0) && rb.getLong(2) == before + 1, s"rebuild: $rb")
+
+    // VACUUM verb sweeps the superseded build; EXPLAIN doesn't
+    parser.parsePlan(s"EXPLAIN IVF VACUUM INDEX '$idx' KEEP 1")
+      .asInstanceOf[org.apache.spark.sql.execution.command.ExplainCommand].run(spark)
+    assert(new java.io.File(idx, s"v$before").exists(),
+      "EXPLAIN of the VACUUM verb must not sweep")
+    val vac = run(s"IVF VACUUM INDEX '$idx' KEEP 1").head
+    assert(vac.getLong(0) == 1L, s"vacuum: $vac")
+    assert(!new java.io.File(idx, s"v$before").exists())
+
+    // serving through the verb-maintained index stays exact
+    val current = spark.read.format("btr").load(table)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val qs = current.filter(col("cid") < 3).select(col("cid").as("qid"), col("cvec").as("qvec"))
+    val viaIdx = graft.functions.SimilarityOps.ivfTopKIndexed(qs, current, idx, 3, nprobe = 8)
+      .collect().map(x => (x.getAs[Long]("qid"), x.getAs[Long]("cid"))).toSet
+    val exact = graft.functions.SimilarityOps.bruteForceTopK(qs, current, 3)
+      .collect().map(x => (x.getAs[Long]("qid"), x.getAs[Long]("cid"))).toSet
+    assert(viaIdx == exact)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+  }
 }
