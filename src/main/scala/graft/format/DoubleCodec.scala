@@ -124,6 +124,16 @@ object DoubleCodec {
 
   private val pow10: Array[Double] = (0 to MaxExponent).map(e => math.pow(10.0, e)).toArray
 
+  // per-thread (digits, exps) scratch for the Pseudodecimal decoder
+  private val pdScratchTl = new ThreadLocal[Array[Array[Long]]] {
+    override def initialValue(): Array[Array[Long]] = Array(null, null)
+  }
+  private def pdScratch(slot: Int, count: Int): Array[Long] = {
+    val s = pdScratchTl.get()
+    if (s(slot) == null || s(slot).length < count) s(slot) = new Array[Long](count)
+    s(slot)
+  }
+
   /** Try to express d as digits/10^e with bit-exact round-trip.
     * Returns packed (e << 32 | digitsIndexBias) or -1; digits via out param
     * pattern avoided: returns Long with e in high bits, digits value must be
@@ -559,8 +569,14 @@ object DoubleCodec {
           i += 1
         }
       case Pseudodecimal =>
-        val digits = IntCodec.decode(in, count)
-        val exps = IntCodec.decode(in, count)
+        // scratch reuse: the digits/exps sub-decodes are INT schemes and
+        // can never nest another Pseudodecimal on this thread, so two
+        // thread-local buffers drop ~1 MB of allocation+zeroing per
+        // 65,536-value chunk from the hot decode path (KernelBench)
+        val digits = pdScratch(0, count)
+        IntCodec.decodeInto(in, count, digits)
+        val exps = pdScratch(1, count)
+        IntCodec.decodeInto(in, count, exps)
         val nPatch = in.getInt()
         val patches = new Array[Double](nPatch)
         var p = 0
