@@ -92,6 +92,11 @@ object KernelBench {
       Array.fill(N)(rnd.nextLong()))
     intCase("int/bitpack(ForBp)", IntCodec.ForBp,
       Array.fill(N)(1000000L + rnd.nextInt(1 << 20)))
+    // aligned widths ride the straddle-free word-at-a-time unpack
+    intCase("int/bitpack_w16", IntCodec.ForBp,
+      Array.fill(N)(rnd.nextInt(1 << 16).toLong))
+    intCase("int/bitpack_w8", IntCodec.ForBp,
+      Array.fill(N)(rnd.nextInt(1 << 8).toLong))
     intCase("int/rle", IntCodec.Rle, {
       val a = new Array[Long](N); var i = 0; var v = 0L
       while (i < N) { if (i % 50 == 0) v = rnd.nextInt(1000); a(i) = v; i += 1 }; a
