@@ -58,10 +58,15 @@ object DoubleStats {
       i = 0
       while (i < count) { addSample(values(i)); i += 1 }
     } else {
+      // one run per disjoint stratum (see IntStats.compute): overlapping
+      // runs double-count rows and fabricate repeat signal
       val rnd = new java.util.Random(seed)
+      val stratum = count / sampleRuns
       var r = 0
       while (r < sampleRuns) {
-        val start = rnd.nextInt(count - runLen + 1)
+        val base = r * stratum
+        val span = (if (r == sampleRuns - 1) count - base else stratum) - runLen
+        val start = base + (if (span > 0) rnd.nextInt(span + 1) else 0)
         var j = start
         val end = start + runLen
         while (j < end) { addSample(values(j)); j += 1 }
@@ -70,18 +75,22 @@ object DoubleStats {
     }
     var topB = 0L
     var topC = 0
-    var f1 = 0
-    var f2 = 0
     freq.foreachEntry { (k, c) =>
       if (c > topC) { topC = c; topB = k }
-      if (c == 1) f1 += 1 else if (c == 2) f2 += 1
     }
     val d = freq.size
+    // two-part heavy/rare estimate with the method-of-moments inversion
+    // on the rare subpopulation (see IntStats.compute / momentNdv)
     val distinctEst =
       if (exhaustive) d
       else {
-        val extra = if (f2 > 0) f1.toDouble * f1 / (2.0 * f2) else f1.toDouble * (f1 - 1) / 2.0
-        math.min(count.toLong, math.max(d.toLong, math.round(d + extra))).toInt
+        val hThresh = math.max(3, sampleN / 100)
+        var dRare = 0
+        var mRare = 0
+        freq.foreachEntry { (_, c) => if (c < hThresh) { dRare += 1; mRare += c } }
+        val nRare =
+          math.min(count.toLong, math.round(count.toDouble * mRare / math.max(1, sampleN))).toInt
+        math.min(count, (d - dRare) + IntStats.momentNdv(dRare, mRare, nRare))
       }
     DoubleStats(count, runs, sampleN, d, distinctEst, topB, topC, sampleBuf)
   }
@@ -171,7 +180,14 @@ object DoubleCodec {
       seed: Long = 42L
   ): Unit = {
     val s = DoubleStats.compute(values, count, seed, cfg.sampleRuns, cfg.sampleRunLen)
-    if (cfg.tryAll) {
+    // Run-dominated chunks escalate to exhaustive selection even in SAMPLE
+    // mode (see IntCodec.encode): a stratified sample cannot see sublinear
+    // run structure — on plateau doubles it keeps RLE where the
+    // pseudodecimal cascade (whose digit stream inherits the value runs)
+    // is several times smaller — and a ≤ count/32-run chunk is cheap to
+    // encode under every candidate.
+    if (cfg.tryAll ||
+      (cfg.measuredEstimate && depth >= 1 && count >= 1024 && s.runCount.toLong * 32 <= count)) {
       tryAllEncode(out, values, count, depth, cfg, s, seed)
       return
     }
@@ -249,6 +265,34 @@ object DoubleCodec {
     encodeAs(scheme, scratch, smp, n, depth, ss,
       cfg.copy(measuredEstimate = false), 42L)
     math.max(1L, math.ceil(scratch.pos.toDouble * s.count / math.max(1, n)).toLong)
+  }
+
+  /** Dict-aware measured estimate (see IntCodec.measuredDictEstimate):
+    * the raw 8-byte dictionary table scales with NDV, not rows, so only
+    * the code stream is measured on the sample and extrapolated by the
+    * row ratio (width-adjusted for the full-chunk dictionary).
+    */
+  private def measuredDictEstimate(s: DoubleStats, depth: Int, cfg: BtrConfig): Long = {
+    if (depth < 1) return Long.MaxValue
+    val smp = s.sample
+    val n = s.sampleN
+    val bits = new Array[Long](n)
+    var i = 0
+    while (i < n) { bits(i) = java.lang.Double.doubleToRawLongBits(smp(i)); i += 1 }
+    val dict = IntCodec.distinctSorted(bits, n)
+    if (dict.length < 1 || dict.length >= n) return Long.MaxValue
+    val codes = new Array[Long](n)
+    i = 0
+    while (i < n) { codes(i) = IntCodec.binarySearch(dict, bits(i)).toLong; i += 1 }
+    val cScratch = new BufWriter(1 << 10)
+    IntCodec.encode(cScratch, codes, n, 8, depth - 1, cfg.copy(measuredEstimate = false), 43L)
+    val dFull = math.max(dict.length, math.min(s.distinctEst, s.count))
+    val widthRatio =
+      math.max(1, Bitpack.bitsFor(math.max(1L, dFull - 1L))).toDouble /
+        math.max(1, Bitpack.bitsFor(math.max(1L, dict.length - 1L)))
+    val codeBytes =
+      math.ceil(cScratch.pos.toDouble * s.count / math.max(1, n) * widthRatio).toLong
+    1L + 4L + 8L * dFull + codeBytes
   }
 
   private def choose(
@@ -352,8 +396,10 @@ object DoubleCodec {
         while (sch < fEst.length) {
           if (sch != Uncompressed && sch != OneValue && fEst(sch) < Long.MaxValue) {
             val e =
-              if (fEst(sch) <= zone) measuredEstimate(sch, s, depth, cfg)
-              else fEst(sch)
+              if (fEst(sch) <= zone) {
+                if (sch == Dict) measuredDictEstimate(s, depth, cfg)
+                else measuredEstimate(sch, s, depth, cfg)
+              } else fEst(sch)
             if (e < bestSize) { best = sch; bestSize = e }
           }
           sch += 1

@@ -86,10 +86,16 @@ object IntStats {
       i = 0
       while (i < count) { addSample(values(i)); i += 1 }
     } else {
+      // one run per disjoint stratum: independent starts can overlap
+      // (~9% of chunks at 10×64/65,536), and an overlap double-counts
+      // rows, fabricating repeat signal that poisons the NDV estimate
       val rnd = new java.util.Random(seed)
+      val stratum = count / sampleRuns
       var r = 0
       while (r < sampleRuns) {
-        val start = rnd.nextInt(count - runLen + 1)
+        val base = r * stratum
+        val span = (if (r == sampleRuns - 1) count - base else stratum) - runLen
+        val start = base + (if (span > 0) rnd.nextInt(span + 1) else 0)
         var j = start
         val end = start + runLen
         while (j < end) { addSample(values(j)); j += 1 }
@@ -98,21 +104,58 @@ object IntStats {
     }
     var topV = values(0)
     var topC = 0
-    var f1 = 0
-    var f2 = 0
     freq.foreachEntry { (k, c) =>
       if (c > topC) { topC = c; topV = k }
-      if (c == 1) f1 += 1 else if (c == 2) f2 += 1
     }
     val d = freq.size
     val distinctEst =
       if (exhaustive) d
       else {
-        // Chao1: d + f1^2 / 2*f2 (f1*(f1-1)/2 when f2 == 0)
-        val extra = if (f2 > 0) f1.toDouble * f1 / (2.0 * f2) else f1.toDouble * (f1 - 1) / 2.0
-        math.min(count.toLong, math.max(d.toLong, math.round(d + extra))).toInt
+        // two-part estimate: clearly-heavy values (≥ max(3, m/100) sample
+        // hits) are fully observed, so they contribute their exact count;
+        // the rare remainder gets the moment inversion on its own
+        // subpopulation, which degrades to the all-distinct cap when the
+        // rare part carries no collision signal (a 93%-constant column
+        // with a distinct tail looks like d≈50 overall, but the tail's
+        // rows are ~all distinct and dict must pay for every one)
+        val hThresh = math.max(3, sampleN / 100)
+        var dRare = 0
+        var mRare = 0
+        freq.foreachEntry { (_, c) => if (c < hThresh) { dRare += 1; mRare += c } }
+        val nRare =
+          math.min(count.toLong, math.round(count.toDouble * mRare / math.max(1, sampleN))).toInt
+        math.min(count, (d - dRare) + momentNdv(dRare, mRare, nRare))
       }
     IntStats(count, min, max, runs, sorted, sampleN, d, distinctEst, topV, topC, hist, sampleBuf)
+  }
+
+  /** Method-of-moments NDV estimate: solve E[d] = D·(1 − (1−m/n)^(n/D))
+    * for D by bisection (E is monotone increasing in D), assuming
+    * near-uniform value frequencies. Replaces Chao1, whose f1²/2f2 term
+    * explodes with huge variance when the sample is singleton-dominated
+    * (f2 → 0) — exactly the scattered-id shape where the dict size
+    * estimate matters most. A sample with zero repeats carries no
+    * collision signal, so the estimate is the cap (count), which
+    * correctly gates dict out on near-unique columns.
+    */
+  def momentNdv(d: Int, m: Int, n: Int): Int = {
+    if (d <= 0) return 0
+    // < 8 repeat observations: the inversion has no statistical power
+    // (1–2 collisions put the estimate anywhere in [n/3, n]), so return
+    // the conservative cap — an unlucky low draw would let dict win
+    // races it loses by ~18% on near-unique chunks
+    if (m - d < 8 || m >= n) return n
+    val q = 1.0 - m.toDouble / n
+    var lo = d.toDouble
+    var hi = n.toDouble
+    var it = 0
+    while (it < 48) {
+      val mid = 0.5 * (lo + hi)
+      val e = mid * (1.0 - math.pow(q, n / mid))
+      if (e < d) lo = mid else hi = mid
+      it += 1
+    }
+    math.max(d.toLong, math.min(n.toLong, math.round(0.5 * (lo + hi)))).toInt
   }
 }
 
@@ -191,6 +234,40 @@ object IntCodec {
     encodeAs(scheme, scratch, smp, n, physWidth, depth, ss,
       cfg.copy(measuredEstimate = false), 42L)
     math.max(1L, math.ceil(scratch.pos.toDouble * s.count / math.max(1, n)).toLong)
+  }
+
+  /** Dict-aware measured estimate. A plain sample-compress extrapolates
+    * ALL bytes by the row ratio, but a dictionary table is sublinear in
+    * rows — it scales with NDV — so on scattered id spaces (sample NDV ≈
+    * sample size, chunk NDV ≪ chunk size) the generic measurement
+    * overestimates dict by the row/NDV ratio and dict loses races it
+    * should win. Split the measurement: the table extrapolates by the
+    * NDV ratio (per-entry cascade cost observed on the sample's sorted
+    * dict), the code stream by the row ratio with a code-width
+    * adjustment for the wider full-chunk dictionary.
+    */
+  private def measuredDictEstimate(s: IntStats, depth: Int, cfg: BtrConfig): Long = {
+    if (depth < 1) return Long.MaxValue
+    val smp = s.sample
+    val n = s.sampleN
+    val dict = distinctSorted(smp, n)
+    if (dict.length < 1 || dict.length >= n) return Long.MaxValue
+    val sub = cfg.copy(measuredEstimate = false)
+    val tScratch = new BufWriter(1 << 10)
+    encode(tScratch, dict, dict.length, 8, depth - 1, sub, 42L)
+    val codes = new Array[Long](n)
+    var i = 0
+    while (i < n) { codes(i) = binarySearch(dict, smp(i)).toLong; i += 1 }
+    val cScratch = new BufWriter(1 << 10)
+    encode(cScratch, codes, n, 8, depth - 1, sub, 43L)
+    val dFull = math.max(dict.length, math.min(s.distinctEst, s.count))
+    val widthRatio =
+      math.max(1, Bitpack.bitsFor(math.max(1L, dFull - 1L))).toDouble /
+        math.max(1, Bitpack.bitsFor(math.max(1L, dict.length - 1L)))
+    val table = math.ceil((4L + tScratch.pos).toDouble * dFull / dict.length).toLong
+    val codeBytes =
+      math.ceil(cScratch.pos.toDouble * s.count / math.max(1, n) * widthRatio).toLong
+    1L + table + codeBytes
   }
 
   /** Schemes whose closed-form estimate is approximate (cascade sizes are
@@ -292,9 +369,10 @@ object IntCodec {
           val sch = AllSchemes(i)
           if (est(i) < Long.MaxValue) {
             val e =
-              if (isApprox(sch) && est(i) <= zone)
-                measuredEstimate(sch, s, physWidth, depth, cfg)
-              else est(i)
+              if (isApprox(sch) && est(i) <= zone) {
+                if (sch == Dict) measuredDictEstimate(s, depth, cfg)
+                else measuredEstimate(sch, s, physWidth, depth, cfg)
+              } else est(i)
             if (e < bestSize) { best = sch; bestSize = e }
           }
           i += 1
@@ -333,7 +411,14 @@ object IntCodec {
       seed: Long = 42L
   ): Unit = {
     val s = IntStats.compute(values, count, seed, cfg.sampleRuns, cfg.sampleRunLen)
-    if (cfg.tryAll) {
+    // Run-dominated chunks escalate to exhaustive selection even in SAMPLE
+    // mode: a stratified sample structurally cannot see sublinear run
+    // structure (run count is exact but does not scale with rows, so every
+    // extrapolated estimate is biased), while a chunk with ≤ count/32 runs
+    // is cheap to encode under every candidate — bounded by the cost the
+    // reference's own TRY_ALL mode pays on EVERY chunk.
+    if (cfg.tryAll ||
+      (cfg.measuredEstimate && depth >= 1 && count >= 1024 && s.runCount.toLong * 32 <= count)) {
       tryAllEncode(out, values, count, physWidth, depth, cfg, s)
       return
     }

@@ -53,10 +53,15 @@ object StringCodec {
       i = 0
       while (i < count) { seen.add(new ByteKey(values(i))); sampleN += 1; i += 1 }
     } else {
+      // one run per disjoint stratum (see IntStats.compute): overlapping
+      // runs double-count rows and fabricate repeat signal
       val rnd = new java.util.Random(seed)
+      val stratum = count / sampleRuns
       var r = 0
       while (r < sampleRuns) {
-        val start = rnd.nextInt(count - runLen + 1)
+        val base = r * stratum
+        val span = (if (r == sampleRuns - 1) count - base else stratum) - runLen
+        val start = base + (if (span > 0) rnd.nextInt(span + 1) else 0)
         var j = start
         val end = start + runLen
         while (j < end) { seen.add(new ByteKey(values(j))); sampleN += 1; j += 1 }
