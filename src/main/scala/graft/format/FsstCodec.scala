@@ -54,13 +54,26 @@ object FsstCodec {
     val symLen = table.symLen
     val symWord = table.symWord
     // pass 1: exact decompressed size (escape = 2 in / 1 out) — cheaper
-    // than the alloc+zero+trim of a worst-case 8× buffer (measured)
+    // than the alloc+zero+trim of a worst-case 8× buffer (measured).
+    // Codes are validated HERE (one never-taken branch in the sizing
+    // pass, which is memory-bound anyway): symLen/symWord are 256-wide
+    // with zeros past symbols.length, so an out-of-table code from a
+    // corrupt stream would otherwise decode silently as an empty symbol
+    // and pass 2 — which trusts pass 1's validation — keeps its
+    // branch-free word-store shape.
+    val nSyms = table.symbols.length
     var exact = 0L
     var p = 0
     while (p < total) {
       val code = comp(p) & 0xff
       if (code == Escape) { exact += 1; p += 2 }
-      else { exact += symLen(code); p += 1 }
+      else {
+        if (code >= nSyms)
+          throw new java.io.IOException(
+            s"fsst: corrupt stream — code $code outside the $nSyms-symbol table at offset $p")
+        exact += symLen(code)
+        p += 1
+      }
     }
     require(exact <= Int.MaxValue - 16, s"fsst: decoded block exceeds 2 GiB ($exact bytes)")
     val outLen = exact.toInt

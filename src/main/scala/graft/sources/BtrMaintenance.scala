@@ -250,8 +250,10 @@ class BtrSparkSqlParser(delegate: ParserInterface) extends ParserInterface {
   // statement inside it never reaches this delegate — intercept the
   // prefix and wrap the verb in ExplainCommand ourselves (the command
   // plans but does NOT run; that non-execution is the verbs' point)
+  // optional mode keywords accepted and mapped to the matching
+  // ExplainMode (EXTENDED/CODEGEN/COST/FORMATTED, like Spark's grammar)
   private val ExplainVerbRe =
-    """(?is)^\s*EXPLAIN\s+((?:IVF|OPTIMIZE|VACUUM|RESTORE)\s+.+)$""".r
+    """(?is)^\s*EXPLAIN(?:\s+(EXTENDED|CODEGEN|COST|FORMATTED))?\s+((?:IVF|OPTIMIZE|VACUUM|RESTORE)\s+.+)$""".r
 
   private def stripQuotes(s: String): String = {
     val t = s.trim
@@ -260,9 +262,15 @@ class BtrSparkSqlParser(delegate: ParserInterface) extends ParserInterface {
   }
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
-    case ExplainVerbRe(inner) =>
-      org.apache.spark.sql.execution.command.ExplainCommand(
-        parsePlan(inner), org.apache.spark.sql.execution.SimpleMode)
+    case ExplainVerbRe(mode, inner) =>
+      val m = Option(mode).map(_.toUpperCase(java.util.Locale.ROOT)) match {
+        case Some("EXTENDED") => org.apache.spark.sql.execution.ExtendedMode
+        case Some("CODEGEN") => org.apache.spark.sql.execution.CodegenMode
+        case Some("COST") => org.apache.spark.sql.execution.CostMode
+        case Some("FORMATTED") => org.apache.spark.sql.execution.FormattedMode
+        case _ => org.apache.spark.sql.execution.SimpleMode
+      }
+      org.apache.spark.sql.execution.command.ExplainCommand(parsePlan(inner), m)
     case OptimizeRe(ref, full, mode, cols, purge, where) =>
       require(purge == null || (full == null && mode == null),
         "btr OPTIMIZE: APPLY PURGE cannot combine with FULL/CLUSTER/ZORDER — " +

@@ -702,6 +702,72 @@ class IvfIndexMaintenanceSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("vacuum retention counts only PUBLISHED builds; abandoned stages are swept") {
+    // ADVICE r17: an abandoned UNPUBLISHED stage (lost concurrent-rebuild
+    // race) must not occupy a keepLast slot — with keepLast=2 the real
+    // prior published build stays (the reader-safety contract), and the
+    // useless stage is swept as superseded.
+    val dir = tmp("vacuum-published-only")
+    val corpus = randVecs(0L until 150L, seed = 131)
+    SimilarityOps.ivfIndexBuild(df(corpus), dir, nlist = 4, fitSampleRows = 100) // v1
+    SimilarityOps.ivfBuildInjectPrePublish = () => {
+      SimilarityOps.ivfBuildInjectPrePublish = () => ()
+      SimilarityOps.ivfIndexBuild(df(corpus), dir, nlist = 4, fitSampleRows = 100) // v3
+    }
+    val won = // claims v2, loses the race to the nested v3, abandons
+      try SimilarityOps.ivfIndexBuild(df(corpus), dir, nlist = 4, fitSampleRows = 100)
+      finally SimilarityOps.ivfBuildInjectPrePublish = () => ()
+    assert(!won)
+    assert(SimilarityOps.ivfIndexState(dir).buildVersion == 3L)
+    val dropped = SimilarityOps.ivfIndexVacuum(dir, keepLast = 2)
+    assert(dropped >= 1, "the abandoned v2 stage must be swept")
+    assert(new java.io.File(dir, "v1/_published").exists(),
+      "keepLast=2 must retain the prior PUBLISHED build v1, not the v2 stage")
+    assert(!new java.io.File(dir, "v2").exists(),
+      "the unpublished v2 stage below the pointer is superseded garbage")
+    assert(new java.io.File(dir, "v3/_published").exists())
+    // a reader pinned on v1 (resolved just before v3 published) still reads
+    assert(spark.read.format("btr").load(s"$dir/v1/assign").count() == corpus.length.toLong)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  test("a stale (backwards) pointer never moves RESOLUTION backwards") {
+    // VERDICT r17 #4: the publication guard was check-then-put, so a lost
+    // race could still write _current backwards in a narrow window. The
+    // published markers are now the authority: resolution takes the max
+    // of pointer and markers, so even a deterministically-injected
+    // backwards pointer cannot regress a reader.
+    val dir = tmp("stale-pointer")
+    val corpus = randVecs(0L until 150L, seed = 141)
+    SimilarityOps.ivfIndexBuild(df(corpus), dir, nlist = 4, fitSampleRows = 100,
+      corpusVersion = Some(5L)) // v1
+    SimilarityOps.ivfIndexBuild(df(corpus), dir, nlist = 4, fitSampleRows = 100,
+      corpusVersion = Some(9L)) // v2
+    // inject the inversion: a lost-race v1 build blindly rewrites _current
+    // (drop the local-FS checksum sidecar — a raw write bypasses it)
+    new java.io.File(dir, "._current.crc").delete()
+    java.nio.file.Files.write(new java.io.File(dir, "_current").toPath,
+      "{\"v\":1,\"corpusVersion\":5}".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val st = SimilarityOps.ivfIndexState(dir)
+    assert(st.buildVersion == 2L, s"marker must out-rank the stale pointer, got $st")
+    assert(st.corpusVersion.contains(9L),
+      s"resolution must carry the published build's corpusVersion, got $st")
+    // the full read path serves v2 through the inverted pointer
+    val qs = df(corpus.take(2)).select(col("cid").as("qid"), col("cvec").as("qvec"))
+    val viaIdx = SimilarityOps.ivfTopKIndexed(qs, df(corpus), dir, k = 3, nprobe = 4)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"))).toSet
+    val exact = SimilarityOps.bruteForceTopK(qs, df(corpus), 3)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"))).toSet
+    assert(viaIdx == exact)
+    // vacuum under the stale pointer uses the RESOLVED version: v2 survives
+    SimilarityOps.ivfIndexVacuum(dir, keepLast = 1)
+    assert(new java.io.File(dir, "v2/_published").exists())
+    // the next publish repairs the pointer cache
+    SimilarityOps.ivfIndexBuild(df(corpus), dir, nlist = 4, fitSampleRows = 100) // v3
+    assert(SimilarityOps.ivfIndexState(dir).buildVersion == 3L)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("absent _current resolves the highest PUBLISHED build, never the swept root") {
     // On stores whose rename refuses to clobber, the pointer republish is
     // delete-then-rename: a reader racing the gap sees NO _current. The

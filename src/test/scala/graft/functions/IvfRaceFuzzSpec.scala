@@ -37,6 +37,7 @@ class IvfRaceFuzzSpec extends AnyFunSuite {
       .flatMap(_.split(',')).flatMap(s => scala.util.Try(s.trim.toLong).toOption)
     // run-wide coverage counters: every arm must fire across the run
     var crashes = 0; var nested = 0; var vacuums = 0; var midVacuums = 0; var gaps = 0
+    var inversions = 0; var serveRaces = 0
     for (seed <- Seq(4242L, 1337L) ++ extra) {
       val dir = s"/tmp/btr-ivf-race-fuzz/$seed"
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
@@ -62,7 +63,7 @@ class IvfRaceFuzzSpec extends AnyFunSuite {
       }
 
       for (round <- 0 until 10) {
-        val op = rnd.nextInt(6)
+        val op = rnd.nextInt(8)
         op match {
           case 0 => // plain rebuild
             SimilarityOps.ivfIndexBuild(df(corpus), dir, nlist = 4, fitSampleRows = 100)
@@ -105,6 +106,33 @@ class IvfRaceFuzzSpec extends AnyFunSuite {
               java.nio.file.Files.write(ptr.toPath, body)
               check(s"pointer-restored(r$round)")
             }
+          case 5 => // r18: stale-pointer inversion — a lost-race build's
+            // late blind put rewrites _current backwards; the published
+            // marker must out-rank it at resolution
+            val ptrF = new java.io.File(dir, "_current")
+            if (ptrF.exists() && lastVersion >= 2) {
+              val body = java.nio.file.Files.readAllBytes(ptrF.toPath)
+              // raw write bypasses the local-FS checksum sidecar: drop it
+              new java.io.File(dir, "._current.crc").delete()
+              java.nio.file.Files.write(ptrF.toPath,
+                "{\"v\":1}".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              inversions += 1
+              check(s"stale-pointer(r$round)") // must resolve forward
+              java.nio.file.Files.write(ptrF.toPath, body)
+              check(s"stale-pointer-restored(r$round)")
+            }
+          case 6 => // r18: serve resolves, THEN a rebuild publishes and a
+            // keepLast=2 vacuum runs before the collect — the retained
+            // prior build must keep the in-flight query exact
+            val pending = SimilarityOps.ivfTopKServe(qs, dir, k = 3, nprobe = 4)
+            SimilarityOps.ivfIndexBuild(df(corpus), dir, nlist = 4, fitSampleRows = 100)
+            SimilarityOps.ivfIndexVacuum(dir, keepLast = 2)
+            serveRaces += 1
+            val got = pending.collect()
+              .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"))).toSet
+            assert(got == exact,
+              s"seed=$seed r$round: in-flight serve diverged across rebuild+vacuum")
+            check(s"serve-race(r$round)")
           case _ => // plain read round
             check(s"read(r$round)")
         }
@@ -123,6 +151,9 @@ class IvfRaceFuzzSpec extends AnyFunSuite {
       assert(!tailWon, s"seed=$seed tail: the raced-out build claimed it published")
       nested += 1
       check("tail-nested-vacuum")
+      SimilarityOps.ivfIndexVacuum(dir, keepLast = 2)
+      vacuums += 1
+      check("tail-vacuum")
       val ptr = new java.io.File(dir, "_current")
       val body = java.nio.file.Files.readAllBytes(ptr.toPath)
       assert(ptr.delete())
@@ -130,10 +161,27 @@ class IvfRaceFuzzSpec extends AnyFunSuite {
       check("tail-pointer-gap")
       java.nio.file.Files.write(ptr.toPath, body)
       check("tail-pointer-restored")
+      // deterministic r18 tails: the inversion and the in-flight serve race
+      new java.io.File(dir, "._current.crc").delete()
+      java.nio.file.Files.write(ptr.toPath,
+        "{\"v\":1}".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      inversions += 1
+      check("tail-stale-pointer")
+      java.nio.file.Files.write(ptr.toPath, body)
+      val pending = SimilarityOps.ivfTopKServe(qs, dir, k = 3, nprobe = 4)
+      SimilarityOps.ivfIndexBuild(df(corpus), dir, nlist = 4, fitSampleRows = 100)
+      SimilarityOps.ivfIndexVacuum(dir, keepLast = 2)
+      serveRaces += 1
+      assert(pending.collect()
+        .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"))).toSet == exact,
+        s"seed=$seed tail: in-flight serve diverged across rebuild+vacuum")
+      check("tail-serve-race")
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     }
-    assert(crashes >= 1 && nested >= 1 && vacuums >= 1 && midVacuums >= 1 && gaps >= 1,
+    assert(crashes >= 1 && nested >= 1 && vacuums >= 1 && midVacuums >= 1 && gaps >= 1 &&
+      inversions >= 1 && serveRaces >= 1,
       s"run-wide schedule too tame: crashes=$crashes nested=$nested " +
-        s"vacuums=$vacuums midVacuums=$midVacuums gaps=$gaps")
+        s"vacuums=$vacuums midVacuums=$midVacuums gaps=$gaps " +
+        s"inversions=$inversions serveRaces=$serveRaces")
   }
 }

@@ -42,10 +42,10 @@ class IvfServeSpec extends AnyFunSuite {
     r.collect().map(x => (x.getAs[Long]("qid"), x.getAs[Long]("cid"),
       x.getAs[Int]("rank"))).toSet
 
-  /** Files the plan's btr assign scan would actually read (descends
+  /** Files any btr scan in the plan would actually read (descends
     * through the AQE wrapper — join plans re-optimize adaptively).
     */
-  private def scannedAssignFiles(r: DataFrame): Seq[String] = {
+  private def scannedFiles(r: DataFrame): Seq[String] = {
     def leaves(p: org.apache.spark.sql.execution.SparkPlan)
         : Seq[org.apache.spark.sql.execution.SparkPlan] =
       p.collectLeaves().flatMap {
@@ -61,8 +61,11 @@ class IvfServeSpec extends AnyFunSuite {
       case p: graft.sources.BtrPackedInputPartition => p.slices.map(_.file).toSeq
       case s: graft.sources.BtrInputPartition => Seq(s.file)
       case _ => Nil
-    }.filter(_.contains("/assign/"))
+    }
   }
+
+  private def scannedAssignFiles(r: DataFrame): Seq[String] =
+    scannedFiles(r).filter(_.contains("/assign/"))
 
   test("IVF-flat build lays assign out one directory per cell, vectors inside") {
     val dir = tmp("flat-layout")
@@ -180,5 +183,63 @@ class IvfServeSpec extends AnyFunSuite {
     assert(pairs(SimilarityOps.ivfTopKServe(qs, dir, k = 5, nprobe = 8)) ==
       pairs(SimilarityOps.bruteForceTopK(qs, df(all), 5)))
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  test("trustIndex fast path: zero corpus files scanned; ivfIndexFresh gates it honestly") {
+    // VERDICT r17 #3: a maintained index whose refresh high-water proves
+    // zero debt must serve ivfTopKIndexed without the per-batch corpus
+    // membership pass. ivfIndexFresh compares the recorded high-water to
+    // the corpus log; trustIndex=true then takes the zero-corpus-I/O path.
+    val dir = tmp("trust-index")
+    val corpusDir = tmp("trust-corpus")
+    val corpus = randVecs(0L until 300L, seed = 57)
+    df(corpus).write.format("btr").mode("overwrite").save(corpusDir)
+    val candidates = spark.read.format("btr").load(corpusDir)
+    val p = new org.apache.hadoop.fs.Path(corpusDir)
+    val fs = p.getFileSystem(graft.format.BtrTableMeta.hadoopConf())
+    val v0 = graft.sources.BtrLog.latestVersion(fs, fs.makeQualified(p)).get
+    SimilarityOps.ivfIndexBuild(candidates, dir, nlist = 8, fitSampleRows = 200,
+      corpusVersion = Some(v0))
+    assert(SimilarityOps.ivfIndexFresh(dir, corpusDir), "built at v0: index is fresh")
+
+    val qs = df(corpus.take(3)).select(col("cid").as("qid"), col("cvec").as("qvec"))
+    val exact = pairs(SimilarityOps.bruteForceTopK(qs, candidates, 5))
+    val trusted = SimilarityOps.ivfTopKIndexed(
+      qs, candidates, dir, k = 5, nprobe = 8, trustIndex = true)
+    assert(pairs(trusted) == exact)
+    // THE fresh-path property: every scanned file is an index file —
+    // zero corpus-table access (today only ivfTopKServe had this)
+    val tf = scannedFiles(trusted)
+    assert(tf.nonEmpty, "plan must scan the assign table")
+    assert(tf.forall(!_.contains(corpusDir)),
+      s"trustIndex plan read corpus files: ${tf.filter(_.contains(corpusDir))}")
+    // contrast: the default (untrusted) path DOES pass over the corpus
+    val untrusted = SimilarityOps.ivfTopKIndexed(qs, candidates, dir, k = 5, nprobe = 8)
+    assert(pairs(untrusted) == exact)
+    assert(scannedFiles(untrusted).exists(_.contains(corpusDir)),
+      "untrusted path keeps its corpus membership pass")
+
+    // a corpus commit flips freshness off...
+    val inc = randVecs(600L until 620L, seed = 58)
+    df(inc).write.format("btr").mode("append").save(corpusDir)
+    val v1 = graft.sources.BtrLog.latestVersion(fs, fs.makeQualified(p)).get
+    assert(v1 > v0)
+    assert(!SimilarityOps.ivfIndexFresh(dir, corpusDir), "unrefreshed commit: stale")
+    // ...and a refresh that reaches the commit's version restores it
+    val feed = inc.map { case (id, v) => (id, v, "insert", v1) }
+      .toDF("cid", "cvec", "_change_type", "_commit_version")
+    SimilarityOps.ivfIndexRefresh(feed, dir, Some("trust"), Some(1L))
+    assert(SimilarityOps.ivfIndexFresh(dir, corpusDir),
+      "refresh recorded the corpus high-water: fresh again")
+    // and the trusted path now serves the refreshed rows, still corpus-free
+    val qs2 = df(inc.take(2)).select(col("cid").as("qid"), col("cvec").as("qvec"))
+    val trusted2 = SimilarityOps.ivfTopKIndexed(
+      qs2, spark.read.format("btr").load(corpusDir), dir, k = 5, nprobe = 8,
+      trustIndex = true)
+    assert(pairs(trusted2) ==
+      pairs(SimilarityOps.bruteForceTopK(qs2, df(corpus ++ inc), 5)))
+    assert(scannedFiles(trusted2).forall(!_.contains(corpusDir)))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(corpusDir))
   }
 }
