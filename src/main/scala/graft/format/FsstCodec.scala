@@ -14,6 +14,15 @@ package graft.format
 object FsstCodec {
   @volatile var enabled: Boolean = true
 
+  /** Capability flag for the jdk.incubator.vector expansion kernel
+    * ([[FsstVectorKernel]]): on when the property allows it AND the
+    * module loads — the first LinkageError (JVM started without
+    * `--add-modules jdk.incubator.vector`) disarms it permanently and
+    * the scalar path serves, so deployments need no flag coordination.
+    */
+  @volatile private[format] var vectorKernel: Boolean =
+    !"false".equalsIgnoreCase(System.getProperty("graft.fsst.vector", "true"))
+
   val Escape = 255
 
   /** Encode a string column: [symbolTable][lengths cascade][bytes]. */
@@ -53,17 +62,38 @@ object FsstCodec {
     val comp = in.getBytes(total)
     val symLen = table.symLen
     val symWord = table.symWord
-    // pass 1: exact decompressed size (escape = 2 in / 1 out) — cheaper
-    // than the alloc+zero+trim of a worst-case 8× buffer (measured).
-    // Codes are validated HERE (one never-taken branch in the sizing
-    // pass, which is memory-bound anyway): symLen/symWord are 256-wide
-    // with zeros past symbols.length, so an out-of-table code from a
-    // corrupt stream would otherwise decode silently as an empty symbol
-    // and pass 2 — which trusts pass 1's validation — keeps its
-    // branch-free word-store shape.
+    // pass 1 (BRANCHLESS, round 18): per-string output sizes through the
+    // outAdd/posAdd tables — outAdd(Escape)=1/posAdd(Escape)=2, else
+    // symLen/1 — so the scattered-escape branch that cost ~15% mispredict
+    // stalls per comp byte in the r17 shape is a pair of indexed loads.
+    // Codes are validated here via outAdd==0 (symbols are 1..8 bytes, so
+    // 0 marks only out-of-table codes — a corrupt stream fails loudly
+    // instead of decoding empty symbols); pass 2 trusts this validation
+    // and keeps its branch-free word-store shape.
+    val outAdd = table.outAdd
     val nSyms = table.symbols.length
+    // pass 1: exact decompressed size, FLAT over the whole buffer (no
+    // string boundaries — the per-string lengths come from pass 2's
+    // cursor). The sizing walk is serial only because each step's
+    // advance depends on the loaded byte; [[FsstVectorKernel.size]]
+    // breaks that with one 16-byte escape-mask vector compare per block
+    // and independent pipelined table loads inside escape-free blocks
+    // (r18: 0.60 → ~1 GB/s whole-decode). Codes are validated here
+    // (outAdd == 0 marks out-of-table; the kernel reports via its bad
+    // accumulator and this scalar walk names the offset), so pass 2
+    // keeps its branch-free word-store shape.
     var exact = 0L
     var p = 0
+    if (vectorKernel) {
+      val cursor = new Array[Int](1)
+      val partial =
+        try FsstVectorKernel.size(comp, total, outAdd, cursor)
+        catch { case _: LinkageError => vectorKernel = false; -1L }
+      if (partial >= 0L) {
+        exact = partial
+        p = cursor(0)
+      } // partial < 0: corrupt code seen — rescan scalar for the offset
+    }
     while (p < total) {
       val code = comp(p) & 0xff
       if (code == Escape) { exact += 1; p += 2 }
@@ -81,6 +111,13 @@ object FsstCodec {
     val bb = java.nio.ByteBuffer.wrap(out).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     val wordSafe = outLen - 8 // last offset where an 8-byte store fits
     val outLens = new Array[Int](count)
+    if (vectorKernel) {
+      try {
+        FsstVectorKernel.expand(comp, lens, count, out, outLen,
+          symWord, symLen, table.symbols, outLens)
+        return (outLens, out)
+      } catch { case _: LinkageError => vectorKernel = false }
+    }
     var q = 0
     p = 0
     i = 0
@@ -139,8 +176,22 @@ final class SymbolTable(val symbols: Array[Array[Byte]]) {
     a
   }
 
-  // longest-match index: first byte → symbol codes sorted by length desc
-  private val byFirst: Array[Array[Int]] = {
+  // sizing table for the vector kernel's escape-free blocks: output
+  // bytes per non-escape code; out-of-table codes keep 0, the
+  // corrupt-stream sentinel (symbols are 1..8 bytes, so 0 is
+  // unreachable for a valid code — FsstVectorKernel folds `outAdd-1`
+  // into a sign accumulator to detect it without a branch).
+  val outAdd: Array[Int] = {
+    val a = new Array[Int](256)
+    System.arraycopy(symLen, 0, a, 0, symbols.length)
+    a(FsstCodec.Escape) = 1
+    a
+  }
+
+  // longest-match index: first byte → symbol codes sorted by length desc.
+  // LAZY: only the compress side needs it — building 256 sorted lists on
+  // every SymbolTable.read cost the DECODE path ~15% (round 18 measured)
+  private lazy val byFirst: Array[Array[Int]] = {
     val tmp = Array.fill(256)(List.empty[Int])
     var c = 0
     while (c < symbols.length) {

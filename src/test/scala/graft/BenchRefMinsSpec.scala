@@ -64,6 +64,31 @@ class BenchRefMinsSpec extends AnyFunSuite {
     assert(Bench.parseRefMins(window, "/root/testdata/sf1", names.toSet).isEmpty)
   }
 
+  test("the qv line reconstructs the COMPLETE battery from a 2000-char window") {
+    // VERDICT r17 #6: the named map outgrows the driver's tail window at
+    // ~87 queries. The final qv line (name-sorted values only) fits whole,
+    // so the committed artifact carries every row without backfill.
+    val names = SparkEntry.queries.keySet.toSeq.sorted
+    val results = names.zipWithIndex.map { case (n, i) => n -> (0.05 + i * 0.001) }
+    val full = Bench.tailLine(results.map(_._2).sum, names.size,
+      Bench.formatQueries(results), sf) + "\n" +
+      Bench.qvLine(results.map(_._2).sum, results, sf)
+    val window = (full.replace("\"", "\\\"") +
+      "\\n[success] Total time: 295 s\n\",\n  \"parsed\": null\n}").takeRight(2000)
+    val mins = Bench.parseRefMins(window, sf, names.toSet)
+    assert(mins.size == names.size,
+      s"qv window must carry ALL ${names.size} rows, got ${mins.size}")
+    results.foreach { case (n, v) =>
+      assert(math.abs(mins(n) - v) < 0.0005, s"$n: ${mins(n)} vs $v")
+    }
+    // a battery whose query set changed (count mismatch) falls back to
+    // the surviving named pairs instead of mis-zipping values to names
+    val fewer = Bench.parseRefMins(window, sf, names.toSet - names.head)
+    assert(!fewer.contains(names.head) || fewer(names.head) == results.head._2)
+    // cross-scale still gates to empty
+    assert(Bench.parseRefMins(window, "/root/testdata/sf1", names.toSet).isEmpty)
+  }
+
   test("the production newest-first artifact walk yields per-query mins") {
     // BENCH_r16.json committed the broken col_bw-after-queries shape (its
     // tail has zero pairs), so the NEWEST artifact alone is not pinned —

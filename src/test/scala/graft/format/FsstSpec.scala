@@ -107,4 +107,50 @@ class FsstSpec extends AnyFunSuite {
     val want = df.orderBy("id").select("url").as[String].collect()
     assert(back.sameElements(want), "fsst round-trip must be byte-exact")
   }
+
+  test("vector kernel and scalar fallback decode identically (capability flag)") {
+    // the jdk.incubator.vector kernel is a pure speedup: with the flag
+    // off (the path a JVM without --add-modules lands on via the
+    // LinkageError fallback) the decode is bit-identical
+    val rnd = new scala.util.Random(99)
+    val vals = Array.fill(5000)(
+      s"https://host-${rnd.nextInt(40)}.example/p/${rnd.nextInt(100000)}ÿ${rnd.nextLong()}"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val out = new BufWriter(1 << 18)
+    FsstCodec.encodeStrings(out, vals, vals.length, 2)
+    val enc = out.result()
+    val was = FsstCodec.vectorKernel
+    try {
+      FsstCodec.vectorKernel = true
+      val (l1, b1) = FsstCodec.decodeStrings(new BufReader(enc), vals.length)
+      FsstCodec.vectorKernel = false
+      val (l2, b2) = FsstCodec.decodeStrings(new BufReader(enc), vals.length)
+      assert(java.util.Arrays.equals(l1, l2), "outLens must match across kernels")
+      assert(java.util.Arrays.equals(b1, b2), "bytes must match across kernels")
+      val flat = vals.flatMap(x => x)
+      assert(java.util.Arrays.equals(b1, flat), "decode must reproduce the input")
+    } finally FsstCodec.vectorKernel = was
+  }
+
+  test("corrupt codes fail loudly through BOTH kernels") {
+    val vals = Array.fill(200)("plainplainplain".getBytes("UTF-8"))
+    val out = new BufWriter(1 << 14)
+    FsstCodec.encodeStrings(out, vals, vals.length, 2)
+    val enc = out.result()
+    // find a code byte in the payload region and replace it with an
+    // out-of-table code (tables here train far fewer than 254 symbols)
+    // mid-payload so the vector kernel's block path (not just the scalar
+    // tail) sees it; the ~1KB comp payload sits at the end of enc
+    val corrupted = java.util.Arrays.copyOf(enc, enc.length)
+    corrupted(enc.length - 100) = 250.toByte
+    val was = FsstCodec.vectorKernel
+    try {
+      for (flag <- Seq(true, false)) {
+        FsstCodec.vectorKernel = flag
+        intercept[java.io.IOException] {
+          FsstCodec.decodeStrings(new BufReader(corrupted), vals.length)
+        }
+      }
+    } finally FsstCodec.vectorKernel = was
+  }
 }
