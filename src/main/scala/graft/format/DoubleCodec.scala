@@ -312,7 +312,11 @@ object DoubleCodec {
     var best = Uncompressed
     var bestSize = 1L + count.toLong * 8
     fEst(Uncompressed) = bestSize
-    if (depth >= 1 && cfg.doubleEnabled(Dict) && s.sDistinct * 2 <= s.sampleN) {
+    // gate matches the int side: the corrected NDV estimate self-prices
+    // dict out of near-unique chunks (table = 8 B × NDV), so the old
+    // hard half-distinct sample gate — which excluded dict on scattered
+    // double spaces the way the int side excluded product_id — is gone
+    if (depth >= 1 && cfg.doubleEnabled(Dict) && s.distinctEst < s.count) {
       val codeBits = math.max(1, Bitpack.bitsFor((s.distinctEst - 1).toLong))
       val e = 8L + s.distinctEst.toLong * 8 + Bitpack.packedBytes(count, codeBits)
       fEst(Dict) = e
