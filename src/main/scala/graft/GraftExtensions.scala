@@ -267,6 +267,17 @@ object GraftExtensions {
       Seq(Tuple1(n)).toDF("stale_rows")
     }
     ,
+    ivfTvf("ivf_index_fresh",
+      "ivf_index_fresh(indexDir, tableDir) - true when the index's recorded corpus " +
+        "high-water (build snapshot or refresh) covers the corpus table's latest " +
+        "commit, i.e. ivfTopKIndexed(trustIndex=true) may serve with zero corpus I/O",
+      2, 2) { (spark, args) =>
+      import spark.implicits._
+      val Seq(idxDir, table) = args.map(strLit(_, "ivf_index_fresh"))
+      val f = graft.functions.SimilarityOps.ivfIndexFresh(idxDir, table)
+      Seq(Tuple1(f)).toDF("fresh")
+    }
+    ,
     ivfTvf("ivf_index_drift",
       "ivf_index_drift(tableDir, idCol, vecCol, indexDir[, sampleRows]) - corpus " +
         "drift ratio vs the build-time mean centroid cosine (~1 healthy, <0.8 re-fit)",

@@ -95,6 +95,37 @@ object PipelineQueries {
     dir
   }
 
+  /** Fixture for the trusted-serving gate (`q_ann_ivf_trusted`): the
+    * embeddings corpus as a btr TABLE (so it has a commit log) plus an
+    * IVF-flat index built recording that table's latest commit version —
+    * [[graft.functions.SimilarityOps.ivfIndexFresh]] then PROVES zero
+    * index debt and the query may take the trustIndex fast path (zero
+    * corpus file access, plan-pinned in IvfServeSpec).
+    */
+  private def ivfTrustedDirs(s: SparkSession, d: String): (String, String) = {
+    val root = Btr.cachePath(d, "ivf_trusted")
+    val table = s"$root/corpus"
+    val idx = s"$root/index"
+    val done = new java.io.File(root, "_built_v1")
+    if (!done.exists()) {
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(graft.format.BtrTableMeta.hadoopConf())
+      val qroot = fs.makeQualified(new org.apache.hadoop.fs.Path(root))
+      if (fs.exists(qroot)) fs.delete(qroot, true) // partial build: wipe
+      t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+        .write.format("btr").mode("overwrite").save(table)
+      val p = new org.apache.hadoop.fs.Path(table)
+      val tfs = p.getFileSystem(graft.format.BtrTableMeta.hadoopConf())
+      val v = graft.sources.BtrLog.latestVersion(tfs, tfs.makeQualified(p))
+      val cands = s.read.format("btr").load(table)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      graft.functions.SimilarityOps.ivfIndexBuild(cands, idx, nlist = 16,
+        corpusVersion = v)
+      new java.io.FileOutputStream(done).close()
+    }
+    (table, idx)
+  }
+
   /** Cached fixture for the CDC-driven index refresh gate
     * (`q_ann_ivf_refresh`): corpus table (retained) at v1 → index built
     * from v1 → DELETE `vec_id % 7 = 3` (v2) → append the +2,000,000
@@ -426,6 +457,39 @@ object PipelineQueries {
           Seq("qid", "cid"), "left")
         .agg(count(lit(1)).as("n_exact"),
           (count(col("hit")).cast("double") / count(lit(1)) >= 0.3).as("recall_ok"))
+        .crossJoin(fo) // 1×1
+    }),
+
+    // Trusted IVF serving under the gate (VERDICT r17 #3): the corpus is
+    // a btr table, the index records its commit version at build, and
+    // ivfIndexFresh PROVES zero debt — so ivfTopKIndexed(trustIndex=true)
+    // skips the per-batch corpus membership pass entirely (zero corpus
+    // file access, plan-pinned in IvfServeSpec). The gate checks the
+    // freshness proof held, the trusted result equals the untrusted one
+    // row-for-row, and recall against DuckDB's exact ranking.
+    "q_ann_ivf_trusted" -> ((s, d) => {
+      val (table, idx) = ivfTrustedDirs(s, d)
+      val fresh = SimilarityOps.ivfIndexFresh(idx, table)
+      val cands = s.read.format("btr").load(table)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val queries = cands.filter(col("cid") < 10)
+        .select(col("cid").as("qid"), col("cvec").as("qvec"))
+      val trusted = SimilarityOps.ivfTopKIndexed(
+        queries, cands, idx, 3, nprobe = 6, trustIndex = fresh)
+        .select(col("qid"), col("cid"), col("rank"))
+      val untrusted = SimilarityOps.ivfTopKIndexed(queries, cands, idx, 3, nprobe = 6)
+        .select(col("qid"), col("cid"), col("rank"))
+      val fo = trusted.withColumn("ia", lit(1))
+        .join(untrusted.withColumn("ib", lit(1)), Seq("qid", "cid", "rank"), "full_outer")
+        .agg((count(lit(1)) === count(col("ia")) &&
+          count(lit(1)) === count(col("ib"))).as("trusted_matches_untrusted"))
+      val exact = SimilarityOps.bruteForceTopK(queries, cands, 3)
+        .select(col("qid"), col("cid"))
+      exact.join(trusted.select(col("qid"), col("cid"), lit(1).as("hit")),
+          Seq("qid", "cid"), "left")
+        .agg(count(lit(1)).as("n_exact"),
+          (count(col("hit")).cast("double") / count(lit(1)) >= 0.3).as("recall_ok"))
+        .withColumn("fresh_ok", lit(fresh))
         .crossJoin(fo) // 1×1
     }),
 
@@ -1324,6 +1388,18 @@ object PipelineQueries {
         | FROM sims)
         |SELECT count(*) AS n_exact, true AS recall_ok,
         | true AS serve_matches_indexed
+        |FROM ranked WHERE rank <= 3""".stripMargin,
+    "q_ann_ivf_trusted" ->
+      """WITH sims AS (
+        | SELECT q.vec_id AS qid, c.vec_id AS cid,
+        |  list_cosine_similarity(q.embedding, c.embedding) AS cos
+        | FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        | WHERE q.vec_id < 10),
+        | ranked AS (SELECT qid, cid,
+        |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rank
+        | FROM sims)
+        |SELECT count(*) AS n_exact, true AS recall_ok,
+        | true AS fresh_ok, true AS trusted_matches_untrusted
         |FROM ranked WHERE rank <= 3""".stripMargin,
     "q_ann_ivf_refresh" ->
       """WITH cur AS (

@@ -335,6 +335,9 @@ class GraftExtensionsSpec extends AnyFunSuite {
     spark.sql(s"DELETE FROM graft.`$table` WHERE vec_id % 10 = 0") // v2
     val fresh = (1000L until 1015L).map(i => (i, Seq.fill(8)(rnd.nextGaussian().toFloat)))
     fresh.toDF("vec_id", "embedding").write.format("btr").mode("append").save(table) // v3
+    // freshness TVF: commits the index has not applied → NOT fresh
+    assert(!spark.sql(s"SELECT * FROM ivf_index_fresh('$idxSql', '$table')")
+      .head.getBoolean(0), "unapplied corpus commits must read as stale")
     val r = spark.sql("SELECT * FROM ivf_index_refresh(" +
       s"'$table', 'vec_id', 'embedding', '$idxSql', 'sqlapp', 1, 3)").head
     // rows_assigned covers the fresh appends PLUS the CoW rewrite's
@@ -352,6 +355,11 @@ class GraftExtensionsSpec extends AnyFunSuite {
     val replay = spark.sql("SELECT * FROM ivf_index_refresh(" +
       s"'$table', 'vec_id', 'embedding', '$idxSql', 'sqlapp', 1, 3)").head
     assert(replay.getBoolean(3) && replay.getLong(0) == 0L)
+
+    // ...and the refresh recorded its high-water: now provably fresh,
+    // so ivfTopKIndexed(trustIndex=true) may skip the corpus pass
+    assert(spark.sql(s"SELECT * FROM ivf_index_fresh('$idxSql', '$table')")
+      .head.getBoolean(0), "refresh to the corpus head must read as fresh")
 
     // STALENESS and DRIFT TVFs equal the Scala probes
     val current = spark.read.format("btr").load(table)
