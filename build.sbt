@@ -24,13 +24,11 @@ val jdk17AddOpens = Seq(
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 javaOptions ++= jdk17AddOpens ++ Seq(
-  // FsstVectorKernel (jdk.incubator.vector) — a JVM launched without
-  // this module falls back to the scalar FSST path at runtime
-  "--add-modules=jdk.incubator.vector",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
-// compile the Java vector kernel against the incubator module (warning
-// about incubator usage is expected and harmless)
-javacOptions ++= Seq("--add-modules", "jdk.incubator.vector", "--release", "17")
+// FsstVectorKernel.java (SWAR sizing + VarHandle word stores) is plain
+// java.base — the jdk.incubator.vector variant was measured and
+// rejected for its pre-C2 interpreter cliff (BASELINE.md round 18)
+javacOptions ++= Seq("--release", "17")

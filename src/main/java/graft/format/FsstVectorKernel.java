@@ -1,29 +1,37 @@
 package graft.format;
 
-import jdk.incubator.vector.ByteVector;
-import jdk.incubator.vector.VectorSpecies;
-
 /**
- * JDK 17 incubator Vector API kernel for FSST decode (VERDICT r17
- * "what's missing" #1). The expansion pass is bound by its per-string
- * output-length accounting, but the SIZING pass is a flat reduction over
- * the whole compressed buffer — the serial escape-walk is what costs:
- * each step's advance depends on the loaded byte. This kernel scans
- * 16-byte blocks with ONE vector compare against the escape byte; an
- * escape-free block (the overwhelmingly common case — measured 90.6%
- * on the kernel-bench corpus at 0.6% escape rate) sums 16 symbol
- * lengths through INDEPENDENT table loads (no loop-carried load chain,
- * so the CPU pipelines them), and only escape-bearing blocks fall back
- * to the serial walk. Loaded behind a capability flag in
- * {@link FsstCodec}; a JVM without {@code --add-modules
- * jdk.incubator.vector} falls back to the scalar path on the first
- * {@link LinkageError}.
+ * Java kernels for FSST decode (VERDICT r17 "what's missing" #1).
+ *
+ * The sizing pass scans 16-byte blocks for the escape byte with SWAR
+ * (two unaligned long loads + the has-zero-byte trick on the inverted
+ * word); an escape-free block (90.6% measured on the kernel-bench
+ * corpus at 0.6% escape rate) sums 16 symbol lengths through
+ * INDEPENDENT table loads — no loop-carried load chain, so the CPU
+ * pipelines them — and only escape-bearing blocks fall back to the
+ * serial walk. An equivalent {@code jdk.incubator.vector} variant was
+ * measured first (same warm speed, +5% over scalar) but pays the
+ * incubator interpreter cliff before C2 compiles it (a cold single-pass
+ * decode of a small column dropped 146 → 27 MB/s); SWAR replicates the
+ * win with ordinary JIT behavior and no module dependency.
+ *
+ * The expansion pass is plain Java with a little-endian byte-array
+ * VarHandle view: {@code invokeExact} from Java compiles to the raw
+ * intrinsic (the Scala 2.13 equivalent boxes), and the view's bounds
+ * check is leaner than ByteBuffer's checkIndex (+29% measured).
  */
 public final class FsstVectorKernel {
   private FsstVectorKernel() {}
 
-  private static final VectorSpecies<Byte> B16 = ByteVector.SPECIES_128;
-  private static final byte ESC = (byte) 0xFF;
+  private static final java.lang.invoke.VarHandle LONG =
+      java.lang.invoke.MethodHandles.byteArrayViewVarHandle(
+          long[].class, java.nio.ByteOrder.LITTLE_ENDIAN);
+
+  /** SWAR: true iff any byte of {@code w} is 0xFF. */
+  private static boolean hasFF(long w) {
+    long v = ~w; // 0xFF bytes become 0x00
+    return ((v - 0x0101010101010101L) & ~v & 0x8080808080808080L) != 0;
+  }
 
   /**
    * Sum decoded sizes over a prefix of {@code comp[0,total)}. Writes the
@@ -37,8 +45,10 @@ public final class FsstVectorKernel {
     int bad = 0; // valid outAdd is 1..8, so (outAdd-1) keeps the sign clear
     final int safe = total - 17; // block load + escape-literal lookahead
     while (p <= safe) {
-      ByteVector v = ByteVector.fromArray(B16, comp, p);
-      if (!v.eq(ESC).anyTrue()) {
+      long w0 = (long) LONG.get(comp, p);
+      long w1 = (long) LONG.get(comp, p + 8);
+      if (!hasFF(w0) && !hasFF(w1)) {
+        // escape-free block: 16 independent table loads, no branches
         int s = 0;
         for (int k = 0; k < 16; k++) {
           int a = outAdd[comp[p + k] & 0xff];
@@ -67,16 +77,9 @@ public final class FsstVectorKernel {
     return bad < 0 ? -1L : exact;
   }
 
-  private static final java.lang.invoke.VarHandle LONG =
-      java.lang.invoke.MethodHandles.byteArrayViewVarHandle(
-          long[].class, java.nio.ByteOrder.LITTLE_ENDIAN);
-
   /**
-   * Per-string symbol expansion (pass 2), plain Java: the word store
-   * goes through a little-endian byte-array VarHandle view —
-   * {@code invokeExact} from Java compiles to the raw intrinsic,
-   * where the Scala 2.13 equivalent boxes (so the Scala path uses
-   * ByteBuffer instead, with its heavier checkIndex).
+   * Per-string symbol expansion (pass 2): word stores through the
+   * little-endian VarHandle view, byte stores near the buffer end.
    */
   public static void expand(byte[] comp, int[] lens, int count,
       byte[] out, int outLen, long[] symWord, int[] symLen, byte[][] symbols,

@@ -14,11 +14,11 @@ package graft.format
 object FsstCodec {
   @volatile var enabled: Boolean = true
 
-  /** Capability flag for the jdk.incubator.vector expansion kernel
-    * ([[FsstVectorKernel]]): on when the property allows it AND the
-    * module loads — the first LinkageError (JVM started without
-    * `--add-modules jdk.incubator.vector`) disarms it permanently and
-    * the scalar path serves, so deployments need no flag coordination.
+  /** Capability flag for the Java decode kernels ([[FsstVectorKernel]]:
+    * SWAR escape-scan sizing + VarHandle word-store expansion, both
+    * plain java.base). `-Dgraft.fsst.vector=false` opts out for A/B; a
+    * LinkageError on first use (defensive — nothing outside java.base
+    * is referenced) disarms it permanently and the scalar path serves.
     */
   @volatile private[format] var vectorKernel: Boolean =
     !"false".equalsIgnoreCase(System.getProperty("graft.fsst.vector", "true"))
@@ -62,26 +62,18 @@ object FsstCodec {
     val comp = in.getBytes(total)
     val symLen = table.symLen
     val symWord = table.symWord
-    // pass 1 (BRANCHLESS, round 18): per-string output sizes through the
-    // outAdd/posAdd tables — outAdd(Escape)=1/posAdd(Escape)=2, else
-    // symLen/1 — so the scattered-escape branch that cost ~15% mispredict
-    // stalls per comp byte in the r17 shape is a pair of indexed loads.
-    // Codes are validated here via outAdd==0 (symbols are 1..8 bytes, so
-    // 0 marks only out-of-table codes — a corrupt stream fails loudly
-    // instead of decoding empty symbols); pass 2 trusts this validation
-    // and keeps its branch-free word-store shape.
     val outAdd = table.outAdd
     val nSyms = table.symbols.length
     // pass 1: exact decompressed size, FLAT over the whole buffer (no
     // string boundaries — the per-string lengths come from pass 2's
     // cursor). The sizing walk is serial only because each step's
     // advance depends on the loaded byte; [[FsstVectorKernel.size]]
-    // breaks that with one 16-byte escape-mask vector compare per block
-    // and independent pipelined table loads inside escape-free blocks
-    // (r18: 0.60 → ~1 GB/s whole-decode). Codes are validated here
-    // (outAdd == 0 marks out-of-table; the kernel reports via its bad
-    // accumulator and this scalar walk names the offset), so pass 2
-    // keeps its branch-free word-store shape.
+    // breaks that with a SWAR escape scan (two long loads) per 16-byte
+    // block and independent pipelined table loads inside escape-free
+    // blocks. Codes are validated here (outAdd == 0 marks out-of-table;
+    // the kernel reports via its bad accumulator and this scalar walk
+    // names the offset), so pass 2 keeps its branch-free word-store
+    // shape.
     var exact = 0L
     var p = 0
     if (vectorKernel) {
