@@ -327,8 +327,10 @@ object DoubleCodec {
       fEst(Rle) = e
       if (e < bestSize) { best = Rle; bestSize = e }
     }
+    // sampled top-share gate at 87% = the 90% population gate − 2σ of a
+    // 640-value sample (see IntCodec.formulaEstimate's Frequency case)
     if (depth >= 1 && cfg.doubleEnabled(Frequency) && s.sDistinct * 2 <= s.sampleN &&
-      s.sTopCount.toLong * 10 >= s.sampleN.toLong * 9) {
+      s.sTopCount.toLong * 100 >= s.sampleN.toLong * 87) {
       val exc = math.round(count.toLong * (s.sampleN - s.sTopCount).toDouble / math.max(1, s.sampleN))
       val e = 16L + exc * 11 + 16
       fEst(Frequency) = e

@@ -311,8 +311,15 @@ object IntCodec {
         }
       case Frequency =>
         // gates per SchemeConfig.hpp:17 + Frequency.hpp:42-46, evaluated
-        // as sample proportions
-        if (depth < 1 || s.sDistinct * 2 > s.sampleN || s.sTopCount.toLong * 10 < s.sampleN.toLong * 9)
+        // as sample proportions. The top-share gate is 90% of the
+        // POPULATION; a 640-value sample of a 90.1%-constant stream reads
+        // below 90% almost half the time (σ ≈ 1.2%), coin-flipping
+        // eligibility on streams sitting at the boundary (price's
+        // exponent cascade lost 7% bytes to exactly this), so the sampled
+        // gate runs at 87% (gate − 2σ) and the size race decides — the
+        // encoder recounts exceptions exactly either way
+        if (depth < 1 || s.sDistinct * 2 > s.sampleN ||
+          s.sTopCount.toLong * 100 < s.sampleN.toLong * 87)
           Long.MaxValue
         else {
           val exc = math.round(n * (s.sampleN - s.sTopCount).toDouble / math.max(1, s.sampleN))
