@@ -485,11 +485,15 @@ object Bench {
     else {
       // compact values line first (round 18): the FULL map survives any
       // ~2000-char suffix window; valid only when the value count equals
-      // the current query set (a battery that gained/lost queries since
-      // the artifact falls back to whatever named pairs survived)
+      // the current query set AND — when the artifact carries one (round
+      // 19) — the name-set fingerprint matches. Count alone is spoofable
+      // by a battery that renamed/replaced queries at constant size,
+      // which would silently assign every artifact min to the wrong
+      // query; a mismatched fingerprint falls back to named pairs.
       val qv = QvRe.findAllMatchIn(text).toSeq.lastOption.flatMap { m =>
         val vals = m.group(1).split(',').filter(_.nonEmpty)
-        if (vals.length == known.size)
+        val refQh = QhRe.findAllMatchIn(text).map(_.group(1)).toSeq.lastOption
+        if (vals.length == known.size && refQh.forall(_ == querySetFingerprint(known)))
           Some(known.toSeq.sorted.zip(vals.map(_.toDouble)).toMap)
         else None
       }
@@ -503,6 +507,16 @@ object Bench {
   }
 
   private val QvRe = "\"qv\":\"([0-9.,]*)\"".r
+  private val QhRe = "\"qh\":\"([0-9a-f]+)\"".r
+
+  /** Order-insensitive fingerprint of the battery's query-name set —
+    * 8 hex chars of the sorted, comma-joined names' String.hashCode
+    * (specified by the JLS, so stable across JVMs/rounds). Embedded in
+    * [[qvLine]] and checked by [[parseRefMins]] so a positional zip can
+    * never pair an old artifact's values with a renamed battery.
+    */
+  def querySetFingerprint(names: Set[String]): String =
+    f"${names.toSeq.sorted.mkString(",").hashCode}%08x"
 
   /** The compact values line, printed LAST: per-query seconds in QUERY-
     * NAME-SORTED order, values only (~6 chars/query vs ~20 for named
@@ -513,6 +527,9 @@ object Bench {
     */
   def qvLine(total: Double, results: Seq[(String, Double)], sfDir: String): String = {
     val vals = results.sortBy(_._1).map { case (_, v) => f"$v%.3f" }.mkString(",")
-    f"""{"metric":"total","value":$total%.3f,"unit":"sec","nq":${results.size},"qv":"$vals","sf":"$sfDir"}"""
+    val qh = querySetFingerprint(results.map(_._1).toSet)
+    // field order = suffix-truncation survivability: qv's head may clip
+    // in an extreme window, but qh and sf ride the tail with it
+    f"""{"metric":"total","value":$total%.3f,"unit":"sec","nq":${results.size},"qv":"$vals","qh":"$qh","sf":"$sfDir"}"""
   }
 }

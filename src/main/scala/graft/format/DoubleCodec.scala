@@ -186,8 +186,13 @@ object DoubleCodec {
     // pseudodecimal cascade (whose digit stream inherits the value runs)
     // is several times smaller — and a ≤ count/32-run chunk is cheap to
     // encode under every candidate.
+    // near-constant escalation: parity with the int side — a sample whose
+    // minority values number < 64 decides its scheme race on small-sample
+    // variance, while the chunk itself is cheap under every candidate
     if (cfg.tryAll ||
-      (cfg.measuredEstimate && depth >= 1 && count >= 1024 && s.runCount.toLong * 32 <= count)) {
+      (cfg.measuredEstimate && depth >= 1 && count >= 1024 &&
+        (s.runCount.toLong * 32 <= count ||
+          (count > s.sampleN && s.sampleN - s.sTopCount < 64)))) {
       tryAllEncode(out, values, count, depth, cfg, s, seed)
       return
     }
@@ -327,10 +332,10 @@ object DoubleCodec {
       fEst(Rle) = e
       if (e < bestSize) { best = Rle; bestSize = e }
     }
-    // sampled top-share gate at 87% = the 90% population gate − 2σ of a
-    // 640-value sample (see IntCodec.formulaEstimate's Frequency case)
+    // sampled top-share gate at 90% − 2σ of THIS sample size (87% at the
+    // default 640 values; see IntStats.sampledFreqGate)
     if (depth >= 1 && cfg.doubleEnabled(Frequency) && s.sDistinct * 2 <= s.sampleN &&
-      s.sTopCount.toLong * 100 >= s.sampleN.toLong * 87) {
+      s.sTopCount >= s.sampleN * IntStats.sampledFreqGate(s.sampleN, count)) {
       val exc = math.round(count.toLong * (s.sampleN - s.sTopCount).toDouble / math.max(1, s.sampleN))
       val e = 16L + exc * 11 + 16
       fEst(Frequency) = e

@@ -43,6 +43,25 @@ final case class IntStats(
 }
 
 object IntStats {
+
+  /** Sampled Frequency-eligibility threshold: the 90% population
+    * top-share gate (ref SchemeConfig.hpp:17) minus TWO binomial
+    * standard errors of THIS sample size — 2·sqrt(p(1−p)/n) at p=0.9 —
+    * so a boundary stream's eligibility is not coin-flipped by sampling
+    * noise. Derived from the actual n (not hardcoded to the default
+    * 640-value sample's 87%), so a config that raises sampleRuns/runLen
+    * keeps exactly the margin its σ warrants instead of admitting more
+    * false-eligibles than intended. An exhaustive "sample"
+    * (sampleN >= count) has zero sampling error and gets the full
+    * population gate. The margin only admits candidates into the size
+    * race — the encoder recounts exceptions exactly either way.
+    */
+  def sampledFreqGate(sampleN: Int, count: Int): Double = {
+    val p = 0.90
+    if (sampleN >= count || sampleN <= 0) p
+    else p - 2.0 * math.sqrt(p * (1.0 - p) / sampleN)
+  }
+
   def compute(
       values: Array[Long],
       count: Int,
@@ -316,10 +335,11 @@ object IntCodec {
         // below 90% almost half the time (σ ≈ 1.2%), coin-flipping
         // eligibility on streams sitting at the boundary (price's
         // exponent cascade lost 7% bytes to exactly this), so the sampled
-        // gate runs at 87% (gate − 2σ) and the size race decides — the
-        // encoder recounts exceptions exactly either way
+        // gate runs at gate − 2σ for THIS sample size (87% at the default
+        // 640) and the size race decides — the encoder recounts
+        // exceptions exactly either way
         if (depth < 1 || s.sDistinct * 2 > s.sampleN ||
-          s.sTopCount.toLong * 100 < s.sampleN.toLong * 87)
+          s.sTopCount < s.sampleN * IntStats.sampledFreqGate(s.sampleN, s.count))
           Long.MaxValue
         else {
           val exc = math.round(n * (s.sampleN - s.sTopCount).toDouble / math.max(1, s.sampleN))
@@ -424,8 +444,19 @@ object IntCodec {
     // extrapolated estimate is biased), while a chunk with ≤ count/32 runs
     // is cheap to encode under every candidate — bounded by the cost the
     // reference's own TRY_ALL mode pays on EVERY chunk.
+    // Near-constant chunks (e.g. a 98%-null column's dict-codes stream,
+    // where one placeholder code dominates) escalate for the same
+    // structural reason: the sample's MINORITY values — the only signal
+    // the freq-vs-rle-vs-dict race has — number < 64, so the race is
+    // decided by small-sample variance (promo_code's 1.09× stake, r18).
+    // Such chunks are cheap to encode under every candidate: minority
+    // < 10% of a 640-value sample implies run count ≈ 2× the minority
+    // share of rows, so every candidate encode is run- or
+    // exception-bounded, within the reference TRY_ALL's per-chunk cost.
     if (cfg.tryAll ||
-      (cfg.measuredEstimate && depth >= 1 && count >= 1024 && s.runCount.toLong * 32 <= count)) {
+      (cfg.measuredEstimate && depth >= 1 && count >= 1024 &&
+        (s.runCount.toLong * 32 <= count ||
+          (count > s.sampleN && s.sampleN - s.sTopCount < 64)))) {
       tryAllEncode(out, values, count, physWidth, depth, cfg, s)
       return
     }

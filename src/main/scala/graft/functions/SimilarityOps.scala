@@ -557,10 +557,20 @@ object SimilarityOps {
   private[graft] def ivfIndexState(indexDir: String): IvfIndexState = {
     val (fs, root) = indexFs(indexDir)
     val ptr = new org.apache.hadoop.fs.Path(root, "_current")
+    // An unparseable pointer body (torn/partial write — `_current` is
+    // rewritten on EVERY refresh by advanceRefreshHighWater, so the
+    // exposure window recurs) must NOT fail the read path: the published
+    // markers are the declared authority and carry the same JSON body,
+    // so resolution simply falls through to them. The next publish or
+    // refresh rewrites the pointer and repairs the cache.
     val ptrState: Option[(Long, Option[Long], Option[Long])] =
-      readSmallFile(fs, ptr).map { s =>
-        parsePtrBody(s).getOrElse(throw new IllegalStateException(
-          s"ivf index pointer $ptr is unparseable: $s"))
+      readSmallFile(fs, ptr).flatMap { s =>
+        val parsed = parsePtrBody(s)
+        if (parsed.isEmpty)
+          org.apache.log4j.Logger.getLogger(getClass).warn(
+            s"ivfIndexState: pointer at $ptr is unparseable (torn write?): " +
+              s"'$s' — resolving from published markers instead")
+        parsed
       }
     // published markers are the authority: the resolved build is the MAX
     // of the pointer and the highest marker, so a stale/backwards pointer
@@ -998,7 +1008,7 @@ object SimilarityOps {
       // filter that caller's next batches)
       val hwRow = net.agg(max(col("ver"))).collect()(0)
       if (!hwRow.isNullAt(0) && hwRow.getLong(0) > 0L)
-        advanceRefreshHighWater(indexDir, hwRow.getLong(0))
+        advanceRefreshHighWater(indexDir, hwRow.getLong(0), appliedTo = state)
       IvfRefreshStats(n, nDead, drift, replayed = false)
     } finally net.unpersist(blocking = false)
   }
@@ -1009,11 +1019,32 @@ object SimilarityOps {
     * out-ranks this stale-build pointer at resolution, and a lost
     * pointer falls back to the marker's (conservative, absent)
     * high-water.
+    *
+    * `appliedTo` is the state the refresh actually APPLIED against
+    * (resolved once at [[ivfIndexRefresh]] entry, the resolve-once
+    * contract). If a rebuild published between the refresh's
+    * application and this write, stamping the freshly-resolved NEW
+    * build with a high-water earned by rows appended to the OLD build
+    * would let [[ivfIndexFresh]] prove freshness the new build does
+    * not have — and `trustIndex = true` would then silently serve
+    * results missing the commits in (newBuild.corpusVersion, hw]. So
+    * when the resolved build differs from `appliedTo`, this NO-OPs:
+    * the superseded build's high-water is conservatively dropped (the
+    * documented degradation — the next refresh against the new build
+    * re-earns it), never transplanted.
     */
-  private def advanceRefreshHighWater(indexDir: String, hw: Long): Unit = {
+  private def advanceRefreshHighWater(
+      indexDir: String, hw: Long, appliedTo: IvfIndexState): Unit = {
     val (fs, root) = indexFs(indexDir)
     val st = ivfIndexState(indexDir)
     if (st.buildVersion == 0L) return // pre-pointer layout: nowhere to record
+    if (st.buildVersion != appliedTo.buildVersion) {
+      org.apache.log4j.Logger.getLogger(getClass).warn(
+        s"advanceRefreshHighWater: refresh applied to build v${appliedTo.buildVersion} " +
+          s"but v${st.buildVersion} is now current — dropping high-water $hw " +
+          "(the superseded build's freshness proof does not transfer)")
+      return
+    }
     val newHw = math.max(hw, st.refreshHighWater.getOrElse(0L))
     val body = s"""{"v":${st.buildVersion}""" +
       st.corpusVersion.map(v => s""","corpusVersion":$v""").getOrElse("") +

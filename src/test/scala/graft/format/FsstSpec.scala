@@ -109,9 +109,11 @@ class FsstSpec extends AnyFunSuite {
   }
 
   test("vector kernel and scalar fallback decode identically (capability flag)") {
-    // the jdk.incubator.vector kernel is a pure speedup: with the flag
-    // off (the path a JVM without --add-modules lands on via the
-    // LinkageError fallback) the decode is bit-identical
+    // the fast kernel is plain java.base SWAR + VarHandle
+    // (FsstVectorKernel.java — the incubator Vector API variant was
+    // measured and rejected for its cold-path interpreter cliff); it is
+    // a pure speedup, so with the flag off (the path a LinkageError
+    // disarm lands on) the decode is bit-identical
     val rnd = new scala.util.Random(99)
     val vals = Array.fill(5000)(
       s"https://host-${rnd.nextInt(40)}.example/p/${rnd.nextInt(100000)}ÿ${rnd.nextLong()}"
