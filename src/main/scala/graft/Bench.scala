@@ -200,6 +200,11 @@ object Bench {
       fromFull ++ fromDriver
     }
     val loadBefore = loadavg()
+    // VERDICT r18 #3: the box-health canary rides INSIDE every artifact —
+    // the no-Spark int/uncompressed decode GB/s before and after the run
+    // (healthy ≈ 8.2–8.6 on the reference box), so a cross-round total
+    // drift self-attributes to the box without a writer×reader A/B matrix
+    val canaryBefore = graft.tools.KernelBench.canaryGbps()
     def timeQuery(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double =
       (1 to reps).map { _ =>
         secs {
@@ -408,8 +413,15 @@ object Bench {
     val selQuality =
       if (tryallBytes > 0) sampleLineitemBytes.toDouble / tryallBytes else 0.0
     val loadAfter = loadavg()
+    val canaryAfter = graft.tools.KernelBench.canaryGbps()
+    // normalized total = what this run's total WOULD read on a healthy
+    // box: total × measured/reference canary (a loaded box decodes the
+    // canary slower AND runs queries slower by roughly the same ambient
+    // factor, so the product cancels the box state to first order)
+    val canaryMean = (canaryBefore + canaryAfter) / 2
+    val canaryNormTotal = total * canaryMean / CanaryRefGbps
     val extras =
-      f""""write_sec":$writeSec%.3f,"scan_sec":$scanSec%.3f,"parquet_bytes":$inputBytes,"btr_bytes":$btrBytes,"parquet_over_btr_ratio":$ratio%.3f,"tryall_write_sec":$tryallSec%.3f,"tryall_bytes":$tryallBytes,"sample_over_tryall_bytes":$selQuality%.3f,"cdc_append_sec":$cdcAppendSec%.3f,"cdc_drain_sec":$cdcDrainSec%.3f,"cdc_rows":$cdcRows,"dv_delete_sec":$dvDeleteSec%.3f,"cow_delete_sec":$cowDeleteSec%.3f,"dv_masked_scan_sec":$dvMaskedScanSec%.3f,"dv_purge_sec":$dvPurgeSec%.3f,"ivf_refresh_assign_sec":$ivfAssignSec%.3f,"ivf_refresh_total_sec":$ivfRefreshSec%.3f,"ivf_refresh_assign_2x_sec":$ivfAssign2xSec%.3f,"ivf_refresh_total_2x_sec":$ivfRefresh2xSec%.3f,"reps":$reps,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","load_waited_sec":$loadWaited%.1f,"outliers_rechecked":$rechecked,"outliers_remaining":$outliersRemaining"""
+      f""""canary_gbps_before":$canaryBefore%.2f,"canary_gbps_after":$canaryAfter%.2f,"canary_norm_total":$canaryNormTotal%.3f,"write_sec":$writeSec%.3f,"scan_sec":$scanSec%.3f,"parquet_bytes":$inputBytes,"btr_bytes":$btrBytes,"parquet_over_btr_ratio":$ratio%.3f,"tryall_write_sec":$tryallSec%.3f,"tryall_bytes":$tryallBytes,"sample_over_tryall_bytes":$selQuality%.3f,"cdc_append_sec":$cdcAppendSec%.3f,"cdc_drain_sec":$cdcDrainSec%.3f,"cdc_rows":$cdcRows,"dv_delete_sec":$dvDeleteSec%.3f,"cow_delete_sec":$cowDeleteSec%.3f,"dv_masked_scan_sec":$dvMaskedScanSec%.3f,"dv_purge_sec":$dvPurgeSec%.3f,"ivf_refresh_assign_sec":$ivfAssignSec%.3f,"ivf_refresh_total_sec":$ivfRefreshSec%.3f,"ivf_refresh_assign_2x_sec":$ivfAssign2xSec%.3f,"ivf_refresh_total_2x_sec":$ivfRefresh2xSec%.3f,"reps":$reps,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","load_waited_sec":$loadWaited%.1f,"outliers_rechecked":$rechecked,"outliers_remaining":$outliersRemaining"""
     val line =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"col_bw":$colBw,$extras,"sf":"$sfDir"}"""
     println(line)
@@ -443,6 +455,13 @@ object Bench {
     } catch { case e: Throwable => System.err.println(s"[bench] write $outPath failed: $e") }
     spark.stop()
   }
+
+  /** Healthy-box reference for the int/uncompressed decode canary
+    * (BASELINE.md records 8.2–8.6 GB/s on the reference box); the
+    * artifact's `canary_norm_total` divides out the measured/reference
+    * ratio so cross-round totals compare box-independently.
+    */
+  val CanaryRefGbps = 8.4
 
   /** Compact per-query JSON map, `{"q_a":0.123,...}`, sorted by name. */
   def formatQueries(results: Seq[(String, Double)]): String =

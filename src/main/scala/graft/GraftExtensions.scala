@@ -73,6 +73,21 @@ object GraftExtensions {
       info("md5hash60", "md5hash60(s) - engine-portable 60-bit md5 hash"),
       (args: Seq[Expression]) =>
         Md5Hash60Expr(arity(args, 1, "md5hash60", "md5hash60(s)").head)),
+    (FunctionIdentifier("quantize_vec"),
+      info("quantize_vec",
+        "quantize_vec(vec) - per-vector int8 scalar quantization of a float/double " +
+          "vector: struct<qvec: binary, qs: double, qo: double, qn: double> " +
+          "(codes, scale, offset, exact L2 norm) - 1 byte/dim embedding storage"),
+      (args: Seq[Expression]) =>
+        QuantizeVecExpr(arity(args, 1, "quantize_vec", "quantize_vec(vec)").head)),
+    (FunctionIdentifier("quant_cos"),
+      info("quant_cos",
+        "quant_cos(qvec, qs, qo, qn, query) - approximate cosine of an int8-quantized " +
+          "vector (see quantize_vec) against a float/double query vector"),
+      (args: Seq[Expression]) => {
+        val a = arity(args, 5, "quant_cos", "quant_cos(qvec, qs, qo, qn, query)")
+        QuantCosExpr(a(0), a(1), a(2), a(3), a(4))
+      }),
     (FunctionIdentifier("word_shingles"),
       info("word_shingles",
         "word_shingles(text, n[, distinct]) - word n-gram shingles (distinct by default; " +

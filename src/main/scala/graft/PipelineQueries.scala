@@ -79,8 +79,9 @@ object PipelineQueries {
     * gate (`q_ann_ivf_serve`) ranks against the index's own stored
     * vectors, so its content must equal the oracle's corpus row-for-row.
     */
-  private def ivfServeIndexDir(s: SparkSession, d: String): String = {
-    val dir = Btr.cachePath(d, "ivf_serve_index")
+  private def ivfServeIndexDir(s: SparkSession, d: String, storage: String = "f64"): String = {
+    val dir = Btr.cachePath(d,
+      if (storage == "f64") "ivf_serve_index" else s"ivf_serve_index_$storage")
     val done = new java.io.File(dir, "_built_v1")
     if (!done.exists()) {
       val fs = new org.apache.hadoop.fs.Path(dir)
@@ -89,10 +90,42 @@ object PipelineQueries {
       if (fs.exists(root)) fs.delete(root, true)
       val cands = t(s, d, "embeddings")
         .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-      graft.functions.SimilarityOps.ivfIndexBuild(cands, dir, nlist = 16)
+      graft.functions.SimilarityOps.ivfIndexBuild(cands, dir, nlist = 16,
+        vectorStorage = storage)
       new java.io.FileOutputStream(done).close()
     }
     dir
+  }
+
+  /** Shared body of the quantized-layout serving gates (`q_ann_ivf_f32`,
+    * `q_ann_ivf_i8`): serve from a quantized index over the exact
+    * embeddings corpus, recall-gate against DuckDB's exact ranking, and
+    * pin serve ≡ indexed row-identity on the same index (both paths rank
+    * the same stored vectors through the same two-stage plan, so the
+    * approximate answers must agree exactly).
+    */
+  private def annQuantGate(
+      s: SparkSession, d: String, storage: String, agreeCol: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val cands = emb.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val dir = ivfServeIndexDir(s, d, storage)
+    val served = SimilarityOps.ivfTopKServe(queries, dir, 3, nprobe = 6)
+      .select(col("qid"), col("cid"), col("rank"))
+    val idx = SimilarityOps.ivfTopKIndexed(queries, cands, dir, 3, nprobe = 6)
+      .select(col("qid"), col("cid"), col("rank"))
+    val fo = served.withColumn("ia", lit(1))
+      .join(idx.withColumn("ib", lit(1)), Seq("qid", "cid", "rank"), "full_outer")
+      .agg((count(lit(1)) === count(col("ia")) &&
+        count(lit(1)) === count(col("ib"))).as(agreeCol))
+    val exact = SimilarityOps.bruteForceTopK(queries, cands, 3)
+      .select(col("qid"), col("cid"))
+    exact.join(served.select(col("qid"), col("cid"), lit(1).as("hit")),
+        Seq("qid", "cid"), "left")
+      .agg(count(lit(1)).as("n_exact"),
+        (count(col("hit")).cast("double") / count(lit(1)) >= 0.3).as("recall_ok"))
+      .crossJoin(fo) // 1×1
   }
 
   /** Fixture for the trusted-serving gate (`q_ann_ivf_trusted`): the
@@ -459,6 +492,20 @@ object PipelineQueries {
           (count(col("hit")).cast("double") / count(lit(1)) >= 0.3).as("recall_ok"))
         .crossJoin(fo) // 1×1
     }),
+
+    // Quantized IVF-flat serving, f32 layout (VERDICT r18 #1): half the
+    // stored vector bytes, ranking path unchanged. Recall-gated against
+    // DuckDB's exact ranking plus serve ≡ indexed row-identity over the
+    // same f32 index (shared persisted centers + membership + stored
+    // floats, so the two approximate answers must agree exactly).
+    "q_ann_ivf_f32" -> ((s, d) => annQuantGate(s, d, "f32", "serve_matches_indexed")),
+
+    // Quantized IVF-flat serving, i8 layout (VERDICT r18 #1): the
+    // shortlist scan reads 1 byte/dim (per-vector affine codes; the
+    // float32 copy column-prunes out) and the exact re-rank fetches only
+    // the shortlist's ids — ~8× less ranking I/O per probed cell at any
+    // corpus size. Same recall + serve ≡ indexed identity gates.
+    "q_ann_ivf_i8" -> ((s, d) => annQuantGate(s, d, "i8", "serve_matches_indexed")),
 
     // Trusted IVF serving under the gate (VERDICT r17 #3): the corpus is
     // a btr table, the index records its commit version at build, and
@@ -1378,6 +1425,30 @@ object PipelineQueries {
         | true AS indexed_matches_percall
         |FROM ranked WHERE rank <= 3""".stripMargin,
     "q_ann_ivf_serve" ->
+      """WITH sims AS (
+        | SELECT q.vec_id AS qid, c.vec_id AS cid,
+        |  list_cosine_similarity(q.embedding, c.embedding) AS cos
+        | FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        | WHERE q.vec_id < 10),
+        | ranked AS (SELECT qid, cid,
+        |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rank
+        | FROM sims)
+        |SELECT count(*) AS n_exact, true AS recall_ok,
+        | true AS serve_matches_indexed
+        |FROM ranked WHERE rank <= 3""".stripMargin,
+    "q_ann_ivf_f32" ->
+      """WITH sims AS (
+        | SELECT q.vec_id AS qid, c.vec_id AS cid,
+        |  list_cosine_similarity(q.embedding, c.embedding) AS cos
+        | FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        | WHERE q.vec_id < 10),
+        | ranked AS (SELECT qid, cid,
+        |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rank
+        | FROM sims)
+        |SELECT count(*) AS n_exact, true AS recall_ok,
+        | true AS serve_matches_indexed
+        |FROM ranked WHERE rank <= 3""".stripMargin,
+    "q_ann_ivf_i8" ->
       """WITH sims AS (
         | SELECT q.vec_id AS qid, c.vec_id AS cid,
         |  list_cosine_similarity(q.embedding, c.embedding) AS cos

@@ -30,10 +30,10 @@ object IvfMaintenance {
     * for refresh convergence. Returns (buildVersion, corpusVersion|-1).
     */
   def build(spark: SparkSession, table: String, idCol: String, vecCol: String,
-      idxDir: String, nlist: Int): (Long, Long) = {
+      idxDir: String, nlist: Int, storage: String = "f64"): (Long, Long) = {
     val v = latestVersionOf(table)
     SimilarityOps.ivfIndexBuild(corpusDf(spark, table, idCol, vecCol, v), idxDir,
-      nlist = nlist, corpusVersion = v)
+      nlist = nlist, corpusVersion = v, vectorStorage = storage)
     val st = SimilarityOps.ivfIndexState(idxDir)
     (st.buildVersion, st.corpusVersion.getOrElse(-1L))
   }

@@ -12,7 +12,8 @@ import org.apache.spark.sql.types.{BooleanType, DoubleType, LongType}
   * shows the plan and builds NOTHING. Registered through the same
   * delegating parser as OPTIMIZE/VACUUM:
   *
-  *   IVF BUILD INDEX '/idx' FROM graft.`/t` (vec_id, embedding) [NLIST 16]
+  *   IVF BUILD INDEX '/idx' FROM graft.`/t` (vec_id, embedding)
+  *       [NLIST 16] [STORAGE 'f64'|'f32'|'i8']
   *   IVF REFRESH INDEX '/idx' FROM graft.`/t` (vec_id, embedding)
   *       APP 'consumer' VERSIONS 3 [TO 7]       -- feed (3, 7], txn (APP, 7]
   *   IVF REBUILD INDEX '/idx' FROM graft.`/t` (vec_id, embedding)
@@ -25,14 +26,15 @@ import org.apache.spark.sql.types.{BooleanType, DoubleType, LongType}
   * shared with the TVFs through [[graft.functions.IvfMaintenance]].
   */
 case class BtrIvfBuildCommand(idxDir: String, tableParts: Seq[String],
-    idCol: String, vecCol: String, nlist: Int) extends LeafRunnableCommand {
+    idCol: String, vecCol: String, nlist: Int, storage: String = "f64")
+    extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("build_version", LongType, nullable = false)(),
     AttributeReference("corpus_version", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val table = BtrMaintenance.resolvePath(spark, tableParts)
     val (bv, cv) = graft.functions.IvfMaintenance.build(
-      spark, table, idCol, vecCol, idxDir, nlist)
+      spark, table, idCol, vecCol, idxDir, nlist, storage)
     Seq(Row(bv, cv))
   }
 }

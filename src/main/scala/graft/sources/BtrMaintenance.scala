@@ -239,7 +239,7 @@ class BtrSparkSqlParser(delegate: ParserInterface) extends ParserInterface {
   // IVF index lifecycle verbs (EXPLAIN-safe: LeafRunnableCommands, the
   // action runs at run(), never at resolution — see BtrIvfCommands)
   private val IvfBuildRe =
-    """(?is)^\s*IVF\s+BUILD\s+INDEX\s+'([^']+)'\s+FROM\s+(.+?)\s*\(\s*([^,()\s]+)\s*,\s*([^,()\s]+)\s*\)(?:\s+NLIST\s+(\d+))?\s*;?\s*$""".r
+    """(?is)^\s*IVF\s+BUILD\s+INDEX\s+'([^']+)'\s+FROM\s+(.+?)\s*\(\s*([^,()\s]+)\s*,\s*([^,()\s]+)\s*\)(?:\s+NLIST\s+(\d+))?(?:\s+STORAGE\s+'(f64|f32|i8)')?\s*;?\s*$""".r
   private val IvfRefreshRe =
     """(?is)^\s*IVF\s+REFRESH\s+INDEX\s+'([^']+)'\s+FROM\s+(.+?)\s*\(\s*([^,()\s]+)\s*,\s*([^,()\s]+)\s*\)\s+APP\s+'([^']+)'\s+VERSIONS\s+(\d+)(?:\s+TO\s+(\d+))?\s*;?\s*$""".r
   private val IvfRebuildRe =
@@ -305,10 +305,11 @@ class BtrSparkSqlParser(delegate: ParserInterface) extends ParserInterface {
         }
       BtrRestoreCommand(delegate.parseMultipartIdentifier(ref.trim), -1L,
         tsMillis = Some(millis))
-    case IvfBuildRe(idx, ref, idCol, vecCol, nlist) =>
+    case IvfBuildRe(idx, ref, idCol, vecCol, nlist, storage) =>
       BtrIvfBuildCommand(idx, delegate.parseMultipartIdentifier(ref.trim),
         stripQuotes(idCol), stripQuotes(vecCol),
-        Option(nlist).map(_.toInt).getOrElse(16))
+        Option(nlist).map(_.toInt).getOrElse(16),
+        Option(storage).map(_.toLowerCase(java.util.Locale.ROOT)).getOrElse("f64"))
     case IvfRefreshRe(idx, ref, idCol, vecCol, app, from, to) =>
       BtrIvfRefreshCommand(idx, delegate.parseMultipartIdentifier(ref.trim),
         stripQuotes(idCol), stripQuotes(vecCol), app, from.toLong,

@@ -41,6 +41,26 @@ object KernelBench {
     (best, decodedBytes / 1e9 / best)
   }
 
+  /** The box-health canary, callable without Spark from the bench main:
+    * int/uncompressed decode GB/s on one 65,536-value chunk of random
+    * longs (healthy ≈ 8.2–8.6 on the reference box; see BASELINE.md
+    * "Kernel-isolated decode microbench"). Memory-bandwidth-bound and
+    * codec-trivial, so it moves with the BOX, not with the round's code.
+    */
+  def canaryGbps(reps: Int = 20): Double = {
+    val rnd = new scala.util.Random(42L)
+    val values = Array.fill(N)(rnd.nextLong())
+    val out = new BufWriter(1 << 16)
+    IntCodec.encodeForced(IntCodec.Uncompressed, out, values, N, 8, Depth)
+    val enc = out.result()
+    val dst = new Array[Long](N)
+    val (_, gbps) = bench(N.toLong * 8, reps) { () =>
+      IntCodec.decodeInto(new BufReader(enc), N, dst)
+    }
+    require(java.util.Arrays.equals(dst, values), "canary: decode mismatch")
+    gbps
+  }
+
   def main(args: Array[String]): Unit = {
     val reps = if (args.nonEmpty) args(0).toInt else 50
     val rnd = new scala.util.Random(42L)

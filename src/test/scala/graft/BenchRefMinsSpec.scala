@@ -87,6 +87,16 @@ class BenchRefMinsSpec extends AnyFunSuite {
     assert(!fewer.contains(names.head) || fewer(names.head) == results.head._2)
     // cross-scale still gates to empty
     assert(Bench.parseRefMins(window, "/root/testdata/sf1", names.toSet).isEmpty)
+    // ADVICE r18: SAME count but a renamed query — the qh fingerprint
+    // mismatches, so the positional zip is refused and the parse falls
+    // back to the surviving named pairs (never values on wrong names)
+    val renamed = names.toSet - names.head + (names.head + "_renamed")
+    val fb = Bench.parseRefMins(window, sf, renamed)
+    assert(!fb.contains(names.head + "_renamed"),
+      "a renamed battery must not inherit the old battery's value by position")
+    // and an artifact WITHOUT a qh (pre-r19) still count-gates as before
+    val noQh = Bench.qvLine(1.0, results, sf).replaceAll(""","qh":"[0-9a-f]+"""", "")
+    assert(Bench.parseRefMins(noQh, sf, names.toSet).size == names.size)
   }
 
   test("the production newest-first artifact walk yields per-query mins") {

@@ -1,0 +1,255 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Quantized IVF-flat vector storage (VERDICT r18 top item): f32 halves
+  * the stored vector bytes with an unchanged ranking path; i8 stores
+  * 1-byte/dim per-vector affine codes that the two-stage rank reads for
+  * the shortlist (the float32 copy column-prunes out of that scan) and
+  * re-ranks exactly via a bounded id-IN fetch. Pins the layouts, the
+  * exactness of both quantized paths at full probe, the append/refresh/
+  * stale-row layout preservation, the column-pruning plan shape, the
+  * on-disk byte win, and the quantization kernel's round-trip error.
+  */
+class IvfQuantSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("ivf-quant-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    graft.GraftExtensions.register(s)
+    s
+  }
+
+  import spark.implicits._
+
+  private def tmp(name: String): String = {
+    val d = s"/tmp/btr-ivf-quant-spec/$name"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d))
+    d
+  }
+
+  private val Dim = 8
+
+  private def randVecs(ids: Seq[Long], seed: Long): Seq[(Long, Seq[Float])] = {
+    val rnd = new scala.util.Random(seed)
+    ids.map(i => i -> Seq.fill(Dim)(rnd.nextGaussian().toFloat))
+  }
+
+  private def df(rows: Seq[(Long, Seq[Float])]): DataFrame = rows.toDF("cid", "cvec")
+
+  private def pairs(r: DataFrame): Set[(Long, Long, Int)] =
+    r.collect().map(x => (x.getAs[Long]("qid"), x.getAs[Long]("cid"),
+      x.getAs[Int]("rank"))).toSet
+
+  // ---- kernel ----
+
+  test("quantize/quant_cos kernel: round-trip within scale/2, cos within 1e-2, nulls null") {
+    val rnd = new scala.util.Random(5)
+    val vecs = Seq.fill(50)(Array.fill(16)(rnd.nextGaussian()))
+    vecs.foreach { v =>
+      val in = new org.apache.spark.sql.catalyst.util.GenericArrayData(v)
+      val parts = QuantVecUtil.quantize(in, 1)
+      val codes = parts(0).asInstanceOf[Array[Byte]]
+      val qs = parts(1).asInstanceOf[java.lang.Double].doubleValue()
+      val qo = parts(2).asInstanceOf[java.lang.Double].doubleValue()
+      val qn = parts(3).asInstanceOf[java.lang.Double].doubleValue()
+      assert(codes.length == v.length)
+      assert(math.abs(qn - math.sqrt(v.map(x => x * x).sum)) < 1e-12)
+      // per-element reconstruction error ≤ scale/2 (+ fp slack)
+      v.indices.foreach { i =>
+        val back = qo + qs * (codes(i) + 128)
+        assert(math.abs(back - v(i)) <= qs / 2 + 1e-12,
+          s"elem $i: $back vs ${v(i)} (scale $qs)")
+      }
+      // quantized cosine ≈ exact cosine against a random query
+      val q = Array.fill(16)(rnd.nextGaussian())
+      val qArr = new org.apache.spark.sql.catalyst.util.GenericArrayData(q)
+      val approx = QuantVecUtil.quantCos(codes, qs, qo, qn, qArr, 1)
+        .asInstanceOf[java.lang.Double].doubleValue()
+      val dot = v.zip(q).map { case (a, b) => a * b }.sum
+      val exact = dot / (math.sqrt(v.map(x => x * x).sum) * math.sqrt(q.map(x => x * x).sum))
+      assert(math.abs(approx - exact) < 1e-2, s"approx $approx vs exact $exact")
+    }
+    // constant vector: scale 0, codes all zero, cos well-defined
+    val const = new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.fill(4)(2.5))
+    val cp = QuantVecUtil.quantize(const, 1)
+    assert(cp(0).asInstanceOf[Array[Byte]].forall(_ == -128))
+    assert(cp(1).asInstanceOf[java.lang.Double].doubleValue() == 0.0)
+    // length mismatch nulls
+    val q3 = new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.fill(3)(1.0))
+    assert(QuantVecUtil.quantCos(cp(0).asInstanceOf[Array[Byte]], 0.0, 2.5,
+      5.0, q3, 1) == null)
+  }
+
+  test("quantize_vec / quant_cos SQL functions registered; codegen and interpreted agree") {
+    val rows = randVecs(0L until 64L, seed = 11)
+    val d = df(rows).withColumn("q", QuantizeVecExpr.of(col("cvec")))
+      .withColumn("approx", QuantCosExpr.of(
+        col("q.qvec"), col("q.qs"), col("q.qo"), col("q.qn"), col("cvec")))
+      .withColumn("exact", SimilarityOps.cosine(col("cvec"), col("cvec")))
+    // a vector against itself: approx cosine within quantization error of 1.0
+    d.select("approx", "exact").collect().foreach { r =>
+      assert(math.abs(r.getDouble(0) - 1.0) < 2e-2, s"self-cos ${r.getDouble(0)}")
+      assert(math.abs(r.getDouble(1) - 1.0) < 1e-6)
+    }
+    // same through the SQL surface (session extension registration)
+    df(rows).createOrReplaceTempView("qv_in")
+    val viaSql = spark.sql(
+      """SELECT quant_cos(q.qvec, q.qs, q.qo, q.qn, cvec) AS a
+        |FROM (SELECT cvec, quantize_vec(cvec) AS q FROM qv_in)""".stripMargin)
+    viaSql.collect().foreach(r => assert(math.abs(r.getDouble(0) - 1.0) < 2e-2))
+  }
+
+  // ---- layouts ----
+
+  test("f32 build stores array<float>; serve/indexed bit-agree with the f64 index") {
+    val d64 = tmp("f64-ref")
+    val d32 = tmp("f32")
+    val corpus = randVecs(0L until 400L, seed = 21)
+    SimilarityOps.ivfIndexBuild(df(corpus), d64, nlist = 8, fitSampleRows = 300)
+    SimilarityOps.ivfIndexBuild(df(corpus), d32, nlist = 8, fitSampleRows = 300,
+      vectorStorage = "f32")
+    val a64 = spark.read.format("btr").load(SimilarityOps.ivfIndexAssignPath(d64))
+    val a32 = spark.read.format("btr").load(SimilarityOps.ivfIndexAssignPath(d32))
+    assert(a64.schema("cvec").dataType.simpleString == "array<double>")
+    assert(a32.schema("cvec").dataType.simpleString == "array<float>")
+    val qs = df(corpus.take(3)).select(col("cid").as("qid"), col("cvec").as("qvec"))
+    // float corpus: the f64 copy is the exact widening, so every path is
+    // bit-equal — serve, indexed, and brute force all agree at full probe
+    val exact = pairs(SimilarityOps.bruteForceTopK(qs, df(corpus), 5))
+    assert(pairs(SimilarityOps.ivfTopKServe(qs, d32, k = 5, nprobe = 8)) == exact)
+    assert(pairs(SimilarityOps.ivfTopKServe(qs, d64, k = 5, nprobe = 8)) == exact)
+    assert(pairs(SimilarityOps.ivfTopKIndexed(qs, df(corpus), d32, k = 5, nprobe = 8)) == exact)
+    Seq(d64, d32).foreach(x =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(x)))
+  }
+
+  test("i8 build: quantized layout, exact serve at full probe, append/stale preserve it") {
+    val dir = tmp("i8")
+    val corpus = randVecs(0L until 400L, seed = 31)
+    SimilarityOps.ivfIndexBuild(df(corpus), dir, nlist = 8, fitSampleRows = 300,
+      vectorStorage = "i8")
+    val assign = spark.read.format("btr").load(SimilarityOps.ivfIndexAssignPath(dir))
+    assert(assign.columns.toSet == Set("cid", "cluster", "q8", "qs", "qo", "qn", "cvec"))
+    assert(assign.schema("q8").dataType.simpleString == "binary")
+    assert(assign.schema("cvec").dataType.simpleString == "array<float>")
+    val qs = df(corpus.take(3)).select(col("cid").as("qid"), col("cvec").as("qvec"))
+    // full probe + 4k shortlist + exact re-rank ≡ brute force on this corpus
+    val exact = pairs(SimilarityOps.bruteForceTopK(qs, df(corpus), 5))
+    assert(pairs(SimilarityOps.ivfTopKServe(qs, dir, k = 5, nprobe = 8)) == exact)
+    assert(pairs(SimilarityOps.ivfTopKIndexed(qs, df(corpus), dir, k = 5, nprobe = 8)) == exact)
+    // append keeps the quantized layout (row-local quantization)
+    val inc = randVecs(500L until 530L, seed = 32)
+    val (n, _) = SimilarityOps.ivfIndexAppend(df(inc), dir)
+    assert(n == inc.length.toLong)
+    val after = spark.read.format("btr").load(SimilarityOps.ivfIndexAssignPath(dir))
+    assert(after.columns.toSet == Set("cid", "cluster", "q8", "qs", "qo", "qn", "cvec"))
+    assert(after.filter(col("cid") >= 500L).count() == inc.length.toLong)
+    val all = corpus ++ inc
+    val qs2 = df(inc.take(3)).select(col("cid").as("qid"), col("cvec").as("qvec"))
+    assert(pairs(SimilarityOps.ivfTopKServe(qs2, dir, k = 5, nprobe = 8)) ==
+      pairs(SimilarityOps.bruteForceTopK(qs2, df(all), 5)))
+    // stale candidates (never refreshed in) quantize on the fly and rank
+    // through the same two-stage path — still exact at full probe
+    val late = randVecs(900L until 940L, seed = 33)
+    val withLate = all ++ late
+    val qs3 = df(late.take(2)).select(col("cid").as("qid"), col("cvec").as("qvec"))
+    assert(pairs(SimilarityOps.ivfTopKIndexed(qs3, df(withLate), dir, k = 5, nprobe = 8)) ==
+      pairs(SimilarityOps.bruteForceTopK(qs3, df(withLate), 5)))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  // ---- the scale properties ----
+
+  test("i8 ranking scan column-prunes the float copy; exact fetch is id-bounded") {
+    val dir = tmp("i8-prune")
+    val corpus = randVecs(0L until 400L, seed = 41)
+    SimilarityOps.ivfIndexBuild(df(corpus), dir, nlist = 8, fitSampleRows = 300,
+      vectorStorage = "i8")
+    val qs = df(corpus.take(2)).select(col("cid").as("qid"), col("cvec").as("qvec"))
+    val served = SimilarityOps.ivfTopKServe(qs, dir, k = 3, nprobe = 2)
+    served.collect()
+    def leaves(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p.collectLeaves().flatMap {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          leaves(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => leaves(q.plan)
+        case x => Seq(x)
+      }
+    val scans = leaves(served.queryExecution.executedPlan).collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    val outs = scans.map(_.output.map(_.name).toSet)
+    val stage1 = outs.filter(_.contains("q8"))
+    assert(stage1.nonEmpty, s"expected a quantized shortlist scan, got $outs")
+    stage1.foreach(o => assert(!o.contains("cvec"),
+      s"the shortlist scan must column-prune the float copy, read $o"))
+    val stage2 = outs.filter(o => o.contains("cvec") && !o.contains("q8"))
+    assert(stage2.nonEmpty, s"expected a float-copy re-rank scan, got $outs")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  test("i8 codes column is ~4x smaller on disk than the float copy") {
+    val dir = tmp("i8-bytes")
+    val corpus = randVecs(0L until 2000L, seed = 51)
+    SimilarityOps.ivfIndexBuild(df(corpus), dir, nlist = 4, fitSampleRows = 500,
+      vectorStorage = "i8")
+    val desc = graft.functions.BtrInspect.describe(
+      spark, SimilarityOps.ivfIndexAssignPath(dir))
+      .select("column", "compressed_bytes").collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1)).sum).toMap
+    val codes = desc("q8")
+    val floats = desc("cvec")
+    // raw ratio is exactly 4 (1 byte vs 4 per dim, both incompressible on
+    // gaussian data); allow the codes column its per-chunk footer overhead
+    assert(codes * 39 <= floats * 10,
+      s"q8=$codes bytes vs float copy=$floats — expected ~4x smaller")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  test("IVF BUILD ... STORAGE 'i8' SQL verb builds the quantized layout") {
+    // shared test JVM: the session predates extension injection, so drive
+    // the parser class directly — the same path sql() takes after it
+    val dir = tmp("i8-sql-idx")
+    val tableDir = tmp("i8-sql-corpus")
+    val corpus = randVecs(0L until 300L, seed = 61)
+    df(corpus).write.format("btr").mode("overwrite").save(tableDir)
+    spark.conf.set("spark.sql.catalog.graft", classOf[graft.sources.BtrCatalog].getName)
+    val parser = new graft.sources.BtrSparkSqlParser(spark.sessionState.sqlParser)
+    val cmd = parser.parsePlan(
+      s"IVF BUILD INDEX '$dir' FROM graft.`$tableDir` (cid, cvec) NLIST 8 STORAGE 'i8'")
+      .asInstanceOf[graft.sources.BtrIvfBuildCommand]
+    assert(cmd.storage == "i8" && cmd.nlist == 8)
+    assert(cmd.run(spark).head.getLong(0) == 1L)
+    val assign = spark.read.format("btr").load(SimilarityOps.ivfIndexAssignPath(dir))
+    assert(assign.columns.contains("q8"))
+    // no STORAGE clause keeps the f64 default; f32 parses too
+    assert(parser.parsePlan(
+      s"IVF BUILD INDEX '${dir}_x' FROM graft.`$tableDir` (cid, cvec)")
+      .asInstanceOf[graft.sources.BtrIvfBuildCommand].storage == "f64")
+    assert(parser.parsePlan(
+      s"IVF BUILD INDEX '${dir}_x' FROM graft.`$tableDir` (cid, cvec) STORAGE 'f32'")
+      .asInstanceOf[graft.sources.BtrIvfBuildCommand].storage == "f32")
+    assert(!new java.io.File(s"${dir}_x").exists(), "parsing must not build")
+    Seq(dir, tableDir).foreach(x =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(x)))
+  }
+
+  test("storeVectors=false rejects quantized storage; unknown storage rejected") {
+    val corpus = df(randVecs(0L until 10L, seed = 71))
+    intercept[IllegalArgumentException] {
+      SimilarityOps.ivfIndexBuild(corpus, tmp("bad1"), storeVectors = false,
+        vectorStorage = "i8")
+    }
+    intercept[IllegalArgumentException] {
+      SimilarityOps.ivfIndexBuild(corpus, tmp("bad2"), vectorStorage = "f16")
+    }
+  }
+}

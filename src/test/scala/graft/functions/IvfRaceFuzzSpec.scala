@@ -184,4 +184,82 @@ class IvfRaceFuzzSpec extends AnyFunSuite {
         s"vacuums=$vacuums midVacuums=$midVacuums gaps=$gaps " +
         s"inversions=$inversions serveRaces=$serveRaces")
   }
+
+  // VERDICT r18 #5: ivfTopKIndexed(trustIndex=true) serves whatever the
+  // index contains; the contract is caller-asserted freshness via
+  // ivfIndexFresh. Race arm: a corpus commit lands BETWEEN the freshness
+  // proof and the serve — the trusted result must still be exactly the
+  // proven snapshot's answer (the index's own content — never a torn mix,
+  // never silently-partial new rows), and the freshness proof must flip
+  // false for the next caller. Commit shapes: append, DV delete, and an
+  // append + mid-race refresh (where the serve may reflect pre XOR post —
+  // the btr snapshot-consistency contract — but never a mix).
+  test("trusted-path staleness: commit between freshness proof and serve stays snapshot-exact") {
+    spark.conf.set("spark.sql.catalog.graft", classOf[graft.sources.BtrCatalog].getName)
+    for (seed <- Seq(71L, 72L, 73L, 74L, 75L, 76L)) {
+      val root = s"/tmp/btr-ivf-trust-fuzz/$seed"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      val corpusDir = s"$root/corpus"
+      val idxDir = s"$root/index"
+      val rnd = new scala.util.Random(seed)
+      val n = 80 + rnd.nextInt(80)
+      val corpus = randVecs(0L until n.toLong, seed)
+      df(corpus).write.format("btr").mode("overwrite").save(corpusDir)
+      val p = new org.apache.hadoop.fs.Path(corpusDir)
+      val fs = p.getFileSystem(graft.format.BtrTableMeta.hadoopConf())
+      val v0 = graft.sources.BtrLog.latestVersion(fs, fs.makeQualified(p)).get
+      SimilarityOps.ivfIndexBuild(
+        spark.read.format("btr").load(corpusDir), idxDir, nlist = 4,
+        fitSampleRows = 100, corpusVersion = Some(v0))
+
+      // 1. the freshness PROOF
+      assert(SimilarityOps.ivfIndexFresh(idxDir, corpusDir), s"seed=$seed: built fresh")
+      val qs = df(corpus.take(3)).select(col("cid").as("qid"), col("cvec").as("qvec"))
+      val cands = spark.read.format("btr").load(corpusDir)
+      val trusted = SimilarityOps.ivfTopKIndexed(
+        qs, cands, idxDir, k = 5, nprobe = 4, trustIndex = true)
+
+      // 2. the RACING corpus commit, landing before the serve executes
+      val commit = rnd.nextInt(3)
+      val inc = randVecs(1000L until 1020L, seed + 1)
+      commit match {
+        case 0 => df(inc).write.format("btr").mode("append").save(corpusDir)
+        case 1 => spark.sql(s"DELETE FROM graft.`$corpusDir` WHERE cid % 5 = 4")
+        case 2 =>
+          df(inc).write.format("btr").mode("append").save(corpusDir)
+          val v1 = graft.sources.BtrLog.latestVersion(fs, fs.makeQualified(p)).get
+          val feed = inc.map { case (id, v) => (id, v, "insert", v1) }
+            .toDF("cid", "cvec", "_change_type", "_commit_version")
+          SimilarityOps.ivfIndexRefresh(feed, idxDir,
+            txnAppId = Some(s"race$seed"), txnVersion = Some(v1))
+      }
+
+      // 3. the SERVE: exactly the proven snapshot's answer — or, when a
+      // refresh raced in too (case 2), exactly the post-refresh answer;
+      // never a torn mix of the two
+      val got = trusted.collect()
+        .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"), r.getAs[Int]("rank"))).toSet
+      def exactOver(rows: Seq[(Long, Seq[Float])]): Set[(Long, Long, Int)] =
+        SimilarityOps.bruteForceTopK(qs, df(rows), 5).collect()
+          .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"), r.getAs[Int]("rank"))).toSet
+      val pre = exactOver(corpus)
+      val ok = commit match {
+        case 2 =>
+          val post = exactOver(corpus ++ inc)
+          got == pre || got == post
+        case _ => got == pre
+      }
+      assert(ok, s"seed=$seed commit=$commit: trusted serve diverged from the " +
+        "proven snapshot (and, for the refresh race, from the post state too)")
+
+      // 4. freshness flips false for the NEXT caller — except when the
+      // racing refresh itself re-proved it (case 2, the honest outcome)
+      val freshAfter = SimilarityOps.ivfIndexFresh(idxDir, corpusDir)
+      if (commit == 2) assert(freshAfter,
+        s"seed=$seed: refresh reached the commit's version — fresh again")
+      else assert(!freshAfter,
+        s"seed=$seed commit=$commit: unrefreshed corpus commit must flip ivf_index_fresh false")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    }
+  }
 }
