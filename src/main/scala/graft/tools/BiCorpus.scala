@@ -30,6 +30,19 @@ import org.apache.spark.sql.functions._
   *  - `status`       40 dirty variants (case/whitespace) → string DICT
   *  - `promo_code`   98% null, else 60 codes → sparse null-map + DICT
   *  - `discount`     95% null, else 2-decimals → sparse null-map
+  *
+  * Round-19 additions (VERDICT r18 #7 — cover every scheme family's
+  * must-win under BOTH selection modes):
+  *
+  *  - `event_ts`     sorted epoch-micros with jittered gaps (step 1000 >
+  *    jitter 900, so strictly increasing) → DELTA+BP: deltas pack in
+  *    ~11 bits where the chunk's absolute FOR range needs ~26
+  *  - `shift`        4 shift names in 8,192-row runs → string DICT whose
+  *    CODES stream cascades to RLE (the dict-RLE-codes shape; FSST must
+  *    pay per-row where the code runs collapse)
+  *  - `url`          templated near-unique URLs (hash path + session) →
+  *    FSST: the shared template substrings symbol-compress, while dict
+  *    degenerates (table ≈ the full text plus codes on ~unique values)
   */
 object BiCorpus {
   def generate(spark: SparkSession, rows: Long = 1L << 19, seed: Long = 42L): DataFrame = {
@@ -63,6 +76,14 @@ object BiCorpus {
       .withColumn("discount",
         when(h(14) % 100L < 95L, lit(null).cast("double"))
           .otherwise(round((h(15) % 40L).cast("double") * 0.25, 2)))
+      .withColumn("event_ts", col("id") * 1000L + h(16) % 900L)
+      .withColumn("shift",
+        element_at(array(Seq("DAY", "SWING", "NIGHT", "OFF").map(lit): _*),
+          ((col("id") / 8192L) % 4L).cast("int") + 1))
+      .withColumn("url",
+        concat(lit("https://cdn.example.com/assets/"), lower(hex(h(17))),
+          lit("/item?page="), (h(18) % 100L).cast("string"),
+          lit("&session="), lower(hex(h(19)))))
       .drop("id")
   }
 
@@ -134,7 +155,13 @@ object RatioCorpus {
       ("week", "btr.forceScheme.int", "dict"),
       ("week", "btr.forceScheme.int", "forbp"),
       ("sensor_temp", "btr.forceScheme.double", "pseudodecimal"),
-      ("sensor_temp", "btr.forceScheme.double", "dict"))
+      ("sensor_temp", "btr.forceScheme.double", "dict"),
+      // r19 family-coverage columns (VERDICT r18 #7)
+      ("event_ts", "btr.forceScheme.int", "forbp"),
+      ("shift", "btr.forceScheme.string", "fsst"),
+      ("shift", "btr.forceScheme.string", "uncompressed"),
+      ("url", "btr.forceScheme.string", "dict"),
+      ("url", "btr.forceScheme.string", "uncompressed"))
     for ((c, opt, scheme) <- forced) {
       val dir = s"$base/forced-$c-$scheme"
       df.select(c).write.format("btr").mode("overwrite").option(opt, scheme).save(dir)

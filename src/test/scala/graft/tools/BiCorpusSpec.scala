@@ -110,6 +110,56 @@ class BiCorpusSpec extends AnyFunSuite {
       s"discount bytes: ${sample("discount")._2} vs ${tryall("discount")._2}")
   }
 
+  test("r19 family coverage: sorted timestamps pick DELTA+BP, bitpack pays the FOR range") {
+    // VERDICT r18 #7: a sorted-with-jitter epoch column is the DeltaBp
+    // must-win TPC-H and the r17 corpus never exercised — under BOTH
+    // selection modes (sortedness is exact in the sample's run draws)
+    assert(only(sample("event_ts")._1, "delta_bp"), s"event_ts: ${sample("event_ts")._1}")
+    assert(only(tryall("event_ts")._1, "delta_bp"),
+      s"event_ts tryall: ${tryall("event_ts")._1}")
+    assert(sample("event_ts")._2 <= tryall("event_ts")._2 * 1.01,
+      s"event_ts bytes: ${sample("event_ts")._2} vs ${tryall("event_ts")._2}")
+    val deltaBytes = sample("event_ts")._2
+    val bpBytes = forcedBytes("event_ts", "btr.forceScheme.int", "forbp")
+    assert(bpBytes > deltaBytes * 1.5,
+      s"plain bitpack must pay the chunk's FOR range on sorted gaps: $bpBytes vs $deltaBytes")
+  }
+
+  test("r19 family coverage: run-heavy low-card strings pick DICT with RLE'd codes") {
+    assert(only(sample("shift")._1, "dict"), s"shift: ${sample("shift")._1}")
+    assert(only(tryall("shift")._1, "dict"), s"shift tryall: ${tryall("shift")._1}")
+    // the codes stream must CASCADE to rle (8,192-row runs of 4 codes) —
+    // this is the dict-RLE-codes shape, visible in the scheme tree
+    val trees = graft.functions.BtrInspect.describe(spark, s"$base/sample")
+      .filter(col("column") === "shift").select("scheme_tree")
+      .collect().map(_.getString(0))
+    assert(trees.nonEmpty && trees.forall(_.contains("codes=rle")),
+      s"shift codes must be rle-cascaded: ${trees.take(2).mkString("; ")}")
+    val dictBytes = sample("shift")._2
+    val fsstBytes = forcedBytes("shift", "btr.forceScheme.string", "fsst")
+    val rawBytes = forcedBytes("shift", "btr.forceScheme.string", "uncompressed")
+    assert(fsstBytes > dictBytes * 5,
+      s"fsst must pay per-row where code runs collapse: $fsstBytes vs $dictBytes")
+    assert(rawBytes > dictBytes * 20, s"raw must pay: $rawBytes vs $dictBytes")
+  }
+
+  test("r19 family coverage: templated near-unique URLs pick FSST, dict degenerates") {
+    assert(only(sample("url")._1, "fsst"), s"url: ${sample("url")._1}")
+    assert(only(tryall("url")._1, "fsst"), s"url tryall: ${tryall("url")._1}")
+    assert(sample("url")._2 <= tryall("url")._2 * 1.01,
+      s"url bytes: ${sample("url")._2} vs ${tryall("url")._2}")
+    val fsstBytes = sample("url")._2
+    val dictBytes = forcedBytes("url", "btr.forceScheme.string", "dict")
+    val rawBytes = forcedBytes("url", "btr.forceScheme.string", "uncompressed")
+    // forced dict is only ~1.1x here because dict FSST-compresses its own
+    // table on high-unique columns (the reference's fused S_DICT design):
+    // the penalty is exactly the useless codes stream + sort overhead
+    assert(dictBytes > fsstBytes * 1.05,
+      s"dict must pay its codes stream on ~unique values: $dictBytes vs $fsstBytes")
+    assert(rawBytes > fsstBytes * 1.5,
+      s"raw must pay vs symbol compression: $rawBytes vs $fsstBytes")
+  }
+
   test("the BI corpus round-trips bit-exactly through every selected scheme") {
     import org.apache.spark.sql.types._
     val back = spark.read.format("btr").load(s"$base/sample")
