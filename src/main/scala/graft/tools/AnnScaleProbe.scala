@@ -13,12 +13,19 @@ import org.apache.spark.sql.functions._
   * ≈linearly with the corpus. Prints one JSON line per size plus the
   * flatness ratio.
   *
-  *   runMain graft.tools.AnnScaleProbe <sfDir> [baseCopies=50] [out.json]
+  * The optional storage arg selects the stored-vector precision
+  * (f64|f32|i8 — see `ivfIndexBuild.vectorStorage`); each line reports
+  * the assign table's on-disk bytes, so one run per layout measures the
+  * serve-I/O claim (f32 ≈ half, i8's ranking stream ≈ 1 byte/dim)
+  * directly against the served-batch latency.
+  *
+  *   runMain graft.tools.AnnScaleProbe <sfDir> [baseCopies=50] [out.json] [storage=f64]
   */
 object AnnScaleProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val baseCopies = if (args.length > 1) args(1).toInt else 50
+    val storage = if (args.length > 3) args(3) else "f64"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -61,8 +68,11 @@ object AnnScaleProbe {
       val dir = s"/tmp/btr-ann-scale/m$m"
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
       val buildSec = secs {
-        SimilarityOps.ivfIndexBuild(corpus, dir, nlist = nlist, fitSampleRows = 10000)
+        SimilarityOps.ivfIndexBuild(corpus, dir, nlist = nlist, fitSampleRows = 10000,
+          vectorStorage = storage)
       }
+      val assignBytes = org.apache.commons.io.FileUtils.sizeOfDirectory(
+        new java.io.File(SimilarityOps.ivfIndexAssignPath(dir)))
       // warm once (centroid read, code paths), then min-of-3 timed batches
       def serveOnce(): Unit =
         SimilarityOps.ivfTopKServe(queries, dir, k = 10, nprobe = 4)
@@ -77,7 +87,7 @@ object AnnScaleProbe {
       val bruteSec = (1 to 2).map(_ => secs(bruteOnce())).min
       if (m == 1) first = serveSec
       last = serveSec
-      lines += f"""{"m":$m,"corpus":$n,"nlist":$nlist,"build_sec":$buildSec%.2f,"serve_sec":$serveSec%.3f,"brute_sec":$bruteSec%.3f}"""
+      lines += f"""{"m":$m,"corpus":$n,"nlist":$nlist,"storage":"$storage","assign_bytes":$assignBytes,"build_sec":$buildSec%.2f,"serve_sec":$serveSec%.3f,"brute_sec":$bruteSec%.3f}"""
       println(lines.last)
     }
     val flatness = last / first
