@@ -201,9 +201,11 @@ object Bench {
     }
     val loadBefore = loadavg()
     // VERDICT r18 #3: the box-health canary rides INSIDE every artifact —
-    // the no-Spark int/uncompressed decode GB/s before and after the run
-    // (healthy ≈ 8.2–8.6 on the reference box), so a cross-round total
-    // drift self-attributes to the box without a writer×reader A/B matrix
+    // the no-Spark DRAM-sweep GB/s before and after the run (healthy ≈
+    // 17.5–19.5 on the reference box; deliberately a zero-call-site sum
+    // loop so it reads the BOX, not the process's JIT state), so a
+    // cross-round total drift self-attributes to the box without a
+    // writer×reader A/B matrix
     val canaryBefore = graft.tools.KernelBench.canaryGbps()
     def timeQuery(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double =
       (1 to reps).map { _ =>
@@ -456,12 +458,12 @@ object Bench {
     spark.stop()
   }
 
-  /** Healthy-box reference for the int/uncompressed decode canary
-    * (BASELINE.md records 8.2–8.6 GB/s on the reference box); the
+  /** Healthy-box reference for the DRAM-sweep canary (BASELINE.md
+    * records a 17.6–19.4 GB/s fresh-JVM band on the reference box); the
     * artifact's `canary_norm_total` divides out the measured/reference
     * ratio so cross-round totals compare box-independently.
     */
-  val CanaryRefGbps = 8.4
+  val CanaryRefGbps = 18.0
 
   /** Compact per-query JSON map, `{"q_a":0.123,...}`, sorted by name. */
   def formatQueries(results: Seq[(String, Double)]): String =
