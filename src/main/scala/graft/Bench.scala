@@ -207,6 +207,12 @@ object Bench {
     // cross-round total drift self-attributes to the box without a
     // writer×reader A/B matrix
     val canaryBefore = graft.tools.KernelBench.canaryGbps()
+    // the multi-threaded companion: on shared hardware, neighbor tenants
+    // can saturate the memory controllers so 32-thread queries run ~16%
+    // slower while ONE thread still reads a healthy 20+ GB/s (measured,
+    // round-19 sf1 A/B) — a drop here with a steady single-thread canary
+    // is that signature
+    val canaryMtBefore = graft.tools.KernelBench.canaryMtGbps()
     def timeQuery(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double =
       (1 to reps).map { _ =>
         secs {
@@ -416,6 +422,7 @@ object Bench {
       if (tryallBytes > 0) sampleLineitemBytes.toDouble / tryallBytes else 0.0
     val loadAfter = loadavg()
     val canaryAfter = graft.tools.KernelBench.canaryGbps()
+    val canaryMtAfter = graft.tools.KernelBench.canaryMtGbps()
     // normalized total = what this run's total WOULD read on a healthy
     // box: total × measured/reference canary (a loaded box decodes the
     // canary slower AND runs queries slower by roughly the same ambient
@@ -423,7 +430,7 @@ object Bench {
     val canaryMean = (canaryBefore + canaryAfter) / 2
     val canaryNormTotal = total * canaryMean / CanaryRefGbps
     val extras =
-      f""""canary_gbps_before":$canaryBefore%.2f,"canary_gbps_after":$canaryAfter%.2f,"canary_norm_total":$canaryNormTotal%.3f,"write_sec":$writeSec%.3f,"scan_sec":$scanSec%.3f,"parquet_bytes":$inputBytes,"btr_bytes":$btrBytes,"parquet_over_btr_ratio":$ratio%.3f,"tryall_write_sec":$tryallSec%.3f,"tryall_bytes":$tryallBytes,"sample_over_tryall_bytes":$selQuality%.3f,"cdc_append_sec":$cdcAppendSec%.3f,"cdc_drain_sec":$cdcDrainSec%.3f,"cdc_rows":$cdcRows,"dv_delete_sec":$dvDeleteSec%.3f,"cow_delete_sec":$cowDeleteSec%.3f,"dv_masked_scan_sec":$dvMaskedScanSec%.3f,"dv_purge_sec":$dvPurgeSec%.3f,"ivf_refresh_assign_sec":$ivfAssignSec%.3f,"ivf_refresh_total_sec":$ivfRefreshSec%.3f,"ivf_refresh_assign_2x_sec":$ivfAssign2xSec%.3f,"ivf_refresh_total_2x_sec":$ivfRefresh2xSec%.3f,"reps":$reps,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","load_waited_sec":$loadWaited%.1f,"outliers_rechecked":$rechecked,"outliers_remaining":$outliersRemaining"""
+      f""""canary_gbps_before":$canaryBefore%.2f,"canary_gbps_after":$canaryAfter%.2f,"canary_mt_gbps_before":$canaryMtBefore%.2f,"canary_mt_gbps_after":$canaryMtAfter%.2f,"canary_norm_total":$canaryNormTotal%.3f,"write_sec":$writeSec%.3f,"scan_sec":$scanSec%.3f,"parquet_bytes":$inputBytes,"btr_bytes":$btrBytes,"parquet_over_btr_ratio":$ratio%.3f,"tryall_write_sec":$tryallSec%.3f,"tryall_bytes":$tryallBytes,"sample_over_tryall_bytes":$selQuality%.3f,"cdc_append_sec":$cdcAppendSec%.3f,"cdc_drain_sec":$cdcDrainSec%.3f,"cdc_rows":$cdcRows,"dv_delete_sec":$dvDeleteSec%.3f,"cow_delete_sec":$cowDeleteSec%.3f,"dv_masked_scan_sec":$dvMaskedScanSec%.3f,"dv_purge_sec":$dvPurgeSec%.3f,"ivf_refresh_assign_sec":$ivfAssignSec%.3f,"ivf_refresh_total_sec":$ivfRefreshSec%.3f,"ivf_refresh_assign_2x_sec":$ivfAssign2xSec%.3f,"ivf_refresh_total_2x_sec":$ivfRefresh2xSec%.3f,"reps":$reps,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","load_waited_sec":$loadWaited%.1f,"outliers_rechecked":$rechecked,"outliers_remaining":$outliersRemaining"""
     val line =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"col_bw":$colBw,$extras,"sf":"$sfDir"}"""
     println(line)

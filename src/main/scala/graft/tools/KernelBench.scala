@@ -85,10 +85,55 @@ object KernelBench {
     gbps
   }
 
+  /** Aggregate multi-threaded DRAM bandwidth (GB/s): `threads` workers
+    * each sweep a PRIVATE 32 MiB long[] for a fixed wall window;
+    * aggregate = total bytes swept / window. This is the companion the
+    * single-thread canary needs on shared hardware: the round-19 sf1 A/B
+    * measured a box where single-thread DRAM read a healthy 20+ GB/s
+    * while the same code ran every 32-thread query 16% slower than the
+    * previous day's artifact (r18 code re-run on the same fixtures:
+    * 1.162× its own committed numbers) — neighbor tenants saturate the
+    * memory controllers in a way one thread never sees. A drop in THIS
+    * number with a steady single-thread canary is that signature.
+    */
+  def canaryMtGbps(threads: Int = 16): Double = {
+    val n = 4 * 1024 * 1024 // 32 MiB per thread
+    val windowNanos = 700L * 1000 * 1000
+    val sweepCounts = new java.util.concurrent.atomic.AtomicLongArray(threads)
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val ts = (0 until threads).map { t =>
+      val th = new Thread(() => {
+        val src = new Array[Long](n)
+        var i = 0
+        var seed = 0x9e3779b97f4a7c15L + t
+        while (i < n) { seed = seed * 6364136223846793005L + 1442695040888963407L; src(i) = seed; i += 1 }
+        var sink = 0L
+        def sweep(): Long = { var s = 0L; var j = 0; while (j < n) { s += src(j); j += 1 }; s }
+        sink ^= sweep() // warm (allocation already touched the pages)
+        start.await()
+        val t0 = System.nanoTime()
+        var sweeps = 0L
+        while (System.nanoTime() - t0 < windowNanos) { sink ^= sweep(); sweeps += 1 }
+        sweepCounts.set(t, sweeps)
+        if (sink == 42L) println("")
+      })
+      th.setDaemon(true); th.start(); th
+    }
+    Thread.sleep(50) // let workers reach the latch
+    val t0 = System.nanoTime()
+    start.countDown()
+    ts.foreach(_.join())
+    val wall = (System.nanoTime() - t0) / 1e9
+    var bytes = 0L
+    (0 until threads).foreach(t => bytes += sweepCounts.get(t) * n.toLong * 8)
+    bytes / 1e9 / wall
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("canary")) { // fresh-JVM canary reading only
       val n = if (args.length > 1) args(1).toInt else 1
-      (1 to n).foreach(_ => println(f"""{"canary_gbps":${canaryGbps()}%.2f}"""))
+      (1 to n).foreach(_ => println(
+        f"""{"canary_gbps":${canaryGbps()}%.2f,"canary_mt_gbps":${canaryMtGbps()}%.2f}"""))
       return
     }
     val reps = if (args.nonEmpty) args(0).toInt else 50
