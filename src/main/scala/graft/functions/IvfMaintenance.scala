@@ -54,7 +54,23 @@ object IvfMaintenance {
     (st.rowsAssigned, st.rowsDeleted, st.drift, st.replayed)
   }
 
-  /** Probe drift and rebuild below minDriftPct/100. Returns
+  /** Unconditional rebuild that PRESERVES the current build's layout
+    * (storeVectors, f64/f32/i8 storage, nlist) — the REBUILD verb must
+    * not silently downgrade a quantized index to the BUILD defaults.
+    * Returns (buildVersion, corpusVersion|-1).
+    */
+  def rebuild(spark: SparkSession, table: String, idCol: String, vecCol: String,
+      idxDir: String): (Long, Long) = {
+    val (store, storage, nlist) = SimilarityOps.ivfIndexLayoutOf(spark, idxDir)
+    val v = latestVersionOf(table)
+    SimilarityOps.ivfIndexBuild(corpusDf(spark, table, idCol, vecCol, v), idxDir,
+      nlist = nlist, corpusVersion = v, storeVectors = store, vectorStorage = storage)
+    val st = SimilarityOps.ivfIndexState(idxDir)
+    (st.buildVersion, st.corpusVersion.getOrElse(-1L))
+  }
+
+  /** Probe drift and rebuild below minDriftPct/100; the rebuild inherits
+    * the current build's layout and cell count. Returns
     * (rebuilt, drift, buildVersion).
     */
   def rebuildIfDrifted(spark: SparkSession, table: String, idCol: String, vecCol: String,

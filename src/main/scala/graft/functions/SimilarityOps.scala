@@ -661,6 +661,21 @@ object SimilarityOps {
         s"unknown vectorStorage '$other' (expected ${VectorStorages.mkString("/")})")
     }
 
+  /** Current build's layout, for rebuilds that must PRESERVE it:
+    * (storeVectors, vectorStorage, nlist). A drift- or verb-triggered
+    * rebuild that re-ran with the build defaults would silently
+    * downgrade an i8/f32 index to f64 (and reset nlist) — the serving
+    * path keeps working (it dispatches on the assign schema), so
+    * nothing would ever flag that the operator's storage decision was
+    * discarded and the quantized layout's serve-I/O win evaporated.
+    */
+  private[functions] def ivfIndexLayoutOf(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String): (Boolean, String, Int) = {
+    val schema = spark.read.format("btr").load(ivfIndexAssignPath(indexDir)).schema
+    val store = schema.fieldNames.contains("cvec")
+    (store, if (store) storageOf(schema) else "f64", centroidsOf(spark, indexDir).length)
+  }
+
   /** Storage precision an existing assign table was written with. */
   private def storageOf(schema: org.apache.spark.sql.types.StructType): String =
     if (schema.fieldNames.contains("q8")) "i8"
@@ -1206,19 +1221,32 @@ object SimilarityOps {
       candidates: DataFrame, // (cid, cvec)
       indexDir: String,
       minDrift: Double = 0.8,
-      nlist: Int = 16,
+      // 0 = inherit the CURRENT build's cell count — a maintenance
+      // rebuild must not silently re-size the index to a constructor
+      // default (pass an explicit value to deliberately re-size)
+      nlist: Int = 0,
       fitSampleRows: Int = 10000,
       assignPartitionSpec: Seq[String] = Nil,
       sampleRows: Int = 10000,
-      corpusVersion: Option[Long] = None
+      corpusVersion: Option[Long] = None,
+      // "inherit" = preserve the CURRENT build's storeVectors +
+      // f64/f32/i8 layout (see [[ivfIndexLayoutOf]]); an explicit
+      // storage migrates the index on this rebuild
+      vectorStorage: String = "inherit"
   ): (Boolean, Double) = {
     val drift = ivfIndexDriftProbe(candidates, indexDir, sampleRows)
     if (drift < minDrift) {
       org.apache.log4j.Logger.getLogger(getClass).warn(
         f"ivfIndexRebuildIfDrifted: corpus drift ratio $drift%.3f < $minDrift%.2f — " +
           "re-fitting the coarse quantizer and rebuilding the index")
-      ivfIndexBuild(candidates, indexDir, nlist, fitSampleRows, assignPartitionSpec,
-        corpusVersion)
+      val (curStore, curStorage, curNlist) =
+        ivfIndexLayoutOf(candidates.sparkSession, indexDir)
+      val storage = if (vectorStorage == "inherit") curStorage else vectorStorage
+      ivfIndexBuild(candidates, indexDir,
+        if (nlist > 0) nlist else curNlist,
+        fitSampleRows, assignPartitionSpec, corpusVersion,
+        storeVectors = if (vectorStorage == "inherit") curStore else true,
+        vectorStorage = storage)
       (true, drift)
     } else (false, drift)
   }
@@ -1263,10 +1291,11 @@ object SimilarityOps {
       startingVersion: String = "latest",
       driftProbeEveryBatches: Int = 0,
       minDrift: Double = 0.8,
-      nlist: Int = 16,
+      nlist: Int = 0, // 0 = drift rebuilds inherit the current cell count
       fitSampleRows: Int = 10000,
       assignPartitionSpec: Seq[String] = Nil,
-      driftSampleRows: Int = 10000
+      driftSampleRows: Int = 10000,
+      vectorStorage: String = "inherit" // drift rebuilds keep the layout
   ): org.apache.spark.sql.streaming.StreamingQuery = {
     val feed = spark.readStream.format("btr")
       .option("btr.readChanges", "true")
@@ -1288,7 +1317,7 @@ object SimilarityOps {
               .select(col(idCol).as("cid"), col(vecCol).as("cvec"))
             ivfIndexRebuildIfDrifted(corpus, indexDir, minDrift, nlist,
               fitSampleRows, assignPartitionSpec, driftSampleRows,
-              corpusVersion = Some(v))
+              corpusVersion = Some(v), vectorStorage = vectorStorage)
           }
         }
         ()

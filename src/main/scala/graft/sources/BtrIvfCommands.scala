@@ -67,9 +67,9 @@ case class BtrIvfRebuildCommand(idxDir: String, tableParts: Seq[String],
     val (rebuilt, drift, bv) = minDriftPct match {
       case Some(p) => graft.functions.IvfMaintenance.rebuildIfDrifted(
         spark, table, idCol, vecCol, idxDir, p)
-      case None => // unconditional rebuild
-        val (b, c) = graft.functions.IvfMaintenance.build(
-          spark, table, idCol, vecCol, idxDir, nlist = 16)
+      case None => // unconditional rebuild — inherits the build's layout
+        val (b, c) = graft.functions.IvfMaintenance.rebuild(
+          spark, table, idCol, vecCol, idxDir)
         val _ = c
         (true, 1.0, b)
     }

@@ -242,6 +242,62 @@ class IvfQuantSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(x)))
   }
 
+  test("drift rebuild and REBUILD verb PRESERVE the quantized layout and cell count") {
+    // the downgrade this pins against: a maintenance rebuild re-running
+    // with the build defaults would silently flip an i8 index to f64
+    // (and reset nlist) — serving keeps working, so nothing would ever
+    // flag that the 1-byte/dim serve-I/O win evaporated
+    val dir = tmp("i8-rebuild-idx")
+    val tableDir = tmp("i8-rebuild-corpus")
+    // lower-half-space corpus: the half-shift below is then EXACTLY
+    // orthogonal (cos 0 to every old centroid), so the drift verdict
+    // cannot hinge on random-gaussian geometry
+    val corpus = randVecs(0L until 300L, seed = 91)
+      .map { case (i, v) => (i, v.indices.map(j => if (j < Dim / 2) v(j) else 0f).toSeq) }
+    df(corpus).select(col("cid").as("vec_id"), col("cvec").as("embedding"))
+      .write.format("btr").mode("overwrite").save(tableDir)
+    val snap = spark.read.format("btr").load(tableDir)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    SimilarityOps.ivfIndexBuild(snap, dir, nlist = 4, fitSampleRows = 200,
+      vectorStorage = "i8")
+    def layout() = SimilarityOps.ivfIndexLayoutOf(spark, dir)
+    assert(layout() == ((true, "i8", 4)))
+
+    // rotate the corpus into the orthogonal half-space → drift rebuild
+    val shifted = corpus.map { case (i, v) =>
+      (i, v.indices.map(j => if (j >= Dim / 2) v(j - Dim / 2) else 0f).toSeq)
+    }
+    val (rebuilt, _) = SimilarityOps.ivfIndexRebuildIfDrifted(df(shifted), dir,
+      minDrift = 0.8, fitSampleRows = 200, sampleRows = 200)
+    assert(rebuilt, "orthogonal corpus must trigger the drift rebuild")
+    assert(layout() == ((true, "i8", 4)),
+      s"drift rebuild must inherit the i8 layout and nlist, got ${layout()}")
+    // and the rebuilt index serves the shifted corpus exactly at full probe
+    val qs = df(shifted.take(3)).select(col("cid").as("qid"), col("cvec").as("qvec"))
+    assert(pairs(SimilarityOps.ivfTopKServe(qs, dir, k = 5, nprobe = 4)) ==
+      pairs(SimilarityOps.bruteForceTopK(qs, df(shifted), 5)))
+
+    // the unconditional REBUILD verb inherits too (fresh corpus snapshot)
+    spark.conf.set("spark.sql.catalog.graft", classOf[graft.sources.BtrCatalog].getName)
+    val parser = new graft.sources.BtrSparkSqlParser(spark.sessionState.sqlParser)
+    val bv = parser.parsePlan(
+      s"IVF REBUILD INDEX '$dir' FROM graft.`$tableDir` (vec_id, embedding)")
+      .asInstanceOf[graft.sources.BtrIvfRebuildCommand].run(spark).head.getLong(2)
+    assert(bv == 3L, s"verb rebuild must stage build v3, got $bv")
+    assert(layout() == ((true, "i8", 4)),
+      s"REBUILD verb must inherit the i8 layout and nlist, got ${layout()}")
+    // explicit storage still migrates (the override path stays available):
+    // the verb rebuild re-fit on tableDir's ORIGINAL corpus, so the
+    // shifted corpus is drifted against it again
+    val (rebuilt2, _) = SimilarityOps.ivfIndexRebuildIfDrifted(
+      df(shifted), dir, minDrift = 0.8, fitSampleRows = 200, sampleRows = 200,
+      vectorStorage = "f32")
+    assert(rebuilt2 && layout() == ((true, "f32", 4)),
+      s"explicit storage must migrate on rebuild, got ${layout()}")
+    Seq(dir, tableDir).foreach(x =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(x)))
+  }
+
   test("storeVectors=false rejects quantized storage; unknown storage rejected") {
     val corpus = df(randVecs(0L until 10L, seed = 71))
     intercept[IllegalArgumentException] {
