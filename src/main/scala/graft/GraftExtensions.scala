@@ -239,17 +239,19 @@ object GraftExtensions {
     // resolved (like OPTIMIZE/VACUUM through the parser) and the returned
     // single row is its outcome report. All arguments are constants.
     ivfTvf("ivf_index_build",
-      "ivf_index_build(tableDir, idCol, vecCol, indexDir[, nlist]) - fit the coarse " +
-        "quantizer over the table's CURRENT snapshot and (re)build the persisted " +
+      "ivf_index_build(tableDir, idCol, vecCol, indexDir[, nlist[, storage]]) - fit the " +
+        "coarse quantizer over the table's CURRENT snapshot and (re)build the persisted " +
         "index crash-atomically; records the corpus version for refresh convergence. " +
+        "storage: 'f64' (default) | 'f32' | 'i8' stored-vector precision. " +
         "Runs at statement RESOLUTION: EXPLAIN/DESCRIBE/views re-execute the build — " +
         "automation should use the EXPLAIN-safe verb: IVF BUILD INDEX '<idx>' FROM <t> (id, vec)",
-      4, 5) { (spark, args) =>
+      4, 6) { (spark, args) =>
       import spark.implicits._
       val Seq(table, idCol, vecCol, idxDir) = args.take(4).map(strLit(_, "ivf_index_build"))
-      val nlist = if (args.length == 5) intLit(args(4), "ivf_index_build", "nlist") else 16
+      val nlist = if (args.length >= 5) intLit(args(4), "ivf_index_build", "nlist") else 16
+      val storage = if (args.length == 6) strLit(args(5), "ivf_index_build") else "f64"
       val (bv, cv) = graft.functions.IvfMaintenance.build(
-        spark, table, idCol, vecCol, idxDir, nlist)
+        spark, table, idCol, vecCol, idxDir, nlist, storage)
       Seq((bv, cv)).toDF("build_version", "corpus_version")
     }
     ,
@@ -339,13 +341,18 @@ object GraftExtensions {
     ,
     ivfTvf("ivf_index_state",
       "ivf_index_state(indexDir) - current build: tables root, build version, " +
-        "recorded corpus version (pure inspection, no action)",
+        "recorded corpus version, stored-vector layout (storage f64/f32/i8 or " +
+        "'membership' for a vectorless index) and cell count " +
+        "(pure inspection, no action)",
       1, 1) { (spark, args) =>
       import spark.implicits._
-      val st = graft.functions.SimilarityOps.ivfIndexState(
-        strLit(args.head, "ivf_index_state"))
-      Seq((st.root, st.buildVersion, st.corpusVersion.getOrElse(-1L)))
-        .toDF("root", "build_version", "corpus_version")
+      val idx = strLit(args.head, "ivf_index_state")
+      val st = graft.functions.SimilarityOps.ivfIndexState(idx)
+      val (store, storage, nlist) =
+        graft.functions.SimilarityOps.ivfIndexLayoutOf(spark, idx)
+      Seq((st.root, st.buildVersion, st.corpusVersion.getOrElse(-1L),
+        if (store) storage else "membership", nlist))
+        .toDF("root", "build_version", "corpus_version", "storage", "nlist")
     }
     ,
     // change feed: file-level incremental reads (see BtrChanges) — the

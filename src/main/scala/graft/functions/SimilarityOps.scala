@@ -669,7 +669,7 @@ object SimilarityOps {
     * nothing would ever flag that the operator's storage decision was
     * discarded and the quantized layout's serve-I/O win evaporated.
     */
-  private[functions] def ivfIndexLayoutOf(
+  private[graft] def ivfIndexLayoutOf(
       spark: org.apache.spark.sql.SparkSession, indexDir: String): (Boolean, String, Int) = {
     val schema = spark.read.format("btr").load(ivfIndexAssignPath(indexDir)).schema
     val store = schema.fieldNames.contains("cvec")

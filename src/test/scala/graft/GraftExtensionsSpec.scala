@@ -325,11 +325,13 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(graft.functions.SimilarityOps.centroidsOf(spark, idxSql) ==
       graft.functions.SimilarityOps.centroidsOf(spark, idxScala), "… and centroids")
 
-    // STATE inspection TVF mirrors the resolver
+    // STATE inspection TVF mirrors the resolver and reports the layout
     val st = spark.sql(s"SELECT * FROM ivf_index_state('$idxSql')").head
     val stApi = graft.functions.SimilarityOps.ivfIndexState(idxSql)
     assert(st.getString(0) == stApi.root && st.getLong(1) == stApi.buildVersion &&
       st.getLong(2) == stApi.corpusVersion.getOrElse(-1L))
+    assert(st.getString(3) == "f64" && st.getInt(4) == 8,
+      s"state TVF must report the stored-vector layout, got ${st.getString(3)}/${st.getInt(4)}")
 
     // corpus DML → REFRESH via TVF on one index, Scala refresh on the twin
     spark.sql(s"DELETE FROM graft.`$table` WHERE vec_id % 10 = 0") // v2

@@ -238,7 +238,17 @@ class IvfQuantSpec extends AnyFunSuite {
       s"IVF BUILD INDEX '${dir}_x' FROM graft.`$tableDir` (cid, cvec) STORAGE 'f32'")
       .asInstanceOf[graft.sources.BtrIvfBuildCommand].storage == "f32")
     assert(!new java.io.File(s"${dir}_x").exists(), "parsing must not build")
-    Seq(dir, tableDir).foreach(x =>
+    // TVF front-end parity: the optional 6th arg selects the storage and
+    // the state TVF reports the layout back
+    val tvfDir = tmp("i8-tvf-idx")
+    spark.sql(s"SELECT * FROM ivf_index_build('$tableDir', 'cid', 'cvec', " +
+      s"'$tvfDir', 8, 'i8')").collect()
+    val tvfAssign = spark.read.format("btr").load(SimilarityOps.ivfIndexAssignPath(tvfDir))
+    assert(tvfAssign.columns.contains("q8"), "TVF build must honor storage='i8'")
+    val st = spark.sql(s"SELECT storage, nlist FROM ivf_index_state('$tvfDir')").head
+    assert(st.getString(0) == "i8" && st.getInt(1) == 8,
+      s"state TVF must report the quantized layout, got $st")
+    Seq(dir, tableDir, tvfDir).foreach(x =>
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(x)))
   }
 
