@@ -1397,11 +1397,14 @@ object SimilarityOps {
     joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
-  /** Shortlist depth multiple for the i8 two-stage rank: stage 1 keeps
-    * `IvfRerankFactor × k` per query by quantized score before the exact
-    * re-rank — the standard scalar-quantization recall repair (the
+  /** Default shortlist depth multiple for the i8 two-stage rank: stage 1
+    * keeps `rerankFactor × k` per query by quantized score before the
+    * exact re-rank — the standard scalar-quantization recall repair (the
     * shortlist almost surely contains the true top-k; the exact pass
-    * reorders it).
+    * reorders it). Tunable per call on the serving APIs: a harder corpus
+    * (clustered neighborhoods tighter than the per-vector quantization
+    * step) buys recall with a deeper shortlist at linear shortlist-fetch
+    * cost, with the ranking scan unchanged.
     */
   val IvfRerankFactor = 4
 
@@ -1426,9 +1429,10 @@ object SimilarityOps {
       cells: DataFrame, // assign layout rows, already cluster-filtered
       probeSide: DataFrame, // (qid, qvec, cluster)
       k: Int,
+      rerankFactor: Int = IvfRerankFactor,
       maxFetchIds: Int = DefaultMaxStalePushdownCids): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val m = k * IvfRerankFactor
+    val m = k * math.max(1, rerankFactor)
     val scored = cells
       .select(col("cid"), col("cluster"), col("q8"), col("qs"), col("qo"), col("qn"))
       .join(probeSide, Seq("cluster"))
@@ -1459,8 +1463,9 @@ object SimilarityOps {
   }
 
   /** Dispatch a probed-cells DF to the layout's ranker. */
-  private def rankCells(cells: DataFrame, probeSide: DataFrame, k: Int): DataFrame =
-    if (cells.columns.contains("q8")) rankTopKQuant(cells, probeSide, k)
+  private def rankCells(cells: DataFrame, probeSide: DataFrame, k: Int,
+      rerankFactor: Int = IvfRerankFactor): DataFrame =
+    if (cells.columns.contains("q8")) rankTopKQuant(cells, probeSide, k, rerankFactor)
     else rankTopK(cells.select(col("cid"), col("cluster"), col("cvec")), probeSide, k)
 
   /** IVF ANN through the PERSISTED index: identical semantics to
@@ -1509,7 +1514,10 @@ object SimilarityOps {
       // semi-join and stale anti-count against the candidates' id column
       // are skipped — the fresh path touches ZERO corpus files, like
       // [[ivfTopKServe]], while keeping the candidates-shaped call site
-      trustIndex: Boolean = false
+      trustIndex: Boolean = false,
+      // i8 layouts only: shortlist depth multiple for the two-stage rank
+      // (ignored on f64/f32, which rank exactly in one stage)
+      rerankFactor: Int = IvfRerankFactor
   ): DataFrame = {
     val spark = candidates.sparkSession
     // ONE state resolution for both index tables: a rebuild publishing
@@ -1577,7 +1585,7 @@ object SimilarityOps {
         }
         }
       }
-    rankCells(cb, probeSide, k)
+    rankCells(cb, probeSide, k, rerankFactor)
   }
 
   /** PURE-INDEX IVF serving — the flat-cost ANN path at 100 TB: the
@@ -1595,7 +1603,9 @@ object SimilarityOps {
       indexDir: String,
       k: Int,
       nprobe: Int = 4,
-      maxBroadcastProbes: Long = DefaultMaxBroadcastProbes
+      maxBroadcastProbes: Long = DefaultMaxBroadcastProbes,
+      // i8 layouts only: shortlist depth multiple for the two-stage rank
+      rerankFactor: Int = IvfRerankFactor
   ): DataFrame = {
     val spark = queries.sparkSession
     val idxRoot = ivfIndexState(indexDir).root
@@ -1613,7 +1623,7 @@ object SimilarityOps {
     val cells =
       if (probed.isEmpty) assign.filter(lit(false))
       else assign.filter(col("cluster").isin(probed.map(Int.box): _*))
-    rankCells(cells, probeSide, k)
+    rankCells(cells, probeSide, k, rerankFactor)
   }
 
   /** Embedding near-duplicate pairs: all (a,b) with cosine ≥ threshold.

@@ -252,6 +252,26 @@ class IvfQuantSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(x)))
   }
 
+  test("rerankFactor tunes the i8 shortlist: depth-covering ≡ exact, floor still serves k") {
+    val dir = tmp("i8-rerank")
+    val corpus = randVecs(0L until 300L, seed = 101)
+    SimilarityOps.ivfIndexBuild(df(corpus), dir, nlist = 4, fitSampleRows = 200,
+      vectorStorage = "i8")
+    val qs = df(corpus.take(3)).select(col("cid").as("qid"), col("cvec").as("qvec"))
+    val exact = pairs(SimilarityOps.bruteForceTopK(qs, df(corpus), 5))
+    // a shortlist deep enough to cover every candidate makes the exact
+    // re-rank total — byte-for-byte brute force at full probe
+    assert(pairs(SimilarityOps.ivfTopKServe(qs, dir, k = 5, nprobe = 4,
+      rerankFactor = corpus.length)) == exact)
+    // the floor (shortlist = k, quantized order picks the candidates)
+    // still serves exactly k ranked rows per query through the same
+    // two-stage plan — recall is the only thing a shallow list trades
+    val floor = SimilarityOps.ivfTopKServe(qs, dir, k = 5, nprobe = 4, rerankFactor = 1)
+    val perQ = floor.groupBy("qid").count().collect().map(_.getLong(1))
+    assert(perQ.length == 3 && perQ.forall(_ == 5L), s"floor must serve k rows: ${perQ.toSeq}")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("drift rebuild and REBUILD verb PRESERVE the quantized layout and cell count") {
     // the downgrade this pins against: a maintenance rebuild re-running
     // with the build defaults would silently flip an i8 index to f64
