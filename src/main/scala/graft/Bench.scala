@@ -518,9 +518,15 @@ object Bench {
       // by a battery that renamed/replaced queries at constant size,
       // which would silently assign every artifact min to the wrong
       // query; a mismatched fingerprint falls back to named pairs.
-      val qv = QvRe.findAllMatchIn(text).toSeq.lastOption.flatMap { m =>
+      // qv and qh parse from ONE combined match ([[qvLine]] emits them
+      // adjacent) — matching them independently over the whole window
+      // would let a qh from one artifact line validate the qv of another
+      // when the window mixes pre-r19 (no qh) and r19 lines, guarding
+      // the wrong values; a qv with no adjacent qh is a pre-r19 line and
+      // passes on count alone.
+      val qv = QvQhRe.findAllMatchIn(text).toSeq.lastOption.flatMap { m =>
         val vals = m.group(1).split(',').filter(_.nonEmpty)
-        val refQh = QhRe.findAllMatchIn(text).map(_.group(1)).toSeq.lastOption
+        val refQh = Option(m.group(2))
         if (vals.length == known.size && refQh.forall(_ == querySetFingerprint(known)))
           Some(known.toSeq.sorted.zip(vals.map(_.toDouble)).toMap)
         else None
@@ -534,8 +540,7 @@ object Bench {
     }
   }
 
-  private val QvRe = "\"qv\":\"([0-9.,]*)\"".r
-  private val QhRe = "\"qh\":\"([0-9a-f]+)\"".r
+  private val QvQhRe = "\"qv\":\"([0-9.,]*)\"(?:,\"qh\":\"([0-9a-f]+)\")?".r
 
   /** Order-insensitive fingerprint of the battery's query-name set —
     * 8 hex chars of the sorted, comma-joined names' String.hashCode

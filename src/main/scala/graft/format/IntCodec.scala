@@ -45,11 +45,12 @@ final case class IntStats(
 object IntStats {
 
   /** Sampled Frequency-eligibility threshold: the 90% population
-    * top-share gate (ref SchemeConfig.hpp:17) minus TWO binomial
+    * top-1 occurrence gate (ref scheme/templated/Frequency.hpp:42,
+    * `occurence_count * 100 / tuple_count >= 90`) minus TWO binomial
     * standard errors of THIS sample size — 2·sqrt(p(1−p)/n) at p=0.9 —
     * so a boundary stream's eligibility is not coin-flipped by sampling
     * noise. Derived from the actual n (not hardcoded to the default
-    * 640-value sample's 87%), so a config that raises sampleRuns/runLen
+    * 640-value sample's ≈87.6%), so a config that raises sampleRuns/runLen
     * keeps exactly the margin its σ warrants instead of admitting more
     * false-eligibles than intended. An exhaustive "sample"
     * (sampleN >= count) has zero sampling error and gets the full

@@ -69,12 +69,17 @@ object QuantVecUtil {
 
   /** Approximate cosine of a quantized vector against a float/double
     * query; null on length mismatch or null query elements (the
-    * CosineUtil conventions).
+    * CosineUtil conventions), and null when either norm is zero — a
+    * 0/0 here would surface as NaN, which Spark's descending sort
+    * ranks ABOVE every real score, so zero vectors would hijack the
+    * two-stage shortlist's `rerankFactor × k` slots (pure recall loss:
+    * the exact re-rank agrees they are not neighbors).
     */
   def quantCos(codes: Array[Byte], qs: Double, qo: Double, qn: Double,
       query: ArrayData, queryKind: Int): Any = {
     val n = codes.length
     if (query.numElements() != n) return null
+    if (qn == 0.0) return null
     var sumQ = 0.0
     var dotU = 0.0
     var nq = 0.0
@@ -87,6 +92,7 @@ object QuantVecUtil {
       nq += q * q
       i += 1
     }
+    if (nq == 0.0) return null
     java.lang.Double.valueOf((qo * sumQ + qs * dotU) / (math.sqrt(nq) * qn))
   }
 }

@@ -1242,10 +1242,16 @@ object SimilarityOps {
       val (curStore, curStorage, curNlist) =
         ivfIndexLayoutOf(candidates.sparkSession, indexDir)
       val storage = if (vectorStorage == "inherit") curStorage else vectorStorage
+      // an explicit "f64" preserves the current storeVectors: f64 is the
+      // no-quantization default a membership (vectorless) index already
+      // reports, so passing it must not silently convert the index to
+      // IVF-flat on a maintenance rebuild — only a genuinely quantized
+      // request (f32/i8, which REQUIRE stored vectors) implies storing
       ivfIndexBuild(candidates, indexDir,
         if (nlist > 0) nlist else curNlist,
         fitSampleRows, assignPartitionSpec, corpusVersion,
-        storeVectors = if (vectorStorage == "inherit") curStore else true,
+        storeVectors =
+          if (vectorStorage == "inherit" || vectorStorage == "f64") curStore else true,
         vectorStorage = storage)
       (true, drift)
     } else (false, drift)
@@ -1387,6 +1393,31 @@ object SimilarityOps {
     (probes, nEff, overCap)
   }
 
+  /** The current build's assign table pinned to ONE snapshot version,
+    * resolved here and read `VERSION AS OF` it: serving plans execute as
+    * MULTIPLE Spark actions (the probed-cell collect, the staleness
+    * count, the quantized shortlist's id collect, the final rank join),
+    * and an un-pinned scan re-resolves the table's latest version at
+    * each action's build — a refresh/append committing mid-query could
+    * hand a later action rows the earlier actions never saw (for the
+    * two-stage quantized rank: collected shortlist ids that no longer
+    * cover a recomputed shortlist → the inner re-rank join silently
+    * drops neighbors). Pinning makes every action — including any cache-
+    * eviction recompute — observe the same snapshot, the same
+    * never-a-torn-mix contract the f64 single-action path gets for free.
+    */
+  private def assignAt(
+      spark: org.apache.spark.sql.SparkSession, idxRoot: String): DataFrame = {
+    val path = s"$idxRoot/assign"
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(graft.format.BtrTableMeta.hadoopConf())
+    val reader = spark.read.format("btr")
+    graft.sources.BtrLog.latestVersion(fs, fs.makeQualified(p)) match {
+      case Some(v) => reader.option("btr.versionAsOf", v.toString).load(path)
+      case None => reader.load(path)
+    }
+  }
+
   /** Rank the (cluster-matched) candidate rows per query. */
   private def rankTopK(cells: DataFrame, probeSide: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -1422,8 +1453,14 @@ object SimilarityOps {
     *     `maxFetchIds` the fetch degrades loudly to a full probed-cell
     *     vector read (still partition-pruned to the probed cells).
     *
-    * The quantized scan runs twice (id collect + final join) — both runs
-    * are the cheap 1-byte/dim pass, still far under one f64 pass.
+    * The shortlist is persisted (memory-with-disk-spill) before the id
+    * collect, so the quantized stage-1 scan executes ONCE per query
+    * batch — the collect materializes it, the re-rank join reads the
+    * cached rows (bounded: queries × rerankFactor × k). An evicted
+    * block's recompute re-reads the caller's version-pinned scan
+    * ([[assignAt]]), so eviction can shift cost but never consistency;
+    * the cache entry itself is released by Spark's ContextCleaner once
+    * the result plan is dropped.
     */
   private def rankTopKQuant(
       cells: DataFrame, // assign layout rows, already cluster-filtered
@@ -1443,6 +1480,7 @@ object SimilarityOps {
     val shortlist = scored.withColumn("r1", row_number().over(w1))
       .filter(col("r1") <= m)
       .select(col("qid"), col("qvec"), col("cid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val idRows = shortlist.select(col("cid")).distinct()
       .limit(maxFetchIds + 1).collect()
     val exact =
@@ -1522,10 +1560,12 @@ object SimilarityOps {
     val spark = candidates.sparkSession
     // ONE state resolution for both index tables: a rebuild publishing
     // mid-planning cannot hand this query new centroids with the old
-    // build's assign rows (cluster ids live in per-build id spaces)
+    // build's assign rows (cluster ids live in per-build id spaces);
+    // the assign read is additionally version-pinned ([[assignAt]]) so
+    // a REFRESH committing between this query's actions cannot tear it
     val idxRoot = ivfIndexState(indexDir).root
     val centers = centroidsAt(spark, idxRoot).map(_._2)
-    val assign = spark.read.format("btr").load(s"$idxRoot/assign")
+    val assign = assignAt(spark, idxRoot)
     val (probes, nEff, overCap) = probeRows(
       queries, centers, nprobe, maxBroadcastProbes, "ivfTopKIndexed")
     val probeSide = if (overCap) probes else broadcast(probes)
@@ -1610,7 +1650,9 @@ object SimilarityOps {
     val spark = queries.sparkSession
     val idxRoot = ivfIndexState(indexDir).root
     val centers = centroidsAt(spark, idxRoot).map(_._2)
-    val assign = spark.read.format("btr").load(s"$idxRoot/assign")
+    // version-pinned: the two-stage quantized rank runs multiple actions
+    // over this scan; a mid-query refresh must not tear them (assignAt)
+    val assign = assignAt(spark, idxRoot)
     require(assign.columns.contains("cvec"),
       s"ivfTopKServe: the index at $indexDir uses the legacy membership " +
         "layout (no stored vectors) — rebuild with storeVectors=true, or " +

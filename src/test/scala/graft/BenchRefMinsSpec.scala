@@ -99,6 +99,27 @@ class BenchRefMinsSpec extends AnyFunSuite {
     assert(Bench.parseRefMins(noQh, sf, names.toSet).size == names.size)
   }
 
+  test("a qh from a different artifact line cannot validate the parsed qv") {
+    // ADVICE r19: qv and qh were matched independently over the whole
+    // window, so a window mixing artifact lines could validate one
+    // line's values with another line's fingerprint. Window shape: a
+    // complete qv line from a RENAMED battery (its own, mismatching qh),
+    // followed by a later line whose qv clipped off but whose qh — which
+    // matches the current battery — survives in the tail. The zip must
+    // refuse (fall back to named pairs → empty here), not adopt the
+    // renamed battery's values under the stray matching fingerprint.
+    val names = Set("q_x1", "q_x2")
+    val line =
+      s"""{"metric":"total","value":1.0,"unit":"sec","nq":2,"qv":"9.000,9.000","qh":"00000000","sf":"$sf"}"""
+    val stray = s""","qh":"${Bench.querySetFingerprint(names)}","sf":"$sf"}"""
+    assert(Bench.parseRefMins(line + "\\n" + stray, sf, names).isEmpty,
+      "a stray same-window qh validated a different line's qv")
+    // and the same-line qh still validates as before
+    val good =
+      s"""{"qv":"1.000,2.000","qh":"${Bench.querySetFingerprint(names)}","sf":"$sf"}"""
+    assert(Bench.parseRefMins(good, sf, names) === Map("q_x1" -> 1.0, "q_x2" -> 2.0))
+  }
+
   test("the production newest-first artifact walk yields per-query mins") {
     // BENCH_r16.json committed the broken col_bw-after-queries shape (its
     // tail has zero pairs), so the NEWEST artifact alone is not pinned —

@@ -181,6 +181,10 @@ class IvfQuantSpec extends AnyFunSuite {
         case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
           leaves(a.executedPlan)
         case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => leaves(q.plan)
+        // the persisted stage-1 shortlist (scanned once, reread from
+        // cache by the re-rank join) — the quantized scan lives inside
+        case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          leaves(m.relation.cachedPlan)
         case x => Seq(x)
       }
     val scans = leaves(served.queryExecution.executedPlan).collect {
@@ -326,6 +330,68 @@ class IvfQuantSpec extends AnyFunSuite {
       s"explicit storage must migrate on rebuild, got ${layout()}")
     Seq(dir, tableDir).foreach(x =>
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(x)))
+  }
+
+  test("explicit f64 on a membership index preserves the vectorless layout across drift rebuild") {
+    // ADVICE r19: an explicit "f64" used to force storeVectors = true, so
+    // a maintenance loop configured with vectorStorage = "f64" silently
+    // converted a membership (vectorless) index to IVF-flat on its next
+    // drift rebuild — the exact silent-layout-change class the storage
+    // plumbing exists to prevent. f64 is the no-quantization default a
+    // membership index already reports; only f32/i8 imply stored vectors.
+    val dir = tmp("f64-membership-idx")
+    val corpus = randVecs(0L until 300L, seed = 95)
+      .map { case (i, v) => (i, v.indices.map(j => if (j < Dim / 2) v(j) else 0f).toSeq) }
+    SimilarityOps.ivfIndexBuild(df(corpus), dir, nlist = 4, fitSampleRows = 200,
+      storeVectors = false)
+    def layout() = SimilarityOps.ivfIndexLayoutOf(spark, dir)
+    assert(layout() == ((false, "f64", 4)))
+    val shifted = corpus.map { case (i, v) =>
+      (i, v.indices.map(j => if (j >= Dim / 2) v(j - Dim / 2) else 0f).toSeq)
+    }
+    val (rebuilt, _) = SimilarityOps.ivfIndexRebuildIfDrifted(df(shifted), dir,
+      minDrift = 0.8, fitSampleRows = 200, sampleRows = 200, vectorStorage = "f64")
+    assert(rebuilt, "orthogonal corpus must trigger the drift rebuild")
+    assert(layout() == ((false, "f64", 4)),
+      s"explicit f64 must preserve the membership layout, got ${layout()}")
+    // an explicitly QUANTIZED request still migrates (requires vectors)
+    val half = corpus.map { case (i, v) =>
+      (i, v.indices.map(j => if (j < Dim / 2) v(j) else 0f).toSeq)
+    }
+    val (rebuilt2, _) = SimilarityOps.ivfIndexRebuildIfDrifted(df(half), dir,
+      minDrift = 0.8, fitSampleRows = 200, sampleRows = 200, vectorStorage = "i8")
+    assert(rebuilt2 && layout() == ((true, "i8", 4)),
+      s"explicit i8 must migrate the membership index to quantized flat, got ${layout()}")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  test("quant_cos is null (never NaN) on zero-norm vectors and zero queries") {
+    // ADVICE r19: 0/0 = NaN, and Spark sorts NaN above every double, so
+    // a NaN score would rank zero vectors FIRST and waste the two-stage
+    // shortlist's slots on guaranteed non-neighbors.
+    val q = QuantVecUtil.quantize(
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array(0.0, 0.0, 0.0)), 1)
+    assert(q != null && q(3).asInstanceOf[Double] == 0.0) // zero norm stored
+    val unit = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array(1.0, 0.0, 0.0))
+    assert(QuantVecUtil.quantCos(q(0).asInstanceOf[Array[Byte]], q(1).asInstanceOf[Double],
+      q(2).asInstanceOf[Double], q(3).asInstanceOf[Double], unit, 1) == null,
+      "zero STORED vector must score null, not NaN")
+    val nz = QuantVecUtil.quantize(
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array(1.0, 2.0, 3.0)), 1)
+    val zeroQ = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array(0.0, 0.0, 0.0))
+    assert(QuantVecUtil.quantCos(nz(0).asInstanceOf[Array[Byte]], nz(1).asInstanceOf[Double],
+      nz(2).asInstanceOf[Double], nz(3).asInstanceOf[Double], zeroQ, 1) == null,
+      "zero QUERY vector must score null, not NaN")
+    // and through codegen: a zero vector never outranks a real neighbor
+    val rows = Seq((0L, Seq(0f, 0f, 0f)), (1L, Seq(1f, 2f, 3f)), (2L, Seq(1f, 2f, 2f)))
+      .toDF("cid", "cvec")
+      .withColumn("q", QuantizeVecExpr.of(col("cvec")))
+      .select(col("cid"),
+        QuantCosExpr.of(col("q.qvec"), col("q.qs"), col("q.qo"), col("q.qn"),
+          array(lit(1f), lit(2f), lit(3f))).as("qcos"))
+      .orderBy(desc_nulls_last("qcos")).collect()
+    assert(rows.head.getAs[Long]("cid") == 1L && rows.last.isNullAt(1),
+      s"zero vector must sort last via null, got ${rows.mkString(", ")}")
   }
 
   test("storeVectors=false rejects quantized storage; unknown storage rejected") {

@@ -185,6 +185,53 @@ class IvfRaceFuzzSpec extends AnyFunSuite {
         s"inversions=$inversions serveRaces=$serveRaces")
   }
 
+  // ADVICE r19 (medium): the i8 two-stage rank executes as MULTIPLE
+  // Spark actions (shortlist materialize + id collect, then the re-rank
+  // join at the caller's collect) — a refresh committing between them
+  // must not tear the query. The serve is version-pinned at entry
+  // (assignAt) and the shortlist persisted, so the in-flight query
+  // answers exactly the pre-commit snapshot — never a torn mix, never
+  // fewer than k rows — and a FRESH serve sees the post state.
+  test("i8 two-stage serve stays snapshot-pinned across a mid-query refresh") {
+    for (seed <- Seq(91L, 92L, 93L)) {
+      val dir = s"/tmp/btr-ivf-i8-race/$seed"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      val corpus = randVecs(0L until 100L, seed)
+      SimilarityOps.ivfIndexBuild(df(corpus), dir, nlist = 4, fitSampleRows = 100,
+        vectorStorage = "i8")
+      val qs = df(corpus.take(3)).select(col("cid").as("qid"), col("cvec").as("qvec"))
+      def exactOver(rows: Seq[(Long, Seq[Float])]): Set[(Long, Long)] =
+        SimilarityOps.bruteForceTopK(qs, df(rows), 3).collect()
+          .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"))).toSet
+      val pre = exactOver(corpus)
+
+      // serve resolves (and runs its internal shortlist actions) NOW...
+      val pending = SimilarityOps.ivfTopKServe(qs, dir, k = 3, nprobe = 4)
+      // ...then a refresh lands BEFORE the caller's collect
+      val inc = randVecs(1000L until 1030L, seed + 1)
+      val feed = inc.map { case (id, v) => (id, v, "insert", 1L) }
+        .toDF("cid", "cvec", "_change_type", "_commit_version")
+      SimilarityOps.ivfIndexRefresh(feed, dir,
+        txnAppId = Some(s"i8race$seed"), txnVersion = Some(1L))
+
+      val gotRows = pending.collect()
+      val perQid = gotRows.groupBy(_.getAs[Long]("qid")).view.mapValues(_.length)
+      assert(perQid.values.forall(_ == 3),
+        s"seed=$seed: mid-refresh i8 serve dropped neighbors (${perQid.toMap})")
+      val got = gotRows.map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"))).toSet
+      assert(got == pre,
+        s"seed=$seed: in-flight i8 serve diverged from its pinned snapshot")
+
+      // a fresh serve observes the refreshed index in full
+      val post = exactOver(corpus ++ inc)
+      val fresh = SimilarityOps.ivfTopKServe(qs, dir, k = 3, nprobe = 4).collect()
+        .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"))).toSet
+      assert(fresh == post,
+        s"seed=$seed: post-refresh i8 serve missed the refreshed rows")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   // VERDICT r18 #5: ivfTopKIndexed(trustIndex=true) serves whatever the
   // index contains; the contract is caller-asserted freshness via
   // ivfIndexFresh. Race arm: a corpus commit lands BETWEEN the freshness
