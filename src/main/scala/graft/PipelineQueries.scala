@@ -228,6 +228,35 @@ object PipelineQueries {
       singles.union(verified).orderBy("keep_id")
     }),
 
+    // paragraph-level exact dedup (VERDICT r19 #5): the Gopher/FineWeb
+    // step between doc-level dedup and boilerplate n-gram pruning. The
+    // synthetic docs are single-paragraph with no exact duplicates at
+    // gate scale, so a deterministic page corpus creates the repeated-
+    // paragraph structure the op exists for: page k = a header paragraph
+    // (the text of doc k % 10 — each header recurs on ~n/30 pages, and
+    // doubles as a body paragraph on its home page, exercising the
+    // within-page copy drop) + a body of 3 consecutive docs, joined by
+    // blank lines in doc_id order. The oracle rebuilds identical pages
+    // in SQL. Detection shuffles 8-byte fingerprints; see
+    // TextOps.dedupParagraphs for the full scale contract.
+    "q_dedup_paragraphs" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val body = docs.groupBy(expr("doc_id DIV 3").as("page_id"))
+        .agg(array_join(
+          transform(
+            array_sort(collect_list(struct(col("doc_id"), col("text")))),
+            x => x.getField("text")),
+          "\n\n").as("body"))
+      val headers = docs.filter(col("doc_id") < 10)
+        .select(col("doc_id").as("hid"), col("text").as("header"))
+      val pages = body.join(broadcast(headers), pmod(col("page_id"), lit(10)) === col("hid"))
+        .select(col("page_id"), concat_ws("\n\n", col("header"), col("body")).as("text"))
+      TextOps.dedupParagraphs(pages, "page_id", "text")
+        .select(col("id").as("page_id"), col("clean_text"),
+          col("n_kept"), col("n_dropped"))
+        .orderBy("page_id")
+    }),
+
     // incremental dedup: the change feed powering the pipeline — only
     // the NEW docs (snapshot range (1, 2]) are fingerprinted and checked
     // against the corpus (version 1), so per-increment cost scales with
@@ -1091,6 +1120,30 @@ object PipelineQueries {
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+    "q_dedup_paragraphs" ->
+      """WITH pages AS (
+        |  SELECT b.page_id, h.text || chr(10)||chr(10) || b.body AS text
+        |  FROM (SELECT doc_id // 3 AS page_id,
+        |          string_agg(text, chr(10)||chr(10) ORDER BY doc_id) AS body
+        |        FROM documents GROUP BY 1) b
+        |  JOIN (SELECT doc_id, text FROM documents WHERE doc_id < 10) h
+        |    ON b.page_id % 10 = h.doc_id),
+        | sp AS (SELECT page_id, string_split(text, chr(10)||chr(10)) AS parts FROM pages),
+        | paras AS (
+        |  SELECT page_id, u['pos'] AS pos, u['para'] AS para FROM (
+        |    SELECT page_id, unnest(list_transform(generate_series(1, len(parts)),
+        |      i -> {'pos': i, 'para': trim(parts[i])})) AS u FROM sp)
+        |  WHERE len(u['para']) > 0),
+        | dup AS (SELECT para FROM (
+        |    SELECT para, count(DISTINCT page_id) AS nd FROM paras GROUP BY para)
+        |  WHERE nd >= 2)
+        |SELECT p.page_id,
+        |  coalesce(string_agg(p.para, chr(10)||chr(10) ORDER BY p.pos)
+        |    FILTER (WHERE d.para IS NULL), '') AS clean_text,
+        |  CAST(count(*) FILTER (WHERE d.para IS NULL) AS BIGINT) AS n_kept,
+        |  CAST(count(d.para) AS BIGINT) AS n_dropped
+        |FROM paras p LEFT JOIN dup d USING (para)
+        |GROUP BY p.page_id ORDER BY p.page_id""".stripMargin,
     "q_incremental_dedup" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_new
         |FROM documents

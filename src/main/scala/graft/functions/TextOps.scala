@@ -798,6 +798,61 @@ object TextOps {
   def sampleKey(key: Column, salt: String): Column =
     pmod(md5Hash60(concat(lit(salt), key.cast("string"))), lit(100L))
 
+  /** Paragraph-level exact dedup — the Gopher/FineWeb recipe step the
+    * document-level passes (exact / MinHash / semantic) miss: drop every
+    * paragraph whose exact trimmed text appears in at least `minDocs`
+    * DISTINCT documents (all occurrences drop — boilerplate headers,
+    * navigation blocks, license footers), then reassemble each document
+    * from its surviving paragraphs in original order. Returns
+    * (id, clean_text, n_kept, n_dropped); a document whose every
+    * paragraph was dropped keeps its row with an empty clean_text, so
+    * downstream quality filters see the removal rather than losing the id.
+    *
+    * Scale shape: duplicate DETECTION shuffles 8-byte xxhash64
+    * fingerprints only (distinct-doc counts per fp); full paragraph text
+    * enters a shuffle exactly twice — the fp-collision re-verification
+    * restricted to suspect fps via a semi-join (collisions must not
+    * delete a unique paragraph), and the per-document reassembly groupBy
+    * any implementation needs. The drop-key join is AQE-broadcastable
+    * when the duplicated set is small; no pairwise surface anywhere, so
+    * cost is one-pass linear in corpus size at any scale.
+    */
+  def dedupParagraphs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      sep: String = "\n\n",
+      minDocs: Int = 2
+  ): DataFrame = {
+    require(minDocs >= 2, s"dedupParagraphs needs minDocs >= 2, got $minDocs")
+    val paras = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("pos", "para0")))
+      .select(col("id"), col("pos"), trim(col("para0")).as("para"))
+      .filter(length(col("para")) > 0)
+      .withColumn("fp", xxhash64(col("para")))
+    val dupFps = paras.groupBy("fp")
+      .agg(countDistinct(col("id")).as("nd"))
+      .filter(col("nd") >= minDocs).select("fp")
+    val dropKeys = paras.join(dupFps, Seq("fp"), "left_semi")
+      .groupBy("fp", "para")
+      .agg(countDistinct(col("id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("fp"), col("para"), lit(1).as("dup"))
+    paras.join(dropKeys, Seq("fp", "para"), "left_outer")
+      .groupBy("id").agg(
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("dup").isNull, struct(col("pos"), col("para"))))),
+            x => x.getField("para")),
+          sep).as("clean_text"),
+        count(when(col("dup").isNull, 1)).as("n_kept"),
+        count(col("dup")).as("n_dropped"))
+  }
+
   /** Document chunking for embedding/RAG pipelines: split each document
     * into overlapping token windows of `window` tokens every `stride`
     * tokens (stride < window ⇒ overlap). Purely declarative — one

@@ -101,6 +101,31 @@ class PipelineOpsSpec extends AnyFunSuite {
     pairs.unpersist()
   }
 
+  test("dedupParagraphs drops cross-doc repeats, keeps order, survives collisions-by-design") {
+    // page structure: a shared boilerplate header/footer across docs, a
+    // paragraph repeated WITHIN one doc only (kept — not cross-doc), and
+    // unique bodies that must reassemble in original order
+    val pages = Seq(
+      (1L, "SHARED HEADER\n\nunique body one alpha\n\nunique body one beta\n\nSHARED FOOTER"),
+      (2L, "SHARED HEADER\n\nunique body two\n\nSHARED FOOTER"),
+      (3L, "only unique content here\n\nrepeated inside\n\nrepeated inside"),
+      (4L, "  SHARED HEADER \n\n\n\nwhitespace-normalized survivor"), // trims + empty para
+      (5L, "SHARED HEADER") // every paragraph dropped -> empty clean_text
+    ).toDF("id", "text")
+    val out = TextOps.dedupParagraphs(pages, "id", "text")
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[String]("clean_text"), r.getAs[Long]("n_kept"), r.getAs[Long]("n_dropped"))))
+      .toMap
+    assert(out(1L) == (("unique body one alpha\n\nunique body one beta", 2L, 2L)))
+    assert(out(2L) == (("unique body two", 1L, 2L)))
+    // within-doc-only repetition is NOT cross-doc boilerplate: kept twice
+    assert(out(3L) == (("only unique content here\n\nrepeated inside\n\nrepeated inside", 3L, 0L)))
+    // header matched after trim; empty paragraph ignored, not counted
+    assert(out(4L) == (("whitespace-normalized survivor", 1L, 1L)))
+    // a fully-boilerplate doc keeps its row with empty text
+    assert(out(5L) == (("", 0L, 1L)))
+  }
+
   test("corpus-mix budget window is deterministic and stops at the budget line") {
     // mirror of q_corpus_mix's shape on a tiny frame: per-source salted-
     // hash order, admit while PRIOR cumulative tokens are under budget
