@@ -193,6 +193,36 @@ object GraftExtensions {
         f(org.apache.spark.sql.SparkSession.active, args).queryExecution.logical
       })
 
+  /** Mutation-TVF guard (VERDICT r19 #6): the four mutating TVFs execute
+    * their action at statement RESOLUTION, so EXPLAIN / DESCRIBE / a view
+    * re-running analysis silently re-runs a build/refresh/rebuild/vacuum
+    * — the exact footgun the `IVF …` parser verbs exist to avoid. Modes
+    * (`spark.graft.ivf.tvfMutations`):
+    *   - `warn` (default): execute, but log ONE loud deprecation warning
+    *     per function per JVM pointing at the EXPLAIN-safe verb;
+    *   - `refuse`: fail the statement with the verb spelled out —
+    *     the lockdown setting for shared clusters;
+    *   - `allow`: execute silently (scripted migrations that accept the
+    *     resolution-time contract).
+    * Read-only TVFs (`state`/`staleness`/`fresh`/`drift`) are untouched.
+    */
+  private val mutationTvfWarned = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def guardMutationTvf(
+      spark: org.apache.spark.sql.SparkSession, name: String, verb: String): Unit =
+    spark.conf.get("spark.graft.ivf.tvfMutations", "warn") match {
+      case "refuse" => throw new IllegalStateException(
+        s"$name refused (spark.graft.ivf.tvfMutations=refuse): maintenance TVFs execute " +
+          "at statement RESOLUTION — EXPLAIN/DESCRIBE/views re-run the action. Use the " +
+          s"EXPLAIN-safe parser verb instead: $verb")
+      case "allow" => ()
+      case _ =>
+        if (mutationTvfWarned.add(name))
+          org.apache.log4j.Logger.getLogger(getClass).warn(
+            s"$name executes at statement RESOLUTION (EXPLAIN/DESCRIBE/views re-run the " +
+              s"action) and is deprecated for automation — prefer the EXPLAIN-safe verb: " +
+              s"$verb. Set spark.graft.ivf.tvfMutations=refuse to forbid, =allow to silence.")
+    }
+
   private def corpusDf(spark: org.apache.spark.sql.SparkSession, tableDir: String,
       idCol: String, vecCol: String, versionAsOf: Option[Long]): org.apache.spark.sql.DataFrame = {
     val r0 = spark.read.format("btr")
@@ -247,6 +277,8 @@ object GraftExtensions {
         "automation should use the EXPLAIN-safe verb: IVF BUILD INDEX '<idx>' FROM <t> (id, vec)",
       4, 6) { (spark, args) =>
       import spark.implicits._
+      guardMutationTvf(spark, "ivf_index_build",
+        "IVF BUILD INDEX '<idx>' FROM <t> (id, vec) [NLIST n] [STORAGE 's']")
       val Seq(table, idCol, vecCol, idxDir) = args.take(4).map(strLit(_, "ivf_index_build"))
       val nlist = if (args.length >= 5) intLit(args(4), "ivf_index_build", "nlist") else 16
       val storage = if (args.length == 6) strLit(args(5), "ivf_index_build") else "f64"
@@ -261,6 +293,8 @@ object GraftExtensions {
         "identity; retried batches no-op",
       6, 7) { (spark, args) =>
       import spark.implicits._
+      guardMutationTvf(spark, "ivf_index_refresh",
+        "IVF REFRESH INDEX '<idx>' FROM <t> (id, vec) APP '<app>' VERSIONS f [TO t]")
       val Seq(table, idCol, vecCol, idxDir, appId) =
         args.take(5).map(strLit(_, "ivf_index_refresh"))
       val from = intLit(args(5), "ivf_index_refresh", "from").toLong
@@ -314,6 +348,8 @@ object GraftExtensions {
         "automation should use the verb: IVF REBUILD INDEX '<idx>' FROM <t> (id, vec) IF DRIFT BELOW 80",
       4, 5) { (spark, args) =>
       import spark.implicits._
+      guardMutationTvf(spark, "ivf_index_rebuild_if_drifted",
+        "IVF REBUILD INDEX '<idx>' FROM <t> (id, vec) IF DRIFT BELOW p")
       val Seq(table, idCol, vecCol, idxDir) =
         args.take(4).map(strLit(_, "ivf_index_rebuild_if_drifted"))
       val pct =
@@ -333,6 +369,7 @@ object GraftExtensions {
         "automation should use the verb: IVF VACUUM INDEX '<idx>' [KEEP n]",
       1, 2) { (spark, args) =>
       import spark.implicits._
+      guardMutationTvf(spark, "ivf_index_vacuum", "IVF VACUUM INDEX '<idx>' [KEEP n]")
       val idxDir = strLit(args.head, "ivf_index_vacuum")
       val keep = if (args.length == 2) intLit(args(1), "ivf_index_vacuum", "keepLast") else 2
       Seq(Tuple1(graft.functions.IvfMaintenance.vacuum(idxDir, keep)))

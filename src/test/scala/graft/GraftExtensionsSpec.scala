@@ -484,4 +484,52 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(viaIdx == exact)
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
   }
+
+  test("mutation TVFs refuse under spark.graft.ivf.tvfMutations=refuse; read-only TVFs unaffected") {
+    // VERDICT r19 #6: the mutation TVFs execute at statement RESOLUTION
+    // (EXPLAIN/views re-run the action). Default mode warns-once and
+    // executes (every earlier test in this suite relies on it); the
+    // refuse mode must fail the statement BEFORE any action runs, naming
+    // the EXPLAIN-safe verb, and must not touch the read-only TVFs.
+    val base = "/tmp/btr-ext-spec/tvf-refuse"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val table = s"$base/corpus"
+    val idx = s"$base/idx"
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    (0L until 50L).map(i => (i, Seq.fill(6)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+      .write.format("btr").mode("overwrite").save(table)
+    spark.conf.set("spark.graft.ivf.tvfMutations", "refuse")
+    try {
+      val e = intercept[IllegalStateException] {
+        spark.sql(s"SELECT * FROM ivf_index_build('$table', 'vec_id', 'embedding', '$idx', 4)")
+      }
+      assert(e.getMessage.contains("IVF BUILD INDEX"),
+        s"refusal must name the EXPLAIN-safe verb, got: ${e.getMessage}")
+      assert(!new java.io.File(idx).exists(),
+        "the refused build must not have staged anything")
+      intercept[IllegalStateException] {
+        spark.sql(s"SELECT * FROM ivf_index_vacuum('$idx')")
+      }
+      intercept[IllegalStateException] {
+        spark.sql("SELECT * FROM ivf_index_refresh(" +
+          s"'$table', 'vec_id', 'embedding', '$idx', 'app', 1)")
+      }
+      intercept[IllegalStateException] {
+        spark.sql(s"SELECT * FROM ivf_index_rebuild_if_drifted('$table', 'vec_id', 'embedding', '$idx')")
+      }
+      // the verb surface stays OPEN under refuse (it is the alternative)
+      val parser = new graft.sources.BtrSparkSqlParser(spark.sessionState.sqlParser)
+      spark.conf.set("spark.sql.catalog.graft", classOf[graft.sources.BtrCatalog].getName)
+      val bv = parser.parsePlan(
+        s"IVF BUILD INDEX '$idx' FROM graft.`$table` (vec_id, embedding) NLIST 4")
+        .asInstanceOf[graft.sources.BtrIvfBuildCommand].run(spark).head.getLong(0)
+      assert(bv == 1L, s"the IVF BUILD verb must run under refuse mode, got v$bv")
+      // read-only TVFs keep working under refuse
+      assert(spark.sql(s"SELECT * FROM ivf_index_state('$idx')").count() == 1L)
+      assert(spark.sql(s"SELECT * FROM ivf_index_fresh('$idx', '$table')").count() == 1L)
+    } finally spark.conf.unset("spark.graft.ivf.tvfMutations")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+  }
 }
