@@ -189,20 +189,25 @@ object DoubleCodec {
     // near-constant escalation: parity with the int side — a sample whose
     // minority values number < 64 decides its scheme race on small-sample
     // variance, while the chunk itself is cheap under every candidate
+    val runDom = s.runCount.toLong * 32 <= count
+    val nearConst = !runDom && count > s.sampleN && s.sampleN - s.sTopCount < 64
     if (cfg.tryAll ||
-      (cfg.measuredEstimate && depth >= 1 && count >= 1024 &&
-        (s.runCount.toLong * 32 <= count ||
-          (count > s.sampleN && s.sampleN - s.sTopCount < 64)))) {
-      tryAllEncode(out, values, count, depth, cfg, s, seed)
+      (cfg.measuredEstimate && depth >= 1 && count >= 1024 && (runDom || nearConst))) {
+      if (cfg.tryAll) tryAllEncode(out, values, count, depth, cfg, s, seed)
+      else EscalationTelemetry.timed(if (runDom) 1 else 2) {
+        tryAllEncode(out, values, count, depth, cfg, s, seed)
+      }
       return
     }
-    val start = out.pos
-    val scheme = choose(values, count, s, depth, cfg)
-    encodeAs(scheme, out, values, count, depth, s, cfg, seed)
-    val rawSize = 1 + count.toLong * 8
-    if (scheme != Uncompressed && (out.pos - start).toLong > rawSize) {
-      out.truncate(start)
-      encodeAs(Uncompressed, out, values, count, depth, s, cfg, seed)
+    EscalationTelemetry.timed(0) {
+      val start = out.pos
+      val scheme = choose(values, count, s, depth, cfg)
+      encodeAs(scheme, out, values, count, depth, s, cfg, seed)
+      val rawSize = 1 + count.toLong * 8
+      if (scheme != Uncompressed && (out.pos - start).toLong > rawSize) {
+        out.truncate(start)
+        encodeAs(Uncompressed, out, values, count, depth, s, cfg, seed)
+      }
     }
   }
 

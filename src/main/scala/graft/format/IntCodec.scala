@@ -454,20 +454,25 @@ object IntCodec {
     // < 10% of a 640-value sample implies run count ≈ 2× the minority
     // share of rows, so every candidate encode is run- or
     // exception-bounded, within the reference TRY_ALL's per-chunk cost.
+    val runDom = s.runCount.toLong * 32 <= count
+    val nearConst = !runDom && count > s.sampleN && s.sampleN - s.sTopCount < 64
     if (cfg.tryAll ||
-      (cfg.measuredEstimate && depth >= 1 && count >= 1024 &&
-        (s.runCount.toLong * 32 <= count ||
-          (count > s.sampleN && s.sampleN - s.sTopCount < 64)))) {
-      tryAllEncode(out, values, count, physWidth, depth, cfg, s)
+      (cfg.measuredEstimate && depth >= 1 && count >= 1024 && (runDom || nearConst))) {
+      if (cfg.tryAll) tryAllEncode(out, values, count, physWidth, depth, cfg, s)
+      else EscalationTelemetry.timed(if (runDom) 1 else 2) {
+        tryAllEncode(out, values, count, physWidth, depth, cfg, s)
+      }
       return
     }
-    val start = out.pos
-    val scheme = choose(s, physWidth, depth, cfg)
-    encodeAs(scheme, out, values, count, physWidth, depth, s, cfg, seed)
-    val rawSize = 1 + count.toLong * physWidth
-    if (scheme != Uncompressed && (out.pos - start).toLong > rawSize) {
-      out.truncate(start)
-      encodeAs(Uncompressed, out, values, count, physWidth, depth, s, cfg, seed)
+    EscalationTelemetry.timed(0) {
+      val start = out.pos
+      val scheme = choose(s, physWidth, depth, cfg)
+      encodeAs(scheme, out, values, count, physWidth, depth, s, cfg, seed)
+      val rawSize = 1 + count.toLong * physWidth
+      if (scheme != Uncompressed && (out.pos - start).toLong > rawSize) {
+        out.truncate(start)
+        encodeAs(Uncompressed, out, values, count, physWidth, depth, s, cfg, seed)
+      }
     }
   }
 

@@ -132,10 +132,20 @@ object RatioCorpus {
     def histJson(h: Map[String, Int]) =
       h.toSeq.sortBy(-_._2).map { case (s, n) => s""""$s":$n""" }.mkString("{", ",", "}")
 
-    // natural selection, production (sampled) and exhaustive (tryall)
+    // natural selection, production (sampled) and exhaustive (tryall);
+    // the SAMPLE write also reports the escalation gates' aggregate cost
+    // (VERDICT r19 #7): chunks escalated to exhaustive selection and
+    // their share of total encode wall
     val natural = Seq("sample", "tryall").map { mode =>
       val dir = s"$base/$mode"
+      if (mode == "sample") graft.format.EscalationTelemetry.reset()
       df.write.format("btr").mode("overwrite").option("btr.selection", mode).save(dir)
+      if (mode == "sample") {
+        val e = graft.format.EscalationTelemetry.snapshot()
+        lines += f"""{"escalation":"sample","chunks":${e.chunks},"encode_sec":${e.sec}%.3f,""" +
+          f""""rundom_chunks":${e.runDomChunks},"rundom_sec":${e.runDomSec}%.3f,"rundom_share":${e.runDomShare}%.4f,""" +
+          f""""nearconst_chunks":${e.nearConstChunks},"nearconst_sec":${e.nearConstSec}%.3f,"nearconst_share":${e.nearConstShare}%.4f}"""
+      }
       mode -> BiCorpus.schemeWins(spark, dir)
     }.toMap
     val cols = df.schema.fieldNames.toSeq

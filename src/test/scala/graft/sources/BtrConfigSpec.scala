@@ -42,6 +42,49 @@ class BtrConfigSpec extends AnyFunSuite {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("escalation telemetry measures the near-constant gate's bounded write cost") {
+    // VERDICT r19 #7: the near-constant escalation is exception-bounded
+    // by construction, but its aggregate cost must be MEASURED, not
+    // asserted. Corpus: one near-constant column (95% one value, minority
+    // scattered singly so the run-dominated gate does NOT fire first),
+    // three ordinary columns that never escalate.
+    import spark.implicits._
+    val n = 1 << 17
+    def mk = (0 until n).map { i =>
+      (i.toLong,
+        if (i % 20 == 0) (i % 50).toLong else 7L, // near-constant, run-rich
+        (i / 64).toLong,                          // plateaus: run-dominated
+        (i.toLong * 2654435761L) % 1000003L)      // high-entropy: no gate
+    }.toDF("id", "promo", "plateau", "rnd")
+    val dir = tmp("esc-telemetry")
+    mk.coalesce(1).write.format("btr").mode("overwrite").save(dir) // JIT warm
+    graft.format.EscalationTelemetry.reset()
+    mk.coalesce(1).write.format("btr").mode("overwrite").save(dir)
+    val e = graft.format.EscalationTelemetry.snapshot()
+    // 2 root chunks per column: promo's 2 escalate via near-constant,
+    // plateau's 2 via run-dominated, id/rnd stay sampled
+    assert(e.nearConstChunks == 2, s"near-constant chunks: $e")
+    assert(e.runDomChunks == 2, s"run-dominated chunks: $e")
+    assert(e.chunks >= 8, s"root chunk accounting: $e")
+    assert(e.sec > 0 && e.nearConstSec > 0, s"timing must be populated: $e")
+    // the COST pin is the gate's design claim: an escalated chunk pays at
+    // most what the reference's TRY_ALL mode pays on EVERY chunk. Self-
+    // calibrate against a TRY_ALL write of the same data on the same box
+    // (3x slack for scheduler noise); an accidental quadratic in the
+    // escalation path would blow straight through it
+    val tryDir = tmp("esc-telemetry-tryall")
+    val t0 = System.nanoTime()
+    mk.coalesce(1).write.format("btr").mode("overwrite")
+      .option("btr.selection", "tryall").save(tryDir)
+    val perTryAll = (System.nanoTime() - t0) / 1e9 / e.chunks
+    val perNear = e.nearConstSec / e.nearConstChunks
+    assert(perNear <= 3 * perTryAll,
+      f"near-constant escalation cost $perNear%.4fs/chunk vs TRY_ALL mean " +
+        f"$perTryAll%.4fs/chunk - escalation must stay within the exhaustive-" +
+        f"selection budget ($e)")
+    assertRoundTrip(mk, dir)
+  }
+
   test("forceScheme.int selects each forced scheme and round-trips") {
     val df = intFixture
     for (scheme <- Seq("rle", "dict", "forbp", "frequency", "pfor", "deltabp", "uncompressed")) {
