@@ -168,6 +168,23 @@ object BlockDescribe {
         val nPatch = in.getInt()
         in.skip(nPatch * 8)
         s"pseudodec(digits=$d, exps=$e, patches=$nPatch)"
+      case DoubleCodec.Alp =>
+        // per-1024-value-block scale bytes, digit cascade, patch stream
+        val nBlocks = (count + 1023) / 1024
+        var minG = Int.MaxValue
+        var maxG = Int.MinValue
+        var b = 0
+        while (b < nBlocks) {
+          val g = in.getByte() - 18
+          if (g < minG) minG = g
+          if (g > maxG) maxG = g
+          b += 1
+        }
+        val d = describeInt(in, count)
+        val nPatch = in.getInt()
+        val p = describeInt(in, nPatch) // present even when empty
+        in.skip(nPatch * 8)
+        s"alp(g=$minG..$maxG, digits=$d, patches=$nPatch, pos=$p)"
       case DoubleCodec.DoubleBp =>
         // two u32 planes in 256-value blocks: width byte + packed words
         var widths = List.empty[Int]

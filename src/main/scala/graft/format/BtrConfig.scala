@@ -44,10 +44,12 @@ final case class BtrConfig(
   def intEnabled(scheme: Int): Boolean =
     schemes.isEmpty || schemes.contains(BtrConfig.intNames(scheme))
   def doubleEnabled(scheme: Int): Boolean =
-    if (scheme == DoubleCodec.DoubleBp)
+    if (scheme == DoubleCodec.DoubleBp || scheme == DoubleCodec.Alp)
       // registered but NOT in the default set, like the reference pool
       // (scheme/SchemeType.hpp:49-53 omits DOUBLE_BP; the example config
-      // opts in explicitly) — empty `schemes` means "default set" here
+      // opts in explicitly) — empty `schemes` means "default set" here.
+      // ALP (VERDICT r19 #4) follows the same parity gate until a
+      // corpus proves it into the default pool.
       schemes.contains(BtrConfig.doubleNames(scheme))
     else schemes.isEmpty || schemes.contains(BtrConfig.doubleNames(scheme))
   def stringEnabled(scheme: Int): Boolean =
@@ -72,7 +74,8 @@ object BtrConfig {
     DoubleCodec.Rle -> "rle",
     DoubleCodec.Frequency -> "frequency",
     DoubleCodec.Pseudodecimal -> "pseudodecimal",
-    DoubleCodec.DoubleBp -> "doublebp"
+    DoubleCodec.DoubleBp -> "doublebp",
+    DoubleCodec.Alp -> "alp"
   )
   val stringNames: Map[Int, String] = Map(
     StringCodec.Uncompressed -> "uncompressed",

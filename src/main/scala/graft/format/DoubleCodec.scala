@@ -121,7 +121,86 @@ object DoubleCodec {
     */
   val DoubleBp = 6
 
+  /** ALP (public: Afroozeh & Boncz, "ALP: Adaptive Lossless floating-
+    * Point compression", SIGMOD/VLDB 2023): probe a per-1024-value-block
+    * decimal re-scale `g = e − f ∈ [−18, 18]`, store
+    * `d = round(v · 10^g)` as integers through the int cascade
+    * (FOR+bitpack inherits the small-digit structure), and patch the
+    * values that do not round-trip `d · 10^−g` bit-exactly. Where the
+    * Pseudodecimal port aborts past 50% exceptions with its ≤31-bit
+    * digit cap (ref scheme/double/Pseudodecimal.cpp:113-119,
+    * SchemeConfig.hpp:41), ALP's 49-bit digits and per-block adaptive
+    * scale keep converting the real-world shapes that land there —
+    * high-magnitude prices with fixed decimals, trailing-zero ledgers
+    * (negative g), mixed-precision sensor streams. Losslessness is
+    * verified value-by-value at encode with the decoder's own
+    * multiply, so binary-rounding differences can never corrupt a
+    * round-trip — they only cost an exception. Pool parity with the
+    * reference: REGISTERED but not in the default scheme set (like
+    * DOUBLE_BP) — opt in via `btr.schemes=...,alp` or
+    * `btr.forceScheme.double=alp` until a corpus proves it.
+    */
+  val Alp = 7
+
   private val BpBlock = 256
+
+  private val AlpBlock = 1024
+  private val AlpMaxG = 18
+  private val AlpMaxDigits = (1L << 49) - 1
+  // 10^g up to 10^18 is exact in a double; the negative-g encode scale
+  // rounds, which the encode-side verification absorbs
+  private val alpPos: Array[Double] = (0 to AlpMaxG).map(g => math.pow(10.0, g)).toArray
+  private val alpNeg: Array[Double] = (0 to AlpMaxG).map(g => 1.0 / math.pow(10.0, g)).toArray
+  @inline private def alpScale(g: Int): Double = if (g >= 0) alpPos(g) else alpNeg(-g)
+
+  /** Decode digit d at block scale g. DIVISION for positive g, not the
+    * multiply-by-inverse shortcut: for true decimal data v = n/10^g the
+    * correctly-rounded division d/10^g recovers v EXACTLY (measured: the
+    * inverse multiply loses ~13% of two-decimal values to half-ulp
+    * rounding and they would all become 9-byte exceptions). Negative g
+    * multiplies by the exact integer power instead — d·10^|g| with both
+    * factors < 2^53 is exact.
+    */
+  @inline private def alpDecode(d: Long, g: Int): Double =
+    if (g >= 0) d.toDouble / alpPos(g) else d.toDouble * alpPos(-g)
+
+  /** Digit for v at scale g, or Long.MinValue when v does not round-trip
+    * (also rejects NaN/Inf via the range check and −0.0 via the bit
+    * compare — all become exceptions). |d| < 2^49 so the sentinel can
+    * never collide with a legitimate digit.
+    */
+  @inline private def alpTry(v: Double, g: Int): Long = {
+    val scaled = v * alpScale(g)
+    if (!(scaled >= -AlpMaxDigits.toDouble && scaled <= AlpMaxDigits.toDouble))
+      return Long.MinValue
+    val d = Math.round(scaled)
+    if (java.lang.Double.doubleToRawLongBits(alpDecode(d, g)) ==
+      java.lang.Double.doubleToRawLongBits(v)) d
+    else Long.MinValue
+  }
+
+  /** Block scale election: probe ≤32 strided values over every g; most
+    * exact conversions wins, ties to the most NEGATIVE g (smallest
+    * digits → narrowest bitpack — ascending scan keeps the first max).
+    */
+  private def alpPickG(values: Array[Double], start: Int, n: Int): Int = {
+    val stride = math.max(1, n / 32)
+    var bestG = 0
+    var bestHits = -1
+    var g = -AlpMaxG
+    while (g <= AlpMaxG) {
+      var hits = 0
+      var i = start
+      val end = start + n
+      while (i < end) {
+        if (alpTry(values(i), g) != Long.MinValue) hits += 1
+        i += stride
+      }
+      if (hits > bestHits) { bestHits = hits; bestG = g }
+      g += 1
+    }
+    bestG
+  }
 
   /** Exponent stream value marking a patched (non-convertible) double
     * (reference uses an exception marker too,
@@ -232,7 +311,7 @@ object DoubleCodec {
     case OneValue => s.runCount <= 1
     case Uncompressed => true
     case DoubleBp => s.count >= 1 // terminal scheme, no cascade
-    case Dict | Rle | Frequency | Pseudodecimal => depth >= 1 && s.count >= 1
+    case Dict | Rle | Frequency | Pseudodecimal | Alp => depth >= 1 && s.count >= 1
     case _ => false
   }
 
@@ -245,7 +324,7 @@ object DoubleCodec {
       s: DoubleStats,
       seed: Long
   ): Unit = {
-    val candidates = Array(OneValue, Dict, Rle, Frequency, Pseudodecimal, DoubleBp, Uncompressed)
+    val candidates = Array(OneValue, Dict, Rle, Frequency, Pseudodecimal, DoubleBp, Alp, Uncompressed)
     var bestBytes: Array[Byte] = null
     var i = 0
     while (i < candidates.length) {
@@ -317,7 +396,7 @@ object DoubleCodec {
     // formula screen per gated candidate; contenders within 1.5× of the
     // leader then get MEASURED by compressing the retained sample (the
     // measure pass below, mirroring IntCodec.choose)
-    val fEst = new Array[Long](7)
+    val fEst = new Array[Long](8)
     java.util.Arrays.fill(fEst, Long.MaxValue)
     var best = Uncompressed
     var bestSize = 1L + count.toLong * 8
@@ -370,6 +449,39 @@ object DoubleCodec {
         val e = 8L + Bitpack.packedBytes(count, digitBits) + count / 2 + patches * 8
         fEst(Pseudodecimal) = e
         if (e < bestSize) { best = Pseudodecimal; bestSize = e }
+      }
+    }
+    if (depth >= 1 && cfg.doubleEnabled(Alp)) {
+      // opt-in ALP: probe the scale on a strided sample and gate on the
+      // same >=50% convertibility the pseudodecimal gate uses; the
+      // formula prices a GLOBAL g (per-block adaptivity at encode only
+      // packs tighter) and the measured pass below refines it
+      val sampleStride = math.max(1, count / 1024)
+      val m = math.min(1024, count)
+      val buf = new Array[Double](m)
+      var i = 0
+      var j = 0
+      while (j < m && i < count) { buf(j) = values(i); j += 1; i += sampleStride }
+      val g = alpPickG(buf, 0, j)
+      var conv = 0
+      var maxD = 0L
+      i = 0
+      while (i < j) {
+        val d = alpTry(buf(i), g)
+        if (d != Long.MinValue) {
+          conv += 1
+          val a = math.abs(d)
+          if (a > maxD) maxD = a
+        }
+        i += 1
+      }
+      if (conv * 2 >= j && j > 0) {
+        val digitBits = Bitpack.bitsFor(2 * maxD + 1) // zigzag
+        val patches = count.toLong * (j - conv) / math.max(1, j)
+        val e = 1L + (count + AlpBlock - 1) / AlpBlock +
+          Bitpack.packedBytes(count, digitBits) + patches * 9 + 8
+        fEst(Alp) = e
+        if (e < bestSize) { best = Alp; bestSize = e }
       }
     }
     if (cfg.doubleEnabled(DoubleBp)) {
@@ -522,6 +634,40 @@ object DoubleCodec {
         out.putInt(pv.length)
         var p = 0
         while (p < pv.length) { out.putDouble(pv(p)); p += 1 }
+      case Alp =>
+        val nBlocks = (count + AlpBlock - 1) / AlpBlock
+        val digits = new Array[Long](count)
+        val patchIdx = new mutable.ArrayBuilder.ofLong
+        val patchVal = new mutable.ArrayBuilder.ofDouble
+        var b = 0
+        while (b < nBlocks) {
+          val start = b * AlpBlock
+          val n = math.min(AlpBlock, count - start)
+          val g = alpPickG(values, start, n)
+          out.putByte(g + AlpMaxG)
+          var i = start
+          val end = start + n
+          while (i < end) {
+            val d = alpTry(values(i), g)
+            if (d == Long.MinValue) {
+              digits(i) = 0L
+              patchIdx += i.toLong
+              patchVal += values(i)
+            } else digits(i) = d
+            i += 1
+          }
+          b += 1
+        }
+        // zigzag so the int cascade's FOR/bitpack sees small unsigned values
+        var i = 0
+        while (i < count) { digits(i) = (digits(i) << 1) ^ (digits(i) >> 63); i += 1 }
+        IntCodec.encode(out, digits, count, 8, depth - 1, cfg, sub)
+        val pi = patchIdx.result()
+        val pv2 = patchVal.result()
+        out.putInt(pv2.length)
+        IntCodec.encode(out, pi, pv2.length, 8, depth - 1, cfg, sub + 1)
+        var p = 0
+        while (p < pv2.length) { out.putDouble(pv2(p)); p += 1 }
     }
   }
 
@@ -657,6 +803,42 @@ object DoubleCodec {
           }
           i += 1
         }
+      case Alp =>
+        val nBlocks = (count + AlpBlock - 1) / AlpBlock
+        val gs = new Array[Int](nBlocks)
+        var b = 0
+        while (b < nBlocks) { gs(b) = in.getByte() - AlpMaxG; b += 1 }
+        // scratch reuse: the digit sub-decode is an INT stream and can
+        // never nest another double scheme on this thread (same argument
+        // as the Pseudodecimal scratch above)
+        val digits = pdScratch(0, count)
+        IntCodec.decodeInto(in, count, digits)
+        var i = 0
+        b = 0
+        while (b < nBlocks) {
+          val g = gs(b)
+          val end = math.min(count, (b + 1) * AlpBlock)
+          if (g >= 0) {
+            val scale = alpPos(g)
+            while (i < end) {
+              val z = digits(i)
+              out(i) = ((z >>> 1) ^ -(z & 1L)).toDouble / scale // un-zigzag
+              i += 1
+            }
+          } else {
+            val scale = alpPos(-g)
+            while (i < end) {
+              val z = digits(i)
+              out(i) = ((z >>> 1) ^ -(z & 1L)).toDouble * scale
+              i += 1
+            }
+          }
+          b += 1
+        }
+        val nPatch = in.getInt()
+        val pos = IntCodec.decode(in, nPatch)
+        var p = 0
+        while (p < nPatch) { out(pos(p).toInt) = in.getDouble(); p += 1 }
       case other => throw new IllegalStateException(s"bad double scheme $other")
     }
   }

@@ -77,6 +77,18 @@ object BiCorpus {
         when(h(14) % 100L < 95L, lit(null).cast("double"))
           .otherwise(round((h(15) % 40L).cast("double") * 0.25, 2)))
       .withColumn("event_ts", col("id") * 1000L + h(16) % 900L)
+      // ALP must-win (VERDICT r19 #4): cents across 1e9..4e12 currency
+      // units — exact two-decimal values whose digits (1e11..4e14)
+      // overflow the pseudodecimal 31-bit digit cap on EVERY row (the
+      // published abort shape), while dict self-prices out on ~unique
+      // values and double-bp pays both full 32-bit planes (the wide
+      // magnitude spread scatters the exponent bits, so no raw-bits
+      // side channel packs below 64b and the DEFAULT pool agrees on
+      // `raw` under both selection modes). ALP stores ≤49-bit digits
+      // (opt-in pool; see RatioCorpus's alp rows)
+      .withColumn("ledger_amount",
+        ((abs(xxhash64(col("id"), lit(seed), lit(20))) % 400000000000000L) +
+          100000000000L).cast("double") / 100.0)
       .withColumn("shift",
         element_at(array(Seq("DAY", "SWING", "NIGHT", "OFF").map(lit): _*),
           ((col("id") / 8192L) % 4L).cast("int") + 1))
@@ -179,6 +191,26 @@ object RatioCorpus {
       val nat = natural("sample")(c)._2
       lines += s"""{"column":"$c","forced":"$scheme","forced_bytes":$bytes,""" +
         s""""natural_bytes":$nat,"penalty":${f"${bytes.toDouble / nat}%.3f"}}"""
+    }
+    // ALP must-win rows (VERDICT r19 #4): ledger_amount under the FULL
+    // registered pool (alp + doublebp opted in — natural selection, not
+    // forced) vs the forced alternates it must beat on measured bytes
+    val allPool = (graft.format.BtrConfig.intByName.keySet ++
+      graft.format.BtrConfig.doubleByName.keySet ++
+      graft.format.BtrConfig.stringByName.keySet).toSeq.sorted.mkString(",")
+    val alpDir = s"$base/alp-natural"
+    df.select("ledger_amount").write.format("btr").mode("overwrite")
+      .option("btr.schemes", allPool).save(alpDir)
+    val (alpHist, alpBytes) = BiCorpus.schemeWins(spark, alpDir)("ledger_amount")
+    lines += s"""{"column":"ledger_amount","pool":"full","natural_bytes":$alpBytes,""" +
+      s""""schemes":${histJson(alpHist)}}"""
+    for (scheme <- Seq("pseudodecimal", "doublebp", "dict")) {
+      val dir = s"$base/alp-vs-$scheme"
+      df.select("ledger_amount").write.format("btr").mode("overwrite")
+        .option("btr.forceScheme.double", scheme).save(dir)
+      val bytes = BiCorpus.schemeWins(spark, dir)("ledger_amount")._2
+      lines += s"""{"column":"ledger_amount","forced":"$scheme","forced_bytes":$bytes,""" +
+        s""""alp_natural_bytes":$alpBytes,"penalty":${f"${bytes.toDouble / alpBytes}%.3f"}}"""
     }
     lines.foreach(println)
     if (args.length > 1) {

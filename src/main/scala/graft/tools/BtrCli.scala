@@ -188,6 +188,7 @@ object BtrCli {
       case DoubleCodec.Frequency => "frequency"
       case DoubleCodec.Pseudodecimal => "pseudodec"
       case DoubleCodec.DoubleBp => "double_bp"
+      case DoubleCodec.Alp => "alp"
       case _ => s"dbl:$id"
     }
     else id match {

@@ -224,6 +224,10 @@ object KernelBench {
       Array.fill(N)(if (rnd.nextInt(100) < 95) 3.14 else rnd.nextDouble() * 1e6))
     doubleCase("double/doublebp", DoubleCodec.DoubleBp,
       Array.fill(N)((1000 + rnd.nextInt(1 << 12)).toDouble))
+    // division decode (see DoubleCodec.alpDecode) — the kernel row keeps
+    // the div-vs-mul throughput trade visible next to pseudodecimal's
+    doubleCase("double/alp", DoubleCodec.Alp,
+      Array.fill(N)((10000000000000L + (rnd.nextLong() % 9000000000000L).abs) / 100.0))
 
     // ---- string kernels -------------------------------------------------
     def bytes(s: String): Array[Byte] = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)

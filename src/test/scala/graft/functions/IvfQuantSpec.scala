@@ -332,6 +332,45 @@ class IvfQuantSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(x)))
   }
 
+  test("i8 recall floor at the default rerankFactor (VERDICT r19 #3)") {
+    // the IvfRerankFactor=4 default is curve-backed (AnnRecallProbe:
+    // rf=1 ~0.57 recall vs the same-nprobe f64 serve, rf>=2 repairs to
+    // 1.0 at 40k-1M vectors, dim 64 and 256). Pin the floor here on a
+    // clustered corpus with DISTINCT cosines (sigma wide enough that the
+    // 4-decimal rounding does not collapse whole clusters into tie-sets,
+    // which would measure cid tie-breaking instead of recall) but tight
+    // enough that small quantization errors still flip adjacent ranks,
+    // so a shortlist exactly k deep measurably loses neighbors and the
+    // default depth must win them back.
+    val d64 = tmp("recall-f64")
+    val d8 = tmp("recall-i8")
+    val rnd = new scala.util.Random(77)
+    val centers = Seq.fill(8)(Seq.fill(Dim)(rnd.nextGaussian().toFloat))
+    val corpus = (0L until 4000L).map { i =>
+      val c = centers((i % 8).toInt)
+      (i, c.map(x => x + rnd.nextGaussian().toFloat * 0.3f))
+    }
+    SimilarityOps.ivfIndexBuild(df(corpus), d64, nlist = 8, fitSampleRows = 1000)
+    SimilarityOps.ivfIndexBuild(df(corpus), d8, nlist = 8, fitSampleRows = 1000,
+      vectorStorage = "i8")
+    val qs = df(corpus.take(16)).select(col("cid").as("qid"), col("cvec").as("qvec"))
+    def served(dir: String, rf: Int): Set[(Long, Long)] =
+      SimilarityOps.ivfTopKServe(qs, dir, k = 10, nprobe = 2, rerankFactor = rf)
+        .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = served(d64, 1) // rerankFactor is a no-op on f64
+    def recall(rf: Int): Double = (served(d8, rf) & exact).size.toDouble / exact.size
+    val atDefault = recall(SimilarityOps.IvfRerankFactor)
+    assert(atDefault >= 0.97,
+      f"i8 recall at the default rerankFactor must hold the floor, got $atDefault%.4f")
+    // and the knob is live: an exactly-k shortlist loses real neighbors
+    // on this corpus, which is what the default depth exists to repair
+    assert(recall(1) < atDefault,
+      s"rf=1 should measurably trail the default on a tie-heavy corpus " +
+        f"(rf1=${recall(1)}%.4f vs default=$atDefault%.4f)")
+    Seq(d64, d8).foreach(x =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(x)))
+  }
+
   test("explicit f64 on a membership index preserves the vectorless layout across drift rebuild") {
     // ADVICE r19: an explicit "f64" used to force storeVectors = true, so
     // a maintenance loop configured with vectorStorage = "f64" silently

@@ -160,6 +160,46 @@ class BiCorpusSpec extends AnyFunSuite {
       s"raw must pay vs symbol compression: $rawBytes vs $fsstBytes")
   }
 
+  test("ALP must-win: high-magnitude cents beat pseudodecimal, doublebp AND dict on merit") {
+    // VERDICT r19 #4: ledger_amount's ~1e13 digits overflow the
+    // pseudodecimal 31-bit cap on every row (the published abort shape).
+    // Under the FULL registered pool (alp + doublebp opted in) natural
+    // selection must pick alp on every chunk, and the forced alternates
+    // must pay measured byte penalties.
+    val allPool = (graft.format.BtrConfig.intByName.keySet ++
+      graft.format.BtrConfig.doubleByName.keySet ++
+      graft.format.BtrConfig.stringByName.keySet).toSeq.sorted.mkString(",")
+    val dir = s"$base/alp-natural"
+    corpus.select("ledger_amount").write.format("btr").mode("overwrite")
+      .option("btr.schemes", allPool).save(dir)
+    val (hist, alpBytes) = BiCorpus.schemeWins(spark, dir)("ledger_amount")
+    assert(only(hist, "alp"), s"ledger_amount full-pool natural selection: $hist")
+    val pdBytes = forcedBytes("ledger_amount", "btr.forceScheme.double", "pseudodecimal")
+    val bpBytes = forcedBytes("ledger_amount", "btr.forceScheme.double", "doublebp")
+    val dictBytes = forcedBytes("ledger_amount", "btr.forceScheme.double", "dict")
+    assert(pdBytes > alpBytes,
+      s"pseudodecimal must pay its all-patch penalty: $pdBytes vs $alpBytes")
+    assert(bpBytes > alpBytes,
+      s"doublebp must pay both 32-bit planes: $bpBytes vs $alpBytes")
+    assert(dictBytes > alpBytes,
+      s"dict must pay the ~unique table: $dictBytes vs $alpBytes")
+    // and the DEFAULT pool is untouched: alp never appears un-opted-in
+    assert(!sample("ledger_amount")._1.contains("alp") &&
+      !tryall("ledger_amount")._1.contains("alp"),
+      s"default pool must exclude alp: ${sample("ledger_amount")._1} / ${tryall("ledger_amount")._1}")
+    // full-pool parity: with alp opted in, SAMPLE and TRY_ALL agree on
+    // the winner and land within 1% bytes — the residual default-pool
+    // gap on this shape (raw vs the freq raw-bits side channel, ~1.12x)
+    // closes from above by adopting alp, not by loosening the freq gate
+    val tryDir = s"$base/alp-natural-tryall"
+    corpus.select("ledger_amount").write.format("btr").mode("overwrite")
+      .option("btr.schemes", allPool).option("btr.selection", "tryall").save(tryDir)
+    val (tHist, tBytes) = BiCorpus.schemeWins(spark, tryDir)("ledger_amount")
+    assert(only(tHist, "alp"), s"full-pool tryall: $tHist")
+    assert(alpBytes <= math.ceil(tBytes * 1.01).toLong,
+      s"full-pool sample/tryall parity: $alpBytes vs $tBytes")
+  }
+
   test("the BI corpus round-trips bit-exactly through every selected scheme") {
     import org.apache.spark.sql.types._
     val back = spark.read.format("btr").load(s"$base/sample")
