@@ -837,11 +837,26 @@ object SimilarityOps {
         if (assignPartitionSpec.nonEmpty) assignPartitionSpec
         else if (storeVectors) Seq("cluster") // IVF-flat: one dir per cell
         else Nil
-      val w = body
+      // co-locate rows with their partition value BEFORE the partitioned
+      // write (VERDICT r19 #2): without this every write task receives
+      // rows of EVERY cell interleaved, so each of the N tasks holds up
+      // to min(nlist, 128) open partition sub-writers whose fixed
+      // row-group buffers (blockSize-sized scalar/null/length arrays +
+      // vector element holds) alone cost tasks × writers × ~1 MB — the
+      // measured driver of the sf10 three-fixture-build 8 GB OOM
+      // (BASELINE.md round-20 attribution). One hash shuffle bounds open
+      // writers per task to ~nlist/tasks and writes ONE file per cell
+      // instead of one per (cell × task) — strictly better for the
+      // serving scan's partition pruning too.
+      val colocated =
+        if (spec.isEmpty) body
+        else body.repartition(
+          spec.map(s => col(graft.format.PartitionTransform.parse(s).source)): _*)
+      val w = colocated
         .write.format("btr").mode("overwrite")
       (if (spec.nonEmpty) w.option("btr.partitionSpec", spec.mkString(","))
       else w).save(s"$target/assign")
-    } finally assigned.unpersist(blocking = false)
+    } finally assigned.unpersist(blocking = true)
     ivfBuildInjectPrePublish()
     // publish: ONE atomically-visible pointer write — readers resolve the
     // old build or the new one, never a centroids/assign mix. Publication
@@ -959,7 +974,7 @@ object SimilarityOps {
             "distribution has drifted off the persisted centroids; re-run " +
             "ivfIndexBuild to re-fit")
       (n, drift)
-    } finally assigned.unpersist(blocking = false)
+    } finally assigned.unpersist(blocking = true)
   }
 
   /** True when the assign table's log already records (appId, version)
@@ -1087,7 +1102,7 @@ object SimilarityOps {
       if (!hwRow.isNullAt(0) && hwRow.getLong(0) > 0L)
         advanceRefreshHighWater(indexDir, hwRow.getLong(0), appliedTo = state)
       IvfRefreshStats(n, nDead, drift, replayed = false)
-    } finally net.unpersist(blocking = false)
+    } finally net.unpersist(blocking = true)
   }
 
   /** Advance the pointer's recorded refresh high-water (monotonic; build

@@ -76,8 +76,21 @@ class IvfServeSpec extends AnyFunSuite {
     assert(assign.count() == corpus.length.toLong)
     // identity partition dirs: cluster=N under the assign table
     val dirs = new java.io.File(s"$dir/v1/assign").listFiles()
-      .filter(f => f.isDirectory && f.getName.startsWith("cluster=")).map(_.getName)
-    assert(dirs.length >= 2, s"expected per-cell directories, got ${dirs.toSeq}")
+      .filter(f => f.isDirectory && f.getName.startsWith("cluster="))
+    assert(dirs.length >= 2, s"expected per-cell directories, got ${dirs.map(_.getName).toSeq}")
+    // the write is CO-LOCATED on the cell (VERDICT r19 #2): each cluster
+    // lands on exactly one write task, so each cell dir holds exactly ONE
+    // data file — this is also the per-task memory bound for the build's
+    // partitioned write (open sub-writers per task = cells routed to that
+    // task, each buffering ≤ blockSize rows of fixed scalar/null/length
+    // arrays plus the vector element hold — never tasks × all-cells, the
+    // measured driver of the 8 GB three-fixture-build OOM)
+    dirs.foreach { d =>
+      val files = Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".btr"))
+      assert(files.length == 1,
+        s"${d.getName}: expected ONE co-located data file, got ${files.map(_.getName).toSeq}")
+    }
     // the stored vector copy is a bit-exact round-trip of the corpus
     val back = assign.select(col("cid"), col("cvec"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
