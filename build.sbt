@@ -27,6 +27,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // JDK 17 defaults GCLockerRetryAllocationCount to 2: with 32 executor
+  // threads holding JNI critical sections (zlib/snappy, DirectByteBuffer
+  // bulk ops) an allocation can spuriously throw OutOfMemoryError
+  // ("Retried waiting for GCLocker too often") with the heap nowhere
+  // near full — observed once killing a 34-min sf10 battery at 16g while
+  // allocating SIX WORDS. Retrying more is strictly safer than dying.
+  // (Diagnostic flag on JDK 17, hence the unlock.)
+  "-XX:+UnlockDiagnosticVMOptions",
+  "-XX:GCLockerRetryAllocationCount=64",
 )
 // FsstVectorKernel.java (SWAR sizing + VarHandle word stores) is plain
 // java.base — the jdk.incubator.vector variant was measured and

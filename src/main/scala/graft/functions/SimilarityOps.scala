@@ -837,22 +837,16 @@ object SimilarityOps {
         if (assignPartitionSpec.nonEmpty) assignPartitionSpec
         else if (storeVectors) Seq("cluster") // IVF-flat: one dir per cell
         else Nil
-      // co-locate rows with their partition value BEFORE the partitioned
-      // write (VERDICT r19 #2): without this every write task receives
-      // rows of EVERY cell interleaved, so each of the N tasks holds up
-      // to min(nlist, 128) open partition sub-writers whose fixed
-      // row-group buffers (blockSize-sized scalar/null/length arrays +
-      // vector element holds) alone cost tasks × writers × ~1 MB — the
-      // measured driver of the sf10 three-fixture-build 8 GB OOM
-      // (BASELINE.md round-20 attribution). One hash shuffle bounds open
-      // writers per task to ~nlist/tasks and writes ONE file per cell
-      // instead of one per (cell × task) — strictly better for the
-      // serving scan's partition pruning too.
-      val colocated =
-        if (spec.isEmpty) body
-        else body.repartition(
-          spec.map(s => col(graft.format.PartitionTransform.parse(s).source)): _*)
-      val w = colocated
+      // no explicit repartition: the btr write itself REQUIRES a
+      // clustered distribution on the partition columns plus a
+      // task-local sort (BtrWriteLayout — Spark plans an AQE
+      // RebalancePartitions), so rows arrive co-located and each cell
+      // dir gets ONE size-proportional file with the fan-out writer
+      // holding a single open sub-writer per task; an upstream
+      // repartition here would just pay a second shuffle of the same
+      // rows (IvfServeSpec pins the one-file-per-cell layout,
+      // IvfBuildHeapProbe the build's heap envelope)
+      val w = body
         .write.format("btr").mode("overwrite")
       (if (spec.nonEmpty) w.option("btr.partitionSpec", spec.mkString(","))
       else w).save(s"$target/assign")

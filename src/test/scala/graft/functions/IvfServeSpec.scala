@@ -78,13 +78,16 @@ class IvfServeSpec extends AnyFunSuite {
     val dirs = new java.io.File(s"$dir/v1/assign").listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("cluster="))
     assert(dirs.length >= 2, s"expected per-cell directories, got ${dirs.map(_.getName).toSeq}")
-    // the write is CO-LOCATED on the cell (VERDICT r19 #2): each cluster
-    // lands on exactly one write task, so each cell dir holds exactly ONE
-    // data file — this is also the per-task memory bound for the build's
-    // partitioned write (open sub-writers per task = cells routed to that
-    // task, each buffering ≤ blockSize rows of fixed scalar/null/length
-    // arrays plus the vector element hold — never tasks × all-cells, the
-    // measured driver of the 8 GB three-fixture-build OOM)
+    // the write is CO-LOCATED on the cell (VERDICT r19 #2): the btr
+    // write's own required distribution (BtrWriteLayout: AQE rebalance
+    // on the partition columns + task-local sort) routes each cluster
+    // to one write task, so each cell dir holds exactly ONE data file
+    // and the fan-out writer keeps a single open sub-writer per task —
+    // the per-task buffered bytes for the build's array-column write
+    // are bounded by open-writers × blockSize × row width (scalar/null/
+    // length arrays + the vector element hold), never tasks × all-cells.
+    // This pin is what keeps that engine contract from silently
+    // regressing under a Spark upgrade or a write-path refactor.
     dirs.foreach { d =>
       val files = Option(d.listFiles()).getOrElse(Array.empty)
         .filter(_.getName.endsWith(".btr"))
