@@ -133,6 +133,36 @@ object CoreQueries {
     dir
   }
 
+  /** Pseudodecimal-abort-shaped ledger doubles — exact cents on ~1e9
+    * currency units, so every digit (~1e11) overflows the reference
+    * port's 31-bit pseudodecimal cap (ref
+    * scheme/double/Pseudodecimal.cpp:113-119): the shape the opt-in ALP
+    * scheme exists for (BASELINE.md round-20 must-win). Written with the
+    * full registered pool and double selection FORCED to alp so the
+    * driver gate hash-checks the codec's lossless round-trip end-to-end
+    * (natural selection on this shape is CodecSpec/BiCorpusSpec-pinned).
+    * Integer-only derivation, all intermediates < 2^53, so DuckDB
+    * reproduces the exact IEEE doubles.
+    */
+  private def alpLedgerDir(s: SparkSession, d: String): String = {
+    val dir = Btr.cachePath(d, "alp_ledger")
+    if (!new java.io.File(dir, "_btr_meta.json").exists()) {
+      Btr.pq(s, d, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        ((lit(100000000000L) + col("l_orderkey") * lit(100000L) +
+          col("l_partkey") * lit(10L) + col("l_linenumber"))
+          .cast("double") / lit(100.0)).as("ledger_amount"))
+        .write.format("btr").mode("overwrite")
+        .option("btr.schemes",
+          (graft.format.BtrConfig.intByName.keySet ++
+            graft.format.BtrConfig.doubleByName.keySet ++
+            graft.format.BtrConfig.stringByName.keySet).toSeq.sorted.mkString(","))
+        .option("btr.forceScheme.double", "alp")
+        .save(dir)
+    }
+    dir
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Q-fsst: byte-exact round-trip of a high-uniqueness URL column the
     // writer must compress with FSST (dict degenerates at ~100%
@@ -142,6 +172,16 @@ object CoreQueries {
     "q_fsst_strings" -> ((s, d) => {
       s.read.format("btr").load(fsstUrlsDir(s, d))
         .select(col("l_orderkey"), col("l_linenumber"), col("url"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+    // Q-alp: bit-exact round-trip of a pseudodecimal-abort-shaped ledger
+    // double column through the opt-in ALP scheme (forced; see
+    // alpLedgerDir). The oracle recomputes the same IEEE doubles from
+    // the parquet lineitem, so any scale-election or digit-cascade
+    // corruption hash-mismatches.
+    "q_rt_alp_ledger" -> ((s, d) => {
+      s.read.format("btr").load(alpLedgerDir(s, d))
+        .select(col("l_orderkey"), col("l_linenumber"), col("ledger_amount"))
         .orderBy("l_orderkey", "l_linenumber")
     }),
     // Q-time-travel: VERSION AS OF 1 sees exactly the first commit's rows
@@ -1489,6 +1529,12 @@ object CoreQueries {
         |   CAST(l_partkey AS VARCHAR) || '-' || CAST(l_suppkey AS VARCHAR) ||
         |   '/v' || CAST(l_linenumber AS VARCHAR) || '?session=' ||
         |   CAST(l_orderkey AS VARCHAR) AS url
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_rt_alp_ledger" ->
+      """SELECT l_orderkey, l_linenumber,
+        | (100000000000 + CAST(l_orderkey AS BIGINT) * 100000
+        |    + CAST(l_partkey AS BIGINT) * 10 + l_linenumber)
+        |   / 100.0 AS ledger_amount
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q_agg_filter_mix" ->
       """SELECT count(*) AS n_rows,
