@@ -435,7 +435,7 @@ object Bench {
     val canaryMean = (canaryBefore + canaryAfter) / 2
     val canaryNormTotal = total * canaryMean / CanaryRefGbps
     val extras =
-      f""""canary_gbps_before":$canaryBefore%.2f,"canary_gbps_after":$canaryAfter%.2f,"canary_mt_gbps_before":$canaryMtBefore%.2f,"canary_mt_gbps_after":$canaryMtAfter%.2f,"canary_norm_total":$canaryNormTotal%.3f,"write_sec":$writeSec%.3f,"scan_sec":$scanSec%.3f,"parquet_bytes":$inputBytes,"btr_bytes":$btrBytes,"parquet_over_btr_ratio":$ratio%.3f,"tryall_write_sec":$tryallSec%.3f,"tryall_bytes":$tryallBytes,"sample_over_tryall_bytes":$selQuality%.3f,"cdc_append_sec":$cdcAppendSec%.3f,"cdc_drain_sec":$cdcDrainSec%.3f,"cdc_rows":$cdcRows,"dv_delete_sec":$dvDeleteSec%.3f,"cow_delete_sec":$cowDeleteSec%.3f,"dv_masked_scan_sec":$dvMaskedScanSec%.3f,"dv_purge_sec":$dvPurgeSec%.3f,"ivf_refresh_assign_sec":$ivfAssignSec%.3f,"ivf_refresh_total_sec":$ivfRefreshSec%.3f,"ivf_refresh_assign_2x_sec":$ivfAssign2xSec%.3f,"ivf_refresh_total_2x_sec":$ivfRefresh2xSec%.3f,"esc_chunks":${esc.chunks},"esc_encode_sec":${esc.sec}%.3f,"esc_rundom_chunks":${esc.runDomChunks},"esc_rundom_sec":${esc.runDomSec}%.3f,"esc_nearconst_chunks":${esc.nearConstChunks},"esc_nearconst_sec":${esc.nearConstSec}%.3f,"reps":$reps,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","load_waited_sec":$loadWaited%.1f,"outliers_rechecked":$rechecked,"outliers_remaining":$outliersRemaining"""
+      f""""canary_gbps_before":$canaryBefore%.2f,"canary_gbps_after":$canaryAfter%.2f,"canary_mt_gbps_before":$canaryMtBefore%.2f,"canary_mt_gbps_after":$canaryMtAfter%.2f,"canary_norm_total":$canaryNormTotal%.3f,"write_sec":$writeSec%.3f,"scan_sec":$scanSec%.3f,"parquet_bytes":$inputBytes,"btr_bytes":$btrBytes,"parquet_over_btr_ratio":$ratio%.3f,"tryall_write_sec":$tryallSec%.3f,"tryall_bytes":$tryallBytes,"sample_over_tryall_bytes":$selQuality%.3f,"cdc_append_sec":$cdcAppendSec%.3f,"cdc_drain_sec":$cdcDrainSec%.3f,"cdc_rows":$cdcRows,"dv_delete_sec":$dvDeleteSec%.3f,"cow_delete_sec":$cowDeleteSec%.3f,"dv_masked_scan_sec":$dvMaskedScanSec%.3f,"dv_purge_sec":$dvPurgeSec%.3f,"ivf_refresh_assign_sec":$ivfAssignSec%.3f,"ivf_refresh_total_sec":$ivfRefreshSec%.3f,"ivf_refresh_assign_2x_sec":$ivfAssign2xSec%.3f,"ivf_refresh_total_2x_sec":$ivfRefresh2xSec%.3f,"esc_chunks":${esc.chunks},"esc_root_chunks":${esc.chunks},"esc_encode_sec":${esc.sec}%.3f,"esc_rundom_chunks":${esc.runDomChunks},"esc_rundom_sec":${esc.runDomSec}%.3f,"esc_nearconst_chunks":${esc.nearConstChunks},"esc_nearconst_sec":${esc.nearConstSec}%.3f,"reps":$reps,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","load_waited_sec":$loadWaited%.1f,"outliers_rechecked":$rechecked,"outliers_remaining":$outliersRemaining"""
     val line =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"col_bw":$colBw,$extras,"sf":"$sfDir"}"""
     println(line)

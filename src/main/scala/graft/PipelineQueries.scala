@@ -588,9 +588,14 @@ object PipelineQueries {
         .select(col("qid"), col("cid"))
       val assign = s.read.format("btr")
         .load(SimilarityOps.ivfIndexAssignPath(idx)).select(col("cid"))
-      val nAssign = assign.count()
+      // one aggregate job computes total AND distinct assign rows (cids
+      // are non-null, so count_distinct ≡ distinct().count() here) — the
+      // pre-r21 shape ran two separate counts over the same table
+      val aStats = assign
+        .agg(count(lit(1)).as("n"), count_distinct(col("cid")).as("nd")).collect()(0)
+      val nAssign = aStats.getLong(0)
       val refreshed = current.filter(col("cid") < 3000000L)
-      val exactlyOnce = nAssign == assign.distinct().count() &&
+      val exactlyOnce = nAssign == aStats.getLong(1) &&
         nAssign == refreshed.count()
       val stale = SimilarityOps.ivfIndexStaleness(current, idx)
       val exact = SimilarityOps.bruteForceTopK(queries, current, 3)

@@ -272,7 +272,10 @@ object DoubleCodec {
     val nearConst = !runDom && count > s.sampleN && s.sampleN - s.sTopCount < 64
     if (cfg.tryAll ||
       (cfg.measuredEstimate && depth >= 1 && count >= 1024 && (runDom || nearConst))) {
-      if (cfg.tryAll) tryAllEncode(out, values, count, depth, cfg, s, seed)
+      // TRY_ALL attributes as kind 0 — see IntCodec.encode (ADVICE r20)
+      if (cfg.tryAll) EscalationTelemetry.timed(0) {
+        tryAllEncode(out, values, count, depth, cfg, s, seed)
+      }
       else EscalationTelemetry.timed(if (runDom) 1 else 2) {
         tryAllEncode(out, values, count, depth, cfg, s, seed)
       }

@@ -458,7 +458,14 @@ object IntCodec {
     val nearConst = !runDom && count > s.sampleN && s.sampleN - s.sTopCount < 64
     if (cfg.tryAll ||
       (cfg.measuredEstimate && depth >= 1 && count >= 1024 && (runDom || nearConst))) {
-      if (cfg.tryAll) tryAllEncode(out, values, count, physWidth, depth, cfg, s)
+      // TRY_ALL encodes attribute as kind 0 (un-escalated): a tryall
+      // write's telemetry then yields the exhaustive per-chunk encode
+      // baseline the escalation-cost pin compares against — same
+      // instrument on both sides, no Spark job/commit overhead in the
+      // denominator (ADVICE r20)
+      if (cfg.tryAll) EscalationTelemetry.timed(0) {
+        tryAllEncode(out, values, count, physWidth, depth, cfg, s)
+      }
       else EscalationTelemetry.timed(if (runDom) 1 else 2) {
         tryAllEncode(out, values, count, physWidth, depth, cfg, s)
       }

@@ -620,13 +620,48 @@ object SimilarityOps {
       : Seq[(Int, Seq[Double], Double)] =
     centroidsAt(spark, ivfIndexState(indexDir).root)
 
+  /** In-process cache of the (tiny, nlist × dim) centroid tables.
+    * PUBLISHED builds are immutable — a refresh appends only to the
+    * assign table; the centroids are written once, before the
+    * `_published` marker lands — so the per-build centroid read (one
+    * Spark job per serving call without this, and every ANN call needs
+    * the centers) caches keyed on the build root PLUS the marker's
+    * (mtime, length) stamp: a delete-and-recreate of the same v{N} path
+    * (test fixtures, a full index wipe + rebuild) changes the stamp and
+    * misses. Pre-pointer layouts and unpublished stages have no marker
+    * and are never cached. Bounded: the map clears past 128 builds.
+    */
+  private val centroidCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, Seq[Double], Double)]]()
+
   private def centroidsAt(spark: org.apache.spark.sql.SparkSession, root: String)
-      : Seq[(Int, Seq[Double], Double)] =
-    spark.read.format("btr").load(s"$root/centroids")
-      .select(col("cluster"), col("centroid"), col("mean_cos"))
-      .collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](1), r.getDouble(2)))
-      .sortBy(_._1).toSeq
+      : Seq[(Int, Seq[Double], Double)] = {
+    def load(): Seq[(Int, Seq[Double], Double)] =
+      spark.read.format("btr").load(s"$root/centroids")
+        .select(col("cluster"), col("centroid"), col("mean_cos"))
+        .collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1), r.getDouble(2)))
+        .sortBy(_._1).toSeq
+    val key: Option[String] =
+      try {
+        val p = new org.apache.hadoop.fs.Path(s"$root/$PublishedMarker")
+        val fs = p.getFileSystem(graft.format.BtrTableMeta.hadoopConf())
+        val st = fs.getFileStatus(p)
+        Some(s"$root@${st.getModificationTime}:${st.getLen}")
+      } catch { case _: java.io.IOException => None }
+    key match {
+      case Some(k) =>
+        val hit = centroidCache.get(k)
+        if (hit != null) hit
+        else {
+          val v = load()
+          if (centroidCache.size > 128) centroidCache.clear()
+          centroidCache.put(k, v)
+          v
+        }
+      case None => load()
+    }
+  }
 
   /** Stored-vector precisions for the IVF-flat assign table. */
   val VectorStorages: Seq[String] = Seq("f64", "f32", "i8")
@@ -1376,22 +1411,35 @@ object SimilarityOps {
     */
   val DefaultMaxStalePushdownCids = 2048
 
-  /** Shared probe machinery: (probe rows, effective nprobe, overCap). */
+  /** Shared probe machinery: (probe rows, effective nprobe, overCap,
+    * probed cluster ids when `needProbed`).
+    *
+    * ONE bounded job serves BOTH consumers (round 21): the broadcast-cap
+    * guard and the probed-cell id set come from a single per-cluster
+    * probe-count aggregate (partial agg → ≤ nlist rows collected), where
+    * the pre-r21 shape ran a `limit+count` scan for the guard and a
+    * separate `distinct().collect()` for the probed set — two extra
+    * evaluations of the query subtree per serving call. A caller-capped
+    * batch with a static row-count proof (Catalyst `maxRows` ≤ cap) that
+    * does NOT need the probed set (the legacy membership layout) skips
+    * the job entirely, as before.
+    */
   private def probeRows(
       queries: DataFrame, centers: Seq[Seq[Double]], nprobe: Int,
-      maxBroadcastProbes: Long, caller: String): (DataFrame, Int, Boolean) = {
+      maxBroadcastProbes: Long, caller: String, needProbed: Boolean = false)
+      : (DataFrame, Int, Boolean, Option[Seq[Int]]) = {
     val nEff = math.min(nprobe, centers.length)
     val probes = queries.select(col("qid"), col("qvec"),
       explode(NearestCentersExpr.of(col("qvec"), centers, nEff)).as("cluster"))
     val maxQ = math.max(1L, maxBroadcastProbes / math.max(1, nEff))
-    // Catalyst's static row-count bound first: a caller-capped batch
-    // (limit(n) ≤ maxQ) skips the guard's extra action entirely — no
-    // re-evaluation of a possibly expensive or non-deterministic
-    // upstream plan just to size-check it
     val staticMax: Option[Long] =
       try queries.queryExecution.optimizedPlan.maxRows catch { case _: Exception => None }
-    val overCap = !staticMax.exists(_ <= maxQ) && queries.select(lit(1)).limit(
-      math.min(maxQ + 1, Int.MaxValue.toLong).toInt).count() > maxQ
+    val staticOk = staticMax.exists(_ <= maxQ)
+    if (staticOk && !needProbed) return (probes, nEff, false, None)
+    val byCluster = probes.groupBy(col("cluster")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val totalProbes = byCluster.map(_._2).sum
+    val overCap = !staticOk && totalProbes > maxBroadcastProbes
     if (overCap)
       org.apache.log4j.Logger.getLogger(getClass).warn(
         s"$caller: query batch exceeds $maxQ rows (maxBroadcastProbes=" +
@@ -1399,7 +1447,7 @@ object SimilarityOps {
           "hint; AQE plans the membership join. ANN batches this large are " +
           "usually a pipeline bug; split the query set or raise the cap " +
           "deliberately.")
-    (probes, nEff, overCap)
+    (probes, nEff, overCap, Some(byCluster.map(_._1).toSeq))
   }
 
   /** The current build's assign table pinned to ONE snapshot version,
@@ -1467,9 +1515,15 @@ object SimilarityOps {
     * batch — the collect materializes it, the re-rank join reads the
     * cached rows (bounded: queries × rerankFactor × k). An evicted
     * block's recompute re-reads the caller's version-pinned scan
-    * ([[assignAt]]), so eviction can shift cost but never consistency;
-    * the cache entry itself is released by Spark's ContextCleaner once
-    * the result plan is dropped.
+    * ([[assignAt]]), so eviction can shift cost but never consistency.
+    * The cache entry is NOT reclaimed by Spark's ContextCleaner —
+    * Dataset.persist registers the plan in the session CacheManager,
+    * which holds a strong reference until an explicit unpersist — so
+    * each call registers its shortlist in the bounded per-session
+    * [[registerShortlist]] ring and the oldest beyond the cap is
+    * unpersisted explicitly: a long-running serving session holds at
+    * most [[ShortlistCacheCap]] cached shortlists instead of one per
+    * query batch forever.
     */
   private def rankTopKQuant(
       cells: DataFrame, // assign layout rows, already cluster-filtered
@@ -1490,6 +1544,7 @@ object SimilarityOps {
       .filter(col("r1") <= m)
       .select(col("qid"), col("qvec"), col("cid"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    registerShortlist(shortlist)
     val idRows = shortlist.select(col("cid")).distinct()
       .limit(maxFetchIds + 1).collect()
     val exact =
@@ -1507,6 +1562,35 @@ object SimilarityOps {
       .select(col("qid"), col("cid"), round(cosine(col("qvec"), col("cvec")), 4).as("cos"))
     val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("cid"))
     reranked.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Most recent stage-1 shortlist caches kept live per session. Small:
+    * each is ≤ queries × rerankFactor × k narrow rows; the cap exists so
+    * the count is BOUNDED (the pre-r21 shape leaked one CacheManager
+    * entry per serving call — ADVICE r20), while the latest few stay
+    * cached for composing callers that re-evaluate a returned plan
+    * (gate queries read a serve result twice). Evicted shortlists stay
+    * correct to recompute: the scan is version-pinned ([[assignAt]]).
+    */
+  private[functions] val ShortlistCacheCap = 8
+  private val liveShortlists =
+    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.SparkSession,
+      java.util.ArrayDeque[DataFrame]]()
+
+  private def registerShortlist(df: DataFrame): Unit = {
+    val q = liveShortlists.computeIfAbsent(df.sparkSession,
+      _ => new java.util.ArrayDeque[DataFrame]())
+    q.synchronized {
+      q.addLast(df)
+      while (q.size > ShortlistCacheCap) q.removeFirst().unpersist(blocking = false)
+    }
+  }
+
+  /** Test hook: live cached shortlists registered for a session. */
+  private[functions] def liveShortlistCount(
+      spark: org.apache.spark.sql.SparkSession): Int = {
+    val q = liveShortlists.get(spark)
+    if (q == null) 0 else q.synchronized(q.size)
   }
 
   /** Dispatch a probed-cells DF to the layout's ranker. */
@@ -1575,19 +1659,20 @@ object SimilarityOps {
     val idxRoot = ivfIndexState(indexDir).root
     val centers = centroidsAt(spark, idxRoot).map(_._2)
     val assign = assignAt(spark, idxRoot)
-    val (probes, nEff, overCap) = probeRows(
-      queries, centers, nprobe, maxBroadcastProbes, "ivfTopKIndexed")
+    val flat = assign.columns.contains("cvec")
+    val (probes, nEff, overCap, probedOpt) = probeRows(
+      queries, centers, nprobe, maxBroadcastProbes, "ivfTopKIndexed",
+      needProbed = flat)
     val probeSide = if (overCap) probes else broadcast(probes)
     val cb: DataFrame =
-      if (!assign.columns.contains("cvec")) {
+      if (!flat) {
         // legacy membership layout: vectors live only in the corpus
         candidates.join(assign.select(col("cid"), col("cluster")), Seq("cid"), "left")
           .withColumn("cluster", coalesce(col("cluster"),
             element_at(NearestCentersExpr.of(col("cvec"), centers, 1), 1)))
       } else {
-        // IVF-flat: probed cells only, bounded driver collect (≤ nlist)
-        val probed: Seq[Int] =
-          probes.select(col("cluster")).distinct().collect().map(_.getInt(0)).toSeq
+        // IVF-flat: probed cells only, from the shared probe job (≤ nlist)
+        val probed: Seq[Int] = probedOpt.getOrElse(Nil)
         val cells =
           if (probed.isEmpty) assign.filter(lit(false))
           else assign.filter(col("cluster").isin(probed.map(Int.box): _*))
@@ -1666,11 +1751,11 @@ object SimilarityOps {
       s"ivfTopKServe: the index at $indexDir uses the legacy membership " +
         "layout (no stored vectors) — rebuild with storeVectors=true, or " +
         "query through ivfTopKIndexed with the corpus as candidates")
-    val (probes, _, overCap) = probeRows(
-      queries, centers, nprobe, maxBroadcastProbes, "ivfTopKServe")
+    val (probes, _, overCap, probedOpt) = probeRows(
+      queries, centers, nprobe, maxBroadcastProbes, "ivfTopKServe",
+      needProbed = true)
     val probeSide = if (overCap) probes else broadcast(probes)
-    val probed: Seq[Int] =
-      probes.select(col("cluster")).distinct().collect().map(_.getInt(0)).toSeq
+    val probed: Seq[Int] = probedOpt.getOrElse(Nil)
     val cells =
       if (probed.isEmpty) assign.filter(lit(false))
       else assign.filter(col("cluster").isin(probed.map(Int.box): _*))

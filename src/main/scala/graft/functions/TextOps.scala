@@ -805,8 +805,14 @@ object TextOps {
     * navigation blocks, license footers), then reassemble each document
     * from its surviving paragraphs in original order. Returns
     * (id, clean_text, n_kept, n_dropped); a document whose every
-    * paragraph was dropped keeps its row with an empty clean_text, so
-    * downstream quality filters see the removal rather than losing the id.
+    * paragraph was DROPPED as a duplicate keeps its row with an empty
+    * clean_text, so downstream quality filters see the removal rather
+    * than losing the id. CONTRACT EDGE (ADVICE r20): a document with no
+    * paragraphs to begin with — null text, or text whose every split
+    * piece trims to empty — contributes no paragraph rows and therefore
+    * has NO output row at all; callers that must retain such ids join
+    * the result back to their id set (the declared-query oracle replays
+    * these exact semantics).
     *
     * Scale shape: duplicate DETECTION shuffles 8-byte xxhash64
     * fingerprints only (distinct-doc counts per fp); full paragraph text

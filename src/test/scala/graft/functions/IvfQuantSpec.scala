@@ -443,4 +443,34 @@ class IvfQuantSpec extends AnyFunSuite {
       SimilarityOps.ivfIndexBuild(corpus, tmp("bad2"), vectorStorage = "f16")
     }
   }
+
+  test("i8 shortlist caches are BOUNDED per session (ADVICE r20: no per-call leak)") {
+    val dir = tmp("i8-shortlist-bound")
+    val corpus = randVecs(0L until 120L, seed = 83)
+    SimilarityOps.ivfIndexBuild(df(corpus), dir, nlist = 4, fitSampleRows = 120,
+      vectorStorage = "i8")
+    val qs = df(corpus.take(2)).select(col("cid").as("qid"), col("cvec").as("qvec"))
+    val expected = pairs(SimilarityOps.ivfTopKServe(qs, dir, k = 3, nprobe = 4))
+    // many serving calls: pre-r21 each left one CacheManager entry live
+    // forever; the ring must hold the count at the cap with every evicted
+    // entry explicitly unpersisted (storage level dropped to NONE)
+    val calls = SimilarityOps.ShortlistCacheCap + 5
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.size
+    val results = (1 to calls).map { _ =>
+      SimilarityOps.ivfTopKServe(qs, dir, k = 3, nprobe = 4)
+    }
+    assert(SimilarityOps.liveShortlistCount(spark) <= SimilarityOps.ShortlistCacheCap)
+    // the persisted-RDD set must not grow one-per-call (delta-based: the
+    // shared session may carry caches from other suites): at most the
+    // cap's worth of shortlist caches joined the block manager
+    val grown = spark.sparkContext.getPersistentRDDs.size - cachedBefore
+    assert(grown <= SimilarityOps.ShortlistCacheCap,
+      s"expected <= ${SimilarityOps.ShortlistCacheCap} new persistent RDDs after " +
+        s"$calls serving calls, got $grown — shortlist caches are leaking")
+    // an evicted shortlist's result plan stays CORRECT to re-evaluate
+    // (the scan is version-pinned): the oldest result still answers
+    assert(pairs(results.head) == expected)
+    assert(pairs(results.last) == expected)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
 }

@@ -71,12 +71,19 @@ class BtrConfigSpec extends AnyFunSuite {
     // most what the reference's TRY_ALL mode pays on EVERY chunk. Self-
     // calibrate against a TRY_ALL write of the same data on the same box
     // (3x slack for scheduler noise); an accidental quadratic in the
-    // escalation path would blow straight through it
+    // escalation path would blow straight through it.
+    // Baseline from the SAME instrument (ADVICE r20): TRY_ALL encodes
+    // attribute in EscalationTelemetry as kind 0, so the per-chunk
+    // exhaustive baseline is pure encode wall — a wall-clock-over-chunks
+    // denominator would fold Spark job/commit overhead into perTryAll and
+    // let a loaded box mask (or fake) a regression.
     val tryDir = tmp("esc-telemetry-tryall")
-    val t0 = System.nanoTime()
+    graft.format.EscalationTelemetry.reset()
     mk.coalesce(1).write.format("btr").mode("overwrite")
       .option("btr.selection", "tryall").save(tryDir)
-    val perTryAll = (System.nanoTime() - t0) / 1e9 / e.chunks
+    val te = graft.format.EscalationTelemetry.snapshot()
+    assert(te.chunks >= 8 && te.sec > 0, s"tryall telemetry must populate: $te")
+    val perTryAll = te.sec / te.chunks
     val perNear = e.nearConstSec / e.nearConstChunks
     assert(perNear <= 3 * perTryAll,
       f"near-constant escalation cost $perNear%.4fs/chunk vs TRY_ALL mean " +
