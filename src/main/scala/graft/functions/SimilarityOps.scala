@@ -314,12 +314,34 @@ object SimilarityOps {
           "raise k (or use autoK/targetClusterSize) so clusters shrink")
     val bigSet = bigRows.map(_.getAs[Int]("cluster")).toSeq
     val small = if (bigSet.isEmpty) j else j.filter(!col("cluster").isin(bigSet: _*))
-    val a = small.select(col("cluster"), col("id").as("id_a"), col("vec").as("va"))
-    val b = small.select(col("cluster"), col("id").as("id_b"), col("vec").as("vb"))
-    val pairsSmall = a.join(b, Seq("cluster"))
-      .filter(col("id_a") < col("id_b"))
+    // Within-cluster all-pairs via SALTED block-pair decomposition
+    // (round 21, guide §2.5 "too few distinct key values"): a plain
+    // self-join on `cluster` has only k distinct keys, so its
+    // parallelism is capped at k tasks — and because the exchange BYTES
+    // are tiny while the join OUTPUT is quadratic per key, AQE coalesces
+    // the post-shuffle partitions even further (measured at sf1: k=16
+    // collapsed to 4–5 tasks, 3 × ~2.4 s serial waves = 65% of
+    // q_semantic_dedup). Each row gets a deterministic salt bucket
+    // b = xxhash64(id) mod S; the a-side replicates to every target
+    // bucket ≥ its own, the join runs on (cluster, bucket) — k·S
+    // distinct keys — and each unordered pair lands in EXACTLY one
+    // block: cross-bucket pairs join from the lower-bucket side
+    // (ba < bb), same-bucket pairs keep the id_a < id_b half. The
+    // output pair SET is identical to the plain self-join (orientation
+    // normalized to id order below); the cost is replicating the a-side
+    // (S+1)/2 times — vector rows, bounded by maxClusterCompareSize —
+    // for S× more parallelism on the quadratic stage.
+    val S = PairSaltBuckets
+    val a = small.select(col("cluster"), col("id").as("id_a"), col("vec").as("va"),
+        pmod(xxhash64(col("id")), lit(S)).cast("int").as("ba"))
+      .withColumn("bb", explode(sequence(col("ba"), lit(S - 1))))
+    val b = small.select(col("cluster"), col("id").as("id_b"), col("vec").as("vb"),
+      pmod(xxhash64(col("id")), lit(S)).cast("int").as("bb"))
+    val pairsSmall = a.join(b, Seq("cluster", "bb"))
+      .filter(col("ba") < col("bb") || (col("ba") === col("bb") && col("id_a") < col("id_b")))
       .filter(round(cosine(col("va"), col("vb")), 4) >= threshold)
-      .select(col("id_a"), col("id_b"))
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
     val pairs =
       if (bigSet.isEmpty) pairsSmall
       else {
@@ -362,6 +384,15 @@ object SimilarityOps {
     * clusters far smaller.
     */
   val DefaultMaxClusterCompareSize = 10000
+
+  /** Salt buckets per cluster for the within-cluster all-pairs join
+    * (see [[semanticDedup]]): k·S distinct join keys, ≤ (csz/S)² pair
+    * work per key group, a-side replication ≈ (S+1)/2. 8 keeps the
+    * replication small while lifting the quadratic stage's parallelism
+    * from k to k·S — at the DefaultMaxClusterCompareSize cap a key
+    * group is ≤ (10k/8)² ≈ 1.6M cosines, a well-sized task.
+    */
+  val PairSaltBuckets = 8
 
   /** (oversized clusters, member rows) of the most recent
     * [[semanticDedup]] run in a session — like

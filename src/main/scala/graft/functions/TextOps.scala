@@ -390,22 +390,29 @@ object TextOps {
         case IntegerType | LongType | ShortType | ByteType => true
         case _ => false
       })
-    // one bounded action decides the path AND fetches the edges: a
-    // limit(cap + 1) collect never materializes more than the cap, and a
-    // separate count() would force the (often expensive) upstream pair
-    // pipeline to run twice. Collected as specialized (Long, Long) tuples
-    // (~32 B/edge): the cap bounds driver heap at ~128 MB.
-    val capped =
-      if (!integralIds || maxDriverEdges + 1 > Int.MaxValue) null
-      else {
+    // The edge pipeline (often an expensive verified-pair join) is
+    // evaluated EXACTLY ONCE, at full parallelism, into a bounded cache:
+    // the pre-r21 shape probed it through `limit(cap+1).collect()`,
+    // whose CollectLimit executes the upstream join in serial partition
+    // waves (1, then ×4, …) — measured at sf1 as three ~2.4 s waves on
+    // ≤5 tasks for q_semantic_dedup. A persist + count runs the join as
+    // one fully-parallel job; the path decision reads the count, the
+    // driver collect (fast path) and the sym union (iterative path) both
+    // reuse the cached rows, and the cache is released before returning.
+    // Driver safety is unchanged: the collect only happens when the
+    // counted edge total is at-or-below the cap (~32 B/edge, ≤128 MB).
+    val e = edges.select(col("id_a"), col("id_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nEdges = e.count()
+    if (integralIds && nEdges <= maxDriverEdges && maxDriverEdges + 1 <= Int.MaxValue) {
+      val pairs = {
         import edges.sparkSession.implicits._
-        edges.select(col("id_a").cast("long"), col("id_b").cast("long"))
+        e.select(col("id_a").cast("long"), col("id_b").cast("long"))
           .filter(col("id_a").isNotNull && col("id_b").isNotNull)
           .as[(Long, Long)]
-          .limit(maxDriverEdges.toInt + 1).collect()
+          .collect()
       }
-    if (capped != null && capped.length <= maxDriverEdges) {
-      val pairs = capped
+      e.unpersist(blocking = false)
       val parent = new java.util.HashMap[Long, Long]()
       def find(x: Long): Long = {
         var r = x
@@ -434,8 +441,10 @@ object TextOps {
         .select(keyed("id"),
           coalesce(col("__lbl"), keyed("id").cast("long")).cast(idType).as("cid"))
     }
-    val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // iterative path: build the symmetric edge view from the SAME cached
+    // evaluation (the pre-r21 union re-ran the pair pipeline twice)
+    val sym = e.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(e.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = ids.select(col("id"), col("id").as("cid"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -465,6 +474,7 @@ object TextOps {
       round += 1
     }
     sym.unpersist(blocking = false)
+    e.unpersist(blocking = false)
     val out = labels
     val prev = lastCcResult.put(ids.sparkSession, out)
     if (prev != null && (prev ne out)) prev.unpersist(blocking = false)

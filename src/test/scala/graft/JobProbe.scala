@@ -25,9 +25,15 @@ object JobProbe {
     val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
     val lines = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     spark.sparkContext.addSparkListener(new SparkListener {
-      override def onJobStart(js: SparkListenerJobStart): Unit =
-        starts.put(js.jobId, (System.nanoTime(),
-          Option(js.properties.getProperty("spark.job.description")).getOrElse("")))
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        val desc = Option(js.properties.getProperty("spark.job.description"))
+          .filter(_.nonEmpty)
+          .orElse(js.stageInfos.lastOption.map(_.name)) // callsite fallback
+          .getOrElse("")
+        val stages = js.stageInfos.map(si =>
+          s"${si.name.takeWhile(_ != '(').trim}#${si.numTasks}").mkString("|")
+        starts.put(js.jobId, (System.nanoTime(), s"$desc [$stages]"))
+      }
       override def onJobEnd(je: SparkListenerJobEnd): Unit = {
         val s = starts.remove(je.jobId)
         if (s != null) lines.add(
