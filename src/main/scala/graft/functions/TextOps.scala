@@ -192,7 +192,13 @@ object TextOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sig = sh.select(col("id"), col("shingles"),
       bandSignatures(minhash(col("shingles"), numHashes), bands, rows).as("bands"))
+    // the banded rows feed TWO actions (the oversized-bucket telemetry
+    // aggregate inside lshCandidates, then the verify pipeline's
+    // materializing count) — persist the NARROW (id, band, sig) rows so
+    // the expensive MinHash signature pass over the shingle arrays runs
+    // once, not once per action (round 21; ~n×bands rows of 3 longs)
     val exploded = sig.select(col("id"), posexplode(col("bands")).as(Seq("band", "sig")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = lshCandidates(exploded, Seq("band", "sig"), maxBucketSize)
     val shA = sh.select(col("id").as("id_a"), col("shingles").as("sh_a"))
     val shB = sh.select(col("id").as("id_b"), col("shingles").as("sh_b"))
@@ -207,6 +213,7 @@ object TextOps {
     val out = verified.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count()
     sh.unpersist(blocking = false)
+    exploded.unpersist(blocking = false)
     val prev = lastDedupResult.put(docs.sparkSession, out)
     if (prev != null && (prev ne out)) prev.unpersist(blocking = false)
     out
@@ -255,9 +262,16 @@ object TextOps {
     // min-id representative — linear in bucket size, loudly telemetered
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("band"), col("sig"))
+    // the sized corpus band rows feed THREE plan branches (the telemetry
+    // aggregate, smallC and bigRepsC — the latter two land in the same
+    // final action as separate subtrees), so without a cache the corpus
+    // signature pass + window shuffle evaluate three times per batch.
+    // Persist the NARROW post-window rows once (round 21); released
+    // below after the verify pipeline materializes.
     val sizedC = bandRows(shC)
       .withColumn("bsz", count(lit(1)).over(w))
       .withColumn("rep", min(col("id")).over(w))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     locally {
       val spark = corpus.sparkSession
       val big = sizedC.filter(col("bsz") > maxBucketSize)
@@ -290,6 +304,7 @@ object TextOps {
     out.count()
     shC.unpersist(blocking = false)
     shN.unpersist(blocking = false)
+    sizedC.unpersist(blocking = false)
     val prev = lastDedupResult.put(corpus.sparkSession, out)
     if (prev != null && (prev ne out)) prev.unpersist(blocking = false)
     out
