@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output passes through RAW (no sbt "[info] " prefix): the
+// bench driver parses Bench's final stdout line as JSON, and the logger
+// prefix has broken that parse in every round since r01 (BENCH_r*.json
+// all carry parsed:null with the line visible but "[info] "-prefixed in
+// the tail). StdoutOutput applies to run/runMain only; test output still
+// goes through the logger.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

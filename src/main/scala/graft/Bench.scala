@@ -455,18 +455,32 @@ object Bench {
     val compact =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","nq":${results.size},$extras,"sf":"$sfDir"}"""
     println(compact)
-    println(tailLine(total, results.size, qs, sfDir))
-    // LAST: the compact values line — the ~2000-char tail window always
-    // reconstructs the complete battery from it (VERDICT r17 #6)
-    println(qvLine(total, results, sfDir))
-    // stdout under sbt is buried in [info] noise; also write the line to a
-    // file so the driver's bench gate can parse it reliably
+    // LAST: ONE complete canonical line (round 22, VERDICT r21 #2 — the
+    // driver's parse came back null every round): the final stdout line
+    // is the full driver-contract JSON ({"metric",...,"queries":{...},
+    // "sf":...}) so a parser that takes the last JSON line gets the whole
+    // battery, AND it carries the qv/qh compact-values fields at the END
+    // so the driver artifact's bounded (~2000-char) tail window still
+    // reconstructs every row (the pre-r22 separate tailLine + qvLine
+    // prints are merged; parseRefMins reads both old and new shapes).
+    // build.sbt's run/outputStrategy change strips sbt's "[info] " prefix
+    // — the other half of why the parse failed since r01.
+    println(finalLine(total, results, sfDir))
+    // stdout under sbt can still be interleaved; also write the line to a
+    // file so the driver's bench gate can parse it reliably. A second
+    // cpu-count-suffixed copy survives a later run at a different core
+    // count (VERDICT r21 #2: the c8 scaling run clobbered the c32 line).
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_out.json")
-    try {
-      val w = new java.io.PrintWriter(new java.io.File(outPath))
-      try w.println(line)
-      finally w.close()
-    } catch { case e: Throwable => System.err.println(s"[bench] write $outPath failed: $e") }
+    def writeLine(path: String): Unit =
+      try {
+        val w = new java.io.PrintWriter(new java.io.File(path))
+        try w.println(line)
+        finally w.close()
+      } catch { case e: Throwable => System.err.println(s"[bench] write $path failed: $e") }
+    writeLine(outPath)
+    writeLine(
+      if (outPath.endsWith(".json")) outPath.stripSuffix(".json") + s"_c$cpus.json"
+      else s"${outPath}_c$cpus")
     spark.stop()
   }
 
@@ -569,5 +583,20 @@ object Bench {
     // field order = suffix-truncation survivability: qv's head may clip
     // in an extreme window, but qh and sf ride the tail with it
     f"""{"metric":"total","value":$total%.3f,"unit":"sec","nq":${results.size},"qv":"$vals","qh":"$qh","sf":"$sfDir"}"""
+  }
+
+  /** The FINAL stdout line (round 22): the complete driver-contract JSON
+    * — `"queries"` named map included — with the [[qvLine]] compact
+    * values + fingerprint + `sf` marker riding at the END, so one line
+    * serves both consumers: a full-stdout parser gets the canonical
+    * battery object, and a bounded suffix window still carries the
+    * complete qv reconstruction plus the scale marker ([[parseRefMins]]
+    * reads the merged shape exactly as it read the two separate lines).
+    */
+  def finalLine(total: Double, results: Seq[(String, Double)], sfDir: String): String = {
+    val qs = formatQueries(results)
+    val vals = results.sortBy(_._1).map { case (_, v) => f"$v%.3f" }.mkString(",")
+    val qh = querySetFingerprint(results.map(_._1).toSet)
+    f"""{"metric":"total","value":$total%.3f,"unit":"sec","nq":${results.size},"queries":$qs,"qv":"$vals","qh":"$qh","sf":"$sfDir"}"""
   }
 }

@@ -673,12 +673,19 @@ object SimilarityOps {
         .collect()
         .map(r => (r.getInt(0), r.getSeq[Double](1), r.getDouble(2)))
         .sortBy(_._1).toSeq
+    // key on the marker BODY (it carries a per-publication stamp since
+    // round 22) plus the (mtime, length) stamp as the discriminator for
+    // pre-stamp markers: a wipe-and-rebuild of the same v{N} within one
+    // mtime tick now misses on content, not just on filesystem metadata
+    // (ADVICE r21). One small-file read per call — same order of cost as
+    // the getFileStatus it extends, and still no Spark job.
     val key: Option[String] =
       try {
         val p = new org.apache.hadoop.fs.Path(s"$root/$PublishedMarker")
         val fs = p.getFileSystem(graft.format.BtrTableMeta.hadoopConf())
         val st = fs.getFileStatus(p)
-        Some(s"$root@${st.getModificationTime}:${st.getLen}")
+        val body = readSmallFile(fs, p).getOrElse("")
+        Some(s"$root@${st.getModificationTime}:${st.getLen}#${body.hashCode}:${body.length}")
       } catch { case _: java.io.IOException => None }
     key match {
       case Some(k) =>
@@ -936,8 +943,14 @@ object SimilarityOps {
           "next ivfIndexVacuum sweeps it as superseded")
       false
     } else {
+      // the stamp is a per-publication nonce (ADVICE r21: a full index
+      // wipe + rebuild reuses v1 and writes an identical-length marker
+      // body, so on coarse-mtime filesystems the centroid cache could
+      // serve the OLD build's centroids) — it makes every published
+      // marker BODY unique, and the cache keys on the body content
       val ptr = "{\"v\":" + next +
-        corpusVersion.map(v => ",\"corpusVersion\":" + v).getOrElse("") + "}"
+        corpusVersion.map(v => ",\"corpusVersion\":" + v).getOrElse("") +
+        ",\"stamp\":\"" + java.util.UUID.randomUUID().toString + "\"}"
       val body = ptr.getBytes(java.nio.charset.StandardCharsets.UTF_8)
       // marker FIRST — it is the authoritative publication record (state
       // resolution out-ranks the pointer with the highest marker, so the
@@ -1467,17 +1480,32 @@ object SimilarityOps {
       try queries.queryExecution.optimizedPlan.maxRows catch { case _: Exception => None }
     val staticOk = staticMax.exists(_ <= maxQ)
     if (staticOk && !needProbed) return (probes, nEff, false, None)
+    def warnOverCap(what: String): Unit =
+      org.apache.log4j.Logger.getLogger(getClass).warn(
+        s"$caller: $what (maxBroadcastProbes=$maxBroadcastProbes / " +
+          s"nprobe=$nEff ⇒ query cap $maxQ) — dropping the probe broadcast " +
+          "hint; AQE plans the membership join. ANN batches this large are " +
+          "usually a pipeline bug; split the query set or raise the cap " +
+          "deliberately.")
+    if (!needProbed) {
+      // guard-only path (legacy membership layout, no static row proof):
+      // an early-stopping limit probe touches at most cap+1 query rows —
+      // the pre-r21 bound, restored (VERDICT r21 #4: the merged aggregate
+      // fully evaluated an arbitrarily large misused batch just to warn)
+      val lim = (math.min(maxQ, Int.MaxValue - 1L) + 1L).toInt
+      val overCap = queries.limit(lim).count() > maxQ
+      if (overCap) warnOverCap(s"query batch exceeds $maxQ rows")
+      return (probes, nEff, overCap, None)
+    }
+    // probed set needed: ONE per-cluster aggregate serves both the guard
+    // and the probed-cell ids (≤ nlist rows collected)
     val byCluster = probes.groupBy(col("cluster")).agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getInt(0), r.getLong(1)))
     val totalProbes = byCluster.map(_._2).sum
     val overCap = !staticOk && totalProbes > maxBroadcastProbes
     if (overCap)
-      org.apache.log4j.Logger.getLogger(getClass).warn(
-        s"$caller: query batch exceeds $maxQ rows (maxBroadcastProbes=" +
-          s"$maxBroadcastProbes / nprobe=$nEff) — dropping the probe broadcast " +
-          "hint; AQE plans the membership join. ANN batches this large are " +
-          "usually a pipeline bug; split the query set or raise the cap " +
-          "deliberately.")
+      warnOverCap(s"query batch generates $totalProbes probe rows " +
+        s"(> $maxBroadcastProbes)")
     (probes, nEff, overCap, Some(byCluster.map(_._1).toSeq))
   }
 
@@ -1609,8 +1637,20 @@ object SimilarityOps {
       java.util.ArrayDeque[DataFrame]]()
 
   private def registerShortlist(df: DataFrame): Unit = {
-    val q = liveShortlists.computeIfAbsent(df.sparkSession,
-      _ => new java.util.ArrayDeque[DataFrame]())
+    val q = liveShortlists.computeIfAbsent(df.sparkSession, s => {
+      // drop the session's queue when its context ends (ADVICE r21: a
+      // short-lived serving session otherwise leaks its ArrayDeque plus
+      // up to ShortlistCacheCap cached plans, pinning the stopped
+      // session object for the driver's lifetime); unpersist on a
+      // stopped session is a no-op, so removal alone is enough
+      try s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+          liveShortlists.remove(s); ()
+        }
+      }) catch { case _: Throwable => () }
+      new java.util.ArrayDeque[DataFrame]()
+    })
     q.synchronized {
       q.addLast(df)
       while (q.size > ShortlistCacheCap) q.removeFirst().unpersist(blocking = false)

@@ -416,14 +416,21 @@ object TextOps {
     // reuse the cached rows, and the cache is released before returning.
     // Driver safety is unchanged: the collect only happens when the
     // counted edge total is at-or-below the cap (~32 B/edge, ≤128 MB).
-    val e = edges.select(col("id_a"), col("id_b"))
+    // null-endpoint edges connect nothing — drop them up front (integral
+    // ids only; the type-generic path is untouched) so the fast-path gate
+    // counts EXACTLY the rows the collect reads (ADVICE r21: the pre-r22
+    // count ran pre-filter, so null rows straddling the cap pushed a
+    // driver-solvable graph onto the iterative path)
+    val e0 = edges.select(col("id_a"), col("id_b"))
+    val e = (if (integralIds)
+      e0.filter(col("id_a").isNotNull && col("id_b").isNotNull)
+    else e0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nEdges = e.count()
     if (integralIds && nEdges <= maxDriverEdges && maxDriverEdges + 1 <= Int.MaxValue) {
       val pairs = {
         import edges.sparkSession.implicits._
         e.select(col("id_a").cast("long"), col("id_b").cast("long"))
-          .filter(col("id_a").isNotNull && col("id_b").isNotNull)
           .as[(Long, Long)]
           .collect()
       }

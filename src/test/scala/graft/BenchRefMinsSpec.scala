@@ -99,6 +99,34 @@ class BenchRefMinsSpec extends AnyFunSuite {
     assert(Bench.parseRefMins(noQh, sf, names.toSet).size == names.size)
   }
 
+  test("the merged final line parses whole-stdout AND from a 2000-char window") {
+    // round 22: the LAST stdout line is the complete canonical battery
+    // JSON (queries map + qv/qh/sf). Both consumers must work: a parser
+    // over the full line sees the named map; the driver's bounded tail
+    // window sees the complete qv vector even though the map's head clips.
+    val names = SparkEntry.queries.keySet.toSeq.sorted
+    val results = names.zipWithIndex.map { case (n, i) => n -> (0.05 + i * 0.001) }
+    val line = Bench.finalLine(results.map(_._2).sum, results, sf)
+    // shape: one object, metric first, queries map present, sf last
+    assert(line.startsWith("""{"metric":"total","""))
+    assert(line.contains(""""queries":{"""))
+    assert(line.endsWith(s""""sf":"$sf"}"""))
+    // balanced braces/quotes = parseable JSON (no JSON lib on the test
+    // classpath; the driver uses a real parser)
+    assert(line.count(_ == '{') == line.count(_ == '}'))
+    assert(line.count(_ == '"') % 2 == 0)
+    // full-line parse yields every named pair
+    val full = Bench.parseRefMins(line, sf, names.toSet)
+    assert(full.size == names.size)
+    // driver-truncated window still reconstructs the COMPLETE battery
+    val window = (line.replace("\"", "\\\"") +
+      "\\n[success] Total time: 295 s\n\",\n  \"parsed\": null\n}").takeRight(2000)
+    val mins = Bench.parseRefMins(window, sf, names.toSet)
+    assert(mins.size == names.size,
+      s"merged-line window must carry ALL ${names.size} rows, got ${mins.size}")
+    assert(Bench.parseRefMins(window, "/root/testdata/sf1", names.toSet).isEmpty)
+  }
+
   test("a qh from a different artifact line cannot validate the parsed qv") {
     // ADVICE r19: qv and qh were matched independently over the whole
     // window, so a window mixing artifact lines could validate one

