@@ -65,7 +65,18 @@ object TextOps {
       threshold: Double,
       maxShingleDF: Int = 0
   ): DataFrame = {
+    // the char-shingle projection is the op's most expensive pass and
+    // feeds FOUR plan branches (the exploded join's map side plus the
+    // sizes table joined back on each pair end): persist it and
+    // materialize ONCE up front, so every branch reads the cache instead
+    // of re-shingling the corpus (round 22 — the same discipline as
+    // minhashDedup's shingle cache; measured ~3 evaluations per action
+    // before). The final pairs persist + count lets the shingle cache
+    // release before returning; one live result per session, like
+    // minhashDedup.
     val sh = docs.select(col(idCol).as("id"), charShingles(col(textCol), n).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sh.count()
     val sizes = sh.select(col("id"), size(col("sh")).as("sz"))
     val exAll = sh.select(col("id"), explode(col("sh")).as("g"))
     // stop-gram bound (the skew guard for corpus scale): a shingle in k
@@ -85,10 +96,16 @@ object TextOps {
     val szA = sizes.select(col("id").as("id_a"), col("sz").as("sz_a"))
     val szB = sizes.select(col("id").as("id_b"), col("sz").as("sz_b"))
     val ni = col("n_inter").cast("double")
-    inter.join(szA, "id_a").join(szB, "id_b")
+    val verified = inter.join(szA, "id_a").join(szB, "id_b")
       .select(col("id_a"), col("id_b"),
         round(ni / (col("sz_a") + col("sz_b") - ni), 4).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+    val out = verified.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    sh.unpersist(blocking = false)
+    val prev = lastDedupResult.put(docs.sparkSession, out)
+    if (prev != null && (prev ne out)) prev.unpersist(blocking = false)
+    out
   }
 
   // ---- MinHash --------------------------------------------------------
@@ -192,13 +209,12 @@ object TextOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sig = sh.select(col("id"), col("shingles"),
       bandSignatures(minhash(col("shingles"), numHashes), bands, rows).as("bands"))
-    // the banded rows feed TWO actions (the oversized-bucket telemetry
-    // aggregate inside lshCandidates, then the verify pipeline's
-    // materializing count) — persist the NARROW (id, band, sig) rows so
-    // the expensive MinHash signature pass over the shingle arrays runs
-    // once, not once per action (round 21; ~n×bands rows of 3 longs)
+    // the banded rows feed only the bucket window now: lshCandidates
+    // persists its POST-window sized rows (round 22), whose exchange map
+    // side evaluates the expensive MinHash signature pass exactly once
+    // per call — the r21 pre-window persist here became pure overhead
+    // (an extra copy of rows read exactly once) and was dropped
     val exploded = sig.select(col("id"), posexplode(col("bands")).as(Seq("band", "sig")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = lshCandidates(exploded, Seq("band", "sig"), maxBucketSize)
     val shA = sh.select(col("id").as("id_a"), col("shingles").as("sh_a"))
     val shB = sh.select(col("id").as("id_b"), col("shingles").as("sh_b"))
@@ -213,7 +229,6 @@ object TextOps {
     val out = verified.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count()
     sh.unpersist(blocking = false)
-    exploded.unpersist(blocking = false)
     val prev = lastDedupResult.put(docs.sparkSession, out)
     if (prev != null && (prev ne out)) prev.unpersist(blocking = false)
     out
@@ -334,9 +349,23 @@ object TextOps {
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(bucketCols.map(col): _*)
+    // persist the POST-window rows (round 22): sized feeds THREE
+    // consumers — the telemetry aggregate below (which doubles as the
+    // cache's materializing action) and both candidate branches (the
+    // small-bucket self-join's two sides + the representative branch in
+    // one final action). Without the cache each consumer re-ran the
+    // window reduce over the bucket-key exchange — and everything BELOW
+    // the window (the signature/projection pass when the caller did not
+    // persist its own input) — per evaluation. Narrow rows: id + bucket
+    // keys + two longs. Released on the session's next lshCandidates
+    // call (one live sized cache per session, the lastDedupResult
+    // discipline); callers materialize their verified pairs before then.
     val sized = exploded
       .withColumn("bsz", count(lit(1)).over(w))
       .withColumn("rep", min(col("id")).over(w))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val prev = lastSizedCache.put(exploded.sparkSession, sized)
+    if (prev != null && (prev ne sized)) prev.unpersist(blocking = false)
     // the representative path is a recall trade (members of an oversized
     // bucket only connect through its min-id doc) — it must never trigger
     // SILENTLY. One small aggregate job surfaces how many buckets (and
@@ -366,6 +395,11 @@ object TextOps {
       .select(col("rep").as("id_a"), col("id").as("id_b"))
     candSmall.union(candBig).distinct()
   }
+
+  // one live sized-bucket cache per session (see lshCandidates): released
+  // on the session's next call, after the caller's pipeline materialized
+  private val lastSizedCache =
+    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.SparkSession, DataFrame]()
 
   /** Connected components over a near-dup pair graph by iterative
     * min-label propagation: every node's label converges to the smallest
@@ -635,18 +669,27 @@ object TextOps {
     * (tf desc, document-frequency asc, token asc) so it is deterministic
     * and engine-reproducible; the smoothed tf-idf score
     * `tf * ln((N+1)/(df+1))` rides along rounded for display. Shapes:
-    * one token explode, two partial-aggregated counts, one broadcast-able
-    * doc-count, one per-doc top-k window — no driver actions.
+    * one token explode, one partial-aggregated (doc, tok) count, a
+    * token-keyed count WINDOW for document frequency (round 22 — the
+    * former `tf.groupBy(tok)` + join re-evaluated the whole explode +
+    * tf aggregate as a second subtree and spent two more exchanges; df =
+    * rows per tok over the tf table is the same number by definition),
+    * one broadcast-able doc-count, one per-doc top-k window — no driver
+    * actions.
     */
   def topKeywords(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tok = docs.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("tok"))
       .filter(col("tok") =!= "")
     val tf = tok.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    // df(tok) = number of (doc_id, tok) rows per tok — tf is unique on
+    // (doc_id, tok), so this window count ≡ the former groupBy("tok")
+    // aggregate joined back, with one exchange instead of two and no
+    // second evaluation of the token explode
+    val wDf = Window.partitionBy("tok")
     val nDocs = docs.select(countDistinct(col(idCol)).as("n_docs"))
     val w = Window.partitionBy("doc_id").orderBy(desc("tf"), asc("df"), asc("tok"))
-    tf.join(dfreq, "tok")
+    tf.withColumn("df", count(lit(1)).over(wDf))
       .crossJoin(broadcast(nDocs))
       .withColumn("score", round(col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0)), 4))
       .withColumn("rank", row_number().over(w))
