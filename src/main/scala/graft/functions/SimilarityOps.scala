@@ -434,11 +434,11 @@ object SimilarityOps {
     * [[ivfTopK]] and the persisted [[ivfIndexBuild]], so an index built
     * from the same candidate set reproduces the per-call centers exactly.
     */
-  private def fitCoarseCenters(
+  private def fitSampleOf(
       candidates: DataFrame, // has cvec
       nlist: Int,
       fitSampleRows: Int
-  ): Seq[Seq[Double]] = {
+  ): Array[Array[Double]] = {
     // One bounded job, no count(): a fixed-fraction sample capped by
     // limit() — CollectLimit stops pulling partitions once the cap is
     // reached, so the fit cost stays constant at any corpus size. A tiny
@@ -463,9 +463,16 @@ object SimilarityOps {
       if (rawVecs.isEmpty) 0
       else rawVecs.groupBy(_.length).toSeq
         .maxBy { case (len, vs) => (vs.length, -len) }._1 // count, tie→smaller dim: deterministic
-    val sample = rawVecs.filter(_.length == dim0).map(_.toArray.map(_.toDouble))
-    LocalKMeans.fit(sample, nlist, iters = 5, seed = 42L).map(_.toSeq).toSeq
+    rawVecs.filter(_.length == dim0).map(_.toArray.map(_.toDouble))
   }
+
+  private def fitCoarseCenters(
+      candidates: DataFrame, // has cvec
+      nlist: Int,
+      fitSampleRows: Int
+  ): Seq[Seq[Double]] =
+    LocalKMeans.fit(fitSampleOf(candidates, nlist, fitSampleRows), nlist,
+      iters = 5, seed = 42L).map(_.toSeq).toSeq
 
   def ivfTopK(
       queries: DataFrame, // (qid, qvec)
@@ -549,6 +556,7 @@ object SimilarityOps {
   private val PtrV = """"v"\s*:\s*(\d+)""".r.unanchored
   private val PtrCorpus = """"corpusVersion"\s*:\s*(\d+)""".r.unanchored
   private val PtrHw = """"refreshHighWater"\s*:\s*(\d+)""".r.unanchored
+  private val PtrNlist = """"nlist"\s*:\s*(\d+)""".r.unanchored
 
   /** Per-build marker, the AUTHORITATIVE publication record (round 18):
     * a build is published the instant its `v{N}/_published` marker lands
@@ -746,7 +754,22 @@ object SimilarityOps {
       spark: org.apache.spark.sql.SparkSession, indexDir: String): (Boolean, String, Int) = {
     val schema = spark.read.format("btr").load(ivfIndexAssignPath(indexDir)).schema
     val store = schema.fieldNames.contains("cvec")
-    (store, if (store) storageOf(schema) else "f64", centroidsOf(spark, indexDir).length)
+    // prefer the marker-recorded BASE nlist (round 22): a split build's
+    // centroid count exceeds the fitted cell count, and a rebuild that
+    // inherited the centroid count would ratchet nlist upward every
+    // maintenance cycle. Pre-r22 markers carry no nlist — fall back to
+    // the centroid count (exact for unsplit builds, which is all of them
+    // before the splitter existed).
+    val baseNlist = {
+      val st = ivfIndexState(indexDir)
+      val marker = new org.apache.hadoop.fs.Path(s"${st.root}/$PublishedMarker")
+      val fs = marker.getFileSystem(graft.format.BtrTableMeta.hadoopConf())
+      readSmallFile(fs, marker).flatMap {
+        case PtrNlist(n) => Some(n.toInt)
+        case _ => None
+      }.getOrElse(centroidsOf(spark, indexDir).length)
+    }
+    (store, if (store) storageOf(schema) else "f64", baseNlist)
   }
 
   /** Storage precision an existing assign table was written with. */
@@ -829,6 +852,119 @@ object SimilarityOps {
   private[graft] var ivfBuildInjectMid: () => Unit = () => ()
   private[graft] var ivfBuildInjectPrePublish: () => Unit = () => ()
 
+  // ------------------------------------------------------------------
+  // Oversized-cell splitting (round 22, VERDICT r20 #1 / r21 #1): serving
+  // cost is the ROW MASS of the probed cells, and on clustered ("graded")
+  // corpora the sample-fitted coarse quantizer leaves a few cells holding
+  // a large corpus share — measured 3.0-3.6× serve penalty vs a balanced
+  // corpus at 1M×dim-256 (ann_recall_r20.json). A build whose occupancy
+  // aggregate (computed anyway for the drift telemetry) finds cells above
+  // BOTH bounds — `maxCellOccupancyFactor` × the mean AND the absolute
+  // `minCellSplitRows` floor — re-fits those cells' fit-sample members
+  // into sub-cells (driver-local seeded k-means, zero extra Spark jobs)
+  // and re-assigns ONLY the split cells' rows among their sub-centers in
+  // the same cached pass. The centroid table then simply carries more
+  // rows; serving, appends, refresh and drift probes are unchanged code.
+  // The absolute floor keeps small corpora (every declared gate corpus)
+  // byte-identical to the unsplit build: a cell cheaper to scan than the
+  // floor is not worth extra centroids, and the per-call ivfTopK path —
+  // whose row-identity with the persisted index is oracle-pinned on
+  // balanced corpora — never splits.
+  // ------------------------------------------------------------------
+
+  /** Split a cell when its occupancy exceeds this multiple of the mean
+    * (and the absolute floor below). 4× mean is far outside the k-means
+    * imbalance band of a balanced corpus but well under the pileup a
+    * graded corpus produces.
+    */
+  val DefaultCellSplitFactor = 4.0
+
+  /** Never split cells below this absolute occupancy: scanning a few
+    * thousand rows costs less than the recall risk of finer cells, and
+    * the floor guarantees bounded gate corpora build identically.
+    */
+  val DefaultMinCellSplitRows = 4096L
+
+  /** Sub-cells per split are capped so one degenerate cell cannot flood
+    * the centroid table (the probe kernel is O(centroids) per row).
+    */
+  val MaxSubCellsPerSplit = 64
+
+  /** Driver-side replica of [[CentroidUtil.nearest]] (m = 1) over the fit
+    * sample: squared euclidean over min(dim) elements, ties to the lower
+    * index — sub-fits must bucket the sample exactly as the kernel
+    * buckets the corpus.
+    */
+  private def nearestIdx(v: Array[Double], centers: Seq[Seq[Double]]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < centers.length) {
+      val ctr = centers(c)
+      var s = 0.0
+      var i = 0
+      val n = math.min(v.length, ctr.length)
+      while (i < n) { val d = v(i) - ctr(i); s += d * d; i += 1 }
+      if (s < bestD) { bestD = s; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** One base cell's fate in the final layout: either a plain renumber or
+    * a split into sub-centers occupying final ids [offset, offset+m).
+    */
+  private final case class CellTarget(
+      newId: Int, subCenters: Option[Seq[Seq[Double]]])
+
+  /** Decide and fit the cell splits. Returns None when nothing splits
+    * (the build then takes the exact pre-r22 path); otherwise the final
+    * center list plus each base cell's target.
+    */
+  private def planCellSplits(
+      baseCenters: Seq[Seq[Double]],
+      occupancy: Map[Int, Long],
+      sample: Array[Array[Double]],
+      factor: Double,
+      minRows: Long
+  ): Option[(Seq[Seq[Double]], IndexedSeq[CellTarget])] = {
+    val total = occupancy.values.sum
+    if (total <= 0) return None
+    val mean = total.toDouble / baseCenters.length
+    val threshold = math.max(factor * mean, minRows.toDouble)
+    val wantSplit = occupancy.filter(_._2 > threshold).keySet
+    if (wantSplit.isEmpty) return None
+    // bucket the fit sample by base cell once (driver-local, no jobs)
+    val byCell = sample.groupBy(v => nearestIdx(v, baseCenters))
+    val finalCenters = scala.collection.mutable.ArrayBuffer.empty[Seq[Double]]
+    val targets = (0 until baseCenters.length).map { ci =>
+      val cellSample = byCell.getOrElse(ci, Array.empty[Array[Double]])
+      val n = occupancy.getOrElse(ci, 0L)
+      // m sized so sub-cells land near the mean; bounded by the cap and
+      // by what the sample can support (≥ 4 sample rows per sub-center)
+      val mWant = math.min(MaxSubCellsPerSplit, math.ceil(n / math.max(mean, 1.0)).toInt)
+      val m = math.min(mWant, math.max(1, cellSample.length / 4))
+      if (wantSplit.contains(ci) && m >= 2) {
+        val subs = LocalKMeans.fit(cellSample, m, iters = 5, seed = 42L + ci + 1)
+          .map(_.toSeq).toSeq
+        val offset = finalCenters.length
+        finalCenters ++= subs
+        CellTarget(offset, Some(subs))
+      } else {
+        if (wantSplit.contains(ci) && m < 2)
+          org.apache.log4j.Logger.getLogger(getClass).warn(
+            s"ivfIndexBuild: cell $ci holds $n rows (> ${threshold.toLong}) but only " +
+              s"${cellSample.length} fit-sample members — too few to sub-fit, " +
+              "leaving it unsplit (raise fitSampleRows for a finer split)")
+        val id = finalCenters.length
+        finalCenters += baseCenters(ci)
+        CellTarget(id, None)
+      }
+    }
+    if (targets.forall(_.subCenters.isEmpty)) None
+    else Some((finalCenters.toSeq, targets))
+  }
+
   /** Builds the index. Returns true when this build PUBLISHED (became
     * current); false when a concurrent rebuild published a higher build
     * first and this one was abandoned unpublished (see the guard below).
@@ -863,14 +999,23 @@ object SimilarityOps {
       // quantized dot + exact re-rank over a float32 copy (the ranking
       // scan reads 1 byte/dim; the float copy is column-pruned out and
       // read only for the shortlist — see [[rankTopKQuant]])
-      vectorStorage: String = "f64"
+      vectorStorage: String = "f64",
+      // oversized-cell split bounds (round 22; see the section comment
+      // above [[DefaultCellSplitFactor]]) — a cell splits only when its
+      // occupancy exceeds BOTH `maxCellOccupancyFactor` × mean and the
+      // absolute `minCellSplitRows` floor
+      maxCellOccupancyFactor: Double = DefaultCellSplitFactor,
+      minCellSplitRows: Long = DefaultMinCellSplitRows
   ): Boolean = {
     require(VectorStorages.contains(vectorStorage),
       s"ivfIndexBuild: vectorStorage must be one of ${VectorStorages.mkString("/")}, got $vectorStorage")
     require(storeVectors || vectorStorage == "f64",
       "ivfIndexBuild: a quantized layout stores vectors — storeVectors=false only combines with f64")
+    require(maxCellOccupancyFactor > 1.0 && minCellSplitRows >= 0,
+      s"ivfIndexBuild: maxCellOccupancyFactor must exceed 1 (got $maxCellOccupancyFactor)")
     val spark = candidates.sparkSession
-    val centers = fitCoarseCenters(candidates, nlist, fitSampleRows)
+    val sample = fitSampleOf(candidates, nlist, fitSampleRows)
+    val centers = LocalKMeans.fit(sample, nlist, iters = 5, seed = 42L).map(_.toSeq).toSeq
     // claim the next build slot FIRST: concurrent rebuilds serialize
     // their STAGING on the putIfAbsent claim marker, never overwrite
     // each other's files (publication order is guarded separately below)
@@ -889,14 +1034,51 @@ object SimilarityOps {
       .select(col("cid"), col("cluster"), col("cvec"), col("cos_c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // k×dim-bounded per-cluster quality aggregate (same shape as the
-      // k-means centroid shuffle): build-time mean cosine per cell
-      // anchors the drift telemetry of later appends
-      val meanByCluster = assigned.groupBy("cluster")
-        .agg(avg(col("cos_c")).as("mean_cos"))
-        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      // ONE k×dim-bounded per-cluster aggregate (same shape as the
+      // k-means centroid shuffle) now carries BOTH the occupancy (the
+      // round-22 split decision) and the build-time mean cosine per cell
+      // that anchors the drift telemetry of later appends
+      val cellStats = assigned.groupBy("cluster")
+        .agg(count(lit(1)).as("n"), avg(col("cos_c")).as("mean_cos"))
+        .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      val plan = planCellSplits(centers, cellStats.view.mapValues(_._1).toMap,
+        sample, maxCellOccupancyFactor, minCellSplitRows)
+      val (finalCenters, assignedFinal, meanByCluster) = plan match {
+        case None =>
+          (centers, assigned,
+            cellStats.view.mapValues(_._2).toMap: Map[Int, Double])
+        case Some((fc, targets)) =>
+          val splits = targets.filter(_.subCenters.isDefined)
+          org.apache.log4j.Logger.getLogger(getClass).warn(
+            s"ivfIndexBuild: ${splits.length} oversized cell(s) " +
+              s"(occupancy > max($maxCellOccupancyFactor× mean, $minCellSplitRows rows)) " +
+              s"split into ${splits.map(_.subCenters.get.length).sum} sub-cells — " +
+              s"${fc.length} final cells from $nlist fitted (graded-corpus " +
+              "probed-mass bound; rebuilds inherit the base nlist)")
+          // renumber unsplit cells by lookup; re-assign ONLY split cells'
+          // rows among their sub-centers (the when-chain guards the
+          // kernel to those rows). One map-only projection over the
+          // cached assignment pass — no second corpus read.
+          val remapArr: Seq[Int] = targets.map(_.newId)
+          val baseRemap = element_at(typedLit(remapArr), col("cluster") + 1)
+          val finalCluster = targets.zipWithIndex.foldRight(baseRemap: Column) {
+            case ((CellTarget(offset, Some(subs)), ci), other) =>
+              when(col("cluster") === ci,
+                lit(offset) + element_at(NearestCentersExpr.of(col("cvec"), subs, 1), 1))
+                .otherwise(other)
+            case (_, other) => other
+          }
+          val re = assigned
+            .select(col("cid"), finalCluster.as("cluster"), col("cvec"))
+            .withColumn("cos_c", centroidCos(col("cvec"), col("cluster"), fc))
+          // the per-FINAL-cell quality aggregate must re-run (sub-cell
+          // means anchor drift honestly); it reads the cached pass
+          val mbc = re.groupBy("cluster").agg(avg(col("cos_c")).as("mean_cos"))
+            .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+          (fc, re, mbc)
+      }
       import spark.implicits._
-      centers.zipWithIndex
+      finalCenters.zipWithIndex
         .map { case (c, i) => (i, c, meanByCluster.getOrElse(i, 1.0)) }
         .toDF("cluster", "centroid", "mean_cos")
         .coalesce(1)
@@ -904,8 +1086,9 @@ object SimilarityOps {
       ivfBuildInjectMid()
       val body =
         if (storeVectors)
-          assignProjection(assigned.select(col("cid"), col("cluster"), col("cvec")), vectorStorage)
-        else assigned.select(col("cid"), col("cluster"))
+          assignProjection(
+            assignedFinal.select(col("cid"), col("cluster"), col("cvec")), vectorStorage)
+        else assignedFinal.select(col("cid"), col("cluster"))
       val spec =
         if (assignPartitionSpec.nonEmpty) assignPartitionSpec
         else if (storeVectors) Seq("cluster") // IVF-flat: one dir per cell
@@ -948,8 +1131,13 @@ object SimilarityOps {
       // body, so on coarse-mtime filesystems the centroid cache could
       // serve the OLD build's centroids) — it makes every published
       // marker BODY unique, and the cache keys on the body content
+      // nlist records the BASE cell count: a split build's centroid table
+      // holds MORE rows, and a maintenance rebuild inheriting the layout
+      // must re-fit the base quantizer (then re-split from fresh
+      // occupancy), not ratchet the fitted cell count upward every cycle
       val ptr = "{\"v\":" + next +
         corpusVersion.map(v => ",\"corpusVersion\":" + v).getOrElse("") +
+        ",\"nlist\":" + nlist +
         ",\"stamp\":\"" + java.util.UUID.randomUUID().toString + "\"}"
       val body = ptr.getBytes(java.nio.charset.StandardCharsets.UTF_8)
       // marker FIRST — it is the authoritative publication record (state
