@@ -439,14 +439,26 @@ object SimilarityOps {
       nlist: Int,
       fitSampleRows: Int
   ): Array[Array[Double]] = {
-    // One bounded job, no count(): a fixed-fraction sample capped by
-    // limit() — CollectLimit stops pulling partitions once the cap is
-    // reached, so the fit cost stays constant at any corpus size. A tiny
-    // corpus may under-fill the fraction; top it up with a plain limit()
-    // then (cheap by definition — the corpus is small).
-    val sampled = candidates.select(col("cvec"))
-      .sample(withReplacement = false, fraction = IvfFitFraction, seed = 42L)
-      .limit(fitSampleRows).collect()
+    // One bounded job, no count(): a fixed-fraction Bernoulli sample with
+    // the row cap spread across EVERY partition. The pre-r22 shape capped
+    // with .limit(cap), and CollectLimit satisfies a limit from the FIRST
+    // partitions — on id-ordered layouts the quantizer never saw most of
+    // the corpus, fitted every center inside the leading slice, and the
+    // unseen region's rows piled into a few giant cells (measured on the
+    // graded 1M×dim-256 probe corpus: occupancy max/mean 30×, the direct
+    // cause of the skewed-serve penalty the splitter then has to repair).
+    // A per-partition take keeps the same boundedness — each task pulls
+    // ~cap/P sampled rows and stops — while covering the whole layout;
+    // the take() closure runs once per partition at build/fit time, not
+    // in any per-row query path.
+    val sampled: Array[org.apache.spark.sql.Row] = {
+      val df = candidates.select(col("cvec"))
+        .sample(withReplacement = false, fraction = IvfFitFraction, seed = 42L)
+      val rdd = df.rdd
+      val parts = math.max(1, rdd.getNumPartitions)
+      val perPart = math.max(1, (fitSampleRows + parts - 1) / parts)
+      rdd.mapPartitions(_.take(perPart)).collect().take(fitSampleRows)
+    }
     val floor = math.min(fitSampleRows, math.max(256, nlist * 8))
     val fitRows =
       if (sampled.length >= floor) sampled
@@ -671,10 +683,23 @@ object SimilarityOps {
     * and are never cached. Bounded: the map clears past 128 builds.
     */
   private val centroidCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, Seq[Double], Double)]]()
+    new java.util.concurrent.ConcurrentHashMap[
+      String, (Seq[(Int, Seq[Double], Double)], Option[String])]()
 
   private def centroidsAt(spark: org.apache.spark.sql.SparkSession, root: String)
-      : Seq[(Int, Seq[Double], Double)] = {
+      : Seq[(Int, Seq[Double], Double)] =
+    centroidsWithMarkerAt(spark, root)._1
+
+  /** Centroid rows plus the published marker BODY they were resolved
+    * under (None for unpublished stages / pre-pointer layouts). The body
+    * carries the base nlist a split build was fitted at — the serving
+    * paths need it to honor the caller's probed-cell-share contract
+    * ([[effectiveNprobe]]) — and it was already being read here as the
+    * cache key, so returning it costs nothing extra.
+    */
+  private def centroidsWithMarkerAt(
+      spark: org.apache.spark.sql.SparkSession, root: String)
+      : (Seq[(Int, Seq[Double], Double)], Option[String]) = {
     def load(): Seq[(Int, Seq[Double], Double)] =
       spark.read.format("btr").load(s"$root/centroids")
         .select(col("cluster"), col("centroid"), col("mean_cos"))
@@ -687,25 +712,57 @@ object SimilarityOps {
     // mtime tick now misses on content, not just on filesystem metadata
     // (ADVICE r21). One small-file read per call — same order of cost as
     // the getFileStatus it extends, and still no Spark job.
-    val key: Option[String] =
+    val keyAndBody: Option[(String, String)] =
       try {
         val p = new org.apache.hadoop.fs.Path(s"$root/$PublishedMarker")
         val fs = p.getFileSystem(graft.format.BtrTableMeta.hadoopConf())
         val st = fs.getFileStatus(p)
         val body = readSmallFile(fs, p).getOrElse("")
-        Some(s"$root@${st.getModificationTime}:${st.getLen}#${body.hashCode}:${body.length}")
+        Some((s"$root@${st.getModificationTime}:${st.getLen}#${body.hashCode}:${body.length}", body))
       } catch { case _: java.io.IOException => None }
-    key match {
-      case Some(k) =>
+    keyAndBody match {
+      case Some((k, body)) =>
         val hit = centroidCache.get(k)
         if (hit != null) hit
         else {
-          val v = load()
+          val v = (load(), Some(body))
           if (centroidCache.size > 128) centroidCache.clear()
           centroidCache.put(k, v)
           v
         }
-      case None => load()
+      case None => (load(), None)
+    }
+  }
+
+  /** Probed-cell-SHARE contract on split builds (round 22): `nprobe` is
+    * calibrated by callers against the nlist they asked for, but an
+    * oversized-cell split publishes MORE (smaller) cells — serving a
+    * split layout at the caller's raw nprobe silently probes a smaller
+    * corpus share and recall drops (measured on the 1M graded/dim-256
+    * skew probe: 0.97 vs 1.00, and 0.89 vs 0.99 on sep/dim-256, at
+    * nprobe=4). Scaling nprobe by finalCells/baseNlist keeps the probed
+    * cell share the caller asked for; each cell is smaller by the same
+    * factor, so the probed ROW MASS — the serve cost driver — still
+    * falls by the split's de-skew factor (equal-recall serve measured
+    * 0.41× on the graded probe). Unsplit builds (cells == base, which is
+    * every pre-r22 index) scale by exactly 1 — behavior unchanged.
+    */
+  private[graft] def effectiveNprobe(
+      nprobe: Int, cells: Int, markerBody: Option[String], caller: String): Int = {
+    val base = markerBody.flatMap {
+      case PtrNlist(n) => Some(n.toInt)
+      case _ => None
+    }.filter(_ > 0).getOrElse(cells)
+    if (cells <= base || nprobe >= cells) nprobe
+    else {
+      val eff = math.min(cells.toLong,
+        (nprobe.toLong * cells + base - 1) / base).toInt
+      if (eff != nprobe)
+        org.apache.log4j.Logger.getLogger(getClass).info(
+          s"$caller: nprobe $nprobe scaled to $eff on a split build " +
+            s"($cells cells from base nlist $base) — preserving the " +
+            "caller's probed cell share")
+      eff
     }
   }
 
@@ -873,11 +930,17 @@ object SimilarityOps {
   // ------------------------------------------------------------------
 
   /** Split a cell when its occupancy exceeds this multiple of the mean
-    * (and the absolute floor below). 4× mean is far outside the k-means
-    * imbalance band of a balanced corpus but well under the pileup a
-    * graded corpus produces.
+    * (and the absolute floor below). Set from the measured 1M-vector
+    * probe grid (ann_recall_r22.json / the r22 skew+nprobe sweeps), which
+    * bracketed the regimes: at ~30× mean (graded/dim-256) the giant cell
+    * is a serve straggler and splitting wins 2× at equal recall; at
+    * ~8.5× (sep/dim-256) splitting already LOSES at the high-recall end
+    * — fragmenting tight true clusters scatters each query's neighbors
+    * across sub-cells, and recovering recall costs more nprobe than the
+    * de-skew saves; at ≤6× splitting is serve-neutral. 10× fires only in
+    * the pathological regime; everything milder serves better unsplit.
     */
-  val DefaultCellSplitFactor = 4.0
+  val DefaultCellSplitFactor = 10.0
 
   /** Never split cells below this absolute occupancy: scanning a few
     * thousand rows costs less than the recall risk of finer cells, and
@@ -890,26 +953,12 @@ object SimilarityOps {
     */
   val MaxSubCellsPerSplit = 64
 
-  /** Driver-side replica of [[CentroidUtil.nearest]] (m = 1) over the fit
-    * sample: squared euclidean over min(dim) elements, ties to the lower
-    * index — sub-fits must bucket the sample exactly as the kernel
-    * buckets the corpus.
+  /** Split levels per build: level 0 splits the fitted cells' giants;
+    * later levels re-split sub-cells that stayed over the bound (k-means
+    * can resist a geometry once). The loop also stops as soon as the
+    * worst cell stops shrinking.
     */
-  private def nearestIdx(v: Array[Double], centers: Seq[Seq[Double]]): Int = {
-    var best = 0
-    var bestD = Double.MaxValue
-    var c = 0
-    while (c < centers.length) {
-      val ctr = centers(c)
-      var s = 0.0
-      var i = 0
-      val n = math.min(v.length, ctr.length)
-      while (i < n) { val d = v(i) - ctr(i); s += d * d; i += 1 }
-      if (s < bestD) { bestD = s; best = c }
-      c += 1
-    }
-    best
-  }
+  val MaxCellSplitLevels = 3
 
   /** One base cell's fate in the final layout: either a plain renumber or
     * a split into sub-centers occupying final ids [offset, offset+m).
@@ -920,22 +969,61 @@ object SimilarityOps {
   /** Decide and fit the cell splits. Returns None when nothing splits
     * (the build then takes the exact pre-r22 path); otherwise the final
     * center list plus each base cell's target.
+    *
+    * Sub-fit samples come from the CACHED assignment pass, not from the
+    * quantizer's fit sample: the fit sample is deliberately
+    * prefix-bounded (each task reads a bounded head of its partition and
+    * stops), so the corpus regions the quantizer never saw — exactly the
+    * rows that pile into the oversized cells — are under-represented in
+    * it; a sub-fit from those few rows mis-places the sub-centers and
+    * the giant cell survives its own split (measured: graded-256's 94k
+    * cell kept 66k rows in one sub-cell). The per-cell sample here is a
+    * hash-ranked top-N over a Bernoulli thinning of the oversized cells'
+    * cached rows — uniform over each cell regardless of layout order,
+    * deterministic, ONE bounded extra job that runs only when a split
+    * triggers, and ≤ 4×MaxSubCellsPerSplit rows per cell on the driver.
     */
   private def planCellSplits(
+      assigned: DataFrame, // cached (cid, cluster, cvec, cos_c) rows
       baseCenters: Seq[Seq[Double]],
       occupancy: Map[Int, Long],
-      sample: Array[Array[Double]],
       factor: Double,
-      minRows: Long
+      minRows: Long,
+      // the BASE (total / nlist) mean: every split level bounds against
+      // it, so re-splitting cannot cascade just because the per-cell
+      // mean shrank as cells multiplied
+      baseMean: Double
   ): Option[(Seq[Seq[Double]], IndexedSeq[CellTarget])] = {
     val total = occupancy.values.sum
     if (total <= 0) return None
-    val mean = total.toDouble / baseCenters.length
+    val mean = baseMean
     val threshold = math.max(factor * mean, minRows.toDouble)
     val wantSplit = occupancy.filter(_._2 > threshold).keySet
     if (wantSplit.isEmpty) return None
-    // bucket the fit sample by base cell once (driver-local, no jobs)
-    val byCell = sample.groupBy(v => nearestIdx(v, baseCenters))
+    val dim0 = baseCenters.head.length
+    val byCell: Map[Int, Array[Array[Double]]] = {
+      import org.apache.spark.sql.expressions.Window
+      val cap = MaxSubCellsPerSplit * 4
+      // thin before the per-cell rank shuffle: expected ≥ 8×cap rows per
+      // oversized cell survive (every such cell holds > threshold rows)
+      val frac = math.min(1.0, (cap * 8.0) / threshold)
+      val w = Window.partitionBy("cluster").orderBy(col("h"), col("cid"))
+      assigned
+        .filter(col("cluster").isin(wantSplit.toSeq.map(Int.box): _*) &&
+          col("cvec").isNotNull)
+        .sample(withReplacement = false, frac, seed = 4242L)
+        .select(col("cluster"), col("cvec"), xxhash64(col("cid")).as("h"), col("cid"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= cap)
+        .select(col("cluster"), col("cvec"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (c, rows) =>
+          c -> rows.map(_.getSeq[Float](1))
+            .filter(v => v != null && v.length == dim0)
+            .map(_.toArray.map(_.toDouble))
+        }
+    }
     val finalCenters = scala.collection.mutable.ArrayBuffer.empty[Seq[Double]]
     val targets = (0 until baseCenters.length).map { ci =>
       val cellSample = byCell.getOrElse(ci, Array.empty[Array[Double]])
@@ -954,8 +1042,8 @@ object SimilarityOps {
         if (wantSplit.contains(ci) && m < 2)
           org.apache.log4j.Logger.getLogger(getClass).warn(
             s"ivfIndexBuild: cell $ci holds $n rows (> ${threshold.toLong}) but only " +
-              s"${cellSample.length} fit-sample members — too few to sub-fit, " +
-              "leaving it unsplit (raise fitSampleRows for a finer split)")
+              s"${cellSample.length} sub-fit sample members survived — " +
+              "leaving it unsplit")
         val id = finalCenters.length
         finalCenters += baseCenters(ci)
         CellTarget(id, None)
@@ -1041,42 +1129,69 @@ object SimilarityOps {
       val cellStats = assigned.groupBy("cluster")
         .agg(count(lit(1)).as("n"), avg(col("cos_c")).as("mean_cos"))
         .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
-      val plan = planCellSplits(centers, cellStats.view.mapValues(_._1).toMap,
-        sample, maxCellOccupancyFactor, minCellSplitRows)
-      val (finalCenters, assignedFinal, meanByCluster) = plan match {
-        case None =>
-          (centers, assigned,
-            cellStats.view.mapValues(_._2).toMap: Map[Int, Double])
-        case Some((fc, targets)) =>
-          val splits = targets.filter(_.subCenters.isDefined)
-          org.apache.log4j.Logger.getLogger(getClass).warn(
-            s"ivfIndexBuild: ${splits.length} oversized cell(s) " +
-              s"(occupancy > max($maxCellOccupancyFactor× mean, $minCellSplitRows rows)) " +
-              s"split into ${splits.map(_.subCenters.get.length).sum} sub-cells — " +
-              s"${fc.length} final cells from $nlist fitted (graded-corpus " +
-              "probed-mass bound; rebuilds inherit the base nlist)")
-          // renumber unsplit cells by lookup; re-assign ONLY split cells'
-          // rows among their sub-centers (the when-chain guards the
-          // kernel to those rows). One map-only projection over the
-          // cached assignment pass — no second corpus read.
-          val remapArr: Seq[Int] = targets.map(_.newId)
-          val baseRemap = element_at(typedLit(remapArr), col("cluster") + 1)
-          val finalCluster = targets.zipWithIndex.foldRight(baseRemap: Column) {
-            case ((CellTarget(offset, Some(subs)), ci), other) =>
-              when(col("cluster") === ci,
-                lit(offset) + element_at(NearestCentersExpr.of(col("cvec"), subs, 1), 1))
-                .otherwise(other)
-            case (_, other) => other
-          }
-          val re = assigned
-            .select(col("cid"), finalCluster.as("cluster"), col("cvec"))
-            .withColumn("cos_c", centroidCos(col("cvec"), col("cluster"), fc))
-          // the per-FINAL-cell quality aggregate must re-run (sub-cell
-          // means anchor drift honestly); it reads the cached pass
-          val mbc = re.groupBy("cluster").agg(avg(col("cos_c")).as("mean_cos"))
-            .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
-          (fc, re, mbc)
+      // Iterative splitting, threshold anchored on the BASE mean
+      // (total / nlist): a first-level sub-fit can itself leave one
+      // oversized sub-cell when the parent's geometry resists k-means
+      // (measured on graded-256: one 94k cell kept 47k rows in one
+      // sub-cell after one level) — residual giants re-split against the
+      // SAME bound until every cell is under it, nothing improves, or
+      // the level cap trips. Each extra level costs one sub-sample job
+      // and one stats aggregate over the cached pass, and runs only
+      // while giants persist.
+      val baseMean = cellStats.values.map(_._1).sum.toDouble /
+        math.max(1, centers.length)
+      var curCenters = centers
+      var curDf = assigned
+      var curStats = cellStats
+      var level = 0
+      var progressing = true
+      while (progressing && level < MaxCellSplitLevels) {
+        planCellSplits(curDf, curCenters, curStats.view.mapValues(_._1).toMap,
+          maxCellOccupancyFactor, minCellSplitRows, baseMean) match {
+          case None => progressing = false
+          case Some((fc, targets)) =>
+            val splits = targets.filter(_.subCenters.isDefined)
+            org.apache.log4j.Logger.getLogger(getClass).warn(
+              s"ivfIndexBuild: level-$level split of ${splits.length} oversized " +
+                s"cell(s) (occupancy > max($maxCellOccupancyFactor× base mean, " +
+                s"$minCellSplitRows rows)) into " +
+                s"${splits.map(_.subCenters.get.length).sum} sub-cells — " +
+                s"${fc.length} cells now (base nlist $nlist is what rebuilds inherit)")
+            // renumber unsplit cells by lookup; re-assign ONLY split
+            // cells' rows among their sub-centers (the when-chain guards
+            // the kernel to those rows). One map-only projection over
+            // the cached assignment pass — no second corpus read.
+            val remapArr: Seq[Int] = targets.map(_.newId)
+            val baseRemap = element_at(typedLit(remapArr), col("cluster") + 1)
+            val finalCluster = targets.zipWithIndex.foldRight(baseRemap: Column) {
+              case ((CellTarget(offset, Some(subs)), ci), other) =>
+                when(col("cluster") === ci,
+                  lit(offset) + element_at(NearestCentersExpr.of(col("cvec"), subs, 1), 1))
+                  .otherwise(other)
+              case (_, other) => other
+            }
+            val re = curDf
+              .select(col("cid"), finalCluster.as("cluster"), col("cvec"))
+              .withColumn("cos_c", centroidCos(col("cvec"), col("cluster"), fc))
+            // per-cell stats re-run for the new layout (sub-cell means
+            // anchor drift honestly; counts feed the next level's plan);
+            // reads the cached pass
+            val st = re.groupBy("cluster")
+              .agg(count(lit(1)).as("n"), avg(col("cos_c")).as("mean_cos"))
+              .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+            // stop when the worst cell stopped shrinking (degenerate
+            // geometry: re-splitting would add centroids for nothing)
+            val prevMax = curStats.values.map(_._1).max
+            val newMax = st.values.map(_._1).max
+            progressing = newMax < prevMax
+            curCenters = fc
+            curDf = re
+            curStats = st
+            level += 1
+        }
       }
+      val (finalCenters, assignedFinal, meanByCluster) =
+        (curCenters, curDf, curStats.view.mapValues(_._2).toMap: Map[Int, Double])
       import spark.implicits._
       finalCenters.zipWithIndex
         .map { case (c, i) => (i, c, meanByCluster.getOrElse(i, 1.0)) }
@@ -1916,11 +2031,14 @@ object SimilarityOps {
     // the assign read is additionally version-pinned ([[assignAt]]) so
     // a REFRESH committing between this query's actions cannot tear it
     val idxRoot = ivfIndexState(indexDir).root
-    val centers = centroidsAt(spark, idxRoot).map(_._2)
+    val (centRows, marker) = centroidsWithMarkerAt(spark, idxRoot)
+    val centers = centRows.map(_._2)
     val assign = assignAt(spark, idxRoot)
     val flat = assign.columns.contains("cvec")
     val (probes, nEff, overCap, probedOpt) = probeRows(
-      queries, centers, nprobe, maxBroadcastProbes, "ivfTopKIndexed",
+      queries, centers,
+      effectiveNprobe(nprobe, centers.length, marker, "ivfTopKIndexed"),
+      maxBroadcastProbes, "ivfTopKIndexed",
       needProbed = flat)
     val probeSide = if (overCap) probes else broadcast(probes)
     val cb: DataFrame =
@@ -2002,7 +2120,8 @@ object SimilarityOps {
   ): DataFrame = {
     val spark = queries.sparkSession
     val idxRoot = ivfIndexState(indexDir).root
-    val centers = centroidsAt(spark, idxRoot).map(_._2)
+    val (centRows, marker) = centroidsWithMarkerAt(spark, idxRoot)
+    val centers = centRows.map(_._2)
     // version-pinned: the two-stage quantized rank runs multiple actions
     // over this scan; a mid-query refresh must not tear them (assignAt)
     val assign = assignAt(spark, idxRoot)
@@ -2011,7 +2130,9 @@ object SimilarityOps {
         "layout (no stored vectors) — rebuild with storeVectors=true, or " +
         "query through ivfTopKIndexed with the corpus as candidates")
     val (probes, _, overCap, probedOpt) = probeRows(
-      queries, centers, nprobe, maxBroadcastProbes, "ivfTopKServe",
+      queries, centers,
+      effectiveNprobe(nprobe, centers.length, marker, "ivfTopKServe"),
+      maxBroadcastProbes, "ivfTopKServe",
       needProbed = true)
     val probeSide = if (overCap) probes else broadcast(probes)
     val probed: Seq[Int] = probedOpt.getOrElse(Nil)

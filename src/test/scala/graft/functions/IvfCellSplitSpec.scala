@@ -99,6 +99,57 @@ class IvfCellSplitSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("effectiveNprobe preserves the probed cell share on split builds only") {
+    val marker = Some("""{"v":1,"nlist":320,"stamp":"x"}""")
+    // unsplit build (cells == base): exact passthrough at any nprobe
+    assert(SimilarityOps.effectiveNprobe(4, 320, marker, "t") == 4)
+    // no marker (pre-pointer/unpublished): passthrough
+    assert(SimilarityOps.effectiveNprobe(4, 649, None, "t") == 4)
+    // split build: ceil(nprobe x cells / base), the caller's cell share
+    assert(SimilarityOps.effectiveNprobe(4, 649, marker, "t") == 9)
+    assert(SimilarityOps.effectiveNprobe(1, 480, marker, "t") == 2)
+    // capped at the cell count, and a full probe stays a full probe
+    assert(SimilarityOps.effectiveNprobe(300, 480, marker, "t") == 450)
+    assert(SimilarityOps.effectiveNprobe(480, 480, marker, "t") == 480)
+    assert(SimilarityOps.effectiveNprobe(500, 480, marker, "t") == 500)
+  }
+
+  test("a low-nprobe serve on a split index scales its probe (share contract)") {
+    val dir = tmp("split-scale")
+    val corpus = skewedCorpus()
+    SimilarityOps.ivfIndexBuild(df(corpus), dir, nlist = 4, fitSampleRows = 1000,
+      maxCellOccupancyFactor = 2.0, minCellSplitRows = 100L)
+    val cents = SimilarityOps.centroidsOf(spark, dir)
+    assert(cents.length > 4)
+    val qs = df(corpus).filter(col("cid") < 3)
+      .select(col("cid").as("qid"), col("cvec").as("qvec"))
+    // capture the scaling log line while serving at the caller's nprobe=1
+    val logger = org.apache.log4j.Logger.getLogger(SimilarityOps.getClass)
+    val events = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val app = new org.apache.log4j.AppenderSkeleton {
+      override def append(e: org.apache.log4j.spi.LoggingEvent): Unit =
+        events.add(String.valueOf(e.getMessage))
+      override def close(): Unit = {}
+      override def requiresLayout(): Boolean = false
+    }
+    val prevLevel = logger.getLevel
+    logger.setLevel(org.apache.log4j.Level.INFO)
+    logger.addAppender(app)
+    try {
+      SimilarityOps.ivfTopKServe(qs, dir, k = 3, nprobe = 1)
+        .write.mode("overwrite").format("noop").save()
+    } finally {
+      logger.removeAppender(app)
+      logger.setLevel(prevLevel)
+    }
+    import scala.jdk.CollectionConverters._
+    val expectEff = (cents.length + 3) / 4 // ceil(1 x cells / base 4)
+    assert(events.asScala.exists(_.contains(
+      s"nprobe 1 scaled to $expectEff on a split build (${cents.length} cells from base nlist 4)")),
+      s"expected the share-contract scaling log; got: ${events.asScala.toList}")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("the absolute floor keeps small corpora unsplit (gate parity)") {
     val dir = tmp("floor")
     // same skew, default bounds: 800 rows < DefaultMinCellSplitRows, so
